@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    df.show(5)
+    println("ENTRY_ROWS=" + df.count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,414 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.AlsRecommender
+import graft.relational.Queries
+import graft.streaming.Events
+
+/** Central operator registry: every SURVEY.md §2 operator (and the
+  * north-star LLM-data extensions) as a named query over the testdata,
+  * paired — where single-statement-SQL-expressible — with the exact
+  * DuckDB oracle the driver hash-compares against.
+  *
+  * Column names AND value determinism are part of the contract: see
+  * [[graft.relational.Queries]] for the decimal-sum / rounding rules.
+  */
+object Registry {
+
+  final case class Entry(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  // DuckDB CTE for the exact-cell lineitem COO (mirrors Queries.cooExact).
+  private def cooSql(measure: String): String =
+    s"SELECT l_partkey AS mrow, CAST(month(l_shipdate) AS BIGINT) AS mcol, " +
+      s"CAST(sum(CAST($measure AS DECIMAL(18,2))) AS DOUBLE) AS mval FROM lineitem GROUP BY 1, 2"
+
+  val all: Seq[(String, Entry)] = Seq(
+
+    // ---- scans / filters / aggregations ---------------------------------
+    "q01_pricing_summary" -> Entry(Queries.pricingSummary, Some(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q02_filter_project" -> Entry(Queries.filterProject, Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_extendedprice * l_discount AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "q03_revenue_agg" -> Entry(Queries.revenueAgg, Some(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- joins ----------------------------------------------------------
+    "q04_join_agg_segment" -> Entry(Queries.joinAggSegment, Some(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q05_revenue_by_nation" -> Entry(Queries.revenueByNation, Some(
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    "q06_broadcast_join_part" -> Entry(Queries.broadcastJoinPart, Some(
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    "q07_anti_join_customers" -> Entry(Queries.antiJoinCustomers, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    "q08_semi_join_suppliers" -> Entry(Queries.semiJoinSuppliers, Some(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- window / sort / set ops ----------------------------------------
+    "q09_window_share" -> Entry(Queries.windowShare, Some(
+      """SELECT l_returnflag, l_linestatus, qty,
+        | qty / sum(qty) OVER (PARTITION BY l_returnflag) AS share
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q10_sort_customers" -> Entry(Queries.sortCustomers, Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin)),
+
+    "q11_union_tagged" -> Entry(Queries.unionTagged, Some(
+      """SELECT 'customer' AS side, CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n
+        |FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'supplier' AS side, CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n
+        |FROM supplier GROUP BY 2
+        |ORDER BY side, nationkey""".stripMargin)),
+
+    "q12_symmetric_diff" -> Entry(Queries.symmetricDiff, Some(
+      """SELECT 'left' AS side, custkey FROM
+        | (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'right' AS side, custkey FROM
+        | (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY side, custkey""".stripMargin)),
+
+    "q13_outer_product" -> Entry(Queries.outerProduct, Some(
+      """SELECT nationkey, orderstatus, u_n * v_n AS mass FROM
+        | (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS u_n FROM customer GROUP BY 1) u
+        | CROSS JOIN
+        | (SELECT o_orderstatus AS orderstatus, count(*) AS v_n FROM orders GROUP BY 1) v
+        |ORDER BY nationkey, orderstatus""".stripMargin)),
+
+    // ---- COO matrix operators -------------------------------------------
+    "q14_matrix_transpose" -> Entry(Queries.matrixTranspose, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")})
+         |SELECT mcol AS mrow, mrow AS mcol, mval FROM m ORDER BY 1, 2""".stripMargin)),
+
+    "q15_matrix_sum_rows" -> Entry(Queries.matrixSumRows, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")})
+         |SELECT mrow, round(sum(mval), 4) AS mval FROM m GROUP BY mrow ORDER BY mrow""".stripMargin)),
+
+    "q16_matrix_sum_cols" -> Entry(Queries.matrixSumCols, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")})
+         |SELECT mcol, round(sum(mval), 4) AS mval FROM m GROUP BY mcol ORDER BY mcol""".stripMargin)),
+
+    "q17_matrix_multiply" -> Entry(Queries.matrixMultiply, Some(
+      s"""WITH a AS (${cooSql("l_quantity")}),
+         |b AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS mrow, l_returnflag AS mcol,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS mval
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT a.mrow AS mrow, b.mcol AS mcol, round(sum(a.mval * b.mval), 4) AS mval
+         |FROM a JOIN b ON a.mcol = b.mrow GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "q18_marginal_dot" -> Entry(Queries.marginalDot, Some(
+      """WITH a AS (SELECT l_partkey AS k, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS av
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_partkey AS k, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bv
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(a.av * b.bv AS DECIMAL(38,4))) AS DOUBLE) AS dot_product
+        |FROM a JOIN b ON a.k = b.k""".stripMargin)),
+
+    "q19_marginal_l2norm" -> Entry(Queries.marginalL2Norm, Some(
+      """WITH a AS (SELECT l_partkey AS k, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS av
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sqrt(CAST(sum(CAST(av * av AS DECIMAL(38,4))) AS DOUBLE)) AS l2_norm FROM a""".stripMargin)),
+
+    "q20_marginal_rmse" -> Entry(Queries.marginalRmse, Some(
+      """WITH a AS (SELECT l_partkey AS k, sum(CAST(l_quantity AS DECIMAL(18,2))) AS av
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_partkey AS k, sum(CAST(l_quantity AS DECIMAL(18,2))) AS bv
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |d AS (SELECT a.av - COALESCE(b.bv, CAST(0 AS DECIMAL(18,2))) AS d
+        |  FROM a LEFT JOIN b ON a.k = b.k)
+        |SELECT sqrt(CAST(sum(CAST(d * d AS DECIMAL(38,4))) AS DOUBLE)) AS rmse FROM d""".stripMargin)),
+
+    "q21_laplace_smooth" -> Entry(Queries.laplaceSmooth, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")})
+         |SELECT mrow, mcol, mval + 0.5 AS mval FROM m ORDER BY 1, 2""".stripMargin)),
+
+    "q22_safe_divide" -> Entry(Queries.safeDivide, Some(
+      s"""WITH p AS (${cooSql("l_extendedprice")}), q AS (${cooSql("l_quantity")})
+         |SELECT p.mrow AS mrow, p.mcol AS mcol,
+         | CASE WHEN q.mval = 0.0 THEN 0.0 ELSE p.mval / q.mval END AS mval
+         |FROM p JOIN q ON p.mrow = q.mrow AND p.mcol = q.mcol ORDER BY 1, 2""".stripMargin)),
+
+    "q23_error_matrix" -> Entry(Queries.errorMatrix, Some(
+      s"""WITH p AS (${cooSql("l_extendedprice")}), q AS (${cooSql("l_quantity")})
+         |SELECT p.mrow AS mrow, p.mcol AS mcol, abs(p.mval - q.mval) AS mval
+         |FROM p JOIN q ON p.mrow = q.mrow AND p.mcol = q.mcol ORDER BY 1, 2""".stripMargin)),
+
+    "q24_minmax_normalize" -> Entry(Queries.minMaxNormalize, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")}),
+         |s AS (SELECT min(mval) AS mn, max(mval) AS mx FROM m)
+         |SELECT mrow, mcol, (mval - mn) / (mx - mn) AS mval FROM m, s ORDER BY 1, 2""".stripMargin)),
+
+    "q25_ipf_fit_rows" -> Entry(Queries.ipfFitRows, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")}),
+         |rs AS (SELECT mrow, sum(mval) AS rsum FROM m GROUP BY 1),
+         |x AS (SELECT l_partkey AS mrow, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xval
+         |  FROM lineitem GROUP BY 1)
+         |SELECT m.mrow AS mrow, m.mcol AS mcol, round(m.mval * (x.xval / rs.rsum), 6) AS mval
+         |FROM m JOIN rs ON m.mrow = rs.mrow JOIN x ON m.mrow = x.mrow
+         |ORDER BY 1, 2""".stripMargin)),
+
+    "q26_ipf_converge" -> Entry((s, d) => Queries.ipfConverge(s, d), None),
+
+    "q27_zero_pad_union" -> Entry(Queries.zeroPadUnion, Some(
+      """SELECT l_partkey AS mrow, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS mval
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT p_partkey AS mrow, 0.0 AS mval FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        |ORDER BY mrow""".stripMargin)),
+
+    // ---- text analysis ---------------------------------------------------
+    "q30_token_stats" -> Entry(
+      (s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_obs,
+        | CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q31_quality_score" -> Entry(
+      (s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        | 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q32_lang_id" -> Entry(
+      (s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, lang,
+        | CAST((CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+        | CAST((CASE WHEN contains(' ' || text || ' ', ' el ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' la ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' de ') THEN 1 ELSE 0 END) AS BIGINT) AS score_es,
+        | CAST((CASE WHEN contains(' ' || text || ' ', ' der ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' und ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || text || ' ', ' das ') THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+        | CASE WHEN (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) >=
+        |           (CASE WHEN contains(' ' || text || ' ', ' el ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' la ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' de ') THEN 1 ELSE 0 END)
+        |       AND (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) >=
+        |           (CASE WHEN contains(' ' || text || ' ', ' der ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' und ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' das ') THEN 1 ELSE 0 END)
+        |      THEN 'en'
+        |      WHEN (CASE WHEN contains(' ' || text || ' ', ' el ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' la ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' de ') THEN 1 ELSE 0 END) >=
+        |           (CASE WHEN contains(' ' || text || ' ', ' der ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' und ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' das ') THEN 1 ELSE 0 END)
+        |      THEN 'es' ELSE 'de' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q33_fingerprint" -> Entry(
+      (s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q34_shingle_stats" -> Entry(
+      (s, d) => TextAnalysis.shingleStats(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS BIGINT) AS n_distinct_shingles
+        |FROM documents WHERE len(string_split(text, ' ')) >= 3 ORDER BY doc_id""".stripMargin)),
+
+    "q35_rolling_hash" -> Entry(
+      (s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy("doc_id"), None),
+
+    // ---- dedup -----------------------------------------------------------
+    "q40_exact_dedup_groups" -> Entry(
+      (s, d) => Dedup.exactGroups(docs(s, d)).orderBy("content_hash"), Some(
+      """SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    "q41_dedup_keep_first" -> Entry(
+      (s, d) => Dedup.dedupKeepFirst(docs(s, d))
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_hash")).orderBy("doc_id"), Some(
+      """SELECT doc_id, content_hash FROM
+        | (SELECT doc_id, sha256(text) AS content_hash,
+        |   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    "q42_jaccard_pairs" -> Entry(
+      (s, d) => Dedup.jaccardPairs(docs(s, d), maxDocId = 40).orderBy("doc_a", "doc_b"), Some(
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |       CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "q43_minhash_neardup" -> Entry(
+      (s, d) => Dedup.minhashPairs(docs(s, d), threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard_distance"), 6).as("jaccard_distance"))
+        .orderBy("doc_a", "doc_b"), None),
+
+    "q44_simhash" -> Entry(
+      (s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id"), None),
+
+    // ---- similarity search ----------------------------------------------
+    "q45_cosine_topk" -> Entry(
+      (s, d) => Similarity.bruteForceTopK(emb(s, d)).orderBy("query_id", "rank"), Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |px AS (SELECT query_id, cand_id, CAST(unnest(qe) AS DOUBLE) AS qv,
+        |        CAST(unnest(ce) AS DOUBLE) AS cv
+        |       FROM q CROSS JOIN c WHERE query_id <> cand_id),
+        |dots AS (SELECT query_id, cand_id, sum(qv * cv) AS dp,
+        |          sqrt(sum(qv * qv)) AS nq, sqrt(sum(cv * cv)) AS nc
+        |         FROM px GROUP BY 1, 2),
+        |scored AS (SELECT query_id, cand_id, round(dp / (nq * nc), 6) AS cosine FROM dots),
+        |ranked AS (SELECT query_id, cand_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    "q46_ann_lsh" -> Entry(
+      (s, d) => Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank"), None),
+
+    "q47_label_centroids" -> Entry(
+      (s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos"), Some(
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  unnest(range(0, len(embedding))) AS pos
+        | FROM embeddings)
+        |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS centroid_v
+        |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),
+
+    "q48_embedding_neardup" -> Entry(
+      (s, d) => Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35).orderBy("vec_a", "vec_b"), Some(
+      """WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+        |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+        |px AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS av, CAST(unnest(eb) AS DOUBLE) AS bv
+        |       FROM a CROSS JOIN b WHERE vec_a < vec_b),
+        |dots AS (SELECT vec_a, vec_b, sum(av * bv) AS dp,
+        |          sqrt(sum(av * av)) AS na, sqrt(sum(bv * bv)) AS nb
+        |         FROM px GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dp / (na * nb), 6) AS cosine FROM dots
+        |WHERE round(dp / (na * nb), 6) > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ---- events / streaming ---------------------------------------------
+    "q50_tumbling_window" -> Entry(Events.tumblingCounts, Some(
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws_epoch, event_type,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin)),
+
+    "q51_sliding_window" -> Entry(Events.slidingCounts, Some(
+      """WITH b AS (SELECT event_type, (epoch_ms(ts) // 1000 // 1800) * 1800 AS b0 FROM events),
+        |w AS (SELECT event_type, unnest([b0, b0 - 1800]) AS ws_epoch FROM b)
+        |SELECT ws_epoch, event_type, count(*) AS n FROM w
+        |GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin)),
+
+    "q52_streaming_tumbling" -> Entry(Events.streamingTumblingCounts, Some(
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws_epoch, event_type,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin)),
+
+    "q53_sessionize" -> Entry((s, d) => Events.sessionize(s, d)
+      .orderBy("user_id", "session_seq"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |l AS (SELECT user_id, ts_ms, event_id,
+        |  lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ts_ms, event_id,
+        |  CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |g AS (SELECT user_id, ts_ms,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS session_seq
+        | FROM f)
+        |SELECT user_id, session_seq, min(ts_ms) AS session_start_ms,
+        | max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
+    "q55_json_props" -> Entry((s, d) => Events.propsExtract(s, d).orderBy("event_id"), Some(
+      "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_val " +
+        "FROM events ORDER BY event_id")),
+
+    // ---- ML: ALS ---------------------------------------------------------
+    "q60_als_recommend" -> Entry((s, d) => {
+      val model = AlsRecommender.train(AlsRecommender.ratingsFromLineitem(s, d))
+      AlsRecommender.recommendTopK(model).orderBy("user", "rank")
+    }, None),
+
+    // ---- multimodal ------------------------------------------------------
+    "q70_multimodal_meta" -> Entry(
+      (s, d) => Multimodal.payloadMetadata(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        | sha256(text) AS payload_sha256, 'application/octet-stream' AS mime_type
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q71_decode_features" -> Entry(
+      (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, e) => n -> e.fn }.toMap
+
+  val oracleSql: Map[String, String] =
+    all.collect { case (n, Entry(_, Some(sql))) => n -> sql }.toMap
+}

@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.matrix.CooMatrix
+
+/** Typed readers over the driver's parquet testdata (TESTDATA.md) and the
+  * reference's CSV schema family (FIXTURES.md §1). Explicit schemas replace
+  * the reference's positional-convention parsing
+  * (`/root/reference/src/cost_allocation/core.clj:140-185`, `read-string`
+  * per cell) so that Catalyst can prune columns and push filters into the
+  * scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The lineitem-derived COO matrix used to exercise IPF at every scale
+    * factor (FIXTURES.md §2): row = l_partkey, col = month(l_shipdate),
+    * value = Σ l_extendedprice. */
+  def lineitemCoo(spark: SparkSession, dir: String, valueCol: String = "l_extendedprice"): CooMatrix =
+    CooMatrix(
+      apply(spark, dir, "lineitem")
+        .groupBy(col("l_partkey").as(CooMatrix.Row), month(col("l_shipdate")).as(CooMatrix.Col))
+        .agg(sum(valueCol).as(CooMatrix.Value)))
+}
+
+/** Schema-typed CSV I/O for the reference's resource family — replaces
+  * `open-csv`/`save-csv` (`/root/reference/src/cost_allocation/data.clj:5-15`). */
+object CsvSources {
+
+  val keywordsSchema: StructType = StructType(Seq(
+    StructField("Keyword", StringType),
+    StructField("TotalCost", LongType),     // integer micro-units (core.clj:155)
+    StructField("TotalClicks", LongType)))
+
+  val hoursSchema: StructType = StructType(Seq(
+    StructField("HourOfDay", StringType),   // string so it joins the melted visits hour keys
+    StructField("HourlyCost", LongType),
+    StructField("HourlyClicks", LongType)))
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def readKeywords(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, keywordsSchema)
+
+  def readHours(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, hoursSchema)
+
+  /** The wide visits table (Keyword, one column per hour, TotalClicks) read
+    * as strings — hour column set is data-dependent (FIXTURES.md: hours 4
+    * and 5 are absent). */
+  def readVisitsWide(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Melt the wide visits table to COO: (Keyword, hourName, visits).
+    * The wide form's explicit "0" cells become explicit COO zeros, which
+    * Laplace smoothing must see (core.clj:187). */
+  def visitsCoo(visitsWide: DataFrame): CooMatrix = {
+    val hourCols = visitsWide.columns.drop(1).dropRight(1) // drop Keyword, TotalClicks
+    val stacked = visitsWide.select(
+      col("Keyword").as(CooMatrix.Row),
+      expr(s"stack(${hourCols.length}, " +
+        hourCols.map(h => s"'$h', cast(`$h` as double)").mkString(", ") +
+        s") as (${CooMatrix.Col}, ${CooMatrix.Value})"))
+    CooMatrix(stacked)
+  }
+
+  /** Labeled-matrix CSV sink — reference `add-labels` + `save-csv`
+    * (`core.clj:63-69`, `data.clj:11-15`). The COO already carries its
+    * labels; we pivot back to the wide labeled form only at the sink. */
+  def writeLabeledCsv(m: CooMatrix, path: String): Unit =
+    m.df.groupBy(CooMatrix.Row).pivot(CooMatrix.Col).sum(CooMatrix.Value)
+      .withColumnRenamed(CooMatrix.Row, "Keyword")
+      .orderBy("Keyword")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+}

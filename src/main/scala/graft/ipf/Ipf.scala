@@ -1,0 +1,60 @@
+package graft.ipf
+
+import org.apache.spark.sql.DataFrame
+import graft.matrix.{CooMatrix, Marginals}
+
+/** Distributed Iterative Proportional Fitting (IPF / RAS / biproportional
+  * fitting) over COO matrices — the reference engine's core algorithm
+  * (`/root/reference/src/cost_allocation/core.clj:82-119`): alternately
+  * rescale rows to the x-marginal and columns to the y-marginal until the
+  * imputed marginals converge to the known ones.
+  *
+  * Spark shape of one iteration: two fused fit passes, each = one hash
+  * aggregation (map-side partial) + one equi-join (AQE broadcasts the
+  * factor side — it has one row per matrix row-key, tiny next to the
+  * matrix). Transposes are free projections in COO. Per-iteration
+  * `localCheckpoint` truncates lineage so the plan does not grow
+  * O(iterations) — the classic Spark iterative-algorithm pattern.
+  */
+object Ipf {
+
+  final case class Result(matrix: CooMatrix, loss: Double, iterations: Int)
+
+  /** Inferred `optimize-marginal` (`core.clj:82-87`; see SURVEY.md §0). */
+  def fitRows(marginal: DataFrame, m: CooMatrix): CooMatrix = m.fitRows(marginal)
+
+  /** One IPF sweep. Reference `step` (`core.clj:89-97`). */
+  def step(x: DataFrame, y: DataFrame, m: CooMatrix): CooMatrix =
+    fitRows(y, fitRows(x, m).transpose).transpose
+
+  /** Reference `converge` (`core.clj:99-119`) with its exact stopping
+    * semantics: stop when loss < threshold (fit good enough), |Δloss| <
+    * threshold (local minimum), or iterations exhausted. The loss is the
+    * reference's `rmse` (L2 of residual, no mean, `core.clj:28-30`) of the
+    * x-marginal vs the row sums of the matrix *before* the step — so the
+    * reported loss lags the returned matrix by one step (`core.clj:115-117`).
+    * Initial loss sentinels are Integer/MAX_VALUE (`core.clj:108-109`).
+    *
+    * `checkpointEvery` controls how often lineage is truncated; 1 is the
+    * safe default, higher values trade driver round-trips for plan size.
+    */
+  def converge(
+      x: DataFrame, y: DataFrame, seed: CooMatrix,
+      threshold: Double = 1e-15, maxIter: Int = 1000,
+      verbose: Boolean = false, checkpointEvery: Int = 1): Result = {
+    require(maxIter >= 0 && checkpointEvery >= 1)
+    var matrix = seed.checkpointed()
+    var lastLoss = Int.MaxValue.toDouble
+    var lossDiff = Int.MaxValue.toDouble
+    var iteration = maxIter
+    while (!(lastLoss < threshold || lossDiff < threshold || iteration == 0)) {
+      var next = step(x, y, matrix)
+      if ((maxIter - iteration) % checkpointEvery == 0) next = next.checkpointed()
+      val loss = Marginals.rmse(x, matrix.sumRows)
+      val diff = math.abs(lastLoss - loss)
+      if (verbose) println(s"loss=$lastLoss diff=$lossDiff iter=$iteration")
+      matrix = next; lastLoss = loss; lossDiff = diff; iteration -= 1
+    }
+    Result(matrix, lastLoss, maxIter - iteration)
+  }
+}

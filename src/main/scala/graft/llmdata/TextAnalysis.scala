@@ -1,0 +1,106 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (doc_id, text, lang, source, n_chars). All are
+  * narrow per-row projections built from codegen'd built-ins — they scale
+  * linearly and shuffle nothing.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space convention of the synthetic corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Token / character counting. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_obs"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_alpha_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double")).as("avg_token_len"))
+  }
+
+  /** Heuristic quality scoring: punctuation / digit / stopword ratios and a
+    * composite score. Expression shapes are kept identical to the DuckDB
+    * oracle SQL so double arithmetic matches bit-for-bit. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("double")
+    val stops = size(filter(toks, w => w.isin(stopwords: _*))).cast("double")
+    val punctRatio = punct / nChars
+    val digitRatio = digits / nChars
+    val stopRatio = stops / nTokens
+    docs.select(
+      col("doc_id"),
+      punctRatio.as("punct_ratio"),
+      digitRatio.as("digit_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (lit(1.0) - punctRatio - digitRatio).as("quality_score"))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "das"))
+
+  /** Marker-word language-ID heuristic: per-language score = number of
+    * marker words present; argmax with a fixed tie-break order. (A real
+    * deployment would use char-n-gram profiles; the scoring plumbing — a
+    * narrow projection — is identical.) */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def score(ws: Seq[String]): Column =
+      ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _).cast("long")
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        markers.map { case (l, ws) => score(ws).as(s"score_$l") }): _*)
+    scored.withColumn("lang_pred",
+      when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+        .when(col("score_es") >= col("score_de"), "es")
+        .otherwise("de"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the cheap exact-after-normalization dedup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fingerprint"))
+
+  /** Rolling polynomial (Karp–Rabin) hash over the text, computed as a
+    * left fold on the character array, mod a large prime (keeps the
+    * accumulator in range — Spark 4's ANSI mode rejects silent long
+    * wraparound). Not SQL-expressible; covered by ScalaTest. */
+  def rollingHash(docs: DataFrame): DataFrame = {
+    val prime = 1000000007L
+    val chars = split(col("text"), "")
+    val h = aggregate(chars, lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(prime))
+    docs.select(col("doc_id"), h.as("rolling_hash"))
+  }
+
+  /** Distinct word-k-shingle count per document (the MinHash front end). */
+  def shingleStats(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = shingles(toks, k)
+    docs.filter(size(toks) >= k).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+  }
+
+  /** Word k-shingles as an array column (1-based `element_at` windows). */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - lit(k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
+}

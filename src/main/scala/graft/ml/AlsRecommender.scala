@@ -1,0 +1,55 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real collaborative-filtering ALS (the north star's namesake): Spark
+  * MLlib's alternating least squares over an implicit (user, item, rating)
+  * COO — the same triple shape as the IPF cost matrix. MLlib's
+  * implementation already embodies the 100 TB patterns (block
+  * partitioning of factors, in/out link co-partitioning, checkpointing).
+  */
+object AlsRecommender {
+
+  /** Ratings from the testdata: user = customer, item = part, rating =
+    * total quantity ordered (orders ⋈ lineitem, two-key aggregation). */
+  def ratingsFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum(col("l_quantity")).cast("float").as("rating"))
+  }
+
+  def train(ratings: DataFrame, rank: Int = 8, maxIter: Int = 8,
+      regParam: Double = 0.1, seed: Long = 42L): ALSModel =
+    new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setSeed(seed).setColdStartStrategy("drop")
+      .setNumBlocks(8)
+      .fit(ratings)
+
+  /** Top-k item recommendations per user, exploded to rows. */
+  def recommendTopK(model: ALSModel, k: Int = 5): DataFrame =
+    model.recommendForAllUsers(k)
+      .select(col("user").cast("long").as("user"),
+        posexplode(col("recommendations")).as(Seq("rank0", "rec")))
+      .select(col("user"), (col("rank0") + 1).cast("long").as("rank"),
+        col("rec.item").cast("long").as("item"),
+        round(col("rec.rating").cast("double"), 4).as("score"))
+
+  /** Reference-semantics fit quality on a train/test split. */
+  def evalRmse(spark: SparkSession, dir: String, seed: Long = 42L): Double = {
+    val Array(train0, test0) = ratingsFromLineitem(spark, dir).randomSplit(Array(0.8, 0.2), seed)
+    val model = train(train0, seed = seed)
+    val preds = model.transform(test0)
+    new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction").evaluate(preds)
+  }
+}

@@ -1,0 +1,286 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.io.Tables
+import graft.ipf.Ipf
+import graft.matrix.CooMatrix
+
+/** The DuckDB-oracle-checkable relational operator surface (SURVEY.md §2)
+  * over the TPC-H-ish testdata.
+  *
+  * Determinism discipline for exact hash-comparison against DuckDB:
+  * double SUMs are computed by casting to DECIMAL first (exact, i.e.
+  * order-independent under Spark's partitioned aggregation AND DuckDB's),
+  * then cast back to double; re-aggregations of already-exact doubles
+  * (e.g. COO row sums feeding IPF) are rounded at the output to absorb
+  * last-ulp association differences. Integer outputs are cast to long to
+  * match DuckDB's BIGINT. Window/sort outputs order by unique keys.
+  */
+object Queries {
+
+  /** Exact (order-independent) sum of a double column via decimal. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  // ---- scans / filters / projections -------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: filter pushdown + hash agg. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Row-level filter + projection + computed column (pushdown check). */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q6-shaped scalar aggregate. */
+  def revenueAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 4)))
+        .cast("double").as("revenue"))
+
+  // ---- joins -------------------------------------------------------------
+
+  def joinAggSegment(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** 5-way join, small dims broadcast (TPC-H Q5 shape). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def broadcastJoinPart(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val part = t(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Left-anti join — the reference's `missing` lookup (core.clj:167):
+    * customers with no large (>450k) order. */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+  }
+
+  def semiJoinSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val supplier = t(s, dir, "supplier")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+    supplier.join(li, supplier("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name")).orderBy("s_suppkey")
+  }
+
+  // ---- window / sort / set ops -------------------------------------------
+
+  /** Share-of-group — the reference's `weight-matrix` shape as an analytic
+    * window (core.clj:52-56; ≤2 rows per partition so FP order is fixed). */
+  def windowShare(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("qty"))
+    g.withColumn("share", col("qty") / sum(col("qty")).over(Window.partitionBy("l_returnflag")))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def sortCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+
+  def unionTagged(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("side", lit("customer"))
+    val sp = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("side", lit("supplier"))
+    c.unionByName(sp).select("side", "nationkey", "n").orderBy("side", "nationkey")
+  }
+
+  /** Two-sided tagged symmetric difference — the reference's `diff`
+    * (data.clj:17-30), as set ops instead of a hand-rolled sorted merge:
+    * customers that only ever placed 'F' orders vs only 'O' orders. */
+  def symmetricDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")).distinct()
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")).distinct()
+    f.except(o).withColumn("side", lit("left"))
+      .unionByName(o.except(f).withColumn("side", lit("right")))
+      .select("side", "custkey").orderBy("side", "custkey")
+  }
+
+  /** Outer product of two aggregated marginals — the reference's
+    * `seed-matrix` (core.clj:78-80) as a broadcast crossJoin. */
+  def outerProduct(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey")).agg(count(lit(1)).as("u_n"))
+    val v = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("orderstatus")).agg(count(lit(1)).as("v_n"))
+    u.crossJoin(broadcast(v))
+      .select(col("nationkey"), col("orderstatus"), (col("u_n") * col("v_n")).as("mass"))
+      .orderBy("nationkey", "orderstatus")
+  }
+
+  // ---- COO matrix operator surface ---------------------------------------
+
+  /** The lineitem COO with exact (decimal-summed) cells: row = partkey,
+    * col = hour of shipdate, value = Σ measure. */
+  def cooExact(s: SparkSession, dir: String, measure: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("mrow"), month(col("l_shipdate")).cast("long").as("mcol"))
+      .agg(dsum(col(measure)).as("mval"))
+
+  private def asCoo(df: DataFrame): CooMatrix = CooMatrix.fromDF(df, "mrow", "mcol", "mval")
+
+  private def named(m: CooMatrix, roundTo: Int = -1): DataFrame = {
+    val v = if (roundTo >= 0) round(col(CooMatrix.Value), roundTo) else col(CooMatrix.Value)
+    m.df.select(col(CooMatrix.Row).as("mrow"), col(CooMatrix.Col).as("mcol"), v.as("mval"))
+      .orderBy("mrow", "mcol")
+  }
+
+  def matrixTranspose(s: SparkSession, dir: String): DataFrame =
+    named(asCoo(cooExact(s, dir, "l_extendedprice")).transpose)
+
+  def matrixSumRows(s: SparkSession, dir: String): DataFrame =
+    asCoo(cooExact(s, dir, "l_extendedprice")).sumRows
+      .select(col(CooMatrix.Idx).as("mrow"), round(col(CooMatrix.Value), 4).as("mval"))
+      .orderBy("mrow")
+
+  def matrixSumCols(s: SparkSession, dir: String): DataFrame =
+    asCoo(cooExact(s, dir, "l_extendedprice")).sumCols
+      .select(col(CooMatrix.Idx).as("mcol"), round(col(CooMatrix.Value), 4).as("mval"))
+      .orderBy("mcol")
+
+  /** COO matmul (partkey×hour)·(hour×returnflag) — SpGEMM join+agg. */
+  def matrixMultiply(s: SparkSession, dir: String): DataFrame = {
+    val a = asCoo(cooExact(s, dir, "l_quantity"))
+    val b = CooMatrix.fromDF(
+      t(s, dir, "lineitem")
+        .groupBy(month(col("l_shipdate")).cast("long").as("mrow"), col("l_returnflag").as("mcol"))
+        .agg(dsum(col("l_quantity")).as("mval")),
+      "mrow", "mcol", "mval")
+    named(a.multiply(b), roundTo = 4)
+  }
+
+  /** Σ xᵢ·yᵢ of two per-partkey marginals (reference `dot`, core.clj:11-16).
+    * Products of 2dp-exact doubles are 4dp-exact → decimal sum is exact. */
+  def marginalDot(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.groupBy(col("l_partkey").as("k")).agg(dsum(col("l_quantity")).as("av"))
+    val b = li.groupBy(col("l_partkey").as("k")).agg(dsum(col("l_extendedprice")).as("bv"))
+    a.join(b, "k")
+      .agg(sum((col("av") * col("bv")).cast(DecimalType(38, 4))).cast("double").as("dot_product"))
+  }
+
+  /** √Σx² of the qty marginal (reference `L2-norm`, core.clj:23-26). */
+  def marginalL2Norm(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").groupBy(col("l_partkey").as("k")).agg(dsum(col("l_quantity")).as("av"))
+    a.agg(sqrt(sum((col("av") * col("av")).cast(DecimalType(38, 4))).cast("double")).as("l2_norm"))
+  }
+
+  /** Reference `rmse` (core.clj:28-30): L2 of residual, NO mean. Exact via
+    * decimal diffs/squares. */
+  def marginalRmse(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.groupBy(col("l_partkey").as("k"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("av"))
+    val b = li.filter(col("l_returnflag") === "A").groupBy(col("l_partkey").as("k"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("bv"))
+    a.join(b, Seq("k"), "left_outer")
+      .select((col("av") - coalesce(col("bv"), lit(0).cast(DecimalType(18, 2)))).as("d"))
+      .agg(sqrt(sum((col("d") * col("d")).cast(DecimalType(38, 4))).cast("double")).as("rmse"))
+  }
+
+  def laplaceSmooth(s: SparkSession, dir: String): DataFrame =
+    named(asCoo(cooExact(s, dir, "l_extendedprice")).laplaceSmooth(0.5))
+
+  def safeDivide(s: SparkSession, dir: String): DataFrame =
+    named(asCoo(cooExact(s, dir, "l_extendedprice"))
+      .safeDivide(asCoo(cooExact(s, dir, "l_quantity"))))
+
+  def errorMatrix(s: SparkSession, dir: String): DataFrame =
+    named(asCoo(cooExact(s, dir, "l_extendedprice"))
+      .errorMatrix(asCoo(cooExact(s, dir, "l_quantity"))))
+
+  def minMaxNormalize(s: SparkSession, dir: String): DataFrame =
+    named(asCoo(cooExact(s, dir, "l_extendedprice")).minMaxNormalize)
+
+  /** One IPF row-fit (the inferred `optimize-marginal`, core.clj:82-87):
+    * rescale each partkey row of the price matrix to the qty marginal. */
+  def ipfFitRows(s: SparkSession, dir: String): DataFrame = {
+    val m = asCoo(cooExact(s, dir, "l_extendedprice"))
+    val marginal = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as(CooMatrix.Idx)).agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    named(m.fitRows(marginal), roundTo = 6)
+  }
+
+  /** Full distributed IPF convergence on the lineitem COO (rows-only
+    * check — iterative, not single-statement SQL). */
+  def ipfConverge(s: SparkSession, dir: String, maxIter: Int = 8): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val seed = CooMatrix(li.groupBy(col("l_partkey").as(CooMatrix.Row),
+        month(col("l_shipdate")).cast("long").as(CooMatrix.Col))
+      .agg(sum("l_quantity").as(CooMatrix.Value)))
+    val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter)
+    named(r.matrix, roundTo = 4)
+  }
+
+  /** Zero-pad union — the reference's `visits'` padding (core.clj:169-172):
+    * parts that never ship get explicit zero marginal rows. */
+  def zeroPadUnion(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem").groupBy(col("l_partkey").as("mrow")).agg(dsum(col("l_quantity")).as("mval"))
+    val missing = t(s, dir, "part").select(col("p_partkey").as("mrow"))
+      .join(m.select("mrow"), Seq("mrow"), "left_anti")
+      .withColumn("mval", lit(0.0))
+    m.unionByName(missing).orderBy("mrow")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llmdata
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LlmDataSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docsWithDups = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s", 43L), // near dup
+    (3L, "completely different content about spark engines", "en", "s", 48L),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L)  // exact dup of 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups and keep-first") {
+    val groups = Dedup.exactGroups(docsWithDups).collect()
+    assert(groups.length === 3)
+    val trip = groups.find(_.getLong(1) == 3L)
+    assert(trip.isDefined && trip.get.getLong(2) === 0L) // keeper = min doc_id
+    val kept = Dedup.dedupKeepFirst(docsWithDups).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 2L, 3L))
+  }
+
+  test("jaccard pairs rank near-dup above unrelated") {
+    val pairs = Dedup.jaccardPairs(docsWithDups, maxDocId = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)           // identical
+    assert(pairs((0L, 2L)) > 0.7)             // near dup
+    assert(pairs((0L, 3L)) < 0.1)             // unrelated
+  }
+
+  test("simhash: identical texts share a signature, near-dups are close") {
+    val s = Dedup.simhash(docsWithDups).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(0L) === s(1L) && s(0L) === s(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(0L), s(2L)) < hamming(s(0L), s(3L)))
+    val pairs = Dedup.simhashPairs(docsWithDups, maxDocId = 5, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("minhash LSH finds the injected near-duplicates") {
+    // widen the corpus so LSH has something to bucket
+    val filler = (10L until 60L).map(i => (i, s"filler doc number $i with unique tokens t$i u$i v$i w$i x$i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.minhashPairs(docsWithDups.unionByName(filler), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)))
+  }
+
+  test("token stats and quality on the testdata schema") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val stats = TextAnalysis.tokenStats(docs)
+    assert(stats.filter(col("n_tokens") <= 0).count() === 0)
+    val q = TextAnalysis.qualityScore(docs)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    val fp = TextAnalysis.fingerprint(docs)
+    assert(fp.select("fingerprint").distinct().count() === fp.count()
+      || fp.count() === docs.count()) // fingerprints exist for every doc
+  }
+
+  test("rolling hash is deterministic and content-sensitive") {
+    val h = TextAnalysis.rollingHash(docsWithDups).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) === h(1L))
+    assert(h(0L) !== h(2L))
+  }
+
+  test("brute-force cosine top-k: self-similar labels rank high") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+    assert(topk.count() === 15)
+    assert(topk.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() === 0)
+    // ranks are 1..3 per query
+    val ranks = topk.groupBy("query_id").agg(collect_list("rank")).collect()
+    ranks.foreach(r => assert(r.getSeq[Long](1).sorted === Seq(1L, 2L, 3L)))
+  }
+
+  test("LSH ANN recall against brute force") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, nQueries = 5, k = 5, numHashTables = 8)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("multimodal: payload metadata and stubbed decode plumbing") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val meta = Multimodal.payloadMetadata(docs)
+    assert(meta.filter(col("payload_bytes") =!= length(col("text"))).count() === 0)
+    val feats = Multimodal.decodeFeatures(docs)
+    assert(feats.count() === docs.count())
+    val first = feats.orderBy("doc_id").head
+    assert(first.getSeq[Double](1).length === Multimodal.FakeDecoder.featureDim)
+    // deterministic: same content -> same features
+    val f2 = Multimodal.decodeFeatures(docs).orderBy("doc_id").head
+    assert(first.getSeq[Double](1) === f2.getSeq[Double](1))
+  }
+}
