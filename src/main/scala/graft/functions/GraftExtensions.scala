@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension registering graft's custom Catalyst expressions as SQL
+  * functions (`SELECT graft_dot(a, b)`), via the public
+  * `SparkSessionExtensions.injectFunction` hook:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic
+  *     // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * DataFrame-API callers don't need this — [[VectorOps.dot]] builds the
+  * expression Column directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+        ArrayDotProduct(exprs.head, exprs(1))
+      }))
+  }
+}

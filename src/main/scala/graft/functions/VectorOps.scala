@@ -1,12 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs, so
-  * the whole expression stays inside whole-stage codegen and the fold order
-  * is the deterministic left-to-right array order on every engine run.
+/** Vector math over `array<float|double>` embedding columns. No UDFs: the
+  * hot dot product is a native codegen'd Catalyst expression
+  * ([[ArrayDotProduct]]); everything else is built-in functions, so the
+  * fold order is the deterministic left-to-right array order on every
+  * engine run.
   */
 object VectorOps {
 
@@ -14,8 +15,17 @@ object VectorOps {
     * exactly; all subsequent IEEE ops are then engine-independent). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ as a left fold over the zipped arrays. */
+  /** Σ aᵢ·bᵢ — native codegen'd expression; bit-identical to [[hofDot]]
+    * (same promotion, same left-to-right accumulation). */
   def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ArrayDotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** The higher-order-function formulation of [[dot]] — kept as the
+    * cross-check oracle for the codegen expression (see VectorOpsSpec).
+    * ~100× slower on the all-pairs path: allocates an intermediate array
+    * per evaluation and is excluded from whole-stage codegen. */
+  private[graft] def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
