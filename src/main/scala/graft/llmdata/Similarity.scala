@@ -35,15 +35,51 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
-  /** Near-duplicate embedding pairs: cosine above `threshold`, brute force
-    * over the (row-id-bounded) corpus. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9, maxVecId: Long = Long.MaxValue): DataFrame = {
+  /** Exact cosine-threshold self-join (near-duplicate pairs) as a
+    * distributed block-pair equi-join.
+    *
+    * Why not LSH candidate generation + exact verify: an *exact* threshold
+    * join must retrieve every pair at the boundary. On this corpus the
+    * cosine distribution is isotropic noise (≈N(0, 1/√d); the minimum
+    * qualifying pair at threshold 0.35 sits at 0.35008 with hundreds of
+    * pairs within ±0.05), so any metric bucketing either misses boundary
+    * pairs (loses exactness) or admits essentially all pairs (no pruning):
+    * exact output on unstructured data is information-theoretically Ω(n²).
+    * The scalable *approximate* path for clustered real-world corpora is
+    * [[lshTopK]] (q46).
+    *
+    * What this fixes instead: the naive `a.join(b, va < vb)` theta join
+    * executes as a BroadcastNestedLoopJoin — one broadcast of the whole
+    * corpus and no shuffle parallelism. Here each vector gets a block id
+    * (`vec_id mod numBlocks`); the driver-side block-pair table {(i,j): i≤j}
+    * is broadcast onto both sides, and the n²/2 candidate pairs materialize
+    * through a hash-partitioned equi-join on (bi, bj) — B(B+1)/2 join keys
+    * spread evenly over the cluster, each task an (n/B)² micro cross
+    * product. Per-vector norms are computed once (n, not n²) and each pair
+    * costs exactly one codegen'd [[VectorOps.dot]].
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
+      maxVecId: Long = Long.MaxValue, numBlocks: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j)).toDF("bi", "bj"))
     val d = emb.filter(col("vec_id") < maxVecId)
-    val a = d.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = d.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
+        pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int").as("blk"))
+    val aRep = d.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("blk").as("blk_a"))
+      .join(blockPairs, col("blk_a") === col("bi"))
+    val bRep = d.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("blk").as("blk_b"))
+      .join(blockPairs, col("blk_b") === col("bj"))
+      .select(col("vb"), col("eb"), col("nb"), col("bi").as("bi_b"), col("bj").as("bj_b"))
+    aRep.join(bRep, col("bi") === col("bi_b") && col("bj") === col("bj_b"))
+      .filter(col("bi") < col("bj") || col("va") < col("vb"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"),
+        round(VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 

@@ -89,6 +89,31 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("cosine near-dup block join: exact parity with the naive theta join") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    def naive(t: Double) = {
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+        .filter(col("cosine") > t)
+    }
+    val expected = naive(0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.cosineNearDupPairs(emb, threshold = 0.35, numBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("cosine near-dup block join: no BroadcastNestedLoopJoin in the plan") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ found in plan:\n$plan")
+  }
+
   test("multimodal: payload metadata and stubbed decode plumbing") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val meta = Multimodal.payloadMetadata(docs)
