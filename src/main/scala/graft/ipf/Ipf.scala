@@ -37,23 +37,38 @@ object Ipf {
     *
     * `checkpointEvery` controls how often lineage is truncated; 1 is the
     * safe default, higher values trade driver round-trips for plan size.
+    *
+    * `lossEvery` batches the convergence check (SURVEY.md §7.4 item 1):
+    * the loss is a driver-side scalar collect — a full job plus a barrier
+    * per iteration — so when far from convergence it is computed only at
+    * every `lossEvery`-th iteration, and the stopping rule is evaluated
+    * against those boundary losses (`lossDiff` then spans a batch rather
+    * than one step). With the default 1 the reference's per-iteration
+    * semantics (`core.clj:111-117`) hold exactly; with k > 1 a
+    * threshold-stop can overshoot by up to k−1 steps, while an
+    * iteration-capped run returns the identical matrix.
     */
   def converge(
       x: DataFrame, y: DataFrame, seed: CooMatrix,
       threshold: Double = 1e-15, maxIter: Int = 1000,
-      verbose: Boolean = false, checkpointEvery: Int = 1): Result = {
-    require(maxIter >= 0 && checkpointEvery >= 1)
+      verbose: Boolean = false, checkpointEvery: Int = 1,
+      lossEvery: Int = 1): Result = {
+    require(maxIter >= 0 && checkpointEvery >= 1 && lossEvery >= 1)
     var matrix = seed.checkpointed()
     var lastLoss = Int.MaxValue.toDouble
     var lossDiff = Int.MaxValue.toDouble
     var iteration = maxIter
     while (!(lastLoss < threshold || lossDiff < threshold || iteration == 0)) {
       var next = step(x, y, matrix)
-      if ((maxIter - iteration) % checkpointEvery == 0) next = next.checkpointed()
-      val loss = Marginals.rmse(x, matrix.sumRows)
-      val diff = math.abs(lastLoss - loss)
+      val k = maxIter - iteration
+      if (k % checkpointEvery == 0) next = next.checkpointed()
+      if (k % lossEvery == 0) {
+        val loss = Marginals.rmse(x, matrix.sumRows)
+        lossDiff = math.abs(lastLoss - loss)
+        lastLoss = loss
+      }
       if (verbose) println(s"loss=$lastLoss diff=$lossDiff iter=$iteration")
-      matrix = next; lastLoss = loss; lossDiff = diff; iteration -= 1
+      matrix = next; iteration -= 1
     }
     Result(matrix, lastLoss, maxIter - iteration)
   }

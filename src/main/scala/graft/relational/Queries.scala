@@ -270,7 +270,13 @@ object Queries {
       .agg(sum("l_extendedprice").as(CooMatrix.Value))
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(sum("l_extendedprice").as(CooMatrix.Value))
-    val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter)
+    // Batched loss checks + 2-step checkpoints: this run is iteration-capped
+    // (loss never reaches 1e-9 in 8 sweeps), so the final matrix is
+    // identical to per-iteration checking with ~half the driver barriers.
+    // (checkpointEvery=4 measured *slower* — the 8-deep join/agg lineage
+    // costs more in planning than the saved materialization barriers.)
+    val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
+      checkpointEvery = 2, lossEvery = 8)
     named(r.matrix, roundTo = 4)
   }
 

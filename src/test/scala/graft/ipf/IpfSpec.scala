@@ -39,6 +39,21 @@ class IpfSpec extends AnyFunSuite {
       assert(math.abs(got((i.toLong, j.toLong)) - dense.matrix(i)(j)) < 1e-8)
   }
 
+  test("batched loss checks: identical final matrix on an iteration-capped run") {
+    val perIter = Ipf.converge(
+      CooMatrix.marginal(spark, x), CooMatrix.marginal(spark, y),
+      CooMatrix.fromDense(spark, seed), threshold = 1e-15, maxIter = 6)
+    val batched = Ipf.converge(
+      CooMatrix.marginal(spark, x), CooMatrix.marginal(spark, y),
+      CooMatrix.fromDense(spark, seed), threshold = 1e-15, maxIter = 6,
+      checkpointEvery = 2, lossEvery = 3)
+    assert(batched.iterations === perIter.iterations)
+    val a = perIter.matrix.toLocalMap
+    val b = batched.matrix.toLocalMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
   test("reference stopping semantics: loss lags the returned matrix (core.clj:115-117)") {
     // With maxIter=1 the loop runs exactly one step but reports the seed's loss.
     val r = Dense.converge(x, y, seed, threshold = 1e-15, maxIter = 1)
