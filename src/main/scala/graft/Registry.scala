@@ -30,6 +30,28 @@ object Registry {
     s"SELECT l_partkey AS mrow, CAST(month(l_shipdate) AS BIGINT) AS mcol, " +
       s"CAST(sum(CAST($measure AS DECIMAL(18,2))) AS DOUBLE) AS mval FROM lineitem GROUP BY 1, 2"
 
+  // The reference fixture's visits.csv hour columns (hours 4 and 5 have no
+  // visits and are absent from the wide header — FIXTURES.md §1).
+  private val VisitHours: Seq[Int] = Seq(0, 1, 2, 3) ++ (6 to 23)
+
+  /** DuckDB mirror of the visits melt + zero-pad union (same oracle for the
+    * pivot→CSV→melt round-trip, which must settle to the identical COO). */
+  private def paddedMatrixSql: String = {
+    val fx = Queries.FixtureDir
+    val melted = VisitHours.map(h =>
+      s"""SELECT Keyword, $h AS hour, CAST("$h" AS DOUBLE) AS visits FROM v""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT * FROM read_csv('$fx/visits.csv', header=true)),
+       |k AS (SELECT Keyword FROM read_csv('$fx/keywords.csv', header=true) WHERE TotalClicks <> 0),
+       |melted AS ($melted),
+       |missing AS (SELECT Keyword FROM k WHERE Keyword NOT IN (SELECT Keyword FROM v)),
+       |zeros AS (SELECT m.Keyword, h.hour, 0.0 AS visits FROM missing m
+       |  CROSS JOIN (SELECT unnest([${VisitHours.mkString(", ")}]) AS hour) h)
+       |SELECT Keyword, CAST(hour AS BIGINT) AS hour, visits
+       |FROM (SELECT * FROM melted UNION ALL SELECT * FROM zeros)
+       |ORDER BY Keyword, hour""".stripMargin
+  }
+
   val all: Seq[(String, Entry)] = Seq(
 
     // ---- scans / filters / aggregations ---------------------------------
@@ -205,6 +227,20 @@ object Registry {
 
     "q26_ipf_converge" -> Entry((s, d) => Queries.ipfConverge(s, d), None),
 
+    "q28_matrix_norm" -> Entry(Queries.matrixNorm, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")}),
+         |r AS (SELECT mrow, sqrt(CAST(sum(CAST(mval * mval AS DECIMAL(38,4))) AS DOUBLE)) AS n
+         |  FROM m GROUP BY mrow)
+         |SELECT CAST(sum(CAST(round(n, 6) AS DECIMAL(38,6))) AS DOUBLE) AS l21_norm FROM r""".stripMargin)),
+
+    "q29_diff_vector" -> Entry(Queries.diffVector, Some(
+      """WITH a AS (SELECT l_partkey AS k, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS av
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_partkey AS k, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS bv
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS k, COALESCE(av, 0.0) - COALESCE(bv, 0.0) AS diff_v
+        |FROM a FULL JOIN b ON a.k = b.k ORDER BY k""".stripMargin)),
+
     "q27_zero_pad_union" -> Entry(Queries.zeroPadUnion, Some(
       """SELECT l_partkey AS mrow, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS mval
         |FROM lineitem GROUP BY 1
@@ -279,6 +315,29 @@ object Registry {
 
     "q35_rolling_hash" -> Entry(
       (s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy("doc_id"), None),
+
+    // ---- grand total / densify / CSV source family ----------------------
+    "q36_grand_total" -> Entry(Queries.grandTotal, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")})
+         |SELECT CAST(sum(CAST(mval AS DECIMAL(38,2))) AS DOUBLE) AS grand_total FROM m""".stripMargin)),
+
+    "q37_densify" -> Entry(Queries.densifyMatrix, Some(
+      s"""WITH m AS (${cooSql("l_quantity")}),
+         |keys AS (SELECT p_partkey AS mrow, mo.mcol FROM part
+         |  CROSS JOIN (SELECT unnest(range(1, 13)) AS mcol) mo)
+         |SELECT k.mrow, k.mcol, COALESCE(m.mval, 0.0) AS mval
+         |FROM keys k LEFT JOIN m ON k.mrow = m.mrow AND k.mcol = m.mcol
+         |ORDER BY 1, 2""".stripMargin)),
+
+    "q38_csv_keyword_costs" -> Entry(Queries.csvKeywordCosts, Some(
+      s"""SELECT Keyword, TotalCost * 1e-6 AS cost
+         |FROM read_csv('${Queries.FixtureDir}/keywords.csv', header=true)
+         |WHERE TotalClicks <> 0 ORDER BY Keyword""".stripMargin)),
+
+    "q39_csv_hour_costs" -> Entry(Queries.csvHourCosts, Some(
+      s"""SELECT CAST(HourOfDay AS BIGINT) AS HourOfDay, HourlyCost * 1e-6 AS cost
+         |FROM read_csv('${Queries.FixtureDir}/hours.csv', header=true)
+         |WHERE HourlyClicks <> 0 ORDER BY HourOfDay""".stripMargin)),
 
     // ---- dedup -----------------------------------------------------------
     "q40_exact_dedup_groups" -> Entry(
@@ -401,6 +460,10 @@ object Registry {
     "q55_json_props" -> Entry((s, d) => Events.propsExtract(s, d).orderBy("event_id"), Some(
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_val " +
         "FROM events ORDER BY event_id")),
+
+    "q56_csv_padded_matrix" -> Entry(Queries.csvPaddedMatrix, Some(paddedMatrixSql)),
+
+    "q57_csv_labeled_roundtrip" -> Entry(Queries.csvLabeledRoundtrip, Some(paddedMatrixSql)),
 
     // ---- ML: ALS ---------------------------------------------------------
     "q60_als_recommend" -> Entry((s, d) => {

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.io.Tables
+import graft.io.{CsvSources, Tables}
 import graft.ipf.Ipf
-import graft.matrix.CooMatrix
+import graft.matrix.{CooMatrix, Marginals}
+import graft.pipeline.CostAllocation
 
 /** The DuckDB-oracle-checkable relational operator surface (SURVEY.md §2)
   * over the TPC-H-ish testdata.
@@ -278,6 +279,99 @@ object Queries {
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
       checkpointEvery = 2, lossEvery = 8)
     named(r.matrix, roundTo = 4)
+  }
+
+  /** Entrywise L2,1 norm — reference `matrix-norm` (core.clj:134-136):
+    * Σ over rows of row-L2 norms, as a two-level aggregation. Inner sum of
+    * squares is decimal-exact; the row norms are rounded to 6dp before the
+    * (decimal-exact) outer sum so the result is order-independent. */
+  def matrixNorm(s: SparkSession, dir: String): DataFrame =
+    cooExact(s, dir, "l_extendedprice")
+      .groupBy("mrow")
+      .agg(sqrt(sum((col("mval") * col("mval")).cast(DecimalType(38, 4)))
+        .cast("double")).as("n"))
+      .agg(sum(round(col("n"), 6).cast(DecimalType(38, 6))).cast("double").as("l21_norm"))
+
+  /** Element-wise marginal difference — reference `diff-vector`
+    * (core.clj:18-21), over the union of supports with zero fill. */
+  def diffVector(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    val b = li.filter(col("l_returnflag") === "A")
+      .groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    Marginals.diffVector(a, b)
+      .select(col(CooMatrix.Idx).as("k"), col(CooMatrix.Value).as("diff_v"))
+      .orderBy("k")
+  }
+
+  /** Whole-matrix mass — the reference's marginal-equality precondition
+    * (README.md:7): a single decimal-exact grand total. */
+  def grandTotal(s: SparkSession, dir: String): DataFrame =
+    asCoo(cooExact(s, dir, "l_extendedprice")).df
+      .agg(sum(col(CooMatrix.Value).cast(DecimalType(38, 2))).cast("double").as("grand_total"))
+
+  /** Densify — the reference's `dummy-visits` / zero-cell expansion
+    * (core.clj:189): expand the sparse COO to the full part × month key
+    * space with explicit zero cells. */
+  def densifyMatrix(s: SparkSession, dir: String): DataFrame = {
+    val m = asCoo(cooExact(s, dir, "l_quantity"))
+    val rows = t(s, dir, "part").select(col("p_partkey").as(CooMatrix.Idx))
+    val months = s.range(1, 13).select(col("id").as(CooMatrix.Idx))
+    named(CooMatrix.densify(m, rows, months))
+  }
+
+  /** Reference fixture CSVs (the reference's own resources/ data, copied to
+    * src/test/resources) — exercised as first-class sources so the CSV
+    * read family has an oracle-checkable surface. */
+  val FixtureDir = "/root/repo/src/test/resources/cost_allocation"
+
+  /** `keywords.csv` scan → zero-click filter → micros→currency scaling
+    * (reference core.clj:145-155). */
+  def csvKeywordCosts(s: SparkSession, dir: String): DataFrame =
+    CostAllocation.keywordCosts(CsvSources.readKeywords(s, s"$FixtureDir/keywords.csv"))
+      .select(col(CooMatrix.Idx).as("Keyword"), col(CooMatrix.Value).as("cost"))
+      .orderBy("Keyword")
+
+  /** `hours.csv` scan → zero-click filter → micros→currency scaling
+    * (reference core.clj:157-165). */
+  def csvHourCosts(s: SparkSession, dir: String): DataFrame =
+    CostAllocation.hourCosts(CsvSources.readHours(s, s"$FixtureDir/hours.csv"))
+      .select(col(CooMatrix.Idx).cast("long").as("HourOfDay"), col(CooMatrix.Value).as("cost"))
+      .orderBy("HourOfDay")
+
+  /** Wide visits CSV → melt to COO → zero-pad union for keywords with cost
+    * but no visits (reference `missing`/`visits'`, core.clj:167-176). */
+  def csvPaddedMatrix(s: SparkSession, dir: String): DataFrame = {
+    val x = CostAllocation.keywordCosts(CsvSources.readKeywords(s, s"$FixtureDir/keywords.csv"))
+    val visits = CsvSources.visitsCoo(CsvSources.readVisitsWide(s, s"$FixtureDir/visits.csv"))
+    CostAllocation.padMissingKeywords(visits, x).df
+      .select(col(CooMatrix.Row).as("Keyword"),
+        col(CooMatrix.Col).cast("long").as("hour"),
+        col(CooMatrix.Value).as("visits"))
+      .orderBy("Keyword", "hour")
+  }
+
+  /** Labeled-matrix CSV sink round-trip (reference `add-labels` +
+    * `save-csv`, core.clj:63-69 / data.clj:11-15): pivot the padded COO to
+    * the wide labeled form, write CSV, read it back, melt again. The
+    * settled output must equal [[csvPaddedMatrix]] — same oracle. */
+  def csvLabeledRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val x = CostAllocation.keywordCosts(CsvSources.readKeywords(s, s"$FixtureDir/keywords.csv"))
+    val visits = CsvSources.visitsCoo(CsvSources.readVisitsWide(s, s"$FixtureDir/visits.csv"))
+    val padded = CostAllocation.padMissingKeywords(visits, x)
+    val out = java.nio.file.Files.createTempDirectory("graft-labeled")
+      .resolve("matrix").toString
+    CsvSources.writeLabeledCsv(padded, out)
+    val wide = s.read.option("header", "true").csv(out)
+    val hourCols = wide.columns.drop(1)
+    wide.select(col("Keyword"),
+        expr(s"stack(${hourCols.length}, " +
+          hourCols.map(h => s"'$h', cast(`$h` as double)").mkString(", ") +
+          ") as (hour_name, visits)"))
+      .select(col("Keyword"), col("hour_name").cast("long").as("hour"), col("visits"))
+      .orderBy("Keyword", "hour")
   }
 
   /** Zero-pad union — the reference's `visits'` padding (core.clj:169-172):
