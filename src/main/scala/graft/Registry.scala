@@ -457,6 +457,20 @@ object Registry {
         | max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
 
+    "q54_streaming_sessionize" -> Entry((s, d) => Events.streamingSessions(s, d)
+      .orderBy("user_id", "session_seq"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |l AS (SELECT user_id, ts_ms, event_id,
+        |  lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ts_ms, event_id,
+        |  CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |g AS (SELECT user_id, ts_ms,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS session_seq
+        | FROM f)
+        |SELECT user_id, session_seq, min(ts_ms) AS session_start_ms,
+        | max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
     "q55_json_props" -> Entry((s, d) => Events.propsExtract(s, d).orderBy("event_id"), Some(
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_val " +
         "FROM events ORDER BY event_id")),

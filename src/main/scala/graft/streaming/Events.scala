@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,9 +9,10 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
   * event_type, value, props). Batch variants are DuckDB-oracle-checkable;
-  * [[streamingTumblingCounts]] runs the same aggregation through a real
-  * Structured Streaming query (file source → watermark → windowed agg →
-  * memory sink) and must produce identical results.
+  * [[streamingTumblingCounts]] and [[streamingSessions]] run the same
+  * aggregations through real Structured Streaming queries (file source →
+  * watermark → windowed/session agg → memory sink) and must produce
+  * results identical to their batch mirrors.
   *
   * All window-start outputs are epoch seconds/millis (longs) so the oracle
   * comparison never depends on timestamp encoding.
@@ -18,14 +20,21 @@ import org.apache.spark.sql.types.DecimalType
 object Events {
 
   /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader only
-    * surfaces via the nanosAsLong legacy conf; we floor-convert to the
-    * engine-native microsecond timestamp (`div` keeps it in exact integer
-    * arithmetic — ns values overflow double). */
-  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    * surfaces via the `nanosAsLong` legacy conf. To keep that conf from
+    * leaking into the caller's session, all event reads go through a
+    * cloned session (shared SparkContext, isolated SQLConf). */
+  private def eventsSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2
   }
 
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    eventsSession(spark).read.parquet(s"$dir/events.parquet")
+
+  /** Floor-convert the raw nanosecond longs to the engine-native
+    * microsecond timestamp (`div` keeps it in exact integer arithmetic —
+    * ns values overflow double). */
   private def convertTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -81,31 +90,78 @@ object Events {
 
   private val streamCounter = new AtomicInteger(0)
 
-  /** The tumbling aggregation as a genuine Structured Streaming query:
-    * parquet file source → withWatermark → window agg → memory sink in
-    * complete mode (so the final windows are emitted without needing
-    * post-data watermark advancement). Returns the settled result table —
-    * identical to [[tumblingCounts]], and checked against the same oracle.
-    */
-  def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = rawEvents(spark, dir).schema
-    val name = s"graft_stream_${streamCounter.incrementAndGet()}"
-    // FileStreamSource wants a directory; stage the single parquet behind one.
+  /** FileStreamSource wants a directory; stage the single parquet behind a
+    * temp dir + symlink. Callers must delete it once the stream settles. */
+  private def stageEvents(dir: String): java.nio.file.Path = {
     val staged = java.nio.file.Files.createTempDirectory("graft-events")
     java.nio.file.Files.createSymbolicLink(
       staged.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val stream = convertTs(spark.readStream.schema(schema).parquet(staged.toString))
-    val agg = stream
+    staged
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** Run `agg` (built against `stream`) to completion through a memory
+    * sink, then re-materialize the settled rows on the *caller's* session
+    * and clean up the staged dir + temp view — a finished streaming query
+    * leaves no residue in a long-lived session. */
+  private def settle(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame): DataFrame = {
+    val s2 = eventsSession(spark)
+    val schema = s2.read.parquet(s"$dir/events.parquet").schema
+    val name = s"graft_stream_${streamCounter.incrementAndGet()}"
+    val staged = stageEvents(dir)
+    try {
+      val stream = convertTs(s2.readStream.schema(schema).parquet(staged.toString))
+      val agg = build(stream)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val settled = s2.table(name)
+      val outSchema = settled.schema
+      val rows = settled.collect()
+      s2.catalog.dropTempView(name)
+      spark.createDataFrame(rows.toSeq.asJava, outSchema)
+    } finally deleteRecursively(staged)
+  }
+
+  /** The tumbling aggregation as a genuine Structured Streaming query:
+    * parquet file source → withWatermark → window agg → memory sink in
+    * complete mode (so the final windows are emitted without needing
+    * post-data watermark advancement). Returns the settled result table —
+    * identical to [[tumblingCounts]], and checked against the same oracle. */
+  def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
       .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"),
-        col("n"), col("total"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+        col("n"), col("total")))
+
+  /** Sessionization as a genuine Structured Streaming query using the
+    * built-in `session_window` (merging session state per user) — the
+    * streaming mirror of [[sessionize]], checked against the same oracle.
+    * `session_seq` is presentation-layer numbering applied to the settled
+    * sessions; start/duration come from real event times (min/max inside
+    * the session), not the gap-padded session_window end. */
+  def streamingSessions(spark: SparkSession, dir: String, gapMs: Long = 300000L): DataFrame = {
+    val settled = settle(spark, dir, stream => stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapMs milliseconds").as("sw"), col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("session_start_ms"),
+        max(unix_millis(col("ts"))).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"), col("n_events")))
+    val w = Window.partitionBy("user_id").orderBy("session_start_ms")
+    settled.withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("session_start_ms"),
+        (col("session_end_ms") - col("session_start_ms")).as("duration_ms"), col("n_events"))
   }
 }

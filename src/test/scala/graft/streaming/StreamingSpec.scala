@@ -25,6 +25,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === 2 * n)
   }
 
+  test("streaming session_window equals the batch gaps-and-islands mirror") {
+    val batch = Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val stream = Events.streamingSessions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
+  test("watermark drops late events in append-mode session aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val agg = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_millis(col("sw.start")).as("start_ms"), col("n"))
+    val name = "graft_watermark_test"
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData((ts(0), "u1"), (ts(1), "u1"))   // session A
+      q.processAllAvailable()
+      input.addData((ts(60), "u1"))                  // advances watermark to t=50min
+      q.processAllAvailable()
+      input.addData((ts(2), "u1"))                   // LATE: below watermark -> dropped
+      q.processAllAvailable()
+      val rows = s.table(name).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // session A emitted with exactly 2 events; the late event never lands
+      assert(rows.contains(("u1", 0L, 2L)), s"got ${rows.mkString(", ")}")
+      assert(rows.forall(_._3 <= 2L))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("sessionization: session count bounded and durations non-negative") {
     val s = Events.sessionize(spark, dir)
     import org.apache.spark.sql.functions._
