@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: executes every registry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failing query is
+  * reported loudly — elapsed -1 plus an `errors` map entry — never
+  * silently benched as fast. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +15,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"errors_count":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

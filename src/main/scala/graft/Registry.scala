@@ -485,6 +485,14 @@ object Registry {
       AlsRecommender.recommendTopK(model).orderBy("user", "rank")
     }, None),
 
+    "q61_als_eval" -> Entry((s, d) => {
+      // Held-out fit quality as a 1-row result (rows-only for the driver;
+      // the pinned quality envelope is asserted in AlsSpec).
+      val rmse = AlsRecommender.evalRmse(s, d)
+      import s.implicits._
+      Seq(rmse).toDF("rmse").select(round(col("rmse"), 4).as("rmse"))
+    }, None),
+
     // ---- multimodal ------------------------------------------------------
     "q70_multimodal_meta" -> Entry(
       (s, d) => Multimodal.payloadMetadata(docs(s, d)).orderBy("doc_id"), Some(
