@@ -405,6 +405,9 @@ object Registry {
     "q46_ann_lsh" -> Entry(
       (s, d) => Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank"), None),
 
+    "q62_ann_ivf" -> Entry(
+      (s, d) => Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank"), None),
+
     "q47_label_centroids" -> Entry(
       (s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos"), Some(
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
@@ -474,6 +477,11 @@ object Registry {
     "q55_json_props" -> Entry((s, d) => Events.propsExtract(s, d).orderBy("event_id"), Some(
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_val " +
         "FROM events ORDER BY event_id")),
+
+    "q58_stateful_user_stats" -> Entry((s, d) => Events.streamingUserStats(s, d)
+      .orderBy("user_id"), Some(
+      """SELECT user_id, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     "q56_csv_padded_matrix" -> Entry(Queries.csvPaddedMatrix, Some(paddedMatrixSql)),
 

@@ -1,5 +1,6 @@
 package graft.llmdata
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
@@ -107,6 +108,51 @@ object Similarity {
         row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cosine_approx").desc, col("cand_id"))).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate NN — the index-side scale path
+    * complementing [[lshTopK]]: a KMeans coarse quantizer partitions the
+    * L2-normalized corpus into `nCells` inverted lists; each query scores
+    * exact cosine only against the `nProbe` cells whose centroids are
+    * nearest. Index build is O(n·nCells); query cost is
+    * ~(nProbe/nCells)·n exact evaluations instead of n. On clustered
+    * real-world embeddings the probed fraction captures the true
+    * neighbors; recall is asserted against [[bruteForceTopK]] in tests. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.scale(col("embedding"), lit(1.0) / VectorOps.l2Norm(col("embedding"))).as("narr"))
+      .withColumn("features", array_to_vector(col("narr")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(normed)
+    val corpus = model.transform(normed)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cell"))
+    // tiny centroid table, broadcast to rank cells per query:
+    // on the unit sphere ||q−c||² = 1 + ||c||² − 2·q·c
+    val cent = broadcast(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray, c.toArray.map(x => x * x).sum) }
+      .toSeq.toDF("cell", "cvec", "cnorm2"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.scale(col("embedding"), lit(1.0) / VectorOps.l2Norm(col("embedding"))).as("qnarr"))
+      .crossJoin(cent)
+      .withColumn("cdist2",
+        lit(1.0) + col("cnorm2") - lit(2.0) * VectorOps.dot(col("qnarr"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist2"), col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    probes.join(corpus, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
   /** Per-label centroid, element-wise: posexplode + two-key aggregation —

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
@@ -107,12 +108,12 @@ object Events {
     Files.deleteIfExists(p)
   }
 
-  /** Run `agg` (built against `stream`) to completion through a memory
-    * sink, then re-materialize the settled rows on the *caller's* session
-    * and clean up the staged dir + temp view — a finished streaming query
-    * leaves no residue in a long-lived session. */
+  /** Run `build(stream)` to completion through a memory sink, then
+    * re-materialize the settled rows on the *caller's* session and clean
+    * up the staged dir + temp view — a finished streaming query leaves no
+    * residue in a long-lived session. */
   private def settle(spark: SparkSession, dir: String,
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame, outputMode: String = "complete"): DataFrame = {
     val s2 = eventsSession(spark)
     val schema = s2.read.parquet(s"$dir/events.parquet").schema
     val name = s"graft_stream_${streamCounter.incrementAndGet()}"
@@ -120,7 +121,7 @@ object Events {
     try {
       val stream = convertTs(s2.readStream.schema(schema).parquet(staged.toString))
       val agg = build(stream)
-      val q = agg.writeStream.outputMode("complete")
+      val q = agg.writeStream.outputMode(outputMode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       val settled = s2.table(name)
@@ -144,6 +145,49 @@ object Events {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
       .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"),
         col("n"), col("total")))
+
+  /** Per-user running stats carried in explicit keyed state. */
+  final case class UserStat(user_id: Long, n_events: Long, min_value: Double, max_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState` — the extension point for
+    * semantics the built-in windowed aggregations can't express
+    * (SURVEY.md §2.10). State is one constant-size [[UserStat]] per user,
+    * updated per micro-batch and carried across batches by the state
+    * store; only order-independent statistics (count/min/max) are kept so
+    * the settled result is deterministic and equal to the batch
+    * aggregation oracle. Cross-batch accumulation is pinned in
+    * StreamingSpec with a MemoryStream fixture. */
+  def statefulUserStats[T](events: Dataset[(Long, Double)]): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          var st = state.getOption.getOrElse(
+            UserStat(user, 0L, Double.PositiveInfinity, Double.NegativeInfinity))
+          batch.foreach { case (_, v) =>
+            st = UserStat(user, st.n_events + 1L,
+              math.min(st.min_value, v), math.max(st.max_value, v))
+          }
+          state.update(st)
+          st
+      }
+  }
+
+  /** [[statefulUserStats]] driven end-to-end over the events parquet as a
+    * Structured Streaming query (update mode). The state store may emit a
+    * row per micro-batch; the settled result keeps each user's final
+    * (highest-count) emission — equal to the batch groupBy oracle. */
+  def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
+    val settled = settle(spark, dir, stream => {
+      val s = stream.sparkSession
+      import s.implicits._
+      statefulUserStats(stream.select(col("user_id"), col("value")).as[(Long, Double)]).toDF()
+    }, outputMode = "update")
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("min_value"), col("max_value"))
+  }
 
   /** Sessionization as a genuine Structured Streaming query using the
     * built-in `session_window` (merging session state per user) — the

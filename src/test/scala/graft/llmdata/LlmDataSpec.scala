@@ -133,6 +133,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN recall against brute force") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 6)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // rank lists are well-formed
+    val ranks = Similarity.ivfTopK(emb, nQueries = 5, k = 5)
+      .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n")).collect()
+    ranks.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
   test("cosine near-dup block join: exact parity with the naive theta join") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     def naive(t: Double) = {

@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful user stats accumulate across micro-batches and match the batch agg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val name = "graft_stateful_test"
+    val q = Events.statefulUserStats(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, 5.0), (1L, 2.0), (2L, 7.0))
+      q.processAllAvailable()
+      input.addData((1L, 9.0))           // second batch: state must carry over
+      q.processAllAvailable()
+      val last = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }.toSet
+      assert(last === Set((1L, 3L, 2.0, 9.0), (2L, 1L, 7.0, 7.0)))
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("streaming user stats over the events parquet equal the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = Events.streamingUserStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val exp = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), min("value"), max("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === exp)
+  }
+
   test("sessionization: session count bounded and durations non-negative") {
     val s = Events.sessionize(spark, dir)
     import org.apache.spark.sql.functions._
