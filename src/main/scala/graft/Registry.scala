@@ -153,6 +153,15 @@ object Registry {
         | (SELECT o_orderstatus AS orderstatus, count(*) AS v_n FROM orders GROUP BY 1) v
         |ORDER BY nationkey, orderstatus""".stripMargin)),
 
+    "q63_rollup_revenue" -> Entry(Queries.rollupRevenue, Some(
+      """SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
+        | COALESCE(o_orderstatus, '<all>') AS orderstatus,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+        |ORDER BY mktsegment, orderstatus""".stripMargin)),
+
     // ---- COO matrix operators -------------------------------------------
     "q14_matrix_transpose" -> Entry(Queries.matrixTranspose, Some(
       s"""WITH m AS (${cooSql("l_extendedprice")})
@@ -477,6 +486,16 @@ object Registry {
     "q55_json_props" -> Entry((s, d) => Events.propsExtract(s, d).orderBy("event_id"), Some(
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_val " +
         "FROM events ORDER BY event_id")),
+
+    "q59_asof_join" -> Entry((s, d) => Events.asofJoin(s, d).orderBy("event_id"), Some(
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts_ms AS event_ts_ms,
+        |  COALESCE(v.ts_ms, -1) AS asof_view_ts_ms,
+        |  COALESCE(p.ts_ms - v.ts_ms, -1) AS lag_ms
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_ms >= v.ts_ms
+        |ORDER BY p.event_id""".stripMargin)),
 
     "q58_stateful_user_stats" -> Entry((s, d) => Events.streamingUserStats(s, d)
       .orderBy("user_id"), Some(

@@ -281,6 +281,27 @@ object Queries {
     named(r.matrix, roundTo = 4)
   }
 
+  /** Hierarchical totals via ROLLUP — subtotal rows per market segment and
+    * a grand total in one aggregation pass (grouping-set expansion is
+    * map-side; one shuffle). Null grouping keys are sentinel-coalesced so
+    * the oracle comparison is collation-stable. */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    // The `.as("b")` alias + qualified grouping columns sidestep Spark 4's
+    // ambiguous-self-join detector, which rollup's internal duplication of
+    // grouping expressions otherwise trips after a join.
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderstatus"), col("o_totalprice"))
+      .as("b")
+      .rollup(col("b.c_mktsegment"), col("b.o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("c_mktsegment"), lit("<all>")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("orderstatus"),
+        col("n_orders"), col("total_price"))
+      .orderBy("mktsegment", "orderstatus")
+  }
+
   /** Entrywise L2,1 norm — reference `matrix-norm` (core.clj:134-136):
     * Σ over rows of row-L2 norms, as a two-level aggregation. Inner sum of
     * squares is decimal-exact; the row norms are rounded to 6dp before the

@@ -89,6 +89,39 @@ object Events {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_val"))
 
+  /** As-of join — an operator Spark has no native form of, composed from
+    * built-ins (preference (a) of the custom-operator ladder): match each
+    * `leftType` event to the most recent `rightType` event of the same
+    * user at-or-before its timestamp. Implemented as a tagged union + one
+    * running `last(..., ignoreNulls)` window — a single shuffle on
+    * user_id, no join explosion; right-side rows sort before left at
+    * equal timestamps to give the inclusive (`>=`) as-of semantics of a
+    * native ASOF JOIN. Unmatched lefts yield -1 sentinels (kept non-null
+    * for exact oracle comparison). At 100 TB the same shape holds: the
+    * shuffle key is user_id and state per row is one long. */
+  def asofJoin(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view"): DataFrame =
+    asofJoinOn(
+      events(spark, dir).select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type")),
+      leftType, rightType)
+
+  /** Core of [[asofJoin]] over any (user_id, ts_ms, event_id, event_type)
+    * frame — split out so tie-break semantics are unit-testable. */
+  def asofJoinOn(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val e = events.filter(col("event_type").isin(leftType, rightType))
+    val typeRank = when(col("event_type") === rightType, 0).otherwise(1)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), typeRank, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("matched_ts",
+        last(when(col("event_type") === rightType, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ts_ms").as("event_ts_ms"),
+        coalesce(col("matched_ts"), lit(-1L)).as("asof_view_ts_ms"),
+        coalesce(col("ts_ms") - col("matched_ts"), lit(-1L)).as("lag_ms"))
+  }
+
   private val streamCounter = new AtomicInteger(0)
 
   /** FileStreamSource wants a directory; stage the single parquet behind a

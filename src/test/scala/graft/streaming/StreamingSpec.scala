@@ -98,6 +98,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: view@10, purchase@10 (tie -> inclusive match), view@20, purchase@25
+      (1L, 10L, 100L, "view"),
+      (1L, 10L, 101L, "purchase"),
+      (1L, 20L, 102L, "view"),
+      (1L, 25L, 103L, "purchase"),
+      // user 2: purchase@5 with no prior view -> sentinel
+      (2L, 5L, 200L, "purchase"),
+      (2L, 9L, 201L, "view")
+    ).toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = Events.asofJoinOn(e, "purchase", "view").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(101L) === ((10L, 0L)))   // same-ms view matches (>= semantics)
+    assert(got(103L) === ((20L, 5L)))   // most recent prior view
+    assert(got(200L) === ((-1L, -1L)))  // no prior view -> sentinel
+  }
+
   test("sessionization: session count bounded and durations non-negative") {
     val s = Events.sessionize(spark, dir)
     import org.apache.spark.sql.functions._
