@@ -95,14 +95,15 @@ object Dedup {
 
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
     * candidate set (the verification stage after LSH candidate generation,
-    * or a direct small-corpus near-dup pass). */
-  def jaccardPairs(docs: DataFrame, maxDocId: Long): DataFrame = {
+    * or a direct small-corpus near-dup pass). Pairs come from the
+    * hash-partitioned block-pair join ([[Pairs.blockedSelfPairs]]), never a
+    * nested-loop theta join. */
+  def jaccardPairs(docs: DataFrame, maxDocId: Long, numBlocks: Int = 8): DataFrame = {
     val d = docs.filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
-    val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    Pairs.blockedSelfPairs(d, "doc_id", numBlocks)
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_b"),
         round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
           size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 6).as("jaccard"))
   }

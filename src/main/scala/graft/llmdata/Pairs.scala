@@ -1,0 +1,44 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed generation of all unordered row pairs of a DataFrame —
+  * the shared backbone of the exact pairwise operators (cosine threshold
+  * join, exact Jaccard verify).
+  *
+  * A naive `a.join(b, a.id < b.id)` theta join plans as a
+  * BroadcastNestedLoopJoin: the whole corpus is broadcast and the n²/2
+  * pair evaluations get no shuffle parallelism. Here each row is assigned
+  * a block (`hash(id) mod numBlocks`), the driver-side block-pair table
+  * {(i,j): i ≤ j} is broadcast onto both sides, and pairs materialize
+  * through a hash-partitioned equi-join on (bi, bj): B(B+1)/2 join keys
+  * spread evenly across the cluster, each task an (n/B)² micro cross
+  * product. O(n²) work — unavoidable for exact pairwise semantics — but
+  * evenly distributed and never a BNLJ.
+  */
+object Pairs {
+
+  /** Every unordered pair of `df` rows exactly once, columns suffixed
+    * `_a`/`_b`. Side assignment is arbitrary for cross-block pairs: callers
+    * must compute symmetric pair functions and order ids with
+    * `least`/`greatest`. */
+  def blockedSelfPairs(df: DataFrame, idCol: String, numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bp = broadcast(
+      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+        .toDF("__bi", "__bj"))
+    val blocked = df.withColumn("__blk", pmod(hash(col(idCol)), lit(numBlocks)))
+    def side(suffix: String): DataFrame =
+      blocked.columns.foldLeft(blocked)((d, c) => d.withColumnRenamed(c, s"$c$suffix"))
+    val a = side("_a").join(bp, col("__blk_a") === col("__bi"))
+    val b = side("_b").join(bp, col("__blk_b") === col("__bj"))
+      .withColumnRenamed("__bi", "__bi_b").withColumnRenamed("__bj", "__bj_b")
+    a.join(b, col("__bi") === col("__bi_b") && col("__bj") === col("__bj_b"))
+      .filter(col("__bi") < col("__bj") ||
+        (col("__bi") === col("__bj") && col(s"${idCol}_a") < col(s"${idCol}_b")))
+      .drop("__bi", "__bj", "__bi_b", "__bj_b", "__blk_a", "__blk_b")
+  }
+}

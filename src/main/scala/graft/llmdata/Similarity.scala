@@ -61,26 +61,14 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
       maxVecId: Long = Long.MaxValue, numBlocks: Int = 16): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val blockPairs = broadcast(
-      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j)).toDF("bi", "bj"))
     val d = emb.filter(col("vec_id") < maxVecId)
       .select(col("vec_id"), col("embedding"),
-        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
-        pmod(col("vec_id"), lit(numBlocks.toLong)).cast("int").as("blk"))
-    val aRep = d.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("blk").as("blk_a"))
-      .join(blockPairs, col("blk_a") === col("bi"))
-    val bRep = d.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("blk").as("blk_b"))
-      .join(blockPairs, col("blk_b") === col("bj"))
-      .select(col("vb"), col("eb"), col("nb"), col("bi").as("bi_b"), col("bj").as("bj_b"))
-    aRep.join(bRep, col("bi") === col("bi_b") && col("bj") === col("bj_b"))
-      .filter(col("bi") < col("bj") || col("va") < col("vb"))
-      .select(least(col("va"), col("vb")).as("vec_a"),
-        greatest(col("va"), col("vb")).as("vec_b"),
-        round(VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    Pairs.blockedSelfPairs(d, "vec_id", numBlocks)
+      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_b"),
+        round(VectorOps.dot(col("embedding_a"), col("embedding_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 

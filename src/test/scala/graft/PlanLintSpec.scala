@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape lint across the whole registry: the 100 TB contract says no
+  * accidental cross products. A BroadcastNestedLoopJoin or CartesianProduct
+  * may appear ONLY where a tiny side is deliberately broadcast into a cross
+  * join (outer products, global-stats joins, probe tables). Everything else
+  * must plan as hash/sort-merge equi-joins.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose construction runs jobs (streams settle, models fit, IPF
+    * iterates, CSV sink writes) — their plan shapes are pinned in their own
+    * specs; executing them here would re-run those jobs. */
+  private val eager = Set(
+    "q26_ipf_converge", "q43_minhash_neardup", "q46_ann_lsh", "q62_ann_ivf",
+    "q52_streaming_tumbling", "q54_streaming_sessionize", "q58_stateful_user_stats",
+    "q57_csv_labeled_roundtrip", "q60_als_recommend", "q61_als_eval")
+
+  /** Deliberate tiny-side broadcast cross products. */
+  private val allowedCross = Set(
+    "q13_outer_product",      // u × v outer product, v broadcast
+    "q24_minmax_normalize",   // 1-row global min/max broadcast back
+    "q37_densify",            // part × 12-month key expansion
+    "q45_cosine_topk",        // small query set broadcast against the corpus
+    "q56_csv_padded_matrix")  // missing keywords × 22-hour key expansion
+
+  test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
+    val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !eager.contains(name) =>
+        val plan = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+        val hasCross = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+        (name, hasCross)
+    }.filter { case (name, hasCross) => hasCross != allowedCross.contains(name) }
+    assert(offenders.isEmpty,
+      s"plan-shape drift: ${offenders.map { case (n, c) => s"$n(cross=$c)" }.mkString(", ")}")
+  }
+
+  test("filters reach the parquet scan (pushdown spot checks)") {
+    def pushed(name: String): String =
+      Registry.queries(name)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    val q02 = pushed("q02_filter_project")
+    assert(q02.contains("GreaterThanOrEqual(l_shipdate") || q02.contains("IsNotNull(l_shipdate"),
+      s"q02 shipdate filter not pushed:\n$q02")
+    val q07 = pushed("q07_anti_join_customers")
+    assert(q07.contains("GreaterThan(o_totalprice"), s"q07 totalprice filter not pushed:\n$q07")
+  }
+
+  test("scans prune to the read columns (projection spot check)") {
+    val plan = Registry.queries("q10_sort_customers")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_acctbal"))
+    assert(!readSchema.contains("c_comment") && !readSchema.contains("c_address"),
+      s"q10 reads more columns than projected:\n$readSchema")
+  }
+}
