@@ -528,7 +528,15 @@ object Registry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q71_decode_features" -> Entry(
-      (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None)
+      (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None),
+
+    "q72_frame_sample" -> Entry(
+      (s, d) => Multimodal.sampleFrames(docs(s, d)).orderBy("doc_id", "frame_id"), Some(
+      """SELECT doc_id, CAST(f.frame_id AS BIGINT) AS frame_id,
+        | CAST((f.frame_id * length(text)) // 4 AS BIGINT) AS frame_offset,
+        | md5(substr(text, CAST((f.frame_id * length(text)) // 4 AS INT) + 1, 16)) AS frame_md5
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_id) f
+        |ORDER BY doc_id, frame_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

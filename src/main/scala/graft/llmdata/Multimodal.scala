@@ -30,6 +30,21 @@ object Multimodal {
       sha2(col("payload"), 256).as("payload_sha256"),
       lit("application/octet-stream").as("mime_type"))
 
+  /** Frame sampling over the opaque payload — the video-style access
+    * pattern: take `nFrames` fixed-stride slices of the payload and reduce
+    * each to a digest, all scan-side (no shuffle, payload never moves).
+    * A real pipeline would decode each slice; the offset arithmetic,
+    * explode shape, and per-frame schema are exactly what a codec-backed
+    * version ships. Offsets are integer floor division so the oracle can
+    * mirror them bit-for-bit. */
+  def sampleFrames(docs: DataFrame, nFrames: Int = 4, frameLen: Int = 16): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), lit(nFrames - 1))).as(Seq("pos", "frame_id")))
+      .withColumn("off", expr(s"(frame_id * length(text)) div $nFrames"))
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        col("off").cast("long").as("frame_offset"),
+        md5(substr(col("text"), col("off") + lit(1), lit(frameLen))).as("frame_md5"))
+
   /** A media decoder: bytes → fixed-width feature vector. Real codecs
     * (JPEG decode, audio resample, video frame-sample) plug in here. */
   trait Decoder extends Serializable {
