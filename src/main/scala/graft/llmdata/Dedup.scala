@@ -146,12 +146,11 @@ object Dedup {
     * baseline; the scale path is [[simhashBandedPairs]]. */
   def simhashPairs(docs: DataFrame, maxDocId: Long, maxHamming: Int = 8): DataFrame = {
     val s = simhash(docs.filter(col("doc_id") < maxDocId))
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+    Pairs.blockedSelfPairs(s, "doc_id", numBlocks = 8)
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** SimHash near-dup pairs at scale, with *perfect recall* by pigeonhole
