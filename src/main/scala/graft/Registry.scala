@@ -153,6 +153,16 @@ object Registry {
         | (SELECT o_orderstatus AS orderstatus, count(*) AS v_n FROM orders GROUP BY 1) v
         |ORDER BY nationkey, orderstatus""".stripMargin)),
 
+    "q64_stream_interval_join" -> Entry((s, d) => Events.streamingIntervalJoin(s, d)
+      .orderBy("p_event", "v_event"), Some(
+      """SELECT p.event_id AS p_event, v.event_id AS v_event,
+        | epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p_event, v_event""".stripMargin)),
+
     "q63_rollup_revenue" -> Entry(Queries.rollupRevenue, Some(
       """SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
         | COALESCE(o_orderstatus, '<all>') AS orderstatus,

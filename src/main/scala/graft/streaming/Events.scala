@@ -222,6 +222,29 @@ object Events {
       .select(col("user_id"), col("n_events"), col("min_value"), col("max_value"))
   }
 
+  /** Stream-stream interval join: each `leftType` event joined to the
+    * same-user `rightType` events in the preceding `windowMs` — both sides
+    * watermarked so the join state is evictable (the 100 TB requirement:
+    * bounded state, not an unbounded build side). Inner joins emit eagerly;
+    * the watermark only bounds retained state. Settled output equals the
+    * batch time-range join, checked against the same oracle. */
+  def streamingIntervalJoin(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view",
+      windowMs: Long = 3600000L): DataFrame =
+    settle(spark, dir, stream => {
+      val p = stream.filter(col("event_type") === leftType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+        .withWatermark("p_ts", "2 hours")
+      val v = stream.filter(col("event_type") === rightType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event"))
+        .withWatermark("v_ts", "2 hours")
+      p.join(v, col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("v_ts") <= col("p_ts"))
+        .select(col("p_event"), col("v_event"),
+          (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
+    }, outputMode = "append")
+
   /** Sessionization as a genuine Structured Streaming query using the
     * built-in `session_window` (merging session state per user) — the
     * streaming mirror of [[sessionize]], checked against the same oracle.

@@ -98,6 +98,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("stream-stream interval join equals the batch time-range join") {
+    import org.apache.spark.sql.functions._
+    val got = Events.streamingIntervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))  // ns -> ms
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts_ms").as("p_ms"), col("event_id").as("p_event"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts_ms").as("v_ms"), col("event_id").as("v_event"))
+    val exp = p.join(v, col("u") === col("vu") &&
+        col("v_ms") >= col("p_ms") - 3600000L && col("v_ms") <= col("p_ms"))
+      .select(col("p_event"), col("v_event"), (col("p_ms") - col("v_ms")).as("lag_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === exp)
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
