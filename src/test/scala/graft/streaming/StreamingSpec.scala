@@ -116,6 +116,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("stream-stream join state carries across micro-batches within the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Base away from epoch 0: rows sitting exactly on the initial watermark
+    // (t=0) are evicted as late — a fixture artifact, not join semantics.
+    val base = 1700000000000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val v = views.toDF().toDF("v_ts", "v_user", "v_event").withWatermark("v_ts", "30 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "p_event").withWatermark("p_ts", "30 minutes")
+    val joined = p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_event"), col("v_event"))
+    val name = "graft_ssjoin_test"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      views.addData((ts(0), 1L, 10L))          // batch 1: view only
+      q.processAllAvailable()
+      purchases.addData((ts(5), 1L, 20L))      // batch 2: purchase 5 min later
+      purchases.addData((ts(25), 1L, 30L))     // outside the 10-min window
+      q.processAllAvailable()
+      val got = s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((20L, 10L)), s"got $got")  // matched across batches; 30 unmatched
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
