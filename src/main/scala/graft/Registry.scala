@@ -335,6 +335,21 @@ object Registry {
     "q35_rolling_hash" -> Entry(
       (s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy("doc_id"), None),
 
+    "q73_bpe_token_stats" -> Entry(
+      (s, d) => TextAnalysis.bpeTokenStats(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_pieces,
+        | CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |   p -> regexp_full_match(p, '[A-Za-z]+'))) AS BIGINT) AS n_word_pieces,
+        | CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |   p -> regexp_full_match(p, '[0-9]+'))) AS BIGINT) AS n_digit_pieces,
+        | CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_distinct_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q74_partition_pruned_scan" -> Entry((s, d) => Queries.partitionPrunedScan(s, d), Some(
+      s"""WITH m AS (${cooSql("l_quantity")})
+         |SELECT mrow, mcol, mval FROM m WHERE mcol = 3 ORDER BY mrow""".stripMargin)),
+
     // ---- grand total / densify / CSV source family ----------------------
     "q36_grand_total" -> Entry(Queries.grandTotal, Some(
       s"""WITH m AS (${cooSql("l_extendedprice")})

@@ -89,6 +89,24 @@ object TextAnalysis {
     docs.select(col("doc_id"), h.as("rolling_hash"))
   }
 
+  /** BPE-style pre-tokenization counts: the GPT-2-ish split into letter
+    * runs, digit runs, and single non-alphanumeric marks — the byte-pair
+    * tokenizer's input segmentation (the merges themselves are
+    * vocabulary-dependent; the pre-split is what a counting pipeline
+    * needs). Pattern kept to the regex intersection Spark and the oracle
+    * both support. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_bpe_pieces"),
+      size(filter(pieces, p => p.rlike("^[A-Za-z]+$"))).cast("long").as("n_word_pieces"),
+      size(filter(pieces, p => p.rlike("^[0-9]+$"))).cast("long").as("n_digit_pieces"),
+      size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"))
+  }
+
   /** Distinct word-k-shingle count per document (the MinHash front end). */
   def shingleStats(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = tokens(col("text"))

@@ -395,6 +395,27 @@ object Queries {
       .orderBy("Keyword", "hour")
   }
 
+  /** Partitioned parquet sink + partition-pruned scan: write the lineitem
+    * COO partitioned by month, read it back with a month predicate, and
+    * let only that partition's files be listed — the directory-level prune
+    * that makes a 100 TB table behave like its slice. The written layout is
+    * cached per (JVM, dir) so repeated query runs re-scan, not re-write;
+    * PlanLintSpec asserts the PartitionFilters actually appear. */
+  private val partitionedSinkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def partitionPrunedScan(s: SparkSession, dir: String, month: Int = 3): DataFrame = {
+    val out = partitionedSinkCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-partitioned")
+        .resolve("coo_by_month").toString
+      cooExact(s, dir, "l_quantity")
+        .write.partitionBy("mcol").mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(out)
+      .filter(col("mcol") === month)
+      .select(col("mrow"), col("mcol").cast("long").as("mcol"), col("mval"))
+      .orderBy("mrow")
+  }
+
   /** Zero-pad union — the reference's `visits'` padding (core.clj:169-172):
     * parts that never ship get explicit zero marginal rows. */
   def zeroPadUnion(s: SparkSession, dir: String): DataFrame = {

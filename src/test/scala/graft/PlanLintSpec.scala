@@ -50,6 +50,15 @@ class PlanLintSpec extends AnyFunSuite {
     assert(q07.contains("GreaterThan(o_totalprice"), s"q07 totalprice filter not pushed:\n$q07")
   }
 
+  test("partitioned sink scan prunes to the predicate partition") {
+    val plan = Registry.queries("q74_partition_pruned_scan")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("mcol"), s"no partition filter on mcol:\n$pf")
+    assert(!pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"partition filters empty — scan reads every partition:\n$pf")
+  }
+
   test("scans prune to the read columns (projection spot check)") {
     val plan = Registry.queries("q10_sort_customers")(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
