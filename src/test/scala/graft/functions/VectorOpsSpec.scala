@@ -61,4 +61,12 @@ class VectorOpsSpec extends AnyFunSuite {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     assert(df.select(VectorOps.dot(col("a"), col("b"))).head.getDouble(0) === 32.0)
   }
+
+  test("element-wise add and scale") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, -1.0f))).toDF("a", "b")
+    val r = df.select(VectorOps.add(col("a"), col("b")).as("s"),
+      VectorOps.scale(col("a"), lit(2.0)).as("k")).head
+    assert(r.getSeq[Double](0) === Seq(4.0, 1.0))
+    assert(r.getSeq[Double](1) === Seq(2.0, 4.0))
+  }
 }

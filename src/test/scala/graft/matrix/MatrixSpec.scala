@@ -50,6 +50,7 @@ class MatrixSpec extends AnyFunSuite {
 
   test("element-wise zips match dense") {
     assertSame(coo(m).plus(coo(n)), m.lazyZip(n).map((a, b) => a.lazyZip(b).map(_ + _).toVector).toVector)
+    assertSame(coo(m).minus(coo(n)), m.lazyZip(n).map((a, b) => a.lazyZip(b).map(_ - _).toVector).toVector)
     assertSame(coo(m).hadamard(coo(n)),
       m.lazyZip(n).map((a, b) => a.lazyZip(b).map(_ * _).toVector).toVector)
     assertSame(coo(m).errorMatrix(coo(n)), Dense.errorMatrix(m, n))
