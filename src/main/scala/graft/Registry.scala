@@ -555,6 +555,13 @@ object Registry {
     "q71_decode_features" -> Entry(
       (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None),
 
+    "q75_payload_resize" -> Entry(
+      (s, d) => Multimodal.resizePayload(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        | CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes,
+        | sha256(substr(text, 1, 64)) AS resized_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q72_frame_sample" -> Entry(
       (s, d) => Multimodal.sampleFrames(docs(s, d)).orderBy("doc_id", "frame_id"), Some(
       """SELECT doc_id, CAST(f.frame_id AS BIGINT) AS frame_id,

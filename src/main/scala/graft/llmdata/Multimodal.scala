@@ -45,6 +45,22 @@ object Multimodal {
         col("off").cast("long").as("frame_offset"),
         md5(substr(col("text"), col("off") + lit(1), lit(frameLen))).as("frame_md5"))
 
+  /** Payload resize plumbing — the bytes→smaller-bytes transformation
+    * shape (image thumbnail, audio downsample). The codec-dependent
+    * resampling is stubbed by contract (no codecs in this container): the
+    * stand-in is head-truncation to `targetBytes`, which preserves the
+    * operator's real properties — output is a derived binary column with
+    * its own size/hash metadata, computed scan-side, payload never
+    * shuffled. A real codec swaps in at the `resized` expression. */
+  def resizePayload(docs: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val resized = substring(col("payload"), 1, targetBytes)
+    withPayload(docs).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("orig_bytes"),
+      least(length(col("payload")), lit(targetBytes)).cast("long").as("resized_bytes"),
+      sha2(resized, 256).as("resized_sha256"))
+  }
+
   /** A media decoder: bytes → fixed-width feature vector. Real codecs
     * (JPEG decode, audio resample, video frame-sample) plug in here. */
   trait Decoder extends Serializable {
