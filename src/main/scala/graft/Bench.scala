@@ -41,8 +41,13 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.isDefined)
+    // A failed query would shrink a success-only total below a clean run's —
+    // a regression-masking "speedup". With any failure the total is null so
+    // a gate comparing totals alone cannot misread the run as faster.
+    val total =
+      if (nFailed > 0) "null"
+      else results.collect { case (_, v, None) => v }.sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"errors_count":$nFailed,"sf":"$sfDir"}""")
     spark.stop()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmdata.{Dedup, Multimodal, PairScope, Similarity, TextAnalysis}
 import graft.ml.AlsRecommender
 import graft.relational.Queries
 import graft.streaming.Events
@@ -389,7 +389,7 @@ object Registry {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     "q42_jaccard_pairs" -> Entry(
-      (s, d) => Dedup.jaccardPairs(docs(s, d), maxDocId = 40).orderBy("doc_a", "doc_b"), Some(
+      (s, d) => Dedup.jaccardPairs(docs(s, d), PairScope.MaxId(40)).orderBy("doc_a", "doc_b"), Some(
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents WHERE doc_id < 40)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -451,8 +451,11 @@ object Registry {
         |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS centroid_v
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),
 
+    // Deliberate whole-corpus exact pairs (the sf-bounded embeddings table);
+    // the scale-path alternatives are q46 (LSH) / q62 (IVF).
     "q48_embedding_neardup" -> Entry(
-      (s, d) => Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35).orderBy("vec_a", "vec_b"), Some(
+      (s, d) => Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35,
+        PairScope.Unbounded).orderBy("vec_a", "vec_b"), Some(
       """WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
         |px AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS av, CAST(unnest(eb) AS DOUBLE) AS bv
@@ -555,11 +558,17 @@ object Registry {
     "q71_decode_features" -> Entry(
       (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None),
 
+    // The resized payload is compared as a hex byte-prefix: DuckDB (this
+    // build) cannot slice or sha256 BLOBs, and a varchar substr counts
+    // *characters* — it only agrees with the byte slice on pure-ASCII text.
+    // hex(encode(text)) is byte-faithful on both engines for any content.
     "q75_payload_resize" -> Entry(
-      (s, d) => Multimodal.resizePayload(docs(s, d)).orderBy("doc_id"), Some(
+      (s, d) => Multimodal.resizePayload(docs(s, d))
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          hex(col("resized")).as("resized_hex")).orderBy("doc_id"), Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
         | CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes,
-        | sha256(substr(text, 1, 64)) AS resized_sha256
+        | substr(hex(encode(text)), 1, 128) AS resized_hex
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q72_frame_sample" -> Entry(

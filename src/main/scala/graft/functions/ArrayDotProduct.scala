@@ -19,14 +19,22 @@ import org.apache.spark.sql.types._
   * stage.
   *
   * Lengths are reduced to the shorter array (embeddings are fixed-width so
-  * this never triggers in practice); null *elements* are not supported
-  * (the embeddings testdata has none).
+  * this never triggers in practice). A null array *element* makes the
+  * result null — the same value the HOF formulation produces (null
+  * propagates through `zip_with` multiply and `aggregate` add); the guard
+  * is generated only when the input type admits null elements, so the
+  * common containsNull=false loop stays branch-free.
   */
 case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemOf(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
     case _ => NullType
+  }
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult = (elemOf(left), elemOf(right)) match {
@@ -37,6 +45,8 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left) || elemNullable(right)
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -48,6 +58,7 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -65,10 +76,15 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullGuard =
+        if (elemNullable(left) || elemNullable(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += ${get(a, i, lt)} * ${get(b, i, rt)};
          |}
          |${ev.value} = $acc;

@@ -46,7 +46,10 @@ object Ipf {
     * than one step). With the default 1 the reference's per-iteration
     * semantics (`core.clj:111-117`) hold exactly; with k > 1 a
     * threshold-stop can overshoot by up to k−1 steps, while an
-    * iteration-capped run returns the identical matrix.
+    * iteration-capped run returns the identical matrix. Whatever the
+    * batching, the returned `Result.loss` is always the reference-lag loss
+    * of the *final* step (recomputed after the loop when the last boundary
+    * check predates it), never a stale boundary value.
     */
   def converge(
       x: DataFrame, y: DataFrame, seed: CooMatrix,
@@ -55,8 +58,10 @@ object Ipf {
       lossEvery: Int = 1): Result = {
     require(maxIter >= 0 && checkpointEvery >= 1 && lossEvery >= 1)
     var matrix = seed.checkpointed()
+    var prev = matrix          // matrix before the most recent step
     var lastLoss = Int.MaxValue.toDouble
     var lossDiff = Int.MaxValue.toDouble
+    var lossIsFinal = false    // lastLoss was computed for the last executed step
     var iteration = maxIter
     while (!(lastLoss < threshold || lossDiff < threshold || iteration == 0)) {
       var next = step(x, y, matrix)
@@ -66,10 +71,22 @@ object Ipf {
         val loss = Marginals.rmse(x, matrix.sumRows)
         lossDiff = math.abs(lastLoss - loss)
         lastLoss = loss
+        lossIsFinal = true
+        if (verbose) println(s"loss=$lastLoss diff=$lossDiff iter=$iteration")
+      } else {
+        lossIsFinal = false
+        if (verbose) println(s"loss=<batched, next check in ${lossEvery - k % lossEvery}> iter=$iteration")
       }
-      if (verbose) println(s"loss=$lastLoss diff=$lossDiff iter=$iteration")
+      prev = matrix
       matrix = next; iteration -= 1
     }
-    Result(matrix, lastLoss, maxIter - iteration)
+    // With lossEvery > 1 the loop can exit on the iteration cap between
+    // boundary checks; recompute so Result.loss is the final step's
+    // reference-lag loss (rmse of x vs the pre-step row sums), not a value
+    // up to lossEvery-1 steps stale.
+    val finalLoss =
+      if (iteration == maxIter || lossIsFinal) lastLoss
+      else Marginals.rmse(x, prev.sumRows)
+    Result(matrix, finalLoss, maxIter - iteration)
   }
 }

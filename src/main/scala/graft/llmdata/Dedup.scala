@@ -97,9 +97,10 @@ object Dedup {
     * candidate set (the verification stage after LSH candidate generation,
     * or a direct small-corpus near-dup pass). Pairs come from the
     * hash-partitioned block-pair join ([[Pairs.blockedSelfPairs]]), never a
-    * nested-loop theta join. */
-  def jaccardPairs(docs: DataFrame, maxDocId: Long, numBlocks: Int = 8): DataFrame = {
-    val d = docs.filter(col("doc_id") < maxDocId)
+    * nested-loop theta join. `scope` has no default — Ω(n²) semantics make
+    * input size an explicit caller decision ([[PairScope]]). */
+  def jaccardPairs(docs: DataFrame, scope: PairScope, numBlocks: Int = 8): DataFrame = {
+    val d = scope.bound(docs, "doc_id")
       .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
     Pairs.blockedSelfPairs(d, "doc_id", numBlocks)
       .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
@@ -143,9 +144,11 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxHamming` over a bounded
     * candidate set (bit_count of xor — codegen'd built-ins). Test/verify
-    * baseline; the scale path is [[simhashBandedPairs]]. */
-  def simhashPairs(docs: DataFrame, maxDocId: Long, maxHamming: Int = 8): DataFrame = {
-    val s = simhash(docs.filter(col("doc_id") < maxDocId))
+    * baseline; the scale path is [[simhashBandedPairs]]. `scope` has no
+    * default — Ω(n²) semantics make input size an explicit caller decision
+    * ([[PairScope]]). */
+  def simhashPairs(docs: DataFrame, scope: PairScope, maxHamming: Int = 8): DataFrame = {
+    val s = simhash(scope.bound(docs, "doc_id"))
     Pairs.blockedSelfPairs(s, "doc_id", numBlocks = 8)
       .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
         greatest(col("doc_id_a"), col("doc_id_b")).as("doc_b"),

@@ -58,6 +58,7 @@ object Multimodal {
       col("doc_id"),
       length(col("payload")).cast("long").as("orig_bytes"),
       least(length(col("payload")), lit(targetBytes)).cast("long").as("resized_bytes"),
+      resized.as("resized"),
       sha2(resized, 256).as("resized_sha256"))
   }
 

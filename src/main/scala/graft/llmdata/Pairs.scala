@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   * product. O(n²) work — unavoidable for exact pairwise semantics — but
   * evenly distributed and never a BNLJ.
   */
+/** Explicit scale contract for exact pairwise operators: their output is
+  * Ω(n²) *by declared semantics*, so the input size must be an explicit
+  * caller decision — either an id bound, or a spelled-out
+  * [[PairScope.Unbounded]] opt-in. No default exists: a 100 TB caller
+  * cannot launch an all-pairs computation by omission (the compiler, not a
+  * doc comment, enforces the contract). */
+sealed trait PairScope {
+  /** Apply the scope to the input frame. */
+  private[llmdata] def bound(df: DataFrame, idCol: String): DataFrame = this match {
+    case PairScope.MaxId(n) => df.filter(col(idCol) < n)
+    case PairScope.Unbounded => df
+  }
+}
+object PairScope {
+  /** Only rows with `id < n` participate in the pairwise stage. */
+  final case class MaxId(n: Long) extends PairScope
+  /** Deliberate whole-input all-pairs run (bounded corpora, verify stages). */
+  case object Unbounded extends PairScope
+}
+
 object Pairs {
 
   /** Every unordered pair of `df` rows exactly once, columns suffixed

@@ -58,10 +58,14 @@ object Similarity {
     * spread evenly over the cluster, each task an (n/B)² micro cross
     * product. Per-vector norms are computed once (n, not n²) and each pair
     * costs exactly one codegen'd [[VectorOps.dot]].
+    *
+    * `scope` has no default: the Ω(n²) pair count makes input size an
+    * explicit caller decision ([[PairScope]]) — pass
+    * `PairScope.Unbounded` to deliberately run all pairs of the input.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
-      maxVecId: Long = Long.MaxValue, numBlocks: Int = 16): DataFrame = {
-    val d = emb.filter(col("vec_id") < maxVecId)
+      scope: PairScope, numBlocks: Int = 16): DataFrame = {
+    val d = scope.bound(emb, "vec_id")
       .select(col("vec_id"), col("embedding"),
         sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
     Pairs.blockedSelfPairs(d, "vec_id", numBlocks)

@@ -39,6 +39,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(df.select(VectorOps.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("graft_dot returns null on null array *elements*, matching the HOF fold") {
+    // parquet-derived array schemas default to containsNull=true — a null
+    // element must produce null (the HOF zip_with/aggregate value), not an
+    // arbitrary accumulation. Exercises both codegen and interpreted paths.
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](2.0, 2.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](2.0, 4.0))
+    ).toDF("a", "b")
+    val rows = df.select(VectorOps.dot(col("a"), col("b")).as("fast"),
+      VectorOps.hofDot(col("a"), col("b")).as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) === 10.0)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val a = Literal.create(ArrayData.toArrayData(Array[Any](1.0, null)),
+      ArrayType(DoubleType, containsNull = true))
+    val b = Literal.create(ArrayData.toArrayData(Array[Any](2.0, 2.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(ArrayDotProduct(a, b).eval(null) == null)
+  }
+
   test("graft_dot matches interpreted eval (non-codegen path)") {
     // Force the interpreted path through a plan Catalyst won't codegen
     // end-to-end: literal arrays via eval on the expression itself.

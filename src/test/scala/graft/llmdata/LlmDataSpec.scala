@@ -26,7 +26,7 @@ class LlmDataSpec extends AnyFunSuite {
   }
 
   test("jaccard pairs rank near-dup above unrelated") {
-    val pairs = Dedup.jaccardPairs(docsWithDups, maxDocId = 4)
+    val pairs = Dedup.jaccardPairs(docsWithDups, PairScope.MaxId(4))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((0L, 1L)) === 1.0)           // identical
     assert(pairs((0L, 2L)) > 0.7)             // near dup
@@ -38,7 +38,7 @@ class LlmDataSpec extends AnyFunSuite {
     assert(s(0L) === s(1L) && s(0L) === s(4L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(s(0L), s(2L)) < hamming(s(0L), s(3L)))
-    val pairs = Dedup.simhashPairs(docsWithDups, maxDocId = 5, maxHamming = 8)
+    val pairs = Dedup.simhashPairs(docsWithDups, PairScope.MaxId(5), maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
@@ -76,7 +76,7 @@ class LlmDataSpec extends AnyFunSuite {
     val filler = (10L until 60L).map(i => (i, s"filler doc number $i with unique tokens t$i u$i v$i w$i x$i", "en", "s", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val corpus = docsWithDups.unionByName(filler)
-    val expected = Dedup.simhashPairs(corpus, maxDocId = Long.MaxValue, maxHamming = 8)
+    val expected = Dedup.simhashPairs(corpus, PairScope.Unbounded, maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = Dedup.simhashBandedPairs(corpus, maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -159,7 +159,7 @@ class LlmDataSpec extends AnyFunSuite {
     }
     val expected = naive(0.35).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = Similarity.cosineNearDupPairs(emb, threshold = 0.35, numBlocks = 7)
+    val got = Similarity.cosineNearDupPairs(emb, threshold = 0.35, PairScope.Unbounded, numBlocks = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === expected)
     assert(got.nonEmpty)
@@ -167,7 +167,7 @@ class LlmDataSpec extends AnyFunSuite {
 
   test("cosine near-dup block join: no BroadcastNestedLoopJoin in the plan") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
-    val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+    val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.35, PairScope.Unbounded)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ found in plan:\n$plan")
   }
