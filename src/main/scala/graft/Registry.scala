@@ -246,6 +246,27 @@ object Registry {
 
     "q26_ipf_converge" -> Entry((s, d) => Queries.ipfConverge(s, d), None),
 
+    // One full IPF sweep (reference `step`, core.clj:89-97), unrolled as
+    // CTEs: f1 = row fit (the q25 shape, rounded 6dp), cs = decimal-exact
+    // column sums of the rounded intermediate (mirrors fitRowsExact), f2 =
+    // column fit. The decimal column sums are what make the ~2000-row
+    // aggregations bit-identical across engines.
+    "q76_ipf_two_sweep" -> Entry(Queries.ipfTwoSweep, Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")}),
+         |x AS (SELECT l_partkey AS idx, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xval
+         |  FROM lineitem GROUP BY 1),
+         |y AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS idx,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS yval
+         |  FROM lineitem GROUP BY 1),
+         |rs AS (SELECT mrow, sum(mval) AS rsum FROM m GROUP BY 1),
+         |f1 AS (SELECT m.mrow, m.mcol, round(m.mval * (x.xval / rs.rsum), 6) AS mval
+         |  FROM m JOIN rs ON m.mrow = rs.mrow JOIN x ON m.mrow = x.idx),
+         |cs AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum
+         |  FROM f1 GROUP BY 1),
+         |f2 AS (SELECT f1.mrow, f1.mcol, round(f1.mval * (y.yval / cs.csum), 6) AS mval
+         |  FROM f1 JOIN cs ON f1.mcol = cs.mcol JOIN y ON f1.mcol = y.idx)
+         |SELECT mrow, mcol, mval FROM f2 ORDER BY 1, 2""".stripMargin)),
+
     "q28_matrix_norm" -> Entry(Queries.matrixNorm, Some(
       s"""WITH m AS (${cooSql("l_extendedprice")}),
          |r AS (SELECT mrow, sqrt(CAST(sum(CAST(mval * mval AS DECIMAL(38,4))) AS DOUBLE)) AS n
@@ -454,8 +475,8 @@ object Registry {
     // Deliberate whole-corpus exact pairs (the sf-bounded embeddings table);
     // the scale-path alternatives are q46 (LSH) / q62 (IVF).
     "q48_embedding_neardup" -> Entry(
-      (s, d) => Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35,
-        PairScope.Unbounded).orderBy("vec_a", "vec_b"), Some(
+      (s, d) => Similarity.cosineNearDupPairs(emb(s, d), PairScope.Unbounded,
+        threshold = 0.35).orderBy("vec_a", "vec_b"), Some(
       """WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
         |px AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS av, CAST(unnest(eb) AS DOUBLE) AS bv
@@ -535,8 +556,11 @@ object Registry {
     "q57_csv_labeled_roundtrip" -> Entry(Queries.csvLabeledRoundtrip, Some(paddedMatrixSql)),
 
     // ---- ML: ALS ---------------------------------------------------------
+    // Both ALS entries draw on ONE shared training (trainedOn's per-(JVM,
+    // dir) cache): recommendations come from the model fit on the 0.8
+    // train split — training twice bought nothing but wall-clock.
     "q60_als_recommend" -> Entry((s, d) => {
-      val model = AlsRecommender.train(AlsRecommender.ratingsFromLineitem(s, d))
+      val (model, _) = AlsRecommender.trainedOn(s, d)
       AlsRecommender.recommendTopK(model).orderBy("user", "rank")
     }, None),
 

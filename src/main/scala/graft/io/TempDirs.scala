@@ -15,8 +15,13 @@ object TempDirs {
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
+  // Per-dir try/catch: one undeletable dir (e.g. a file Spark still holds
+  // open at exit) must not kill the hook thread and leak the rest.
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    registered.iterator().asScala.foreach(deleteRecursively)))
+    registered.iterator().asScala.foreach { p =>
+      try deleteRecursively(p)
+      catch { case e: Exception => System.err.println(s"[TempDirs] leak $p: $e") }
+    }))
 
   /** Create and register a scratch directory (deleted on JVM exit). */
   def scratch(prefix: String): Path = {

@@ -3,20 +3,6 @@ package graft.llmdata
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed generation of all unordered row pairs of a DataFrame —
-  * the shared backbone of the exact pairwise operators (cosine threshold
-  * join, exact Jaccard verify).
-  *
-  * A naive `a.join(b, a.id < b.id)` theta join plans as a
-  * BroadcastNestedLoopJoin: the whole corpus is broadcast and the n²/2
-  * pair evaluations get no shuffle parallelism. Here each row is assigned
-  * a block (`hash(id) mod numBlocks`), the driver-side block-pair table
-  * {(i,j): i ≤ j} is broadcast onto both sides, and pairs materialize
-  * through a hash-partitioned equi-join on (bi, bj): B(B+1)/2 join keys
-  * spread evenly across the cluster, each task an (n/B)² micro cross
-  * product. O(n²) work — unavoidable for exact pairwise semantics — but
-  * evenly distributed and never a BNLJ.
-  */
 /** Explicit scale contract for exact pairwise operators: their output is
   * Ω(n²) *by declared semantics*, so the input size must be an explicit
   * caller decision — either an id bound, or a spelled-out
@@ -37,6 +23,20 @@ object PairScope {
   case object Unbounded extends PairScope
 }
 
+/** Distributed generation of all unordered row pairs of a DataFrame —
+  * the shared backbone of the exact pairwise operators (cosine threshold
+  * join, exact Jaccard verify).
+  *
+  * A naive `a.join(b, a.id < b.id)` theta join plans as a
+  * BroadcastNestedLoopJoin: the whole corpus is broadcast and the n²/2
+  * pair evaluations get no shuffle parallelism. Here each row is assigned
+  * a block (`hash(id) mod numBlocks`), the driver-side block-pair table
+  * {(i,j): i ≤ j} is broadcast onto both sides, and pairs materialize
+  * through a hash-partitioned equi-join on (bi, bj): B(B+1)/2 join keys
+  * spread evenly across the cluster, each task an (n/B)² micro cross
+  * product. O(n²) work — unavoidable for exact pairwise semantics — but
+  * evenly distributed and never a BNLJ.
+  */
 object Pairs {
 
   /** Every unordered pair of `df` rows exactly once, columns suffixed

@@ -63,8 +63,8 @@ object Similarity {
     * explicit caller decision ([[PairScope]]) — pass
     * `PairScope.Unbounded` to deliberately run all pairs of the input.
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
-      scope: PairScope, numBlocks: Int = 16): DataFrame = {
+  def cosineNearDupPairs(emb: DataFrame, scope: PairScope,
+      threshold: Double = 0.9, numBlocks: Int = 16): DataFrame = {
     val d = scope.bound(emb, "vec_id")
       .select(col("vec_id"), col("embedding"),
         sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))

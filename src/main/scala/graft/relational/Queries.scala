@@ -260,6 +260,30 @@ object Queries {
     named(m.fitRows(marginal), roundTo = 6)
   }
 
+  /** One full fixed IPF sweep — the reference's `step` (core.clj:89-97):
+    * fitRows to the x-marginal, transpose, fitRows (former columns) to the
+    * y-marginal, transpose back. This is the hash-checked entry for the
+    * engine's central algorithm (q26 keeps the capped iterative `converge`
+    * as a rows-only check).
+    *
+    * Cross-engine determinism: sweep 1 is q25's shape (decimal-exact cells
+    * and marginal, plain row sums over ≤12 cells) rounded to 6dp; sweep 2
+    * fits the *rounded* intermediate with [[CooMatrix.fitRowsExact]], whose
+    * decimal factor sums are order-independent — the ~2000-row column sums
+    * would otherwise differ from DuckDB's in the last ulp and poison the
+    * 6dp output hash. Both transposes are pure projections (no shuffle). */
+  def ipfTwoSweep(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val m = asCoo(cooExact(s, dir, "l_extendedprice"))
+    val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    val sweep1 = m.fitRows(x).mapValues(round(_, 6))
+    val sweep2 = sweep1.transpose.fitRowsExact(y).transpose
+    named(sweep2, roundTo = 6)
+  }
+
   /** Full distributed IPF convergence on the lineitem COO (rows-only
     * check — iterative, not single-statement SQL). */
   def ipfConverge(s: SparkSession, dir: String, maxIter: Int = 8): DataFrame = {

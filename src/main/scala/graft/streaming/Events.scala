@@ -27,6 +27,13 @@ object Events {
   private def eventsSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stateful streaming ops instantiate one state store per shuffle
+    // partition per stateful operator; the events table is small next to
+    // the fact tables, so 8 partitions bounds that setup cost without
+    // losing parallelism. Cluster deployments size this to the stream's
+    // real key cardinality. Result-invariant: partition count never
+    // changes query output.
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2
   }
 
@@ -125,44 +132,42 @@ object Events {
   private val streamCounter = new AtomicInteger(0)
 
   /** FileStreamSource wants a directory; stage the single parquet behind a
-    * temp dir + symlink. Callers must delete it once the stream settles. */
-  private def stageEvents(dir: String): java.nio.file.Path = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-events")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    staged
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+    * scratch dir + symlink — once per (JVM, dir), since the staged layout
+    * and schema are immutable inputs. All streaming mirrors (tumbling /
+    * sessionize / stateful / interval join) share the one staging; the
+    * [[graft.io.TempDirs]] shutdown hook deletes it, so a mid-stream
+    * failure cannot leak it (each streaming query still gets its own
+    * ephemeral checkpoint — file-source progress is per-query state). */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+  private def stagedEvents(spark: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) =
+    stagedCache.computeIfAbsent(dir, _ => {
+      val staged = graft.io.TempDirs.scratch("graft-events")
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      (staged.toString, rawEvents(spark, dir).schema)
+    })
 
   /** Run `build(stream)` to completion through a memory sink, then
-    * re-materialize the settled rows on the *caller's* session and clean
-    * up the staged dir + temp view — a finished streaming query leaves no
-    * residue in a long-lived session. */
+    * re-materialize the settled rows on the *caller's* session and drop
+    * the temp view — a finished streaming query leaves no residue in a
+    * long-lived session. */
   private def settle(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, outputMode: String = "complete"): DataFrame = {
     val s2 = eventsSession(spark)
-    val schema = s2.read.parquet(s"$dir/events.parquet").schema
+    val (staged, schema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${streamCounter.incrementAndGet()}"
-    val staged = stageEvents(dir)
-    try {
-      val stream = convertTs(s2.readStream.schema(schema).parquet(staged.toString))
-      val agg = build(stream)
-      val q = agg.writeStream.outputMode(outputMode)
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      val settled = s2.table(name)
-      val outSchema = settled.schema
-      val rows = settled.collect()
-      s2.catalog.dropTempView(name)
-      spark.createDataFrame(rows.toSeq.asJava, outSchema)
-    } finally deleteRecursively(staged)
+    val stream = convertTs(s2.readStream.schema(schema).parquet(staged))
+    val agg = build(stream)
+    val q = agg.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val settled = s2.table(name)
+    val outSchema = settled.schema
+    val rows = settled.collect()
+    s2.catalog.dropTempView(name)
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
 
   /** The tumbling aggregation as a genuine Structured Streaming query:
@@ -189,7 +194,9 @@ object Events {
     * store; only order-independent statistics (count/min/max) are kept so
     * the settled result is deterministic and equal to the batch
     * aggregation oracle. Cross-batch accumulation is pinned in
-    * StreamingSpec with a MemoryStream fixture. */
+    * StreamingSpec with a MemoryStream fixture. `NoTimeout` keeps state
+    * for every key forever — fine for bounded key spaces and tests; the
+    * production path for unbounded key churn is [[statefulUserStatsTtl]]. */
   def statefulUserStats[T](events: Dataset[(Long, Double)]): Dataset[UserStat] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -207,15 +214,63 @@ object Events {
       }
   }
 
-  /** [[statefulUserStats]] driven end-to-end over the events parquet as a
-    * Structured Streaming query (update mode). The state store may emit a
-    * row per micro-batch; the settled result keeps each user's final
-    * (highest-count) emission — equal to the batch groupBy oracle. */
+  /** [[statefulUserStats]] with a bounded-state contract for unbounded key
+    * churn: event-time TTL via `GroupStateTimeout.EventTimeTimeout`. Each
+    * update arms a timeout at (max event time seen for the key) + `ttl`;
+    * when the stream's watermark passes it, the callback fires with
+    * `hasTimedOut`, emits the key's final stat once, and `state.remove()`s
+    * it — so at 100 TB the store holds only keys active within the TTL
+    * horizon, not every user ever seen. A key seen again after eviction
+    * re-initializes from zero (pinned in StreamingSpec). Requires a
+    * watermark on the `ts` column upstream. */
+  def statefulUserStatsTtl(events: Dataset[(Long, java.sql.Timestamp, Double)],
+      ttl: java.time.Duration): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserStat]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            var st = state.getOption.getOrElse(
+              UserStat(user, 0L, Double.PositiveInfinity, Double.NegativeInfinity))
+            var maxTs = Long.MinValue
+            batch.foreach { case (_, ts, v) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              st = UserStat(user, st.n_events + 1L,
+                math.min(st.min_value, v), math.max(st.max_value, v))
+            }
+            state.update(st)
+            // Arm relative to event time so the horizon is data-defined;
+            // never below the current watermark (Spark rejects that).
+            val target = maxTs + ttl.toMillis
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+            st
+          }
+      }
+  }
+
+  /** [[statefulUserStatsTtl]] driven end-to-end over the events parquet as
+    * a Structured Streaming query (update mode) — the production shape:
+    * watermarked source, TTL'd keyed state. The TTL spans the fixture's
+    * whole time range, so nothing evicts mid-run and the settled result
+    * equals the batch groupBy oracle; the state store may emit a row per
+    * micro-batch (plus one final row if a timeout fires after the last
+    * data), so the settled result keeps each user's final (highest-count)
+    * emission. */
   def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
     val settled = settle(spark, dir, stream => {
       val s = stream.sparkSession
       import s.implicits._
-      statefulUserStats(stream.select(col("user_id"), col("value")).as[(Long, Double)]).toDF()
+      statefulUserStatsTtl(
+        stream.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)],
+        java.time.Duration.ofDays(365)).toDF()
     }, outputMode = "update")
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
     settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)

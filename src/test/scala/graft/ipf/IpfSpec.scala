@@ -48,9 +48,33 @@ class IpfSpec extends AnyFunSuite {
       CooMatrix.fromDense(spark, seed), threshold = 1e-15, maxIter = 6,
       checkpointEvery = 2, lossEvery = 3)
     assert(batched.iterations === perIter.iterations)
+    // Steps run at k = 0..5; the last boundary check is k=3, so the exit is
+    // mid-batch and Result.loss comes from the post-loop recompute — this
+    // asserts that branch returns the per-iteration (final-step) loss.
+    assert(math.abs(batched.loss - perIter.loss) < 1e-12,
+      s"batched loss ${batched.loss} != per-iteration loss ${perIter.loss}")
     val a = perIter.matrix.toLocalMap
     val b = batched.matrix.toLocalMap
     assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
+  test("batched loss: cap landing ON a boundary also reports the final step's loss") {
+    // maxIter=7, lossEvery=3: the last step (k=6) IS a boundary check, so
+    // lossIsFinal holds at exit and Result.loss must come straight from
+    // that check — the complementary path to the 6/3 recompute test above.
+    val perIter = Ipf.converge(
+      CooMatrix.marginal(spark, x), CooMatrix.marginal(spark, y),
+      CooMatrix.fromDense(spark, seed), threshold = 1e-15, maxIter = 7)
+    val batched = Ipf.converge(
+      CooMatrix.marginal(spark, x), CooMatrix.marginal(spark, y),
+      CooMatrix.fromDense(spark, seed), threshold = 1e-15, maxIter = 7,
+      checkpointEvery = 2, lossEvery = 3)
+    assert(batched.iterations === perIter.iterations)
+    assert(math.abs(batched.loss - perIter.loss) < 1e-12,
+      s"batched loss ${batched.loss} != per-iteration loss ${perIter.loss}")
+    val a = perIter.matrix.toLocalMap
+    val b = batched.matrix.toLocalMap
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
 

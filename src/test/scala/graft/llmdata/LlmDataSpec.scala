@@ -159,7 +159,7 @@ class LlmDataSpec extends AnyFunSuite {
     }
     val expected = naive(0.35).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = Similarity.cosineNearDupPairs(emb, threshold = 0.35, PairScope.Unbounded, numBlocks = 7)
+    val got = Similarity.cosineNearDupPairs(emb, PairScope.Unbounded, threshold = 0.35, numBlocks = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === expected)
     assert(got.nonEmpty)
@@ -167,7 +167,7 @@ class LlmDataSpec extends AnyFunSuite {
 
   test("cosine near-dup block join: no BroadcastNestedLoopJoin in the plan") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
-    val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.35, PairScope.Unbounded)
+    val plan = Similarity.cosineNearDupPairs(emb, PairScope.Unbounded, threshold = 0.35)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ found in plan:\n$plan")
   }

@@ -88,6 +88,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("TTL'd user stats: timed-out state evicts and re-initializes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Base away from epoch 0 (rows on the initial watermark drop as late).
+    val base = 1700000000000L
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = Events.statefulUserStatsTtl(
+      input.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp, Double)],
+      java.time.Duration.ofSeconds(10)).toDF()
+    val name = "graft_ttl_test"
+    val q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, ts(0), 5.0), (1L, ts(1), 7.0))
+      q.processAllAvailable()                    // user 1: n=2, timeout armed at t=11s
+      input.addData((2L, ts(60), 3.0))           // watermark -> t=60s: user 1 times out
+      q.processAllAvailable()
+      input.addData((1L, ts(70), 100.0))         // user 1 reappears after eviction
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // pre-eviction accumulation, then the timeout's final emission (same
+      // stat), then a FRESH state: n restarts at 1 with min=max=100
+      assert(rows.count(_ == ((1L, 2L, 5.0, 7.0))) >= 2, s"timeout emission missing: ${rows.mkString(", ")}")
+      assert(rows.contains((1L, 1L, 100.0, 100.0)), s"state not re-initialized: ${rows.mkString(", ")}")
+      assert(!rows.contains((1L, 3L, 5.0, 100.0)), "state survived past its TTL")
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
   test("streaming user stats over the events parquet equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val got = Events.streamingUserStats(spark, dir).collect()
