@@ -4,7 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: executes every registry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failing query is
   * reported loudly — elapsed -1 plus an `errors` map entry — never
-  * silently benched as fast. */
+  * silently benched as fast.
+  *
+  * Each query is timed SPARK_GRAFT_REPS times (default 3) and the
+  * per-query MEDIAN is reported: single-pass timings on a shared box
+  * have recorded 3-6x phantom regressions from GC/JIT/neighbor noise,
+  * and the median of three passes is robust to one bad pass while
+  * staying cheap. Queries that populate intra-JVM caches (ALS model,
+  * streaming staging) pay that cost in pass 1 only; the median then
+  * reflects steady-state cost, which is the comparable signal across
+  * rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,15 +37,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) sec else -1.0, err)
+      // reps timed passes; first error aborts the query (later passes would
+      // fail identically and re-timing a failure has no signal).
+      var err: Option[String] = None
+      val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.toVector
+      val median =
+        if (err.isDefined) -1.0
+        else times.sorted.apply(times.size / 2)
+      (name, median, err)
     }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }

@@ -163,6 +163,18 @@ object Registry {
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY p_event, v_event""".stripMargin)),
 
+    // Batch twin of q64 — same semantics, same oracle, but a plain
+    // (explainable) batch plan: the PlanAudit surface for the interval join.
+    "q77_interval_join" -> Entry((s, d) => Events.intervalJoin(s, d)
+      .orderBy("p_event", "v_event"), Some(
+      """SELECT p.event_id AS p_event, v.event_id AS v_event,
+        | epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p_event, v_event""".stripMargin)),
+
     "q63_rollup_revenue" -> Entry(Queries.rollupRevenue, Some(
       """SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
         | COALESCE(o_orderstatus, '<all>') AS orderstatus,
@@ -557,8 +569,10 @@ object Registry {
 
     // ---- ML: ALS ---------------------------------------------------------
     // Both ALS entries draw on ONE shared training (trainedOn's per-(JVM,
-    // dir) cache): recommendations come from the model fit on the 0.8
-    // train split — training twice bought nothing but wall-clock.
+    // dir, seed) cache): q60's CONTRACT is recommendations-from-the-0.8-
+    // train-split — training twice bought nothing but wall-clock. AlsSpec
+    // asserts the train split covers every rated user, so no user silently
+    // drops out of q60 relative to full-data training.
     "q60_als_recommend" -> Entry((s, d) => {
       val (model, _) = AlsRecommender.trainedOn(s, d)
       AlsRecommender.recommendTopK(model).orderBy("user", "rank")

@@ -164,11 +164,17 @@ object Dedup {
     * qualifying pair without an all-pairs product. Exact `bit_count(xor)`
     * verification then filters candidates. Mirrors [[minhashNearDup]]'s
     * candidates→verify shape for the hamming metric. */
-  def simhashBandedPairs(docs: DataFrame, maxHamming: Int = 8, numBands: Int = 9): DataFrame = {
+  def simhashBandedPairs(docs: DataFrame, maxHamming: Int = 8, numBands: Int = 9): DataFrame =
+    simhashBandedPairsOf(simhash(docs), maxHamming, numBands)
+
+  /** [[simhashBandedPairs]] over precomputed `(doc_id, simhash)` signatures —
+    * split out so the pigeonhole-recall property is checkable against
+    * arbitrary signatures (DedupPropertySpec pins it with scalacheck over
+    * random (numBands, maxHamming, signatures)). */
+  def simhashBandedPairsOf(s: DataFrame, maxHamming: Int, numBands: Int): DataFrame = {
     require(numBands > maxHamming && numBands <= 64,
       "pigeonhole recall needs maxHamming < numBands <= 64")
     val width = 64 / numBands
-    val s = simhash(docs)
     val bands = (0 until numBands).map { i =>
       val lo = i * width
       val w = if (i == numBands - 1) 64 - lo else width

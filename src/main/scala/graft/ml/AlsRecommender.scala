@@ -44,15 +44,19 @@ object AlsRecommender {
         col("rec.item").cast("long").as("item"),
         round(col("rec.rating").cast("double"), 4).as("score"))
 
-  /** One training per (JVM, dir): the model is fit once on the 0.8 train
-    * split and shared by the recommend (q60) and eval (q61) surfaces — the
-    * labeledSinkCache pattern. ALS training is by far the most expensive
+  /** One training per (JVM, dir, seed): the model is fit once on the 0.8
+    * train split and shared by the recommend (q60) and eval (q61) surfaces —
+    * the labeledSinkCache pattern. ALS training is by far the most expensive
     * single step in the registry; nothing about recommend-vs-eval needs two
-    * models, and the held-out 0.2 split rides along for the evaluator. */
+    * models, and the held-out 0.2 split rides along for the evaluator.
+    * The cached model/split stay bound to the SparkSession that trained
+    * them — valid here because the registry/test/bench surfaces run one
+    * session per JVM over read-only dirs; a multi-session host would key on
+    * the session too (or invalidate on session stop). */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (ALSModel, DataFrame)]()
   def trainedOn(spark: SparkSession, dir: String, seed: Long = 42L): (ALSModel, DataFrame) =
-    modelCache.computeIfAbsent(dir, _ => {
+    modelCache.computeIfAbsent(s"$dir#$seed", _ => {
       val Array(train0, test0) =
         ratingsFromLineitem(spark, dir).randomSplit(Array(0.8, 0.2), seed)
       (train(train0, seed = seed), test0)

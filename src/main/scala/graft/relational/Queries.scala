@@ -296,13 +296,35 @@ object Queries {
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(sum("l_extendedprice").as(CooMatrix.Value))
     // Batched loss checks + 2-step checkpoints: this run is iteration-capped
-    // (loss never reaches 1e-9 in 8 sweeps), so the final matrix is
-    // identical to per-iteration checking with ~half the driver barriers.
-    // (checkpointEvery=4 measured *slower* — the 8-deep join/agg lineage
-    // costs more in planning than the saved materialization barriers.)
+    // (loss never reaches 1e-9 in 3-step boundary checks over 8 sweeps), so
+    // the final matrix is identical to per-iteration checking with ~a third
+    // of the driver barriers. lossEvery=3 (a non-divisor of maxIter) keeps
+    // the in-loop boundary check REACHED mid-run (k=0,3,6) — the shipped
+    // path exercises the batched stopping rule, not only the post-loop
+    // recompute — while the final loss is still recomputed for the last
+    // step (7 is not a boundary). (checkpointEvery=4 measured *slower* —
+    // the 8-deep join/agg lineage costs more in planning than the saved
+    // materialization barriers.)
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
-      checkpointEvery = 2, lossEvery = 8)
+      checkpointEvery = 2, lossEvery = 3)
     named(r.matrix, roundTo = 4)
+  }
+
+  /** One un-checkpointed IPF sweep over the q26 inputs — the plan-audit
+    * surface for `converge`'s inner loop: q26's own result plan is a
+    * checkpoint-truncated LogicalRDD (lineage is cut every 2 sweeps by
+    * design), which hides the sweep shape `explain` should document. Not a
+    * registry entry; PlanAudit renders it alongside the headline queries. */
+  def ipfOneSweepPlan(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val seed = CooMatrix(li.groupBy(col("l_partkey").as(CooMatrix.Row),
+        month(col("l_shipdate")).cast("long").as(CooMatrix.Col))
+      .agg(sum("l_quantity").as(CooMatrix.Value)))
+    val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    Ipf.step(x, y, seed).df
   }
 
   /** Hierarchical totals via ROLLUP — subtotal rows per market segment and

@@ -133,7 +133,10 @@ object Events {
 
   /** FileStreamSource wants a directory; stage the single parquet behind a
     * scratch dir + symlink — once per (JVM, dir), since the staged layout
-    * and schema are immutable inputs. All streaming mirrors (tumbling /
+    * and schema are immutable inputs (the testdata dirs are read-only; if a
+    * dir's parquet were regenerated with a new schema in-process, this
+    * cache would serve the stale schema — key on file mtime/size before
+    * ever pointing it at mutable data). All streaming mirrors (tumbling /
     * sessionize / stateful / interval join) share the one staging; the
     * [[graft.io.TempDirs]] shutdown hook deletes it, so a mid-stream
     * failure cannot leak it (each streaming query still gets its own
@@ -214,6 +217,17 @@ object Events {
       }
   }
 
+  /** [[UserStat]] plus the max event time folded into the key's current
+    * state lifetime — the emission-ordering handle that lets a settle step
+    * pick a key's genuinely-last emission under TTL eviction (a fresh
+    * post-eviction lifetime restarts `n_events` at 1, so counts cannot
+    * order emissions; event time can, because stateful ops drop rows below
+    * the watermark and eviction itself requires the watermark to have
+    * passed the old lifetime's horizon — `last_ts_ms` is strictly
+    * increasing across lifetimes). */
+  final case class UserStatTtl(user_id: Long, n_events: Long,
+      min_value: Double, max_value: Double, last_ts_ms: Long)
+
   /** [[statefulUserStats]] with a bounded-state contract for unbounded key
     * churn: event-time TTL via `GroupStateTimeout.EventTimeTimeout`. Each
     * update arms a timeout at (max event time seen for the key) + `ttl`;
@@ -224,25 +238,27 @@ object Events {
     * re-initializes from zero (pinned in StreamingSpec). Requires a
     * watermark on the `ts` column upstream. */
   def statefulUserStatsTtl(events: Dataset[(Long, java.sql.Timestamp, Double)],
-      ttl: java.time.Duration): Dataset[UserStat] = {
+      ttl: java.time.Duration): Dataset[UserStatTtl] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_._1)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.EventTimeTimeout) {
+      .mapGroupsWithState[UserStatTtl, UserStatTtl](GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[UserStat]) =>
+         state: GroupState[UserStatTtl]) =>
           if (state.hasTimedOut) {
             val last = state.get
             state.remove()
             last
           } else {
             var st = state.getOption.getOrElse(
-              UserStat(user, 0L, Double.PositiveInfinity, Double.NegativeInfinity))
+              UserStatTtl(user, 0L, Double.PositiveInfinity, Double.NegativeInfinity,
+                Long.MinValue))
             var maxTs = Long.MinValue
             batch.foreach { case (_, ts, v) =>
               maxTs = math.max(maxTs, ts.getTime)
-              st = UserStat(user, st.n_events + 1L,
-                math.min(st.min_value, v), math.max(st.max_value, v))
+              st = UserStatTtl(user, st.n_events + 1L,
+                math.min(st.min_value, v), math.max(st.max_value, v),
+                math.max(st.last_ts_ms, ts.getTime))
             }
             state.update(st)
             // Arm relative to event time so the horizon is data-defined;
@@ -256,14 +272,14 @@ object Events {
 
   /** [[statefulUserStatsTtl]] driven end-to-end over the events parquet as
     * a Structured Streaming query (update mode) — the production shape:
-    * watermarked source, TTL'd keyed state. The TTL spans the fixture's
-    * whole time range, so nothing evicts mid-run and the settled result
-    * equals the batch groupBy oracle; the state store may emit a row per
-    * micro-batch (plus one final row if a timeout fires after the last
-    * data), so the settled result keeps each user's final (highest-count)
-    * emission. */
-  def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
-    val settled = settle(spark, dir, stream => {
+    * watermarked source, TTL'd keyed state. The state store emits a row per
+    * key per micro-batch (plus one final row when a timeout evicts), so the
+    * settled emission log is reduced to each key's last-lifetime stat by
+    * [[finalUserStats]] — correct whether or not any key evicts mid-run.
+    * Over this fixture the 365-day TTL spans the whole event range, so the
+    * result equals the batch groupBy oracle. */
+  def streamingUserStats(spark: SparkSession, dir: String): DataFrame =
+    finalUserStats(settle(spark, dir, stream => {
       val s = stream.sparkSession
       import s.implicits._
       statefulUserStatsTtl(
@@ -271,10 +287,43 @@ object Events {
           .select(col("user_id"), col("ts"), col("value"))
           .as[(Long, java.sql.Timestamp, Double)],
         java.time.Duration.ofDays(365)).toDF()
-    }, outputMode = "update")
-    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    }, outputMode = "update"))
+
+  /** Reduce an update-mode [[UserStatTtl]] emission log to one row per
+    * user: the emission with the greatest `last_ts_ms` wins (tie-broken by
+    * `n_events` — a timeout emission duplicates the lifetime's last update
+    * at the same event time). Selecting by max `n_events` instead would
+    * resurrect a PRE-eviction partial after a key evicts and re-accumulates,
+    * because the fresh lifetime restarts its count at 1; `last_ts_ms` is
+    * strictly increasing across lifetimes (see [[UserStatTtl]]), so it
+    * orders emissions correctly under eviction. Pinned in StreamingSpec. */
+  private[streaming] def finalUserStats(settled: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("last_ts_ms").desc, col("n_events").desc)
     settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("n_events"), col("min_value"), col("max_value"))
+  }
+
+  /** Batch interval (time-range) join — the deterministic batch twin of
+    * [[streamingIntervalJoin]]: each `leftType` event joined to the
+    * same-user `rightType` events in the preceding `windowMs`. One
+    * equi-join shuffle on user_id with the range predicates evaluated as
+    * join residuals; per-user match lists are small (bounded by the window)
+    * so no pair explosion. DuckDB-oracle-checked (q77); the streaming
+    * variant settles to exactly this result (StreamingSpec). */
+  def intervalJoin(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view",
+      windowMs: Long = 3600000L): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"))
+    val p = e.filter(col("event_type") === leftType)
+      .select(col("user_id").as("p_user"), col("ts_ms").as("p_ms"), col("event_id").as("p_event"))
+    val v = e.filter(col("event_type") === rightType)
+      .select(col("user_id").as("v_user"), col("ts_ms").as("v_ms"), col("event_id").as("v_event"))
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_ms") >= col("p_ms") - windowMs && col("v_ms") <= col("p_ms"))
+      .select(col("p_event"), col("v_event"), (col("p_ms") - col("v_ms")).as("lag_ms"))
   }
 
   /** Stream-stream interval join: each `leftType` event joined to the
@@ -282,7 +331,7 @@ object Events {
     * watermarked so the join state is evictable (the 100 TB requirement:
     * bounded state, not an unbounded build side). Inner joins emit eagerly;
     * the watermark only bounds retained state. Settled output equals the
-    * batch time-range join, checked against the same oracle. */
+    * batch twin [[intervalJoin]], checked against the same oracle. */
   def streamingIntervalJoin(spark: SparkSession, dir: String,
       leftType: String = "purchase", rightType: String = "view",
       windowMs: Long = 3600000L): DataFrame =

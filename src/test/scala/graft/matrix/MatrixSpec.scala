@@ -1,6 +1,7 @@
 package graft.matrix
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 /** COO matrix algebra vs the local Dense oracle (which mirrors the
@@ -92,5 +93,36 @@ class MatrixSpec extends AnyFunSuite {
     val dense = CooMatrix.densify(sparse, rows, rows, fill = 0.0)
     assert(dense.df.count() === 4)
     assert(math.abs(dense.grandTotal - 1.0) < 1e-12)
+  }
+
+  test("degenerate row skew: weightMatrix/fitRows stay groupBy+join (no Window funnel) and stay correct") {
+    // SURVEY §7.4(5)'s rationale, demonstrated: one row holds ~all cells
+    // (20k of 20,005). A Window.partitionBy(row) plan would funnel that row
+    // through a single partition; the shipped groupBy+equi-join shape keeps
+    // the per-row reduction a map-side-combined hash agg and lets AQE split
+    // a skewed join key. Mirrors the dedup degenerate-skew test.
+    import spark.implicits._
+    val hot = (0 until 20000).map(j => (0L, j.toLong, 0.5))
+    val cold = (1 to 5).map(i => (i.toLong, 0L, 2.0 * i))
+    val m0 = CooMatrix((hot ++ cold).toDF("row", "col", "value"))
+
+    val w = m0.weightMatrix
+    val wPlan = w.df.queryExecution.executedPlan.toString
+    assert(!wPlan.contains("Window"), s"weightMatrix planned a Window:\n$wPlan")
+    assert(wPlan.contains("HashAggregate"), "row sums should be a hash aggregation")
+    val wSums = w.sumRows.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wSums.size === 6)
+    wSums.foreach { case (k, v) => assert(math.abs(v - 1.0) < 1e-9, s"row $k weights sum to $v") }
+    // the hot row's cells each become 1/20000 of the row
+    val hotCell = w.df.filter(col("row") === 0L && col("col") === 7L).head.getDouble(2)
+    assert(math.abs(hotCell - 1.0 / 20000) < 1e-15)
+
+    val marginal = CooMatrix.marginal(spark, (0 to 5).map(_ => 100.0))
+    val f = m0.fitRows(marginal)
+    val fPlan = f.df.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Window"), s"fitRows planned a Window:\n$fPlan")
+    val fSums = f.sumRows.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 to 5).foreach(i => assert(math.abs(fSums(i.toLong) - 100.0) < 1e-6,
+      s"row $i fitted sum ${fSums(i.toLong)} != 100"))
   }
 }

@@ -35,6 +35,21 @@ class AlsSpec extends AnyFunSuite {
     assert(math.abs(heldOut - 29.464) < 3.0, s"held-out rmse $heldOut drifted from pinned 29.464")
   }
 
+  test("q60 contract: the 0.8 train split covers every rated user") {
+    // q60's recommendations come from the model fit on the train split; a
+    // user whose ratings all landed in the 0.2 test split would silently
+    // vanish from the output. Every user has many ratings here, so full
+    // coverage is expected — this pins it, failing loudly if the ratings
+    // shape or split seed ever changes.
+    val ratings = AlsRecommender.ratingsFromLineitem(spark, TestSpark.sfDir)
+    val (model, _) = AlsRecommender.trainedOn(spark, TestSpark.sfDir)
+    val missing = ratings.select("user").distinct()
+      .join(model.userFactors.select(col("id").as("user")), Seq("user"), "left_anti")
+      .count()
+    assert(missing === 0,
+      s"$missing rated users absent from the train-split model — q60 would drop them")
+  }
+
   test("recommendations are well-formed: k rows per user, ranks 1..k") {
     val model = AlsRecommender.train(
       AlsRecommender.ratingsFromLineitem(spark, TestSpark.sfDir))

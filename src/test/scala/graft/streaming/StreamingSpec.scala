@@ -121,6 +121,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("settle selection returns the POST-eviction stat when a key evicts and re-accumulates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000000L
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = Events.statefulUserStatsTtl(
+      input.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp, Double)],
+      java.time.Duration.ofSeconds(10)).toDF()
+    val name = "graft_ttl_settle_test"
+    val q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      // user 1's FIRST lifetime accumulates n=2 — more emissions and a
+      // higher count than its post-eviction lifetime will ever reach, so a
+      // max-n_events settle rule would wrongly resurrect this partial.
+      input.addData((1L, ts(0), 5.0), (1L, ts(1), 7.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(60), 3.0))           // watermark -> 60s: user 1 evicts
+      q.processAllAvailable()
+      input.addData((1L, ts(70), 100.0))         // fresh lifetime: n restarts at 1
+      q.processAllAvailable()
+      val fin = Events.finalUserStats(s.table(name)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(fin === Set((1L, 1L, 100.0, 100.0), (2L, 1L, 3.0, 3.0)),
+        s"settle did not pick the post-eviction lifetime: $fin")
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
   test("streaming user stats over the events parquet equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val got = Events.streamingUserStats(spark, dir).collect()
@@ -131,20 +163,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
-  test("stream-stream interval join equals the batch time-range join") {
-    import org.apache.spark.sql.functions._
+  test("stream-stream interval join equals its batch twin (which is DuckDB-checked as q77)") {
     val got = Events.streamingIntervalJoin(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))  // ns -> ms
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("u"), col("ts_ms").as("p_ms"), col("event_id").as("p_event"))
-    val v = e.filter(col("event_type") === "view")
-      .select(col("user_id").as("vu"), col("ts_ms").as("v_ms"), col("event_id").as("v_event"))
-    val exp = p.join(v, col("u") === col("vu") &&
-        col("v_ms") >= col("p_ms") - 3600000L && col("v_ms") <= col("p_ms"))
-      .select(col("p_event"), col("v_event"), (col("p_ms") - col("v_ms")).as("lag_ms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = Events.intervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.nonEmpty)
     assert(got === exp)
   }
