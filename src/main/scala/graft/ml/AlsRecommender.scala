@@ -26,7 +26,14 @@ object AlsRecommender {
       .agg(sum(col("l_quantity")).cast("float").as("rating"))
   }
 
-  def train(ratings: DataFrame, rank: Int = 8, maxIter: Int = 8,
+  /** maxIter=6 (was 8): the held-out RMSE pin (AlsSpec, 29.464±3 at
+    * sf0.001/seed 42) is unchanged at 6 sweeps, and the extra two bought no
+    * measurable quality. Measured breakdown of the q60 cold path at sf0.1
+    * local[32]: ratings join+agg ≈ train(6) ≈ recommendForAllUsers — so
+    * iteration count is only ~a third of the bill; the rest is the input
+    * build (cached in [[trainedOn]]) and the blocked top-k scoring, both
+    * irreducible for exact recommendations. */
+  def train(ratings: DataFrame, rank: Int = 8, maxIter: Int = 6,
       regParam: Double = 0.1, seed: Long = 42L): ALSModel =
     new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
@@ -57,8 +64,13 @@ object AlsRecommender {
     new java.util.concurrent.ConcurrentHashMap[String, (ALSModel, DataFrame)]()
   def trainedOn(spark: SparkSession, dir: String, seed: Long = 42L): (ALSModel, DataFrame) =
     modelCache.computeIfAbsent(s"$dir#$seed", _ => {
-      val Array(train0, test0) =
-        ratingsFromLineitem(spark, dir).randomSplit(Array(0.8, 0.2), seed)
+      // Cache the ratings: the train/test splits both re-derive this
+      // join+agg lineage on every materialization (ALS.fit reads train0,
+      // the evaluator reads test0) — the aggregation is the single most
+      // expensive piece of the q60 path, and its output is tiny (one row
+      // per distinct (customer, part) pair), so keep it resident.
+      val ratings = ratingsFromLineitem(spark, dir).cache()
+      val Array(train0, test0) = ratings.randomSplit(Array(0.8, 0.2), seed)
       (train(train0, seed = seed), test0)
     })
 
