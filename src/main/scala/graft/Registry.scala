@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llmdata.{Dedup, Multimodal, PairScope, Similarity, TextAnalysis}
+import graft.llmdata.{Curation, Dedup, Multimodal, PairScope, Similarity, TextAnalysis}
 import graft.ml.AlsRecommender
 import graft.relational.Queries
 import graft.streaming.Events
@@ -615,7 +615,47 @@ object Registry {
         | CAST((f.frame_id * length(text)) // 4 AS BIGINT) AS frame_offset,
         | md5(substr(text, CAST((f.frame_id * length(text)) // 4 AS INT) + 1, 16)) AS frame_md5
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_id) f
-        |ORDER BY doc_id, frame_id""".stripMargin))
+        |ORDER BY doc_id, frame_id""".stripMargin)),
+
+    // ---- corpus curation -------------------------------------------------
+    // Hash-based decisions are md5-prefix comparisons — bit-identical
+    // across engines (DuckDB runs the same expression), runs, and cluster
+    // layouts; no engine RNG anywhere.
+    "q78_hash_sample" -> Entry(
+      (s, d) => Curation.hashSample(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 2) < '29'
+        |ORDER BY doc_id""".stripMargin)),
+
+    "q79_split_assign" -> Entry(
+      (s, d) => Curation.assignSplits(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id,
+        | CASE WHEN p < 'cd' THEN 'train' WHEN p < 'e6' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS p
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    "q80_quota_cap" -> Entry(
+      (s, d) => Curation.quotaCap(docs(s, d)).orderBy("source", "rank"), Some(
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+        | FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
+    "q81_length_quantiles" -> Entry(
+      (s, d) => Curation.lengthQuantiles(docs(s, d)).orderBy("lang", "q_pos"), Some(
+      """WITH g AS (SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS qs
+        | FROM documents GROUP BY lang)
+        |SELECT lang, CAST(i AS BIGINT) AS q_pos, round(qs[i], 6) AS quantile
+        |FROM g CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        |ORDER BY lang, q_pos""".stripMargin)),
+
+    // HLL sketch internals are engine-specific — rows-only for the driver;
+    // LlmDataSpec pins the estimate against the exact distinct count.
+    "q82_approx_distinct" -> Entry(
+      (s, d) => Curation.approxDistinctTexts(docs(s, d)), None)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

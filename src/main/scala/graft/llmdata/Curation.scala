@@ -1,0 +1,111 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * before anything touches a trainer: deterministic sampling, train/val/test
+  * splitting, per-key quota capping, and length profiling. All of them are
+  * narrow, stateless or bounded-state plans that survive a 100× scale-up:
+  * sampling/splitting are pure filters/projections on an md5 prefix (no
+  * shuffle, trivially pushdown-composable), quota capping is a typed
+  * Aggregator with a constant ≤N buffer that partial-combines map-side (no
+  * per-key window funnel), and the quantile profile is one hash aggregation.
+  *
+  * Hash-based decisions use `md5(key || salt)` — identical output on any
+  * engine (the DuckDB oracles run the same expression), stable across runs
+  * and cluster layouts, and decorrelated between uses by the salt. A
+  * lexicographic comparison on the hex prefix implements "keep fraction
+  * k/256" without any engine-specific hash or RNG.
+  */
+object Curation {
+
+  /** Deterministic ~16% sample (md5-prefix < 0x29 = 41/256): every engine,
+    * run, and partitioning selects the same rows — the property a pipeline
+    * needs for reproducible subsets and join-consistent side tables. The
+    * payload column is untouched (narrow projection; at scale the filter
+    * rides the scan and `text` is never materialized for rejected rows). */
+  def hashSample(docs: DataFrame, hexThreshold: String = "29"): DataFrame =
+    docs.filter(
+        substring(md5(concat(col("doc_id").cast("string"), lit(":sample"))), 1, 2)
+          < lit(hexThreshold))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** Deterministic train/val/test assignment by hash bucket: ~80/10/10 via
+    * hex-prefix thresholds (0xcd=205, 0xe6=230 of 256). The split is a pure
+    * projection — no shuffle, no state, stable under re-runs and appends
+    * (a new document's split never depends on the rest of the corpus). */
+  def assignSplits(docs: DataFrame): DataFrame = {
+    val p = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+    docs.select(col("doc_id"),
+      when(p < "cd", "train").when(p < "e6", "val").otherwise("test").as("split"))
+  }
+
+  /** Bounded keep-N-smallest typed Aggregator: the buffer holds at most `n`
+    * ids sorted ascending, so partial aggregation combines map-side with
+    * constant state — the scale-correct exact top-N-per-key, vs a
+    * `Window.partitionBy(key)` that funnels every row of a hot key through
+    * one partition (same rationale as the COO skew design, SURVEY §7.4(5)). */
+  final class KeepNSmallest(n: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(n >= 1)
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], a: Long): Array[Long] =
+      if (b.length < n) (b :+ a).sorted
+      else if (a >= b(n - 1)) b
+      else { b(n - 1) = a; b.sorted }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      (b1 ++ b2).sorted.take(n)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+  }
+
+  /** Per-source quota: keep the `n` lowest doc_ids of each source (the
+    * deterministic stand-in for "first N by ingest order") — the
+    * domain-balancing cap every corpus mix applies. One hash aggregation
+    * with the bounded [[KeepNSmallest]] state, then a posexplode back to
+    * rows with 1-based ranks. */
+  def quotaCap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val keepN = udaf(new KeepNSmallest(n), Encoders.scalaLong)
+    docs.groupBy("source").agg(keepN(col("doc_id")).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+  }
+
+  /** Length profile: exact interpolated quantiles of `n_chars` per lang —
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    * linear-interpolation definition, so the oracle comparison is exact
+    * (rounded to 6dp to absorb last-ulp arithmetic order). One hash
+    * aggregation; the quantile buffer is per-group-bounded at this
+    * cardinality (for unbounded groups switch to approx_percentile and a
+    * rows-only check). */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    docs.groupBy("lang")
+      .agg(percentile(col("n_chars"), typedlit(qs)).as("quants"))
+      .select(col("lang"), posexplode(col("quants")).as(Seq("pos", "quantile")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("q_pos"),
+        round(col("quantile"), 6).as("quantile"))
+
+  /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
+    * lang next to the exact row count. The approximate path is the one
+    * that scales (constant sketch per group, map-side combine, no
+    * shuffle of distinct values); LlmDataSpec pins the estimate within
+    * rsd of the exact answer. Rows-only for the driver — HLL internals
+    * are engine-specific by nature. */
+  def approxDistinctTexts(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    docs.groupBy("lang")
+      .agg(approx_count_distinct(col("text"), rsd).as("approx_distinct_texts"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+}
+
+/** `Encoders.scalaLong` exists but there is no public primitive-array
+  * encoder factory; the implicit `newLongArrayEncoder` lives on
+  * SQLImplicits, which needs a session. `ExpressionEncoder` derives it
+  * structurally without one. */
+private object ExpressionEncoderHelper {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}

@@ -1,0 +1,96 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Curation operators: determinism, partition/coverage invariants, the
+  * bounded-aggregator-vs-window equivalence, and the HLL error envelope. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  test("hashSample is deterministic, a subset, and near the 41/256 target rate") {
+    val a = Curation.hashSample(docs).collect().map(_.getLong(0)).sorted
+    val b = Curation.hashSample(docs).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "same input must select the same rows")
+    val n = docs.count().toDouble
+    assert(a.length > 0 && a.length < n)
+    val rate = a.length / n
+    assert(math.abs(rate - 41.0 / 256) < 0.08, s"sample rate $rate far from ${41.0 / 256}")
+    assert(a.toSet.subsetOf(docs.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("assignSplits covers every doc exactly once with ~80/10/10 mass") {
+    val s = Curation.assignSplits(docs)
+    assert(s.count() === docs.count())
+    assert(s.select("doc_id").distinct().count() === docs.count())
+    val frac = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / docs.count().toDouble).toMap
+    assert(frac.keySet === Set("train", "val", "test"))
+    assert(math.abs(frac("train") - 205.0 / 256) < 0.1, s"train ${frac("train")}")
+    assert(frac("val") > 0.02 && frac("test") > 0.02)
+  }
+
+  test("quotaCap equals the window row_number reference and plans no Window") {
+    val got = Curation.quotaCap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val exp = docs.select(col("source"), col("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    assert(got === exp)
+    val plan = Curation.quotaCap(docs, n = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quotaCap planned a Window:\n$plan")
+  }
+
+  test("KeepNSmallest agrees with sorted.take(n) under random reduce/merge orders") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val n = 1 + rnd.nextInt(5)
+      val xs = Array.fill(rnd.nextInt(30))(rnd.nextLong() % 1000)
+      val agg = new Curation.KeepNSmallest(n)
+      // random split into partial buffers, then merge — any association
+      val parts = xs.grouped(1 + rnd.nextInt(5)).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).toSeq === xs.sorted.take(n).toSeq)
+    }
+  }
+
+  test("lengthQuantiles matches a local interpolated-quantile reference") {
+    val got = Curation.lengthQuantiles(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byLang = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def qcont(v: IndexedSeq[Double], q: Double): Double = {
+      val pos = q * (v.length - 1)
+      val lo = pos.toInt
+      if (lo == v.length - 1) v(lo) else v(lo) + (pos - lo) * (v(lo + 1) - v(lo))
+    }
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    got.foreach { case (lang, qPos, value) =>
+      val exp = qcont(byLang(lang).toIndexedSeq, qs(qPos.toInt - 1))
+      assert(math.abs(value - exp) < 1e-6, s"$lang q$qPos: $value vs $exp")
+    }
+    assert(got.length === byLang.size * qs.length)
+  }
+
+  test("approxDistinctTexts lands within the rsd envelope of the exact count") {
+    val got = Curation.approxDistinctTexts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (lang, approx, nDocs) =>
+      val e = exact(lang)
+      assert(math.abs(approx - e).toDouble / e < 0.05,
+        s"$lang: approx $approx vs exact $e out of envelope")
+      // no approx <= nDocs assertion: HLL is an estimator and may
+      // overshoot the true count (and thus the row count) slightly
+      assert(nDocs > 0)
+    }
+  }
+}
