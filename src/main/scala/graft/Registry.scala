@@ -653,9 +653,25 @@ object Registry {
         |ORDER BY lang, q_pos""".stripMargin)),
 
     // HLL sketch internals are engine-specific — rows-only for the driver;
-    // LlmDataSpec pins the estimate against the exact distinct count.
+    // CurationSpec pins the estimate against the exact distinct count.
     "q82_approx_distinct" -> Entry(
-      (s, d) => Curation.approxDistinctTexts(docs(s, d)), None)
+      (s, d) => Curation.approxDistinctTexts(docs(s, d)), None),
+
+    "q83_tfidf_topk" -> Entry(
+      (s, d) => TextAnalysis.tfIdfTopK(docs(s, d)).orderBy("doc_id", "rank"), Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |       tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+        |       row_number() OVER (PARTITION BY tf.doc_id
+        |         ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+        |                  tf.term) AS rnk
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+        | round(score, 6) AS tfidf
+        |FROM s WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -121,4 +121,30 @@ object TextAnalysis {
   def shingles(toks: Column, k: Int): Column =
     transform(sequence(lit(1), size(toks) - lit(k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
+
+  /** TF-IDF top-k terms per document — the classic distinctive-term scoring
+    * a curation pipeline uses for topic profiling and boilerplate
+    * detection. Shape: the wordcount explode+groupBy (map-side combined)
+    * for term frequency, a vocabulary-sized aggregation for document
+    * frequency (joined back on `term` — broadcastable for real
+    * vocabularies), the corpus size as a broadcast 1-row crossJoin, and a
+    * per-document window for the top-k (partition key count scales with
+    * the corpus, so no funnel). Score = tf · ln(N/df) with the natural-log
+    * arithmetic identical on both engines; ties broken by term so the
+    * ranking is total and deterministic. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
 }

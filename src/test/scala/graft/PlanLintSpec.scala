@@ -25,7 +25,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q24_minmax_normalize",   // 1-row global min/max broadcast back
     "q37_densify",            // part × 12-month key expansion
     "q45_cosine_topk",        // small query set broadcast against the corpus
-    "q56_csv_padded_matrix")  // missing keywords × 22-hour key expansion
+    "q56_csv_padded_matrix",  // missing keywords × 22-hour key expansion
+    "q83_tfidf_topk")         // 1-row corpus-size aggregate broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

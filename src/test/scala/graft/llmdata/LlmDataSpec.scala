@@ -16,6 +16,19 @@ class LlmDataSpec extends AnyFunSuite {
     (4L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L)  // exact dup of 0
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("tfIdfTopK matches the hand-computed reference on a tiny corpus") {
+    val tiny = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopK(tiny, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    // N=3; df: a=2 b=2 c=2 d=1; ln(3/2)=0.405465..., ln(3)=1.098612...
+    // doc1: a tf2 -> 0.81093 (rank1); b/c tie at 0.405465 -> term order, b
+    // doc3: d 1.098612 outranks c (tf2, 0.81093)
+    assert(got === Set(
+      (1L, 1L, "a", 2L, 0.81093), (1L, 2L, "b", 1L, 0.405465),
+      (2L, 1L, "a", 1L, 0.405465), (2L, 2L, "b", 1L, 0.405465),
+      (3L, 1L, "d", 1L, 1.098612), (3L, 2L, "c", 2L, 0.81093)))
+  }
+
   test("exact dedup groups and keep-first") {
     val groups = Dedup.exactGroups(docsWithDups).collect()
     assert(groups.length === 3)
