@@ -671,7 +671,17 @@ object Registry {
         |      FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
         | round(score, 6) AS tfidf
-        |FROM s WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin))
+        |FROM s WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    "q84_sequence_pack" -> Entry(
+      (s, d) => Curation.packSequences(docs(s, d)).orderBy("source", "doc_id"), Some(
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
+        | FROM t)
+        |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
+        |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,6 +88,26 @@ object Curation {
       .select(col("lang"), (col("pos") + 1).cast("long").as("q_pos"),
         round(col("quantile"), 6).as("quantile"))
 
+  /** Sequence packing — the pretraining data-layout step: concatenate each
+    * source's token stream in doc_id order and assign every document the
+    * training-sequence index its first token lands in
+    * (`seq_id = start_offset / budget`; documents straddle sequence
+    * boundaries, exactly like packed-pretraining batches). One running-sum
+    * window per source stream. The per-stream window is inherently
+    * sequential; at 100 TB the stream key must be sharded (e.g.
+    * (source, day)) or the offsets computed by the two-phase distributed
+    * prefix sum — per-partition totals, broadcast cumulative offsets —
+    * which this single-window form documents the contract for. */
+  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / budget).cast("long").as("seq_id"))
+  }
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

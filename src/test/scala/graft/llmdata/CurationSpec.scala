@@ -78,6 +78,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length === byLang.size * qs.length)
   }
 
+  test("packSequences: offsets are gapless concatenation order; seq ids are start/budget") {
+    val got = Curation.packSequences(docs, budget = 512).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === docs.count())
+    got.groupBy(_._1).foreach { case (source, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var expectedOffset = 0L
+      ordered.foreach { case (_, docId, nTokens, startOffset, seqId) =>
+        assert(startOffset === expectedOffset,
+          s"$source/$docId: offset $startOffset, expected $expectedOffset (stream must be gapless)")
+        assert(seqId === startOffset / 512, s"$source/$docId: seq_id $seqId")
+        assert(nTokens > 0)
+        expectedOffset += nTokens
+      }
+    }
+  }
+
   test("approxDistinctTexts lands within the rsd envelope of the exact count") {
     val got = Curation.approxDistinctTexts(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
