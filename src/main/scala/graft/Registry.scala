@@ -681,7 +681,20 @@ object Registry {
         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
         | FROM t)
         |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
-        |FROM c ORDER BY source, doc_id""".stripMargin))
+        |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    "q85_contamination" -> Entry(
+      (s, d) => TextAnalysis.contaminationCheck(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |probe AS (SELECT DISTINCT s FROM sh
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':probe'), 1, 2) < '15')
+        |SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_overlap
+        |FROM sh JOIN probe ON sh.s = probe.s
+        |WHERE substr(md5(CAST(sh.doc_id AS VARCHAR) || ':probe'), 1, 2) >= '15'
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -122,6 +122,33 @@ object TextAnalysis {
     transform(sequence(lit(1), size(toks) - lit(k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word-k-shingles it shares with a probe ("benchmark") set — the overlap
+    * check every training corpus runs against eval suites before training.
+    * The probe here is the deterministic md5-prefix subset (stand-in for a
+    * real benchmark table; swap the membership predicate for one). Shape:
+    * per-doc distinct shingles (narrow explode), the probe's shingle set
+    * distinct-collapsed (small next to the corpus — broadcastable), one
+    * equi-join on the shingle string and a count-distinct per document. At
+    * 100 TB the join key would be a shingle hash (8 bytes instead of the
+    * string) — same plan. Only contaminated documents are returned. */
+  def contaminationCheck(docs: DataFrame, k: Int = 3,
+      probeHexThreshold: String = "15"): DataFrame = {
+    val isProbe =
+      substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)
+        .<(lit(probeHexThreshold))
+    val toks = tokens(col("text"))
+    val sh = docs.filter(size(toks) >= k)
+      .select(col("doc_id"), isProbe.as("is_probe"),
+        explode(array_distinct(shingles(toks, k))).as("s"))
+    val probeShingles = sh.filter(col("is_probe")).select("s").distinct()
+    sh.filter(!col("is_probe"))
+      .join(probeShingles, "s")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"))
+  }
+
   /** TF-IDF top-k terms per document — the classic distinctive-term scoring
     * a curation pipeline uses for topic profiling and boilerplate
     * detection. Shape: the wordcount explode+groupBy (map-side combined)

@@ -29,6 +29,29 @@ class LlmDataSpec extends AnyFunSuite {
       (3L, 1L, "d", 1L, 1.098612), (3L, 2L, "c", 2L, 0.81093)))
   }
 
+  test("contaminationCheck equals a full local reference on the testdata") {
+    val real = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val got = TextAnalysis.contaminationCheck(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local reference: same md5-prefix probe membership, same 3-shingles
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val local = real.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, t) =>
+        (id, md5hex(s"$id:probe").take(2) < "15",
+          t.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val probeShingles = local.filter(_._2).flatMap(_._3).toSet
+    val exp = local.filterNot(_._2)
+      .map { case (id, _, sh) => id -> (sh & probeShingles).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(exp.nonEmpty, "fixture produced no contamination — probe threshold too low to test anything")
+    assert(got === exp)
+  }
+
   test("exact dedup groups and keep-first") {
     val groups = Dedup.exactGroups(docsWithDups).collect()
     assert(groups.length === 3)
