@@ -694,7 +694,20 @@ object Registry {
         |SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_overlap
         |FROM sh JOIN probe ON sh.s = probe.s
         |WHERE substr(md5(CAST(sh.doc_id AS VARCHAR) || ':probe'), 1, 2) >= '15'
-        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
+
+    // Mixture weights: en halved, de 2.25x, rest unchanged — base copies +
+    // an md5-prefix-gated extra copy ('80' = 128/256 = .5, '40' = 64/256 = .25).
+    "q86_corpus_mix" -> Entry(
+      (s, d) => Curation.mixCorpus(docs(s, d)).orderBy("doc_id", "copy"), Some(
+      """WITH w AS (SELECT doc_id, lang, source,
+        |  (CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 2 ELSE 1 END)
+        |  + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <
+        |       (CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '00' END)
+        |     THEN 1 ELSE 0 END) AS n_copies
+        | FROM documents)
+        |SELECT doc_id, lang, source, unnest(range(1, n_copies + 1)) AS copy
+        |FROM w WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -108,6 +108,33 @@ object Curation {
         floor(col("start_offset") / budget).cast("long").as("seq_id"))
   }
 
+  /** Corpus mixture: per-group sampling weights, the up/downsampling step
+    * that sets a training mix ("halve en, 2.25× de"). A weight w yields
+    * ⌊w⌋ full copies of every row plus one extra copy kept when the row's
+    * md5-prefix falls under the fractional remainder — so the realized rate
+    * is exactly w in expectation, deterministic per row (stable across
+    * runs/engines/layouts, like [[hashSample]]), and upsampled copies are
+    * explicit numbered rows a trainer can shuffle. Pure projection +
+    * explode: no shuffle, no state. Weights must be < 16 (copies explode
+    * linearly; a larger factor is a config smell, not a scale problem). */
+  def mixCorpus(docs: DataFrame,
+      weights: Map[String, Double] = Map("en" -> 0.5, "de" -> 2.25)): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 16), "weights must be in [0, 16)")
+    def hexThreshold(w: Double): String = f"${math.round((w - w.floor) * 256)}%02x"
+    val base = weights.foldLeft(lit(1L)) { case (acc, (k, w)) =>
+      when(col("lang") === k, lit(w.toLong)).otherwise(acc)
+    }
+    val extraThreshold = weights.foldLeft(lit("00")) { case (acc, (k, w)) =>
+      when(col("lang") === k, lit(hexThreshold(w))).otherwise(acc)
+    }
+    val prefix = substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 2)
+    val nCopies = base + when(prefix < extraThreshold, 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("lang"), col("source"), nCopies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

@@ -95,6 +95,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixCorpus: copy counts follow the weight map; realized rates near targets") {
+    val got = Curation.mixCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // copies are numbered 1..n with no gaps
+    perDoc.values.foreach(cs => assert(cs === (1L to cs.length)))
+    val langOf = got.map(g => g._1 -> g._2).toMap
+    perDoc.foreach { case (_, cs) =>
+      assert(cs.length >= 0 && cs.length <= 3)
+    }
+    // realized per-lang rates approximate the weights (deterministic hash,
+    // so these are fixed numbers — loose bounds guard fixture drift)
+    val nByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val copiesByLang = got.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    assert(math.abs(copiesByLang("en") / nByLang("en") - 0.5) < 0.15)
+    assert(math.abs(copiesByLang("de") / nByLang("de") - 2.25) < 0.2)
+    assert(copiesByLang("es") / nByLang("es") === 1.0)
+    // en docs get 0 or 1 copies; de docs 2 or 3
+    got.filter(_._2 == "en").groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 1) }
+    got.filter(_._2 == "de").groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length == 2 || rs.length == 3) }
+    assert(langOf.nonEmpty)
+  }
+
   test("approxDistinctTexts lands within the rsd envelope of the exact count") {
     val got = Curation.approxDistinctTexts(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
