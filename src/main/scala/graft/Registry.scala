@@ -707,7 +707,28 @@ object Registry {
         |     THEN 1 ELSE 0 END) AS n_copies
         | FROM documents)
         |SELECT doc_id, lang, source, unnest(range(1, n_copies + 1)) AS copy
-        |FROM w WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin))
+        |FROM w WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
+
+    // Composed pipeline: dedup keep-first -> token-length gate -> train
+    // split -> sequence pack. One lazy plan end to end.
+    "q87_curation_pipeline" -> Entry(
+      (s, d) => Curation.curationPipeline(docs(s, d)).orderBy("source", "doc_id"), Some(
+      """WITH keep AS (SELECT doc_id, text, source FROM
+        |   (SELECT doc_id, text, source,
+        |     row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn = 1),
+        |g AS (SELECT doc_id, text, source FROM keep
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 85),
+        |tr AS (SELECT doc_id, text, source FROM g
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cd'),
+        |t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM tr),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
+        | FROM t)
+        |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
+        |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

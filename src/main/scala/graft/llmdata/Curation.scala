@@ -135,6 +135,25 @@ object Curation {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  /** End-to-end curation capstone — the composed pipeline a corpus actually
+    * runs: exact dedup keep-first ([[Dedup.dedupKeepFirst]]) → token-length
+    * quality gate (the standard min/max filter; this corpus has no
+    * punct/digit noise, so the ratio-based [[TextAnalysis.qualityScore]]
+    * would pass everything) → deterministic train-split selection
+    * ([[assignSplits]]) → training-sequence packing ([[packSequences]]).
+    * Every stage is the registry operator itself, composed — the point is
+    * that the pieces chain into one lazy plan: the doc_id joins are
+    * semi-joins over monotonically shrinking sets that AQE broadcasts, and
+    * Catalyst collapses the stacked projections. */
+  def curationPipeline(docs: DataFrame, minTokens: Long = 20L, maxTokens: Long = 85L,
+      budget: Long = 2048L): DataFrame = {
+    val deduped = Dedup.dedupKeepFirst(docs)
+    val gated = deduped.filter(
+      size(TextAnalysis.tokens(col("text"))).cast("long").between(minTokens, maxTokens))
+    val train = assignSplits(gated).filter(col("split") === "train").select("doc_id")
+    packSequences(gated.join(train, "doc_id"), budget)
+  }
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

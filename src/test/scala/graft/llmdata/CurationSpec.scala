@@ -120,6 +120,30 @@ class CurationSpec extends AnyFunSuite {
     assert(langOf.nonEmpty)
   }
 
+  test("curationPipeline: stages compose — unique survivors, gated lengths, train-only, gapless packing") {
+    val out = Curation.curationPipeline(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty && out.length < docs.count())
+    // survivors are unique doc_ids with gated token counts
+    assert(out.map(_._2).distinct.length === out.length)
+    out.foreach { case (_, id, n, _, _) => assert(n >= 20 && n <= 85, s"doc $id tokens $n") }
+    // every survivor is in the train split (same md5 rule, computed locally)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    out.foreach { case (_, id, _, _, _) =>
+      assert(md5hex(s"$id:split").take(2) < "cd", s"doc $id not in train split") }
+    // per-source streams are gapless concatenations with correct seq ids
+    out.groupBy(_._1).foreach { case (source, rows) =>
+      var expected = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n, off, seq) =>
+        assert(off === expected, s"$source/$id offset $off != $expected")
+        assert(seq === off / 2048)
+        expected += n
+      }
+    }
+  }
+
   test("approxDistinctTexts lands within the rsd envelope of the exact count") {
     val got = Curation.approxDistinctTexts(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
