@@ -296,17 +296,18 @@ object Queries {
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(sum("l_extendedprice").as(CooMatrix.Value))
     // Batched loss checks + 2-step checkpoints: this run is iteration-capped
-    // (loss never reaches 1e-9 in 3-step boundary checks over 8 sweeps), so
-    // the final matrix is identical to per-iteration checking with ~a third
-    // of the driver barriers. lossEvery=3 (a non-divisor of maxIter) keeps
-    // the in-loop boundary check REACHED mid-run (k=0,3,6) — the shipped
-    // path exercises the batched stopping rule, not only the post-loop
-    // recompute — while the final loss is still recomputed for the last
-    // step (7 is not a boundary). (checkpointEvery=4 measured *slower* —
-    // the 8-deep join/agg lineage costs more in planning than the saved
+    // (loss never reaches 1e-9 within 8 sweeps), so the final matrix is
+    // identical to per-iteration checking with a fraction of the driver
+    // barriers. lossEvery=5 (a non-divisor of maxIter) keeps the in-loop
+    // boundary check REACHED mid-run (k=0,5) — the shipped path exercises
+    // the batched stopping rule, not only the post-loop recompute — while
+    // the final loss is still recomputed for the last step (7 is not a
+    // boundary). Each loss barrier measured ~0.6s at sf0.1, so one mid-run
+    // check is the sweet spot. (checkpointEvery=4 measured *slower* — the
+    // 8-deep join/agg lineage costs more in planning than the saved
     // materialization barriers.)
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
-      checkpointEvery = 2, lossEvery = 3)
+      checkpointEvery = 2, lossEvery = 5)
     named(r.matrix, roundTo = 4)
   }
 
