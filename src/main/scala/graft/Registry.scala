@@ -683,6 +683,17 @@ object Registry {
         |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Bucketed co-located join: same numbers as a plain join (bucketing is
+    // layout, not semantics) — the exchange-free plan is what's new, and
+    // BucketingSpec asserts it.
+    "q88_bucketed_join" -> Entry(
+      (s, d) => graft.io.Bucketing.revenueByPriority(s, d), Some(
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q85_contamination" -> Entry(
       (s, d) => TextAnalysis.contaminationCheck(docs(s, d)).orderBy("doc_id"), Some(
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -17,7 +17,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val eager = Set(
     "q26_ipf_converge", "q43_minhash_neardup", "q46_ann_lsh", "q62_ann_ivf",
     "q52_streaming_tumbling", "q54_streaming_sessionize", "q58_stateful_user_stats",
-    "q57_csv_labeled_roundtrip", "q60_als_recommend", "q61_als_eval")
+    "q57_csv_labeled_roundtrip", "q60_als_recommend", "q61_als_eval",
+    "q88_bucketed_join")  // writes the bucketed tables on construction; plan pinned in BucketingSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
