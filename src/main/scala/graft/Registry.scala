@@ -678,9 +678,10 @@ object Registry {
       """WITH t AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
         | FROM t)
-        |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
+        |SELECT source, doc_id, n_tokens, start_offset,
+        | CAST(start_offset // 2048 AS BIGINT) AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin)),
 
     // Bucketed co-located join: same numbers as a plain join (bucketing is
@@ -736,9 +737,10 @@ object Registry {
         |t AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM tr),
         |c AS (SELECT source, doc_id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
         | FROM t)
-        |SELECT source, doc_id, n_tokens, start_offset, start_offset // 2048 AS seq_id
+        |SELECT source, doc_id, n_tokens, start_offset,
+        | CAST(start_offset // 2048 AS BIGINT) AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 

@@ -47,6 +47,14 @@ def main(outdir, sfdir):
         bad_cols = []
         for c in g.columns:
             gv, ev = g[c].to_numpy(), e[c].to_numpy()
+            # The driver hashes stringified values, so a dtype mismatch IS a
+            # failure even when == would coerce: DuckDB's windowed sum(BIGINT)
+            # returns HUGEINT -> pandas float64, and "73.0" != "73". Round 5
+            # lost q84/q87 to exactly this; CAST the oracle side to BIGINT.
+            if gv.dtype.kind != ev.dtype.kind:
+                print(f"   {c}: DTYPE-MISMATCH got {gv.dtype} exp {ev.dtype}")
+                bad_cols.append(c)
+                continue
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                 eq = np.array_equal(gv.astype(float), ev.astype(float), equal_nan=True)
             else:
