@@ -137,15 +137,33 @@ object TextAnalysis {
     val isProbe =
       substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)
         .<(lit(probeHexThreshold))
-    val toks = tokens(col("text"))
-    val sh = docs.filter(size(toks) >= k)
-      .select(col("doc_id"), isProbe.as("is_probe"),
-        explode(array_distinct(shingles(toks, k))).as("s"))
-    val probeShingles = sh.filter(col("is_probe")).select("s").distinct()
-    sh.filter(!col("is_probe"))
-      .join(probeShingles, "s")
+    // Per-doc distinct shingles, shuffled as 8-byte xxhash64 keys instead of
+    // the ~10x-wider shingle strings; the probe membership filter runs BEFORE
+    // the explode so the probe branch scans ~8% of documents instead of
+    // exploding everything and discarding 92%. Both join inputs are distinct
+    // (array_distinct per doc, .distinct() on the probe set), so the join
+    // emits each (doc_id, shingle) at most once and a plain count replaces
+    // the two-phase count_distinct. Hash-key equality stands in for string
+    // equality with collision odds ~(#shingles)^2 / 2^65 — immaterial next
+    // to the md5-prefix probe sampling this check is built on.
+    //
+    // The tokens land in a NAMED column before the shingle lambda touches
+    // them: each element_at(toks, i) inside the transform re-evaluates its
+    // input expression (no CSE in HOF eval), so inlining split() here means
+    // re-tokenizing the document 3x per shingle — measured 6x slower at
+    // sf0.1. CollapseProject keeps a multiply-referenced non-trivial alias
+    // materialized, so the named column is evaluated once per row.
+    def shingleKeys(df: DataFrame): DataFrame =
+      df.withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("toks"), k))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val probeKeys = shingleKeys(docs.filter(isProbe)).select("sh").distinct()
+    shingleKeys(docs.filter(!isProbe))
+      .join(probeKeys, "sh")
       .groupBy("doc_id")
-      .agg(count_distinct(col("s")).as("n_overlap"))
+      .agg(count(col("sh")).as("n_overlap"))
       .select(col("doc_id"), col("n_overlap"))
   }
 
