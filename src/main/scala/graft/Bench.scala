@@ -7,11 +7,15 @@ import org.apache.spark.sql.SparkSession
   * silently benched as fast.
   *
   * Each query is timed SPARK_GRAFT_REPS times (default 3) and the
-  * per-query MEDIAN is reported: single-pass timings on a shared box
-  * have recorded 3-6x phantom regressions from GC/JIT/neighbor noise,
-  * and the median of three passes is robust to one bad pass while
-  * staying cheap. Queries that populate intra-JVM caches (ALS model,
-  * streaming staging) pay that cost in pass 1 only; the median then
+  * per-query MINIMUM is reported. Single-pass timings on a shared box
+  * recorded 3-6x phantom regressions from GC/JIT/neighbor noise; the
+  * round-5 median-of-3 still recorded 14x phantoms (q85 73s vs 4.9s
+  * quiet, q60 37s vs 2.9s) when contention spanned all three passes.
+  * Scheduler/neighbor noise is strictly additive, so the minimum is
+  * the best estimator of intrinsic plan cost — the quiet-machine
+  * number rounds are compared on (same rationale as Python timeit's
+  * repeat-min). Queries that populate intra-JVM caches (ALS model,
+  * streaming staging) pay that cost in pass 1 only; the min then
   * reflects steady-state cost, which is the comparable signal across
   * rounds. */
 object Bench {
@@ -51,10 +55,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.toVector
-      val median =
+      val best =
         if (err.isDefined) -1.0
-        else times.sorted.apply(times.size / 2)
-      (name, median, err)
+        else times.min
+      (name, best, err)
     }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }

@@ -108,14 +108,17 @@ object TextAnalysis {
   }
 
   /** Distinct word-k-shingle count per document (the MinHash front end). */
-  def shingleStats(docs: DataFrame, k: Int = 3): DataFrame = {
-    val toks = tokens(col("text"))
-    val sh = shingles(toks, k)
-    docs.filter(size(toks) >= k).select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
-  }
+  def shingleStats(docs: DataFrame, k: Int = 3): DataFrame =
+    // Tokens in a named column: element_at inside the shingle lambda
+    // re-evaluates its input per element (no CSE in HOF eval), so an
+    // inlined split() would re-tokenize the text k times per shingle.
+    docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(shingles(col("toks"), k))).cast("long")
+          .as("n_distinct_shingles"))
 
   /** Word k-shingles as an array column (1-based `element_at` windows). */
   def shingles(toks: Column, k: Int): Column =
