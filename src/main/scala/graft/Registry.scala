@@ -741,7 +741,53 @@ object Registry {
         | FROM t)
         |SELECT source, doc_id, n_tokens, start_offset,
         | CAST(start_offset // 2048 AS BIGINT) AS seq_id
-        |FROM c ORDER BY source, doc_id""".stripMargin))
+        |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // Streaming ingest dedup: the settled result of the watermark-evictable
+    // dropDuplicatesWithinWatermark state is exactly the distinct key set.
+    "q89_streaming_dedup" -> Entry(
+      (s, d) => Events.streamingDedupKeys(s, d).orderBy("user_id", "event_type"), Some(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    "q90_repetition" -> Entry(
+      (s, d) => TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+        |      FROM t WHERE len(t) >= 3)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        | CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+        | round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE), 6)
+        |   AS repetition
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Priority = integer value of a 15-hex-char (60-bit) salted md5 prefix —
+    // Spark's conv(hex,16,10) and DuckDB's '0x' cast parse the same digits.
+    "q91_stratified_sample" -> Entry(
+      (s, d) => Curation.stratifiedSample(docs(s, d))
+        .orderBy("lang", "priority", "doc_id"), Some(
+      """WITH h AS (SELECT lang, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT)
+        |    AS priority
+        | FROM documents),
+        |r AS (SELECT lang, doc_id, priority,
+        |  row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn FROM h)
+        |SELECT lang, priority, doc_id FROM r WHERE rn <= 50
+        |ORDER BY lang, priority, doc_id""".stripMargin)),
+
+    "q92_quantize_embeddings" -> Entry(
+      (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
+      """WITH m AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        | FROM embeddings),
+        |s AS (SELECT vec_id, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m),
+        |px AS (SELECT e.vec_id, s.scale, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |        unnest(range(0, len(e.embedding))) AS pos
+        |       FROM embeddings e JOIN s USING (vec_id))
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        | CAST(floor(x * scale + 0.5) AS BIGINT) AS q, round(scale, 6) AS scale
+        |FROM px ORDER BY vec_id, pos""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

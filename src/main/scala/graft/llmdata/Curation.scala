@@ -154,6 +154,32 @@ object Curation {
     packSequences(gated.join(train, "doc_id"), budget)
   }
 
+  /** Stratified fixed-N sample: exactly `n` documents per stratum (lang),
+    * selected uniformly-at-random but deterministically — each document's
+    * priority is a 60-bit integer parsed from its salted md5 prefix, and
+    * the `n` smallest priorities win per stratum. Same engine-free
+    * determinism as [[hashSample]], but with an exact per-group count
+    * (hashSample's threshold keeps a fraction, not a count).
+    *
+    * Scale shape: the priorities aggregate through the bounded
+    * [[KeepNSmallest]] buffer (map-side combine, constant <=n state per
+    * stratum — no per-stratum Window funnel), then a semi-join on
+    * (stratum, priority) recovers the winning rows. Priority collisions
+    * would need two equal 60-bit md5 prefixes inside one stratum
+    * (~corpus^2 / 2^61) — and both engines compute the identical md5, so
+    * the comparison cannot diverge even then. */
+  def stratifiedSample(docs: DataFrame, n: Int = 50): DataFrame = {
+    val priority = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 15),
+      16, 10).cast("long")
+    val keepN = udaf(new KeepNSmallest(n), Encoders.scalaLong)
+    val prio = docs.select(col("lang"), col("doc_id"), priority.as("priority"))
+    val winners = prio.groupBy("lang").agg(keepN(col("priority")).as("ps"))
+      .select(col("lang"), explode(col("ps")).as("priority"))
+    prio.join(winners, Seq("lang", "priority"), "left_semi")
+      .select(col("lang"), col("priority"), col("doc_id"))
+  }
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

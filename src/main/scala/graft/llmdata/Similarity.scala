@@ -155,4 +155,29 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg("v"), 6).as("centroid_v"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid_v"))
+
+  /** Symmetric int8 quantization — the storage/bandwidth step before an
+    * ANN index is built or embeddings are shipped to a trainer: per vector,
+    * scale = 127 / max|x| and q_i = floor(x_i * scale + 0.5). The floor
+    * form (not round()) keeps the half-way rule identical across engines
+    * (round() is half-even vs half-away depending on engine/type); the
+    * extrema map to exactly ±127, so the int8 range is never exceeded.
+    * A narrow per-row projection; the output rides posexplode so the
+    * quantized values are flat (vec_id, pos, q) rows — the oracle-
+    * comparable form, and the layout a columnar sink wants anyway. Vectors
+    * with max|x| = 0 quantize to all-zero with scale 0 (guarded divide). */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    // xs/scale ride named columns: referenced from inside the transform
+    // lambda, an inlined expression would be re-evaluated per element
+    // (no CSE in HOF eval — the array_max alone would make it O(dim^2)
+    // per row). CollapseProject keeps multiply-referenced aliases put.
+    emb.withColumn("xs", VectorOps.asDouble(col("embedding")))
+      .withColumn("mx", array_max(transform(col("xs"), x => abs(x))))
+      .withColumn("scale",
+        when(col("mx") > 0.0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(col("xs"),
+          x => floor(x * col("scale") + lit(0.5)).cast("long"))).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
+        round(col("scale"), 6).as("scale"))
 }

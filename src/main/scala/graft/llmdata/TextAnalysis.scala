@@ -170,6 +170,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Repetition score — the boilerplate/degenerate-text quality signal
+    * (fraction of repeated word-k-shingles): 1 - distinct/total shingles.
+    * Template pages, keyboard mash, and copy-paste loops score high;
+    * natural prose scores near 0. A narrow per-row projection (no shuffle,
+    * no explode — the shingle arrays never leave the row), linear at any
+    * scale. Tokens ride a named column for the HOF-CSE reason documented
+    * on [[shingleStats]]. */
+  def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .withColumn("sh", shingles(col("toks"), k))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"),
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")).cast("double"), 6).as("repetition"))
+
   /** TF-IDF top-k terms per document — the classic distinctive-term scoring
     * a curation pipeline uses for topic profiling and boilerplate
     * detection. Shape: the wordcount explode+groupBy (map-side combined)

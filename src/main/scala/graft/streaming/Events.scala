@@ -349,6 +349,29 @@ object Events {
           (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
     }, outputMode = "append")
 
+  /** Streaming ingest dedup — the pipeline front door that keeps a
+    * re-delivered record (at-least-once sources re-send) from entering the
+    * corpus twice: `dropDuplicatesWithinWatermark` keyed on the record's
+    * identity, so dedup state is EVICTABLE once the watermark passes — the
+    * 100 TB requirement (a plain `dropDuplicates` on a stream retains
+    * every key ever seen). Keyed here on (user_id, event_type) — the
+    * events-table stand-in for a document fingerprint; at ingest scale the
+    * key would be [[graft.llmdata.TextAnalysis.fingerprint]].
+    *
+    * The projection keeps ONLY the key columns (plus `ts` for the
+    * watermark, dropped after): which physical duplicate survives a
+    * single-micro-batch file source is a partition race, so any non-key
+    * column would make the settled output nondeterministic. The settled
+    * result is exactly the distinct key set — the deterministic contract,
+    * oracle-checked with a DISTINCT. */
+  def streamingDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => stream
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type")),
+      outputMode = "append")
+
   /** Sessionization as a genuine Structured Streaming query using the
     * built-in `session_window` (merging session state per user) — the
     * streaming mirror of [[sessionize]], checked against the same oracle.

@@ -46,6 +46,33 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"quotaCap planned a Window:\n$plan")
   }
 
+  test("stratifiedSample: exact per-stratum count, window-reference parity, no Window funnel") {
+    val n = 5
+    val got = Curation.stratifiedSample(docs, n)
+    val sizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, c) =>
+      assert(sizes.getOrElse(lang, 0L) === math.min(n.toLong, c),
+        s"stratum $lang: expected min($n, $c)")
+    }
+    val priority = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("priority", "doc_id")
+    val exp = docs.select(col("lang"), col("doc_id"), priority.as("priority"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotSet = got.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotSet === exp)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"stratifiedSample planned a Window:\n$plan")
+  }
+
   test("KeepNSmallest agrees with sorted.take(n) under random reduce/merge orders") {
     val rnd = new scala.util.Random(11)
     for (_ <- 0 until 50) {

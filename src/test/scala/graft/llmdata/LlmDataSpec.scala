@@ -52,6 +52,38 @@ class LlmDataSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("repetitionScore: zero for all-distinct shingles, exact ratio for repeated text") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f"), (2L, "x y x y x y x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((4L, 4L, 0.0)))
+    // 8 tokens -> 6 shingles, only "x y x" and "y x y" distinct: 1 - 2/6
+    assert(r(2L)._1 === 6L && r(2L)._2 === 2L)
+    assert(math.abs(r(2L)._3 - 0.666667) < 1e-9)
+  }
+
+  test("quantizeEmbeddings: extrema hit ±127, zero vector guarded, dequantization bounded") {
+    import spark.implicits._
+    val d = Seq((1L, Array(0.5f, -1.0f, 0.25f), 0), (2L, Array(0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeEmbeddings(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(q((1L, 0L)) === ((64L, 127.0)))   // floor(0.5*127 + 0.5)
+    assert(q((1L, 1L)) === ((-127L, 127.0))) // the abs-max element
+    assert(q((1L, 2L)) === ((32L, 127.0)))   // floor(31.75 + 0.5)
+    (0 to 2).foreach(p => assert(q((2L, p.toLong)) === ((0L, 0.0))))
+    // dequantization error <= 0.5/scale on the real corpus
+    val emb = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val bad = Similarity.quantizeEmbeddings(emb)
+      .join(emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x"))), Seq("vec_id", "pos"))
+      .filter(col("scale") > 0 &&
+        abs(col("q") / col("scale") - col("x")) > lit(0.5000001) / col("scale"))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("exact dedup groups and keep-first") {
     val groups = Dedup.exactGroups(docsWithDups).collect()
     assert(groups.length === 3)

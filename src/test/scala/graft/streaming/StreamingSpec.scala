@@ -11,6 +11,16 @@ class StreamingSpec extends AnyFunSuite {
   private def canon(rows: Array[Row]): Set[(Long, String, Long, Double)] =
     rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
+  test("streaming dedup settles to exactly the batch distinct key set") {
+    val got = Events.streamingDedupKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(exp.nonEmpty)
+    assert(got === exp)
+  }
+
   test("structured-streaming tumbling agg equals the batch plan") {
     val batch = Events.tumblingCounts(spark, dir).collect()
     val stream = Events.streamingTumblingCounts(spark, dir).collect()
