@@ -573,10 +573,8 @@ object Registry {
     // train-split — training twice bought nothing but wall-clock. AlsSpec
     // asserts the train split covers every rated user, so no user silently
     // drops out of q60 relative to full-data training.
-    "q60_als_recommend" -> Entry((s, d) => {
-      val (model, _) = AlsRecommender.trainedOn(s, d)
-      AlsRecommender.recommendTopK(model).orderBy("user", "rank")
-    }, None),
+    "q60_als_recommend" -> Entry((s, d) =>
+      AlsRecommender.recommendTopKOn(s, d).orderBy("user", "rank"), None),
 
     "q61_als_eval" -> Entry((s, d) => {
       // Held-out fit quality as a 1-row result (rows-only for the driver;
