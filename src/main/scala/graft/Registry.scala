@@ -655,6 +655,11 @@ object Registry {
     "q82_approx_distinct" -> Entry(
       (s, d) => Curation.approxDistinctTexts(docs(s, d)), None),
 
+    // GK-sketch internals are engine-specific — rows-only; CurationSpec
+    // pins the rank-error envelope against the exact quantiles (q81).
+    "q93_approx_quantiles" -> Entry(
+      (s, d) => Curation.approxLengthQuantiles(docs(s, d)).orderBy("lang", "q_pos"), None),
+
     "q83_tfidf_topk" -> Entry(
       (s, d) => TextAnalysis.tfIdfTopK(docs(s, d)).orderBy("doc_id", "rank"), Some(
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -25,10 +25,20 @@ object Bucketing {
 
   private val NumBuckets = 8
 
+  /** Catalog names carry a digest of the source dir: the existence check
+    * below is the once-per-(catalog, dir) guard, and a name shared across
+    * dirs would silently serve the first dir's data to every later one
+    * (caught by RegistryEmptySpec driving the registry at a second dir). */
+  private def name(base: String, dir: String): String = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${base}_$sfx"
+  }
+
   /** Create (once per session catalog + dir) bucketed, sorted copies of
     * orders and lineitem keyed on the order key. */
   def ensureBucketed(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!spark.catalog.tableExists("graft_orders_bucketed")) {
+    if (!spark.catalog.tableExists(name("graft_orders_bucketed", dir))) {
       val base = TempDirs.scratch("graft-bucketed")
       // repartition on the bucket key first: one writer task per bucket →
       // exactly one file per bucket, which is the condition under which
@@ -39,15 +49,23 @@ object Bucketing {
         .write.format("parquet")
         .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", base.resolve("orders").toString)
-        .mode("overwrite").saveAsTable("graft_orders_bucketed")
+        .mode("overwrite").saveAsTable(name("graft_orders_bucketed", dir))
       spark.read.parquet(s"$dir/lineitem.parquet")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .repartition(NumBuckets, col("l_orderkey"))
         .write.format("parquet")
         .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", base.resolve("lineitem").toString)
-        .mode("overwrite").saveAsTable("graft_lineitem_bucketed")
+        .mode("overwrite").saveAsTable(name("graft_lineitem_bucketed", dir))
     }
+  }
+
+  /** The bucketed copies of (orders, lineitem) for `dir`, creating them if
+    * needed — the table-resolution seam BucketingSpec drives directly. */
+  def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    ensureBucketed(spark, dir)
+    (spark.table(name("graft_orders_bucketed", dir)),
+      spark.table(name("graft_lineitem_bucketed", dir)))
   }
 
   /** Revenue per order priority through the bucketed join: the join on the
@@ -55,9 +73,7 @@ object Bucketing {
     * left is the small post-join aggregation). Result is identical to the
     * plain-parquet join — bucketing is pure layout, never semantics. */
   def revenueByPriority(spark: SparkSession, dir: String): DataFrame = {
-    ensureBucketed(spark, dir)
-    val o = spark.table("graft_orders_bucketed")
-    val l = spark.table("graft_lineitem_bucketed")
+    val (o, l) = bucketedTables(spark, dir)
     bucketedJoinPlan(o, l)
   }
 

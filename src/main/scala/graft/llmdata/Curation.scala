@@ -180,6 +180,23 @@ object Curation {
       .select(col("lang"), col("priority"), col("doc_id"))
   }
 
+  /** The scale path of [[lengthQuantiles]]: Greenwald-Khanna approximate
+    * quantiles via `approx_percentile`, whose sketch is CONSTANT-size per
+    * group (vs `percentile`'s per-group value buffer — fine at this
+    * stratum cardinality, unbounded for arbitrary group-bys) and combines
+    * map-side. `accuracy` trades sketch size for rank error 1/accuracy.
+    * Sketch internals are engine-specific, so this is rows-only for the
+    * driver; CurationSpec pins the estimates inside the rank-error
+    * envelope against the exact interpolated quantiles. */
+  def approxLengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 1000): DataFrame =
+    docs.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), typedlit(qs), lit(accuracy)).as("quants"))
+      .select(col("lang"), posexplode(col("quants")).as(Seq("pos", "quantile")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("q_pos"),
+        col("quantile").cast("double").as("quantile"))
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

@@ -81,6 +81,16 @@ object Similarity {
     * buckets on L2-normalized vectors ≈ cosine buckets. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       bucketLength: Double = 2.0, numHashTables: Int = 4): DataFrame = {
+    // Empty-corpus guard: MLlib's LSH fit reads the first row to size its
+    // hyperplanes and throws on zero rows; an empty corpus means an empty
+    // (but well-typed) result. The head(1) probe is one limit-1 task —
+    // noise next to the fit that follows.
+    if (emb.head(1).isEmpty) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "cand_id", "cosine_approx", "rank")
+    }
     val normed = emb.select(col("vec_id"), col("label"),
       array_to_vector(VectorOps.scale(col("embedding"),
         lit(1.0) / VectorOps.l2Norm(col("embedding")))).as("features"))
@@ -114,6 +124,11 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Empty-corpus guard, as in [[lshTopK]]: KMeans cannot quantize zero
+    // points; an empty corpus yields an empty well-typed result.
+    if (emb.head(1).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "cand_id", "cosine")
     val normed = emb.select(col("vec_id"), col("embedding"),
       VectorOps.scale(col("embedding"), lit(1.0) / VectorOps.l2Norm(col("embedding"))).as("narr"))
       .withColumn("features", array_to_vector(col("narr")))

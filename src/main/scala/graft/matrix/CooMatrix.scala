@@ -171,10 +171,10 @@ final case class CooMatrix(df: DataFrame) {
     * `matrix-norm` (`core.clj:134-136`). Two-level aggregation. */
   def l21Norm: Double =
     df.groupBy(Row).agg(sqrt(sum(col(Value) * col(Value))).as("n"))
-      .agg(sum("n")).head().getDouble(0)
+      .agg(coalesce(sum("n"), lit(0.0))).head().getDouble(0)
 
   def grandTotal: Double =
-    df.agg(sum(Value)).head().getDouble(0)
+    df.agg(coalesce(sum(Value), lit(0.0))).head().getDouble(0)
 
   /** Materialize + truncate lineage (the iterative-algorithm pattern —
     * without this, `converge`'s plan grows O(iterations)).
@@ -254,13 +254,17 @@ object Marginals {
         coalesce(col("__b"), lit(0.0)).as("__b"))
   }
 
+  // Scalar reductions below coalesce the empty-input SUM to 0.0 (Σ over ∅
+  // = 0): an all-empty matrix must flow through norms/loss/convergence as
+  // the zero element, not surface SQL NULL into Row.getDouble.
+
   /** Σ xᵢ·yᵢ. Reference `dot` (`core.clj:11-16`). */
   def dot(a: DataFrame, b: DataFrame): Double =
-    zipped(a, b).agg(sum(col("__a") * col("__b"))).head().getDouble(0)
+    zipped(a, b).agg(coalesce(sum(col("__a") * col("__b")), lit(0.0))).head().getDouble(0)
 
   /** √(x·x). Reference `L2-norm` (`core.clj:23-26`). */
   def l2Norm(a: DataFrame): Double =
-    math.sqrt(a.agg(sum(col(Value) * col(Value))).head().getDouble(0))
+    math.sqrt(a.agg(coalesce(sum(col(Value) * col(Value)), lit(0.0))).head().getDouble(0))
 
   /** Element-wise a−b as a marginal. Reference `diff-vector` (`core.clj:18-21`). */
   def diffVector(a: DataFrame, b: DataFrame): DataFrame =
@@ -271,8 +275,9 @@ object Marginals {
     * semantics exactly; do not "fix" to a true RMSE. */
   def rmse(observed: DataFrame, predicted: DataFrame): Double = {
     val d = zipped(observed, predicted)
-    math.sqrt(d.agg(sum(pow(col("__a") - col("__b"), 2))).head().getDouble(0))
+    math.sqrt(d.agg(coalesce(sum(pow(col("__a") - col("__b"), 2)), lit(0.0))).head().getDouble(0))
   }
 
-  def total(a: DataFrame): Double = a.agg(sum(Value)).head().getDouble(0)
+  def total(a: DataFrame): Double =
+    a.agg(coalesce(sum(Value), lit(0.0))).head().getDouble(0)
 }

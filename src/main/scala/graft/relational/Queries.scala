@@ -455,16 +455,20 @@ object Queries {
     * cached per (JVM, dir) so repeated query runs re-scan, not re-write,
     * and the scratch dir is shutdown-hook-deleted ([[graft.io.TempDirs]]);
     * PlanLintSpec asserts the PartitionFilters actually appear. */
-  private val partitionedSinkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val partitionedSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
   def partitionPrunedScan(s: SparkSession, dir: String, month: Int = 3): DataFrame = {
-    val out = partitionedSinkCache.computeIfAbsent(dir, _ => {
+    // The writer's schema rides the cache: a zero-row write leaves no data
+    // files, and a schema-less read of that layout cannot infer one — the
+    // empty slice of a partitioned table must still be a well-typed scan.
+    val (out, schema) = partitionedSinkCache.computeIfAbsent(dir, _ => {
       val path = graft.io.TempDirs.scratch("graft-partitioned")
         .resolve("coo_by_month").toString
-      cooExact(s, dir, "l_quantity")
-        .write.partitionBy("mcol").mode("overwrite").parquet(path)
-      path
+      val coo = cooExact(s, dir, "l_quantity")
+      coo.write.partitionBy("mcol").mode("overwrite").parquet(path)
+      (path, coo.schema)
     })
-    s.read.parquet(out)
+    s.read.schema(schema).parquet(out)
       .filter(col("mcol") === month)
       .select(col("mrow"), col("mcol").cast("long").as("mcol"), col("mval"))
       .orderBy("mrow")

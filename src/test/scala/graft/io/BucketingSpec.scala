@@ -19,9 +19,7 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("bucketed join: no Exchange on the join inputs; parity with plain join") {
-    Bucketing.ensureBucketed(spark, TestSpark.sfDir)
-    val o = spark.table("graft_orders_bucketed")
-    val l = spark.table("graft_lineitem_bucketed")
+    val (o, l) = Bucketing.bucketedTables(spark, TestSpark.sfDir)
     val joined = l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")

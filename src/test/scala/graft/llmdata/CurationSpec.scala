@@ -46,6 +46,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"quotaCap planned a Window:\n$plan")
   }
 
+  test("approxLengthQuantiles: every estimate is a data value within the GK rank-error envelope") {
+    val got = Curation.approxLengthQuantiles(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byLang = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    assert(got.length === byLang.size * qs.length)
+    got.foreach { case (lang, qPos, est) =>
+      val v = byLang(lang)
+      assert(v.contains(est), s"$lang q$qPos estimate $est is not a data value")
+      // rank error bound: |rank(est) - q*n| <= n/accuracy + 1
+      val target = qs(qPos.toInt - 1) * v.length
+      val lo = v.indexOf(est)
+      val hi = v.lastIndexOf(est)
+      val slack = v.length / 1000.0 + 1.0
+      assert(lo - slack <= target && target <= hi + 1 + slack,
+        s"$lang q$qPos: rank of $est ([$lo,$hi]) outside envelope around $target")
+    }
+  }
+
   test("stratifiedSample: exact per-stratum count, window-reference parity, no Window funnel") {
     val n = 5
     val got = Curation.stratifiedSample(docs, n)
