@@ -279,6 +279,32 @@ object Registry {
          |  FROM f1 JOIN cs ON f1.mcol = cs.mcol JOIN y ON f1.mcol = y.idx)
          |SELECT mrow, mcol, mval FROM f2 ORDER BY 1, 2""".stripMargin)),
 
+    // Fixed-2-sweep unrolled IPF — the q76 sweep CHAINED, closing the
+    // `converge` loop-semantics oracle gap (q26 stays rows-only for the
+    // stopping rule). Every fit mirrors fitRowsExact: the factor denominator
+    // is a DECIMAL(38,6) sum (order-independent, engine-exact) and every
+    // fit output is rounded to 6dp before the next sweep consumes it.
+    "q94_ipf_unrolled" -> Entry((s, d) => Queries.ipfUnrolled(s, d), Some(
+      s"""WITH m AS (${cooSql("l_extendedprice")}),
+         |x AS (SELECT l_partkey AS idx, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xval
+         |  FROM lineitem GROUP BY 1),
+         |y AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS idx,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS yval
+         |  FROM lineitem GROUP BY 1),
+         |rs1 AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS rsum FROM m GROUP BY 1),
+         |f1 AS (SELECT m.mrow, m.mcol, round(m.mval * (x.xval / rs1.rsum), 6) AS mval
+         |  FROM m JOIN rs1 ON m.mrow = rs1.mrow JOIN x ON m.mrow = x.idx),
+         |cs1 AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM f1 GROUP BY 1),
+         |f2 AS (SELECT f1.mrow, f1.mcol, round(f1.mval * (y.yval / cs1.csum), 6) AS mval
+         |  FROM f1 JOIN cs1 ON f1.mcol = cs1.mcol JOIN y ON f1.mcol = y.idx),
+         |rs2 AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS rsum FROM f2 GROUP BY 1),
+         |f3 AS (SELECT f2.mrow, f2.mcol, round(f2.mval * (x.xval / rs2.rsum), 6) AS mval
+         |  FROM f2 JOIN rs2 ON f2.mrow = rs2.mrow JOIN x ON f2.mrow = x.idx),
+         |cs2 AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM f3 GROUP BY 1),
+         |f4 AS (SELECT f3.mrow, f3.mcol, round(f3.mval * (y.yval / cs2.csum), 6) AS mval
+         |  FROM f3 JOIN cs2 ON f3.mcol = cs2.mcol JOIN y ON f3.mcol = y.idx)
+         |SELECT mrow, mcol, mval FROM f4 ORDER BY 1, 2""".stripMargin)),
+
     "q28_matrix_norm" -> Entry(Queries.matrixNorm, Some(
       s"""WITH m AS (${cooSql("l_extendedprice")}),
          |r AS (SELECT mrow, sqrt(CAST(sum(CAST(mval * mval AS DECIMAL(38,4))) AS DOUBLE)) AS n

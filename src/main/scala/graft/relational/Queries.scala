@@ -284,6 +284,37 @@ object Queries {
     named(sweep2, roundTo = 6)
   }
 
+  /** Fixed-k unrolled IPF — the reference `converge` loop body
+    * (core.clj:99-119) run for exactly `steps` full sweeps (each sweep =
+    * `step`, core.clj:89-97: row fit to x, column fit to y), expressed so a
+    * SQL engine can replay it as chained CTEs and hash-match bit-for-bit.
+    * This closes the one §2 gap q76 left: q76 proves a single sweep, this
+    * proves the *chained* loop semantics (each sweep consuming the previous
+    * sweep's output) with a cross-engine oracle; q26 keeps the genuinely
+    * iterative driver (loss-lag stopping, checkpoint cadence) as rows-only.
+    *
+    * Cross-engine determinism, compounding over sweeps: every fit is
+    * [[CooMatrix.fitRowsExact]] — the factor denominator aggregates through
+    * DECIMAL(38,6), so it is order-independent and equals DuckDB's decimal
+    * sum exactly — and every fit's output is rounded to 6dp before the next
+    * fit consumes it, so both engines re-enter each sweep from identical
+    * 6dp-representable cells. Transposes are pure projections; the plan is
+    * 2·steps (agg + broadcast-able join) pairs, the same shape per sweep as
+    * the production [[ipfConverge]] loop. */
+  def ipfUnrolled(s: SparkSession, dir: String, steps: Int = 2): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
+      .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
+    var m = asCoo(cooExact(s, dir, "l_extendedprice"))
+    for (_ <- 1 to steps) {
+      m = m.fitRowsExact(x).mapValues(round(_, 6))
+      m = m.transpose.fitRowsExact(y).mapValues(round(_, 6)).transpose
+    }
+    named(m)
+  }
+
   /** Full distributed IPF convergence on the lineitem COO (rows-only
     * check — iterative, not single-statement SQL). */
   def ipfConverge(s: SparkSession, dir: String, maxIter: Int = 8): DataFrame = {

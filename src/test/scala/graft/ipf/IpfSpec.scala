@@ -11,6 +11,46 @@ class IpfSpec extends AnyFunSuite {
   val y = Vector(40.0, 35.0, 25.0)    // col marginal (same total mass: 100)
   val seed = Vector(Vector(1.0, 2.0, 1.0), Vector(3.0, 1.0, 2.0))
 
+  test("ipfUnrolled: bit-exact vs a local BigDecimal replay of 2 chained sweeps") {
+    import graft.relational.Queries
+    val dir = TestSpark.sfDir
+    // Inputs, collected once from the (independently oracle-proven) COO and
+    // marginal builders; the replay below shares no Spark execution with the
+    // query under test.
+    val cells = Queries.cooExact(spark, dir, "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    import org.apache.spark.sql.functions._
+    val xm = li.groupBy(col("l_partkey")).agg(Queries.dsum(col("l_quantity")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ym = li.groupBy(month(col("l_shipdate")).cast("long").as("m"))
+      .agg(Queries.dsum(col("l_quantity")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fitRowsExact replay: DECIMAL(38,6)-exact denominator per key, double
+    // factor, double multiply, HALF_UP 6dp round — the contract both engines
+    // implement.
+    def fit(m: Map[(Long, Long), Double], keyOf: ((Long, Long)) => Long,
+        marg: Map[Long, Double]): Map[(Long, Long), Double] = {
+      val sums = m.toSeq.groupBy { case (k, _) => keyOf(k) }
+        .map { case (g, kvs) =>
+          g -> kvs.map { case (_, v) => BigDecimal(v).setScale(6) }.sum.toDouble }
+      m.map { case (k, v) => k -> round6(v * (marg(keyOf(k)) / sums(keyOf(k)))) }
+    }
+    var local = cells
+    for (_ <- 1 to 2) {
+      local = fit(local, _._1, xm)   // row fit to x
+      local = fit(local, _._2, ym)   // column fit to y
+    }
+    val got = Queries.ipfUnrolled(spark, dir, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === local.keySet)
+    val diverged = got.filter { case (k, v) => v != local(k) }
+    assert(diverged.isEmpty,
+      s"${diverged.size} cells diverged from the local replay, e.g. ${diverged.take(3)}")
+  }
+
   test("dense converge reproduces both marginals") {
     val r = Dense.converge(x, y, seed, threshold = 1e-12, maxIter = 1000)
     Dense.sumRows(r.matrix).zip(x).foreach { case (got, want) => assert(math.abs(got - want) < 1e-6) }
