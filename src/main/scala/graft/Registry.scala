@@ -470,6 +470,30 @@ object Registry {
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Two-sided fuzzy decontamination: probe = the q85 benchmark split
+    // (md5 ':probe' prefix < '15', ~8%), corpus = the rest; near-dup pairs
+    // at exact Jaccard >= 0.5 via the corpus×probe MinHash band join. The
+    // oracle is the exact threshold join — LSH recall at this margin is
+    // effectively perfect (q43's argument, two-sided).
+    "q95_fuzzy_contamination" -> Entry((s, d) => {
+      val dd = docs(s, d)
+      val pr = substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)
+      Dedup.fuzzyContamination(dd.filter(pr >= "15"), dd.filter(pr < "15"))
+        .orderBy("doc_id", "probe_doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT * FROM s WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':probe'), 1, 2) >= '15'),
+        |p AS (SELECT * FROM s WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':probe'), 1, 2) < '15'),
+        |j AS (SELECT c.doc_id AS doc_id, p.doc_id AS probe_doc_id,
+        |   round(CAST(len(list_intersect(c.sh, p.sh)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(c.sh, p.sh))) AS DOUBLE), 6) AS jaccard
+        |  FROM c, p)
+        |SELECT doc_id, probe_doc_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_id, probe_doc_id""".stripMargin)),
+
     "q44_simhash" -> Entry(
       (s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id"), None),
 

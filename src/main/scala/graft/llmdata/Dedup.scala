@@ -93,6 +93,49 @@ object Dedup {
       .filter(col("jaccard") >= simThreshold)
   }
 
+  /** Two-sided fuzzy decontamination — the near-dup generalization of the
+    * exact-shingle-overlap check ([[TextAnalysis.contaminationCheck]]):
+    * flag (corpus doc, probe doc) pairs whose word-3-shingle sets are
+    * near-duplicates (exact Jaccard >= `simThreshold`), catching the
+    * paraphrased benchmark leakage exact overlap misses.
+    *
+    * Same candidates→verify shape as [[minhashNearDup]], generalized off
+    * the self-join: MinHash+LSH banded equi-join between the two sides
+    * (O(corpus + probe) bucketing — never a cross product), then exact
+    * Jaccard verification on the raw shingle sets. The recall argument is
+    * [[minhashNearDup]]'s: a qualifying pair escapes only if all
+    * `numHashTables` OR'd tables disagree — (1-s)^L, negligible at the
+    * corpus's similarity margin — and the 0.1 candidate-distance slack
+    * absorbs HashingTF bucket-collision distortion at the boundary. At
+    * scale the probe side (a benchmark suite) is tiny next to the corpus:
+    * the band join broadcasts it and the corpus is never shuffled. */
+  def fuzzyContamination(corpus: DataFrame, probe: DataFrame,
+      simThreshold: Double = 0.5, numHashTables: Int = 8): DataFrame = {
+    val shC = shingled3(corpus)
+    val shP = shingled3(probe)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featsC = tf.transform(shC).persist(StorageLevel.MEMORY_AND_DISK)
+    val featsP = tf.transform(shP).persist(StorageLevel.MEMORY_AND_DISK)
+    // MinHash hash functions are drawn from the seed, not the data — fitting
+    // on either side yields the same family; fit on the (small) probe side.
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(featsP)
+    val candDist = math.min(1.0, 1.0 - simThreshold + 0.1)
+    val cand = model.approxSimilarityJoin(featsC, featsP, candDist, "est_dist")
+      .select(col("datasetA.doc_id").as("doc_id"),
+        col("datasetB.doc_id").as("probe_doc_id"))
+    cand
+      .join(shC.select(col("doc_id"), col("shingles").as("sh_c")), "doc_id")
+      .join(shP.select(col("doc_id").as("probe_doc_id"), col("shingles").as("sh_p")),
+        "probe_doc_id")
+      .select(col("doc_id"), col("probe_doc_id"),
+        round(size(array_intersect(col("sh_c"), col("sh_p"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_p"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
+  }
+
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
     * candidate set (the verification stage after LSH candidate generation,
     * or a direct small-corpus near-dup pass). Pairs come from the

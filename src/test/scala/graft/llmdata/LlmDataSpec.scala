@@ -84,6 +84,54 @@ class LlmDataSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("fuzzyContamination: known cross pairs on a synthetic fixture; corpus-corpus pairs excluded") {
+    // t1..t8 with the LAST token changed -> 5 of 7 distinct shingles shared
+    // (J = 5/7 ≈ 0.714); an identical pair (J = 1); an unrelated doc (J = 0);
+    // and a corpus-corpus near-dup pair that must NOT surface (two-sided op).
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),   // near-dup of probe 1
+      (11L, "nothing in common with any probe document here"),
+      (12L, "one two three four five six seven eight nine"),    // exact dup of probe 2
+      (13L, "red orange yellow green blue indigo violet pink"), // near-dup of 14 (corpus side)
+      (14L, "red orange yellow green blue indigo violet black")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "isolated probe text sharing zero shingles entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(corpus, probe, simThreshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((10L, 1L, 0.714286), (12L, 2L, 1.0)))
+  }
+
+  test("fuzzyContamination: exact parity with the brute-force threshold join on the testdata") {
+    val real = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val isProbe = (id: Long) => md5hex(s"$id:probe").take(2) < "15"
+    val sh = real.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, t) => (id, t.sliding(3).map(_.mkString(" ")).toSet) }
+    val (probeSh, corpusSh) = sh.partition { case (id, _) => isProbe(id) }
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (cid, cs) <- corpusSh
+      (pid, ps) <- probeSh
+      j = round6((cs & ps).size.toDouble / (cs | ps).size.toDouble)
+      if j >= 0.5
+    } yield (cid, pid, j)).toSet
+    val pr = substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)
+    val got = Dedup.fuzzyContamination(
+        real.filter(pr >= "15"), real.filter(pr < "15"), simThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"missed=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
   test("exact dedup groups and keep-first") {
     val groups = Dedup.exactGroups(docsWithDups).collect()
     assert(groups.length === 3)
