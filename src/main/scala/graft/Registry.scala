@@ -473,8 +473,11 @@ object Registry {
     // Two-sided fuzzy decontamination: probe = the q85 benchmark split
     // (md5 ':probe' prefix < '15', ~8%), corpus = the rest; near-dup pairs
     // at exact Jaccard >= 0.5 via the corpus×probe MinHash band join. The
-    // oracle is the exact threshold join — LSH recall at this margin is
-    // effectively perfect (q43's argument, two-sided).
+    // oracle is the exact threshold join — which hash-matches the LSH path
+    // only because this corpus has a wide similarity margin (pairs sit at
+    // s >= 0.9 or < 0.2, never near 0.5; a boundary pair would carry a
+    // ~(0.5)^8 per-pair miss odds — see Dedup.fuzzyContamination's scaladoc
+    // for the numHashTables dial if the corpus ever gains such pairs).
     "q95_fuzzy_contamination" -> Entry((s, d) => {
       val dd = docs(s, d)
       val pr = substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)

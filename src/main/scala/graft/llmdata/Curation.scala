@@ -147,7 +147,18 @@ object Curation {
     * (CurationSpec pins parity against [[packSequencesWindow]]), so the
     * DuckDB oracle stays the simple single-window SQL. `shardSpan` only
     * tunes parallelism: ≈ target-rows-per-window-partition; at 100 TB pick
-    * span ≈ (rows per source / desired parallelism). */
+    * span ≈ (rows per source / desired parallelism).
+    *
+    * Density precondition: the shard-offset table has one row per occupied
+    * `doc_id / shardSpan` bucket, so "tiny" assumes doc_ids are reasonably
+    * dense relative to `shardSpan` (the testdata's are sequential). With
+    * sparse/random 64-bit ids each document lands in its own shard and the
+    * offset table approaches one row per document — re-densify first (a
+    * `zipWithIndex`-style rank) or raise `shardSpan` toward the id spread.
+    * The offsets join deliberately carries NO broadcast hint: when the
+    * table really is tiny AQE broadcasts it at runtime from observed size,
+    * and when the precondition is violated it falls back to a shuffle join
+    * instead of OOMing the driver on a forced broadcast. */
   def packSequences(docs: DataFrame, budget: Long = 2048L,
       shardSpan: Long = 1L << 16): DataFrame = {
     require(shardSpan >= 1)
@@ -165,7 +176,7 @@ object Curation {
       .withColumn("shard_offset", sum("shard_tokens").over(wShard) - col("shard_tokens"))
       .select(col("source"), col("shard"), col("shard_offset"))
     val start = col("local_offset") + col("shard_offset")
-    intra.join(broadcast(offsets), Seq("source", "shard"))
+    intra.join(offsets, Seq("source", "shard"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         start.as("start_offset"),
         floor(start / budget).cast("long").as("seq_id"))

@@ -40,11 +40,25 @@ object Dedup {
     .select(col("doc_id"),
       array_distinct(TextAnalysis.shingles(col("toks"), 3)).as("shingles"))
 
+  /** Materialize an LSH-pipeline result eagerly (localCheckpoint cuts the
+    * lineage back to the stored blocks), then release the persisted feature
+    * frames. Without the checkpoint the returned DataFrame would lazily
+    * re-derive the features it just unpersisted; without the unpersist every
+    * call leaked its cached features for the life of the session (round-7
+    * advice). The checkpointed result — pairs over a threshold — is orders
+    * of magnitude smaller than the feature matrix it replaces in storage. */
+  private def settleAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Near-duplicate candidate pairs via MinHash+LSH over word-3-shingles.
     * Returns (doc_a, doc_b, jaccard_distance) with doc_a < doc_b. The
     * featurized signatures are persisted before `fit`/self-join — they are
     * consumed three times (fit + both join sides) and recomputing the
-    * shingling + 2^18-dim hashing dominated the round-1 runtime. */
+    * shingling + 2^18-dim hashing dominated the round-1 runtime — and
+    * released once the result settles. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8, numHashTables: Int = 8): DataFrame = {
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
@@ -52,12 +66,13 @@ object Dedup {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, threshold, "jaccard_distance")
+    val pairs = model.approxSimilarityJoin(feats, feats, threshold, "jaccard_distance")
       .select(
         col("datasetA.doc_id").as("doc_a"),
         col("datasetB.doc_id").as("doc_b"),
         col("jaccard_distance"))
       .filter(col("doc_a") < col("doc_b"))
+    settleAndRelease(pairs, feats)
   }
 
   /** Two-stage scalable near-dup detection with *exact* output: MinHash+LSH
@@ -84,13 +99,14 @@ object Dedup {
     val cand = model.approxSimilarityJoin(feats, feats, candDist, "est_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-    cand
+    val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
+    settleAndRelease(verified, feats)
   }
 
   /** Two-sided fuzzy decontamination — the near-dup generalization of the
@@ -104,9 +120,15 @@ object Dedup {
     * (O(corpus + probe) bucketing — never a cross product), then exact
     * Jaccard verification on the raw shingle sets. The recall argument is
     * [[minhashNearDup]]'s: a qualifying pair escapes only if all
-    * `numHashTables` OR'd tables disagree — (1-s)^L, negligible at the
-    * corpus's similarity margin — and the 0.1 candidate-distance slack
-    * absorbs HashingTF bucket-collision distortion at the boundary. At
+    * `numHashTables` OR'd tables disagree — (1-s)^L — and the 0.1
+    * candidate-distance slack absorbs HashingTF bucket-collision distortion
+    * at the boundary. "(1-s)^L negligible" is a MARGIN claim, not an
+    * absolute one: a pair sitting exactly at s = 0.5 still misses with
+    * ~0.5^8 ≈ 0.4% probability per table set. It holds because this corpus
+    * has no pairs near the threshold (near-dups sit at s >= 0.9, unrelated
+    * docs below 0.2); for a corpus with boundary-straddling pairs raise
+    * `numHashTables` until (1-threshold)^L clears the tolerated miss rate.
+    * At
     * scale the probe side (a benchmark suite) is tiny next to the corpus:
     * the band join broadcasts it and the corpus is never shuffled. */
   def fuzzyContamination(corpus: DataFrame, probe: DataFrame,
@@ -126,7 +148,7 @@ object Dedup {
     val cand = model.approxSimilarityJoin(featsC, featsP, candDist, "est_dist")
       .select(col("datasetA.doc_id").as("doc_id"),
         col("datasetB.doc_id").as("probe_doc_id"))
-    cand
+    val verified = cand
       .join(shC.select(col("doc_id"), col("shingles").as("sh_c")), "doc_id")
       .join(shP.select(col("doc_id").as("probe_doc_id"), col("shingles").as("sh_p")),
         "probe_doc_id")
@@ -134,6 +156,7 @@ object Dedup {
         round(size(array_intersect(col("sh_c"), col("sh_p"))).cast("double") /
           size(array_union(col("sh_c"), col("sh_p"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
+    settleAndRelease(verified, featsC, featsP)
   }
 
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded

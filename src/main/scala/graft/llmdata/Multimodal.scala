@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with typed metadata alongside. The decode step is
-  * STUBBED (this container has no image/audio codecs — see the builder
-  * brief): [[FakeDecoder]] is a deterministic stand-in with the exact
-  * signature a real codec plug-in would have. Everything around it —
-  * schema, batch iteration via `mapPartitions`, partitioning — is real
-  * Spark and is what matters at 100 TB: payload bytes are never shuffled,
-  * only scanned and reduced to fixed-width features.
+  * `binary` columns with typed metadata alongside. The decode step is a
+  * REAL dependency-free codec: payloads are valid binary P6 PPM images
+  * (the netpbm raw-RGB format — a public, header + raw-pixels layout any
+  * image tool reads) and [[PpmDecoder]] genuinely parses the header
+  * (magic, comments, dimensions, maxval) and reduces the pixel plane to
+  * per-channel statistics. Everything around it — schema, batch iteration
+  * via `mapPartitions`, partitioning — is what matters at 100 TB: payload
+  * bytes are never shuffled, only scanned and reduced to fixed-width
+  * features.
   */
 object Multimodal {
 
@@ -20,6 +22,25 @@ object Multimodal {
     * the document text bytes stand in — byte-identical plumbing). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Attach a VALID binary P6 PPM payload derived from the document text:
+    * an 8-pixel-wide RGB image whose raster is the text bytes space-padded
+    * to a whole number of rows. Deterministic, content-derived, and a real
+    * image — `P6\n8 <h>\n255\n<3·8·h raster bytes>` parses in any netpbm
+    * reader. Built scan-side from codegen'd string/binary built-ins; the
+    * height lands in a named column so the padded-length arithmetic is
+    * evaluated once per row. */
+  def withPpmPayload(docs: DataFrame, width: Int = 8): DataFrame = {
+    val rowBytes = 3 * width
+    docs
+      .withColumn("__ppm_h",
+        greatest(lit(1), ceil(length(col("text")) / lit(rowBytes.toDouble))).cast("int"))
+      .withColumn("payload", concat(
+        concat(lit(s"P6\n$width "), col("__ppm_h").cast("string"), lit("\n255\n"))
+          .cast("binary"),
+        expr(s"cast(rpad(text, __ppm_h * $rowBytes, ' ') as binary)")))
+      .drop("__ppm_h")
+  }
 
   /** Typed metadata extraction over the opaque payload: size + content
     * hash, all computed scan-side (codegen'd, no shuffle). */
@@ -69,25 +90,58 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Double]
   }
 
-  /** Deterministic stand-in "decoder": byte-level moments + a tiny
-    * 4-bin byte histogram — stable, content-derived, codec-free. */
-  object FakeDecoder extends Decoder {
+  /** Binary P6 PPM decoder — a real, dependency-free image parse:
+    * validates the `P6` magic, skips `#` comments, reads the ASCII
+    * width/height/maxval header fields and the single whitespace byte that
+    * terminates the header (per the netpbm spec), checks the raster length
+    * (3·w·h samples at maxval < 256), then reduces the pixel plane to
+    * `[width, height, maxval, mean_R, mean_G, mean_B]`. Malformed payloads
+    * throw IllegalArgumentException with the offending offset — a decode
+    * job must surface corrupt media, not average over garbage. */
+  object PpmDecoder extends Decoder {
     val featureDim = 6
     def decode(p: Array[Byte]): Array[Double] = {
-      val n = p.length.max(1)
-      var sum = 0L; var sumSq = 0L
-      val hist = new Array[Long](4)
       var i = 0
-      while (i < p.length) {
-        val b = p(i) & 0xff
-        sum += b; sumSq += b.toLong * b
-        hist(b >> 6) += 1
-        i += 1
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM parse error at byte $i: $msg")
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      // whitespace between header fields, with netpbm '#'-to-EOL comments
+      def skipWs(): Unit = {
+        var in = true
+        while (in && i < p.length) {
+          if (isWs(p(i))) i += 1
+          else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else in = false
+        }
       }
-      val mean = sum.toDouble / n
-      Array(p.length.toDouble, mean,
-        math.sqrt((sumSq.toDouble / n) - mean * mean),
-        hist(0).toDouble / n, hist(1).toDouble / n, hist(2).toDouble / n)
+      def readInt(field: String): Int = {
+        skipWs()
+        if (i >= p.length || p(i) < '0' || p(i) > '9') fail(s"expected digit for $field")
+        var v = 0L
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0')
+          if (v > Int.MaxValue) fail(s"$field overflows")
+          i += 1
+        }
+        v.toInt
+      }
+      if (p.length < 2 || p(0) != 'P' || p(1) != '6') fail("bad magic (want P6)")
+      i = 2
+      val w = readInt("width"); val h = readInt("height")
+      val maxval = readInt("maxval")
+      if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval (1-byte samples only)")
+      // exactly ONE whitespace byte ends the header; the raster follows raw
+      if (i >= p.length || !isWs(p(i))) fail("missing header-terminating whitespace")
+      i += 1
+      val expected = 3L * w * h
+      if (p.length - i != expected) fail(s"raster is ${p.length - i} bytes, want $expected")
+      val sums = new Array[Long](3)
+      var c = 0
+      while (i < p.length) { sums(c % 3) += p(i) & 0xff; c += 1; i += 1 }
+      val n = w.toDouble * h
+      Array(w.toDouble, h.toDouble, maxval.toDouble,
+        sums(0) / n, sums(1) / n, sums(2) / n)
     }
   }
 
@@ -95,11 +149,12 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("features", ArrayType(DoubleType))))
 
-  /** Batch feature extraction: `mapPartitions` so a real decoder can
-    * amortize per-batch init (model load, codec contexts) across a whole
-    * partition — the Scala analogue of `mapInPandas` batch shape. */
-  def decodeFeatures(docs: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
-    val src = withPayload(docs).select(col("doc_id"), col("payload"))
+  /** Batch feature extraction over the PPM payloads: `mapPartitions` so a
+    * decoder can amortize per-batch init (model load, codec contexts)
+    * across a whole partition — the Scala analogue of `mapInPandas` batch
+    * shape. */
+  def decodeFeatures(docs: DataFrame, decoder: Decoder = PpmDecoder): DataFrame = {
+    val src = withPpmPayload(docs).select(col("doc_id"), col("payload"))
     val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
       // per-partition decoder init would go here
@@ -111,7 +166,7 @@ object Multimodal {
 
   /** Exploded feature view (doc_id, feature_pos, feature_val) for
     * SQL-side consumption of the decoded features. */
-  def featureTable(docs: DataFrame, decoder: Decoder = FakeDecoder): DataFrame =
+  def featureTable(docs: DataFrame, decoder: Decoder = PpmDecoder): DataFrame =
     decodeFeatures(docs, decoder)
       .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_pos", "feature_val")))
       .select(col("doc_id"), col("feature_pos").cast("long").as("feature_pos"),

@@ -66,11 +66,23 @@ object AlsRecommender {
   private val recsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def recommendTopKOn(spark: SparkSession, dir: String, seed: Long = 42L,
-      k: Int = 5): DataFrame =
+      k: Int = 5): DataFrame = {
+    // Empty-ratings guard: ALS.fit reads the first rating to infer block
+    // layout and throws on zero rows (MLlib contract). Zero ratings is a
+    // legitimate pipeline state (dry backfill window, fully-filtered
+    // corpus) and means "no recommendations", not a crash. The head(1)
+    // probe is one limit-1 task — noise next to training. Checked BEFORE
+    // the model cache so the degenerate case never occupies a cache slot.
+    if (ratingsFromLineitem(spark, dir).head(1).isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("user", "rank", "item", "score")
+    }
     shapeRecs(recsCache.computeIfAbsent(s"$dir#$seed#$k", _ => {
       val (model, _) = trainedOn(spark, dir, seed)
       model.recommendForAllUsers(k).localCheckpoint(true)
     }))
+  }
 
   /** One training per (JVM, dir, seed): the model is fit once on the 0.8
     * train split and shared by the recommend (q60) and eval (q61) surfaces —
@@ -95,8 +107,12 @@ object AlsRecommender {
       (train(train0, seed = seed), test0)
     })
 
-  /** Reference-semantics fit quality on the shared train/test split. */
+  /** Reference-semantics fit quality on the shared train/test split.
+    * Zero ratings → NaN (the conventional "no data, no error" RMSE — what
+    * RegressionEvaluator itself yields on an empty prediction set), so an
+    * empty corpus reports an undefined fit instead of an MLlib throw. */
   def evalRmse(spark: SparkSession, dir: String, seed: Long = 42L): Double = {
+    if (ratingsFromLineitem(spark, dir).head(1).isEmpty) return Double.NaN
     val (model, test0) = trainedOn(spark, dir, seed)
     val preds = model.transform(test0)
     new RegressionEvaluator().setMetricName("rmse")

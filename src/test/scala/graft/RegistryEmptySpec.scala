@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * backfill window. An operator that NPEs or throws on zero rows would
   * take down a 1000-executor job that merely read an empty partition.
   *
-  * Exclusions are ML trainers whose contracts genuinely require data
-  * (documented per entry) — not operators with fixable empty-input bugs.
+  * No exclusions: the ALS surfaces (the last holdouts — MLlib's fit throws
+  * on zero ratings) now guard the degenerate case themselves and return
+  * well-typed empty/NaN results, so EVERY registry query must execute here.
   */
 class RegistryEmptySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -26,15 +27,10 @@ class RegistryEmptySpec extends AnyFunSuite {
     dir
   }
 
-  private val excluded: Map[String, String] = Map(
-    "q60_als_recommend" -> "ALS.fit requires at least one rating (MLlib contract)",
-    "q61_als_eval" -> "shares the ALS training")
-
   Registry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    if (!excluded.contains(name))
-      test(s"$name executes on an all-empty corpus") {
-        val n = fn(spark, emptyDir).count()
-        assert(n >= 0L)
-      }
+    test(s"$name executes on an all-empty corpus") {
+      val n = fn(spark, emptyDir).count()
+      assert(n >= 0L)
+    }
   }
 }

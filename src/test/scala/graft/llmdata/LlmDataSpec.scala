@@ -288,16 +288,51 @@ class LlmDataSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ found in plan:\n$plan")
   }
 
-  test("multimodal: payload metadata and stubbed decode plumbing") {
+  test("multimodal: payload metadata and real PPM decode plumbing") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val meta = Multimodal.payloadMetadata(docs)
     assert(meta.filter(col("payload_bytes") =!= length(col("text"))).count() === 0)
     val feats = Multimodal.decodeFeatures(docs)
     assert(feats.count() === docs.count())
     val first = feats.orderBy("doc_id").head
-    assert(first.getSeq[Double](1).length === Multimodal.FakeDecoder.featureDim)
+    assert(first.getSeq[Double](1).length === Multimodal.PpmDecoder.featureDim)
     // deterministic: same content -> same features
     val f2 = Multimodal.decodeFeatures(docs).orderBy("doc_id").head
     assert(first.getSeq[Double](1) === f2.getSeq[Double](1))
+  }
+
+  test("PpmDecoder: byte-exact parse of a hand-built 2x2 P6 image") {
+    // R=(10,0,0) G=(0,20,0) B=(0,0,40) W=(250,250,250), maxval 255
+    val raster = Array[Int](
+      10, 0, 0,   0, 20, 0,
+      0, 0, 40,   250, 250, 250).map(_.toByte)
+    val img = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val f = Multimodal.PpmDecoder.decode(img)
+    assert(f.toSeq === Seq(2.0, 2.0, 255.0,
+      (10 + 0 + 0 + 250) / 4.0, (0 + 20 + 0 + 250) / 4.0, (0 + 0 + 40 + 250) / 4.0))
+  }
+
+  test("PpmDecoder: malformed payloads are rejected, not averaged over") {
+    def bad(bytes: Array[Byte]) =
+      intercept[IllegalArgumentException](Multimodal.PpmDecoder.decode(bytes))
+    assert(bad("P5\n1 1\n255\n...".getBytes("US-ASCII")).getMessage.contains("magic"))
+    assert(bad("P6\n1 1\n255\nXX".getBytes("US-ASCII")).getMessage.contains("raster"))
+    assert(bad("P6\n0 1\n255\n".getBytes("US-ASCII")).getMessage.contains("degenerate"))
+    assert(bad("P6\n1 1\n65535\n".getBytes("US-ASCII")).getMessage.contains("maxval"))
+  }
+
+  test("withPpmPayload emits payloads PpmDecoder round-trips: h=ceil(len/24), space padding") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(20)
+    val rows = Multimodal.withPpmPayload(docs)
+      .select(col("doc_id"), length(col("text")).as("len"), col("payload"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val len = r.getAs[Int]("len")
+      val f = Multimodal.PpmDecoder.decode(r.getAs[Array[Byte]]("payload"))
+      assert(f(0) === 8.0)
+      assert(f(1) === math.max(1, math.ceil(len / 24.0)).toDouble)
+      assert(f(2) === 255.0)
+    }
   }
 }
