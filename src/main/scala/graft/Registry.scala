@@ -832,6 +832,85 @@ object Registry {
         |SELECT lang, priority, doc_id FROM r WHERE rn <= 50
         |ORDER BY lang, priority, doc_id""".stripMargin)),
 
+    // Sliding-window chunking: starts at 1, 1+24, ... <= n; short tails
+    // allowed (len = min(32, n-s+1)); list_slice/slice both clamp at the
+    // array end so the md5'd chunk text agrees on partial windows.
+    "q96_chunk_documents" -> Entry(
+      (s, d) => Curation.chunkDocuments(docs(s, d)).orderBy("doc_id", "chunk_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        unnest(range(1, len(toks) + 1, 24)) AS s
+        |      FROM t)
+        |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        | CAST(s AS BIGINT) AS start_pos,
+        | CAST(least(32, n - s + 1) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(list_slice(toks, s, s + 31), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "q97_vocab_topk" -> Entry(
+      (s, d) => TextAnalysis.vocabTopK(docs(s, d)).orderBy("token_id"), Some(
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY df DESC, term) AS token_id, term, df FROM d)
+        |SELECT CAST(token_id AS BIGINT) AS token_id, term, df FROM r
+        |WHERE token_id <= 100 ORDER BY token_id""".stripMargin)),
+
+    // PII redaction: this corpus is clean (no emails / long digit runs), so
+    // the oracle proves the no-false-positive side — identical match counts
+    // (zero) and identical redacted digests; RedactionSpec pins the positive
+    // path (real emails/digit runs actually replaced) on a fixture corpus.
+    "q98_pii_redact" -> Entry(
+      (s, d) => TextAnalysis.redactPii(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_long_digit_runs,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Connected components over the exact-Jaccard>=0.5 near-dup graph; the
+    // oracle walks the same edges with a recursive CTE (min reachable id).
+    // Spark's edge set is the LSH candidates→verify path — identical to the
+    // oracle's exact threshold join at this corpus's similarity margin
+    // (q43/q95 argument).
+    "q99_neardup_components" -> Entry(
+      (s, d) => Dedup.nearDupComponents(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src)
+        |SELECT node AS doc_id, min(r) AS component FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // Per-term KL contributions are doubles (identical expression tree on
+    // both engines); the SUM rides DECIMAL(30,18) so addition is exact and
+    // partitioning/order-independent (the q01 decimal-sum rule).
+    "q100_source_divergence" -> Entry(
+      (s, d) => TextAnalysis.sourceDivergence(docs(s, d)).orderBy("source"), Some(
+      """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM tc GROUP BY 1, 2),
+        |st AS (SELECT source, sum(tf) AS n_src FROM tf GROUP BY 1),
+        |ct AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |n AS (SELECT sum(ctf) AS n_corpus FROM ct),
+        |px AS (SELECT tf.source,
+        |  CAST((CAST(tf.tf AS DOUBLE) / CAST(st.n_src AS DOUBLE)) *
+        |    ln((CAST(tf.tf AS DOUBLE) / CAST(st.n_src AS DOUBLE)) /
+        |       (CAST(ct.ctf AS DOUBLE) / CAST(n.n_corpus AS DOUBLE)))
+        |    AS DECIMAL(30,18)) AS contrib
+        | FROM tf JOIN st USING (source) JOIN ct USING (term) CROSS JOIN n)
+        |SELECT source, round(CAST(sum(contrib) AS DOUBLE), 6) AS kl_divergence
+        |FROM px GROUP BY source ORDER BY source""".stripMargin)),
+
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
       """WITH m AS (SELECT vec_id,

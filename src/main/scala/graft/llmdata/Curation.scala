@@ -285,6 +285,36 @@ object Curation {
       .select(col("lang"), (col("pos") + 1).cast("long").as("q_pos"),
         col("quantile").cast("double").as("quantile"))
 
+  /** Sliding-window token chunking — the context-window layout step: split
+    * each document into overlapping chunks of `chunkTokens` tokens at
+    * `stride`-token steps (stride < chunkTokens ⇒ overlap, the standard
+    * long-document encoding for embedding and eval pipelines). Chunk starts
+    * are every stride-th token position up to the document length, so the
+    * final chunks may run short — length = min(chunkTokens, n - start + 1)
+    * — and every token belongs to ≥1 chunk. Emits the chunk's token count
+    * and content digest, not the chunk text itself (the downstream join key
+    * a pipeline actually ships; the text is re-sliceable from (doc_id,
+    * start_pos)).
+    *
+    * Scale shape: one narrow projection + a per-row bounded explode
+    * (≤ n/stride chunks per doc) — no shuffle, no state; the token array is
+    * a named column so the slice lambda does not re-tokenize per chunk
+    * (the q85 HOF-CSE lesson). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1)
+    docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(stride))).as(Seq("chunk_id", "start_pos")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        least(lit(chunkTokens), col("n") - col("start_pos") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_pos"), lit(chunkTokens))))
+          .as("chunk_md5"))
+  }
+
   /** Corpus cardinality estimate: HyperLogLog++ distinct-text count per
     * lang next to the exact row count. The approximate path is the one
     * that scales (constant sketch per group, map-side combine, no

@@ -159,6 +159,54 @@ object Dedup {
     settleAndRelease(verified, featsC, featsP)
   }
 
+  /** Near-duplicate cluster assignment: connected components over the
+    * [[minhashNearDup]] pair graph, labeling every document (singletons
+    * included) with the minimum doc_id reachable through near-dup edges —
+    * the cluster id a keep-one-representative dedup then filters on
+    * (`doc_id === component` keeps exactly one doc per cluster).
+    *
+    * Algorithm: distributed min-label propagation — each iteration pushes
+    * every node's current label across the (undirected) edge set and takes
+    * the per-node min; a fixpoint is reached in O(component diameter)
+    * sweeps, and near-dup components are tight cliques (diameter 1-2), so
+    * the loop settles in 2-3 sweeps regardless of corpus size. Per sweep:
+    * one labels⋈edges join (edges are the near-dup pairs — vanishingly
+    * small next to the corpus, broadcastable), one min-agg (map-side
+    * combined — a hot cluster's labels collapse before the shuffle), one
+    * labels-level join. Labels are localCheckpoint'ed each sweep: the
+    * iterative-lineage rule from the IPF loop (CooMatrix.scala) — without
+    * it sweep k replays sweeps 1..k-1.
+    *
+    * The driver-side `while` mirrors the reference's converge loop shape
+    * (iterate → compare → stop); the per-sweep data path is fully
+    * distributed and the only driver value is the changed-row count. */
+  def nearDupComponents(docs: DataFrame, simThreshold: Double = 0.5,
+      maxSweeps: Int = 20): DataFrame = {
+    val edges = minhashNearDup(docs, simThreshold).select(col("doc_a"), col("doc_b"))
+    val und = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var sweep = 0
+    while (changed > 0 && sweep < maxSweeps) {
+      val pushed = labels.join(und, labels("doc_id") === und("doc_a"))
+        .groupBy(col("doc_b").as("doc_id")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(pushed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      sweep += 1
+    }
+    labels
+  }
+
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
     * candidate set (the verification stage after LSH candidate generation,
     * or a direct small-corpus near-dup pass). Pairs come from the

@@ -188,6 +188,87 @@ object TextAnalysis {
         round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
           size(col("sh")).cast("double"), 6).as("repetition"))
 
+  /** Vocabulary build: the top-`k` terms by document frequency with dense
+    * 1-based token ids — the tokenizer-vocab / coverage-analysis front end.
+    * Ties broken by term so the id assignment is total and deterministic.
+    *
+    * Scale shape: the heavy work is the per-doc-distinct explode + term
+    * aggregation (map-side combined hash agg — the wordcount plan); the
+    * top-k itself is `TakeOrdered` (per-partition heaps + a k-row driver
+    * merge, never a global sort), and the id-assigning window runs over the
+    * k surviving rows only — a bounded single partition by construction,
+    * same rationale as the k-row driver merge it follows. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val terms = docs.select(explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("term")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("df").desc, col("term"))
+    top.withColumn("token_id", row_number().over(w).cast("long"))
+      .select(col("token_id"), col("term"), col("df"))
+  }
+
+  /** Email-address shape shared by Java regex and RE2 (no backrefs or
+    * lookaround, so Spark and the oracle match the same spans). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (≥4) — the phone/SSN/account-number catch-all. */
+  val longDigitPattern = "[0-9]{4,}"
+
+  /** PII redaction — the scrubbing pass a corpus runs before anything is
+    * retained: replace email addresses with `<EMAIL>` (first, so their
+    * digits are gone) then long digit runs with `<NUM>`, and report match
+    * counts (counted on the ORIGINAL text — the audit numbers) plus the
+    * digest of the redacted text. A narrow per-row projection of codegen'd
+    * regexp built-ins — no shuffle, linear at any scale. Both patterns sit
+    * in the Java-regex ∩ RE2 dialect so the oracle replaces identical
+    * spans; on a clean corpus the oracle degenerates to "no false
+    * positives" (digest equals the original's), and RedactionSpec pins the
+    * positive path on a synthetic fixture. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+      longDigitPattern, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(longDigitPattern), lit(0))).cast("long")
+        .as("n_long_digit_runs"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Per-source token-distribution shift: KL(P_source ‖ P_corpus) — the
+    * mixture-monitoring statistic that flags a source drifting from the
+    * corpus mix (0 = indistinguishable; every source term also appears in
+    * the corpus distribution by construction, so the divergence is always
+    * finite). Shape: one (source, term) hash agg (map-side combined), a
+    * term-level join against the corpus distribution (vocabulary-sized —
+    * broadcastable for real vocabularies), and a per-source sum.
+    *
+    * The per-term contribution P·ln(P/Q) is a double — identical on both
+    * engines given the identical expression tree — but a SUM of doubles is
+    * addition-order-dependent, so contributions are cast to
+    * DECIMAL(30,18) first: decimal addition is exact and commutative,
+    * making the aggregate independent of partitioning (the repo-standard
+    * order-independent-sum trick, cf. q01's revenue decimals). */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val termCounts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val srcTotals = termCounts.groupBy("source").agg(sum("tf").as("n_src"))
+    val corpus = termCounts.groupBy("term").agg(sum("tf").as("ctf"))
+    val corpusTotal = corpus.agg(sum("ctf").as("n_corpus"))
+    val p = col("tf").cast("double") / col("n_src").cast("double")
+    val q = col("ctf").cast("double") / col("n_corpus").cast("double")
+    termCounts
+      .join(srcTotals, "source")
+      .join(corpus, "term")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"), (p * log(p / q)).cast("decimal(30,18)").as("contrib"))
+      .groupBy("source").agg(
+        round(sum(col("contrib")).cast("double"), 6).as("kl_divergence"))
+  }
+
   /** TF-IDF top-k terms per document — the classic distinctive-term scoring
     * a curation pipeline uses for topic profiling and boilerplate
     * detection. Shape: the wordcount explode+groupBy (map-side combined)

@@ -18,7 +18,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q26_ipf_converge", "q43_minhash_neardup", "q46_ann_lsh", "q62_ann_ivf",
     "q52_streaming_tumbling", "q54_streaming_sessionize", "q58_stateful_user_stats",
     "q57_csv_labeled_roundtrip", "q60_als_recommend", "q61_als_eval",
-    "q88_bucketed_join")  // writes the bucketed tables on construction; plan pinned in BucketingSpec
+    "q88_bucketed_join",  // writes the bucketed tables on construction; plan pinned in BucketingSpec
+    "q95_fuzzy_contamination",  // MinHashLSH fit + settle on construction
+    "q99_neardup_components")   // label-propagation loop runs on construction; shape pinned in DedupSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -27,7 +29,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q37_densify",            // part × 12-month key expansion
     "q45_cosine_topk",        // small query set broadcast against the corpus
     "q56_csv_padded_matrix",  // missing keywords × 22-hour key expansion
-    "q83_tfidf_topk")         // 1-row corpus-size aggregate broadcast back
+    "q83_tfidf_topk",         // 1-row corpus-size aggregate broadcast back
+    "q100_source_divergence") // 1-row corpus-total aggregate broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
