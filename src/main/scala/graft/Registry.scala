@@ -911,6 +911,90 @@ object Registry {
         |SELECT source, round(CAST(sum(contrib) AS DOUBLE), 6) AS kl_divergence
         |FROM px GROUP BY source ORDER BY source""".stripMargin)),
 
+    // The filtered corpus after fuzzy dedup: q99's component labels applied
+    // as a keep-min-doc_id filter. The oracle re-walks the same recursive
+    // closure, then keeps rows whose id IS the component minimum.
+    "q101_neardup_dedup" -> Entry(
+      (s, d) => Dedup.nearDupRepresentatives(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars, md5(d.text) AS text_md5
+        |FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+        |WHERE comp.doc_id = comp.component ORDER BY d.doc_id""".stripMargin)),
+
+    // Chained-min funnel: each stage's min is constrained to fall strictly
+    // after the previous stage's — three CTEs, not three independent mins.
+    "q102_funnel" -> Entry(
+      (s, d) => Events.funnel(s, d).orderBy("user_id"), Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t2 GROUP BY 1)
+        |SELECT t1.user_id, t1.t1 AS first_stage1_ms,
+        | coalesce(t2.t2, -1) AS first_stage2_ms,
+        | coalesce(t3.t3, -1) AS first_stage3_ms,
+        | CAST(1 + (CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END)
+        |        + (CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        | LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin)),
+
+    // Epoch-week arithmetic (ms // 604800000) on both engines — no
+    // calendar/locale week definitions to disagree on.
+    "q103_cohort_retention" -> Entry(
+      (s, d) => Events.cohortRetention(s, d).orderBy("cohort_week", "week_offset"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Squared-sum is a sequential left fold in both engines (Spark
+    // `aggregate`, DuckDB list_aggregate 'sum') — bit-identical doubles.
+    "q104_normalize_embeddings" -> Entry(
+      (s, d) => Similarity.normalizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        | FROM embeddings),
+        |px AS (SELECT vec_id, nrm, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        unnest(range(0, len(embedding))) AS pos FROM n)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        | round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6) AS unit,
+        | round(nrm, 6) AS norm
+        |FROM px ORDER BY vec_id, pos""".stripMargin)),
+
+    // Vocabulary = q97's top-100 by document frequency; coverage counts
+    // token OCCURRENCES (not distinct terms) against it.
+    "q105_vocab_coverage" -> Entry(
+      (s, d) => TextAnalysis.vocabCoverage(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |v AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        |      FROM d) WHERE rn <= 100),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        | round(CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS coverage
+        |FROM tok LEFT JOIN v ON tok.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
       """WITH m AS (SELECT vec_id,

@@ -207,6 +207,27 @@ object Dedup {
     labels
   }
 
+  /** Near-duplicate corpus dedup: keep exactly one representative per
+    * [[nearDupComponents]] cluster — the minimum doc_id, so the choice is
+    * deterministic and the composition with exact keep-first dedup
+    * ([[dedupKeepFirst]]) is stable. The end-to-end fuzzy-dedup operator a
+    * training pipeline actually runs: q43's pair list and q99's labels are
+    * its diagnostics; this is the filtered corpus.
+    *
+    * Shape: the component labels (one row per doc) semi-join the corpus on
+    * doc_id — representatives are `doc_id === component` rows, a filter on
+    * the label frame, so no extra shuffle beyond [[nearDupComponents]]'s
+    * own. Text is returned as its md5 digest: the survivors' identity and
+    * content witness without re-shipping full text through the oracle
+    * compare. */
+  def nearDupRepresentatives(docs: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    val reps = nearDupComponents(docs, simThreshold)
+      .filter(col("doc_id") === col("component")).select("doc_id")
+    docs.join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
     * candidate set (the verification stage after LSH candidate generation,
     * or a direct small-corpus near-dup pass). Pairs come from the

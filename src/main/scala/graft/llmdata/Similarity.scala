@@ -181,6 +181,27 @@ object Similarity {
     * quantized values are flat (vec_id, pos, q) rows — the oracle-
     * comparable form, and the layout a columnar sink wants anyway. Vectors
     * with max|x| = 0 quantize to all-zero with scale 0 (guarded divide). */
+  /** L2 normalization to unit vectors — the preprocessing step that turns
+    * every downstream dot product into a cosine similarity (the form ANN
+    * indexes and dedup thresholds assume). Emits the per-position unit
+    * values and the original norm; zero vectors map to zero (the
+    * [[quantizeEmbeddings]] guard rule). Cross-engine exactness: the
+    * squared-sum is a sequential left fold in both engines (Spark
+    * `aggregate`, DuckDB `list_aggregate 'sum'`), so the double result is
+    * bit-identical and the 6dp round only absorbs display noise. Pure
+    * narrow projection — no shuffle at any scale. `xs`/`nrm` ride named
+    * columns (the HOF-CSE rule: lambdas re-evaluate inlined expressions
+    * per element). */
+  def normalizeEmbeddings(emb: DataFrame): DataFrame =
+    emb.withColumn("xs", VectorOps.asDouble(col("embedding")))
+      .withColumn("nrm", sqrt(aggregate(col("xs"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(transform(col("xs"),
+          x => when(col("nrm") > 0.0, x / col("nrm")).otherwise(lit(0.0))))
+          .as(Seq("pos", "unit")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("unit"), 6).as("unit"), round(col("nrm"), 6).as("norm"))
+
   def quantizeEmbeddings(emb: DataFrame): DataFrame =
     // xs/scale ride named columns: referenced from inside the transform
     // lambda, an inlined expression would be re-evaluated per element

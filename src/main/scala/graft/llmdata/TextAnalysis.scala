@@ -207,6 +207,28 @@ object TextAnalysis {
       .select(col("token_id"), col("term"), col("df"))
   }
 
+  /** Vocabulary coverage / OOV profiling: with [[vocabTopK]]'s top-`k`
+    * terms as the vocabulary, the fraction of each document's token
+    * OCCURRENCES the vocabulary covers — the tokenizer-coverage statistic
+    * that decides whether a vocab is big enough for a corpus (1 - coverage
+    * = OOV rate).
+    *
+    * Shape: the vocabulary is k rows — broadcast to the exploded token
+    * stream (a broadcast hash join, never a shuffle of the corpus), then
+    * one per-doc agg with map-side combine. The heavy operand moves once;
+    * the plan scales with the token count linearly. */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = vocabTopK(docs, k).select(col("term"), lit(1L).as("in_vocab"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Email-address shape shared by Java regex and RE2 (no backrefs or
     * lookaround, so Spark and the oracle match the same spans). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -96,6 +96,60 @@ object Events {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_val"))
 
+  /** Ordered conversion funnel: for each user, the first `stages(0)` event,
+    * the first `stages(1)` event strictly after it, the first `stages(2)`
+    * strictly after that, and the stage count reached (1-3). The
+    * "strictly after" chaining is what distinguishes a funnel from three
+    * independent mins — a purchase before the first view does not convert.
+    *
+    * Shape: one filtered min-agg per stage, each joined on `user_id` — all
+    * three shuffles share the same key, so at scale it's one partitioning
+    * reused (AQE coalesces), with the stage frames shrinking monotonically
+    * (stage k+1 is a semi-filtered subset of stage k's users). No window,
+    * no per-user event-history sort. Unreached stages are -1 sentinels
+    * (kept non-null for exact oracle comparison, the [[asofJoin]] rule). */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "funnel is fixed at three chained stages")
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val t1 = e.filter(col("event_type") === stages(0))
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val t2 = e.filter(col("event_type") === stages(1))
+      .join(t1, "user_id").filter(col("ms") > col("t1"))
+      .groupBy("user_id").agg(min(col("ms")).as("t2"))
+    val t3 = e.filter(col("event_type") === stages(2))
+      .join(t2, "user_id").filter(col("ms") > col("t2"))
+      .groupBy("user_id").agg(min(col("ms")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t1").as("first_stage1_ms"),
+        coalesce(col("t2"), lit(-1L)).as("first_stage2_ms"),
+        coalesce(col("t3"), lit(-1L)).as("first_stage3_ms"),
+        (lit(1L) + col("t2").isNotNull.cast("long") + col("t3").isNotNull.cast("long"))
+          .as("stage"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their first event; `n_users` counts the cohort's users active in each
+    * later week, keyed by the week offset (offset 0 = the cohort's own
+    * size). Weeks are pure integer arithmetic on epoch millis
+    * (`ms / 604800000`) — engine-identical, no calendar/locale semantics
+    * to disagree on.
+    *
+    * Shape: a per-user min (cohort), a (user, week) distinct, one
+    * (cohort, offset) count — every shuffle keyed on user_id or the tiny
+    * (cohort, offset) pair; nothing funnels through a global window. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val e = events(spark, dir)
+      .select(col("user_id"), floor(unix_millis(col("ts")) / weekMs).as("wk"))
+    val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    e.distinct().join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** As-of join — an operator Spark has no native form of, composed from
     * built-ins (preference (a) of the custom-operator ladder): match each
     * `leftType` event to the most recent `rightType` event of the same

@@ -20,7 +20,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q57_csv_labeled_roundtrip", "q60_als_recommend", "q61_als_eval",
     "q88_bucketed_join",  // writes the bucketed tables on construction; plan pinned in BucketingSpec
     "q95_fuzzy_contamination",  // MinHashLSH fit + settle on construction
-    "q99_neardup_components")   // label-propagation loop runs on construction; shape pinned in DedupSpec
+    "q99_neardup_components",   // label-propagation loop runs on construction; shape pinned in DedupSpec
+    "q101_neardup_dedup")       // composes q99's eager loop
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
