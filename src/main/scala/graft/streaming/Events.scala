@@ -109,10 +109,14 @@ object Events {
     * no per-user event-history sort. Unreached stages are -1 sentinels
     * (kept non-null for exact oracle comparison, the [[asofJoin]] rule). */
   def funnel(spark: SparkSession, dir: String,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms")), stages)
+
+  /** [[funnel]]'s core on a pre-projected (user_id, event_type, ms) frame —
+    * the unit-testable surface (the [[asofJoinOn]] pattern). */
+  def funnelOn(e: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length == 3, "funnel is fixed at three chained stages")
-    val e = events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
     val t1 = e.filter(col("event_type") === stages(0))
       .groupBy("user_id").agg(min(col("ms")).as("t1"))
     val t2 = e.filter(col("event_type") === stages(1))
@@ -140,10 +144,14 @@ object Events {
     * Shape: a per-user min (cohort), a (user, week) distinct, one
     * (cohort, offset) count — every shuffle keyed on user_id or the tiny
     * (cohort, offset) pair; nothing funnels through a global window. */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOn(events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms")))
+
+  /** [[cohortRetention]]'s core on a pre-projected (user_id, ms) frame. */
+  def cohortRetentionOn(raw: DataFrame): DataFrame = {
     val weekMs = 604800000L
-    val e = events(spark, dir)
-      .select(col("user_id"), floor(unix_millis(col("ts")) / weekMs).as("wk"))
+    val e = raw.select(col("user_id"), floor(col("ms") / weekMs).as("wk"))
     val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
     e.distinct().join(cohorts, "user_id")
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))

@@ -1,0 +1,98 @@
+package graft.llmdata
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.llmdata.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/** Unit pins for the q101-q105 operators: hand-computed references on tiny
+  * fixtures — the chained-stage funnel rule, cohort offsets, near-dup
+  * representative choice, unit-norm arithmetic, and occurrence-vs-term
+  * coverage counting, none of which a rows-count check would catch.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("nearDupRepresentatives: exactly the component-minimum doc survives; md5 witness") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "web", "en", 44L),
+      (1L, "the quick brown fox jumps over the lazy dog", "web", "en", 44L),
+      (2L, "the quick brown fox jumps over the lazy cat", "web", "en", 44L),
+      (3L, "completely different content about spark engines running fast", "book", "en", 62L),
+      (4L, "the quick brown fox jumps over the lazy dog", "wiki", "en", 44L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.nearDupRepresentatives(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got === Set(
+      (0L, "web", "en", 44L, md5hex("the quick brown fox jumps over the lazy dog")),
+      (3L, "book", "en", 62L,
+        md5hex("completely different content about spark engines running fast"))))
+  }
+
+  test("funnelOn: stage mins chain strictly — out-of-order events do not convert") {
+    val e = Seq(
+      // u1 completes all three stages in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2's purchase precedes its first click -> stage stops at 2
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // u3's click precedes its first view -> stage stops at 1
+      (3L, "click", 5L), (3L, "view", 10L),
+      // u4 never views -> not in the funnel at all
+      (4L, "click", 5L), (4L, "purchase", 6L),
+      // u5: second click after the view is the one that counts
+      (5L, "click", 1L), (5L, "view", 10L), (5L, "click", 12L)
+    ).toDF("user_id", "event_type", "ms")
+    val got = Events.funnelOn(e, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((10L, 20L, 30L, 3L)),
+      2L -> ((10L, 20L, -1L, 2L)),
+      3L -> ((10L, -1L, -1L, 1L)),
+      5L -> ((10L, 12L, -1L, 2L))))
+  }
+
+  test("cohortRetentionOn: first-week cohorts, per-offset distinct user counts") {
+    val wk = 604800000L
+    val e = Seq(
+      (1L, 0L * wk), (1L, 1L * wk + 5), (1L, 3L * wk),
+      (2L, 1L * wk),
+      (3L, 0L * wk + 7), (3L, 1L * wk), (3L, 1L * wk + 9) // same week twice: counted once
+    ).toDF("user_id", "ms")
+    val got = Events.cohortRetentionOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("normalizeEmbeddings: unit values and norm by hand; zero vector maps to zero") {
+    val d = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.normalizeEmbeddings(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      (1L, 0L) -> ((0.6, 5.0)), (1L, 1L) -> ((0.8, 5.0)),
+      (2L, 0L) -> ((0.0, 0.0)), (2L, 1L) -> ((0.0, 0.0))))
+  }
+
+  test("vocabCoverage: counts token occurrences (not distinct terms) against top-k vocab") {
+    // df: b=3, a=1, c=1 -> top-1 vocab = {b}
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d, k = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 1L, 1.0))))
+  }
+}
