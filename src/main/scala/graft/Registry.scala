@@ -995,6 +995,67 @@ object Registry {
         |FROM tok LEFT JOIN v ON tok.term = v.term
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // α fixed at 0.5 so the power is IEEE-exact sqrt on both engines (libm
+    // pow can drift a ulp); see Curation.temperatureMix.
+    "q106_temperature_mix" -> Entry(
+      (s, d) => Curation.temperatureMix(docs(s, d)).orderBy("source"), Some(
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS sc FROM c),
+        |z AS (SELECT sum(sc) AS z, sum(n) AS tot FROM t)
+        |SELECT source, n, round(sc / z, 6) AS p,
+        | round((sc / z) / (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS boost
+        |FROM t CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    "q107_length_outlier_filter" -> Entry(
+      (s, d) => Curation.lengthOutlierFilter(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    "q108_source_lang_profile" -> Entry(
+      (s, d) => Curation.sourceLangProfile(docs(s, d)).orderBy("source"), Some(
+      """SELECT source,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        | CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // lead() past the partition end is NULL; Spark's concat and DuckDB's ||
+    // both propagate it, so each user's tail windows drop on both engines.
+    "q109_event_paths" -> Entry(
+      (s, d) => Events.eventPaths(s, d).orderBy(col("n").desc, col("path")), Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+        |  FROM events),
+        |s AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |        || '>' || lead(event_type, 2) OVER w AS path
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT path, count(*) AS n FROM s WHERE path IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    "q110_bigram_vocab" -> Entry(
+      (s, d) => TextAnalysis.ngramVocab(docs(s, d)).orderBy("gram_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |d AS (SELECT gram, count(*) AS df FROM s GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY df DESC, gram) AS BIGINT) AS gram_id,
+        | gram, df
+        |FROM d ORDER BY df DESC, gram LIMIT 100""".stripMargin)),
+
+    "q111_token_spectrum" -> Entry(
+      (s, d) => TextAnalysis.tokenSpectrum(docs(s, d)).orderBy("occurrences"), Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |wc AS (SELECT term, count(*) AS occ FROM tok GROUP BY 1)
+        |SELECT occ AS occurrences, count(*) AS n_terms
+        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
       """WITH m AS (SELECT vec_id,

@@ -223,6 +223,68 @@ object Curation {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-pretraining
+    * sampling rule (sample source s with p_s ∝ n_s^α, α < 1 flattens the
+    * distribution toward uniform so small sources aren't drowned). Returns
+    * per-source document count, sampling probability, and the boost factor
+    * over natural sampling (boost > 1 = upsampled).
+    *
+    * α is fixed at 0.5 so the power is `sqrt` — correctly rounded per
+    * IEEE-754, hence bit-identical on any engine (general `pow` is libm-
+    * dependent and can drift a ulp; the oracle comparison is exact). The
+    * per-source table is one map-side-combined count agg; the normalizing
+    * sums ride a single-row cross-joined aggregate of that tiny table —
+    * nothing heavier than the counts ever shuffles. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val scaled = counts.withColumn("sc", sqrt(col("n").cast("double")))
+    val totals = scaled.agg(sum(col("sc")).as("z"), sum(col("n")).as("tot"))
+    scaled.crossJoin(totals)
+      .select(col("source"), col("n"),
+        round(col("sc") / col("z"), 6).as("p"),
+        round((col("sc") / col("z")) /
+          (col("n").cast("double") / col("tot").cast("double")), 6).as("boost"))
+  }
+
+  /** Length-outlier filter: keep documents whose `n_chars` falls inside the
+    * per-lang [lo, hi] interpolated-percentile band — the tail-trimming
+    * gate that drops truncation stubs and concatenation monsters before
+    * training. Returns the surviving (doc_id, lang, n_chars) rows.
+    *
+    * Shape: the bounds table is one row per lang (exact `percentile`, the
+    * [[lengthQuantiles]] cross-engine-exact form), joined back to the
+    * corpus — tiny by construction, so AQE broadcasts it and the corpus
+    * never shuffles; the filter itself is then a narrow per-row predicate.
+    * Integer `n_chars` against interpolated double bounds compares safely:
+    * a bound only equals an integer when the interpolation is exact (zero
+    * or dyadic fraction), which both engines compute identically. */
+  def lengthOutlierFilter(docs: DataFrame,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = docs.groupBy("lang")
+      .agg(percentile(col("n_chars"), typedlit(Seq(lo, hi))).as("qs"))
+      .select(col("lang"), element_at(col("qs"), 1).as("lo"),
+        element_at(col("qs"), 2).as("hi"))
+    docs.join(bounds, "lang")
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** The documents table's lang values — pinned so the pivot schema is
+    * static (a pivot without explicit values triggers an eager distinct
+    * scan AND makes the output schema data-dependent; a fixed vocabulary
+    * is the deployment-correct form for a known label set). */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Source × lang corpus profile as a wide pivot — the composition matrix
+    * a mixture designer reads (one row per source, one `n_<lang>` column
+    * per language, zero-filled). Pivot with pinned values is a single hash
+    * aggregation (each partition holds one counter per (source, lang) —
+    * map-side combined); no per-lang scan, no join. */
+  def sourceLangProfile(docs: DataFrame): DataFrame =
+    docs.groupBy("source").pivot("lang", Langs).agg(count(lit(1)))
+      .na.fill(0L, Langs)
+      .select(col("source") +: Langs.map(l => col(l).as(s"n_$l")): _*)
+
   /** End-to-end curation capstone — the composed pipeline a corpus actually
     * runs: exact dedup keep-first ([[Dedup.dedupKeepFirst]]) → token-length
     * quality gate (the standard min/max filter; this corpus has no

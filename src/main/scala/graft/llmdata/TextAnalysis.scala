@@ -229,6 +229,37 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** N-gram vocabulary: [[vocabTopK]] generalized to word n-grams — the
+    * top-`k` n-grams by document frequency with dense 1-based ids (the
+    * phrase-vocabulary / collocation front end). Same scale shape as the
+    * unigram form: per-doc-distinct explode into a map-side-combined hash
+    * agg, `TakeOrdered` top-k (never a global sort), id window over k rows
+    * only. Tokens ride a named column for the HOF-CSE reason documented on
+    * [[shingleStats]]. */
+  def ngramVocab(docs: DataFrame, n: Int = 2, k: Int = 100): DataFrame = {
+    val grams = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(explode(array_distinct(shingles(col("toks"), n))).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("gram")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("df").desc, col("gram"))
+    top.withColumn("gram_id", row_number().over(w).cast("long"))
+      .select(col("gram_id"), col("gram"), col("df"))
+  }
+
+  /** Token frequency spectrum (frequency-of-frequencies): how many distinct
+    * terms occur exactly `occurrences` times in the corpus — the Zipf
+    * diagnostic that sizes vocabularies and Good-Turing smoothing, and the
+    * cheapest corpus-drift fingerprint between crawls. Two hash aggs: the
+    * wordcount (heavy, map-side combined) and the count-of-counts over one
+    * row per distinct term (tiny). The output is at most #distinct
+    * frequencies — always driver-safe. */
+  def tokenSpectrum(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_terms"))
+      .select(col("occ").as("occurrences"), col("n_terms"))
+
   /** Email-address shape shared by Java regex and RE2 (no backrefs or
     * lookaround, so Spark and the oracle match the same spans). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

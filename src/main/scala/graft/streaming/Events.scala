@@ -158,6 +158,34 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Top-k behavioral paths: the most frequent length-3 event-type
+    * sequences users actually walk (consecutive by time, per user) — the
+    * path-analysis primitive behind funnel discovery. Ties at the k
+    * boundary break on the path string, so the reported set is total-order
+    * deterministic on any engine.
+    *
+    * Shape: one per-user window (lead ×2 over (ms, event_id) — event_id
+    * tie-breaks equal timestamps so the sequence is engine-independent),
+    * then a map-side-combined count over at most |types|³ distinct paths
+    * and a `TakeOrdered` top-k. The window partitions by user — hot users
+    * bound the partition, not the corpus. `concat` (not concat_ws)
+    * propagates the nulls at each user's tail so partial windows drop. */
+  def eventPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    eventPathsOn(events(spark, dir).select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"), col("event_id")), k)
+
+  /** [[eventPaths]]'s core on a pre-projected
+    * (user_id, event_type, ms, event_id) frame. */
+  def eventPathsOn(e: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    e.select(concat(col("event_type"), lit(">"),
+        lead(col("event_type"), 1).over(w), lit(">"),
+        lead(col("event_type"), 2).over(w)).as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** As-of join — an operator Spark has no native form of, composed from
     * built-ins (preference (a) of the custom-operator ladder): match each
     * `leftType` event to the most recent `rightType` event of the same

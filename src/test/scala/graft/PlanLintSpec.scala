@@ -31,7 +31,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q45_cosine_topk",        // small query set broadcast against the corpus
     "q56_csv_padded_matrix",  // missing keywords × 22-hour key expansion
     "q83_tfidf_topk",         // 1-row corpus-size aggregate broadcast back
-    "q100_source_divergence") // 1-row corpus-total aggregate broadcast back
+    "q100_source_divergence", // 1-row corpus-total aggregate broadcast back
+    "q106_temperature_mix")   // 1-row normalizing-sums aggregate broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -85,6 +85,66 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (2L, 0L) -> ((0.0, 0.0)), (2L, 1L) -> ((0.0, 0.0))))
   }
 
+  test("temperatureMix: sqrt flattening boosts small sources, probabilities sum to 1") {
+    val d = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), // n=4, sc=2
+      (5L, "B")                                   // n=1, sc=1
+    ).toDF("doc_id", "source")
+    val got = Curation.temperatureMix(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "A" -> ((4L, 0.666667, 0.833333)),  // p = 2/3, natural 0.8 -> downsampled
+      "B" -> ((1L, 0.333333, 1.666667)))) // p = 1/3, natural 0.2 -> upsampled
+  }
+
+  test("lengthOutlierFilter: interpolated per-lang bounds trim exactly the tails") {
+    // n_chars 1..20 in one lang: lo = 1 + 0.95*(2-1) = 1.95, hi = 19.05
+    val d = (1L to 20L).map(i => (i, "en", i)).toDF("doc_id", "lang", "n_chars")
+    val got = Curation.lengthOutlierFilter(d).collect().map(_.getLong(0)).sorted
+    assert(got === (2L to 19L).toArray)
+  }
+
+  test("sourceLangProfile: pivot zero-fills absent langs, fixed column order") {
+    val d = Seq((1L, "s1", "en"), (2L, "s1", "en"), (3L, "s1", "zh"), (4L, "s2", "de"))
+      .toDF("doc_id", "source", "lang")
+    val prof = Curation.sourceLangProfile(d)
+    assert(prof.columns.toSeq === Seq("source", "n_de", "n_en", "n_es", "n_fr", "n_zh"))
+    val got = prof.collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong).toList).toMap
+    assert(got === Map("s1" -> List(0L, 2L, 0L, 0L, 1L), "s2" -> List(1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("eventPathsOn: consecutive triples per user; ms then event_id ordering; tails drop") {
+    val e = Seq(
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "c", 30L, 102L), (1L, "d", 40L, 103L),
+      // u2: equal timestamps — event_id breaks the tie, so the path is a>b>c
+      (2L, "a", 5L, 200L), (2L, "b", 5L, 201L), (2L, "c", 5L, 202L),
+      // u3: only two events -> no complete triple
+      (3L, "a", 1L, 300L), (3L, "b", 2L, 301L)
+    ).toDF("user_id", "event_type", "ms", "event_id")
+    val got = Events.eventPathsOn(e, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(got === List("a>b>c" -> 2L, "b>c>d" -> 1L))
+    // k boundary: count tie between a>b>c (2) and nothing else at k=1
+    assert(Events.eventPathsOn(e, 1).collect().map(_.getString(0)).toList === List("a>b>c"))
+  }
+
+  test("ngramVocab: document frequency on distinct bigrams, df-then-gram ordering") {
+    val d = Seq((1L, "a b"), (2L, "a b a b"), (3L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramVocab(d, n = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    // "a b" appears in docs 1,2 (distinct within doc 2); "b a" in doc 2; "b c" in doc 3
+    assert(got === List((1L, "a b", 2L), (2L, "b a", 1L), (3L, "b c", 1L)))
+  }
+
+  test("tokenSpectrum: frequency-of-frequencies over total occurrences") {
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenSpectrum(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a:2, b:2, c:1 -> one term seen once, two terms seen twice
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("vocabCoverage: counts token occurrences (not distinct terms) against top-k vocab") {
     // df: b=3, a=1, c=1 -> top-1 vocab = {b}
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "b")).toDF("doc_id", "text")
