@@ -1056,6 +1056,54 @@ object Registry {
         |SELECT occ AS occurrences, count(*) AS n_terms
         |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Moments from DECIMAL-cast sums on both engines — see
+    // Events.valueOutliers; the z-threshold compare is then pure IEEE.
+    "q112_value_outliers" -> Entry(
+      (s, d) => Events.valueOutliers(s, d).orderBy("event_type"), Some(
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |   CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, n, s1 / n AS mean,
+        |   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM s)
+        |SELECT e.event_type, max(st.n) AS n, round(max(st.mean), 6) AS mean,
+        | round(max(st.std), 6) AS std,
+        | CAST(sum(CASE WHEN abs(e.value - st.mean) > 3 * st.std THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_outliers
+        |FROM events e JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q113_stream_enrich" -> Entry(
+      (s, d) => Events.streamingEnrichedCounts(s, d).orderBy("ws_epoch", "mktsegment"), Some(
+      """SELECT CAST(floor(epoch(date_trunc('hour', e.ts))) AS BIGINT) AS ws_epoch,
+        | c.c_mktsegment AS mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "q114_top_order_per_customer" -> Entry(
+      (s, d) => Queries.topOrderPerCustomer(s, d).orderBy("custkey"), Some(
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        | o_totalprice AS totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY custkey""".stripMargin)),
+
+    "q115_corpus_cube" -> Entry(
+      (s, d) => Curation.corpusCube(docs(s, d)).orderBy("lang", "source"), Some(
+      """SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin)),
+
+    "q116_acctbal_quartiles" -> Entry(
+      (s, d) => Queries.acctbalQuartiles(s, d).orderBy("nationkey", "quartile"), Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, CAST(q AS BIGINT) AS quartile,
+        | count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM (SELECT c_nationkey, c_acctbal,
+        |   ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS q
+        |  FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
       """WITH m AS (SELECT vec_id,

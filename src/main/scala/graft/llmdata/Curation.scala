@@ -285,6 +285,21 @@ object Curation {
       .na.fill(0L, Langs)
       .select(col("source") +: Langs.map(l => col(l).as(s"n_$l")): _*)
 
+  /** Corpus composition CUBE: doc counts and total characters for every
+    * (lang, source) combination PLUS per-lang, per-source, and grand-total
+    * subtotal rows — the full composition report a mixture designer reads,
+    * in one aggregation pass (grouping-set expansion is map-side; one
+    * shuffle, the [[graft.relational.Queries.rollupRevenue]] rationale
+    * extended to the complete lattice). Null grouping keys are
+    * sentinel-coalesced so the oracle comparison is collation-stable;
+    * character totals are exact integer sums. */
+  def corpusCube(docs: DataFrame): DataFrame =
+    docs.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"))
+
   /** End-to-end curation capstone — the composed pipeline a corpus actually
     * runs: exact dedup keep-first ([[Dedup.dedupKeepFirst]]) → token-length
     * quality gate (the standard min/max filter; this corpus has no

@@ -505,6 +505,40 @@ object Queries {
       .orderBy("mrow")
   }
 
+  /** Top-1-per-group: each customer's most expensive order — the classic
+    * argmax-per-key, as a per-key `row_number` window with a total
+    * (`totalprice desc, orderkey`) ordering so ties are deterministic on
+    * any engine. The window partitions by customer: partition size is
+    * orders-per-customer (bounded), never the table, so the shape holds at
+    * any corpus scale. Customers with no orders simply don't appear (an
+    * argmax over an empty set has no row). */
+  def topOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"))
+  }
+
+  /** Per-nation account-balance quartiles via `ntile(4)` — the banded
+    * distribution profile (who sits in each quarter of the balance range,
+    * per nation). `ntile` follows the SQL-standard bucketing (sizes differ
+    * by at most one, larger buckets first) on a total (`acctbal, custkey`)
+    * order, so the assignment is engine-independent; min/max per bucket are
+    * order statistics — no double-sum ordering hazard. The window
+    * partitions by nation (bounded partitions), then one hash agg. */
+  def acctbalQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+  }
+
   /** Zero-pad union — the reference's `visits'` padding (core.clj:169-172):
     * parts that never ship get explicit zero marginal rows. */
   def zeroPadUnion(s: SparkSession, dir: String): DataFrame = {

@@ -186,6 +186,36 @@ object Events {
       .orderBy(col("n").desc, col("path")).limit(k)
   }
 
+  /** Per-type value-anomaly profile: mean, population std, and the count
+    * of |z| > `z` outliers for each event type — the metric-drift monitor a
+    * pipeline runs over ingested event values. Cross-engine exactness: the
+    * moments come from DECIMAL-cast sums (order-independent under both
+    * engines' partitioned aggregation — value and value² are IEEE-exact
+    * per row, only their SUM order varies), converted to double once, so
+    * mean/std/outlier-threshold arithmetic is bit-identical.
+    *
+    * Shape: two passes over events — one map-side-combined moment agg
+    * (5 rows out), then the tiny stats frame joins back (AQE broadcasts
+    * it) for the outlier count. No window, no sort; both shuffles key on
+    * event_type. */
+  def valueOutliers(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+    val e = events(spark, dir).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 10))).cast("double").as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
+    e.join(stats, "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        round(max(col("mean")), 6).as("mean"),
+        round(max(col("std")), 6).as("std"),
+        sum(when(abs(col("value") - col("mean")) > lit(z) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** As-of join — an operator Spark has no native form of, composed from
     * built-ins (preference (a) of the custom-operator ladder): match each
     * `leftType` event to the most recent `rightType` event of the same
@@ -262,6 +292,25 @@ object Events {
     s2.catalog.dropTempView(name)
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
+
+  /** Stream-static enrichment: the live event stream joined to a static
+    * dimension (customer market segment keyed by user_id) before a
+    * watermarked tumbling count — the canonical "enrich the stream with a
+    * dim table" pattern. The static side is explicitly `broadcast` (a
+    * stream-static join re-reads the dim per micro-batch; broadcasting
+    * pins the stateless hash-join shape — the stream itself never
+    * shuffles for the join, and at cluster scale the dim ships once per
+    * executor). Settled result is checked against the batch-join oracle. */
+  def streamingEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => {
+      val dim = broadcast(stream.sparkSession.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment")))
+      stream.withWatermark("ts", "1 hour")
+        .join(dim, "user_id")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("mktsegment"), col("n"))
+    })
 
   /** The tumbling aggregation as a genuine Structured Streaming query:
     * parquet file source → withWatermark → window agg → memory sink in

@@ -21,7 +21,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q88_bucketed_join",  // writes the bucketed tables on construction; plan pinned in BucketingSpec
     "q95_fuzzy_contamination",  // MinHashLSH fit + settle on construction
     "q99_neardup_components",   // label-propagation loop runs on construction; shape pinned in DedupSpec
-    "q101_neardup_dedup")       // composes q99's eager loop
+    "q101_neardup_dedup",       // composes q99's eager loop
+    "q113_stream_enrich")       // streaming settle on construction
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(

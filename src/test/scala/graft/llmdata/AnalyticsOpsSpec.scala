@@ -145,6 +145,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("corpusCube: full lattice — cell, per-lang, per-source, and grand-total rows") {
+    val d = Seq(
+      (1L, "en", "s1", 10L), (2L, "en", "s2", 20L), (3L, "zh", "s1", 5L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val got = Curation.corpusCube(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("en", "s1") -> ((1L, 10L)), ("en", "s2") -> ((1L, 20L)), ("zh", "s1") -> ((1L, 5L)),
+      ("en", "<all>") -> ((2L, 30L)), ("zh", "<all>") -> ((1L, 5L)),
+      ("<all>", "s1") -> ((2L, 15L)), ("<all>", "s2") -> ((1L, 20L)),
+      ("<all>", "<all>") -> ((3L, 35L))))
+  }
+
   test("vocabCoverage: counts token occurrences (not distinct terms) against top-k vocab") {
     // df: b=3, a=1, c=1 -> top-1 vocab = {b}
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "b")).toDF("doc_id", "text")

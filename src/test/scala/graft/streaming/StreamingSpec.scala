@@ -28,6 +28,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(batch) === canon(stream))
   }
 
+  test("stream-static enrichment settles to the batch join-then-window plan") {
+    import org.apache.spark.sql.functions._
+    val stream = Events.streamingEnrichedCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = s2.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
+    val batch = s2.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("mktsegment"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("sliding windows cover each event twice") {
     val n = spark.read.format("parquet").load(s"$dir/events.parquet").count()
     val total = Events.slidingCounts(spark, dir)
