@@ -391,8 +391,19 @@ object Registry {
         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS BIGINT) AS n_distinct_shingles
         |FROM documents WHERE len(string_split(text, ' ')) >= 3 ORDER BY doc_id""".stripMargin)),
 
+    // The oracle mirrors the same per-character left fold via list_reduce;
+    // the accumulator rides a VARCHAR (list_reduce infers the accumulator
+    // type from the list elements, which are single-char strings) and the
+    // modular arithmetic keeps every intermediate exact in BIGINT on both
+    // engines — previously rows-only, upgraded once list_reduce proved
+    // available in the oracle's DuckDB.
     "q35_rolling_hash" -> Entry(
-      (s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy("doc_id"), None),
+      (s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy("doc_id"), Some(
+      """SELECT doc_id,
+        | CAST(list_reduce(list_prepend('0', string_split(text, '')),
+        |   (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c)) % 1000000007
+        |     AS VARCHAR)) AS BIGINT) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q73_bpe_token_stats" -> Entry(
       (s, d) => TextAnalysis.bpeTokenStats(docs(s, d)).orderBy("doc_id"), Some(
@@ -1103,6 +1114,29 @@ object Registry {
         |   ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Certifies the SimHash vote/signature logic cross-engine with a
+    // 60-bit md5 hash family (q44 keeps the fast xxhash64 family,
+    // rows-only). The oracle rebuilds the per-bit votes with an explicit
+    // bit unnest; the md5-prefix parse is the q35 list_reduce fold in
+    // base 16.
+    "q117_simhash_md5" -> Entry(
+      (s, d) => Dedup.simhashMd5(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(tok), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16
+        |     + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM tok),
+        |votes AS (SELECT doc_id, i,
+        |   sum(CASE WHEN (h // (CAST(1 AS BIGINT) << i)) % 2 = 1
+        |     THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(

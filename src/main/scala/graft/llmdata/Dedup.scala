@@ -269,12 +269,35 @@ object Dedup {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Per-document 64-bit SimHash over xxhash64 token hashes. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Per-document 64-bit SimHash over xxhash64 token hashes — the
+    * production hash family (codegen'd, non-cryptographic, the right cost
+    * at corpus scale). The signature values are engine-specific
+    * (xxhash64), so this is rows-only at the driver; the vote/signature
+    * logic itself is hash-checked cross-engine via [[simhashMd5]]. */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashOf(docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h")))
+
+  /** [[simhash]] with a cross-engine hash family: each token's 60-bit
+    * hash is its md5-prefix parsed as an integer (the [[graft.llmdata.
+    * Curation.stratifiedSample]] trick — 15 hex chars stay inside a
+    * signed long), so DuckDB can reproduce the identical signatures and
+    * the per-bit vote logic gets a real oracle. NOT the scale path —
+    * md5 is ~10× xxhash64 per token — but votes/ties/bit-packing are
+    * hash-family-independent, so green here certifies [[simhash]]'s
+    * aggregator too (bits 60-63 are constant-zero votes on both
+    * engines). */
+  def simhashMd5(docs: DataFrame): DataFrame =
+    simhashOf(docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h")))
+
+  /** The shared vote aggregation over any (doc_id, h) token-hash frame. */
+  private def simhashOf(hashed: DataFrame): DataFrame = {
     val sim = udaf(SimHashAgg, Encoders.scalaLong)
-    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .groupBy("doc_id").agg(sim(col("h")).as("simhash"))
+    hashed.groupBy("doc_id").agg(sim(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxHamming` over a bounded
