@@ -1138,6 +1138,48 @@ object Registry {
         |   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    "q118_source_overlap" -> Entry(
+      (s, d) => Dedup.sourceOverlap(docs(s, d)).orderBy("src_a", "src_b"), Some(
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source, x.s AS sh FROM (
+        |   SELECT source, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        | round(CAST(n_common AS DOUBLE) /
+        |   CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON src_a = sa.source
+        | JOIN sizes sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Each token's ln(n/N) is one IEEE divide + ln (bit-identical libm);
+    // the per-doc sum rides DECIMAL(28,12) so partition order can't move
+    // it — see TextAnalysis.unigramLogprob.
+    "q119_unigram_logprob" -> Entry(
+      (s, d) => TextAnalysis.unigramLogprob(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |wc AS (SELECT term, count(*) AS n_tok FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n_tok) AS n_total FROM wc)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(CAST(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |     AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM tok JOIN wc USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // bucket = binary-digit count - 1 (integer-exact floor(log2); a libm
+    // log2 could flip the floor at power-of-two boundaries).
+    "q120_length_histogram" -> Entry(
+      (s, d) => TextAnalysis.lengthHistogram(docs(s, d)).orderBy("lang", "bucket"), Some(
+      """SELECT lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        | count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "q92_quantize_embeddings" -> Entry(
       (s, d) => Similarity.quantizeEmbeddings(emb(s, d)).orderBy("vec_id", "pos"), Some(
       """WITH m AS (SELECT vec_id,

@@ -228,6 +228,40 @@ object Dedup {
         md5(col("text")).as("text_md5"))
   }
 
+  /** Source-overlap matrix: exact Jaccard similarity between each pair of
+    * sources' distinct word-3-shingle sets — the corpus-level duplication
+    * report (which crawls/dumps overlap, and by how much) that decides
+    * de-duplication order and mixture double-counting corrections.
+    *
+    * Scale shape: one distinct (source, shingle-hash) projection — 8-byte
+    * xxhash64 keys, the [[graft.llmdata.TextAnalysis.contaminationCheck]]
+    * rule — then a self-equi-join ON THE SHINGLE (never a source cross
+    * product): each shingle contributes its own source-pair list, bounded
+    * by #sources² per shingle, and the (src_a, src_b) intersection counts
+    * aggregate map-side. Set sizes join back onto the tiny pair frame;
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs with zero intersection are absent (a
+    * full matrix would add a cross join of the 1-row-per-source frame —
+    * deliberately omitted; absent = 0.0). */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_a"), col("sh"))
+      .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Exact pairwise Jaccard similarity on distinct-token sets for a bounded
     * candidate set (the verification stage after LSH candidate generation,
     * or a direct small-corpus near-dup pass). Pairs come from the

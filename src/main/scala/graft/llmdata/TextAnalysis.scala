@@ -260,6 +260,47 @@ object TextAnalysis {
       .groupBy("occ").agg(count(lit(1)).as("n_terms"))
       .select(col("occ").as("occurrences"), col("n_terms"))
 
+  /** Unigram cross-entropy quality score: each document's mean token
+    * log-probability under the corpus unigram distribution — the
+    * perplexity-style fluency/outlier filter (garbage and off-distribution
+    * documents score very negative). Two passes: the corpus wordcount
+    * (map-side-combined hash agg + a 1-row total), then tokens re-joined
+    * to their probabilities and averaged per document.
+    *
+    * Cross-engine exactness: each token's `ln(n_tok / N)` is one IEEE
+    * divide + one `ln` (bit-identical libm results — verified for ln on
+    * these engines); the per-document SUM of those doubles rides a
+    * DECIMAL(28,12) cast so partition order can't perturb it (the
+    * [[graft.relational.Queries.dsum]] rule), and the final mean is one
+    * double divide, rounded 6dp. Every token in the corpus has n ≥ 1 —
+    * the probability is never 0, the log never -inf. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val wc = tok.groupBy("term").agg(count(lit(1)).as("n_tok"))
+    val total = wc.agg(sum(col("n_tok")).as("n_total"))
+    val lp = ln(col("n_tok").cast("double") / col("n_total").cast("double"))
+    tok.join(wc, "term").crossJoin(total)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(lp.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp") / col("n_tokens").cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** Log2-bucketed length histogram per lang: bucket = ⌊log2 n_chars⌋
+    * computed as binary-digit count (pure integer arithmetic — a libm
+    * log2 could drift a ulp exactly at the power-of-two boundaries where
+    * the floor flips). One map-side-combined hash agg over ≤ 64 buckets
+    * per lang. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        (length(conv(col("n_chars"), 10, 2)) - 1).cast("long").as("bucket"),
+        col("n_chars"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   /** Email-address shape shared by Java regex and RE2 (no backrefs or
     * lookaround, so Spark and the oracle match the same spans). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -33,7 +33,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q56_csv_padded_matrix",  // missing keywords × 22-hour key expansion
     "q83_tfidf_topk",         // 1-row corpus-size aggregate broadcast back
     "q100_source_divergence", // 1-row corpus-total aggregate broadcast back
-    "q106_temperature_mix")   // 1-row normalizing-sums aggregate broadcast back
+    "q106_temperature_mix",   // 1-row normalizing-sums aggregate broadcast back
+    "q119_unigram_logprob")   // 1-row corpus-total aggregate broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

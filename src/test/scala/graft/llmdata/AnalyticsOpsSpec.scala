@@ -158,6 +158,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("<all>", "<all>") -> ((3L, 35L))))
   }
 
+  test("sourceOverlap: shingle-set Jaccard by hand; zero-overlap pairs absent") {
+    val d = Seq(
+      (1L, "a b c d", "s1"),   // shingles: {a b c, b c d}
+      (2L, "a b c", "s2"),     // shingles: {a b c}
+      (3L, "x y z", "s3")      // shingles: {x y z} — no overlap with anyone
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(("s1", "s2") -> ((1L, 0.5)))) // |∩|=1, |∪|=2
+  }
+
+  test("unigramLogprob: hand-computed mean token logprob") {
+    // corpus: a a b (N=3); P(a)=2/3, P(b)=1/3
+    val d = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnA = math.log(2.0 / 3.0)
+    val lnB = math.log(1.0 / 3.0)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got === Map(1L -> ((2L, r6(lnA))), 2L -> ((1L, r6(lnB)))))
+  }
+
+  test("lengthHistogram: integer floor-log2 buckets, exact at powers of two") {
+    val d = Seq((1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L), (4L, "en", 4L),
+      (5L, "en", 1024L)).toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.lengthHistogram(d).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 1L, 1L)), 1L -> ((2L, 2L, 3L)), 2L -> ((1L, 4L, 4L)),
+      10L -> ((1L, 1024L, 1024L))))
+  }
+
   test("vocabCoverage: counts token occurrences (not distinct terms) against top-k vocab") {
     // df: b=3, a=1, c=1 -> top-1 vocab = {b}
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "b")).toDF("doc_id", "text")
