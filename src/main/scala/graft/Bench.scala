@@ -64,7 +64,11 @@ object Bench {
     // the shorter line matters — the driver keeps only the TAIL of the run
     // output, and a 91-query line at nanosecond precision pushed past its
     // window every round (BENCH_r03..r07 all record parsed:null).
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT pins the '.' decimal separator — the default-locale
+    // formatter emits "0,123" under comma-decimal locales (e.g. de_DE),
+    // which is invalid JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":${ms(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")

@@ -30,6 +30,34 @@ object Registry {
     s"SELECT l_partkey AS mrow, CAST(month(l_shipdate) AS BIGINT) AS mcol, " +
       s"CAST(sum(CAST($measure AS DECIMAL(18,2))) AS DOUBLE) AS mval FROM lineitem GROUP BY 1, 2"
 
+  /** DuckDB mirror of [[graft.relational.Queries.ipfUnrolled]] at any
+    * unroll depth: per sweep k, a row-sum CTE + row fit (to the x
+    * marginal) then a col-sum CTE + col fit (to the y marginal), each fit
+    * consuming the previous CTE and rounding to 6dp — the exact chain the
+    * Spark side runs, so the generator and the operator share one `steps`
+    * knob and can never drift. Denominator sums ride DECIMAL(38,6)
+    * (order-independent, engine-exact — the fitRowsExact rule). */
+  private def ipfUnrolledSql(steps: Int): String = {
+    require(steps >= 1)
+    val sweeps = (1 to steps).map { k =>
+      val prev = if (k == 1) "m" else s"fb${k - 1}"
+      s"""rs$k AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS rsum FROM $prev GROUP BY 1),
+         |fa$k AS (SELECT $prev.mrow, $prev.mcol, round($prev.mval * (x.xval / rs$k.rsum), 6) AS mval
+         |  FROM $prev JOIN rs$k ON $prev.mrow = rs$k.mrow JOIN x ON $prev.mrow = x.idx),
+         |cs$k AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM fa$k GROUP BY 1),
+         |fb$k AS (SELECT fa$k.mrow, fa$k.mcol, round(fa$k.mval * (y.yval / cs$k.csum), 6) AS mval
+         |  FROM fa$k JOIN cs$k ON fa$k.mcol = cs$k.mcol JOIN y ON fa$k.mcol = y.idx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (${cooSql("l_extendedprice")}),
+       |x AS (SELECT l_partkey AS idx, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xval
+       |  FROM lineitem GROUP BY 1),
+       |y AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS idx,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS yval
+       |  FROM lineitem GROUP BY 1),
+       |$sweeps
+       |SELECT mrow, mcol, mval FROM fb$steps ORDER BY 1, 2""".stripMargin
+  }
+
   // The reference fixture's visits.csv hour columns (hours 4 and 5 have no
   // visits and are absent from the wide header — FIXTURES.md §1).
   private val VisitHours: Seq[Int] = Seq(0, 1, 2, 3) ++ (6 to 23)
@@ -279,31 +307,21 @@ object Registry {
          |  FROM f1 JOIN cs ON f1.mcol = cs.mcol JOIN y ON f1.mcol = y.idx)
          |SELECT mrow, mcol, mval FROM f2 ORDER BY 1, 2""".stripMargin)),
 
-    // Fixed-2-sweep unrolled IPF — the q76 sweep CHAINED, closing the
+    // Fixed-k unrolled IPF — the q76 sweep CHAINED, closing the
     // `converge` loop-semantics oracle gap (q26 stays rows-only for the
     // stopping rule). Every fit mirrors fitRowsExact: the factor denominator
     // is a DECIMAL(38,6) sum (order-independent, engine-exact) and every
     // fit output is rounded to 6dp before the next sweep consumes it.
-    "q94_ipf_unrolled" -> Entry((s, d) => Queries.ipfUnrolled(s, d), Some(
-      s"""WITH m AS (${cooSql("l_extendedprice")}),
-         |x AS (SELECT l_partkey AS idx, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xval
-         |  FROM lineitem GROUP BY 1),
-         |y AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS idx,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS yval
-         |  FROM lineitem GROUP BY 1),
-         |rs1 AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS rsum FROM m GROUP BY 1),
-         |f1 AS (SELECT m.mrow, m.mcol, round(m.mval * (x.xval / rs1.rsum), 6) AS mval
-         |  FROM m JOIN rs1 ON m.mrow = rs1.mrow JOIN x ON m.mrow = x.idx),
-         |cs1 AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM f1 GROUP BY 1),
-         |f2 AS (SELECT f1.mrow, f1.mcol, round(f1.mval * (y.yval / cs1.csum), 6) AS mval
-         |  FROM f1 JOIN cs1 ON f1.mcol = cs1.mcol JOIN y ON f1.mcol = y.idx),
-         |rs2 AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS rsum FROM f2 GROUP BY 1),
-         |f3 AS (SELECT f2.mrow, f2.mcol, round(f2.mval * (x.xval / rs2.rsum), 6) AS mval
-         |  FROM f2 JOIN rs2 ON f2.mrow = rs2.mrow JOIN x ON f2.mrow = x.idx),
-         |cs2 AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM f3 GROUP BY 1),
-         |f4 AS (SELECT f3.mrow, f3.mcol, round(f3.mval * (y.yval / cs2.csum), 6) AS mval
-         |  FROM f3 JOIN cs2 ON f3.mcol = cs2.mcol JOIN y ON f3.mcol = y.idx)
-         |SELECT mrow, mcol, mval FROM f4 ORDER BY 1, 2""".stripMargin)),
+    // The oracle CTE chain is generated by ipfUnrolledSql(steps), in
+    // lockstep with Queries.ipfUnrolled's `steps` parameter: q94 pins 2
+    // sweeps (the round-8 form, unchanged), q121 pins 4 — repeated-
+    // composition arithmetic certified out to near the real convergence
+    // horizon of the reference loop (core.clj:99-119).
+    "q94_ipf_unrolled" -> Entry((s, d) => Queries.ipfUnrolled(s, d, steps = 2),
+      Some(ipfUnrolledSql(2))),
+
+    "q121_ipf_unrolled4" -> Entry((s, d) => Queries.ipfUnrolled(s, d, steps = 4),
+      Some(ipfUnrolledSql(4))),
 
     "q28_matrix_norm" -> Entry(Queries.matrixNorm, Some(
       s"""WITH m AS (${cooSql("l_extendedprice")}),
@@ -657,6 +675,35 @@ object Registry {
 
     "q71_decode_features" -> Entry(
       (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None),
+
+    // Hash-checked twin of q71: the SAME PpmDecoder.parse runs per payload
+    // but emits integer header fields + per-channel pixel sum/min/max, and
+    // the oracle re-derives the deterministic text→PPM construction
+    // (raster = text bytes space-padded to 3·8·h, h = ceil(bytes/24)) in
+    // DuckDB string functions — no float arithmetic on either side, so the
+    // real codec's header parse, channel interleave, and padding are all
+    // cross-engine certified. (The documents fixture is all-ASCII, so the
+    // oracle's char-indexed substr/ascii walk equals the byte walk; the
+    // Spark side is byte-correct for any content.)
+    "q122_decode_stats" -> Entry(
+      (s, d) => Multimodal.decodeStats(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH p AS (SELECT doc_id,
+        |  greatest(1, CAST(ceil(octet_length(encode(text)) / 24.0) AS BIGINT)) AS h,
+        |  octet_length(encode(text)) AS nb, text FROM documents),
+        |pad AS (SELECT doc_id, h, text || repeat(' ', CAST(h * 24 - nb AS INT)) AS t FROM p),
+        |px AS (SELECT doc_id, h,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 1 AS INT), 1))) AS r,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 2 AS INT), 1))) AS g,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 3 AS INT), 1))) AS b
+        | FROM pad)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width, h AS height, CAST(255 AS BIGINT) AS maxval,
+        | CAST(list_sum(r) AS BIGINT) AS sum_r, CAST(list_sum(g) AS BIGINT) AS sum_g,
+        | CAST(list_sum(b) AS BIGINT) AS sum_b,
+        | CAST(list_min(r) AS BIGINT) AS min_r, CAST(list_min(g) AS BIGINT) AS min_g,
+        | CAST(list_min(b) AS BIGINT) AS min_b,
+        | CAST(list_max(r) AS BIGINT) AS max_r, CAST(list_max(g) AS BIGINT) AS max_g,
+        | CAST(list_max(b) AS BIGINT) AS max_b
+        |FROM px ORDER BY doc_id""".stripMargin)),
 
     // The resized payload is compared as a hex byte-prefix: DuckDB (this
     // build) cannot slice or sha256 BLOBs, and a varchar substr counts

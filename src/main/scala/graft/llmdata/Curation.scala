@@ -409,7 +409,8 @@ object Curation {
   * encoder factory; the implicit `newLongArrayEncoder` lives on
   * SQLImplicits, which needs a session. `ExpressionEncoder` derives it
   * structurally without one. */
-private object ExpressionEncoderHelper {
+private[llmdata] object ExpressionEncoderHelper {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  val intArray: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
 }

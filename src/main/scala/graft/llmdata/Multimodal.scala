@@ -24,21 +24,28 @@ object Multimodal {
     docs.withColumn("payload", col("text").cast("binary"))
 
   /** Attach a VALID binary P6 PPM payload derived from the document text:
-    * an 8-pixel-wide RGB image whose raster is the text bytes space-padded
+    * an 8-pixel-wide RGB image whose raster is the text BYTES space-padded
     * to a whole number of rows. Deterministic, content-derived, and a real
     * image — `P6\n8 <h>\n255\n<3·8·h raster bytes>` parses in any netpbm
     * reader. Built scan-side from codegen'd string/binary built-ins; the
     * height lands in a named column so the padded-length arithmetic is
-    * evaluated once per row. */
+    * evaluated once per row.
+    *
+    * All raster arithmetic is in BYTES, not characters: the height derives
+    * from `octet_length` and the padding runs over the binary cast of the
+    * text (Spark's `rpad` pads byte-wise when its arguments are binary) —
+    * [[PpmDecoder]] validates the raster length in bytes (3·w·h), so a
+    * char-based height would over-promise on any multi-byte (non-ASCII)
+    * document and fail the decode at runtime. */
   def withPpmPayload(docs: DataFrame, width: Int = 8): DataFrame = {
     val rowBytes = 3 * width
     docs
       .withColumn("__ppm_h",
-        greatest(lit(1), ceil(length(col("text")) / lit(rowBytes.toDouble))).cast("int"))
+        greatest(lit(1), ceil(octet_length(col("text")) / lit(rowBytes.toDouble))).cast("int"))
       .withColumn("payload", concat(
         concat(lit(s"P6\n$width "), col("__ppm_h").cast("string"), lit("\n255\n"))
           .cast("binary"),
-        expr(s"cast(rpad(text, __ppm_h * $rowBytes, ' ') as binary)")))
+        expr(s"rpad(cast(text as binary), __ppm_h * $rowBytes, cast(' ' as binary))")))
       .drop("__ppm_h")
   }
 
@@ -90,6 +97,15 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Double]
   }
 
+  /** Exact integer reduction of a parsed PPM: header fields plus
+    * per-channel sum/min/max over the pixel plane — every field integer,
+    * so any downstream comparison is arithmetic-free and cross-engine
+    * exact (the [[decodeStats]] oracle surface). */
+  final case class PpmStats(width: Int, height: Int, maxval: Int,
+      sumR: Long, sumG: Long, sumB: Long,
+      minR: Int, minG: Int, minB: Int,
+      maxR: Int, maxG: Int, maxB: Int)
+
   /** Binary P6 PPM decoder — a real, dependency-free image parse:
     * validates the `P6` magic, skips `#` comments, reads the ASCII
     * width/height/maxval header fields and the single whitespace byte that
@@ -97,10 +113,15 @@ object Multimodal {
     * (3·w·h samples at maxval < 256), then reduces the pixel plane to
     * `[width, height, maxval, mean_R, mean_G, mean_B]`. Malformed payloads
     * throw IllegalArgumentException with the offending offset — a decode
-    * job must surface corrupt media, not average over garbage. */
+    * job must surface corrupt media, not average over garbage.
+    *
+    * [[parse]] is the full pipeline with exact integer output; [[decode]]
+    * derives the double feature vector from it, so the feature path and
+    * the oracle-checked stats path exercise the SAME header/raster code. */
   object PpmDecoder extends Decoder {
     val featureDim = 6
-    def decode(p: Array[Byte]): Array[Double] = {
+
+    def parse(p: Array[Byte]): PpmStats = {
       var i = 0
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"PPM parse error at byte $i: $msg")
@@ -137,11 +158,26 @@ object Multimodal {
       val expected = 3L * w * h
       if (p.length - i != expected) fail(s"raster is ${p.length - i} bytes, want $expected")
       val sums = new Array[Long](3)
+      val mins = Array(256, 256, 256)
+      val maxs = Array(-1, -1, -1)
       var c = 0
-      while (i < p.length) { sums(c % 3) += p(i) & 0xff; c += 1; i += 1 }
-      val n = w.toDouble * h
-      Array(w.toDouble, h.toDouble, maxval.toDouble,
-        sums(0) / n, sums(1) / n, sums(2) / n)
+      while (i < p.length) {
+        val v = p(i) & 0xff
+        val ch = c % 3
+        sums(ch) += v
+        if (v < mins(ch)) mins(ch) = v
+        if (v > maxs(ch)) maxs(ch) = v
+        c += 1; i += 1
+      }
+      PpmStats(w, h, maxval, sums(0), sums(1), sums(2),
+        mins(0), mins(1), mins(2), maxs(0), maxs(1), maxs(2))
+    }
+
+    def decode(p: Array[Byte]): Array[Double] = {
+      val s = parse(p)
+      val n = s.width.toDouble * s.height
+      Array(s.width.toDouble, s.height.toDouble, s.maxval.toDouble,
+        s.sumR / n, s.sumG / n, s.sumB / n)
     }
   }
 
@@ -171,4 +207,41 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_pos", "feature_val")))
       .select(col("doc_id"), col("feature_pos").cast("long").as("feature_pos"),
         round(col("feature_val"), 6).as("feature_val"))
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("maxval", LongType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("min_r", LongType), StructField("min_g", LongType),
+    StructField("min_b", LongType),
+    StructField("max_r", LongType), StructField("max_g", LongType),
+    StructField("max_b", LongType)))
+
+  /** Integer-exact decode statistics — the DECODE PATH'S ORACLE SURFACE:
+    * the same [[PpmDecoder.parse]] that powers [[decodeFeatures]] runs per
+    * payload, but emits the raw integer header fields and per-channel
+    * pixel sum/min/max instead of double means — every value integer, so a
+    * SQL engine that re-derives the deterministic text→PPM construction
+    * ([[withPpmPayload]]: raster = text bytes space-padded to 3·w·h) can
+    * reproduce the result bit-for-bit with string/byte functions and no
+    * float arithmetic anywhere. This promotes the real codec from
+    * rows-only to hash-checked: a header mis-parse, a channel-phase slip
+    * (R/G/B interleave off by one), or a padding error all change these
+    * integers. Same `mapPartitions` batch plumbing as the feature path —
+    * payload bytes never shuffle, one fixed-width row out per document. */
+  def decodeStats(docs: DataFrame): DataFrame = {
+    val src = withPpmPayload(docs).select(col("doc_id"), col("payload"))
+    val enc = RowEncoder.encoderFor(statsSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val s = PpmDecoder.parse(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width.toLong, s.height.toLong, s.maxval.toLong,
+          s.sumR, s.sumG, s.sumB,
+          s.minR.toLong, s.minG.toLong, s.minB.toLong,
+          s.maxR.toLong, s.maxG.toLong, s.maxB.toLong)
+      }
+    }(enc)
+  }
 }

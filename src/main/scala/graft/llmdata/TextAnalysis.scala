@@ -264,25 +264,41 @@ object TextAnalysis {
     * log-probability under the corpus unigram distribution — the
     * perplexity-style fluency/outlier filter (garbage and off-distribution
     * documents score very negative). Two passes: the corpus wordcount
-    * (map-side-combined hash agg + a 1-row total), then tokens re-joined
-    * to their probabilities and averaged per document.
+    * (map-side-combined hash agg + a 1-row total), then per-document term
+    * frequencies joined to their probabilities and reduced as Σ tf·ln p.
     *
-    * Cross-engine exactness: each token's `ln(n_tok / N)` is one IEEE
+    * Skew/scale shape (the [[tfIdfTopK]] rule): the `term` join operates on
+    * the PRE-AGGREGATED (doc_id, term, tf) frame, not the exploded
+    * token-occurrence stream — so when the vocabulary-sized `wc` frame is
+    * small enough to broadcast (any real vocabulary; AQE picks this up),
+    * the heavy side never shuffles at all, and when a pathological
+    * vocabulary does force a shuffle-hash join, the shuffled rows are
+    * distinct (doc, term) pairs, not token occurrences: a Zipf-skewed term
+    * like "the" contributes one row per document instead of one row per
+    * occurrence, so the hot-key funnel collapses map-side at the tf
+    * aggregation (keyed on (doc_id, term) — never skewed) before any
+    * term-keyed movement happens.
+    *
+    * Cross-engine exactness: each term's `ln(n_tok / N)` is one IEEE
     * divide + one `ln` (bit-identical libm results — verified for ln on
-    * these engines); the per-document SUM of those doubles rides a
-    * DECIMAL(28,12) cast so partition order can't perturb it (the
-    * [[graft.relational.Queries.dsum]] rule), and the final mean is one
-    * double divide, rounded 6dp. Every token in the corpus has n ≥ 1 —
-    * the probability is never 0, the log never -inf. */
+    * these engines); the per-document sum is Σ tf·lp computed in exact
+    * decimal arithmetic — lp cast to DECIMAL(28,12) then multiplied by the
+    * integer tf (decimal × integer is exact), so it equals the
+    * per-occurrence sum the oracle computes, term for term, and partition
+    * order can't perturb it (the [[graft.relational.Queries.dsum]] rule).
+    * The final mean is one double divide, rounded 6dp. Every token in the
+    * corpus has n ≥ 1 — the probability is never 0, the log never -inf. */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val wc = tok.groupBy("term").agg(count(lit(1)).as("n_tok"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy("term").agg(sum(col("tf")).as("n_tok"))
     val total = wc.agg(sum(col("n_tok")).as("n_total"))
     val lp = ln(col("n_tok").cast("double") / col("n_total").cast("double"))
-    tok.join(wc, "term").crossJoin(total)
+    tf.join(wc, "term").crossJoin(broadcast(total))
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_tokens"),
-        sum(lp.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        sum(col("tf")).as("n_tokens"),
+        sum(lp.cast(org.apache.spark.sql.types.DecimalType(28, 12)) *
+            col("tf").cast(org.apache.spark.sql.types.DecimalType(9, 0)))
           .cast("double").as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_lp") / col("n_tokens").cast("double"), 6).as("avg_logprob"))

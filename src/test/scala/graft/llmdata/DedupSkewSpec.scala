@@ -83,6 +83,44 @@ class DedupSkewSpec extends AnyFunSuite {
     }
   }
 
+  /** 6 docs sliding a 12-token window 2 tokens at a time over a 22-token
+    * stream: adjacent docs share 8 of 10 distinct 3-shingles each
+    * (Jaccard 8/12 ≈ 0.667 ≥ 0.5), docs two apart share 6
+    * (6/14 ≈ 0.43 < 0.5) — so the near-dup graph is exactly the 5-edge
+    * PATH 0–1–2–3–4–5, diameter 5. Min-label propagation needs one sweep
+    * per hop: this is the fixture that forces [[Dedup.nearDupComponents]]
+    * through 5+ real sweeps (clique corpora settle in 2), exercising the
+    * folded convergence check and the maxSweeps contract on a deep
+    * component. */
+  private def pathCorpus = {
+    import spark.implicits._
+    (0 until 6).map { i =>
+      val text = (2 * i until 2 * i + 12).map(t => s"w$t").mkString(" ")
+      (i.toLong, text, "web", "en", text.length.toLong)
+    }.toDF("doc_id", "text", "source", "lang", "n_chars")
+  }
+
+  test("nearDupComponents on a 6-node path graph (diameter 5): multi-sweep convergence to one min-label component") {
+    val edges = Dedup.minhashNearDup(pathCorpus, simThreshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture sanity: exactly the adjacent pairs — the graph IS a path
+    assert(edges === (0L to 4L).map(i => (i, i + 1)).toSet)
+    val labels = Dedup.nearDupComponents(pathCorpus, simThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 5L).map(_ -> 0L).toMap)
+    val reps = Dedup.nearDupRepresentatives(pathCorpus, simThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(reps === Seq(0L))
+  }
+
+  test("nearDupComponents throws (never returns unconverged labels) when maxSweeps is below the diameter") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(pathCorpus, simThreshold = 0.5, maxSweeps = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("contaminationCheck executes on the hot corpus with the agg-join shape (no Window)") {
     withStaticPlans {
       val res = TextAnalysis.contaminationCheck(skewedCorpus)

@@ -263,6 +263,36 @@ class LlmDataSpec extends AnyFunSuite {
     ranks.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
 
+  /** Second (coarser/cheaper) parameter point per ANN family, so the
+    * recall/cost CURVE is pinned, not one point: a regression that quietly
+    * cheapens the expensive configuration (recall collapse) or quietly
+    * enriches the cheap one (cost creep — e.g. nProbe ignored and every
+    * cell scanned) both break an ordering assertion. Recall floors are the
+    * envelope; the cross-point assertions are the curve shape. Seeds are
+    * fixed throughout, so all values are deterministic. */
+  test("ANN recall/cost curve: coarse parameter points sit below the fine ones, above their floors") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // LSH: 2 hash tables vs the standard 8 — fewer tables, fewer OR-chances.
+    val lshCoarse = recallOf(Similarity.lshTopK(emb, nQueries = 5, k = 5, numHashTables = 2))
+    val lshFine = recallOf(Similarity.lshTopK(emb, nQueries = 5, k = 5, numHashTables = 8))
+    assert(lshCoarse >= 0.2, s"LSH(2 tables) recall $lshCoarse below envelope floor")
+    assert(lshFine >= lshCoarse,
+      s"LSH recall not monotone in numHashTables: 8 tables $lshFine < 2 tables $lshCoarse")
+    // IVF: probe 1 of 16 cells vs 6 — strictly fewer candidate cells.
+    val ivfCoarse = recallOf(Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 1))
+    val ivfFine = recallOf(Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 6))
+    assert(ivfCoarse >= 0.2, s"IVF(nProbe=1) recall $ivfCoarse below envelope floor")
+    assert(ivfFine >= ivfCoarse,
+      s"IVF recall not monotone in nProbe: nProbe=6 $ivfFine < nProbe=1 $ivfCoarse")
+  }
+
   test("cosine near-dup block join: exact parity with the naive theta join") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     def naive(t: Double) = {
