@@ -275,10 +275,37 @@ object Events {
   /** Run `build(stream)` to completion through a memory sink, then
     * re-materialize the settled rows on the *caller's* session and drop
     * the temp view — a finished streaming query leaves no residue in a
-    * long-lived session. */
+    * long-lived session.
+    *
+    * `noDataBatches = false` skips the trailing empty micro-batch Spark
+    * otherwise runs after the data drains (to advance the watermark and
+    * evict state). Only valid for queries whose OUTPUT never depends on
+    * watermark advancement — an eager inner stream-stream join emits every
+    * match inside the data batch itself; the no-data batch would only
+    * evict join state that this drain-and-stop harness is about to discard
+    * with the ephemeral checkpoint anyway. Never set it for append-mode
+    * windowed aggregations (their finals only emit when the watermark
+    * passes) or TTL'd state (timeout callbacks fire in no-data batches).
+    *
+    * Cost-trend note (measured, local[32] sf0.1, StreamProbe sandwich —
+    * q64's r6→r8 bench drift 2.8→4.3→7.4s with no code change): the
+    * micro-batch machinery here is ~1.8× slower when the shared bench JVM
+    * has just run the heavy cache-leaving queries (ALS training + factor
+    * caches, LSH persisted features, components' checkpointed labels):
+    * same-JVM probe-pollute-probe measured min 3.8s before vs 6.7s after
+    * (2h watermark), recovering over subsequent reps as background
+    * cleanup drains — i.e. the drift tracked the GROWTH OF THE REGISTRY
+    * AHEAD OF q64 in bench order (each round added heavy q1xx queries
+    * that sort before it), not this operator's plan, and q89/q58 drifted
+    * in parallel because they share this harness. Mitigations shipped:
+    * the no-data-batch skip above and the windowMs-derived watermark —
+    * post-pollution q64 measured min 2.79s, at its r6 level. */
   private def settle(spark: SparkSession, dir: String,
-      build: DataFrame => DataFrame, outputMode: String = "complete"): DataFrame = {
+      build: DataFrame => DataFrame, outputMode: String = "complete",
+      noDataBatches: Boolean = true): DataFrame = {
     val s2 = eventsSession(spark)
+    if (!noDataBatches)
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val (staged, schema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${streamCounter.incrementAndGet()}"
     val stream = convertTs(s2.readStream.schema(schema).parquet(staged))
@@ -469,24 +496,34 @@ object Events {
     * same-user `rightType` events in the preceding `windowMs` — both sides
     * watermarked so the join state is evictable (the 100 TB requirement:
     * bounded state, not an unbounded build side). Inner joins emit eagerly;
-    * the watermark only bounds retained state. Settled output equals the
-    * batch twin [[intervalJoin]], checked against the same oracle. */
+    * the watermark only bounds retained state — so the delay is derived
+    * from the join window itself (`windowMs` + 5 min disorder slack)
+    * rather than a fixed constant: a row older than the window plus the
+    * tolerated disorder can never produce another match, and every extra
+    * watermark minute is pure retained state (the previous fixed 2 h
+    * against a 1 h window held ~2× the needed rows at zero semantic
+    * benefit). `noDataBatches = false` applies here precisely because the
+    * inner join's output never waits on the watermark (see [[settle]]).
+    * Settled output equals the batch twin [[intervalJoin]], checked
+    * against the same oracle. */
   def streamingIntervalJoin(spark: SparkSession, dir: String,
       leftType: String = "purchase", rightType: String = "view",
-      windowMs: Long = 3600000L): DataFrame =
+      windowMs: Long = 3600000L): DataFrame = {
+    val wmMs = windowMs + 300000L
     settle(spark, dir, stream => {
       val p = stream.filter(col("event_type") === leftType)
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
-        .withWatermark("p_ts", "2 hours")
+        .withWatermark("p_ts", s"$wmMs milliseconds")
       val v = stream.filter(col("event_type") === rightType)
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event"))
-        .withWatermark("v_ts", "2 hours")
+        .withWatermark("v_ts", s"$wmMs milliseconds")
       p.join(v, col("p_user") === col("v_user") &&
           col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
           col("v_ts") <= col("p_ts"))
         .select(col("p_event"), col("v_event"),
           (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
-    }, outputMode = "append")
+    }, outputMode = "append", noDataBatches = false)
+  }
 
   /** Streaming ingest dedup — the pipeline front door that keeps a
     * re-delivered record (at-least-once sources re-send) from entering the
