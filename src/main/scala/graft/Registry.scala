@@ -1238,7 +1238,178 @@ object Registry {
         |       FROM embeddings e JOIN s USING (vec_id))
         |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
         | CAST(floor(x * scale + 0.5) AS BIGINT) AS q, round(scale, 6) AS scale
-        |FROM px ORDER BY vec_id, pos""".stripMargin))
+        |FROM px ORDER BY vec_id, pos""".stripMargin)),
+
+    // md5-family MinHash signatures: every byte engine-reproducible (the
+    // q117 hex-prefix trick), certifying the min-over-shingle-set algebra
+    // that MinHashLSH's private coefficients keep rows-only in q43.
+    "q123_minhash_md5" -> Entry(
+      (s, d) => Dedup.minhashMd5Signatures(docs(s, d)).orderBy("doc_id", "seed"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds)
+        |SELECT doc_id, CAST(seed AS BIGINT) AS seed, min(h) AS minhash
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // The full LSH dedup pipeline — signature → band keys → bucket join →
+    // exact-Jaccard verify — hash-checked end to end on the md5 family.
+    // Finds exactly q43's 25 near-dup pairs at sf0.01.
+    "q124_minhash_md5_pairs" -> Entry(
+      (s, d) => Dedup.minhashMd5Pairs(docs(s, d)).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b, n_common,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The salt never reaches the output: the oracle is the PLAIN join,
+    // certifying the salting rewrite is result-identical.
+    "q125_salted_join" -> Entry(
+      (s, d) => Queries.saltedSkewJoin(s, d), Some(
+      """SELECT n_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Integer-exact dot/norms (raw TF counts) — the only float ops are two
+    // sqrts and a divide, so the df-pruned inverted-index similarity
+    // search hash-checks end to end.
+    "q126_inverted_cosine" -> Entry(
+      (s, d) => Dedup.invertedCosinePairs(docs(s, d)).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tf AS (SELECT doc_id, x.s, count(*) AS tf FROM (
+        |   SELECT doc_id, unnest(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |   FROM t WHERE len(toks) >= 3) x GROUP BY 1, 2),
+        |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM tf GROUP BY 1) WHERE df BETWEEN 2 AND 20),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tf a JOIN rare USING (s) JOIN tf b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
+        |dot AS (SELECT doc_a, doc_b, sum(ta.tf * tb.tf) AS dot
+        |  FROM cand JOIN tf ta ON ta.doc_id = doc_a JOIN tf tb ON tb.doc_id = doc_b AND tb.s = ta.s
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+        |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |  FROM dot JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id)
+        |WHERE cosine >= 0.3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // OLS moments ride DECIMAL(38,18) (order-independent), ONE cast to
+    // double each, slope arithmetic all-double — see TextAnalysis.zipfSlope.
+    "q127_zipf_slope" -> Entry(
+      (s, d) => TextAnalysis.zipfSlope(docs(s, d)), Some(
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY n DESC, bigram) AS rk, n FROM c QUALIFY rk <= 100),
+        |pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM r),
+        |m AS (SELECT count(*) AS n_points,
+        |   CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx FROM pts)
+        |SELECT n_points,
+        | round((CAST(n_points AS DOUBLE)*sxy - sx*sy) / (CAST(n_points AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+        | round((sy - ((CAST(n_points AS DOUBLE)*sxy - sx*sy) / (CAST(n_points AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n_points AS DOUBLE), 6) AS intercept
+        |FROM m""".stripMargin)),
+
+    // H = ln(T) − (Σ n·ln n)/T; the oracle sums ln(n) per OCCURRENCE in
+    // DECIMAL(28,12) — exactly the Spark side's decimal×integer product
+    // (the q119 rule), so the sums are equal term for term.
+    "q128_source_entropy" -> Entry(
+      (s, d) => TextAnalysis.sourceEntropy(docs(s, d)).orderBy("source"), Some(
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT t.source, count(*) AS n_tokens,
+        | round(ln(CAST(count(*) AS DOUBLE)) -
+        |   CAST(sum(CAST(ln(CAST(c.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS entropy
+        |FROM tok t JOIN c ON t.source = c.source AND t.term = c.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The oracle runs the BNLJ range-join form; the operator runs the
+    // equi-join-on-computed-bucket rewrite — equality certifies the rewrite.
+    "q129_range_bucket_join" -> Entry(
+      (s, d) => Events.rangeBucketJoin(s, d), Some(
+      """WITH tiers AS (SELECT CAST(i AS BIGINT) AS tier_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+        |  FROM (SELECT unnest(range(10)) AS i))
+        |SELECT tier_id, lo, hi, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    "q130_timebound_conversion" -> Entry(
+      (s, d) => Events.timeboundConversion(s, d).orderBy("user_id"), Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS t_conv FROM e JOIN f USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t0 AND ms <= t0 + 1800000 GROUP BY 1)
+        |SELECT f.user_id, t0 AS first_ms,
+        | CAST(t_conv IS NOT NULL AS BIGINT) AS converted,
+        | coalesce(t_conv - t0, -1) AS lag_ms
+        |FROM f LEFT JOIN c ON f.user_id = c.user_id ORDER BY 1""".stripMargin)),
+
+    // row_number selection, not interpolation: the quantile values are
+    // input values, so the operator hash-checks exactly.
+    "q131_exact_quantiles" -> Entry(
+      (s, d) => Events.exactValueQuantiles(s, d).orderBy("event_type"), Some(
+      """WITH e AS (SELECT event_type, value, event_id FROM events),
+        |r AS (SELECT event_type, value,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn FROM e),
+        |s AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        | min(CASE WHEN rn = ceil(n / 2.0) THEN value END) AS median,
+        | min(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90
+        |FROM r JOIN s USING (event_type)
+        |WHERE rn = ceil(n / 2.0) OR rn = ceil(n * 0.9)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Spark's grouping_id bit order matches DuckDB's GROUPING(lang, source).
+    "q132_grouping_sets" -> Entry(
+      (s, d) => TextAnalysis.corpusGroupingSets(docs(s, d))
+        .orderBy("grain", "lang", "source"), Some(
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | CAST(GROUPING(lang, source) AS BIGINT) AS grain,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY grain, lang, source""".stripMargin)),
+
+    "q133_debounce" -> Entry(
+      (s, d) => Events.debounceEvents(s, d).orderBy("event_id"), Some(
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM e)
+        |SELECT event_id, user_id, event_type, ms FROM l
+        |WHERE prev_ms IS NULL OR ms - prev_ms >= 600000 ORDER BY event_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -416,4 +416,127 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- md5-family MinHash: the cross-engine-certifiable LSH pipeline ----
+
+  /** Per-document MinHash signatures from an md5 hash family: hash i of
+    * shingle s is the 60-bit integer parse of `md5(i || "|" || s)`'s hex
+    * prefix (the [[simhashMd5]] trick), and the signature entry for seed i
+    * is the min over the document's DISTINCT word-k-shingles. Long format
+    * `(doc_id, seed, minhash)` — the shape both the band-key builder and
+    * the DuckDB oracle consume directly.
+    *
+    * This is the certifiable twin of [[minhashNearDup]]'s Spark-ML
+    * MinHashLSH front end: that family's coefficients are engine-private
+    * (rows-only at the driver), while every byte here is reproducible in
+    * any engine with md5 — so the min-over-set signature algebra, the
+    * banding, and the candidate algebra of the LSH pipeline all get a real
+    * hash-checked oracle (q123/q124). NOT the throughput path (md5 is
+    * ~10× xxhash64 per shingle); the production front end stays
+    * [[minhashNearDup]].
+    *
+    * Scale shape: one explode to (doc, shingle, seed) — numHashes rows per
+    * distinct shingle — feeding a min aggregation that combines map-side,
+    * so the exchange carries ≤ numHashes rows per (doc, partition), never
+    * the exploded stream. */
+  def minhashMd5Signatures(docs: DataFrame, numHashes: Int = 8, k: Int = 3): DataFrame =
+    docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"),
+        conv(substring(md5(concat(col("seed").cast("string"), lit("|"), col("s"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .groupBy("doc_id", "seed").agg(min(col("h")).as("minhash"))
+
+  /** Full MinHash→band→bucket-join→exact-verify near-dup pairs on the md5
+    * family — every stage of the classic LSH dedup pipeline with an exact
+    * DuckDB mirror. Signatures band into `numHashes / bandRows` bands; the
+    * band key is the seed-ordered "seed:minhash" join of the band's rows
+    * (`sort_array(collect_list(struct(...)))` — deterministic regardless
+    * of arrival order, `string_agg(... ORDER BY seed)` on the oracle
+    * side); candidates are an equi-join on (band_id, band_key), never an
+    * all-pairs product; verification computes exact shingle-set Jaccard by
+    * joining the candidate pairs back onto the per-doc distinct-shingle
+    * frame (bounded by candidate count × shingles/doc, the
+    * [[minhashNearDup]] candidates→verify shape). */
+  def minhashMd5Pairs(docs: DataFrame, numHashes: Int = 8, bandRows: Int = 2,
+      k: Int = 3, simThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val sig = minhashMd5Signatures(docs, numHashes, k)
+    val banded = sig
+      .groupBy(col("doc_id"), floor(col("seed") / bandRows).as("band_id"))
+      .agg(concat_ws("|",
+        transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
+          x => concat(x("seed").cast("string"), lit(":"), x("minhash").cast("string"))))
+        .as("band_key"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band_id").as("bid"),
+        col("band_key").as("bkey")),
+        col("band_id") === col("bid") && col("band_key") === col("bkey") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("s"))
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
+  }
+
+  /** Document-similarity pairs by exact TF-cosine over word-k-shingle
+    * vectors, with a df-pruned inverted index as the candidate generator:
+    * only shingles appearing in 2..maxDf documents propose pairs (a
+    * shingle in half the corpus proposes Ω(n²) pairs and carries no
+    * discrimination — the classic inverted-index similarity-search prune),
+    * then the exact dot product is computed ONLY for proposed pairs by
+    * joining them back onto the full TF frame. All counts are integers:
+    * dot and the squared norms are integer-exact, the only float ops are
+    * two sqrts and one divide — bit-identical cross-engine, so the whole
+    * operator hash-checks (q126).
+    *
+    * Unlike [[jaccardPairs]] (all-pairs under [[PairScope]]) this never
+    * materializes a cross product: candidate volume is Σ_rare df², bounded
+    * by maxDf × the rare-postings count. Recall is exact for any pair
+    * sharing ≥ 1 rare shingle; pairs whose overlap is entirely
+    * ubiquitous-shingles are by construction low-signal (sim from
+    * stop-shingles alone). At 100 TB the same plan holds: the df frame is
+    * a shuffle-free re-aggregation of tf, and the pair join is
+    * band-bounded exactly like [[minhashMd5Pairs]]. */
+  def invertedCosinePairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
+      simThreshold: Double = 0.3): DataFrame = {
+    val tf = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), k)).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val posting = tf.join(rare.select("s"), "s").select("doc_id", "s")
+    val cand = posting.select(col("doc_id").as("doc_a"), col("s"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("s"), col("tf").as("tf_a")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("s"), col("tf").as("tf_b")),
+        Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= simThreshold)
+  }
 }

@@ -2,6 +2,7 @@ package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
   * the `documents` table (doc_id, text, lang, source, n_chars). All are
@@ -404,4 +405,90 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         round(col("tfidf"), 6).as("tfidf"))
   }
+
+  /** Zipf-law fit over the corpus bigram spectrum: OLS slope/intercept of
+    * ln(freq) against ln(rank) for the top `topN` bigrams (rank by freq
+    * desc, bigram asc — a total order, so both engines pick and number the
+    * same rows). The slope is the corpus's Zipf exponent (natural text
+    * ≈ −1; synthetic/templated corpora flatten toward 0) — a one-number
+    * naturalness check a curation pipeline runs per source or per crawl.
+    *
+    * Bigrams rather than unigrams because a unigram fit over this
+    * fixture's ~31-word vocabulary has no tail to regress on; for a real
+    * corpus both spectra work (the operator takes the frame it's given).
+    *
+    * Determinism: ln() is bit-identical cross-engine; the four OLS moments
+    * Σx, Σy, Σxy, Σx² ride DECIMAL(38,18) so partial-aggregation order
+    * can't move a ulp (the repo's order-independent-sum rule); the final
+    * slope/intercept are a handful of double ops rounded to 6dp. The
+    * aggregation input is topN rows — a single-partition window feeding a
+    * scalar agg, negligible next to the corpus-wide bigram count that
+    * precedes it (map-side combined, the q110 shape). */
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val bg = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(shingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram"))
+    val ranked = bg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+    val d = (c: Column) => c.cast(DecimalType(38, 18))
+    // Moments summed in decimal (order-independent), then ONE cast to
+    // double each before the slope arithmetic: decimal division/product
+    // rounding rules differ across engines, double ops don't.
+    val moments = ranked.agg(
+      count(lit(1)).as("n_points"),
+      sum(d(col("x"))).cast("double").as("sx"), sum(d(col("y"))).cast("double").as("sy"),
+      sum(d(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(d(col("x") * col("x"))).cast("double").as("sxx"))
+    val np = col("n_points").cast("double")
+    val slope = (np * col("sxy") - col("sx") * col("sy")) /
+      (np * col("sxx") - col("sx") * col("sx"))
+    moments.select(col("n_points"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / np, 6).as("intercept"))
+  }
+
+  /** Per-source Shannon entropy of the unigram distribution — the
+    * diversity statistic curation dashboards track per source/crawl (a
+    * collapsing-entropy source is templated or looping output). Computed
+    * as H = ln(T) − (Σ n·ln n)/T over per-term counts n and source total
+    * T: per-term ln(n) is one bit-identical libm call, n·ln(n) rides the
+    * exact decimal×integer product (the q119 rule) so the source sum is
+    * order-independent, and the corpus-scale work is one (source, term)
+    * hash agg, map-side combined — no joins at all. */
+  def sourceEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(
+        sum(col("n")).as("n_tokens"),
+        sum(log(col("n").cast("double")).cast(DecimalType(28, 12)) *
+          col("n").cast(DecimalType(9, 0))).as("snln"))
+      .select(col("source"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          (col("snln").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("entropy"))
+
+  /** Corpus profile at three grains in one pass — GROUPING SETS
+    * ((lang, source), (lang), ()) — the "by language × source, by
+    * language, grand total" report without three scans or a full CUBE's
+    * unwanted (source)-only grain (q115 covers CUBE; this pins the
+    * arbitrary-subset form). Spark expands grouping sets into a single
+    * Expand + one hash agg — each input row fans out only to its three
+    * grains map-side; no shuffle multiplier. Null grouping keys are
+    * labeled "ALL" (the fixture has no null lang/source, so the label is
+    * unambiguous), and `grouping_id` disambiguates grain membership the
+    * same way on both engines (Spark's bit order matches DuckDB's
+    * GROUPING(lang, source)). */
+  def corpusGroupingSets(docs: DataFrame): DataFrame =
+    docs.groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("long").as("grain"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("grain"), col("n_docs"), col("sum_chars"))
 }

@@ -548,4 +548,36 @@ object Queries {
       .withColumn("mval", lit(0.0))
     m.unionByName(missing).orderBy("mrow")
   }
+
+  /** Salted skew join: lineitem → supplier nation revenue where the join
+    * key (s_nationkey, 25 values) is exactly the hot-key shape that
+    * funnels a 100 TB fact shuffle into 25 reducers. The salting rewrite:
+    * the fact side gets a deterministic salt in [0, numSalts) —
+    * `pmod(xxhash64(l_orderkey, l_linenumber), S)`, no `rand()` so the
+    * result is re-executable — and the dim side is replicated once per
+    * salt (`explode(sequence(...))`, dim×S rows, still tiny), turning one
+    * hot reducer per nation into S. The aggregate then rolls up by nation
+    * only — the salt never reaches the output, so the result is
+    * byte-identical to the unsalted join, which is exactly what the
+    * DuckDB oracle (plain join, no salt) certifies.
+    *
+    * At local bench scale AQE would broadcast the dim and no skew exists;
+    * the operator pins the REWRITE's correctness so the pattern is
+    * trusted where it matters (sort-merge path, skewed fact). Decimal
+    * revenue sums per the q01 rule. */
+  def saltedSkewJoin(s: SparkSession, dir: String, numSalts: Int = 8): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(numSalts)))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(numSalts - 1L))))
+    val nation = t(s, dir, "nation")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
 }

@@ -216,6 +216,115 @@ object Events {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Range join rewritten as an equi-join on a computed bucket: events
+    * classified into fixed-width value tiers. The naive plan — `JOIN tiers
+    * ON value >= lo AND value < hi` — is a broadcast-nested-loop scan of
+    * every event against every tier (the oracle runs exactly that form to
+    * certify equivalence); because the tiers are aligned to a fixed width,
+    * the same relation is derivable as `tier_id = floor(value / width)`,
+    * an equi-join that hashes instead of scanning — O(n) vs O(n·tiers),
+    * and at 100 TB the difference between one pass and a BNLJ. The general
+    * lesson (arbitrary interval tables bucketize the same way, with
+    * intervals exploded per overlapped bucket) is documented here; the
+    * aligned case keeps the oracle exact. */
+  def rangeBucketJoin(spark: SparkSession, dir: String, width: Double = 50.0,
+      numTiers: Int = 10): DataFrame = {
+    val s2 = eventsSession(spark)
+    import s2.implicits._
+    val tiers = (0 until numTiers).map(i =>
+        (i.toLong, i * width, (i + 1) * width))
+      .toDF("tier_id", "lo", "hi")
+    rawEvents(spark, dir)
+      .withColumn("tier_id", floor(col("value") / lit(width)))
+      .join(broadcast(tiers), "tier_id")
+      .groupBy("tier_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("tier_id")
+  }
+
+  /** Time-bound conversion: for each user's FIRST `fromType` event, did a
+    * `toType` event follow within `windowMs`? Unlike [[funnel]] (unbounded
+    * chained mins) this is the SLA-style metric — "converted within 30
+    * minutes" — every growth dashboard actually reports. Shape: two
+    * filtered min-aggregations and one equi-join on user_id (the bounded
+    * successor min is an agg over the join, conditional on the window),
+    * all map-side combinable; no window function, no per-event state.
+    * Non-converters keep a -1 sentinel so the output is dense and
+    * null-free for exact comparison. */
+  def timeboundConversion(spark: SparkSession, dir: String,
+      fromType: String = "view", toType: String = "purchase",
+      windowMs: Long = 1800000L): DataFrame =
+    timeboundConversionOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms")),
+      fromType, toType, windowMs)
+
+  /** [[timeboundConversion]]'s core on a (user_id, event_type, ms) frame. */
+  def timeboundConversionOn(e: DataFrame, fromType: String, toType: String,
+      windowMs: Long): DataFrame = {
+    val first = e.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(col("ms")).as("t0"))
+    val conv = e.filter(col("event_type") === toType)
+      .join(first, "user_id")
+      .filter(col("ms") > col("t0") && col("ms") <= col("t0") + lit(windowMs))
+      .groupBy("user_id").agg(min(col("ms")).as("t_conv"))
+    first.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("t0").as("first_ms"),
+        col("t_conv").isNotNull.cast("long").as("converted"),
+        coalesce(col("t_conv") - col("t0"), lit(-1L)).as("lag_ms"))
+  }
+
+  /** Exact order statistics per event_type — median and p90 of `value` by
+    * explicit row_number selection (row ⌈n/2⌉ and ⌈0.9·n⌉ of the total
+    * (value, event_id) order), NOT interpolation: the selected values are
+    * input values, engine-independent, so the operator hash-checks where
+    * `percentile_cont`'s interpolation arithmetic could drift. Shape: one
+    * shuffle keyed by event_type for the window (5 bounded partitions
+    * here; at real cardinality the partition key scales with the group
+    * count), then a 2-row-per-group filter join on the group sizes. The
+    * approximate scale path for ungrouped/huge partitions stays q93's GK
+    * sketch. */
+  def exactValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    exactValueQuantilesOn(events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id")))
+
+  /** [[exactValueQuantiles]]'s core on a (event_type, value, event_id) frame. */
+  def exactValueQuantilesOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w))
+    val sizes = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ranked.join(sizes, "event_type")
+      .filter(col("rn") === ceil(col("n") / 2) || col("rn") === ceil(col("n") * 0.9))
+      .groupBy("event_type").agg(
+        max(col("n")).as("n"),
+        min(when(col("rn") === ceil(col("n") / 2), col("value"))).as("median"),
+        min(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"))
+  }
+
+  /** Debounce / rate-limit dedup: keep an event only if the previous event
+    * of the same (user, type) is at least `gapMs` older — the
+    * telemetry-retry and double-click scrub every event pipeline runs
+    * before counting anything. One lag() over the (user_id, event_type)
+    * partition in (ms, event_id) total order — single shuffle, two longs
+    * of state per row, no self-join. Note the semantics are lag-based
+    * (gap from the previous RETAINED-or-not event, i.e. from the raw
+    * predecessor), the standard debounce; a chain-collapsing variant
+    * (gap from the last KEPT event) needs the session-window operator
+    * (q53) instead. */
+  def debounceEvents(spark: SparkSession, dir: String, gapMs: Long = 600000L): DataFrame =
+    debounceOn(events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")), gapMs)
+
+  /** [[debounceEvents]]'s core on a (event_id, user_id, event_type, ms) frame. */
+  def debounceOn(e: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ms"), col("event_id"))
+    e.withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNull || col("ms") - col("prev_ms") >= gapMs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+  }
+
   /** As-of join — an operator Spark has no native form of, composed from
     * built-ins (preference (a) of the custom-operator ladder): match each
     * `leftType` event to the most recent `rightType` event of the same
