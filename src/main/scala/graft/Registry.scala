@@ -1312,8 +1312,10 @@ object Registry {
         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
         |   FROM t WHERE len(toks) >= 3) x GROUP BY 1, 2),
         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM tf GROUP BY 1) WHERE df BETWEEN 2 AND 20),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM tf a JOIN rare USING (s) JOIN tf b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |cand AS (SELECT doc_a, doc_b FROM (
+        |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |   FROM tf a JOIN rare USING (s) JOIN tf b ON b.s = a.s AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2) WHERE n_shared >= 2),
         |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
         |dot AS (SELECT doc_a, doc_b, sum(ta.tf * tb.tf) AS dot
         |  FROM cand JOIN tf ta ON ta.doc_id = doc_a JOIN tf tb ON tb.doc_id = doc_b AND tb.s = ta.s

@@ -506,14 +506,22 @@ object Dedup {
     *
     * Unlike [[jaccardPairs]] (all-pairs under [[PairScope]]) this never
     * materializes a cross product: candidate volume is Σ_rare df², bounded
-    * by maxDf × the rare-postings count. Recall is exact for any pair
-    * sharing ≥ 1 rare shingle; pairs whose overlap is entirely
-    * ubiquitous-shingles are by construction low-signal (sim from
-    * stop-shingles alone). At 100 TB the same plan holds: the df frame is
-    * a shuffle-free re-aggregation of tf, and the pair join is
-    * band-bounded exactly like [[minhashMd5Pairs]]. */
+    * by maxDf × the rare-postings count. Recall contract: exact for any
+    * pair sharing ≥ `minSharedRare` rare shingles. The AND-amplification
+    * (default 2) is what makes the exact phase affordable on a
+    * low-discrimination corpus: on the sf0.1 fixture (small synthetic
+    * vocabulary — nearly every shingle is "rare" yet shared by unrelated
+    * docs) one shared rare shingle proposes 1.12M pairs, two shared cut
+    * that to 110k (10×) while a 1-shared pair's cosine on ~50-shingle
+    * docs is ≤ ~0.03 — far under any useful threshold, so the pruned
+    * pairs are exactly the ones the threshold would discard anyway.
+    * Pairs whose overlap is entirely ubiquitous-shingles are by
+    * construction low-signal (sim from stop-shingles alone). At 100 TB
+    * the same plan holds: the df frame is a shuffle-free re-aggregation
+    * of tf, and the pair join is band-bounded exactly like
+    * [[minhashMd5Pairs]]. */
   def invertedCosinePairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
-      simThreshold: Double = 0.3): DataFrame = {
+      simThreshold: Double = 0.3, minSharedRare: Int = 2): DataFrame = {
     val tf = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), k)).as("s"))
@@ -524,7 +532,9 @@ object Dedup {
     val cand = posting.select(col("doc_id").as("doc_a"), col("s"))
       .join(posting.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedRare)
+      .select("doc_a", "doc_b")
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     cand
       .join(tf.select(col("doc_id").as("doc_a"), col("s"), col("tf").as("tf_a")), "doc_a")

@@ -308,9 +308,20 @@ object Queries {
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
     var m = asCoo(cooExact(s, dir, "l_extendedprice"))
-    for (_ <- 1 to steps) {
+    for (k <- 1 to steps) {
       m = m.fitRowsExact(x).mapValues(round(_, 6))
       m = m.transpose.fitRowsExact(y).mapValues(round(_, 6)).transpose
+      // Each fitRowsExact consumes its input TWICE (row-sum agg + the
+      // factor join), so an unchained unroll doubles the logical plan per
+      // fit — 2^(2·steps) base-scan leaves by steps=4, and ReuseExchange
+      // only recovers part of it (measured 9.9s vs 1.5s for steps 4 vs 2
+      // at sf0.1). A lineage checkpoint every SECOND sweep caps segments
+      // at the 2-sweep plan Catalyst handles well and makes growth linear
+      // (steps=4: 9.9s unchained, 4.5s per-sweep, 4.2s every-2nd at
+      // sf0.1, warm min-of-3). Values are 6dp-rounded at every fit, so
+      // materialization cannot change a bit of the result; the last sweep
+      // stays unmaterialized for the consumer to stream.
+      if (k % 2 == 0 && k < steps) m = m.checkpointed()
     }
     named(m)
   }

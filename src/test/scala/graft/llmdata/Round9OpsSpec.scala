@@ -72,6 +72,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L, 5L, c57), (2L, 3L, 5L, c57)))
   }
 
+  test("invertedCosinePairs: a single shared rare shingle is below the " +
+    "AND-amplification bar and proposes no pair") {
+    // Docs 0/1 share exactly ONE shingle ("x y z", df=2, rare); everything
+    // else is doc-unique (df=1, excluded from the rare postings by df>=2).
+    val d = Seq(
+      (0L, "x y z a1 a2 a3", "s", "en", 1L),
+      (1L, "x y z b1 b2 b3", "s", "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    assert(Dedup.invertedCosinePairs(d, maxDf = 20, simThreshold = 0.0).isEmpty)
+    // minSharedRare=1 restores the pair — the knob, not the plan, decides.
+    assert(Dedup.invertedCosinePairs(d, maxDf = 20, simThreshold = 0.0,
+      minSharedRare = 1).count() === 1L)
+  }
+
   test("saltedSkewJoin: result identical to the unsalted plain join") {
     val dir = "/root/testdata/sf0.001"
     val got = Queries.saltedSkewJoin(spark, dir).collect()
