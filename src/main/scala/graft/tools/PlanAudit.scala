@@ -67,7 +67,22 @@ object PlanAudit {
       reg("q119_unigram_logprob")),
     ("q122_decode_stats", "PPM decode stats: payload built scan-side (byte arithmetic), " +
       "mapPartitions parse, integer reductions — no shuffle, payload never moves",
-      reg("q122_decode_stats")))
+      reg("q122_decode_stats")),
+    ("q124_minhash_md5_pairs", "full LSH pipeline: signature min-agg (map-side combined over " +
+      "the seed-exploded stream), band-key agg, bucket equi-join, exact verify joined back on " +
+      "the shingle frame — never an all-pairs product",
+      reg("q124_minhash_md5_pairs")),
+    ("q125_salted_join", "salted skew join: deterministic fact salt + dim replicated per salt, " +
+      "join on (key, salt) splits each hot nation across S reducers; salt dies at the rollup",
+      reg("q125_salted_join")),
+    ("q126_inverted_cosine", "df-pruned inverted index: rare-postings self-join proposes pairs, " +
+      ">=2-shared-rare AND-amplification gates the exact phase, dot joins candidates back on " +
+      "the full tf frame (integer-exact)",
+      reg("q126_inverted_cosine")),
+    ("q129_range_bucket_join", "range join rewritten as equi-join on floor(value/width): " +
+      "broadcast hash join instead of the BNLJ the BETWEEN form forces (the oracle runs that " +
+      "form to certify equivalence)",
+      reg("q129_range_bucket_join")))
 
   private val streamingStateNote: String =
     """
