@@ -1411,7 +1411,80 @@ object Registry {
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM e)
         |SELECT event_id, user_id, event_type, ms FROM l
-        |WHERE prev_ms IS NULL OR ms - prev_ms >= 600000 ORDER BY event_id""".stripMargin))
+        |WHERE prev_ms IS NULL OR ms - prev_ms >= 600000 ORDER BY event_id""".stripMargin)),
+
+    // dense_rank keeps tied parts AND does not consume the next rank —
+    // the tie contract q114's row_number top-1 deliberately avoids.
+    "q134_dense_rank_topk" -> Entry(
+      (s, d) => Queries.denseRankTopParts(s, d).orderBy("p_brand", "rnk", "p_partkey"), Some(
+      """WITH q AS (SELECT p_brand, p_partkey,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |r AS (SELECT p_brand, p_partkey, qty,
+        |   CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY qty DESC) AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT p_brand, rnk, p_partkey, qty FROM r WHERE rnk <= 3
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin)),
+
+    // Monthly revenue is decimal-exact per group; the running sum
+    // re-aggregates those doubles through DECIMAL(28,6) so the cumulative
+    // frame is engine- and order-independent.
+    "q135_running_revenue" -> Entry(
+      (s, d) => Queries.runningRevenue(s, d).orderBy("n_name", "ship_month"), Some(
+      """WITH m AS (SELECT n_name, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2)
+        |SELECT n_name, ship_month, revenue,
+        | CAST(sum(CAST(revenue AS DECIMAL(28,6))) OVER (PARTITION BY n_name ORDER BY ship_month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM m ORDER BY n_name, ship_month""".stripMargin)),
+
+    // Dataset.unpivot (single-scan Expand) vs the oracle's UNION-of-scans
+    // — equality certifies the melt rewrite.
+    "q136_unpivot_stats" -> Entry(
+      (s, d) => TextAnalysis.tokenStatsLong(docs(s, d)).orderBy("doc_id", "metric"), Some(
+      """WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars FROM documents)
+        |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM s
+        |UNION ALL SELECT doc_id, 'n_chars_obs', n_chars_obs FROM s
+        |UNION ALL SELECT doc_id, 'n_alpha_chars', n_alpha_chars FROM s
+        |ORDER BY doc_id, metric""".stripMargin)),
+
+    // Settled streaming sliding windows vs the batch q51 oracle — each
+    // event in exactly two panes, state bounded by open panes × types.
+    "q137_streaming_sliding" -> Entry(Events.streamingSlidingCounts, Some(
+      """WITH b AS (SELECT event_type, (epoch_ms(ts) // 1000 // 1800) * 1800 AS b0 FROM events),
+        |w AS (SELECT event_type, unnest([b0, b0 - 1800]) AS ws_epoch FROM b)
+        |SELECT ws_epoch, event_type, count(*) AS n FROM w
+        |GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin)),
+
+    "q138_session_stats" -> Entry(
+      (s, d) => Events.sessionStats(s, d).orderBy("user_id"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |l AS (SELECT user_id, ts_ms, event_id,
+        |  lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ts_ms, event_id,
+        |  CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |g AS (SELECT user_id, ts_ms,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS session_seq
+        | FROM f),
+        |sess AS (SELECT user_id, session_seq, min(ts_ms) AS session_start_ms,
+        |  max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+        | max(duration_ms) AS max_duration_ms, min(session_start_ms) AS first_start_ms
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
+    // the growth-curve rewrite that avoids per-day distinct sets.
+    "q139_cumulative_users" -> Entry(
+      (s, d) => Events.cumulativeUsers(s, d).orderBy("day"), Some(
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

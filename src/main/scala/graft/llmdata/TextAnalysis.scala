@@ -471,6 +471,19 @@ object TextAnalysis {
           (col("snln").cast("double") / col("n_tokens").cast("double")), 6)
           .as("entropy"))
 
+  /** Melt the per-document counting metrics to long (doc_id, metric,
+    * value) form — `Dataset.unpivot`, the relational UNPIVOT/MELT
+    * operator (the inverse of q108's pivot). Unpivot is a local Expand —
+    * each row fans out to its three metric rows map-side, no shuffle, no
+    * UNION-of-scans (the oracle runs the UNION ALL form; equality
+    * certifies the single-scan rewrite). */
+  def tokenStatsLong(docs: DataFrame): DataFrame =
+    tokenStats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"), col("n_alpha_chars"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("n_tokens"), col("n_chars_obs"), col("n_alpha_chars")),
+        "metric", "value")
+
   /** Corpus profile at three grains in one pass — GROUPING SETS
     * ((lang, source), (lang), ()) — the "by language × source, by
     * language, grand total" report without three scans or a full CUBE's

@@ -560,6 +560,58 @@ object Queries {
     m.unionByName(missing).orderBy("mrow")
   }
 
+  /** Top-3 parts per brand by shipped quantity with `dense_rank` — rank
+    * ties share a rank and do NOT consume the next one, so a brand with
+    * tied seconds keeps both (the semantics `row_number` top-k (q114)
+    * deliberately avoids; this pins the other contract). The rank orders
+    * by (qty DESC, p_partkey) — a total order, so both engines rank
+    * identically even among exact ties. One partial-agg shuffle on
+    * (brand, part), a broadcast dim join, then a window over bounded
+    * brand partitions. */
+  def denseRankTopParts(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = t(s, dir, "lineitem"); val part = t(s, dir, "part")
+    denseRankTopOn(
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(col("l_quantity")).as("qty")), k)
+  }
+
+  /** [[denseRankTopParts]]'s window core on a (p_brand, p_partkey, qty)
+    * frame — the unit-testable tie-contract surface. The rank orders by
+    * qty ALONE: a tiebreak column in the rank's ORDER BY would make tied
+    * quantities distinct sort keys and silently restore row_number
+    * semantics. Determinism holds regardless — the rank is a function of
+    * the value, so the qualifying row SET is unique; presentation order
+    * is the caller's orderBy. */
+  def denseRankTopOn(qty: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("qty").desc)
+    qty.withColumn("rnk", dense_rank().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("p_brand"), col("rnk"), col("p_partkey"), col("qty"))
+  }
+
+  /** Cumulative monthly revenue per nation — the running-total report
+    * (unbounded-preceding window frame). The monthly revenue is the
+    * decimal-exact per-group sum first (the q01 rule); the running sum
+    * then re-aggregates those already-exact doubles through
+    * DECIMAL(28,6) so the cumulative value is independent of both
+    * partition order AND frame evaluation strategy on either engine.
+    * Months are unique within a nation, so the frame order is total. */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+    val nation = t(s, dir, "nation")
+    val monthly = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"), month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy("ship_month")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly.withColumn("cum_revenue",
+        sum(col("revenue").cast(DecimalType(28, 6))).over(w).cast("double"))
+      .select(col("n_name"), col("ship_month"), col("revenue"), col("cum_revenue"))
+  }
+
   /** Salted skew join: lineitem → supplier nation revenue where the join
     * key (s_nationkey, 25 values) is exactly the hot-key shape that
     * funnels a 100 TB fact shuffle into 25 reducers. The salting rewrite:

@@ -88,6 +88,39 @@ object Events {
         (col("session_end_ms") - col("session_start_ms")).as("duration_ms"), col("n_events"))
   }
 
+  /** Per-user session summary over [[sessionize]]'s sessions — the
+    * engagement rollup (how many sessions, how long, how dense) reported
+    * per user. Adds one user-keyed hash agg on top of the session frame;
+    * the session window's user_id partitioning is reused, so no extra
+    * shuffle shape beyond q53's. */
+  def sessionStats(spark: SparkSession, dir: String, gapMs: Long = 300000L): DataFrame =
+    sessionize(spark, dir, gapMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_ms")).as("max_duration_ms"),
+        min(col("session_start_ms")).as("first_start_ms"))
+
+  /** Daily new + cumulative distinct users — the growth curve. An
+    * expanding-window COUNT(DISTINCT) recomputes an ever-growing set per
+    * day (state Ω(users) per window frame, quadratic work at scale); the
+    * standard rewrite is first-touch attribution: each user contributes
+    * once at min(day), daily news are a count over that tiny frame, and
+    * the cumulative curve is a running sum over the handful of day rows.
+    * The heavy aggregation is one map-side-combinable min per user; the
+    * window runs over #days rows, not events. Day = epoch-ms // 86400000
+    * (pure integer — no calendar/timezone semantics to disagree on). */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val first = events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val daily = first.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(col("day"), col("n_new"), col("cum_users"))
+  }
+
   /** JSON props extraction: real `from_json` on the Spark side (the oracle
     * mirrors it with a regexp — same values). */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
@@ -461,6 +494,19 @@ object Events {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
       .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"),
         col("n"), col("total")))
+
+  /** Streaming twin of [[slidingCounts]]: overlapping 1-hour windows
+    * sliding every 30 minutes over the watermarked stream. Each event
+    * lands in exactly two window panes, so the state store carries two
+    * open aggregates per (pane, type) until the watermark closes them —
+    * state scales with open panes × types, never with events. Settled
+    * output is hash-compared against the batch q51 oracle. */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"), col("n")))
 
   /** Per-user running stats carried in explicit keyed state. */
   final case class UserStat(user_id: Long, n_events: Long, min_value: Double, max_value: Double)

@@ -194,6 +194,83 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> ((10L, 5.0, 9.0)), "b" -> ((3L, 5.0, 9.0))))
   }
 
+  test("denseRankTopOn: ties share a rank and do not consume the next; rank 3 survives a tie at 2") {
+    val q = Seq(
+      ("B1", 1L, 100.0), ("B1", 2L, 90.0), ("B1", 3L, 90.0), ("B1", 4L, 80.0),
+      ("B1", 5L, 70.0), // rank 4 -> cut
+      ("B2", 6L, 50.0)
+    ).toDF("p_brand", "p_partkey", "qty")
+    val got = Queries.denseRankTopOn(q, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("B1", 1L, 1L), ("B1", 2L, 2L), ("B1", 2L, 3L), ("B1", 3L, 4L),
+      ("B2", 1L, 6L)))
+  }
+
+  test("runningRevenue: cum_revenue is the per-nation prefix sum of monthly revenue") {
+    val rows = Queries.runningRevenue(spark, "/root/testdata/sf0.001")
+      .orderBy("n_name", "ship_month").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ms) =>
+      var acc = 0.0
+      ms.sortBy(_._2).foreach { case (_, _, rev, cum) =>
+        acc += rev
+        assert(math.abs(cum - acc) < 1e-6)
+      }
+    }
+  }
+
+  test("tokenStatsLong: one row per (doc, metric) with the wide-form values") {
+    val d = Seq((9L, "ab cd e", "s", "en", 7L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.tokenStatsLong(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((9L, "n_tokens", 3L), (9L, "n_chars_obs", 7L),
+      (9L, "n_alpha_chars", 5L)))
+  }
+
+  test("streamingSlidingCounts settles to the batch sliding-window result") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.slidingCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = Events.streamingSlidingCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("sessionStats: the per-user rollup of the sessionize frame") {
+    val dir = "/root/testdata/sf0.001"
+    val sessions = Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = sessions.groupBy(_._1).map { case (u, ss) =>
+      u -> ((ss.length.toLong, ss.map(_._4).sum, ss.map(_._3).max, ss.map(_._2).min))
+    }
+    val got = Events.sessionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("cumulativeUsers: first-touch rewrite equals the expanding-distinct definition") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.cumulativeUsers(spark, dir).orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Reference: expanding distinct-user count per day, from the raw table.
+    val dayUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("ts div 1000000 div 86400000").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = dayUsers.map(_._1).distinct.sorted
+    val seen = scala.collection.mutable.Set[Long]()
+    val expect = days.flatMap { d =>
+      val before = seen.size
+      dayUsers.filter(_._1 == d).foreach(u => seen += u._2)
+      val fresh = seen.size - before
+      if (fresh > 0) Some((d, fresh.toLong, seen.size.toLong)) else None
+    }
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("debounceOn: drops inside-gap repeats per (user, type), lag-based") {
     val e = Seq(
       (1L, 10L, "click", 0L), (2L, 10L, "click", 500L), (3L, 10L, "click", 1000L),
