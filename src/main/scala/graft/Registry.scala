@@ -1476,6 +1476,68 @@ object Registry {
         | max(duration_ms) AS max_duration_ms, min(session_start_ms) AS first_start_ms
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The dedup-before-split audit: off-diagonal rows are benchmark
+    // leakage (a near-dup of a test doc inside train). Composes the q124
+    // LSH pipeline with q79's hash split — both already hash-certified.
+    "q140_split_leakage" -> Entry(
+      (s, d) => Dedup.splitLeakage(docs(s, d)).orderBy("split_lo", "split_hi"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN p < 'cd' THEN 'train' WHEN p < 'e6' THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS p FROM documents))
+        |SELECT least(sa.split, sb.split) AS split_lo, greatest(sa.split, sb.split) AS split_hi,
+        | count(*) AS n_pairs
+        |FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Keep-longest retention policy per near-dup component (ties -> min
+    // doc_id) atop the q99 component labels.
+    "q141_keep_longest" -> Entry(
+      (s, d) => Dedup.keepLongestRepresentatives(docs(s, d)).orderBy("component"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |j AS (SELECT c.component, c.doc_id, d.n_chars FROM comp c JOIN documents d USING (doc_id)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY component
+        |   ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+        |SELECT component, doc_id AS kept_doc, n_chars FROM r2 WHERE rn = 1
+        |ORDER BY component""".stripMargin)),
+
     // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
     // the growth-curve rewrite that avoids per-day distinct sets.
     "q139_cumulative_users" -> Entry(

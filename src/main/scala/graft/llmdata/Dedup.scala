@@ -493,6 +493,44 @@ object Dedup {
       .filter(col("jaccard") >= simThreshold)
   }
 
+  /** Cross-split near-dup leakage report: how many verified near-dup
+    * pairs straddle the train/val/test assignment — the check that
+    * certifies "dedup before split" actually held (a near-dup of a test
+    * doc inside train is benchmark leakage). Composes
+    * [[minhashMd5Pairs]] (the certifiable LSH pipeline) with
+    * [[Curation.assignSplits]]'s hash assignment; the tiny pair frame
+    * joins the split map twice and rolls up by the UNORDERED split pair
+    * (least/greatest). A healthy pipeline shows only same-split rows;
+    * off-diagonal rows are the leaks, counted per split boundary. */
+  def splitLeakage(docs: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    val pairs = minhashMd5Pairs(docs, simThreshold = simThreshold)
+      .select("doc_a", "doc_b")
+    val sp = Curation.assignSplits(docs)
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Near-dup dedup keeping the LONGEST document per component (ties →
+    * smallest doc_id) — the quality-aware retention policy: among
+    * near-duplicates the longest variant usually dominates (truncations
+    * and boilerplate-stripped copies are the shorter ones), where
+    * [[nearDupRepresentatives]] keeps the min-id witness. One window over
+    * component partitions (bounded by component size) on top of the same
+    * label frame. */
+  def keepLongestRepresentatives(docs: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    val comp = nearDupComponents(docs, simThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc"), col("n_chars"))
+  }
+
   /** Document-similarity pairs by exact TF-cosine over word-k-shingle
     * vectors, with a df-pruned inverted index as the candidate generator:
     * only shingles appearing in 2..maxDf documents propose pairs (a

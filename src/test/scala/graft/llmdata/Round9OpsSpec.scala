@@ -271,6 +271,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("splitLeakage: duplicate docs landing in different hash splits are counted as a leak") {
+    // doc_ids chosen so the md5(':split') assignment differs: 0 -> test,
+    // 3 -> train (stable — same hash the operator and q79 use).
+    val d = Seq(
+      (0L, "p q r s t u v w", "s", "en", 8L),
+      (3L, "p q r s t u v w", "s", "en", 8L),
+      (7L, "completely different words here now ok fine yes", "s", "en", 8L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.splitLeakage(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("test", "train", 1L)))
+  }
+
+  test("keepLongestRepresentatives: the longest member represents the component") {
+    val d = Seq(
+      (0L, "p q r s t u v w", "s", "en", 15L),
+      (1L, "p q r s t u v w x", "s", "en", 17L),   // same component, longer
+      (2L, "m n o zz yy xx ww vv", "s", "en", 20L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.keepLongestRepresentatives(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 1L, 17L), (2L, 2L, 20L)))
+  }
+
   test("debounceOn: drops inside-gap repeats per (user, type), lag-based") {
     val e = Seq(
       (1L, 10L, "click", 0L), (2L, 10L, "click", 500L), (3L, 10L, "click", 1000L),
