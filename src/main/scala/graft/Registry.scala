@@ -1515,6 +1515,15 @@ object Registry {
         |FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Order-sensitive keyed state: one long per (user, type), settled
+    // output identical to the batch q133 oracle.
+    "q142_streaming_debounce" -> Entry(
+      (s, d) => Events.streamingDebounce(s, d).orderBy("event_id"), Some(
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM e)
+        |SELECT event_id, user_id, event_type, ms FROM l
+        |WHERE prev_ms IS NULL OR ms - prev_ms >= 600000 ORDER BY event_id""".stripMargin)),
+
     // Keep-longest retention policy per near-dup component (ties -> min
     // doc_id) atop the q99 component labels.
     "q141_keep_longest" -> Entry(

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
@@ -510,6 +510,58 @@ object Events {
 
   /** Per-user running stats carried in explicit keyed state. */
   final case class UserStat(user_id: Long, n_events: Long, min_value: Double, max_value: Double)
+
+  /** A raw event row in the shape [[debounceOn]] consumes. */
+  final case class RawEvent(event_id: Long, user_id: Long, event_type: String, ms: Long)
+
+  /** Streaming twin of [[debounceEvents]] — an ORDER-SENSITIVE stateful
+    * operator (unlike [[statefulUserStats]]'s order-independent
+    * count/min/max): the keep/drop decision for an event depends on its
+    * raw event-time predecessor. `flatMapGroupsWithState` carries exactly
+    * ONE long per (user, type) key — the last raw event-time seen — and
+    * each micro-batch's new events are sorted by (ms, event_id) before
+    * the sequential gap scan, so disorder WITHIN a batch is handled
+    * exactly.
+    *
+    * Contract: exact parity with the batch [[debounceOn]] (the q133
+    * oracle) whenever each key's events are non-decreasing ACROSS
+    * micro-batches (the normal shape for log ingestion, and pinned
+    * cross-batch in StreamingSpec); an event older than its key's
+    * high-water mark is a late straggler and is dropped rather than
+    * allowed to rewrite history (state never regresses — the documented
+    * streaming-late-data semantics, same posture as watermark drop).
+    * State is one long per alive key — at 100 TB the store scales with
+    * keys, never events; unbounded key churn would add
+    * EventTimeTimeout eviction exactly as [[statefulUserStatsTtl]] does. */
+  def streamingDebounce(spark: SparkSession, dir: String, gapMs: Long = 600000L): DataFrame =
+    settle(spark, dir, stream => {
+      val s2 = stream.sparkSession
+      import s2.implicits._
+      streamingDebounceCore(
+        stream.select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms")).as[RawEvent], gapMs).toDF()
+    }, outputMode = "append")
+
+  /** [[streamingDebounce]]'s typed core — unit-testable with MemoryStream. */
+  def streamingDebounceCore(events: Dataset[RawEvent], gapMs: Long): Dataset[RawEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, RawEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = Seq.newBuilder[RawEvent]
+          batch.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (e.ms >= last) {        // else: late straggler, dropped
+              if (last == Long.MinValue || e.ms - last >= gapMs) kept += e
+              last = e.ms              // lag semantics: RAW predecessor advances
+            }
+          }
+          state.update(last)
+          kept.result().iterator
+      }
+  }
 
   /** Custom keyed state via `mapGroupsWithState` — the extension point for
     * semantics the built-in windowed aggregations can't express

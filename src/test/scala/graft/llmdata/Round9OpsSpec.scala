@@ -295,6 +295,45 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L, 17L), (2L, 2L, 20L)))
   }
 
+  test("streamingDebounceCore: gap state carries across micro-batches; " +
+    "in-batch disorder is sorted; stragglers below the high-water mark drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Events.RawEvent]
+    val name = "graft_stream_debounce_test"
+    val q = Events.streamingDebounceCore(input.toDS(), gapMs = 600L).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1, deliberately out of order within the batch: sorted scan
+      // keeps e1@0, drops e2@500 (gap 500), drops e3@1000 (gap 500 from
+      // the RAW predecessor e2 — lag semantics).
+      input.addData(Events.RawEvent(3L, 10L, "click", 1000L),
+        Events.RawEvent(1L, 10L, "click", 0L),
+        Events.RawEvent(2L, 10L, "click", 500L))
+      q.processAllAvailable()
+      // batch 2: e4@1500 is 500 after e3 (state carried the 1000 mark) ->
+      // dropped; e5@2200 is 700 after e4 -> kept; e6@100 is a straggler
+      // below the high-water mark -> dropped, and does NOT rewrite state.
+      input.addData(Events.RawEvent(4L, 10L, "click", 1500L),
+        Events.RawEvent(5L, 10L, "click", 2200L),
+        Events.RawEvent(6L, 10L, "click", 100L))
+      q.processAllAvailable()
+      val kept = s.table(name).collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 5L))
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("streamingDebounce settles to the batch debounce result") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.debounceEvents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val streamed = Events.streamingDebounce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("debounceOn: drops inside-gap repeats per (user, type), lag-based") {
     val e = Seq(
       (1L, 10L, "click", 0L), (2L, 10L, "click", 500L), (3L, 10L, "click", 1000L),
