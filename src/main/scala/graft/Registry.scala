@@ -1547,6 +1547,49 @@ object Registry {
         |SELECT component, doc_id AS kept_doc, n_chars FROM r2 WHERE rn = 1
         |ORDER BY component""".stripMargin)),
 
+    // Per-source dedup retention — kept docs counted under the
+    // REPRESENTATIVE's source; sources fully absorbed elsewhere stay
+    // visible via left join + zero-fill.
+    "q143_dedup_rate" -> Entry(
+      (s, d) => Dedup.dedupRateBySource(docs(s, d)).orderBy("source"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |total AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |kept AS (SELECT d.source, count(*) AS n_kept FROM comp c
+        |  JOIN documents d ON c.doc_id = d.doc_id
+        |  WHERE c.doc_id = c.component GROUP BY 1)
+        |SELECT t.source, t.n_docs, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        | round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6) AS retention
+        |FROM total t LEFT JOIN kept k ON t.source = k.source ORDER BY 1""".stripMargin)),
+
+    // "Take documents best-first until the token budget" as one frame —
+    // integer running sum over the q119 naturalness ranking.
+    "q144_token_budget" -> Entry(
+      (s, d) => TextAnalysis.tokenBudgetCurve(docs(s, d)).orderBy("rank"), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |wc AS (SELECT term, count(*) AS n_tok FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n_tok) AS n_total FROM wc),
+        |lp AS (SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(CAST(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |     AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        | FROM tok JOIN wc USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS rank FROM lp)
+        |SELECT rank, doc_id, avg_logprob, n_tokens,
+        | CAST(sum(n_tokens) OVER (ORDER BY avg_logprob DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM r ORDER BY rank""".stripMargin)),
+
     // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
     // the growth-curve rewrite that avoids per-day distinct sets.
     "q139_cumulative_users" -> Entry(

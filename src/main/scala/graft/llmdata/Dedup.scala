@@ -531,6 +531,27 @@ object Dedup {
       .select(col("component"), col("doc_id").as("kept_doc"), col("n_chars"))
   }
 
+  /** Per-source dedup retention report: documents before vs after
+    * near-dup dedup (min-id representatives), with the retention ratio —
+    * the per-crawl/per-dump health metric that shows which sources are
+    * mostly duplicates of others. Kept docs are counted under the
+    * REPRESENTATIVE's own source, so a source whose docs all collapse
+    * into another source's representatives reports 0 kept (left join +
+    * zero-fill keeps it visible). Two tiny per-source aggs on top of the
+    * [[nearDupComponents]] labels. */
+  def dedupRateBySource(docs: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    val total = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val kept = nearDupComponents(docs, simThreshold)
+      .filter(col("doc_id") === col("component"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    total.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("retention"))
+  }
+
   /** Document-similarity pairs by exact TF-cosine over word-k-shingle
     * vectors, with a df-pruned inverted index as the candidate generator:
     * only shingles appearing in 2..maxDf documents propose pairs (a

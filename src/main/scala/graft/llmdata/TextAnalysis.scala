@@ -484,6 +484,30 @@ object TextAnalysis {
         Array(col("n_tokens"), col("n_chars_obs"), col("n_alpha_chars")),
         "metric", "value")
 
+  /** Token-budget planning curve: documents ranked best-first by the
+    * [[unigramLogprob]] naturalness score (ties → doc_id), with the
+    * cumulative token count — "take documents in quality order until the
+    * training budget is hit" as one frame (read the rank where
+    * cum_tokens crosses the budget). The running sum is integer (token
+    * counts), so the curve is engine-exact at every rank.
+    *
+    * Scale note: the rank is a corpus-wide total order — Spark executes
+    * it as a range-partitioned sort, but the running-sum WINDOW over that
+    * order is a single-partition frame. At real corpus scale the rewrite
+    * is the [[graft.llmdata.Curation.packSequences]] two-phase prefix sum
+    * (per-shard intra-window + cumulated shard offsets); at fixture scale
+    * the direct window keeps the operator 1:1 with its oracle. */
+  def tokenBudgetCurve(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(docs)
+    val w = W.orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .select(col("rank"), col("doc_id"), col("avg_logprob"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Corpus profile at three grains in one pass — GROUPING SETS
     * ((lang, source), (lang), ()) — the "by language × source, by
     * language, grand total" report without three scans or a full CUBE's

@@ -334,6 +334,31 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("dedupRateBySource: absorbed sources stay visible with zero retention") {
+    // web's doc 1 duplicates wiki's doc 0 -> component rep is doc 0 (wiki);
+    // web keeps nothing, wiki keeps 1 of 1, book keeps its singleton.
+    val d = Seq(
+      (0L, "p q r s t u v w", "wiki", "en", 8L),
+      (1L, "p q r s t u v w", "web", "en", 8L),
+      (2L, "m n o zz yy xx ww vv", "book", "en", 8L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.dedupRateBySource(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(("wiki", 1L, 1L, 1.0), ("web", 1L, 0L, 0.0), ("book", 1L, 1L, 1.0)))
+  }
+
+  test("tokenBudgetCurve: best-first ranking with an exact cumulative token count") {
+    val d = Seq(
+      (0L, "a a a a", "s", "en", 1L),   // all common tokens -> highest avg logprob
+      (1L, "a a b b", "s", "en", 1L),
+      (2L, "c d e f", "s", "en", 1L)    // all rare tokens -> lowest
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.tokenBudgetCurve(d).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    assert(got.map(_._4).toSeq === Seq(4L, 8L, 12L))
+  }
+
   test("debounceOn: drops inside-gap repeats per (user, type), lag-based") {
     val e = Seq(
       (1L, 10L, "click", 0L), (2L, 10L, "click", 500L), (3L, 10L, "click", 1000L),
