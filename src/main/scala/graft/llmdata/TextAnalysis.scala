@@ -429,10 +429,15 @@ object TextAnalysis {
       .filter(size(col("toks")) >= 2)
       .select(explode(shingles(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
+    // Top-N via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    // never a global sort of the vocabulary); the rank window then runs
+    // over ≤ topN rows. Ranking the full frame and filtering rank <= topN
+    // would funnel the entire bigram vocabulary through one window
+    // partition — same result, unbounded plan.
+    val top = bg.orderBy(col("n").desc, col("bigram")).limit(topN)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("bigram"))
-    val ranked = bg.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topN)
+    val ranked = top.withColumn("rank", row_number().over(w).cast("long"))
       .select(log(col("rank").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
     val d = (c: Column) => c.cast(DecimalType(38, 18))
     // Moments summed in decimal (order-independent), then ONE cast to

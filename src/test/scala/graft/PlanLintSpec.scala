@@ -34,7 +34,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q83_tfidf_topk",         // 1-row corpus-size aggregate broadcast back
     "q100_source_divergence", // 1-row corpus-total aggregate broadcast back
     "q106_temperature_mix",   // 1-row normalizing-sums aggregate broadcast back
-    "q119_unigram_logprob")   // 1-row corpus-total aggregate broadcast back
+    "q119_unigram_logprob",   // 1-row corpus-total aggregate broadcast back
+    "q144_token_budget")      // composes q119 -> same 1-row total broadcast
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
