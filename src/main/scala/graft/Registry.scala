@@ -1590,6 +1590,32 @@ object Registry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |FROM r ORDER BY rank""".stripMargin)),
 
+    // Incremental novelty under ingestion order: a near-dup of an earlier
+    // doc scores ~0 (its bigrams' first_doc precede it).
+    "q145_doc_novelty" -> Entry(
+      (s, d) => TextAnalysis.docNovelty(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, x.b FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+        |     i -> toks[i] || ' ' || toks[i+1]))) AS b
+        |   FROM t WHERE len(toks) >= 2) x),
+        |fs AS (SELECT b, min(doc_id) AS first_doc FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM bg JOIN fs USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact distinct count WITHOUT a distinct-shuffle: n_types is a COUNT
+    // over the (source, term) agg, n_tokens its sum.
+    "q146_type_token_ratio" -> Entry(
+      (s, d) => TextAnalysis.typeTokenRatio(docs(s, d)).orderBy("source"), Some(
+      """WITH c AS (SELECT source, term, count(*) AS n FROM
+        |  (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
     // the growth-curve rewrite that avoids per-day distinct sets.
     "q139_cumulative_users" -> Entry(

@@ -513,6 +513,44 @@ object TextAnalysis {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-document novelty: the fraction of a document's DISTINCT bigrams
+    * whose first appearance (min doc_id over the corpus) is this document
+    * — an incremental-contribution score under ingestion order. A
+    * near-duplicate of an earlier document scores ~0, boilerplate-heavy
+    * docs score low, genuinely new content scores high; curation uses it
+    * to rank an incoming dump's marginal value. Shape: one distinct
+    * (doc, bigram) projection, a bigram-keyed min agg (the first-seen
+    * index, map-side combined), one join back on the bigram, and a
+    * per-doc count ratio — integers plus a single divide. */
+  def docNovelty(docs: DataFrame): DataFrame = {
+    val bg = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 2))).as("bigram"))
+    val firstSeen = bg.groupBy("bigram").agg(min(col("doc_id")).as("first_doc"))
+    bg.join(firstSeen, "bigram")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("novelty"))
+  }
+
+  /** Per-source type-token ratio (the Heaps'-law point estimate): distinct
+    * terms vs total tokens. A collapsing TTR flags templated or looping
+    * output — the companion diagnostic to [[sourceEntropy]]. One
+    * (source, term) hash agg feeding a source-level rollup: n_types is a
+    * COUNT over the agg (exact distinct without a distinct-shuffle),
+    * n_tokens its sum. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(
+        sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+
   /** Corpus profile at three grains in one pass — GROUPING SETS
     * ((lang, source), (lang), ()) — the "by language × source, by
     * language, grand total" report without three scans or a full CUBE's

@@ -359,6 +359,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq === Seq(4L, 8L, 12L))
   }
 
+  test("docNovelty: a duplicate of an earlier doc scores zero; the first doc scores one") {
+    val d = Seq(
+      (0L, "a b c d", "s", "en", 1L),
+      (1L, "a b c d", "s", "en", 1L),     // exact dup of 0 -> novelty 0
+      (2L, "a b x y", "s", "en", 1L)      // shares "a b" only -> 2 of 3 novel
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.docNovelty(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((0L, 3L, 3L, 1.0), (1L, 3L, 0L, 0.0),
+      (2L, 3L, 2L, BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("typeTokenRatio: distinct types over total tokens per source") {
+    val d = Seq(
+      (0L, "a a a b", "low", "en", 1L),
+      (1L, "a b c d", "high", "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.typeTokenRatio(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(("low", 4L, 2L, 0.5), ("high", 4L, 4L, 1.0)))
+  }
+
   test("debounceOn: drops inside-gap repeats per (user, type), lag-based") {
     val e = Seq(
       (1L, 10L, "click", 0L), (2L, 10L, "click", 500L), (3L, 10L, "click", 1000L),
