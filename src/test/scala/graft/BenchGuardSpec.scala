@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's contention guards (no Spark needed — pure logic).
+  *
+  * Round 9's driver bench recorded ~2x inflation on nearly every query
+  * (q43 18.7s vs 2.9s on a quiet machine) because machine contention
+  * spanned all three min-of-3 reps. The guards that make such a run
+  * self-labeling are (a) the start/mid/end canary ratio and (b) the
+  * suspect list vs the previous round's stored values — this spec pins
+  * the value-scraping (the driver stores a TRUNCATED, string-escaped
+  * tail) and the suspect predicate's two gates.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("scrapeQueryTimes reads a driver-truncated escaped tail") {
+    // Verbatim shape of BENCH_r09.json: the bench line survives only as an
+    // escaped string inside the "tail" field, cut mid-map.
+    val stored =
+      """{"n": 9, "rc": 0, "tail": "q27_zero_pad_union\":0.349,\"q43_minhash_neardup\":18.655,""" +
+        """\"q99_neardup_components\":6.037},\"errors\":{}", "parsed": null}"""
+    val m = Bench.scrapeQueryTimes(stored)
+    assert(m("q43_minhash_neardup") == 18.655)
+    assert(m("q99_neardup_components") == 6.037)
+    // The head-truncated first entry loses its opening quote — the name
+    // still matches because the escaped quote of the PREVIOUS pair ends it.
+    assert(m.contains("q27_zero_pad_union"))
+  }
+
+  test("scrapeQueryTimes also reads a clean un-escaped bench line") {
+    val clean = """{"queries":{"q01_pricing_summary":0.420,"q02_filter_project":0.100}}"""
+    assert(Bench.scrapeQueryTimes(clean) ==
+      Map("q01_pricing_summary" -> 0.42, "q02_filter_project" -> 0.1))
+  }
+
+  test("scrapeQueryTimes drops failed (-1) timings") {
+    val m = Bench.scrapeQueryTimes(""""q05_revenue_by_nation":-1.000,"q06_broadcast_join_part":0.2""")
+    assert(!m.contains("q05_revenue_by_nation") && m.contains("q06_broadcast_join_part"))
+  }
+
+  test("suspectRule: relative gate, absolute floor, and failure guards") {
+    assert(Bench.suspectRule(cur = 6.0, prev = 2.0))     // 3x and +4s: suspect
+    assert(!Bench.suspectRule(cur = 3.9, prev = 2.0))    // <2x: clean
+    assert(!Bench.suspectRule(cur = 0.25, prev = 0.1))   // 2.5x but sub-second jitter: clean
+    assert(!Bench.suspectRule(cur = -1.0, prev = 2.0))   // failed query: handled by errors, not suspects
+    assert(!Bench.suspectRule(cur = 6.0, prev = -1.0))   // failed previous round: no baseline
+    // Boundary: exactly 2x is NOT suspect (strict >)
+    assert(!Bench.suspectRule(cur = 4.0, prev = 2.0))
+  }
+}
