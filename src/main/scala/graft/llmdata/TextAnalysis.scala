@@ -496,13 +496,70 @@ object TextAnalysis {
     * cum_tokens crosses the budget). The running sum is integer (token
     * counts), so the curve is engine-exact at every rank.
     *
-    * Scale note: the rank is a corpus-wide total order — Spark executes
-    * it as a range-partitioned sort, but the running-sum WINDOW over that
-    * order is a single-partition frame. At real corpus scale the rewrite
-    * is the [[graft.llmdata.Curation.packSequences]] two-phase prefix sum
-    * (per-shard intra-window + cumulated shard offsets); at fixture scale
-    * the direct window keeps the operator 1:1 with its oracle. */
-  def tokenBudgetCurve(docs: DataFrame): DataFrame = {
+    * Scale shape — the [[graft.llmdata.Curation.packSequences]] two-phase
+    * prefix sum applied to a corpus-wide total order (which has no
+    * pre-existing shard key, so one is derived from the score itself):
+    *
+    *  1. Bucket by a monotone coarsening of the sort key:
+    *     `bucket = ⌊−avg_logprob · bucketScale⌋`. Higher scores map to
+    *     lower buckets, and equal (pre-rounded) scores can never straddle
+    *     a bucket boundary, so bucket order refines to exactly the
+    *     (score desc, doc_id) total order.
+    *  2. Intra-bucket rank + running token sum: a window PARTITIONED by
+    *     bucket — each partition holds one score stratum, so the
+    *     document-scale work parallelizes with the data (no
+    *     single-partition frame anywhere in the plan; the spec pins
+    *     this via WindowExec.partitionSpec).
+    *  3. Bucket offsets (rows and tokens preceding each bucket): the
+    *     per-bucket summary is one row per OCCUPIED bucket — bounded by
+    *     score-range · bucketScale, a config constant, not the corpus —
+    *     and is cumulated with a broadcast triangular self-join
+    *     (b.bucket < a.bucket) instead of a global window, keeping even
+    *     the tiny centralized step off the single-partition path. O(B²)
+    *     pairs at B ≈ a few hundred is noise; the join is whitelisted in
+    *     PlanLintSpec like the other deliberate tiny-side crosses.
+    *  4. `rank = row_offset + local_rank`,
+    *     `cum_tokens = token_offset + local_cum` — pure integer adds,
+    *     bit-identical to the sequential window for any bucketScale
+    *     (TextAnalysisSpec pins parity against
+    *     [[tokenBudgetCurveWindow]], the q84 pattern).
+    *
+    * `bucketScale` only tunes parallelism granularity: larger → more,
+    * smaller buckets. Skew bound: one bucket holds at most the documents
+    * within a 1/bucketScale score band (pathological only if the corpus
+    * has a point mass of identical scores — which is itself a dedup
+    * signal upstream of budgeting). */
+  def tokenBudgetCurve(docs: DataFrame, bucketScale: Double = 64.0): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(docs)
+      .withColumn("bucket", floor(-col("avg_logprob") * bucketScale).cast("long"))
+    val wIntra = W.partitionBy("bucket").orderBy(col("avg_logprob").desc, col("doc_id"))
+    val intra = scored
+      .withColumn("local_rank", row_number().over(wIntra).cast("long"))
+      .withColumn("local_cum",
+        sum(col("n_tokens")).over(wIntra.rowsBetween(W.unboundedPreceding, 0)))
+    // Grouping key equals the window partitioning key, so this agg reuses
+    // the phase-2 exchange — no extra shuffle of document rows.
+    val perBucket = intra.groupBy("bucket")
+      .agg(count(lit(1)).as("b_rows"), sum(col("n_tokens")).as("b_tokens"))
+    val offsets = perBucket.as("a")
+      .join(broadcast(perBucket.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.b_rows")), lit(0L)).as("row_offset"),
+        coalesce(sum(col("b.b_tokens")), lit(0L)).as("tok_offset"))
+    intra.join(offsets, Seq("bucket"))
+      .select((col("row_offset") + col("local_rank")).as("rank"),
+        col("doc_id"), col("avg_logprob"), col("n_tokens"),
+        (col("tok_offset") + col("local_cum")).as("cum_tokens"))
+  }
+
+  /** The sequential single-window form of [[tokenBudgetCurve]] — one
+    * corpus-wide running-sum frame, the textbook shape that streams the
+    * entire ranked corpus through one partition. Kept as the
+    * parity/teaching baseline the distributed form is tested against
+    * (TextAnalysisSpec), mirroring
+    * [[graft.llmdata.Curation.packSequencesWindow]]. */
+  def tokenBudgetCurveWindow(docs: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val scored = unigramLogprob(docs)
     val w = W.orderBy(col("avg_logprob").desc, col("doc_id"))

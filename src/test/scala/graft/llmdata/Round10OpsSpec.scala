@@ -1,0 +1,62 @@
+package graft.llmdata
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.TestSpark
+
+/** Unit pins for the round-10 operator work: the tokenBudgetCurve two-phase
+  * prefix sum (parity against the sequential window for several bucket
+  * scales, and the plan-shape guarantee that no document-scale window runs
+  * on a single partition — the q84 packSequences pattern applied to a
+  * corpus-wide total order).
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Scores collide (docs 1/2 tie on avg_logprob -> doc_id breaks), spread
+  // across magnitudes so several buckets are occupied at scale 64 and a
+  // single bucket swallows everything at a tiny scale.
+  private def docs = Seq(
+    (0L, "a a a a", "s", "en", 1L),
+    (1L, "a a b b", "s", "en", 1L),
+    (2L, "b b a a", "s", "en", 1L),    // same multiset as doc 1 -> exact tie
+    (3L, "c d e f", "s", "en", 1L),
+    (4L, "a b c d e f g h", "s", "en", 1L),
+    (5L, "a a a b c c", "s", "en", 1L)
+  ).toDF("doc_id", "text", "source", "lang", "n_chars")
+
+  test("tokenBudgetCurve: two-phase prefix sum matches the sequential window for any bucketScale") {
+    val exp = TextAnalysis.tokenBudgetCurveWindow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    // scales exercising many tiny buckets, the default, and the
+    // everything-in-one-bucket degenerate case
+    for (scale <- Seq(1024.0, 64.0, 1e-6)) {
+      val got = TextAnalysis.tokenBudgetCurve(docs, bucketScale = scale).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === exp, s"bucketScale=$scale diverged from the sequential window")
+    }
+  }
+
+  test("tokenBudgetCurve: no single-partition window anywhere in the plan") {
+    // sparkPlan, not executedPlan: under AQE the executed plan is an opaque
+    // AdaptiveSparkPlanExec wrapper until run, so collect() sees no WindowExec.
+    val plan = TextAnalysis.tokenBudgetCurve(docs).queryExecution.sparkPlan
+    val unpartitioned = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty,
+      s"corpus-wide single-partition window frame(s): ${unpartitioned.mkString("\n")}")
+    // and the baseline really does have one — the property being tested is
+    // the rewrite, not an accident of the fixture
+    val basePlan = TextAnalysis.tokenBudgetCurveWindow(docs).queryExecution.sparkPlan
+    assert(basePlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty)
+  }
+
+  test("tokenBudgetCurve: ranks are a gapless 1..n permutation with an exact running sum") {
+    val rows = TextAnalysis.tokenBudgetCurve(docs, bucketScale = 1024.0)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    var cum = 0L
+    rows.foreach { case (_, n, c) => cum += n; assert(c === cum) }
+  }
+}
