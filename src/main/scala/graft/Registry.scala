@@ -934,7 +934,7 @@ object Registry {
     // oracle's exact threshold join at this corpus's similarity margin
     // (q43/q95 argument).
     "q99_neardup_components" -> Entry(
-      (s, d) => Dedup.nearDupComponents(docs(s, d)).orderBy("doc_id"), Some(
+      (s, d) => Dedup.componentLabelsOn(s, d).orderBy("doc_id"), Some(
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -973,7 +973,8 @@ object Registry {
     // as a keep-min-doc_id filter. The oracle re-walks the same recursive
     // closure, then keeps rows whose id IS the component minimum.
     "q101_neardup_dedup" -> Entry(
-      (s, d) => Dedup.nearDupRepresentatives(docs(s, d)).orderBy("doc_id"), Some(
+      (s, d) => Dedup.nearDupRepresentativesFrom(
+        Dedup.componentLabelsOn(s, d), docs(s, d)).orderBy("doc_id"), Some(
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -1262,7 +1263,7 @@ object Registry {
     // exact-Jaccard verify — hash-checked end to end on the md5 family.
     // Finds exactly q43's 25 near-dup pairs at sf0.01.
     "q124_minhash_md5_pairs" -> Entry(
-      (s, d) => Dedup.minhashMd5Pairs(docs(s, d)).orderBy("doc_a", "doc_b"), Some(
+      (s, d) => Dedup.minhashMd5PairsOn(s, d).orderBy("doc_a", "doc_b"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, x.s FROM (
         |   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1480,7 +1481,8 @@ object Registry {
     // leakage (a near-dup of a test doc inside train). Composes the q124
     // LSH pipeline with q79's hash split — both already hash-certified.
     "q140_split_leakage" -> Entry(
-      (s, d) => Dedup.splitLeakage(docs(s, d)).orderBy("split_lo", "split_hi"), Some(
+      (s, d) => Dedup.splitLeakageFrom(
+        Dedup.minhashMd5PairsOn(s, d), docs(s, d)).orderBy("split_lo", "split_hi"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, x.s FROM (
         |   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1527,7 +1529,8 @@ object Registry {
     // Keep-longest retention policy per near-dup component (ties -> min
     // doc_id) atop the q99 component labels.
     "q141_keep_longest" -> Entry(
-      (s, d) => Dedup.keepLongestRepresentatives(docs(s, d)).orderBy("component"), Some(
+      (s, d) => Dedup.keepLongestRepresentativesFrom(
+        Dedup.componentLabelsOn(s, d), docs(s, d)).orderBy("component"), Some(
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -1551,7 +1554,8 @@ object Registry {
     // REPRESENTATIVE's source; sources fully absorbed elsewhere stay
     // visible via left join + zero-fill.
     "q143_dedup_rate" -> Entry(
-      (s, d) => Dedup.dedupRateBySource(docs(s, d)).orderBy("source"), Some(
+      (s, d) => Dedup.dedupRateBySourceFrom(
+        Dedup.componentLabelsOn(s, d), docs(s, d)).orderBy("source"), Some(
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
