@@ -108,11 +108,17 @@ object Events {
     * once at min(day), daily news are a count over that tiny frame, and
     * the cumulative curve is a running sum over the handful of day rows.
     * The heavy aggregation is one map-side-combinable min per user; the
-    * window runs over #days rows, not events. Day = epoch-ms // 86400000
-    * (pure integer — no calendar/timezone semantics to disagree on). */
+    * window runs over #days rows, not events. Day = floor(epoch-ms /
+    * 86400000), computed in pure integer arithmetic as
+    * `(ms - pmod(ms, d)) div d`: Spark's `div` truncates toward zero
+    * while the oracle's DuckDB `//` floors, and the two disagree on
+    * pre-epoch (negative) timestamps — subtracting the always-positive
+    * `pmod` remainder first makes the dividend an exact multiple, where
+    * truncation IS floor, for any sign. */
   def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
     val first = events(spark, dir)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .select(col("user_id"),
+        expr("(unix_millis(ts) - pmod(unix_millis(ts), 86400000)) div 86400000").as("day"))
       .groupBy("user_id").agg(min(col("day")).as("first_day"))
     val daily = first.groupBy(col("first_day").as("day"))
       .agg(count(lit(1)).as("n_new"))
@@ -259,7 +265,18 @@ object Events {
     * and at 100 TB the difference between one pass and a BNLJ. The general
     * lesson (arbitrary interval tables bucketize the same way, with
     * intervals exploded per overlapped bucket) is documented here; the
-    * aligned case keeps the oracle exact. */
+    * aligned case keeps the oracle exact.
+    *
+    * Exact-boundary caveat: the floor(value / width) rewrite and the
+    * range predicate `value >= lo AND value < hi` are certified
+    * equivalent for values AWAY from representable-boundary rounding. In
+    * the half-ulp neighborhood of a tier edge the two can disagree: a
+    * value infinitesimally below (i+1)·width whose double division
+    * rounds up to exactly i+1 lands in tier i+1 under the rewrite but
+    * tier i under the range join. With width 50 and event values quantized
+    * far coarser than one ulp this set is empty; for boundary-dense data
+    * derive the range bounds from the same floor expression (or scale to
+    * integers) before relying on the equivalence. */
   def rangeBucketJoin(spark: SparkSession, dir: String, width: Double = 50.0,
       numTiers: Int = 10): DataFrame = {
     val s2 = eventsSession(spark)
@@ -518,20 +535,24 @@ object Events {
     * operator (unlike [[statefulUserStats]]'s order-independent
     * count/min/max): the keep/drop decision for an event depends on its
     * raw event-time predecessor. `flatMapGroupsWithState` carries exactly
-    * ONE long per (user, type) key — the last raw event-time seen — and
-    * each micro-batch's new events are sorted by (ms, event_id) before
-    * the sequential gap scan, so disorder WITHIN a batch is handled
-    * exactly.
+    * ONE (ms, event_id) pair per (user, type) key — the high-water mark
+    * in the batch oracle's own sort order — and each micro-batch's new
+    * events are sorted by (ms, event_id) before the sequential gap scan,
+    * so disorder WITHIN a batch is handled exactly.
     *
     * Contract: exact parity with the batch [[debounceOn]] (the q133
-    * oracle) whenever each key's events are non-decreasing ACROSS
-    * micro-batches (the normal shape for log ingestion, and pinned
-    * cross-batch in StreamingSpec); an event older than its key's
-    * high-water mark is a late straggler and is dropped rather than
-    * allowed to rewrite history (state never regresses — the documented
-    * streaming-late-data semantics, same posture as watermark drop).
-    * State is one long per alive key — at 100 TB the store scales with
-    * keys, never events; unbounded key churn would add
+    * oracle) whenever each key's events arrive in non-decreasing
+    * (ms, event_id) order ACROSS micro-batches (the normal shape for log
+    * ingestion, and pinned cross-batch in Round9OpsSpec). Carrying the
+    * event_id alongside the timestamp makes the equal-timestamp case
+    * exact too: a same-ms event landing in a later micro-batch with a
+    * HIGHER id is processed in oracle order (and dropped by the gap test,
+    * exactly as the batch side drops it), while one with a LOWER id would
+    * need to rewrite an emission the earlier batch already appended — it
+    * is explicitly a late straggler, dropped without regressing state
+    * (the documented streaming-late-data posture, same as watermark
+    * drop). State is one (long, long) per alive key — at 100 TB the
+    * store scales with keys, never events; unbounded key churn would add
     * EventTimeTimeout eviction exactly as [[statefulUserStatsTtl]] does. */
   def streamingDebounce(spark: SparkSession, dir: String, gapMs: Long = 600000L): DataFrame =
     settle(spark, dir, stream => {
@@ -547,18 +568,24 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[Long, RawEvent](
+      .flatMapGroupsWithState[(Long, Long), RawEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, batch, state) =>
-          var last = state.getOption.getOrElse(Long.MinValue)
+          // state = (ms, event_id) of the last processed event — the full
+          // batch-oracle sort key, so equal-ms events split across
+          // micro-batches keep the oracle's event_id tiebreak.
+          var (lastMs, lastId) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
           val kept = Seq.newBuilder[RawEvent]
           batch.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
-            if (e.ms >= last) {        // else: late straggler, dropped
-              if (last == Long.MinValue || e.ms - last >= gapMs) kept += e
-              last = e.ms              // lag semantics: RAW predecessor advances
+            // late straggler (strictly behind the (ms, id) high-water
+            // mark): dropped, never rewrites history
+            if (e.ms > lastMs || (e.ms == lastMs && e.event_id >= lastId)) {
+              if (lastMs == Long.MinValue || e.ms - lastMs >= gapMs) kept += e
+              lastMs = e.ms            // lag semantics: RAW predecessor advances
+              lastId = e.event_id
             }
           }
-          state.update(last)
+          state.update((lastMs, lastId))
           kept.result().iterator
       }
   }

@@ -325,6 +325,38 @@ class Round9OpsSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("streamingDebounceCore: equal-ms events split across micro-batches keep " +
+    "the batch oracle's event_id tiebreak") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Events.RawEvent]
+    val name = "graft_stream_debounce_tie_test"
+    val q = Events.streamingDebounceCore(input.toDS(), gapMs = 600L).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: e1@1000 kept (first), state = (1000, 1)
+      input.addData(Events.RawEvent(1L, 10L, "click", 1000L))
+      q.processAllAvailable()
+      // batch 2: e2@1000 — same ms, HIGHER id: in oracle order, processed
+      // and dropped by the zero gap (exactly what the batch side does);
+      // state advances to (1000, 2).
+      input.addData(Events.RawEvent(2L, 10L, "click", 1000L))
+      q.processAllAvailable()
+      // batch 3: e0@1000 — same ms, LOWER id than the high-water mark:
+      // the oracle would have processed it FIRST; emitting now would
+      // contradict history, so it is a late straggler — dropped, state
+      // not regressed. Then e3@1700 is 700 after the 1000 mark -> kept
+      // (state really did stay at ms=1000).
+      input.addData(Events.RawEvent(0L, 10L, "click", 1000L),
+        Events.RawEvent(3L, 10L, "click", 1700L))
+      q.processAllAvailable()
+      val kept = s.table(name).collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L))
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
   test("streamingDebounce settles to the batch debounce result") {
     val dir = "/root/testdata/sf0.001"
     val batch = Events.debounceEvents(spark, dir).collect()
