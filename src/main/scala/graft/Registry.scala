@@ -1620,6 +1620,32 @@ object Registry {
         | round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q128's entropy at the (ingestion-batch, source) time-series grain —
+    // batch key = doc_id div 100 (arrival order; the fixture has no
+    // ingestion date column).
+    "q147_windowed_entropy" -> Entry(
+      (s, d) => TextAnalysis.sourceEntropyByBatch(docs(s, d))
+        .orderBy("ingest_batch", "source"), Some(
+      """WITH tok AS (SELECT doc_id // 100 AS ingest_batch, source,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT ingest_batch, source, term, count(*) AS n FROM tok GROUP BY 1, 2, 3)
+        |SELECT t.ingest_batch, t.source, count(*) AS n_tokens,
+        | round(ln(CAST(count(*) AS DOUBLE)) -
+        |   CAST(sum(CAST(ln(CAST(c.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS entropy
+        |FROM tok t JOIN c ON t.ingest_batch = c.ingest_batch AND t.source = c.source AND t.term = c.term
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q146's TTR at the same (ingestion-batch, source) grain.
+    "q148_windowed_ttr" -> Entry(
+      (s, d) => TextAnalysis.typeTokenRatioByBatch(docs(s, d))
+        .orderBy("ingest_batch", "source"), Some(
+      """WITH c AS (SELECT doc_id // 100 AS ingest_batch, source, term, count(*) AS n FROM
+        |  (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2, 3)
+        |SELECT ingest_batch, source, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
     // the growth-curve rewrite that avoids per-day distinct sets.
     "q139_cumulative_users" -> Entry(

@@ -476,6 +476,43 @@ object TextAnalysis {
           (col("snln").cast("double") / col("n_tokens").cast("double")), 6)
           .as("entropy"))
 
+  /** [[sourceEntropy]] at the (ingestion-batch, source) grain — the
+    * curation-dashboard TIME-SERIES form: a collapsing entropy in one
+    * batch of one source flags the specific dump that went templated,
+    * where the corpus-level q128 number only drifts. The fixture's
+    * documents carry no ingestion timestamp, so the batch key is arrival
+    * order itself: `ingest_batch = doc_id div batchSize` (doc_ids are
+    * assigned in ingestion sequence; with a real date column the same agg
+    * groups by `window(ingest_ts, "1 day")` — everything downstream of
+    * the key is unchanged). Same single (batch, source, term) hash agg →
+    * rollup shape as [[sourceEntropy]]; the grain multiplies group count,
+    * not data volume, and both aggs stay map-side combinable. */
+  def sourceEntropyByBatch(docs: DataFrame, batchSize: Long = 100L): DataFrame =
+    docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"),
+        col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("ingest_batch", "source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("ingest_batch", "source").agg(
+        sum(col("n")).as("n_tokens"),
+        sum(log(col("n").cast("double")).cast(DecimalType(28, 12)) *
+          col("n").cast(DecimalType(9, 0))).as("snln"))
+      .select(col("ingest_batch"), col("source"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          (col("snln").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("entropy"))
+
+  /** [[typeTokenRatio]] at the (ingestion-batch, source) grain — the
+    * companion time-series diagnostic to [[sourceEntropyByBatch]] (same
+    * batch key contract; same one-hash-agg shape). */
+  def typeTokenRatioByBatch(docs: DataFrame, batchSize: Long = 100L): DataFrame =
+    docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"),
+        col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("ingest_batch", "source", "term").agg(count(lit(1)).as("n"))
+      .groupBy("ingest_batch", "source").agg(
+        sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("ingest_batch"), col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+
   /** Melt the per-document counting metrics to long (doc_id, metric,
     * value) form — `Dataset.unpivot`, the relational UNPIVOT/MELT
     * operator (the inverse of q108's pivot). Unpivot is a local Expand —

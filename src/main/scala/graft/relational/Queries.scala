@@ -344,10 +344,22 @@ object Queries {
     // boundary check REACHED mid-run (k=0,5) — the shipped path exercises
     // the batched stopping rule, not only the post-loop recompute — while
     // the final loss is still recomputed for the last step (7 is not a
-    // boundary). Each loss barrier measured ~0.6s at sf0.1, so one mid-run
-    // check is the sweet spot. (checkpointEvery=4 measured *slower* — the
-    // 8-deep join/agg lineage costs more in planning than the saved
+    // boundary). (checkpointEvery=4 measured *slower* — the 8-deep
+    // join/agg lineage costs more in planning than the saved
     // materialization barriers.)
+    //
+    // COST ENVELOPE (round-10 IpfSweepProbe, warm JVM, sf0.1, local[32]) —
+    // the baseline future drift in the bench's slowest query is judged
+    // against. Total wall is linear in sweeps:
+    //   total ≈ 0.75s fixed + 0.71s/sweep + 0.62s per loss barrier
+    // measured as: maxIter 2/4/8 → 2.15/3.59/6.40s (slope 0.71); 7 extra
+    // loss barriers (lossEvery 1 vs 100) → +4.35s (0.62 each); checkpoint
+    // cadence 1 vs 2 → +0.45s over the run (~0.1s per extra checkpoint).
+    // Shipped config (ck=2, loss=5, 8 sweeps, 2 in-loop + 1 final loss)
+    // lands at ~6.4-7s warm. A future q26 outside ~6-9s at sf0.1 with
+    // these knobs means a phase regressed — re-run IpfSweepProbe and
+    // attribute by slope (sweep cost) vs intercept shift (loss/checkpoint
+    // cost) before tuning anything.
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
       checkpointEvery = 2, lossEvery = 5)
     named(r.matrix, roundTo = 4)

@@ -81,3 +81,49 @@ object SandwichProbe {
     spark.stop()
   }
 }
+
+/** Per-sweep cost decomposition for the q26 IPF convergence loop: times
+  * Ipf.converge on the exact q26 inputs across maxIter in {2,4,8} (per-sweep
+  * marginal cost = slope) and across loss-barrier/checkpoint knob settings,
+  * so drift in the slowest bench query is attributable to a phase, not just
+  * observed. Run warm: the first full loop is executed untimed.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.IpfSweepProbe"
+  */
+object IpfSweepProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.matrix.CooMatrix
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val seed = CooMatrix(li.groupBy(col("l_partkey").as(CooMatrix.Row),
+        month(col("l_shipdate")).cast("long").as(CooMatrix.Col))
+      .agg(sum("l_quantity").as(CooMatrix.Value)))
+    val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
+      .agg(sum("l_extendedprice").as(CooMatrix.Value))
+    def run(maxIter: Int, ckEvery: Int, lossEvery: Int): Double = {
+      val t0 = System.nanoTime()
+      val r = graft.ipf.Ipf.converge(x, y, seed, threshold = 1e-9,
+        maxIter = maxIter, checkpointEvery = ckEvery, lossEvery = lossEvery)
+      r.matrix.df.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(8, 2, 5) // JIT/caches warmup, untimed
+    // NOTE: checkpointEvery must stay small — each un-checkpointed sweep
+    // DOUBLES the self-joining fitRows plan (2^k leaves), so e.g. ckEvery=8
+    // explodes planning time; that regime is measured in the q121 history
+    // (commit 4963598), not here.
+    for ((mi, ck, le) <- Seq((2, 2, 5), (4, 2, 5), (8, 2, 5), (8, 2, 1),
+        (8, 2, 100), (8, 1, 5))) {
+      val t = run(mi, ck, le)
+      println(f"IPFPROBE maxIter=$mi ckEvery=$ck lossEvery=$le t=$t%.2f s perSweep=${t / mi}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,24 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(basePlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty)
   }
 
+  test("sourceEntropyByBatch / typeTokenRatioByBatch: per-batch grain splits a source's stats") {
+    // one source, two batches (batchSize=2): batch 0 is pure repetition
+    // (entropy 0, TTR 1/8), batch 1 is all-distinct (max entropy, TTR 1).
+    val d = Seq(
+      (0L, "x x x x", "s", "en", 1L),
+      (1L, "x x x x", "s", "en", 1L),
+      (2L, "a b c d", "s", "en", 1L),
+      (3L, "e f g h", "s", "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val ent = TextAnalysis.sourceEntropyByBatch(d, batchSize = 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ent === Set((0L, "s", 8L, 0.0), (1L, "s", 8L,
+      BigDecimal(math.log(8.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val ttr = TextAnalysis.typeTokenRatioByBatch(d, batchSize = 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(ttr === Set((0L, "s", 8L, 1L, 0.125), (1L, "s", 8L, 8L, 1.0)))
+  }
+
   test("tokenBudgetCurve: ranks are a gapless 1..n permutation with an exact running sum") {
     val rows = TextAnalysis.tokenBudgetCurve(docs, bucketScale = 1024.0)
       .orderBy("rank").collect()
