@@ -705,6 +705,27 @@ object Registry {
         | CAST(list_max(b) AS BIGINT) AS max_b
         |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // The decoder on REAL binary rasters (classpath P6 fixtures: maxval 200
+    // and 1, dims unrelated to text, pixels spanning 0-255, comments inside
+    // the header). The oracle carries literal expected rows computed from
+    // the intended pixel arrays by an independent generator script — not by
+    // re-parsing the files — so equality certifies header skip, comment
+    // handling, channel interleave and raster walk on non-text payloads.
+    "q149_static_ppm_decode" -> Entry(
+      (s, _) => Multimodal.decodeStatsPayloads(Multimodal.staticPpmFrame(s))
+        .orderBy("doc_id"), Some(
+      """SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS width,
+        | CAST(c2 AS BIGINT) AS height, CAST(c3 AS BIGINT) AS maxval,
+        | CAST(c4 AS BIGINT) AS sum_r, CAST(c5 AS BIGINT) AS sum_g, CAST(c6 AS BIGINT) AS sum_b,
+        | CAST(c7 AS BIGINT) AS min_r, CAST(c8 AS BIGINT) AS min_g, CAST(c9 AS BIGINT) AS min_b,
+        | CAST(c10 AS BIGINT) AS max_r, CAST(c11 AS BIGINT) AS max_g, CAST(c12 AS BIGINT) AS max_b
+        |FROM (VALUES
+        | (0, 4, 3, 200, 318, 1674, 612, 0, 86, 5, 53, 193, 164),
+        | (1, 1, 1, 1, 1, 0, 1, 1, 0, 1, 1, 0, 1),
+        | (2, 8, 2, 255, 2040, 2064, 1664, 0, 3, 0, 255, 255, 252))
+        | AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12)
+        |ORDER BY 1""".stripMargin)),
+
     // The resized payload is compared as a hex byte-prefix: DuckDB (this
     // build) cannot slice or sha256 BLOBs, and a varchar substr counts
     // *characters* — it only agrees with the byte slice on pure-ASCII text.

@@ -231,10 +231,15 @@ object Multimodal {
     * (R/G/B interleave off by one), or a padding error all change these
     * integers. Same `mapPartitions` batch plumbing as the feature path —
     * payload bytes never shuffle, one fixed-width row out per document. */
-  def decodeStats(docs: DataFrame): DataFrame = {
-    val src = withPpmPayload(docs).select(col("doc_id"), col("payload"))
+  def decodeStats(docs: DataFrame): DataFrame =
+    decodeStatsPayloads(withPpmPayload(docs).select(col("doc_id"), col("payload")))
+
+  /** [[decodeStats]] on an arbitrary (doc_id, payload) frame — the decode
+    * path detached from the text→PPM construction, so it also runs over
+    * genuinely binary rasters ([[staticPpmFrame]]). */
+  def decodeStatsPayloads(src: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(statsSchema)
-    src.mapPartitions { rows =>
+    src.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       rows.map { r =>
         val s = PpmDecoder.parse(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), s.width.toLong, s.height.toLong, s.maxval.toLong,
@@ -243,5 +248,29 @@ object Multimodal {
           s.maxR.toLong, s.maxG.toLong, s.maxB.toLong)
       }
     }(enc)
+  }
+
+  /** Static binary P6 fixtures shipped on the classpath — payloads that are
+    * NOT string-shaped, unlike [[withPpmPayload]]'s text-derived rasters:
+    * non-trivial maxval (200 and the degenerate 1), dimensions unrelated to
+    * any text length, raw pixel bytes spanning the full 0-255 range, and
+    * netpbm '#' comments both on their own line and BETWEEN header fields.
+    * Generated once by an independent script whose expected per-channel
+    * stats are computed from the intended pixel ARRAYS (not by re-parsing
+    * the files), so the q149 oracle's literal rows certify the decoder's
+    * header skip, comment handling, channel interleave and raster walk
+    * end-to-end on real binary input. */
+  val staticPpmAssets: Seq[String] = Seq("asset0.ppm", "asset1.ppm", "asset2.ppm")
+
+  def staticPpmFrame(spark: SparkSession): DataFrame = {
+    val rows = staticPpmAssets.zipWithIndex.map { case (name, idx) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/ppm/$name")
+      require(in != null, s"classpath fixture /graft/fixtures/ppm/$name missing")
+      val bytes = try in.readAllBytes() finally in.close()
+      Row(idx.toLong, bytes)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
   }
 }

@@ -351,6 +351,26 @@ class LlmDataSpec extends AnyFunSuite {
     assert(bad("P6\n1 1\n65535\n".getBytes("US-ASCII")).getMessage.contains("maxval"))
   }
 
+  test("static binary PPM fixtures decode to the generator's intended pixel stats") {
+    // Expected rows computed by the fixture generator from the intended
+    // pixel ARRAYS (same literals as the q149 oracle) — not by re-parsing
+    // the files — so this pins the decoder against an independent source
+    // on payloads that are genuinely binary: maxval 200 and 1, dimensions
+    // unrelated to any text, pixels spanning 0-255, comments on their own
+    // line AND between header fields.
+    val expected = Map(
+      0L -> (4L, 3L, 200L, 318L, 1674L, 612L, 0L, 86L, 5L, 53L, 193L, 164L),
+      1L -> (1L, 1L, 1L, 1L, 0L, 1L, 1L, 0L, 1L, 1L, 0L, 1L),
+      2L -> (8L, 2L, 255L, 2040L, 2064L, 1664L, 0L, 3L, 0L, 255L, 255L, 252L))
+    val got = Multimodal.decodeStatsPayloads(Multimodal.staticPpmFrame(spark))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10), r.getLong(11), r.getLong(12))
+      }.toMap
+    assert(got === expected)
+  }
+
   test("withPpmPayload emits payloads PpmDecoder round-trips: h=ceil(len/24), space padding") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(20)
     val rows = Multimodal.withPpmPayload(docs)
