@@ -1667,6 +1667,79 @@ object Registry {
         | round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Dedup health headline: cluster-size distribution over the shared
+    // q99 labels; the oracle re-walks the recursive closure and rolls up.
+    "q150_component_sizes" -> Entry(
+      (s, d) => Dedup.componentSizeHistogramFrom(Dedup.componentLabelsOn(s, d))
+        .orderBy("csize"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+        |SELECT csize, count(*) AS n_components FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental dedup: per ingestion batch (doc_id div 100), how many of
+    // its docs near-dup a STRICTLY earlier batch — over the shared q124
+    // md5-certified pair frame (doc_a is always the older side).
+    "q151_history_dup_rate" -> Entry(
+      (s, d) => Dedup.historyDupRateFrom(
+        Dedup.minhashMd5PairsOn(s, d), docs(s, d)).orderBy("ingest_batch"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |stale AS (SELECT ingest_batch, count(*) AS n_dup FROM (
+        |  SELECT DISTINCT doc_b // 100 AS ingest_batch, doc_b FROM pairs
+        |  WHERE doc_a // 100 < doc_b // 100) GROUP BY 1),
+        |tot AS (SELECT doc_id // 100 AS ingest_batch, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.ingest_batch, t.n_docs,
+        | CAST(coalesce(st.n_dup, 0) AS BIGINT) AS n_dup_of_history,
+        | round(CAST(coalesce(st.n_dup, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
+        |FROM tot t LEFT JOIN stale st USING (ingest_batch) ORDER BY 1""".stripMargin)),
+
+    // Rank-based length calibration: within-source percent_rank deciles
+    // (ties broken by doc_id, so pr = (rank-1)/(n-1) on identical integers
+    // is bit-equal across engines).
+    "q152_length_deciles" -> Entry(
+      (s, d) => Curation.lengthDeciles(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr FROM documents)
+        |SELECT doc_id, source, n_chars,
+        | CAST(least(9, CAST(floor(pr * 10) AS BIGINT)) AS BIGINT) AS decile
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // Expanding COUNT DISTINCT rewritten as first-touch + running sum —
     // the growth-curve rewrite that avoids per-day distinct sets.
     "q139_cumulative_users" -> Entry(

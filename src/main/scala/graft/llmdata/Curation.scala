@@ -269,6 +269,27 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Per-source length-percentile deciles — rank-based calibration across
+    * sources: a raw length threshold means different things in different
+    * sources (tweets vs books), so curation policies select on each doc's
+    * WITHIN-SOURCE percentile instead. `percent_rank` over a
+    * source-partitioned window (ties broken by doc_id, so ranks are
+    * distinct and both engines agree bit-for-bit: pr = (rank−1)/(n−1) on
+    * identical integers), bucketed into deciles with the pr=1.0 row folded
+    * into decile 9. The window partitions by source, so the work
+    * parallelizes across sources; a single pathologically hot source would
+    * shard the same way [[packSequences]] does, or switch to the
+    * approx-quantile path ([[approxLengthQuantiles]]) where rank exactness
+    * isn't required. */
+  def lengthDeciles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(lit(9L), floor(col("pr") * 10).cast("long")).as("decile"))
+  }
+
   /** The documents table's lang values — pinned so the pivot schema is
     * static (a pivot without explicit values triggers an eager distinct
     * scan AND makes the output schema data-dependent; a fixed vocabulary

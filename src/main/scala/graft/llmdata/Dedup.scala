@@ -612,6 +612,44 @@ object Dedup {
           col("n_docs").cast("double"), 6).as("retention"))
   }
 
+  /** Near-dup component size histogram — the dedup health report's
+    * headline distribution (how much of the corpus sits in clusters, and
+    * how big the worst ones are; a fat tail means template/boilerplate
+    * explosion upstream). Two map-side-combinable hash aggs over the
+    * label frame: sizes per component, then components per size — output
+    * bounded by the largest cluster, never corpus-scale. */
+  def componentSizeHistogramFrom(labels: DataFrame): DataFrame =
+    labels.groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+
+  /** Against-history duplication report — the INCREMENTAL dedup form every
+    * rolling ingestion pipeline runs: for each ingestion batch, how many of
+    * its documents near-duplicate a document from any STRICTLY EARLIER
+    * batch (batch key = doc_id div batchSize, arrival order — the
+    * [[TextAnalysis.sourceEntropyByBatch]] contract). Because doc_ids are
+    * assigned in arrival order, every verified pair's older side is doc_a
+    * (doc_a < doc_b), so "this batch duplicates history" is exactly
+    * `batch(doc_a) < batch(doc_b)` — one filter + distinct over the tiny
+    * verified-pair frame, then a zero-filled join against per-batch totals.
+    * A batch whose dup_rate spikes is re-crawl/replay noise to quarantine
+    * before it dilutes the mixture. */
+  def historyDupRateFrom(pairs: DataFrame, docs: DataFrame,
+      batchSize: Long = 100L): DataFrame = {
+    val stale = pairs
+      .select(expr(s"doc_a div $batchSize").as("batch_a"),
+        expr(s"doc_b div $batchSize").as("ingest_batch"), col("doc_b"))
+      .filter(col("batch_a") < col("ingest_batch"))
+      .select(col("ingest_batch"), col("doc_b")).distinct()
+      .groupBy("ingest_batch").agg(count(lit(1)).as("n_dup"))
+    val totals = docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"))
+      .groupBy("ingest_batch").agg(count(lit(1)).as("n_docs"))
+    totals.join(stale, Seq("ingest_batch"), "left")
+      .select(col("ingest_batch"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_of_history"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+  }
+
   /** Document-similarity pairs by exact TF-cosine over word-k-shingle
     * vectors, with a df-pruned inverted index as the candidate generator:
     * only shingles appearing in 2..maxDf documents propose pairs (a

@@ -77,4 +77,34 @@ class Round10OpsSpec extends AnyFunSuite {
     var cum = 0L
     rows.foreach { case (_, n, c) => cum += n; assert(c === cum) }
   }
+
+  test("componentSizeHistogramFrom: sizes count docs, histogram counts components") {
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "component")
+    val got = Dedup.componentSizeHistogramFrom(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 1L), (2L, 1L), (1L, 1L)))
+  }
+
+  test("historyDupRateFrom: only strictly-earlier-batch pairs count, distinct per doc, zero-filled") {
+    val docsDf = (0L to 5L).map(i => (i, s"t$i", "s", "en", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    // batchSize=2 -> batches {0,1}, {2,3}, {4,5}. doc 3 dups history twice
+    // (still one doc), doc 2 dups within its own batch only (not counted),
+    // doc 5 dups history once.
+    val pairs = Seq((0L, 3L), (1L, 3L), (2L, 3L), (4L, 5L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.historyDupRateFrom(pairs, docsDf, batchSize = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((0L, 2L, 0L, 0.0), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("lengthDeciles: within-source ranking; min lands in decile 0, max folded into 9") {
+    val d = (1L to 11L).map(i => (i, s"t$i", "s", "en", i * 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Curation.lengthDeciles(d).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // n=11 -> pr = (rank-1)/10 -> decile = rank-1 capped at 9
+    assert(got === (1L to 11L).map(i => i -> math.min(9L, i - 1)).toMap)
+  }
 }
