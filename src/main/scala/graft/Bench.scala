@@ -26,11 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * such a run self-labeling instead of masquerading as a regression:
   *
   *  - CANARY: one fixed cheap query (q01) is re-timed at the start,
-  *    middle and end of the run (plan pre-warmed, so the three numbers
-  *    measure machine state, not JIT). Their max/min spread is emitted
-  *    as `canary.spread`; `canary.contended` fires above
-  *    SPARK_GRAFT_CANARY_RATIO (default 2.0). A clean run's spread is
-  *    ~1.0-1.3; the round-9 style whole-run load shows >2x.
+  *    middle and end of the run. The contended flag uses two signals
+  *    (threshold SPARK_GRAFT_CANARY_RATIO, default 2.0): the mid/end
+  *    spread — both points run in an equally-warm JVM, so >2x between
+  *    them means contention arrived or left DURING the run — and
+  *    min(mid, end) vs the previous round's canary floor (scraped from
+  *    the stored BENCH json), which catches the round-9 failure mode:
+  *    contention spanning the WHOLE run, invisible to any intra-run
+  *    comparison. The start point is emitted but informational — it
+  *    carries residual JIT bias (~2-3x on a quiet box) that canary-only
+  *    warmup cannot remove.
   *  - SUSPECT LIST: each query's min is compared against the newest
   *    BENCH_r*.json in the working directory (values regex-scraped —
   *    the driver stores only the tail of long lines, so the file may
@@ -63,6 +68,30 @@ object Bench {
     * flagging. */
   private[graft] def suspectRule(cur: Double, prev: Double): Boolean =
     cur > 0 && prev > 0 && cur > 2 * prev && cur - prev > 0.5
+
+  /** Scrape the previous round's canary mid/end out of a stored
+    * BENCH_r*.json (same escaped-tail tolerance as [[scrapeQueryTimes]]). */
+  private[graft] def scrapeCanaryFloor(txt: String): Option[Double] = {
+    val re = """"mid\\?":(\d+(?:\.\d+)?),\\?"end\\?":(\d+(?:\.\d+)?)""".r
+    re.findFirstMatchIn(txt).map(m =>
+      math.min(m.group(1).toDouble, m.group(2).toDouble)).filter(_ > 0)
+  }
+
+  /** Contended when the two equally-warm canary points (mid, end) disagree
+    * by more than `ratio` (contention arrived or left DURING the run), or
+    * when their min sits `ratio` above the previous round's — the round-9
+    * failure mode, contention spanning the WHOLE run, which no intra-run
+    * comparison can see. The start point is informational only: it is
+    * structurally inflated by residual JIT (measured ~2-3x on a quiet box
+    * even after warm-until-stable), because the global warming the first
+    * half of the suite provides cannot be replicated by canary-only
+    * warmup. */
+  private[graft] def contendedRule(mid: Double, end: Double,
+      prevFloor: Option[Double], ratio: Double): Boolean = {
+    val intra = math.max(mid, end) / math.max(math.min(mid, end), 1e-9)
+    val cross = prevFloor.map(p => math.min(mid, end) / p).getOrElse(1.0)
+    intra > ratio || cross > ratio
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,9 +126,24 @@ object Bench {
     // ---- canary: fixed cheap query re-timed at start / middle / end ----
     val canaryName = "q01_pricing_summary"
     val canaryFn = SparkEntry.queries.get(canaryName)
-    // One untimed pass warms the canary's own codegen so the three timed
-    // points differ only by machine state.
-    canaryFn.foreach { f => try timeOnce(f) catch { case _: Throwable => () } }
+    // Warm the canary's own plan UNTIL STABLE, not just once: C2 tiering
+    // spans several executions, and a single warm pass left the start
+    // point ~3x the mid/end on a QUIET machine (measured 0.60 vs 0.19s at
+    // sf0.1) — a false "contended". Stop when two consecutive runs agree
+    // within 25%, cap at 6 passes so a genuinely loaded box still gets
+    // through to the (then honestly high) timed points.
+    canaryFn.foreach { f =>
+      try {
+        var prev = timeOnce(f)
+        var n = 1
+        var stable = false
+        while (!stable && n < 6) {
+          val cur = timeOnce(f)
+          stable = math.abs(cur - prev) / math.max(prev, 1e-9) < 0.25
+          prev = cur; n += 1
+        }
+      } catch { case _: Throwable => () }
+    }
     // Each canary point is a min-of-2: at small SF the canary runs ~0.2s and
     // single-shot scheduler jitter alone can fake a 1.8x spread; sustained
     // contention (the signal the canary exists for) inflates both runs.
@@ -139,6 +183,7 @@ object Bench {
     val canaryEnd = canaryPoint()
 
     // ---- suspects: compare against the newest BENCH_r*.json on disk ----
+    var prevCanaryFloor: Option[Double] = None
     val prev: Option[(String, Map[String, Double])] = {
       val re = """BENCH_r(\d+)\.json""".r
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -148,6 +193,7 @@ object Bench {
         try {
           val src = scala.io.Source.fromFile(f, "UTF-8")
           val txt = try src.mkString finally src.close()
+          prevCanaryFloor = scrapeCanaryFloor(txt)
           val m = scrapeQueryTimes(txt)
           if (m.isEmpty) None else Some((f.getName, m))
         } catch { case _: Throwable => None }
@@ -188,11 +234,12 @@ object Bench {
       else ms(results.collect { case (_, v, None) => v }.sum)
     val canaryJson = (canaryStart, canaryMid, canaryEnd) match {
       case (Some(a), Some(b), Some(c)) =>
-        val pts = Seq(a, b, c)
-        val spread = pts.max / math.max(pts.min, 1e-9)
+        val spread = math.max(b, c) / math.max(math.min(b, c), 1e-9)
         val ratioGate = sys.env.getOrElse("SPARK_GRAFT_CANARY_RATIO", "2.0").toDouble
+        val floorJson = prevCanaryFloor.map(ms).getOrElse("null")
         s"""{"query":"$canaryName","start":${ms(a)},"mid":${ms(b)},"end":${ms(c)},""" +
-          s""""spread":${ms(spread)},"contended":${spread > ratioGate}}"""
+          s""""spread":${ms(spread)},"prev_floor":$floorJson,""" +
+          s""""contended":${contendedRule(b, c, prevCanaryFloor, ratioGate)}}"""
       case _ => "null"
     }
     val suspectJson = suspects.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")

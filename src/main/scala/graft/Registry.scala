@@ -1729,6 +1729,47 @@ object Registry {
         | round(CAST(coalesce(st.n_dup, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
         |FROM tot t LEFT JOIN stale st USING (ingest_batch) ORDER BY 1""".stripMargin)),
 
+    // Collocations by PMI over the corpus bigram/unigram totals; ordering
+    // on the ROUNDED pmi (ties -> bigram) reproduces the oracle exactly.
+    "q154_pmi_bigrams" -> Entry(
+      (s, d) => TextAnalysis.pmiBigrams(docs(s, d)), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        |bg AS (SELECT x.bg FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t WHERE len(toks) >= 2) x),
+        |n2 AS (SELECT count(*) AS n FROM bg),
+        |bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+        |j AS (SELECT bc.bg, bc.c AS c_ab, ua.c AS c_a, ub.c AS c_b
+        | FROM bc JOIN uc ua ON ua.w = string_split(bc.bg, ' ')[1]
+        | JOIN uc ub ON ub.w = string_split(bc.bg, ' ')[2]
+        | WHERE bc.c >= 5)
+        |SELECT bg AS bigram, c_ab, round(ln((CAST(c_ab AS DOUBLE) / CAST(n2.n AS DOUBLE)) /
+        |  ((CAST(c_a AS DOUBLE) / CAST(n1.n AS DOUBLE)) * (CAST(c_b AS DOUBLE) / CAST(n1.n AS DOUBLE)))), 6) AS pmi
+        |FROM j CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)),
+
+    // Two-sample KS distance of each batch's length ECDF vs the rest of
+    // the corpus — c_all recovered by summing per-batch cumulatives over
+    // the complete grid, so neither engine runs a global window.
+    "q153_length_drift_ks" -> Entry(
+      (s, d) => TextAnalysis.lengthDriftKs(docs(s, d)).orderBy("ingest_batch"), Some(
+      """WITH d AS (SELECT doc_id // 100 AS b, n_chars FROM documents),
+        |cnt AS (SELECT b, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        |nb AS (SELECT b, count(*) AS n_b FROM d GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_tot FROM d),
+        |xs AS (SELECT DISTINCT n_chars FROM d),
+        |grid AS (SELECT nb.b, nb.n_b, xs.n_chars FROM nb CROSS JOIN xs),
+        |cum AS (SELECT g.b, g.n_b, g.n_chars,
+        |  sum(coalesce(c.c, 0)) OVER (PARTITION BY g.b ORDER BY g.n_chars) AS c_batch
+        | FROM grid g LEFT JOIN cnt c ON c.b = g.b AND c.n_chars = g.n_chars),
+        |call AS (SELECT n_chars, sum(c_batch) AS c_all FROM cum GROUP BY 1)
+        |SELECT b AS ingest_batch,
+        | round(max(abs(CAST(c_batch AS DOUBLE) / n_b -
+        |   CAST(c_all - c_batch AS DOUBLE) / (n_tot - n_b))), 6) AS ks_stat
+        |FROM cum JOIN call USING (n_chars) CROSS JOIN nt
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rank-based length calibration: within-source percent_rank deciles
     // (ties broken by doc_id, so pr = (rank-1)/(n-1) on identical integers
     // is bit-equal across engines).

@@ -645,6 +645,77 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
           .as("ttr"))
 
+  /** Top-k bigram PMI — the collocation detector vocabulary construction
+    * and tokenizer-merge audits read (a high-PMI pair is a unit the
+    * tokenizer should learn; a LOW-PMI high-count pair is boilerplate
+    * glue). PMI = ln( p(ab) / (p(a)·p(b)) ) with p from corpus unigram and
+    * bigram totals; pairs below `minCount` are noise-floored out BEFORE
+    * the expensive join (the classic count-then-threshold order), and the
+    * top-k rides orderBy+limit (TakeOrderedAndProject — the zipfSlope
+    * lesson, never a full-corpus rank). Two hash aggs + two equi-joins
+    * against the unigram counts + two 1-row broadcast totals; ordering is
+    * on the ROUNDED pmi (ties → bigram) so the oracle's order is
+    * reproduced exactly. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val uc = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uc.agg(sum(col("c")).as("n1"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(shingles(col("toks"), 2)).as("bigram"))
+    val n2 = bg.agg(count(lit(1)).as("n2"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val parts = split(col("bigram"), " ")
+    bc.withColumn("w_a", parts.getItem(0)).withColumn("w_b", parts.getItem(1))
+      .join(uc.select(col("w").as("w_a"), col("c").as("c_a")), "w_a")
+      .join(uc.select(col("w").as("w_b"), col("c").as("c_b")), "w_b")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bigram"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("n2").cast("double")) /
+          ((col("c_a").cast("double") / col("n1").cast("double")) *
+           (col("c_b").cast("double") / col("n1").cast("double")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+  }
+
+  /** Per-ingestion-batch length-distribution drift: the two-sample
+    * Kolmogorov–Smirnov statistic between each batch's n_chars ECDF and
+    * the REST of the corpus — the distribution-shift alarm a curation
+    * dashboard hangs on every incoming dump (a KS spike means the new
+    * batch's length profile changed: truncation bug, new content type,
+    * crawler loop). Batch key = doc_id div batchSize (the
+    * [[sourceEntropyByBatch]] contract).
+    *
+    * Shape (no global window, no per-batch scan of the corpus): counts
+    * per (batch, length) → a complete batch×length grid (both sides tiny:
+    * #batches × #distinct lengths) → per-batch cumulative counts via a
+    * window PARTITIONED by batch → and the corpus-wide cumulative at each
+    * length recovered by SUMMING the per-batch cumulatives across the
+    * complete grid (c_all(x) = Σ_b c_batch(b,x)) — the trick that avoids
+    * any single-partition window. KS_b = max_x |c_b(x)/n_b −
+    * (c_all(x)−c_b(x))/(N−n_b)|: exact integer counts into one identical
+    * double expression per grid cell, max before round, so cross-engine
+    * bit-equality holds (the q152 argument). */
+  def lengthDriftKs(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs.select(expr(s"doc_id div $batchSize").as("b"), col("n_chars"))
+    val cnt = d.groupBy("b", "n_chars").agg(count(lit(1)).as("c"))
+    val batches = d.groupBy("b").agg(count(lit(1)).as("n_b"))
+    val ntot = d.agg(count(lit(1)).as("n_tot"))
+    val xs = d.select("n_chars").distinct()
+    val grid = batches.crossJoin(broadcast(xs))
+    val cum = grid.join(cnt, Seq("b", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("c_batch", sum(col("c")).over(W.partitionBy("b").orderBy("n_chars")))
+    val call = cum.groupBy("n_chars").agg(sum(col("c_batch")).as("c_all"))
+    cum.join(call, "n_chars").crossJoin(broadcast(ntot))
+      .groupBy(col("b").as("ingest_batch"))
+      .agg(round(max(abs(
+        col("c_batch").cast("double") / col("n_b").cast("double") -
+          (col("c_all") - col("c_batch")).cast("double") /
+            (col("n_tot") - col("n_b")).cast("double"))), 6).as("ks_stat"))
+  }
+
   /** Corpus profile at three grains in one pass — GROUPING SETS
     * ((lang, source), (lang), ()) — the "by language × source, by
     * language, grand total" report without three scans or a full CUBE's

@@ -39,6 +39,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!m.contains("q05_revenue_by_nation") && m.contains("q06_broadcast_join_part"))
   }
 
+  test("contendedRule: intra-run spread, cross-round floor, and the no-baseline case") {
+    // mid/end agree, no baseline: clean
+    assert(!Bench.contendedRule(0.2, 0.21, None, 2.0))
+    // contention arrives mid-run: mid 3x end
+    assert(Bench.contendedRule(0.6, 0.2, None, 2.0))
+    // whole-run contention (the round-9 mode): intra-run spread is flat but
+    // both points sit 2.5x over the previous round's floor
+    assert(Bench.contendedRule(0.5, 0.52, Some(0.2), 2.0))
+    // same flat points, baseline matches: clean
+    assert(!Bench.contendedRule(0.21, 0.2, Some(0.2), 2.0))
+  }
+
+  test("scrapeCanaryFloor reads mid/end from a stored (escaped) canary blob") {
+    val stored = """...\"canary\":{\"query\":\"q01\",\"start\":0.596,\"mid\":0.193,\"end\":0.202,..."""
+    assert(Bench.scrapeCanaryFloor(stored) === Some(0.193))
+    val clean = """"canary":{"query":"q01","start":0.3,"mid":0.25,"end":0.21,"spread":1.2}"""
+    assert(Bench.scrapeCanaryFloor(clean) === Some(0.21))
+    assert(Bench.scrapeCanaryFloor("no canary here") === None)
+  }
+
   test("suspectRule: relative gate, absolute floor, and failure guards") {
     assert(Bench.suspectRule(cur = 6.0, prev = 2.0))     // 3x and +4s: suspect
     assert(!Bench.suspectRule(cur = 3.9, prev = 2.0))    // <2x: clean

@@ -35,9 +35,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q100_source_divergence", // 1-row corpus-total aggregate broadcast back
     "q106_temperature_mix",   // 1-row normalizing-sums aggregate broadcast back
     "q119_unigram_logprob",   // 1-row corpus-total aggregate broadcast back
-    "q144_token_budget")      // composes q119's 1-row total broadcast, plus the
+    "q144_token_budget",      // composes q119's 1-row total broadcast, plus the
                               // deliberate broadcast triangular self-join over the
                               // tiny per-bucket offset table (two-phase prefix sum)
+    "q153_length_drift_ks",   // batches × distinct-lengths grid (both tiny) + 1-row total
+    "q154_pmi_bigrams")       // two 1-row corpus-total aggregates broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -99,6 +99,34 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === Set((0L, 2L, 0L, 0.0), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 
+  test("pmiBigrams: hand-computed PMI on a fixed collocation; glue pairs rank below") {
+    // "x y" always co-occurs (8 times); every other adjacency is diffuse.
+    val d = (0L to 7L).map(i => (i, s"x y f$i g${i % 2}", "s", "en", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.pmiBigrams(d, minCount = 2L, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // totals: 32 unigrams (x:8, y:8, g0:4, g1:4, f_i:1 each), 24 bigrams
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log((cab / 24.0) / ((ca / 32.0) * (cb / 32.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head === (("x y", 8L, pmi(8, 8, 8))))
+    // "y f..." pairs are below minCount individually; "g0"/"g1" never lead
+    // a bigram with count >= 2 except none — only "x y" survives
+    assert(got.length === 1)
+  }
+
+  test("lengthDriftKs: a shifted batch scores the exact hand-computed KS distance") {
+    // batchSize=4 -> batch 0 lengths {10,10,20,20}, batch 1 {20,20,30,30}
+    val d = Seq((0L, 10L), (1L, 10L), (2L, 20L), (3L, 20L),
+      (4L, 20L), (5L, 20L), (6L, 30L), (7L, 30L))
+      .map { case (i, n) => (i, "t", "s", "en", n) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.lengthDriftKs(d, batchSize = 4L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // ECDFs at x=10: F0=.5 F1=0 (d=.5); x=20: F0=1 F1=.5 (d=.5); x=30: 1,1
+    assert(got === Map(0L -> 0.5, 1L -> 0.5))
+  }
+
   test("lengthDeciles: within-source ranking; min lands in decile 0, max folded into 9") {
     val d = (1L to 11L).map(i => (i, s"t$i", "s", "en", i * 10L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
