@@ -1770,6 +1770,48 @@ object Registry {
         |FROM cum JOIN call USING (n_chars) CROSS JOIN nt
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Subset/quote detection Jaccard misses: containment |A∩B|/min(|A|,|B|)
+    // over the q126 df-pruned candidate generator; verify is pure integers.
+    "q155_containment_pairs" -> Entry(
+      (s, d) => Dedup.containmentPairs(docs(s, d)).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sets AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sets GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 20),
+        |posting AS (SELECT doc_id, s FROM sets JOIN rare USING (s)),
+        |cand AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) WHERE n_shared >= 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+        |  JOIN sets sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, na.n AS n_a, nb.n AS n_b,
+        | round(CAST(n_common AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+        |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) / least(na.n, nb.n), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Embedding-space drift per ingestion batch: cosine(batch centroid,
+    // corpus centroid); centroids rounded then DECIMAL so the reduction is
+    // order-independent on both engines.
+    "q156_centroid_drift" -> Entry(
+      (s, d) => Similarity.batchCentroidDrift(emb(s, d)).orderBy("ingest_batch"), Some(
+      """WITH pts AS (SELECT vec_id // 100 AS b, x.pos - 1 AS pos, x.v FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |           unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v) x),
+        |cb AS (SELECT b, pos, CAST(round(avg(v), 6) AS DECIMAL(12,6)) AS cb FROM pts GROUP BY 1, 2),
+        |ca AS (SELECT pos, CAST(round(avg(v), 6) AS DECIMAL(12,6)) AS ca FROM pts GROUP BY 1)
+        |SELECT b AS ingest_batch,
+        | round(CAST(sum(cb * ca) AS DOUBLE) /
+        |   (sqrt(CAST(sum(cb * cb) AS DOUBLE)) * sqrt(CAST(sum(ca * ca) AS DOUBLE))), 6) AS centroid_cosine
+        |FROM cb JOIN ca USING (pos) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rank-based length calibration: within-source percent_rank deciles
     // (ties broken by doc_id, so pr = (rank-1)/(n-1) on identical integers
     // is bit-equal across engines).

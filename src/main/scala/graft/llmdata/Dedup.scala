@@ -677,6 +677,47 @@ object Dedup {
     * the same plan holds: the df frame is a shuffle-free re-aggregation
     * of tf, and the pair join is band-bounded exactly like
     * [[minhashMd5Pairs]]. */
+  /** Near-CONTAINMENT pairs — the subset/quote detector Jaccard structurally
+    * misses: a 100-shingle document fully embedded in a 1000-shingle one
+    * scores Jaccard ≈ 0.1 (invisible to [[minhashNearDup]]'s 0.5 gate) but
+    * containment |A∩B| / min(|A|,|B|) = 1.0. Training pipelines run this
+    * pass to catch truncations, quote-expansions and doc-inside-doc
+    * boilerplate after symmetric near-dup dedup has done its work.
+    *
+    * Same df-pruned inverted-index candidate generator as
+    * [[invertedCosinePairs]] (and the same recall contract: exact for any
+    * pair sharing ≥ `minSharedRare` rare shingles — the right contract for
+    * containment too, since a contained doc shares ALL its shingles, rare
+    * ones included, with its container); verification is pure integers
+    * (distinct-shingle intersection and set sizes) plus one divide. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
+      containThreshold: Double = 0.8, minSharedRare: Int = 2): DataFrame = {
+    val sets = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("s"))
+    val rare = sets.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val posting = sets.join(rare.select("s"), "s")
+    val cand = posting.select(col("doc_id").as("doc_a"), col("s"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedRare)
+      .select("doc_a", "doc_b")
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= containThreshold)
+  }
+
   def invertedCosinePairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
       simThreshold: Double = 0.3, minSharedRare: Int = 2): DataFrame = {
     val tf = docs.withColumn("toks", TextAnalysis.tokens(col("text")))

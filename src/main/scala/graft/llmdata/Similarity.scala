@@ -6,6 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorOps
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -170,6 +171,34 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg("v"), 6).as("centroid_v"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid_v"))
+
+  /** Per-ingestion-batch embedding drift: cosine between each batch's
+    * centroid and the corpus centroid — the representation-space twin of
+    * [[graft.llmdata.TextAnalysis.lengthDriftKs]] (a batch whose centroid
+    * swings away from the corpus is topically different content: new
+    * domain, crawler drift, or an upstream embedding-model change). Batch
+    * key = vec_id div batchSize, the arrival-order contract.
+    *
+    * Shape: one posexplode → a (batch, pos) hash agg (map-side combined;
+    * shuffles only batch×dim cells, never vectors) → the dim-sized
+    * centroid frames join on pos and reduce to one cosine per batch.
+    * Cross-engine exactness: centroids are rounded to 6dp THEN cast to
+    * DECIMAL(12,6), so the dot/norm sums are exact decimal arithmetic on
+    * identical operands — order-independent — and the only float ops are
+    * two sqrts and one divide on identical doubles (the q126 rule). */
+  def batchCentroidDrift(emb: DataFrame, batchSize: Long = 100L): DataFrame = {
+    val pts = emb.select(expr(s"vec_id div $batchSize").as("b"),
+      posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "v")))
+    val cb = pts.groupBy("b", "pos")
+      .agg(round(avg("v"), 6).cast(DecimalType(12, 6)).as("cb"))
+    val ca = pts.groupBy("pos")
+      .agg(round(avg("v"), 6).cast(DecimalType(12, 6)).as("ca"))
+    cb.join(ca, "pos")
+      .groupBy(col("b").as("ingest_batch"))
+      .agg(round(sum(col("cb") * col("ca")).cast("double") /
+        (sqrt(sum(col("cb") * col("cb")).cast("double")) *
+          sqrt(sum(col("ca") * col("ca")).cast("double"))), 6).as("centroid_cosine"))
+  }
 
   /** Symmetric int8 quantization — the storage/bandwidth step before an
     * ANN index is built or embeddings are shipped to a trainer: per vector,

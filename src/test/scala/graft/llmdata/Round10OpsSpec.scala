@@ -127,6 +127,39 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0.5, 1L -> 0.5))
   }
 
+  test("containmentPairs: a truncation scores 1.0 where its Jaccard sits far below the near-dup gate") {
+    // doc 1 = the first third of doc 0 -> containment 1.0, jaccard ~1/3.
+    // doc 2 unrelated. Shingles must be rare (df<=20) and >=2 shared.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val truncated = (1 to 6).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, base, "s", "en", 1L),
+      (1L, truncated, "s", "en", 1L),
+      (2L, "z1 z2 z3 z4 z5 z6", "s", "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // doc0 has 10 shingles, doc1 has 4, all 4 shared
+    assert(got.toSeq === Seq((0L, 1L, 4L, 10L, 4L, 1.0)))
+    // and the symmetric near-dup gate would have missed it
+    val jac = Dedup.minhashNearDup(d, simThreshold = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("batchCentroidDrift: identical batches score 1.0; an orthogonal batch scores 0.x") {
+    val mk = (id: Long, v: Seq[Float]) => (id, v.toArray, 0)
+    // batchSize=2: batch 0 = two copies of e1, batch 1 = two copies of e2 (orthogonal)
+    val emb = Seq(
+      mk(0L, Seq(1f, 0f)), mk(1L, Seq(1f, 0f)),
+      mk(2L, Seq(0f, 1f)), mk(3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.batchCentroidDrift(emb, batchSize = 2L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // corpus centroid = (.5,.5); cos(batch0, corpus) = .5/ (1 * sqrt(.5)) = 0.707107
+    assert(got(0L) === 0.707107)
+    assert(got(1L) === 0.707107)
+  }
+
   test("lengthDeciles: within-source ranking; min lands in decile 0, max folded into 9") {
     val d = (1L to 11L).map(i => (i, s"t$i", "s", "en", i * 10L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
