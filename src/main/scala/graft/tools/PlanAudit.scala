@@ -82,7 +82,15 @@ object PlanAudit {
     ("q129_range_bucket_join", "range join rewritten as equi-join on floor(value/width): " +
       "broadcast hash join instead of the BNLJ the BETWEEN form forces (the oracle runs that " +
       "form to certify equivalence)",
-      reg("q129_range_bucket_join")))
+      reg("q129_range_bucket_join")),
+    ("q144_token_budget", "two-phase prefix sum over a corpus-wide total order: score-bucketed " +
+      "intra-windows (PARTITIONED by bucket — no single-partition frame anywhere) + broadcast " +
+      "triangular self-join over the tiny per-bucket offsets",
+      reg("q144_token_budget")),
+    ("q153_length_drift_ks", "two-sample KS per ingest batch: per-batch cumulative windows over " +
+      "the complete batch x length grid; the corpus cumulative is the grid-sum of per-batch " +
+      "cumulatives, so no global window exists",
+      reg("q153_length_drift_ks")))
 
   private val streamingStateNote: String =
     """
