@@ -673,8 +673,30 @@ object Registry {
         | sha256(text) AS payload_sha256, 'application/octet-stream' AS mime_type
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Hash-checked since round 10: every feature is either an integer
+    // header field or an integer-ratio mean (pixel sum / (w·h), both exact
+    // BIGINTs), so the oracle re-derives the text→PPM construction like
+    // q122 and mirrors the division bit-for-bit — no float accumulation
+    // anywhere.
     "q71_decode_features" -> Entry(
-      (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), None),
+      (s, d) => Multimodal.featureTable(docs(s, d)).orderBy("doc_id", "feature_pos"), Some(
+      """WITH p AS (SELECT doc_id,
+        |  greatest(1, CAST(ceil(octet_length(encode(text)) / 24.0) AS BIGINT)) AS h,
+        |  octet_length(encode(text)) AS nb, text FROM documents),
+        |pad AS (SELECT doc_id, h, text || repeat(' ', CAST(h * 24 - nb AS INT)) AS t FROM p),
+        |px AS (SELECT doc_id, h,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 1 AS INT), 1))) AS r,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 2 AS INT), 1))) AS g,
+        |  list_transform(range(0, h * 8), i -> ascii(substr(t, CAST(3*i + 3 AS INT), 1))) AS b
+        | FROM pad)
+        |SELECT doc_id, CAST(feature_pos AS BIGINT) AS feature_pos, feature_val FROM (
+        | SELECT doc_id, 0 AS feature_pos, 8.0 AS feature_val FROM px
+        | UNION ALL SELECT doc_id, 1, CAST(h AS DOUBLE) FROM px
+        | UNION ALL SELECT doc_id, 2, 255.0 FROM px
+        | UNION ALL SELECT doc_id, 3, round(CAST(list_sum(r) AS DOUBLE) / (8 * h), 6) FROM px
+        | UNION ALL SELECT doc_id, 4, round(CAST(list_sum(g) AS DOUBLE) / (8 * h), 6) FROM px
+        | UNION ALL SELECT doc_id, 5, round(CAST(list_sum(b) AS DOUBLE) / (8 * h), 6) FROM px)
+        |ORDER BY doc_id, feature_pos""".stripMargin)),
 
     // Hash-checked twin of q71: the SAME PpmDecoder.parse runs per payload
     // but emits integer header fields + per-channel pixel sum/min/max, and
