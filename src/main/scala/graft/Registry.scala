@@ -1792,6 +1792,37 @@ object Registry {
         |FROM cum JOIN call USING (n_chars) CROSS JOIN nt
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Median/MAD outlier report — the robust rule that survives the
+    // outliers it hunts; percentile == quantile_cont (the q81 rule).
+    "q157_robust_outliers" -> Entry(
+      (s, d) => Curation.robustLengthOutliers(docs(s, d)).orderBy("source"), Some(
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY 1),
+        |dev AS (SELECT d.source, d.n_chars, abs(d.n_chars - m.med) AS adev, m.med
+        | FROM documents d JOIN med m USING (source)),
+        |madt AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT v.source, round(max(v.med), 6) AS median_chars, round(max(t.mad), 6) AS mad,
+        | CAST(sum(CASE WHEN t.mad > 0 AND abs(v.n_chars - v.med) > 2.0 * 1.4826 * t.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev v JOIN madt t USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Inverted-index probe: only the query terms' postings leave the scan;
+    // per-doc score sum rides decimal x integer (the q119 rule).
+    "q158_tfidf_search" -> Entry(
+      (s, d) => TextAnalysis.tfidfSearch(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |q AS (SELECT unnest(['spark', 'shuffle', 'hash']) AS term),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(sum(CAST(tf.tf AS DECIMAL(9,0)) *
+        |    CAST(ln(CAST(n.n AS DOUBLE) / df.df) AS DECIMAL(28,12))) AS DOUBLE) AS score,
+        |  count(*) AS n_matched
+        | FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN n GROUP BY 1)
+        |SELECT doc_id, n_matched, round(score, 6) AS score
+        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Subset/quote detection Jaccard misses: containment |A∩B|/min(|A|,|B|)
     // over the q126 df-pruned candidate generator; verify is pure integers.
     "q155_containment_pairs" -> Entry(

@@ -290,6 +290,31 @@ object Curation {
         least(lit(9L), floor(col("pr") * 10).cast("long")).as("decile"))
   }
 
+  /** Robust per-source length outliers — median/MAD instead of mean/stddev,
+    * the outlier rule that survives the very outliers it hunts (one
+    * pathological 100 MB document shifts a mean+3σ gate enough to hide its
+    * siblings; the median and MAD barely move). Flags docs with
+    * |n_chars − median| > c · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality) and reports the per-source count. Two exact interpolated
+    * percentiles (the q81 `percentile` ≡ DuckDB `quantile_cont` dyadic-
+    * exactness rule) + two equi-joins of a tiny per-source frame; the
+    * comparison runs on identical doubles both engines, so the whole
+    * report hash-checks. */
+  def robustLengthOutliers(docs: DataFrame, c: Double = 2.0): DataFrame = {
+    val med = docs.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val dev = docs.select(col("source"), col("n_chars")).join(med, "source")
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("source").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, "source")
+      .groupBy("source")
+      .agg(round(max(col("med")), 6).as("median_chars"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("mad") > 0 &&
+            abs(col("n_chars") - col("med")) > lit(c * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** The documents table's lang values — pinned so the pivot schema is
     * static (a pivot without explicit values triggers an eager distinct
     * scan AND makes the output schema data-dependent; a fixed vocabulary

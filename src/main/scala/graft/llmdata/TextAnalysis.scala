@@ -678,6 +678,33 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram")).limit(k)
   }
 
+  /** Keyword retrieval scoring — the search primitive over the corpus: for
+    * a fixed query-term set, score every matching document by
+    * Σ tf(term, doc) · ln(N / df(term)) (classic TF-IDF with raw tf) and
+    * return the top-k. The query terms are a broadcast frame joined into
+    * the (doc, term, tf) aggregate — the inverted-index probe shape: only
+    * postings of the query terms ever leave the scan, so cost scales with
+    * the query's posting lists, not the corpus. Per-term weights are one
+    * ln each (bit-identical libm); the per-doc sum rides the
+    * decimal×integer product (the q119 rule) so it is order-independent;
+    * top-k is orderBy+limit on the ROUNDED score (ties → doc_id). */
+  def tfidfSearch(docs: DataFrame,
+      terms: Seq[String] = Seq("spark", "shuffle", "hash"), k: Int = 20): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val q = docs.sparkSession.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+    tf.join(broadcast(q), "term").join(df, "term").crossJoin(broadcast(n))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("tf").cast(DecimalType(9, 0)) *
+          log(col("n").cast("double") / col("df").cast("double"))
+            .cast(DecimalType(28, 12))).cast("double").as("score"))
+      .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(k)
+  }
+
   /** Per-ingestion-batch length-distribution drift: the two-sample
     * Kolmogorov–Smirnov statistic between each batch's n_chars ECDF and
     * the REST of the corpus — the distribution-shift alarm a curation

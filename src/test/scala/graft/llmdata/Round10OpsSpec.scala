@@ -160,6 +160,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(1L) === 0.707107)
   }
 
+  test("robustLengthOutliers: one extreme doc flagged; median/MAD unmoved by it") {
+    // lengths 100..100+8 plus one 10000-char monster: median 104.5? n=10 ->
+    // median = (104+105)/2 = 104.5... use 9 regulars + 1 monster: n=10,
+    // sorted lengths 100..108, 10000 -> median = (104+105)/2 = 104.5,
+    // adevs = {4.5,3.5,...,0.5,0.5,...,9895.5} -> MAD = 2.5+... compute:
+    // adevs sorted: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,9895.5 -> MAD=(2.5+2.5)/2=2.5
+    // gate = 2*1.4826*2.5 = 7.413 -> only the monster exceeds it.
+    val d = ((0 until 9).map(i => (i.toLong, "t", "s", "en", 100L + i)) :+
+      (9L, "t", "s", "en", 10000L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Curation.robustLengthOutliers(d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("s", 104.5, 2.5, 1L)))
+  }
+
+  test("tfidfSearch: rarer matched term outweighs a common one; non-matching docs absent") {
+    val d = Seq(
+      (0L, "spark spark filler", "s", "en", 1L),   // tf(spark)=2
+      (1L, "hash filler filler", "s", "en", 1L),   // tf(hash)=1, hash rarer
+      (2L, "spark other words", "s", "en", 1L),
+      (3L, "nothing relevant here", "s", "en", 1L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.tfidfSearch(d, terms = Seq("spark", "hash"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def w(df: Long) = math.log(4.0 / df)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc0: 2*ln(4/2)=1.386294; doc1: 1*ln(4/1)=1.386294 -> tie, doc_id breaks
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got(0)._3 === r6(2 * w(2)) && got(1)._3 === r6(w(1)) && got(2)._3 === r6(w(2)))
+  }
+
   test("lengthDeciles: within-source ranking; min lands in decile 0, max folded into 9") {
     val d = (1L to 11L).map(i => (i, s"t$i", "s", "en", i * 10L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
