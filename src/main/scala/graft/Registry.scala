@@ -1792,6 +1792,26 @@ object Registry {
         |FROM cum JOIN call USING (n_chars) CROSS JOIN nt
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Label-quality audit: nearest-centroid assignment cross-tabulated
+    // against the stored label (diagonal-dominant when labels separate).
+    "q159_centroid_confusion" -> Entry(
+      (s, d) => Similarity.centroidConfusion(emb(s, d)).orderBy("label", "assigned"), Some(
+      """WITH pts AS (SELECT label, x.pos, x.v FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |           unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v) x),
+        |cent AS (SELECT label AS c_label, list(round(avg_v, 6) ORDER BY pos) AS ce FROM (
+        |  SELECT label, pos, avg(v) AS avg_v FROM pts GROUP BY 1, 2) GROUP BY 1),
+        |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings),
+        |scored AS (SELECT vec_id, e.label, c.c_label,
+        |  round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS cosine
+        | FROM e CROSS JOIN cent c),
+        |best AS (SELECT vec_id, label, c_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label) AS rn FROM scored)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(c_label AS BIGINT) AS assigned, count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Median/MAD outlier report — the robust rule that survives the
     // outliers it hunts; percentile == quantile_cont (the q81 rule).
     "q157_robust_outliers" -> Entry(

@@ -172,6 +172,35 @@ object Similarity {
       .agg(round(avg("v"), 6).as("centroid_v"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid_v"))
 
+  /** Nearest-centroid assignment + confusion matrix — the label-quality
+    * audit over an embedded corpus: assign every vector to its max-cosine
+    * [[labelCentroids]] centroid and cross-tabulate against the stored
+    * label. A clean labeling is diagonal-dominant; an off-diagonal hot
+    * cell is a label pair the embedding space cannot separate (merge
+    * candidates, or mislabeled data). Shape: the 10-row centroid frame
+    * (arrays re-assembled pos-ordered from the centroid table) broadcasts
+    * into a vectors × centroids scored frame — n·|labels| rows, never
+    * n² — ranked per vector by a window over the ROUNDED cosine
+    * (c_label ties), then one confusion hash agg. Each cosine is one
+    * codegen'd [[graft.functions.ArrayDotProduct]] against a broadcast
+    * array (the q45 idiom). */
+  def centroidConfusion(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("centroid_v")))),
+        x => x("centroid_v")).as("ce"))
+    val scored = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        VectorOps.asDouble(col("embedding")).as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-ingestion-batch embedding drift: cosine between each batch's
     * centroid and the corpus centroid — the representation-space twin of
     * [[graft.llmdata.TextAnalysis.lengthDriftKs]] (a batch whose centroid

@@ -40,7 +40,8 @@ class PlanLintSpec extends AnyFunSuite {
                               // tiny per-bucket offset table (two-phase prefix sum)
     "q153_length_drift_ks",   // batches × distinct-lengths grid (both tiny) + 1-row total
     "q154_pmi_bigrams",       // two 1-row corpus-total aggregates broadcast back
-    "q158_tfidf_search")      // 1-row corpus-size aggregate broadcast back
+    "q158_tfidf_search",      // 1-row corpus-size aggregate broadcast back
+    "q159_centroid_confusion") // |labels|-row centroid frame broadcast against the corpus
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

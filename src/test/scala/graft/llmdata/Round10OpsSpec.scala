@@ -191,6 +191,18 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(0)._3 === r6(2 * w(2)) && got(1)._3 === r6(w(1)) && got(2)._3 === r6(w(2)))
   }
 
+  test("centroidConfusion: separable labels confuse nothing; a mislabeled vector lands off-diagonal") {
+    val mk = (id: Long, v: Seq[Float], l: Int) => (id, v.toArray, l)
+    val emb = Seq(
+      mk(0L, Seq(1f, 0f), 0), mk(1L, Seq(0.9f, 0.1f), 0),
+      mk(2L, Seq(0f, 1f), 1), mk(3L, Seq(0.1f, 0.9f), 1),
+      mk(4L, Seq(0.95f, 0.05f), 1)   // label-1 vector sitting in label-0 space
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidConfusion(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 0L, 2L), (1L, 1L, 2L), (1L, 0L, 1L)))
+  }
+
   test("lengthDeciles: within-source ranking; min lands in decile 0, max folded into 9") {
     val d = (1L to 11L).map(i => (i, s"t$i", "s", "en", i * 10L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
