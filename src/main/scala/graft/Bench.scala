@@ -35,7 +35,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    contention spanning the WHOLE run, invisible to any intra-run
   *    comparison. The start point is emitted but informational — it
   *    carries residual JIT bias (~2-3x on a quiet box) that canary-only
-  *    warmup cannot remove.
+  *    warmup cannot remove. Live-fire check (round 10, sf0.001): a 2x
+  *    CPU-oversubscribed run measured mid=0.575/end=0.600 — intra-run
+  *    spread a flat 1.04 — against a 0.130 stored floor: contended=true
+  *    via the cross-round signal alone, exactly the round-9 mode.
   *  - SUSPECT LIST: each query's min is compared against the newest
   *    BENCH_r*.json in the working directory (values regex-scraped —
   *    the driver stores only the tail of long lines, so the file may

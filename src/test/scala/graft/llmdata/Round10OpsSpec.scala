@@ -78,6 +78,18 @@ class Round10OpsSpec extends AnyFunSuite {
     rows.foreach { case (_, n, c) => cum += n; assert(c === cum) }
   }
 
+  test("componentLabelsOn / minhashMd5PairsOn: memoized per (dir, threshold)") {
+    val dir = graft.TestSpark.sfDir
+    val a = Dedup.componentLabelsOn(spark, dir)
+    // same key -> the SAME DataFrame instance (computeIfAbsent), so no
+    // consumer can re-run the label propagation
+    assert(a eq Dedup.componentLabelsOn(spark, dir))
+    // different threshold -> a different cache slot
+    assert(!(a eq Dedup.componentLabelsOn(spark, dir, simThreshold = 0.7)))
+    val p = Dedup.minhashMd5PairsOn(spark, dir)
+    assert(p eq Dedup.minhashMd5PairsOn(spark, dir))
+  }
+
   test("componentSizeHistogramFrom: sizes count docs, histogram counts components") {
     val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
       .toDF("doc_id", "component")
