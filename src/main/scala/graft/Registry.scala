@@ -1792,6 +1792,25 @@ object Registry {
         |FROM cum JOIN call USING (n_chars) CROSS JOIN nt
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The reference's IPF applied to the curation problem: one sweep of
+    // biproportional fitting on the (source x lang) count matrix toward
+    // uniform marginals -> per-cell sampling weights (q76 determinism
+    // recipe: round between fits, decimal-exact column sums).
+    "q160_rebalance_mixture" -> Entry(
+      (s, d) => Curation.rebalanceMixture(docs(s, d)).orderBy("source", "lang"), Some(
+      """WITH cells AS (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS n_src,
+        |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_lang FROM documents),
+        |rs AS (SELECT source, sum(CAST(n_docs AS DOUBLE)) AS rsum FROM cells GROUP BY 1),
+        |f1 AS (SELECT cells.source, lang, round(CAST(n_docs AS DOUBLE) * ((n_tot / n_src) / rsum), 6) AS v
+        |  FROM cells JOIN rs USING (source) CROSS JOIN tot),
+        |cs AS (SELECT lang, CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM f1 GROUP BY 1),
+        |f2 AS (SELECT source, f1.lang, round(v * ((n_tot / n_lang) / csum), 6) AS fitted
+        |  FROM f1 JOIN cs USING (lang) CROSS JOIN tot)
+        |SELECT f2.source, f2.lang, n_docs, fitted, round(fitted / n_docs, 6) AS weight
+        |FROM f2 JOIN cells USING (source, lang) ORDER BY 1, 2""".stripMargin)),
+
     // Label-quality audit: nearest-centroid assignment cross-tabulated
     // against the stored label (diagonal-dominant when labels separate).
     "q159_centroid_confusion" -> Entry(

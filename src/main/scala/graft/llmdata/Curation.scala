@@ -290,6 +290,48 @@ object Curation {
         least(lit(9L), floor(col("pr") * 10).cast("long")).as("decile"))
   }
 
+  /** Mixture rebalancing by biproportional fitting — the reference's IPF
+    * algorithm ([[graft.ipf.Ipf.step]], core.clj:89-97) applied to the
+    * curation problem it was built for at this engine's scale: given the
+    * observed (source × lang) document counts, compute per-cell sampling
+    * weights whose weighted corpus hits UNIFORM source and lang marginals
+    * simultaneously — the "rebalance the mix without hand-tuning 100
+    * knobs" step a multilingual/multi-source training run wants. One full
+    * IPF sweep (row fit to the source target, column fit to the lang
+    * target) on the tiny count matrix, with the q76 cross-engine
+    * determinism recipe: the row fit's output is rounded to 6dp before the
+    * column fit consumes it, and the column fit is
+    * [[graft.matrix.CooMatrix.fitRowsExact]] (DECIMAL(38,6) denominator —
+    * order-independent). Targets are derived distributively (distinct
+    * sources/langs crossJoin one broadcast totals row) — no driver-side
+    * scalar. Returns per (source, lang): observed count, fitted count, and
+    * the sampling weight fitted/observed, feeding [[mixCorpus]]-style
+    * per-row replication. The matrix is |sources|·|langs| cells regardless
+    * of corpus size — the heavy work is the one counting aggregation. */
+  def rebalanceMixture(docs: DataFrame): DataFrame = {
+    import graft.matrix.CooMatrix
+    val counts = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val m = CooMatrix(counts.select(col("source").as(CooMatrix.Row),
+      col("lang").as(CooMatrix.Col), col("n_docs").cast("double").as(CooMatrix.Value)))
+    val tot = docs.agg(count(lit(1)).cast("double").as("n_tot"),
+      countDistinct(col("source")).cast("double").as("n_src"),
+      countDistinct(col("lang")).cast("double").as("n_lang"))
+    val x = docs.select(col("source").as(CooMatrix.Idx)).distinct()
+      .crossJoin(broadcast(tot))
+      .select(col(CooMatrix.Idx), (col("n_tot") / col("n_src")).as(CooMatrix.Value))
+    val y = docs.select(col("lang").as(CooMatrix.Idx)).distinct()
+      .crossJoin(broadcast(tot))
+      .select(col(CooMatrix.Idx), (col("n_tot") / col("n_lang")).as(CooMatrix.Value))
+    val sweep1 = m.fitRows(x).mapValues(round(_, 6))
+    val fitted = sweep1.transpose.fitRowsExact(y).transpose
+    fitted.df
+      .select(col(CooMatrix.Row).as("source"), col(CooMatrix.Col).as("lang"),
+        round(col(CooMatrix.Value), 6).as("fitted"))
+      .join(counts, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("fitted"),
+        round(col("fitted") / col("n_docs").cast("double"), 6).as("weight"))
+  }
+
   /** Robust per-source length outliers — median/MAD instead of mean/stddev,
     * the outlier rule that survives the very outliers it hunts (one
     * pathological 100 MB document shifts a mean+3σ gate enough to hide its

@@ -41,7 +41,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q153_length_drift_ks",   // batches × distinct-lengths grid (both tiny) + 1-row total
     "q154_pmi_bigrams",       // two 1-row corpus-total aggregates broadcast back
     "q158_tfidf_search",      // 1-row corpus-size aggregate broadcast back
-    "q159_centroid_confusion") // |labels|-row centroid frame broadcast against the corpus
+    "q159_centroid_confusion", // |labels|-row centroid frame broadcast against the corpus
+    "q160_rebalance_mixture")  // 1-row totals broadcast into the tiny target marginals
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -203,6 +203,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(0)._3 === r6(2 * w(2)) && got(1)._3 === r6(w(1)) && got(2)._3 === r6(w(2)))
   }
 
+  test("rebalanceMixture: one IPF sweep hits the lang marginal exactly; weights invert the skew") {
+    // 2 sources x 2 langs, heavily skewed: src0 is 6 docs (4 en / 2 de),
+    // src1 is 2 docs (1 en / 1 de). Targets: 4 per source, 4 per lang.
+    val d = (
+      (0 until 4).map(i => (i.toLong, "t", "src0", "en", 1L)) ++
+      (4 until 6).map(i => (i.toLong, "t", "src0", "de", 1L)) ++
+      Seq((6L, "t", "src1", "en", 1L), (7L, "t", "src1", "de", 1L))
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Curation.rebalanceMixture(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // row fit: src0 scaled by 4/6 -> (en 2.666667, de 1.333333); src1 by
+    // 4/2 -> (en 2, de 2). col sums: en 4.666667, de 3.333333. col fit:
+    // en * 4/4.666667, de * 4/3.333333 -> fitted sums per lang == 4.
+    val fitted = got.map { case (k, (_, f, _)) => k -> f }
+    assert(math.abs(fitted(("src0", "en")) + fitted(("src1", "en")) - 4.0) < 1e-9)
+    assert(math.abs(fitted(("src0", "de")) + fitted(("src1", "de")) - 4.0) < 1e-9)
+    // the over-represented (src0, en) cell is down-weighted, the rest up
+    assert(got(("src0", "en"))._3 < 1.0)
+    assert(got(("src1", "de"))._3 > 1.0)
+  }
+
   test("centroidConfusion: separable labels confuse nothing; a mislabeled vector lands off-diagonal") {
     val mk = (id: Long, v: Seq[Float], l: Int) => (id, v.toArray, l)
     val emb = Seq(
