@@ -1811,6 +1811,56 @@ object Registry {
         |SELECT f2.source, f2.lang, n_docs, fitted, round(fitted / n_docs, 6) AS weight
         |FROM f2 JOIN cells USING (source, lang) ORDER BY 1, 2""".stripMargin)),
 
+    // Efraimidis-Spiliopoulos A-ES keys: ln(u)/w ranking == u^(1/w)
+    // (monotone), u from the salted 60-bit md5 prefix -> deterministic
+    // weight-proportional sample without replacement, both engines
+    // computing identical integers into one log + one divide.
+    "q161_weighted_sample" -> Entry(
+      (s, d) => Curation.weightedSample(docs(s, d)), Some(
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 15)) AS BIGINT) AS u_int
+        | FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(ln((CAST(u_int AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |        / CAST(n_chars AS DOUBLE), 6) AS es_key
+        | FROM h)
+        |SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Streaming ingest vs static history: map-only band keys on the
+    // stream, two stateless stream-static joins; oracle = the q124 batch
+    // chain restricted to (history, final-batch) pairs. Band keys are
+    // per-document, so indexing history separately changes nothing.
+    "q162_streaming_history_neardup" -> Entry(
+      (s, d) => Dedup.streamingHistoryNearDup(s, d).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |maxb AS (SELECT max(doc_id // 100) AS b FROM documents),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  CROSS JOIN maxb
+        |  WHERE a.doc_id // 100 < maxb.b AND b.doc_id // 100 = maxb.b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b, n_common,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Label-quality audit: nearest-centroid assignment cross-tabulated
     // against the stored label (diagonal-dominant when labels separate).
     "q159_centroid_confusion" -> Entry(

@@ -433,6 +433,41 @@ object Curation {
       .select(col("lang"), col("priority"), col("doc_id"))
   }
 
+  /** Weighted sample WITHOUT replacement — Efraimidis–Spiliopoulos A-ES
+    * keys ("Weighted random sampling with a reservoir", IPL 97(5), 2006):
+    * each document draws a deterministic uniform u ∈ (0, 1] from a salted
+    * 60-bit md5 prefix (the [[stratifiedSample]] integer-parity trick) and
+    * competes with key ln(u) / w; the k LARGEST keys form an exact
+    * weight-proportional-without-replacement sample. Weight here is
+    * `n_chars` — token-proportional inclusion, the curation choice that
+    * makes the sampled corpus's CHARACTER mass representative rather than
+    * its document count. Classically the key is u^(1/w); ln is monotone,
+    * so ranking by ln(u)/w selects the identical sample while replacing
+    * the cross-engine-fragile pow with one log and one divide, rounded to
+    * 6dp for the hash comparison (the q154 rounded-ordering rule;
+    * adjacent keys at the k-boundary are ~1e-5 apart on this corpus,
+    * 10 000× the rounding grain).
+    *
+    * Scale shape: key assignment is a pure projection riding the scan;
+    * selection is `orderBy.limit(k)` = TakeOrderedAndProject — every
+    * partition keeps its own top-k (constant memory, map-side), only
+    * k-row heaps reach the driver-side merge. No RNG state anywhere: the
+    * sample is reproducible across runs, engines, and partitionings, and
+    * appending documents never reshuffles earlier draws (each doc's key
+    * is its own). Zero-weight docs are excluded up front (their inclusion
+    * probability is 0; dividing by 0 would make round() engine-visible). */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val uInt = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 15),
+      16, 10).cast("long")
+    val u = (uInt.cast("double") + lit(1.0)) / lit((1L << 60).toDouble)
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        round(log(u) / col("n_chars").cast("double"), 6).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The scale path of [[lengthQuantiles]]: Greenwald-Khanna approximate
     * quantiles via `approx_percentile`, whose sketch is CONSTANT-size per
     * group (vs `percentile`'s per-group value buffer — fine at this

@@ -509,16 +509,21 @@ object Dedup {
     * joining the candidate pairs back onto the per-doc distinct-shingle
     * frame (bounded by candidate count × shingles/doc, the
     * [[minhashNearDup]] candidates→verify shape). */
-  def minhashMd5Pairs(docs: DataFrame, numHashes: Int = 8, bandRows: Int = 2,
-      k: Int = 3, simThreshold: Double = 0.5): DataFrame = {
-    require(numHashes % bandRows == 0, "bands must tile the signature")
-    val sig = minhashMd5Signatures(docs, numHashes, k)
-    val banded = sig
-      .groupBy(col("doc_id"), floor(col("seed") / bandRows).as("band_id"))
+  /** Seed-ordered `"seed:minhash|seed:minhash"` band keys from a signature
+    * frame — the banding stage of [[minhashMd5Pairs]], shared with the
+    * static (history) side of [[streamingHistoryNearDup]]. */
+  private def md5BandKeys(sig: DataFrame, bandRows: Int): DataFrame =
+    sig.groupBy(col("doc_id"), floor(col("seed") / bandRows).as("band_id"))
       .agg(concat_ws("|",
         transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
           x => concat(x("seed").cast("string"), lit(":"), x("minhash").cast("string"))))
         .as("band_key"))
+
+  def minhashMd5Pairs(docs: DataFrame, numHashes: Int = 8, bandRows: Int = 2,
+      k: Int = 3, simThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val sig = minhashMd5Signatures(docs, numHashes, k)
+    val banded = md5BandKeys(sig, bandRows)
     val cand = banded.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band_id").as("bid"),
         col("band_key").as("bkey")),
@@ -746,5 +751,119 @@ object Dedup {
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6)
           .as("cosine"))
       .filter(col("cosine") >= simThreshold)
+  }
+
+  private val docStreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming `build` over `incoming` (staged to scratch parquet so a
+    * file-source stream replays it) through an append-mode memory sink to
+    * completion, then re-materialize the settled rows on the caller's
+    * session — the [[graft.streaming.Events]] settle shape for document
+    * streams. The cloned session keeps streaming state-store partitioning
+    * (8) away from the caller's conf. */
+  private def settleDocs(spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      build: DataFrame => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val staged = graft.io.TempDirs.scratch("graft-docstream")
+    incoming.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val name = s"graft_docstream_${docStreamCounter.incrementAndGet()}"
+    val stream = s2.readStream.schema(incoming.schema).parquet(staged.toString)
+    val q = build(stream).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val settled = s2.table(name)
+    val outSchema = settled.schema
+    val rows = settled.collect()
+    s2.catalog.dropTempView(name)
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
+  }
+
+  /** Per-band `(band_id, band_key)` structs computed MAP-SIDE from a
+    * document's own distinct-shingle array `ss` — the same seed-ordered
+    * band keys [[md5BandKeys]] derives by aggregation, but as a pure
+    * projection: each band's key is built from `array_min` over the
+    * shingle array per seed, so a streaming document banded this way
+    * never shuffles. Byte-identical to the batch keys (same `"seed|s"`
+    * md5 input, same 60-bit prefix parse, same `"seed:minhash"` join). */
+  private def mapSideBandKeys(numHashes: Int, bandRows: Int): org.apache.spark.sql.Column =
+    array((0 until numHashes / bandRows).map { b =>
+      val key = concat_ws("|", (b * bandRows until (b + 1) * bandRows).map { sd =>
+        val mh = array_min(transform(col("ss"),
+          s => conv(substring(md5(concat(lit(s"$sd|"), s)), 1, 15), 16, 10).cast("long")))
+        concat(lit(s"$sd:"), mh.cast("string"))
+      }: _*)
+      struct(lit(b.toLong).as("band_id"), key.as("band_key"))
+    }: _*)
+
+  /** Streaming near-dup detection against a STATIC history — the shape a
+    * rolling ingestion pipeline actually runs: the corpus so far is indexed
+    * once (band keys + shingle sets), and each arriving micro-batch of new
+    * documents is checked against that index without touching history
+    * again. The newest ingest batch (batch key = `doc_id div batchSize`,
+    * the [[historyDupRateFrom]] contract) plays the live stream; all
+    * earlier batches are the static history.
+    *
+    * Stream side is MAP-ONLY: tokenize → distinct shingles →
+    * [[mapSideBandKeys]] (per-seed `array_min` over the doc's own shingle
+    * array — no signature aggregation, no shuffle), then two STATELESS
+    * stream-static equi-joins: band keys against the history band index
+    * (candidates), and candidate pairs against the history shingle-set
+    * frame (exact-Jaccard verify via `array_intersect` on the pair's two
+    * arrays — per-pair work, no posting-list aggregation). The only
+    * stateful operator is the `dropDuplicates` collapsing multi-band
+    * candidate hits; its state is one (doc_a, doc_b) key per verified
+    * candidate. In production that dedup runs
+    * `dropDuplicatesWithinWatermark` on ingest time so state evicts with
+    * the watermark; this drain-and-stop harness discards the ephemeral
+    * checkpoint anyway (the [[graft.streaming.Events]] settle rationale).
+    * Both static frames are broadcast: at fixture scale they ship once per
+    * executor; a 100 TB history instead pre-partitions the band index by
+    * `band_key` and the join becomes a per-micro-batch shuffled hash join
+    * — the plan shape Spark picks once the broadcast hint is dropped.
+    *
+    * Settles equal to the batch twin: [[minhashMd5Pairs]] restricted to
+    * pairs whose older side is history and newer side is the final batch
+    * (band keys are per-document — min over the doc's OWN shingles — so
+    * indexing history separately from the full corpus changes nothing). */
+  def streamingHistoryNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchSize: Long = 100L, numHashes: Int = 8, bandRows: Int = 2,
+      k: Int = 3, simThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val maxRow = all.agg(max(expr(s"doc_id div $batchSize"))).head()
+    val maxB = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val incoming = all.filter(expr(s"doc_id div $batchSize") === maxB)
+    settleDocs(spark, incoming, stream => {
+      val r = stream.sparkSession.read
+      val history = r.parquet(s"$dir/documents.parquet")
+        .filter(expr(s"doc_id div $batchSize") < maxB)
+      val histBands = md5BandKeys(minhashMd5Signatures(history, numHashes, k), bandRows)
+        .select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+      val histSets = history.withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id").as("doc_a"),
+          array_distinct(TextAnalysis.shingles(col("toks"), k)).as("ss_a"))
+        .withColumn("n_a", size(col("ss_a")).cast("long"))
+      stream.withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id").as("doc_b"),
+          array_distinct(TextAnalysis.shingles(col("toks"), k)).as("ss"))
+        .withColumn("n_b", size(col("ss")).cast("long"))
+        .select(col("doc_b"), col("ss"), col("n_b"),
+          explode(mapSideBandKeys(numHashes, bandRows)).as("bk"))
+        .select(col("doc_b"), col("ss"), col("n_b"),
+          col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+        .join(broadcast(histBands), Seq("band_id", "band_key"))
+        .select(col("doc_a"), col("doc_b"), col("ss"), col("n_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .join(broadcast(histSets), "doc_a")
+        .withColumn("n_common", size(array_intersect(col("ss_a"), col("ss"))).cast("long"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+        .filter(col("jaccard") >= simThreshold)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+    })
   }
 }

@@ -244,4 +244,62 @@ class Round10OpsSpec extends AnyFunSuite {
     // n=11 -> pr = (rank-1)/10 -> decile = rank-1 capped at 9
     assert(got === (1L to 11L).map(i => i -> math.min(9L, i - 1)).toMap)
   }
+
+  test("weightedSample: selects the k largest ln(u)/w keys, JVM-recomputed; zero weights excluded") {
+    val d = (0L to 19L).map(i => (i, s"t$i", "s", "en", if (i == 13L) 0L else (i + 1) * 7L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val key = (id: Long, w: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:wsamp".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1.0) / math.pow(2, 60)
+      BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (0L to 19L).filter(_ != 13L).map(i => (i, key(i, (i + 1) * 7L)))
+      .sortBy { case (id, k) => (-k, id) }.take(5).toSet
+    val got = Curation.weightedSample(d, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toSet
+    assert(got === want)
+    // zero-weight doc is out even when k exceeds the corpus
+    val all = Curation.weightedSample(d, k = 100).collect().map(_.getLong(0)).toSet
+    assert(all === (0L to 19L).toSet - 13L)
+  }
+
+  test("weightedSample: selection is TakeOrderedAndProject, not a global sort") {
+    // repartition keeps Catalyst from collapsing the query into a
+    // LocalTableScan, and k < fixture rows keeps EliminateLimits from
+    // dropping the limit via the local relation's known maxRows — a
+    // parquet-backed corpus (unknown maxRows) plans like this form
+    val d = (0L to 9L).map(i => (i, s"t$i", "s", "en", i + 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars").repartition(4)
+    val plan = Curation.weightedSample(d, k = 5).queryExecution.sparkPlan
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("streamingHistoryNearDup: finds history x incoming pairs only, one row per pair") {
+    // batchSize=4 -> docs 0..3 are history, 4..7 the live batch.
+    // Planted: 4 copies 0 (the one expected pair — an exact dup collides
+    // in EVERY band, so this also pins the multi-band candidate dedup);
+    // 1 copies 2 (history-history: excluded); 5 copies 6
+    // (incoming-incoming: excluded); 3 and 7 share nothing with anyone.
+    val texts = Map(
+      0L -> "a b c d e f g h", 1L -> "p q r s t u v w", 2L -> "p q r s t u v w",
+      3L -> "k l m n o aa bb cc", 4L -> "a b c d e f g h",
+      5L -> "dd ee ff gg hh ii", 6L -> "dd ee ff gg hh ii", 7L -> "zz yy xx ww vv uu")
+    val dir = graft.io.TempDirs.scratch("graft-shnd-fixture").toString
+    texts.toSeq.map { case (id, t) => (id, t, "s", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.streamingHistoryNearDup(spark, dir, batchSize = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet === Set((0L, 4L, 6L, 1.0)))
+    assert(got.length === 1, s"multi-band candidate not deduped: ${got.mkString(",")}")
+    // and the settled stream equals the batch twin restricted to the
+    // (history, final-batch) slice it certifies against
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val twin = Dedup.minhashMd5Pairs(all).filter("doc_a div 4 < 1 and doc_b div 4 = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.toSet === twin)
+  }
 }
