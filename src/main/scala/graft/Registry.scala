@@ -1861,6 +1861,110 @@ object Registry {
         |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Per-source A-ES top-n: selection by the UNROUNDED key through the
+    // bounded aggregator (DoubleSortableBits embedding); the oracle's
+    // row_number over the raw double agrees exactly — identical md5
+    // integers -> identical doubles -> identical order.
+    "q163_weighted_stratified" -> Entry(
+      (s, d) => Curation.weightedStratified(docs(s, d)), Some(
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wstrat'), 1, 15)) AS BIGINT) AS u_int
+        | FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  ln((CAST(u_int AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |    / CAST(n_chars AS DOUBLE) AS es_raw
+        | FROM h),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY es_raw DESC, doc_id) AS rn FROM k)
+        |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars, round(es_raw, 6) AS es_key
+        |FROM r WHERE rn <= 20 ORDER BY source, rank""".stripMargin)),
+
+    // Duplicated-shingle ratio: df>1 prunes the join build side to the
+    // duplicated set; one agg computes denominator and numerator.
+    "q164_dup_shingle_ratio" -> Entry(
+      (s, d) => TextAnalysis.dupShingleRatio(docs(s, d)), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+        |j AS (SELECT sh.doc_id, CASE WHEN dup.s IS NULL THEN 0 ELSE 1 END AS is_dup
+        |  FROM sh LEFT JOIN dup ON sh.s = dup.s)
+        |SELECT doc_id, count(*) AS n_shingles, CAST(sum(is_dup) AS BIGINT) AS n_shared,
+        | round(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Contrastive importance weights (target = 'en' slice vs raw corpus),
+    // Laplace-smoothed unigram LLR; per-term DECIMAL(28,12) x tf keeps the
+    // per-doc sum order-independent (q119 rule).
+    "q165_importance_weights" -> Entry(
+      (s, d) => Curation.importanceWeights(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |raw AS (SELECT term, count(*) AS n_r FROM tok GROUP BY 1),
+        |tgt AS (SELECT term, count(*) AS n_t FROM tok WHERE lang = 'en' GROUP BY 1),
+        |consts AS (SELECT (SELECT sum(n_r) FROM raw) AS nr_tot,
+        |           (SELECT COALESCE(sum(n_t), 0) FROM tgt) AS nt_tot,
+        |           (SELECT count(*) FROM raw) AS v),
+        |lr AS (SELECT r.term,
+        |   CAST(ln((CAST(COALESCE(t.n_t, 0) AS DOUBLE) + 1.0) / CAST(nt_tot + v AS DOUBLE))
+        |      - ln((CAST(r.n_r AS DOUBLE) + 1.0) / CAST(nr_tot + v AS DOUBLE)) AS DECIMAL(28,12)) AS llr
+        |  FROM raw r LEFT JOIN tgt t USING (term) CROSS JOIN consts)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(llr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS importance
+        |FROM tok JOIN lr USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Okapi BM25 with Lucene idf: one double expression per (doc, term)
+    // over exact integers + the shared avgdl scalar, DECIMAL(28,12) sums,
+    // rounded-score top-k (the q158 retrieval shape + saturation/length
+    // normalization).
+    "q166_bm25_search" -> Entry(
+      (s, d) => TextAnalysis.bm25Search(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |consts AS (SELECT count(*) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        | FROM documents),
+        |q AS (SELECT unnest(['spark', 'shuffle', 'hash']) AS term),
+        |sc AS (SELECT tf.doc_id, count(*) AS n_matched,
+        |  CAST(sum(CAST(
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * 2.2) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |   AS DECIMAL(28,12))) AS DOUBLE) AS score
+        | FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+        | GROUP BY 1)
+        |SELECT doc_id, n_matched, round(score, 6) AS score
+        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // One deterministic-seed Lloyd sweep: the hash-certifiable twin of the
+    // IVF k-means training iteration (q159 assignment rule, per-cluster
+    // element-wise means).
+    "q167_lloyd_step" -> Entry(
+      (s, d) => Similarity.lloydStep(emb(s, d)), Some(
+      """WITH seeds AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings),
+        |scored AS (SELECT vec_id, c_id,
+        |  round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS cosine
+        | FROM e CROSS JOIN seeds),
+        |best AS (SELECT vec_id, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, c_id FROM best WHERE rn = 1),
+        |members AS (SELECT c_id, count(*) AS n FROM assign GROUP BY 1),
+        |pts AS (SELECT a.c_id, x.pos, x.v FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |           unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v) x)
+        |SELECT CAST(p.c_id AS BIGINT) AS cluster, CAST(p.pos AS BIGINT) AS pos,
+        |  round(avg(p.v), 6) AS centroid_v, CAST(any_value(m.n) AS BIGINT) AS n_members
+        |FROM pts p JOIN members m ON p.c_id = m.c_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Label-quality audit: nearest-centroid assignment cross-tabulated
     // against the stored label (diagonal-dominant when labels separate).
     "q159_centroid_confusion" -> Entry(

@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         ArrayDotProduct(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sortable_bits"),
+      new ExpressionInfo(classOf[DoubleSortableBits].getName, "graft_sortable_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_sortable_bits takes exactly 1 argument")
+        DoubleSortableBits(exprs.head)
+      }))
   }
 }

@@ -21,6 +21,12 @@ object VectorOps {
     GraftColumnBridge.column(ArrayDotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Total-order-preserving double → long embedding ([[DoubleSortableBits]]) —
+    * the adapter that lets double sort keys ride integer bounded
+    * aggregators. */
+  def sortableBits(x: Column): Column =
+    GraftColumnBridge.column(DoubleSortableBits(GraftColumnBridge.expression(x)))
+
   /** The higher-order-function formulation of [[dot]] — kept as the
     * cross-check oracle for the codegen expression (see VectorOpsSpec).
     * ~100× slower on the all-pairs path: allocates an intermediate array

@@ -468,6 +468,97 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-stratum weighted sample without replacement: [[weightedSample]]'s
+    * Efraimidis–Spiliopoulos keys, selected per `source` through the
+    * bounded [[KeepNSmallest]] aggregator instead of a global top-k — the
+    * corpus-mix form ("n char-weighted representatives of every source").
+    *
+    * The A-ES key is a DOUBLE (ln(u)/w) but [[KeepNSmallest]]'s buffer is
+    * integer-only, so the key rides [[graft.functions.DoubleSortableBits]]:
+    * an exact total-order-preserving bits embedding of `-key` (ascending
+    * embedded long ⟺ descending key — the n smallest embeddings ARE the n
+    * largest keys, no fixed-point scaling, no precision loss). That keeps
+    * the per-group selection a hash aggregation with constant ≤n state and
+    * map-side combine — no per-source Window funnel, the same scale
+    * argument as [[stratifiedSample]] — while an external oracle ordering
+    * by the raw double agrees exactly. Selection uses the UNROUNDED key
+    * (both engines compute identical doubles from identical md5 integers);
+    * the displayed `es_key` is rounded per the q154 rule. A rank collision
+    * inside one source would need two bit-identical ln(u)/w doubles
+    * (distinct doc_ids → distinct 60-bit u; ~corpus²/2⁶¹) — and both
+    * engines would then agree on the collision too. `pos`+1 in the sorted
+    * buffer is the rank: ascending embedding = descending es_key. */
+  def weightedStratified(docs: DataFrame, n: Int = 20): DataFrame = {
+    val uInt = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":wstrat"))), 1, 15),
+      16, 10).cast("long")
+    val u = (uInt.cast("double") + lit(1.0)) / lit((1L << 60).toDouble)
+    val esRaw = log(u) / col("n_chars").cast("double")
+    val prio = docs.filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        esRaw.as("es_raw"),
+        graft.functions.VectorOps.sortableBits(-esRaw).as("priority"))
+    val keepN = udaf(new KeepNSmallest(n), Encoders.scalaLong)
+    val winners = prio.groupBy("source").agg(keepN(col("priority")).as("ps"))
+      .select(col("source"), posexplode(col("ps")).as(Seq("pos", "priority")))
+    winners.join(prio, Seq("source", "priority"))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("doc_id"), col("n_chars"), round(col("es_raw"), 6).as("es_key"))
+      .orderBy("source", "rank")
+  }
+
+  /** Contrastive importance weighting — the data-selection scorer of
+    * importance-resampling pipelines (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, simplified
+    * to unigram features): score every document by the mean
+    * log-likelihood ratio of its tokens under a TARGET distribution
+    * (here: the `targetLang` slice of the corpus) versus the RAW corpus
+    * distribution, both Laplace-smoothed over the corpus vocabulary.
+    * Documents that look like the target score high; train-data selection
+    * keeps the top slice. Self-contained by design: the target is a slice
+    * of the same frame, so the oracle certifies the full pipeline
+    * (vocabulary, smoothing, ratio, aggregation) without an external
+    * reference table — swap `docs.filter` for a real target corpus.
+    *
+    * Shape: token counts per distribution are two hash aggregations over
+    * the exploded token stream; the per-TERM log-ratio frame (vocabulary
+    * grain, with the three scalar totals broadcast via the 1-row
+    * crossJoin) joins the (doc, term, tf) pre-aggregate — the q119 rule:
+    * aggregate to term grain BEFORE the join so the join input is |vocab|
+    * per doc, not |tokens|. Per-term ratios are cast to DECIMAL(28,12) and
+    * multiplied by integer tf, so the per-doc sum is order-independent and
+    * engine-exact (the dsum rule); one final divide + round at the end. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val raw = tok.groupBy("term").agg(count(lit(1)).as("n_r"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy("term").agg(count(lit(1)).as("n_t"))
+    val consts = raw.agg(sum("n_r").as("nr_tot"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(coalesce(sum("n_t"), lit(0L)).as("nt_tot")))
+    val lr = raw.join(tgt, Seq("term"), "left").crossJoin(broadcast(consts))
+      .select(col("term"),
+        (log((coalesce(col("n_t"), lit(0L)).cast("double") + lit(1.0)) /
+             (col("nt_tot") + col("v")).cast("double")) -
+         log((col("n_r").cast("double") + lit(1.0)) /
+             (col("nr_tot") + col("v")).cast("double")))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12))
+          .as("llr"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf casts to DECIMAL(9,0) so the product is DECIMAL(38,12) — precision
+    // exactly at the cap, scale preserved, NO precision-loss rounding (a
+    // long operand would be DECIMAL(20,0) -> precision 49 -> lossy). The
+    // q119 recipe: the product then equals the oracle's per-instance
+    // decimal sum term for term.
+    tf.join(lr, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("llr") *
+            col("tf").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(9, 0)))
+          .cast("double") / sum("tf"), 6).as("importance"))
+      .orderBy("doc_id")
+  }
+
   /** The scale path of [[lengthQuantiles]]: Greenwald-Khanna approximate
     * quantiles via `approx_percentile`, whose sketch is CONSTANT-size per
     * group (vs `percentile`'s per-group value buffer — fine at this

@@ -201,6 +201,45 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** One Lloyd sweep of k-means (assignment + centroid update) from
+    * DETERMINISTIC seeds — the oracle-certifiable twin of the iterative
+    * k-means inside [[ivfIndex]]: seeds are the first `kClusters` vectors
+    * by vec_id (no RNG), every vector assigns to its max-cosine seed
+    * (rounded cosine, c_id tiebreak — the q159 assignment rule), and the
+    * new centroids are per-cluster element-wise means. Certifying one
+    * sweep end-to-end (assignment, tie handling, mean update) pins the
+    * exact logic the multi-sweep training loop repeats; the loop itself
+    * stays rows-only for the same reason q26's live IPF does.
+    *
+    * Shape: the seed frame (kClusters rows) broadcasts into an
+    * n × kClusters scored frame — never n²; the per-vector argmax window
+    * carries only (vec_id, c_id, cosine), and the winning vectors are
+    * re-joined by vec_id for the posexplode → (cluster, pos) hash agg
+    * (map-side combined, shuffles cluster×dim cells, not vectors). Each
+    * cosine is one codegen'd [[graft.functions.ArrayDotProduct]]. */
+  def lloydStep(emb: DataFrame, kClusters: Int = 8): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").cast("long").as("c_id"),
+        VectorOps.asDouble(col("embedding")).as("ce"))
+    val scored = emb
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("c_id"),
+        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_id"))
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val members = assigned.groupBy("c_id").agg(count(lit(1)).as("n_members"))
+    assigned
+      .join(emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe")), "vec_id")
+      .select(col("c_id"), posexplode(col("qe")).as(Seq("pos0", "v")))
+      .groupBy("c_id", "pos0").agg(round(avg("v"), 6).as("centroid_v"))
+      .join(members, "c_id")
+      .select(col("c_id").as("cluster"), (col("pos0") + 1).cast("long").as("pos"),
+        col("centroid_v"), col("n_members"))
+      .orderBy("cluster", "pos")
+  }
+
   /** Per-ingestion-batch embedding drift: cosine between each batch's
     * centroid and the corpus centroid — the representation-space twin of
     * [[graft.llmdata.TextAnalysis.lengthDriftKs]] (a batch whose centroid

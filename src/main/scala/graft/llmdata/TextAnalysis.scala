@@ -171,6 +171,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Cross-document duplicated-shingle ratio — the per-document boilerplate
+    * signal of n-gram-level dedup (the "how much of this document appears
+    * elsewhere in the corpus" fraction that drives span-level dedup
+    * decisions, cf. Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — here at document grain): for each
+    * document, the fraction of its DISTINCT word-k-shingles that occur in
+    * at least one other document. Complements [[repetitionScore]] (which
+    * is within-document) — a doc can be internally non-repetitive yet 90%
+    * template.
+    *
+    * Shape: per-doc distinct shingles (narrow explode), one hash agg to
+    * document frequency, filtered to df>1 — the duplicated-shingle set,
+    * typically a small fraction of the vocabulary — then a LEFT join of
+    * the (doc, shingle) pairs against that set and ONE per-doc agg
+    * computing both the denominator (count) and the numerator (sum of
+    * match flags). The df-filter is the pruning step: unique shingles
+    * (the long tail) never enter the join build side. At 100 TB the join
+    * key becomes xxhash64(shingle) as in [[contaminationCheck]]; kept as
+    * the string here so the DuckDB oracle certifies exactly. */
+  def dupShingleRatio(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), k))).as("s"))
+    val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("s"), lit(1L).as("is_dup"))
+    sh.join(dup, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition score — the boilerplate/degenerate-text quality signal
     * (fraction of repeated word-k-shingles): 1 - distinct/total shingles.
     * Template pages, keyboard mash, and copy-paste loops score high;
@@ -701,6 +736,49 @@ object TextAnalysis {
         sum(col("tf").cast(DecimalType(9, 0)) *
           log(col("n").cast("double") / col("df").cast("double"))
             .cast(DecimalType(28, 12))).cast("double").as("score"))
+      .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(k)
+  }
+
+  /** Okapi BM25 ranking (Robertson & Walker's probabilistic weighting, the
+    * default lexical scorer of every production search stack) for a fixed
+    * query-term probe — [[tfidfSearch]]'s retrieval shape with the two
+    * refinements BM25 adds: tf SATURATION (k1 — a term's 50th occurrence
+    * adds almost nothing) and LENGTH NORMALIZATION (b — long documents
+    * don't win by volume). idf is the Lucene-style ln(1 + (N-df+0.5)/
+    * (df+0.5)), positive for any df.
+    *
+    * Same scale shape as [[tfidfSearch]]: the tiny query frame broadcasts
+    * into the (doc, term, tf) aggregate so only query-term postings
+    * survive the scan; per-doc length joins on doc_id; the two corpus
+    * scalars (N, avgdl) ride a broadcast 1-row crossJoin. Cross-engine
+    * exactness: every per-(doc,term) score is ONE double expression over
+    * exact integers and the shared avgdl scalar — identical operand order
+    * in both engines — then cast to DECIMAL(28,12) so the ≤|query|-term
+    * per-doc sum is order-independent; top-k ranks by the ROUNDED score
+    * with doc_id tiebreak (the q154/q158 rule). */
+  def bm25Search(docs: DataFrame,
+      terms: Seq[String] = Seq("spark", "shuffle", "hash"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val consts = docs.agg(count(lit(1)).as("n"),
+      (sum(size(tokens(col("text"))).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val q = docs.sparkSession.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val scoreT = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(q), "term").join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_matched"),
+        sum(scoreT.cast(DecimalType(28, 12))).cast("double").as("score"))
       .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
       .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(k)
   }

@@ -22,5 +22,9 @@ object GraftColumnBridge {
       "graft_dot",
       exprs => graft.functions.ArrayDotProduct(exprs.head, exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_sortable_bits",
+      exprs => graft.functions.DoubleSortableBits(exprs.head),
+      "built-in")
   }
 }

@@ -42,7 +42,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q154_pmi_bigrams",       // two 1-row corpus-total aggregates broadcast back
     "q158_tfidf_search",      // 1-row corpus-size aggregate broadcast back
     "q159_centroid_confusion", // |labels|-row centroid frame broadcast against the corpus
-    "q160_rebalance_mixture")  // 1-row totals broadcast into the tiny target marginals
+    "q160_rebalance_mixture",  // 1-row totals broadcast into the tiny target marginals
+    "q165_importance_weights", // 1-row (nr_tot, v, nt_tot) scalar frame broadcast back
+    "q166_bm25_search",        // 1-row (N, avgdl) scalar frame broadcast back
+    "q167_lloyd_step")         // kClusters-row seed frame broadcast against the corpus
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

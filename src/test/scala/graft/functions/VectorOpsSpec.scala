@@ -92,4 +92,30 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](0) === Seq(4.0, 1.0))
     assert(r.getSeq[Double](1) === Seq(2.0, 4.0))
   }
+
+  test("sortableBits preserves total order across signs, magnitudes, and zeros") {
+    // strictly increasing double sequence spanning the edge cases the
+    // embedding must keep ordered (incl. -0.0 < +0.0, denormals, infinities)
+    val xs = Seq(Double.NegativeInfinity, -1e300, -42.5, -1.0, -1e-300,
+      -0.0, 0.0, 1e-300, 1.0, 42.5, 1e300, Double.PositiveInfinity)
+    val got = xs.zipWithIndex.toDF("x", "i")
+      .select(col("i"), VectorOps.sortableBits(col("x")).as("b"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(got.sliding(2).forall(p => p(0) < p(1)),
+      s"embedding not strictly increasing: ${got.mkString(",")}")
+    // codegen and interpreted paths agree
+    for (x <- xs) {
+      val interp = DoubleSortableBits(
+        org.apache.spark.sql.catalyst.expressions.Literal(x)).eval(null)
+      val viaDf = Seq(x).toDF("x").select(VectorOps.sortableBits(col("x"))).head.getLong(0)
+      assert(interp === viaDf, s"interp/codegen divergence at $x")
+    }
+  }
+
+  test("graft_sortable_bits is usable from SQL after runtime registration") {
+    org.apache.spark.sql.GraftColumnBridge.registerGraftFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_sortable_bits(1.5D) > graft_sortable_bits(-2.5D) AS o").head
+    assert(r.getBoolean(0))
+  }
 }

@@ -302,4 +302,118 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got.toSet === twin)
   }
+
+  test("weightedStratified: per-source A-ES top-n, JVM-recomputed; no Window in the plan") {
+    val d = (0L to 39L).map(i => (i, s"t$i", s"src${i % 3}", "en", (i % 7) * 11L + 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val key = (id: Long, w: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:wstrat".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1.0) / math.pow(2, 60)
+      math.log(u) / w
+    }
+    val want = (0L to 39L).map(i => (s"src${i % 3}", i, (i % 7) * 11L + 1L))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (_, id, w) => (id, w, key(id, w)) }
+          .sortBy { case (id, _, k) => (-k, id) }.take(4).zipWithIndex
+          .map { case ((id, w, k), pos) =>
+            (src, (pos + 1).toLong, id, w,
+              BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }.toSet
+    val got = Curation.weightedStratified(d, n = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === want)
+    // the selection is the bounded aggregator, not a per-group Window funnel
+    val plan = Curation.weightedStratified(d, n = 4).queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"expected no WindowExec in:\n$plan")
+  }
+
+  test("dupShingleRatio: cross-document shared shingles only; unique docs score 0") {
+    val d = Seq(
+      (0L, "a b c d e"),         // shares "a b c"/"b c d"/"c d e" with doc 1
+      (1L, "a b c d e"),         // exact dup of 0 -> ratio 1.0 both
+      (2L, "a b c x y"),         // shares only "a b c" -> 1/3
+      (3L, "p q r s t"),         // unique -> 0.0
+      (4L, "u v")                // too short: excluded
+    ).map { case (id, t) => (id, t, "s", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.dupShingleRatio(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 3L, 1.0), (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 0.333333), (3L, 3L, 0L, 0.0)))
+  }
+
+  test("importanceWeights: target-looking docs score above off-target; smoothing handles absent terms") {
+    // target lang 'en' uses vocabulary {a,b}; 'de' uses {x,y}; doc 4 mixes.
+    val d = Seq(
+      (0L, "a b a b", "en"), (1L, "b a a a", "en"),
+      (2L, "x y x y", "de"), (3L, "y x y y", "de"),
+      (4L, "a b x y", "de")
+    ).map { case (id, t, l) => (id, t, "s", l, t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Curation.importanceWeights(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(_._1) === List(0L, 1L, 2L, 3L, 4L))
+    assert(got.forall(_._2 === 4L))
+    val imp = got.map(_._3)
+    // en docs positive, pure-de docs negative, the mixed doc in between
+    assert(imp(0) > 0 && imp(1) > 0 && imp(2) < 0 && imp(3) < 0)
+    assert(imp(4) > imp(2) && imp(4) < imp(0))
+    // JVM recompute of doc 0: terms a(x2), b(x2); raw counts a=6,b=4,x=4,y=6
+    // (20 tokens, V=4); target counts a=5,b=3 over 8 tokens.
+    val lr = (nt: Long, nr: Long) =>
+      BigDecimal(math.log((nt + 1.0) / (8 + 4.0)) - math.log((nr + 1.0) / (20 + 4.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // decimal-exact sum, THEN cast to double and divide (the engine's order)
+    val want0 = BigDecimal((lr(5, 6) * 2 + lr(3, 4) * 2).toDouble / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(imp(0) === want0)
+  }
+
+  test("bm25Search: saturation + length normalization, JVM-recomputed") {
+    val d = Seq(
+      (0L, "spark spark spark spark x"),  // tf=4, dl=5
+      (1L, "spark y"),                    // tf=1, dl=2
+      (2L, "z z z z z z z z"),            // no match, dl=8
+      (3L, "shuffle spark a b")           // two matched terms, dl=4
+    ).map { case (id, t) => (id, t, "s", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    // N=4, avgdl=19/4; df(spark)=3, df(shuffle)=1
+    val avgdl = 19.0 / 4.0
+    def termScore(tf: Long, dfv: Long, dl: Long) = BigDecimal(
+      math.log(1.0 + (4.0 - dfv.toDouble + 0.5) / (dfv.toDouble + 0.5)) *
+        (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+    ).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def score(ts: BigDecimal*) = BigDecimal(ts.sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      0L -> (1L, score(termScore(4, 3, 5))),
+      1L -> (1L, score(termScore(1, 3, 2))),
+      3L -> (2L, score(termScore(1, 3, 4), termScore(1, 1, 4))))
+    val got = TextAnalysis.bm25Search(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === want)
+    // length normalization: same tf, shorter doc scores higher
+    assert(got(1L)._2 < got(3L)._2, "two matched terms must beat one at similar dl")
+  }
+
+  test("lloydStep: deterministic seeds, rounded-cosine assignment with c_id tiebreak, exact means") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0L), (1L, Array(0.0f, 1.0f), 0L),
+      (2L, Array(0.8f, 0.2f), 0L), (3L, Array(0.1f, 0.9f), 0L),
+      (4L, Array(1.0f, 1.0f), 0L)  // exact cosine tie -> lower c_id (0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.lloydStep(e, kClusters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def m(xs: Double*) = BigDecimal(xs.sum / xs.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f = (x: Float) => x.toDouble
+    assert(got === Seq(
+      (0L, 1L, m(1.0, f(0.8f), 1.0), 3L), (0L, 2L, m(0.0, f(0.2f), 1.0), 3L),
+      (1L, 1L, m(0.0, f(0.1f)), 2L), (1L, 2L, m(1.0, f(0.9f)), 2L)))
+  }
 }
