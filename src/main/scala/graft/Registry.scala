@@ -1965,6 +1965,345 @@ object Registry {
         |FROM pts p JOIN members m ON p.c_id = m.c_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // SemDeDup: cluster-bounded cosine pairs, keep-lowest-id drop rule.
+    // The oracle replays assignment -> within-cluster pairs -> drop.
+    "q168_semantic_dedup" -> Entry(
+      (s, d) => Similarity.semanticDedup(emb(s, d)), Some(
+      """WITH seeds AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings),
+        |scored AS (SELECT vec_id, c_id,
+        |  round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS cosine
+        | FROM e CROSS JOIN seeds),
+        |best AS (SELECT vec_id, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, c_id FROM best WHERE rn = 1),
+        |m AS (SELECT a.c_id, a.vec_id, e.qe FROM assign a JOIN e ON a.vec_id = e.vec_id),
+        |pairs AS (SELECT x.c_id, x.vec_id AS va, y.vec_id AS vb,
+        |  round(list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) /
+        |    (sqrt(list_sum(list_transform(x.qe, v -> v * v))) *
+        |     sqrt(list_sum(list_transform(y.qe, v -> v * v)))), 6) AS cosine
+        | FROM m x JOIN m y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+        |SELECT CAST(c_id AS BIGINT) AS cluster, vb AS vec_id, min(va) AS dup_of,
+        |  max(cosine) AS max_cos
+        |FROM pairs WHERE cosine >= 0.35 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin)),
+
+    // CCNet-style head/middle/tail terciles of the unigram LM score per
+    // lang; bucket stats are order-independent (count/sum/min/max).
+    "q169_perplexity_buckets" -> Entry(
+      (s, d) => TextAnalysis.perplexityBuckets(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |wc AS (SELECT term, count(*) AS n_tok FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n_tok) AS n_total FROM wc),
+        |lp AS (SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        | FROM tok JOIN wc USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT d.lang, lp.n_tokens, lp.avg_logprob,
+        |  ntile(3) OVER (PARTITION BY d.lang ORDER BY lp.avg_logprob DESC, lp.doc_id) AS t
+        | FROM lp JOIN documents d USING (doc_id))
+        |SELECT lang, CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | round(min(avg_logprob), 6) AS min_lp, round(max(avg_logprob), 6) AS max_lp
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Order-sensitive streaming admission quota: first 20 events per user
+    // by event time; settled output = the batch row_number oracle.
+    "q170_streaming_quota" -> Entry(
+      (s, d) => Events.streamingQuota(s, d).orderBy("event_id"), Some(
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rank
+        |  FROM e)
+        |SELECT event_id, user_id, ms, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 20 ORDER BY event_id""".stripMargin)),
+
+    // Nearest-in-time view per purchase within ±14d; argmin via
+    // min(struct) — ties on |dt| break to the smaller view_id.
+    "q171_nearest_event_join" -> Entry(
+      (s, d) => Events.nearestEventJoin(s, d), Some(
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, epoch_ms(ts) AS v_ms FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (SELECT p.user_id, p_id, v_id, abs(p_ms - v_ms) AS adt,
+        |  row_number() OVER (PARTITION BY p_id ORDER BY abs(p_ms - v_ms), v_id) AS rn
+        | FROM p JOIN v USING (user_id) WHERE abs(p_ms - v_ms) <= 1209600000)
+        |SELECT user_id, p_id AS purchase_id, v_id AS view_id, CAST(adt AS BIGINT) AS abs_dt_ms
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
+    // Overlap@k between the TF-IDF and BM25 top lists — both rankers are
+    // independently oracle-certified (q158, q166); this certifies their
+    // set-level agreement.
+    "q172_ranker_agreement" -> Entry(
+      (s, d) => TextAnalysis.rankerAgreement(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |consts AS (SELECT count(*) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        | FROM documents),
+        |q AS (SELECT unnest(['spark', 'shuffle', 'hash']) AS term),
+        |ts AS (SELECT tf.doc_id,
+        |  round(CAST(sum(CAST(tf AS DECIMAL(9,0)) *
+        |    CAST(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        | FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN consts GROUP BY 1),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_t
+        |  FROM ts ORDER BY score DESC, doc_id LIMIT 20),
+        |bs AS (SELECT tf.doc_id,
+        |  round(CAST(sum(CAST(
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * 2.2) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        | FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+        | GROUP BY 1),
+        |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_b
+        |  FROM bs ORDER BY score DESC, doc_id LIMIT 20),
+        |fj AS (SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id, r_t, r_b
+        |  FROM tr FULL JOIN br ON tr.doc_id = br.doc_id),
+        |k AS (SELECT unnest([5, 10, 20]) AS k),
+        |g AS (SELECT k.k,
+        |  sum(CASE WHEN r_t <= k.k THEN 1 ELSE 0 END) AS n_tfidf,
+        |  sum(CASE WHEN r_b <= k.k THEN 1 ELSE 0 END) AS n_bm25,
+        |  sum(CASE WHEN r_t <= k.k AND r_b <= k.k THEN 1 ELSE 0 END) AS n_common
+        | FROM fj CROSS JOIN k GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_tfidf AS BIGINT) AS n_tfidf,
+        | CAST(n_bm25 AS BIGINT) AS n_bm25, CAST(n_common AS BIGINT) AS n_common,
+        | round(CAST(n_common AS DOUBLE) / CAST(n_tfidf + n_bm25 - n_common AS DOUBLE), 6) AS jaccard
+        |FROM g ORDER BY k""".stripMargin)),
+
+    // Exact-integer moment sums -> one closed-form double expression; the
+    // reason it's not corr(): single-pass double covariance is
+    // partition-order-dependent in both engines.
+    "q173_source_corr" -> Entry(
+      (s, d) => TextAnalysis.sourceLengthTokenCorr(docs(s, d)), Some(
+      """WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+        |g AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM t GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // MinHash estimator calibration: the q124 chain + the sketch's own
+    // agreement-fraction estimate per verified pair.
+    "q174_minhash_error" -> Entry(
+      (s, d) => Dedup.minhashErrorAuditOn(s, d), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |est AS (SELECT v.doc_a, v.doc_b,
+        |   CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est
+        |  FROM ver v JOIN sig sa ON sa.doc_id = v.doc_a
+        |   JOIN sig sb ON sb.doc_id = v.doc_b AND sb.seed = sa.seed
+        |  GROUP BY 1, 2)
+        |SELECT v.doc_a, v.doc_b, v.jaccard, round(e.est, 6) AS est_jaccard,
+        | round(abs(e.est - v.jaccard), 6) AS abs_err
+        |FROM ver v JOIN est e ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+        |ORDER BY v.doc_a, v.doc_b""".stripMargin)),
+
+    // Rolling z on hourly counts: integer moments, one closed-form double
+    // expression, full-lookback rows only.
+    "q175_event_anomalies" -> Entry(
+      (s, d) => Events.eventRateAnomalies(s, d), Some(
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+        |hr AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, n,
+        |  count(n) OVER win AS w_n, sum(n) OVER win AS s1, sum(n*n) OVER win AS s2
+        | FROM hr WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, h, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) / 23.0), 6) AS z
+        | FROM w WHERE w_n = 24 AND s2 * 24 > s1 * s1)
+        |SELECT event_type, h, n, z FROM z WHERE abs(z) >= 2.0
+        |ORDER BY event_type, h""".stripMargin)),
+
+    // Deterministic shard assignment + chi-square balance vs the corpus
+    // mixture over the densified shard x source grid.
+    "q176_shard_balance" -> Entry(
+      (s, d) => Curation.shardBalance(docs(s, d)), Some(
+      """WITH sh AS (SELECT source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15)) AS BIGINT) % 16 AS shard
+        | FROM documents),
+        |obs AS (SELECT shard, source, count(*) AS obs FROM sh GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS n_src FROM sh GROUP BY 1),
+        |sht AS (SELECT shard, count(*) AS n_shard FROM sh GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM sh),
+        |g AS (SELECT sht.shard, sht.n_shard, st.source, st.n_src, tot.n_total,
+        |  COALESCE(obs.obs, 0) AS obs
+        | FROM sht CROSS JOIN st CROSS JOIN tot
+        | LEFT JOIN obs ON obs.shard = sht.shard AND obs.source = st.source)
+        |SELECT shard, CAST(any_value(n_shard) AS BIGINT) AS n_shard,
+        | round(CAST(sum(CAST(
+        |   (CAST(obs AS DOUBLE) - CAST(n_shard AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)) *
+        |   (CAST(obs AS DOUBLE) - CAST(n_shard AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)) /
+        |   (CAST(n_shard AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |  AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+        |FROM g GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Quantizer QA: replay q92's exact scale + rounding, report per-vector
+    // max/mean reconstruction error.
+    "q177_quantization_error" -> Entry(
+      (s, d) => Similarity.quantizationError(emb(s, d)), Some(
+      """WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |s AS (SELECT vec_id, xs, list_max(list_transform(xs, x -> abs(x))) AS mx FROM m),
+        |sc AS (SELECT vec_id, xs, mx, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM s),
+        |px AS (SELECT vec_id, mx, scale, unnest(xs) AS x FROM sc),
+        |er AS (SELECT vec_id, mx,
+        |  CASE WHEN scale > 0 THEN abs(x - floor(x * scale + 0.5) / scale) ELSE abs(x) END AS err
+        | FROM px)
+        |SELECT vec_id, round(max(mx), 6) AS mx, round(max(err), 9) AS max_err,
+        | round(CAST(sum(CAST(err AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS mean_err
+        |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Live metric alarm: z-scores emitted as hours CLOSE; settled output
+    // = the batch q175 scorer minus each type's final (still-open) hour.
+    "q178_streaming_anomalies" -> Entry(
+      (s, d) => Events.streamingAnomalies(s, d).orderBy("event_type", "h"), Some(
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+        |hr AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |mx AS (SELECT event_type, max(h) AS max_h FROM hr GROUP BY 1),
+        |w AS (SELECT event_type, h, n,
+        |  count(n) OVER win AS w_n, sum(n) OVER win AS s1, sum(n*n) OVER win AS s2
+        | FROM hr WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, h, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) / 23.0), 6) AS z
+        | FROM w WHERE w_n = 24 AND s2 * 24 > s1 * s1)
+        |SELECT z.event_type, z.h, z.n, z.z FROM z JOIN mx USING (event_type)
+        |WHERE z.h < mx.max_h AND abs(z.z) >= 2.0
+        |ORDER BY z.event_type, z.h""".stripMargin)),
+
+    // Per-user lead() sequence -> |types|^2 transition counts + exact
+    // conditional probabilities.
+    "q179_event_transitions" -> Entry(
+      (s, d) => Events.eventTransitions(s, d), Some(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        | round(CAST(c.n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN ft USING (from_type) ORDER BY 1, 2""".stripMargin)),
+
+    // Shingles seen under >= 2 languages flag cross-lang boilerplate; the
+    // df-style prune keeps the join build side to the multi-lang set.
+    "q180_crosslang_shingles" -> Entry(
+      (s, d) => TextAnalysis.crossLangShingleRatio(docs(s, d)), Some(
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, x.s FROM (
+        |   SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |m AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT lang) >= 2),
+        |j AS (SELECT sh.doc_id, CASE WHEN m.s IS NULL THEN 0 ELSE 1 END AS f
+        | FROM sh LEFT JOIN m ON sh.s = m.s)
+        |SELECT doc_id, count(*) AS n_shingles, CAST(sum(f) AS BIGINT) AS n_crosslang,
+        | round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS xlang_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Reciprocal-rank fusion of the two certified rankers; <=2 double
+    // contributions per doc, 0 sentinel for absent ranks.
+    "q181_rrf_fusion" -> Entry(
+      (s, d) => TextAnalysis.rrfFusion(docs(s, d)), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |consts AS (SELECT count(*) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        | FROM documents),
+        |q AS (SELECT unnest(['spark', 'shuffle', 'hash']) AS term),
+        |ts AS (SELECT tf.doc_id,
+        |  round(CAST(sum(CAST(tf AS DECIMAL(9,0)) *
+        |    CAST(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        | FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN consts GROUP BY 1),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_t
+        |  FROM ts ORDER BY score DESC, doc_id LIMIT 20),
+        |bs AS (SELECT tf.doc_id,
+        |  round(CAST(sum(CAST(
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * 2.2) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        | FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+        | GROUP BY 1),
+        |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_b
+        |  FROM bs ORDER BY score DESC, doc_id LIMIT 20),
+        |fj AS (SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
+        |  CAST(COALESCE(r_t, 0) AS BIGINT) AS r_tfidf,
+        |  CAST(COALESCE(r_b, 0) AS BIGINT) AS r_bm25
+        | FROM tr FULL JOIN br ON tr.doc_id = br.doc_id),
+        |sc AS (SELECT doc_id, r_tfidf, r_bm25,
+        |  round((CASE WHEN r_tfidf > 0 THEN 1.0 / (60.0 + CAST(r_tfidf AS DOUBLE)) ELSE 0.0 END) +
+        |        (CASE WHEN r_bm25 > 0 THEN 1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)) ELSE 0.0 END), 6) AS rrf
+        | FROM fj)
+        |SELECT doc_id, r_tfidf, r_bm25, rrf FROM sc
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // As-of backward latency per purchase -> exact interpolated quantiles
+    // per market segment (the q81 percentile contract).
+    "q182_purchase_latency" -> Entry(
+      (s, d) => Events.purchaseLatency(s, d), Some(
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'),
+        |l AS (SELECT p.user_id, p_id, p_ms - max(v_ms) AS latency
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v_ms <= p_ms AND v_ms >= p_ms - 1209600000
+        |  GROUP BY p.user_id, p_id, p_ms),
+        |s AS (SELECT c.c_mktsegment AS segment, l.latency
+        |  FROM l JOIN customer c ON l.user_id = c.c_custkey),
+        |g AS (SELECT segment, quantile_cont(latency, [0.5, 0.9, 0.99]) AS qs FROM s GROUP BY 1)
+        |SELECT segment, CAST(i AS BIGINT) AS q_pos, round(qs[i], 6) AS latency_q
+        |FROM g CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
+        |ORDER BY segment, q_pos""".stripMargin)),
+
+    // Per-source term-distribution vitals: exact integer counts, one
+    // double division per ratio.
+    "q183_vocab_health" -> Entry(
+      (s, d) => TextAnalysis.vocabHealth(docs(s, d)), Some(
+      """WITH tf AS (SELECT source, term, count(*) AS tf FROM
+        |  (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        | GROUP BY 1, 2)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_terms,
+        | round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+        | round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS top_term_share
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Label-quality audit: nearest-centroid assignment cross-tabulated
     // against the stored label (diagonal-dominant when labels separate).
     "q159_centroid_confusion" -> Entry(

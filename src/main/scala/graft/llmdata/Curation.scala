@@ -559,6 +559,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Training-shard assignment + balance audit: every document lands in a
+    * shard by content-free deterministic hash (md5 mod `nShards` — the
+    * same salt-keyed assignment family as [[assignSplits]], so shards are
+    * reproducible, disjoint, and independent of [[hashSample]]'s keys),
+    * and each shard is scored with the χ² statistic of its source
+    * composition against the corpus mixture — the check that data-parallel
+    * workers all see the same distribution (a skewed shard = a worker
+    * whose gradient distribution drifts). χ² = Σ_src (obs − exp)²/exp
+    * over the DENSIFIED shard × source grid (zero cells included — an
+    * absent source in a shard is exactly the signal); obs/exp derive from
+    * integer counts and the per-term ratio rides the DECIMAL(28,12) sum
+    * (the q119 rule), so the statistic is engine-exact.
+    *
+    * Shape: two hash aggs (shard×source observed, source totals) plus a
+    * 1-row corpus total; the grid is |shards| × |sources| rows built by a
+    * broadcast crossJoin of two TINY aggregate frames — never the corpus. */
+  def shardBalance(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val sharded = docs.select(col("source"),
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":shard"))),
+        1, 15), 16, 10).cast("long"), lit(nShards.toLong)).as("shard"))
+    val obs = sharded.groupBy("shard", "source").agg(count(lit(1)).as("obs"))
+    val srcTot = sharded.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val shardTot = sharded.groupBy("shard").agg(count(lit(1)).as("n_shard"))
+    val total = sharded.agg(count(lit(1)).as("n_total"))
+    val expCol = col("n_shard").cast("double") * col("n_src").cast("double") /
+      col("n_total").cast("double")
+    shardTot.crossJoin(broadcast(srcTot)).crossJoin(broadcast(total))
+      .join(obs, Seq("shard", "source"), "left")
+      .select(col("shard"), col("n_shard"),
+        ((coalesce(col("obs"), lit(0L)).cast("double") - expCol) *
+         (coalesce(col("obs"), lit(0L)).cast("double") - expCol) / expCol)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12))
+          .as("term"))
+      .groupBy("shard", "n_shard")
+      .agg(round(sum("term").cast("double"), 6).as("chi2"))
+      .select(col("shard"), col("n_shard"), col("chi2"))
+      .orderBy("shard")
+  }
+
   /** The scale path of [[lengthQuantiles]]: Greenwald-Khanna approximate
     * quantiles via `approx_percentile`, whose sketch is CONSTANT-size per
     * group (vs `percentile`'s per-group value buffer — fine at this

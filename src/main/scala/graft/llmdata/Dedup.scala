@@ -267,6 +267,42 @@ object Dedup {
       _ => minhashMd5Pairs(graft.io.Tables(spark, dir, "documents"),
         simThreshold = simThreshold).localCheckpoint(true))
 
+  /** MinHash estimator-quality audit: for every VERIFIED near-dup pair,
+    * the sketch's own Jaccard estimate (fraction of agreeing signature
+    * rows — the unbiased MinHash estimator) next to the exact shingle-set
+    * Jaccard, with the absolute error. This is the calibration report a
+    * dedup pipeline publishes when choosing `numHashes`: the observed
+    * error distribution against the 1/√k theoretical band (k=8 → σ≈0.17
+    * at J=0.5). Entirely on the md5 family, so estimate, exact value,
+    * and error are all cross-engine reproducible.
+    *
+    * Shape: the (tiny, verified) pair frame joins the signature frame
+    * twice on (doc, seed) — cost is |pairs| × numHashes rows, dwarfed by
+    * the LSH front end that produced the pairs; the pair frame itself is
+    * the per-(dir, threshold) cached derivation shared with q124/q140. */
+  def minhashErrorAuditOn(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numHashes: Int = 8, simThreshold: Double = 0.5): DataFrame =
+    minhashErrorAuditFrom(minhashMd5PairsOn(spark, dir, simThreshold),
+      graft.io.Tables(spark, dir, "documents"), numHashes)
+
+  /** [[minhashErrorAuditOn]] on a precomputed verified-pair frame. */
+  def minhashErrorAuditFrom(pairs: DataFrame, docs: DataFrame,
+      numHashes: Int = 8): DataFrame = {
+    val sig = minhashMd5Signatures(docs, numHashes)
+    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("ma")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mb")), Seq("doc_b", "seed"))
+      .groupBy("doc_a", "doc_b", "jaccard")
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double") /
+        lit(numHashes.toDouble)).as("est"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-duplicate corpus dedup: keep exactly one representative per
     * [[nearDupComponents]] cluster — the minimum doc_id, so the choice is
     * deterministic and the composition with exact keep-first dedup

@@ -218,17 +218,7 @@ object Similarity {
     * (map-side combined, shuffles cluster×dim cells, not vectors). Each
     * cosine is one codegen'd [[graft.functions.ArrayDotProduct]]. */
   def lloydStep(emb: DataFrame, kClusters: Int = 8): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < kClusters)
-      .select(col("vec_id").cast("long").as("c_id"),
-        VectorOps.asDouble(col("embedding")).as("ce"))
-    val scored = emb
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe"))
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("c_id"),
-        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_id"))
-    val assigned = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val assigned = assignToSeeds(emb, kClusters)
     val members = assigned.groupBy("c_id").agg(count(lit(1)).as("n_members"))
     assigned
       .join(emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe")), "vec_id")
@@ -238,6 +228,99 @@ object Similarity {
       .select(col("c_id").as("cluster"), (col("pos0") + 1).cast("long").as("pos"),
         col("centroid_v"), col("n_members"))
       .orderBy("cluster", "pos")
+  }
+
+  /** Nearest-deterministic-seed assignment shared by [[lloydStep]] and
+    * [[semanticDedup]]: seeds = the first `kClusters` vectors by vec_id,
+    * every vector goes to its max-cosine seed (rounded cosine, c_id
+    * tiebreak — the q159 rule). The seed frame broadcasts; the per-vector
+    * argmax window carries only (vec_id, c_id, cosine). */
+  private def assignToSeeds(emb: DataFrame, kClusters: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").cast("long").as("c_id"),
+        VectorOps.asDouble(col("embedding")).as("ce"))
+    val scored = emb
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("c_id"),
+        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space, then compare pairs ONLY within a cluster and drop
+    * every vector that has a higher-similarity-than-threshold neighbor
+    * with a smaller vec_id — the keep-lowest-id retention rule, applied
+    * cluster-locally. This is the embedding-space complement of
+    * MinHash/SimHash dedup: it removes SEMANTIC duplicates (same content,
+    * different words) that no lexical signature catches.
+    *
+    * Scale design — the whole point of the algorithm: the O(n²) cosine
+    * comparison is confined to cluster-local blocks (the paper's exact
+    * argument for web scale), so cost is Σ|cluster|², never n². The
+    * cluster assignment is [[assignToSeeds]] (broadcast seed frame, one
+    * codegen'd dot per (vector, seed)); the within-cluster pair join is an
+    * equi-join on c_id (shuffle co-partitions each cluster's members);
+    * oversized clusters at production scale get recursively re-split
+    * before pairing (here k seeds bound the fixture's clusters directly).
+    * Deterministic seeds keep the whole pipeline — assignment, pairing,
+    * drop rule — hash-certifiable against the external oracle.
+    *
+    * Output: one row per DROPPED vector (its cluster, the smallest-id
+    * above-threshold neighbor it duplicates, and the max cosine that
+    * condemned it — both order-independent aggregates). */
+  def semanticDedup(emb: DataFrame, kClusters: Int = 8,
+      threshold: Double = 0.35): DataFrame = {
+    val m = assignToSeeds(emb, kClusters)
+      .join(emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe")),
+        "vec_id")
+    val a = m.select(col("c_id"), col("vec_id").as("va"), col("qe").as("ea"))
+    val b = m.select(col("c_id"), col("vec_id").as("vb"), col("qe").as("eb"))
+    a.join(b, Seq("c_id")).filter(col("va") < col("vb"))
+      .select(col("c_id"), col("va"), col("vb"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("c_id"), col("vb"))
+      .agg(min("va").as("dup_of"), max("cosine").as("max_cos"))
+      .select(col("c_id").as("cluster"), col("vb").as("vec_id"),
+        col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Int8 quantization reconstruction-error report — the QA gate shipped
+    * next to [[quantizeEmbeddings]]: per vector, the max and mean absolute
+    * error of the round-trip x → round(x·scale) → q/scale, against the
+    * theoretical half-step bound mx/254 (error ≤ 1/(2·scale)). A vector
+    * whose max_err exceeds the bound would mean the quantizer is broken;
+    * a pipeline gates on the corpus max before swapping the serving index
+    * to int8. Replays quantizeEmbeddings' EXACT expressions (same scale,
+    * same floor(x·scale + 0.5)) so the report certifies the real
+    * quantizer, not a re-derivation.
+    *
+    * Shape: one narrow projection + posexplode + per-vector hash agg
+    * (map-side combined). max is order-independent; the mean rides the
+    * per-element DECIMAL(28,12) cast (the q119 rule). Errors are rounded
+    * at 9dp (they live at 1e-3 scale — 6dp would quantize the signal). */
+  def quantizationError(emb: DataFrame): DataFrame = {
+    val m = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("xs"))
+      .withColumn("mx", array_max(transform(col("xs"), x => abs(x))))
+      .withColumn("scale", when(col("mx") > 0, lit(127.0) / col("mx"))
+        .otherwise(lit(0.0)))
+    m.select(col("vec_id"), col("mx"), col("scale"),
+        posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("mx"),
+        when(col("scale") > 0,
+          abs(col("x") - floor(col("x") * col("scale") + lit(0.5)) / col("scale")))
+          .otherwise(abs(col("x"))).as("err"))
+      .groupBy("vec_id")
+      .agg(round(max(col("mx")), 6).as("mx"),
+        round(max(col("err")), 9).as("max_err"),
+        round(sum(col("err").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_err"))
+      .orderBy("vec_id")
   }
 
   /** Per-ingestion-batch embedding drift: cosine between each batch's

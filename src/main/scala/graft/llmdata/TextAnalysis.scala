@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -206,6 +207,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-language shared-shingle ratio — the translated/templated
+    * boilerplate detector: for each document, the fraction of its
+    * distinct word-k-shingles that also occur in at least one document of
+    * a DIFFERENT language. Natural text shares almost nothing verbatim
+    * across languages; a high ratio means untranslated template chrome,
+    * code, or boilerplate riding inside multiple language buckets —
+    * content that inflates every per-language statistic and double-counts
+    * in per-lang dedup. The cross-lang twin of [[dupShingleRatio]].
+    *
+    * Shape: identical pruning argument to dupShingleRatio — the flag
+    * frame is `count(DISTINCT lang) ≥ 2` per shingle (a hash agg whose
+    * map-side distinct is bounded by |langs| per shingle), typically a
+    * small fraction of the shingle vocabulary, so the LEFT join's build
+    * side stays thin; a shingle seen in ≥2 languages is by definition
+    * cross-shared for EVERY document holding it. */
+  def crossLangShingleRatio(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(shingles(col("toks"), k))).as("s"))
+    val multi = sh.groupBy("s").agg(countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_langs") >= 2).select(col("s"), lit(1L).as("is_x"))
+    sh.join(multi, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_x"), lit(0L))).as("n_crosslang"))
+      .select(col("doc_id"), col("n_shingles"), col("n_crosslang"),
+        round(col("n_crosslang").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("xlang_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition score — the boilerplate/degenerate-text quality signal
     * (fraction of repeated word-k-shingles): 1 - distinct/total shingles.
     * Template pages, keyboard mash, and copy-paste loops score high;
@@ -338,6 +371,36 @@ object TextAnalysis {
           .cast("double").as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_lp") / col("n_tokens").cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * split each language's documents into head/middle/tail terciles by
+    * language-model score — CCNet keeps head+middle and drops tail; here
+    * the LM is the corpus unigram model ([[unigramLogprob]]) and the
+    * output is the per-(lang, bucket) profile a curation pipeline
+    * thresholds on. Tercile = ntile(3) over (avg_logprob DESC, doc_id) —
+    * rank-based, so both engines agree exactly (ntile's group sizes are
+    * the standard earlier-groups-larger split).
+    *
+    * The per-lang ntile is a per-language sort — fine while each
+    * language's doc list fits a sort spill; the 100 TB path replaces the
+    * window with approx_percentile cutpoints per lang (two fixed
+    * boundaries, join + compare — no global sort), trading the exact
+    * tercile edge for constant memory. Bucket stats are min/max/count/sum
+    * — order-independent, no double summation. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("avg_logprob").desc, col("doc_id"))
+    unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .groupBy(col("lang"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        round(min("avg_logprob"), 6).as("min_lp"),
+        round(max("avg_logprob"), 6).as("max_lp"))
+      .orderBy("lang", "bucket")
   }
 
   /** Log2-bucketed length histogram per lang: bucket = ⌊log2 n_chars⌋
@@ -781,6 +844,131 @@ object TextAnalysis {
         sum(scoreT.cast(DecimalType(28, 12))).cast("double").as("score"))
       .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
       .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(k)
+  }
+
+  /** Per-source Pearson correlation between character length and token
+    * count — the metadata-consistency audit of a corpus profile: a source
+    * whose n_chars decouples from its real token count has broken
+    * metadata, mixed scripts, or stuffing (exactly the columns quota and
+    * mixture decisions key on). Computed from the five exact-integer
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy² — one map-side-combined hash
+    * agg, BIGINT-exact at any corpus size that fits a long), with ONE
+    * double expression at the end:
+    * (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²)) — identical operand
+    * order in both engines, so the rounded value is engine-exact (the
+    * reason this is not `corr()`: both engines implement single-pass
+    * covariance over DOUBLES, whose accumulation order is
+    * partition-dependent). */
+  def sourceLengthTokenCorr(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), col("n_chars").cast("long").as("x"),
+      size(tokens(col("text"))).cast("long").as("y"))
+    t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_docs"),
+        round((col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n_docs") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr"))
+      .orderBy("source")
+  }
+
+  /** Ranker agreement: overlap@k between the [[tfidfSearch]] and
+    * [[bm25Search]] top lists for the same query — the regression gate a
+    * search stack runs when swapping scorers (how much of the serving
+    * top-k actually changes?). Emits, for each cutoff k, the two list
+    * sizes, the intersection size, and the Jaccard of the two top-k sets.
+    *
+    * Both ranked lists are ≤ max(ks) rows by construction (the upstream
+    * retrievals do the heavy lifting and already end in a top-k), so the
+    * rank-assignment window and the cutoff crossJoin here run on
+    * O(k)-row frames — driver-scale data, deliberately exempt from the
+    * single-partition-window rule that applies to corpus-grain frames.
+    * Ranks are recomputed from the ROUNDED scores with doc_id tiebreak
+    * (the exact ordering the retrievals certify), so agreement is
+    * engine-exact. */
+  def rankerAgreement(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val t = tfidfSearch(docs, k = ks.max)
+      .select(col("doc_id"), row_number().over(w).as("r_t"))
+    val b = bm25Search(docs, k = ks.max)
+      .select(col("doc_id"), row_number().over(w).as("r_b"))
+    val kdf = docs.sparkSession.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+    t.join(b, Seq("doc_id"), "full")
+      .crossJoin(broadcast(kdf))
+      .groupBy("k")
+      .agg(
+        sum(when(col("r_t") <= col("k"), 1L).otherwise(0L)).as("n_tfidf"),
+        sum(when(col("r_b") <= col("k"), 1L).otherwise(0L)).as("n_bm25"),
+        sum(when(col("r_t") <= col("k") && col("r_b") <= col("k"), 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("k").cast("long").as("k"), col("n_tfidf"), col("n_bm25"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_tfidf") + col("n_bm25") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("k")
+  }
+
+  /** Reciprocal-rank fusion of the [[tfidfSearch]] and [[bm25Search]]
+    * lists (Cormack, Clarke & Buettcher, SIGIR 2009 — the standard
+    * score-free way to merge rankers, used by every hybrid lexical+vector
+    * search stack): rrf(d) = Σ_r 1/(K + rank_r(d)) over the rankers that
+    * retrieved d, K = 60. Rank-based, so no score calibration is needed —
+    * and cross-engine exact: each contribution is one double division,
+    * a document has at most TWO contributions (addition of two doubles is
+    * commutative, so even the sum is order-independent), absent ranks are
+    * a 0 sentinel. Completes the retrieval suite: q158/q166 certify the
+    * rankers, q172 their agreement, this their fusion.
+    *
+    * Same O(k)-row frames as [[rankerAgreement]] (the upstream retrievals
+    * do the corpus-scale work), so the rank windows are driver-scale by
+    * construction. */
+  def rrfFusion(docs: DataFrame, k: Int = 20, kRrf: Int = 60,
+      top: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val t = tfidfSearch(docs, k = k)
+      .select(col("doc_id"), row_number().over(w).as("r_t"))
+    val b = bm25Search(docs, k = k)
+      .select(col("doc_id"), row_number().over(w).as("r_b"))
+    val contrib = (r: Column) =>
+      when(r > 0, lit(1.0) / (lit(kRrf.toDouble) + r.cast("double"))).otherwise(lit(0.0))
+    t.join(b, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("r_t"), lit(0)).cast("long").as("r_tfidf"),
+        coalesce(col("r_b"), lit(0)).cast("long").as("r_bm25"))
+      .select(col("doc_id"), col("r_tfidf"), col("r_bm25"),
+        round(contrib(col("r_tfidf")) + contrib(col("r_bm25")), 6).as("rrf"))
+      .orderBy(round(contrib(col("r_tfidf")) + contrib(col("r_bm25")), 6).desc,
+        col("doc_id"))
+      .limit(top)
+  }
+
+  /** Per-source vocabulary-health profile — the term-distribution vitals a
+    * corpus dashboard tracks per source: token and distinct-term counts,
+    * hapax ratio (fraction of terms occurring exactly once — collapses
+    * when a source is template spam), and the top term's share of all
+    * tokens (spikes under keyword stuffing). All ratios are exact-integer
+    * counts with one double division each (max is order-independent), so
+    * the profile is engine-exact. Shape: one (source, term, tf) hash agg,
+    * then one per-source roll-up — both map-side combined. */
+  def vocabHealth(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("source").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("tf").as("max_tf"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(col("n_hapax").cast("double") / col("n_terms").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(col("max_tf").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_term_share"))
+      .orderBy("source")
   }
 
   /** Per-ingestion-batch length-distribution drift: the two-sample

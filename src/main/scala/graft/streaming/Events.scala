@@ -590,6 +590,300 @@ object Events {
       }
   }
 
+  /** A quota-capped event with its admission rank. */
+  final case class QuotaEvent(event_id: Long, user_id: Long, ms: Long, rank: Long)
+
+  /** Streaming per-key admission quota — the rate-limiting twin of the
+    * batch [[graft.llmdata.Curation.quotaCap]] applied to a live stream:
+    * admit each user's first `n` events in EVENT-TIME order, drop the
+    * rest forever. The second order-sensitive stateful operator next to
+    * [[streamingDebounce]], and the same contract: exact parity with the
+    * batch row_number oracle whenever each key's events arrive in
+    * non-decreasing (ms, event_id) order across micro-batches; within a
+    * batch, events are sorted before the sequential scan, so intra-batch
+    * disorder is exact; a cross-batch straggler strictly behind the
+    * (ms, id) high-water mark is dropped without rewriting admissions.
+    *
+    * State is one (count, ms, id) triple per user — constant per key, and
+    * a saturated key (count == n) never emits again, so at 100 TB the
+    * state store scales with the key space; key churn takes the same
+    * EventTimeTimeout eviction as [[statefulUserStatsTtl]] (a saturated
+    * key whose state is evicted and later re-keyed would re-admit — the
+    * documented TTL trade-off). */
+  def streamingQuota(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    settle(spark, dir, stream => {
+      val s2 = stream.sparkSession
+      import s2.implicits._
+      streamingQuotaCore(
+        stream.select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms")).as[RawEvent], n).toDF()
+    }, outputMode = "append")
+
+  /** [[streamingQuota]]'s typed core — unit-testable with MemoryStream. */
+  def streamingQuotaCore(events: Dataset[RawEvent], n: Int): Dataset[QuotaEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), QuotaEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          var (cnt, lastMs, lastId) =
+            state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue))
+          val admitted = Seq.newBuilder[QuotaEvent]
+          batch.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (e.ms > lastMs || (e.ms == lastMs && e.event_id > lastId)) {
+              if (cnt < n) {
+                cnt += 1
+                admitted += QuotaEvent(e.event_id, e.user_id, e.ms, cnt)
+              }
+              lastMs = e.ms
+              lastId = e.event_id
+            }
+          }
+          state.update((cnt, lastMs, lastId))
+          admitted.result().iterator
+      }
+  }
+
+  /** View→purchase latency quantiles per market segment — the
+    * time-to-conversion profile: each purchase's latency to the SAME
+    * user's most recent prior view (as-of backward, bounded by
+    * `toleranceMs`), rolled up as exact interpolated quantiles per the
+    * customer's market segment. The as-of max-aggregation (one hash agg,
+    * no per-purchase window) and the bounded candidate slab are the
+    * [[nearestEventJoinOn]] scale shape; the quantile layer is the q81
+    * contract (Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition; latencies are exact integers, the
+    * interpolated value is one double rounded). Purchases with no view in
+    * the window (or users off the customer dim) drop — inner semantics. */
+  def purchaseLatency(spark: SparkSession, dir: String,
+      toleranceMs: Long = 14L * 86400000L,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("p_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ms").as("v_ms"))
+    val lat = p.join(v, Seq("user_id"))
+      .filter(col("v_ms") <= col("p_ms") &&
+        col("v_ms") >= col("p_ms") - toleranceMs)
+      .groupBy("user_id", "purchase_id", "p_ms")
+      .agg(max(col("v_ms")).as("last_view_ms"))
+      .select(col("user_id"), (col("p_ms") - col("last_view_ms")).as("latency_ms"))
+    val dim = broadcast(graft.io.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")))
+    lat.join(dim, "user_id")
+      .groupBy("segment")
+      .agg(percentile(col("latency_ms"), typedlit(qs)).as("quants"))
+      .select(col("segment"), posexplode(col("quants")).as(Seq("pos", "latency_q")))
+      .select(col("segment"), (col("pos") + 1).cast("long").as("q_pos"),
+        round(col("latency_q"), 6).as("latency_q"))
+      .orderBy("segment", "q_pos")
+  }
+
+  /** First-order Markov transition matrix of user behavior: counts and
+    * conditional probabilities P(next event type | current) over each
+    * user's time-ordered event sequence — the navigation model behind
+    * funnel design and anomalous-flow detection (a (purchase → error)
+    * cell that grows week-over-week is an incident signal). Transitions
+    * are per-user consecutive pairs — users never bleed into each other.
+    *
+    * Shape: one per-user lead() window (the q109/q53 per-key sort — the
+    * state of the art for sequence derivation at scale: partition by
+    * user, never a global sort), then a |types|² hash agg; probabilities
+    * divide exact integer counts by the exact per-from total (broadcast
+    * |types|-row frame), one double division rounded — engine-exact. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")))
+
+  /** [[eventTransitions]]'s core on a prepared (user_id, event_id,
+    * event_type, ms) frame — unit-testable without the parquet source. */
+  def eventTransitionsOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val t = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = t.groupBy("from_type").agg(sum("n").as("n_from"))
+    t.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Rolling z-score anomaly detection on the hourly event-rate series —
+    * the metric-alarm operator of an ops dashboard: for each event type,
+    * each hour's count is scored against the trailing `lookback` hours'
+    * mean and sample standard deviation, and hours with |z| ≥ `zMin` are
+    * flagged. Counts (not value sums) keep every accumulated moment
+    * BIGINT-exact; the z is ONE double expression over (n, Σ, Σ²) with
+    * identical operand order in both engines —
+    * z = (n − Σ/L) / √((Σ² − Σ·Σ/L) / (L−1)) — so the rounded score is
+    * engine-exact (the [[graft.llmdata.TextAnalysis.sourceLengthTokenCorr]]
+    * rule: never let a double accumulate across rows).
+    *
+    * Shape: one hash agg to the (type, hour) grain — the shuffle carries
+    * ≤ types × hours rows — then a per-type ROWS window over the tiny
+    * hourly series (thousands of rows per type per year; the window sort
+    * is per-type, not global). Only hours with a FULL lookback of prior
+    * observed hours are scored (count-over-window == lookback), so the
+    * score never mixes a cold start into the baseline. ROWS semantics:
+    * the baseline is the previous `lookback` OBSERVED hours — an hour
+    * with zero events of a type contributes no row; a gap-filling
+    * RANGE variant would densify the grid first (the q37 shape).
+    * Positive-epoch assumption: `div` hour bucketing matches floor for
+    * the ts ≥ 1970 data this table carries (the q139 rule). */
+  def eventRateAnomalies(spark: SparkSession, dir: String,
+      lookback: Int = 24, zMin: Double = 2.0): DataFrame =
+    eventRateAnomaliesOn(events(spark, dir)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms")), lookback, zMin)
+
+  /** [[eventRateAnomalies]]'s core on a prepared (event_type, ms) frame —
+    * unit-testable without the parquet source. */
+  def eventRateAnomaliesOn(ev: DataFrame, lookback: Int, zMin: Double): DataFrame = {
+    val hourly = ev
+      .select(col("event_type"), expr("ms div 3600000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-lookback, -1)
+    val lb = lit(lookback.toDouble)
+    val scored = hourly
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("w_n") === lookback)
+      // zero-variance baseline (L·Σ² == Σ·Σ, exact integer test): a spike
+      // against it is division by zero — undefined alarm, excluded.
+      .filter(col("s2") * lit(lookback.toLong) > col("s1") * col("s1"))
+      .select(col("event_type"), col("h"), col("n"),
+        round((col("n").cast("double") - col("s1").cast("double") / lb) /
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / lb) /
+            lit(lookback - 1.0)), 6).as("z"))
+    scored.filter(abs(col("z")) >= zMin).orderBy("event_type", "h")
+  }
+
+  /** A scored hour emitted by [[streamingAnomalies]]. */
+  final case class HourScore(event_type: String, h: Long, n: Long, z: Double)
+
+  /** Keyed state for [[streamingAnomaliesCore]]: the last `lookback`
+    * CLOSED hours' (hour, count) pairs plus the currently-accumulating
+    * hour — constant-size per key by construction. */
+  final case class AnomState(hours: Seq[Long], counts: Seq[Long],
+    curH: Long, curN: Long)
+
+  /** Streaming twin of [[eventRateAnomalies]] — the live metric alarm:
+    * per event type, each hour's count is z-scored against the trailing
+    * `lookback` closed hours the moment the hour CLOSES (the first event
+    * of a later hour arrives). The third order-sensitive stateful operator
+    * ([[streamingDebounce]], [[streamingQuota]]): same arrival contract
+    * (non-decreasing event time per key across micro-batches; intra-batch
+    * disorder sorted away; stragglers into a closed hour are dropped —
+    * the watermark posture, hours never reopen).
+    *
+    * Parity with the batch scorer: identical z expression (same operand
+    * order), identical full-lookback and positive-variance guards — the
+    * settled output equals the batch result restricted to CLOSED hours,
+    * i.e. minus each type's final (still-open) hour, which a live alarm
+    * cannot score yet. State is `lookback` (hour, count) pairs + one open
+    * counter per key — bounded regardless of stream length. */
+  def streamingAnomalies(spark: SparkSession, dir: String,
+      lookback: Int = 24, zMin: Double = 2.0): DataFrame =
+    settle(spark, dir, stream => {
+      val s2 = stream.sparkSession
+      import s2.implicits._
+      streamingAnomaliesCore(
+        stream.select(col("event_type"), unix_millis(col("ts")).as("ms"))
+          .as[(String, Long)], lookback, zMin).toDF()
+    }, outputMode = "append")
+
+  /** [[streamingAnomalies]]'s typed core — unit-testable with MemoryStream. */
+  def streamingAnomaliesCore(events: Dataset[(String, Long)],
+      lookback: Int, zMin: Double): Dataset[HourScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lb = lookback.toDouble
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, HourScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, batch, state) =>
+          var st = state.getOption.getOrElse(
+            AnomState(Seq.empty, Seq.empty, Long.MinValue, 0L))
+          val out = Seq.newBuilder[HourScore]
+          def close(): Unit = if (st.curH != Long.MinValue) {
+            if (st.hours.size == lookback) {
+              val s1 = st.counts.sum
+              val s2 = st.counts.map(c => c * c).sum
+              if (s2 * lookback > s1 * s1) {
+                val z = (st.curN.toDouble - s1.toDouble / lb) /
+                  math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / lb) / (lb - 1.0))
+                val z6 = BigDecimal(z)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(z6) >= zMin) out += HourScore(etype, st.curH, st.curN, z6)
+              }
+            }
+            val kept = (st.hours :+ st.curH).takeRight(lookback)
+            val keptN = (st.counts :+ st.curN).takeRight(lookback)
+            st = AnomState(kept, keptN, Long.MinValue, 0L)
+          }
+          batch.toSeq.map(_._2 / 3600000L).sorted.foreach { h =>
+            if (h == st.curH) st = st.copy(curN = st.curN + 1)
+            else if (h > st.curH) {
+              close()
+              st = st.copy(curH = h, curN = 1L)
+            } // h < curH: straggler into a closed hour — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Nearest-event join: each `purchase` matched to the CLOSEST-in-time
+    * `view` of the same user within ±`toleranceMs` — the "nearest" as-of
+    * variant (bidirectional search; [[asOfJoin]] is the backward-only
+    * form). Tie on |Δt| → smaller view event_id, so the match is
+    * total-order deterministic.
+    *
+    * Shape: an equi-join on user_id with the |Δt| ≤ tolerance range
+    * predicate — per-user candidate blocks, never a cross join — then one
+    * `min(struct(abs_dt, view_id))` hash agg per purchase (argmin by the
+    * lexicographic struct order, map-side combined; no per-purchase
+    * window). The tolerance is the scale bound: candidates per purchase
+    * are the user's views inside a fixed time slab, so cost tracks
+    * per-user activity density, not history length; at 100 TB the same
+    * plan additionally buckets both sides by floor(ms / toleranceMs)
+    * (the q129 range-bucket rewrite — each purchase probes 3 buckets)
+    * to co-partition by time as well as user. Purchases with no view in
+    * tolerance drop out (inner semantics), as in any tolerance-bounded
+    * as-of. */
+  def nearestEventJoin(spark: SparkSession, dir: String,
+      toleranceMs: Long = 14L * 86400000L): DataFrame =
+    nearestEventJoinOn(events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms")), toleranceMs)
+
+  /** [[nearestEventJoin]]'s core on a prepared (event_id, user_id,
+    * event_type, ms) frame — unit-testable without the parquet source. */
+  def nearestEventJoinOn(ev: DataFrame, toleranceMs: Long): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("p_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ms").as("v_ms"))
+    p.join(v, Seq("user_id"))
+      .filter(col("v_ms") >= col("p_ms") - toleranceMs &&
+        col("v_ms") <= col("p_ms") + toleranceMs)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        abs(col("v_ms") - col("p_ms")).as("abs_dt_ms"))
+      .groupBy("user_id", "purchase_id")
+      .agg(min(struct(col("abs_dt_ms"), col("view_id"))).as("best"))
+      .select(col("user_id"), col("purchase_id"),
+        col("best.view_id").as("view_id"), col("best.abs_dt_ms").as("abs_dt_ms"))
+      .orderBy("purchase_id")
+  }
+
   /** Custom keyed state via `mapGroupsWithState` — the extension point for
     * semantics the built-in windowed aggregations can't express
     * (SURVEY.md §2.10). State is one constant-size [[UserStat]] per user,

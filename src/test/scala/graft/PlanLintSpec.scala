@@ -45,7 +45,14 @@ class PlanLintSpec extends AnyFunSuite {
     "q160_rebalance_mixture",  // 1-row totals broadcast into the tiny target marginals
     "q165_importance_weights", // 1-row (nr_tot, v, nt_tot) scalar frame broadcast back
     "q166_bm25_search",        // 1-row (N, avgdl) scalar frame broadcast back
-    "q167_lloyd_step")         // kClusters-row seed frame broadcast against the corpus
+    "q167_lloyd_step",         // kClusters-row seed frame broadcast against the corpus
+    "q168_semantic_dedup",     // kClusters-row seed frame broadcast against the corpus
+    "q169_perplexity_buckets", // composes q119's 1-row corpus-total broadcast
+    "q172_ranker_agreement",   // 1-row scalar broadcasts in both rankers + the
+                               // 3-row cutoff grid against the ≤40-row rank join
+    "q176_shard_balance",      // |shards| x |sources| grid from two tiny
+                               // aggregate frames + the 1-row corpus total
+    "q181_rrf_fusion")         // 1-row scalar broadcasts in both upstream rankers
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -3,6 +3,7 @@ package graft.llmdata
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.window.WindowExec
 import graft.TestSpark
+import graft.streaming.Events
 
 /** Unit pins for the round-10 operator work: the tokenBudgetCurve two-phase
   * prefix sum (parity against the sequential window for several bucket
@@ -415,5 +416,340 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === Seq(
       (0L, 1L, m(1.0, f(0.8f), 1.0), 3L), (0L, 2L, m(0.0, f(0.2f), 1.0), 3L),
       (1L, 1L, m(0.0, f(0.1f)), 2L), (1L, 2L, m(1.0, f(0.9f)), 2L)))
+  }
+
+  private def cos6(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dp = ad.zip(bd).map { case (x, y) => x * y }.sum
+    BigDecimal(dp / (math.sqrt(ad.map(x => x * x).sum) *
+      math.sqrt(bd.map(x => x * x).sum)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("semanticDedup: cluster-bounded pairs, keep-lowest-id drop rule, JVM-recomputed") {
+    val vecs = Map(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f),
+      2L -> Array(0.9f, 0.1f), 3L -> Array(0.1f, 0.9f),
+      4L -> Array(0.95f, 0.05f),
+      5L -> Array(-1.0f, 0.1f)) // co-clusters with nothing similar -> kept
+    val e = vecs.toSeq.sortBy(_._1).map { case (id, v) => (id, v, 0L) }
+      .toDF("vec_id", "embedding", "label")
+    val seeds = Seq(0L, 1L)
+    val assign = vecs.keys.map { id =>
+      id -> seeds.map(c => (c, cos6(vecs(id), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }.toMap
+    val want = (for {
+      a <- vecs.keys.toSeq; b <- vecs.keys.toSeq
+      if a < b && assign(a) == assign(b)
+      c = cos6(vecs(a), vecs(b)) if c >= 0.9
+    } yield (assign(b), b, a, c))
+      .groupBy { case (_, b, _, _) => b }
+      .map { case (b, rows) =>
+        (rows.head._1, b, rows.map(_._3).min, rows.map(_._4).max) }.toSet
+    val got = Similarity.semanticDedup(e, kClusters = 2, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // the fixture actually exercises both the drop and the keep path
+    assert(want.map(_._2) === Set(2L, 3L, 4L))
+  }
+
+  test("perplexityBuckets: per-lang terciles by LM score, order-independent bucket stats") {
+    val toks = Map(
+      0L -> Seq("a", "a", "a", "a"), 1L -> Seq("a", "a", "b", "b"),
+      2L -> Seq("b", "b", "a", "a"), 3L -> Seq("c", "d", "e", "f"),
+      4L -> Seq("a", "b", "c", "d", "e", "f", "g", "h"),
+      5L -> Seq("a", "a", "a", "b", "c", "c"))
+    val wc = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val total = wc.values.sum
+    def lp(id: Long): Double = {
+      val s = toks(id).groupBy(identity).map { case (t, tf) =>
+        BigDecimal(math.log(wc(t).toDouble / total))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP) * tf.size
+      }.sum
+      BigDecimal(s.toDouble / toks(id).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // ntile(3) over 6 docs ordered (lp desc, doc_id) -> buckets of 2
+    val ordered = toks.keys.toSeq.map(id => (id, lp(id))).sortBy { case (id, l) => (-l, id) }
+    val buckets = Seq("head", "head", "middle", "middle", "tail", "tail")
+    val want = ordered.zip(buckets).groupBy(_._2).map { case (bk, rows) =>
+      val lps = rows.map(_._1._2)
+      val ids = rows.map(_._1._1)
+      ("en", bk, rows.size.toLong, ids.map(i => toks(i).size.toLong).sum,
+        lps.min, lps.max)
+    }.toSet
+    val got = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === want)
+  }
+
+  test("streamingQuotaCore: admission count carries across micro-batches; " +
+    "saturated keys stay closed; stragglers drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Events.RawEvent]
+    val name = "graft_stream_quota_test"
+    val q = Events.streamingQuotaCore(input.toDS(), n = 2).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1 deliberately out of order: the sorted scan admits e1@0
+      // (rank 1) and e2@100 (rank 2); e3@200 is over quota.
+      input.addData(Events.RawEvent(3L, 10L, "click", 200L),
+        Events.RawEvent(1L, 10L, "click", 0L),
+        Events.RawEvent(2L, 10L, "click", 100L))
+      q.processAllAvailable()
+      // batch 2: user 10 is saturated -> e4 dropped; e0@50 is a straggler
+      // below the (ms, id) high-water mark -> dropped without touching
+      // the count; fresh user 11 admits e5 at rank 1.
+      input.addData(Events.RawEvent(4L, 10L, "click", 300L),
+        Events.RawEvent(0L, 10L, "click", 50L),
+        Events.RawEvent(5L, 11L, "view", 10L))
+      q.processAllAvailable()
+      val got = s.table(name).collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got === Set((1L, 1L), (2L, 2L), (5L, 1L)))
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("nearestEventJoinOn: bidirectional nearest, |dt| tie -> smaller view_id, " +
+    "tolerance drops unmatched purchases") {
+    val ev = Seq(
+      (1L, 10L, "purchase", 1000L),
+      (2L, 10L, "view", 400L),   // dt 600 looking back
+      (3L, 10L, "view", 1600L),  // dt 600 looking forward -> tie, id 2 wins
+      (4L, 10L, "view", 250L),   // dt 750, farther
+      (5L, 11L, "purchase", 5000L),
+      (6L, 11L, "view", 20000L), // outside tolerance -> purchase 5 unmatched
+      (7L, 12L, "view", 999L)    // another user's view never matches
+    ).toDF("event_id", "user_id", "event_type", "ms")
+    val got = Events.nearestEventJoinOn(ev, toleranceMs = 10000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((10L, 1L, 2L, 600L)))
+  }
+
+  test("rankerAgreement: overlap@k arithmetic against the two rankers' own outputs") {
+    val d = Seq(
+      (0L, "spark spark spark spark x"),
+      (1L, "spark y"),
+      (2L, "z z z z z z z z"),
+      (3L, "shuffle spark a b"),
+      (4L, "hash hash q r s")
+    ).map { case (id, t) => (id, t, "s", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val t = TextAnalysis.tfidfSearch(d, k = 20).collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.bm25Search(d, k = 20).collect().map(_.getLong(0)).toSeq
+    val want = Seq(5, 10, 20).map { k =>
+      val (tk, bk) = (t.take(k).toSet, b.take(k).toSet)
+      val common = (tk & bk).size.toLong
+      (k.toLong, tk.size.toLong, bk.size.toLong, common,
+        BigDecimal(common.toDouble / (tk.size + bk.size - common))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.rankerAgreement(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === want)
+  }
+
+  test("sourceLengthTokenCorr: closed-form Pearson from exact integer moments") {
+    val d = Seq(
+      // sA: y = x/10 exactly -> corr 1.0
+      (0L, "a b c", "sA", "en", 30L), (1L, "a b c d", "sA", "en", 40L),
+      (2L, "a b", "sA", "en", 20L),
+      // sB: anti-correlated lengths
+      (3L, "a b c d e", "sB", "en", 10L), (4L, "a b c", "sB", "en", 20L),
+      (5L, "a", "sB", "en", 30L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    def corr(xs: Seq[(Long, Long)]): Double = {
+      val n = xs.size.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum; val syy = xs.map(p => p._2 * p._2).sum
+      BigDecimal((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.sourceLengthTokenCorr(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("sA", 3L, corr(Seq((30L, 3L), (40L, 4L), (20L, 2L)))),
+      ("sB", 3L, corr(Seq((10L, 5L), (20L, 3L), (30L, 1L))))))
+    assert(got(0)._3 === 1.0 && got(1)._3 < 0)
+  }
+
+  test("minhashErrorAuditFrom: agreement-fraction estimate vs exact jaccard, JVM-recomputed") {
+    val d = Seq(
+      (0L, "w1 w2 w3 w4 w5"),
+      (1L, "w1 w2 w3 w4 w5"),   // exact dup of 0: est = 1, err = 0
+      (2L, "w1 w2 w3 w4 x")     // partial overlap with 0
+    ).map { case (id, t) => (id, t, "s", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    // verified pairs fed directly (the cached-frame fan-in shape)
+    val pairs = Seq((0L, 1L, 1.0), (0L, 2L, 0.5))
+      .toDF("doc_a", "doc_b", "jaccard")
+    def md5h(seed: Long, s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def sig(toks: Seq[String]): Map[Long, Long] = {
+      val sh = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0L to 7L).map(seed => seed -> sh.map(s => md5h(seed, s)).min).toMap
+    }
+    val s0 = sig(Seq("w1", "w2", "w3", "w4", "w5"))
+    val s2 = sig(Seq("w1", "w2", "w3", "w4", "x"))
+    val est02 = (0L to 7L).count(seed => s0(seed) == s2(seed)) / 8.0
+    val got = Dedup.minhashErrorAuditFrom(pairs, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (0L, 1L, 1.0, 1.0, 0.0),
+      (0L, 2L, 0.5, est02,
+        BigDecimal(math.abs(est02 - 0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("eventRateAnomaliesOn: spike against a flat 24h baseline scores z = sqrt(24); " +
+    "cold-start hours are never scored") {
+    // one event per hour for 24h, then a 6-event spike at hour 24
+    val ev = ((0 until 24).map(h => ("click", h * 3600000L)) ++
+      (0 until 6).map(i => ("click", 24 * 3600000L + i))).toDF("event_type", "ms")
+    val got = Events.eventRateAnomaliesOn(ev, lookback = 24, zMin = 2.0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // baseline mean 1, sample std 0 would divide by zero -> use a baseline
+    // with variance: replace hour 0 with a 2-event hour
+    val ev2 = (Seq(("click", 0L), ("click", 1L)) ++
+      (1 until 24).map(h => ("click", h * 3600000L)) ++
+      (0 until 6).map(i => ("click", 24 * 3600000L + i))).toDF("event_type", "ms")
+    val got2 = Events.eventRateAnomaliesOn(ev2, lookback = 24, zMin = 2.0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // s1 = 25, s2 = 27 over the 24 prior hours; z = (6 - 25/24)/sqrt((27 - 625/24)/23)
+    val z = BigDecimal((6.0 - 25.0 / 24.0) /
+      math.sqrt((27.0 - 625.0 / 24.0) / 23.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2 === Seq(("click", 24L, 6L, z)))
+    // the all-flat baseline yields a NaN/zero-variance z, filtered by abs(z) >= zMin
+    assert(got.isEmpty)
+  }
+
+  test("shardBalance: md5 shard assignment + chi-square vs corpus mix, JVM-recomputed") {
+    val d = (0L to 39L).map(i => (i, "t", s"src${i % 2}", "en", 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    def shard(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:shard".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 4
+    }
+    val assign = (0L to 39L).map(i => (shard(i), s"src${i % 2}"))
+    val srcTot = assign.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val want = assign.groupBy(_._1).map { case (sh, xs) =>
+      val nShard = xs.size.toLong
+      val chi2 = srcTot.keys.toSeq.sorted.map { src =>
+        val obs = xs.count(_._2 == src).toDouble
+        val exp = nShard.toDouble * srcTot(src) / 40.0
+        BigDecimal((obs - exp) * (obs - exp) / exp)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (sh, nShard,
+        BigDecimal(chi2.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Curation.shardBalance(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
+  test("quantizationError: round-trip error bounded by the half-step, JVM-recomputed") {
+    val e = Seq(
+      (0L, Array(0.5f, -0.25f, 0.1f), 0L),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0L),   // zero vector: scale 0, zero error
+      (2L, Array(1.0f, -1.0f, 0.003f), 0L)
+    ).toDF("vec_id", "embedding", "label")
+    def expect(v: Array[Float]): (Double, Double, Double) = {
+      val xs = v.map(_.toDouble)
+      val mx = xs.map(math.abs).max
+      val scale = if (mx > 0) 127.0 / mx else 0.0
+      val errs = xs.map(x =>
+        if (scale > 0) math.abs(x - math.floor(x * scale + 0.5) / scale) else math.abs(x))
+      def r(x: Double, s: Int) =
+        BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mean = errs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+      (r(mx, 6), r(errs.max, 9), r(mean, 9))
+    }
+    val got = Similarity.quantizationError(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val want = Seq(
+      (0L, expect(Array(0.5f, -0.25f, 0.1f))),
+      (1L, expect(Array(0.0f, 0.0f, 0.0f))),
+      (2L, expect(Array(1.0f, -1.0f, 0.003f)))
+    ).map { case (id, (a, b, c)) => (id, a, b, c) }
+    assert(got === want)
+    // error never exceeds the half-step bound mx/254 (+ rounding slack)
+    got.filter(_._2 > 0).foreach { case (_, mx, maxErr, _) =>
+      assert(maxErr <= mx / 254.0 + 1e-9) }
+  }
+
+  test("streamingAnomaliesCore: hours close on later-hour arrival, baseline carries " +
+    "across micro-batches, open hour never scores, stragglers drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val H = 3600000L
+    val input = MemoryStream[(String, Long)]
+    val name = "graft_stream_anom_test"
+    val q = Events.streamingAnomaliesCore(input.toDS(), lookback = 3, zMin = 1.0).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: hour 0 (1 event), hour 1 partially (1 event)
+      input.addData(("click", 0L), ("click", H + 1L))
+      q.processAllAvailable()
+      // batch 2: hour 1 completes (2nd event), hour 2 (1), hour 3 (5) —
+      // hours 0,1,2 close along the way with deque < lookback, no score
+      input.addData(("click", H + 2L), ("click", 2 * H), ("click", 3 * H),
+        ("click", 3 * H + 1), ("click", 3 * H + 2), ("click", 3 * H + 3),
+        ("click", 3 * H + 4))
+      q.processAllAvailable()
+      // batch 3: hour 4 opens -> hour 3 closes against baseline
+      // [(0,1),(1,2),(2,1)]; a straggler into closed hour 2 is dropped
+      input.addData(("click", 4 * H), ("click", 2 * H + 5L))
+      q.processAllAvailable()
+      val got = s.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      // s1 = 4, s2 = 6 over the 3 prior hours; z = (5 - 4/3)/sqrt((6 - 16/3)/2)
+      val z = BigDecimal((5.0 - 4.0 / 3.0) / math.sqrt((6.0 - 16.0 / 3.0) / 2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got === Seq(("click", 3L, 5L, z)))
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("eventTransitionsOn: per-user lead pairs, exact conditional probabilities") {
+    val ev = Seq(
+      (1L, 10L, "view", 0L), (2L, 10L, "click", 100L), (3L, 10L, "view", 200L),
+      (4L, 10L, "click", 300L),
+      (5L, 11L, "view", 0L), (6L, 11L, "purchase", 50L),
+      (7L, 12L, "error", 0L)   // single event: no transition
+    ).toDF("event_id", "user_id", "event_type", "ms")
+      .select("user_id", "event_id", "event_type", "ms")
+    val got = Events.eventTransitionsOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // user 10: view->click, click->view, view->click; user 11: view->purchase
+    assert(got === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 2L, 0.666667),
+      ("view", "purchase", 1L, 0.333333)))
+  }
+
+  test("crossLangShingleRatio: only shingles spanning >= 2 languages count; " +
+    "same-lang duplication does not") {
+    val d = Seq(
+      (0L, "a b c d", "en"), // "a b c" shared with de doc -> cross
+      (1L, "a b c x", "de"),
+      (2L, "a b c d", "en")  // exact same-lang dup of 0: "b c d" NOT cross
+    ).map { case (id, t, l) => (id, t, "s", l, t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.crossLangShingleRatio(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq((0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 }
