@@ -185,22 +185,35 @@ object Bench {
     }
     val canaryEnd = canaryPoint()
 
-    // ---- suspects: compare against the newest BENCH_r*.json on disk ----
-    var prevCanaryFloor: Option[Double] = None
-    val prev: Option[(String, Map[String, Double])] = {
+    // ---- suspects: compare against the per-query MIN across ALL stored
+    // BENCH_r*.json files. Scraping only the newest file laundered real
+    // regressions under a contaminated baseline: round 9's file was recorded
+    // under whole-run contention (q43 18.7s vs 2.7s quiet), so round 10's
+    // 2x-inflated values all passed vs that inflated baseline. The min
+    // across every stored round is the same estimator the per-query
+    // min-of-reps already argues: noise is strictly additive, so the
+    // cross-round minimum is the best available quiet-machine floor. The
+    // canary floor uses the identical rule for the same reason.
+    val benchTexts: Seq[(String, String)] = {
       val re = """BENCH_r(\d+)\.json""".r
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap { f => f.getName match {
           case re(n) => Some((n.toInt, f)); case _ => None } }
-      files.sortBy(-_._1).headOption.flatMap { case (_, f) =>
+      files.sortBy(_._1).toSeq.flatMap { case (_, f) =>
         try {
           val src = scala.io.Source.fromFile(f, "UTF-8")
-          val txt = try src.mkString finally src.close()
-          prevCanaryFloor = scrapeCanaryFloor(txt)
-          val m = scrapeQueryTimes(txt)
-          if (m.isEmpty) None else Some((f.getName, m))
+          Some((f.getName, try src.mkString finally src.close()))
         } catch { case _: Throwable => None }
       }
+    }
+    val prevCanaryFloor: Option[Double] = {
+      val floors = benchTexts.flatMap { case (_, txt) => scrapeCanaryFloor(txt) }
+      if (floors.isEmpty) None else Some(floors.min)
+    }
+    val prev: Option[(String, Map[String, Double])] = {
+      val merged = minAcrossRounds(benchTexts.map(_._2))
+      if (merged.isEmpty) None
+      else Some((s"min-of-${benchTexts.size}-rounds(${benchTexts.head._1}..${benchTexts.last._1})", merged))
     }
     def isSuspect(name: String, cur: Double): Boolean =
       prev.exists(_._2.get(name).exists(p => suspectRule(cur, p)))
