@@ -65,6 +65,14 @@ object Bench {
       .filter(_._2 > 0).toMap
   }
 
+  /** Per-query MIN across every stored round's scraped times. Each file may
+    * be partial (driver tail-truncation), so a query's floor comes from
+    * whichever rounds still carry it; a contended round can inflate but never
+    * deflate a min, so one clean round anywhere in history pins the floor.
+    * (BenchGuardSpec pins the contended-newer/clean-older case.) */
+  private[graft] def minAcrossRounds(texts: Seq[String]): Map[String, Double] =
+    texts.flatMap(scrapeQueryTimes).groupMapReduce(_._1)(_._2)(math.min)
+
   /** A query is suspect when its min exceeds 2x the previous round's value
     * AND by >0.5s absolute — the relative gate catches real regressions, the
     * absolute floor keeps sub-second jitter (a 0.1s -> 0.25s wobble) from

@@ -59,6 +59,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.scrapeCanaryFloor("no canary here") === None)
   }
 
+  test("minAcrossRounds: a contended newer round cannot launder a regression " +
+       "past a clean older floor") {
+    // The round-10 failure mode: r9 was recorded under whole-run contention
+    // (q43 18.655s), so r10's still-inflated 6.204s passed vs the NEWEST
+    // file. With the cross-round min, the clean r8 floor (2.7s) is the
+    // baseline and the 6.2s value fires.
+    val r8clean     = """{"queries":{"q43_minhash_neardup":2.700,"q01_pricing_summary":0.190}}"""
+    val r9contended = """{"queries":{"q43_minhash_neardup":18.655,"q01_pricing_summary":0.510}}"""
+    val merged = Bench.minAcrossRounds(Seq(r8clean, r9contended))
+    assert(merged("q43_minhash_neardup") == 2.700)
+    assert(merged("q01_pricing_summary") == 0.190)
+    // r10's 6.204s: clean vs the contended newest (6.2 < 2x18.7) but suspect
+    // vs the true cross-round floor.
+    assert(!Bench.suspectRule(cur = 6.204, prev = 18.655))
+    assert(Bench.suspectRule(cur = 6.204, prev = merged("q43_minhash_neardup")))
+  }
+
+  test("minAcrossRounds: partial (tail-truncated) rounds contribute only the " +
+       "queries they still carry") {
+    val full    = """{"queries":{"q01_a":0.300,"q02_b":1.000}}"""
+    val partial = """tail cut ...\"q02_b\":0.400}"""
+    val merged = Bench.minAcrossRounds(Seq(full, partial))
+    assert(merged == Map("q01_a" -> 0.3, "q02_b" -> 0.4))
+    assert(Bench.minAcrossRounds(Nil).isEmpty)
+  }
+
   test("suspectRule: relative gate, absolute floor, and failure guards") {
     assert(Bench.suspectRule(cur = 6.0, prev = 2.0))     // 3x and +4s: suspect
     assert(!Bench.suspectRule(cur = 3.9, prev = 2.0))    // <2x: clean
