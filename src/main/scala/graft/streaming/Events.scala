@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader only
-    * surfaces via the `nanosAsLong` legacy conf. To keep that conf from
-    * leaking into the caller's session, all event reads go through a
-    * cloned session (shared SparkContext, isolated SQLConf). */
+  /** Fixture generations have encoded `ts` either as TIMESTAMP(NANOS) —
+    * which Spark's reader only surfaces via the `nanosAsLong` legacy conf —
+    * or as plain TIMESTAMP(MICROS). The conf is harmless for micros files,
+    * but to keep it from leaking into the caller's session, all event reads
+    * go through a cloned session (shared SparkContext, isolated SQLConf). */
   private def eventsSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,11 +41,25 @@ object Events {
   private def rawEvents(spark: SparkSession, dir: String): DataFrame =
     eventsSession(spark).read.parquet(s"$dir/events.parquet")
 
-  /** Floor-convert the raw nanosecond longs to the engine-native
-    * microsecond timestamp (`div` keeps it in exact integer arithmetic —
-    * ns values overflow double). */
-  private def convertTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize `ts` to an engine-native TimestampType instant regardless of
+    * the fixture's parquet encoding:
+    *  - TIMESTAMP(NANOS) surfaces as a LongType of epoch nanos under
+    *    `nanosAsLong` → floor-divide to micros (`div` keeps it in exact
+    *    integer arithmetic — ns values overflow double);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+    *    TimestampNTZType → reinterpret the naive value as UTC (every graft
+    *    session pins `spark.sql.session.timeZone=UTC`, and DuckDB's
+    *    `epoch()` makes the same naive-is-UTC choice, so epochs agree);
+    *  - an already-instant TimestampType passes through.
+    * Works identically on batch and streaming frames (schema-only dispatch). */
+  private[graft] def convertTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   private def events(spark: SparkSession, dir: String): DataFrame =
     convertTs(rawEvents(spark, dir))

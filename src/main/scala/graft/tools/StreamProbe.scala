@@ -58,8 +58,8 @@ object StreamProbe {
     var phase = "pre"
     def probeOnce(rep: Int): Unit = {
       val t0 = System.nanoTime()
-      val stream = s2.readStream.schema(schema).parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.streaming.Events.convertTs(
+        s2.readStream.schema(schema).parquet(staged.toString))
       val p = stream.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
         .withWatermark("p_ts", s"$wmSec seconds")

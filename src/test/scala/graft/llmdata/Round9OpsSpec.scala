@@ -257,8 +257,9 @@ class Round9OpsSpec extends AnyFunSuite {
     val got = Events.cumulativeUsers(spark, dir).orderBy("day").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // Reference: expanding distinct-user count per day, from the raw table.
-    val dayUsers = spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("ts div 1000000 div 86400000").as("day"), col("user_id"))
+    val dayUsers = graft.streaming.Events.convertTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val days = dayUsers.map(_._1).distinct.sorted
     val seen = scala.collection.mutable.Set[Long]()

@@ -36,8 +36,7 @@ class StreamingSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = s2.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
-    val batch = s2.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = Events.convertTs(s2.read.parquet(s"$dir/events.parquet"))
       .join(dim, "user_id")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("mktsegment"))
       .agg(count(lit(1)).as("n"))
