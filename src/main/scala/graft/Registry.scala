@@ -2416,7 +2416,69 @@ object Registry {
         |d AS (SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1)
         |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |FROM d ORDER BY day""".stripMargin))
+        |FROM d ORDER BY day""".stripMargin)),
+
+    // Exact substring-level dedup (Lee et al. 2022): maximal runs of >= 50
+    // consecutive tokens duplicated verbatim across documents, via stride-1
+    // 8-token window digests -> kept-if-in->1-docs -> per-doc
+    // gaps-and-islands span merge. The chained-CTE oracle replays every
+    // stage; span_tokens is exact (see Dedup.duplicatedSpans scaladoc).
+    "q184_dup_spans" -> Entry(
+      (s, d) => Dedup.duplicatedSpans(docs(s, d)).orderBy("doc_id", "span_start"), Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i) WHERE len(t) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |d AS (SELECT w.doc_id, w.start_pos,
+        |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.start_pos) AS rn
+        |  FROM w JOIN dup USING (h)),
+        |g AS (SELECT doc_id, start_pos - rn AS grp, min(start_pos) AS span_start,
+        |    max(start_pos) AS span_last, count(*) AS n_windows
+        |  FROM d GROUP BY doc_id, start_pos - rn)
+        |SELECT doc_id, span_start, span_last - span_start + 8 AS span_tokens, n_windows
+        |FROM g WHERE span_last - span_start + 8 >= 50
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // BPE vocabulary learning, 2 merge iterations unrolled (the q94 chained
+    // certification pattern): each step's argmax pair depends on the full
+    // merge application of every preceding step, so a hash match certifies
+    // pair counting, deterministic tiebreak, and the left-to-right
+    // non-overlapping replace. Both engines run the same string fold
+    // (TextAnalysis.bpeMerges scaladoc).
+    "q185_bpe_merges" -> Entry(
+      (s, d) => TextAnalysis.bpeMerges(docs(s, d), steps = 2).orderBy("step"), Some(
+      """WITH v0 AS (
+        |  SELECT piece, count(*) AS freq,
+        |    trim(regexp_replace(piece, '(.)', '\1 ', 'g')) AS symstr
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece FROM documents)
+        |  GROUP BY piece),
+        |p1 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v0),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT sym_a, sym_b, pair_count FROM p1
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |v1 AS (
+        |  SELECT piece, freq,
+        |    list_reduce(string_split(symstr, ' '), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^ ]*$') = sym_a AND x = sym_b
+        |        THEN regexp_replace(acc, '[^ ]*$', '') || sym_a || sym_b
+        |        ELSE acc || ' ' || x END) AS symstr
+        |  FROM v0 CROSS JOIN b1),
+        |p2 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v1),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT sym_a, sym_b, pair_count FROM p2
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, sym_a, sym_b, pair_count FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS step, sym_a, sym_b, pair_count FROM b2
+        |ORDER BY step""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -902,4 +902,62 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
     })
   }
+
+  /** Exact substring-level dedup (the Lee et al. 2022 "exact substring"
+    * modality): find runs of ≥ `minSpanTokens` consecutive tokens that occur
+    * verbatim in MORE THAN ONE document — the memorization driver the
+    * document-grain modalities (exact sha2, shingle-Jaccard, SimHash,
+    * containment, SemDeDup) cannot see, because a 50-token quote inside two
+    * otherwise-unrelated documents moves document similarity barely at all.
+    *
+    * Dataflow, all bucketed — never all-pairs:
+    *  1. stride-1 `windowTokens`-token window digests per document (the
+    *     md5-of-joined-slice digest [[graft.llmdata.Curation.chunkDocuments]]
+    *     uses, at stride 1) — the corpus-size × doc-length row explosion is
+    *     the intended posting volume, exactly MinHash's shingle stage;
+    *  2. a hash-agg keeps digests seen in >1 DISTINCT document (the df>1
+    *     pruning shape of q164's dup-shingle ratio) and a semi-join filters
+    *     each doc's windows to the duplicated ones;
+    *  3. per-document gaps-and-islands (start_pos − row_number is constant
+    *     on a consecutive run) merges overlapping/adjacent duplicated
+    *     windows into maximal spans; the window function partitions by
+    *     doc_id, so no global funnel — per-doc work at any corpus size.
+    * A span of L ≥ windowTokens duplicated tokens yields exactly
+    * L − windowTokens + 1 consecutive duplicated start positions, so
+    * span_tokens = last − first + windowTokens is the exact duplicated run
+    * length (for the pigeonhole converse: every ≥ minSpanTokens duplicated
+    * run contains a duplicated window at every in-run position, so no span
+    * is missed — perfect recall at the window grain, no probabilistic step).
+    *
+    * 100 TB notes: stage 2's digest agg combines map-side (32-byte keys);
+    * at petabyte scale the window digest would move to a fixed-width
+    * 8-byte rolling hash (q68's machinery) and the HAVING>1 agg to a
+    * bloom-pre-filtered two-pass — the plan shape is unchanged. */
+  def duplicatedSpans(docs: DataFrame, windowTokens: Int = 8,
+      minSpanTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2 && minSpanTokens >= windowTokens)
+    val w = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - windowTokens + 1)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i").cast("long").as("start_pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(windowTokens)))).as("h"))
+    val dupHashes = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select("h")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start_pos")
+    w.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("grp", col("start_pos") - col("rn"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start_pos")).as("span_start"),
+        max(col("start_pos")).as("span_last"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_last") - col("span_start") + windowTokens)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"), col("n_windows"))
+  }
 }

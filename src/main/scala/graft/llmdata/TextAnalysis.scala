@@ -109,6 +109,66 @@ object TextAnalysis {
       size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"))
   }
 
+  /** Exact BPE trainer iterations, unrolled to `steps` merges — the
+    * vocabulary-learning step that [[bpeTokenStats]]' pre-split feeds. Each
+    * iteration is the textbook algorithm: count adjacent symbol pairs
+    * weighted by word frequency, pick the most frequent pair (deterministic
+    * tiebreak: count desc, then lexicographic sym_a, sym_b), replace its
+    * adjacent occurrences left-to-right non-overlapping in every word, and
+    * recount. Returns the merge table — one row per step with the chosen
+    * pair and its count — which certifies the whole chain exactly the way
+    * q94 certifies chained IPF sweeps: step k's argmax is a function of
+    * every preceding merge application over the full vocabulary.
+    *
+    * Representation: a word's symbol sequence is a single space-joined
+    * string (symbols never contain spaces — [[bpePattern]] pieces exclude
+    * them), so the left-to-right merge is a string fold both engines run
+    * identically: if the fold's last emitted symbol equals sym_a and the
+    * next symbol is sym_b, rewrite the tail, else append. Greedy
+    * non-overlap falls out of the fold — after "a a a" merges its first
+    * two symbols under (a,a), the new last symbol "aa" no longer equals
+    * "a", so the third survives (standard BPE replace semantics).
+    *
+    * Scale: trainer state is the VOCABULARY (distinct pieces + counts),
+    * never the corpus — the classic reason BPE training is cheap next to
+    * the scan that produced the counts. Per step: one vocab-sized
+    * hash-agg, a 1-row argmax broadcast back (whitelisted tiny-side cross
+    * join), and a per-word O(len) fold. */
+  def bpeMerges(docs: DataFrame, steps: Int = 2): DataFrame = {
+    require(steps >= 1)
+    var vocab = docs
+      .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("freq"))
+      // "abc" -> "a b c": one spaced symbol per character
+      .withColumn("symstr", trim(regexp_replace(col("piece"), "(.)", "$1 ")))
+    val merges = (1 to steps).map { k =>
+      val s = split(col("symstr"), " ")
+      val best = vocab
+        .select(col("freq"),
+          explode(when(size(s) >= 2,
+            transform(sequence(lit(1), size(s) - 1),
+              i => struct(element_at(s, i).as("sym_a"), element_at(s, i + 1).as("sym_b"))))
+            .otherwise(array().cast("array<struct<sym_a:string,sym_b:string>>"))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(desc("pair_count"), col("sym_a"), col("sym_b"))
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("symstr", expr(
+          """aggregate(split(symstr, ' '), '', (acc, x) ->
+            |  CASE WHEN acc = '' THEN x
+            |       WHEN substring_index(acc, ' ', -1) = sym_a AND x = sym_b
+            |         THEN concat(substring(acc, 1,
+            |                length(acc) - length(substring_index(acc, ' ', -1))),
+            |              sym_a, sym_b)
+            |       ELSE concat(acc, ' ', x) END)""".stripMargin))
+        .select("piece", "freq", "symstr")
+      best.withColumn("step", lit(k.toLong))
+        .select("step", "sym_a", "sym_b", "pair_count")
+    }
+    merges.reduce(_ union _)
+  }
+
   /** Distinct word-k-shingle count per document (the MinHash front end). */
   def shingleStats(docs: DataFrame, k: Int = 3): DataFrame =
     // Tokens in a named column: element_at inside the shingle lambda

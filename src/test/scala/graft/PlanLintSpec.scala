@@ -52,7 +52,9 @@ class PlanLintSpec extends AnyFunSuite {
                                // 3-row cutoff grid against the ≤40-row rank join
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
-    "q181_rrf_fusion")         // 1-row scalar broadcasts in both upstream rankers
+    "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers
+    "q185_bpe_merges")         // 1-row argmax-pair frame broadcast into each
+                               // vocab-sized merge application (2 steps)
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
