@@ -23,9 +23,16 @@ object Ipf {
   /** Inferred `optimize-marginal` (`core.clj:82-87`; see SURVEY.md §0). */
   def fitRows(marginal: DataFrame, m: CooMatrix): CooMatrix = m.fitRows(marginal)
 
-  /** One IPF sweep. Reference `step` (`core.clj:89-97`). */
+  /** One IPF sweep. Reference `step` (`core.clj:89-97`). Uses the one-pass
+    * window fit ([[CooMatrix.fitRowsOnePass]]): each fit consumes the
+    * matrix once, so a sweep is one narrow chain (two keyed window sums +
+    * two broadcast joins) instead of the agg+join shape whose double
+    * consumption doubles the plan per fit; within the loop's checkpoint
+    * segments that halves both planning and recompute. Last-ulp sum-order
+    * differences vs the hash agg are inside the loop's loss tolerances
+    * (IpfSpec pins dense-mirror parity at 1e-8). */
   def step(x: DataFrame, y: DataFrame, m: CooMatrix): CooMatrix =
-    fitRows(y, fitRows(x, m).transpose).transpose
+    m.fitRowsOnePass(x).transpose.fitRowsOnePass(y).transpose
 
   /** Reference `converge` (`core.clj:99-119`) with its exact stopping
     * semantics: stop when loss < threshold (fit good enough), |Δloss| <

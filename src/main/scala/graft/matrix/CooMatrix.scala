@@ -104,6 +104,54 @@ final case class CooMatrix(df: DataFrame) {
         .select(df(Row), df(Col), (df(Value) * col(Factor)).as(Value)))
   }
 
+  /** [[fitRowsExact]] computed in ONE pass over the matrix: the decimal
+    * row-sum denominator comes from a window aggregate partitioned by
+    * `row` instead of a groupBy + self-join, and the marginal (one row per
+    * fitted index — always the small side) is broadcast. Bit-identical to
+    * [[fitRowsExact]]: a decimal sum is order-independent, so window and
+    * hash aggregation produce the same denominator, and the factor keeps
+    * the same float association (`target / rowsum`, then `value * factor`).
+    *
+    * Why it exists: each [[fitRowsExact]] consumes its input TWICE (agg
+    * subtree + join probe), so an unrolled chain of k fits doubles the
+    * logical plan per fit — 2^k leaves, super-linear planning AND
+    * execution that lineage checkpoints only cap at ~2s per truncation
+    * barrier (measured; see tools/UnrollProbe). A window fit consumes its
+    * input once, so a k-fit chain stays a linear narrow plan: 2/4/8
+    * unrolled sweeps measured 0.99/1.13/1.06s at sf0.1 vs 2.2/6.1/10.2s
+    * for the checkpointed agg+join chain.
+    *
+    * Scale tradeoff, scaladoc'd deliberately: WindowExec buffers one
+    * partition group at a time through a spillable row array, so a fitted
+    * dimension whose co-dimension is huge (billions of cells in one row)
+    * degrades to disk spill where [[fitRowsExact]]'s hash agg combines
+    * map-side; and the broadcast needs the marginal to fit on the driver.
+    * Iterative certification chains over bounded matrices (IPF sweeps:
+    * |parts|×|months|) want THIS shape; one-shot fits on arbitrary
+    * matrices keep the agg+join. */
+  /** [[fitRows]] computed in one pass (window row-sum + broadcast
+    * marginal), the general-precision sibling of [[fitRowsExactOnePass]].
+    * Double window sums and double hash-agg sums can differ in the last
+    * ulps (combine order), so this is for paths checked by envelope or
+    * tolerance (the q26 convergence loop), not the hash-certified chains. */
+  def fitRowsOnePass(marginal: DataFrame): CooMatrix = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(Row)
+    CooMatrix(df
+      .withColumn(RowSum, sum(df(Value)).over(w))
+      .join(broadcast(marginal.select(col(Idx).as(Row), col(Value).as(Target))), Row)
+      .select(col(Row), col(Col),
+        (col(Value) * (col(Target) / col(RowSum))).as(Value)))
+  }
+
+  def fitRowsExactOnePass(marginal: DataFrame, sumScale: Int = 6): CooMatrix = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(Row)
+    CooMatrix(df
+      .withColumn(RowSum, sum(df(Value).cast(DecimalType(38, sumScale))).over(w).cast("double"))
+      .join(broadcast(marginal.select(col(Idx).as(Row), col(Value).as(Target))), Row)
+      .select(col(Row), col(Col),
+        (col(Value) * (col(Target) / col(RowSum))).as(Value)))
+  }
+
   /** Element-wise combine on the intersection of supports (inner join on
     * (row, col)). Covers the reference's positional zips: `apply-weights`
     * products, `error-matrix` |p−q| (`core.clj:129-132`), safe division

@@ -294,13 +294,21 @@ object Queries {
     * iterative driver (loss-lag stopping, checkpoint cadence) as rows-only.
     *
     * Cross-engine determinism, compounding over sweeps: every fit is
-    * [[CooMatrix.fitRowsExact]] — the factor denominator aggregates through
-    * DECIMAL(38,6), so it is order-independent and equals DuckDB's decimal
-    * sum exactly — and every fit's output is rounded to 6dp before the next
-    * fit consumes it, so both engines re-enter each sweep from identical
-    * 6dp-representable cells. Transposes are pure projections; the plan is
-    * 2·steps (agg + broadcast-able join) pairs, the same shape per sweep as
-    * the production [[ipfConverge]] loop. */
+    * [[CooMatrix.fitRowsExactOnePass]] — the factor denominator aggregates
+    * through DECIMAL(38,6) (window sum == hash-agg sum for decimals, both
+    * equal DuckDB's), with the factor association (`target/rowsum`, then
+    * `value*factor`) identical to [[CooMatrix.fitRowsExact]] — and every
+    * fit's output is rounded to 6dp before the next fit consumes it, so
+    * both engines re-enter each sweep from identical 6dp-representable
+    * cells.
+    *
+    * Plan shape: the one-pass fit consumes the matrix ONCE, so the whole
+    * unrolled chain is a linear narrow plan — no lineage checkpoints, no
+    * 2^k leaf doubling. Measured at sf0.1 (warm): steps 2/4/8 →
+    * 0.99/1.13/1.06s, vs 2.2/6.1/10.2s for the former agg+join chain with
+    * every-2nd-sweep checkpoints (the round-10 "weak" q94/q121 cost; the
+    * ~2s nonlinearity at each truncation barrier was the checkpoint
+    * itself — see tools/UnrollProbe). */
   def ipfUnrolled(s: SparkSession, dir: String, steps: Int = 2): DataFrame = {
     val li = t(s, dir, "lineitem")
     val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))
@@ -308,20 +316,9 @@ object Queries {
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
     var m = asCoo(cooExact(s, dir, "l_extendedprice"))
-    for (k <- 1 to steps) {
-      m = m.fitRowsExact(x).mapValues(round(_, 6))
-      m = m.transpose.fitRowsExact(y).mapValues(round(_, 6)).transpose
-      // Each fitRowsExact consumes its input TWICE (row-sum agg + the
-      // factor join), so an unchained unroll doubles the logical plan per
-      // fit — 2^(2·steps) base-scan leaves by steps=4, and ReuseExchange
-      // only recovers part of it (measured 9.9s vs 1.5s for steps 4 vs 2
-      // at sf0.1). A lineage checkpoint every SECOND sweep caps segments
-      // at the 2-sweep plan Catalyst handles well and makes growth linear
-      // (steps=4: 9.9s unchained, 4.5s per-sweep, 4.2s every-2nd at
-      // sf0.1, warm min-of-3). Values are 6dp-rounded at every fit, so
-      // materialization cannot change a bit of the result; the last sweep
-      // stays unmaterialized for the consumer to stream.
-      if (k % 2 == 0 && k < steps) m = m.checkpointed()
+    for (_ <- 1 to steps) {
+      m = m.fitRowsExactOnePass(x).mapValues(round(_, 6))
+      m = m.transpose.fitRowsExactOnePass(y).mapValues(round(_, 6)).transpose
     }
     named(m)
   }
@@ -348,18 +345,20 @@ object Queries {
     // join/agg lineage costs more in planning than the saved
     // materialization barriers.)
     //
-    // COST ENVELOPE (round-10 IpfSweepProbe, warm JVM, sf0.1, local[32]) —
-    // the baseline future drift in the bench's slowest query is judged
-    // against. Total wall is linear in sweeps:
-    //   total ≈ 0.75s fixed + 0.71s/sweep + 0.62s per loss barrier
-    // measured as: maxIter 2/4/8 → 2.15/3.59/6.40s (slope 0.71); 7 extra
-    // loss barriers (lossEvery 1 vs 100) → +4.35s (0.62 each); checkpoint
-    // cadence 1 vs 2 → +0.45s over the run (~0.1s per extra checkpoint).
-    // Shipped config (ck=2, loss=5, 8 sweeps, 2 in-loop + 1 final loss)
-    // lands at ~6.4-7s warm. A future q26 outside ~6-9s at sf0.1 with
-    // these knobs means a phase regressed — re-run IpfSweepProbe and
-    // attribute by slope (sweep cost) vs intercept shift (loss/checkpoint
-    // cost) before tuning anything.
+    // COST ENVELOPE (round-12 IpfSweepProbe, warm JVM, sf0.1, local[32],
+    // one-pass window sweeps) — the baseline future drift in the bench's
+    // slowest query is judged against. Total wall is linear in sweeps:
+    //   total ≈ 0.9s fixed + 0.55s/sweep + 0.63s per loss barrier
+    // measured as: maxIter 2/4/8 → 2.27/2.88/5.10s (slope 0.55); 7 extra
+    // loss barriers (lossEvery 1 vs 100) → +4.43s (0.63 each); checkpoint
+    // cadence 1 vs 2 within noise (5.25 vs 5.10). Round-10's agg+join
+    // sweeps measured 0.71s/sweep, 6.40s total — the one-pass step
+    // (Ipf.step scaladoc) is where the saving came from. Shipped config
+    // (ck=2, loss=5, 8 sweeps, 2 in-loop + 1 final loss) lands at ~5-6s
+    // warm. A future q26 outside ~5-8s at sf0.1 with these knobs means a
+    // phase regressed — re-run IpfSweepProbe and attribute by slope
+    // (sweep cost) vs intercept shift (loss/checkpoint cost) before
+    // tuning anything.
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
       checkpointEvery = 2, lossEvery = 5)
     named(r.matrix, roundTo = 4)
