@@ -658,6 +658,11 @@ object Registry {
     "q60_als_recommend" -> Entry((s, d) =>
       AlsRecommender.recommendTopKOn(s, d).orderBy("user", "rank"), None),
 
+    // Model-based quality filter (rows-only like ALS: L-BFGS outputs are
+    // iterative-float; the held-out AUC envelope is QualityClassifierSpec).
+    "q186_quality_classifier" -> Entry((s, d) =>
+      graft.ml.QualityClassifier.scoreDocs(s, d).orderBy("doc_id"), None),
+
     "q61_als_eval" -> Entry((s, d) => {
       // Held-out fit quality as a 1-row result (rows-only for the driver;
       // the pinned quality envelope is asserted in AlsSpec).
@@ -1963,6 +1968,44 @@ object Registry {
         |SELECT CAST(p.c_id AS BIGINT) AS cluster, CAST(p.pos AS BIGINT) AS pos,
         |  round(avg(p.v), 6) AS centroid_v, CAST(any_value(m.n) AS BIGINT) AS n_members
         |FROM pts p JOIN members m ON p.c_id = m.c_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Two chained Lloyd sweeps (the q94 unroll pattern on q167): sweep 2
+    // re-assigns against sweep 1's 6dp centroids and recomputes means,
+    // certifying the repeated composition the k-means loop iterates.
+    "q187_lloyd_two_step" -> Entry(
+      (s, d) => Similarity.lloydTwoStep(emb(s, d)), Some(
+      """WITH seeds AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings),
+        |scored AS (SELECT vec_id, c_id,
+        |  round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS cosine
+        | FROM e CROSS JOIN seeds),
+        |best AS (SELECT vec_id, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, c_id FROM best WHERE rn = 1),
+        |pts AS (SELECT a.c_id, x.pos, x.v FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |           unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v) x),
+        |cents1 AS (SELECT c_id, list(round(avg_v, 6) ORDER BY pos) AS ce FROM (
+        |  SELECT c_id, pos, avg(v) AS avg_v FROM pts GROUP BY 1, 2) GROUP BY 1),
+        |scored2 AS (SELECT e.vec_id, c.c_id,
+        |  round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS cosine
+        | FROM e CROSS JOIN cents1 c),
+        |best2 AS (SELECT vec_id, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn FROM scored2),
+        |assign2 AS (SELECT vec_id, c_id FROM best2 WHERE rn = 1),
+        |members2 AS (SELECT c_id, count(*) AS n FROM assign2 GROUP BY 1),
+        |pts2 AS (SELECT a.c_id, x.pos, x.v FROM assign2 a JOIN embeddings em ON a.vec_id = em.vec_id,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |           unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v) x)
+        |SELECT CAST(p.c_id AS BIGINT) AS cluster, CAST(p.pos AS BIGINT) AS pos,
+        |  round(avg(p.v), 6) AS centroid_v, CAST(any_value(m.n) AS BIGINT) AS n_members
+        |FROM pts2 p JOIN members2 m ON p.c_id = m.c_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // SemDeDup: cluster-bounded cosine pairs, keep-lowest-id drop rule.

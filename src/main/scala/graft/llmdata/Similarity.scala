@@ -217,8 +217,35 @@ object Similarity {
     * re-joined by vec_id for the posexplode → (cluster, pos) hash agg
     * (map-side combined, shuffles cluster×dim cells, not vectors). Each
     * cosine is one codegen'd [[graft.functions.ArrayDotProduct]]. */
-  def lloydStep(emb: DataFrame, kClusters: Int = 8): DataFrame = {
-    val assigned = assignToSeeds(emb, kClusters)
+  def lloydStep(emb: DataFrame, kClusters: Int = 8): DataFrame =
+    centroidUpdate(emb, assignToSeeds(emb, kClusters)).orderBy("cluster", "pos")
+
+  /** Nearest-deterministic-seed assignment shared by [[lloydStep]] and
+    * [[semanticDedup]]: seeds = the first `kClusters` vectors by vec_id,
+    * every vector goes to its max-cosine seed (rounded cosine, c_id
+    * tiebreak — the q159 rule). The seed frame broadcasts; the per-vector
+    * argmax window carries only (vec_id, c_id, cosine). */
+  private def assignToSeeds(emb: DataFrame, kClusters: Int): DataFrame =
+    assignTo(emb, emb.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").cast("long").as("c_id"),
+        VectorOps.asDouble(col("embedding")).as("ce")))
+
+  /** Max-cosine assignment against an arbitrary (c_id, ce) centroid frame
+    * (broadcast — k rows); the argmax rule of [[assignToSeeds]]. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+  }
+
+  /** Per-cluster element-wise mean centroids of an assignment, with member
+    * counts — [[lloydStep]]'s update half, shared with [[lloydTwoStep]]. */
+  private def centroidUpdate(emb: DataFrame, assigned: DataFrame): DataFrame = {
     val members = assigned.groupBy("c_id").agg(count(lit(1)).as("n_members"))
     assigned
       .join(emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe")), "vec_id")
@@ -227,26 +254,28 @@ object Similarity {
       .join(members, "c_id")
       .select(col("c_id").as("cluster"), (col("pos0") + 1).cast("long").as("pos"),
         col("centroid_v"), col("n_members"))
-      .orderBy("cluster", "pos")
   }
 
-  /** Nearest-deterministic-seed assignment shared by [[lloydStep]] and
-    * [[semanticDedup]]: seeds = the first `kClusters` vectors by vec_id,
-    * every vector goes to its max-cosine seed (rounded cosine, c_id
-    * tiebreak — the q159 rule). The seed frame broadcasts; the per-vector
-    * argmax window carries only (vec_id, c_id, cosine). */
-  private def assignToSeeds(emb: DataFrame, kClusters: Int): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < kClusters)
-      .select(col("vec_id").cast("long").as("c_id"),
-        VectorOps.asDouble(col("embedding")).as("ce"))
-    val scored = emb
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("qe"))
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("c_id"),
-        round(VectorOps.cosine(col("qe"), col("ce")), 6).as("cosine"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+  /** TWO chained Lloyd sweeps, hash-certified — the q94-pattern unroll of
+    * the k-means training loop that [[lloydStep]] certifies one sweep of:
+    * sweep 2 re-assigns every vector to sweep 1's (6dp-rounded) centroids
+    * and recomputes the means, so a hash match certifies the REPEATED
+    * composition — assignment against learned (non-seed) centroids,
+    * cluster membership churn, empty-cluster dropout — that the live loop
+    * ([[ivfIndex]]'s k-means) iterates. Both engines re-enter sweep 2 from
+    * identical 6dp-representable centroids; the sweep-1-to-2 pack of
+    * (cluster, pos, v) rows into dense centroid arrays is an order-pinned
+    * `array_sort(collect_list(struct(pos, v)))`.
+    *
+    * Shape: same as [[lloydStep]] twice — k-row centroid frames broadcast
+    * into n×k scored frames (never n²), map-side-combined mean aggs. */
+  def lloydTwoStep(emb: DataFrame, kClusters: Int = 8): DataFrame = {
+    val c1 = centroidUpdate(emb, assignToSeeds(emb, kClusters))
+    val cents1 = c1
+      .groupBy(col("cluster").as("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_v")))),
+        x => x.getField("centroid_v")).as("ce"))
+    centroidUpdate(emb, assignTo(emb, cents1)).orderBy("cluster", "pos")
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

@@ -22,7 +22,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q95_fuzzy_contamination",  // MinHashLSH fit + settle on construction
     "q99_neardup_components",   // label-propagation loop runs on construction; shape pinned in DedupSpec
     "q101_neardup_dedup",       // composes q99's eager loop
-    "q113_stream_enrich")       // streaming settle on construction
+    "q113_stream_enrich",       // streaming settle on construction
+    "q186_quality_classifier")  // LR fit on construction; AUC envelope in
+                                // QualityClassifierSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -46,6 +48,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q165_importance_weights", // 1-row (nr_tot, v, nt_tot) scalar frame broadcast back
     "q166_bm25_search",        // 1-row (N, avgdl) scalar frame broadcast back
     "q167_lloyd_step",         // kClusters-row seed frame broadcast against the corpus
+    "q187_lloyd_two_step",     // the same k-row broadcast, twice (chained sweeps)
     "q168_semantic_dedup",     // kClusters-row seed frame broadcast against the corpus
     "q169_perplexity_buckets", // composes q119's 1-row corpus-total broadcast
     "q172_ranker_agreement",   // 1-row scalar broadcasts in both rankers + the
