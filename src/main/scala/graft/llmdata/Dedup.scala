@@ -862,7 +862,14 @@ object Dedup {
     * Settles equal to the batch twin: [[minhashMd5Pairs]] restricted to
     * pairs whose older side is history and newer side is the final batch
     * (band keys are per-document — min over the doc's OWN shingles — so
-    * indexing history separately from the full corpus changes nothing). */
+    * indexing history separately from the full corpus changes nothing).
+    *
+    * COST ENVELOPE (round-12 tools/SettleProbe, sf0.1, local[32], warm
+    * min-of-3): end-to-end 3.99s = 0.21s staging write + 0.44s micro-batch
+    * harness (null-drain floor) + ~3.3s query logic, dominated by building
+    * and broadcasting the history index (minhash signatures + shingle sets
+    * over ~99% of the corpus). Future drift: re-run SettleProbe and
+    * attribute by phase — only the residual is this operator's plan. */
   def streamingHistoryNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchSize: Long = 100L, numHashes: Int = 8, bandRows: Int = 2,
       k: Int = 3, simThreshold: Double = 0.5): DataFrame = {

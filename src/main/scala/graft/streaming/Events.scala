@@ -624,7 +624,13 @@ object Events {
     * state store scales with the key space; key churn takes the same
     * EventTimeTimeout eviction as [[statefulUserStatsTtl]] (a saturated
     * key whose state is evicted and later re-keyed would re-admit — the
-    * documented TTL trade-off). */
+    * documented TTL trade-off).
+    *
+    * COST ENVELOPE (round-12 tools/SettleProbe, sf0.1, local[32], warm
+    * min-of-3): end-to-end 1.06s = 0.61s micro-batch harness (the events
+    * null-drain floor — source listing, offset log, sink) + ~0.45s quota
+    * core. Most of this query's bench time is the settle machinery, not
+    * the stateful operator; attribute drift with SettleProbe first. */
   def streamingQuota(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
     settle(spark, dir, stream => {
       val s2 = stream.sparkSession
