@@ -2521,7 +2521,54 @@ object Registry {
         |SELECT CAST(1 AS BIGINT) AS step, sym_a, sym_b, pair_count FROM b1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS step, sym_a, sym_b, pair_count FROM b2
-        |ORDER BY step""".stripMargin))
+        |ORDER BY step""".stripMargin)),
+
+    // Tokenizer application: encode the corpus with q185's learned
+    // 2-merge vocabulary — per doc, pre-split piece count and post-merge
+    // BPE token count. One vocab equi-join + one hash agg; the oracle
+    // replays the full train-then-encode chain.
+    "q188_bpe_encode" -> Entry(
+      (s, d) => TextAnalysis.bpeEncode(docs(s, d), steps = 2).orderBy("doc_id"), Some(
+      """WITH v0 AS (
+        |  SELECT piece, count(*) AS freq,
+        |    trim(regexp_replace(piece, '(.)', '\1 ', 'g')) AS symstr
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece FROM documents)
+        |  GROUP BY piece),
+        |p1 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v0),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT sym_a, sym_b FROM p1
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |v1 AS (
+        |  SELECT piece, freq,
+        |    list_reduce(string_split(symstr, ' '), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^ ]*$') = sym_a AND x = sym_b
+        |        THEN regexp_replace(acc, '[^ ]*$', '') || sym_a || sym_b
+        |        ELSE acc || ' ' || x END) AS symstr
+        |  FROM v0 CROSS JOIN b1),
+        |p2 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v1),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT sym_a, sym_b FROM p2
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |v2 AS (
+        |  SELECT piece,
+        |    list_reduce(string_split(symstr, ' '), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^ ]*$') = sym_a AND x = sym_b
+        |        THEN regexp_replace(acc, '[^ ]*$', '') || sym_a || sym_b
+        |        ELSE acc || ' ' || x END) AS symstr
+        |  FROM v1 CROSS JOIN b2),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece FROM documents)
+        |SELECT doc_id, count(*) AS n_pieces,
+        |  CAST(sum(len(string_split(v2.symstr, ' '))) AS BIGINT) AS n_bpe_tokens
+        |FROM d JOIN v2 USING (piece)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

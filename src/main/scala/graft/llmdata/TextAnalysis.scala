@@ -134,7 +134,14 @@ object TextAnalysis {
     * the scan that produced the counts. Per step: one vocab-sized
     * hash-agg, a 1-row argmax broadcast back (whitelisted tiny-side cross
     * join), and a per-word O(len) fold. */
-  def bpeMerges(docs: DataFrame, steps: Int = 2): DataFrame = {
+  def bpeMerges(docs: DataFrame, steps: Int = 2): DataFrame =
+    bpeChain(docs, steps)._2.reduce(_ union _)
+
+  /** The learned vocabulary (piece → merged symbol sequence) after `steps`
+    * merges, plus the per-step merge table — the shared core of
+    * [[bpeMerges]] (the trainer certification) and [[bpeEncode]] (the
+    * tokenizer application). */
+  private def bpeChain(docs: DataFrame, steps: Int): (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1)
     var vocab = docs
       .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("piece"))
@@ -166,7 +173,26 @@ object TextAnalysis {
       best.withColumn("step", lit(k.toLong))
         .select("step", "sym_a", "sym_b", "pair_count")
     }
-    merges.reduce(_ union _)
+    (vocab, merges)
+  }
+
+  /** Tokenizer APPLICATION: encode every document with the vocabulary
+    * [[bpeMerges]] learned — per doc, the pre-split piece count and the
+    * post-merge BPE token count (Σ symbols over its pieces). The encode is
+    * a vocab equi-join, not a re-fold per occurrence: the trainer already
+    * computed each DISTINCT piece's merged form, so scoring the corpus is
+    * one join + one hash agg — the vocab-sized/corpus-sized asymmetry that
+    * makes BPE encoding cheap at 100 TB. n_bpe_tokens strictly decreases
+    * as merges apply; q111's unmerged piece counts are the steps=0
+    * baseline. */
+  def bpeEncode(docs: DataFrame, steps: Int = 2): DataFrame = {
+    val (vocab, _) = bpeChain(docs, steps)
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("piece"))
+      .join(vocab.select(col("piece"),
+        size(split(col("symstr"), " ")).cast("long").as("n_syms")), "piece")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"), sum("n_syms").as("n_bpe_tokens"))
   }
 
   /** Distinct word-k-shingle count per document (the MinHash front end). */

@@ -56,8 +56,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers
-    "q185_bpe_merges")         // 1-row argmax-pair frame broadcast into each
+    "q185_bpe_merges",         // 1-row argmax-pair frame broadcast into each
                                // vocab-sized merge application (2 steps)
+    "q188_bpe_encode")         // composes q185's 1-row argmax broadcasts
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -71,6 +71,18 @@ class Round12OpsSpec extends AnyFunSuite {
       (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
   }
 
+  test("bpeEncode: the learned 2-merge vocab compresses exactly as hand-computed") {
+    // After merges (a,a) then (a,b): "aaab" -> [aa, ab] (2 tokens),
+    // "ab" -> [ab] (1). Doc 0 = aaab aaab ab: 3 pieces, 2+2+1 = 5 BPE
+    // tokens (from 4+4+2 = 10 chars).
+    val d = Seq((0L, "aaab aaab ab", "s", "en", 1L),
+                (1L, "ab ab", "s", "en", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = TextAnalysis.bpeEncode(d, steps = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 3L, 5L), (1L, 2L, 2L)))
+  }
+
   test("bpeMerges: deterministic tiebreak picks the lexicographically smallest pair") {
     // "ab" x2 and "cd" x2: both pairs count 2 -> (a,b) wins on sym_a.
     val d = Seq((0L, "ab cd ab cd", "s", "en", 1L))
