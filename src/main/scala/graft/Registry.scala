@@ -663,6 +663,11 @@ object Registry {
     "q186_quality_classifier" -> Entry((s, d) =>
       graft.ml.QualityClassifier.scoreDocs(s, d).orderBy("doc_id"), None),
 
+    // PCA reduction of the embedding space (rows-only: eigensolver floats;
+    // algebraic contracts pinned in EmbeddingPcaSpec).
+    "q190_embedding_pca" -> Entry((s, d) =>
+      graft.ml.EmbeddingPca.project(s, d).orderBy("vec_id"), None),
+
     "q61_als_eval" -> Entry((s, d) => {
       // Held-out fit quality as a 1-row result (rows-only for the driver;
       // the pinned quality envelope is asserted in AlsSpec).
@@ -1266,6 +1271,23 @@ object Registry {
         | round(CAST(sum(CAST(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
         |     AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM tok JOIN wc USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // First-order (bigram) LM score with Laplace smoothing — the
+    // word-ORDER-sensitive upgrade of q119's bag model.
+    "q189_bigram_logprob" -> Entry(
+      (s, d) => TextAnalysis.bigramLogprob(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i-1] AS a, t[i] AS b
+        |  FROM toks, unnest(range(2, len(t) + 1)) u(i) WHERE len(t) >= 2),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS term FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(CAST(sum(CAST(ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12)))
+        |     AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // bucket = binary-digit count - 1 (integer-exact floor(log2); a libm

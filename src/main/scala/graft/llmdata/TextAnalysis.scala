@@ -459,6 +459,43 @@ object TextAnalysis {
         round(col("sum_lp") / col("n_tokens").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Per-document average bigram log-likelihood under the corpus bigram LM
+    * with add-1 (Laplace) smoothing: avg over a doc's (w_{i-1}, w_i) pairs
+    * of ln((c(a,b) + 1) / (c(a) + V)) — the first-order upgrade of
+    * [[unigramLogprob]]'s bag model, sensitive to word ORDER (scrambled
+    * text scores low even when its unigrams are common; the perplexity
+    * filter CCNet's 5-gram LM approximates). Docs with < 2 tokens have no
+    * bigrams and are absent.
+    *
+    * Determinism: each ln passes through DECIMAL(28,12) before the sum
+    * (the q119 rule) so the reduction is order-independent and the 12dp
+    * quantization absorbs last-ulp libm differences across engines.
+    * Shape: bigram explode → two hash aggs (c_ab, then c_a derived from
+    * c_ab — never a second corpus pass) → equi-joins back + a 1-row
+    * vocab-size broadcast. All map-side-combining aggs; bigram volume ≈
+    * token volume, never V². */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(2), size(col("toks"))),
+          i => struct(element_at(col("toks"), i - 1).as("a"),
+            element_at(col("toks"), i).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(cab, Seq("a", "b")).join(ca, "a").crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
     * split each language's documents into head/middle/tail terciles by

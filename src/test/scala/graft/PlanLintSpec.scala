@@ -23,8 +23,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q99_neardup_components",   // label-propagation loop runs on construction; shape pinned in DedupSpec
     "q101_neardup_dedup",       // composes q99's eager loop
     "q113_stream_enrich",       // streaming settle on construction
-    "q186_quality_classifier")  // LR fit on construction; AUC envelope in
+    "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
+    "q190_embedding_pca")       // PCA fit on construction; contracts in
+                                // EmbeddingPcaSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -58,7 +60,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers
     "q185_bpe_merges",         // 1-row argmax-pair frame broadcast into each
                                // vocab-sized merge application (2 steps)
-    "q188_bpe_encode")         // composes q185's 1-row argmax broadcasts
+    "q188_bpe_encode",         // composes q185's 1-row argmax broadcasts
+    "q189_bigram_logprob")     // 1-row vocab-size aggregate broadcast back
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -83,6 +83,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 3L, 5L), (1L, 2L, 2L)))
   }
 
+  test("bigramLogprob: word order moves the score where the unigram model is blind") {
+    // Docs 0 and 1 share the same token MULTISET; doc 0 repeats the
+    // corpus-frequent order "a b", doc 1 scrambles it. Unigram logprob is
+    // identical by construction; the bigram model must rank doc 0 higher.
+    val d = Seq(
+      (0L, "a b a b a b", "s", "en", 1L),
+      (1L, "b a a b b a", "s", "en", 1L),
+      (2L, "a b a b", "s", "en", 1L),
+      (3L, "x", "s", "en", 1L)                       // single token: no bigrams
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val uni = TextAnalysis.unigramLogprob(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(0L) === uni(1L))
+    val got = TextAnalysis.bigramLogprob(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L))  // doc 3 absent
+    assert(byDoc(0L) > byDoc(1L),
+      s"bigram LM did not prefer the frequent order: ${byDoc(0L)} <= ${byDoc(1L)}")
+    // hand-check one doc: doc 2 = bigrams (a,b),(b,a),(a,b); corpus
+    // counts c(a,b)=6, c(b,a)=5, c(a,a)=1, c(b,b)=1 -> contexts c(a)=7,
+    // c(b)=6 (a doc's last token has no successor), V=3 ->
+    // lp = [ln(7/10), ln(6/9), ln(7/10)]
+    val expect2 = (2 * math.log(7.0 / 10) + math.log(6.0 / 9)) / 3
+    assert(math.abs(byDoc(2L) - expect2) < 1e-6)
+  }
+
   test("bpeMerges: deterministic tiebreak picks the lexicographically smallest pair") {
     // "ab" x2 and "cd" x2: both pairs count 2 -> (a,b) wins on sym_a.
     val d = Seq((0L, "ab cd ab cd", "s", "en", 1L))
