@@ -664,9 +664,17 @@ object Registry {
       graft.ml.QualityClassifier.scoreDocs(s, d).orderBy("doc_id"), None),
 
     // PCA reduction of the embedding space (rows-only: eigensolver floats;
-    // algebraic contracts pinned in EmbeddingPcaSpec).
+    // algebraic contracts pinned in EmbeddingPcaSpec). Flat one-row-per-
+    // component layout — the harness canonicalizes rows-only output by
+    // sorting every column, which an array<double> column breaks.
     "q190_embedding_pca" -> Entry((s, d) =>
-      graft.ml.EmbeddingPca.project(s, d).orderBy("vec_id"), None),
+      graft.ml.EmbeddingPca.projectFlat(s, d).orderBy("vec_id", "component"), None),
+
+    // ANN over the PCA-compacted space — q190's consumer: project to k=8,
+    // IVF-index the reduced vectors, probe (rows-only: eigensolver +
+    // k-means floats; recall-vs-full-dim envelope in EmbeddingPcaSpec).
+    "q191_pca_ann" -> Entry((s, d) =>
+      graft.ml.EmbeddingPca.pcaIvfTopK(s, d).orderBy("query_id", "rank"), None),
 
     "q61_als_eval" -> Entry((s, d) => {
       // Held-out fit quality as a 1-row result (rows-only for the driver;

@@ -666,8 +666,11 @@ object Dedup {
   /** Against-history duplication report — the INCREMENTAL dedup form every
     * rolling ingestion pipeline runs: for each ingestion batch, how many of
     * its documents near-duplicate a document from any STRICTLY EARLIER
-    * batch (batch key = doc_id div batchSize, arrival order — the
-    * [[TextAnalysis.sourceEntropyByBatch]] contract). Because doc_ids are
+    * batch (batch key = a real tumbling event-time window over the derived
+    * ingestion clock — the [[TextAnalysis.sourceEntropyByBatch]] /
+    * [[Ingest]] contract; tumbling `window()` is a row-level struct
+    * projection, so the pairs side tags batches without a grouping
+    * context). Because doc_ids are
     * assigned in arrival order, every verified pair's older side is doc_a
     * (doc_a < doc_b), so "this batch duplicates history" is exactly
     * `batch(doc_a) < batch(doc_b)` — one filter + distinct over the tiny
@@ -677,13 +680,17 @@ object Dedup {
   def historyDupRateFrom(pairs: DataFrame, docs: DataFrame,
       batchSize: Long = 100L): DataFrame = {
     val stale = pairs
-      .select(expr(s"doc_a div $batchSize").as("batch_a"),
-        expr(s"doc_b div $batchSize").as("ingest_batch"), col("doc_b"))
+      .select(Ingest.batchOf(col("doc_a"), batchSize).as("batch_a"),
+        Ingest.batchOf(col("doc_b"), batchSize).as("ingest_batch"), col("doc_b"))
       .filter(col("batch_a") < col("ingest_batch"))
       .select(col("ingest_batch"), col("doc_b")).distinct()
       .groupBy("ingest_batch").agg(count(lit(1)).as("n_dup"))
-    val totals = docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"))
-      .groupBy("ingest_batch").agg(count(lit(1)).as("n_docs"))
+    val totals = docs
+      .select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("ingest_batch"),
+        col("n_docs"))
     totals.join(stale, Seq("ingest_batch"), "left")
       .select(col("ingest_batch"), col("n_docs"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_of_history"),

@@ -357,7 +357,9 @@ object Similarity {
     * [[graft.llmdata.TextAnalysis.lengthDriftKs]] (a batch whose centroid
     * swings away from the corpus is topically different content: new
     * domain, crawler drift, or an upstream embedding-model change). Batch
-    * key = vec_id div batchSize, the arrival-order contract.
+    * key = a real tumbling event-time window over the derived ingestion
+    * clock on vec_id (the [[Ingest]] contract), ordinal-recovered so the
+    * output and oracle stay `vec_id // N`.
     *
     * Shape: one posexplode → a (batch, pos) hash agg (map-side combined;
     * shuffles only batch×dim cells, never vectors) → the dim-sized
@@ -367,10 +369,12 @@ object Similarity {
     * identical operands — order-independent — and the only float ops are
     * two sqrts and one divide on identical doubles (the q126 rule). */
   def batchCentroidDrift(emb: DataFrame, batchSize: Long = 100L): DataFrame = {
-    val pts = emb.select(expr(s"vec_id div $batchSize").as("b"),
+    val pts = emb.select(Ingest.ingestTs(col("vec_id")).as("ingest_ts"),
       posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "v")))
-    val cb = pts.groupBy("b", "pos")
+    val cb = pts.groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("pos"))
       .agg(round(avg("v"), 6).cast(DecimalType(12, 6)).as("cb"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("b"), col("pos"), col("cb"))
     val ca = pts.groupBy("pos")
       .agg(round(avg("v"), 6).cast(DecimalType(12, 6)).as("ca"))
     cb.join(ca, "pos")

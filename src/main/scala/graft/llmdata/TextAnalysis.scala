@@ -700,18 +700,23 @@ object TextAnalysis {
   /** [[sourceEntropy]] at the (ingestion-batch, source) grain — the
     * curation-dashboard TIME-SERIES form: a collapsing entropy in one
     * batch of one source flags the specific dump that went templated,
-    * where the corpus-level q128 number only drifts. The fixture's
-    * documents carry no ingestion timestamp, so the batch key is arrival
-    * order itself: `ingest_batch = doc_id div batchSize` (doc_ids are
-    * assigned in ingestion sequence; with a real date column the same agg
-    * groups by `window(ingest_ts, "1 day")` — everything downstream of
-    * the key is unchanged). Same single (batch, source, term) hash agg →
-    * rollup shape as [[sourceEntropy]]; the grain multiplies group count,
-    * not data volume, and both aggs stay map-side combinable. */
+    * where the corpus-level q128 number only drifts. The batch key is a
+    * REAL event-time tumbling window over the derived ingestion clock
+    * ([[Ingest]]): `window(ingest_ts, "batchSize seconds")` — the exact
+    * grouping a pipeline with a native ingest_ts column runs — with the
+    * batch ordinal recovered from the window start (losslessly; see
+    * [[Ingest.batchIndex]]), so the output schema and the arrival-order
+    * oracle (`doc_id // batchSize`) are unchanged. Same single (batch,
+    * source, term) hash agg → rollup shape as [[sourceEntropy]]; the
+    * grain multiplies group count, not data volume, and both aggs stay
+    * map-side combinable. */
   def sourceEntropyByBatch(docs: DataFrame, batchSize: Long = 100L): DataFrame =
-    docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"),
+    docs.select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
         col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy("ingest_batch", "source", "term").agg(count(lit(1)).as("n"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("ingest_batch"),
+        col("source"), col("term"), col("n"))
       .groupBy("ingest_batch", "source").agg(
         sum(col("n")).as("n_tokens"),
         sum(log(col("n").cast("double")).cast(DecimalType(28, 12)) *
@@ -723,11 +728,14 @@ object TextAnalysis {
 
   /** [[typeTokenRatio]] at the (ingestion-batch, source) grain — the
     * companion time-series diagnostic to [[sourceEntropyByBatch]] (same
-    * batch key contract; same one-hash-agg shape). */
+    * real-window batch key contract; same one-hash-agg shape). */
   def typeTokenRatioByBatch(docs: DataFrame, batchSize: Long = 100L): DataFrame =
-    docs.select(expr(s"doc_id div $batchSize").as("ingest_batch"),
+    docs.select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
         col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy("ingest_batch", "source", "term").agg(count(lit(1)).as("n"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("ingest_batch"),
+        col("source"), col("term"), col("n"))
       .groupBy("ingest_batch", "source").agg(
         sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"))
       .select(col("ingest_batch"), col("source"), col("n_tokens"), col("n_types"),
@@ -1099,8 +1107,9 @@ object TextAnalysis {
     * the REST of the corpus — the distribution-shift alarm a curation
     * dashboard hangs on every incoming dump (a KS spike means the new
     * batch's length profile changed: truncation bug, new content type,
-    * crawler loop). Batch key = doc_id div batchSize (the
-    * [[sourceEntropyByBatch]] contract).
+    * crawler loop). Batch key = a real tumbling event-time window over the
+    * derived ingestion clock (the [[sourceEntropyByBatch]] / [[Ingest]]
+    * contract), ordinal-recovered so the oracle stays `doc_id // N`.
     *
     * Shape (no global window, no per-batch scan of the corpus): counts
     * per (batch, length) → a complete batch×length grid (both sides tiny:
@@ -1114,10 +1123,19 @@ object TextAnalysis {
     * bit-equality holds (the q152 argument). */
   def lengthDriftKs(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val d = docs.select(expr(s"doc_id div $batchSize").as("b"), col("n_chars"))
-    val cnt = d.groupBy("b", "n_chars").agg(count(lit(1)).as("c"))
-    val batches = d.groupBy("b").agg(count(lit(1)).as("n_b"))
-    val ntot = d.agg(count(lit(1)).as("n_tot"))
+    // Real event-time tumbling window over the derived ingestion clock
+    // (the [[Ingest]] contract); ordinal recovered losslessly for output.
+    val d = docs.select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
+        col("n_chars"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("n_chars")).agg(count(lit(1)).as("cc"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("b"),
+        col("n_chars"), col("cc"))
+    // d is already one row per (batch, length) — the windowed pre-agg IS
+    // the count frame; totals roll up from it without re-scanning docs.
+    val cnt = d.select(col("b"), col("n_chars"), col("cc").as("c"))
+    val batches = d.groupBy("b").agg(sum(col("cc")).as("n_b"))
+    val ntot = d.agg(sum(col("cc")).as("n_tot"))
     val xs = d.select("n_chars").distinct()
     val grid = batches.crossJoin(broadcast(xs))
     val cum = grid.join(cnt, Seq("b", "n_chars"), "left")

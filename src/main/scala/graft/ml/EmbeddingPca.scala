@@ -44,6 +44,36 @@ object EmbeddingPca {
         transform(vector_to_array(col("pc")), x => round(x, 6)).as("pc"))
   }
 
+  /** Harness-facing layout of [[project]]: one row per (vector, component)
+    * — `(vec_id, label, component, value)` — the same flat shape q92's
+    * quantizer emits. The driver's rows-only canonicalization sorts every
+    * column, which an `array<double>` column cannot survive (unhashable in
+    * the comparator); per-component scalar rows can. */
+  def projectFlat(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    project(spark, dir, k)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("pc")).as(Seq("component", "value")))
+
+  /** The compaction → index → query path this file's header motivates
+    * (q191): project the corpus to `k` principal components, then run the
+    * IVF coarse-quantized ANN ([[graft.llmdata.Similarity.ivfTopK]]) over
+    * the REDUCED vectors. At 100 TB this is the production shape — the
+    * d-dim corpus is read once into the k-dim index (k ≪ d shrinks every
+    * IVF cell and every exact-cosine probe by d/k). The pinned quality
+    * gate (EmbeddingPcaSpec) is recall against brute-force cosine IN the
+    * reduced space — the quantity the index approximates; how faithfully
+    * the reduced space preserves full-dim neighbors is a property of the
+    * corpus spectrum, not the index (this fixture is isotropic noise, so
+    * full-dim recall is ~k/n for any correct PCA — the spec documents the
+    * measurement). Rows-only like q190/q62: eigensolver + k-means
+    * floats. */
+  def pcaIvfTopK(spark: SparkSession, dir: String, k: Int = 8,
+      nQueries: Int = 10, topK: Int = 5, nCells: Int = 16,
+      nProbe: Int = 6): DataFrame =
+    graft.llmdata.Similarity.ivfTopK(
+      project(spark, dir, k).select(col("vec_id"), col("pc").as("embedding")),
+      nQueries = nQueries, k = topK, nCells = nCells, nProbe = nProbe)
+
   /** The explained-variance spectrum as a 1-row-per-component frame. */
   def varianceSpectrum(emb: DataFrame, k: Int = 8): Seq[Double] =
     fit(emb, k).explainedVariance.toArray.toSeq

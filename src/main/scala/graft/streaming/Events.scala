@@ -28,6 +28,10 @@ object Events {
   private def eventsSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // convertTs's NTZ branch reinterprets naive values in the SESSION
+    // timezone — pin UTC here so the naive-is-UTC parity with DuckDB's
+    // epoch() holds regardless of the caller's builder or the host TZ.
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
     // Stateful streaming ops instantiate one state store per shuffle
     // partition per stateful operator; the events table is small next to
     // the fact tables, so 8 partitions bounds that setup cost without
