@@ -676,6 +676,35 @@ object Registry {
     "q191_pca_ann" -> Entry((s, d) =>
       graft.ml.EmbeddingPca.pcaIvfTopK(s, d).orderBy("query_id", "rank"), None),
 
+    // Quality-stack capstone: model score -> threshold -> near-dup dedup ->
+    // sequence pack, one lazy plan downstream of the cached model artifacts
+    // (rows-only: inherits q186's iterative-float scores; the stage-
+    // composition contract is pinned in Round13OpsSpec).
+    "q192_quality_pipeline" -> Entry((s, d) =>
+      graft.llmdata.Curation.qualityCurationPipeline(s, d)
+        .orderBy("source", "doc_id"), None),
+
+    // The classifier's deterministic half, hash-certified: weak tercile
+    // labels (q169's rank rule) + the md5 80/20 split — the training-set
+    // construction q186 consumes, minus the solver.
+    "q193_quality_labels" -> Entry((s, d) =>
+      graft.ml.QualityClassifier.labeledSplits(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |wc AS (SELECT term, count(*) AS n_tok FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n_tok) AS n_total FROM wc),
+        |lp AS (SELECT doc_id, round(CAST(sum(CAST(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        | FROM tok JOIN wc USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT lp.doc_id, d.lang,
+        |  ntile(3) OVER (PARTITION BY d.lang ORDER BY lp.avg_logprob DESC, lp.doc_id) AS t
+        | FROM lp JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, CAST(CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        | CASE WHEN CAST(list_reduce(list_prepend('0',
+        |    string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':qc'), 1, 6), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) % 5 = 0
+        |  THEN 'heldout' ELSE 'train' END AS split
+        |FROM b WHERE t <> 2 ORDER BY doc_id""".stripMargin)),
+
     "q61_als_eval" -> Entry((s, d) => {
       // Held-out fit quality as a 1-row result (rows-only for the driver;
       // the pinned quality envelope is asserted in AlsSpec).

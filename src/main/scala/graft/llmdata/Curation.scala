@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -405,6 +405,34 @@ object Curation {
       size(TextAnalysis.tokens(col("text"))).cast("long").between(minTokens, maxTokens))
     val train = assignSplits(gated).filter(col("split") === "train").select("doc_id")
     packSequences(gated.join(train, "doc_id"), budget)
+  }
+
+  /** Quality-stack capstone (q192) — the round-12 stack composed the way a
+    * production curation run chains it: model-based quality score
+    * ([[graft.ml.QualityClassifier.scoreDocs]], q186) → keep-threshold
+    * gate → NEAR-dup dedup over the kept subset (q99's shared component
+    * labels; the representative is the min-doc_id KEPT member of each
+    * cluster, so filtering before dedup never resurrects a dropped
+    * representative's duplicates) → training-sequence packing
+    * ([[packSequences]], q84). Everything downstream of the two cached
+    * model artifacts (LR scores, component labels — both eager by nature,
+    * like q186/q101 themselves) is ONE lazy plan: two left-semi joins on
+    * monotonically shrinking doc_id sets that AQE broadcasts, then the
+    * packing's two-phase prefix sum. Rows-only registry surface (the
+    * score gate inherits q186's iterative-float scores); Round13OpsSpec
+    * pins the stage-composition contract — the capstone's survivor set
+    * and offsets equal the stepwise composition of the public pieces. */
+  def qualityCurationPipeline(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, budget: Long = 2048L): DataFrame = {
+    val docs = graft.io.Tables(spark, dir, "documents")
+    val keepIds = graft.ml.QualityClassifier.scoreDocs(spark, dir, threshold)
+      .filter(col("keep")).select("doc_id")
+    val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val reps = kept.select("doc_id")
+      .join(Dedup.componentLabelsOn(spark, dir), "doc_id")
+      .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    packSequences(kept.join(reps, Seq("doc_id"), "left_semi"), budget)
   }
 
   /** Stratified fixed-N sample: exactly `n` documents per stratum (lang),

@@ -45,6 +45,19 @@ object QualityClassifier {
         when(col("bucket") === 1, 1.0).otherwise(0.0).as("label"))
   }
 
+  /** The deterministic half of the classifier, certified (q193): weak
+    * labels + the 80/20 hash split as a flat (doc_id, lang, label, split)
+    * frame. Unlike the model scores (iterative L-BFGS floats → q186 is
+    * rows-only), everything here is oracle-expressible — tercile ranks
+    * over the ROUNDED corpus logprob with a doc_id tiebreak, and an md5
+    * prefix gate — so the training-set construction itself gets the full
+    * rows+schema+hash check, leaving only the solver outside the oracle's
+    * reach (the strongest certification an iterative model admits). */
+  def labeledSplits(docs: DataFrame): DataFrame =
+    weakLabeled(docs)
+      .select(col("doc_id"), col("lang"), col("label"),
+        when(isHeldOut, lit("heldout")).otherwise(lit("train")).as("split"))
+
   private def featurize(labeled: DataFrame): DataFrame =
     new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(4096).transform(labeled)

@@ -25,8 +25,13 @@ class PlanLintSpec extends AnyFunSuite {
     "q113_stream_enrich",       // streaming settle on construction
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
-    "q190_embedding_pca")       // PCA fit on construction; contracts in
+    "q190_embedding_pca",       // PCA fit on construction; contracts in
                                 // EmbeddingPcaSpec
+    "q191_pca_ann",             // PCA + k-means fits on construction;
+                                // recall envelope in EmbeddingPcaSpec
+    "q192_quality_pipeline")    // composes q186's LR fit and q99's eager
+                                // label loop; composition contract in
+                                // Round13OpsSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -61,7 +66,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q185_bpe_merges",         // 1-row argmax-pair frame broadcast into each
                                // vocab-sized merge application (2 steps)
     "q188_bpe_encode",         // composes q185's 1-row argmax broadcasts
-    "q189_bigram_logprob")     // 1-row vocab-size aggregate broadcast back
+    "q189_bigram_logprob",     // 1-row vocab-size aggregate broadcast back
+    "q193_quality_labels")     // composes q119's 1-row corpus-total broadcast
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -1,0 +1,63 @@
+package graft.llmdata
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Unit pins for the round-13 operator work: the quality-stack capstone
+  * (q192) and the certified label/split frame (q193). */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dir = TestSpark.sfDir
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("q192 capstone equals the stepwise composition of its public stages") {
+    // Stage the pipeline by hand from the same public pieces the capstone
+    // composes — score gate, kept-min-per-component near-dup, pack — and
+    // require exact frame equality. A capstone that silently reorders or
+    // drops a stage (gate after dedup, corpus-min representative) diverges.
+    val keepIds = graft.ml.QualityClassifier.scoreDocs(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val reps = kept.select("doc_id")
+      .join(Dedup.componentLabelsOn(spark, dir), "doc_id")
+      .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val expected = Curation.packSequences(
+      kept.join(reps, Seq("doc_id"), "left_semi"))
+    val got = Curation.qualityCurationPipeline(spark, dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "capstone diverged from the stepwise stage composition")
+    assert(got.count() > 0L)
+  }
+
+  test("q192 filtering before dedup never resurrects a dropped representative's dups") {
+    // Every surviving doc must be the MINIMUM kept doc_id of its near-dup
+    // component: if the corpus-wide representative was quality-dropped,
+    // exactly one (the smallest) kept member stands in — never two.
+    val out = Curation.qualityCurationPipeline(spark, dir).select("doc_id")
+    val labels = Dedup.componentLabelsOn(spark, dir)
+    val perComp = out.join(labels, "doc_id")
+      .groupBy("component").agg(count(lit(1)).as("n"))
+    assert(perComp.filter(col("n") > 1L).count() === 0L,
+      "two survivors share a near-dup component")
+  }
+
+  test("q193 label/split frame: tercile balance, split rate, and determinism") {
+    val f = graft.ml.QualityClassifier.labeledSplits(docs)
+    val n = f.count()
+    // middle tercile dropped -> roughly 2/3 of the corpus is labeled
+    val total = docs.count()
+    assert(n >= total * 55 / 100 && n <= total * 75 / 100,
+      s"labeled $n of $total — tercile drop looks wrong")
+    // both classes present per language
+    val perLang = f.groupBy("lang").agg(countDistinct("label").as("k")).collect()
+    assert(perLang.forall(_.getLong(1) === 2L), "a language lost a label class")
+    // the md5 1-in-5 gate lands near 20%
+    val held = f.filter(col("split") === "heldout").count().toDouble / n
+    assert(held > 0.1 && held < 0.3, s"held-out rate $held far from 0.2")
+    val again = graft.ml.QualityClassifier.labeledSplits(docs)
+    assert(f.exceptAll(again).isEmpty && again.exceptAll(f).isEmpty)
+  }
+}
