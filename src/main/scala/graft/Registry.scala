@@ -672,7 +672,7 @@ object Registry {
 
     // ANN over the PCA-compacted space — q190's consumer: project to k=8,
     // IVF-index the reduced vectors, probe (rows-only: eigensolver +
-    // k-means floats; recall-vs-full-dim envelope in EmbeddingPcaSpec).
+    // k-means floats; reduced-space recall envelope in EmbeddingPcaSpec).
     "q191_pca_ann" -> Entry((s, d) =>
       graft.ml.EmbeddingPca.pcaIvfTopK(s, d).orderBy("query_id", "rank"), None),
 

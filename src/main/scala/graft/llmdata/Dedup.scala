@@ -918,11 +918,16 @@ object Dedup {
   }
 
   /** Exact substring-level dedup (the Lee et al. 2022 "exact substring"
-    * modality): find runs of ≥ `minSpanTokens` consecutive tokens that occur
-    * verbatim in MORE THAN ONE document — the memorization driver the
-    * document-grain modalities (exact sha2, shingle-Jaccard, SimHash,
-    * containment, SemDeDup) cannot see, because a 50-token quote inside two
+    * modality): find runs of ≥ `minSpanTokens` consecutive tokens whose
+    * every `windowTokens`-sized window occurs verbatim in at least one
+    * OTHER document — the memorization driver the document-grain
+    * modalities (exact sha2, shingle-Jaccard, SimHash, containment,
+    * SemDeDup) cannot see, because a 50-token quote inside two
     * otherwise-unrelated documents moves document similarity barely at all.
+    * Precision caveat: because adjacent duplicated windows may be shared
+    * with DIFFERENT partner documents, a merged span is duplicated at the
+    * window grain throughout, but the FULL span need not occur verbatim in
+    * any single other document (it can stitch runs from several partners).
     *
     * Dataflow, all bucketed — never all-pairs:
     *  1. stride-1 `windowTokens`-token window digests per document (the
@@ -936,16 +941,17 @@ object Dedup {
     *     on a consecutive run) merges overlapping/adjacent duplicated
     *     windows into maximal spans; the window function partitions by
     *     doc_id, so no global funnel — per-doc work at any corpus size.
-    * A span of L ≥ windowTokens duplicated tokens yields exactly
+    * A cross-doc-duplicated run of L ≥ windowTokens tokens yields exactly
     * L − windowTokens + 1 consecutive duplicated start positions, so
-    * span_tokens = last − first + windowTokens is the exact duplicated run
-    * length (for the pigeonhole converse: every ≥ minSpanTokens duplicated
-    * run contains a duplicated window at every in-run position, so no span
-    * is missed — perfect recall at the window grain, no probabilistic step).
+    * span_tokens = last − first + windowTokens is the exact length of the
+    * window-grain-duplicated run (for the pigeonhole converse: every
+    * ≥ minSpanTokens duplicated run contains a duplicated window at every
+    * in-run position, so no span is missed — perfect recall at the window
+    * grain, no probabilistic step; precision caveat above).
     *
     * 100 TB notes: stage 2's digest agg combines map-side (32-byte keys);
     * at petabyte scale the window digest would move to a fixed-width
-    * 8-byte rolling hash (q68's machinery) and the HAVING>1 agg to a
+    * 8-byte rolling hash (q35's machinery) and the HAVING>1 agg to a
     * bloom-pre-filtered two-pass — the plan shape is unchanged. */
   def duplicatedSpans(docs: DataFrame, windowTokens: Int = 8,
       minSpanTokens: Int = 50): DataFrame = {

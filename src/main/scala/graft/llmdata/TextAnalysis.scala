@@ -143,6 +143,12 @@ object TextAnalysis {
     * tokenizer application). */
   private def bpeChain(docs: DataFrame, steps: Int): (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1)
+    // Each merge step embeds the prior vocab plan TWICE (pair-count agg +
+    // crossJoin probe) — the same 2^k leaf-doubling UnrollProbe documents
+    // for agg+join IPF chains. A lineage checkpoint every few steps caps
+    // the doubling (values unchanged — truncation only); the shipped
+    // steps=2..3 certification paths never hit it and stay fully lazy.
+    val checkpointEvery = 4
     var vocab = docs
       .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("piece"))
       .groupBy("piece").agg(count(lit(1)).as("freq"))
@@ -170,6 +176,8 @@ object TextAnalysis {
             |              sym_a, sym_b)
             |       ELSE concat(acc, ' ', x) END)""".stripMargin))
         .select("piece", "freq", "symstr")
+      if (k % checkpointEvery == 0 && k < steps)
+        vocab = vocab.localCheckpoint(true)
       best.withColumn("step", lit(k.toLong))
         .select("step", "sym_a", "sym_b", "pair_count")
     }

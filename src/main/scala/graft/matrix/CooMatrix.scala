@@ -104,6 +104,20 @@ final case class CooMatrix(df: DataFrame) {
         .select(df(Row), df(Col), (df(Value) * col(Factor)).as(Value)))
   }
 
+  /** [[fitRows]] computed in one pass (window row-sum + broadcast
+    * marginal), the general-precision sibling of [[fitRowsExactOnePass]].
+    * Double window sums and double hash-agg sums can differ in the last
+    * ulps (combine order), so this is for paths checked by envelope or
+    * tolerance (the q26 convergence loop), not the hash-certified chains. */
+  def fitRowsOnePass(marginal: DataFrame): CooMatrix = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(Row)
+    CooMatrix(df
+      .withColumn(RowSum, sum(df(Value)).over(w))
+      .join(broadcast(marginal.select(col(Idx).as(Row), col(Value).as(Target))), Row)
+      .select(col(Row), col(Col),
+        (col(Value) * (col(Target) / col(RowSum))).as(Value)))
+  }
+
   /** [[fitRowsExact]] computed in ONE pass over the matrix: the decimal
     * row-sum denominator comes from a window aggregate partitioned by
     * `row` instead of a groupBy + self-join, and the marginal (one row per
@@ -129,20 +143,6 @@ final case class CooMatrix(df: DataFrame) {
     * Iterative certification chains over bounded matrices (IPF sweeps:
     * |parts|×|months|) want THIS shape; one-shot fits on arbitrary
     * matrices keep the agg+join. */
-  /** [[fitRows]] computed in one pass (window row-sum + broadcast
-    * marginal), the general-precision sibling of [[fitRowsExactOnePass]].
-    * Double window sums and double hash-agg sums can differ in the last
-    * ulps (combine order), so this is for paths checked by envelope or
-    * tolerance (the q26 convergence loop), not the hash-certified chains. */
-  def fitRowsOnePass(marginal: DataFrame): CooMatrix = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(Row)
-    CooMatrix(df
-      .withColumn(RowSum, sum(df(Value)).over(w))
-      .join(broadcast(marginal.select(col(Idx).as(Row), col(Value).as(Target))), Row)
-      .select(col(Row), col(Col),
-        (col(Value) * (col(Target) / col(RowSum))).as(Value)))
-  }
-
   def fitRowsExactOnePass(marginal: DataFrame, sumScale: Int = 6): CooMatrix = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(Row)
     CooMatrix(df

@@ -81,6 +81,12 @@ object SettleProbe {
     minOf("q170") {
       graft.Registry.queries("q170_streaming_quota")(spark, dir).count()
     }
+    // q58 joined the probe after its r10→r12 driver-bench drift (1.49 →
+    // 1.99 s): decomposing against null-drain-events attributes the delta
+    // to the micro-batch machinery vs the mapGroupsWithState core.
+    minOf("q58") {
+      graft.Registry.queries("q58_stateful_user_stats")(spark, dir).count()
+    }
     spark.stop()
   }
 }
