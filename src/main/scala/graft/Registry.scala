@@ -684,6 +684,52 @@ object Registry {
       graft.llmdata.Curation.qualityCurationPipeline(s, d)
         .orderBy("source", "doc_id"), None),
 
+    // Johnson-Lindenstrauss signed random projection: the deterministic,
+    // hash-certified dim reduction next to rows-only PCA — md5-parity ±1
+    // signs, decimal-exact sums, /4.0 the only float op (k=16).
+    "q194_jl_projection" -> Entry((s, d) =>
+      Similarity.jlProject(emb(s, d)).orderBy("vec_id", "component"), Some(
+      """WITH px AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |        unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |sgn AS (SELECT pos, j AS component,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |       substr(md5('jl:' || CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |   THEN 1 ELSE -1 END AS sign
+        | FROM (SELECT DISTINCT pos FROM px) CROSS JOIN (SELECT unnest(range(16)) AS j))
+        |SELECT px.vec_id, CAST(sgn.component AS BIGINT) AS component,
+        | CAST(sum(CAST(round(px.v, 6) AS DECIMAL(12,6)) * sgn.sign) AS DOUBLE) / 4.0 AS value
+        |FROM px JOIN sgn USING (pos)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // JSONL sink + source round-trip: write documents as line-delimited
+    // JSON, read back with the explicit schema, hash-compare against the
+    // parquet original (the q57 CSV round-trip pattern, on the format LLM
+    // corpora actually interchange).
+    "q195_jsonl_roundtrip" -> Entry((s, d) =>
+      graft.io.Formats.jsonlRoundtrip(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ORC sink + source round-trip: the other columnar lake format.
+    "q196_orc_roundtrip" -> Entry((s, d) =>
+      graft.io.Formats.orcRoundtrip(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Trust-ranked exact dedup: keeper = most-trusted source's copy
+    // (source index DESC, doc_id tiebreak), not first arrival — the
+    // provenance-priority rule; argmin struct agg, no window funnel.
+    "q197_trusted_dedup" -> Entry((s, d) =>
+      Dedup.dedupKeepTrusted(docs(s, d))
+        .select(col("doc_id"), col("source"),
+          sha2(col("text"), 256).as("content_hash")).orderBy("doc_id"), Some(
+      """SELECT doc_id, source, content_hash FROM
+        | (SELECT doc_id, source, sha256(text) AS content_hash,
+        |   row_number() OVER (PARTITION BY sha256(text)
+        |     ORDER BY -CAST(substr(source, 4) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // The classifier's deterministic half, hash-certified: weak tercile
     // labels (q169's rank rule) + the md5 80/20 split — the training-set
     // construction q186 consumes, minus the solver.

@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format sinks + sources beyond parquet/CSV: JSONL (the
+  * dominant LLM-corpus interchange format — one JSON document per line,
+  * splittable, append-friendly) and ORC (the other columnar format a lake
+  * actually serves). Each is certified by a ROUND TRIP: write the documents
+  * table through the format, read it back with the EXPLICIT source schema
+  * (never schema inference — at 100 TB an inference pass is a full extra
+  * scan, and a schema drift should fail loudly, not re-type the column),
+  * and hash-compare the result against the parquet-loaded original via the
+  * DuckDB oracle (the q57 labeled-CSV pattern). The written layout is
+  * cached per (JVM, dir) so repeated query runs re-read, not re-write, and
+  * scratch dirs are shutdown-hook-deleted ([[TempDirs]]).
+  *
+  * Scale notes: both writers shard naturally (one file per task — the
+  * parallel-write path), both readers split (JSONL by line, ORC by stripe),
+  * and the explicit schema keeps column pruning available to the ORC scan
+  * (JSON is row-major; a projection still parses every line, which is WHY
+  * a pipeline converts JSONL → columnar at ingest — this pair of operators
+  * is exactly that conversion, exercised in both directions). */
+object Formats {
+
+  private val jsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def roundtrip(spark: SparkSession, dir: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      scratchTag: String,
+      write: (DataFrame, String) => Unit,
+      read: (SparkSession, org.apache.spark.sql.types.StructType, String) => DataFrame)
+      : DataFrame = {
+    val src = Tables(spark, dir, "documents")
+    val path = cache.computeIfAbsent(dir, _ => {
+      val p = TempDirs.scratch(scratchTag).resolve("documents").toString
+      write(src, p)
+      p
+    })
+    read(spark, src.schema, path)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  /** JSONL round-trip (q195): documents → line-delimited JSON → back. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, jsonlCache, "graft-jsonl",
+      (df, p) => df.write.mode("overwrite").json(p),
+      (s, schema, p) => s.read.schema(schema).json(p))
+
+  /** ORC round-trip (q196): documents → ORC → back. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, orcCache, "graft-orc",
+      (df, p) => df.write.mode("overwrite").orc(p),
+      (s, schema, p) => s.read.schema(schema).orc(p))
+}

@@ -32,6 +32,30 @@ object Dedup {
     hashed.join(keepers, Seq("__ch", "doc_id"), "left_semi").drop("__ch")
   }
 
+  /** Trust-ranked exact dedup (q197): keep the copy from the MOST TRUSTED
+    * source per content hash, not the first-arrived — the production rule
+    * when the same text appears in both a curated dump and a raw crawl
+    * ("prefer wiki over CC"): arrival order is an accident of crawl
+    * scheduling; provenance is a quality signal. Trust here is the
+    * fixture's source index DESCENDING (src19 ≻ … ≻ src0 — a stand-in for
+    * the curator's ranked source list), tie-broken by doc_id so the keeper
+    * stays deterministic within one source.
+    *
+    * Same skew-safe shape as [[dedupKeepFirst]]: per-hash argmin via a
+    * hash-agg `min(struct(rank, doc_id))` (map-side combinable — no
+    * row_number window funnel on a degenerate million-copy hash), then a
+    * semi-join recovers the keeper rows. */
+  def dedupKeepTrusted(docs: DataFrame): DataFrame = {
+    val rank = -substring(col("source"), 4, 10).cast("long")
+    val hashed = docs.withColumn("__ch", sha2(col("text"), 256))
+      .withColumn("__rk", rank)
+    val keepers = hashed.groupBy(col("__ch"))
+      .agg(min(struct(col("__rk"), col("doc_id"))).as("k"))
+      .select(col("__ch"), col("k.doc_id").as("doc_id"))
+    hashed.join(keepers, Seq("__ch", "doc_id"), "left_semi")
+      .drop("__ch", "__rk")
+  }
+
   /** Distinct word-3-shingle sets per document — the shared front end of
     * MinHash candidate generation and exact-Jaccard verification. */
   private def shingled3(docs: DataFrame): DataFrame = docs

@@ -415,6 +415,46 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         round(col("unit"), 6).as("unit"), round(col("nrm"), 6).as("norm"))
 
+  /** Johnson–Lindenstrauss signed random projection (q194) — the
+    * DETERMINISTIC, hash-certifiable dimensionality reduction next to PCA
+    * (q190): reduced_j = Σ_i x_i · s(i,j) / √k with s(i,j) ∈ {±1} drawn
+    * from the parity of an md5 hex digit of "jl:i:j" — Achlioptas'
+    * database-friendly ±1 construction ("Database-friendly random
+    * projections", PODS 2001), with the hash replacing the RNG so both
+    * engines derive the identical matrix (the [[graft.llmdata.Curation]]
+    * md5-gate idiom applied to a projection). Unlike PCA it needs no fit,
+    * no pass over the data, no driver eigensolve — the 100 TB path is one
+    * narrow map + a (d×k tiny) broadcast join, and the distortion bound is
+    * data-independent (JL lemma).
+    *
+    * Cross-engine exactness: inputs are rounded to 6dp and quantized to
+    * DECIMAL(12,6), the ±1 multiply stays decimal-exact, the sum is an
+    * order-independent decimal reduction, and the single float op is one
+    * divide by √k on identical operands (k=16 → exactly 4.0; the q126
+    * rule). Default k=16 keeps √k a power of two, so the divide is an
+    * exact exponent shift and the output needs NO final round — a 6dp
+    * round here would hit the half-way digit (an exact-decimal÷4 ends in
+    * …5 whenever the sum's last digits ≡ 2 mod 4) where Spark rounds
+    * half-up and DuckDB half-even. */
+  def jlProject(emb: DataFrame, k: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val pts = emb.select(col("vec_id"),
+      posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "v")))
+    val comps = spark.range(k).select(col("id").cast("int").as("component"))
+    // d×k sign matrix (tiny — dims × components), derived not stored
+    val signs = pts.select("pos").distinct()
+      .crossJoin(broadcast(comps))
+      .withColumn("sign",
+        when(conv(substring(md5(concat(lit("jl:"), col("pos"), lit(":"),
+          col("component"))), 1, 1), 16, 10).cast("int") % 2 === 0, 1)
+          .otherwise(-1))
+    pts.join(broadcast(signs), "pos")
+      .groupBy("vec_id", "component")
+      .agg(sum(round(col("v"), 6).cast(DecimalType(12, 6)) * col("sign")).as("s"))
+      .select(col("vec_id"), col("component").cast("long").as("component"),
+        (col("s").cast("double") / lit(math.sqrt(k.toDouble))).as("value"))
+  }
+
   def quantizeEmbeddings(emb: DataFrame): DataFrame =
     // xs/scale ride named columns: referenced from inside the transform
     // lambda, an inlined expression would be re-evaluated per element

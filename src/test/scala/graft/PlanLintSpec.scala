@@ -29,6 +29,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // EmbeddingPcaSpec
     "q191_pca_ann",             // PCA + k-means fits on construction;
                                 // recall envelope in EmbeddingPcaSpec
+    "q195_jsonl_roundtrip",     // JSONL sink write on construction (cached);
+                                // round-trip certified by its oracle
+    "q196_orc_roundtrip",       // ORC sink write on construction (cached)
     "q192_quality_pipeline")    // composes q186's LR fit and q99's eager
                                 // label loop; composition contract in
                                 // Round13OpsSpec
@@ -67,7 +70,9 @@ class PlanLintSpec extends AnyFunSuite {
                                // vocab-sized merge application (2 steps)
     "q188_bpe_encode",         // composes q185's 1-row argmax broadcasts
     "q189_bigram_logprob",     // 1-row vocab-size aggregate broadcast back
-    "q193_quality_labels")     // composes q119's 1-row corpus-total broadcast
+    "q193_quality_labels",     // composes q119's 1-row corpus-total broadcast
+    "q194_jl_projection")      // dims × k sign-matrix cross (both tiny),
+                               // broadcast against the point frame
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -44,6 +44,40 @@ class Round13OpsSpec extends AnyFunSuite {
       "two survivors share a near-dup component")
   }
 
+  test("q194 JL projection: norm-preserving in expectation, deterministic") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val proj = Similarity.jlProject(emb, k = 16)
+    // k components per vector, every vector present
+    assert(proj.count() === emb.count() * 16)
+    // E||Rx/√k||² = ||x||² for ±1 JL signs; with d=64, k=16 the per-vector
+    // ratio is noisy but the corpus mean concentrates near 1.
+    val pn = proj.groupBy("vec_id")
+      .agg(sum(col("value") * col("value")).as("pn2"))
+    val on = emb.select(col("vec_id"),
+      aggregate(graft.functions.VectorOps.asDouble(col("embedding")),
+        lit(0.0), (a, x) => a + x * x).as("on2"))
+    val meanRatio = pn.join(on, "vec_id")
+      .agg(avg(col("pn2") / col("on2"))).head().getDouble(0)
+    assert(meanRatio > 0.5 && meanRatio < 1.5,
+      s"mean norm ratio $meanRatio — projection not unbiased")
+    val again = Similarity.jlProject(emb, k = 16)
+    assert(proj.exceptAll(again).isEmpty && again.exceptAll(proj).isEmpty)
+  }
+
+  test("q197 trusted dedup keeps the highest-trust source's copy, not the first") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "same text here", "src2", "en", 14L),   // first-arrived, low trust
+      (1L, "same text here", "src10", "en", 14L),  // higher trust wins
+      (2L, "same text here", "src10", "en", 14L),  // same trust: doc_id tiebreak
+      (3L, "unique text", "src0", "en", 11L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.dedupKeepTrusted(planted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L), s"keepers were $got")
+  }
+
   test("q193 label/split frame: tercile balance, split rate, and determinism") {
     val f = graft.ml.QualityClassifier.labeledSplits(docs)
     val n = f.count()
