@@ -2588,6 +2588,38 @@ object Registry {
         |FROM g WHERE span_last - span_start + 8 >= 50
         |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // duplicatedSpans with the codegen'd rolling Karp-Rabin digest stage
+    // (WindowHashes expression): the oracle re-derives the identical
+    // double-modulus packed hashes per window (non-rolling Horner — same
+    // values, O(n*w) is fine at oracle scale), then runs q184's islands.
+    "q198_dup_spans_rolling" -> Entry(
+      (s, d) => Dedup.duplicatedSpansRolling(docs(s, d)).orderBy("doc_id", "span_start"), Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tv AS (SELECT doc_id, t,
+        |   list_transform(t, tok ->
+        |     CAST(list_reduce(list_prepend('0', string_split(tok, '')),
+        |       (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c)) % 1000000007 AS VARCHAR)) AS BIGINT)) AS v1,
+        |   list_transform(t, tok ->
+        |     CAST(list_reduce(list_prepend('0', string_split(tok, '')),
+        |       (acc, c) -> CAST((CAST(acc AS BIGINT) * 131 + ascii(c)) % 998244353 AS VARCHAR)) AS BIGINT)) AS v2
+        | FROM toks WHERE len(t) >= 8),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), v1[i:i+7]),
+        |     (acc, x) -> (acc * 1000003 + x) % 1000000007) * 2147483648
+        | + list_reduce(list_prepend(CAST(0 AS BIGINT), v2[i:i+7]),
+        |     (acc, x) -> (acc * 1000033 + x) % 998244353) AS h
+        |  FROM tv, unnest(range(1, len(t) - 8 + 2)) AS u(i)),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |d AS (SELECT w.doc_id, w.start_pos,
+        |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.start_pos) AS rn
+        |  FROM w JOIN dup USING (h)),
+        |g AS (SELECT doc_id, start_pos - rn AS grp, min(start_pos) AS span_start,
+        |    max(start_pos) AS span_last, count(*) AS n_windows
+        |  FROM d GROUP BY doc_id, start_pos - rn)
+        |SELECT doc_id, span_start, span_last - span_start + 8 AS span_tokens, n_windows
+        |FROM g WHERE span_last - span_start + 8 >= 50
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     // BPE vocabulary learning, 2 merge iterations unrolled (the q94 chained
     // certification pattern): each step's argmax pair depends on the full
     // merge application of every preceding step, so a hash match certifies

@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_window_hashes takes (array<string>, constant window size)")
+        WindowHashes(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[DoubleSortableBits].getName, "graft_sortable_bits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -27,6 +27,12 @@ object VectorOps {
   def sortableBits(x: Column): Column =
     GraftColumnBridge.column(DoubleSortableBits(GraftColumnBridge.expression(x)))
 
+  /** All stride-1 `w`-token rolling Karp–Rabin window digests of a token
+    * array ([[WindowHashes]]) — the codegen'd O(len) digest stage of the
+    * substring-dedup scale path (q198). */
+  def windowHashes(toks: Column, w: Int): Column =
+    GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(toks), w))
+
   /** The higher-order-function formulation of [[dot]] — kept as the
     * cross-check oracle for the codegen expression (see VectorOpsSpec).
     * ~100× slower on the all-pairs path: allocates an intermediate array

@@ -988,6 +988,16 @@ object Dedup {
         col("toks"))
       .select(col("doc_id"), col("i").cast("long").as("start_pos"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(windowTokens)))).as("h"))
+    spansFromWindows(w, windowTokens, minSpanTokens)
+  }
+
+  /** The shared tail of both substring-dedup variants: cross-doc window
+    * prune (df>1 hash agg + semi-join) → per-doc gaps-and-islands merge of
+    * consecutive duplicated windows into maximal spans. `w` is a
+    * (doc_id, start_pos, h) window-digest frame; `h`'s type is free (md5
+    * string in q184, packed rolling long in q198). */
+  private def spansFromWindows(w: DataFrame, windowTokens: Int,
+      minSpanTokens: Int): DataFrame = {
     val dupHashes = w.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
       .select("h")
@@ -1003,5 +1013,27 @@ object Dedup {
       .withColumn("span_tokens", col("span_last") - col("span_start") + windowTokens)
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("doc_id"), col("span_start"), col("span_tokens"), col("n_windows"))
+  }
+
+  /** [[duplicatedSpans]] with the promised petabyte-scale digest stage
+    * (q198): window digests come from the codegen'd rolling Karp–Rabin
+    * expression ([[graft.functions.WindowHashes]]) — one O(len) pass per
+    * document emits ALL stride-1 window hashes as 8-byte packed longs,
+    * replacing q184's md5 + concat per window and its 32-byte shuffle
+    * keys. Same prune + islands tail, same output schema; span parity
+    * with the md5 variant is pinned in WindowHashesSpec (identical spans
+    * on the fixture — a digest collision would have to strike inside one
+    * corpus to diverge, odds ~1e-18 per pair). */
+  def duplicatedSpansRolling(docs: DataFrame, windowTokens: Int = 8,
+      minSpanTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2 && minSpanTokens >= windowTokens)
+    val w = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorOps.windowHashes(col("toks"), windowTokens))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("start_pos"), col("h"))
+    spansFromWindows(w, windowTokens, minSpanTokens)
   }
 }

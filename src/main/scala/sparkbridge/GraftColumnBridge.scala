@@ -26,5 +26,10 @@ object GraftColumnBridge {
       "graft_sortable_bits",
       exprs => graft.functions.DoubleSortableBits(exprs.head),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_window_hashes",
+      exprs => graft.functions.WindowHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 }
