@@ -1023,7 +1023,10 @@ object Dedup {
     * keys. Same prune + islands tail, same output schema; span parity
     * with the md5 variant is pinned in WindowHashesSpec (identical spans
     * on the fixture — a digest collision would have to strike inside one
-    * corpus to diverge, odds ~1e-18 per pair). */
+    * corpus to diverge, odds ~1e-18 per pair). Measured (TimeProbe,
+    * sf0.1, local[32], cold): q184 8.45 s → q198 1.80 s, identical 259
+    * spans — 4.7× from dropping the per-window md5 + concat and shrinking
+    * the shuffle key 32 B → 8 B. */
   def duplicatedSpansRolling(docs: DataFrame, windowTokens: Int = 8,
       minSpanTokens: Int = 50): DataFrame = {
     require(windowTokens >= 2 && minSpanTokens >= windowTokens)

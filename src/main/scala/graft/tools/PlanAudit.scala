@@ -87,6 +87,13 @@ object PlanAudit {
       "intra-windows (PARTITIONED by bucket — no single-partition frame anywhere) + broadcast " +
       "triangular self-join over the tiny per-bucket offsets",
       reg("q144_token_budget")),
+    ("q194_jl_projection", "hash-certified JL projection: one narrow posexplode + a d×k " +
+      "sign-matrix broadcast join + one (vec,component) hash agg — no fit, no driver math",
+      reg("q194_jl_projection")),
+    ("q198_dup_spans_rolling", "substring dedup on codegen'd rolling window digests: WindowHashes " +
+      "emits all stride-1 window keys in one O(len) pass (8-byte packed keys), then df>1 prune " +
+      "semi-join + per-doc islands — 4.7x the md5 digest stage at sf0.1",
+      reg("q198_dup_spans_rolling")),
     ("q153_length_drift_ks", "two-sample KS per ingest batch: per-batch cumulative windows over " +
       "the complete batch x length grid; the corpus cumulative is the grid-sum of per-batch " +
       "cumulatives, so no global window exists",
