@@ -993,6 +993,15 @@ object Registry {
         | CAST(start_offset // 2048 AS BIGINT) AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Streaming exactly-once FILE sink: stream -> checkpointed parquet
+    // sink -> batch read-back; agg equality with the batch oracle
+    // certifies the egress (no drops, no double commits).
+    "q199_streaming_file_sink" -> Entry((s, d) =>
+      Events.streamingFileSink(s, d).orderBy("user_id", "event_type"), Some(
+      """SELECT user_id, event_type, count(*) AS n_events,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming ingest dedup: the settled result of the watermark-evictable
     // dropDuplicatesWithinWatermark state is exactly the distinct key set.
     "q89_streaming_dedup" -> Entry(

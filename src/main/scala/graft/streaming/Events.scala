@@ -498,6 +498,43 @@ object Events {
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
 
+  /** Streaming FILE sink round-trip (q199) — the production egress the
+    * memory-sink settles cannot certify: a streaming query writing parquet
+    * through the exactly-once file sink (append mode, checkpointed; the
+    * sink's `_spark_metadata` commit log is what makes a task retry or a
+    * duplicated micro-batch invisible to readers), then the sink directory
+    * read BACK as a batch table and aggregated. Equality with the batch
+    * oracle certifies the whole egress: no dropped rows, no double-committed
+    * files (the batch parquet reader honors the sink's commit log when
+    * listing). One streaming write per (JVM, dir) — the
+    * [[graft.io.Bucketing]] cached-layout contract; the scratch dir is
+    * shutdown-hook-deleted. At cluster scale this exact shape is "stream
+    * into the lake, partitioned, exactly-once" — the projection is
+    * stateless, so no watermark/state is involved and the stream never
+    * shuffles. */
+  def streamingFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = fileSinkCache.computeIfAbsent(dir, _ => {
+      val s2 = eventsSession(spark)
+      val (staged, schema) = stagedEvents(spark, dir)
+      val root = graft.io.TempDirs.scratch("graft-filesink")
+      val q = convertTs(s2.readStream.schema(schema).parquet(staged))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", root.resolve("data").toString)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      root.resolve("data").toString
+    })
+    spark.read.parquet(out)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+  }
+
+  private val fileSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Stream-static enrichment: the live event stream joined to a static
     * dimension (customer market segment keyed by user_id) before a
     * watermarked tumbling count — the canonical "enrich the stream with a

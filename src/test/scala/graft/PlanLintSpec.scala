@@ -32,9 +32,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q195_jsonl_roundtrip",     // JSONL sink write on construction (cached);
                                 // round-trip certified by its oracle
     "q196_orc_roundtrip",       // ORC sink write on construction (cached)
-    "q192_quality_pipeline")    // composes q186's LR fit and q99's eager
+    "q192_quality_pipeline",    // composes q186's LR fit and q99's eager
                                 // label loop; composition contract in
                                 // Round13OpsSpec
+    "q199_streaming_file_sink") // streaming parquet-sink write on
+                                // construction (cached)
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(

@@ -78,6 +78,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got === Set(1L, 3L), s"keepers were $got")
   }
 
+  test("q199 streaming file sink: batch-equal output and an exactly-once commit log") {
+    import graft.streaming.Events
+    val got = Events.streamingFileSink(spark, dir)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "file-sink round-trip diverged from the batch aggregation")
+    // the exactly-once guarantee lives in the sink's commit log
+    val sinkDir = new java.io.File(
+      got.inputFiles.head.stripPrefix("file:")).getParentFile
+    assert(new java.io.File(sinkDir, "_spark_metadata").exists(),
+      s"no _spark_metadata commit log under $sinkDir")
+  }
+
   test("q193 label/split frame: tercile balance, split rate, and determinism") {
     val f = graft.ml.QualityClassifier.labeledSplits(docs)
     val n = f.count()
