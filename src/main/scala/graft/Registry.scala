@@ -1453,6 +1453,56 @@ object Registry {
         |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // PageRank over the verified near-dup graph, 2 power iterations
+    // unrolled (the q94/q121 chained-certification pattern on a graph
+    // kernel): boilerplate centrality. Oracle re-derives the md5-family
+    // pair graph (q124's CTEs) then runs the same two decimal-quantized
+    // mass propagations.
+    "q200_dup_pagerank" -> Entry((s, d) =>
+      Dedup.dupCentrality(s, d).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |c1 AS (SELECT e.dst AS doc_id,
+        |   sum(CAST(round(1.0 / d.deg, 12) AS DECIMAL(28,12))) AS s
+        |  FROM edges e JOIN deg d USING (src) GROUP BY 1),
+        |pr1 AS (SELECT d.doc_id,
+        |   CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.s AS DOUBLE), 0.0) AS pr
+        |  FROM documents d LEFT JOIN c1 USING (doc_id)),
+        |c2 AS (SELECT e.dst AS doc_id,
+        |   sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(28,12))) AS s
+        |  FROM edges e JOIN deg d USING (src) JOIN pr1 p ON p.doc_id = e.src GROUP BY 1),
+        |pr2 AS (SELECT d.doc_id,
+        |   CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.s AS DOUBLE), 0.0) AS pr
+        |  FROM documents d LEFT JOIN c2 USING (doc_id))
+        |SELECT doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin)),
+
     // The salt never reaches the output: the oracle is the PLAIN join,
     // certifying the salting rewrite is result-identical.
     "q125_salted_join" -> Entry(

@@ -4,6 +4,7 @@ import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline, over `documents`.
@@ -54,6 +55,60 @@ object Dedup {
       .select(col("__ch"), col("k.doc_id").as("doc_id"))
     hashed.join(keepers, Seq("__ch", "doc_id"), "left_semi")
       .drop("__ch", "__rk")
+  }
+
+  /** Duplication centrality (q200): PageRank over the verified near-dup
+    * graph, two power iterations unrolled — the graph-centrality signal a
+    * curation pipeline uses to find BOILERPLATE: text that near-duplicates
+    * many other documents (license headers, templates, navigation chrome)
+    * sits at the center of a dense dup cluster and accumulates rank mass,
+    * where a one-off pairwise duplicate barely moves. Complements the
+    * component machinery (q99 tells you WHICH docs cluster; this ranks how
+    * structurally central each doc is inside the cluster).
+    *
+    * PR_{k+1}(v) = 0.15 + 0.85 · Σ_{u~v} PR_k(u)/deg(u) over the
+    * symmetrized verified-pair edges (the per-(JVM, dir) cached md5-family
+    * frame shared with q124/q140/q151); isolated documents settle at 0.15.
+    * Two iterations unrolled is the q94/q121/q185 chained-certification
+    * pattern: a hash match certifies the iterated composition (edge
+    * derivation → degree normalization → mass propagation, twice), which
+    * is what a loop repeats.
+    *
+    * Scale shape: the textbook distributed PageRank — edges equi-join the
+    * rank frame on src, contributions shuffle once per iteration on dst
+    * into a hash agg, degrees are one hash agg; k iterations = k shuffles
+    * of |E| rows, never materializing anything denser than the edge list.
+    * Cross-engine exactness: per-edge contributions are rounded to 12dp
+    * and summed as DECIMAL(28,12) (order-independent), and every rank is
+    * rebuilt from identical doubles by identical ops — the q126 rule
+    * applied to an iterated graph kernel. */
+  def dupCentrality(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iterations: Int = 2): DataFrame =
+    dupCentralityFrom(minhashMd5PairsOn(spark, dir),
+      graft.io.Tables(spark, dir, "documents"), iterations)
+
+  /** [[dupCentrality]] on a precomputed verified-pair frame (the fan-out
+    * form — see [[componentLabelsOn]]); pairs carry (doc_a, doc_b). */
+  def dupCentralityFrom(pairs: DataFrame, docs: DataFrame,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ids = docs.select(col("doc_id"))
+    var pr = ids.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = edges.join(deg, "src")
+        .join(pr.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"),
+          round(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      pr = ids.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) + lit(0.85) *
+            coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+    }
+    pr
   }
 
   /** Distinct word-3-shingle sets per document — the shared front end of

@@ -78,6 +78,26 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got === Set(1L, 3L), s"keepers were $got")
   }
 
+  test("q200 dup-centrality: a boilerplate hub out-ranks its spokes; isolated docs settle at 0.15") {
+    import spark.implicits._
+    // star graph: doc 0 near-dups docs 1..4; doc 9 is isolated
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val ids = (0L to 9L).map(i => (i, s"t$i", "s", "en", 2L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val pr = Dedup.dupCentralityFrom(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L), s"hub ${pr(0L)} not above spoke ${pr(1L)}")
+    assert(math.abs(pr(9L) - 0.15) < 1e-12, s"isolated doc pr ${pr(9L)} != 0.15")
+    // hand-computed star: spokes send 1/1 each -> hub pr1 = 0.15+0.85*4;
+    // hub sends 1/4 each -> spoke pr1 = 0.15+0.85*0.25
+    // iter2: hub = 0.15+0.85*sum(spoke_pr1/1); spoke = 0.15+0.85*(hub_pr1/4)
+    val spoke1 = 0.15 + 0.85 * 0.25
+    val hub2 = 0.15 + 0.85 * (4 * spoke1)
+    val spoke2 = 0.15 + 0.85 * ((0.15 + 0.85 * 4.0) / 4.0)
+    assert(math.abs(pr(0L) - hub2) < 1e-9, s"hub ${pr(0L)} != $hub2")
+    assert(math.abs(pr(1L) - spoke2) < 1e-9, s"spoke ${pr(1L)} != $spoke2")
+  }
+
   test("q199 streaming file sink: batch-equal output and an exactly-once commit log") {
     import graft.streaming.Events
     val got = Events.streamingFileSink(spark, dir)
