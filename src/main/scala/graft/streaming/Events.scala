@@ -513,27 +513,32 @@ object Events {
     * stateless, so no watermark/state is involved and the stream never
     * shuffles. */
   def streamingFileSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = fileSinkCache.computeIfAbsent(dir, _ => {
+    val (out, outSchema) = fileSinkCache.computeIfAbsent(dir, _ => {
       val s2 = eventsSession(spark)
       val (staged, schema) = stagedEvents(spark, dir)
       val root = graft.io.TempDirs.scratch("graft-filesink")
-      val q = convertTs(s2.readStream.schema(schema).parquet(staged))
+      val proj = convertTs(s2.readStream.schema(schema).parquet(staged))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .writeStream.outputMode("append").format("parquet")
+      val q = proj.writeStream.outputMode("append").format("parquet")
         .option("path", root.resolve("data").toString)
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      root.resolve("data").toString
+      (root.resolve("data").toString, proj.schema)
     })
-    spark.read.parquet(out)
+    // Explicit schema on the read-back: an empty stream commits no part
+    // files (only the _spark_metadata log), and schema inference over a
+    // data-less sink directory fails — the same explicit-schema rule the
+    // format round-trips follow (graft.io.Formats).
+    spark.read.schema(outSchema).parquet(out)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_events"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
   }
 
   private val fileSinkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType)]()
 
   /** Stream-static enrichment: the live event stream joined to a static
     * dimension (customer market segment keyed by user_id) before a
