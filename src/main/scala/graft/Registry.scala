@@ -1503,6 +1503,52 @@ object Registry {
         |  FROM documents d LEFT JOIN c2 USING (doc_id))
         |SELECT doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin)),
 
+    // Contrastive negative sampling over the verified near-dup pairs:
+    // deterministic md5-gate draws, accidental false negatives flagged
+    // (not re-drawn — a flag is engine-reproducible, a loop is not).
+    "q201_contrastive_negatives" -> Entry((s, d) =>
+      Dedup.contrastiveNegatives(s, d).orderBy("doc_a", "doc_b", "neg_rank"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |drawn AS (SELECT doc_a, doc_b, r AS neg_rank,
+        |   CAST(list_reduce(list_prepend('0', string_split(substr(
+        |       md5('neg:' || CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+        |       1, 15), '')),
+        |     (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)
+        |     % nn.n_docs AS neg_id
+        |  FROM pairs CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 4)) AS r)),
+        |edge AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |         UNION ALL SELECT doc_b, doc_a FROM pairs)
+        |SELECT d.doc_a, d.doc_b, CAST(d.neg_rank AS BIGINT) AS neg_rank, d.neg_id,
+        | (d.neg_id = d.doc_a OR d.neg_id = d.doc_b OR e.u IS NOT NULL) AS is_degenerate
+        |FROM drawn d LEFT JOIN edge e ON e.u = d.doc_a AND e.v = d.neg_id
+        |ORDER BY doc_a, doc_b, neg_rank""".stripMargin)),
+
     // The salt never reaches the output: the oracle is the PLAIN join,
     // certifying the salting rewrite is result-identical.
     "q125_salted_join" -> Entry(

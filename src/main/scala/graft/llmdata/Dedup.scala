@@ -111,6 +111,55 @@ object Dedup {
     pr
   }
 
+  /** Contrastive negative sampling (q201) — the triplet-dataset
+    * construction step for training an embedding/similarity model from
+    * dedup labels: each VERIFIED near-dup pair is a (anchor, positive)
+    * example, and `negsPerPair` negatives are drawn per pair,
+    * deterministically, by the md5-gate idiom: neg_i = parse60(md5(
+    * "neg:a:b:i")) mod N over the dense doc_id space. Accidental
+    * degenerates (the draw landing on the anchor/positive themselves, or
+    * on a doc that near-duplicates the anchor — a false negative that
+    * would poison the contrastive loss) are FLAGGED, not silently
+    * re-drawn: re-draw loops are engine-dependent, a flag is
+    * reproducible, and the trainer drops flagged rows for free.
+    *
+    * Scale shape: |pairs| × k rows from a projection over the tiny cached
+    * pair frame (the q124/q140/q151/q200 shared derivation); the
+    * degeneracy check is one left-semi-style join back against the same
+    * pair frame on (anchor, neg) — never a corpus join; N arrives as a
+    * 1-row count broadcast (whitelisted). */
+  def contrastiveNegatives(spark: org.apache.spark.sql.SparkSession,
+      dir: String, negsPerPair: Int = 3): DataFrame =
+    contrastiveNegativesFrom(minhashMd5PairsOn(spark, dir),
+      graft.io.Tables(spark, dir, "documents"), negsPerPair)
+
+  /** [[contrastiveNegatives]] on a precomputed verified-pair frame (the
+    * fan-out form — see [[componentLabelsOn]]). */
+  def contrastiveNegativesFrom(pairsIn: DataFrame, docs: DataFrame,
+      negsPerPair: Int = 3): DataFrame = {
+    val pairs = pairsIn.select("doc_a", "doc_b")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val drawn = pairs.crossJoin(broadcast(n))
+      .select(col("doc_a"), col("doc_b"), col("n_docs"),
+        explode(sequence(lit(1), lit(negsPerPair))).as("neg_rank"))
+      .withColumn("neg_id",
+        pmod(conv(substring(md5(concat(lit("neg:"), col("doc_a"), lit(":"),
+          col("doc_b"), lit(":"), col("neg_rank"))), 1, 15), 16, 10).cast("long"),
+          col("n_docs")))
+    // a negative is degenerate if it IS one of the pair, or if (anchor,
+    // neg) is itself a verified near-dup pair (either orientation)
+    val dupEdge = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    drawn
+      .join(dupEdge.withColumnRenamed("u", "doc_a")
+          .withColumnRenamed("v", "neg_id").withColumn("is_dup", lit(true)),
+        Seq("doc_a", "neg_id"), "left")
+      .select(col("doc_a"), col("doc_b"), col("neg_rank").cast("long").as("neg_rank"),
+        col("neg_id"),
+        (col("neg_id") === col("doc_a") || col("neg_id") === col("doc_b") ||
+          coalesce(col("is_dup"), lit(false))).as("is_degenerate"))
+  }
+
   /** Distinct word-3-shingle sets per document — the shared front end of
     * MinHash candidate generation and exact-Jaccard verification. */
   private def shingled3(docs: DataFrame): DataFrame = docs

@@ -98,6 +98,27 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(math.abs(pr(1L) - spoke2) < 1e-9, s"spoke ${pr(1L)} != $spoke2")
   }
 
+  test("q201 negative sampling: degenerate draws are flagged, never silently kept") {
+    import spark.implicits._
+    // two-doc corpus: every mod-2 draw lands on the pair itself
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val tiny = Seq((0L, "a", "s", "en", 1L), (1L, "b", "s", "en", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Dedup.contrastiveNegativesFrom(pairs, tiny, negsPerPair = 3).collect()
+    assert(got.length === 3)
+    assert(got.forall(_.getAs[Boolean]("is_degenerate")),
+      "a draw onto the pair itself was not flagged")
+    // larger corpus: a draw landing on a verified-dup neighbor is flagged too
+    val ids = (0L to 99L).map(i => (i, s"t$i", "s", "en", 2L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val multi = Dedup.contrastiveNegativesFrom(
+      Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b"), ids, negsPerPair = 50)
+    val flagged = multi.filter(col("is_degenerate")).select("neg_id")
+      .collect().map(_.getLong(0)).toSet
+    // every flagged id must be 0, 1, or 2 (pair member or dup neighbor)
+    assert(flagged.subsetOf(Set(0L, 1L, 2L)), s"unexpected flags: $flagged")
+  }
+
   test("q199 streaming file sink: batch-equal output and an exactly-once commit log") {
     import graft.streaming.Events
     val got = Events.streamingFileSink(spark, dir)
