@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_signed_project"),
+      new ExpressionInfo(classOf[SignedProjection].getName, "graft_signed_project"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_signed_project takes (array<float|double>, constant k)")
+        SignedProjection(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[DoubleSortableBits].getName, "graft_sortable_bits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -33,6 +33,11 @@ object VectorOps {
   def windowHashes(toks: Column, w: Int): Column =
     GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(toks), w))
 
+  /** All k JL-reduced components of an embedding in one narrow pass
+    * ([[SignedProjection]]) — q194's shuffle-free form. */
+  def signedProject(emb: Column, k: Int): Column =
+    GraftColumnBridge.column(SignedProjection(GraftColumnBridge.expression(emb), k))
+
   /** The higher-order-function formulation of [[dot]] — kept as the
     * cross-check oracle for the codegen expression (see VectorOpsSpec).
     * ~100× slower on the all-pairs path: allocates an intermediate array

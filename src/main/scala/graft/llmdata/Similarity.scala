@@ -423,9 +423,13 @@ object Similarity {
     * projections", PODS 2001), with the hash replacing the RNG so both
     * engines derive the identical matrix (the [[graft.llmdata.Curation]]
     * md5-gate idiom applied to a projection). Unlike PCA it needs no fit,
-    * no pass over the data, no driver eigensolve — the 100 TB path is one
-    * narrow map + a (d×k tiny) broadcast join, and the distortion bound is
-    * data-independent (JL lemma).
+    * no pass over the data, no driver eigensolve — and since round 13 the
+    * implementation is the narrow codegen'd
+    * [[graft.functions.SignedProjection]] expression: ALL k components per
+    * vector in one map-side pass, NO exchange anywhere in the plan (the
+    * relational twin below shuffles n·k rows; Round13OpsSpec pins frame
+    * equality between the two). The distortion bound is data-independent
+    * (JL lemma).
     *
     * Cross-engine exactness: inputs are rounded to 6dp and quantized to
     * DECIMAL(12,6), the ±1 multiply stays decimal-exact, the sum is an
@@ -436,7 +440,19 @@ object Similarity {
     * round here would hit the half-way digit (an exact-decimal÷4 ends in
     * …5 whenever the sum's last digits ≡ 2 mod 4) where Spark rounds
     * half-up and DuckDB half-even. */
-  def jlProject(emb: DataFrame, k: Int = 16): DataFrame = {
+  def jlProject(emb: DataFrame, k: Int = 16): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(VectorOps.signedProject(col("embedding"), k))
+          .as(Seq("p0", "value")))
+      .select(col("vec_id"), col("p0").cast("long").as("component"), col("value"))
+
+  /** The relational formulation of [[jlProject]] — posexplode → broadcast
+    * sign join → (vec, component) hash agg. Kept as the cross-check twin
+    * of the narrow [[graft.functions.SignedProjection]] expression (the
+    * [[graft.functions.VectorOps.hofDot]] pattern at operator scale):
+    * Round13OpsSpec pins frame equality. The narrow form wins at scale —
+    * this one shuffles n·k rows; the expression shuffles nothing. */
+  private[graft] def jlProjectRelational(emb: DataFrame, k: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     val pts = emb.select(col("vec_id"),
       posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "v")))

@@ -87,8 +87,9 @@ object PlanAudit {
       "intra-windows (PARTITIONED by bucket — no single-partition frame anywhere) + broadcast " +
       "triangular self-join over the tiny per-bucket offsets",
       reg("q144_token_budget")),
-    ("q194_jl_projection", "hash-certified JL projection: one narrow posexplode + a d×k " +
-      "sign-matrix broadcast join + one (vec,component) hash agg — no fit, no driver math",
+    ("q194_jl_projection", "hash-certified JL projection as ONE narrow codegen'd expression " +
+      "(SignedProjection): all k components map-side, zero exchanges in the whole plan — " +
+      "no fit, no join, no agg",
       reg("q194_jl_projection")),
     ("q198_dup_spans_rolling", "substring dedup on codegen'd rolling window digests: WindowHashes " +
       "emits all stride-1 window keys in one O(len) pass (8-byte packed keys), then df>1 prune " +

@@ -73,8 +73,6 @@ class PlanLintSpec extends AnyFunSuite {
     "q188_bpe_encode",         // composes q185's 1-row argmax broadcasts
     "q189_bigram_logprob",     // 1-row vocab-size aggregate broadcast back
     "q193_quality_labels",     // composes q119's 1-row corpus-total broadcast
-    "q194_jl_projection",      // dims × k sign-matrix cross (both tiny),
-                               // broadcast against the point frame
     "q201_contrastive_negatives") // 1-row corpus-count + k-row rank grid
                                   // broadcast into the tiny pair frame
 

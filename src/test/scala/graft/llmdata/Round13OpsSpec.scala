@@ -65,6 +65,17 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(proj.exceptAll(again).isEmpty && again.exceptAll(proj).isEmpty)
   }
 
+  test("q194 narrow SignedProjection expression equals the relational twin bit-for-bit") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val narrow = Similarity.jlProject(emb, k = 16)
+    val relational = Similarity.jlProjectRelational(emb, k = 16)
+    assert(narrow.exceptAll(relational).isEmpty && relational.exceptAll(narrow).isEmpty,
+      "narrow expression diverged from the relational formulation")
+    // and the narrow plan is exchange-free (pure projection + generate)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow JL plan has a shuffle:\n$plan")
+  }
+
   test("q197 trusted dedup keeps the highest-trust source's copy, not the first") {
     import spark.implicits._
     val planted = Seq(
