@@ -1503,6 +1503,33 @@ object Registry {
         |  FROM documents d LEFT JOIN c2 USING (doc_id))
         |SELECT doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin)),
 
+    // Per-column data-quality profile of the documents table: one scan,
+    // exact distinct counts (the honest tier; q82 is the HLL tier),
+    // native-type min/max cast to string for the uniform report schema.
+    "q202_table_profile" -> Entry((s, d) =>
+      graft.relational.Profile.tableProfile(docs(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("column_name"), Some(
+      """WITH m AS (SELECT count(*) AS n_rows,
+        |  count(doc_id) AS nn1, count(DISTINCT doc_id) AS nd1,
+        |   CAST(min(doc_id) AS VARCHAR) AS mn1, CAST(max(doc_id) AS VARCHAR) AS mx1,
+        |  count(text) AS nn2, count(DISTINCT text) AS nd2,
+        |   CAST(min(text) AS VARCHAR) AS mn2, CAST(max(text) AS VARCHAR) AS mx2,
+        |  count(lang) AS nn3, count(DISTINCT lang) AS nd3,
+        |   CAST(min(lang) AS VARCHAR) AS mn3, CAST(max(lang) AS VARCHAR) AS mx3,
+        |  count(source) AS nn4, count(DISTINCT source) AS nd4,
+        |   CAST(min(source) AS VARCHAR) AS mn4, CAST(max(source) AS VARCHAR) AS mx4,
+        |  count(n_chars) AS nn5, count(DISTINCT n_chars) AS nd5,
+        |   CAST(min(n_chars) AS VARCHAR) AS mn5, CAST(max(n_chars) AS VARCHAR) AS mx5
+        | FROM documents)
+        |SELECT column_name, n_rows, n_rows - n_non_null AS n_nulls, n_distinct, min_value, max_value
+        |FROM (
+        | SELECT 'doc_id' AS column_name, n_rows, nn1 AS n_non_null, nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM m
+        | UNION ALL SELECT 'text', n_rows, nn2, nd2, mn2, mx2 FROM m
+        | UNION ALL SELECT 'lang', n_rows, nn3, nd3, mn3, mx3 FROM m
+        | UNION ALL SELECT 'source', n_rows, nn4, nd4, mn4, mx4 FROM m
+        | UNION ALL SELECT 'n_chars', n_rows, nn5, nd5, mn5, mx5 FROM m)
+        |ORDER BY column_name""".stripMargin)),
+
     // Contrastive negative sampling over the verified near-dup pairs:
     // deterministic md5-gate draws, accidental false negatives flagged
     // (not re-drawn — a flag is engine-reproducible, a loop is not).

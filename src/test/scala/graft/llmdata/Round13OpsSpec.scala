@@ -130,6 +130,17 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(flagged.subsetOf(Set(0L, 1L, 2L)), s"unexpected flags: $flagged")
   }
 
+  test("q202 profile: null/distinct/min-max semantics on a planted frame") {
+    import spark.implicits._
+    val f = Seq((1L, Some("b")), (2L, None), (3L, Some("a")), (4L, Some("a")))
+      .toDF("id", "s")
+    val p = graft.relational.Profile.tableProfile(f, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") === ((4L, 1L, 2L, "a", "b")), s"got ${p("s")}")
+  }
+
   test("q199 streaming file sink: batch-equal output and an exactly-once commit log") {
     import graft.streaming.Events
     val got = Events.streamingFileSink(spark, dir)
