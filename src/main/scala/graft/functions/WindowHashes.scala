@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * window counts; and because the oracle derives the IDENTICAL packed
   * values, cross-engine comparison is exact even at a collision.
   *
-  * Byte-level folds equal DuckDB's `ascii()` code-point folds on ASCII
-  * corpora (the fixture; asserted in spec). Windows shorter than the token
+  * Token folds iterate Unicode CODE POINTS (not UTF-8 bytes), matching
+  * DuckDB's `ascii()`-per-character fold on any corpus, not just ASCII
+  * (identical on ASCII; spec-pinned). Windows shorter than the token
   * count yield an empty array. Null tokens cannot occur (split() output);
   * the eval guards anyway. The codegen path calls the same static loop the
   * interpreted path uses — the expression stays inside whole-stage codegen
@@ -67,13 +68,14 @@ object WindowHashes {
   val P1 = 1000000007L; val B1 = 31L;  val W1 = 1000003L
   val P2 = 998244353L;  val B2 = 131L; val W2 = 1000033L
 
-  private def foldBytes(t: UTF8String, p: Long, b: Long): Long = {
-    val bytes = t.getBytes
+  private def foldCodePoints(t: UTF8String, p: Long, b: Long): Long = {
+    val s = t.toString
     var acc = 0L
     var i = 0
-    while (i < bytes.length) {
-      acc = (acc * b + (bytes(i) & 0xffL)) % p
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * b + cp) % p
+      i += java.lang.Character.charCount(cp)
     }
     acc
   }
@@ -89,7 +91,7 @@ object WindowHashes {
     while (i < n) {
       val t = arr.getUTF8String(i)
       if (t == null) { v1(i) = 0L; v2(i) = 0L }
-      else { v1(i) = foldBytes(t, P1, B1); v2(i) = foldBytes(t, P2, B2) }
+      else { v1(i) = foldCodePoints(t, P1, B1); v2(i) = foldCodePoints(t, P2, B2) }
       i += 1
     }
     // W^(w-1) mod P — the departing token's positional weight

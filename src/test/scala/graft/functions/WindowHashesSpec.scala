@@ -14,7 +14,7 @@ class WindowHashesSpec extends AnyFunSuite {
   private def direct(tokens: Seq[String], w: Int): Seq[Long] = {
     import WindowHashes._
     def fold(t: String, p: Long, b: Long): Long =
-      t.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * b + (c & 0xff)) % p)
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * b + c) % p)
     if (tokens.length < w) Seq.empty
     else (0 to tokens.length - w).map { s =>
       val win = tokens.slice(s, s + w)
@@ -39,6 +39,13 @@ class WindowHashesSpec extends AnyFunSuite {
   test("shorter-than-window and empty inputs yield empty arrays") {
     assert(viaExpr(Seq("a", "b"), 3) === Seq.empty)
     assert(viaExpr(Seq.empty, 2) === Seq.empty)
+  }
+
+  test("non-ASCII tokens fold by code point (DuckDB ascii() parity beyond ASCII)") {
+    val toks = Seq("héllo", "wörld", "日本語", "plain")
+    assert(viaExpr(toks, 2) === direct(toks, 2))
+    // a multibyte token must hash differently from its byte-mangled twin
+    assert(viaExpr(Seq("é", "x"), 2) !== viaExpr(Seq("e", "x"), 2))
   }
 
   test("identical windows at different offsets/documents collide (by design)") {
