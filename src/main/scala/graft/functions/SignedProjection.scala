@@ -26,7 +26,14 @@ import org.apache.spark.sql.types._
   * form produces, and /√k with the default k=16 is an exact
   * power-of-two exponent shift. Signs are precomputed once per expression
   * instance for positions 0..MaxDims-1 (d×k longs — bytes, not a
-  * broadcast). */
+  * broadcast).
+  *
+  * Edge note: a zero-length input array yields k exact zeros (the empty
+  * sum), where the relational twin's posexplode yields no rows at all for
+  * that vector — the expression is the more faithful algebra (the
+  * projection of nothing is the origin); embeddings are fixed-width so
+  * the case never arises in data, and the parity spec runs on real
+  * vectors. */
 case class SignedProjection(child: Expression, k: Int)
     extends UnaryExpression {
   require(k >= 1 && k <= 64, "k must be in [1, 64]")
