@@ -41,6 +41,26 @@ class WindowHashesSpec extends AnyFunSuite {
     assert(viaExpr(Seq.empty, 2) === Seq.empty)
   }
 
+  test("scalacheck: rolling equals direct for arbitrary tokens and window sizes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tokens across the edge space: empty strings, single chars, long
+    // runs, multibyte — the rolling subtraction must stay exact under all
+    val genToken = Gen.oneOf(
+      Gen.const(""),
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.nonEmptyListOf(Gen.oneOf('é', '日', 'a', '0', ' ')).map(_.mkString))
+    val genCase = for {
+      n <- Gen.choose(0, 24)
+      toks <- Gen.listOfN(n, genToken)
+      w <- Gen.choose(1, 10)
+    } yield (toks, w)
+    val prop = Prop.forAllNoShrink(genCase) { case (toks, w) =>
+      viaExpr(toks, w) == direct(toks, w)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"scalacheck failed: ${res.status}")
+  }
+
   test("non-ASCII tokens fold by code point (DuckDB ascii() parity beyond ASCII)") {
     val toks = Seq("héllo", "wörld", "日本語", "plain")
     assert(viaExpr(toks, 2) === direct(toks, 2))
