@@ -1530,6 +1530,26 @@ object Registry {
         | UNION ALL SELECT 'n_chars', n_rows, nn5, nd5, mn5, mx5 FROM m)
         |ORDER BY column_name""".stripMargin)),
 
+    // Quarantine router: every doc gets decision + first-matching reason
+    // under a fixed rule priority — the audit surface ("why was this doc
+    // dropped") the silent q87 gates cannot answer.
+    "q203_quarantine_reasons" -> Entry((s, d) =>
+      Curation.quarantineRouter(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH k AS (SELECT doc_id, sha256(text) AS ch, lang,
+        |   len(string_split(text, ' ')) AS nt,
+        |   min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision, reason
+        |FROM (SELECT doc_id,
+        |  CASE WHEN doc_id <> keeper_id THEN 'exact_dup'
+        |       WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_blocked'
+        |       WHEN nt < 20 THEN 'too_short'
+        |       WHEN nt > 85 THEN 'too_long'
+        |       ELSE 'ok' END AS reason
+        | FROM k)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Contrastive negative sampling over the verified near-dup pairs:
     // deterministic md5-gate draws, accidental false negatives flagged
     // (not re-drawn — a flag is engine-reproducible, a loop is not).

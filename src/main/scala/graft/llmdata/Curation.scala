@@ -435,6 +435,45 @@ object Curation {
     packSequences(kept.join(reps, Seq("doc_id"), "left_semi"), budget)
   }
 
+  /** Quarantine router with reason codes (q203) — the governance surface a
+    * production curation pipeline must emit: every document gets a
+    * DECISION (keep/drop) and the FIRST-MATCHING REASON under a fixed rule
+    * priority, so an auditor can answer "why is this document not in the
+    * training set" without re-running the pipeline. Filters that silently
+    * drop rows (q87's gates) are fine for the trainer; the router is the
+    * same predicate set expressed as a total function over the corpus —
+    * nothing vanishes, everything is labeled.
+    *
+    * Rule priority (first match wins — priority IS the semantics, since a
+    * doc can be both an exact-dup loser and too short):
+    *  1. `exact_dup`   — not the keeper (min doc_id) of its sha2 group
+    *  2. `lang_blocked`— language not in the allowlist
+    *  3. `too_short` / `too_long` — token count outside [minTokens, maxTokens]
+    *  else `ok`, decision keep.
+    *
+    * One scan + the keeper hash-agg broadcast back (the [[Dedup
+    * .dedupKeepFirst]] skew-safe shape); the router is a projection over
+    * it — no extra shuffle at any scale. */
+  def quarantineRouter(docs: DataFrame,
+      minTokens: Long = 20L, maxTokens: Long = 85L,
+      langAllow: Seq[String] = Seq("en", "de", "es", "fr")): DataFrame = {
+    val keepers = docs.select(sha2(col("text"), 256).as("__ch"), col("doc_id"))
+      .groupBy("__ch").agg(min(col("doc_id")).as("keeper_id"))
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    docs.withColumn("__ch", sha2(col("text"), 256))
+      .join(keepers, "__ch")
+      .withColumn("__nt", toks)
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper_id"), "exact_dup")
+          .when(!col("lang").isInCollection(langAllow), "lang_blocked")
+          .when(col("__nt") < minTokens, "too_short")
+          .when(col("__nt") > maxTokens, "too_long")
+          .otherwise("ok").as("reason"))
+      .withColumn("decision",
+        when(col("reason") === "ok", "keep").otherwise("drop"))
+      .select(col("doc_id"), col("decision"), col("reason"))
+  }
+
   /** Stratified fixed-N sample: exactly `n` documents per stratum (lang),
     * selected uniformly-at-random but deterministically — each document's
     * priority is a 60-bit integer parsed from its salted md5 prefix, and

@@ -130,6 +130,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(flagged.subsetOf(Set(0L, 1L, 2L)), s"unexpected flags: $flagged")
   }
 
+  test("q203 quarantine: rule priority — a short dup is exact_dup, not too_short") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "tiny text", "s", "en", 9L),          // keeper of the dup group; too short
+      (1L, "tiny text", "s", "en", 9L),          // dup loser AND too short -> exact_dup wins
+      (2L, "x y z", "s", "xx", 5L),              // blocked lang AND too short -> lang wins
+      (3L, (1 to 50).map(i => s"w$i").mkString(" "), "s", "en", 99L) // ok
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = Curation.quarantineRouter(planted)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(0L) === (("drop", "too_short")))
+    assert(got(1L) === (("drop", "exact_dup")), s"priority broken: ${got(1L)}")
+    assert(got(2L) === (("drop", "lang_blocked")))
+    assert(got(3L) === (("keep", "ok")))
+  }
+
   test("q202 profile: null/distinct/min-max semantics on a planted frame") {
     import spark.implicits._
     val f = Seq((1L, Some("b")), (2L, None), (3L, Some("a")), (4L, Some("a")))
