@@ -716,6 +716,12 @@ object Registry {
       """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Raw text-line sink + source round-trip: doc_id \t text lines,
+    // re-parsed into typed columns (the crawl-line ingestion step).
+    "q204_text_roundtrip" -> Entry((s, d) =>
+      graft.io.Formats.textRoundtrip(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")),
+
     // Trust-ranked exact dedup: keeper = most-trusted source's copy
     // (source index DESC, doc_id tiebreak), not first arrival — the
     // provenance-priority rule; argmin struct agg, no window funnel.

@@ -56,4 +56,30 @@ object Formats {
     roundtrip(spark, dir, orcCache, "graft-orc",
       (df, p) => df.write.mode("overwrite").orc(p),
       (s, schema, p) => s.read.schema(schema).orc(p))
+
+  private val textCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Raw line-oriented text round-trip (q204) — the rawest ingestion
+    * surface: one record per line (`doc_id \t text`), written with the
+    * text sink and re-parsed from `spark.read.text`'s single `value`
+    * column back into typed fields (the parse-the-crawl-line step every
+    * raw pipeline starts with; limit-2 split so tabs inside the payload
+    * would stay in the text). Line sources split by newline — the
+    * splittable-at-scale property — which also means the payload must be
+    * newline-free; real pipelines escape or length-prefix, this fixture's
+    * text is single-line by construction. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents")
+    val path = textCache.computeIfAbsent(dir, _ => {
+      val p = TempDirs.scratch("graft-text").resolve("documents").toString
+      src.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 2).as("parts"))
+      .select(element_at(col("parts"), 1).cast("long").as("doc_id"),
+        md5(element_at(col("parts"), 2)).as("text_md5"))
+  }
 }

@@ -32,6 +32,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q195_jsonl_roundtrip",     // JSONL sink write on construction (cached);
                                 // round-trip certified by its oracle
     "q196_orc_roundtrip",       // ORC sink write on construction (cached)
+    "q204_text_roundtrip",      // text sink write on construction (cached)
     "q192_quality_pipeline",    // composes q186's LR fit and q99's eager
                                 // label loop; composition contract in
                                 // Round13OpsSpec
