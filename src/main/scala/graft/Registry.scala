@@ -716,6 +716,15 @@ object Registry {
       """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Incremental stats by partial-merge: per-source token/type counts
+    // rolled up from per-ingest-batch partials (the backfill re-merge
+    // path); the direct-computation oracle certifies the decomposition.
+    "q205_incremental_stats" -> Entry((s, d) =>
+      TextAnalysis.incrementalSourceStats(docs(s, d)).orderBy("source"), Some(
+      """SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS n_types
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Raw text-line sink + source round-trip: doc_id \t text lines,
     // re-parsed into typed columns (the crawl-line ingestion step).
     "q204_text_roundtrip" -> Entry((s, d) =>

@@ -750,6 +750,33 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
           .as("ttr"))
 
+  /** Incremental corpus stats by partial-merge (q205) — the BACKFILL
+    * design certified: per-source token and type counts computed by
+    * rolling up per-ingest-batch PARTIALS (the (batch, source, term)
+    * grain a real pipeline persists per increment), not by scanning the
+    * corpus flat. The point at 100 TB: when one batch is re-crawled, the
+    * pipeline re-derives THAT batch's partial and re-merges — this query
+    * is the re-merge path, and its hash equality with the direct oracle
+    * proves the decomposition is exact for both the sum-mergeable stat
+    * (n_tokens) and the set-mergeable one (n_types — term-grain partials
+    * merge by key, never by adding distinct counts, which do not add).
+    * Batch grain = the real event-time window over the derived ingestion
+    * clock (the [[Ingest]] contract). */
+  def incrementalSourceStats(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    val partials = docs
+      .select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
+        col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    partials
+      .groupBy("source", "term").agg(sum(col("n")).as("n_term"))
+      .groupBy("source").agg(
+        sum(col("n_term")).as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"))
+  }
+
   /** Melt the per-document counting metrics to long (doc_id, metric,
     * value) form — `Dataset.unpivot`, the relational UNPIVOT/MELT
     * operator (the inverse of q108's pivot). Unpivot is a local Expand —
