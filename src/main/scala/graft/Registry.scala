@@ -745,6 +745,18 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-filter pre-filtered join: the fact side is pruned by a
+    // broadcast word-map bloom BEFORE the join; the oracle is the PLAIN
+    // join — hash equality certifies the prune is lossless (no false
+    // negatives by construction).
+    "q206_bloom_join" -> Entry((s, d) =>
+      graft.relational.BloomPrune.segmentOrderStats(s, d).orderBy("c_custkey"), Some(
+      """SELECT c_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The classifier's deterministic half, hash-certified: weak tercile
     // labels (q169's rank rule) + the md5 80/20 split — the training-set
     // construction q186 consumes, minus the solver.

@@ -74,8 +74,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q188_bpe_encode",         // composes q185's 1-row argmax broadcasts
     "q189_bigram_logprob",     // 1-row vocab-size aggregate broadcast back
     "q193_quality_labels",     // composes q119's 1-row corpus-total broadcast
-    "q201_contrastive_negatives") // 1-row corpus-count + k-row rank grid
+    "q201_contrastive_negatives", // 1-row corpus-count + k-row rank grid
                                   // broadcast into the tiny pair frame
+    "q206_bloom_join")            // 1-row bloom word-map frame broadcast
+                                  // against the fact side (the prune stage)
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

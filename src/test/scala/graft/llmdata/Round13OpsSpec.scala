@@ -189,4 +189,41 @@ class Round13OpsSpec extends AnyFunSuite {
     val again = graft.ml.QualityClassifier.labeledSplits(docs)
     assert(f.exceptAll(again).isEmpty && again.exceptAll(f).isEmpty)
   }
+
+  test("q206 bloom prune is lossless: pruned join equals the plain join") {
+    import graft.relational.BloomPrune
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_spend"))
+    val got = BloomPrune.segmentOrderStats(spark, dir)
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+      "bloom-pruned join diverged from the plain join")
+    assert(got.count() > 0L)
+  }
+
+  test("q206 bloom has no false negatives and prunes effectively") {
+    import graft.relational.BloomPrune
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    // no false negatives: every dim key passes its own filter
+    val selfPruned = BloomPrune.prune(
+      cust.select(col("c_custkey").as("k")), col("k"), cust, col("c_custkey"))
+    assert(selfPruned.count() === cust.count(),
+      "a dim key failed its own bloom — false negative")
+    // effective pruning: survivors ≈ true matches (fp rate small)
+    val matching = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .count()
+    val survivors = BloomPrune.prune(
+      orders, col("o_custkey"), cust, col("c_custkey")).count()
+    val total = orders.count()
+    assert(survivors >= matching, "pruned below the true match count")
+    assert(survivors <= matching + (total - matching) / 20 + 1,
+      s"fp rate too high: $survivors survivors vs $matching matches of $total")
+  }
 }
