@@ -64,6 +64,18 @@ object Registry {
 
   /** DuckDB mirror of the visits melt + zero-pad union (same oracle for the
     * pivot→CSV→melt round-trip, which must settle to the identical COO). */
+  /** Shared by q207 (batch argmax-struct) and q211 (streaming keyed
+    * state): the latest-wins changelog compaction spelled as the oracle's
+    * window rank. */
+  private val cdcCompactSql: String =
+    """WITH last AS (SELECT user_id, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      | value AS last_value
+      |FROM last WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   private def paddedMatrixSql: String = {
     val fx = Queries.FixtureDir
     val melted = VisitHours.map(h =>
@@ -644,6 +656,17 @@ object Registry {
       .orderBy("user_id"), Some(
       """SELECT user_id, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // CDC changelog compaction: latest-wins upsert view with tombstones
+    // ('error' = DELETE), as one map-side-combinable argmax-struct agg.
+    // The oracle spells the same semantics as a window rank — hash
+    // equality certifies the rewrite. q211 is the SAME view maintained
+    // live by keyed streaming state, certified against the SAME oracle.
+    "q207_cdc_compact" -> Entry((s, d) =>
+      Events.cdcCompact(s, d).orderBy("user_id"), Some(cdcCompactSql)),
+
+    "q211_streaming_cdc" -> Entry((s, d) =>
+      Events.streamingCdcCompact(s, d).orderBy("user_id"), Some(cdcCompactSql)),
 
     "q56_csv_padded_matrix" -> Entry(Queries.csvPaddedMatrix, Some(paddedMatrixSql)),
 

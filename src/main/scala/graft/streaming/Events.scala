@@ -1171,4 +1171,83 @@ object Events {
       .select(col("user_id"), col("session_seq"), col("session_start_ms"),
         (col("session_end_ms") - col("session_start_ms")).as("duration_ms"), col("n_events"))
   }
+
+  // ---- CDC changelog compaction (q207 batch, q211 streaming) -------------
+
+  /** CDC changelog reading of the events table: each event is a change
+    * record for its `user_id` — `event_type = 'error'` is the tombstone
+    * (DELETE), every other type an UPSERT carrying `(event_type, value)`;
+    * the change sequence is `(ts, event_id)` (event_id unique → total
+    * order). This is the Debezium/lakehouse MERGE shape: compact a
+    * changelog to the latest surviving row per key. */
+  private def changelog(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+      col("event_type"), col("value"))
+
+  /** q207: latest-wins changelog compaction as ONE hash aggregation — per
+    * key, `max(struct(ts_ms, event_id, payload...))` picks the newest
+    * change (struct ordering = lexicographic on the leading seq fields),
+    * then tombstoned keys drop. No window funnel: the per-key argmax is a
+    * map-side-combinable agg, so at 100 TB the changelog shuffles only its
+    * partial winners — the row_number()-over-everything formulation (the
+    * oracle's spelling) would shuffle the full log into per-key sorts.
+    * Same output, different asymptotics; hash equality certifies the
+    * argmax-struct ≡ window-rank rewrite. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame =
+    changelog(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+
+  /** Keyed state for [[streamingCdcCompact]]: the newest change seen so
+    * far for one key (constant size — the 100 TB state-store contract). */
+  final case class CdcLast(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** q211: the SAME compaction as a live materialized view —
+    * `mapGroupsWithState` folds each micro-batch into the per-key newest
+    * change (max by `(ts_ms, event_id)`, order-independent across batch
+    * boundaries), update mode emits the running winner, and the settle
+    * step reduces the emission log to each key's final emission (the
+    * greatest `(ts_ms, event_id)` — monotone per key, so the reduction is
+    * exact). Tombstone filtering happens LAST, on the settled view: a key
+    * whose latest change is a delete stays in state (a later upsert must
+    * resurrect it) but drops from the materialized result — exactly the
+    * upsert-view semantics of the batch twin, which the shared q207
+    * oracle certifies. */
+  def streamingCdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val settled = settle(spark, dir, stream => {
+      val s = stream.sparkSession
+      import s.implicits._
+      stream.select(col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[CdcLast, CdcLast](GroupStateTimeout.NoTimeout) {
+          (user: Long, batch: Iterator[(Long, Long, Long, String, Double)],
+           state: GroupState[CdcLast]) =>
+            var st = state.getOption.orNull
+            batch.foreach { case (_, ts, id, tpe, v) =>
+              if (st == null || ts > st.ts_ms ||
+                  (ts == st.ts_ms && id > st.event_id))
+                st = CdcLast(user, ts, id, tpe, v)
+            }
+            state.update(st)
+            st
+        }.toDF()
+    }, outputMode = "update")
+    val last = settled.groupBy(col("user_id"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+    last.filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+  }
 }

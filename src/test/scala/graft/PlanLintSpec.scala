@@ -36,8 +36,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q192_quality_pipeline",    // composes q186's LR fit and q99's eager
                                 // label loop; composition contract in
                                 // Round13OpsSpec
-    "q199_streaming_file_sink") // streaming parquet-sink write on
+    "q199_streaming_file_sink", // streaming parquet-sink write on
                                 // construction (cached)
+    "q211_streaming_cdc")       // streaming settle on construction;
+                                // parity with q207 pinned in Round13OpsSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(

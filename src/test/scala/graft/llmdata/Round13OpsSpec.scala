@@ -226,4 +226,36 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(survivors <= matching + (total - matching) / 20 + 1,
       s"fp rate too high: $survivors survivors vs $matching matches of $total")
   }
+
+  test("q207/q211 CDC: streaming materialized view settles to the batch compaction") {
+    import graft.streaming.Events
+    val batch = Events.cdcCompact(spark, dir)
+    val stream = Events.streamingCdcCompact(spark, dir)
+    assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty,
+      "streaming CDC view diverged from the batch compaction")
+    assert(batch.count() > 0L)
+  }
+
+  test("q207 CDC tombstones: a key whose latest change is a delete is absent") {
+    import graft.streaming.Events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    // users whose max-(event order) change is an 'error' (ts ties broken by
+    // event_id — recompute the winner independently of the operator)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    val last = raw.select(col("user_id"), tsMs.as("ts_ms"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"))).as("l"))
+    val tombstoned = last.filter(col("l.event_type") === "error").select("user_id")
+    val nTomb = tombstoned.count()
+    assert(nTomb > 0L, "fixture has no tombstoned user — test vacuous")
+    val out = Events.cdcCompact(spark, dir)
+    assert(out.join(tombstoned, "user_id").count() === 0L,
+      "a tombstoned key survived compaction")
+    assert(out.count() === last.count() - nTomb)
+  }
 }
