@@ -768,6 +768,19 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Canonical-form dedup groups: NFC (native codegen'd expression) →
+    // casefold → whitespace collapse, then md5-keyed group sizes. The
+    // oracle runs DuckDB's own nfc_normalize — hash equality certifies
+    // cross-engine Unicode-normalization agreement on the corpus.
+    "q208_canonical_dedup" -> Entry((s, d) =>
+      Dedup.canonicalDedupGroups(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH c AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS canon_md5
+        | FROM documents),
+        |g AS (SELECT canon_md5, count(*) AS group_size FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canon_md5, g.group_size
+        |FROM c JOIN g USING (canon_md5) ORDER BY c.doc_id""".stripMargin)),
+
     // Bloom-filter pre-filtered join: the fact side is pruned by a
     // broadcast word-map bloom BEFORE the join; the oracle is the PLAIN
     // join — hash equality certifies the prune is lossless (no false

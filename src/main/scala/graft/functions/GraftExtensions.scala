@@ -51,5 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_sortable_bits takes exactly 1 argument")
         DoubleSortableBits(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(exprs.head)
+      }))
   }
 }

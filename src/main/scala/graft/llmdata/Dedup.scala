@@ -1,7 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -31,6 +31,28 @@ object Dedup {
     val hashed = docs.withColumn("__ch", sha2(col("text"), 256))
     val keepers = hashed.groupBy(col("__ch")).agg(min(col("doc_id")).as("doc_id"))
     hashed.join(keepers, Seq("__ch", "doc_id"), "left_semi").drop("__ch")
+  }
+
+  /** The canonical text form (q208): NFC-normalize (composed/decomposed
+    * Unicode variants unify — [[graft.functions.NfcNormalize]], a native
+    * codegen'd expression), casefold, trim, collapse whitespace runs.
+    * Byte-level dedup keys computed on this form catch the re-encodings
+    * and case/spacing variants that raw-sha2 exact dedup misses — the
+    * normalization step every production pipeline runs BEFORE hashing.
+    * Pure narrow projection: codegen end to end, no exchange. */
+  def canonicalText(text: Column): Column =
+    regexp_replace(trim(lower(graft.functions.NfcNormalize.normalize(text))),
+      "\\s+", " ")
+
+  /** Canonical-form duplicate groups: every doc tagged with its canonical
+    * md5 and the size of its canonical group — one hash-agg plus an
+    * equi-join back (the q40 exact-groups shape, on the normalized key). */
+  def canonicalDedupGroups(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("doc_id"),
+      md5(canonicalText(col("text"))).as("canon_md5"))
+    val g = c.groupBy(col("canon_md5")).agg(count(lit(1)).as("group_size"))
+    c.join(g, Seq("canon_md5"))
+      .select(col("doc_id"), col("canon_md5"), col("group_size"))
   }
 
   /** Trust-ranked exact dedup (q197): keep the copy from the MOST TRUSTED

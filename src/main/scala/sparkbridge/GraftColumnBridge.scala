@@ -31,5 +31,14 @@ object GraftColumnBridge {
       exprs => graft.functions.WindowHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_signed_project",
+      exprs => graft.functions.SignedProjection(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => graft.functions.NfcNormalize(exprs.head),
+      "built-in")
   }
 }
