@@ -768,6 +768,18 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Heavy hitters: Misra–Gries mergeable sketch (bounded k-1 counters,
+    // map-side combinable) generates candidates; exact verification
+    // restores determinism — the sketch never drops a true >N/k term, so
+    // the verified set EQUALS the all-exact computation the oracle runs.
+    "q209_heavy_hitters" -> Entry((s, d) =>
+      TextAnalysis.heavyHitters(docs(s, d), k = 32).orderBy("term"), Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS n_occurrences FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT term, n_occurrences FROM tc CROSS JOIN tot
+        |WHERE n_occurrences * 32 > n_total ORDER BY term""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

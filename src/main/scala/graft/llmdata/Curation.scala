@@ -733,4 +733,6 @@ private[llmdata] object ExpressionEncoderHelper {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   val intArray: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+  val stringLongMap: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  val stringArray: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
 }

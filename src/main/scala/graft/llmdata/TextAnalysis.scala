@@ -1205,4 +1205,86 @@ object TextAnalysis {
       .select(coalesce(col("lang"), lit("ALL")).as("lang"),
         coalesce(col("source"), lit("ALL")).as("source"),
         col("grain"), col("n_docs"), col("sum_chars"))
+
+  // ---- heavy hitters (q209) ---------------------------------------------
+
+  /** Misra–Gries frequent-items summary as a mergeable typed Aggregator:
+    * at most `k-1` counters; a row for a tracked term increments it, a row
+    * for an untracked term either claims a free counter or decrements ALL
+    * counters (one decrement round "spends" k occurrences, so a term's
+    * undercount after N rows is at most N/k). The merge is the Agarwal et
+    * al. mergeable-summaries rule — sum counters, subtract the k-th
+    * largest combined count, drop non-positives — which preserves the same
+    * N/k error bound, so partial summaries combine MAP-SIDE and the global
+    * aggregation moves at most k-1 counters per partition regardless of
+    * data volume: the sketch shape that finds heavy hitters over 100 TB in
+    * one narrow pass, where an exact groupBy would shuffle the full term
+    * universe.
+    *
+    * GUARANTEE (pinned in MisraGriesSpec): every term with true count
+    * > N/k survives in the summary. WHICH low-count terms also survive
+    * depends on partitioning — so the summary itself is a candidate set,
+    * not a deterministic result; [[heavyHitters]] restores determinism by
+    * exact-verifying the candidates. The immutable-Map buffer favors
+    * clarity at the shipped k (decrement rounds are rare — they cost
+    * k-1 updates but fire at most N/k times); a production tuning for
+    * large k would use the open-addressed array layout KeepNSmallest
+    * demonstrates. */
+  final class MisraGries(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Array[String]] {
+    require(k >= 2, "k must be >= 2")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
+      b.get(term) match {
+        case Some(c) => b.updated(term, c + 1L)
+        case None if b.size < k - 1 => b.updated(term, 1L)
+        case None => b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+      }
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val comb = b2.foldLeft(b1) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (comb.size <= k - 1) comb
+      else {
+        // subtract the k-th largest count; at most k-1 strictly exceed it
+        val d = comb.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
+        comb.collect { case (t, c) if c - d > 0L => t -> (c - d) }
+      }
+    }
+    override def finish(b: Map[String, Long]): Array[String] =
+      b.keysIterator.toArray.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      ExpressionEncoderHelper.stringLongMap
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
+      ExpressionEncoderHelper.stringArray
+  }
+
+  /** The MG candidate set over the whitespace-token stream — superset of
+    * every term with frequency > 1/k (see [[MisraGries]]); membership of
+    * rarer terms is partitioning-dependent. */
+  def heavyHitterCandidates(docs: DataFrame, k: Int = 16): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(new MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(mg(col("term")).as("terms"))
+      .select(explode(col("terms")).as("term"))
+  }
+
+  /** q209: deterministic heavy hitters — MG candidates exact-verified.
+    * Because the sketch can never DROP a true heavy hitter, semi-joining
+    * the exact term counts against the candidates and filtering
+    * `n·k > N` yields EXACTLY the frequency-> 1/k term set — the result an
+    * all-exact computation produces, which is what the DuckDB oracle
+    * checks. At scale the exact counting runs only for candidate terms
+    * (≤ k-1 of them) via the semi-join pushdown; the full-universe groupBy
+    * here keeps the oracle's shape at fixture size. */
+  def heavyHitters(docs: DataFrame, k: Int = 16): DataFrame = {
+    val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    counts.join(heavyHitterCandidates(docs, k), Seq("term"), "left_semi")
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * k > col("n_total"))
+      .select(col("term"), col("n_occurrences"))
+  }
 }

@@ -78,8 +78,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q193_quality_labels",     // composes q119's 1-row corpus-total broadcast
     "q201_contrastive_negatives", // 1-row corpus-count + k-row rank grid
                                   // broadcast into the tiny pair frame
-    "q206_bloom_join")            // 1-row bloom word-map frame broadcast
+    "q206_bloom_join",            // 1-row bloom word-map frame broadcast
                                   // against the fact side (the prune stage)
+    "q209_heavy_hitters")         // 1-row corpus-total aggregate broadcast
+                                  // into the candidate-verify filter
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
