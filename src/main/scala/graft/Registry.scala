@@ -768,6 +768,25 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Z-order layout statistics: Morton-interleave (l_partkey, l_suppkey),
+    // fixed z-range buckets, per-bucket min/max extents — the multi-dim
+    // clustering stats a file-skipping reader prunes on. The oracle runs
+    // the IDENTICAL magic-number bit spread in DuckDB.
+    "q210_zorder_layout" -> Entry((s, d) =>
+      graft.io.ZOrder.layoutStats(s, d).orderBy("z_bucket"), Some(
+      """WITH d AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |e AS (SELECT max(x) AS xmax, max(y) AS ymax FROM d),
+        |b0 AS (SELECT x, y, (x * 16) // (xmax + 1) AS xs, (y * 16) // (ymax + 1) AS ys
+        |  FROM d CROSS JOIN e),
+        |b1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS xs, (ys | (ys << 8)) & 16711935 AS ys FROM b0),
+        |b2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM b1),
+        |b3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM b2),
+        |b4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM b3),
+        |z AS (SELECT x, y, xs | (ys << 1) AS zval FROM b4)
+        |SELECT CAST(zval // 4 AS BIGINT) AS z_bucket, count(*) AS n_rows,
+        | min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Heavy hitters: Misra–Gries mergeable sketch (bounded k-1 counters,
     // map-side combinable) generates candidates; exact verification
     // restores determinism — the sketch never drops a true >N/k term, so

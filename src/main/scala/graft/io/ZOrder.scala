@@ -1,0 +1,82 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering key for multi-dimensional data layout —
+  * the lakehouse technique (Delta OPTIMIZE ZORDER, Iceberg sort orders)
+  * that makes min/max file statistics prune on EVERY interleaved
+  * dimension at once: sorting by a single column clusters that column
+  * perfectly and the others not at all; sorting by the interleaved bits
+  * gives every dimension locality ~√(cells) per file, so a 100 TB scan
+  * with a predicate on either dimension skips most files.
+  *
+  * The interleave is the classic magic-number bit spread — 4 constant
+  * shift/mask rounds per dimension, all codegen'd built-ins (constant
+  * shifts, AND/OR), no UDF — and the identical arithmetic is expressible
+  * in any SQL engine with bitwise operators, which is how the q210 oracle
+  * certifies it: DuckDB runs the same spread and must produce the same
+  * buckets and the same per-bucket extents.
+  *
+  * [[layoutStats]] is the observable contract: range-bucket the z-value,
+  * then per bucket report row count and each dimension's min/max span —
+  * the exact statistics a file-skipping reader consults. ZOrderSpec pins
+  * hand-computed interleaves and the locality win (mean per-bucket span ≪
+  * global span on both dimensions).
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `v` to even bit positions 0,2,…,30. */
+  private def spread16(v: Column): Column = {
+    val m0 = lit(0xFFFFL)
+    val m8 = lit(0x00FF00FFL)
+    val m4 = lit(0x0F0F0F0FL)
+    val m2 = lit(0x33333333L)
+    val m1 = lit(0x55555555L)
+    val a = v.bitwiseAND(m0)
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(m8)
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(m4)
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(m2)
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(m1)
+  }
+
+  /** 32-bit Morton code of two 16-bit grid coordinates: x on even bits,
+    * y on odd. Monotone locality: nearby (x,y) cells share z prefixes. */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Cluster `df` for writing: range-partition + sort by the z-value of
+    * the two (grid-quantized) dimensions — each output partition then
+    * holds a compact z-range, i.e. a small rectangle-cover in (x, y), so
+    * per-file min/max stats are tight on BOTH columns. */
+  def clusterByZ(df: DataFrame, x: Column, y: Column, numPartitions: Int): DataFrame = {
+    val z = zValue(pmod(x, lit(65536L)), pmod(y, lit(65536L)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** q210: per-z-bucket layout statistics over lineitem's
+    * (l_partkey, l_suppkey) space — the min/max extents a file-skipping
+    * reader would prune on. Both dimensions are quantized onto a 16-cell
+    * grid scaled by their max (one broadcast 1-row extent frame — integer
+    * `div`, engine-exact), interleaved, and bucketed by dropping the low
+    * 2 z-bits: each bucket is a 2×2 cell block, so per-bucket extents on
+    * BOTH raw dimensions are ~1/8 of the global span — scale-free
+    * (holds at every SF), deterministic, and engine-portable, unlike
+    * file boundaries. */
+  def layoutStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ext = li.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax"))
+    li.crossJoin(broadcast(ext))
+      .withColumn("x0", expr("x * 16 div (xmax + 1)"))
+      .withColumn("y0", expr("y * 16 div (ymax + 1)"))
+      .withColumn("zval", zValue(col("x0"), col("y0")))
+      .groupBy((col("zval") / lit(4L)).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+}

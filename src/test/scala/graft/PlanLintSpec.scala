@@ -80,8 +80,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // broadcast into the tiny pair frame
     "q206_bloom_join",            // 1-row bloom word-map frame broadcast
                                   // against the fact side (the prune stage)
-    "q209_heavy_hitters")         // 1-row corpus-total aggregate broadcast
+    "q209_heavy_hitters",         // 1-row corpus-total aggregate broadcast
                                   // into the candidate-verify filter
+    "q210_zorder_layout")         // 1-row grid-extent aggregate broadcast
+                                  // back for the cell quantization
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
