@@ -768,6 +768,18 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic stride-scheduling interleave: the training-data
+    // ordering operator — sched_pos = (rank_within_source − 0.5)/n_src;
+    // reading by ascending position interleaves sources proportionally
+    // (±1 fairness, pinned in CurationSpec). No RNG, hash-certifiable.
+    "q212_interleave_schedule" -> Entry((s, d) =>
+      Curation.interleaveSchedule(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH ranked AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r FROM documents),
+        |c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+        |SELECT doc_id, source, round((r - 0.5) / n_src, 9) AS sched_pos
+        |FROM ranked JOIN c USING (source) ORDER BY doc_id""".stripMargin)),
+
     // Z-order layout statistics: Morton-interleave (l_partkey, l_suppkey),
     // fixed z-range buckets, per-bucket min/max extents — the multi-dim
     // clustering stats a file-skipping reader prunes on. The oracle runs

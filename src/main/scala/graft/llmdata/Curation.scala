@@ -723,6 +723,35 @@ object Curation {
       .agg(approx_count_distinct(col("text"), rsd).as("approx_distinct_texts"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
+
+  /** q212: deterministic stride-scheduling interleave — the training-data
+    * ORDERING operator. Each doc gets a schedule position
+    * `(r − 0.5) / n_src` (r = its rank within its source): reading the
+    * corpus by ascending position interleaves sources proportionally to
+    * their size with the stride-scheduler's fairness bound — any prefix of
+    * the order contains each source's proportional share ±1 (pinned in
+    * CurationSpec). Deterministic (rank by doc_id, no RNG), so the
+    * schedule is reproducible across runs/engines and the frame is
+    * hash-certifiable; the position arithmetic is one correctly-rounded
+    * IEEE division both engines execute identically.
+    *
+    * Scale note: the per-source `row_number` window is the fixture-size
+    * spelling; a source with billions of docs would compute r by the
+    * q144 two-phase prefix-sum (per-partition counts → broadcast offsets)
+    * — grouping-key-only swap, the output contract is unchanged. No
+    * global window anywhere: the schedule is an ORDER, not a rank — a
+    * consumer sorts by (sched_pos, doc_id), which Spark executes as a
+    * range-partitioned sort, not a single-reducer funnel. */
+  def interleaveSchedule(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    ranked.join(counts, Seq("source"))
+      .select(col("doc_id"), col("source"),
+        round((col("r") - lit(0.5)) / col("n_src"), 9).as("sched_pos"))
+  }
 }
 
 /** `Encoders.scalaLong` exists but there is no public primitive-array

@@ -227,4 +227,32 @@ class CurationSpec extends AnyFunSuite {
       assert(nDocs > 0)
     }
   }
+
+  test("q212 interleave schedule: stride-scheduler fairness in every prefix") {
+    val sched = Curation.interleaveSchedule(docs)
+      .orderBy("sched_pos", "doc_id")
+      .select("source").collect().map(_.getString(0))
+    val n = sched.length.toDouble
+    val share = sched.groupBy(identity).view.mapValues(_.length / n).toMap
+    // stride scheduling: in any prefix of length m, each source's count is
+    // within 1 of m * its share
+    val seen = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    sched.zipWithIndex.foreach { case (src, i) =>
+      seen(src) += 1
+      val m = i + 1
+      share.foreach { case (s, p) =>
+        val expect = m * p
+        assert(math.abs(seen(s) - expect) <= 1.0 + 1e-9,
+          s"prefix $m: source $s has ${seen(s)} vs expected $expect")
+      }
+    }
+  }
+
+  test("q212 interleave schedule is deterministic and covers every doc once") {
+    val a = Curation.interleaveSchedule(docs)
+    val b = Curation.interleaveSchedule(docs.repartition(7))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === docs.count())
+    assert(a.select("doc_id").distinct().count() === docs.count())
+  }
 }
