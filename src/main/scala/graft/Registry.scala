@@ -768,6 +768,40 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Referential-integrity audit: per-FK-edge child/orphan counts over
+    // the whole warehouse graph — the ingest data-quality gate (orphans
+    // silently drop rows from every inner join downstream).
+    "q213_fk_audit" -> Entry((s, d) =>
+      graft.relational.FkAudit.audit(s, d).orderBy("relationship"), Some(
+      """SELECT 'customer.c_nationkey->nation' AS relationship, count(*) AS n_child_rows,
+        | CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        | FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders', count(*),
+        | CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', count(*),
+        | CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', count(*),
+        | CAST(sum(CASE WHEN su.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', count(*),
+        | CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*),
+        | CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', count(*),
+        | CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM supplier su LEFT JOIN nation n ON su.s_nationkey = n.n_nationkey
+        |ORDER BY relationship""".stripMargin)),
+
     // Deterministic stride-scheduling interleave: the training-data
     // ordering operator — sched_pos = (rank_within_source − 0.5)/n_src;
     // reading by ascending position interleaves sources proportionally

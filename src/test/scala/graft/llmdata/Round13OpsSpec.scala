@@ -227,6 +227,23 @@ class Round13OpsSpec extends AnyFunSuite {
       s"fp rate too high: $survivors survivors vs $matching matches of $total")
   }
 
+  test("q213 FK audit: planted orphans are counted exactly; fixture graph is clean") {
+    import graft.relational.FkAudit
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L, 98L, 98L).toDF("ck")
+    val r = FkAudit.edge("t", child, "ck", parent, "pk").head
+    assert(r.getLong(1) === 6L && r.getLong(2) === 3L,
+      s"planted-orphan audit wrong: $r")
+    // the fixture warehouse must be referentially clean
+    val audit = FkAudit.audit(spark, dir).collect()
+    assert(audit.length === 7)
+    audit.foreach { row =>
+      assert(row.getLong(1) > 0L, s"empty child side: $row")
+      assert(row.getLong(2) === 0L, s"fixture orphans found: $row")
+    }
+  }
+
   test("q207/q211 CDC: streaming materialized view settles to the batch compaction") {
     import graft.streaming.Events
     val batch = Events.cdcCompact(spark, dir)
