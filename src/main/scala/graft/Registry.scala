@@ -768,6 +768,19 @@ object Registry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Cascading-delete impact (right-to-be-forgotten dry run): tombstoned
+    // customers -> their orders -> those orders' lineitems, one semi-join
+    // per FK hop; per-table rows-lost report, hash-certified.
+    "q214_cascade_delete" -> Entry((s, d) =>
+      graft.relational.FkAudit.cascadeDeleteImpact(s, d).orderBy("table_name"), Some(
+      """WITH tc AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+        |oo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tc)),
+        |ll AS (SELECT 1 AS x FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM oo))
+        |SELECT 'customer' AS table_name, count(*) AS n_rows_deleted FROM tc
+        |UNION ALL SELECT 'lineitem', count(*) FROM ll
+        |UNION ALL SELECT 'orders', count(*) FROM oo
+        |ORDER BY table_name""".stripMargin)),
+
     // Referential-integrity audit: per-FK-edge child/orphan counts over
     // the whole warehouse graph — the ingest data-quality gate (orphans
     // silently drop rows from every inner join downstream).

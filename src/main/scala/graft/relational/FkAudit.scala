@@ -45,4 +45,33 @@ object FkAudit {
       edge("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey")
     ).reduce(_.unionAll(_))
   }
+
+  /** q214: cascading-delete impact analysis — the right-to-be-forgotten
+    * dry run. Given a deterministic tombstone predicate on customers
+    * (`c_custkey % modulus = 0` stands in for the deletion list), report
+    * how many rows each downstream table loses when the delete cascades
+    * along the FK graph: customer → orders → lineitem. Each hop is a
+    * semi-join on the previous hop's keys (hash-partitioned, the delete
+    * list side is small and broadcastable) — the impact report a lake
+    * without enforced constraints must compute BEFORE rewriting 100 TB of
+    * files, because the cascade's cost, not the tombstone count, is the
+    * write amplification. */
+  def cascadeDeleteImpact(spark: SparkSession, dir: String,
+      modulus: Long = 37L): DataFrame = {
+    def t(n: String) = Tables(spark, dir, n)
+    val custs = t("customer").filter(pmod(col("c_custkey"), lit(modulus)) === 0L)
+      .select(col("c_custkey"))
+    val orders = t("orders").join(custs,
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val lineitems = t("lineitem").join(orders.select(col("o_orderkey")),
+      Seq("o_orderkey").map(c => col(c) === col("l_orderkey")).head, "left_semi")
+    Seq(
+      custs.agg(count(lit(1)).as("n_rows_deleted"))
+        .select(lit("customer").as("table_name"), col("n_rows_deleted")),
+      orders.agg(count(lit(1)).as("n_rows_deleted"))
+        .select(lit("orders").as("table_name"), col("n_rows_deleted")),
+      lineitems.agg(count(lit(1)).as("n_rows_deleted"))
+        .select(lit("lineitem").as("table_name"), col("n_rows_deleted"))
+    ).reduce(_.unionAll(_))
+  }
 }

@@ -244,6 +244,22 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q214 cascade-delete impact: modulus=1 deletes everything, fixture cascade is consistent") {
+    import graft.relational.FkAudit
+    val all = FkAudit.cascadeDeleteImpact(spark, dir, modulus = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all("customer") === spark.read.parquet(s"$dir/customer.parquet").count())
+    assert(all("orders") === spark.read.parquet(s"$dir/orders.parquet").count())
+    assert(all("lineitem") === spark.read.parquet(s"$dir/lineitem.parquet").count())
+    val some = FkAudit.cascadeDeleteImpact(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(some("customer") > 0L && some("customer") < all("customer"))
+    // cascade monotonicity: an order has >= 1 lineitem in this fixture
+    // family is not guaranteed, but deleted lineitems can never exceed the
+    // full table while orders are a strict subset
+    assert(some("orders") < all("orders") && some("lineitem") <= all("lineitem"))
+  }
+
   test("q207/q211 CDC: streaming materialized view settles to the batch compaction") {
     import graft.streaming.Events
     val batch = Events.cdcCompact(spark, dir)
