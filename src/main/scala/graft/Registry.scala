@@ -858,6 +858,73 @@ object Registry {
         |SELECT term, n_occurrences FROM tc CROSS JOIN tot
         |WHERE n_occurrences * 32 > n_total ORDER BY term""".stripMargin)),
 
+    // Edit-distance verification tier over the verified LSH pairs:
+    // Levenshtein on 256-char prefixes + normalized edit similarity — the
+    // ORDER-sensitive second opinion shingle-set Jaccard cannot give
+    // (a shuffled bag of the same 3-grams scores Jaccard 1.0). O(L²) cost
+    // confined to the tiny verified pair frame; both engines run the
+    // identical unit-cost DP, so the report is hash-certified.
+    "q215_editdist_verify" -> Entry((s, d) =>
+      Dedup.editDistanceAuditOn(s, d).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |pre AS (SELECT doc_id, substr(text, 1, 256) AS prefix FROM documents)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        | CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev_prefix,
+        | round(1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE) /
+        |   CAST(greatest(len(a.prefix), len(b.prefix)) AS DOUBLE), 6) AS edit_sim
+        |FROM pairs p JOIN pre a ON a.doc_id = p.doc_a JOIN pre b ON b.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // Declarative constraint-validation gate (dbt-test/Deequ shape): the
+    // fixed rule set in ONE scan — each rule is a conditional count inside
+    // a single hash agg, the 1-row result unpivots locally. Null rows
+    // count as violations by construction (CASE lands them in ELSE).
+    "q216_constraint_gate" -> Entry((s, d) =>
+      graft.relational.Validate.documentConstraints(docs(s, d)).orderBy("rule"), Some(
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v_notnull,
+        |  count(doc_id) - count(DISTINCT doc_id) AS v_unique,
+        |  sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS v_nonempty,
+        |  sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS v_lenmatch,
+        |  sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS v_lang,
+        |  sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 0 ELSE 1 END) AS v_source
+        | FROM documents)
+        |SELECT rule, n_rows AS n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+        | n_violations = 0 AS passed
+        |FROM (
+        |  SELECT 'doc_id_not_null' AS rule, n_rows, v_notnull AS n_violations FROM a
+        |  UNION ALL SELECT 'doc_id_unique', n_rows, v_unique FROM a
+        |  UNION ALL SELECT 'text_not_empty', n_rows, v_nonempty FROM a
+        |  UNION ALL SELECT 'n_chars_matches_text', n_rows, v_lenmatch FROM a
+        |  UNION ALL SELECT 'lang_accepted', n_rows, v_lang FROM a
+        |  UNION ALL SELECT 'source_accepted', n_rows, v_source FROM a)
+        |ORDER BY rule""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -1165,4 +1165,43 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("start_pos"), col("h"))
     spansFromWindows(w, windowTokens, minSpanTokens)
   }
+
+  /** Character-level edit-distance verification tier over the LSH
+    * near-dup pairs (q215): for every VERIFIED md5-family pair
+    * ([[minhashMd5PairsOn]] — the per-(dir, threshold) cached chain),
+    * the Levenshtein distance between the two documents' fixed-length
+    * prefixes and the normalized edit similarity
+    * `1 − lev/max(len)`. Shingle-set Jaccard is order-insensitive (a
+    * shuffled bag of the same 3-grams scores 1.0); edit distance is the
+    * ORDER-sensitive second opinion a dedup pipeline consults before
+    * destructive merging. Cross-engine certifiable because both engines
+    * implement the identical unit-cost DP (Spark `levenshtein`, DuckDB
+    * `levenshtein`).
+    *
+    * Scale: Levenshtein is O(L²) per pair, so it never runs corpus-wide —
+    * only on the (tiny, banded + Jaccard-verified) pair frame, and only
+    * on `prefixLen`-char prefixes, bounding each comparison at a constant
+    * prefixLen² cell grid. The pair frame broadcasts into two
+    * doc-prefix lookups; the documents scan reads (doc_id, text) only. */
+  def editDistanceAuditOn(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefixLen: Int = 256, simThreshold: Double = 0.5): DataFrame =
+    editDistanceAuditFrom(minhashMd5PairsOn(spark, dir, simThreshold),
+      graft.io.Tables(spark, dir, "documents"), prefixLen)
+
+  /** [[editDistanceAuditOn]] on a precomputed verified-pair frame. */
+  def editDistanceAuditFrom(pairs0: DataFrame, docs: DataFrame,
+      prefixLen: Int = 256): DataFrame = {
+    require(prefixLen >= 1)
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("prefix"))
+    val lev = levenshtein(col("pa"), col("pb"))
+    broadcast(pairs0.select("doc_a", "doc_b", "jaccard"))
+      .join(pre.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        lev.cast("long").as("lev_prefix"),
+        round(lit(1.0) - lev.cast("double") /
+          greatest(length(col("pa")), length(col("pb"))).cast("double"), 6)
+          .as("edit_sim"))
+  }
 }

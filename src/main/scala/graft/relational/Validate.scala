@@ -1,0 +1,61 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative constraint validation (q216) — the dbt-test / Deequ-style
+  * data-quality gate an ingest pipeline runs before publishing a corpus
+  * snapshot: a fixed rule set evaluated in ONE scan, reported as a row
+  * per rule with its violation count. A gate that needs one scan per
+  * rule is unusable at 100 TB; here every rule folds into a single hash
+  * aggregation (the q202 profile shape) and the 1-row result is
+  * unpivoted locally with `stack`.
+  *
+  * Null semantics are part of each rule's contract and identical in both
+  * engines: a rule is written as "violation unless the predicate proves
+  * the row healthy", so a NULL that makes the predicate unknown COUNTS
+  * as a violation (`CASE WHEN p THEN 0 ELSE 1 END` — null lands in
+  * ELSE). Uniqueness is `count(key) − count(DISTINCT key)` (surplus
+  * NON-NULL rows beyond one per key; both count forms ignore nulls in
+  * both engines, so null keys surface through the not-null rule, not
+  * the unique rule). */
+object Validate {
+
+  /** Constraint report over the documents table. Rules:
+    *  - `doc_id_not_null`   — key present
+    *  - `doc_id_unique`     — surplus rows sharing a doc_id
+    *  - `text_not_empty`    — text present and non-empty
+    *  - `n_chars_matches_text` — declared length equals `length(text)`
+    *  - `lang_accepted`     — lang within the accepted-values list
+    *  - `source_accepted`   — source matches the `srcN` namespace
+    */
+  def documentConstraints(docs: DataFrame,
+      acceptedLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")): DataFrame = {
+    require(acceptedLangs.nonEmpty)
+    val healthy = Map(
+      "doc_id_not_null" -> col("doc_id").isNotNull,
+      "doc_id_unique" -> lit(true), // handled via the distinct-count form
+      "text_not_empty" -> (length(col("text")) > 0),
+      "n_chars_matches_text" -> (col("n_chars") === length(col("text"))),
+      "lang_accepted" -> col("lang").isin(acceptedLangs: _*),
+      "source_accepted" -> col("source").rlike("^src[0-9]+$"))
+    def violations(name: String) =
+      sum(when(healthy(name), 0L).otherwise(1L)).as(s"__v_$name")
+    val one = docs.agg(
+      count(lit(1)).as("__rows"),
+      violations("doc_id_not_null"),
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("__v_doc_id_unique"),
+      violations("text_not_empty"),
+      violations("n_chars_matches_text"),
+      violations("lang_accepted"),
+      violations("source_accepted"))
+    val rules = Seq("doc_id_not_null", "doc_id_unique", "text_not_empty",
+      "n_chars_matches_text", "lang_accepted", "source_accepted")
+    val stackArgs = rules.map(r => s"'$r', __v_$r").mkString(", ")
+    one.select(col("__rows"),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("__rows").as("n_checked"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+}

@@ -291,4 +291,65 @@ class Round13OpsSpec extends AnyFunSuite {
       "a tombstoned key survived compaction")
     assert(out.count() === last.count() - nTomb)
   }
+
+  test("q215 edit distance separates reordered-token twins that Jaccard cannot") {
+    import spark.implicits._
+    // doc 1 = doc 0's tokens reversed: identical 1-gram bag, near-identical
+    // 3-gram overlap is NOT guaranteed — so feed the pair frame directly.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = a.split(' ').reverse.mkString(" ")       // same chars, reordered
+    val docs = Seq((0L, a, "src0", "en", a.length.toLong),
+      (1L, b, "src0", "en", b.length.toLong),
+      (2L, a, "src0", "en", a.length.toLong))        // verbatim copy of 0
+    .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val pairs = Seq((0L, 1L, 1.0), (0L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.editDistanceAuditFrom(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out((0L, 2L)) === 1.0, "verbatim copy must score edit_sim 1.0")
+    assert(out((0L, 1L)) < 0.6,
+      s"reordered twin scored ${out((0L, 1L))} — edit tier failed to separate")
+  }
+
+  test("q215 prefix truncation bounds the DP: long tails beyond prefixLen are invisible") {
+    import spark.implicits._
+    val common = ("x " * 100).trim
+    val docs = Seq((0L, common + " unique tail one", "src0", "en", 0L),
+      (1L, common + " utterly different ending", "src0", "en", 0L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val pairs = Seq((0L, 1L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val short = Dedup.editDistanceAuditFrom(pairs, docs, prefixLen = 64)
+      .select("edit_sim").as[Double].head()
+    assert(short === 1.0, "identical 64-char prefixes must be edit-identical")
+  }
+
+  test("q216 constraint gate counts each planted violation under its own rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (Option(1L), "good text", "src0", "en"),        // clean
+      (Option(1L), "dup id", "src1", "de"),           // duplicate doc_id
+      (Option.empty[Long], "no id", "src2", "fr"),    // null doc_id
+      (Option(3L), "", "src3", "es"),                 // empty text
+      (Option(4L), "bad lang", "src4", "xx"),         // unaccepted lang
+      (Option(5L), "bad source", "weird", "zh"))      // bad source namespace
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+      // plant one n_chars mismatch on the clean row's twin
+      .union(Seq((Option(6L), "len lies", "src5", "en"))
+        .toDF("doc_id", "text", "source", "lang").withColumn("n_chars", lit(999L)))
+    val out = graft.relational.Validate.documentConstraints(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("doc_id_not_null") === 1L)
+    assert(out("doc_id_unique") === 1L)   // one surplus row for doc_id=1
+    assert(out("text_not_empty") === 1L)
+    assert(out("n_chars_matches_text") === 1L)
+    assert(out("lang_accepted") === 1L)
+    assert(out("source_accepted") === 1L)
+  }
+
+  test("q216 constraint gate: fixture corpus passes every rule") {
+    val out = graft.relational.Validate.documentConstraints(docs)
+    assert(out.filter(!col("passed")).count() === 0L,
+      "fixture documents violated a constraint")
+    assert(out.count() === 6L)
+  }
 }
