@@ -925,6 +925,49 @@ object Registry {
         |  UNION ALL SELECT 'source_accepted', n_rows, v_source FROM a)
         |ORDER BY rule""".stripMargin)),
 
+    // Component-aware k-fold assignment: fold = md5(component) mod k, so
+    // near-duplicates can never straddle a fold boundary (leakage-free by
+    // construction, not by post-hoc audit). Shares the cached LSH label
+    // frame with q99/q101/q140; oracle re-walks the recursive closure.
+    "q217_group_folds" -> Entry((s, d) =>
+      Curation.groupAwareFolds(s, d).orderBy("doc_id"), Some(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+        |SELECT doc_id, component,
+        | CAST(list_reduce(list_prepend('0',
+        |    string_split(substr(md5(CAST(component AS VARCHAR) || ':fold'), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) % 5 AS fold
+        |FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // Corpus snapshot diff: per-key added/removed/changed/unchanged from
+    // ONE full-outer join of md5 digests (computed before the join, so
+    // the shuffle never carries document bodies). Versions are two
+    // deterministic releases both engines derive from the fixture.
+    "q218_snapshot_diff" -> Entry((s, d) =>
+      Curation.corpusSnapshotDiff(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH o AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END) AS old_md5
+        | FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id, md5(text) AS new_md5 FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN old_md5 = new_md5 THEN 'unchanged' ELSE 'changed' END AS status,
+        | old_md5, new_md5
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -752,6 +752,65 @@ object Curation {
       .select(col("doc_id"), col("source"),
         round((col("r") - lit(0.5)) / col("n_src"), 9).as("sched_pos"))
   }
+
+  /** Component-aware k-fold assignment (q217): every document receives
+    * the fold of its near-dup COMPONENT (md5 of the component
+    * representative, mod k), so near-duplicates can never straddle a
+    * fold boundary — the group-aware cross-validation split that
+    * prevents eval leakage by construction, where q79's per-doc hash
+    * split needs the q140 leakage audit after the fact. Composes the
+    * per-(dir, threshold) cached component labels (one LSH front end
+    * shared with q99/q101/q140...); the fold gate is the q176 md5→mod
+    * idiom on the component id instead of the doc id.
+    *
+    * Scale: one broadcast-able join of the label frame (|docs| rows,
+    * two longs) onto a map-side md5 — no new shuffle beyond the label
+    * derivation itself; leakage-freedom is STRUCTURAL (fold is a
+    * function of component), certified on the fixture in CurationSpec. */
+  def groupAwareFolds(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nFolds: Int = 5): DataFrame = {
+    require(nFolds >= 2)
+    val labels = Dedup.componentLabelsOn(spark, dir)
+    labels.select(col("doc_id"), col("component"),
+      pmod(conv(substring(md5(concat(col("component").cast("string"), lit(":fold"))),
+        1, 15), 16, 10).cast("long"), lit(nFolds.toLong)).as("fold"))
+  }
+
+  /** Corpus snapshot diff (q218): the version-to-version change report a
+    * lakehouse publishes between corpus releases — per key, `added` /
+    * `removed` / `changed` / `unchanged` from ONE full-outer join of the
+    * two snapshots. Content equality compares md5 digests computed
+    * BEFORE the join, so the shuffle carries 32-byte keys, never
+    * document bodies (at 100 TB the text column dominates; the digest
+    * projection drops it at the scan).
+    *
+    * `oldDf`/`newDf` need (doc_id, text). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val n = newDf.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+  }
+
+  /** [[snapshotDiff]] wired to two deterministic synthetic releases of
+    * the documents fixture (the registry/oracle twin): the "old"
+    * snapshot drops doc_id ≡ 0 (mod 5) and carries a pre-edit body
+    * (`'OLD ' || text`) for doc_id ≡ 0 (mod 7); the "new" snapshot
+    * drops doc_id ≡ 0 (mod 3). Every status class is populated and both
+    * engines derive the identical pair of versions from one table. */
+  def corpusSnapshotDiff(docs: DataFrame): DataFrame = {
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val neu = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    snapshotDiff(old, neu)
+  }
 }
 
 /** `Encoders.scalaLong` exists but there is no public primitive-array

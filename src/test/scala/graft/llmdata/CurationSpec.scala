@@ -255,4 +255,40 @@ class CurationSpec extends AnyFunSuite {
     assert(a.count() === docs.count())
     assert(a.select("doc_id").distinct().count() === docs.count())
   }
+
+  test("q217 group-aware folds: near-dup pairs NEVER straddle a fold boundary") {
+    val folds = Curation.groupAwareFolds(spark, TestSpark.sfDir)
+    assert(folds.count() === docs.count(), "every doc gets a fold")
+    val fr = folds.agg(min("fold"), max("fold")).head()
+    assert(fr.getLong(0) >= 0L && fr.getLong(1) <= 4L)
+    // structural leakage-freedom: both ends of every VERIFIED near-dup
+    // pair carry the same fold
+    val pairs = Dedup.minhashMd5PairsOn(spark, TestSpark.sfDir)
+    assert(pairs.count() > 0L, "fixture has no verified pairs — vacuous")
+    val leaked = pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+      .filter(col("fold_a") =!= col("fold_b"))
+    assert(leaked.count() === 0L, "a near-dup pair straddles folds")
+  }
+
+  test("q218 snapshot diff classifies each planted change correctly") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("q218 fixture releases populate all four status classes") {
+    val byStatus = Curation.corpusSnapshotDiff(docs)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("added", "removed", "changed", "unchanged").foreach { s =>
+      assert(byStatus.getOrElse(s, 0L) > 0L, s"status $s unpopulated")
+    }
+    // unchanged dominates: the two releases share most of the corpus
+    assert(byStatus("unchanged") > byStatus("changed"))
+  }
 }
