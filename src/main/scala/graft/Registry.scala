@@ -968,6 +968,55 @@ object Registry {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // PSI drift between the even/odd cohort halves, per source: both
+    // cohort histograms from ONE conditional-count hash agg (missing bins
+    // zero-fill for free), +0.5 smoothing, DECIMAL(30,18)-quantized
+    // contributions (the q100 KL rule).
+    "q219_psi_drift" -> Entry((s, d) =>
+      TextAnalysis.psiBySource(docs(s, d)).orderBy("source"), Some(
+      """WITH b AS (SELECT source, n_chars // 100 AS bin, doc_id % 2 = 0 AS is_ref
+        | FROM documents),
+        |pb AS (SELECT source, bin,
+        |  sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+        |  sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+        | FROM b GROUP BY 1, 2),
+        |ps AS (SELECT source, sum(cr) AS nr, sum(cc) AS nc, count(*) AS n_bins
+        | FROM pb GROUP BY 1),
+        |t AS (SELECT pb.source, ps.n_bins,
+        |  CAST(((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * n_bins) -
+        |        (CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * n_bins)) *
+        |    ln(((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * n_bins)) /
+        |       ((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * n_bins)))
+        |   AS DECIMAL(30,18)) AS contrib
+        | FROM pb JOIN ps USING (source))
+        |SELECT source, CAST(n_bins AS BIGINT) AS n_bins,
+        | round(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+
+    // Count-min sketch + exact verification: depth md5 rows x width
+    // buckets of summed counts; point estimate = min over depth counters
+    // (one-sided error — can only over-estimate). Built from the tf agg,
+    // never the raw token stream; report joins back to exact counts for
+    // the q209 heavy set.
+    "q220_count_min" -> Entry((s, d) =>
+      TextAnalysis.countMinEstimates(docs(s, d)).orderBy("term"), Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+        |hx AS (SELECT term, n, r,
+        |  CAST(list_reduce(list_prepend('0',
+        |    string_split(substr(md5(CAST(r AS VARCHAR) || ':cms:' || term), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) % 64 AS bucket
+        | FROM tf CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+        |counters AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS n_total FROM tf),
+        |heavy AS (SELECT term, n AS exact_count FROM tf CROSS JOIN tot WHERE n * 32 > n_total),
+        |est AS (SELECT h.term, h.exact_count, min(c.c) AS cms_estimate
+        | FROM heavy h JOIN hx ON hx.term = h.term
+        | JOIN counters c ON c.r = hx.r AND c.bucket = hx.bucket
+        | GROUP BY 1, 2)
+        |SELECT term, exact_count, cms_estimate, cms_estimate - exact_count AS overcount
+        |FROM est ORDER BY term""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -1287,4 +1287,76 @@ object TextAnalysis {
       .filter(col("n_occurrences") * k > col("n_total"))
       .select(col("term"), col("n_occurrences"))
   }
+
+  /** Population stability index between two corpus cohorts (q219) — the
+    * standard model-monitoring drift statistic: per source,
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) over fixed-width
+    * document-length bins, with +0.5 Laplace smoothing (so a bin present
+    * in only one cohort contributes a finite term instead of ±∞).
+    * Cohorts here are the deterministic even/odd doc_id halves — the
+    * engine-side shape is what matters: one conditional-count hash agg
+    * builds BOTH cohort histograms in a single pass (a bin missing from
+    * one cohort zero-fills for free — no join), the tiny per-source bin
+    * frames close the formula, and per-bin contributions quantize to
+    * DECIMAL(30,18) before the sum (the q100 KL rule) so the reduction
+    * is order-independent. Fixed-width bins are the 100 TB choice:
+    * quantile bins need a per-cohort percentile pass first. */
+  def psiBySource(docs: DataFrame, binWidth: Int = 100): DataFrame = {
+    require(binWidth >= 1)
+    val binned = docs.select(col("source"),
+      floor(col("n_chars") / binWidth).as("bin"),
+      (col("doc_id") % 2 === 0).as("is_ref"))
+    val perBin = binned.groupBy("source", "bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+    val perSrc = perBin.groupBy("source").agg(
+      sum("cr").as("nr"), sum("cc").as("nc"), count(lit(1)).as("n_bins"))
+    val pr = (col("cr").cast("double") + 0.5) /
+      (col("nr").cast("double") + col("n_bins").cast("double") * 0.5)
+    val pc = (col("cc").cast("double") + 0.5) /
+      (col("nc").cast("double") + col("n_bins").cast("double") * 0.5)
+    perBin.join(perSrc, "source")
+      .select(col("source"), col("n_bins"),
+        ((pc - pr) * log(pc / pr))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(30, 18))
+          .as("contrib"))
+      .groupBy("source", "n_bins")
+      .agg(round(sum("contrib").cast("double"), 6).as("psi"))
+      .select("source", "n_bins", "psi")
+  }
+
+  /** Count–min sketch with exact verification (q220) — the OTHER classic
+    * mergeable frequency sketch next to Misra–Gries (q209): depth md5
+    * hash rows × width buckets of summed counts; a term's point estimate
+    * is the MIN over its depth counters and can only OVER-estimate
+    * (collisions add, never subtract — the one-sided error bound that
+    * makes CMS safe for "at least this frequent" gates). Counters build
+    * from the term-frequency agg, not the raw token stream, so the
+    * sketch pass touches |vocab| rows; the whole structure is
+    * depth×width rows and broadcasts. The report joins the estimates
+    * back to exact counts for the q209 heavy set — overcount per term is
+    * the width-sizing diagnostic (ε = e/width of total mass, w.h.p.).
+    * Entirely md5-keyed, so both engines derive identical buckets. */
+  def countMinEstimates(docs: DataFrame, depth: Int = 4, width: Int = 64,
+      k: Int = 32): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("term").agg(count(lit(1)).as("n"))
+    val hashed = tf.select(col("term"), col("n"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("r"))
+      .withColumn("bucket", pmod(conv(substring(
+        md5(concat(col("r").cast("string"), lit(":cms:"), col("term"))), 1, 15),
+        16, 10).cast("long"), lit(width.toLong)))
+    val counters = hashed.groupBy("r", "bucket").agg(sum("n").as("c"))
+    val total = tf.agg(sum("n").as("n_total"))
+    val heavy = tf.crossJoin(broadcast(total))
+      .filter(col("n") * k > col("n_total"))
+      .select(col("term"), col("n").as("exact_count"))
+    heavy.join(hashed.select("term", "r", "bucket"), "term")
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("term", "exact_count")
+      .agg(min("c").as("cms_estimate"))
+      .select(col("term"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+  }
 }

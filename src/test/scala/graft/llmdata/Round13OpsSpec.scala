@@ -346,6 +346,45 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out("source_accepted") === 1L)
   }
 
+  test("q219 PSI: identical cohorts score exactly zero, a planted shift scores large") {
+    import spark.implicits._
+    // even/odd cohorts with IDENTICAL per-bin length histograms → every
+    // per-bin contribution is (p−p)·ln(1) = 0 exactly
+    val same = (0L until 200L).map(i => (i, "t", "src0", "en", 50L + (i / 2) % 3 * 100L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val psiSame = TextAnalysis.psiBySource(same)
+      .select("psi").as[Double].head()
+    assert(psiSame === 0.0, s"identical cohorts scored $psiSame")
+    // odd cohort shifted +500 chars → disjoint bins → large PSI (>0.5 is
+    // the standard "significant drift" rule of thumb; disjoint is ≫ that)
+    val shifted = (0L until 200L).map(i =>
+        (i, "t", "src0", "en", if (i % 2 == 0) 50L else 550L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val psiShift = TextAnalysis.psiBySource(shifted)
+      .select("psi").as[Double].head()
+    assert(psiShift > 0.5, s"disjoint cohorts scored only $psiShift")
+  }
+
+  test("q220 CMS one-sided error: estimates never undercount; width collisions overcount") {
+    import spark.implicits._
+    val tiny = Seq((0L, "aa bb cc aa bb cc", "src0", "en", 17L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    // width=2, depth=1, all 3 terms heavy (k=100): pigeonhole forces >=2
+    // terms into one bucket → at least one strictly positive overcount
+    val out = TextAnalysis.countMinEstimates(tiny, depth = 1, width = 2, k = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 3)
+    out.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"$t undercounted: est $est < exact $exact")
+      assert(over === est - exact)
+    }
+    assert(out.exists(_._4 > 0L), "no collision overcount at width=2 with 3 terms")
+    // fixture corpus at the shipped parameters: still one-sided
+    val fix = TextAnalysis.countMinEstimates(docs)
+    assert(fix.filter(col("overcount") < 0L).count() === 0L)
+    assert(fix.count() > 0L)
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
