@@ -1017,6 +1017,78 @@ object Registry {
         |SELECT term, exact_count, cms_estimate, cms_estimate - exact_count AS overcount
         |FROM est ORDER BY term""".stripMargin)),
 
+    // Join-key skew diagnostics: per candidate key, total/distinct/max
+    // rows, the hottest key (argmax struct, deterministic largest-key
+    // tiebreak), and max/avg skew ratio — the pre-shuffle report a
+    // salting decision reads. One hash agg + 1-row rollup per key.
+    "q221_key_skew" -> Entry((s, d) =>
+      graft.relational.Profile.keySkew(Tables(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")).orderBy("key_col"), Some(
+      """SELECT 'l_orderkey' AS key_col, CAST(n_rows AS BIGINT) AS n_rows, n_keys,
+        | mx AS max_rows_per_key, hk AS hottest_key,
+        | round(CAST(mx AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+        |FROM (SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS mx FROM
+        |   (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1))
+        | CROSS JOIN (SELECT k AS hk FROM
+        |   (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |  ORDER BY n DESC, k DESC LIMIT 1)
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(n_rows AS BIGINT), n_keys, mx, hk,
+        | round(CAST(mx AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |FROM (SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS mx FROM
+        |   (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1))
+        | CROSS JOIN (SELECT k AS hk FROM
+        |   (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |  ORDER BY n DESC, k DESC LIMIT 1)
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(n_rows AS BIGINT), n_keys, mx, hk,
+        | round(CAST(mx AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |FROM (SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS mx FROM
+        |   (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1))
+        | CROSS JOIN (SELECT k AS hk FROM
+        |   (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |  ORDER BY n DESC, k DESC LIMIT 1)
+        |ORDER BY key_col""".stripMargin)),
+
+    // SCD Type-2 dimension build: per-user event-type change history as
+    // [valid_from, valid_to) validity intervals — consecutive duplicates
+    // collapse, NULL valid_to marks the current row. Two windows over one
+    // user partitioning; interval tiling pinned in StreamingSpec.
+    "q222_scd2_intervals" -> Entry((s, d) =>
+      Events.scd2Intervals(s, d).orderBy("user_id", "valid_from_ms", "state"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |l AS (SELECT user_id, ts_ms, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type FROM e),
+        |c AS (SELECT user_id, ts_ms, event_id, event_type FROM l
+        | WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+        | lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to_ms,
+        | lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from_ms, state""".stripMargin)),
+
+    // Point-in-time-correct dimension join: each purchase fact enriched
+    // with the SCD2 state (signup/error change stream) valid AT the
+    // fact's own event time — the anti-leakage feature-join discipline.
+    // Intervals partition each user's timeline, so the containment join
+    // matches at most one row: the join IS the lookup.
+    "q223_pit_join" -> Entry((s, d) =>
+      Events.pitStateJoin(s, d).orderBy("event_id"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |d0 AS (SELECT * FROM e WHERE event_type IN ('signup', 'error')),
+        |l AS (SELECT user_id, ts_ms, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type FROM d0),
+        |c AS (SELECT user_id, ts_ms, event_id, event_type FROM l
+        | WHERE prev_type IS NULL OR prev_type <> event_type),
+        |i AS (SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+        |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to_ms FROM c),
+        |f AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_ms,
+        | coalesce(i.state, 'none') AS state_at_purchase,
+        | i.valid_from_ms AS state_since_ms
+        |FROM f LEFT JOIN i ON i.user_id = f.user_id AND i.valid_from_ms <= f.ts_ms
+        |  AND (i.valid_to_ms IS NULL OR f.ts_ms < i.valid_to_ms)
+        |ORDER BY f.event_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

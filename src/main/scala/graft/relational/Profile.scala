@@ -23,6 +23,32 @@ import org.apache.spark.sql.functions._
   * both engines, so the oracle needs no special-casing. */
 object Profile {
 
+  /** Join-key skew diagnostics (q221): per candidate join key, the
+    * frequency-histogram summary a planner (or an engineer choosing a
+    * salting factor) reads BEFORE shipping a shuffle join: total rows,
+    * distinct keys, the hottest key and its row count, and the skew
+    * ratio max/avg — the multiplier by which the hottest reducer
+    * exceeds the average at that key's natural partitioning (AQE's
+    * skew-join threshold reasons about exactly this quantity).
+    *
+    * Shape: one per-key hash agg per key column (the same agg the join
+    * itself would do), then a 1-row rollup; the hottest key is an
+    * argmax via `max(struct(n, key))` with a deterministic largest-key
+    * tiebreak. Never a sort, never a window. */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains))
+    keyCols.map { c =>
+      df.groupBy(col(c).as("k")).agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("n"), col("k").cast("long").as("k"))).as("hot"))
+        .select(lit(c).as("key_col"), col("n_rows").cast("long").as("n_rows"),
+          col("n_keys"), col("hot.n").as("max_rows_per_key"),
+          col("hot.k").as("hottest_key"),
+          round(col("hot.n").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 6).as("skew_ratio"))
+    }.reduce(_.unionAll(_))
+  }
+
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty && columns.forall(df.columns.contains))
     val measures = columns.flatMap { c =>

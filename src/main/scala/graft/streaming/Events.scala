@@ -1250,4 +1250,62 @@ object Events {
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
   }
+
+  /** SCD Type-2 dimension build (q222): per user, the event-type change
+    * history compacted into validity intervals — consecutive duplicate
+    * states collapse (a change event only opens a new interval when the
+    * state actually changed), each interval runs `[valid_from, valid_to)`
+    * with `valid_to = next change` and NULL marking the current row.
+    * This is the lakehouse slowly-changing-dimension shape every
+    * warehouse MERGE reconstructs.
+    *
+    * Shape: two windows over the SAME user partitioning (lag to detect
+    * the change, lead on the collapsed frame for the interval end) — one
+    * exchange, per-key sorts, no global funnel. Intervals tile each
+    * user's timeline exactly (no gaps/overlaps), pinned in
+    * StreamingSpec. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsFrom(events(spark, dir))
+
+  private[graft] def scd2IntervalsFrom(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val changes = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+  }
+
+  /** Point-in-time-correct dimension join (q223): every purchase fact is
+    * enriched with the SCD2 state (built from the signup/error change
+    * stream only) that was valid AT the fact's own event time — the
+    * training-data discipline that prevents feature leakage from the
+    * future (joining "current" state into historical facts is the classic
+    * offline/online skew bug).
+    *
+    * Shape: user equi-join + interval containment predicate. Intervals
+    * partition each user's timeline, so at most ONE dimension row
+    * matches per fact — the join IS the lookup, no argmax window over
+    * facts. Facts before the first state row keep state 'none' via the
+    * left join. */
+  def pitStateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dim = scd2IntervalsFrom(ev.filter(col("event_type").isin("signup", "error")))
+      .select(col("user_id"), col("state"), col("valid_from_ms"), col("valid_to_ms"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          dim("valid_from_ms") <= facts("ts_ms") &&
+          (dim("valid_to_ms").isNull || facts("ts_ms") < dim("valid_to_ms")),
+        "left")
+      .select(facts("event_id"), facts("user_id"), facts("ts_ms"),
+        coalesce(col("state"), lit("none")).as("state_at_purchase"),
+        col("valid_from_ms").as("state_since_ms"))
+  }
 }

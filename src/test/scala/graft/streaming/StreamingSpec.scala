@@ -261,4 +261,60 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("ev") =!= col("count"))
     assert(joined.count() === 0)
   }
+
+  test("q222 SCD2 intervals tile each user's timeline: no gaps, no overlaps, one current") {
+    import org.apache.spark.sql.functions._
+    val iv = Events.scd2Intervals(spark, dir)
+    // exactly one open (is_current) interval per user
+    val opens = iv.filter(col("is_current")).groupBy("user_id").count()
+    assert(opens.filter(col("count") =!= 1L).count() === 0L)
+    // consecutive intervals chain exactly: valid_to == next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_ms")
+    val chained = iv.withColumn("next_from", lead(col("valid_from_ms"), 1).over(w))
+    val broken = chained.filter(
+      (col("next_from").isNotNull && (col("valid_to_ms") =!= col("next_from"))) ||
+      (col("next_from").isNull && col("valid_to_ms").isNotNull))
+    assert(broken.count() === 0L, "interval chain has a gap or overlap")
+    // consecutive-duplicate collapse: adjacent intervals never share a state
+    val dup = iv.withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull && col("state") === col("next_state"))
+    assert(dup.count() === 0L, "uncollapsed consecutive duplicate state")
+  }
+
+  test("q223 PIT join picks the state valid AT the fact time, never a future one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Events.pitStateJoin(spark, dir)
+    val nPurchases = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() === nPurchases, "PIT join dropped or duplicated a fact")
+    // no future leakage: the joined state began at or before the fact
+    assert(out.filter(col("state_since_ms") > col("ts_ms")).count() === 0L)
+    // facts before any dimension row carry the 'none' sentinel with null since
+    val sentinelBad = out.filter(
+      (col("state_at_purchase") === "none") =!= col("state_since_ms").isNull)
+    assert(sentinelBad.count() === 0L)
+    assert(out.filter(col("state_at_purchase") =!= "none").count() > 0L,
+      "fixture produced no enriched facts — test vacuous")
+  }
+
+  test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 rows of key 7, one row each of keys 1..5 → n_rows=15, n_keys=6,
+    // max=10, skew = 10*6/15 = 4.0
+    val df = ((1L to 5L).map(k => k) ++ Seq.fill(10)(7L)).toDF("k1")
+      .withColumn("k2", lit(1L))
+    val got = graft.relational.Profile.keySkew(df, Seq("k1"))
+      .head()
+    assert(got.getLong(1) === 15L && got.getLong(2) === 6L)
+    assert(got.getLong(3) === 10L && got.getLong(4) === 7L)
+    assert(got.getDouble(5) === 4.0)
+    // tie on counts → LARGER key is the deterministic winner
+    val tied = Seq(3L, 3L, 9L, 9L).toDF("k1")
+    val hot = graft.relational.Profile.keySkew(tied, Seq("k1"))
+      .head().getLong(4)
+    assert(hot === 9L)
+  }
 }
