@@ -1089,6 +1089,71 @@ object Registry {
         |  AND (i.valid_to_ms IS NULL OR f.ts_ms < i.valid_to_ms)
         |ORDER BY f.event_id""".stripMargin)),
 
+    // Perceptual average-hash over the real PPM codec: 8x8 integer-exact
+    // gray-mass grid, cross-multiplied cell-vs-global mean threshold ->
+    // 64-bit hash; the oracle re-derives EVERY bit from the text->PPM
+    // construction in SQL (channel-phase slips and band-rounding errors
+    // flip bits and fail the compare).
+    "q224_ahash" -> Entry((s, d) =>
+      Multimodal.aHashTable(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH p AS (SELECT doc_id,
+        |  greatest(1, CAST(ceil(octet_length(encode(text)) / 24.0) AS BIGINT)) AS h,
+        |  octet_length(encode(text)) AS nb, text FROM documents),
+        |pad AS (SELECT doc_id, h, text || repeat(' ', CAST(h * 24 - nb AS INT)) AS t FROM p),
+        |px0 AS (SELECT doc_id, h, t, unnest(range(0, CAST(h * 8 AS BIGINT))) AS i FROM pad),
+        |px AS (SELECT doc_id, h, i,
+        |  ascii(substr(t, CAST(3*i + 1 AS INT), 1)) + ascii(substr(t, CAST(3*i + 2 AS INT), 1)) +
+        |  ascii(substr(t, CAST(3*i + 3 AS INT), 1)) AS g FROM px0),
+        |cell AS (SELECT doc_id, (i // 8) * 8 // h AS b, i % 8 AS c,
+        |  CAST(sum(g) AS BIGINT) AS cs, count(*) AS nc FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS ts, count(*) AS nt FROM px GROUP BY 1),
+        |grid AS (SELECT d.doc_id, gb.b, gc.c FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS b) gb
+        |  CROSS JOIN (SELECT unnest(range(8)) AS c) gc),
+        |bits AS (SELECT g.doc_id, g.b, g.c,
+        |  CASE WHEN cell.nc IS NULL THEN '0'
+        |       WHEN cell.cs * tot.nt >= tot.ts * cell.nc THEN '1' ELSE '0' END AS bit
+        | FROM grid g JOIN tot ON tot.doc_id = g.doc_id
+        | LEFT JOIN cell ON cell.doc_id = g.doc_id AND cell.b = g.b AND cell.c = g.c)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY b, c) AS ahash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Banded perceptual near-dup pairs: Hamming <= 3 via 4x16-bit band
+    // equi-joins (pigeonhole: within-radius pairs agree on >=1 band —
+    // perfect recall), XOR+bit_count verify. Oracle = the ALL-PAIRS
+    // computation, so hash equality certifies the banding lost nothing.
+    "q225_ahash_neardup" -> Entry((s, d) =>
+      Multimodal.aHashNearDupPairs(docs(s, d)).orderBy("doc_a", "doc_b"), Some(
+      """WITH p AS (SELECT doc_id,
+        |  greatest(1, CAST(ceil(octet_length(encode(text)) / 24.0) AS BIGINT)) AS h,
+        |  octet_length(encode(text)) AS nb, text FROM documents),
+        |pad AS (SELECT doc_id, h, text || repeat(' ', CAST(h * 24 - nb AS INT)) AS t FROM p),
+        |px0 AS (SELECT doc_id, h, t, unnest(range(0, CAST(h * 8 AS BIGINT))) AS i FROM pad),
+        |px AS (SELECT doc_id, h, i,
+        |  ascii(substr(t, CAST(3*i + 1 AS INT), 1)) + ascii(substr(t, CAST(3*i + 2 AS INT), 1)) +
+        |  ascii(substr(t, CAST(3*i + 3 AS INT), 1)) AS g FROM px0),
+        |cell AS (SELECT doc_id, (i // 8) * 8 // h AS b, i % 8 AS c,
+        |  CAST(sum(g) AS BIGINT) AS cs, count(*) AS nc FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS ts, count(*) AS nt FROM px GROUP BY 1),
+        |grid AS (SELECT d.doc_id, gb.b, gc.c FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS b) gb
+        |  CROSS JOIN (SELECT unnest(range(8)) AS c) gc),
+        |bits AS (SELECT g.doc_id, g.b, g.c,
+        |  CASE WHEN cell.nc IS NULL THEN '0'
+        |       WHEN cell.cs * tot.nt >= tot.ts * cell.nc THEN '1' ELSE '0' END AS bit
+        | FROM grid g JOIN tot ON tot.doc_id = g.doc_id
+        | LEFT JOIN cell ON cell.doc_id = g.doc_id AND cell.b = g.b AND cell.c = g.c),
+        |ah AS (SELECT doc_id, string_agg(bit, '' ORDER BY b, c) AS ahash
+        | FROM bits GROUP BY 1),
+        |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ahash AS ha, y.ahash AS hb
+        |  FROM ah x JOIN ah y ON x.doc_id < y.doc_id),
+        |hv AS (SELECT doc_a, doc_b,
+        |  len(list_filter(range(64),
+        |    i -> substr(ha, CAST(i + 1 AS INT), 1) <> substr(hb, CAST(i + 1 AS INT), 1))) AS hamming
+        | FROM pr)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM hv WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -121,7 +121,14 @@ object Multimodal {
   object PpmDecoder extends Decoder {
     val featureDim = 6
 
-    def parse(p: Array[Byte]): PpmStats = {
+    /** Header fields plus the byte offset where the raw raster begins —
+      * shared by the stats walk ([[parse]]) and the perceptual-hash walk
+      * ([[aHashBits]]), so both exercise the identical magic/comment/
+      * dimension/terminator handling. */
+    private[llmdata] final case class PpmHeader(width: Int, height: Int,
+        maxval: Int, rasterOffset: Int)
+
+    private[llmdata] def parseHeader(p: Array[Byte]): PpmHeader = {
       var i = 0
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"PPM parse error at byte $i: $msg")
@@ -157,6 +164,13 @@ object Multimodal {
       i += 1
       val expected = 3L * w * h
       if (p.length - i != expected) fail(s"raster is ${p.length - i} bytes, want $expected")
+      PpmHeader(w, h, maxval, i)
+    }
+
+    def parse(p: Array[Byte]): PpmStats = {
+      val hdr = parseHeader(p)
+      val w = hdr.width; val h = hdr.height; val maxval = hdr.maxval
+      var i = hdr.rasterOffset
       val sums = new Array[Long](3)
       val mins = Array(256, 256, 256)
       val maxs = Array(-1, -1, -1)
@@ -171,6 +185,50 @@ object Multimodal {
       }
       PpmStats(w, h, maxval, sums(0), sums(1), sums(2),
         mins(0), mins(1), mins(2), maxs(0), maxs(1), maxs(2))
+    }
+
+    /** Perceptual average-hash (aHash) of a P6 payload, as a 64-char
+      * '0'/'1' string: the image reduces to an 8×8 grid of gray-mass
+      * cells (cell (b,c) pools pixels whose row band is `row·8/h` and
+      * col band `col·8/w` — the integer "resize"), and each bit compares
+      * the CELL mean gray against the GLOBAL mean gray. The comparison
+      * is cross-multiplied (`cellSum·nTotal ≥ totalSum·nCell`) so the
+      * whole hash is exact integer arithmetic — no float resize kernel,
+      * which is what lets a SQL engine reproduce every bit. Gray is the
+      * unscaled channel sum r+g+b (monotone in the mean, so thresholding
+      * is unchanged). Cells that receive no pixels (h or w < 8) emit
+      * '0'. Near-identical images differ in few bits, so Hamming
+      * distance on these hashes is the standard image near-dup metric. */
+    def aHashBits(p: Array[Byte]): String = {
+      val hdr = parseHeader(p)
+      val w = hdr.width; val h = hdr.height
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var total = 0L
+      var i = hdr.rasterOffset
+      var px = 0
+      val nPx = w * h
+      while (px < nPx) {
+        val g = (p(i) & 0xff) + (p(i + 1) & 0xff) + (p(i + 2) & 0xff)
+        val b = (px / w) * 8 / h
+        val c = (px % w) * 8 / w
+        cellSum(b * 8 + c) += g
+        cellN(b * 8 + c) += 1
+        total += g
+        px += 1
+        i += 3
+      }
+      val nTot = nPx.toLong
+      val sb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < 64) {
+        sb.append(
+          if (cellN(k) == 0L) '0'
+          else if (cellSum(k) * nTot >= total * cellN(k)) '1'
+          else '0')
+        k += 1
+      }
+      sb.toString
     }
 
     def decode(p: Array[Byte]): Array[Double] = {
@@ -261,6 +319,58 @@ object Multimodal {
     * header skip, comment handling, channel interleave and raster walk
     * end-to-end on real binary input. */
   val staticPpmAssets: Seq[String] = Seq("asset0.ppm", "asset1.ppm", "asset2.ppm")
+
+  /** Per-document perceptual hash table (q224): the REAL codec
+    * ([[PpmDecoder.aHashBits]]) runs over each text-derived PPM payload
+    * via the same `mapPartitions` batch plumbing as [[decodeStats]] —
+    * payload bytes never shuffle, 64 bits out per document. Integer-exact
+    * end to end, so the oracle re-derives every bit from the text→PPM
+    * construction in SQL (a channel-phase slip, band-rounding error, or
+    * threshold-tie mishandling flips bits and fails the hash compare). */
+  def aHashTable(docs: DataFrame): DataFrame = {
+    val src = withPpmPayload(docs).select(col("doc_id"), col("payload"))
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType), StructField("ahash", StringType))))
+    src.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), PpmDecoder.aHashBits(r.getAs[Array[Byte]](1))))
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs (q225): Hamming ≤ `maxHamming` on the
+    * [[aHashTable]] hashes, found by pigeonhole banding — the 64 bits
+    * split into `maxHamming + 1` bands, so any pair within the radius
+    * agrees EXACTLY on at least one band (perfect recall, the q44/q117
+    * SimHash argument on image hashes); candidates come from equi-joins
+    * on band keys, never an all-pairs scan, and verification XORs the 4
+    * band words with `bit_count` (codegen'd integer ops). The oracle is
+    * the ALL-PAIRS computation, so hash equality certifies the banding
+    * lost nothing. */
+  def aHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      "bands must tile the 64-bit hash")
+    val nBands = maxHamming + 1
+    val bandLen = 64 / nBands
+    val hashes = aHashTable(docs)
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until nBands).map(j =>
+          substring(col("ahash"), 1 + j * bandLen, bandLen)): _*))
+          .as(Seq("band_id", "band_key")))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+        col("band_id"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+        col("band_id").as("bid"), col("band_key").as("bkey")),
+        col("band_id") === col("bid") && col("band_key") === col("bkey") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    val hamming = (0 until nBands).map { j =>
+      bit_count(conv(substring(col("ha"), 1 + j * bandLen, bandLen), 2, 10)
+        .cast("long").bitwiseXOR(
+          conv(substring(col("hb"), 1 + j * bandLen, bandLen), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    cand.withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 
   def staticPpmFrame(spark: SparkSession): DataFrame = {
     val rows = staticPpmAssets.zipWithIndex.map { case (name, idx) =>

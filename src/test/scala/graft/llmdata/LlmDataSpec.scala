@@ -385,4 +385,44 @@ class LlmDataSpec extends AnyFunSuite {
       assert(f(2) === 255.0)
     }
   }
+
+  test("q224 aHash: hand-built bright-top/dark-bottom image gives the known bit pattern") {
+    // 8x2 image: top row all-white (gray 765), bottom row all-black.
+    // h=2 → row 0 lands in band 0, row 1 in band 4; bands 1-3/5-7 empty.
+    // Band 0 cells sit above the global mean → '1'; band 4 → '0';
+    // empty cells → '0' by contract.
+    val raster = Array.fill(24)(255.toByte) ++ Array.fill(24)(0.toByte)
+    val img = "P6\n8 2\n255\n".getBytes("US-ASCII") ++ raster
+    val bits = Multimodal.PpmDecoder.aHashBits(img)
+    assert(bits === "1" * 8 + "0" * 56)
+    // global-mean tie: a uniform image has every cell mean == global mean
+    // → the >= threshold sets every occupied cell to '1'
+    val flat = "P6\n8 2\n255\n".getBytes("US-ASCII") ++ Array.fill(48)(7.toByte)
+    val fb = Multimodal.PpmDecoder.aHashBits(flat)
+    assert(fb === "1" * 8 + "0" * 24 + "1" * 8 + "0" * 24)
+  }
+
+  test("q224 aHash runs on the genuinely binary static fixtures: 64 bits, deterministic") {
+    val frames = Multimodal.staticPpmFrame(spark).collect()
+    frames.foreach { r =>
+      val b1 = Multimodal.PpmDecoder.aHashBits(r.getAs[Array[Byte]](1))
+      val b2 = Multimodal.PpmDecoder.aHashBits(r.getAs[Array[Byte]](1))
+      assert(b1.length === 64 && b1.forall(c => c == '0' || c == '1'))
+      assert(b1 === b2)
+    }
+  }
+
+  test("q225 banded perceptual near-dup has PERFECT recall vs brute-force Hamming") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val hashes = Multimodal.aHashTable(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val banded = Multimodal.aHashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "banding diverged from the all-pairs computation")
+    assert(brute.nonEmpty, "fixture produced no perceptual near-dups — vacuous")
+  }
 }
