@@ -1154,6 +1154,61 @@ object Registry {
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         |FROM hv WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin)),
 
+    // First/last-touch attribution: per purchase, the earliest and latest
+    // view/click by the same user inside a 7d lookback — one range-bounded
+    // per-user join, BOTH endpoints + count from a single argmin/argmax
+    // struct agg; no-touch purchases survive the left join with 0/null.
+    "q226_attribution" -> Entry((s, d) =>
+      Events.touchAttribution(s, d).orderBy("event_id"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts_ms AS touch_ms
+        | FROM e WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_ms,
+        | count(t.touch_id) AS n_touches,
+        | arg_min(t.touch_id, t.touch_ms * 1000000 + t.touch_id) AS first_touch_id,
+        | arg_min(t.touch_type, t.touch_ms * 1000000 + t.touch_id) AS first_touch_type,
+        | arg_max(t.touch_id, t.touch_ms * 1000000 + t.touch_id) AS last_touch_id,
+        | arg_max(t.touch_type, t.touch_ms * 1000000 + t.touch_id) AS last_touch_type
+        |FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |  AND t.touch_ms <= p.ts_ms AND t.touch_ms >= p.ts_ms - 604800000
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin)),
+
+    // Daily date-spine densification: per-day totals with MISSING days
+    // zero-filled (a day with no rows is invisible to a plain groupBy and
+    // breaks moving averages); tiny generated spine broadcasts into the
+    // left join against the one per-day hash agg.
+    "q227_date_spine" -> Entry((s, d) =>
+      Events.dailySpine(s, d).orderBy("day"), Some(
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT day, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        | FROM e GROUP BY 1),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        | coalesce(c.n_events, 0) AS n_events, coalesce(c.n_users, 0) AS n_users
+        |FROM spine LEFT JOIN c ON c.day = spine.day
+        |ORDER BY day""".stripMargin)),
+
+    // Order-independent table checksum (anti-entropy fingerprint): per
+    // source, row count + XOR and exact DECIMAL(38,0) SUM of a per-row
+    // md5-derived 60-bit hash — two commutative map-side-combinable
+    // reductions; one scan fingerprints the table, either reduction
+    // differing pinpoints the divergent group.
+    "q228_table_checksum" -> Entry((s, d) =>
+      graft.relational.Profile.tableChecksum(docs(s, d), "source",
+        Seq("doc_id", "text", "lang", "n_chars")).orderBy("source"), Some(
+      """WITH h AS (SELECT source,
+        |  CAST(list_reduce(list_prepend('0',
+        |    string_split(substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
+        |      lang || chr(31) || CAST(n_chars AS VARCHAR)), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS rh
+        | FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        | bit_xor(rh) AS checksum_xor,
+        | CAST(CAST(sum(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_sum
+        |FROM h GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -49,6 +49,31 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Order-independent table checksum (q228) — the anti-entropy
+    * fingerprint two replicas (or a table before/after a migration)
+    * compare without moving rows: per group, the row count plus TWO
+    * commutative reductions of a per-row md5-derived 60-bit hash — XOR
+    * (cheap, but a duplicated row PAIR cancels) and the exact integer
+    * SUM on DECIMAL(38,0) (catches even-multiplicity changes; 38 digits
+    * hold 10^19 rows of 60-bit hashes without overflow, and decimal
+    * addition is exact and partitioning-independent, the q01 rule).
+    * Either reduction differing pinpoints the divergent group; both are
+    * map-side combinable hash aggs, so the checksum of 100 TB is one
+    * scan + a rows-per-group-sized shuffle. The row hash covers every
+    * column through an ASCII-unit separator (fields can't reassociate). */
+  def tableChecksum(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains))
+    val rowHash = conv(substring(md5(concat_ws("\u001f",
+      cols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10).cast("long")
+    df.withColumn("__h", rowHash)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("checksum_xor"),
+        sum(col("__h").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+          .cast("string").as("checksum_sum"))
+  }
+
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty && columns.forall(df.columns.contains))
     val measures = columns.flatMap { c =>

@@ -1293,6 +1293,72 @@ object Events {
     * matches per fact — the join IS the lookup, no argmax window over
     * facts. Facts before the first state row keep state 'none' via the
     * left join. */
+  /** First/last-touch attribution (q226): for every purchase, the
+    * earliest and latest touch (view/click) by the same user inside a
+    * lookback window ending at the purchase — the marketing-attribution
+    * join every growth pipeline runs. One per-user equi-join bounded by
+    * the `[ts − lookback, ts]` range predicate, then BOTH endpoints and
+    * the touch count from a single hash agg (`min(struct)`/`max(struct)`
+    * argmin/argmax with event_id tiebreak — never a window over the fact
+    * side). Purchases with no eligible touch survive via the left join
+    * with a 0 count and null touch ids — silent inner-join fact loss is
+    * the classic attribution bug.
+    *
+    * Scale: the range predicate bounds candidates per purchase to the
+    * lookback horizon; both sides shuffle once on user_id. */
+  def touchAttribution(spark: SparkSession, dir: String,
+      lookbackMs: Long = 7L * 24 * 3600 * 1000): DataFrame =
+    touchAttributionFrom(events(spark, dir), lookbackMs)
+
+  private[graft] def touchAttributionFrom(ev: DataFrame,
+      lookbackMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    require(lookbackMs > 0)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), unix_millis(col("ts")).as("touch_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          touches("touch_ms") <= purchases("ts_ms") &&
+          touches("touch_ms") >= purchases("ts_ms") - lookbackMs,
+        "left")
+      .groupBy(purchases("event_id"), purchases("user_id"), col("ts_ms"))
+      .agg(
+        count(col("touch_id")).as("n_touches"),
+        min(struct(col("touch_ms"), col("touch_id"), col("touch_type"))).as("ft"),
+        max(struct(col("touch_ms"), col("touch_id"), col("touch_type"))).as("lt"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("n_touches"),
+        col("ft.touch_id").as("first_touch_id"),
+        col("ft.touch_type").as("first_touch_type"),
+        col("lt.touch_id").as("last_touch_id"),
+        col("lt.touch_type").as("last_touch_type"))
+  }
+
+  /** Daily date-spine densification (q227): per-day event totals with
+    * MISSING days zero-filled — the calendar-join every reporting layer
+    * needs, because a day with no rows is invisible to a plain groupBy
+    * and silently breaks moving averages and day-over-day deltas. The
+    * spine generates from the corpus min/max day (`sequence` + explode —
+    * a few thousand rows even for a decade), the per-day counts are one
+    * hash agg, and the spine side broadcasts into the left join. Day is
+    * emitted as a yyyy-MM-dd string so both engines compare the same
+    * value representation. */
+  def dailySpine(spark: SparkSession, dir: String): DataFrame =
+    dailySpineFrom(events(spark, dir))
+
+  private[graft] def dailySpineFrom(ev: DataFrame): DataFrame = {
+    val e = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+    val counts = e.groupBy("day").agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    broadcast(spine).join(counts, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   def pitStateJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val dim = scd2IntervalsFrom(ev.filter(col("event_type").isin("signup", "error")))

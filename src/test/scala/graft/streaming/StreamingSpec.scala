@@ -299,6 +299,75 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no enriched facts — test vacuous")
   }
 
+  test("q226 attribution: lookback bounds, endpoint selection, no-touch survival") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: touches at t=10 (view), t=20 (click), purchase at t=30;
+    //         a touch AFTER the purchase (t=40) and one OUTSIDE the
+    //         lookback (t=30-8d) must both be ignored.
+    // user 2: purchase with no touch at all.
+    val day = 86400L
+    val ev = Seq(
+      (1L, ts(10), 1L, "view"), (2L, ts(20), 1L, "click"),
+      (3L, ts(30), 1L, "purchase"), (4L, ts(40), 1L, "click"),
+      (5L, ts(30 - 8 * day), 1L, "view"),
+      (6L, ts(100), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.touchAttributionFrom(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p1 = out(3L)
+    assert(p1.getLong(3) === 2L, "exactly the two in-window touches count")
+    assert(p1.getLong(4) === 1L && p1.getString(5) === "view", "first touch")
+    assert(p1.getLong(6) === 2L && p1.getString(7) === "click", "last touch")
+    val p2 = out(6L)
+    assert(p2.getLong(3) === 0L && p2.isNullAt(4) && p2.isNullAt(6),
+      "no-touch purchase must survive with 0/null")
+    assert(out.size === 2)
+  }
+
+  test("q227 date spine zero-fills planted missing days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val ev = Seq((1L, ts(1), 7L), (2L, ts(4), 8L), (3L, ts(4), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Events.dailySpineFrom(ev).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 4, "spine must cover all 4 calendar days")
+    assert(out(0)._2 === 1L && out(0)._3 === 1L)
+    assert(out(1) === (("1970-01-03", 0L, 0L)))
+    assert(out(2) === (("1970-01-04", 0L, 0L)))
+    assert(out(3)._2 === 2L && out(3)._3 === 2L)
+  }
+
+  test("q228 checksum: partition-invariant; sum catches the duplicate pair xor cancels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "aa", "en", 2L), (2L, "bb", "en", 2L), (3L, "cc", "en", 2L))
+      .toDF("doc_id", "text", "lang", "n_chars").withColumn("source", lit("s0"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.relational.Profile.tableChecksum(df, "source",
+        Seq("doc_id", "text", "lang", "n_chars"))
+        .head() match { case r => (r.getLong(1), r.getLong(2), r.getString(3)) }
+    val a = sums(base)
+    assert(a === sums(base.repartition(5)), "checksum depends on partitioning")
+    // single-cell edit must change both reductions
+    val edited = Seq((1L, "aa", "en", 2L), (2L, "bX", "en", 2L), (3L, "cc", "en", 2L))
+      .toDF("doc_id", "text", "lang", "n_chars").withColumn("source", lit("s0"))
+    val b = sums(edited)
+    assert(a._2 !== b._2)
+    assert(a._3 !== b._3)
+    // a row duplicated TWICE more: xor of the pair cancels back to the
+    // original, the decimal sum does not — that's why both ship
+    val dup = base.unionAll(base.filter(col("doc_id") === 2L))
+      .unionAll(base.filter(col("doc_id") === 2L))
+    val c = sums(dup)
+    assert(c._2 === a._2, "xor was expected to cancel the duplicated pair")
+    assert(c._3 !== a._3, "sum must catch the even-multiplicity change")
+    assert(c._1 === 5L)
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
