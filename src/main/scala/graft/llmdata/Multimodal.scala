@@ -350,7 +350,10 @@ object Multimodal {
       "bands must tile the 64-bit hash")
     val nBands = maxHamming + 1
     val bandLen = 64 / nBands
-    val hashes = aHashTable(docs)
+    // The self-join consumes the hash table twice; materialize the tiny
+    // (one 8-byte id + 64-char hash per doc) frame so the codec pass
+    // over the payloads runs once, not once per join side.
+    val hashes = aHashTable(docs).localCheckpoint(true)
     val banded = hashes.select(col("doc_id"), col("ahash"),
         posexplode(array((0 until nBands).map(j =>
           substring(col("ahash"), 1 + j * bandLen, bandLen)): _*))

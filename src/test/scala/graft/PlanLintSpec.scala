@@ -38,8 +38,13 @@ class PlanLintSpec extends AnyFunSuite {
                                 // Round13OpsSpec
     "q199_streaming_file_sink", // streaming parquet-sink write on
                                 // construction (cached)
-    "q211_streaming_cdc")       // streaming settle on construction;
+    "q211_streaming_cdc",       // streaming settle on construction;
                                 // parity with q207 pinned in Round13OpsSpec
+    "q215_editdist_verify",     // consumes the cached md5-pair derivation
+                                // (localCheckpoint on first touch)
+    "q217_group_folds",         // consumes q99's eager label loop
+    "q225_ahash_neardup")       // materializes the tiny hash table before
+                                // the band self-join (one codec pass)
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -68,6 +73,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q169_perplexity_buckets", // composes q119's 1-row corpus-total broadcast
     "q172_ranker_agreement",   // 1-row scalar broadcasts in both rankers + the
                                // 3-row cutoff grid against the ≤40-row rank join
+    "q220_count_min",          // 1-row corpus-total aggregate broadcast back
+                               // (heavy-set gate, the q209 rule)
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers
