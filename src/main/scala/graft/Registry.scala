@@ -1209,6 +1209,49 @@ object Registry {
         | CAST(CAST(sum(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_sum
         |FROM h GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // Z-order pruning dry run: scan/skip decision per bucket = extent-box
+    // vs predicate-box intersection (the exact file-stats test a reader
+    // performs); rows scanned vs matching quantifies the false-positive
+    // I/O the layout failed to prune.
+    "q229_zorder_pruning" -> Entry((s, d) =>
+      graft.io.ZOrder.pruningStats(s, d), Some(
+      """WITH d AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |e AS (SELECT max(x) AS xmax, max(y) AS ymax FROM d),
+        |box AS (SELECT (xmax + 1) * 2 // 16 AS x_lo, (xmax + 1) * 5 // 16 AS x_hi,
+        |  (ymax + 1) * 2 // 16 AS y_lo, (ymax + 1) * 5 // 16 AS y_hi FROM e),
+        |b0 AS (SELECT x, y, (x * 16) // (xmax + 1) AS xs, (y * 16) // (ymax + 1) AS ys
+        |  FROM d CROSS JOIN e),
+        |b1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS xs, (ys | (ys << 8)) & 16711935 AS ys FROM b0),
+        |b2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM b1),
+        |b3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM b2),
+        |b4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM b3),
+        |z AS (SELECT x, y, xs | (ys << 1) AS zval FROM b4),
+        |st AS (SELECT zval // 4 AS z_bucket, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        | FROM z GROUP BY 1),
+        |sc AS (SELECT count(*) AS n_buckets,
+        |  CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo AND y_min <= y_hi AND y_max >= y_lo
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_scanned,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo AND y_min <= y_hi AND y_max >= y_lo
+        |       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        | FROM st CROSS JOIN box),
+        |m AS (SELECT count(*) AS rows_matching FROM d CROSS JOIN box
+        | WHERE x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi)
+        |SELECT n_buckets, n_buckets_scanned, rows_total, rows_scanned, rows_matching,
+        | round(1.0 - CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) AS skip_ratio
+        |FROM sc CROSS JOIN m""".stripMargin)),
+
+    // Incremental aggregate maintenance: the new release's per-source
+    // aggregate from base + change-set deltas ONLY (never rescanning
+    // unchanged rows); the oracle recomputes directly from the new
+    // release, so hash equality certifies the delta algebra is exact.
+    "q230_incremental_view" -> Entry((s, d) =>
+      Curation.incrementalAggMaintenance(docs(s, d)).orderBy("source"), Some(
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -66,6 +66,47 @@ object ZOrder {
     * BOTH raw dimensions are ~1/8 of the global span — scale-free
     * (holds at every SF), deterministic, and engine-portable, unlike
     * file boundaries. */
+  /** q229: file-skipping effectiveness estimate for a rectangular
+    * predicate against the [[layoutStats]] layout — the dry-run a table
+    * optimizer publishes to justify (or veto) a Z-order rewrite: a
+    * bucket must be scanned iff its [min,max]×[min,max] extent box
+    * intersects the predicate box (exactly the file-level stats test a
+    * reader performs), and the report counts buckets and rows scanned
+    * vs rows actually matching — the gap is the false-positive I/O the
+    * layout failed to prune. All-integer arithmetic over the tiny
+    * bucket frame plus ONE predicate aggregate on the base table. */
+  def pruningStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    // Scale-free predicate box: [2/16, 5/16] of each dimension's span —
+    // integer div off the same 1-row extent frame in both engines, so
+    // the box is deterministic at EVERY scale factor (a fixed literal
+    // box would be empty at sf0.001 and a sliver at sf1).
+    val ext = li.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax"))
+      .select(expr("(xmax + 1) * 2 div 16").as("x_lo"),
+        expr("(xmax + 1) * 5 div 16").as("x_hi"),
+        expr("(ymax + 1) * 2 div 16").as("y_lo"),
+        expr("(ymax + 1) * 5 div 16").as("y_hi"))
+    val scannedFlag = col("x_min") <= col("x_hi") && col("x_max") >= col("x_lo") &&
+      col("y_min") <= col("y_hi") && col("y_max") >= col("y_lo")
+    val buckets = layoutStats(spark, dir).crossJoin(broadcast(ext))
+      .select(col("n_rows"), scannedFlag.as("scanned"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("n_buckets_scanned"),
+        sum(col("n_rows")).cast("long").as("rows_total"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L)).cast("long")
+          .as("rows_scanned"))
+    val matching = li.crossJoin(broadcast(ext))
+      .filter(col("x").between(col("x_lo"), col("x_hi")) &&
+        col("y").between(col("y_lo"), col("y_hi")))
+      .agg(count(lit(1)).as("rows_matching"))
+    buckets.crossJoin(broadcast(matching))
+      .select(col("n_buckets"), col("n_buckets_scanned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        round(lit(1.0) - col("rows_scanned").cast("double") /
+          col("rows_total").cast("double"), 6).as("skip_ratio"))
+  }
+
   def layoutStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))

@@ -797,6 +797,48 @@ object Curation {
         col("old_md5"), col("new_md5"))
   }
 
+  /** Incremental aggregate maintenance (q230): the per-source
+    * (doc count, char sum) aggregate of the NEW corpus release computed
+    * WITHOUT rescanning unchanged rows — base aggregate of the old
+    * release, plus deltas derived from the [[snapshotDiff]] change set
+    * only (removed/changed subtract their old contribution, added/
+    * changed add their new one). This is materialized-view incremental
+    * maintenance: at 100 TB the change set is typically ≪1% of the
+    * table, so the maintenance cost is proportional to the CHANGES. The
+    * q218 oracle twin recomputes the aggregate directly from the new
+    * release — hash equality certifies the delta algebra is exact
+    * (count and sum are Abelian-group aggregates; max/min would need a
+    * different story, which is why they're not here). */
+  def incrementalAggMaintenance(docs: DataFrame): DataFrame = {
+    // the two deterministic releases of [[corpusSnapshotDiff]], with the
+    // release-specific body LENGTH ('OLD ' adds 4 chars)
+    val oldRows = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, col("n_chars") + 4)
+          .otherwise(col("n_chars")).as("len"))
+    val newRows = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+    val base = oldRows.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_chars"))
+    val diff = corpusSnapshotDiff(docs).filter(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+    val minus = diff.filter(col("status").isin("removed", "changed"))
+      .join(oldRows, "doc_id")
+      .select(col("source"), lit(-1L).as("dn"), (-col("len")).as("dlen"))
+    val plus = diff.filter(col("status").isin("added", "changed"))
+      .join(newRows, "doc_id")
+      .select(col("source"), lit(1L).as("dn"), col("len").as("dlen"))
+    val delta = minus.unionAll(plus).groupBy("source")
+      .agg(sum("dn").as("dn"), sum("dlen").as("dlen"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dlen"), lit(0L)))
+          .cast("long").as("sum_chars"))
+      .filter(col("n_docs") > 0L)
+  }
+
   /** [[snapshotDiff]] wired to two deterministic synthetic releases of
     * the documents fixture (the registry/oracle twin): the "old"
     * snapshot drops doc_id ≡ 0 (mod 5) and carries a pre-edit body

@@ -385,6 +385,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(fix.count() > 0L)
   }
 
+  test("q229 pruning estimate is sound (no matching row skipped) and actually prunes") {
+    val r = graft.io.ZOrder.pruningStats(spark, dir).head()
+    val (nb, nbs, rt, rs, rm, skip) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(nbs <= nb && rs <= rt)
+    // soundness: every matching row lives in a scanned bucket (extent
+    // intersection can over-approximate but never under-approximate)
+    assert(rs >= rm, "a matching row was skipped — pruning is UNSOUND")
+    assert(rm > 0L, "predicate matches nothing — test vacuous")
+    // the z-layout must actually skip something on a box predicate
+    assert(skip > 0.0, "layout pruned nothing")
+    assert(nbs < nb)
+  }
+
+  test("q230 incremental maintenance equals the direct recompute, per source") {
+    import org.apache.spark.sql.functions._
+    val maintained = Curation.incrementalAggMaintenance(docs)
+    val direct = docs.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+    assert(maintained.exceptAll(direct).isEmpty && direct.exceptAll(maintained).isEmpty,
+      "delta-maintained aggregate diverged from the direct recompute")
+    // the change set the deltas touched is a strict subset of the table
+    val nChanges = Curation.corpusSnapshotDiff(docs)
+      .filter(col("status") =!= "unchanged").count()
+    assert(nChanges > 0L && nChanges < docs.count())
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
