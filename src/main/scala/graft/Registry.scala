@@ -1252,6 +1252,55 @@ object Registry {
         |FROM documents WHERE doc_id % 3 <> 0
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Matryoshka truncation fidelity: per prefix length, mean abs cosine
+    // error vs full dimension + top-1 agreement over the query grid —
+    // ONE exploded pass computes full and every prefix dot/norm as
+    // conditional sums in a single hash agg; decimal-quantized errors,
+    // rounded-cosine argmax with smallest-cand tiebreak.
+    "q231_matryoshka" -> Entry((s, d) =>
+      Similarity.matryoshkaFidelity(emb(s, d)).orderBy("prefix_dim"), Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |px AS (SELECT query_id, cand_id, unnest(range(0, len(qe))) AS pos,
+        |  CAST(unnest(qe) AS DOUBLE) AS qv, CAST(unnest(ce) AS DOUBLE) AS cv
+        | FROM q CROSS JOIN c WHERE query_id <> cand_id),
+        |dots AS (SELECT query_id, cand_id,
+        |  sum(qv*cv) AS dp_f, sum(qv*qv) AS nq_f, sum(cv*cv) AS nc_f,
+        |  sum(CASE WHEN pos < 8 THEN qv*cv ELSE 0 END) AS dp_8,
+        |  sum(CASE WHEN pos < 8 THEN qv*qv ELSE 0 END) AS nq_8,
+        |  sum(CASE WHEN pos < 8 THEN cv*cv ELSE 0 END) AS nc_8,
+        |  sum(CASE WHEN pos < 16 THEN qv*cv ELSE 0 END) AS dp_16,
+        |  sum(CASE WHEN pos < 16 THEN qv*qv ELSE 0 END) AS nq_16,
+        |  sum(CASE WHEN pos < 16 THEN cv*cv ELSE 0 END) AS nc_16,
+        |  sum(CASE WHEN pos < 32 THEN qv*cv ELSE 0 END) AS dp_32,
+        |  sum(CASE WHEN pos < 32 THEN qv*qv ELSE 0 END) AS nq_32,
+        |  sum(CASE WHEN pos < 32 THEN cv*cv ELSE 0 END) AS nc_32
+        | FROM px GROUP BY 1, 2),
+        |perk AS (
+        | SELECT CAST(8 AS BIGINT) AS prefix_dim, query_id, cand_id,
+        |  round(dp_8/(sqrt(nq_8)*sqrt(nc_8)), 6) AS cos_k,
+        |  round(dp_f/(sqrt(nq_f)*sqrt(nc_f)), 6) AS cos_f FROM dots
+        | UNION ALL
+        | SELECT CAST(16 AS BIGINT), query_id, cand_id,
+        |  round(dp_16/(sqrt(nq_16)*sqrt(nc_16)), 6),
+        |  round(dp_f/(sqrt(nq_f)*sqrt(nc_f)), 6) FROM dots
+        | UNION ALL
+        | SELECT CAST(32 AS BIGINT), query_id, cand_id,
+        |  round(dp_32/(sqrt(nq_32)*sqrt(nc_32)), 6),
+        |  round(dp_f/(sqrt(nq_f)*sqrt(nc_f)), 6) FROM dots),
+        |err AS (SELECT prefix_dim, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(abs(cos_k - cos_f) AS DECIMAL(28,12))) AS DOUBLE)/count(*), 6) AS mean_abs_err
+        | FROM perk GROUP BY 1),
+        |t1 AS (SELECT prefix_dim, query_id,
+        |  arg_max(-cand_id, round(cos_k*1000000) * 1000000 - cand_id) AS wk,
+        |  arg_max(-cand_id, round(cos_f*1000000) * 1000000 - cand_id) AS wf
+        | FROM perk GROUP BY 1, 2),
+        |agree AS (SELECT prefix_dim,
+        |  CAST(sum(CASE WHEN wk = wf THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_agree
+        | FROM t1 GROUP BY 1)
+        |SELECT err.prefix_dim, n_pairs, mean_abs_err, n_top1_agree
+        |FROM err JOIN agree USING (prefix_dim) ORDER BY prefix_dim""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

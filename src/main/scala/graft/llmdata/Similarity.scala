@@ -485,4 +485,63 @@ object Similarity {
           x => floor(x * col("scale") + lit(0.5)).cast("long"))).as(Seq("pos", "q")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
         round(col("scale"), 6).as("scale"))
+
+  /** Matryoshka truncation fidelity (q231): how faithfully do PREFIX
+    * slices of the embedding preserve full-dimension cosine — the
+    * evaluation behind MRL-style dimension reduction, where a pipeline
+    * serves d/8 or d/4 prefixes to cut index cost and needs the recall
+    * evidence first. For each prefix length k, over the (query ×
+    * candidate) grid of [[bruteForceTopK]]'s query set: the mean
+    * absolute cosine error vs the full dimension, and how many queries
+    * keep the SAME top-1 neighbor under truncation.
+    *
+    * One exploded pass computes the full AND every prefix dot/norm as
+    * conditional sums in a single hash agg (pos < k gates — no
+    * re-scan per prefix); error sums are DECIMAL(28,12)-quantized
+    * (order-independent); the top-1 argmax uses the rounded cosine with
+    * a smallest-cand tiebreak so both engines pick identical winners. */
+  def matryoshkaFidelity(emb: DataFrame, prefixes: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 10): DataFrame = {
+    require(prefixes.nonEmpty)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), VectorOps.asDouble(col("embedding")).as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), VectorOps.asDouble(col("embedding")).as("ce"))
+    val px = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("ce"),
+        posexplode(col("qe")).as(Seq("pos", "qv")))
+      .select(col("query_id"), col("cand_id"), col("pos"), col("qv"),
+        element_at(col("ce"), col("pos") + 1).as("cv"))
+    def cos(dp: org.apache.spark.sql.Column, nq2: org.apache.spark.sql.Column,
+        nc2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(dp / (sqrt(nq2) * sqrt(nc2)), 6)
+    val prefixAggs = prefixes.flatMap { k =>
+      Seq(sum(when(col("pos") < k, col("qv") * col("cv")).otherwise(0.0)).as(s"dp_$k"),
+        sum(when(col("pos") < k, col("qv") * col("qv")).otherwise(0.0)).as(s"nq_$k"),
+        sum(when(col("pos") < k, col("cv") * col("cv")).otherwise(0.0)).as(s"nc_$k"))
+    }
+    val allAggs = Seq(sum(col("qv") * col("cv")).as("dp_f"),
+      sum(col("qv") * col("qv")).as("nq_f"),
+      sum(col("cv") * col("cv")).as("nc_f")) ++ prefixAggs
+    val dots = px.groupBy("query_id", "cand_id")
+      .agg(allAggs.head, allAggs.tail: _*)
+    val perK = prefixes.map { k =>
+      dots.select(lit(k.toLong).as("prefix_dim"), col("query_id"), col("cand_id"),
+        cos(col(s"dp_$k"), col(s"nq_$k"), col(s"nc_$k")).as("cos_k"),
+        cos(col("dp_f"), col("nq_f"), col("nc_f")).as("cos_f"))
+    }.reduce(_.unionAll(_))
+    val err = perK.groupBy("prefix_dim")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(abs(col("cos_k") - col("cos_f"))
+          .cast(DecimalType(28, 12))).cast("double") / count(lit(1)), 6)
+          .as("mean_abs_err"))
+    val top1 = perK.groupBy("prefix_dim", "query_id")
+      .agg(max(struct(col("cos_k"), (-col("cand_id")).as("nc"))).as("wk"),
+        max(struct(col("cos_f"), (-col("cand_id")).as("nc"))).as("wf"))
+      .groupBy("prefix_dim")
+      .agg(sum(when(col("wk.nc") === col("wf.nc"), 1L).otherwise(0L))
+        .as("n_top1_agree"))
+    err.join(top1, "prefix_dim")
+      .select("prefix_dim", "n_pairs", "mean_abs_err", "n_top1_agree")
+  }
 }

@@ -414,6 +414,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(nChanges > 0L && nChanges < docs.count())
   }
 
+  test("q231 matryoshka: error shrinks monotonically with prefix length; exact at full dim") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.matryoshkaFidelity(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val nCand = emb.count() - 1
+    out.values.foreach { case (n, _, agree) =>
+      assert(n === 10L * nCand); assert(agree >= 0L && agree <= 10L)
+    }
+    assert(out(8L)._2 > out(16L)._2 && out(16L)._2 > out(32L)._2,
+      "longer prefixes must approximate full cosine better")
+    // a prefix equal to the full dimension is error-free and agrees on
+    // every top-1 — the identity sanity bound
+    val full = Similarity.matryoshkaFidelity(emb, prefixes = Seq(64))
+      .head()
+    assert(full.getDouble(2) === 0.0 && full.getLong(3) === 10L)
+    // structured embeddings where all mass sits in the first 4 dims:
+    // every prefix >= 4 is already perfect
+    val structured = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(j => if (j < 4) (i % 7 + j + 1).toFloat else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val s8 = Similarity.matryoshkaFidelity(structured, prefixes = Seq(8), nQueries = 5)
+      .head()
+    assert(s8.getDouble(2) === 0.0 && s8.getLong(3) === 5L,
+      "front-loaded embeddings must truncate losslessly")
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
