@@ -1301,6 +1301,35 @@ object Registry {
         |SELECT err.prefix_dim, n_pairs, mean_abs_err, n_top1_agree
         |FROM err JOIN agree USING (prefix_dim) ORDER BY prefix_dim""".stripMargin)),
 
+    // Daily trend over the zero-filled spine: trailing 7d moving average
+    // + day-over-day delta — the derived series the spine makes correct;
+    // global window over the POST-AGG one-row-per-day frame (bounded).
+    "q232_daily_trend" -> Entry((s, d) =>
+      Events.dailyTrend(s, d).orderBy("day"), Some(
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT day, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        | FROM e GROUP BY 1),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM mm),
+        |s AS (SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  coalesce(c.n_events, 0) AS n_events
+        | FROM spine LEFT JOIN c ON c.day = spine.day)
+        |SELECT day, n_events,
+        | n_events - lag(n_events) OVER (ORDER BY day) AS dod_delta,
+        | round(CAST(sum(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |   count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM s ORDER BY day""".stripMargin)),
+
+    // k-anonymity audit: quasi-identifier classes (lang x length bucket)
+    // with < k members — the re-identification gate before a governed
+    // release; one hash agg + size filter, tiny risky-class output.
+    "q233_k_anonymity" -> Entry((s, d) =>
+      graft.relational.Validate.kAnonymityAudit(docs(s, d))
+        .orderBy("lang", "len_bucket"), Some(
+      """SELECT lang, n_chars // 100 AS len_bucket, count(*) AS group_size
+        |FROM documents GROUP BY 1, 2 HAVING count(*) < 5
+        |ORDER BY lang, len_bucket""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -58,4 +58,22 @@ object Validate {
         col("n_violations").cast("long").as("n_violations"),
         (col("n_violations") === 0L).as("passed"))
   }
+
+  /** k-anonymity audit (q233) — the re-identification gate a governed
+    * corpus release runs: group documents by their quasi-identifier
+    * tuple (language × length bucket here — the attributes an attacker
+    * can observe externally) and surface every equivalence class with
+    * fewer than k members; a document in a small class is
+    * re-identifiable by its quasi-identifiers alone, so releases
+    * suppress or generalize those rows. One hash agg over the corpus +
+    * a size filter; the output is the (tiny) risky-class frame a
+    * suppression step consumes, ordered audit-stable. */
+  def kAnonymityAudit(docs: DataFrame, k: Long = 5,
+      lenBucket: Int = 100): DataFrame = {
+    require(k >= 2 && lenBucket >= 1)
+    docs.groupBy(col("lang"),
+        floor(col("n_chars") / lenBucket).as("len_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

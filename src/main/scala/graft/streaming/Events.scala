@@ -1359,6 +1359,28 @@ object Events {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Daily trend report (q232) over the zero-filled [[dailySpine]]:
+    * trailing 7-day moving average and day-over-day delta — the two
+    * derived series the spine exists to make CORRECT (computed over raw
+    * per-day aggregates, a missing day silently shortens the MA window
+    * and fabricates a delta across the gap). The window is global but
+    * runs over the POST-AGGREGATION frame — one row per calendar day, a
+    * few thousand rows a decade — so the single-partition sort is a
+    * deliberate, bounded choice, not a row-count funnel. */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame =
+    dailyTrendFrom(events(spark, dir))
+
+  private[graft] def dailyTrendFrom(ev: DataFrame): DataFrame = {
+    val spine = dailySpineFrom(ev)
+    val w = Window.orderBy("day")
+    val w7 = w.rowsBetween(-6, 0)
+    spine
+      .withColumn("dod_delta", col("n_events") - lag(col("n_events"), 1).over(w))
+      .withColumn("ma7", round(sum(col("n_events")).over(w7).cast("double") /
+        count(lit(1)).over(w7), 6))
+      .select("day", "n_events", "dod_delta", "ma7")
+  }
+
   def pitStateJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val dim = scd2IntervalsFrom(ev.filter(col("event_type").isin("signup", "error")))

@@ -368,6 +368,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(c._1 === 5L)
   }
 
+  test("q232 daily trend: zero-filled days enter the MA window; deltas cross gaps honestly") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // counts per day after zero-fill: [1, 0, 0, 2]
+    val ev = Seq((1L, ts(1), 7L), (2L, ts(4), 8L), (3L, ts(4), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Events.dailyTrendFrom(ev).orderBy("day").collect()
+    assert(out.length === 4)
+    assert(out(0).isNullAt(2), "first day has no predecessor — delta must be null")
+    val deltas = out.drop(1).map(_.getLong(2))
+    assert(deltas.toSeq === Seq(-1L, 0L, 2L))
+    val ma = out.map(_.getDouble(3))
+    assert(ma(0) === 1.0 && ma(1) === 0.5)
+    assert(math.abs(ma(2) - 1.0 / 3) < 1e-6 && ma(3) === 0.75,
+      "MA must average over the zero-filled days, not skip them")
+  }
+
+  test("q233 k-anonymity: small quasi-identifier classes flagged, large ones pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 6 docs share (en, bucket 0) — safe at k=5; 2 docs sit in (de, 0) and
+    // 1 in (fr, 3) — both risky
+    val docs = ((1 to 6).map(i => (i.toLong, "en", 10L)) ++
+      Seq((7L, "de", 20L), (8L, "de", 30L), (9L, "fr", 350L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.relational.Validate.kAnonymityAudit(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("de", 0L) -> 2L, ("fr", 3L) -> 1L))
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
