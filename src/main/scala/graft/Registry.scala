@@ -1330,6 +1330,22 @@ object Registry {
         |FROM documents GROUP BY 1, 2 HAVING count(*) < 5
         |ORDER BY lang, len_bucket""".stripMargin)),
 
+    // STREAMING Misra-Gries heavy users per event type: the q209 sketch
+    // maintained live in keyed state (<=k-1 bounded counters per type —
+    // constant state regardless of stream length); final candidates are a
+    // SUPERSET of the true heavy set under every micro-batch interleave,
+    // and the exact-verification join makes the output equal the all-
+    // exact batch oracle.
+    "q234_streaming_heavy_users" -> Entry((s, d) =>
+      Events.streamingHeavyUsers(s, d, k = 128).orderBy("event_type", "user_id"), Some(
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n_occurrences
+        | FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY 1)
+        |SELECT c.event_type, c.user_id, c.n_occurrences
+        |FROM c JOIN t USING (event_type)
+        |WHERE c.n_occurrences * 128 > t.n_type
+        |ORDER BY event_type, user_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -909,6 +909,70 @@ object Events {
       }
   }
 
+  final case class MgState(seq: Long, counters: Map[Long, Long])
+  final case class MgCand(event_type: String, batch_seq: Long, user_id: Long)
+
+  /** Streaming Misra–Gries heavy users per event type (q234): the q209
+    * sketch maintained LIVE in keyed state — per type, at most k−1
+    * bounded counters (constant state regardless of stream length or
+    * user cardinality, the 100 TB state-store contract), updated with
+    * the classic increment/insert/decrement-all rule as micro-batches
+    * arrive. Each batch emits the current candidate set tagged with a
+    * per-key batch sequence; the settle step keeps each key's FINAL
+    * emission.
+    *
+    * Determinism argument (the q209 one, extended to streams): the
+    * sketch CONTENTS depend on arrival order across micro-batches, but
+    * the MG guarantee does not — any user with true frequency > n/k for
+    * its type survives with a nonzero counter under every interleave,
+    * so the final candidates are a superset of the true heavy set. The
+    * exact-verification join against the settled batch table then
+    * filters to exactly `count·k > n_type` — making the OUTPUT
+    * order-independent and equal to the all-exact batch oracle even
+    * though the intermediate sketch is not. */
+  def streamingHeavyUsers(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val cands = settle(spark, dir, stream => {
+      val s2 = stream.sparkSession
+      import s2.implicits._
+      streamingHeavyUsersCore(
+        stream.select(col("event_type"), col("user_id")).as[(String, Long)], k).toDF()
+    }, outputMode = "append")
+    val last = cands.groupBy("event_type").agg(max(col("batch_seq")).as("batch_seq"))
+    val finalCands = cands.join(last, Seq("event_type", "batch_seq"))
+      .select("event_type", "user_id")
+    val exact = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val totals = events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    finalCands.join(exact, Seq("event_type", "user_id"))
+      .join(broadcast(totals), "event_type")
+      .filter(col("n_occurrences") * k > col("n_type"))
+      .select("event_type", "user_id", "n_occurrences")
+  }
+
+  /** [[streamingHeavyUsers]]'s typed core — unit-testable with MemoryStream. */
+  def streamingHeavyUsersCore(events: Dataset[(String, Long)], k: Int): Dataset[MgCand] = {
+    require(k >= 2)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, batch, state) =>
+          val st = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var m = st.counters
+          batch.foreach { case (_, uid) =>
+            if (m.contains(uid)) m += uid -> (m(uid) + 1L)
+            else if (m.size < k - 1) m += uid -> 1L
+            else m = m.collect { case (u, c) if c > 1L => u -> (c - 1L) }
+          }
+          val seq = st.seq + 1L
+          state.update(MgState(seq, m))
+          m.keysIterator.map(u => MgCand(etype, seq, u))
+      }
+  }
+
   /** Nearest-event join: each `purchase` matched to the CLOSEST-in-time
     * `view` of the same user within ±`toleranceMs` — the "nearest" as-of
     * variant (bidirectional search; [[asOfJoin]] is the backward-only

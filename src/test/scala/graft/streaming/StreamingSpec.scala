@@ -398,6 +398,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map(("de", 0L) -> 2L, ("fr", 3L) -> 1L))
   }
 
+  test("q234 streaming MG: bounded state, cross-batch survival of every true heavy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 4
+    val input = MemoryStream[(String, Long)]
+    val out = Events.streamingHeavyUsersCore(input.toDS(), k)
+    val name = "graft_mg_test"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // user 7 becomes heavy only ACROSS batches (3+3 of 12 total > 12/4);
+      // users 1-5 are one-off noise that churns the counters
+      input.addData(("a", 7L), ("a", 7L), ("a", 7L), ("a", 1L), ("a", 2L), ("a", 3L))
+      q.processAllAvailable()
+      input.addData(("a", 7L), ("a", 7L), ("a", 7L), ("a", 4L), ("a", 5L), ("a", 1L))
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val lastSeq = rows.map(_._2).max
+      val finalCands = rows.filter(_._2 == lastSeq).map(_._3).toSet
+      assert(finalCands.contains(7L),
+        s"true heavy user lost by the sketch: $finalCands")
+      // bounded-state contract: never more than k-1 counters per key
+      rows.groupBy(_._2).foreach { case (seq, rs) =>
+        assert(rs.length <= k - 1, s"batch $seq emitted ${rs.length} counters")
+      }
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("q234 settled streaming heavy users equal the exact batch computation") {
+    import org.apache.spark.sql.functions._
+    val got = Events.streamingHeavyUsers(spark, dir, k = 128)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val c = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("n_occurrences"))
+    val t = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val exp = c.join(t, "event_type")
+      .filter(col("n_occurrences") * 128 > col("n_type"))
+      .select("event_type", "user_id", "n_occurrences")
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    assert(got.count() > 0L, "no heavy users at k=128 — test vacuous")
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
