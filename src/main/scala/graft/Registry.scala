@@ -1346,6 +1346,59 @@ object Registry {
         |WHERE c.n_occurrences * 128 > t.n_type
         |ORDER BY event_type, user_id""".stripMargin)),
 
+    // Borderline-pair audit queue: verified pairs closest to the dedup
+    // threshold (uncertainty sampling for human/model review) — md5 chain
+    // at a lower 0.3 floor so both sides of the boundary appear; bounded
+    // top-k with deterministic (dist, doc_a, doc_b) tiebreak.
+    "q235_borderline_pairs" -> Entry((s, d) =>
+      Dedup.borderlinePairs(s, d).orderBy("dist_to_threshold", "doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.3)
+        |SELECT doc_a, doc_b, jaccard,
+        | round(abs(jaccard - 0.5), 6) AS dist_to_threshold
+        |FROM pairs ORDER BY dist_to_threshold, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    // Largest-remainder (Hamilton) apportionment of an integer sample
+    // budget across sources: floor the exact quota, hand leftovers to the
+    // largest integer remainders (count-desc, source-asc tiebreak) — sums
+    // to EXACTLY the budget, each source within 1 of proportional.
+    "q236_budget_apportion" -> Entry((s, d) =>
+      Curation.apportionBudget(docs(s, d)).orderBy("source"), Some(
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_src) AS n_total FROM c),
+        |b AS (SELECT source, n_src, (100 * n_src) // n_total AS floor_q,
+        |  (100 * n_src) % n_total AS rem FROM c CROSS JOIN t),
+        |fs AS (SELECT sum(floor_q) AS floor_sum FROM b),
+        |r AS (SELECT b.source, b.n_src, b.floor_q,
+        |  row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk FROM b)
+        |SELECT source, n_src,
+        | CAST(floor_q + CASE WHEN rk <= 100 - floor_sum THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN fs ORDER BY source""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -797,6 +797,37 @@ object Curation {
         col("old_md5"), col("new_md5"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment (q236): split an integer
+    * sample budget across sources exactly proportionally — floor the
+    * ideal quota, then hand the leftover units to the largest fractional
+    * remainders (count-desc, source-asc tiebreak), so allocations sum to
+    * EXACTLY the budget with each source within 1 of its ideal share.
+    * This is how a curation run turns "take 10k docs, keep the mixture"
+    * into per-source integer quotas without RNG or drift; q80's quota
+    * cap then enforces the numbers. Exact integer/decimal arithmetic
+    * end to end (ideal quotas compare as budget·n_src — engine-exact
+    * cross-multiplication, never a float share); one window over the
+    * |sources|-row aggregate frame. */
+  def apportionBudget(docs: DataFrame, budget: Long = 100L): DataFrame = {
+    require(budget >= 0)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val total = counts.agg(sum("n_src").as("n_total"))
+    val base = counts.crossJoin(broadcast(total))
+      // floor(budget * n_src / n_total) and the exact integer remainder
+      // budget*n_src mod n_total — the fractional part scaled by n_total
+      .withColumn("floor_q", expr(s"$budget * n_src div n_total"))
+      .withColumn("rem", expr(s"$budget * n_src % n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val floorSum = base.agg(sum(col("floor_q")).as("floor_sum"))
+    base.crossJoin(broadcast(floorSum))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("extra",
+        when(col("rank") <= lit(budget) - col("floor_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("n_src"),
+        (col("floor_q") + col("extra")).cast("long").as("quota"))
+  }
+
   /** Incremental aggregate maintenance (q230): the per-source
     * (doc count, char sum) aggregate of the NEW corpus release computed
     * WITHOUT rescanning unchanged rows — base aggregate of the old

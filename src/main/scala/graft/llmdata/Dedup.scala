@@ -1188,6 +1188,25 @@ object Dedup {
     editDistanceAuditFrom(minhashMd5PairsOn(spark, dir, simThreshold),
       graft.io.Tables(spark, dir, "documents"), prefixLen)
 
+  /** Borderline-pair audit queue (q235): the verified pairs whose exact
+    * Jaccard sits CLOSEST to the dedup threshold — the uncertainty-
+    * sampling batch a human (or a stronger model) reviews first, because
+    * threshold-adjacent pairs are where a dedup pipeline's false
+    * keep/drop decisions live. Runs the md5 LSH chain at a LOWER floor
+    * so both sides of the decision boundary are present, then takes the
+    * k pairs minimizing |jaccard − threshold| (TakeOrderedAndProject —
+    * bounded top-k, never a global sort), deterministic (dist, doc_a,
+    * doc_b) tiebreak. */
+  def borderlinePairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.5, floor: Double = 0.3, k: Int = 20): DataFrame = {
+    require(floor < threshold && k >= 1)
+    minhashMd5PairsOn(spark, dir, simThreshold = floor)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(abs(col("jaccard") - threshold), 6).as("dist_to_threshold"))
+      .orderBy(col("dist_to_threshold"), col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** [[editDistanceAuditOn]] on a precomputed verified-pair frame. */
   def editDistanceAuditFrom(pairs0: DataFrame, docs: DataFrame,
       prefixLen: Int = 256): DataFrame = {

@@ -523,8 +523,12 @@ object Similarity {
     val allAggs = Seq(sum(col("qv") * col("cv")).as("dp_f"),
       sum(col("qv") * col("qv")).as("nq_f"),
       sum(col("cv") * col("cv")).as("nc_f")) ++ prefixAggs
+    // The per-pair moment frame is consumed once per prefix by BOTH the
+    // error and the top-1 branch (union branches get no cross-branch CSE
+    // — unmaterialized, the exploded agg re-runs 2·|prefixes| times);
+    // it is |queries|·|corpus| rows of scalars, so materialize it once.
     val dots = px.groupBy("query_id", "cand_id")
-      .agg(allAggs.head, allAggs.tail: _*)
+      .agg(allAggs.head, allAggs.tail: _*).localCheckpoint(true)
     val perK = prefixes.map { k =>
       dots.select(lit(k.toLong).as("prefix_dim"), col("query_id"), col("cand_id"),
         cos(col(s"dp_$k"), col(s"nq_$k"), col(s"nc_$k")).as("cos_k"),

@@ -43,8 +43,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q215_editdist_verify",     // consumes the cached md5-pair derivation
                                 // (localCheckpoint on first touch)
     "q217_group_folds",         // consumes q99's eager label loop
-    "q225_ahash_neardup")       // materializes the tiny hash table before
+    "q225_ahash_neardup",       // materializes the tiny hash table before
                                 // the band self-join (one codec pass)
+    "q231_matryoshka",          // materializes the per-pair moment frame
+                                // (consumed 2x per prefix; no cross-branch CSE)
+    "q234_streaming_heavy_users") // streaming settle on construction;
+                                  // batch parity pinned in StreamingSpec
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
@@ -75,6 +79,8 @@ class PlanLintSpec extends AnyFunSuite {
                                // 3-row cutoff grid against the ≤40-row rank join
     "q220_count_min",          // 1-row corpus-total aggregate broadcast back
                                // (heavy-set gate, the q209 rule)
+    "q229_zorder_pruning",     // 1-row extent/box + 1-row match-count frames
+                               // broadcast into the bucket stats
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers

@@ -272,6 +272,26 @@ class CurationSpec extends AnyFunSuite {
     assert(leaked.count() === 0L, "a near-dup pair straddles folds")
   }
 
+  test("q236 apportionment: exact budget total, within-1 proportionality, remainder tiebreak") {
+    import spark.implicits._
+    // counts 7/7/6, budget 10: ideals 3.5/3.5/3, floors 3/3/3, one
+    // leftover goes to the tied-largest remainder with the SMALLER source
+    val tiny = (Seq.fill(7)("a") ++ Seq.fill(7)("b") ++ Seq.fill(6)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = Curation.apportionBudget(tiny, budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // fixture: quotas sum EXACTLY to the budget and stay within 1 of ideal
+    val fix = Curation.apportionBudget(docs, budget = 100L).collect()
+    val n = docs.count().toDouble
+    assert(fix.map(_.getLong(2)).sum === 100L)
+    fix.foreach { r =>
+      val ideal = 100.0 * r.getLong(1) / n
+      assert(math.abs(r.getLong(2) - ideal) < 1.0 + 1e-9,
+        s"${r.getString(0)} quota ${r.getLong(2)} vs ideal $ideal")
+    }
+  }
+
   test("q218 snapshot diff classifies each planted change correctly") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")

@@ -441,6 +441,25 @@ class Round13OpsSpec extends AnyFunSuite {
       "front-loaded embeddings must truncate losslessly")
   }
 
+  test("q235 borderline queue IS the k closest-to-threshold pairs of the wider set") {
+    val queue = Dedup.borderlinePairs(spark, dir).collect()
+    assert(queue.nonEmpty && queue.length <= 20)
+    val dists = queue.map(_.getDouble(3))
+    assert(dists.sameElements(dists.sorted), "queue not sorted by uncertainty")
+    // top-k correctness: no excluded pair sits closer to the threshold
+    val all = Dedup.minhashMd5PairsOn(spark, dir, simThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.abs(r.getDouble(3) - 0.5)))
+    val inQueue = queue.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val worstIn = dists.max
+    all.filterNot(p => inQueue.contains((p._1, p._2))).foreach { p =>
+      assert(p._3 >= worstIn - 1e-9,
+        s"excluded pair ${(p._1, p._2)} dist ${p._3} beats queue worst $worstIn")
+    }
+    // the lower floor actually surfaces sub-threshold pairs to review
+    assert(all.exists(_._3 > 0.0), "no uncertainty spread — vacuous")
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
