@@ -81,6 +81,8 @@ class PlanLintSpec extends AnyFunSuite {
                                // (heavy-set gate, the q209 rule)
     "q229_zorder_pruning",     // 1-row extent/box + 1-row match-count frames
                                // broadcast into the bucket stats
+    "q236_budget_apportion",   // 1-row corpus-total + 1-row floor-sum frames
+                               // broadcast into the |sources|-row quota calc
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers
