@@ -98,7 +98,25 @@ object PlanAudit {
     ("q153_length_drift_ks", "two-sample KS per ingest batch: per-batch cumulative windows over " +
       "the complete batch x length grid; the corpus cumulative is the grid-sum of per-batch " +
       "cumulatives, so no global window exists",
-      reg("q153_length_drift_ks")))
+      reg("q153_length_drift_ks")),
+    ("q222_scd2_intervals", "SCD2 build: lag (change detect) + lead (interval close) over ONE " +
+      "user partitioning — a single exchange feeds both windows",
+      reg("q222_scd2_intervals")),
+    ("q223_pit_join", "point-in-time join: user equi-join + interval-containment residual — " +
+      "intervals tile, so <=1 match per fact and no argmax window over the fact side",
+      reg("q223_pit_join")),
+    ("q225_ahash_neardup", "perceptual near-dup: one codec pass (materialized 64-bit hash " +
+      "table), 4x16-bit band equi-joins (pigeonhole perfect recall), XOR+bit_count verify",
+      reg("q225_ahash_neardup")),
+    ("q226_attribution", "touch attribution: range-bounded per-user join, BOTH endpoints + " +
+      "count from one argmin/argmax-struct hash agg; left join keeps no-touch facts",
+      reg("q226_attribution")),
+    ("q228_table_checksum", "anti-entropy checksum: per-row md5 hash reduced by XOR and exact " +
+      "decimal SUM — both commutative, map-side combinable; one scan per fingerprint",
+      reg("q228_table_checksum")),
+    ("q231_matryoshka", "matryoshka fidelity: full + every prefix dot/norm as conditional sums " +
+      "in ONE hash agg over the exploded grid; per-pair moment frame materialized once",
+      reg("q231_matryoshka")))
 
   private val streamingStateNote: String =
     """
