@@ -951,6 +951,16 @@ object Events {
       .select("event_type", "user_id", "n_occurrences")
   }
 
+  /** One Misra–Gries update — the pure fold the streaming state machine
+    * iterates (classic increment / insert-if-room / decrement-all rule;
+    * `|m| ≤ k−1` is invariant). Extracted so the sketch algebra is
+    * property-testable without a stream: for ANY sequence, every element
+    * with frequency > n/k survives with a counter ≥ freq − n/k. */
+  private[graft] def mgFold(m: Map[Long, Long], uid: Long, k: Int): Map[Long, Long] =
+    if (m.contains(uid)) m + (uid -> (m(uid) + 1L))
+    else if (m.size < k - 1) m + (uid -> 1L)
+    else m.collect { case (u, c) if c > 1L => u -> (c - 1L) }
+
   /** [[streamingHeavyUsers]]'s typed core — unit-testable with MemoryStream. */
   def streamingHeavyUsersCore(events: Dataset[(String, Long)], k: Int): Dataset[MgCand] = {
     require(k >= 2)
@@ -962,11 +972,7 @@ object Events {
         case (etype, batch, state) =>
           val st = state.getOption.getOrElse(MgState(0L, Map.empty))
           var m = st.counters
-          batch.foreach { case (_, uid) =>
-            if (m.contains(uid)) m += uid -> (m(uid) + 1L)
-            else if (m.size < k - 1) m += uid -> 1L
-            else m = m.collect { case (u, c) if c > 1L => u -> (c - 1L) }
-          }
+          batch.foreach { case (_, uid) => m = mgFold(m, uid, k) }
           val seq = st.seq + 1L
           state.update(MgState(seq, m))
           m.keysIterator.map(u => MgCand(etype, seq, u))

@@ -72,6 +72,29 @@ class EventOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: MG fold — bounded size, undercount bound, no true heavy ever lost") {
+    for (trial <- 0 until 20) {
+      val k = 2 + rnd.nextInt(10)
+      val n = 50 + rnd.nextInt(500)
+      // zipf-ish stream: a few hot ids + uniform noise
+      val stream = (0 until n).map { _ =>
+        if (rnd.nextBoolean()) rnd.nextInt(3).toLong else rnd.nextInt(100).toLong
+      }
+      val m = stream.foldLeft(Map.empty[Long, Long])((acc, u) => Events.mgFold(acc, u, k))
+      val freq = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(m.size <= k - 1, s"trial $trial: ${m.size} counters exceed k-1=${k - 1}")
+      m.foreach { case (u, c) =>
+        assert(c <= freq(u), s"trial $trial: counter over-counts $u")
+        assert(c >= freq(u) - n.toLong / k,
+          s"trial $trial: counter for $u below the n/k undercount bound")
+      }
+      // the MG theorem: every id with freq > n/k is present
+      freq.filter(_._2 * k > n).keys.foreach { u =>
+        assert(m.contains(u), s"trial $trial: true heavy $u dropped (k=$k, n=$n)")
+      }
+    }
+  }
+
   /** Batch sessionize logic applied to a raw (user_id, ts:ns-long, event_id)
     * frame — mirrors Events.sessionize's plan on synthetic input. */
   private def sessionizeOn(df: org.apache.spark.sql.DataFrame, gapMs: Long) = {
