@@ -1399,6 +1399,51 @@ object Registry {
         | CAST(floor_q + CASE WHEN rk <= 100 - floor_sum THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM r CROSS JOIN fs ORDER BY source""".stripMargin)),
 
+    // Functional-dependency audit: per candidate A->B, one A-keyed hash
+    // agg with exact count(DISTINCT B) + a 1-row violating-group rollup —
+    // exact verdicts (a sampled FD is how bad merge keys get chosen);
+    // candidates span holding keys AND expected failures.
+    "q237_fd_audit" -> Entry((s, d) =>
+      graft.relational.Profile.fdAudit(Seq(
+        ("orders", Tables(s, d, "orders"), "o_orderkey", "o_custkey"),
+        ("orders", Tables(s, d, "orders"), "o_custkey", "o_orderstatus"),
+        ("lineitem", Tables(s, d, "lineitem"), "l_orderkey", "l_suppkey"),
+        ("nation", Tables(s, d, "nation"), "n_nationkey", "n_regionkey"),
+        ("documents", docs(s, d), "doc_id", "lang"),
+        ("documents", docs(s, d), "source", "lang"))).orderBy("table_name", "fd"), Some(
+      """SELECT * FROM (
+        | SELECT 'orders' AS table_name, 'o_orderkey->o_custkey' AS fd,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS ndb FROM orders GROUP BY 1)
+        | UNION ALL
+        | SELECT 'orders', 'o_custkey->o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+        | FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS ndb FROM orders GROUP BY 1)
+        | UNION ALL
+        | SELECT 'lineitem', 'l_orderkey->l_suppkey', count(*),
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+        | FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ndb FROM lineitem GROUP BY 1)
+        | UNION ALL
+        | SELECT 'nation', 'n_nationkey->n_regionkey', count(*),
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+        | FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS ndb FROM nation GROUP BY 1)
+        | UNION ALL
+        | SELECT 'documents', 'doc_id->lang', count(*),
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+        | FROM (SELECT doc_id, count(DISTINCT lang) AS ndb FROM documents GROUP BY 1)
+        | UNION ALL
+        | SELECT 'documents', 'source->lang', count(*),
+        |  CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0
+        | FROM (SELECT source, count(DISTINCT lang) AS ndb FROM documents GROUP BY 1))
+        |ORDER BY table_name, fd""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -74,6 +74,27 @@ object Profile {
           .cast("string").as("checksum_sum"))
   }
 
+  /** Functional-dependency audit (q237) — the profiling primitive behind
+    * schema discovery and key detection: does `A → B` hold, i.e. does
+    * every A-group carry exactly one distinct B? Per candidate, one
+    * (A)-keyed hash agg with an exact `count(DISTINCT B)` and a 1-row
+    * rollup counting violating groups — the same shape a key-uniqueness
+    * check compiles to, so a 100 TB audit is one shuffle per candidate
+    * on the determinant column. A "holds" verdict is exact, never
+    * sampled: an FD that silently held on a sample is how bad merge
+    * keys get chosen. */
+  def fdAudit(candidates: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(candidates.nonEmpty)
+    candidates.map { case (tableName, df, a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("ndb"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ndb") > 1L, 1L).otherwise(0L)).as("n_violating_groups"))
+        .select(lit(tableName).as("table_name"), lit(s"$a->$b").as("fd"),
+          col("n_groups"), col("n_violating_groups").cast("long").as("n_violating_groups"),
+          (col("n_violating_groups") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty && columns.forall(df.columns.contains))
     val measures = columns.flatMap { c =>

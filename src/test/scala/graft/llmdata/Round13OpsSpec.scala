@@ -460,6 +460,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(all.exists(_._3 > 0.0), "no uncertainty spread — vacuous")
   }
 
+  test("q237 FD audit: key FDs hold, planted violation counted per group") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "z"), (3L, "z"))
+      .toDF("a", "b")
+    val out = graft.relational.Profile.fdAudit(Seq(("t", df, "a", "b"))).head()
+    // groups: 1 -> {x,y} violating; 2 -> {z}; 3 -> {z}
+    assert(out.getLong(2) === 3L && out.getLong(3) === 1L && !out.getBoolean(4))
+    val rev = graft.relational.Profile.fdAudit(Seq(("t", df, "b", "a"))).head()
+    // b=z maps to {2,3} — violating; x,y map uniquely
+    assert(rev.getLong(2) === 3L && rev.getLong(3) === 1L && !rev.getBoolean(4))
+    // fixture: the declared key FDs hold exactly
+    val fix = graft.relational.Profile.fdAudit(Seq(
+      ("documents", docs, "doc_id", "lang"))).head()
+    assert(fix.getBoolean(4), "doc_id->lang must hold on the fixture")
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
