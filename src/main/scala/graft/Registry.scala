@@ -1444,6 +1444,26 @@ object Registry {
         | FROM (SELECT source, count(DISTINCT lang) AS ndb FROM documents GROUP BY 1))
         |ORDER BY table_name, fd""".stripMargin)),
 
+    // STREAMING ingest gate: the q216 constraint shape as a live monitor
+    // (per-row rules only — uniqueness deliberately stays batch-side
+    // where exact count(DISTINCT) is possible); stateless complete-mode
+    // agg settles to exactly the batch audit.
+    "q238_streaming_gate" -> Entry((s, d) =>
+      Events.streamingIngestGate(s, d).orderBy("rule"), Some(
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
+        |  sum(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END) AS v_type,
+        |  sum(CASE WHEN value >= 0 AND NOT isnan(value) THEN 0 ELSE 1 END) AS v_value,
+        |  sum(CASE WHEN ts BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2100-01-01' THEN 0 ELSE 1 END) AS v_ts
+        | FROM events)
+        |SELECT rule, n_rows AS n_checked, CAST(n_violations AS BIGINT) AS n_violations
+        |FROM (
+        | SELECT 'event_id_not_null' AS rule, n_rows, v_id AS n_violations FROM a
+        | UNION ALL SELECT 'type_accepted', n_rows, v_type FROM a
+        | UNION ALL SELECT 'value_finite_nonneg', n_rows, v_value FROM a
+        | UNION ALL SELECT 'ts_in_range', n_rows, v_ts FROM a)
+        |ORDER BY rule""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -68,6 +68,11 @@ object Events {
   private def events(spark: SparkSession, dir: String): DataFrame =
     convertTs(rawEvents(spark, dir))
 
+  /** The batch event frame (ts converted) — exposed for spec-side parity
+    * checks against streaming settles. */
+  private[graft] def batchEventsForTest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+
   /** Tumbling 1-hour windows: count + exact (decimal-summed) value total. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -907,6 +912,37 @@ object Events {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  /** Streaming ingest data-quality gate (q238): the q216 constraint
+    * shape as a LIVE monitor — per-row rules (key present, accepted
+    * event type, finite non-negative value, timestamp inside the
+    * plausible range) as conditional counts in a stateless complete-mode
+    * streaming aggregation; the settled totals equal the batch audit by
+    * construction, which the shared oracle certifies. Cross-row rules
+    * (key uniqueness) are deliberately ABSENT here: exact
+    * `count(DISTINCT)` needs the whole history and belongs to the batch
+    * gate — a streaming gate that silently approximated uniqueness
+    * would lie exactly where it matters. State is the single running
+    * counter row. */
+  def streamingIngestGate(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => ingestGateAgg(stream), outputMode = "complete")
+
+  private[graft] def ingestGateAgg(ev: DataFrame): DataFrame = {
+    val rules = Seq(
+      "event_id_not_null" -> col("event_id").isNotNull,
+      "type_accepted" -> col("event_type").isin("view", "click", "purchase", "signup", "error"),
+      "value_finite_nonneg" -> (col("value") >= 0.0 && !isnan(col("value"))),
+      "ts_in_range" -> col("ts").between(lit("1990-01-01").cast("timestamp"),
+        lit("2100-01-01").cast("timestamp")))
+    val one = ev.agg(count(lit(1)).as("__rows"),
+      rules.map { case (n, healthy) =>
+        sum(when(healthy, 0L).otherwise(1L)).as(s"__v_$n") }: _*)
+    val stackArgs = rules.map { case (n, _) => s"'$n', __v_$n" }.mkString(", ")
+    one.select(col("__rows"),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("__rows").as("n_checked"),
+        col("n_violations").cast("long").as("n_violations"))
   }
 
   final case class MgState(seq: Long, counters: Map[Long, Long])

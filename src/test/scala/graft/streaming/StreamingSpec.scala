@@ -441,6 +441,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0L, "no heavy users at k=128 — test vacuous")
   }
 
+  test("q238 ingest gate: planted violations attributed per rule; batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (Option(1L), "view", 1.0, ts("2024-01-01 00:00:00")),      // clean
+      (Option.empty[Long], "click", 1.0, ts("2024-01-01 00:00:00")), // null id
+      (Option(3L), "weird", 1.0, ts("2024-01-01 00:00:00")),     // bad type
+      (Option(4L), "view", -2.0, ts("2024-01-01 00:00:00")),     // negative value
+      (Option(5L), "view", Double.NaN, ts("2024-01-01 00:00:00")), // NaN value
+      (Option(6L), "view", 1.0, ts("1970-01-01 00:00:00")))      // out of range
+      .toDF("event_id", "event_type", "value", "ts")
+    val out = Events.ingestGateAgg(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("event_id_not_null" -> 1L, "type_accepted" -> 1L,
+      "value_finite_nonneg" -> 2L, "ts_in_range" -> 1L))
+    // settled streaming totals equal the batch aggregation on the fixture
+    val settled = Events.streamingIngestGate(spark, dir)
+    val batch = Events.ingestGateAgg(
+      graft.streaming.Events.batchEventsForTest(spark, dir))
+    assert(settled.exceptAll(batch).isEmpty && batch.exceptAll(settled).isEmpty)
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
