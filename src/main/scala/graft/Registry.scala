@@ -1464,6 +1464,44 @@ object Registry {
         | UNION ALL SELECT 'ts_in_range', n_rows, v_ts FROM a)
         |ORDER BY rule""".stripMargin)),
 
+    // Join-cardinality estimation audit: System-R per-bucket histogram
+    // estimate (na*nb/max(da,db), key mod 64 buckets) reported NEXT TO
+    // the true join count and relative error — the back-test a stats
+    // pipeline publishes before trusting its histogram resolution.
+    "q239_join_estimate" -> Entry((s, d) =>
+      graft.relational.Profile.joinCardinalityAudit(
+        Tables(s, d, "lineitem").filter(col("l_shipdate") >= "1997-01-01"), "l_orderkey",
+        Tables(s, d, "orders").filter(col("o_orderstatus") === "O"), "o_orderkey"), Some(
+      """WITH f AS (SELECT l_orderkey AS k FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
+        |dm AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |fh AS (SELECT k % 64 AS bucket, count(*) AS na, count(DISTINCT k) AS da FROM f GROUP BY 1),
+        |dh AS (SELECT k % 64 AS bucket, count(*) AS nb, count(DISTINCT k) AS db FROM dm GROUP BY 1),
+        |e AS (SELECT round(CAST(sum(CAST(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |    CAST(greatest(da, db) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE), 6) AS est_rows
+        |  FROM fh JOIN dh USING (bucket)),
+        |a AS (SELECT count(*) AS actual_rows FROM f JOIN dm USING (k))
+        |SELECT CAST(64 AS BIGINT) AS n_buckets, est_rows, actual_rows,
+        | round(abs(est_rows - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE), 6) AS rel_error
+        |FROM e CROSS JOIN a""".stripMargin)),
+
+    // Event-type co-occurrence lift over per-user baskets: the market-
+    // basket association matrix; pair counts from a type-bounded per-user
+    // self-join, singles/total broadcast back, exact integer counts.
+    "q240_type_lift" -> Entry((s, d) =>
+      Events.typeLiftMatrix(s, d).orderBy("type_a", "type_b"), Some(
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |singles AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        | round(CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE) /
+        |   (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+        |FROM p JOIN singles sa ON sa.event_type = p.type_a
+        | JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -95,6 +95,39 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Join-cardinality estimation audit (q239) — the CBO primitive, made
+    * honest: estimate |σ(fact) ⋈ σ(dim)| from per-bucket key histograms
+    * (the System-R uniformity formula `n_a·n_b / max(d_a, d_b)` per
+    * bucket, buckets = key mod `width`) and report it NEXT TO the true
+    * join count and the relative error. This is the measurement a
+    * planner's stats pipeline publishes to decide whether its histogram
+    * resolution is adequate — an estimator nobody back-tests is how
+    * broadcast thresholds get chosen wrong. Histograms are one hash agg
+    * per side (width-bounded frames); only the verification pass runs
+    * the actual join. Per-bucket contributions quantize to
+    * DECIMAL(28,6) so the estimate sum is order-independent. */
+  def joinCardinalityAudit(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, width: Int = 64): DataFrame = {
+    require(width >= 1)
+    val fh = fact.groupBy(pmod(col(factKey), lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("na"), countDistinct(col(factKey)).as("da"))
+    val dh = dim.groupBy(pmod(col(dimKey), lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col(dimKey)).as("db"))
+    val est = fh.join(dh, "bucket")
+      .select((col("na").cast("double") * col("nb").cast("double") /
+        greatest(col("da"), col("db")).cast("double"))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))
+        .as("contrib"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("est_rows"))
+    val actual = fact.select(col(factKey).as("__k"))
+      .join(dim.select(col(dimKey).as("__k")), "__k")
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(lit(width.toLong).as("n_buckets"), col("est_rows"), col("actual_rows"),
+        round(abs(col("est_rows") - col("actual_rows").cast("double")) /
+          col("actual_rows").cast("double"), 6).as("rel_error"))
+  }
+
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty && columns.forall(df.columns.contains))
     val measures = columns.flatMap { c =>

@@ -914,6 +914,36 @@ object Events {
       }
   }
 
+  /** Event-type co-occurrence lift matrix (q240): for every unordered
+    * type pair, `lift = P(a ∧ b) / (P(a)·P(b))` over per-user baskets —
+    * the market-basket association measure (lift > 1: types travel
+    * together; < 1: they repel). Baskets are the distinct (user, type)
+    * frame; the pair counts come from a per-user self-join bounded by
+    * the type cardinality (≤|types| rows per user — never a row-level
+    * product), singles and the user total are two tiny aggs broadcast
+    * back. Counts are exact integers; only the final lift divides. */
+  def typeLiftMatrix(spark: SparkSession, dir: String): DataFrame =
+    typeLiftMatrixFrom(events(spark, dir))
+
+  private[graft] def typeLiftMatrixFrom(ev: DataFrame): DataFrame = {
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val total = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("n_single").as("na"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("n_single").as("nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_users").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6).as("lift"))
+  }
+
   /** Streaming ingest data-quality gate (q238): the q216 constraint
     * shape as a LIVE monitor — per-row rules (key present, accepted
     * event type, finite non-negative value, timestamp inside the

@@ -464,6 +464,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(settled.exceptAll(batch).isEmpty && batch.exceptAll(settled).isEmpty)
   }
 
+  test("q239 join estimate: per-key histograms are exact, coarse ones overestimate") {
+    import spark.implicits._
+    val fact = Seq(1L, 1L, 1L, 2L).toDF("fk")
+    val dim = Seq(2L, 2L).toDF("dk")
+    // width >= key space -> per-key histogram -> the estimate IS the join size
+    val fine = graft.relational.Profile.joinCardinalityAudit(fact, "fk", dim, "dk", width = 64)
+      .head()
+    assert(fine.getLong(2) === 2L, "actual join size")
+    assert(fine.getDouble(1) === 2.0 && fine.getDouble(3) === 0.0)
+    // width 1 pools keys 1 and 2: na=4, da=2, nb=2, db=1 -> est 4*2/2 = 4
+    val coarse = graft.relational.Profile.joinCardinalityAudit(fact, "fk", dim, "dk", width = 1)
+      .head()
+    assert(coarse.getDouble(1) === 4.0 && coarse.getLong(2) === 2L)
+    assert(coarse.getDouble(3) === 1.0, "coarse uniformity assumption overestimates 2x")
+  }
+
+  test("q240 lift: hand-computed basket case") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"), (4L, "b"),
+      (1L, "a")) // duplicate event collapses into the basket
+      .toDF("user_id", "event_type")
+    val out = Events.typeLiftMatrixFrom(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("a", "b", 2L)))
+    assert(math.abs(r.getDouble(3) - 2.0 * 4 / 9) < 5e-7) // 6dp-rounded
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
