@@ -1502,6 +1502,39 @@ object Registry {
         | JOIN singles sb ON sb.event_type = p.type_b CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin)),
 
+    // Substring-dedup APPLY path: duplicated-token coverage as a UNION of
+    // intervals (adjacent islands overlap by up to w-1 tokens — naive
+    // span-length sums double-count the shoulder), kept counts + removal
+    // ratio — the pre-rewrite accounting of a Lee-et-al dedup run.
+    "q241_span_removal" -> Entry((s, d) =>
+      Dedup.spanRemovalReport(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i) WHERE len(t) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |d AS (SELECT w.doc_id, w.start_pos,
+        |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.start_pos) AS rn
+        |  FROM w JOIN dup USING (h)),
+        |g AS (SELECT doc_id, start_pos - rn AS grp, min(start_pos) AS span_start,
+        |    max(start_pos) AS span_last, count(*) AS n_windows
+        |  FROM d GROUP BY doc_id, start_pos - rn),
+        |spans AS (SELECT doc_id, span_start, span_last - span_start + 8 AS span_tokens
+        |  FROM g WHERE span_last - span_start + 8 >= 50),
+        |iv AS (SELECT doc_id, span_start, span_start + span_tokens - 1 AS e,
+        |  max(span_start + span_tokens - 1) OVER (PARTITION BY doc_id ORDER BY span_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM spans),
+        |cov AS (SELECT doc_id,
+        |  sum(greatest(0, e - greatest(span_start, coalesce(pmax + 1, span_start)) + 1)) AS dup_tokens
+        | FROM iv GROUP BY 1),
+        |nt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(dup_tokens AS BIGINT) AS dup_tokens,
+        | CAST(n_tokens - dup_tokens AS BIGINT) AS kept_tokens,
+        | round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_ratio
+        |FROM cov JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -1166,6 +1166,39 @@ object Dedup {
     spansFromWindows(w, windowTokens, minSpanTokens)
   }
 
+  /** Substring-dedup APPLY path (q241): turn [[duplicatedSpans]]'
+    * findings into the per-document removal report — duplicated-token
+    * coverage as a UNION of intervals (adjacent maximal islands can
+    * overlap by up to windowTokens−1 tokens; naively summing span
+    * lengths double-counts that shoulder), kept-token counts, and the
+    * removal ratio. This is the "what does the cleaned corpus look
+    * like" accounting a Lee-et-al dedup run publishes before the
+    * destructive rewrite. The interval union is one running-max window
+    * over each doc's (tiny) span list; everything upstream is the
+    * shared span derivation. */
+  def spanRemovalReport(docs: DataFrame, windowTokens: Int = 8,
+      minSpanTokens: Int = 50): DataFrame = {
+    val spans = duplicatedSpans(docs, windowTokens, minSpanTokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withEnd = spans
+      .withColumn("e", col("span_start") + col("span_tokens") - 1)
+      .withColumn("pmax", max(col("e")).over(w))
+    val effStart = greatest(col("span_start"),
+      coalesce(col("pmax") + 1, col("span_start")))
+    val covered = withEnd
+      .withColumn("c", greatest(lit(0L), col("e") - effStart + 1))
+      .groupBy("doc_id").agg(sum("c").as("dup_tokens"))
+    val nt = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    covered.join(nt, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_tokens").cast("long").as("dup_tokens"),
+        (col("n_tokens") - col("dup_tokens")).cast("long").as("kept_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_ratio"))
+  }
+
   /** Character-level edit-distance verification tier over the LSH
     * near-dup pairs (q215): for every VERIFIED md5-family pair
     * ([[minhashMd5PairsOn]] — the per-(dir, threshold) cached chain),

@@ -476,6 +476,32 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(fix.getBoolean(4), "doc_id->lang must hold on the fixture")
   }
 
+  test("q241 span removal: overlapping islands never double-count; planted overlap case") {
+    import spark.implicits._
+    // Two docs share two 52-token runs separated by a 3-token unique gap
+    // (< windowTokens), so the two maximal islands' TOKEN ranges overlap
+    // on the shoulder — the union must count the overlap once.
+    val shared1 = (1 to 52).map(i => s"s$i").mkString(" ")
+    val shared2 = (1 to 52).map(i => s"t$i").mkString(" ")
+    def doc(id: Long, gap: String) =
+      (id, s"$shared1 $gap $shared2", "src0", "en", 0L)
+    val planted = Seq(doc(0L, "u1 u2 u3"), doc(1L, "v1 v2 v3"))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = Dedup.spanRemovalReport(planted)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 2)
+    out.foreach { case (_, (n, dup, kept)) =>
+      assert(n === 107L)
+      assert(dup <= n, "coverage exceeded the document — double-counted overlap")
+      assert(kept === n - dup)
+      // both shared runs are covered; only (part of) the 3-token gap survives
+      assert(dup >= 104L && kept <= 3L, s"dup=$dup kept=$kept")
+    }
+    // fixture: every affected doc keeps a sane ratio
+    val fix = Dedup.spanRemovalReport(docs)
+    assert(fix.filter(col("dup_tokens") > col("n_tokens")).count() === 0L)
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
