@@ -1535,6 +1535,70 @@ object Registry {
         | round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_ratio
         |FROM cov JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // RFM segmentation: per-user recency/frequency/monetary quartiles via
+    // ntile under deterministic (metric, user) order — rank-based scoring
+    // is engine-exact; windows run over the post-agg one-row-per-user
+    // frame (the q81 cutpoint machinery is the documented global-sort-
+    // free swap at warehouse scale).
+    "q242_rfm_segments" -> Entry((s, d) =>
+      Events.rfmSegments(s, d).orderBy("user_id"), Some(
+      """WITH p AS (SELECT user_id, max(epoch_ms(ts)) AS last_purchase_ms,
+        |  count(*) AS n_purchases, sum(CAST(value AS DECIMAL(18,6))) AS tv
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sc AS (SELECT user_id, last_purchase_ms, n_purchases,
+        |  CAST(tv AS DOUBLE) AS total_value,
+        |  CAST(ntile(4) OVER (ORDER BY last_purchase_ms, user_id) AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY n_purchases, user_id) AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY tv, user_id) AS BIGINT) AS m_score
+        | FROM p)
+        |SELECT user_id, last_purchase_ms, n_purchases, total_value,
+        | r_score, f_score, m_score,
+        | 'R' || CAST(r_score AS VARCHAR) || 'F' || CAST(f_score AS VARCHAR) ||
+        |   'M' || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin)),
+
+    // Duplicate-class triage: verified pairs labeled exact > containment
+    // (>=90% of the smaller set — cross-multiplied, no float boundary) >
+    // near > weak — the taxonomy the drop/keep/review branch runs on.
+    "q243_dup_triage" -> Entry((s, d) =>
+      Dedup.dupTriage(s, d).orderBy("doc_a", "doc_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT * FROM (
+        |  SELECT doc_a, doc_b, n_common,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |hm AS (SELECT doc_id, md5(text) AS tm FROM documents)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        | round(CAST(p.n_common AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment,
+        | CASE WHEN ha.tm = hb.tm THEN 'exact'
+        |      WHEN p.n_common * 10 >= least(na.n, nb.n) * 9 THEN 'containment'
+        |      WHEN p.jaccard >= 0.7 THEN 'near' ELSE 'weak' END AS dup_class
+        |FROM pairs p JOIN sizes na ON p.doc_a = na.doc_id
+        | JOIN sizes nb ON p.doc_b = nb.doc_id
+        | JOIN hm ha ON ha.doc_id = p.doc_a JOIN hm hb ON hb.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

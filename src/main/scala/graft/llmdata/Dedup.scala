@@ -1199,6 +1199,44 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_ratio"))
   }
 
+  /** Duplicate-class triage (q243): every verified near-dup pair labeled
+    * with the ACTION-determining taxonomy a dedup pipeline branches on —
+    * `exact` (byte-identical text; drop one side blindly), else
+    * `containment` (overlap ≥ 90% of the SMALLER shingle set — a quote/
+    * truncation; keep the superset), else `near` (Jaccard ≥ 0.7; merge
+    * candidates for review), else `weak`. Priority order matters: an
+    * exact pair also scores containment 1.0, and misrouting it to the
+    * "keep the superset" rule would keep both. One pass over the cached
+    * verified pairs + a sizes join; exact integer ratios compared by
+    * cross-multiplication (n_common·10 ≥ 9·min — no float boundary). */
+  def dupTriage(spark: org.apache.spark.sql.SparkSession, dir: String,
+      simThreshold: Double = 0.5): DataFrame =
+    dupTriageFrom(minhashMd5PairsOn(spark, dir, simThreshold),
+      graft.io.Tables(spark, dir, "documents"))
+
+  /** [[dupTriage]] on a precomputed (doc_a, doc_b, n_common, jaccard)
+    * verified-pair frame. */
+  def dupTriageFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), 3))).as("s"))
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("tm"))
+    broadcast(pairs)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(hashes.select(col("doc_id").as("doc_a"), col("tm").as("ma")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("tm").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"),
+        when(col("ma") === col("mb"), "exact")
+          .when(col("n_common") * 10 >= least(col("n_a"), col("n_b")) * 9, "containment")
+          .when(col("jaccard") >= 0.7, "near")
+          .otherwise("weak").as("dup_class"))
+  }
+
   /** Character-level edit-distance verification tier over the LSH
     * near-dup pairs (q215): for every VERIFIED md5-family pair
     * ([[minhashMd5PairsOn]] — the per-(dir, threshold) cached chain),

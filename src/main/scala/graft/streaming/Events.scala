@@ -914,6 +914,39 @@ object Events {
       }
   }
 
+  /** RFM segmentation (q242) — the classic customer-value triage:
+    * per user, Recency (latest purchase), Frequency (purchase count)
+    * and Monetary (decimal-exact value sum), each quartiled with
+    * `ntile(4)` under a deterministic (metric, user_id) order —
+    * rank-based scoring is engine-exact where any value-bucket scheme
+    * would inherit float boundaries. The three windows run over the
+    * POST-AGGREGATION per-user frame (one row per user), totally
+    * ordered without a partition key: at warehouse scale this is the
+    * documented trade — swap ntile for exact percentile cutpoints
+    * (q81's order-statistics machinery) to avoid the global sort; the
+    * segment semantics are unchanged. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("last_purchase_ms"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+          .as("total_value"))
+    import org.apache.spark.sql.expressions.Window
+    val rW = Window.orderBy(col("last_purchase_ms"), col("user_id"))
+    val fW = Window.orderBy(col("n_purchases"), col("user_id"))
+    val mW = Window.orderBy(col("total_value"), col("user_id"))
+    p.withColumn("r_score", ntile(4).over(rW).cast("long"))
+      .withColumn("f_score", ntile(4).over(fW).cast("long"))
+      .withColumn("m_score", ntile(4).over(mW).cast("long"))
+      .select(col("user_id"), col("last_purchase_ms"), col("n_purchases"),
+        col("total_value").cast("double").as("total_value"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+          lit("M"), col("m_score")).as("segment"))
+  }
+
   /** Event-type co-occurrence lift matrix (q240): for every unordered
     * type pair, `lift = P(a ∧ b) / (P(a)·P(b))` over per-user baskets —
     * the market-basket association measure (lift > 1: types travel

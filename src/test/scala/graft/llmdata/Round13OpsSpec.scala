@@ -502,6 +502,43 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(fix.filter(col("dup_tokens") > col("n_tokens")).count() === 0L)
   }
 
+  test("q243 triage: priority routes exact pairs past the containment rule") {
+    val out = Dedup.dupTriage(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (j, cont, cls) = (r.getDouble(2), r.getDouble(3), r.getString(4))
+      cls match {
+        case "exact" => () // byte-identity checked engine-side
+        case "containment" => assert(cont >= 0.9 - 1e-9)
+        case "near" => assert(j >= 0.7 && cont < 0.9)
+        case "weak" => assert(j < 0.7 && cont < 0.9)
+        case other => fail(s"unknown class $other")
+      }
+    }
+  }
+
+  test("q243 triage routing on a planted multi-class corpus") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val truncated = (1 to 8).map(i => s"w$i").mkString(" ")
+    val midSwap = (1 to 20).map(i => if (i == 10) "XX" else s"w$i").mkString(" ")
+    val planted = Seq((0L, base), (1L, base), (2L, truncated), (3L, midSwap))
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    // hand-specified candidate pairs (LSH recall at low jaccard is a
+    // separate concern — q155 covers containment retrieval); shingle
+    // arithmetic: base/midSwap have 18 3-shingles, truncated has 6
+    val pairs = Seq((0L, 1L, 18L, 1.0), (0L, 2L, 6L, 0.333333),
+      (0L, 3L, 15L, 0.714286)).toDF("doc_a", "doc_b", "n_common", "jaccard")
+    val out = Dedup.dupTriageFrom(pairs, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(out((0L, 1L)) === "exact",
+      "byte-identical pair must route exact, not containment")
+    assert(out((0L, 2L)) === "containment", "truncation routes containment")
+    // mid-swap: 15 shared of 18 shingles each -> jaccard .714, cont .833
+    assert(out((0L, 3L)) === "near", s"mid-swap routed ${out((0L, 3L))}")
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,

@@ -492,6 +492,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 2.0 * 4 / 9) < 5e-7) // 6dp-rounded
   }
 
+  test("q242 RFM: quartiles balanced, segment string consistent, purchases only") {
+    import org.apache.spark.sql.functions._
+    val out = Events.rfmSegments(spark, dir)
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(out.count() === nUsers, "one row per purchasing user")
+    // ntile(4): bucket sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = out.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length === 4 && sizes.max - sizes.min <= 1L, s"$c unbalanced")
+    }
+    val bad = out.filter(col("segment") =!= concat(lit("R"), col("r_score"),
+      lit("F"), col("f_score"), lit("M"), col("m_score")))
+    assert(bad.count() === 0L)
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
