@@ -1599,6 +1599,36 @@ object Registry {
         | JOIN hm ha ON ha.doc_id = p.doc_a JOIN hm hb ON hb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
 
+    // Dataset card: the release-artifact statistics block as a uniform
+    // (metric, value) frame — three hash-agg scans total (doc grain,
+    // token grain, lang shares), metric names adapt to the corpus.
+    "q244_dataset_card" -> Entry((s, d) =>
+      TextAnalysis.datasetCard(docs(s, d)).orderBy("metric"), Some(
+      """WITH base AS (SELECT lang, source, md5(text) AS tm,
+        |  len(string_split(text, ' ')) AS ntok FROM documents),
+        |dg AS (SELECT count(*) AS n_docs, sum(ntok) AS n_tokens,
+        |  count(DISTINCT tm) AS n_distinct_texts, count(DISTINCT source) AS n_sources
+        | FROM base),
+        |tf AS (SELECT term, count(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1),
+        |tg AS (SELECT count(*) AS n_types,
+        |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax, sum(n) AS n_tok FROM tf),
+        |tot AS (SELECT count(*) AS n_total FROM base),
+        |ls AS (SELECT 'lang_share_' || lang AS metric,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS value
+        | FROM base CROSS JOIN tot GROUP BY lang, n_total)
+        |SELECT metric, value FROM (
+        | SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM dg
+        | UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM dg
+        | UNION ALL SELECT 'exact_dup_docs', CAST(n_docs - n_distinct_texts AS DOUBLE) FROM dg
+        | UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM dg
+        | UNION ALL SELECT 'mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM dg
+        | UNION ALL SELECT 'n_types', CAST(n_types AS DOUBLE) FROM tg
+        | UNION ALL SELECT 'hapax_ratio', round(CAST(n_hapax AS DOUBLE) / n_types, 6) FROM tg
+        | UNION ALL SELECT 'type_token_ratio', round(CAST(n_types AS DOUBLE) / n_tok, 6) FROM tg
+        | UNION ALL SELECT metric, value FROM ls)
+        |ORDER BY metric""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

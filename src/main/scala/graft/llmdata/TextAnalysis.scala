@@ -1288,6 +1288,50 @@ object TextAnalysis {
       .select(col("term"), col("n_occurrences"))
   }
 
+  /** Dataset card (q244) — the one-artifact corpus report an LLM data
+    * release ships (HuggingFace dataset-card statistics block): corpus
+    * size, token counts, vocabulary size, type–token ratio, hapax
+    * ratio, exact-duplicate count, source count, mean document length,
+    * and per-language shares, as a uniform (metric, value) frame every
+    * metric of which is independently hash-certified elsewhere in the
+    * registry. Three scans total — doc-grain aggregate, token-grain
+    * aggregate, language shares — not one per metric; each branch is a
+    * single hash agg, and the metric names for language shares derive
+    * from the data (`lang_share_<lang>`), so the card adapts to the
+    * corpus without code changes. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("lang"), col("source"), md5(col("text")).as("tm"),
+      size(tokens(col("text"))).cast("long").as("ntok"))
+    val docGrain = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ntok")).as("n_tokens"),
+      countDistinct(col("tm")).as("n_distinct_texts"),
+      countDistinct(col("source")).as("n_sources"))
+      .select(expr("stack(5, " +
+        "'n_docs', CAST(n_docs AS DOUBLE), " +
+        "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+        "'exact_dup_docs', CAST(n_docs - n_distinct_texts AS DOUBLE), " +
+        "'n_sources', CAST(n_sources AS DOUBLE), " +
+        "'mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) / n_docs, 6)" +
+        ") AS (metric, value)"))
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val tokGrain = tf.agg(count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("n")).as("n_tok"))
+      .select(expr("stack(3, " +
+        "'n_types', CAST(n_types AS DOUBLE), " +
+        "'hapax_ratio', round(CAST(n_hapax AS DOUBLE) / n_types, 6), " +
+        "'type_token_ratio', round(CAST(n_types AS DOUBLE) / n_tok, 6)" +
+        ") AS (metric, value)"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val langShares = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .crossJoin(broadcast(total))
+      .select(concat(lit("lang_share_"), col("lang")).as("metric"),
+        round(col("n_lang").cast("double") / col("n_total"), 6).as("value"))
+    docGrain.unionAll(tokGrain).unionAll(langShares)
+  }
+
   /** Population stability index between two corpus cohorts (q219) — the
     * standard model-monitoring drift statistic: per source,
     * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) over fixed-width

@@ -539,6 +539,21 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out((0L, 3L)) === "near", s"mid-swap routed ${out((0L, 3L))}")
   }
 
+  test("q244 dataset card: internal consistency of the published metrics") {
+    val card = TextAnalysis.datasetCard(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") === docs.count().toDouble)
+    assert(card("exact_dup_docs") >= 0.0 && card("exact_dup_docs") < card("n_docs"))
+    assert(math.abs(card("mean_doc_tokens") - card("n_tokens") / card("n_docs")) < 1e-5)
+    assert(card("type_token_ratio") > 0.0 && card("type_token_ratio") <= 1.0)
+    assert(card("hapax_ratio") >= 0.0 && card("hapax_ratio") <= 1.0)
+    // language shares cover the corpus exactly
+    val shares = card.filter(_._1.startsWith("lang_share_")).values.sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"lang shares sum to $shares")
+    assert(card.keys.count(_.startsWith("lang_share_")) ===
+      docs.select("lang").distinct().count())
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
