@@ -1629,6 +1629,22 @@ object Registry {
         | UNION ALL SELECT metric, value FROM ls)
         |ORDER BY metric""".stripMargin)),
 
+    // Catalyst optimizer rule in action: the NAIVE |delta-ms| <= 2d theta
+    // join (which plans as a BroadcastNestedLoopJoin) rewritten by
+    // RangeJoinBucketRule into a bucketed shuffle equi-join + residual —
+    // the oracle runs the unrewritten theta join, so hash equality
+    // certifies the rewrite is lossless; plan shape pinned in
+    // RangeJoinRuleSpec.
+    "q245_rule_range_join" -> Entry((s, d) =>
+      graft.plans.RangeJoinBucketRule.nearbyOrderCounts(s, d).orderBy("o_orderkey"), Some(
+      """WITH o AS (SELECT o_orderkey, epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+        |  o_orderpriority FROM orders),
+        |u AS (SELECT o_orderkey AS u_key, ms AS u_ms FROM o
+        | WHERE o_orderpriority = '1-URGENT')
+        |SELECT u_key AS o_orderkey, count(*) AS n_nearby
+        |FROM u JOIN o ON abs(u_ms - o.ms) <= 172800000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

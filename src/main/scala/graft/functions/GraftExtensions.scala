@@ -19,6 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: |l − r| <= T θ-joins become bucketed equi-joins
+    // (see graft.plans.RangeJoinBucketRule; also installable at runtime
+    // via spark.experimental.extraOptimizations).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{abs => fAbs, col, count, lit, unix_millis}
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: rewrite an inner θ-join whose ONLY join-key
+  * material is a bounded absolute difference — `abs(l − r) ≤ T` with `l`
+  * from one side and `r` from the other — into a shuffle-parallel
+  * bucketed equi-join. The naive form has no equi conjunct, so Spark
+  * plans a BroadcastNestedLoopJoin: one broadcast of a whole side and
+  * O(|L|·|R|) comparisons on a single thread per partition — the classic
+  * time-window-join scale cliff. The rewrite buckets both sides by
+  * `value div T` and lets each left row probe its three neighboring
+  * buckets (the right side explodes ×3), keeping the original predicate
+  * as a residual:
+  *
+  * {{{
+  *   L ⋈_{|l−r|≤T} R
+  *     ⇒  Π_{out} ( (L + bl=l div T)
+  *          ⋈_{bl = br ∧ |l−r|≤T}
+  *            (R × br ∈ {r div T − 1, r div T, r div T + 1}) )
+  * }}}
+  *
+  * Correctness: `|l−r| ≤ T` implies the REAL quotients differ by ≤ 1, and
+  * truncating division (`div`, toward zero) is monotone with
+  * `trunc(x)−trunc(y) < (x−y)+1`, so the integer buckets differ by at
+  * most 1 — for negative values too (the ±1 expansion absorbs the
+  * floor/trunc disagreement around zero). Matches outside the expanded
+  * buckets are impossible; matches inside are re-checked by the residual,
+  * so the rewrite is EXACTLY lossless — certified by the q245 oracle
+  * (DuckDB runs the unrewritten θ-join) and by a property test against
+  * brute force on random signed inputs.
+  *
+  * Scope is deliberately surgical: inner joins, a LongType difference,
+  * a foldable positive Long bound, and NO existing equi conjunct (if one
+  * exists Spark already hash-partitions; rewriting would only add work).
+  * The rewritten join carries a bucket equi conjunct, so the rule cannot
+  * re-fire on its own output.
+  *
+  * This is the hand rewrite q129 certifies (and q171's scaladoc
+  * promises), promoted from a per-query idiom to a plan transformation
+  * every `|Δ| ≤ T` join in the session gets for free. Inject via
+  * `spark.experimental.extraOptimizations` (runtime) or
+  * [[graft.functions.GraftExtensions]] (config). */
+object RangeJoinBucketRule extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def refsIn(e: Expression, p: LogicalPlan): Boolean =
+    e.references.subsetOf(p.outputSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val cs = conjuncts(cond)
+      val hasEqui = cs.exists {
+        case EqualTo(a, b) =>
+          (refsIn(a, left) && refsIn(b, right)) ||
+            (refsIn(a, right) && refsIn(b, left))
+        case _ => false
+      }
+      val range: Option[(Expression, Expression, Long)] = cs.collectFirst {
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _), bound)
+            if bound.foldable && bound.dataType == LongType &&
+              x.dataType == LongType && y.dataType == LongType &&
+              ((refsIn(x, left) && refsIn(y, right)) ||
+               (refsIn(x, right) && refsIn(y, left))) =>
+          val t = bound.eval() match {
+            case l: java.lang.Long => l.longValue()
+            case _ => -1L
+          }
+          if (refsIn(x, left)) (x, y, t) else (y, x, t)
+      }
+      range match {
+        case Some((le, re, t)) if !hasEqui && t > 0 =>
+          val bl = Alias(IntegralDivide(le, Literal(t)), "__graft_rb_l")()
+          val newLeft = Project(left.output :+ bl, left)
+          val bR = IntegralDivide(re, Literal(t))
+          val arr = CreateArray(Seq(-1L, 0L, 1L).map(o => Add(bR, Literal(o))))
+          val genOut = AttributeReference("__graft_rb_r", LongType,
+            nullable = re.nullable)()
+          val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(genOut),
+            child = right)
+          val newCond = And(EqualTo(bl.toAttribute, genOut), cond)
+          Project(j.output,
+            Join(newLeft, gen, Inner, Some(newCond), hint))
+        case _ => j
+      }
+  }
+
+  /** Idempotently install the rule into a session's runtime optimizer. */
+  def installedIn(spark: SparkSession): SparkSession = {
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBucketRule
+    spark
+  }
+
+  /** q245's query, written NAIVELY — a θ-join on nothing but
+    * `|Δms| ≤ 2 days` (per urgent order, how many orders landed within
+    * the window). Without the rule this is the BNLJ cliff; with it, a
+    * bucketed shuffle join. The registry entry installs the rule first,
+    * so the DataFrame code stays the natural spelling. */
+  def nearbyOrderCounts(spark: SparkSession, dir: String,
+      toleranceMs: Long = 2L * 86400000L): DataFrame = {
+    installedIn(spark)
+    naiveNearbyOrderCounts(spark, dir, toleranceMs)
+  }
+
+  /** The same query with NO rule installation — the spec's control arm. */
+  private[graft] def naiveNearbyOrderCounts(spark: SparkSession, dir: String,
+      toleranceMs: Long): DataFrame = {
+    val o = graft.io.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderpriority"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("u_key"), col("ms").as("u_ms"))
+    val all = o.select(col("ms").as("a_ms"))
+    urgent.join(all, fAbs(col("u_ms") - col("a_ms")) <= lit(toleranceMs))
+      .groupBy("u_key").agg(count(lit(1)).as("n_nearby"))
+      .select(col("u_key").as("o_orderkey"), col("n_nearby"))
+  }
+}
