@@ -1645,6 +1645,56 @@ object Registry {
         |FROM u JOIN o ON abs(u_ms - o.ms) <= 172800000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // l-diversity audit (k-anonymity's complement): per quasi-class,
+    // size + distinct sensitive values + the diversity verdict — a large
+    // class with ONE sensitive value still leaks by membership alone.
+    "q246_l_diversity" -> Entry((s, d) =>
+      graft.relational.Validate.lDiversityAudit(docs(s, d))
+        .orderBy("lang", "len_bucket"), Some(
+      """SELECT lang, n_chars // 100 AS len_bucket, count(*) AS group_size,
+        | count(DISTINCT source) AS n_sensitive,
+        | count(DISTINCT source) >= 3 AS diverse
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin)),
+
+    // Dedup threshold-calibration sweep: verified-pair counts per Jaccard
+    // tenth-band + the cumulative at-or-above curve (the knee locates the
+    // threshold); ONE pass over the cached 0.3-floor pair frame, integer
+    // micro-unit banding (no float boundary), bounded <=7-row window.
+    "q247_threshold_sweep" -> Entry((s, d) =>
+      Dedup.thresholdSweep(s, d).orderBy("band"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.3),
+        |bd AS (SELECT CAST(round(jaccard * 1000000) AS BIGINT) // 100000 AS band,
+        |  count(*) AS n_pairs FROM pairs GROUP BY 1)
+        |SELECT band, n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY band DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_at_or_above
+        |FROM bd ORDER BY band""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

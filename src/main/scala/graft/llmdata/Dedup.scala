@@ -1259,6 +1259,30 @@ object Dedup {
     editDistanceAuditFrom(minhashMd5PairsOn(spark, dir, simThreshold),
       graft.io.Tables(spark, dir, "documents"), prefixLen)
 
+  /** Dedup threshold-calibration sweep (q247): how many verified pairs
+    * fall into each Jaccard band, with the cumulative count at-or-above
+    * each band's floor — the curve an engineer reads to place the dedup
+    * threshold (a knee in the cumulative curve separates the true-dup
+    * mass from the long similarity tail). ONE pass over the cached
+    * 0.3-floor pair frame (shared with q235); bands are tenths, counts
+    * exact. The cumulative comes from a descending-band running sum over
+    * the ≤7-row band frame — a bounded window, not a data-sized one. */
+  def thresholdSweep(spark: org.apache.spark.sql.SparkSession, dir: String,
+      floor: Double = 0.3): DataFrame = {
+    // band = integer tenth index (7 = [0.7, 0.8)); derived from the
+    // 6dp-rounded jaccard through exact integer micro-units, so the
+    // banding has no float-boundary ambiguity in either engine
+    val band = expr("CAST(round(jaccard * 1000000) AS BIGINT) div 100000")
+    val bands = minhashMd5PairsOn(spark, dir, simThreshold = floor)
+      .groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bands.withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .select(col("band"), col("n_pairs"), col("n_pairs_at_or_above"))
+  }
+
   /** Borderline-pair audit queue (q235): the verified pairs whose exact
     * Jaccard sits CLOSEST to the dedup threshold — the uncertainty-
     * sampling batch a human (or a stronger model) reviews first, because

@@ -76,4 +76,23 @@ object Validate {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
+
+  /** l-diversity audit (q246) — k-anonymity's necessary complement: a
+    * quasi-identifier class can be large (k-anonymous) yet carry only
+    * ONE sensitive value, so membership alone leaks the attribute
+    * (the homogeneity attack). Per (lang × length-bucket) class:
+    * size, distinct sensitive values (`source` stands in as the
+    * sensitive attribute), and the diversity verdict `n_sensitive ≥ l`.
+    * Same single-hash-agg shape as [[kAnonymityAudit]] — the exact
+    * `count(DISTINCT)` is the honest cost, as in q202. */
+  def lDiversityAudit(docs: DataFrame, l: Long = 3,
+      lenBucket: Int = 100): DataFrame = {
+    require(l >= 2 && lenBucket >= 1)
+    docs.groupBy(col("lang"),
+        floor(col("n_chars") / lenBucket).as("len_bucket"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("source")).as("n_sensitive"))
+      .select(col("lang"), col("len_bucket"), col("group_size"),
+        col("n_sensitive"), (col("n_sensitive") >= l).as("diverse"))
+  }
 }

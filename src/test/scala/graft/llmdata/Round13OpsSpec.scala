@@ -554,6 +554,32 @@ class Round13OpsSpec extends AnyFunSuite {
       docs.select("lang").distinct().count())
   }
 
+  test("q246 l-diversity: a large homogeneous class fails where k-anonymity passes") {
+    import spark.implicits._
+    // 10 docs, one quasi-class, all from ONE source: k-anonymous at k=5
+    // yet zero diversity — the homogeneity attack k-anonymity misses
+    val homog = (1L to 10L).map(i => (i, "en", 50L, "src0"))
+      .toDF("doc_id", "lang", "n_chars", "source")
+    val k = graft.relational.Validate.kAnonymityAudit(homog)
+    assert(k.count() === 0L, "class is k-anonymous")
+    val ld = graft.relational.Validate.lDiversityAudit(homog).head()
+    assert(ld.getLong(2) === 10L && ld.getLong(3) === 1L && !ld.getBoolean(4),
+      "homogeneous class must fail l-diversity")
+  }
+
+  test("q247 threshold sweep: cumulative curve is monotone and anchored at the pair total") {
+    val sweep = Dedup.thresholdSweep(spark, dir).orderBy("band").collect()
+    assert(sweep.nonEmpty)
+    val total = Dedup.minhashMd5PairsOn(spark, dir, simThreshold = 0.3).count()
+    assert(sweep.head.getLong(2) === total,
+      "lowest band's cumulative must equal the full pair count")
+    // cumulative decreases as the band floor rises
+    val cums = sweep.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a >= b })
+    assert(sweep.map(_.getLong(1)).sum === total)
+    sweep.foreach(r => assert(r.getLong(0) >= 3L && r.getLong(0) <= 10L))
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
