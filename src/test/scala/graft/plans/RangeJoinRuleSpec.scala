@@ -19,12 +19,24 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     try f finally spark.experimental.extraOptimizations = saved
   }
 
+  /** Control arm: the rule may already be session-installed (any test
+    * that touched the q245 registry entry installs it permanently), so
+    * strip it explicitly for the naive plan. */
+  private def withoutRule[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == RangeJoinBucketRule)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   test("rewritten plan drops the BNLJ and gains the bucket Generate; results identical") {
     val dir = TestSpark.sfDir
-    val naive = RangeJoinBucketRule.naiveNearbyOrderCounts(spark, dir, 172800000L)
-    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
-      "control arm no longer BNLJs — the rule demo is vacuous")
-    val expected = naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = withoutRule {
+      val naive = RangeJoinBucketRule.naiveNearbyOrderCounts(spark, dir, 172800000L)
+      assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "control arm no longer BNLJs — the rule demo is vacuous")
+      naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     // queryExecution is lazy — optimization must happen while the rule is
     // still installed, so everything plan-touching stays inside withRule
     val got = withRule {
