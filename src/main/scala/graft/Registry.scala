@@ -1695,6 +1695,32 @@ object Registry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_at_or_above
         |FROM bd ORDER BY band""".stripMargin)),
 
+    // Leave-last-out eval split: each user's latest purchase is the held-
+    // out test point (PIT-correct), singles stay train-only; argmax
+    // struct + broadcast join back, no window over the fact stream.
+    "q248_leave_last_out" -> Entry((s, d) =>
+      Events.leaveLastOutSplit(s, d).orderBy("event_id"), Some(
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        | WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, arg_max(event_id, ms * 1000000 + event_id) AS last_id,
+        |  count(*) AS n FROM p GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        | CASE WHEN p.event_id = l.last_id AND l.n > 1 THEN 'test' ELSE 'train' END AS split
+        |FROM p JOIN l USING (user_id) ORDER BY p.event_id""".stripMargin)),
+
+    // Next-event-type dataset construction: (prev2, prev1) -> label
+    // examples from two lag windows over one user partitioning; strict
+    // full-context examples only.
+    "q249_next_event_dataset" -> Entry((s, d) =>
+      Events.nextEventDataset(s, d).orderBy("example_id"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |l AS (SELECT user_id, event_id AS example_id, event_type AS label,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev1,
+        |  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev2
+        | FROM e)
+        |SELECT user_id, example_id, prev2, prev1, label
+        |FROM l WHERE prev2 IS NOT NULL ORDER BY example_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

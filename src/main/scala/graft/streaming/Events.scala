@@ -947,6 +947,48 @@ object Events {
           lit("M"), col("m_score")).as("segment"))
   }
 
+  /** Leave-last-out evaluation split (q248) — the recommender-eval
+    * protocol: each user's LATEST purchase becomes the held-out test
+    * point (point-in-time correct: the model trains strictly on the
+    * past), the rest train; single-purchase users stay train-only (no
+    * test point without history). The winner is the max `(ts, event_id)`
+    * struct per user — one hash agg + a broadcast-able join back, no
+    * window over the fact stream. */
+  def leaveLastOutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val last = p.groupBy("user_id")
+      .agg(max(struct(col("ms"), col("event_id"))).as("w"),
+        count(lit(1)).as("n_purchases"))
+      .select(col("user_id"), col("w.event_id").as("last_id"), col("n_purchases"))
+    p.join(broadcast(last), "user_id")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") === col("last_id") && col("n_purchases") > 1L, "test")
+          .otherwise("train").as("split"))
+  }
+
+  /** Next-event-type supervised dataset construction (q249): per user,
+    * ordered by event time, each event becomes a training example whose
+    * features are the two PRECEDING event types and whose label is the
+    * current type — the sequence-model dataset builder (the batch twin
+    * of what an online feature store materializes). Two lag windows over
+    * one user partitioning; examples without a full context are dropped
+    * (a NULL-padded context teaches the model that histories start,
+    * which is a modeling choice — the default here is the strict one). */
+  def nextEventDataset(spark: SparkSession, dir: String): DataFrame =
+    nextEventDatasetFrom(events(spark, dir))
+
+  private[graft] def nextEventDatasetFrom(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    e.withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev2").isNotNull)
+      .select(col("user_id"), col("event_id").as("example_id"),
+        col("prev2"), col("prev1"), col("event_type").as("label"))
+  }
+
   /** Event-type co-occurrence lift matrix (q240): for every unordered
     * type pair, `lift = P(a ∧ b) / (P(a)·P(b))` over per-user baskets —
     * the market-basket association measure (lift > 1: types travel

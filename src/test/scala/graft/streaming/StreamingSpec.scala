@@ -508,6 +508,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 
+  test("q248 leave-last-out: at most one test point per user, always the latest") {
+    import org.apache.spark.sql.functions._
+    val out = Events.leaveLastOutSplit(spark, dir)
+    val perUser = out.filter(col("split") === "test").groupBy("user_id").count()
+    assert(perUser.filter(col("count") > 1L).count() === 0L)
+    assert(out.filter(col("split") === "test").count() > 0L)
+    // PIT correctness: no train purchase of the same user is NEWER than
+    // the test point
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    val ev = raw.filter(col("event_type") === "purchase")
+      .select(col("event_id"), tsMs.as("ms"))
+    val joined = out.join(ev, "event_id")
+    val test = joined.filter(col("split") === "test")
+      .select(col("user_id"), col("ms").as("t_ms"), col("event_id").as("t_id"))
+    val leak = joined.filter(col("split") === "train")
+      .join(test, "user_id")
+      .filter(col("ms") > col("t_ms") ||
+        (col("ms") === col("t_ms") && col("event_id") > col("t_id")))
+    assert(leak.count() === 0L, "a train purchase postdates the test point")
+    // single-purchase users contribute no test point
+    val singles = joined.groupBy("user_id").count().filter(col("count") === 1L)
+    assert(out.join(singles, "user_id").filter(col("split") === "test").count() === 0L)
+  }
+
+  test("q249 next-event dataset: context windows align with the per-user timeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq((1L, ts(1), 7L, "view"), (2L, ts(2), 7L, "click"),
+      (3L, ts(3), 7L, "purchase"), (4L, ts(4), 7L, "error"),
+      (5L, ts(9), 8L, "view")) // user 8: no full context -> no examples
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.nextEventDatasetFrom(ev)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.toSet === Set(
+      (3L, "view", "click", "purchase"),
+      (4L, "click", "purchase", "error")))
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
