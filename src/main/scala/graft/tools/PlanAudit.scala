@@ -116,7 +116,11 @@ object PlanAudit {
       reg("q228_table_checksum")),
     ("q231_matryoshka", "matryoshka fidelity: full + every prefix dot/norm as conditional sums " +
       "in ONE hash agg over the exploded grid; per-pair moment frame materialized once",
-      reg("q231_matryoshka")))
+      reg("q231_matryoshka")),
+    ("q245_rule_range_join", "RangeJoinBucketRule in action: the naive |delta|<=T theta join " +
+      "(BNLJ) rewritten by the injected optimizer rule into a div-T bucketed equi-join + " +
+      "Generate x3 expansion + residual — certified lossless by the unrewritten oracle",
+      reg("q245_rule_range_join")))
 
   private val streamingStateNote: String =
     """
