@@ -1721,6 +1721,43 @@ object Registry {
         |SELECT user_id, example_id, prev2, prev1, label
         |FROM l WHERE prev2 IS NOT NULL ORDER BY example_id""".stripMargin)),
 
+    // Curation drop-waterfall: per-stage survivor counts + drop
+    // attribution (exact dedup -> near-dup reps -> length gate -> token
+    // floor); the capstones certify the OUTPUT, this certifies the
+    // ATTRIBUTION a shrinking release gets debugged with.
+    "q250_curation_waterfall" -> Entry((s, d) =>
+      Curation.curationWaterfall(s, d).orderBy("stage_idx"), Some(
+      """WITH RECURSIVE k1 AS (SELECT min(doc_id) AS doc_id FROM
+        |  (SELECT doc_id, md5(text) AS m FROM documents) GROUP BY m),
+        |d1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+        |  ON a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.5),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON reach.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |reps AS (SELECT min(d1.doc_id) AS doc_id FROM d1 JOIN comp USING (doc_id)
+        |  GROUP BY comp.component),
+        |d2 AS (SELECT d1.* FROM d1 JOIN reps USING (doc_id)),
+        |d3 AS (SELECT * FROM d2 WHERE n_chars BETWEEN 100 AND 2000),
+        |d4 AS (SELECT * FROM d3 WHERE len(string_split(text, ' ')) >= 20),
+        |c AS (SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS n FROM documents
+        | UNION ALL SELECT 1, 'exact_dedup', count(*) FROM d1
+        | UNION ALL SELECT 2, 'near_dedup', count(*) FROM d2
+        | UNION ALL SELECT 3, 'length_gate', count(*) FROM d3
+        | UNION ALL SELECT 4, 'min_tokens', count(*) FROM d4)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        | CAST(n AS BIGINT) AS n_docs,
+        | CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0) AS BIGINT) AS n_dropped_here
+        |FROM c ORDER BY stage_idx""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -797,6 +797,41 @@ object Curation {
         col("old_md5"), col("new_md5"))
   }
 
+  /** Curation drop-waterfall (q250): the stage-by-stage accounting every
+    * pipeline publishes next to its cleaned corpus — docs surviving each
+    * gate (exact dedup → near-dup representatives → length gate → token
+    * floor) and how many each stage dropped. The capstones (q87/q192)
+    * certify the composed OUTPUT; this certifies the ATTRIBUTION, which
+    * is what gets debugged when a release shrinks unexpectedly. Stage
+    * order is part of the contract (dedup before content gates, so a
+    * gate never resurrects a duplicate's twin). Five 1-row aggregates
+    * over monotonically shrinking frames + a 5-row lag window. */
+  def curationWaterfall(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.io.Tables(spark, dir, "documents")
+    val keep1 = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .groupBy("m").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+    val labels = Dedup.componentLabelsOn(spark, dir)
+    val reps = d1.select("doc_id").join(labels, "doc_id")
+      .groupBy("component").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d2 = d1.join(reps, Seq("doc_id"), "left_semi")
+    val d3 = d2.filter(col("n_chars").between(100, 2000))
+    val d4 = d3.filter(size(TextAnalysis.tokens(col("text"))) >= 20)
+    val stages = Seq(
+      (0, "all", docs), (1, "exact_dedup", d1), (2, "near_dedup", d2),
+      (3, "length_gate", d3), (4, "min_tokens", d4))
+    val counts = stages.map { case (i, nm, df) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"), col("n"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_idx")
+    counts
+      .withColumn("n_dropped_here",
+        coalesce(lag(col("n"), 1).over(w) - col("n"), lit(0L)).cast("long"))
+      .select(col("stage_idx"), col("stage"), col("n").cast("long").as("n_docs"),
+        col("n_dropped_here"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment (q236): split an integer
     * sample budget across sources exactly proportionally — floor the
     * ideal quota, then hand the leftover units to the largest fractional

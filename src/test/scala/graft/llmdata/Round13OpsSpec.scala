@@ -580,6 +580,27 @@ class Round13OpsSpec extends AnyFunSuite {
     sweep.foreach(r => assert(r.getLong(0) >= 3L && r.getLong(0) <= 10L))
   }
 
+  test("q250 waterfall: monotone survivors, drops sum to the total loss, final equals chain") {
+    import org.apache.spark.sql.functions._
+    val wf = Curation.curationWaterfall(spark, dir).orderBy("stage_idx").collect()
+    assert(wf.length === 5)
+    val ns = wf.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "survivors not monotone")
+    assert(wf.head.getLong(3) === 0L)
+    assert(wf.map(_.getLong(3)).sum === ns.head - ns.last,
+      "drop attribution does not sum to the total loss")
+    // the final count equals independently re-running the gate chain
+    val keep1 = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .groupBy("m").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+    val reps = d1.select("doc_id").join(Dedup.componentLabelsOn(spark, dir), "doc_id")
+      .groupBy("component").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val expectedFinal = d1.join(reps, Seq("doc_id"), "left_semi")
+      .filter(col("n_chars").between(100, 2000))
+      .filter(size(split(col("text"), " ")) >= 20).count()
+    assert(ns.last === expectedFinal)
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
