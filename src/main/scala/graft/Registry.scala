@@ -1758,6 +1758,45 @@ object Registry {
         | CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0) AS BIGINT) AS n_dropped_here
         |FROM c ORDER BY stage_idx""".stripMargin)),
 
+    // Content-defined chunking dedup (the rsync/restic primitive at token
+    // grain): boundaries where the rolling 4-token hash = 0 mod 64
+    // (codegen'd WindowHashes), chunk identity = md5 of the span, sharing
+    // = one hash agg on the digest; oracle re-derives identical rolling
+    // hashes (the q198 double-modulus Horner) and chunk assembly.
+    "q251_content_chunks" -> Entry((s, d) =>
+      Dedup.contentChunkReport(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tv AS (SELECT doc_id, t,
+        |   list_transform(t, tok ->
+        |     CAST(list_reduce(list_prepend('0', string_split(tok, '')),
+        |       (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c)) % 1000000007 AS VARCHAR)) AS BIGINT)) AS v1,
+        |   list_transform(t, tok ->
+        |     CAST(list_reduce(list_prepend('0', string_split(tok, '')),
+        |       (acc, c) -> CAST((CAST(acc AS BIGINT) * 131 + ascii(c)) % 998244353 AS VARCHAR)) AS BIGINT)) AS v2
+        | FROM toks WHERE len(t) >= 4),
+        |wh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), v1[i:i+3]),
+        |     (acc, x) -> (acc * 1000003 + x) % 1000000007) * 2147483648
+        | + list_reduce(list_prepend(CAST(0 AS BIGINT), v2[i:i+3]),
+        |     (acc, x) -> (acc * 1000033 + x) % 998244353) AS h
+        |  FROM tv, unnest(range(1, len(t) - 4 + 2)) AS u(i)),
+        |b AS (SELECT doc_id, pos FROM wh WHERE h % 64 = 0 AND pos > 1),
+        |tk AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok
+        |  FROM tv, unnest(range(1, len(t) + 1)) AS u(i)),
+        |a AS (SELECT tk.doc_id, tk.pos, tk.tok,
+        |  sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+        |    OVER (PARTITION BY tk.doc_id ORDER BY tk.pos) AS chunk_seq
+        | FROM tk LEFT JOIN b ON b.doc_id = tk.doc_id AND b.pos = tk.pos),
+        |ch AS (SELECT doc_id, chunk_seq, count(*) AS chunk_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        | FROM a GROUP BY 1, 2),
+        |sh2 AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        | CAST(sum(CASE WHEN nd > 1 THEN chunk_tokens ELSE 0 END) AS BIGINT) AS shared_tokens
+        |FROM ch JOIN sh2 USING (chunk_md5)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

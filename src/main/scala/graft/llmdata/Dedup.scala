@@ -1259,6 +1259,62 @@ object Dedup {
     editDistanceAuditFrom(minhashMd5PairsOn(spark, dir, simThreshold),
       graft.io.Tables(spark, dir, "documents"), prefixLen)
 
+  /** Content-defined chunking dedup report (q251) — the rsync/restic/
+    * CDC-storage primitive at token grain: chunk boundaries fall where
+    * the rolling w-token hash ≡ 0 (mod `modulus`), so boundaries are a
+    * function of CONTENT, not offsets — an insertion early in a document
+    * shifts fixed-size blocks but re-synchronizes content-defined chunks
+    * within one window, which is what makes cross-document chunk-level
+    * dedup work. Per document: chunk count, chunks whose exact content
+    * recurs in ANOTHER document, and the tokens those shared chunks
+    * cover (the dedup-able mass a chunk store would not re-write).
+    *
+    * Shape: the codegen'd [[graft.functions.WindowHashes]] rolling
+    * digests (one O(len) pass) mark boundaries; chunk membership is a
+    * per-doc running count of boundary flags (per-key window, bounded by
+    * doc length); chunk identity is the md5 of the reassembled token
+    * span; sharing is one hash agg on the chunk digest. Docs shorter
+    * than the window are excluded (no rolling hash exists — mirrored by
+    * the oracle). Expected chunk length is `modulus` tokens — the knob
+    * trading dedup granularity against per-chunk overhead. */
+  def contentChunkReport(docs: DataFrame, w: Int = 4, modulus: Int = 64): DataFrame = {
+    require(w >= 2 && modulus >= 2)
+    val toksed = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= w)
+    val boundaries = toksed
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorOps.windowHashes(col("toks"), w))
+          .as(Seq("p0", "h")))
+      .filter(pmod(col("h"), lit(modulus.toLong)) === 0L)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        lit(1L).as("is_boundary"))
+      .filter(col("pos") > 1L)
+    val toks = toksed
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val assigned = toks.join(boundaries, Seq("doc_id", "pos"), "left")
+      .withColumn("chunk_seq", sum(coalesce(col("is_boundary"), lit(0L))).over(wdoc))
+    val chunks = assigned.groupBy("doc_id", "chunk_seq")
+      .agg(count(lit(1)).as("chunk_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")))).as("chunk_md5"))
+    val sharing = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    chunks.join(sharing, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with") > 1L, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("n_docs_with") > 1L, col("chunk_tokens")).otherwise(0L))
+          .cast("long").as("shared_tokens"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("n_shared_chunks").cast("long").as("n_shared_chunks"),
+        col("shared_tokens"))
+  }
+
   /** Dedup threshold-calibration sweep (q247): how many verified pairs
     * fall into each Jaccard band, with the cumulative count at-or-above
     * each band's floor — the curve an engineer reads to place the dedup

@@ -601,6 +601,25 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(ns.last === expectedFinal)
   }
 
+  test("q251 content-defined chunks RE-SYNC after a prefix insertion") {
+    import spark.implicits._
+    // the CDC property fixed-size blocks lack: shifting all offsets by one
+    // token still shares every chunk after the first content boundary
+    val body = (1 to 400).map(i => s"tok${i * 7 % 401}").mkString(" ")
+    val planted = Seq((0L, body), (1L, "INSERTED " + body))
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val out = Dedup.contentChunkReport(planted)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nA, sharedA, sharedTokA) = out(0L)
+    assert(nA >= 3L, s"planted doc produced only $nA chunks — boundary rate off")
+    assert(sharedA >= 1L, "no chunk resynchronized after the prefix insertion")
+    assert(sharedTokA >= 100L,
+      s"only $sharedTokA tokens shared — resync failed (fixed-size behavior)")
+    // both docs share the SAME resynced chunks
+    assert(out(1L)._3 === sharedTokA)
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
