@@ -1178,7 +1178,10 @@ object Dedup {
     * shared span derivation. */
   def spanRemovalReport(docs: DataFrame, windowTokens: Int = 8,
       minSpanTokens: Int = 50): DataFrame = {
-    val spans = duplicatedSpans(docs, windowTokens, minSpanTokens)
+    // rolling-digest span stage (q198's scale path; 4.7x the md5 stage) —
+    // span parity with the md5 derivation is pinned in WindowHashesSpec,
+    // so the md5-based oracle remains the valid mirror
+    val spans = duplicatedSpansRolling(docs, windowTokens, minSpanTokens)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("span_start")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
