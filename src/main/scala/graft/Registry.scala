@@ -1797,6 +1797,42 @@ object Registry {
         |FROM ch JOIN sh2 USING (chunk_md5)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Layout bake-off: the same scale-free predicate box against the
+    // 2-D Morton clustering vs a single-dimension sort — the x-sorted
+    // buckets span ALL of y, so the y predicate prunes nothing there;
+    // the measured gap is a layout migration's justification.
+    "q252_layout_comparison" -> Entry((s, d) =>
+      graft.io.ZOrder.layoutComparison(s, d).orderBy("layout"), Some(
+      """WITH d AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |e AS (SELECT max(x) AS xmax, max(y) AS ymax FROM d),
+        |box AS (SELECT (xmax + 1) * 2 // 16 AS x_lo, (xmax + 1) * 5 // 16 AS x_hi,
+        |  (ymax + 1) * 2 // 16 AS y_lo, (ymax + 1) * 5 // 16 AS y_hi FROM e),
+        |b0 AS (SELECT x, y, (x * 16) // (xmax + 1) AS xs, (y * 16) // (ymax + 1) AS ys
+        |  FROM d CROSS JOIN e),
+        |b1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS xs, (ys | (ys << 8)) & 16711935 AS ys FROM b0),
+        |b2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM b1),
+        |b3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM b2),
+        |b4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM b3),
+        |z AS (SELECT x, y, xs | (ys << 1) AS zval FROM b4),
+        |zs AS (SELECT zval // 4 AS bkt, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        | FROM z GROUP BY 1),
+        |xs AS (SELECT (x * 16) // (xmax + 1) AS bkt, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        | FROM d CROSS JOIN e GROUP BY 1),
+        |rz AS (SELECT 'zorder' AS layout, CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo AND y_min <= y_hi AND y_max >= y_lo
+        |       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        | FROM zs CROSS JOIN box),
+        |rx AS (SELECT 'x_sorted', CAST(sum(n_rows) AS BIGINT),
+        |  CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo AND y_min <= y_hi AND y_max >= y_lo
+        |       THEN n_rows ELSE 0 END) AS BIGINT)
+        | FROM xs CROSS JOIN box)
+        |SELECT layout, rows_total, rows_scanned,
+        | round(1.0 - CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) AS skip_ratio
+        |FROM (SELECT * FROM rz UNION ALL SELECT * FROM rx)
+        |ORDER BY layout""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

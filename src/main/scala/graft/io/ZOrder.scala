@@ -107,6 +107,46 @@ object ZOrder {
           col("rows_total").cast("double"), 6).as("skip_ratio"))
   }
 
+  /** q252: the layout BAKE-OFF the q229 dry run implies — the same
+    * scale-free predicate box evaluated against two physical layouts:
+    * the 2-D Morton clustering vs a single-dimension sort (buckets =
+    * 16ths of x alone, the default "sort by the leading column" layout).
+    * The x-sorted layout prunes on x but its buckets span ALL of y, so
+    * the y half of the predicate prunes nothing — rows_scanned collapses
+    * toward the x-selectivity alone, while z-order buckets stay tight on
+    * both dimensions. Same integer arithmetic, one report row per
+    * layout; the measured gap is the justification a table-layout
+    * migration cites. */
+  def layoutComparison(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ext = li.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax"))
+      .select(expr("(xmax + 1) * 2 div 16").as("x_lo"),
+        expr("(xmax + 1) * 5 div 16").as("x_hi"),
+        expr("(ymax + 1) * 2 div 16").as("y_lo"),
+        expr("(ymax + 1) * 5 div 16").as("y_hi"),
+        col("xmax"), col("ymax"))
+    val zStats = layoutStats(spark, dir)
+    val xStats = li.crossJoin(broadcast(ext))
+      .groupBy(expr("x * 16 div (xmax + 1)").as("x_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    def scannedAgg(stats: DataFrame, layout: String): DataFrame =
+      stats.crossJoin(broadcast(ext))
+        .select(col("n_rows"),
+          (col("x_min") <= col("x_hi") && col("x_max") >= col("x_lo") &&
+           col("y_min") <= col("y_hi") && col("y_max") >= col("y_lo")).as("scanned"))
+        .agg(sum(col("n_rows")).cast("long").as("rows_total"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L)).cast("long")
+            .as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("rows_total"), col("rows_scanned"),
+          round(lit(1.0) - col("rows_scanned").cast("double") /
+            col("rows_total").cast("double"), 6).as("skip_ratio"))
+    scannedAgg(zStats, "zorder")
+      .unionAll(scannedAgg(xStats, "x_sorted"))
+  }
+
   def layoutStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))

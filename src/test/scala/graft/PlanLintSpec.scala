@@ -86,6 +86,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q239_join_estimate",      // 1-row estimate x 1-row actual-count frames
     "q240_type_lift",          // 1-row distinct-user total broadcast back
     "q244_dataset_card",       // 1-row corpus total into the lang shares
+    "q252_layout_comparison",  // 1-row extent/box frames into both layouts
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers

@@ -620,6 +620,16 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out(1L)._3 === sharedTokA)
   }
 
+  test("q252 layout bake-off: z-order strictly out-prunes the single-dimension sort") {
+    val rows = graft.io.ZOrder.layoutComparison(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val z = rows("zorder"); val x = rows("x_sorted")
+    assert(z._1 === x._1, "layouts must cover the same corpus")
+    assert(z._2 < x._2,
+      s"z-order scanned ${z._2} rows vs x-sorted ${x._2} — no 2-D win")
+    assert(z._3 > x._3 && z._3 > 0.0 && x._3 >= 0.0)
+  }
+
   test("q216 constraint gate: fixture corpus passes every rule") {
     val out = graft.relational.Validate.documentConstraints(docs)
     assert(out.filter(!col("passed")).count() === 0L,
