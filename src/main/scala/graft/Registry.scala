@@ -1833,6 +1833,57 @@ object Registry {
         |FROM (SELECT * FROM rz UNION ALL SELECT * FROM rx)
         |ORDER BY layout""".stripMargin)),
 
+    // File-sizing audit: hive-partitioned write under an explicit
+    // maxRecordsPerFile budget, read back and audited at the FILE grain
+    // (input_file_name). The writer's roll-over split is deterministic
+    // (ceil(n/R) files: R-row fulls + a remainder), so DuckDB reproduces
+    // the file-level audit from count(*) arithmetic alone — the oracle
+    // certifies the physical layout, not just the data.
+    "q253_file_sizing" -> Entry((s, d) =>
+      Queries.fileSizingAudit(s, d).orderBy("ship_month", "file_seq"), Some(
+      """WITH m AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT ship_month, n, CAST(ceil(n / 2000.0) AS BIGINT) AS nf FROM m),
+        |f AS (SELECT ship_month, n, nf, unnest(range(1, nf + 1)) AS i FROM k)
+        |SELECT ship_month, CAST(i AS BIGINT) AS file_seq,
+        |  CAST(CASE WHEN i < nf THEN 2000 ELSE n - (nf - 1) * 2000 END AS BIGINT) AS n_rows
+        |FROM f ORDER BY 1, 2""".stripMargin)),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): cross-set
+    // cosine grid -> bilateral k-NN neighborhood means -> ratio margin ->
+    // best-margin target per source. label 0 / label 1 stand in for the
+    // two languages; the blocked bipartite equi-join supplies the grid.
+    "q254_bitext_margin" -> Entry((s, d) =>
+      Similarity.bitextMarginMining(emb(s, d)).orderBy("src_id"), Some(
+      """WITH s AS (SELECT vec_id AS src_id, embedding AS se FROM embeddings WHERE label = 0),
+        |t AS (SELECT vec_id AS tgt_id, embedding AS te FROM embeddings WHERE label = 1),
+        |px AS (SELECT src_id, tgt_id, CAST(unnest(se) AS DOUBLE) AS sv,
+        |        CAST(unnest(te) AS DOUBLE) AS tv
+        |       FROM s CROSS JOIN t),
+        |dots AS (SELECT src_id, tgt_id, sum(sv * tv) AS dp,
+        |          sqrt(sum(sv * sv)) AS ns, sqrt(sum(tv * tv)) AS nt
+        |         FROM px GROUP BY 1, 2),
+        |scored AS (SELECT src_id, tgt_id, round(dp / (ns * nt), 6) AS cosine FROM dots),
+        |fr AS (SELECT src_id, cosine,
+        |        row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+        |       FROM scored),
+        |fwd AS (SELECT src_id, CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS fwd_mean
+        |        FROM fr WHERE rn <= 4 GROUP BY 1),
+        |br AS (SELECT tgt_id, cosine,
+        |        row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn
+        |       FROM scored),
+        |bwd AS (SELECT tgt_id, CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS bwd_mean
+        |        FROM br WHERE rn <= 4 GROUP BY 1),
+        |mg AS (SELECT sc.src_id, sc.tgt_id, sc.cosine,
+        |        round(sc.cosine / ((fwd.fwd_mean + bwd.bwd_mean) / 2.0), 6) AS margin
+        |       FROM scored sc JOIN fwd ON sc.src_id = fwd.src_id
+        |         JOIN bwd ON sc.tgt_id = bwd.tgt_id),
+        |rk AS (SELECT src_id, tgt_id, cosine, margin,
+        |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+        |       FROM mg)
+        |SELECT src_id, tgt_id, cosine, margin FROM rk
+        |WHERE rk = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin)),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies
@@ -2630,6 +2681,71 @@ object Registry {
         |   CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.s AS DOUBLE), 0.0) AS pr
         |  FROM documents d LEFT JOIN c2 USING (doc_id))
         |SELECT doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin)),
+
+    // Triangle census on the near-dup graph: per-node triangle counts +
+    // local clustering coefficient — chain-vs-clique cohesion diagnostic
+    // for dedup components. Oracle re-derives the md5-family pair graph
+    // (q124's CTEs, as in q200) then closes ordered wedges with a third
+    // edge join.
+    "q255_dup_triangles" -> Entry((s, d) =>
+      Dedup.dupTrianglesOn(s, d).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+        |  FROM pairs ab JOIN pairs bc ON ab.doc_b = bc.doc_a
+        |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        |tn AS (SELECT doc_id, count(*) AS tcnt FROM (
+        |   SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT doc_id, count(*) AS degree FROM (
+        |   SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
+        |SELECT deg.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(tn.tcnt, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2
+        |    THEN round(2.0 * coalesce(tn.tcnt, 0) / (deg.degree * (deg.degree - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN tn USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Day-grain temporal holdout: cutoff = earliest day whose cumulative
+    // event count reaches 80%; per-user train (<= cutoff) / test (after)
+    // counts. The quantile runs on the bounded day histogram, never a
+    // global event sort.
+    "q256_temporal_split" -> Entry((s, d) =>
+      Events.temporalHoldoutSplit(s, d).orderBy("user_id"), Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |dc AS (SELECT d, count(*) AS n FROM e GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_total FROM dc),
+        |cum AS (SELECT d, sum(n) OVER (ORDER BY d) AS c FROM dc),
+        |cut AS (SELECT min(d) AS cut_day FROM cum CROSS JOIN tot
+        |        WHERE c >= 0.8 * n_total)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN e.d <= cut.cut_day THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN e.d > cut.cut_day THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM e CROSS JOIN cut GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Per-column data-quality profile of the documents table: one scan,
     // exact distinct counts (the honest tier; q82 is the HLL tier),

@@ -417,6 +417,48 @@ object Dedup {
       _ => minhashMd5Pairs(graft.io.Tables(spark, dir, "documents"),
         simThreshold = simThreshold).localCheckpoint(true))
 
+  /** Near-dup graph triangle census (q255): per-node triangle counts and
+    * local clustering coefficients over the verified-pair graph — the
+    * graph-density diagnostic that separates CHAIN-shaped dup clusters
+    * (A≈B≈C but A̸≈C: transitive-closure components overstate duplication;
+    * clustering ≈ 0) from CLIQUE-shaped ones (template families where
+    * every member matches every other; clustering ≈ 1). Components (q99)
+    * count reachability; this measures cohesion, which is what decides
+    * whether keep-one-per-component is safe or too aggressive.
+    *
+    * Shape: edges carry doc_a < doc_b, so each triangle a<b<c materializes
+    * exactly once as edges (a,b)+(b,c) closed by (a,c) — two equi-joins on
+    * the EDGE list (size E of the near-dup graph, ≪ corpus²), the
+    * compact-oriented triangle enumeration whose join-input is Σ wedges
+    * over ordered adjacency. No row ever touches the documents table.
+    * Clustering = 2T / (deg·(deg−1)), rounded 6dp; integer T and deg are
+    * engine-exact so only the final ratio rounds. */
+  def dupTrianglesOn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    dupTrianglesFrom(minhashMd5PairsOn(spark, dir))
+
+  /** [[dupTrianglesOn]] on a precomputed (doc_a < doc_b) pair frame. */
+  def dupTrianglesFrom(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a"), col("doc_b"))
+    val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val bc = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+    val ac = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val perNode = tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("t"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** MinHash estimator-quality audit: for every VERIFIED near-dup pair,
     * the sketch's own Jaccard estimate (fraction of agreeing signature
     * rows — the unbiased MinHash estimator) next to the exact shingle-set

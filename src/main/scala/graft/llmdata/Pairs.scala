@@ -61,4 +61,36 @@ object Pairs {
         (col("__bi") === col("__bj") && col(s"${idCol}_a") < col(s"${idCol}_b")))
       .drop("__bi", "__bj", "__bi_b", "__bj_b", "__blk_a", "__blk_b")
   }
+
+  /** Every (left-row, right-row) pair of TWO frames exactly once — the
+    * bipartite sibling of [[blockedSelfPairs]], for operators whose pair
+    * space is a cross of two distinct sets (bitext mining source×target,
+    * probe×index audits). Columns come back suffixed `_a` (left) / `_b`
+    * (right).
+    *
+    * Same plan shape and same rationale: a bare `crossJoin` of two large
+    * frames is one BNLJ with no shuffle parallelism, so each side gets a
+    * block id (`hash(id) mod numBlocks`), the driver-side B×B block-pair
+    * table is broadcast onto both sides, and the n·m pairs materialize
+    * through a hash-partitioned equi-join on (bi, bj) — B² join keys, each
+    * task an (n/B)·(m/B) micro cross product. The pair count itself is the
+    * declared semantics; what the blocking buys is even distribution. */
+  def blockedCrossPairs(left: DataFrame, right: DataFrame, idColLeft: String,
+      idColRight: String, numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1)
+    val spark = left.sparkSession
+    import spark.implicits._
+    val bp = broadcast(
+      (for { i <- 0 until numBlocks; j <- 0 until numBlocks } yield (i, j))
+        .toDF("__bi", "__bj"))
+    def side(df: DataFrame, idCol: String, suffix: String): DataFrame = {
+      val blocked = df.withColumn("__blk", pmod(hash(col(idCol)), lit(numBlocks)))
+      blocked.columns.foldLeft(blocked)((d, c) => d.withColumnRenamed(c, s"$c$suffix"))
+    }
+    val a = side(left, idColLeft, "_a").join(bp, col("__blk_a") === col("__bi"))
+    val b = side(right, idColRight, "_b").join(bp, col("__blk_b") === col("__bj"))
+      .withColumnRenamed("__bi", "__bi_b").withColumnRenamed("__bj", "__bj_b")
+    a.join(b, col("__bi") === col("__bi_b") && col("__bj") === col("__bj_b"))
+      .drop("__bi", "__bj", "__bi_b", "__bj_b", "__blk_a", "__blk_b")
+  }
 }

@@ -548,4 +548,67 @@ object Similarity {
     err.join(top1, "prefix_dim")
       .select("prefix_dim", "n_pairs", "mean_abs_err", "n_top1_agree")
   }
+
+  /** Margin-based bitext mining (q254) — the ratio-margin criterion of
+    * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings" (ACL 2019), the alignment rule
+    * behind CCMatrix-scale parallel-corpus construction. Two embedding
+    * sets (here: `label == srcLabel` vs `label == tgtLabel` as stand-ins
+    * for two languages) are scored pairwise by cosine; each pair's score
+    * is normalized by the mean of its BOTH-SIDED k-NN neighborhoods:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x, ·) + avgTopK(·, y)) / 2)
+    *
+    * which suppresses hubness (a vector globally close to everything gets
+    * a high denominator) far better than a raw cosine cutoff. Output: per
+    * source vector its best-margin target, kept when margin > threshold.
+    *
+    * Plan: pair scores come from [[Pairs.blockedCrossPairs]] (B² equi-join
+    * keys, never a BNLJ); the two neighborhood frames are per-side hash
+    * aggs over the rank-gated scores; the final argmax is one per-source
+    * window. Determinism across engines: cosines round to 6dp before any
+    * aggregation, neighborhood sums ride DECIMAL(18,6) (order-independent,
+    * exact), ranks tie-break on the partner id, margins round to 6dp.
+    *
+    * Scale: exact bilateral neighborhoods are Ω(n·m) by definition —
+    * production mining replaces the exact score grid with an ANN
+    * neighborhood list (the [[ivfTopK]] path) and keeps THIS margin
+    * arithmetic unchanged; the grid stage is the only part that swaps. */
+  def bitextMarginMining(emb: DataFrame, srcLabel: Int = 0, tgtLabel: Int = 1,
+      k: Int = 4, marginThreshold: Double = 1.0, numBlocks: Int = 8): DataFrame = {
+    require(k >= 1)
+    def sideOf(label: Int, idName: String): DataFrame =
+      emb.filter(col("label") === label)
+        .select(col("vec_id").as(idName), col("embedding"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val scored = Pairs.blockedCrossPairs(
+        sideOf(srcLabel, "src_id"), sideOf(tgtLabel, "tgt_id"), "src_id", "tgt_id",
+        numBlocks)
+      .select(col("src_id_a").as("src_id"), col("tgt_id_b").as("tgt_id"),
+        round(VectorOps.dot(col("embedding_a"), col("embedding_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
+    // Bilateral k-NN neighborhood means. Sum the ROUNDED cosines as
+    // DECIMAL(18,6) so the k-term sum is exact in any order on both
+    // engines; the division back to double is a scalar op both engines
+    // evaluate identically.
+    def hoodMean(keyCol: String, partnerCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col("cosine").desc, col(partnerCol))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(keyCol)
+        .agg((sum(col("cosine").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as(outCol))
+    }
+    val fwd = hoodMean("src_id", "tgt_id", "fwd_mean")
+    val bwd = hoodMean("tgt_id", "src_id", "bwd_mean")
+    val margins = scored
+      .join(fwd, "src_id").join(bwd, "tgt_id")
+      .withColumn("margin",
+        round(col("cosine") / ((col("fwd_mean") + col("bwd_mean")) / 2.0), 6))
+    val best = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    margins.withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1 && col("margin") > marginThreshold)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+  }
 }

@@ -527,6 +527,53 @@ object Queries {
       .orderBy("mrow")
   }
 
+  /** File-sizing audit (q253) — the small-files control surface of a
+    * lakehouse writer. The lineitem slice is written hive-partitioned by
+    * ship month with an explicit `maxRecordsPerFile` budget, read back,
+    * and audited AT THE FILE GRAIN (`input_file_name` groupBy): one output
+    * row per physical file with its row count. With the writer clustered
+    * so each month lands in one task (`repartition(col)` — strict hash,
+    * AQE may merge but never split a key), the roll-over split is exactly
+    * deterministic — `ceil(n/R)` files of R rows plus a remainder — which
+    * is what makes a FILE-grain property relationally oracle-checkable:
+    * DuckDB reproduces the audit from `count(*)` arithmetic alone, no
+    * filesystem access. `file_seq` ranks files largest-first (remainder
+    * last); equal-size ties are interchangeable rows, so tie order cannot
+    * affect the hash.
+    *
+    * Why it matters at 100 TB: unsized writes are how a petabyte table
+    * becomes 50M tiny files (every later scan pays per-file open + listing
+    * cost) or 10k unsplittable 10 GB files (no read parallelism). This
+    * operator is both the enforcement (the sized writer) and the monitor
+    * (the audit a table-maintenance job alerts on). The layout is written
+    * once per (JVM, dir) and scratch is shutdown-hook-deleted. */
+  private val sizingSinkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+  def fileSizingAudit(s: SparkSession, dir: String, rowsPerFile: Int = 2000): DataFrame = {
+    // The writer's schema rides the cache (the q74 rule): an empty slice
+    // writes no data files, and the audit of an empty layout must still be
+    // a well-typed zero-row frame, not a schema-inference error.
+    val (out, schema) = sizingSinkCache.computeIfAbsent(s"$dir#$rowsPerFile", _ => {
+      val path = graft.io.TempDirs.scratch("graft-sizing")
+        .resolve("lineitem_by_month").toString
+      val sized = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          month(col("l_shipdate")).as("ship_month"))
+      sized.repartition(col("ship_month"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile.toLong)
+        .partitionBy("ship_month").parquet(path)
+      (path, sized.schema)
+    })
+    val w = Window.partitionBy("ship_month").orderBy(col("n_rows").desc, col("__f"))
+    s.read.schema(schema).parquet(out)
+      .groupBy(col("ship_month").cast("long").as("ship_month"),
+        input_file_name().as("__f"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("file_seq", row_number().over(w).cast("long"))
+      .select("ship_month", "file_seq", "n_rows")
+  }
+
   /** Top-1-per-group: each customer's most expensive order — the classic
     * argmax-per-key, as a per-key `row_number` window with a total
     * (`totalprice desc, orderkey`) ordering so ties are deterministic on

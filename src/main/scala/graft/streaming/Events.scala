@@ -967,6 +967,40 @@ object Events {
           .otherwise("train").as("split"))
   }
 
+  /** Day-grain temporal holdout split (q256): train on the past, test on
+    * the future — the anti-leakage evaluation protocol for anything
+    * time-dependent (forecasting, recommendation, drift-sensitive quality
+    * models), where a RANDOM split would let the model see the future of
+    * the very series it is tested on. The cutoff day is data-derived: the
+    * earliest calendar day whose cumulative event count reaches `frac` of
+    * the corpus; train = events up to and including that day, test =
+    * strictly after. Output: per-user train/test event counts (users whose
+    * activity lies wholly after the cutoff appear with n_train = 0 — the
+    * cold-start population an evaluation must not silently drop).
+    *
+    * Scale shape: the quantile is NOT a global sort — events collapse to a
+    * day-grain histogram first (one hash agg; ≤ 366 rows/year regardless
+    * of corpus size), the cumulative window runs over that bounded frame,
+    * and the 1-row cutoff broadcasts back onto the fact stream. The
+    * fraction comparison (`c >= frac·n_total`) is a single scalar double
+    * op both engines evaluate identically. */
+  def temporalHoldoutSplit(spark: SparkSession, dir: String,
+      frac: Double = 0.8): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val dayCounts = e.groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dayCounts.agg(sum(col("n")).as("n_total"))
+    val cut = dayCounts.withColumn("c", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("c") >= lit(frac) * col("n_total"))
+      .agg(min(col("d")).as("cut_day"))
+    e.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") <= col("cut_day"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("d") > col("cut_day"), 1L).otherwise(0L)).as("n_test"))
+  }
+
   /** Next-event-type supervised dataset construction (q249): per user,
     * ordered by event time, each event becomes a training example whose
     * features are the two PRECEDING event types and whose label is the

@@ -87,6 +87,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q240_type_lift",          // 1-row distinct-user total broadcast back
     "q244_dataset_card",       // 1-row corpus total into the lang shares
     "q252_layout_comparison",  // 1-row extent/box frames into both layouts
+    "q256_temporal_split",     // 1-row corpus-total then 1-row cutoff-day
+                               // frames broadcast onto the day histogram /
+                               // fact stream
     "q176_shard_balance",      // |shards| x |sources| grid from two tiny
                                // aggregate frames + the 1-row corpus total
     "q181_rrf_fusion",         // 1-row scalar broadcasts in both upstream rankers

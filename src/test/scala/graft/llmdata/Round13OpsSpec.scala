@@ -636,4 +636,89 @@ class Round13OpsSpec extends AnyFunSuite {
       "fixture documents violated a constraint")
     assert(out.count() === 6L)
   }
+
+  test("blockedCrossPairs yields every bipartite pair exactly once") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = emb.filter(col("label") === 0).select(col("vec_id").as("aid"))
+    val b = emb.filter(col("label") === 1).select(col("vec_id").as("bid"))
+    val (na, nb) = (a.count(), b.count())
+    val pairs = Pairs.blockedCrossPairs(a, b, "aid", "bid", numBlocks = 4)
+      .select("aid_a", "bid_b")
+    assert(pairs.count() === na * nb, "pair count must be |A|x|B|")
+    assert(pairs.distinct().count() === na * nb, "no pair may repeat")
+  }
+
+  test("q254 bitext margin equals a brute-force recomputation per source") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.bitextMarginMining(emb, k = 4, marginThreshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // Brute force in plain Scala: full score grid, bilateral top-4 means.
+    def vecs(label: Int) = emb.filter(col("label") === label)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val src = vecs(0); val tgt = vecs(1)
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val dp = x.zip(y).map { case (u, v) => u * v }.sum
+      BigDecimal(dp / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val grid = (for { (si, sv) <- src; (ti, tv) <- tgt } yield ((si, ti), cos(sv, tv))).toMap
+    def topMean(scores: Seq[Double]) = scores.sorted.reverse.take(4).sum / math.min(4, scores.size)
+    val fwd = src.map { case (si, _) => si -> topMean(tgt.map(t => grid((si, t._1))).toSeq) }.toMap
+    val bwd = tgt.map { case (ti, _) => ti -> topMean(src.map(s => grid((s._1, ti))).toSeq) }.toMap
+    for ((si, _) <- src) {
+      val best = tgt.map { case (ti, _) =>
+        (ti, grid((si, ti)) / ((fwd(si) + bwd(ti)) / 2.0))
+      }.minBy { case (ti, m) => (-m, ti) }
+      val bm = BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (bm > 1.0) {
+        assert(got.contains(si), s"source $si missing from mining output")
+        assert(got(si)._1 === best._1, s"source $si picked a different target")
+        assert(math.abs(got(si)._2 - bm) < 2e-6, s"source $si margin drifted")
+      } else assert(!got.contains(si), s"source $si should fall below the margin gate")
+    }
+  }
+
+  test("q255 triangles: planted clique scores 1.0, planted chain scores 0.0") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 4-5-6 (open wedge at 5) + isolated edge 7-8
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupTrianglesFrom(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)) && got(2L) === ((2L, 1L, 1.0)) &&
+      got(3L) === ((2L, 1L, 1.0)), "clique members: 1 triangle, clustering 1")
+    assert(got(5L) === ((2L, 0L, 0.0)), "chain center: open wedge, clustering 0")
+    assert(got(4L)._1 === 1L && got(4L)._3 === 0.0)
+    assert(got(7L) === ((1L, 0L, 0.0)) && got(8L) === ((1L, 0L, 0.0)))
+  }
+
+  test("q255 triangles on the corpus: counts bounded by wedge capacity") {
+    val out = Dedup.dupTrianglesOn(spark, dir).collect()
+    assert(out.nonEmpty, "near-dup graph should not be empty at sf0.001")
+    out.foreach { r =>
+      val (deg, t, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(t <= deg * (deg - 1) / 2, s"${r.getLong(0)}: triangles exceed C(deg,2)")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("q253 file sizing: ceil split per month, no file over budget") {
+    val audit = graft.relational.Queries.fileSizingAudit(spark, dir, rowsPerFile = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val monthCounts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(month(col("l_shipdate")).cast("long").as("m")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit.forall(_._3 <= 500L), "a file exceeded the row budget")
+    val byMonth = audit.groupBy(_._1)
+    assert(byMonth.keySet === monthCounts.keySet)
+    for ((m, files) <- byMonth) {
+      assert(files.length === ((monthCounts(m) + 499) / 500).toInt,
+        s"month $m: wrong file count for ceil split")
+      assert(files.map(_._3).sum === monthCounts(m), s"month $m: rows lost")
+    }
+  }
 }

@@ -551,6 +551,33 @@ class StreamingSpec extends AnyFunSuite {
       (4L, "click", "purchase", "error")))
   }
 
+  test("q256 temporal split: cutoff reaches the fraction, no event leaks across it") {
+    import org.apache.spark.sql.functions._
+    val out = Events.temporalHoldoutSplit(spark, dir, frac = 0.8)
+    val (train, test) = {
+      val r = out.agg(sum("n_train"), sum("n_test")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(train + test === total, "split must conserve every event")
+    assert(train >= (0.8 * total).toLong, "train must reach the cutoff fraction")
+    // Minimality: the day before the cutoff day must NOT reach 80% —
+    // recompute the day histogram independently and check both sides.
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val day = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    val hist = raw.select(day.as("d")).groupBy("d").count()
+      .orderBy("d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val cum = hist.scanLeft(("", 0L)) { case ((_, c), (d, n)) => (d, c + n) }.drop(1)
+    val cutDay = cum.find(_._2 >= 0.8 * total).get._1
+    val expectedTrain = cum.find(_._1 == cutDay).get._2
+    assert(train === expectedTrain, "train count must equal cumulative count at cutoff day")
+    val before = cum.takeWhile(_._1 < cutDay).lastOption.map(_._2).getOrElse(0L)
+    assert(before < 0.8 * total, "cutoff day must be the EARLIEST day reaching the fraction")
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
