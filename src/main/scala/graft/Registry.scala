@@ -657,6 +657,17 @@ object Registry {
       """SELECT user_id, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Spark-4 transformWithState twin of q58: composite keyed state
+    // (ValueState scalar triple + MapState per-type counts) on the
+    // RocksDB store; exact distinct-type counts come straight from the
+    // MapState key set. Settled == batch GROUP BY oracle.
+    "q257_tws_user_stats" -> Entry((s, d) => Events.twsUserTypeStats(s, d)
+      .orderBy("user_id"), Some(
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // CDC changelog compaction: latest-wins upsert view with tombstones
     // ('error' = DELETE), as one map-side-combinable argmax-struct agg.
     // The oracle spells the same semantics as a window rank — hash

@@ -5,7 +5,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  MapState, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
@@ -485,10 +486,12 @@ object Events {
     * post-pollution q64 measured min 2.79s, at its r6 level. */
   private def settle(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, outputMode: String = "complete",
-      noDataBatches: Boolean = true): DataFrame = {
+      noDataBatches: Boolean = true,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val s2 = eventsSession(spark)
     if (!noDataBatches)
       s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
     val (staged, schema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${streamCounter.incrementAndGet()}"
     val stream = convertTs(s2.readStream.schema(schema).parquet(staged))
@@ -1317,6 +1320,79 @@ object Events {
       .orderBy(col("last_ts_ms").desc, col("n_events").desc)
     settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("n_events"), col("min_value"), col("max_value"))
+  }
+
+  /** Output row of [[twsUserTypeStats]]. */
+  final case class TwsUserStat(user_id: Long, n_events: Long, n_types: Long,
+      min_value: Double, max_value: Double)
+
+  /** Per-user running stats on Spark 4's `transformWithState` arbitrary-
+    * state API (the successor to `mapGroupsWithState`, SPARK-46815): the
+    * operator this engine reaches for when keyed state is COMPOSITE.
+    * `mapGroupsWithState` forces one monolithic state object per key —
+    * every update deserializes and rewrites all of it; here state is two
+    * independently-addressable variables on the RocksDB store (the only
+    * provider the API supports): a [[ValueState]] scalar triple
+    * (n/min/max) and a [[MapState]] of per-event-type counts, point-read
+    * and point-written per input row — at 100 TB a key's map can hold
+    * thousands of entries and an update touches only the entries it needs.
+    * Every statistic kept is order-independent (counts/min/max), so the
+    * settled output is deterministic and equal to the batch oracle.
+    * TTLConfig.NONE mirrors q58's bounded-key-space contract; the
+    * unbounded-churn path would pass a real TTL (the store then expires
+    * per-variable, per-key — no timeout callback code at all, unlike
+    * [[statefulUserStatsTtl]]'s hand-rolled eviction). */
+  private[streaming] class UserTypeStatsProcessor
+      extends StatefulProcessor[Long, (Long, String, Double), TwsUserStat] {
+    @transient private var stats: ValueState[(Long, Double, Double)] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      stats = getHandle.getValueState[(Long, Double, Double)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Double, Double)],
+        TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+        timers: TimerValues): Iterator[TwsUserStat] = {
+      var (n, mn, mx) = if (stats.exists()) stats.get()
+        else (0L, Double.PositiveInfinity, Double.NegativeInfinity)
+      rows.foreach { case (_, et, v) =>
+        n += 1L
+        mn = math.min(mn, v)
+        mx = math.max(mx, v)
+        val c = if (typeCounts.containsKey(et)) typeCounts.getValue(et) else 0L
+        typeCounts.updateValue(et, c + 1L)
+      }
+      stats.update((n, mn, mx))
+      Iterator.single(TwsUserStat(key, n, typeCounts.keys().size.toLong, mn, mx))
+    }
+  }
+
+  /** The settled [[UserTypeStatsProcessor]] stream (q257): per-user event
+    * count, DISTINCT event-type count (exact — it is the MapState key
+    * set), and value min/max, equal to the batch GROUP BY oracle. With
+    * TimeMode.None state never evicts, so `n_events` increases
+    * monotonically across a key's update-mode emissions and max-n picks
+    * each key's final row. */
+  def twsUserTypeStats(spark: SparkSession, dir: String): DataFrame = {
+    val settled = settle(spark, dir, stream => {
+      val s = stream.sparkSession
+      import s.implicits._
+      stream.select(col("user_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new UserTypeStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+    }, outputMode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("min_value"), col("max_value"))
   }
 
   /** Batch interval (time-range) join — the deterministic batch twin of

@@ -116,6 +116,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("q257 transformWithState: ValueState+MapState accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Double)]
+    val name = "graft_tws_test"
+    val q = input.toDS().groupByKey(_._1)
+      .transformWithState(new Events.UserTypeStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, "view", 5.0), (1L, "view", 2.0), (2L, "click", 7.0))
+      q.processAllAvailable()
+      input.addData((1L, "click", 9.0)) // batch 2: both state vars must carry over
+      q.processAllAvailable()
+      val last = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      // user 1: 3 events, 2 distinct types (map state carried), min 2 max 9
+      assert(last === Set((1L, 3L, 2L, 2.0, 9.0), (2L, 1L, 1L, 7.0, 7.0)))
+    } finally {
+      q.stop(); s.catalog.dropTempView(name)
+      prior match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TTL'd user stats: timed-out state evicts and re-initializes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
