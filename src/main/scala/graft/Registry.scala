@@ -1410,6 +1410,37 @@ object Registry {
         | CAST(floor_q + CASE WHEN rk <= 100 - floor_sum THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM r CROSS JOIN fs ORDER BY source""".stripMargin)),
 
+    // UniMax token-budget allocation (Chung et al. 2023) with the
+    // Muennighoff-style repetition ceiling: as-uniform-as-possible token
+    // grants per source, capped at maxEpochs x the source's own tokens;
+    // the sequential waterfill is certified as a finite UNROLLED form
+    // (uniform round + one redistribution round — the q94/q121 idiom).
+    // Integer token arithmetic end to end; one corpus scan, then K-row
+    // frames with 1-row broadcast crosses.
+    "q259_unimax_budget" -> Entry((s, d) =>
+      Curation.unimaxAllocation(docs(s, d)).orderBy("source"), Some(
+      """WITH tok AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS k FROM tok),
+        |base AS (SELECT tok.source, tok.n_tokens, tok.n_tokens * 2 AS cap,
+        |  (tot.n * 3) // 2 AS b, ((tot.n * 3) // 2) // tot.k AS fair1
+        | FROM tok CROSS JOIN tot),
+        |g1 AS (SELECT *, least(cap, fair1) AS grant1 FROM base),
+        |r AS (SELECT CAST(sum(grant1) AS BIGINT) AS granted_r1,
+        |  CAST(sum(CASE WHEN cap > fair1 THEN 1 ELSE 0 END) AS BIGINT) AS n_open FROM g1)
+        |SELECT source, n_tokens, cap, grant1,
+        | CAST(CASE WHEN r.n_open > 0 AND cap > fair1
+        |   THEN least(cap, grant1 + (b - r.granted_r1) // r.n_open)
+        |   ELSE grant1 END AS BIGINT) AS granted,
+        | round(CAST(CASE WHEN r.n_open > 0 AND cap > fair1
+        |   THEN least(cap, grant1 + (b - r.granted_r1) // r.n_open)
+        |   ELSE grant1 END AS DOUBLE) / n_tokens, 6) AS epochs,
+        | CASE WHEN r.n_open > 0 AND cap > fair1
+        |   THEN least(cap, grant1 + (b - r.granted_r1) // r.n_open)
+        |   ELSE grant1 END = cap AS saturated
+        |FROM g1 CROSS JOIN r ORDER BY source""".stripMargin)),
+
     // Functional-dependency audit: per candidate A->B, one A-keyed hash
     // agg with exact count(DISTINCT B) + a 1-row violating-group rollup —
     // exact verdicts (a sampled FD is how bad merge keys get chosen);
@@ -1666,6 +1697,30 @@ object Registry {
         | count(DISTINCT source) AS n_sensitive,
         | count(DISTINCT source) >= 3 AS diverse
         |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin)),
+
+    // t-closeness audit: the third privacy rung after k-anonymity (q233)
+    // and l-diversity (q246) — per quasi-class TVD between the class's
+    // sensitive-value distribution and the global one (skewness attack).
+    // Absent sources fold in algebraically (TVD = (1 + sum over PRESENT
+    // cells of |p-q|-q)/2) so no class x source cross product is ever
+    // built; DECIMAL(30,18)-quantized contributions (the q219 rule).
+    "q258_t_closeness" -> Entry((s, d) =>
+      graft.relational.Validate.tClosenessAudit(docs(s, d))
+        .orderBy("lang", "len_bucket"), Some(
+      """WITH c AS (SELECT lang, n_chars // 100 AS len_bucket, source, count(*) AS ncs
+        | FROM documents GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang, len_bucket, CAST(sum(ncs) AS BIGINT) AS nc FROM c GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(ncs) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM g),
+        |con AS (SELECT c.lang, c.len_bucket, cls.nc,
+        |  CAST(abs(CAST(c.ncs AS DOUBLE)/CAST(cls.nc AS DOUBLE)
+        |           - CAST(g.ns AS DOUBLE)/CAST(n.n AS DOUBLE))
+        |       - CAST(g.ns AS DOUBLE)/CAST(n.n AS DOUBLE) AS DECIMAL(30,18)) AS contrib
+        | FROM c JOIN cls USING (lang, len_bucket) JOIN g USING (source) CROSS JOIN n)
+        |SELECT lang, len_bucket, nc AS group_size,
+        | round((1.0 + CAST(sum(contrib) AS DOUBLE))/2, 6) AS tvd,
+        | round((1.0 + CAST(sum(contrib) AS DOUBLE))/2, 6) <= 0.35 AS close
+        |FROM con GROUP BY 1, 2, 3 ORDER BY lang, len_bucket""".stripMargin)),
 
     // Dedup threshold-calibration sweep: verified-pair counts per Jaccard
     // tenth-band + the cumulative at-or-above curve (the knee locates the

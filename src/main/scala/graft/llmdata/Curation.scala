@@ -919,6 +919,56 @@ object Curation {
     val neu = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
     snapshotDiff(old, neu)
   }
+
+  /** UniMax token-budget allocation (q259) — the language/source-balanced
+    * sampling rule of Chung et al. 2023 ("UniMax: Fairer and More
+    * Effective Language Sampling"), with the repetition ceiling motivated
+    * by Muennighoff et al. 2023 (data-constrained scaling: value decays
+    * fast past ~4 epochs): split a total training-token budget as
+    * UNIFORMLY as possible across sources, except no source may be
+    * repeated past `maxEpochs` — small sources saturate at their cap and
+    * the freed budget waterfills to the rest.
+    *
+    * The exact waterfill is a sequential loop; like the reference's IPF
+    * (`converge`) it is certified here as a FINITE UNROLLED form — one
+    * uniform round plus one redistribution round, the same
+    * unrolled-sweep idiom as q94/q121/q187. Invariants (pinned in the
+    * spec): every grant respects its cap, round 2 only ever raises a
+    * round-1 grant, and the total stays within budget.
+    *
+    * All arithmetic is INTEGER token counts (floor-div fair shares) until
+    * the final epochs ratio, so both engines agree bit-for-bit with no
+    * quantization step. One corpus scan computes per-source token counts
+    * (a codegen'd `size(split(..))` — the text column never shuffles);
+    * everything after runs on the K-row source frame, with the global
+    * scalars broadcast back as 1-row crosses. Budget = `budgetNum/
+    * budgetDen` of the corpus token count (default 1.5 epochs' worth). */
+  def unimaxAllocation(docs: DataFrame, budgetNum: Int = 3,
+      budgetDen: Int = 2, maxEpochs: Int = 2): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= 1 && maxEpochs >= 1)
+    val tok = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = tok.agg(sum("n_tokens").as("n"), count(lit(1)).as("k"))
+    val base = tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") * maxEpochs).as("cap"),
+        expr(s"(n * $budgetNum) div $budgetDen").as("b"),
+        expr(s"((n * $budgetNum) div $budgetDen) div k").as("fair1"))
+    val g1 = base.withColumn("grant1", least(col("cap"), col("fair1")))
+    val r = g1.agg(sum("grant1").as("granted_r1"),
+      sum(when(col("cap") > col("fair1"), 1L).otherwise(0L)).as("n_open"))
+    g1.crossJoin(broadcast(r))
+      .select(col("source"), col("n_tokens"), col("cap"), col("grant1"),
+        when(col("n_open") > 0L && col("cap") > col("fair1"),
+            least(col("cap"),
+              col("grant1") + expr("(b - granted_r1) div n_open")))
+          .otherwise(col("grant1")).as("granted"))
+      .select(col("source"), col("n_tokens"), col("cap"), col("grant1"),
+        col("granted"),
+        round(col("granted").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"),
+        (col("granted") === col("cap")).as("saturated"))
+  }
 }
 
 /** `Encoders.scalaLong` exists but there is no public primitive-array

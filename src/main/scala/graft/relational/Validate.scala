@@ -2,6 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative constraint validation (q216) — the dbt-test / Deequ-style
   * data-quality gate an ingest pipeline runs before publishing a corpus
@@ -94,5 +95,48 @@ object Validate {
         countDistinct(col("source")).as("n_sensitive"))
       .select(col("lang"), col("len_bucket"), col("group_size"),
         col("n_sensitive"), (col("n_sensitive") >= l).as("diverse"))
+  }
+
+  /** t-closeness audit (q258) — the third rung of the privacy-audit
+    * ladder after k-anonymity (q233) and l-diversity (q246): a class can
+    * be large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs sharply from the corpus-wide one (the skewness
+    * attack — membership shifts an attacker's posterior). Per
+    * quasi-identifier class (lang × length bucket), the distance between
+    * the class's `source` distribution and the global one, measured as
+    * total variation distance (the categorical Earth-Mover's distance
+    * under the uniform ground metric): TVD = ½·Σ_s |p_s − q_s|.
+    *
+    * Scale shape: sources ABSENT from a class still contribute (|0 − q_s|
+    * = q_s), but materializing the class × source cross product to
+    * zero-fill them would be a needless blow-up. Instead the absent mass
+    * folds in algebraically: Σ_absent q_s = 1 − Σ_present q_s, so
+    * TVD = ½·(1 + Σ_present(|p_s − q_s| − q_s)) — only OBSERVED
+    * (class, source) cells are ever touched. One corpus scan builds the
+    * cell frame; class totals and the global source distribution are
+    * tiny re-aggregations OF that frame (no second scan); per-cell
+    * contributions quantize to DECIMAL(30,18) before the sum (the q219
+    * PSI rule) so the reduction is order-independent and engine-exact. */
+  def tClosenessAudit(docs: DataFrame, t: Double = 0.35,
+      lenBucket: Int = 100): DataFrame = {
+    require(t > 0 && lenBucket >= 1)
+    val cell = docs.groupBy(col("lang"),
+        floor(col("n_chars") / lenBucket).as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("ncs"))
+    val cls = cell.groupBy("lang", "len_bucket").agg(sum("ncs").as("nc"))
+    val glob = cell.groupBy("source").agg(sum("ncs").as("ns"))
+    val tot = glob.agg(sum("ns").as("n"))
+    val p = col("ncs").cast("double") / col("nc").cast("double")
+    val q = col("ns").cast("double") / col("n").cast("double")
+    val tvd = round((lit(1.0) + sum("contrib").cast("double")) / 2, 6)
+    cell.join(cls, Seq("lang", "len_bucket"))
+      .join(broadcast(glob), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("len_bucket"), col("nc"),
+        (abs(p - q) - q).cast(DecimalType(30, 18)).as("contrib"))
+      .groupBy("lang", "len_bucket", "nc")
+      .agg(tvd.as("tvd"))
+      .select(col("lang"), col("len_bucket"), col("nc").as("group_size"),
+        col("tvd"), (col("tvd") <= t).as("close"))
   }
 }

@@ -105,8 +105,12 @@ class PlanLintSpec extends AnyFunSuite {
                                   // against the fact side (the prune stage)
     "q209_heavy_hitters",         // 1-row corpus-total aggregate broadcast
                                   // into the candidate-verify filter
-    "q210_zorder_layout")         // 1-row grid-extent aggregate broadcast
+    "q210_zorder_layout",         // 1-row grid-extent aggregate broadcast
                                   // back for the cell quantization
+    "q258_t_closeness",           // 1-row corpus-total broadcast into the
+                                  // (class x source) cell frame
+    "q259_unimax_budget")         // 1-row totals + 1-row waterfill-round
+                                  // frames broadcast into the K-row grants
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -706,6 +706,76 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q258 t-closeness: matching class scores 0, one-sided classes score 0.5") {
+    import spark.implicits._
+    // Three quasi-classes over a 50/50 two-source global: A all src0,
+    // B mirroring the global mix exactly, C all src1. TVD must be
+    // 0.5 / 0.0 / 0.5 — the skewness attack l-diversity can't see
+    // (B and the global are both "diverse"; A leaks by skew alone).
+    val rows =
+      (1L to 10L).map(i => (i, "en", 50L, "src0")) ++
+      (11L to 15L).map(i => (i, "de", 50L, "src0")) ++
+      (16L to 20L).map(i => (i, "de", 50L, "src1")) ++
+      (21L to 30L).map(i => (i, "fr", 50L, "src1"))
+    val df = rows.toDF("doc_id", "lang", "n_chars", "source")
+    val got = graft.relational.Validate.tClosenessAudit(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got("en") === ((10L, 0.5, false)), "all-src0 class must sit at TVD 0.5")
+    assert(got("de") === ((10L, 0.0, true)), "global-mix class must sit at TVD 0")
+    assert(got("fr") === ((10L, 0.5, false)))
+  }
+
+  test("q258 t-closeness on the corpus: TVD bounded and absent-mass algebra sane") {
+    val out = graft.relational.Validate.tClosenessAudit(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tvd = r.getDouble(3)
+      assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of range: $tvd")
+      assert(r.getBoolean(4) === (tvd <= 0.35))
+    }
+    // class sizes conserve the corpus
+    assert(out.map(_.getLong(2)).sum === docs.count())
+  }
+
+  test("q259 unimax: planted waterfill — small source saturates, rest split the freed budget") {
+    import spark.implicits._
+    // 10/100/100/100 tokens, maxEpochs=2, budget=1.5x corpus: fair1=116
+    // caps the 20-token source at its 2-epoch ceiling; the freed 97
+    // tokens waterfill as floor(97/3)=32 extra to each open source.
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq((1L, text(10), "s0"), (2L, text(100), "s1"),
+      (3L, text(100), "s2"), (4L, text(100), "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.unimaxAllocation(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(got("s0") === ((10L, 20L, 20L, 20L, 2.0, true)),
+      "tiny source must saturate at maxEpochs")
+    for (s <- Seq("s1", "s2", "s3"))
+      assert(got(s) === ((100L, 200L, 116L, 148L, 1.48, false)),
+        s"$s: open sources must each get fair1 116 + extra 32")
+  }
+
+  test("q259 unimax invariants on the corpus: caps respected, monotone rounds, within budget") {
+    val out = Curation.unimaxAllocation(docs).collect()
+    val n = out.map(_.getLong(1)).sum
+    val budget = (n * 3) / 2
+    out.foreach { r =>
+      val (nTok, cap, g1, g2, epochs, sat) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))
+      assert(cap === nTok * 2)
+      assert(g1 <= g2 && g2 <= cap, s"${r.getString(0)}: rounds not monotone or cap broken")
+      assert(epochs <= 2.0 + 1e-9)
+      assert(sat === (g2 === cap))
+    }
+    assert(out.map(_.getLong(4)).sum <= budget, "waterfill overshot the budget")
+    // every non-saturated source lands on the SAME grant (the uniformity
+    // objective): fair1 + extra is source-independent
+    val openGrants = out.filter(!_.getBoolean(6)).map(_.getLong(4)).distinct
+    assert(openGrants.length <= 1, s"open sources diverged: ${openGrants.mkString(",")}")
+  }
+
   test("q253 file sizing: ceil split per month, no file over budget") {
     val audit = graft.relational.Queries.fileSizingAudit(spark, dir, rowsPerFile = 500)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
