@@ -375,6 +375,43 @@ object Registry {
         | 1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style rule gate (Rae et al. 2021 A1.1, word-statistics core)
+    // with per-rule failure attribution: the order-independent per-rule
+    // marginal next to q250's sequential waterfall. Cross-multiplied
+    // integer thresholds — no float boundary between engines.
+    "q260_gopher_rules" -> Entry(
+      (s, d) => TextAnalysis.gopherRuleReport(docs(s, d)).orderBy("rule"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |   length(replace(text, ' ', '')) AS chars FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS words, chars,
+        |   len(list_intersect(toks, ['the','a','and','of','to','in','is'])) AS n_stop FROM t),
+        |tf AS (SELECT doc_id, max(c) AS max_tok, count(*) AS n_types FROM (
+        |   SELECT doc_id, tok, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2) GROUP BY 1),
+        |f AS (SELECT (words < 40 OR words > 10000) AS f1,
+        |   (chars < words*3 OR chars > words*10) AS f2,
+        |   (max_tok*5 > words) AS f3,
+        |   (n_types*5 < words) AS f4,
+        |   (n_stop < 2) AS f5
+        |  FROM d JOIN tf USING (doc_id)),
+        |a AS (SELECT count(*) AS n_docs,
+        |   CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |   CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |   CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |   CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |   CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |   CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 OR f5 THEN 1 ELSE 0 END) AS BIGINT) AS vany
+        |  FROM f)
+        |SELECT rule, n_docs, n_fail, round(CAST(n_fail AS DOUBLE)/n_docs, 6) AS fail_share
+        |FROM (
+        | SELECT 'word_count' AS rule, n_docs, v1 AS n_fail FROM a UNION ALL
+        | SELECT 'mean_word_len', n_docs, v2 FROM a UNION ALL
+        | SELECT 'top_token_share', n_docs, v3 FROM a UNION ALL
+        | SELECT 'type_token_ratio', n_docs, v4 FROM a UNION ALL
+        | SELECT 'stopword_types', n_docs, v5 FROM a UNION ALL
+        | SELECT 'any_rule', n_docs, vany FROM a)
+        |ORDER BY rule""".stripMargin)),
+
     "q32_lang_id" -> Entry(
       (s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id"), Some(
       """SELECT doc_id, lang,
@@ -1445,6 +1482,38 @@ object Registry {
     // agg with exact count(DISTINCT B) + a 1-row violating-group rollup —
     // exact verdicts (a sampled FD is how bad merge keys get chosen);
     // candidates span holding keys AND expected failures.
+    // Fellegi-Sunter probabilistic record linkage: blocked candidate
+    // pairs (nation equi-join), per-field agreement (levenshtein<=1 name,
+    // exact segment/balance), DECIMAL-exact log2(m/u) weight sums banded
+    // into match/possible. The dirty side is a deterministic md5-gated
+    // re-registration fixture both engines derive identically.
+    "q261_record_linkage" -> Entry((s, d) =>
+      graft.relational.RecordLinkage.fsLinkage(Tables(s, d, "customer"))
+        .orderBy("dirty_id", "cand_key"), Some(
+      """WITH dirty AS (SELECT c_custkey + 10000000 AS dirty_id,
+        |   substr(c_name, 1, length(c_name) - 1) || 'X' AS d_name,
+        |   c_nationkey AS d_nation,
+        |   CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR) || ':dirtybal'), 1, 2) < '20'
+        |     THEN CAST(c_acctbal AS DOUBLE) + 1.0 ELSE CAST(c_acctbal AS DOUBLE) END AS d_bal,
+        |   c_mktsegment AS d_seg
+        |  FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR) || ':dirty'), 1, 2) < '40'),
+        |sc AS (SELECT dirty_id, c.c_custkey AS cand_key,
+        |   levenshtein(d_name, c.c_name) <= 1 AS a_name,
+        |   d_seg = c.c_mktsegment AS a_seg,
+        |   d_bal = CAST(c.c_acctbal AS DOUBLE) AS a_bal,
+        |   (CASE WHEN levenshtein(d_name, c.c_name) <= 1
+        |      THEN CAST(9.891784 AS DECIMAL(12,6)) ELSE CAST(-4.320485 AS DECIMAL(12,6)) END
+        |    + CASE WHEN d_seg = c.c_mktsegment
+        |      THEN CAST(2.247928 AS DECIMAL(12,6)) ELSE CAST(-4.000000 AS DECIMAL(12,6)) END
+        |    + CASE WHEN d_bal = CAST(c.c_acctbal AS DOUBLE)
+        |      THEN CAST(6.629357 AS DECIMAL(12,6)) ELSE CAST(-6.629357 AS DECIMAL(12,6)) END) AS score_dec
+        |  FROM dirty JOIN customer c ON dirty.d_nation = c.c_nationkey)
+        |SELECT dirty_id, cand_key, a_name, a_seg, a_bal,
+        | CAST(score_dec AS DOUBLE) AS score,
+        | CASE WHEN score_dec >= 12 THEN 'match' ELSE 'possible' END AS verdict
+        |FROM sc WHERE score_dec >= 0 ORDER BY dirty_id, cand_key""".stripMargin)),
+
     "q237_fd_audit" -> Entry((s, d) =>
       graft.relational.Profile.fdAudit(Seq(
         ("orders", Tables(s, d, "orders"), "o_orderkey", "o_custkey"),
@@ -4167,7 +4236,93 @@ object Registry {
         |SELECT doc_id, count(*) AS n_pieces,
         |  CAST(sum(len(string_split(v2.symstr, ' '))) AS BIGINT) AS n_bpe_tokens
         |FROM d JOIN v2 USING (piece)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility per language on the LEARNED q185/q188 BPE
+    // vocab: BPE tokens per word + chars per BPE token — the
+    // multilingual tokenizer-quality statistic (under-represented
+    // languages fragment into more pieces). q188's per-doc encode joined
+    // to lang; integer sums, two final divisions.
+    "q262_bpe_fertility" -> Entry(
+      (s, d) => TextAnalysis.bpeFertility(docs(s, d), steps = 2).orderBy("lang"), Some(
+      """WITH v0 AS (
+        |  SELECT piece, count(*) AS freq,
+        |    trim(regexp_replace(piece, '(.)', '\1 ', 'g')) AS symstr
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece FROM documents)
+        |  GROUP BY piece),
+        |p1 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v0),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT sym_a, sym_b FROM p1
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |v1 AS (
+        |  SELECT piece, freq,
+        |    list_reduce(string_split(symstr, ' '), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^ ]*$') = sym_a AND x = sym_b
+        |        THEN regexp_replace(acc, '[^ ]*$', '') || sym_a || sym_b
+        |        ELSE acc || ' ' || x END) AS symstr
+        |  FROM v0 CROSS JOIN b1),
+        |p2 AS (
+        |  SELECT s[i] AS sym_a, s[i+1] AS sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(symstr, ' ') AS s FROM v1),
+        |       unnest(range(1, len(s))) u(i)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT sym_a, sym_b FROM p2
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |v2 AS (
+        |  SELECT piece,
+        |    list_reduce(string_split(symstr, ' '), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^ ]*$') = sym_a AND x = sym_b
+        |        THEN regexp_replace(acc, '[^ ]*$', '') || sym_a || sym_b
+        |        ELSE acc || ' ' || x END) AS symstr
+        |  FROM v1 CROSS JOIN b2),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_pieces,
+        |    CAST(sum(len(string_split(v2.symstr, ' '))) AS BIGINT) AS n_bpe
+        |  FROM d JOIN v2 USING (piece) GROUP BY doc_id),
+        |c AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_pieces) AS BIGINT) AS n_words,
+        | CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        | round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_pieces) AS DOUBLE), 6) AS fertility,
+        | round(CAST(sum(chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token
+        |FROM c JOIN pd USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Lead-lag cross-correlation between the view and purchase daily
+    // series on the q227 zero-filled spine: exact integer moment sums per
+    // lag (the pairing self-joins run on the <=|calendar|-row frame),
+    // one closed-form Pearson division at the end.
+    "q263_lead_lag_corr" -> Entry(
+      (s, d) => Events.leadLagCorr(s, d).orderBy("lag"), Some(
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |c AS (SELECT day,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        | FROM e GROUP BY 1),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM mm),
+        |daily AS (SELECT spine.day, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+        | FROM spine LEFT JOIN c USING (day)),
+        |m AS (SELECT l.lag, count(*) AS n_days,
+        |  CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+        |  CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+        |  CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |  CAST(sum(b.y * b.y) AS BIGINT) AS syy
+        | FROM (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS lag) l
+        | JOIN daily a ON true
+        | JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        | GROUP BY 1)
+        |SELECT lag, n_days,
+        | round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |   sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
+        |FROM m ORDER BY lag""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -50,6 +50,62 @@ object TextAnalysis {
       (lit(1.0) - punctRatio - digitRatio).as("quality_score"))
   }
 
+  /** Gopher-style rule-based quality gate with per-rule attribution
+    * (q260) — the document-filter rule family of Rae et al. 2021
+    * (Gopher, Appendix A1.1), reported the way a pipeline operator
+    * actually consumes it: not one opaque verdict but a per-rule failure
+    * census (how many documents each rule rejects, and how many any rule
+    * rejects) — the knob-tuning view next to q250's sequential waterfall
+    * (which attributes drops to a STAGE ORDER; this is the
+    * order-independent per-rule marginal) and q31's scalar score.
+    *
+    * Shipped rules are the word-statistics core of the Gopher set,
+    * adapted honestly to the punctuation-free single-space fixture (the
+    * symbol/ellipsis/bullet-line rules need punctuation the corpus does
+    * not contain): word-count range, mean-word-length range, top-token
+    * share (the "fraction of most common word" repetition rule),
+    * type-token-ratio floor, and ≥2 distinct stop words. Every threshold
+    * compares CROSS-MULTIPLIED INTEGERS (`chars < 3·words`, not
+    * `chars/words < 3.0`) so no float boundary can disagree between
+    * engines.
+    *
+    * Scale shape: one narrow doc-grain projection + one explode/count
+    * token-grain agg (both map-side-combinable), equi-joined on doc_id,
+    * folded to a single row and unpivoted with `stack` — the q216
+    * constraint-gate shape. Nothing is corpus² and the text column never
+    * shuffles (only per-doc counters do). */
+  def gopherRuleReport(docs: DataFrame, minWords: Int = 40,
+      maxWords: Int = 10000): DataFrame = {
+    require(minWords >= 1 && maxWords > minWords)
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+      size(array_intersect(toks, typedLit(stopwords))).cast("long").as("n_stop"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_tok"), count(lit(1)).as("n_types"))
+    val f = base.join(tf, "doc_id").select(
+      (col("words") < minWords || col("words") > maxWords).as("f1"),
+      (col("chars") < col("words") * 3 || col("chars") > col("words") * 10).as("f2"),
+      (col("max_tok") * 5 > col("words")).as("f3"),
+      (col("n_types") * 5 < col("words")).as("f4"),
+      (col("n_stop") < 2).as("f5"))
+    def v(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val one = f.agg(count(lit(1)).as("n_docs"),
+      v(col("f1")).as("v1"), v(col("f2")).as("v2"), v(col("f3")).as("v3"),
+      v(col("f4")).as("v4"), v(col("f5")).as("v5"),
+      v(col("f1") || col("f2") || col("f3") || col("f4") || col("f5")).as("vany"))
+    one.select(col("n_docs"), expr("stack(6, " +
+        "'word_count', v1, 'mean_word_len', v2, 'top_token_share', v3, " +
+        "'type_token_ratio', v4, 'stopword_types', v5, 'any_rule', vany" +
+        ") AS (rule, n_fail)"))
+      .select(col("rule"), col("n_docs"),
+        col("n_fail").cast("long").as("n_fail"),
+        round(col("n_fail").cast("double") / col("n_docs").cast("double"), 6)
+          .as("fail_share"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "es" -> Seq("el", "la", "de"),
@@ -201,6 +257,37 @@ object TextAnalysis {
         size(split(col("symstr"), " ")).cast("long").as("n_syms")), "piece")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pieces"), sum("n_syms").as("n_bpe_tokens"))
+  }
+
+  /** Tokenizer fertility report per language (q262) — the
+    * tokenizer-quality statistic a multilingual corpus release publishes
+    * (cf. the fertility analyses in the mT5/BLOOM tokenizer papers):
+    * with the LEARNED q185 BPE vocabulary applied to the corpus (q188's
+    * encode), per language: BPE tokens per word ("fertility" — how many
+    * subword pieces an average word fragments into) and characters per
+    * BPE token (compression). A tokenizer trained on skewed language
+    * mixes shows inflated fertility on the underrepresented languages —
+    * exactly what this frame surfaces.
+    *
+    * Shape: q188's per-doc encode (vocab equi-join + hash agg) joined
+    * back to the doc's language — one extra narrow projection and a
+    * |langs|-row rollup; sums stay exact integers until the two final
+    * divisions. */
+  def bpeFertility(docs: DataFrame, steps: Int = 2): DataFrame = {
+    val perDoc = bpeEncode(docs, steps)
+    docs.select(col("doc_id"), col("lang"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"))
+      .join(perDoc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pieces").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
   }
 
   /** Distinct word-k-shingle count per document (the MinHash front end). */

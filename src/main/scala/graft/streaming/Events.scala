@@ -1680,6 +1680,54 @@ object Events {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Lead–lag cross-correlation between two event-type daily series
+    * (q263): Pearson r between views on day t−L and purchases on day t
+    * for L ∈ {0..maxLag} — the marketing/forecasting question "does view
+    * activity LEAD purchases, and by how many days?", answered on the
+    * zero-filled [[dailySpine]] calendar (a missing day dropped from the
+    * pairing would silently shift every lag after it — the q227/q232
+    * correctness precondition).
+    *
+    * Determinism: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * INTEGER aggregates of per-day counts; only the final closed-form
+    * Pearson division touches doubles (one multiply, one IEEE sqrt —
+    * identical in both engines), rounded to 6dp. Scale shape: one hash
+    * agg over the fact stream builds both series; everything after runs
+    * on the ≤|calendar|-row daily frame — the lag self-joins are
+    * date_add equi-joins on a frame bounded by days, not rows. */
+  def leadLagCorr(spark: SparkSession, dir: String, leadType: String = "view",
+      targetType: String = "purchase", maxLag: Int = 2): DataFrame =
+    leadLagCorrFrom(events(spark, dir), leadType, targetType, maxLag)
+
+  private[graft] def leadLagCorrFrom(ev: DataFrame, leadType: String = "view",
+      targetType: String = "purchase", maxLag: Int = 2): DataFrame = {
+    require(maxLag >= 0)
+    val e = ev.select(to_date(col("ts")).as("day"), col("event_type"))
+    val c = e.groupBy("day").agg(
+      sum(when(col("event_type") === leadType, 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === targetType, 1L).otherwise(0L)).as("y"))
+    val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val daily = broadcast(spine).join(c, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val branches = (0 to maxLag).map { l =>
+      daily.select(col("day").as("a_day"), col("x"))
+        .join(daily.select(col("day").as("b_day"), col("y")),
+          date_add(col("a_day"), l) === col("b_day"))
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(lit(l.toLong).as("lag"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r"))
+    }
+    branches.reduce(_.unionAll(_))
+  }
+
   /** Daily trend report (q232) over the zero-filled [[dailySpine]]:
     * trailing 7-day moving average and day-over-day delta — the two
     * derived series the spine exists to make CORRECT (computed over raw

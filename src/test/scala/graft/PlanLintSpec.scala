@@ -109,8 +109,10 @@ class PlanLintSpec extends AnyFunSuite {
                                   // back for the cell quantization
     "q258_t_closeness",           // 1-row corpus-total broadcast into the
                                   // (class x source) cell frame
-    "q259_unimax_budget")         // 1-row totals + 1-row waterfill-round
+    "q259_unimax_budget",         // 1-row totals + 1-row waterfill-round
                                   // frames broadcast into the K-row grants
+    "q262_bpe_fertility")         // composes q185's 1-row argmax-pair
+                                  // broadcasts (vocab merge steps)
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

@@ -776,6 +776,83 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(openGrants.length <= 1, s"open sources diverged: ${openGrants.mkString(",")}")
   }
 
+  test("q260 gopher rules: planted docs attribute to exactly the rules they break") {
+    import spark.implicits._
+    val pass = ((1 to 50).map(i => f"w$i%03d") ++ Seq("the", "a")).mkString(" ")
+    val short = ((1 to 8).map(i => f"s$i%03d") ++ Seq("the", "a")).mkString(" ")
+    val runt = Seq.fill(45)("zz").mkString(" ")   // mean-len + repetition + TTR + stops
+    val loop = (Seq("the", "a") ++ Seq.fill(38)("word")).mkString(" ")
+    val df = Seq((1L, pass), (2L, short), (3L, runt), (4L, loop)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRuleReport(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("word_count") === 1L, "only the 10-word doc breaks the count range")
+    assert(got("mean_word_len") === 1L, "only the zz-run breaks mean word length")
+    assert(got("top_token_share") === 2L, "zz-run and word-loop break repetition")
+    assert(got("type_token_ratio") === 2L)
+    assert(got("stopword_types") === 1L, "only the zz-run lacks two stop types")
+    assert(got("any_rule") === 3L, "doc 1 must pass every rule")
+  }
+
+  test("q260 gopher rules on the corpus: any-rule bounded by union algebra") {
+    val rows = TextAnalysis.gopherRuleReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val singles = rows.view.filterKeys(_ != "any_rule").values.map(_._2).toSeq
+    val (nDocs, any, _) = rows("any_rule")
+    assert(any >= singles.max && any <= math.min(singles.sum, nDocs),
+      "any_rule must sit between the max single rule and the sum/corpus cap")
+    rows.values.foreach { case (n, f, share) =>
+      assert(n === docs.count() && f >= 0L && f <= n)
+      assert(math.abs(share - f.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("q261 FS linkage: every dirty record recovers its source; no false pair reaches match") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val out = graft.relational.RecordLinkage.fsLinkage(customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(4),
+        r.getDouble(5), r.getString(6)))
+    val nDirty = customer.filter(
+      substring(md5(concat(col("c_custkey").cast("string"), lit(":dirty"))), 1, 2) < "40")
+      .count()
+    val truePairs = out.filter { case (d, c, _, _, _, _) => d - 10000000L === c }
+    assert(truePairs.length.toLong === nDirty,
+      "every dirty re-registration must surface its true source at score >= 0")
+    truePairs.foreach { case (_, _, aName, aBal, score, verdict) =>
+      assert(aName, "true pair must agree on name at edit distance 1")
+      if (aBal) assert(verdict === "match" && math.abs(score - 18.769069) < 1e-9)
+      else assert(verdict === "possible" && math.abs(score - 5.510355) < 1e-9,
+        "balance-perturbed true pair must land in the clerical-review band")
+    }
+    // the match band is PURE: only true pairs score past the upper cutoff
+    out.filter(_._6 == "match").foreach { case (d, c, _, _, _, _) =>
+      assert(d - 10000000L === c, s"false pair ($d,$c) crossed the match threshold")
+    }
+  }
+
+  test("q262 fertility: a corpus whose merges fully fuse its words scores exactly 1.0") {
+    import spark.implicits._
+    // Two word types 'ab'/'cd', two merges: (a,b) then (c,d) — every word
+    // becomes ONE symbol, so fertility = 1.0 and chars/token = 2.0 exactly.
+    val df = Seq((1L, "ab cd ab cd", "xx"), (2L, "cd ab", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeFertility(df, steps = 2).head()
+    assert(got.getString(0) === "xx" && got.getLong(1) === 2L)
+    assert(got.getLong(2) === 6L && got.getLong(3) === 6L, "6 words, 6 fused tokens")
+    assert(got.getDouble(4) === 1.0 && got.getDouble(5) === 2.0)
+  }
+
+  test("q262 fertility on the corpus: bounds hold per language") {
+    val rows = TextAnalysis.bpeFertility(docs).collect()
+    assert(rows.length === docs.select("lang").distinct().count().toInt)
+    rows.foreach { r =>
+      val (words, toks, fert, cpt) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(toks >= words, "every word encodes to at least one token")
+      assert(fert >= 1.0, s"${r.getString(0)}: fertility below 1")
+      assert(cpt >= 1.0, s"${r.getString(0)}: a token must cover at least one char")
+    }
+  }
+
   test("q253 file sizing: ceil split per month, no file over budget") {
     val audit = graft.relational.Queries.fileSizingAudit(spark, dir, rowsPerFile = 500)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -613,6 +613,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(before < 0.8 * total, "cutoff day must be the EARLIEST day reaching the fraction")
   }
 
+  test("q263 lead-lag: a planted one-day lead scores exactly 1.0 at lag 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // views per day [3,1,4,1,5]; purchases are EXACTLY yesterday's views
+    // ([0,3,1,4,1]) — lag-1 pairing reproduces the series bit-for-bit, so
+    // Pearson r at lag 1 must be exactly 1.0; lag 0 must not be.
+    val x = Seq(3, 1, 4, 1, 5)
+    val rows = (1 to 5).flatMap { d =>
+      val views = Seq.fill(x(d - 1))(("view", d))
+      val buys = if (d >= 2) Seq.fill(x(d - 2))(("purchase", d)) else Nil
+      views ++ buys
+    }
+    val ev = rows.toDF("event_type", "d")
+      .select(col("event_type"),
+        to_timestamp(concat(lit("2026-01-0"), col("d"), lit(" 12:00:00"))).as("ts"))
+    val got = graft.streaming.Events.leadLagCorrFrom(ev).orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.map(_._2).toSeq === Seq(5L, 4L, 3L), "pair counts must shrink by one per lag")
+    assert(got(1)._3 === 1.0, "lag-1 must recover the planted lead exactly")
+    assert(got(0)._3 < 1.0)
+  }
+
   test("q221 key skew: planted hot key, exact ratio, largest-key tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
