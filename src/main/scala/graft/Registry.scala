@@ -705,6 +705,24 @@ object Registry {
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Event-time-TIMER sessionization on transformWithState: per-user gap
+    // sessions closed by registered timers when the watermark passes
+    // (handleExpiredTimer — the API surface q257 doesn't touch), settled
+    // == the q53 batch sessionize oracle.
+    "q264_tws_timer_sessions" -> Entry((s, d) =>
+      Events.twsTimerSessions(s, d).orderBy("user_id", "session_seq"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |l AS (SELECT user_id, ts_ms, event_id,
+        |  lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ts_ms, event_id,
+        |  CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |g AS (SELECT user_id, ts_ms,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS session_seq
+        | FROM f)
+        |SELECT user_id, session_seq, min(ts_ms) AS session_start_ms,
+        | max(ts_ms) - min(ts_ms) AS duration_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
     // CDC changelog compaction: latest-wins upsert view with tombstones
     // ('error' = DELETE), as one map-side-combinable argmax-struct agg.
     // The oracle spells the same semantics as a window rank — hash

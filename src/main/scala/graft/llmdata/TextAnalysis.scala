@@ -591,6 +591,63 @@ object TextAnalysis {
         round(col("sum_lp") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** DoReMi-style one-step domain reweighting (q265) — the
+    * excess-loss exponentiated-gradient update of Xie et al. 2023
+    * ("DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"), certified at ONE unrolled step (the q94/q121/q259
+    * finite-unroll idiom; the full algorithm loops this update while
+    * retraining the proxy): per source, token-weighted mean bigram NLL
+    * under the q189 corpus LM stands in for the proxy-model loss, the
+    * corpus-wide mean is the reference, and the new mixture weight is
+    * w'_s ∝ w_s · exp(η · excess_s), normalized — sources whose text the
+    * LM finds HARDER than average gain weight.
+    *
+    * Determinism: per-bigram ln() quantizes to DECIMAL(28,12) before the
+    * per-source sums (the q119/q189 rule), the exp() scores quantize to
+    * DECIMAL(30,18) before the normalizing sum (the q219 rule — the
+    * reduction is order-independent and last-ulp libm differences are
+    * absorbed by the final 6dp rounding), and every count is an exact
+    * integer. Shape: the q189 bigram plan grouped by source instead of
+    * doc (same two hash aggs + equi-joins), then K-row frames with 1-row
+    * broadcast crosses. */
+  def doremiStep(docs: DataFrame, eta: Double = 1.0): DataFrame = {
+    val dec2812 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toks = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(col("source"),
+        explode(transform(sequence(lit(2), size(col("toks"))),
+          i => struct(element_at(col("toks"), i - 1).as("a"),
+            element_at(col("toks"), i).as("b")))).as("p"))
+      .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bg.join(cab, Seq("a", "b")).join(ca, "a")
+      .crossJoin(broadcast(vocab))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+          .cast(dec2812)).as("lp"))
+    val tot = scored.agg(sum("n_bigrams").as("n_all"), sum("lp").as("lp_all"))
+    val loss = -col("lp").cast("double") / col("n_bigrams").cast("double")
+    val lossAll = -col("lp_all").cast("double") / col("n_all").cast("double")
+    val share = col("n_bigrams").cast("double") / col("n_all").cast("double")
+    val base = scored.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_bigrams"), loss.as("loss"),
+        (loss - lossAll).as("excess"), share.as("w_old"),
+        (share * exp(lit(eta) * (loss - lossAll)))
+          .cast(DecimalType(30, 18)).as("score"))
+    val z = base.agg(sum("score").as("z"))
+    base.crossJoin(broadcast(z))
+      .select(col("source"), col("n_bigrams"),
+        round(col("loss"), 6).as("loss"),
+        round(col("excess"), 6).as("excess"),
+        round(col("w_old"), 6).as("weight_old"),
+        round(col("score").cast("double") / col("z").cast("double"), 6)
+          .as("weight_new"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
     * split each language's documents into head/middle/tail terciles by

@@ -5,8 +5,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  MapState, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, MapState, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
@@ -1393,6 +1394,123 @@ object Events {
     settled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("n_events"), col("n_types"),
         col("min_value"), col("max_value"))
+  }
+
+  final case class TwsSession(user_id: Long, session_seq: Long,
+      session_start_ms: Long, duration_ms: Long, n_events: Long,
+      closed: Boolean)
+
+  /** Event-time-TIMER sessionization processor (q264) — the
+    * `transformWithState` surface q257 does not exercise: per-user gap
+    * sessions closed by REGISTERED EVENT-TIME TIMERS (the
+    * timer/handleExpiredTimer API), the hand-rolled equivalent of
+    * `session_window`'s merging state and the shape every custom
+    * session-like operator (auctions, incident windows, call legs) takes
+    * when the built-in window semantics don't fit.
+    *
+    * Per key the state is one open session triple (start, last, n) + the
+    * emitted-session counter — constant size. Each input batch folds its
+    * rows in (ts, event_id) order: a row within `gapMs` of the open
+    * session extends it; a later row CLOSES it (emitted `closed = true`)
+    * and opens the next. After folding, the ONE pending timer is re-armed
+    * to `last + gapMs + 1` (stale timers deleted — at most one live timer
+    * per key, the bounded-timer-state contract); when the WATERMARK
+    * passes it, [[handleExpiredTimer]] closes the session with no further
+    * input for that key — the production path for a user who simply
+    * stopped, which a data-driven close can never reach.
+    *
+    * A snapshot of the still-open session also emits each batch
+    * (`closed = false`, carrying its prospective seq): on a drained
+    * stream the watermark stops at max-event-time, so sessions ending
+    * within `gapMs` of the corpus edge can never time out — the settle
+    * takes, per (user, seq), the closed row if one exists else the
+    * latest snapshot (one argmax over emissions), making the settled
+    * output EQUAL to the batch [[sessionize]] oracle. Cross-batch
+    * disorder is bounded by the stream's watermark delay as usual;
+    * within-batch disorder is absorbed by the sort (bounded by batch
+    * size, not stream length). */
+  private[streaming] class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), TwsSession] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var seq: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def nextSeq(): Long = {
+      val n = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(n)
+      n
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[TwsSession] = {
+      val sorted = rows.toSeq.sortBy { case (_, ts, id) => (ts, id) }
+      var out = List.empty[TwsSession]
+      var st = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { case (_, ts, _) =>
+        st match {
+          case Some((s0, last, n)) if ts - last <= gapMs =>
+            st = Some((s0, math.max(last, ts), n + 1L))
+          case Some((s0, last, n)) =>
+            out ::= TwsSession(key, nextSeq(), s0, last - s0, n, closed = true)
+            st = Some((ts, ts, 1L))
+          case None =>
+            st = Some((ts, ts, 1L))
+        }
+      }
+      st.foreach { case (s0, last, n) =>
+        open.update((s0, last, n))
+        val arm = last + gapMs + 1L
+        getHandle.listTimers().foreach(t => if (t != arm) getHandle.deleteTimer(t))
+        getHandle.registerTimer(arm)
+        val prospective = (if (seq.exists()) seq.get() else 0L) + 1L
+        out ::= TwsSession(key, prospective, s0, last - s0, n, closed = false)
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[TwsSession] = {
+      if (open.exists()) {
+        val (s0, last, n) = open.get()
+        if (expired.getExpiryTimeInMs >= last + gapMs) {
+          open.clear()
+          Iterator.single(TwsSession(key, nextSeq(), s0, last - s0, n, closed = true))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** The settled [[SessionTimerProcessor]] stream (q264): per-user gap
+    * sessions via event-time timers, equal to the batch [[sessionize]]
+    * (q53) oracle. Zero watermark delay maximizes timer coverage on the
+    * drained feed (a production stream trades this knob for disorder
+    * tolerance); the per-(user, seq) argmax prefers the closed row — see
+    * the processor scaladoc for why corpus-edge sessions settle from
+    * snapshots instead of timers. */
+  def twsTimerSessions(spark: SparkSession, dir: String,
+      gapMs: Long = 300000L): DataFrame = {
+    val settled = settle(spark, dir, stream => {
+      val s = stream.sparkSession
+      import s.implicits._
+      stream.withWatermark("ts", "0 milliseconds")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(gapMs),
+          TimeMode.EventTime(), OutputMode.Update())
+        .toDF()
+    }, outputMode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    settled.groupBy("user_id", "session_seq")
+      .agg(max(struct(col("closed"), col("n_events"), col("session_start_ms"),
+        col("duration_ms"))).as("best"))
+      .select(col("user_id"), col("session_seq"),
+        col("best.session_start_ms").as("session_start_ms"),
+        col("best.duration_ms").as("duration_ms"),
+        col("best.n_events").as("n_events"))
   }
 
   /** Batch interval (time-range) join — the deterministic batch twin of

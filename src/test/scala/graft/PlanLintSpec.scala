@@ -24,6 +24,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q101_neardup_dedup",       // composes q99's eager loop
     "q113_stream_enrich",       // streaming settle on construction
     "q257_tws_user_stats",      // transformWithState settle on construction
+    "q264_tws_timer_sessions",  // transformWithState + event-time timers
+                                // settle on construction
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
     "q190_embedding_pca",       // PCA fit on construction; contracts in

@@ -151,6 +151,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q264 timers: a session closes via handleExpiredTimer with NO further input for its key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = 1700000000000L
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val name = "graft_tws_timer_test"
+    val q = input.toDF().toDF("user_id", "ts", "event_id")
+      .withWatermark("ts", "0 milliseconds")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new Events.SessionTimerProcessor(300000L),
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, ts(0), 10L), (1L, ts(60), 11L), (2L, ts(0), 20L))
+      q.processAllAvailable()
+      input.addData((1L, ts(120), 12L)) // extends user 1's open session across batches
+      q.processAllAvailable()
+      input.addData((2L, ts(3600), 21L)) // only advances the watermark for user 1
+      q.processAllAvailable()
+      val rows = s.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      // user 1 got NO input after ts(120), yet its session must close —
+      // that close can only come from the expired event-time timer.
+      val u1closed = rows.filter(r => r._1 == 1L && r._6)
+      assert(u1closed.toSeq === Seq((1L, 1L, base, 120000L, 3L, true)),
+        s"user 1 must close once, by timer, with the batch-merged span: ${rows.mkString(",")}")
+      // user 2's first (one-event) session also times out; its hour-later
+      // session sits within the gap of the final watermark → open snapshot only
+      assert(rows.filter(r => r._1 == 2L && r._6).toSeq ===
+        Seq((2L, 1L, base, 0L, 1L, true)))
+      val u2open = rows.filter(r => r._1 == 2L && r._2 == 2L)
+      assert(u2open.nonEmpty && u2open.forall(!_._6),
+        "the corpus-edge session must surface as an open snapshot, never a close")
+    } finally {
+      q.stop(); s.catalog.dropTempView(name)
+      prior match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TTL'd user stats: timed-out state evicts and re-initializes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
