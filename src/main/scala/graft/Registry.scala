@@ -4340,7 +4340,41 @@ object Registry {
         | round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
         |   sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
         |        CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
-        |FROM m ORDER BY lag""".stripMargin))
+        |FROM m ORDER BY lag""".stripMargin)),
+
+    // DoReMi-style one-step mixture reweighting (Xie et al. 2023) over the
+    // q189 corpus bigram LM: per-source excess loss vs the corpus mean
+    // exponentiates into new mixture weights — sources the LM finds HARDER
+    // gain weight. Per-bigram ln() quantizes to DECIMAL(28,12) before the
+    // per-source sums (q189 rule); the exp() scores quantize to
+    // DECIMAL(30,18) before the normalizing sum (q219 rule).
+    "q265_doremi_step" -> Entry(
+      (s, d) => TextAnalysis.doremiStep(docs(s, d)).orderBy("source"), Some(
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT source, t[i-1] AS a, t[i] AS b
+        |  FROM toks, unnest(range(2, len(t) + 1)) u(i) WHERE len(t) >= 2),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+        |scored AS (SELECT source, count(*) AS n_bigrams,
+        |  sum(CAST(ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS lp
+        | FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        | GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS n_all, sum(lp) AS lp_all FROM scored),
+        |base AS (SELECT source, n_bigrams,
+        |  -CAST(lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS loss,
+        |  (-CAST(lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+        |    - (-CAST(lp_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS excess,
+        |  CAST(n_bigrams AS DOUBLE) / CAST(n_all AS DOUBLE) AS w_old
+        | FROM scored CROSS JOIN tot),
+        |sc AS (SELECT source, n_bigrams, loss, excess, w_old,
+        |  CAST(w_old * exp(1.0 * excess) AS DECIMAL(30,18)) AS score FROM base),
+        |z AS (SELECT sum(score) AS z FROM sc)
+        |SELECT source, n_bigrams, round(loss, 6) AS loss,
+        | round(excess, 6) AS excess, round(w_old, 6) AS weight_old,
+        | round(CAST(score AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight_new
+        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

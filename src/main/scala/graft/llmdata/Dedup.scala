@@ -1011,6 +1011,13 @@ object Dedup {
     val settled = s2.table(name)
     val outSchema = settled.schema
     val rows = settled.collect()
+    // CONTRACT (mirrors Events.settle): memory-sink settles collect on
+    // the driver and exist ONLY for bounded aggregate frames — per-batch
+    // dup verdicts here, never a per-document corpus projection. A
+    // per-event streaming output must take the file-sink egress instead.
+    require(rows.length <= 5000000,
+      s"settleDocs() collected ${rows.length} rows: memory-sink settles " +
+        "are for bounded aggregate frames only")
     s2.catalog.dropTempView(name)
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }

@@ -503,9 +503,24 @@ object Events {
     val settled = s2.table(name)
     val outSchema = settled.schema
     val rows = settled.collect()
+    // CONTRACT: memory-sink settles materialize on the driver, so every
+    // query routed through this harness must produce a BOUNDED aggregate
+    // frame (keyed rollups, join matches, session lists — never a
+    // per-event projection of the corpus). The ceiling trips long before
+    // driver memory does; a future per-event streaming query must use
+    // the file-sink path (q199 / foreachBatch) instead of settle().
+    require(rows.length <= SettleRowCap,
+      s"settle() collected ${rows.length} rows (> $SettleRowCap): " +
+        "memory-sink settles are for bounded aggregate frames only — " +
+        "route per-event output through the streaming file sink")
     s2.catalog.dropTempView(name)
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
+
+  /** Driver-side ceiling for [[settle]]'s collect — see the contract note
+    * there. Generous vs every current settle (the largest, q64's interval
+    * matches at sf0.1, is ~30k rows) yet far below driver-memory harm. */
+  private val SettleRowCap: Int = 5000000
 
   /** Streaming FILE sink round-trip (q199) — the production egress the
     * memory-sink settles cannot certify: a streaming query writing parquet
@@ -1463,8 +1478,14 @@ object Events {
       st.foreach { case (s0, last, n) =>
         open.update((s0, last, n))
         val arm = last + gapMs + 1L
-        getHandle.listTimers().foreach(t => if (t != arm) getHandle.deleteTimer(t))
-        getHandle.registerTimer(arm)
+        // Re-arm only when the target timer isn't already registered:
+        // registering an already-present expiry is undocumented API
+        // territory, and at most one live timer per key is the contract.
+        var armed = false
+        getHandle.listTimers().foreach { t =>
+          if (t != arm) getHandle.deleteTimer(t) else armed = true
+        }
+        if (!armed) getHandle.registerTimer(arm)
         val prospective = (if (seq.exists()) seq.get() else 0L) + 1L
         out ::= TwsSession(key, prospective, s0, last - s0, n, closed = false)
       }
@@ -1792,7 +1813,7 @@ object Events {
       countDistinct(col("user_id")).as("n_users"))
     val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    broadcast(spine).join(counts, Seq("day"), "left")
+    spine.join(broadcast(counts), Seq("day"), "left")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("n_users"), lit(0L)).as("n_users"))
@@ -1826,7 +1847,11 @@ object Events {
       sum(when(col("event_type") === targetType, 1L).otherwise(0L)).as("y"))
     val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val daily = broadcast(spine).join(c, Seq("day"), "left")
+    // Broadcast the RIGHT (nullable) side: Spark cannot build-broadcast
+    // the stream-preserved left side of a left-outer BHJ, so a left-side
+    // hint would be silently ignored. `c` is a per-day aggregate, bounded
+    // by the calendar like the spine itself.
+    val daily = spine.join(broadcast(c), Seq("day"), "left")
       .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
         coalesce(col("y"), lit(0L)).as("y"))
     val branches = (0 to maxLag).map { l =>
