@@ -1774,6 +1774,23 @@ object Registry {
         |FROM u JOIN o ON abs(u_ms - o.ms) <= 172800000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The q245 range join written the way most users write it — genuine
+    // TIMESTAMP operands and a BETWEEN predicate (analyzed: two
+    // TimestampAddInterval conjuncts). Round 13's rule missed this
+    // spelling and paid the BNLJ cliff; the generalized rule buckets it
+    // via unix_micros. Oracle runs the unrewritten BETWEEN theta join.
+    "q266_rule_range_between" -> Entry((s, d) =>
+      graft.plans.RangeJoinBucketRule.nearbyOrderCountsBetween(s, d)
+        .orderBy("o_orderkey"), Some(
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+        |  o_orderpriority FROM orders),
+        |u AS (SELECT o_orderkey AS u_key, ts AS u_ts FROM o
+        | WHERE o_orderpriority = '1-URGENT')
+        |SELECT u_key AS o_orderkey, count(*) AS n_nearby
+        |FROM u JOIN o ON o.ts BETWEEN u.u_ts - INTERVAL 2 DAY
+        |                          AND u.u_ts + INTERVAL 2 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // l-diversity audit (k-anonymity's complement): per quasi-class,
     // size + distinct sensitive values + the diversity verdict — a large
     // class with ONE sensitive value still leaks by membership alone.

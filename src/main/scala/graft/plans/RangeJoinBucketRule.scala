@@ -5,46 +5,64 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{abs => fAbs, col, count, lit, unix_millis}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{abs => fAbs, col, count, expr, lit, unix_millis}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite an inner θ-join whose ONLY join-key
-  * material is a bounded absolute difference — `abs(l − r) ≤ T` with `l`
-  * from one side and `r` from the other — into a shuffle-parallel
-  * bucketed equi-join. The naive form has no equi conjunct, so Spark
-  * plans a BroadcastNestedLoopJoin: one broadcast of a whole side and
-  * O(|L|·|R|) comparisons on a single thread per partition — the classic
-  * time-window-join scale cliff. The rewrite buckets both sides by
-  * `value div T` and lets each left row probe its three neighboring
-  * buckets (the right side explodes ×3), keeping the original predicate
-  * as a residual:
+  * material is a bounded difference between one expression from each side
+  * into a shuffle-parallel bucketed equi-join. The naive form has no equi
+  * conjunct, so Spark plans a BroadcastNestedLoopJoin: one broadcast of a
+  * whole side and O(|L|·|R|) comparisons — the classic time-window-join
+  * scale cliff. The rewrite buckets both sides by `value div W` and lets
+  * each left row probe its three neighboring buckets (the right side
+  * explodes ×3), keeping the original predicate as a residual:
   *
   * {{{
-  *   L ⋈_{|l−r|≤T} R
-  *     ⇒  Π_{out} ( (L + bl=l div T)
-  *          ⋈_{bl = br ∧ |l−r|≤T}
-  *            (R × br ∈ {r div T − 1, r div T, r div T + 1}) )
+  *   L ⋈_{|l−r|≤W} R
+  *     ⇒  Π_{out} ( (L + bl=l div W)
+  *          ⋈_{bl = br ∧ |l−r|≤W}
+  *            (R × br ∈ {r div W − 1, r div W, r div W + 1}) )
   * }}}
   *
-  * Correctness: `|l−r| ≤ T` implies the REAL quotients differ by ≤ 1, and
-  * truncating division (`div`, toward zero) is monotone with
-  * `trunc(x)−trunc(y) < (x−y)+1`, so the integer buckets differ by at
-  * most 1 — for negative values too (the ±1 expansion absorbs the
-  * floor/trunc disagreement around zero). Matches outside the expanded
-  * buckets are impossible; matches inside are re-checked by the residual,
-  * so the rewrite is EXACTLY lossless — certified by the q245 oracle
-  * (DuckDB runs the unrewritten θ-join) and by a property test against
-  * brute force on random signed inputs.
+  * Matched spellings (all the forms users actually write — a range join
+  * that silently misses the rule pays the 46-second BNLJ plan back):
   *
-  * Scope is deliberately surgical: inner joins, a LongType difference,
-  * a foldable positive Long bound, and NO existing equi conjunct (if one
+  *  - `abs(l − r) <= T` and strict `abs(l − r) < T` over Longs;
+  *  - the two-conjunct / BETWEEN form `l >= r − T AND l <= r + T` (any
+  *    per-conjunct spelling that normalizes to a bound on the signed
+  *    difference: `l <= r + T`, `l − r <= T`, `l − T <= r`, flipped
+  *    comparisons, asymmetric bounds `r − T1 <= l <= r + T2`);
+  *  - TIMESTAMP operands: `abs(ts_l − ts_r) <= INTERVAL` (an
+  *    `Abs(SubtractTimestamps)` over `DayTimeIntervalType`) and the
+  *    timestamp BETWEEN form (`TimestampAddInterval` bounds) — bucketed
+  *    via `unix_micros`, with the interval bound read in microseconds.
+  *
+  * Every spelling normalizes per conjunct to "x − y ≤ c" facts
+  * ([[DiffBound]]); a join rewrites when some operand pair is bounded in
+  * BOTH directions (`l − r ≤ t₁`, `r − l ≤ t₂`), with bucket width
+  * `W = max(t₁, t₂)`.
+  *
+  * Correctness: the two-sided bound gives `|l−r| ≤ W`, which implies the
+  * REAL quotients differ by ≤ 1, and truncating division (`div`, toward
+  * zero) is monotone with `trunc(x)−trunc(y) < (x−y)+1`, so the integer
+  * buckets differ by at most 1 — for negative values too (the ±1
+  * expansion absorbs the floor/trunc disagreement around zero). Strict
+  * bounds bucket with the same W (a superset — harmless). Matches outside
+  * the expanded buckets are impossible; matches inside are re-checked by
+  * the residual (the ORIGINAL condition, kept verbatim), so the rewrite
+  * is EXACTLY lossless — certified by the q245/q266 oracles (DuckDB runs
+  * the unrewritten θ-join) and by property tests against brute force on
+  * random signed inputs in every spelling.
+  *
+  * Scope is deliberately surgical: inner joins, Long or Timestamp
+  * operands, foldable bounds, and NO existing equi conjunct (if one
   * exists Spark already hash-partitions; rewriting would only add work).
   * The rewritten join carries a bucket equi conjunct, so the rule cannot
   * re-fire on its own output.
   *
   * This is the hand rewrite q129 certifies (and q171's scaladoc
   * promises), promoted from a per-query idiom to a plan transformation
-  * every `|Δ| ≤ T` join in the session gets for free. Inject via
+  * every bounded-difference join in the session gets for free. Inject via
   * `spark.experimental.extraOptimizations` (runtime) or
   * [[graft.functions.GraftExtensions]] (config).
   *
@@ -63,6 +81,111 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
   private def refsIn(e: Expression, p: LogicalPlan): Boolean =
     e.references.subsetOf(p.outputSet)
 
+  /** One normalized bound fact `x − y ≤ c`: `x`/`y` are the original
+    * operand expressions (one per join side), `bx`/`by` their Long-valued
+    * bucket forms (identity for Longs, `unix_micros` for timestamps), `c`
+    * the bound in bucket units (micros for timestamps). Strict bounds
+    * (`<`) are recorded with the same c — a bucket superset; the residual
+    * keeps the strictness. */
+  private final case class DiffBound(x: Expression, y: Expression,
+      bx: Expression, by: Expression, c: Long)
+
+  /** Foldable Long-valued bound: integral literals as-is, day-time
+    * interval literals in microseconds. */
+  private def litLong(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.dataType match {
+      case LongType | IntegerType | _: DayTimeIntervalType =>
+        e.eval() match {
+          case l: java.lang.Long => Some(l.longValue())
+          case i: java.lang.Integer => Some(i.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def isLong(e: Expression): Boolean = e.dataType == LongType
+  private def isTs(e: Expression): Boolean = e.dataType == TimestampType
+
+  private def longPair(x: Expression, y: Expression, c: Long): Seq[DiffBound] =
+    if (isLong(x) && isLong(y)) Seq(DiffBound(x, y, x, y, c)) else Nil
+
+  private def tsPair(x: Expression, y: Expression, c: Long): Seq[DiffBound] =
+    if (isTs(x) && isTs(y))
+      Seq(DiffBound(x, y, UnixMicros(x), UnixMicros(y), c))
+    else Nil
+
+  /** `lhs ≤ rhs` (strictness already folded away) → the `x − y ≤ c`
+    * facts it encodes. Literal position disambiguates the shapes. */
+  private def linDiff(lhs: Expression, rhs: Expression): Seq[DiffBound] =
+    (lhs, rhs) match {
+      // abs(x − y) ≤ T: bounds in BOTH directions
+      case (Abs(Subtract(x, y, _), _), t) if litLong(t).isDefined =>
+        val c = litLong(t).get
+        longPair(x, y, c) ++ longPair(y, x, c)
+      case (Abs(SubtractTimestamps(x, y, _, _), _), t) if litLong(t).isDefined =>
+        val c = litLong(t).get
+        tsPair(x, y, c) ++ tsPair(y, x, c)
+      // x ≤ y + T  /  x ≤ y − T
+      case (x, Add(y, t, _)) if litLong(t).isDefined => longPair(x, y, litLong(t).get)
+      case (x, Add(t, y, _)) if litLong(t).isDefined => longPair(x, y, litLong(t).get)
+      case (x, Subtract(y, t, _)) if litLong(t).isDefined => longPair(x, y, -litLong(t).get)
+      // x − T ≤ y  /  x + T ≤ y
+      case (Subtract(x, t, _), y) if litLong(t).isDefined => longPair(x, y, litLong(t).get)
+      case (Add(x, t, _), y) if litLong(t).isDefined => longPair(x, y, -litLong(t).get)
+      case (Add(t, x, _), y) if litLong(t).isDefined => longPair(x, y, -litLong(t).get)
+      // x − y ≤ T (both operands non-literal — the guards above ran first)
+      case (Subtract(x, y, _), t) if litLong(t).isDefined => longPair(x, y, litLong(t).get)
+      // timestamp BETWEEN bounds: x ≤ y + INTERVAL (negative intervals
+      // cover the lower bound — Catalyst folds `ts − i` to `ts + (−i)`)
+      case (x, TimestampAddInterval(y, i, _)) if litLong(i).isDefined =>
+        tsPair(x, y, litLong(i).get)
+      case (TimestampAddInterval(x, i, _), y) if litLong(i).isDefined =>
+        tsPair(x, y, -litLong(i).get)
+      case _ => Nil
+    }
+
+  /** Normalize one conjunct to its difference-bound facts. */
+  private def boundsOf(e: Expression): Seq[DiffBound] = e match {
+    case LessThanOrEqual(a, b) => linDiff(a, b)
+    case LessThan(a, b) => linDiff(a, b)
+    case GreaterThanOrEqual(a, b) => linDiff(b, a)
+    case GreaterThan(a, b) => linDiff(b, a)
+    case _ => Nil
+  }
+
+  /** The first operand pair bounded in BOTH directions across the join:
+    * (left bucket expr, right bucket expr, width W). */
+  private def findRange(cs: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Long)] = {
+    // orient every fact as (leftOperand, rightOperand); lr = bound on
+    // left − right, rl = bound on right − left
+    final case class Oriented(lx: Expression, rx: Expression,
+        blx: Expression, brx: Expression, lr: Option[Long], rl: Option[Long])
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Oriented]
+    def note(lx: Expression, rx: Expression, blx: Expression,
+        brx: Expression, lr: Option[Long], rl: Option[Long]): Unit = {
+      acc.indexWhere(o => o.lx.semanticEquals(lx) && o.rx.semanticEquals(rx)) match {
+        case -1 => acc += Oriented(lx, rx, blx, brx, lr, rl)
+        case i =>
+          val o = acc(i)
+          def tighter(a: Option[Long], b: Option[Long]): Option[Long] =
+            (a.toSeq ++ b.toSeq).reduceOption((p, q) => math.min(p, q))
+          acc(i) = o.copy(lr = tighter(o.lr, lr), rl = tighter(o.rl, rl))
+      }
+    }
+    cs.flatMap(boundsOf).foreach { b =>
+      if (refsIn(b.x, left) && refsIn(b.y, right) && !b.x.references.isEmpty && !b.y.references.isEmpty)
+        note(b.x, b.y, b.bx, b.by, Some(b.c), None)
+      else if (refsIn(b.x, right) && refsIn(b.y, left) && !b.x.references.isEmpty && !b.y.references.isEmpty)
+        note(b.y, b.x, b.by, b.bx, None, Some(b.c))
+    }
+    acc.collectFirst {
+      case Oriented(_, _, blx, brx, Some(t1), Some(t2)) if math.max(t1, t2) >= 1 =>
+        (blx, brx, math.max(t1, t2))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val cs = conjuncts(cond)
@@ -72,20 +195,10 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
             (refsIn(a, right) && refsIn(b, left))
         case _ => false
       }
-      val range: Option[(Expression, Expression, Long)] = cs.collectFirst {
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), bound)
-            if bound.foldable && bound.dataType == LongType &&
-              x.dataType == LongType && y.dataType == LongType &&
-              ((refsIn(x, left) && refsIn(y, right)) ||
-               (refsIn(x, right) && refsIn(y, left))) =>
-          val t = bound.eval() match {
-            case l: java.lang.Long => l.longValue()
-            case _ => -1L
-          }
-          if (refsIn(x, left)) (x, y, t) else (y, x, t)
-      }
+      val range =
+        if (hasEqui) None else findRange(cs, left, right)
       range match {
-        case Some((le, re, t)) if !hasEqui && t > 0 =>
+        case Some((le, re, t)) =>
           val bl = Alias(IntegralDivide(le, Literal(t)), "__graft_rb_l")()
           val newLeft = Project(left.output :+ bl, left)
           val bR = IntegralDivide(re, Literal(t))
@@ -132,6 +245,29 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
       .select(col("o_orderkey").as("u_key"), col("ms").as("u_ms"))
     val all = o.select(col("ms").as("a_ms"))
     urgent.join(all, fAbs(col("u_ms") - col("a_ms")) <= lit(toleranceMs))
+      .groupBy("u_key").agg(count(lit(1)).as("n_nearby"))
+      .select(col("u_key").as("o_orderkey"), col("n_nearby"))
+  }
+
+  /** q266: the SAME semantics as q245, but written the way most users
+    * write a time-window join — genuine TIMESTAMP operands and a BETWEEN
+    * (two-conjunct `TimestampAddInterval`) predicate. Round 13 this
+    * spelling silently missed the rule and paid the BNLJ cliff; now it
+    * buckets via `unix_micros`. The oracle runs the unrewritten BETWEEN
+    * θ-join in DuckDB, so hash equality certifies the timestamp path is
+    * lossless too; BNLJ-absence is plan-lint-asserted (PlanLintSpec runs
+    * every registry plan) and pinned in RangeJoinRuleSpec. */
+  def nearbyOrderCountsBetween(spark: SparkSession, dir: String): DataFrame = {
+    installedIn(spark)
+    val o = graft.io.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderpriority"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("u_key"), col("ts").as("u_ts"))
+    val all = o.select(col("ts").as("a_ts"))
+    urgent.join(all,
+        col("a_ts").between(col("u_ts") - expr("INTERVAL 2 DAYS"),
+          col("u_ts") + expr("INTERVAL 2 DAYS")))
       .groupBy("u_key").agg(count(lit(1)).as("n_nearby"))
       .select(col("u_key").as("o_orderkey"), col("n_nearby"))
   }
