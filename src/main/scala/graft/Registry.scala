@@ -203,6 +203,28 @@ object Registry {
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY p_event, v_event""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: q64's machinery with
+    // leftOuter — unmatched purchases emit null-padded exactly once, at
+    // watermark eviction (the no-data batch). Settled == the batch left
+    // join restricted to matured purchases (p_ms strictly below the final
+    // watermark, re-derived from the batch table); the null-only-after-
+    // eviction cross-batch behavior is MemoryStream-pinned in
+    // StreamingSpec.
+    "q267_stream_outer_join" -> Entry((s, d) =>
+      Events.streamingIntervalJoinOuter(s, d).orderBy("p_event", "v_event"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |p AS (SELECT user_id AS p_user, ts_ms AS p_ms, event_id AS p_event
+        |  FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts_ms AS v_ms, event_id AS v_event
+        |  FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(p_ms) FROM p), (SELECT max(v_ms) FROM v))
+        |  - 3900000 AS cutoff)
+        |SELECT p_event, p_ms, v_event, p_ms - v_ms AS lag_ms
+        |FROM p CROSS JOIN wm
+        | LEFT JOIN v ON p_user = v_user AND v_ms >= p_ms - 3600000 AND v_ms <= p_ms
+        |WHERE p_ms < cutoff
+        |ORDER BY p_event, v_event""".stripMargin)),
+
     // Batch twin of q64 — same semantics, same oracle, but a plain
     // (explainable) batch plan: the PlanAudit surface for the interval join.
     "q77_interval_join" -> Entry((s, d) => Events.intervalJoin(s, d)

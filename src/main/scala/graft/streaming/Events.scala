@@ -1589,6 +1589,62 @@ object Events {
     }, outputMode = "append", noDataBatches = false)
   }
 
+  /** Stream-stream LEFT OUTER interval join (q267) — "purchases and the
+    * views that preceded them, INCLUDING purchases that never had one,
+    * live": the q64 inner machinery with `leftOuter`, the most
+    * state-subtle built-in op a production funnel reaches for. Matches
+    * emit eagerly (inner semantics); an UNMATCHED left row emits exactly
+    * once, null-padded, only when the watermark passes its eviction point
+    * (no future right row can match it) — output that exists purely
+    * because of watermark advancement, which is why this query KEEPS the
+    * no-data batch the inner join skips (the trailing empty micro-batch
+    * is what evicts and emits the final nulls).
+    *
+    * Determinism: on a drained finite stream the watermark stops at
+    * `min(max p_ts, max v_ts) − wmDelay`, so left rows at the corpus edge
+    * are still in flight — matched rows already emitted, nulls not yet.
+    * The settled frame therefore restricts to MATURED purchases
+    * (`p_ms < cutoff`, cutoff computed from the batch table with the same
+    * watermark arithmetic), making it EQUAL to the batch left join under
+    * the same restriction — the oracle. The cross-batch null-only-after-
+    * eviction behavior itself (invisible to any batch oracle) is pinned
+    * with a MemoryStream in StreamingSpec.
+    *
+    * Scale: both sides watermarked → join state evictable (left rows held
+    * at most `wmDelay` past their own time, right rows at most
+    * `windowMs + wmDelay`) — bounded state, the 100 TB requirement. */
+  def streamingIntervalJoinOuter(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view",
+      windowMs: Long = 3600000L): DataFrame = {
+    val wmMs = windowMs + 300000L
+    val settled = settle(spark, dir, stream => {
+      val p = stream.filter(col("event_type") === leftType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+        .withWatermark("p_ts", s"$wmMs milliseconds")
+      val v = stream.filter(col("event_type") === rightType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event"))
+        .withWatermark("v_ts", s"$wmMs milliseconds")
+      p.join(v, col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("v_ts") <= col("p_ts"), "leftOuter")
+        .select(col("p_event"), unix_millis(col("p_ts")).as("p_ms"),
+          col("v_event"),
+          (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
+    }, outputMode = "append")
+    // Maturity cutoff re-derived from the batch table with the stream's
+    // own watermark arithmetic: final watermark = min of the two sides'
+    // max event times, each less the delay. Strictly-below rows are
+    // guaranteed settled (matched eagerly or null-emitted at eviction);
+    // the boundary row itself is excluded from BOTH engines.
+    val e = events(spark, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("event_type"))
+    val cut = e.filter(col("event_type") === leftType).agg(max("ms").as("mp"))
+      .crossJoin(e.filter(col("event_type") === rightType).agg(max("ms").as("mv")))
+      .select((least(col("mp"), col("mv")) - lit(wmMs)).as("cutoff"))
+    settled.crossJoin(broadcast(cut)).filter(col("p_ms") < col("cutoff"))
+      .select("p_event", "p_ms", "v_event", "lag_ms")
+  }
+
   /** Streaming ingest dedup — the pipeline front door that keeps a
     * re-delivered record (at-least-once sources re-send) from entering the
     * corpus twice: `dropDuplicatesWithinWatermark` keyed on the record's

@@ -26,6 +26,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q257_tws_user_stats",      // transformWithState settle on construction
     "q264_tws_timer_sessions",  // transformWithState + event-time timers
                                 // settle on construction
+    "q267_stream_outer_join",   // stream-stream left-outer settle on
+                                // construction; eviction pin in StreamingSpec
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
     "q190_embedding_pca",       // PCA fit on construction; contracts in

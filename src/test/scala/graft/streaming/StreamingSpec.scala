@@ -319,6 +319,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("q267 left-outer stream-stream join: null row emits ONLY at watermark eviction, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val p = pIn.toDF().toDF("p_user", "p_ts", "p_event").withWatermark("p_ts", "10 minutes")
+    val v = vIn.toDF().toDF("v_user", "v_ts", "v_event").withWatermark("v_ts", "10 minutes")
+    val joined = p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("v_ts") <= col("p_ts"), "leftOuter")
+      .select(col("p_event"), col("v_event"))
+    val name = "graft_outer_join_test"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: u1 purchase with NO view; u2 purchase WITH a matching view
+      pIn.addData((1L, ts(30), 100L), (2L, ts(30), 200L))
+      vIn.addData((2L, ts(20), 201L))
+      q.processAllAvailable()
+      def rows() = s.table(name).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      val after1 = rows()
+      assert(after1.contains((200L, 201L)), s"inner match must emit eagerly: ${after1.mkString(",")}")
+      assert(!after1.exists(_._1 == 100L),
+        "the null-padded row must NOT emit before the watermark passes the purchase")
+      // batch 2: far-future rows on BOTH sides push the combined watermark
+      // (min of the two inputs) past u1's eviction point (p_ts = 30 min)
+      pIn.addData((9L, ts(600), 900L))
+      vIn.addData((9L, ts(601), 901L)) // 1 min AFTER the purchase — no match
+      q.processAllAvailable()
+      val after2 = rows()
+      assert(after2.count(_ == ((100L, -1L))) === 1,
+        s"unmatched purchase must emit exactly one null row after eviction: ${after2.mkString(",")}")
+      assert(!after2.exists(_._1 == 900L),
+        "the corpus-edge purchase is not yet evictable and must stay silent")
+      assert(after2.count(_._1 == 200L) === 1, "the matched purchase never gains a null twin")
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("q267 settled outer join equals the batch left join on matured purchases") {
+    val got = Events.streamingIntervalJoinOuter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    // unmatched purchases really are present, null-padded
+    assert(got.exists(_._3 == -1L), "no null-padded rows — the outer leg is vacuous")
+    // and every inner match in the matured region appears too
+    val inner = got.filter(_._3 != -1L)
+    assert(inner.nonEmpty)
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
