@@ -756,6 +756,15 @@ object Registry {
     "q211_streaming_cdc" -> Entry((s, d) =>
       Events.streamingCdcCompact(s, d).orderBy("user_id"), Some(cdcCompactSql)),
 
+    // foreachBatch idempotent egress: the changelog streamed through a
+    // per-batch latest-wins MERGE (q207 argmax algebra) into a versioned
+    // parquet target with an atomically-renamed commit pointer; the last
+    // batch is deliberately REPLAYED under its own batchId (at-least-once
+    // retry) before the read-back — hash equality with the same q207
+    // oracle certifies delivery + merge algebra + replay idempotence.
+    "q268_foreachbatch_merge" -> Entry((s, d) =>
+      Events.foreachBatchUpsert(s, d).orderBy("user_id"), Some(cdcCompactSql)),
+
     "q56_csv_padded_matrix" -> Entry(Queries.csvPaddedMatrix, Some(paddedMatrixSql)),
 
     "q57_csv_labeled_roundtrip" -> Entry(Queries.csvLabeledRoundtrip, Some(paddedMatrixSql)),

@@ -564,6 +564,109 @@ object Events {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, org.apache.spark.sql.types.StructType)]()
 
+  // ---- foreachBatch idempotent MERGE egress (q268) -----------------------
+
+  /** Committed pointer of a [[mergeBatchInto]] target: (lastBatchId,
+    * snapshot path), or None before the first commit. */
+  private[streaming] def readMergeMeta(root: java.nio.file.Path): Option[(Long, String)] = {
+    val f = root.resolve("_meta")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val parts = java.nio.file.Files.readString(f).trim.split(",", 2)
+      Some((parts(0).toLong, parts(1)))
+    }
+  }
+
+  /** One IDEMPOTENT per-batch MERGE into a parquet target — the
+    * `foreachBatch` body every lakehouse-bound stream runs (a real ACID
+    * format — Delta/Iceberg — is the production answer; this versioned-
+    * snapshot + atomic-pointer emulation is the honest sandbox stand-in,
+    * the q207/q211/q230 convention). Three guarantees:
+    *
+    *  1. '''Replay invisibility''': `foreachBatch` is at-least-once — a
+    *     failed/restarted query re-delivers the last micro-batch with the
+    *     SAME batchId. A batchId at or below the committed pointer is
+    *     skipped entirely, making the retry a no-op (the batchId check IS
+    *     the idempotence, exactly as a Delta `txn` version check).
+    *  2. '''Latest-wins MERGE''': snapshot ∪ delta compacts with the q207
+    *     argmax-struct algebra — per key `max(struct(ts_ms, event_id,
+    *     payload))`, map-side-combinable, order-independent across
+    *     batches (the argmax over a total order is associative, so ANY
+    *     batch partitioning folds to the same state). Tombstones
+    *     ('error') stay IN the state — a later upsert must beat them by
+    *     sequence, not by accident of filtering; readers drop them.
+    *  3. '''Atomic publish''': the new snapshot is fully written before
+    *     the `_meta` pointer swings to it via an atomic rename — a reader
+    *     (or a crash) never observes a half-written snapshot.
+    *
+    * Scale: state is one row per live key (bounded by key cardinality,
+    * not stream length); the union+argmax shuffles only the delta plus
+    * the compacted snapshot. */
+  private[streaming] def mergeBatchInto(root: java.nio.file.Path,
+      batch: DataFrame, batchId: Long): Unit = {
+    val meta = readMergeMeta(root)
+    if (meta.exists(_._1 >= batchId)) return // replayed batch: no-op
+    val spark = batch.sparkSession
+    val delta = batch.select(col("user_id"), col("ts_ms"), col("event_id"),
+      col("event_type"), col("value"))
+    val state = meta match {
+      case Some((_, v)) => spark.read.parquet(v).unionByName(delta)
+      case None => delta
+    }
+    val compacted = state.groupBy("user_id")
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last.ts_ms").as("ts_ms"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"))
+    val vdir = root.resolve(s"v$batchId")
+    compacted.write.mode("overwrite").parquet(vdir.toString)
+    val tmp = root.resolve("_meta.tmp")
+    java.nio.file.Files.writeString(tmp, s"$batchId,$vdir")
+    java.nio.file.Files.move(tmp, root.resolve("_meta"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** q268: the event changelog streamed through `foreachBatch` into an
+    * idempotent MERGE target ([[mergeBatchInto]]), then the target read
+    * back — the per-batch-upsert egress q199's append-only file sink
+    * cannot express. After the stream drains, the last committed batch is
+    * DELIBERATELY re-merged under its own batchId (the at-least-once
+    * retry), which must be invisible; the read-back then hash-matches the
+    * q207 batch-compaction oracle — certifying delivery, merge algebra,
+    * and replay idempotence in one equality. One streaming write per
+    * (JVM, dir); the scratch target is shutdown-hook-deleted. */
+  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val rootStr = foreachBatchCache.computeIfAbsent(dir, _ => {
+      val s2 = eventsSession(spark)
+      val (staged, schema) = stagedEvents(spark, dir)
+      val root = graft.io.TempDirs.scratch("graft-fbmerge")
+      def changelogOf(df: DataFrame): DataFrame = df
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"), col("value"))
+      val src = changelogOf(convertTs(s2.readStream.schema(schema).parquet(staged)))
+      val q = src.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch((b: DataFrame, id: Long) => mergeBatchInto(root, b, id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // Deliberate at-least-once REPLAY: re-deliver the whole source as
+      // the last committed batchId — the pointer check must no-op it.
+      val (lastId, _) = readMergeMeta(root).get
+      mergeBatchInto(root, changelogOf(convertTs(rawEvents(s2, dir))), lastId)
+      root.toString
+    })
+    val (_, snapshot) = readMergeMeta(java.nio.file.Paths.get(rootStr)).get
+    spark.read.parquet(snapshot)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
+  private val foreachBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Stream-static enrichment: the live event stream joined to a static
     * dimension (customer market segment keyed by user_id) before a
     * watermarked tumbling count — the canonical "enrich the stream with a

@@ -28,6 +28,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // settle on construction
     "q267_stream_outer_join",   // stream-stream left-outer settle on
                                 // construction; eviction pin in StreamingSpec
+    "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
+                                // (cached); replay pin in StreamingSpec
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
     "q190_embedding_pca",       // PCA fit on construction; contracts in

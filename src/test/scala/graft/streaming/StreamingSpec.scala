@@ -375,6 +375,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(inner.nonEmpty)
   }
 
+  test("q268 foreachBatch merge: cross-batch upserts, tombstone wins, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = graft.io.TempDirs.scratch("graft-fbmerge-test")
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = input.toDF().toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Events.mergeBatchInto(root, b, id))
+      .start()
+    def state(): Set[(Long, Long, String, Double)] = {
+      val (_, snap) = Events.readMergeMeta(root).get
+      s.read.parquet(snap).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+    }
+    try {
+      input.addData((1L, 100L, 10L, "view", 1.0), (2L, 100L, 20L, "view", 2.0))
+      q.processAllAvailable()
+      assert(state() === Set((1L, 10L, "view", 1.0), (2L, 20L, "view", 2.0)))
+      // batch 2: newer event for u1, tombstone for u2 — latest wins, and
+      // the tombstone must SIT IN state (readers filter it), not vanish
+      input.addData((1L, 200L, 11L, "purchase", 5.0), (2L, 200L, 21L, "error", 0.0))
+      q.processAllAvailable()
+      val afterB2 = state()
+      assert(afterB2 === Set((1L, 11L, "purchase", 5.0), (2L, 21L, "error", 0.0)))
+      // REPLAY the committed batch id with DIFFERENT (poisoned) data: the
+      // pointer check must make the retry invisible
+      val (lastId, _) = Events.readMergeMeta(root).get
+      val poison = Seq((1L, 999L, 99L, "poison", 9.9))
+        .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+      Events.mergeBatchInto(root, poison, lastId)
+      Events.mergeBatchInto(root, poison, lastId - 1)
+      assert(state() === afterB2, "a replayed batchId must never change the target")
+      // and a genuinely NEW batch id still merges
+      Events.mergeBatchInto(root, Seq((3L, 300L, 30L, "view", 3.0))
+        .toDF("user_id", "ts_ms", "event_id", "event_type", "value"), lastId + 1)
+      assert(state().contains((3L, 30L, "view", 3.0)))
+    } finally q.stop()
+  }
+
+  test("q268 settled merge target equals the q207 batch compaction") {
+    val got = Events.foreachBatchUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val exp = Events.cdcCompact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
