@@ -2085,6 +2085,14 @@ object Registry {
         |SELECT src_id, tgt_id, cosine, margin FROM rk
         |WHERE rk = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin)),
 
+    // ANN-backed bitext margin mining: q254's exact score grid swapped
+    // for bidirectional IVF candidate neighborhoods (the production form
+    // its scaladoc promises), margin arithmetic unchanged. Rows-only
+    // (KMeans centroids are iterative floats); pair-agreement envelope vs
+    // the exact q254 output pinned in Round14OpsSpec.
+    "q269_bitext_ann" -> Entry((s, d) =>
+      Similarity.bitextMarginMiningAnn(emb(s, d)).orderBy("src_id"), None),
+
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The
     // oracle runs DuckDB's own nfc_normalize — hash equality certifies

@@ -587,10 +587,20 @@ object Similarity {
       .select(col("src_id_a").as("src_id"), col("tgt_id_b").as("tgt_id"),
         round(VectorOps.dot(col("embedding_a"), col("embedding_b")) /
           (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
-    // Bilateral k-NN neighborhood means. Sum the ROUNDED cosines as
-    // DECIMAL(18,6) so the k-term sum is exact in any order on both
-    // engines; the division back to double is a scalar op both engines
-    // evaluate identically.
+    marginFromScores(scored, k, marginThreshold)
+  }
+
+  /** The Artetxe–Schwenk margin arithmetic over a (src_id, tgt_id,
+    * cosine) pair-score frame — shared verbatim by the exact grid
+    * ([[bitextMarginMining]]) and the ANN candidate list
+    * ([[bitextMarginMiningAnn]]); only the grid stage swaps.
+    *
+    * Bilateral k-NN neighborhood means sum the ROUNDED cosines as
+    * DECIMAL(18,6) so the k-term sum is exact in any order on both
+    * engines; the division back to double is a scalar op both engines
+    * evaluate identically. */
+  private def marginFromScores(scored: DataFrame, k: Int,
+      marginThreshold: Double): DataFrame = {
     def hoodMean(keyCol: String, partnerCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy(keyCol).orderBy(col("cosine").desc, col(partnerCol))
       scored.withColumn("__rn", row_number().over(w))
@@ -610,5 +620,75 @@ object Similarity {
     margins.withColumn("__rk", row_number().over(best))
       .filter(col("__rk") === 1 && col("margin") > marginThreshold)
       .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+  }
+
+  /** IVF candidate pairs for one probe direction: KMeans coarse-quantize
+    * the corpus side on the unit sphere, let each query score exact
+    * cosine against the `nProbe` nearest cells only — the [[ivfTopK]]
+    * shape parameterized over arbitrary query/corpus frames (each with
+    * `(id, embedding, nrm)`). Candidate volume per query is
+    * ~(nProbe/nCells)·|corpus| instead of |corpus|. */
+  private def ivfCandidates(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, nCells: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val normedCorpus = corpus.select(col(cId), col("embedding").as("ce"),
+      col("nrm").as("cnrm"),
+      array_to_vector(VectorOps.scale(col("embedding"), lit(1.0) / col("nrm")))
+        .as("features"))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(normedCorpus)
+    val cells = model.transform(normedCorpus)
+      .select(col(cId), col("ce"), col("cnrm"), col("cell"))
+    val cent = broadcast(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray, c.toArray.map(x => x * x).sum) }
+      .toSeq.toDF("cell", "cvec", "cnorm2"))
+    val probes = queries
+      .select(col(qId), col("embedding").as("qe"), col("nrm").as("qnrm"),
+        VectorOps.scale(col("embedding"), lit(1.0) / col("nrm")).as("qnarr"))
+      .crossJoin(cent)
+      .withColumn("cdist2",
+        lit(1.0) + col("cnorm2") - lit(2.0) * VectorOps.dot(col("qnarr"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(qId).orderBy(col("cdist2"), col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col(qId), col("qe"), col("qnrm"), col("cell"))
+    probes.join(cells, "cell")
+      .select(col(qId), col(cId),
+        round(VectorOps.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
+          .as("cosine"))
+  }
+
+  /** ANN-backed bitext margin mining (q269) — the PRODUCTION form
+    * [[bitextMarginMining]]'s scaladoc promises: the exact Ω(n·m) score
+    * grid is replaced by IVF neighborhoods probed in BOTH directions
+    * (sources probe target cells for the forward k-NN, targets probe
+    * source cells for the backward k-NN; the union, deduplicated, is the
+    * candidate pair list), and the margin arithmetic
+    * ([[marginFromScores]]) is kept unchanged. Per-query cost drops from
+    * |corpus| exact cosines to ~(nProbe/nCells)·|corpus| — the swap that
+    * makes margin mining feasible when each side is 10⁸ sentences.
+    *
+    * Rows-only in the registry (KMeans centroids are iterative floats);
+    * the agreement envelope vs the exact q254 output — selected-pair
+    * agreement and margin deltas on agreeing pairs — is pinned in
+    * Round14OpsSpec. */
+  def bitextMarginMiningAnn(emb: DataFrame, srcLabel: Int = 0, tgtLabel: Int = 1,
+      k: Int = 4, marginThreshold: Double = 1.0, nCells: Int = 16,
+      nProbe: Int = 6): DataFrame = {
+    def sideOf(label: Int, idName: String): DataFrame =
+      emb.filter(col("label") === label)
+        .select(col("vec_id").as(idName), col("embedding"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val src = sideOf(srcLabel, "src_id")
+    val tgt = sideOf(tgtLabel, "tgt_id")
+    val fwdCands = ivfCandidates(src, tgt, "src_id", "tgt_id", nCells, nProbe)
+    val bwdCands = ivfCandidates(tgt, src, "tgt_id", "src_id", nCells, nProbe)
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+    // A pair probed from both directions scores the identical rounded
+    // cosine (dot is commutative), so distinct() is an exact dedup.
+    val scored = fwdCands.unionByName(bwdCands).distinct()
+    marginFromScores(scored, k, marginThreshold)
   }
 }

@@ -30,6 +30,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; eviction pin in StreamingSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
+    "q269_bitext_ann",          // two KMeans IVF fits on construction;
+                                // agreement envelope in Round14OpsSpec
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
     "q190_embedding_pca",       // PCA fit on construction; contracts in

