@@ -82,6 +82,40 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(nSrc * nTgt > 0)
   }
 
+  // ---- q261 multi-pass blocking rewrite ---------------------------------
+
+  test("q261 multi-pass blocking equals the naive nation-only pass exactly") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getDouble(5), r.getString(6))).toSet
+    val fast = canon(graft.relational.RecordLinkage.fsLinkage(customer))
+    val naive = canon(graft.relational.RecordLinkage.fsLinkageNaive(customer))
+    assert(fast === naive, "multi-pass blocking changed the emitted pair set")
+    assert(fast.nonEmpty && fast.exists(_._7 == "match") && fast.exists(_._7 == "possible"))
+  }
+
+  test("q261 deletion-neighborhood keys: every lev<=1 pair shares a key (brute force)") {
+    // pure-Scala mirror of delNeighborhood over random strings of MIXED
+    // lengths — substitutions, insertions, and deletions all covered
+    def keys(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(3)
+    val alpha = "abc"
+    val strs = Seq.fill(120)((0 until (3 + rnd.nextInt(4)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    for (a <- strs; b <- strs if lev(a, b) <= 1)
+      assert(keys(a).intersect(keys(b)).nonEmpty,
+        s"lev<=1 pair ($a, $b) shares no deletion key — blocking would lose it")
+  }
+
   test("q265 doremi on testdata: every source present, weights normalized") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.doremiStep(docs)
