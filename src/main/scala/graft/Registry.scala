@@ -4430,7 +4430,90 @@ object Registry {
         |SELECT source, n_bigrams, round(loss, 6) AS loss,
         | round(excess, 6) AS excess, round(w_old, 6) AS weight_old,
         | round(CAST(score AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight_new
-        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin))
+        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    // Cross-source contamination matrix: the md5-family verified near-dup
+    // pairs (q124's shared cache) rolled up to unordered source-pair
+    // cells — pair counts + DECIMAL-exact mean Jaccard. The between-
+    // dataset overlap report a corpus assembler reads before mixing.
+    "q270_source_contamination" -> Entry((s, d) =>
+      Dedup.sourceContamination(s, d).orderBy("source_a", "source_b"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |h AS (SELECT doc_id, seed, CAST(list_reduce(
+        |   list_prepend('0', string_split(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15), '')),
+        |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds),
+        |sig AS (SELECT doc_id, seed, min(h) AS minhash FROM h GROUP BY 1, 2),
+        |banded AS (SELECT doc_id, seed // 2 AS band_id,
+        |   string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS n_common
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |vp AS (SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |lab AS (SELECT vp.jaccard, da.source AS src_a, db.source AS src_b
+        |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+        |    JOIN documents db ON db.doc_id = vp.doc_b)
+        |SELECT least(src_a, src_b) AS source_a, greatest(src_a, src_b) AS source_b,
+        | count(*) AS n_pairs,
+        | round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_jaccard
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Gopher repetition metrics: per-doc duplicate 2-/3-gram fractions +
+    // top-2-gram occupancy share, gate verdict by integer basis-point
+    // cross-multiplication (q260 rule).
+    "q271_repetition_gate" -> Entry((s, d) =>
+      TextAnalysis.repetitionMetrics(docs(s, d)).orderBy("doc_id"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM t, unnest(range(1, len(toks) - 1)) u(i)),
+        |b2 AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, count(*) AS d2,
+        |  CAST(max(c) AS BIGINT) AS top2 FROM b2 GROUP BY 1),
+        |b3 AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+        |  FROM b3 GROUP BY 1)
+        |SELECT a2.doc_id, n2 AS n_2grams,
+        | round(CAST(n2 - d2 AS DOUBLE) / n2, 6) AS dup_2gram_frac,
+        | n3 AS n_3grams,
+        | round(CAST(n3 - d3 AS DOUBLE) / n3, 6) AS dup_3gram_frac,
+        | round(CAST(top2 AS DOUBLE) / n2, 6) AS top_2gram_share,
+        | ((n3 - d3) * 10000 <= 2500 * n3 AND top2 * 10000 <= 2000 * n2) AS pass
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id ORDER BY a2.doc_id""".stripMargin)),
+
+    // Shingle-novelty curve across ingest batches: per arrival batch, the
+    // fraction of its distinct 3-shingles never seen earlier — the
+    // mined-out signal. Real window(ingest_ts) grouping; the oracle's
+    // doc_id // batchSize arithmetic is exact (Ingest convention).
+    "q272_shingle_novelty" -> Entry((s, d) =>
+      TextAnalysis.shingleNovelty(docs(s, d)).orderBy("batch"), Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id // 100 AS batch, x.s FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |   FROM t WHERE len(toks) >= 3) x),
+        |f AS (SELECT s, min(batch) AS fb FROM sh GROUP BY 1)
+        |SELECT batch, count(*) AS n_shingles,
+        | CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | round(CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN f USING (s) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -417,6 +417,38 @@ object Dedup {
       _ => minhashMd5Pairs(graft.io.Tables(spark, dir, "documents"),
         simThreshold = simThreshold).localCheckpoint(true))
 
+  /** Cross-source contamination matrix (q270): the verified near-dup
+    * pair list ([[minhashMd5PairsOn]]'s shared cache) rolled up to
+    * unordered (source, source) cells — pair counts and mean verified
+    * Jaccard. This is the between-dataset overlap report a corpus
+    * assembler publishes before mixing sources (two crawl snapshots with
+    * a hot off-diagonal cell are largely re-buying the same documents;
+    * a hot diagonal is within-source boilerplate). The mean sums
+    * ROUNDED jaccards as DECIMAL(18,6) (order-independent, exact) and
+    * divides once.
+    *
+    * Shape: two broadcast-sized joins from the pair list (≪ corpus) to
+    * the (doc_id, source) projection, `least/greatest` canonicalization
+    * so each unordered source pair lands in ONE cell, then a single
+    * hash agg over ≤ |sources|² rows. The expensive stage is the cached
+    * band-join derivation shared with q124/q140/q200/q255. */
+  def sourceContamination(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val pairs = minhashMd5PairsOn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val src = graft.io.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_jaccard"))
+  }
+
   /** Near-dup graph triangle census (q255): per-node triangle counts and
     * local clustering coefficients over the verified-pair graph — the
     * graph-density diagnostic that separates CHAIN-shaped dup clusters

@@ -303,6 +303,80 @@ object TextAnalysis {
         size(array_distinct(shingles(col("toks"), k))).cast("long")
           .as("n_distinct_shingles"))
 
+  /** Gopher-style repetition metrics (q271; Rae et al. 2021 A1.1's
+    * repetition table — the complement of q260's word-statistics rules):
+    * per document, the duplicate-2-gram and duplicate-3-gram fractions
+    * (1 − distinct/total — machine-generated and boilerplate text repeats
+    * n-grams far above natural-language rates) and the most-frequent-
+    * 2-gram occupancy share, plus the gate verdict. Thresholds are BASIS
+    * POINTS compared by integer cross-multiplication (the q260 rule — no
+    * float boundary can flip a verdict between engines); the fraction
+    * columns themselves round from one double division at the end.
+    *
+    * Shape: one explode per n-gram order into a (doc, gram) hash agg,
+    * then a per-doc rollup — map-side combinable throughout, no windows.
+    * At 100 TB the gram frames shuffle (doc_id, gram) pairs, linear in
+    * token count. */
+  def repetitionMetrics(docs: DataFrame, dup3MaxBp: Long = 2500L,
+      topShareMaxBp: Long = 2000L): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+    def gramStats(k: Int, nName: String, dName: String,
+        topName: Option[String]): DataFrame = {
+      val perGram = base
+        .select(col("doc_id"), explode(shingles(col("toks"), k)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val aggs = Seq(sum(col("c")).as(nName),
+        count(lit(1)).as(dName)) ++ topName.map(t => max(col("c")).as(t))
+      perGram.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+    val g2 = gramStats(2, "n2", "d2", Some("top2"))
+    val g3 = gramStats(3, "n3", "d3", None)
+    g2.join(g3, "doc_id")
+      .select(col("doc_id"),
+        col("n2").as("n_2grams"),
+        round((col("n2") - col("d2")).cast("double") / col("n2"), 6)
+          .as("dup_2gram_frac"),
+        col("n3").as("n_3grams"),
+        round((col("n3") - col("d3")).cast("double") / col("n3"), 6)
+          .as("dup_3gram_frac"),
+        round(col("top2").cast("double") / col("n2"), 6).as("top_2gram_share"),
+        ((col("n3") - col("d3")) * 10000L <= lit(dup3MaxBp) * col("n3") &&
+          col("top2") * 10000L <= lit(topShareMaxBp) * col("n2")).as("pass"))
+  }
+
+  /** Shingle-novelty curve across ingest batches (q272): per arrival
+    * batch, how many of its distinct word-3-shingles were never seen in
+    * any EARLIER batch — the diminishing-returns signal a crawl pipeline
+    * watches to decide when a source is mined out (novelty falling toward
+    * the near-dup floor means new data is re-paying for old data).
+    * Batches are real `window(ingest_ts, …)` groups over the [[Ingest]]
+    * arrival-order convention, so the oracle's `doc_id // batchSize`
+    * arithmetic is exact.
+    *
+    * Shape: (batch, shingle) presence from one explode + hash agg; first
+    * appearance = `min(batch)` per shingle (a second hash agg on the
+    * presence frame, NOT the corpus); the final rollup joins presence to
+    * first-appearance on the shingle key. Everything is linear in
+    * distinct (batch, shingle) volume; integer counts until one final
+    * division. */
+  def shingleNovelty(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    val present = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("s"))
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"), col("s"))
+      .agg(count(lit(1)).as("_n"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("batch"), col("s"))
+    val first = present.groupBy("s").agg(min("batch").as("first_batch"))
+    present.join(first, "s")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("batch"), col("n_shingles"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Word k-shingles as an array column (1-based `element_at` windows). */
   def shingles(toks: Column, k: Int): Column =
     transform(sequence(lit(1), size(toks) - lit(k - 1)),

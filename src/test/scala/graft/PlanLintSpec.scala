@@ -32,6 +32,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;
                                 // agreement envelope in Round14OpsSpec
+    "q270_source_contamination", // consumes the cached md5-pair
+                                // derivation (localCheckpoint on first touch)
     "q186_quality_classifier",  // LR fit on construction; AUC envelope in
                                 // QualityClassifierSpec
     "q190_embedding_pca",       // PCA fit on construction; contracts in

@@ -116,6 +116,67 @@ class Round14OpsSpec extends AnyFunSuite {
         s"lev<=1 pair ($a, $b) shares no deletion key — blocking would lose it")
   }
 
+  // ---- q270 source contamination matrix ---------------------------------
+
+  test("q270 cells are canonical and conserve the verified pair count") {
+    val out = Dedup.sourceContamination(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, _, _) => a <= b },
+      "unordered pairs must canonicalize to one cell")
+    val totalPairs = Dedup.minhashMd5PairsOn(spark, dir).count()
+    assert(out.map(_._3).sum === totalPairs,
+      "matrix cells must partition the verified pair list")
+    assert(out.forall { case (_, _, _, j) => j >= 0.5 && j <= 1.0 })
+  }
+
+  // ---- q271 repetition gate ---------------------------------------------
+
+  test("q271 planted repetitive vs diverse docs: exact fractions and verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a"),        // 2-grams: 4x "a a" -> dup 0.75, top 1.0
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // all distinct -> dup 0, top 1/7
+      (3L, "x y x y x y")       // "x y" 3x + "y x" 2x -> dup (5-2)/5, top 3/5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out(1L) === ((0.75, 1.0, false)))
+    assert(out(2L) === ((0.0, 0.142857, true)))
+    assert(out(3L)._1 === 0.6)
+    assert(out(3L)._2 === 0.6)
+    assert(!out(3L)._3, "3-gram dup fraction (0.75) must trip the gate")
+  }
+
+  // ---- q272 shingle novelty curve ---------------------------------------
+
+  test("q272 planted batches: first batch all-new, repeat shingles stop counting") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),          // batch 0: shingles {a b c, b c d}
+      (100L, "a b c d e")       // batch 1: {a b c, b c d, c d e} -> 1 new of 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.shingleNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((2L, 2L, 1.0)), "the first batch is all-new by definition")
+    assert(out(1L) === ((3L, 1L, 0.333333)))
+  }
+
+  test("q272 novelty on testdata: batch 0 is 1.0, totals conserve distinct shingles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.shingleNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.find(_._1 == 0L).exists(_._4 === 1.0))
+    val distinctShingles = docs
+      .withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(array_distinct(TextAnalysis.shingles(col("toks"), 3))).as("s"))
+      .select("s").distinct().count()
+    assert(out.map(_._3).sum === distinctShingles,
+      "sum of n_new must equal the corpus's distinct shingle count")
+  }
+
   test("q265 doremi on testdata: every source present, weights normalized") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.doremiStep(docs)
