@@ -677,12 +677,19 @@ object Similarity {
   def bitextMarginMiningAnn(emb: DataFrame, srcLabel: Int = 0, tgtLabel: Int = 1,
       k: Int = 4, marginThreshold: Double = 1.0, nCells: Int = 16,
       nProbe: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     def sideOf(label: Int, idName: String): DataFrame =
       emb.filter(col("label") === label)
         .select(col("vec_id").as(idName), col("embedding"),
           sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
     val src = sideOf(srcLabel, "src_id")
     val tgt = sideOf(tgtLabel, "tgt_id")
+    // Empty-side guard (the [[ivfTopK]] rule): KMeans cannot quantize
+    // zero points; a dry side yields a well-typed empty result.
+    if (src.head(1).isEmpty || tgt.head(1).isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("src_id", "tgt_id", "cosine", "margin")
     val fwdCands = ivfCandidates(src, tgt, "src_id", "tgt_id", nCells, nProbe)
     val bwdCands = ivfCandidates(tgt, src, "tgt_id", "src_id", nCells, nProbe)
       .select(col("src_id"), col("tgt_id"), col("cosine"))

@@ -653,15 +653,24 @@ object Events {
       try q.processAllAvailable() finally q.stop()
       // Deliberate at-least-once REPLAY: re-deliver the whole source as
       // the last committed batchId — the pointer check must no-op it.
-      val (lastId, _) = readMergeMeta(root).get
-      mergeBatchInto(root, changelogOf(convertTs(rawEvents(s2, dir))), lastId)
+      // An EMPTY source commits no batch at all (no meta pointer): skip
+      // the replay and let the read-back return the well-typed empty.
+      readMergeMeta(root).foreach { case (lastId, _) =>
+        mergeBatchInto(root, changelogOf(convertTs(rawEvents(s2, dir))), lastId)
+      }
       root.toString
     })
-    val (_, snapshot) = readMergeMeta(java.nio.file.Paths.get(rootStr)).get
-    spark.read.parquet(snapshot)
-      .filter(col("event_type") =!= "error")
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), col("value").as("last_value"))
+    readMergeMeta(java.nio.file.Paths.get(rootStr)) match {
+      case Some((_, snapshot)) =>
+        spark.read.parquet(snapshot)
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+      case None => // dry stream: no snapshot was ever committed
+        import spark.implicits._
+        Seq.empty[(Long, Long, String, Double)]
+          .toDF("user_id", "last_event_id", "last_type", "last_value")
+    }
   }
 
   private val foreachBatchCache =

@@ -121,8 +121,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // (class x source) cell frame
     "q259_unimax_budget",         // 1-row totals + 1-row waterfill-round
                                   // frames broadcast into the K-row grants
-    "q262_bpe_fertility")         // composes q185's 1-row argmax-pair
+    "q262_bpe_fertility",         // composes q185's 1-row argmax-pair
                                   // broadcasts (vocab merge steps)
+    "q265_doremi_step")           // q189's 1-row vocab broadcast + 1-row
+                                  // totals / normalizer broadcasts into
+                                  // the |sources|-row frame
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {
