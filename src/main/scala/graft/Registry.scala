@@ -1922,6 +1922,70 @@ object Registry {
         |SELECT user_id, example_id, prev2, prev1, label
         |FROM l WHERE prev2 IS NOT NULL ORDER BY example_id""".stripMargin)),
 
+    // ListState rolling-context processor: the q249 next-event dataset
+    // maintained LIVE by transformWithState (the third state primitive
+    // after q257's Value+Map and q264's timers) — last-2 event types per
+    // user in a bounded ListState, each full-history arrival emits one
+    // training example. Settled == the q249 batch lag-window oracle.
+    "q273_tws_rolling_context" -> Entry((s, d) =>
+      Events.twsRollingContext(s, d).orderBy("example_id"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |l AS (SELECT user_id, event_id AS example_id, event_type AS label,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev1,
+        |  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev2
+        | FROM e)
+        |SELECT user_id, example_id, prev2, prev1, label
+        |FROM l WHERE prev2 IS NOT NULL ORDER BY example_id""".stripMargin)),
+
+    // U-shaped multi-touch attribution: 40/20/40 position-based credit
+    // across the lookback touch list of each purchase (q226's endpoints
+    // refined to the full industry-standard weighting).
+    "q274_ushaped_attribution" -> Entry((s, d) =>
+      Events.uShapedAttribution(s, d).orderBy("p_event", "touch_pos"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |p AS (SELECT user_id AS p_user, ms AS p_ms, event_id AS p_event
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user, ms AS t_ms, event_id AS t_event
+        |  FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p_event, t_event, t_ms FROM p JOIN t ON p_user = t_user
+        |  AND t_ms >= p_ms - 3600000 AND t_ms <= p_ms),
+        |r AS (SELECT p_event, t_event,
+        |   row_number() OVER (PARTITION BY p_event ORDER BY t_ms, t_event) AS rn,
+        |   count(*) OVER (PARTITION BY p_event) AS n FROM j)
+        |SELECT p_event, t_event, CAST(rn AS BIGINT) AS touch_pos,
+        | CAST(n AS BIGINT) AS n_touches,
+        | round(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |   WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |   WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+        |   ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6) AS credit
+        |FROM r ORDER BY p_event, touch_pos""".stripMargin)),
+
+    // Strictly-ordered funnel: view -> click -> purchase, each step after
+    // the previous step's first occurrence; K tiny agg+join rounds.
+    "q275_funnel" -> Entry((s, d) =>
+      Events.funnelConversion(s, d).orderBy("step_idx"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS n0 FROM e),
+        |s1 AS (SELECT user_id, min(ms) AS m1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS m2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > m1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ms) AS m3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > m2 GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n1 FROM s1),
+        |n2 AS (SELECT count(*) AS n2 FROM s2),
+        |n3 AS (SELECT count(*) AS n3 FROM s3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST(n1 AS BIGINT) AS n_users,
+        |  round(CAST(n1 AS DOUBLE) / n0, 6) AS conversion FROM n1 CROSS JOIN u
+        | UNION ALL
+        | SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |  round(CAST(n2 AS DOUBLE) / n1, 6) FROM n2 CROSS JOIN n1
+        | UNION ALL
+        | SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |  round(CAST(n3 AS DOUBLE) / n2, 6) FROM n3 CROSS JOIN n2)
+        |ORDER BY step_idx""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

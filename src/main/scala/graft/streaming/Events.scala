@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, MapState, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, MapState, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table (event_id, ts, user_id,
@@ -1644,6 +1644,135 @@ object Events {
         col("best.session_start_ms").as("session_start_ms"),
         col("best.duration_ms").as("duration_ms"),
         col("best.n_events").as("n_events"))
+  }
+
+  final case class NextEventExample(user_id: Long, example_id: Long,
+      prev2: String, prev1: String, label: String)
+
+  /** LIST-state rolling-context processor (q273) — the third
+    * `transformWithState` state primitive (q257 exercises ValueState +
+    * MapState, q264 timers): per user, the last TWO event types ride a
+    * `ListState`, and every arriving event whose history is full emits a
+    * next-event training example `(prev2, prev1 → label)` — the
+    * streaming form of the q249 batch dataset builder, maintained live
+    * as events arrive instead of re-deriving lag windows over the
+    * history. State is the bounded 2-element list per key (`put`
+    * overwrites the trimmed window each batch — never an unbounded
+    * append), the exact discipline a production context-window builder
+    * needs at 100 TB. Within-batch order is (ts, event_id); cross-batch
+    * order is the stream's arrival order, as in q211. */
+  private[streaming] class RollingContextProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), NextEventExample] {
+    @transient private var hist: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      hist = getHandle.getListState[String]("hist",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timers: TimerValues): Iterator[NextEventExample] = {
+      val sorted = rows.toSeq.sortBy { case (_, ts, id, _) => (ts, id) }
+      var h = hist.get().toList // ≤ 2 entries: [prev2, prev1]
+      val out = scala.collection.mutable.ListBuffer.empty[NextEventExample]
+      sorted.foreach { case (_, _, id, tpe) =>
+        if (h.length == 2) out += NextEventExample(key, id, h.head, h(1), tpe)
+        h = (h :+ tpe).takeRight(2)
+      }
+      hist.put(h.toArray)
+      out.iterator
+    }
+  }
+
+  /** The settled [[RollingContextProcessor]] stream (q273): next-event
+    * examples from live ListState context windows, equal to the q249
+    * batch lag-window oracle. Update mode + memory sink: each example
+    * emits exactly once, so the settled table IS the dataset. */
+  def twsRollingContext(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => {
+      val s = stream.sparkSession
+      import s.implicits._
+      stream.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new RollingContextProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+    }, outputMode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
+  /** U-shaped (position-based) multi-touch attribution (q274) — the
+    * marketing-standard refinement of q226's first/last endpoints: every
+    * touch (view/click) in the lookback window before a purchase gets
+    * credit 40% first / 40% last / 20% split across the middles (1 touch
+    * → 1.0, 2 touches → 0.5 each). Shape: the q226 per-user equi-join
+    * bounded by the `[p_ms − lookback, p_ms]` range residual, then ONE
+    * window partitioned by purchase (per-purchase touch lists are
+    * lookback-bounded — no global funnel); credit is a closed-form CASE
+    * on (position, count), one double division, 6dp round. */
+  def uShapedAttribution(spark: SparkSession, dir: String,
+      lookbackMs: Long = 3600000L): DataFrame =
+    uShapedAttributionFrom(events(spark, dir), lookbackMs)
+
+  private[graft] def uShapedAttributionFrom(ev: DataFrame,
+      lookbackMs: Long = 3600000L): DataFrame = {
+    val e = ev.select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ms").as("p_ms"), col("event_id").as("p_event"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("ms").as("t_ms"), col("event_id").as("t_event"))
+    val joined = p.join(t, col("p_user") === col("t_user") &&
+      col("t_ms") >= col("p_ms") - lookbackMs && col("t_ms") <= col("p_ms"))
+    val w = Window.partitionBy("p_event").orderBy(col("t_ms"), col("t_event"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_event")).cast("long"))
+      .select(col("p_event"), col("t_event"), col("rn").as("touch_pos"),
+        col("n").as("n_touches"),
+        round(when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)), 6).as("credit"))
+  }
+
+  /** Strictly-ordered funnel conversion (q275): how many users did
+    * view → click → purchase IN ORDER (each step strictly after the
+    * previous step's first occurrence) — the product-analytics query
+    * every growth dashboard opens with. Sequential per-user argmins:
+    * stage k is one hash agg over the events filtered by stage k−1's
+    * per-user cutoff (an equi-join on user_id), so the whole funnel is
+    * K tiny agg+join rounds — never a per-user event-sequence sort.
+    * Conversion = n_k / n_{k−1} (stage 1 vs all active users), one
+    * double division per stage row. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversionFrom(events(spark, dir))
+
+  private[graft] def funnelConversionFrom(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_type"))
+    val total = e.agg(countDistinct(col("user_id")).as("n0"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("m1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ms") > col("m1"))
+      .groupBy("user_id").agg(min("ms").as("m2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ms") > col("m2"))
+      .groupBy("user_id").agg(min("ms").as("m3"))
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = s2.agg(count(lit(1)).as("n2"))
+    val n3 = s3.agg(count(lit(1)).as("n3"))
+    val r1 = n1.crossJoin(broadcast(total)).select(lit(1L).as("step_idx"),
+      lit("view").as("step"), col("n1").as("n_users"),
+      round(col("n1").cast("double") / col("n0"), 6).as("conversion"))
+    val r2 = n2.crossJoin(broadcast(n1)).select(lit(2L).as("step_idx"),
+      lit("click").as("step"), col("n2").as("n_users"),
+      round(col("n2").cast("double") / col("n1"), 6).as("conversion"))
+    val r3 = n3.crossJoin(broadcast(n2)).select(lit(3L).as("step_idx"),
+      lit("purchase").as("step"), col("n3").as("n_users"),
+      round(col("n3").cast("double") / col("n2"), 6).as("conversion"))
+    r1.unionAll(r2).unionAll(r3)
   }
 
   /** Batch interval (time-range) join — the deterministic batch twin of

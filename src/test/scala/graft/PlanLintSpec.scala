@@ -28,6 +28,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // settle on construction
     "q267_stream_outer_join",   // stream-stream left-outer settle on
                                 // construction; eviction pin in StreamingSpec
+    "q273_tws_rolling_context", // transformWithState ListState settle on
+                                // construction; carry pin in StreamingSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;
@@ -123,9 +125,11 @@ class PlanLintSpec extends AnyFunSuite {
                                   // frames broadcast into the K-row grants
     "q262_bpe_fertility",         // composes q185's 1-row argmax-pair
                                   // broadcasts (vocab merge steps)
-    "q265_doremi_step")           // q189's 1-row vocab broadcast + 1-row
+    "q265_doremi_step",           // q189's 1-row vocab broadcast + 1-row
                                   // totals / normalizer broadcasts into
                                   // the |sources|-row frame
+    "q275_funnel")                // three 1-row stage-count frames crossed
+                                  // for the per-stage conversion ratios
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {
     val offenders = Registry.queries.toSeq.sortBy(_._1).collect {

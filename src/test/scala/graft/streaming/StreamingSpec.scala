@@ -428,6 +428,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q273 ListState context: history carries across micro-batches, stays trimmed to 2") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val name = "graft_tws_list_test"
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new Events.RollingContextProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, 100L, 10L, "view"), (1L, 200L, 11L, "click"))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0L, "two events cannot fill a 2-deep history")
+      // batch 2: the example's context must come from batch-1 ListState
+      input.addData((1L, 300L, 12L, "purchase"), (1L, 400L, 13L, "view"))
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toSet
+      assert(rows === Set(
+        (12L, "view", "click", "purchase"),   // carried history
+        (13L, "click", "purchase", "view")),  // trimmed window slides
+        s"got $rows")
+    } finally {
+      q.stop(); s.catalog.dropTempView(name)
+      prior match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("q273 settled ListState dataset equals the batch lag-window build") {
+    val got = Events.twsRollingContext(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toSet
+    val exp = Events.nextEventDataset(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("q274 U-shaped credit: planted 1/2/4-touch purchases get exact weights") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // u1: one touch; u2: two; u4: four (0.4 / 0.1 / 0.1 / 0.4)
+    val base = 1700000000000L
+    val rows = Seq(
+      (1L, base + 1000L, 10L, "view"), (1L, base + 2000L, 11L, "purchase"),
+      (2L, base + 1000L, 20L, "view"), (2L, base + 2000L, 21L, "click"),
+      (2L, base + 3000L, 22L, "purchase"),
+      (4L, base + 1000L, 40L, "view"), (4L, base + 2000L, 41L, "click"),
+      (4L, base + 3000L, 42L, "view"), (4L, base + 4000L, 43L, "click"),
+      (4L, base + 5000L, 44L, "purchase"))
+    val ev = rows.toDF("user_id", "ms", "event_id", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), col("event_type"), lit(0.0).as("value"))
+    val out = Events.uShapedAttributionFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.filter(_._1 == 11L).map(_._3).toSeq === Seq(1.0))
+    assert(out.filter(_._1 == 22L).map(_._3).sorted.toSeq === Seq(0.5, 0.5))
+    val u4 = out.filter(_._1 == 44L).sortBy(_._2).map(t => t._2 -> t._3)
+    assert(u4.toSeq === Seq(40L -> 0.4, 41L -> 0.1, 42L -> 0.1, 43L -> 0.4))
+    // credit always sums to 1 per purchase
+    Seq(11L, 22L, 44L).foreach { p =>
+      assert(math.abs(out.filter(_._1 == p).map(_._3).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("q275 funnel: out-of-order steps never count, strictly-after enforced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 1700000000000L
+    // u1 completes in order; u2 clicks BEFORE viewing (click must not count);
+    // u3 views only; u4 purchase before click (purchase must not count)
+    val rows = Seq(
+      (1L, base + 1000L, 10L, "view"), (1L, base + 2000L, 11L, "click"),
+      (1L, base + 3000L, 12L, "purchase"),
+      (2L, base + 1000L, 20L, "click"), (2L, base + 2000L, 21L, "view"),
+      (3L, base + 1000L, 30L, "view"),
+      (4L, base + 1000L, 40L, "view"), (4L, base + 2000L, 41L, "purchase"),
+      (4L, base + 3000L, 42L, "click"))
+    val ev = rows.toDF("user_id", "ms", "event_id", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), col("event_type"), lit(0.0).as("value"))
+    val out = Events.funnelConversionFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)) ===
+      Array((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    assert(out(0)._4 === 1.0)     // 4 viewers of 4 active users
+    assert(out(1)._4 === 0.5)     // u1, u4 clicked after viewing
+    assert(out(2)._4 === 0.5)     // only u1 purchased after the click
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
