@@ -1986,6 +1986,66 @@ object Registry {
         |  round(CAST(n3 AS DOUBLE) / n2, 6) FROM n3 CROSS JOIN n2)
         |ORDER BY step_idx""".stripMargin)),
 
+    // Weekly retention cohort matrix: cohort = first-activity week
+    // (integer epoch-day/7 buckets — no calendar-week locale trap),
+    // per-offset active fraction.
+    "q276_retention_cohorts" -> Entry((s, d) =>
+      Events.retentionCohorts(s, d).orderBy("cohort", "week_offset"), Some(
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 // 7 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM a GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT f.cohort, a.week - f.cohort AS week_offset,
+        | CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+        | round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / any_value(sz.cohort_size), 6) AS retention
+        |FROM a JOIN f USING (user_id) JOIN sz ON f.cohort = sz.cohort
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Event-type Markov transition matrix: per-user consecutive pairs ->
+    // P(next | current); one lag window per user partitioning, exact
+    // integer counts, one final division.
+    "q277_type_transitions" -> Entry((s, d) =>
+      Events.typeTransitions(s, d).orderBy("from_type", "to_type"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+        | FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | round(CAST(c.n AS DOUBLE) / m.n_from, 6) AS p
+        |FROM c JOIN m USING (from_type) ORDER BY from_type, to_type""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth fit per source: V(N) ~ k*N^beta by
+    // closed-form least squares on (ln cum_tokens, ln cum_vocab) across
+    // ingest batches; DECIMAL(30,12)-quantized normal-equation sums.
+    "q278_heaps_law" -> Entry((s, d) =>
+      TextAnalysis.heapsLawFit(docs(s, d)).orderBy("source"), Some(
+      """WITH tk AS (SELECT source, doc_id // 100 AS batch,
+        |  unnest(string_split(text, ' ')) AS t FROM documents),
+        |pb AS (SELECT source, batch, count(*) AS n_toks FROM tk GROUP BY 1, 2),
+        |fs AS (SELECT source, t, min(batch) AS batch FROM
+        |  (SELECT DISTINCT source, batch, t FROM tk) GROUP BY 1, 2),
+        |nn AS (SELECT source, batch, count(*) AS n_new FROM fs GROUP BY 1, 2),
+        |cum AS (SELECT pb.source, pb.batch,
+        |   CAST(sum(pb.n_toks) OVER (PARTITION BY pb.source ORDER BY pb.batch) AS BIGINT) AS cum_toks,
+        |   CAST(sum(coalesce(nn.n_new, 0)) OVER (PARTITION BY pb.source ORDER BY pb.batch) AS BIGINT) AS cum_vocab
+        |  FROM pb LEFT JOIN nn ON pb.source = nn.source AND pb.batch = nn.batch),
+        |pt AS (SELECT source, ln(CAST(cum_toks AS DOUBLE)) AS x,
+        |   ln(CAST(cum_vocab AS DOUBLE)) AS y FROM cum),
+        |q AS (SELECT source, CAST(x AS DECIMAL(30,12)) AS xq, CAST(y AS DECIMAL(30,12)) AS yq,
+        |   CAST(x * x AS DECIMAL(30,12)) AS xxq, CAST(x * y AS DECIMAL(30,12)) AS xyq FROM pt),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points, sum(xq) AS sx,
+        |   sum(yq) AS sy, sum(xxq) AS sxx, sum(xyq) AS sxy FROM q GROUP BY 1)
+        |SELECT source, n_points,
+        | round((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+        | round(exp((CAST(sy AS DOUBLE) -
+        |   ((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |   * CAST(sx AS DOUBLE)) / n_points), 6) AS k
+        |FROM s ORDER BY source""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

@@ -377,6 +377,61 @@ object TextAnalysis {
         round(col("n_new").cast("double") / col("n_shingles"), 6).as("novelty"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per source (q278): V(N) ≈ k·N^β,
+    * estimated by closed-form least squares on (ln cum_tokens,
+    * ln cum_vocab) across ingest batches — the scaling-law companion to
+    * q272's novelty curve (β well below the corpus norm means a source's
+    * vocabulary is saturating: more data, same words). Points come from
+    * the [[Ingest]] batch grain: per-batch token counts plus
+    * first-appearance distinct-term counts (the q272 min-batch agg),
+    * cumulated by a window over the ≤|batches|-row frame. Determinism:
+    * ln() points and their squares/products quantize to DECIMAL(30,12)
+    * before the per-source sums (q219 rule), so the normal-equation
+    * sums are order-independent; slope and intercept are scalar double
+    * expressions both engines evaluate identically, rounded 6dp. */
+  def heapsLawFit(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val toks = docs.select(col("source"),
+      Ingest.ingestTs(col("doc_id")).as("ingest_ts"),
+      explode(tokens(col("text"))).as("t"))
+    val perBatch = toks
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_toks"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("batch"),
+        col("source"), col("n_toks"))
+    val newTerms = toks
+      .groupBy(window(col("ingest_ts"), s"$batchSize seconds").as("w"),
+        col("source"), col("t"))
+      .agg(count(lit(1)).as("_n"))
+      .select(Ingest.batchIndex(col("w"), batchSize).as("batch"),
+        col("source"), col("t"))
+      .groupBy("source", "t").agg(min("batch").as("batch"))
+      .groupBy("source", "batch").agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy("source").orderBy("batch")
+    val pts = perBatch.join(newTerms, Seq("source", "batch"), "left")
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .select(col("source"),
+        log(col("cum_toks").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    val sums = pts.select(col("source"),
+        col("x").cast(dec).as("xq"), col("y").cast(dec).as("yq"),
+        (col("x") * col("x")).cast(dec).as("xxq"),
+        (col("x") * col("y")).cast(dec).as("xyq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_points"), sum("xq").as("sx"), sum("yq").as("sy"),
+        sum("xxq").as("sxx"), sum("xyq").as("sxy"))
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val betaRaw = (col("n_points") * sxyd - sxd * syd) /
+      (col("n_points") * sxxd - sxd * sxd)
+    sums.select(col("source"), col("n_points"),
+      round(betaRaw, 6).as("beta"),
+      round(exp((syd - betaRaw * sxd) / col("n_points")), 6).as("k"))
+  }
+
   /** Word k-shingles as an array column (1-based `element_at` windows). */
   def shingles(toks: Column, k: Int): Column =
     transform(sequence(lit(1), size(toks) - lit(k - 1)),

@@ -1775,6 +1775,56 @@ object Events {
     r1.unionAll(r2).unionAll(r3)
   }
 
+  /** Weekly retention cohort matrix (q276) — the other dashboard-opening
+    * analytics query next to q275's funnel: users grouped by
+    * first-activity week (the cohort), each later week's active fraction
+    * reported at its week offset. Weeks are integer epoch-day÷7 buckets
+    * (exact on both engines — no calendar-week locale trap). Shape:
+    * (user, week) activity distinct → per-user min week (cohort) → one
+    * (cohort, offset) hash agg + a cohort-size join; everything is
+    * map-side combinable and the final frame is ≤ weeks² rows. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsFrom(events(spark, dir))
+
+  private[graft] def retentionCohortsFrom(ev: DataFrame): DataFrame = {
+    val act = ev.select(col("user_id"),
+        expr("unix_millis(ts) div 86400000 div 7").as("week"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("week").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** Event-type Markov transition matrix (q277): per-user consecutive
+    * event pairs counted into P(next | current) — the behavioral model
+    * behind q249's dataset and the session-flow diagnostic (a hot
+    * error→error cell is a retry storm; purchase→view is browsing after
+    * buying). One lag window per user partitioning (per-key sorts, no
+    * global funnel), then a (from, to) hash agg + a from-marginal join;
+    * counts are exact integers, one final division. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame =
+    typeTransitionsFrom(events(spark, dir))
+
+  private[graft] def typeTransitionsFrom(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), unix_millis(col("ts")).as("ms"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val pairs = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c = pairs.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = c.groupBy("from_type").agg(sum("n").as("n_from"))
+    c.join(marg, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** Batch interval (time-range) join — the deterministic batch twin of
     * [[streamingIntervalJoin]]: each `leftType` event joined to the
     * same-user `rightType` events in the preceding `windowMs`. One

@@ -177,6 +177,36 @@ class Round14OpsSpec extends AnyFunSuite {
       "sum of n_new must equal the corpus's distinct shingle count")
   }
 
+  // ---- q278 Heaps'-law fit ----------------------------------------------
+
+  test("q278 planted saturating vs novel sources recover beta = 0 and 1 exactly") {
+    import spark.implicits._
+    // 'novel': every token globally new -> cum_vocab == cum_toks -> y = x
+    // -> beta = 1, k = 1. 'flat': one repeated word -> cum_vocab = 1 ->
+    // y = 0 -> beta = 0, k = 1. Both exact closed-form outcomes.
+    val docs = (0 until 3).flatMap { b =>
+      Seq((b * 100L, (1 to 4).map(i => s"n${b}_$i").mkString(" "), "novel"),
+        (b * 100L + 1L, "w w w w", "flat"))
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.heapsLawFit(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("novel") === ((3L, 1.0, 1.0)))
+    assert(out("flat") === ((3L, 0.0, 1.0)))
+  }
+
+  test("q278 on testdata: beta strictly between 0 and 1 for every source") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.heapsLawFit(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // the synthetic corpus drains its small fixed vocabulary fast, so
+    // fully-saturated sources legitimately fit beta = 0; nothing may
+    // reach linear growth, and some sources must still be discovering
+    assert(out.forall { case (_, b) => b >= 0.0 && b < 1.0 },
+      s"sub-linear envelope violated: ${out.mkString(",")}")
+    assert(out.exists(_._2 > 0.0), "every source saturated — fixture drift")
+  }
+
   test("q265 doremi on testdata: every source present, weights normalized") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.doremiStep(docs)

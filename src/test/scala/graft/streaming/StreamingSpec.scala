@@ -529,6 +529,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2)._4 === 0.5)     // only u1 purchased after the click
   }
 
+  test("q276 retention cohorts: planted two-cohort fixture, exact fractions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wk = 7L * 86400000L
+    // cohort week 0: u1 active wk0+wk1+wk2, u2 active wk0+wk2; cohort 1: u3 wk1
+    val rows = Seq(
+      (1L, 0L), (1L, wk), (1L, 2 * wk),
+      (2L, 100L), (2L, 2 * wk + 5L),
+      (3L, wk + 50L))
+    val ev = rows.zipWithIndex.map { case ((u, ms), i) => (u, ms, i.toLong) }
+      .toDF("user_id", "ms", "event_id")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+    val out = Events.retentionCohortsFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0L, 0L)) === ((2L, 1.0)))
+    assert(out((0L, 1L)) === ((1L, 0.5)))
+    assert(out((0L, 2L)) === ((2L, 1.0)))
+    assert(out((1L, 0L)) === ((1L, 1.0)))
+    assert(!out.contains((1L, 1L)))
+  }
+
+  test("q276 on testdata: offset 0 is always 1.0 and retention never exceeds it") {
+    val out = Events.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.filter(_._2 == 0L).forall(_._3 === 1.0),
+      "every user is active in their own cohort week by definition")
+    assert(out.forall(t => t._3 > 0.0 && t._3 <= 1.0))
+  }
+
+  test("q277 transitions: planted chain counts, rows sum to 1 per from-state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // u1: a->b->a->b ; u2: a->a  (user boundaries must NOT create pairs)
+    val rows = Seq(
+      (1L, 1000L, 1L, "a"), (1L, 2000L, 2L, "b"),
+      (1L, 3000L, 3L, "a"), (1L, 4000L, 4L, "b"),
+      (2L, 1000L, 5L, "a"), (2L, 2000L, 6L, "a"))
+    val ev = rows.toDF("user_id", "ms", "event_id", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), col("event_type"), lit(0.0).as("value"))
+    val out = Events.typeTransitionsFrom(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) === ((2L, 0.666667)))
+    assert(out(("a", "a")) === ((1L, 0.333333)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(!out.contains(("b", "b")))
+    // probability rows sum to ~1 per from_type
+    out.keys.map(_._1).toSet.foreach { f: String =>
+      val s = out.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(math.abs(s - 1.0) < 1e-5, s"row $f sums to $s")
+    }
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
