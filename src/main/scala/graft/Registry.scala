@@ -1986,6 +1986,48 @@ object Registry {
         |  round(CAST(n3 AS DOUBLE) / n2, 6) FROM n3 CROSS JOIN n2)
         |ORDER BY step_idx""".stripMargin)),
 
+    // ROLLUP revenue report: every grouping set in one shuffle, with
+    // grouping_id matching DuckDB's GROUPING bitmask; rollup NULLs
+    // coalesced to sentinels in both engines.
+    "q279_rollup_revenue" -> Entry((s, d) =>
+      Queries.revenueRollup(s, d).orderBy("n_name", "o_year"), Some(
+      """WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  l_extendedprice * (1.0 - l_discount) AS rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT coalesce(n_name, 'ALL') AS n_name,
+        | coalesce(o_year, -1) AS o_year,
+        | CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items,
+        | CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid
+        |FROM j GROUP BY ROLLUP (n_name, o_year)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Wide pivot: per-user event-type count matrix (inverse of the q56
+    // melt) on Spark's native pivot with a pinned value list.
+    "q280_event_pivot" -> Entry((s, d) =>
+      Queries.eventTypePivot(s, d).orderBy("user_id"), Some(
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact per-group percentiles: Spark percentile() vs DuckDB
+    // quantile_cont — hash equality certifies both engines' p*(n-1)
+    // linear interpolation agrees bit-for-bit.
+    "q281_exact_percentiles" -> Entry((s, d) =>
+      Queries.valuePercentiles(s, d).orderBy("event_type"), Some(
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS p25,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.75), 6) AS p75,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Weekly retention cohort matrix: cohort = first-activity week
     // (integer epoch-day/7 buckets — no calendar-week locale trap),
     // per-offset active fraction.

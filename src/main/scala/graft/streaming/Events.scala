@@ -70,9 +70,10 @@ object Events {
   private def events(spark: SparkSession, dir: String): DataFrame =
     convertTs(rawEvents(spark, dir))
 
-  /** The batch event frame (ts converted) — exposed for spec-side parity
-    * checks against streaming settles. */
-  private[graft] def batchEventsForTest(spark: SparkSession, dir: String): DataFrame =
+  /** The batch event frame (ts converted) — the shared accessor for
+    * spec-side parity checks and the relational surfaces (q280 pivot,
+    * q281 percentiles) that read events as a plain table. */
+  private[graft] def batchEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
 
   /** Tumbling 1-hour windows: count + exact (decimal-summed) value total. */

@@ -813,7 +813,7 @@ class StreamingSpec extends AnyFunSuite {
     // settled streaming totals equal the batch aggregation on the fixture
     val settled = Events.streamingIngestGate(spark, dir)
     val batch = Events.ingestGateAgg(
-      graft.streaming.Events.batchEventsForTest(spark, dir))
+      graft.streaming.Events.batchEvents(spark, dir))
     assert(settled.exceptAll(batch).isEmpty && batch.exceptAll(settled).isEmpty)
   }
 
