@@ -2028,6 +2028,34 @@ object Registry {
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-group Pearson correlation matrix from DECIMAL(38,8)-quantized
+    // moment sums (never the engines' order-dependent corr() kernels):
+    // one scan, one hash agg, closed-form per-pair division.
+    "q282_corr_matrix" -> Entry((s, d) =>
+      Queries.corrMatrix(s, d).orderBy("flag"), Some(
+      """WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
+        | sum(CAST(l_quantity AS DECIMAL(38,8))) AS sq,
+        | sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS sp,
+        | sum(CAST(l_discount AS DECIMAL(38,8))) AS sd,
+        | sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS sqq,
+        | sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS spp,
+        | sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS sdd,
+        | sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS sqp,
+        | sum(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS sqd,
+        | sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS spd
+        |FROM lineitem GROUP BY 1)
+        |SELECT flag, n,
+        | round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        |   sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |        (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price,
+        | round((n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |   sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |        (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_qty_disc,
+        | round((n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |   sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) *
+        |        (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_price_disc
+        |FROM m ORDER BY flag""".stripMargin)),
+
     // Weekly retention cohort matrix: cohort = first-activity week
     // (integer epoch-day/7 buckets — no calendar-week locale trap),
     // per-offset active fraction.

@@ -162,6 +162,39 @@ object Queries {
         round(expr("percentile(value, 0.75)"), 6).as("p75"),
         count(lit(1)).as("n"))
 
+  /** Per-group Pearson correlation matrix (q282) from DECIMAL-quantized
+    * moment sums — the profiling statistic built the deterministic way:
+    * never `corr()` (both engines' streaming covariance updates are
+    * order-dependent in the last ulps), but one hash agg of quantized
+    * moments (Σx, Σx², Σxy at DECIMAL(38,8) — order-independent, exact)
+    * and the closed-form corr per pair as a scalar double expression
+    * both engines evaluate identically. One scan, one shuffle. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrMatrixFrom(t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("q"), col("l_extendedprice").as("p"),
+      col("l_discount").as("d")))
+
+  private[graft] def corrMatrixFrom(li: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 8)
+    def mom(c: Column) = sum(c.cast(dec))
+    val sums = li.groupBy("flag").agg(count(lit(1)).as("n"),
+      mom(col("q")).as("sq"), mom(col("p")).as("sp"), mom(col("d")).as("sd"),
+      mom(col("q") * col("q")).as("sqq"), mom(col("p") * col("p")).as("spp"),
+      mom(col("d") * col("d")).as("sdd"), mom(col("q") * col("p")).as("sqp"),
+      mom(col("q") * col("d")).as("sqd"), mom(col("p") * col("d")).as("spd"))
+    def corrOf(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      round((col("n") * col(sxy).cast("double") -
+          col(sx).cast("double") * col(sy).cast("double")) /
+        sqrt((col("n") * col(sxx).cast("double") -
+            col(sx).cast("double") * col(sx).cast("double")) *
+          (col("n") * col(syy).cast("double") -
+            col(sy).cast("double") * col(sy).cast("double"))), 6)
+    sums.select(col("flag"), col("n"),
+      corrOf("sq", "sp", "sqq", "spp", "sqp").as("corr_qty_price"),
+      corrOf("sq", "sd", "sqq", "sdd", "sqd").as("corr_qty_disc"),
+      corrOf("sp", "sd", "spp", "sdd", "spd").as("corr_price_disc"))
+  }
+
   def broadcastJoinPart(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem"); val part = t(s, dir, "part")
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))

@@ -249,6 +249,28 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.map(_._5).sum === ev.count())
   }
 
+  test("q282 corr matrix: planted perfect correlations recover exactly +-1") {
+    import spark.implicits._
+    // p = 2q (corr +1), d = -q (corr -1), p-d therefore -1
+    val li = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
+      .map { case (q, p, d) => ("A", q, p, d) }.toDF("flag", "q", "p", "d")
+    val out = graft.relational.Queries.corrMatrixFrom(li).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) === ((1.0, -1.0, -1.0)))
+  }
+
+  test("q282 on testdata: correlations bounded, n conserves") {
+    val out = graft.relational.Queries.corrMatrix(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)).foreach(c =>
+        assert(c >= -1.0 && c <= 1.0))
+    }
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.map(_.getLong(1)).sum === total)
+  }
+
   test("q265 doremi on testdata: every source present, weights normalized") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.doremiStep(docs)
