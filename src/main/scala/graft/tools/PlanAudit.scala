@@ -120,7 +120,21 @@ object PlanAudit {
     ("q245_rule_range_join", "RangeJoinBucketRule in action: the naive |delta|<=T theta join " +
       "(BNLJ) rewritten by the injected optimizer rule into a div-T bucketed equi-join + " +
       "Generate x3 expansion + residual — certified lossless by the unrewritten oracle",
-      reg("q245_rule_range_join")))
+      reg("q245_rule_range_join")),
+    ("q266_rule_range_between", "the generalized rule on the TIMESTAMP BETWEEN spelling: " +
+      "TimestampAddInterval bounds normalized to signed-difference facts, bucketed on " +
+      "unix_micros — same Generate x3 + residual shape, no BNLJ",
+      reg("q266_rule_range_between")),
+    ("q261_record_linkage", "multi-pass blocking: lev<=1 deletion-neighborhood key join UNION " +
+      "(nation, segment, balance) join, distinct, then score — candidates track match density, " +
+      "never block^2 (round-13's nation-only pass measured alpha~1.5; now 0.4)",
+      reg("q261_record_linkage")),
+    ("q279_rollup_revenue", "3-table join then ROLLUP grouping sets in one Expand + hash agg; " +
+      "grouping_id bitmask certified against DuckDB GROUPING",
+      reg("q279_rollup_revenue")),
+    ("q275_funnel", "strictly-ordered funnel: K sequential per-user argmin agg+join rounds, " +
+      "three 1-row stage counts crossed for conversions — no event-sequence sort",
+      reg("q275_funnel")))
 
   private val streamingStateNote: String =
     """
