@@ -1960,17 +1960,18 @@ object Registry {
         |   ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6) AS credit
         |FROM r ORDER BY p_event, touch_pos""".stripMargin)),
 
-    // Strictly-ordered funnel: view -> click -> purchase, each step after
-    // the previous step's first occurrence; K tiny agg+join rounds.
-    "q275_funnel" -> Entry((s, d) =>
+    // TIME-BOUNDED funnel: view -> click -> purchase, each step within
+    // 7 days of the previous step's first occurrence — the windowed
+    // refinement of q102's unbounded chain; K tiny agg+join rounds.
+    "q275_windowed_funnel" -> Entry((s, d) =>
       Events.funnelConversion(s, d).orderBy("step_idx"), Some(
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
         |u AS (SELECT count(DISTINCT user_id) AS n0 FROM e),
         |s1 AS (SELECT user_id, min(ms) AS m1 FROM e WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(ms) AS m2 FROM e JOIN s1 USING (user_id)
-        |  WHERE event_type = 'click' AND ms > m1 GROUP BY 1),
+        |  WHERE event_type = 'click' AND ms > m1 AND ms <= m1 + 604800000 GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(ms) AS m3 FROM e JOIN s2 USING (user_id)
-        |  WHERE event_type = 'purchase' AND ms > m2 GROUP BY 1),
+        |  WHERE event_type = 'purchase' AND ms > m2 AND ms <= m2 + 604800000 GROUP BY 1),
         |n1 AS (SELECT count(*) AS n1 FROM s1),
         |n2 AS (SELECT count(*) AS n2 FROM s2),
         |n3 AS (SELECT count(*) AS n3 FROM s3)
@@ -1985,24 +1986,6 @@ object Registry {
         | SELECT 3, 'purchase', CAST(n3 AS BIGINT),
         |  round(CAST(n3 AS DOUBLE) / n2, 6) FROM n3 CROSS JOIN n2)
         |ORDER BY step_idx""".stripMargin)),
-
-    // ROLLUP revenue report: every grouping set in one shuffle, with
-    // grouping_id matching DuckDB's GROUPING bitmask; rollup NULLs
-    // coalesced to sentinels in both engines.
-    "q279_rollup_revenue" -> Entry((s, d) =>
-      Queries.revenueRollup(s, d).orderBy("n_name", "o_year"), Some(
-      """WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  l_extendedprice * (1.0 - l_discount) AS rev
-        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey)
-        |SELECT coalesce(n_name, 'ALL') AS n_name,
-        | coalesce(o_year, -1) AS o_year,
-        | CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        | count(*) AS n_items,
-        | CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid
-        |FROM j GROUP BY ROLLUP (n_name, o_year)
-        |ORDER BY 1, 2""".stripMargin)),
 
     // Wide pivot: per-user event-type count matrix (inverse of the q56
     // melt) on Spark's native pivot with a pinned value list.
@@ -2056,35 +2039,31 @@ object Registry {
         |        (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_price_disc
         |FROM m ORDER BY flag""".stripMargin)),
 
-    // Weekly retention cohort matrix: cohort = first-activity week
-    // (integer epoch-day/7 buckets — no calendar-week locale trap),
-    // per-offset active fraction.
-    "q276_retention_cohorts" -> Entry((s, d) =>
-      Events.retentionCohorts(s, d).orderBy("cohort", "week_offset"), Some(
+    // Weekly growth accounting: each active week's users decomposed into
+    // new / retained / resurrected, plus the week's churn — the identity
+    // (active_w = new+retained+resurrected, active_{w-1} = retained+churned)
+    // behind q103's retention matrix.
+    "q276_growth_accounting" -> Entry((s, d) =>
+      Events.growthAccounting(s, d).orderBy("week"), Some(
       """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 // 7 AS week FROM events),
-        |f AS (SELECT user_id, min(week) AS cohort FROM a GROUP BY 1),
-        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
-        |SELECT f.cohort, a.week - f.cohort AS week_offset,
-        | CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
-        | round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / any_value(sz.cohort_size), 6) AS retention
-        |FROM a JOIN f USING (user_id) JOIN sz ON f.cohort = sz.cohort
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
-    // Event-type Markov transition matrix: per-user consecutive pairs ->
-    // P(next | current); one lag window per user partitioning, exact
-    // integer counts, one final division.
-    "q277_type_transitions" -> Entry((s, d) =>
-      Events.typeTransitions(s, d).orderBy("from_type", "to_type"), Some(
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
-        |p AS (SELECT event_type AS to_type,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
-        | FROM e),
-        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
-        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n,
-        | round(CAST(c.n AS DOUBLE) / m.n_from, 6) AS p
-        |FROM c JOIN m USING (from_type) ORDER BY from_type, to_type""".stripMargin)),
+        |f AS (SELECT user_id, min(week) AS first_week FROM a GROUP BY 1),
+        |st AS (SELECT a.week,
+        |  CASE WHEN a.week = f.first_week THEN 'new'
+        |       WHEN p.user_id IS NOT NULL THEN 'retained'
+        |       ELSE 'resurrected' END AS status
+        | FROM a JOIN f USING (user_id)
+        | LEFT JOIN a p ON p.user_id = a.user_id AND p.week = a.week - 1),
+        |cls AS (SELECT week,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        | FROM st GROUP BY 1),
+        |ch AS (SELECT a.week + 1 AS week, count(*) AS n_churned
+        | FROM a LEFT JOIN a n ON n.user_id = a.user_id AND n.week = a.week + 1
+        | WHERE n.user_id IS NULL GROUP BY 1)
+        |SELECT cls.week, n_new, n_retained, n_resurrected,
+        | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM cls LEFT JOIN ch USING (week) ORDER BY week""".stripMargin)),
 
     // Heaps'-law vocabulary-growth fit per source: V(N) ~ k*N^beta by
     // closed-form least squares on (ln cum_tokens, ln cum_vocab) across

@@ -94,45 +94,6 @@ object Queries {
       .orderBy("r_name", "n_name")
   }
 
-  private val rollupViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** ROLLUP revenue report (q279): (nation, order-year) revenue with the
-    * per-nation and grand-total subtotal rows a reporting layer expects —
-    * one shuffle computes every grouping set (Expand + hash agg; partial
-    * aggregation still map-side). `grouping_id()` carries the level
-    * bitmask exactly as DuckDB's `GROUPING(a, b)`; rollup NULLs are
-    * coalesced to explicit sentinels ('ALL' / −1) in BOTH engines so the
-    * subtotal rows survive the driver's canonicalization untouched.
-    * Revenue rides the q01 DECIMAL(18,4) sum rule.
-    *
-    * The rollup itself is spelled in SQL over a temp view of the joined
-    * frame: the Dataset-API `rollup()` after a multi-join trips
-    * `DetectAmbiguousSelfJoin` (the Expand duplicates the join-derived
-    * grouping attrs and the detector reads it as an unresolved self
-    * join — a false positive); `spark.sql` resolves the view eagerly,
-    * so the view is dropped right after building the plan. */
-  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem"); val orders = t(s, dir, "orders")
-    val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
-    val base = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    val view = s"graft_q279_base_${rollupViewCounter.incrementAndGet()}"
-    base.createOrReplaceTempView(view)
-    val agged = s.sql(
-      s"""SELECT n_name, o_year,
-         | CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-         | count(1) AS n_items, grouping_id() AS gid
-         |FROM $view GROUP BY ROLLUP (n_name, o_year)""".stripMargin)
-    s.catalog.dropTempView(view)
-    agged
-      .withColumn("n_name", coalesce(col("n_name"), lit("ALL")))
-      .withColumn("o_year", coalesce(col("o_year"), lit(-1L)))
-      .select("n_name", "o_year", "revenue", "n_items", "gid")
-  }
-
   /** Wide pivot (q280): per-user event-type count matrix — the inverse of
     * the q56 melt, on Spark's native `pivot` with the value list PINNED
     * (an unpinned pivot runs an extra distinct scan to discover columns,

@@ -1737,29 +1737,33 @@ object Events {
           .otherwise(lit(0.2) / (col("n") - 2)), 6).as("credit"))
   }
 
-  /** Strictly-ordered funnel conversion (q275): how many users did
-    * view → click → purchase IN ORDER (each step strictly after the
-    * previous step's first occurrence) — the product-analytics query
-    * every growth dashboard opens with. Sequential per-user argmins:
+  /** TIME-BOUNDED funnel conversion (q275): how many users did
+    * view → click → purchase in order with each step inside
+    * `maxStepGapMs` of the previous step's first occurrence — the
+    * windowed refinement of q102's unbounded funnel (an unbounded chain
+    * calls a click three weeks after the view a "conversion"; every
+    * product funnel bounds the step gap). Sequential per-user argmins:
     * stage k is one hash agg over the events filtered by stage k−1's
-    * per-user cutoff (an equi-join on user_id), so the whole funnel is
-    * K tiny agg+join rounds — never a per-user event-sequence sort.
-    * Conversion = n_k / n_{k−1} (stage 1 vs all active users), one
-    * double division per stage row. */
-  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
-    funnelConversionFrom(events(spark, dir))
+    * per-user cutoff window (an equi-join on user_id), so the whole
+    * funnel is K tiny agg+join rounds — never a per-user event-sequence
+    * sort. Stage rows carry user counts and step conversions
+    * (stage 1 vs all active users), one double division per row. */
+  def funnelConversion(spark: SparkSession, dir: String,
+      maxStepGapMs: Long = 7L * 86400000L): DataFrame =
+    funnelConversionFrom(events(spark, dir), maxStepGapMs)
 
-  private[graft] def funnelConversionFrom(ev: DataFrame): DataFrame = {
+  private[graft] def funnelConversionFrom(ev: DataFrame,
+      maxStepGapMs: Long = 7L * 86400000L): DataFrame = {
     val e = ev.select(col("user_id"),
       unix_millis(col("ts")).as("ms"), col("event_type"))
     val total = e.agg(countDistinct(col("user_id")).as("n0"))
     val s1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ms").as("m1"))
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("ms") > col("m1"))
+      .filter(col("ms") > col("m1") && col("ms") <= col("m1") + maxStepGapMs)
       .groupBy("user_id").agg(min("ms").as("m2"))
     val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("ms") > col("m2"))
+      .filter(col("ms") > col("m2") && col("ms") <= col("m2") + maxStepGapMs)
       .groupBy("user_id").agg(min("ms").as("m3"))
     val n1 = s1.agg(count(lit(1)).as("n1"))
     val n2 = s2.agg(count(lit(1)).as("n2"))
@@ -1776,54 +1780,46 @@ object Events {
     r1.unionAll(r2).unionAll(r3)
   }
 
-  /** Weekly retention cohort matrix (q276) — the other dashboard-opening
-    * analytics query next to q275's funnel: users grouped by
-    * first-activity week (the cohort), each later week's active fraction
-    * reported at its week offset. Weeks are integer epoch-day÷7 buckets
-    * (exact on both engines — no calendar-week locale trap). Shape:
-    * (user, week) activity distinct → per-user min week (cohort) → one
-    * (cohort, offset) hash agg + a cohort-size join; everything is
-    * map-side combinable and the final frame is ≤ weeks² rows. */
-  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
-    retentionCohortsFrom(events(spark, dir))
+  /** Weekly growth accounting (q276) — the decomposition BEHIND q103's
+    * retention matrix: each week's active users split into new (first
+    * week), retained (also active last week), and resurrected (returned
+    * after a gap), plus the week's churn (active last week, absent now).
+    * This is the growth-model identity (active_w = new + retained +
+    * resurrected; active_{w-1} = retained + churned) every subscription
+    * dashboard decomposes MAU with. Weeks are integer epoch-day/7
+    * buckets (no calendar-week locale trap).
+    *
+    * Shape: the (user, week) distinct activity frame self-joins to its
+    * week-1 shadow (equi-join on (user, week)) for retained/churned and
+    * to the per-user min-week frame for new — three hash aggs + two
+    * equi-joins, all map-side combinable, output <= |weeks| rows. Rows
+    * exist for weeks WITH activity (the q103 convention). */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccountingFrom(events(spark, dir))
 
-  private[graft] def retentionCohortsFrom(ev: DataFrame): DataFrame = {
+  private[graft] def growthAccountingFrom(ev: DataFrame): DataFrame = {
     val act = ev.select(col("user_id"),
         expr("unix_millis(ts) div 86400000 div 7").as("week"))
       .distinct()
-    val first = act.groupBy("user_id").agg(min("week").as("cohort"))
-    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-    act.join(first, "user_id")
-      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
-      .join(sizes, "cohort")
-      .select(col("cohort"), col("week_offset"), col("n_active"),
-        round(col("n_active").cast("double") / col("cohort_size"), 6)
-          .as("retention"))
-  }
-
-  /** Event-type Markov transition matrix (q277): per-user consecutive
-    * event pairs counted into P(next | current) — the behavioral model
-    * behind q249's dataset and the session-flow diagnostic (a hot
-    * error→error cell is a retry storm; purchase→view is browsing after
-    * buying). One lag window per user partitioning (per-key sorts, no
-    * global funnel), then a (from, to) hash agg + a from-marginal join;
-    * counts are exact integers, one final division. */
-  def typeTransitions(spark: SparkSession, dir: String): DataFrame =
-    typeTransitionsFrom(events(spark, dir))
-
-  private[graft] def typeTransitionsFrom(ev: DataFrame): DataFrame = {
-    val e = ev.select(col("user_id"), unix_millis(col("ts")).as("ms"),
-      col("event_id"), col("event_type"))
-    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-    val pairs = e.withColumn("prev", lag(col("event_type"), 1).over(w))
-      .filter(col("prev").isNotNull)
-    val c = pairs.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val marg = c.groupBy("from_type").agg(sum("n").as("n_from"))
-    c.join(marg, "from_type")
-      .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+    val first = act.groupBy("user_id").agg(min("week").as("first_week"))
+    val prev = act.select(col("user_id"), (col("week") + 1L).as("week"),
+      lit(1).as("was_prev"))
+    val status = act.join(first, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        when(col("week") === col("first_week"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("status"))
+    val classes = status.groupBy("week").agg(
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churn = act.select(col("user_id"), (col("week") + 1L).as("week"))
+      .join(act, Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    classes.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
   /** Batch interval (time-range) join — the deterministic batch twin of

@@ -129,12 +129,9 @@ object PlanAudit {
       "(nation, segment, balance) join, distinct, then score — candidates track match density, " +
       "never block^2 (round-13's nation-only pass measured alpha~1.5; now 0.4)",
       reg("q261_record_linkage")),
-    ("q279_rollup_revenue", "3-table join then ROLLUP grouping sets in one Expand + hash agg; " +
-      "grouping_id bitmask certified against DuckDB GROUPING",
-      reg("q279_rollup_revenue")),
-    ("q275_funnel", "strictly-ordered funnel: K sequential per-user argmin agg+join rounds, " +
-      "three 1-row stage counts crossed for conversions — no event-sequence sort",
-      reg("q275_funnel")))
+    ("q275_windowed_funnel", "time-bounded funnel: K sequential per-user argmin agg+join " +
+      "rounds, three 1-row stage counts crossed for conversions — no event-sequence sort",
+      reg("q275_windowed_funnel")))
 
   private val streamingStateNote: String =
     """

@@ -128,7 +128,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q265_doremi_step",           // q189's 1-row vocab broadcast + 1-row
                                   // totals / normalizer broadcasts into
                                   // the |sources|-row frame
-    "q275_funnel")                // three 1-row stage-count frames crossed
+    "q275_windowed_funnel")       // three 1-row stage-count frames crossed
                                   // for the per-stage conversion ratios
 
   test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any registry plan") {

@@ -209,23 +209,6 @@ class Round14OpsSpec extends AnyFunSuite {
 
   // ---- q279/q280/q281 relational surface --------------------------------
 
-  test("q279 rollup: grouping levels complete, subtotals conserve revenue") {
-    val out = graft.relational.Queries.revenueRollup(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
-    val byGid = out.groupBy(_._5)
-    assert(byGid.keySet === Set(0L, 1L, 3L), "rollup must emit all three levels")
-    val grand = byGid(3L)
-    assert(grand.length === 1 && grand.head._1 === "ALL" && grand.head._2 === -1L)
-    // item counts are exact integers: each level must conserve them
-    assert(byGid(0L).map(_._4).sum === grand.head._4)
-    assert(byGid(1L).map(_._4).sum === grand.head._4)
-    // per-nation subtotal == sum of its detail rows (decimal-exact sums)
-    byGid(1L).foreach { case (nation, _, rev, _, _) =>
-      val detail = byGid(0L).filter(_._1 == nation).map(_._3).sum
-      assert(math.abs(detail - rev) < 1e-6, s"$nation subtotal drifts")
-    }
-  }
-
   test("q280 pivot: cells conserve per-type totals, one row per user") {
     val ev = graft.streaming.Events.batchEvents(spark, dir)
     val out = graft.relational.Queries.eventTypePivot(spark, dir)

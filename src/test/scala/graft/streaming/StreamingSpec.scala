@@ -503,7 +503,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("q275 funnel: out-of-order steps never count, strictly-after enforced") {
+  test("q275 windowed funnel: out-of-order AND out-of-window steps never count") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val base = 1700000000000L
@@ -515,7 +515,10 @@ class StreamingSpec extends AnyFunSuite {
       (2L, base + 1000L, 20L, "click"), (2L, base + 2000L, 21L, "view"),
       (3L, base + 1000L, 30L, "view"),
       (4L, base + 1000L, 40L, "view"), (4L, base + 2000L, 41L, "purchase"),
-      (4L, base + 3000L, 42L, "click"))
+      (4L, base + 3000L, 42L, "click"),
+      // u5 clicks 8 days after viewing: ordered but OUTSIDE the 7-day gap
+      (5L, base + 1000L, 50L, "view"),
+      (5L, base + 1000L + 8L * 86400000L, 51L, "click"))
     val ev = rows.toDF("user_id", "ms", "event_id", "event_type")
       .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
         col("event_id"), col("event_type"), lit(0.0).as("value"))
@@ -523,64 +526,47 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1)
     assert(out.map(t => (t._1, t._2, t._3)) ===
-      Array((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
-    assert(out(0)._4 === 1.0)     // 4 viewers of 4 active users
-    assert(out(1)._4 === 0.5)     // u1, u4 clicked after viewing
+      Array((1L, "view", 5L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    assert(out(0)._4 === 1.0)     // 5 viewers of 5 active users
+    assert(out(1)._4 === 0.4)     // only u1, u4 clicked after viewing IN window
     assert(out(2)._4 === 0.5)     // only u1 purchased after the click
   }
 
-  test("q276 retention cohorts: planted two-cohort fixture, exact fractions") {
+  test("q276 growth accounting: planted new/retained/resurrected/churned, identities hold") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val wk = 7L * 86400000L
-    // cohort week 0: u1 active wk0+wk1+wk2, u2 active wk0+wk2; cohort 1: u3 wk1
+    // u1 active wk0,wk1 (retained), absent wk2 (churned at 2)
+    // u2 active wk0, absent wk1 (churned at 1), back wk2 (resurrected)
+    // u3 first appears wk1 (new at 1), active wk2 (retained)
     val rows = Seq(
-      (1L, 0L), (1L, wk), (1L, 2 * wk),
-      (2L, 100L), (2L, 2 * wk + 5L),
-      (3L, wk + 50L))
+      (1L, 0L), (1L, wk),
+      (2L, 100L), (2L, 2 * wk),
+      (3L, wk + 50L), (3L, 2 * wk + 60L))
     val ev = rows.zipWithIndex.map { case ((u, ms), i) => (u, ms, i.toLong) }
       .toDF("user_id", "ms", "event_id")
       .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
         col("event_id"), lit("view").as("event_type"), lit(0.0).as("value"))
-    val out = Events.retentionCohortsFrom(ev).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(out((0L, 0L)) === ((2L, 1.0)))
-    assert(out((0L, 1L)) === ((1L, 0.5)))
-    assert(out((0L, 2L)) === ((2L, 1.0)))
-    assert(out((1L, 0L)) === ((1L, 1.0)))
-    assert(!out.contains((1L, 1L)))
+    val out = Events.growthAccountingFrom(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((2L, 0L, 0L, 0L)))       // u1, u2 new
+    assert(out(1L) === ((1L, 1L, 0L, 1L)))       // u3 new, u1 retained, u2 churned
+    assert(out(2L) === ((0L, 1L, 1L, 1L)))       // u3 retained, u2 resurrected, u1 churned
   }
 
-  test("q276 on testdata: offset 0 is always 1.0 and retention never exceeds it") {
-    val out = Events.retentionCohorts(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    assert(out.nonEmpty)
-    assert(out.filter(_._2 == 0L).forall(_._3 === 1.0),
-      "every user is active in their own cohort week by definition")
-    assert(out.forall(t => t._3 > 0.0 && t._3 <= 1.0))
-  }
-
-  test("q277 transitions: planted chain counts, rows sum to 1 per from-state") {
+  test("q276 on testdata: the growth identity active_w = new + retained + resurrected holds") {
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    // u1: a->b->a->b ; u2: a->a  (user boundaries must NOT create pairs)
-    val rows = Seq(
-      (1L, 1000L, 1L, "a"), (1L, 2000L, 2L, "b"),
-      (1L, 3000L, 3L, "a"), (1L, 4000L, 4L, "b"),
-      (2L, 1000L, 5L, "a"), (2L, 2000L, 6L, "a"))
-    val ev = rows.toDF("user_id", "ms", "event_id", "event_type")
-      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
-        col("event_id"), col("event_type"), lit(0.0).as("value"))
-    val out = Events.typeTransitionsFrom(ev).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(out(("a", "b")) === ((2L, 0.666667)))
-    assert(out(("a", "a")) === ((1L, 0.333333)))
-    assert(out(("b", "a")) === ((1L, 1.0)))
-    assert(!out.contains(("b", "b")))
-    // probability rows sum to ~1 per from_type
-    out.keys.map(_._1).toSet.foreach { f: String =>
-      val s = out.collect { case ((`f`, _), (_, p)) => p }.sum
-      assert(math.abs(s - 1.0) < 1e-5, s"row $f sums to $s")
+    val ev = Events.batchEvents(spark, dir)
+    val out = Events.growthAccounting(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val active = ev.select(col("user_id"),
+        expr("unix_millis(ts) div 86400000 div 7").as("week")).distinct()
+      .groupBy("week").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    active.foreach { case (w, n) =>
+      val (nn, nr, ns, _) = out(w)
+      assert(nn + nr + ns === n, s"week $w decomposition leaks users")
     }
   }
 
