@@ -67,6 +67,26 @@ object Registry {
   /** Shared by q207 (batch argmax-struct) and q211 (streaming keyed
     * state): the latest-wins changelog compaction spelled as the oracle's
     * window rank. */
+  /** Shared by q223 (batch PIT join) and q283 (the same join streaming):
+    * SCD2 intervals from the signup/error change stream, facts enriched
+    * with the state valid AT their own event time. */
+  private val pitJoinSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+      |d0 AS (SELECT * FROM e WHERE event_type IN ('signup', 'error')),
+      |l AS (SELECT user_id, ts_ms, event_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type FROM d0),
+      |c AS (SELECT user_id, ts_ms, event_id, event_type FROM l
+      | WHERE prev_type IS NULL OR prev_type <> event_type),
+      |i AS (SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+      |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to_ms FROM c),
+      |f AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts_ms,
+      | coalesce(i.state, 'none') AS state_at_purchase,
+      | i.valid_from_ms AS state_since_ms
+      |FROM f LEFT JOIN i ON i.user_id = f.user_id AND i.valid_from_ms <= f.ts_ms
+      |  AND (i.valid_to_ms IS NULL OR f.ts_ms < i.valid_to_ms)
+      |ORDER BY f.event_id""".stripMargin
+
   private val cdcCompactSql: String =
     """WITH last AS (SELECT user_id, event_id, event_type, value,
       |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -1169,22 +1189,16 @@ object Registry {
     // Intervals partition each user's timeline, so the containment join
     // matches at most one row: the join IS the lookup.
     "q223_pit_join" -> Entry((s, d) =>
-      Events.pitStateJoin(s, d).orderBy("event_id"), Some(
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
-        |d0 AS (SELECT * FROM e WHERE event_type IN ('signup', 'error')),
-        |l AS (SELECT user_id, ts_ms, event_id, event_type,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type FROM d0),
-        |c AS (SELECT user_id, ts_ms, event_id, event_type FROM l
-        | WHERE prev_type IS NULL OR prev_type <> event_type),
-        |i AS (SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
-        |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to_ms FROM c),
-        |f AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase')
-        |SELECT f.event_id, f.user_id, f.ts_ms,
-        | coalesce(i.state, 'none') AS state_at_purchase,
-        | i.valid_from_ms AS state_since_ms
-        |FROM f LEFT JOIN i ON i.user_id = f.user_id AND i.valid_from_ms <= f.ts_ms
-        |  AND (i.valid_to_ms IS NULL OR f.ts_ms < i.valid_to_ms)
-        |ORDER BY f.event_id""".stripMargin)),
+      Events.pitStateJoin(s, d).orderBy("event_id"), Some(pitJoinSql)),
+
+    // The q223 point-in-time join run as a STREAM: purchase facts arrive
+    // live and enrich against a STATIC broadcast SCD2 dimension with the
+    // interval-containment residual — a stateless stream-static non-equi
+    // join (no watermark, no state store). Settled == the q223 batch
+    // oracle; the stream never shuffles for the join.
+    "q283_streaming_pit" -> Entry((s, d) =>
+      Events.streamingPitEnrich(s, d).orderBy("event_id"), Some(pitJoinSql)),
+
 
     // Perceptual average-hash over the real PPM codec: 8x8 integer-exact
     // gray-mass grid, cross-multiplied cell-vs-global mean threshold ->
@@ -2264,7 +2278,7 @@ object Registry {
     // (KMeans centroids are iterative floats); pair-agreement envelope vs
     // the exact q254 output pinned in Round14OpsSpec.
     "q269_bitext_ann" -> Entry((s, d) =>
-      Similarity.bitextMarginMiningAnn(emb(s, d)).orderBy("src_id"), None),
+      Similarity.bitextMarginMiningAnnOn(s, d).orderBy("src_id"), None),
 
     // Canonical-form dedup groups: NFC (native codegen'd expression) →
     // casefold → whitespace collapse, then md5-keyed group sizes. The

@@ -2237,6 +2237,35 @@ object Events {
       .select("day", "n_events", "dod_delta", "ma7")
   }
 
+  /** The q223 point-in-time join as a STREAM (q283): purchase facts
+    * arriving live enrich against a STATIC broadcast SCD2 dimension with
+    * the interval-containment residual — a stateless stream-static
+    * non-equi join (no watermark, no state store; the dim ships once per
+    * executor and the stream never shuffles for the join). This is the
+    * live half of the offline/online-skew discipline: the SAME dimension
+    * build and the SAME containment predicate as the batch q223, so the
+    * settled output hash-matches the identical oracle — training-serving
+    * feature parity, certified. */
+  def streamingPitEnrich(spark: SparkSession, dir: String): DataFrame =
+    settle(spark, dir, stream => {
+      val s2 = stream.sparkSession
+      val dim = broadcast(
+        scd2IntervalsFrom(events(s2, dir)
+            .filter(col("event_type").isin("signup", "error")))
+          .select(col("user_id").as("d_user"), col("state"),
+            col("valid_from_ms"), col("valid_to_ms")))
+      val facts = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      facts.join(dim,
+          facts("user_id") === col("d_user") &&
+            col("valid_from_ms") <= facts("ts_ms") &&
+            (col("valid_to_ms").isNull || facts("ts_ms") < col("valid_to_ms")),
+          "left")
+        .select(facts("event_id"), facts("user_id"), facts("ts_ms"),
+          coalesce(col("state"), lit("none")).as("state_at_purchase"),
+          col("valid_from_ms").as("state_since_ms"))
+    }, outputMode = "append")
+
   def pitStateJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val dim = scd2IntervalsFrom(ev.filter(col("event_type").isin("signup", "error")))

@@ -30,6 +30,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; eviction pin in StreamingSpec
     "q273_tws_rolling_context", // transformWithState ListState settle on
                                 // construction; carry pin in StreamingSpec
+    "q283_streaming_pit",       // stream-static PIT settle on construction;
+                                // parity with q223 via the shared oracle
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;

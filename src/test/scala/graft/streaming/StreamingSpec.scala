@@ -570,6 +570,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q283 streaming PIT enrichment equals the batch q223 join exactly") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val stream = canon(Events.streamingPitEnrich(spark, dir))
+    val batch = canon(Events.pitStateJoin(spark, dir))
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+    // both the enriched and the 'none' (pre-first-state) facts flow through
+    assert(stream.exists(_._4 != "none") && stream.exists(_._4 == "none"))
+  }
+
   test("as-of join: inclusive match, tie-break, and unmatched sentinel") {
     import spark.implicits._
     val e = Seq(
