@@ -2109,6 +2109,17 @@ object Registry {
         |   * CAST(sx AS DOUBLE)) / n_points), 6) AS k
         |FROM s ORDER BY source""".stripMargin)),
 
+    // Custom DataSource V2 connector: documents written to GLPR (a
+    // WARC-shaped length-prefixed record format, one shard per writer
+    // partition) and read BACK through the connector — column pruning
+    // byte-skips unread fields, doc_id range filters push into the scan.
+    // Hash equality with the parquet originals certifies the whole
+    // source layer; pushdown/pruning plans pinned in GlprSpec.
+    "q284_glpr_source" -> Entry((s, d) =>
+      graft.io.GlprSource.documentsVia(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

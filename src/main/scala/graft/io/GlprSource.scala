@@ -1,0 +1,211 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** GLPR — "graft length-prefixed records" — a minimal WARC-shaped record
+  * format (the length-prefixed record-stream layout LLM corpora actually
+  * arrive in: WARC, TFRecord, MDS shards), implemented as a REAL
+  * DataSource V2 connector so the engine's source layer is exercised end
+  * to end, not just the built-in formats:
+  *
+  *  - '''record layout''' (big-endian): `[i64 doc_id][i32 langLen][lang
+  *    utf8][i32 srcLen][source utf8][i32 textLen][text utf8]` — a
+  *    self-describing stream any language can write.
+  *  - '''shards''': one `part-N.glpr` file per writer partition; the read
+  *    side plans ONE InputPartition per shard — the 100 TB parallelism
+  *    unit, like parquet row-groups or WARC segment files.
+  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): pruned
+  *    string fields are length-SKIPPED in the byte stream, never UTF-8
+  *    decoded nor materialized — a doc_id-only count never touches text
+  *    bytes. `.explain` shows the pruned ReadSchema.
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): doc_id range
+  *    predicates (`> >= < <=` with Long literals) evaluate against the
+  *    fixed-offset id BEFORE field decode, skipping non-matching records
+  *    entirely; they are reported as pushed (`PushedFilters: [...]`) and
+  *    Spark drops its residual. Everything else stays a residual above
+  *    the scan.
+  *
+  * Scope note: shard IO is `java.io` against a local path — the sandbox
+  * reality; a cluster deployment swaps the two stream constructors for
+  * `FileSystem.open/create` on the Hadoop FS API and nothing else
+  * changes. Certified by the q284 oracle: documents written to GLPR and
+  * read back through this connector hash-match the parquet originals
+  * column for column, byte for byte. */
+object GlprSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Distributed writer: one shard per input partition (executor-side
+    * `java.io`, driver never sees a row). */
+  def write(docs: DataFrame, path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    docs.select("doc_id", "lang", "source", "text").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(path, f"part-$pid%05d.glpr")
+        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+        try rows.foreach { r =>
+          out.writeLong(r.getLong(0))
+          def putStr(s: String): Unit = {
+            val b = s.getBytes(StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+          }
+          putStr(r.getString(1)); putStr(r.getString(2)); putStr(r.getString(3))
+        } finally out.close()
+        // a rows-empty partition still leaves a valid (zero-record) shard
+    }
+  }
+
+  /** One GLPR staging per (JVM, dir) — the cached-sink convention shared
+    * with the format round-trips ([[Formats]]): write the documents table
+    * once, then every reader (registry, specs, bench reps) goes through
+    * the connector against the same shards. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def documentsVia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = stagedCache.computeIfAbsent(dir, _ => {
+      val root = TempDirs.scratch("graft-glpr").toString
+      write(Tables(spark, dir, "documents").select("doc_id", "lang", "source", "text"), root)
+      root
+    })
+    spark.read.format("graft.io.GlprSource").load(path)
+  }
+
+  private[io] final case class GlprPartition(file: String) extends InputPartition
+
+  /** doc_id bounds compiled from the pushed filters (inclusive). */
+  private[io] final case class IdRange(lo: Long, hi: Long) {
+    def contains(id: Long): Boolean = id >= lo && id <= hi
+  }
+
+  private[io] def compileFilters(fs: Array[Filter]): (Array[Filter], IdRange) = {
+    var lo = Long.MinValue; var hi = Long.MaxValue
+    val pushed = fs.filter {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v - 1); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v); true
+      case _ => false
+    }
+    (pushed, IdRange(lo, hi))
+  }
+}
+
+class GlprSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GlprSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GlprTable(properties.get("path"))
+}
+
+class GlprTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"glpr:$path"
+  override def schema(): StructType = GlprSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlprScanBuilder(path)
+}
+
+class GlprScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = GlprSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var range: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, r) = GlprSource.compileFilters(filters)
+    pushed = p; range = r
+    filters.filterNot(p.contains) // residual for Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GlprScan(path, required, range, pushed)
+}
+
+class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // surfaces in .explain — the DSv2 analogue of the file-source
+  // PushedFilters/ReadSchema lines PlanLint-style checks grep for
+  override def description(): String =
+    s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".glpr")).map(_.getAbsolutePath).sorted
+    files.map(f => GlprSource.GlprPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlprReaderFactory(required, range)
+}
+
+class GlprReaderFactory(required: StructType, range: GlprSource.IdRange)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GlprReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
+      required, range)
+}
+
+/** Streaming per-shard reader: pruned fields are byte-skipped, pushed
+  * doc_id bounds short-circuit before any field decode. */
+class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file)))
+  // field order in the byte stream after doc_id
+  private val streamFields = Array("lang", "source", "text")
+  private val wantIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private var current: InternalRow = _
+
+  private def readOrSkip(want: Boolean): UTF8String = {
+    val len = in.readInt()
+    if (want) {
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      UTF8String.fromBytes(b)
+    } else { in.skipNBytes(len.toLong); null }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      val id = try in.readLong() catch { case _: EOFException => return false }
+      val keep = range.contains(id)
+      val vals = new Array[Any](required.length)
+      wantIdx.get("doc_id").foreach(i => vals(i) = id)
+      streamFields.foreach { f =>
+        val s = readOrSkip(keep && wantIdx.contains(f))
+        wantIdx.get(f).foreach(i => if (keep) vals(i) = s)
+      }
+      if (keep) { current = InternalRow.fromSeq(vals.toIndexedSeq); return true }
+      // else: record skipped wholesale; loop to the next one
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

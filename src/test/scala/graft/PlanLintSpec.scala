@@ -32,6 +32,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;
                                 // parity with q223 via the shared oracle
+    "q284_glpr_source",         // GLPR shard write on construction (cached);
+                                // pushdown/pruning plans pinned in GlprSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;
