@@ -7,9 +7,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,26 +53,13 @@ object GlprSource {
     StructField("source", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
-  /** Distributed writer: one shard per input partition (executor-side
-    * `java.io`, driver never sees a row). */
-  def write(docs: DataFrame, path: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    docs.select("doc_id", "lang", "source", "text").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(path, f"part-$pid%05d.glpr")
-        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
-        try rows.foreach { r =>
-          out.writeLong(r.getLong(0))
-          def putStr(s: String): Unit = {
-            val b = s.getBytes(StandardCharsets.UTF_8)
-            out.writeInt(b.length); out.write(b)
-          }
-          putStr(r.getString(1)); putStr(r.getString(2)); putStr(r.getString(3))
-        } finally out.close()
-        // a rows-empty partition still leaves a valid (zero-record) shard
-    }
-  }
+  /** Distributed writer through the connector's own DSv2 WRITE path —
+    * one shard per task, two-phase committed (stage + atomic rename; see
+    * [[GlprWriter]]). Re-running the same write replaces shards by
+    * partition id, so a replayed job is idempotent. */
+  def write(docs: DataFrame, path: String): Unit =
+    docs.select("doc_id", "lang", "source", "text")
+      .write.format("graft.io.GlprSource").mode("append").save(path)
 
   /** One GLPR staging per (JVM, dir) — the cached-sink convention shared
     * with the format round-trips ([[Formats]]): write the documents table
@@ -116,13 +104,69 @@ class GlprSource extends TableProvider {
     new GlprTable(properties.get("path"))
 }
 
-class GlprTable(path: String) extends Table with SupportsRead {
+class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"glpr:$path"
   override def schema(): StructType = GlprSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlprScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GlprWriteBuilder(path, info.schema())
+}
+
+/** DSv2 WRITE path: `df.write.format("graft.io.GlprSource").save(path)`.
+  * Tasks stage to `_tmp-<task>` files and COMMIT by atomic rename — an
+  * aborted/speculative task leaves no visible shard (the two-phase
+  * commit every exactly-once batch sink runs); the job-level commit is
+  * the no-op the rename already made durable. */
+class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GlprBatchWrite(path, schema)
+  }
+}
+
+class GlprBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    new GlprWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GlprWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GlprWriter(path, schema, partitionId, taskId)
+}
+
+/** Per-task shard writer over the logical write schema (fields located
+  * by name so a reordered projection still lands in layout order). */
+class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  require(GlprSource.schema.fieldNames.forall(idx.contains),
+    s"GLPR write needs columns ${GlprSource.schema.fieldNames.mkString(",")}")
+  private val tmp = new java.io.File(path, f"_tmp-$taskId%d-part-$partitionId%05d.glpr")
+  private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
+  override def write(r: InternalRow): Unit = {
+    out.writeLong(r.getLong(idx("doc_id")))
+    Seq("lang", "source", "text").foreach { f =>
+      val b = r.getUTF8String(idx(f)).getBytes
+      out.writeInt(b.length); out.write(b)
+    }
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val dest = new java.io.File(path, f"part-$partitionId%05d.glpr")
+    java.nio.file.Files.move(tmp.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(): Unit }
+  override def close(): Unit = ()
 }
 
 class GlprScanBuilder(path: String) extends ScanBuilder

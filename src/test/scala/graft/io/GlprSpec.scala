@@ -58,6 +58,23 @@ class GlprSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("DSv2 write path: two-phase commit leaves no temp files, replay is idempotent") {
+    val out = TempDirs.scratch("graft-glpr-write").toString
+    val small = docs.limit(50)
+    small.write.format("graft.io.GlprSource").mode("append").save(out)
+    val shards = new java.io.File(out).listFiles()
+    assert(shards.nonEmpty && shards.forall(_.getName.endsWith(".glpr")))
+    assert(!shards.exists(_.getName.startsWith("_tmp")),
+      "staged temp files must not survive a committed write")
+    def readBack() = spark.read.format("graft.io.GlprSource").load(out)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val once = readBack()
+    assert(once === small.collect().map(r => (r.getLong(0), r.getString(3))).toSet)
+    // replayed job: same data, same partitioning — shards replace, never duplicate
+    small.write.format("graft.io.GlprSource").mode("append").save(out)
+    assert(readBack() === once, "a replayed write must not duplicate records")
+  }
+
   test("one input partition per shard; empty shard dir reads as empty") {
     // the staged write shards by writer partition: >= 1 .glpr files, and
     // the scan plans exactly one partition per shard
