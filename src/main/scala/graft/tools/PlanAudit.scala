@@ -131,7 +131,13 @@ object PlanAudit {
       reg("q261_record_linkage")),
     ("q275_windowed_funnel", "time-bounded funnel: K sequential per-user argmin agg+join " +
       "rounds, three 1-row stage counts crossed for conversions — no event-sequence sort",
-      reg("q275_windowed_funnel")))
+      reg("q275_windowed_funnel")),
+    ("q284_glpr_source (filtered, pruned)", "custom DSv2 connector scan: doc_id bounds pushed " +
+      "into the record stream (PushedFilters in the scan description), pruned fields " +
+      "byte-skipped (ReadSchema), one InputPartition per shard",
+      (s: SparkSession, d: String) => graft.io.GlprSource.documentsVia(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L)
+        .select("doc_id", "lang")))
 
   private val streamingStateNote: String =
     """
