@@ -207,7 +207,7 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.exists(_._2 > 0.0), "every source saturated — fixture drift")
   }
 
-  // ---- q279/q280/q281 relational surface --------------------------------
+  // ---- q280/q281 relational surface -------------------------------------
 
   test("q280 pivot: cells conserve per-type totals, one row per user") {
     val ev = graft.streaming.Events.batchEvents(spark, dir)
