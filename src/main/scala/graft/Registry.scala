@@ -2120,6 +2120,17 @@ object Registry {
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
+    // The GLPR connector consumed as a STREAM (MicroBatchStream: name-
+    // interval offsets, per-trigger shard planning, same pruning reader)
+    // rolled into a per-language profile; settled == the identical batch
+    // oracle. Incremental shard arrival is MemoryStream-style pinned in
+    // GlprSpec.
+    "q285_glpr_stream" -> Entry((s, d) =>
+      graft.io.GlprSource.streamedLangProfile(s, d).orderBy("lang"), Some(
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

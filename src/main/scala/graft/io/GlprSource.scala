@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -67,14 +68,42 @@ object GlprSource {
     * the connector against the same shards. */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def documentsVia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val path = stagedCache.computeIfAbsent(dir, _ => {
+  private[io] def stagedPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(dir, _ => {
       val root = TempDirs.scratch("graft-glpr").toString
       write(Tables(spark, dir, "documents").select("doc_id", "lang", "source", "text"), root)
       root
     })
-    spark.read.format("graft.io.GlprSource").load(path)
+  def documentsVia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.io.GlprSource").load(stagedPath(spark, dir))
+
+  /** q285: the staged shards consumed as a STREAM through the connector's
+    * [[GlprMicroBatchStream]] and rolled into a per-language profile —
+    * certifying the custom streaming-source path (offsets, per-trigger
+    * shard planning, the same pruning reader) against the identical batch
+    * oracle. Complete-mode memory settle, re-materialized on the caller's
+    * session (the [[graft.streaming.Events]] settle shape). */
+  def streamedLangProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val path = stagedPath(spark, dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.format("graft.io.GlprSource").load(path)
+    val agg = stream.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+    val name = s"graft_glpr_stream_${glprStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val settled = s2.table(name)
+    val outSchema = settled.schema
+    val rows = settled.collect()
+    s2.catalog.dropTempView(name)
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
+  private val glprStreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[io] final case class GlprPartition(file: String) extends InputPartition
 
@@ -109,6 +138,7 @@ class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def schema(): StructType = GlprSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlprScanBuilder(path)
@@ -205,6 +235,55 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GlprMicroBatchStream(path, required, range)
+}
+
+/** Streaming offset: the lexically-largest shard NAME processed so far.
+  * Name-interval offsets make restarts exact without a metadata log, on
+  * one contract: shards are APPEND-ONLY with monotonically increasing
+  * names (the writer's zero-padded part numbering) — a late file sorting
+  * below the committed name is ignored rather than double-read. The
+  * built-in file source buys the general case with its `_spark_metadata`
+  * log; this connector documents the cheaper invariant instead. */
+private[io] case class GlprOffset(last: String) extends Offset {
+  override def json(): String =
+    "{\"last\":\"" + last.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+}
+
+/** GLPR as a STREAMING source ([[MicroBatchStream]]): each trigger reads
+  * the shards that landed since the committed name offset — the "ingest
+  * shards as they arrive" front door a corpus pipeline runs against an
+  * object-store prefix. Pruning and doc_id pushdown apply per micro-batch
+  * exactly as in the batch scan (same reader). */
+class GlprMicroBatchStream(path: String, required: StructType,
+    range: GlprSource.IdRange) extends MicroBatchStream {
+  private def files(): Array[String] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".glpr") && !f.getName.startsWith("_tmp"))
+      .map(_.getName).sorted
+  }
+  override def initialOffset(): Offset = GlprOffset("")
+  override def latestOffset(): Offset =
+    GlprOffset(files().lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"last":"(.*)"\}""".r
+    json match {
+      case m(last) => GlprOffset(last.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => GlprOffset("")
+    }
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GlprOffset].last
+    val hi = end.asInstanceOf[GlprOffset].last
+    files().filter(n => n > lo && n <= hi)
+      .map(n => GlprSource.GlprPartition(new java.io.File(path, n).getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlprReaderFactory(required, range)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GlprReaderFactory(required: StructType, range: GlprSource.IdRange)

@@ -34,6 +34,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // parity with q223 via the shared oracle
     "q284_glpr_source",         // GLPR shard write on construction (cached);
                                 // pushdown/pruning plans pinned in GlprSpec
+    "q285_glpr_stream",         // GLPR MicroBatchStream settle on
+                                // construction; arrival pin in GlprSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;

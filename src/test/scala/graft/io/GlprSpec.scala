@@ -75,6 +75,46 @@ class GlprSpec extends AnyFunSuite {
     assert(readBack() === once, "a replayed write must not duplicate records")
   }
 
+  test("q285 streaming source: shards arriving between triggers are read exactly once") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-stream-test").toString
+    def shardOf(rows: Seq[(Long, String, String, String)], name: String): Unit = {
+      val tmp = TempDirs.scratch("graft-glpr-shard").toString
+      rows.toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".glpr")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(root, name).toPath)
+    }
+    shardOf(Seq((1L, "en", "a", "one"), (2L, "de", "a", "two")), "part-00000.glpr")
+    val name = "graft_glpr_arrival_test"
+    val q = spark.readStream.format("graft.io.GlprSource").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      def counts() = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts() === Map("en" -> 1L, "de" -> 1L))
+      // a LATER-SORTING shard lands between triggers: picked up exactly once
+      shardOf(Seq((3L, "en", "b", "three")), "part-10000.glpr")
+      q.processAllAvailable()
+      assert(counts() === Map("en" -> 2L, "de" -> 1L),
+        "the arriving shard must be read exactly once")
+      q.processAllAvailable() // no new shards: nothing double-counts
+      assert(counts() === Map("en" -> 2L, "de" -> 1L))
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
+  test("streaming offsets round-trip their JSON, including quote-bearing names") {
+    val o = GlprOffset("""part-"odd"\name.glpr""")
+    val back = new GlprMicroBatchStream("/nonexistent", GlprSource.schema,
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue)).deserializeOffset(o.json())
+    assert(back === o)
+    assert(new GlprMicroBatchStream("/nonexistent", GlprSource.schema,
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue))
+      .deserializeOffset(GlprOffset("").json()) === GlprOffset(""))
+  }
+
   test("one input partition per shard; empty shard dir reads as empty") {
     // the staged write shards by writer partition: >= 1 .glpr files, and
     // the scan plans exactly one partition per shard
