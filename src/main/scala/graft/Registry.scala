@@ -2131,6 +2131,42 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // 3-way IPF raking, one sweep: the reference's 2-marginal step
+    // generalized to three marginals (row, then col, then layer fit,
+    // each re-normalizing the last) — the statistical-agency raking
+    // shape. DECIMAL(38,6) denominator sums, 6dp per fit (q94 rules).
+    "q286_rake3_sweep" -> Entry((s, d) =>
+      Queries.rake3Sweep(s, d).orderBy("mrow", "mcol", "mlay"), Some(
+      """WITH m0 AS (SELECT l_partkey AS mrow, CAST(month(l_shipdate) AS BIGINT) AS mcol,
+        |  l_returnflag AS mlay,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mval
+        | FROM lineitem GROUP BY 1, 2, 3),
+        |x AS (SELECT l_partkey AS mrow,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tval
+        | FROM lineitem GROUP BY 1),
+        |y AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS mcol,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tval
+        | FROM lineitem GROUP BY 1),
+        |z AS (SELECT l_returnflag AS mlay,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tval
+        | FROM lineitem GROUP BY 1),
+        |rs AS (SELECT mrow, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS dsum
+        | FROM m0 GROUP BY 1),
+        |f1 AS (SELECT m0.mrow, m0.mcol, m0.mlay,
+        |  round(m0.mval * (x.tval / rs.dsum), 6) AS mval
+        | FROM m0 JOIN rs USING (mrow) JOIN x USING (mrow)),
+        |cs AS (SELECT mcol, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS dsum
+        | FROM f1 GROUP BY 1),
+        |f2 AS (SELECT f1.mrow, f1.mcol, f1.mlay,
+        |  round(f1.mval * (y.tval / cs.dsum), 6) AS mval
+        | FROM f1 JOIN cs USING (mcol) JOIN y USING (mcol)),
+        |ls AS (SELECT mlay, CAST(sum(CAST(mval AS DECIMAL(38,6))) AS DOUBLE) AS dsum
+        | FROM f2 GROUP BY 1),
+        |f3 AS (SELECT f2.mrow, f2.mcol, f2.mlay,
+        |  round(f2.mval * (z.tval / ls.dsum), 6) AS mval
+        | FROM f2 JOIN ls USING (mlay) JOIN z USING (mlay))
+        |SELECT mrow, mcol, mlay, mval FROM f3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

@@ -371,6 +371,43 @@ object Queries {
     * every-2nd-sweep checkpoints (the round-10 "weak" q94/q121 cost; the
     * ~2s nonlinearity at each truncation barrier was the checkpoint
     * itself — see tools/UnrollProbe). */
+  /** 3-way IPF raking, one sweep (q286): the reference's 2-marginal
+    * `step` generalized to THREE marginals — the statistical-agency
+    * raking shape (region × month × class cells calibrated to three
+    * published totals) the 2D library is usually the first casualty of.
+    * One sweep = fit to the row marginal, then the column marginal, then
+    * the layer marginal, each fit re-normalizing the previous one's
+    * output; convergence iterates sweeps exactly as q26 does in 2D.
+    * Same determinism rules as [[ipfUnrolled]]: denominator sums ride
+    * DECIMAL(38,6) (order-independent), each fit rounds to 6dp.
+    * Shape: per fit one hash agg on the dim + two equi-joins (marginal
+    * frames are dim-cardinality-sized, broadcast by AQE) — three
+    * shuffle rounds per sweep, never a dense cube. */
+  def rake3Sweep(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def marg(key: Column, name: String): DataFrame =
+      li.groupBy(key.as(name)).agg(dsum(col("l_quantity")).as("tval"))
+    val x = marg(col("l_partkey"), "mrow")
+    val y = marg(month(col("l_shipdate")).cast("long"), "mcol")
+    val z = marg(col("l_returnflag"), "mlay")
+    var m = li.groupBy(col("l_partkey").as("mrow"),
+        month(col("l_shipdate")).cast("long").as("mcol"),
+        col("l_returnflag").as("mlay"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double").as("mval"))
+    def fit(dim: String, target: DataFrame): DataFrame = {
+      val sums = m.groupBy(dim)
+        .agg(sum(col("mval").cast(DecimalType(38, 6))).cast("double").as("dsum"))
+      m.join(sums, dim).join(target, dim)
+        .select(col("mrow"), col("mcol"), col("mlay"),
+          round(col("mval") * (col("tval") / col("dsum")), 6).as("mval"))
+    }
+    m = fit("mrow", x)
+    m = fit("mcol", y)
+    m = fit("mlay", z)
+    m
+  }
+
   def ipfUnrolled(s: SparkSession, dir: String, steps: Int = 2): DataFrame = {
     val li = t(s, dir, "lineitem")
     val x = li.groupBy(col("l_partkey").as(CooMatrix.Idx))

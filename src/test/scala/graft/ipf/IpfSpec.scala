@@ -185,4 +185,28 @@ class IpfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q286 3-way raking: the LAST-fit marginal is met exactly, totals conserve") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.TestSpark.spark
+    val dir = graft.TestSpark.sfDir
+    val out = graft.relational.Queries.rake3Sweep(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // after fitting layers LAST, each layer's mass equals its target
+    // marginal up to the per-cell 6dp rounding
+    val gotLay = out.groupBy("mlay").agg(sum("mval").as("got")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val target = li.groupBy(col("l_returnflag").as("mlay"))
+      .agg(graft.relational.Queries.dsum(col("l_quantity")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotLay.keySet === target.keySet)
+    gotLay.foreach { case (lay, got) =>
+      val cells = out.filter(col("mlay") === lay).count()
+      assert(math.abs(got - target(lay)) <= cells * 5e-7,
+        s"layer $lay mass $got misses target ${target(lay)}")
+    }
+    // earlier-fit marginals are only approximate after later fits (the
+    // raking property) but every cell stays positive
+    assert(out.filter(col("mval") <= 0.0).count() === 0L)
+  }
 }
