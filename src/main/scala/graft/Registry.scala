@@ -2167,6 +2167,21 @@ object Registry {
         | FROM f2 JOIN ls USING (mlay) JOIN z USING (mlay))
         |SELECT mrow, mcol, mlay, mval FROM f3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Per-group top-k as a CUSTOM PHYSICAL OPERATOR (logical node +
+    // injected SparkStrategy + TopKPerGroupExec): bounded per-group
+    // heaps after one hash exchange — O(n log k), O(groups*k) memory,
+    // no Sort, no Window, no spill path. Oracle runs the row_number
+    // window spelling; hash equality certifies the operator. Plan shape
+    // pinned in TopKPerGroupSpec.
+    "q287_topk_operator" -> Entry((s, d) =>
+      graft.plans.TopKPerGroup.topOrdersPerCustomer(s, d)
+        .orderBy("custkey", "orderkey"), Some(
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        | o_totalprice AS totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY custkey, orderkey""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

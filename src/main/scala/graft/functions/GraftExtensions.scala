@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see graft.plans.RangeJoinBucketRule; also installable at runtime
     // via spark.experimental.extraOptimizations).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
+    // Planner strategy for the custom per-group top-k physical operator
+    // (see graft.plans.TopKPerGroup; also installable at runtime via
+    // spark.experimental.extraStrategies).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
