@@ -137,7 +137,13 @@ object PlanAudit {
       "byte-skipped (ReadSchema), one InputPartition per shard",
       (s: SparkSession, d: String) => graft.io.GlprSource.documentsVia(s, d)
         .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L)
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+    ("q287_topk_operator", "custom physical operator: one hash exchange (required clustered " +
+      "distribution) -> TopKPerGroupExec bounded heaps — no Sort, no Window, no spill path",
+      (s: SparkSession, d: String) => graft.plans.TopKPerGroup.topOrdersPerCustomer(s, d)),
+    ("q286_rake3_sweep", "3-way IPF raking sweep: per fit one dim hash agg + two equi-joins " +
+      "(marginals AQE-broadcast) — three shuffle rounds, never a dense cube",
+      reg("q286_rake3_sweep")))
 
   private val streamingStateNote: String =
     """
