@@ -1,9 +1,7 @@
 package graft.io
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
-import java.nio.charset.StandardCharsets
 import java.util
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
@@ -114,10 +112,15 @@ object GlprSource {
 
   private[io] def compileFilters(fs: Array[Filter]): (Array[Filter], IdRange) = {
     var lo = Long.MinValue; var hi = Long.MaxValue
+    // strict bounds at the Long extremes stay residuals: v+1 / v-1 would
+    // WRAP, silently widening a pushed (residual-dropped) filter to the
+    // whole id space
     val pushed = fs.filter {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("doc_id", v: Long) if v < Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
-      case LessThan("doc_id", v: Long) => hi = math.min(hi, v - 1); true
+      case LessThan("doc_id", v: Long) if v > Long.MinValue =>
+        hi = math.min(hi, v - 1); true
       case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v); true
       case _ => false
     }

@@ -115,6 +115,19 @@ class GlprSpec extends AnyFunSuite {
       .deserializeOffset(GlprOffset("").json()) === GlprOffset(""))
   }
 
+  test("filter compilation saturates at the Long extremes instead of wrapping") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, LessThanOrEqual}
+    // v+1 / v-1 at the extremes would wrap and silently widen a pushed
+    // (residual-dropped) filter to the whole id space
+    val (p1, _) = GlprSource.compileFilters(Array(GreaterThan("doc_id", Long.MaxValue)))
+    assert(p1.isEmpty, "a wrapping strict bound must stay a residual")
+    val (p2, _) = GlprSource.compileFilters(Array(LessThan("doc_id", Long.MinValue)))
+    assert(p2.isEmpty)
+    val (p3, r3) = GlprSource.compileFilters(
+      Array(GreaterThan("doc_id", 10L), LessThanOrEqual("doc_id", 20L)))
+    assert(p3.length === 2 && r3 === GlprSource.IdRange(11L, 20L))
+  }
+
   test("one input partition per shard; empty shard dir reads as empty") {
     // the staged write shards by writer partition: >= 1 .glpr files, and
     // the scan plans exactly one partition per shard
