@@ -101,6 +101,9 @@ object TopKPerGroup {
     * a unique tie-break column last for deterministic output). */
   def topK(df: DataFrame, groupCols: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topK needs >=1 group column (global top-k is orderBy.limit — already optimal as TakeOrdered)")
+    require(orderSpec.nonEmpty, "topK needs an ordering")
     val spark = df.sparkSession
     installedIn(spark)
     val child = df.queryExecution.analyzed
