@@ -309,16 +309,41 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
 
   private def readOrSkip(want: Boolean): UTF8String = {
     val len = in.readInt()
-    if (want) {
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      UTF8String.fromBytes(b)
-    } else { in.skipNBytes(len.toLong); null }
+    // corrupt-shard diagnostics: a negative or truncated length must name
+    // the shard, not surface as a bare EOF three frames deep in a task
+    if (len < 0)
+      throw new java.io.IOException(
+        s"GLPR shard $file is corrupt: negative field length $len")
+    try {
+      if (want) {
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        UTF8String.fromBytes(b)
+      } else { in.skipNBytes(len.toLong); null }
+    } catch {
+      case e: EOFException =>
+        throw new java.io.IOException(
+          s"GLPR shard $file is truncated mid-record (field of $len bytes)", e)
+    }
   }
+
+  private val idTail = new Array[Byte](7)
 
   override def next(): Boolean = {
     while (true) {
-      val id = try in.readLong() catch { case _: EOFException => return false }
+      // distinguish CLEAN end-of-shard (no next record at all) from a
+      // shard truncated INSIDE a record id — readLong alone reports both
+      // as EOF
+      val first = in.read()
+      if (first == -1) return false
+      try in.readFully(idTail) catch {
+        case e: EOFException =>
+          throw new java.io.IOException(
+            s"GLPR shard $file is truncated inside a record id", e)
+      }
+      var id = first.toLong & 0xffL
+      var i = 0
+      while (i < 7) { id = (id << 8) | (idTail(i) & 0xffL); i += 1 }
       val keep = range.contains(id)
       val vals = new Array[Any](required.length)
       wantIdx.get("doc_id").foreach(i => vals(i) = id)

@@ -128,6 +128,31 @@ class GlprSpec extends AnyFunSuite {
     assert(p3.length === 2 && r3 === GlprSource.IdRange(11L, 20L))
   }
 
+  test("a truncated shard fails with a diagnostic naming the file, never a silent short read") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-corrupt").toString
+    Seq((1L, "en", "a", "a long enough text payload to truncate inside"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    val shard = new java.io.File(root).listFiles().filter(_.getName.endsWith(".glpr")).head
+    val full = java.nio.file.Files.readAllBytes(shard.toPath)
+    // cut inside the text field
+    java.nio.file.Files.write(shard.toPath, full.take(full.length - 10))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.io.GlprSource").load(root).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("truncated") && msg.contains(".glpr"),
+      s"corrupt shard must fail with a named diagnostic, got: $msg")
+    // cut inside the 8-byte id of a (hypothetical) second record
+    java.nio.file.Files.write(shard.toPath, full ++ Array[Byte](0, 0, 1))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.io.GlprSource").load(root).collect()
+    }
+    val msg2 = Option(e2.getCause).map(_.getMessage).getOrElse("") + e2.getMessage
+    assert(msg2.contains("inside a record id"), s"got: $msg2")
+  }
+
   test("one input partition per shard; empty shard dir reads as empty") {
     // the staged write shards by writer partition: >= 1 .glpr files, and
     // the scan plans exactly one partition per shard
