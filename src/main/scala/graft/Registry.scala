@@ -2182,6 +2182,38 @@ object Registry {
         |   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn <= 3 ORDER BY custkey, orderkey""".stripMargin)),
 
+    // GLPR backfill ("catch up then stop"): the staged shards drained
+    // via Trigger.AvailableNow under maxShardsPerTrigger admission
+    // control (SupportsTriggerAvailableNow) — the listing snapshotted up
+    // front, the backlog consumed in ceil(N/limit) BOUNDED micro-batches
+    // (never the whole corpus in one, the round-14 scale hole), the
+    // query self-terminating; settles to the identical batch oracle.
+    // The trigger-count contract itself is pinned in GlprSpec.
+    "q288_glpr_backfill" -> Entry((s, d) =>
+      graft.io.GlprSource.backfillLangProfile(s, d).orderBy("lang"), Some(
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Statistics-driven planning: the GLPR scan reports real commit-time
+    // sidecar stats (SupportsReportStatistics), so Catalyst sees the
+    // ~500-row dimension's true size and auto-broadcasts it against the
+    // lineitem facts with NO hint — a stat-less DSv2 relation reports
+    // defaultSizeInBytes (effectively infinite) and would shuffle both
+    // sides forever. BroadcastHashJoin plan-asserted in GlprSpec.
+    "q289_glpr_stats_join" -> Entry((s, d) => {
+      val dim = graft.io.GlprSource.documentsVia(s, d)
+        .select(col("doc_id"), col("lang"))
+      val facts = Tables(s, d, "lineitem")
+        .select((col("l_partkey") % 500).cast("long").as("k"))
+      facts.join(dim, col("k") === col("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n_items"))
+        .orderBy("lang")
+    }, Some(
+      """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN documents d ON l.l_partkey % 500 = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

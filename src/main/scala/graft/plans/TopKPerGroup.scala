@@ -107,9 +107,19 @@ object TopKPerGroup {
     val spark = df.sparkSession
     installedIn(spark)
     val child = df.queryExecution.analyzed
+    // resolve like Spark does: honor spark.sql.caseSensitive (the session
+    // resolver) and FAIL on ambiguity instead of silently taking the
+    // first of two duplicate-named columns
+    val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
-      child.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column $name in ${child.output}"))
+      child.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() =>
+          throw new IllegalArgumentException(s"no column $name in ${child.output}")
+        case many =>
+          throw new IllegalArgumentException(
+            s"ambiguous column $name: matches ${many.mkString(", ")}")
+      }
     val order = orderSpec.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending)
     }

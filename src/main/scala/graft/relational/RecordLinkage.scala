@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   * measured scaling exponent hit α≈1.5 (SCALING_r13/r14) — the classic
   * "coarse blocking stops scaling" cliff. The emitted output only keeps
   * `score ≥ 0`, and the weight table makes that REQUIRE either name
-  * agreement (+9.89 outweighs everything) or segment AND balance
-  * agreement (−4.32 + 2.25 + 6.63 ≥ 0; any weaker combination is
-  * negative) — so two sharp passes generate every survivor:
+  * agreement plus at least one of segment/balance (name alone does NOT
+  * survive: +9.89 − 4.00 − 6.63 = −0.74 < 0 when both disagree), or
+  * segment AND balance agreement without name (−4.32 + 2.25 + 6.63 ≥ 0;
+  * any weaker combination is negative). Pass 1 below generates ALL
+  * name-agreeing candidates — a strict superset of the name-side
+  * survivors — and pass 2 covers the segment∧balance band, so two sharp
+  * passes generate every survivor:
   *
   *  1. '''name pass''': Levenshtein-≤1 DELETION-NEIGHBORHOOD keys — each
   *     name emits itself plus every one-char-deleted variant (len+1

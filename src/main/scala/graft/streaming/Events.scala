@@ -503,24 +503,36 @@ object Events {
     try q.processAllAvailable() finally q.stop()
     val settled = s2.table(name)
     val outSchema = settled.schema
-    val rows = settled.collect()
-    // CONTRACT: memory-sink settles materialize on the driver, so every
-    // query routed through this harness must produce a BOUNDED aggregate
-    // frame (keyed rollups, join matches, session lists — never a
-    // per-event projection of the corpus). The ceiling trips long before
-    // driver memory does; a future per-event streaming query must use
-    // the file-sink path (q199 / foreachBatch) instead of settle().
-    require(rows.length <= SettleRowCap,
-      s"settle() collected ${rows.length} rows (> $SettleRowCap): " +
-        "memory-sink settles are for bounded aggregate frames only — " +
-        "route per-event output through the streaming file sink")
+    val rows = guardedSettleRows(settled)
     s2.catalog.dropTempView(name)
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
 
-  /** Driver-side ceiling for [[settle]]'s collect — see the contract note
-    * there. Generous vs every current settle (the largest, q64's interval
-    * matches at sf0.1, is ~30k rows) yet far below driver-memory harm. */
+  /** The ONE sanctioned collect on a settled memory-sink stream — every
+    * settle path in graft (this harness AND the GLPR connector's
+    * [[graft.io.GlprSource.streamedLangProfile]]/backfill settles, which
+    * bypassed the cap until the round-14 verdict flagged it) must route
+    * its materialization through this guard.
+    *
+    * CONTRACT: memory-sink settles materialize on the driver, so every
+    * query routed through a settle must produce a BOUNDED aggregate
+    * frame (keyed rollups, join matches, session lists — never a
+    * per-event projection of the corpus). The ceiling trips long before
+    * driver memory does; a per-event streaming query must use the
+    * file-sink path (q199 / foreachBatch) instead. */
+  private[graft] def guardedSettleRows(settled: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = settled.collect()
+    require(rows.length <= SettleRowCap,
+      s"settle collected ${rows.length} rows (> $SettleRowCap): " +
+        "memory-sink settles are for bounded aggregate frames only — " +
+        "route per-event output through the streaming file sink")
+    rows
+  }
+
+  /** Driver-side ceiling for [[guardedSettleRows]] — see the contract
+    * note there. Generous vs every current settle (the largest, q64's
+    * interval matches at sf0.1, is ~30k rows) yet far below
+    * driver-memory harm. */
   private val SettleRowCap: Int = 5000000
 
   /** Streaming FILE sink round-trip (q199) — the production egress the

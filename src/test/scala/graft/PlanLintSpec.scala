@@ -36,6 +36,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // pushdown/pruning plans pinned in GlprSpec
     "q285_glpr_stream",         // GLPR MicroBatchStream settle on
                                 // construction; arrival pin in GlprSpec
+    "q288_glpr_backfill",       // GLPR AvailableNow backfill settle on
+                                // construction; trigger-count pin in GlprSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;

@@ -62,10 +62,16 @@ class GlprSpec extends AnyFunSuite {
     val out = TempDirs.scratch("graft-glpr-write").toString
     val small = docs.limit(50)
     small.write.format("graft.io.GlprSource").mode("append").save(out)
-    val shards = new java.io.File(out).listFiles()
-    assert(shards.nonEmpty && shards.forall(_.getName.endsWith(".glpr")))
-    assert(!shards.exists(_.getName.startsWith("_tmp")),
+    val files = new java.io.File(out).listFiles()
+    val shards = files.filter(_.getName.endsWith(".glpr"))
+    assert(shards.nonEmpty &&
+      files.forall(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")))
+    assert(!files.exists(_.getName.startsWith("_tmp")),
       "staged temp files must not survive a committed write")
+    // every committed shard carries its stats sidecar, and the counts add up
+    val metas = shards.map(GlprSource.readMeta)
+    assert(metas.forall(_.isDefined), "each shard must commit a .meta sidecar")
+    assert(metas.flatMap(_.map(_.rows)).sum === 50L)
     def readBack() = spark.read.format("graft.io.GlprSource").load(out)
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
     val once = readBack()
@@ -108,10 +114,10 @@ class GlprSpec extends AnyFunSuite {
   test("streaming offsets round-trip their JSON, including quote-bearing names") {
     val o = GlprOffset("""part-"odd"\name.glpr""")
     val back = new GlprMicroBatchStream("/nonexistent", GlprSource.schema,
-      GlprSource.IdRange(Long.MinValue, Long.MaxValue)).deserializeOffset(o.json())
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue), None).deserializeOffset(o.json())
     assert(back === o)
     assert(new GlprMicroBatchStream("/nonexistent", GlprSource.schema,
-      GlprSource.IdRange(Long.MinValue, Long.MaxValue))
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
       .deserializeOffset(GlprOffset("").json()) === GlprOffset(""))
   }
 
@@ -162,5 +168,124 @@ class GlprSpec extends AnyFunSuite {
     val e = spark.read.format("graft.io.GlprSource").load(empty)
     assert(e.count() === 0L)
     assert(e.schema === GlprSource.schema)
+  }
+
+  test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
+    Seq((1L, "en", "a", "one"), (2L, "de", "a", "two"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    // a crashed/speculative task that never ran abort(): a partial stage
+    // file whose bytes are mid-record garbage
+    java.nio.file.Files.write(
+      new java.io.File(root, "_tmp-99-part-0000000099.glpr").toPath,
+      Array[Byte](0, 1, 2, 3, 4))
+    val got = spark.read.format("graft.io.GlprSource").load(root).count()
+    assert(got === 2L,
+      "an uncommitted _tmp shard must be invisible to batch scans " +
+        "(two-phase-commit contract)")
+  }
+
+  test("scan reports real statistics from the sidecars, pruning-aware, with a raw-bytes fallback") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-stats").toString
+    val docs = (0L until 100L).map(i =>
+      (i, "en", "src", "x" * 50)).toDF("doc_id", "lang", "source", "text")
+    docs.coalesce(2).write.format("graft.io.GlprSource").mode("append").save(root)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats
+    val full = spark.read.format("graft.io.GlprSource").load(root)
+    val fullStats = stats(full)
+    assert(fullStats.rowCount.contains(BigInt(100)),
+      s"sidecar row count must reach Catalyst, got ${fullStats.rowCount}")
+    // ~100*(8 + 3*8 + 2+3+50) bytes — real corpus size, nowhere near
+    // the defaultSizeInBytes sentinel a stat-less DSv2 relation reports
+    assert(fullStats.sizeInBytes > 5000 && fullStats.sizeInBytes < 50000,
+      s"sizeInBytes should be the real corpus size, got ${fullStats.sizeInBytes}")
+    // pruning-aware: dropping the text column shrinks the estimate
+    val pruned = stats(full.select("doc_id", "lang"))
+    assert(pruned.sizeInBytes < fullStats.sizeInBytes / 2,
+      s"pruned estimate ${pruned.sizeInBytes} should drop the text bytes " +
+        s"(full ${fullStats.sizeInBytes})")
+    // fallback: a shard missing its sidecar degrades to raw file lengths
+    new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".meta")).foreach(_.delete())
+    val fb = stats(spark.read.format("graft.io.GlprSource").load(root))
+    assert(fb.rowCount.isEmpty && fb.sizeInBytes > 0 && fb.sizeInBytes < 50000,
+      s"sidecar-less shards must fall back to file-length stats, got $fb")
+  }
+
+  test("a small GLPR dimension auto-broadcasts against parquet facts — NO hint (q289's plan)") {
+    val dim = glpr.select(col("doc_id"), col("lang"))
+    val facts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), (col("l_partkey") % 500).cast("long").as("k"))
+    val joined = facts.join(dim, col("k") === col("doc_id"))
+      .groupBy("lang").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a ~500-row GLPR dim with reported stats must auto-broadcast:\n$plan")
+  }
+
+  test("maxShardsPerTrigger bounds every micro-batch; AvailableNow drains the snapshot and stops") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-admission").toString
+    (0L until 50L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"text-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartition(5).write.format("graft.io.GlprSource").mode("append").save(root)
+    assert(GlprSource.committedShards(root).length === 5)
+    val expected = Map("en" -> 25L, "de" -> 25L)
+
+    // (a) live stream under the limit: processAllAvailable catches up in
+    // ceil(5/2)=3 data-bearing micro-batches, never one giant batch
+    val liveName = "graft_glpr_admission_live"
+    val live = spark.readStream.format("graft.io.GlprSource")
+      .option("maxShardsPerTrigger", "2").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(liveName).start()
+    try {
+      live.processAllAvailable()
+      val counts = spark.table(liveName).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === expected)
+      val dataBatches = live.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 3,
+        s"5 shards under maxShardsPerTrigger=2 must take 3 data batches, got $dataBatches " +
+          live.recentProgress.map(_.numInputRows).mkString("[", ",", "]"))
+    } finally { live.stop(); spark.catalog.dropTempView(liveName) }
+
+    // (b) Trigger.AvailableNow: snapshots the listing, drains it under the
+    // same bound, then TERMINATES on its own — the backfill contract
+    val anName = "graft_glpr_admission_an"
+    val an = spark.readStream.format("graft.io.GlprSource")
+      .option("maxShardsPerTrigger", "2").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(anName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(an.awaitTermination(120000),
+        "AvailableNow must self-terminate once the snapshot is drained")
+      val counts = spark.table(anName).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === expected)
+      val dataBatches = an.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 3,
+        s"AvailableNow backfill must respect the limit: got $dataBatches batches")
+    } finally { an.stop(); spark.catalog.dropTempView(anName) }
+
+    // (c) the unlimited path is unchanged: one batch takes everything
+    val unName = "graft_glpr_admission_un"
+    val un = spark.readStream.format("graft.io.GlprSource").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(unName).start()
+    try {
+      un.processAllAvailable()
+      val counts = spark.table(unName).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === expected)
+      val dataBatches = un.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 1,
+        s"without the option everything-available stays one batch, got $dataBatches")
+    } finally { un.stop(); spark.catalog.dropTempView(unName) }
   }
 }
