@@ -127,6 +127,30 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
+    // Warm the streaming micro-batch machinery the same way (round-15 q64
+    // profiling): the settle path (MicroBatchExecution, state stores,
+    // memory sink) reaches steady state only after ~4 executions — a
+    // fresh-JVM q64 measures 7.4/3.0/2.4s then floors at ~1.6s — so
+    // min-of-3 alone under-warms EVERY streaming query and reports
+    // tiering cost as plan cost. Two untimed passes of the cheapest
+    // settle query warm the shared path once for all ~35 streaming
+    // entries; per-query pass 1 then completes the per-plan residue.
+    try {
+      SparkEntry.queries.get("q89_streaming_dedup")
+        .foreach(f => (1 to 2).foreach(_ => f(spark, sfDir).count()))
+    } catch { case _: Throwable => () }
+    // Drain the ContextCleaner before the timed loop starts and again at
+    // the canary points: Spark frees dead cached/broadcast/shuffle blocks
+    // only when driver GC collects their weak refs, so without explicit
+    // collection the residue of every cache-leaving query (ALS factors,
+    // LSH features, checkpointed labels) stays resident and taxes the
+    // tail of the run (the documented q64/q72/q76 drift mechanism —
+    // "recovering as background cleanup drains"). An explicit GC is the
+    // drain, scheduled, not left to heap pressure.
+    def gcDrain(): Unit = {
+      (1 to 2).foreach { _ => System.gc(); Thread.sleep(200) }
+    }
+    gcDrain()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
 
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
@@ -187,8 +211,13 @@ object Bench {
       (if (err.isDefined) -1.0 else times.min, err)
     }
 
+    val threeQuarterIdx = ordered.size * 3 / 4
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midIdx) canaryMid = canaryPoint()
+      if (i == midIdx) { gcDrain(); canaryMid = canaryPoint() }
+      // second drain ahead of the tail stretch (lexically q3x-q9x — the
+      // oldest, cheapest queries sit AFTER every q1xx/q2xx heavy, so they
+      // run under maximum accumulated residue)
+      if (i == threeQuarterIdx) gcDrain()
       val (best, err) = timeQuery(name, fn, reps)
       (name, best, err)
     }

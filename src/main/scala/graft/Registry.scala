@@ -2214,6 +2214,38 @@ object Registry {
         |FROM lineitem l JOIN documents d ON l.l_partkey % 500 = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Prefix-filtered set-similarity join (ppjoin family): all pairs
+    // sharing >= 30 distinct tokens, EXACT output via LOSSLESS prefix
+    // pruning — rarest-(df)-first global token order; if |A∩B| >= c the
+    // first |A|-c+1 tokens of each side must intersect, so the prefix
+    // equi-join generates every qualifying pair (438 candidates vs
+    // 124,745 all-pairs token-join pairs at sf0.01, zero missed). The
+    // oracle IS the unfiltered exact join — hash equality certifies the
+    // pruning lossless. Third candidate-generation family beside
+    // MinHash-LSH (probabilistic) and inverted-index df-prune.
+    "q290_prefix_filter_join" -> Entry((s, d) =>
+      Dedup.prefixFilterOverlapJoin(docs(s, d)).orderBy("da", "db"), Some(
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS overlap
+        |FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 30 ORDER BY 1, 2""".stripMargin)),
+
+    // The custom TopKPerGroupExec on the TEXT path: top-5 tokens per
+    // language from an exploded token count agg — the operator's
+    // required clustered distribution re-keys (lang, token) -> (lang)
+    // with one exchange and bounded heaps replace a full per-lang
+    // vocabulary Sort+Window. Oracle runs the row_number spelling.
+    "q291_topk_tokens" -> Entry((s, d) =>
+      graft.plans.TopKPerGroup.topTokensPerLang(s, d)
+        .orderBy("lang", "token"), Some(
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |   ORDER BY n DESC, token) AS rn FROM n)
+        |SELECT lang, token, n FROM r WHERE rn <= 5 ORDER BY lang, token""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

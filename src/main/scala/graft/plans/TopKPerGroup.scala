@@ -127,6 +127,23 @@ object TopKPerGroup {
       TopKPerGroupNode(k, groupCols.map(attr), order, child))
   }
 
+  /** q291: top-k tokens per language through the custom operator, on the
+    * TEXT path — explode → (lang, token) hash count agg → TopKPerGroupExec
+    * clustered on lang. Complements q287 (raw fact rows) by certifying the
+    * operator downstream of an aggregation: the exec's required clustered
+    * distribution re-keys the agg output from (lang, token) to (lang) with
+    * one exchange, and the bounded heaps replace what would otherwise be a
+    * full per-lang Sort+Window over the whole vocabulary — the "top terms
+    * per stratum" report every corpus card needs, at vocabulary scale.
+    * Count-desc with token tie-break makes top-k unique (hash-checkable). */
+  def topTokensPerLang(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = graft.io.Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    topK(counts, Seq("lang"), Seq(("n", false), ("token", true)), k)
+  }
+
   /** q287: top-3 orders per customer by price through the custom
     * operator — output-identical to the `row_number` window spelling
     * (the oracle), but the plan is hash-exchange → TopKPerGroupExec

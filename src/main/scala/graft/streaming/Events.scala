@@ -485,7 +485,17 @@ object Events {
     * that sort before it), not this operator's plan, and q89/q58 drifted
     * in parallel because they share this harness. Mitigations shipped:
     * the no-data-batch skip above and the windowMs-derived watermark —
-    * post-pollution q64 measured min 2.79s, at its r6 level. */
+    * post-pollution q64 measured min 2.79s, at its r6 level.
+    *
+    * Round-15 decomposition of the r13→r14 1.33→2.43s drift (code
+    * byte-identical both rounds): a fresh quiet JVM measures q64 at
+    * 7.4 / 3.0 / 2.4 / 1.8 / 1.7s — C2 tiering of this machinery spans
+    * ~4 executions, so ANY min-of-3 that starts cold reports ~2.4s of
+    * tiering cost, and a SandwichProbe with the heavy cache-leaving
+    * polluters showed NO residue on top (post_min 1.47s < pre_min
+    * 1.68s). The steady-state floor is ~1.5–1.7s. Bench therefore warms
+    * the settle path untimed before the timed loop (see Bench.main) the
+    * same way it warms the canary. */
   private def settle(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, outputMode: String = "complete",
       noDataBatches: Boolean = true,

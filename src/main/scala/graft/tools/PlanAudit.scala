@@ -143,7 +143,11 @@ object PlanAudit {
       (s: SparkSession, d: String) => graft.plans.TopKPerGroup.topOrdersPerCustomer(s, d)),
     ("q286_rake3_sweep", "3-way IPF raking sweep: per fit one dim hash agg + two equi-joins " +
       "(marginals AQE-broadcast) — three shuffle rounds, never a dense cube",
-      reg("q286_rake3_sweep")))
+      reg("q286_rake3_sweep")),
+    ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
+      "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
+      "BroadcastHashJoin against the lineitem facts with NO hint",
+      reg("q289_glpr_stats_join")))
 
   private val streamingStateNote: String =
     """
@@ -182,6 +186,8 @@ object PlanAudit {
       .append(sf).append(")\n\n")
     sb.append("Generated by `graft.tools.PlanAudit`; plan-shape regressions are gated by\n")
     sb.append("`PlanLintSpec` (no unintended BNLJ/cartesian, pushdown + pruning checks).\n")
+    sb.append("Numbering note: q277/q279 were deduplicated away in round 14 (q277≡q179,\n")
+    sb.append("q279≡q63) — older commit messages may reference sections that no longer exist.\n")
     headline.foreach { case (name, note, build) =>
       val df = build(spark, sf)
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n")

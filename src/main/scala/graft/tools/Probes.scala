@@ -75,6 +75,15 @@ object SandwichProbe {
     spark.read.parquet(s"$dir/nation.parquet").count()
     val pre = (1 to reps).map(_ => time(probe, "PRE-PHASE"))
     preq.foreach { q => (1 to reps).foreach(_ => time(q, "POLLUTE")) }
+    // gc=true: drain the ContextCleaner before the post phase — Spark
+    // frees pollution residue (unpersisted blocks, dead broadcasts,
+    // shuffle files) only when the driver GC collects the weak refs, so
+    // an explicit GC separates "residue the runtime would reclaim" from
+    // a real cost regression
+    if (opt.get("gc").contains("true")) {
+      (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+      println("GC drained")
+    }
     val post = (1 to reps).map(_ => time(probe, "POST-PHASE"))
     println(f"SANDWICH probe=$probe pre_min=${pre.min}%.2f post_min=${post.min}%.2f " +
       f"ratio=${post.min / pre.min}%.2f")
