@@ -6,6 +6,8 @@ import java.util
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
@@ -496,55 +498,50 @@ class GlprMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
+/** Per-shard reader factory. Batch and streaming scans both read
+  * COLUMNAR by default ([[GlprColumnarReader]] → `ColumnarBatch`), the
+  * same hand-off the parquet vectorized reader uses: Spark plans a
+  * codegen'd `ColumnarToRow` above the scan and the per-record
+  * row-materialization cost disappears from the source. The row-based
+  * [[GlprReader]] stays as the contractual fallback (DSv2 requires
+  * `createReader`; also the reference path the columnar reader is
+  * spec'd equal against). */
 class GlprReaderFactory(required: StructType, range: GlprSource.IdRange)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GlprReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
       required, range)
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new GlprColumnarReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
+      required, range)
 }
 
-/** Streaming per-shard reader: pruned fields are byte-skipped, pushed
-  * doc_id bounds short-circuit before any field decode.
-  *
-  * Decode is batch-buffered, the closest a record-stream format gets to
-  * parquet's columnar reads without changing the on-disk layout:
-  *
-  *  - IO lands in ONE reused 1 MiB chunk buffer (refilled by compact +
-  *    bulk `read`, so syscalls amortize over thousands of records);
-  *    ints/longs decode by direct offset arithmetic on that array —
-  *    no per-field stream-call overhead (the round-14 reader paid 4+
-  *    virtual `DataInputStream` calls per length prefix over an 8 KiB
-  *    `BufferedInputStream`).
-  *  - Row materialization goes through ONE reused [[UnsafeRowWriter]]:
-  *    wanted string fields are wrapped in place
-  *    (`UTF8String.fromBytes(buf, off, len)` — zero copy) and written
-  *    straight into the recycled UnsafeRow buffer, vs the round-14
-  *    `InternalRow.fromSeq` path that allocated a boxed `Seq`, a
-  *    `GenericInternalRow` and one byte[]+UTF8String per string field
-  *    per record. Fields larger than the chunk take a rare spill path
-  *    through a growable scratch array.
-  *
-  * Buffer reuse is the standard DSv2 reader contract (downstream
-  * operators that buffer rows copy them). Measured in
-  * [[graft.tools.GlprDecodeBench]] — see the numbers there. */
-class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
-    extends PartitionReader[InternalRow] {
+/** Chunk-buffered byte cursor over one GLPR shard — the IO/decode core
+  * shared by the row and columnar readers, the closest a record-stream
+  * format gets to parquet's reads without changing the on-disk layout:
+  * bytes land in ONE reused 1 MiB buffer (refilled by compact + bulk
+  * `read`, so syscalls amortize over thousands of records); ints/longs
+  * decode by direct offset arithmetic on that array — no per-field
+  * stream-call overhead (the round-14 reader paid 4+ virtual
+  * `DataInputStream` calls per length prefix over an 8 KiB
+  * `BufferedInputStream`). Wanted field payloads are exposed IN PLACE
+  * ([[loadField]] points `fieldArray`/`fieldOffset` into the buffer —
+  * zero copy; consumers copy into their own row/vector storage before
+  * the next refill); fields larger than the chunk take a rare spill
+  * path through a growable scratch array. Truncation/corruption
+  * diagnostics name the shard (GlprSpec-pinned). */
+private[io] final class GlprChunkCursor(file: String) {
   private val in = new FileInputStream(file)
-  // field order in the byte stream after doc_id
-  private val streamFields = Array("lang", "source", "text")
-  private val wantIdx: Map[String, Int] =
-    required.fieldNames.zipWithIndex.toMap
-  private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
-  private val fieldOrdinals: Array[Int] =
-    streamFields.map(f => wantIdx.getOrElse(f, -1))
-  private val rowWriter = new UnsafeRowWriter(required.length)
-  private var current: InternalRow = _
-
   private val buf = new Array[Byte](1 << 20)
   private var pos = 0   // next unread byte in buf
   private var limit = 0 // bytes valid in buf
   private var hitEof = false
   private var scratch: Array[Byte] = null // oversize-field spill, lazily grown
+
+  /** Where [[loadField]] left the current field's payload. */
+  var fieldArray: Array[Byte] = buf
+  var fieldOffset: Int = 0
 
   /** Ensure >= n contiguous bytes buffered (n <= buf.length). Returns the
     * bytes actually available after refill — < n only at end of file. */
@@ -567,73 +564,122 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
   private def truncated(what: String): Nothing =
     throw new java.io.IOException(s"GLPR shard $file is truncated $what")
 
-  private def readI32(context: => String): Int = {
-    if (ensure(4) < 4) truncated(context)
+  /** Big-endian i64 record id; Long.MinValue is NOT a sentinel — use the
+    * return of [[atRecordStart]] to detect end-of-shard first. */
+  def readId(): Long = {
+    var id = 0L
+    var i = 0
+    while (i < 8) { id = (id << 8) | (buf(pos + i) & 0xffL); i += 1 }
+    pos += 8
+    id
+  }
+
+  /** 0 bytes left = clean end-of-shard; 1-7 = truncated inside an id
+    * (throws, naming the shard); 8+ = a record head is buffered. */
+  def atRecordStart(): Boolean = {
+    val headAvail = ensure(8)
+    if (headAvail == 0) return false
+    if (headAvail < 8) truncated("inside a record id")
+    true
+  }
+
+  /** Big-endian i32 field length; negative = corrupt shard (throws). */
+  def readFieldLen(fieldName: String): Int = {
+    if (ensure(4) < 4) truncated(s"mid-record (at a $fieldName length prefix)")
     val v = ((buf(pos) & 0xff) << 24) | ((buf(pos + 1) & 0xff) << 16) |
       ((buf(pos + 2) & 0xff) << 8) | (buf(pos + 3) & 0xff)
     pos += 4
+    if (v < 0)
+      throw new java.io.IOException(
+        s"GLPR shard $file is corrupt: negative field length $v")
     v
   }
 
+  /** Make `len` payload bytes addressable at (fieldArray, fieldOffset)
+    * and consume them — in the chunk buffer normally, in the spill
+    * scratch for oversize fields. */
+  def loadField(len: Int): Unit = {
+    if (len <= buf.length) {
+      if (ensure(len) < len) truncated(s"mid-record (field of $len bytes)")
+      fieldArray = buf
+      fieldOffset = pos
+      pos += len
+    } else {
+      // rare spill: field larger than the chunk buffer
+      if (scratch == null || scratch.length < len)
+        scratch = new Array[Byte](len)
+      val avail = limit - pos
+      System.arraycopy(buf, pos, scratch, 0, avail)
+      pos = 0; limit = 0
+      var off = avail
+      while (off < len) {
+        val got = in.read(scratch, off, len - off)
+        if (got < 0) truncated(s"mid-record (field of $len bytes)")
+        off += got
+      }
+      fieldArray = scratch
+      fieldOffset = 0
+    }
+  }
+
   /** Drop `len` payload bytes: consume what's buffered, seek past the rest. */
-  private def skipPayload(len: Int): Unit = {
+  def skipPayload(len: Int): Unit = {
     val avail = limit - pos
     if (len <= avail) pos += len
     else {
       val rest = (len - avail).toLong
       pos = 0; limit = 0
       try in.skipNBytes(rest) catch {
-        case e: EOFException => truncated(s"mid-record (field of $len bytes)")
+        case _: EOFException => truncated(s"mid-record (field of $len bytes)")
       }
     }
   }
 
+  def close(): Unit = in.close()
+}
+
+/** Row-based per-shard reader over [[GlprChunkCursor]]: pruned fields
+  * are byte-skipped, pushed doc_id bounds short-circuit before any field
+  * decode, and row materialization goes through ONE reused
+  * [[UnsafeRowWriter]] (zero-copy `UTF8String` wrap of the cursor
+  * buffer, written straight into the recycled UnsafeRow) — zero
+  * per-record allocation, vs the round-14 `InternalRow.fromSeq` path
+  * that allocated a boxed `Seq`, a `GenericInternalRow` and one
+  * byte[]+UTF8String per string field per record. Buffer reuse is the
+  * standard DSv2 reader contract (downstream operators that buffer rows
+  * copy them). The default scan path is [[GlprColumnarReader]]; this
+  * reader is the contractual fallback and the parity reference.
+  * Measured in [[graft.tools.GlprDecodeBench]] — see numbers there. */
+class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
+    extends PartitionReader[InternalRow] {
+  private val cursor = new GlprChunkCursor(file)
+  // field order in the byte stream after doc_id
+  private val streamFields = Array("lang", "source", "text")
+  private val wantIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
+  private val fieldOrdinals: Array[Int] =
+    streamFields.map(f => wantIdx.getOrElse(f, -1))
+  private val rowWriter = new UnsafeRowWriter(required.length)
+  private var current: InternalRow = _
+
   override def next(): Boolean = {
-    while (true) {
-      // distinguish CLEAN end-of-shard (no next record at all) from a
-      // shard truncated INSIDE a record id
-      val headAvail = ensure(8)
-      if (headAvail == 0) return false
-      if (headAvail < 8) truncated("inside a record id")
-      var id = 0L
-      var i = 0
-      while (i < 8) { id = (id << 8) | (buf(pos + i) & 0xffL); i += 1 }
-      pos += 8
+    while (cursor.atRecordStart()) {
+      val id = cursor.readId()
       val keep = range.contains(id)
       if (keep) rowWriter.reset()
       if (keep && idOrdinal >= 0) rowWriter.write(idOrdinal, id)
       var f = 0
       while (f < 3) {
         val ord = fieldOrdinals(f)
-        val len = readI32(s"mid-record (at a ${streamFields(f)} length prefix)")
-        // corrupt-shard diagnostics: a negative length must name the
-        // shard, not surface as a bare EOF three frames deep in a task
-        if (len < 0)
-          throw new java.io.IOException(
-            s"GLPR shard $file is corrupt: negative field length $len")
+        val len = cursor.readFieldLen(streamFields(f))
         if (keep && ord >= 0) {
-          if (len <= buf.length) {
-            if (ensure(len) < len) truncated(s"mid-record (field of $len bytes)")
-            // zero-copy wrap of the IO buffer; the row writer copies the
-            // bytes into the recycled UnsafeRow before the next refill
-            rowWriter.write(ord, UTF8String.fromBytes(buf, pos, len))
-            pos += len
-          } else {
-            // rare spill: field larger than the chunk buffer
-            if (scratch == null || scratch.length < len)
-              scratch = new Array[Byte](len)
-            val avail = limit - pos
-            System.arraycopy(buf, pos, scratch, 0, avail)
-            pos = 0; limit = 0
-            var off = avail
-            while (off < len) {
-              val got = in.read(scratch, off, len - off)
-              if (got < 0) truncated(s"mid-record (field of $len bytes)")
-              off += got
-            }
-            rowWriter.write(ord, UTF8String.fromBytes(scratch, 0, len))
-          }
-        } else skipPayload(len)
+          // zero-copy wrap of the cursor buffer; the row writer copies
+          // the bytes into the recycled UnsafeRow before the next refill
+          cursor.loadField(len)
+          rowWriter.write(ord,
+            UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
+        } else cursor.skipPayload(len)
         f += 1
       }
       if (keep) { current = rowWriter.getRow; return true }
@@ -643,5 +689,57 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** COLUMNAR per-shard reader — the scan's default path: decodes up to
+  * 4096 records at a time from [[GlprChunkCursor]] straight into reused
+  * `OnHeapColumnVector`s and hands Spark a [[ColumnarBatch]], exactly
+  * the contract the parquet vectorized reader fulfills. Spark then
+  * plans a codegen'd `ColumnarToRow` above the scan, so per-record
+  * row materialization leaves the source entirely; doc_id pushdown and
+  * column pruning work unchanged (skipped records never touch the
+  * vectors, pruned fields never leave the byte stream). All columns are
+  * non-null by format contract. Same diagnostics as the row reader
+  * (shared cursor). Measured in [[graft.tools.GlprDecodeBench]]. */
+class GlprColumnarReader(file: String, required: StructType,
+    range: GlprSource.IdRange) extends PartitionReader[ColumnarBatch] {
+  private val cursor = new GlprChunkCursor(file)
+  private val streamFields = Array("lang", "source", "text")
+  private val wantIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
+  private val fieldOrdinals: Array[Int] =
+    streamFields.map(f => wantIdx.getOrElse(f, -1))
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && cursor.atRecordStart()) {
+      val id = cursor.readId()
+      val keep = range.contains(id)
+      if (keep && idOrdinal >= 0) vectors(idOrdinal).putLong(n, id)
+      var f = 0
+      while (f < 3) {
+        val ord = fieldOrdinals(f)
+        val len = cursor.readFieldLen(streamFields(f))
+        if (keep && ord >= 0) {
+          cursor.loadField(len)
+          vectors(ord).putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
+        } else cursor.skipPayload(len)
+        f += 1
+      }
+      if (keep) n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); cursor.close() }
 }

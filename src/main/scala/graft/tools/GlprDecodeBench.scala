@@ -11,21 +11,26 @@ import org.apache.spark.sql.functions._
   * scans, min-of-reps. Run:
   * `sbt "runMain graft.tools.GlprDecodeBench [nRows] [nMd5PerText]"`.
   *
-  * Recorded results (local[8], min-of-5), the round-15 chunk-buffered
-  * UnsafeRowWriter reader vs the round-14
-  * DataInputStream+`InternalRow.fromSeq` reader:
+  * Recorded results (local[8], min-of-5), three reader generations —
+  * r14 `DataInputStream`+`InternalRow.fromSeq`, then the r15
+  * chunk-buffered UnsafeRowWriter row reader, then the r15 COLUMNAR
+  * reader (`ColumnarBatch` of reused `OnHeapColumnVector`s, the shipped
+  * default):
   *
-  *  - 2M rows × 16-md5 text (~1.1 GB): full-schema 0.390s -> 0.210s
-  *    (1.9x), text-only 0.376s -> 0.170s (2.2x), id-only pruned count
-  *    0.313s -> 0.135s (2.3x).
-  *  - 8M rows × 2-md5 text (~0.9 GB, allocation/call-overhead-bound):
-  *    full-schema 0.973s -> 0.302s (3.2x), text-only 0.801s -> 0.237s
-  *    (3.4x), id-only 0.714s -> 0.181s (3.9x).
+  *  - 2M rows × 16-md5 text (~1.1 GB): full-schema 0.390 -> 0.210 ->
+  *    0.186s (2.1x total), text-only 0.376 -> 0.170 -> 0.147s (2.6x),
+  *    id-only pruned count 0.313 -> 0.135 -> 0.117s (2.7x).
+  *  - 8M rows × 2-md5 text (~0.9 GB, per-record-overhead-bound):
+  *    full-schema 0.973 -> 0.302 -> 0.192s (5.1x total), text-only
+  *    0.801 -> 0.237 -> 0.160s (5.0x), id-only 0.714 -> 0.181 -> 0.113s
+  *    (6.3x).
   *
-  * The two levers, in order: 1 MiB chunk refills with direct offset
-  * arithmetic (kills per-length-prefix stream-call overhead), and the
-  * recycled UnsafeRow + zero-copy UTF8String wrap (kills per-record
-  * allocation). See GlprReader's scaladoc. */
+  * The three levers, in order: 1 MiB chunk refills with direct offset
+  * arithmetic (kills per-length-prefix stream-call overhead), recycled
+  * row/vector storage + zero-copy wraps (kills per-record allocation),
+  * and the columnar hand-off (per-record row materialization leaves the
+  * source; Spark's codegen'd ColumnarToRow takes over). See
+  * GlprChunkCursor / GlprColumnarReader scaladocs. */
 object GlprDecodeBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)

@@ -170,6 +170,35 @@ class GlprSpec extends AnyFunSuite {
     assert(e.schema === GlprSource.schema)
   }
 
+  test("columnar reader (default path) equals the row reader on the same shard, pruned + filtered") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = GlprSource.stagedPath(spark, dir)
+    val shard = GlprSource.committedShards(root).head.getAbsolutePath
+    val required = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false))) // 'lang'/'source' pruned
+    val range = GlprSource.IdRange(50L, 300L) // pushed id bounds
+    val viaRows = {
+      val r = new GlprReader(shard, required, range)
+      val out = Iterator.continually(r).takeWhile(_.next())
+        .map(x => (x.get().getLong(0), x.get().getUTF8String(1).toString)).toVector
+      r.close(); out
+    }
+    val viaBatches = {
+      val r = new GlprColumnarReader(shard, required, range)
+      val out = Iterator.continually(r).takeWhile(_.next()).flatMap { x =>
+        val b = x.get()
+        (0 until b.numRows()).map { i =>
+          val row = b.getRow(i)
+          (row.getLong(0), row.getUTF8String(1).toString)
+        }
+      }.toVector
+      r.close(); out
+    }
+    assert(viaBatches === viaRows, "columnar and row decode must agree exactly")
+    assert(viaRows.nonEmpty && viaRows.forall { case (id, _) => id >= 50L && id <= 300L })
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
