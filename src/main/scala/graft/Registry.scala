@@ -2214,6 +2214,20 @@ object Registry {
         |FROM lineitem l JOIN documents d ON l.l_partkey % 500 = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Ingest front-door capstone: GLPR shards streamed under
+    // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
+    // the cross-batch case q268's single-batch file source can't reach)
+    // through a foreachBatch keep-first dedup MERGE (min-keeper /
+    // sum-count folds: associative, so any batch partitioning compacts
+    // to the same state), batchId-pointer replay no-op, atomic snapshot
+    // publish; read-back hash-matches the one-shot batch dedup oracle.
+    // Cross-batch keeper/count split pinned in GlprSpec.
+    "q292_glpr_ingest_merge" -> Entry((s, d) =>
+      graft.io.GlprSource.ingestDedupMerge(s, d).orderBy("content_hash"), Some(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Prefix-filtered set-similarity join (ppjoin family): all pairs
     // sharing >= 30 distinct tokens, EXACT output via LOSSLESS prefix
     // pruning — rarest-(df)-first global token order; if |A∩B| >= c the

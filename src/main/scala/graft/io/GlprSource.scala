@@ -160,6 +160,115 @@ object GlprSource {
   }
   private val glprStreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q292 — the INGEST FRONT DOOR capstone, composing this round's
+    * admission control with the idempotent-MERGE egress: GLPR shards
+    * streamed under `maxShardsPerTrigger` (so the backlog arrives as
+    * MULTIPLE micro-batches — the one thing q268's single-batch file
+    * source can never exercise) through a `foreachBatch` keep-first
+    * dedup MERGE into a versioned parquet target, then read back.
+    *
+    * Merge algebra (the [[graft.streaming.Events.mergeBatchInto]]
+    * snapshot + atomic-pointer convention, with dedup state instead of
+    * latest-wins): per content hash keep `min(keeper_doc_id)` and
+    * `sum(n_docs)` — both folds associative and commutative, so ANY
+    * partitioning of records into micro-batches compacts to the same
+    * state, and the final snapshot equals the one-shot batch dedup (the
+    * DuckDB oracle). batchId-pointer check makes at-least-once replays
+    * no-ops (pinned by re-merging under the committed id); the snapshot
+    * publishes by atomic `_meta` rename, so a crash never exposes a
+    * half-written state. State is one row per distinct content — bounded
+    * by corpus uniqueness, not stream length.
+    *
+    * Cross-batch keeper/count correctness (duplicates SPLIT across
+    * batches must still fold to the global min/total) is pinned in
+    * GlprSpec with a 5-shard staged corpus under limit 2. */
+  def ingestDedupMerge(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxShardsPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rootStr = ingestCache.computeIfAbsent(dir, _ =>
+      runIngestDedupMerge(spark, stagedPath(spark, dir), maxShardsPerTrigger))
+    readSnapshotPointer(java.nio.file.Paths.get(rootStr)) match {
+      case Some((_, snapshot)) => spark.read.parquet(snapshot)
+      case None => // empty corpus: no batch ever committed — typed empty
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("content_hash",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("keeper_doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType))))
+    }
+  }
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drive one AvailableNow ingest over `path`'s shards into a fresh
+    * merge target; returns the target root. Exposed for the GlprSpec
+    * staged-shards pin. */
+  private[io] def runIngestDedupMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxShardsPerTrigger: Int): String = {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = TempDirs.scratch("graft-glpr-ingest")
+    val src = s2.readStream.format("graft.io.GlprSource")
+      .option("maxShardsPerTrigger", maxShardsPerTrigger.toString).load(path)
+      .select(md5(col("text")).as("content_hash"),
+        col("doc_id").as("keeper_doc_id"), lit(1L).as("n_docs"))
+    val q = src.writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch((b: DataFrame, id: Long) => dedupMergeBatchInto(root, b, id))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // deliberate at-least-once replay under the committed batchId: the
+    // pointer check must no-op it (delivery content is irrelevant once
+    // the id is committed — replaying the WHOLE corpus is the stronger pin)
+    readSnapshotPointer(root).foreach { case (lastId, _) =>
+      val all = spark.read.format("graft.io.GlprSource").load(path)
+        .select(md5(col("text")).as("content_hash"),
+          col("doc_id").as("keeper_doc_id"), lit(1L).as("n_docs"))
+      dedupMergeBatchInto(root, all, lastId)
+    }
+    root.toString
+  }
+
+  /** One idempotent per-batch dedup MERGE (see [[ingestDedupMerge]]). */
+  private[io] def dedupMergeBatchInto(root: java.nio.file.Path,
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val meta = readSnapshotPointer(root)
+    if (meta.exists(_._1 >= batchId)) return // replayed batch: no-op
+    val spark = batch.sparkSession
+    val delta = batch.select("content_hash", "keeper_doc_id", "n_docs")
+    val state = meta match {
+      case Some((_, v)) => spark.read.parquet(v).unionByName(delta)
+      case None => delta
+    }
+    val compacted = state.groupBy("content_hash")
+      .agg(min(col("keeper_doc_id")).as("keeper_doc_id"),
+        sum(col("n_docs")).as("n_docs"))
+    val vdir = root.resolve(s"v$batchId")
+    compacted.write.mode("overwrite").parquet(vdir.toString)
+    val tmp = root.resolve("_meta.tmp")
+    java.nio.file.Files.writeString(tmp, s"$batchId,$vdir")
+    java.nio.file.Files.move(tmp, root.resolve("_meta"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed (lastBatchId, snapshot path) pointer, None before the
+    * first commit — the Events.readMergeMeta convention. */
+  private[io] def readSnapshotPointer(root: java.nio.file.Path): Option[(Long, String)] = {
+    val f = root.resolve("_meta")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val parts = java.nio.file.Files.readString(f).trim.split(",", 2)
+      Some((parts(0).toLong, parts(1)))
+    }
+  }
+
   /** Committed shards only: the `_tmp-…` stage files a crashed or
     * speculative writer task leaves behind (its `abort()` never ran) are
     * NEVER visible to readers — batch scan, streaming listing and

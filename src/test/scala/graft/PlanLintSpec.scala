@@ -38,6 +38,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; arrival pin in GlprSpec
     "q288_glpr_backfill",       // GLPR AvailableNow backfill settle on
                                 // construction; trigger-count pin in GlprSpec
+    "q292_glpr_ingest_merge",   // GLPR admission-controlled foreachBatch
+                                // MERGE ingest on construction (cached);
+                                // cross-batch pin in GlprSpec
     "q268_foreachbatch_merge",  // foreachBatch MERGE stream on construction
                                 // (cached); replay pin in StreamingSpec
     "q269_bitext_ann",          // two KMeans IVF fits on construction;

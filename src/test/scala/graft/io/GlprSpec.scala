@@ -199,6 +199,41 @@ class GlprSpec extends AnyFunSuite {
     assert(viaRows.nonEmpty && viaRows.forall { case (id, _) => id >= 50L && id <= 300L })
   }
 
+  test("q292 ingest merge: duplicates split ACROSS micro-batches fold to the global keeper/count") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-ingest-test").toString
+    // 5 shards, limit 2 => 3 micro-batches. The 'dup' text appears in
+    // shards 0, 2 and 4 — every copy lands in a DIFFERENT micro-batch,
+    // so only cross-batch merge state can produce keeper=11 / n=3.
+    def shard(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = TempDirs.scratch("graft-glpr-ingest-shard").toString
+      rows.map { case (id, t) => (id, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".glpr")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(root, name).toPath)
+    }
+    shard(Seq((13L, "dup"), (1L, "a")), "part-0000000000.glpr")
+    shard(Seq((2L, "b")), "part-0000000001.glpr")
+    shard(Seq((11L, "dup"), (3L, "c")), "part-0000000002.glpr")
+    shard(Seq((4L, "d")), "part-0000000003.glpr")
+    shard(Seq((12L, "dup"), (5L, "e")), "part-0000000004.glpr")
+    val target = GlprSource.runIngestDedupMerge(spark, root, maxShardsPerTrigger = 2)
+    val (lastId, snapshot) = GlprSource.readSnapshotPointer(
+      java.nio.file.Paths.get(target)).get
+    assert(lastId >= 2, s"5 shards under limit 2 must commit >= 3 batches, got $lastId")
+    val got = spark.read.parquet(snapshot).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Seq(("dup", 11L, 3L), ("a", 1L, 1L), ("b", 2L, 1L),
+      ("c", 3L, 1L), ("d", 4L, 1L), ("e", 5L, 1L))
+      .toDF("t", "keeper", "n")
+      .select(md5(col("t")), col("keeper"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      "cross-batch fold must yield global min keeper and total count")
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
