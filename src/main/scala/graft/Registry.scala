@@ -2245,6 +2245,39 @@ object Registry {
         |FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 30 ORDER BY 1, 2""".stripMargin)),
 
+    // KMV (bottom-k) distinct-count sketch as a native Catalyst
+    // TypedImperativeAggregate (graft.functions.KmvSketch) — the
+    // mergeable-aggregate slot of the custom-Catalyst surface. The
+    // sketch itself (k smallest distinct md5 values per lang) is
+    // hash-checked against DuckDB's list_sort(list(DISTINCT md5))[1:k]
+    // — cross-engine certification of the sketch CONTENTS, not just an
+    // estimate envelope. est_distinct derives from the k-th hash's 13
+    // leading hex digits (52 bits: exactly double-representable, so
+    // both engines compute bit-identical estimates).
+    "q293_kmv_sketch" -> Entry((s, d) => {
+      val k = 16
+      val sk = docs(s, d).groupBy(col("lang"))
+        .agg(graft.functions.KmvSketch.kmv(col("text"), k).as("ks"))
+      sk.select(col("lang"), col("ks"),
+          posexplode(col("ks")).as(Seq("pos", "kmv_hash")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("kmv_hash"),
+          coalesce(round(
+            lit((k - 1).toDouble) /
+              (conv(substring(get(col("ks"), lit(k - 1)), 1, 13), 16, 10)
+                .cast("long").cast("double") / lit(4503599627370496.0)), 6),
+            lit(-1.0)).as("est_distinct"))
+        .orderBy("lang", "rank")
+    }, Some(
+      """WITH s AS (SELECT lang, list_sort(list(DISTINCT md5(text)))[1:16] AS ks
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, CAST(r AS INT) AS rank, ks[CAST(r AS INT)] AS kmv_hash,
+        |  COALESCE(ROUND(CAST(15 AS DOUBLE) /
+        |    (CAST(CONCAT('0x', substr(ks[16], 1, 13)) AS UBIGINT) /
+        |     CAST(4503599627370496 AS DOUBLE)), 6), CAST(-1 AS DOUBLE)) AS est_distinct
+        |FROM s, range(1, 17) u(r) WHERE CAST(r AS INT) <= len(ks)
+        |ORDER BY lang, rank""".stripMargin)),
+
     // The custom TopKPerGroupExec on the TEXT path: top-5 tokens per
     // language from an exploded token count agg — the operator's
     // required clustered distribution re-keys (lang, token) -> (lang)

@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DoubleSortableBits(exprs.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_kmv takes (string, constant k)")
+        // returning the bare AggregateFunction is the registry contract:
+        // the analyzer wraps it in AggregateExpression(Complete)
+        KmvSketch(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

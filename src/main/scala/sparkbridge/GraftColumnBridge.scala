@@ -37,6 +37,11 @@ object GraftColumnBridge {
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => graft.functions.KmvSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_nfc",
       exprs => graft.functions.NfcNormalize(exprs.head),
       "built-in")
