@@ -245,6 +245,30 @@ object Registry {
         |WHERE p_ms < cutoff
         |ORDER BY p_event, v_event""".stripMargin)),
 
+    // Stream-stream FULL OUTER interval join — completes the stream-join
+    // matrix (inner q64, left outer q267): matched pairs plus BOTH null
+    // sides, each unmatched row emitted once at its own watermark
+    // eviction point. Two-sided maturity restriction (purchases below
+    // cutoff, views below cutoff - window) mirrored exactly in the
+    // batch full-outer oracle.
+    "q294_stream_full_outer_join" -> Entry((s, d) =>
+      Events.streamingIntervalJoinFullOuter(s, d)
+        .orderBy("p_event", "v_event"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |p AS (SELECT user_id AS p_user, ts_ms AS p_ms, event_id AS p_event
+        |  FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts_ms AS v_ms, event_id AS v_event
+        |  FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(p_ms) FROM p), (SELECT max(v_ms) FROM v))
+        |  - 3900000 AS cutoff)
+        |SELECT p_event, p_ms, v_event, v_ms, p_ms - v_ms AS lag_ms
+        |FROM p FULL OUTER JOIN v
+        |  ON p_user = v_user AND v_ms >= p_ms - 3600000 AND v_ms <= p_ms
+        | CROSS JOIN wm
+        |WHERE (p_event IS NOT NULL AND p_ms < cutoff)
+        |   OR (p_event IS NULL AND v_ms < cutoff - 3600000)
+        |ORDER BY p_event, v_event""".stripMargin)),
+
     // Batch twin of q64 — same semantics, same oracle, but a plain
     // (explainable) batch plan: the PlanAudit surface for the interval join.
     "q77_interval_join" -> Entry((s, d) => Events.intervalJoin(s, d)

@@ -1955,6 +1955,60 @@ object Events {
       .select("p_event", "p_ms", "v_event", "lag_ms")
   }
 
+  /** Stream-stream FULL OUTER interval join (q294) — completes the
+    * stream-join matrix (inner q64, left outer q267): purchases with
+    * their preceding views, PLUS purchases that never had a view (null
+    * view side), PLUS views that never led to a purchase (null purchase
+    * side) — the "both funnels at once" shape an attribution pipeline
+    * otherwise runs as two queries. Matches emit eagerly; each unmatched
+    * row emits null-padded exactly once when the watermark passes ITS
+    * eviction point — a left (purchase) row once no future view can
+    * precede it (`wm > p_ts`, held `wmDelay`), a right (view) row once no
+    * future purchase window can reach back to it (`wm > v_ts + windowMs`).
+    * Needs the no-data batch for the same reason q267 does: the final
+    * null emissions exist purely because of watermark advancement.
+    *
+    * Determinism: the drained-stream watermark stops at
+    * `min(max p_ts, max v_ts) − wmDelay`, so BOTH sides get a maturity
+    * cutoff — purchases settled strictly below `cutoff`, views strictly
+    * below `cutoff − windowMs` (their eviction lags by the join window).
+    * The settled frame keeps matched+left-null rows by purchase maturity
+    * and right-null rows by view maturity; the batch FULL OUTER under the
+    * identical two-sided restriction is the oracle. Cross-batch
+    * both-sided null-only-after-eviction is pinned in StreamingSpec.
+    *
+    * Scale: identical bounded-state contract to q267 — each side held at
+    * most its eviction horizon past the watermark, state strictly
+    * evictable at any corpus size. */
+  def streamingIntervalJoinFullOuter(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view",
+      windowMs: Long = 3600000L): DataFrame = {
+    val wmMs = windowMs + 300000L
+    val settled = settle(spark, dir, stream => {
+      val p = stream.filter(col("event_type") === leftType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+        .withWatermark("p_ts", s"$wmMs milliseconds")
+      val v = stream.filter(col("event_type") === rightType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event"))
+        .withWatermark("v_ts", s"$wmMs milliseconds")
+      p.join(v, col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("v_ts") <= col("p_ts"), "fullOuter")
+        .select(col("p_event"), unix_millis(col("p_ts")).as("p_ms"),
+          col("v_event"), unix_millis(col("v_ts")).as("v_ms"),
+          (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
+    }, outputMode = "append")
+    val e = events(spark, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("event_type"))
+    val cut = e.filter(col("event_type") === leftType).agg(max("ms").as("mp"))
+      .crossJoin(e.filter(col("event_type") === rightType).agg(max("ms").as("mv")))
+      .select((least(col("mp"), col("mv")) - lit(wmMs)).as("cutoff"))
+    settled.crossJoin(broadcast(cut))
+      .filter((col("p_event").isNotNull && col("p_ms") < col("cutoff")) ||
+        (col("p_event").isNull && col("v_ms") < col("cutoff") - lit(windowMs)))
+      .select("p_event", "p_ms", "v_event", "v_ms", "lag_ms")
+  }
+
   /** Streaming ingest dedup — the pipeline front door that keeps a
     * re-delivered record (at-least-once sources re-send) from entering the
     * corpus twice: `dropDuplicatesWithinWatermark` keyed on the record's

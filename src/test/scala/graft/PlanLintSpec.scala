@@ -28,6 +28,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // settle on construction
     "q267_stream_outer_join",   // stream-stream left-outer settle on
                                 // construction; eviction pin in StreamingSpec
+    "q294_stream_full_outer_join", // stream-stream full-outer settle on
+                                // construction; two-sided eviction pin in
+                                // StreamingSpec
     "q273_tws_rolling_context", // transformWithState ListState settle on
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;

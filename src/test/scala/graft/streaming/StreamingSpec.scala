@@ -362,6 +362,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("q294 full-outer stream-stream join: EACH side's null row emits only at ITS eviction point") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val p = pIn.toDF().toDF("p_user", "p_ts", "p_event").withWatermark("p_ts", "10 minutes")
+    val v = vIn.toDF().toDF("v_user", "v_ts", "v_event").withWatermark("v_ts", "10 minutes")
+    val joined = p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("v_ts") <= col("p_ts"), "fullOuter")
+      .select(col("p_event"), col("v_event"))
+    val name = "graft_full_outer_join_test"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      def rows() = s.table(name).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // batch 1: u1 purchase@30 with NO view; u3 view@20 with NO purchase;
+      // u2 purchase@30 WITH its view@20
+      pIn.addData((1L, ts(30), 100L), (2L, ts(30), 200L))
+      vIn.addData((2L, ts(20), 201L), (3L, ts(20), 301L))
+      q.processAllAvailable()
+      val after1 = rows()
+      assert(after1.contains((200L, 201L)), s"inner match must emit eagerly: ${after1.mkString(",")}")
+      assert(!after1.exists(t => t._1 == -1L || t._2 == -1L),
+        "no null row may emit before any eviction point")
+      // batch 2: watermark (min of both inputs, 10 min delay) moves to 45 —
+      // past the purchase@30 (evicts at wm > 30) but NOT past the view@20's
+      // later horizon (evicts only at wm > 20 + 60 = 80: a future purchase
+      // at up to ts 80 could still reach back to it)
+      pIn.addData((8L, ts(55), 800L))
+      vIn.addData((9L, ts(55), 901L))
+      q.processAllAvailable()
+      val after2 = rows()
+      assert(after2.count(_ == ((100L, -1L))) === 1,
+        s"unmatched purchase must null-emit exactly once at wm 45: ${after2.mkString(",")}")
+      assert(!after2.contains((-1L, 301L)),
+        "the unmatched view must stay silent until wm passes v_ts + window")
+      // batch 3: watermark to 90 — past the view's 80-minute horizon
+      pIn.addData((8L, ts(100), 801L))
+      vIn.addData((9L, ts(100), 902L))
+      q.processAllAvailable()
+      val after3 = rows()
+      assert(after3.count(_ == ((-1L, 301L))) === 1,
+        s"unmatched view must null-emit exactly once after ITS eviction: ${after3.mkString(",")}")
+      assert(after3.count(_ == ((100L, -1L))) === 1, "the purchase null row never duplicates")
+      assert(after3.count(_ == ((200L, 201L))) === 1, "the matched pair never gains a null twin")
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
+  test("q294 settled full outer join carries BOTH null sides and matches within the matured region") {
+    val got = Events.streamingIntervalJoinFullOuter(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.exists(t => t._1 != -1L && t._2 == -1L), "no purchase-side null rows — left leg vacuous")
+    assert(got.exists(t => t._1 == -1L && t._2 != -1L), "no view-side null rows — right leg vacuous")
+    assert(got.exists(t => t._1 != -1L && t._2 != -1L), "no matched rows")
+  }
+
   test("q267 settled outer join equals the batch left join on matured purchases") {
     val got = Events.streamingIntervalJoinOuter(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1),
