@@ -2238,6 +2238,21 @@ object Registry {
         |FROM lineitem l JOIN documents d ON l.l_partkey % 500 = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Runtime (DPP-style) shard pruning on the DSv2 connector: GLPR
+    // facts x selectively-filtered broadcast dim on doc_id — the dim
+    // filter (s_nationkey) is opaque to static pushdown, so only the
+    // materialized broadcast key set handed to GlprScan.filter
+    // (SupportsRuntimeFiltering) can skip shards; the range-disjoint
+    // staging makes sidecar bounds tight. Shard-skip + equality pinned
+    // in GlprSpec.
+    "q295_glpr_runtime_prune" -> Entry((s, d) =>
+      graft.io.GlprSource.runtimePrunedDimJoin(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents d JOIN supplier s ON d.doc_id = s.s_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ingest front-door capstone: GLPR shards streamed under
     // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
     // the cross-batch case q268's single-batch file source can't reach)

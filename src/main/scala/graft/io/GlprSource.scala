@@ -10,10 +10,11 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,6 +100,47 @@ object GlprSource {
     })
   def documentsVia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("graft.io.GlprSource").load(stagedPath(spark, dir))
+
+  /** Range-disjoint staging for the pruning paths (q295): the corpus
+    * written `repartitionByRange(8, doc_id)`, so every shard's sidecar
+    * doc_id bounds are TIGHT and shard pruning (static ranges and the
+    * DPP-style runtime key sets) can actually skip files. This is the
+    * layout discipline a 100 TB GLPR corpus would be ingested with —
+    * identical to clustering parquet files by a join key so min/max
+    * indexes prune. */
+  private val rangeStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[io] def rangeStagedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    rangeStagedCache.computeIfAbsent(dir, _ => {
+      val root = TempDirs.scratch("graft-glpr-ranged").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("doc_id")), root)
+      root
+    })
+
+  /** q295 — runtime (DPP-style) shard pruning end to end: GLPR facts
+    * joined on `doc_id` to a SELECTIVELY-FILTERED broadcast dimension
+    * (suppliers of one nation). The dimension filter is opaque to static
+    * pushdown (no doc_id bounds derivable from `s_nationkey = 3` at plan
+    * time); only the materialized broadcast key set, handed to
+    * [[GlprScan.filter]] by Spark's runtime filtering, can prune — so
+    * the shard-skip observed in [[planEvents]] is attributable to
+    * runtime pruning alone. Oracle is the plain parquet join. */
+  def runtimePrunedDimJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val facts = spark.read.format("graft.io.GlprSource")
+      .load(rangeStagedPath(spark, dir))
+    val dim = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey").as("dim_id"))
+    facts.join(broadcast(dim), col("doc_id") === col("dim_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
 
   /** q285: the staged shards consumed as a STREAM through the connector's
     * [[GlprMicroBatchStream]] and rolled into a per-language profile —
@@ -283,14 +325,21 @@ object GlprSource {
   }
 
   /** Per-shard sidecar stats written at commit time ([[GlprWriter]]):
-    * row count and raw payload bytes per string field — all the scan
-    * needs for pruning-aware size estimates without touching data bytes. */
+    * row count, raw payload bytes per string field, and the shard's
+    * doc_id min/max — everything the scan needs for pruning-aware size
+    * estimates AND shard-level (static + runtime) pruning without
+    * touching data bytes. `idLo`/`idHi` are absent for empty shards and
+    * for sidecars written before round 15 (backward compat: a shard
+    * without bounds is never pruned). */
   private[io] final case class ShardMeta(rows: Long, lang: Long,
-      source: Long, text: Long) {
+      source: Long, text: Long,
+      idLo: Option[Long] = None, idHi: Option[Long] = None) {
     def fieldBytes(f: String): Long = f match {
       case "lang" => lang; case "source" => source; case "text" => text
       case _ => 0L
     }
+    def bounds: Option[(Long, Long)] =
+      for { lo <- idLo; hi <- idHi } yield (lo, hi)
   }
   private[io] def metaFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".meta")
@@ -303,9 +352,17 @@ object GlprSource {
       val kv = txt.trim.split("\\s+").iterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }
         .toMap
-      Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text")))
+      Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text"),
+        kv.get("idlo"), kv.get("idhi")))
     } catch { case _: Exception => None } // malformed sidecar → size fallback
   }
+
+  /** Shard-plan observability for the pruning contracts (GlprSpec):
+    * (kept, total) of the scan's LAST `planInputPartitions` per corpus
+    * path — with runtime filtering the last planning is the
+    * post-runtime-filter one. Test-only surface; never read by plans. */
+  private[io] val planEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
   private[io] final case class GlprPartition(file: String) extends InputPartition
 
@@ -408,10 +465,15 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   private val tmp = new java.io.File(path, s"_tmp-$taskId-$shardName")
   private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
   private var nRows = 0L
+  private var idLo = Long.MaxValue
+  private var idHi = Long.MinValue
   private val fieldBytes = scala.collection.mutable.Map(
     "lang" -> 0L, "source" -> 0L, "text" -> 0L)
   override def write(r: InternalRow): Unit = {
-    out.writeLong(r.getLong(idx("doc_id")))
+    val id = r.getLong(idx("doc_id"))
+    out.writeLong(id)
+    if (id < idLo) idLo = id
+    if (id > idHi) idHi = id
     Seq("lang", "source", "text").foreach { f =>
       val b = r.getUTF8String(idx(f)).getBytes
       out.writeInt(b.length); out.write(b)
@@ -424,8 +486,10 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     // meta first: a shard without a sidecar degrades to the size
     // fallback; an orphan sidecar is invisible (readers key off shards)
     val metaTmp = new java.io.File(path, s"_tmp-$taskId-$shardName.meta")
+    val boundsKv = if (nRows > 0) s" idlo=$idLo idhi=$idHi" else ""
     java.nio.file.Files.write(metaTmp.toPath,
-      s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
+      (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
+        + boundsKv)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dest = new java.io.File(path, shardName)
     java.nio.file.Files.move(metaTmp.toPath,
@@ -463,7 +527,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
 
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaces in .explain — the DSv2 analogue of the file-source
@@ -471,9 +536,57 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   override def description(): String =
     s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
-  override def planInputPartitions(): Array[InputPartition] =
-    GlprSource.committedShards(path)
-      .map(f => GlprSource.GlprPartition(f.getAbsolutePath): InputPartition)
+
+  /** Runtime (DPP-style) shard pruning: Spark's PartitionPruning rule
+    * plants a `DynamicPruningExpression` subquery on the join key when
+    * the other side is selective, and at execution hands the
+    * materialized key set to [[filter]] — the DSv2 spelling of dynamic
+    * partition pruning. Shards whose sidecar doc_id bounds can't contain
+    * ANY key in the set are dropped from [[planInputPartitions]]. A
+    * broadcast join against a filtered dimension therefore reads only
+    * the matching shards — at 100 TB the difference between scanning the
+    * corpus and scanning the working set. Best-effort by contract: rows
+    * in kept shards outside the key set are re-filtered by the join. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+  override def filter(filters: Array[Filter]): Unit = {
+    // a filter whose values aren't all understood is IGNORED, never
+    // partially applied — partial application would prune live shards
+    val sets = filters.collect {
+      case In("doc_id", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        vs.map(_.asInstanceOf[java.lang.Long].longValue).sorted
+      case EqualTo("doc_id", l: java.lang.Long) => Array(l.longValue)
+    }
+    if (sets.nonEmpty)
+      runtimeIds = Some(sets.reduce((a, b) => a.filter(x =>
+        java.util.Arrays.binarySearch(b, x) >= 0)))
+  }
+  private def anyIdIn(ids: Array[Long], lo: Long, hi: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(ids, lo)
+    val at = if (i >= 0) i else -i - 1 // first id >= lo
+    at < ids.length && ids(at) <= hi
+  }
+
+  /** One InputPartition per COMMITTED shard, minus every shard whose
+    * sidecar doc_id bounds are provably disjoint from (a) the statically
+    * pushed doc_id range and (b) the runtime key set, when present.
+    * Shards without bounds (pre-round-15 sidecars, external writers,
+    * empty shards) are never pruned. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shards = GlprSource.committedShards(path)
+    val kept = shards.filter { f =>
+      GlprSource.readMeta(f).flatMap(_.bounds) match {
+        case Some((lo, hi)) =>
+          lo <= range.hi && hi >= range.lo &&
+            runtimeIds.forall(ids => anyIdIn(ids, lo, hi))
+        case None => true
+      }
+    }
+    GlprSource.planEvents.put(path, (kept.length, shards.length))
+    kept.map(f => GlprSource.GlprPartition(f.getAbsolutePath): InputPartition)
+  }
 
   /** Pruning-aware statistics from the commit-time sidecars: size = the
     * bytes the scan will RETURN for the pruned schema (8 B/row doc_id +

@@ -35,6 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;
                                 // parity with q223 via the shared oracle
+    "q295_glpr_runtime_prune",  // range-sharded GLPR staging write on
+                                // construction (cached); runtime shard-skip
+                                // pin in GlprSpec
     "q284_glpr_source",         // GLPR shard write on construction (cached);
                                 // pushdown/pruning plans pinned in GlprSpec
     "q285_glpr_stream",         // GLPR MicroBatchStream settle on

@@ -234,6 +234,75 @@ class GlprSpec extends AnyFunSuite {
       "cross-batch fold must yield global min keeper and total count")
   }
 
+  test("q295 runtime filtering: the DPP broadcast key set prunes range-disjoint shards") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-dpp").toString
+    // 4 range-disjoint shards: [0,100), [100,200), [200,300), [300,400)
+    GlprSource.write(
+      (0L until 400L).map(i => (i, "en", "s", s"text-$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    assert(new java.io.File(root).listFiles().count(_.getName.endsWith(".glpr")) === 4)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    // dim filter on a NON-join column: invisible to static pushdown, so
+    // any shard skip is attributable to the runtime key set alone. The
+    // dim must be a real source scan (parquet), not a LocalRelation —
+    // the optimizer folds filters into LocalRelations, and DPP requires
+    // a surviving selective Filter on the filtering side.
+    val dimPath = TempDirs.scratch("graft-glpr-dpp-dim").toString
+    Seq((120L, "keep"), (150L, "keep"), (121L, "drop"))
+      .toDF("dim_id", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = facts.join(broadcast(dim), col("doc_id") === col("dim_id"))
+      .select("doc_id")
+    val got = joined.collect().map(_.getLong(0)).toSet
+    assert(got === Set(120L, 150L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"runtime filter missing from the plan:\n${plan.take(2000)}")
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(total === 4 && kept === 1,
+      s"both key values live in shard [100,200) — expected 1/4 shards planned, got $kept/$total")
+  }
+
+  test("static doc_id bounds prune whole shards via sidecar min/max (no data bytes touched)") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-static-prune").toString
+    GlprSource.write(
+      (0L until 400L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    val got = facts.filter(col("doc_id") >= 120L && col("doc_id") <= 180L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (120L to 180L).toSet)
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(total === 4 && kept === 1,
+      s"[120,180] lives in one shard — expected 1/4 planned, got $kept/$total")
+  }
+
+  test("a sidecar without id bounds (pre-round-15 / external writer) is NEVER pruned") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-compat-prune").toString
+    GlprSource.write(
+      (0L until 200L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(2, col("doc_id")), root)
+    // strip the bounds from the FIRST shard's sidecar (the old format)
+    val shard0 = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".glpr")).sortBy(_.getName).head
+    val meta = GlprSource.metaFile(shard0)
+    val stripped = new String(java.nio.file.Files.readAllBytes(meta.toPath))
+      .replaceAll(" idlo=\\d+ idhi=\\d+", "")
+    java.nio.file.Files.write(meta.toPath, stripped.getBytes)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    // bounds target ONLY the second shard; the stripped shard must be
+    // kept anyway (row-level pushdown still filters it) and results hold
+    val got = facts.filter(col("doc_id") >= 150L && col("doc_id") <= 160L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (150L to 160L).toSet)
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(total === 2 && kept === 2,
+      s"boundless shard must never be pruned: got $kept/$total")
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
