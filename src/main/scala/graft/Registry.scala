@@ -2253,6 +2253,18 @@ object Registry {
         |WHERE s.s_nationkey = 3
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Metadata-only aggregate pushdown on the DSv2 connector
+    // (SupportsPushDownAggregates, COMPLETE): ungrouped count/min/max
+    // over GLPR answered from commit-time sidecars — zero shards
+    // planned, no aggregate exec in the plan (the parquet row-group
+    // statistics trick). Zero-shards + decline paths pinned in GlprSpec.
+    "q296_glpr_agg_pushdown" -> Entry((s, d) =>
+      graft.io.GlprSource.documentsVia(s, d)
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id")), Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id,
+        | max(doc_id) AS max_id FROM documents""".stripMargin)),
+
     // Ingest front-door capstone: GLPR shards streamed under
     // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
     // the cross-batch case q268's single-batch file source can't reach)

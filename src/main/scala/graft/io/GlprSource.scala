@@ -11,7 +11,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -506,10 +507,12 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
 }
 
 class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GlprSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var range: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue)
+  private var aggResult: Option[(StructType, Array[Long], Array[Boolean])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -521,9 +524,104 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GlprScan(path, required, range, pushed,
-    maxShardsPerTrigger)
+  /** METADATA-ONLY aggregates (q296): ungrouped, unfiltered COUNT(*) /
+    * MIN(doc_id) / MAX(doc_id) are answered entirely from the commit-time
+    * sidecars — zero data bytes read, zero records decoded, the scan
+    * plans one synthetic partition carrying the finished row. This is
+    * the row-group-statistics trick parquet readers play, available to
+    * GLPR because every shard commit already wrote rows + id bounds.
+    * COMPLETE pushdown (no partial/final agg in the plan). Declined —
+    * falling back to the ordinary scan-and-aggregate plan — whenever any
+    * condition fails: a filter was pushed (sidecars describe whole
+    * shards), grouping present, an unsupported aggregate, or any shard
+    * missing the sidecar stats the answer needs. */
+  private def sidecarAggValues(agg: Aggregation): Option[(StructType, Array[Long], Array[Boolean])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (pushed.nonEmpty || range.lo != Long.MinValue || range.hi != Long.MaxValue) return None
+    val shards = GlprSource.committedShards(path)
+    val metas = shards.map(GlprSource.readMeta)
+    if (metas.exists(_.isEmpty)) return None // a shard without stats
+    val ms = metas.map(_.get)
+    lazy val bounds = ms.flatMap(_.bounds)
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+    val exprs = agg.aggregateExpressions()
+    val fields = new Array[StructField](exprs.length)
+    val values = new Array[Long](exprs.length)
+    val nulls = new Array[Boolean](exprs.length)
+    val nonEmpty = ms.exists(_.rows > 0)
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      e match {
+        case _: CountStar =>
+          fields(i) = StructField(s"count_$i", LongType, nullable = false)
+          values(i) = ms.map(_.rows).sum
+        case m: Min if isDocId(m.column()) =>
+          // min needs bounds from every NON-EMPTY shard
+          if (nonEmpty && bounds.length != ms.count(_.rows > 0)) return None
+          fields(i) = StructField(s"min_$i", LongType, nullable = true)
+          if (nonEmpty) values(i) = bounds.map(_._1).min else nulls(i) = true
+        case m: Max if isDocId(m.column()) =>
+          if (nonEmpty && bounds.length != ms.count(_.rows > 0)) return None
+          fields(i) = StructField(s"max_$i", LongType, nullable = true)
+          if (nonEmpty) values(i) = bounds.map(_._2).max else nulls(i) = true
+        case _ => return None
+      }
+    }
+    Some((StructType(fields.toSeq), values, nulls))
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    sidecarAggValues(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = sidecarAggValues(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values, nulls)) => new GlprAggScan(path, schema, values, nulls)
+    case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger)
+  }
 }
+
+/** The metadata-only scan a completely-pushed aggregate builds: one
+  * synthetic partition, one precomputed row, no data file ever opened. */
+class GlprAggScan(path: String, aggSchema: StructType,
+    values: Array[Long], nulls: Array[Boolean]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PushedAggregates (sidecar-only): ${aggSchema.fieldNames.mkString(", ")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    GlprSource.planEvents.put(path, (0, GlprSource.committedShards(path).length))
+    Array(GlprAggPartition(values, nulls))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ap = p.asInstanceOf[GlprAggPartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ap.values.length)
+            var i = 0
+            while (i < ap.values.length) {
+              if (ap.nulls(i)) row.setNullAt(i) else row.setLong(i, ap.values(i))
+              i += 1
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[io] final case class GlprAggPartition(values: Array[Long],
+    nulls: Array[Boolean]) extends InputPartition
 
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int])

@@ -303,6 +303,50 @@ class GlprSpec extends AnyFunSuite {
       s"boundless shard must never be pruned: got $kept/$total")
   }
 
+  test("q296 aggregate pushdown: ungrouped count/min/max answered from sidecars with ZERO shards read") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-aggpush").toString
+    GlprSource.write(
+      (5L until 205L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    val agg = facts.agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((200L, 5L, 204L)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates (sidecar-only)"),
+      s"aggregate not pushed into the scan:\n${plan.take(1500)}")
+    assert(!plan.contains("HashAggregate"),
+      s"COMPLETE pushdown must leave no aggregate exec in the plan:\n${plan.take(1500)}")
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(total === 4 && kept === 0, s"metadata-only scan must plan 0 data shards, got $kept/$total")
+  }
+
+  test("aggregate pushdown DECLINES under filters, grouping, or a stats-less shard — and stays correct") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-aggdecline").toString
+    GlprSource.write(
+      (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"t$i"))
+        .toDF("doc_id", "lang", "source", "text").repartitionByRange(2, col("doc_id")), root)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    // filtered: sidecars describe whole shards, so the pushdown must decline
+    val f = facts.filter(col("doc_id") >= 50L).agg(count(lit(1)).as("n"))
+    assert(f.collect().head.getLong(0) === 50L)
+    assert(!f.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    // grouped: declined
+    val g = facts.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("en", 50L), ("de", 50L)))
+    assert(!g.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    // a shard missing its sidecar: declined, full scan still answers
+    val someMeta = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".glpr.meta")).head
+    assert(someMeta.delete())
+    val n = facts.agg(count(lit(1)).as("n"))
+    assert(n.collect().head.getLong(0) === 100L)
+    assert(!n.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
