@@ -2265,6 +2265,19 @@ object Registry {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id,
         | max(doc_id) AS max_id FROM documents""".stripMargin)),
 
+    // Limit pushdown on the DSv2 connector (SupportsPushDownLimit,
+    // partial): the reader stops decoding at the cap and — with no
+    // filters in play — planInputPartitions opens only the shards whose
+    // sidecar row counts cover the limit (LIMIT 10 on a million-shard
+    // corpus opens one file). The count over the limited subquery is
+    // the deterministic contract; shard-cap + filter-decline pinned in
+    // GlprSpec.
+    "q297_glpr_limit_pushdown" -> Entry((s, d) =>
+      graft.io.GlprSource.documentsVia(s, d).limit(100)
+        .agg(count(lit(1)).as("n_rows")), Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT * FROM documents LIMIT 100)""".stripMargin)),
+
     // Ingest front-door capstone: GLPR shards streamed under
     // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
     // the cross-batch case q268's single-batch file source can't reach)

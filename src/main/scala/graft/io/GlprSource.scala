@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -508,11 +508,24 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
 
 class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var range: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue)
   private var aggResult: Option[(StructType, Array[Long], Array[Boolean])] = None
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown (q297), PARTIAL by contract (Spark keeps the global
+    * limit): each partition's reader stops decoding after `limit`
+    * records, and — the shard-level win — when NO filter is pushed,
+    * [[GlprScan.planInputPartitions]] plans only the first shards whose
+    * sidecar row counts cover the limit: `LIMIT 10` against a
+    * million-shard corpus opens one file. Declined only when a doc_id
+    * filter was pushed AND sidecars can't tell how many rows survive it
+    * (the reader-side row cap alone still applies then via the stored
+    * limit, a correct over-read). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -582,7 +595,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
 
   override def build(): Scan = aggResult match {
     case Some((schema, values, nulls)) => new GlprAggScan(path, schema, values, nulls)
-    case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger)
+    case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
+      limit)
   }
 }
 
@@ -624,7 +638,8 @@ private[io] final case class GlprAggPartition(values: Array[Long],
     nulls: Array[Boolean]) extends InputPartition
 
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
-    pushed: Array[Filter], maxShardsPerTrigger: Option[Int])
+    pushed: Array[Filter], maxShardsPerTrigger: Option[Int],
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -682,8 +697,26 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
         case None => true
       }
     }
-    GlprSource.planEvents.put(path, (kept.length, shards.length))
-    kept.map(f => GlprSource.GlprPartition(f.getAbsolutePath): InputPartition)
+    // pushed LIMIT with no row filtering in play: plan only the first
+    // shards whose sidecar row counts cover the limit — LIMIT 10 against
+    // a million-shard corpus opens one file. Any shard without stats, or
+    // any pushed/runtime filter, disables the cap (surviving-row counts
+    // unknowable from sidecars); the reader-side row cap still applies.
+    val unfiltered = pushed.isEmpty && range.lo == Long.MinValue &&
+      range.hi == Long.MaxValue && runtimeIds.isEmpty
+    val capped = limit match {
+      case Some(n) if unfiltered =>
+        val metas = kept.map(GlprSource.readMeta)
+        if (metas.exists(_.isEmpty)) kept
+        else {
+          var acc = 0L; var take = 0
+          while (take < kept.length && acc < n) { acc += metas(take).get.rows; take += 1 }
+          kept.take(math.max(take, if (kept.isEmpty) 0 else 1))
+        }
+      case _ => kept
+    }
+    GlprSource.planEvents.put(path, (capped.length, shards.length))
+    capped.map(f => GlprSource.GlprPartition(f.getAbsolutePath): InputPartition)
   }
 
   /** Pruning-aware statistics from the commit-time sidecars: size = the
@@ -717,7 +750,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlprReaderFactory(required, range)
+    new GlprReaderFactory(required, range, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger)
 }
@@ -826,15 +859,16 @@ class GlprMicroBatchStream(path: String, required: StructType,
   * [[GlprReader]] stays as the contractual fallback (DSv2 requires
   * `createReader`; also the reference path the columnar reader is
   * spec'd equal against). */
-class GlprReaderFactory(required: StructType, range: GlprSource.IdRange)
+class GlprReaderFactory(required: StructType, range: GlprSource.IdRange,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GlprReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
-      required, range)
+      required, range, limit)
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GlprColumnarReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
-      required, range)
+      required, range, limit)
 }
 
 /** Chunk-buffered byte cursor over one GLPR shard — the IO/decode core
@@ -970,9 +1004,12 @@ private[io] final class GlprChunkCursor(file: String) {
   * copy them). The default scan path is [[GlprColumnarReader]]; this
   * reader is the contractual fallback and the parity reference.
   * Measured in [[graft.tools.GlprDecodeBench]] — see numbers there. */
-class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
+class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val cursor = new GlprChunkCursor(file)
+  private val cap = limit.getOrElse(Int.MaxValue)
+  private var emitted = 0
   // field order in the byte stream after doc_id
   private val streamFields = Array("lang", "source", "text")
   private val wantIdx: Map[String, Int] =
@@ -984,6 +1021,9 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed LIMIT: stop decoding once this partition emitted enough
+    // MATCHING rows (partial pushdown — Spark applies the global limit)
+    if (emitted >= cap) return false
     while (cursor.atRecordStart()) {
       val id = cursor.readId()
       val keep = range.contains(id)
@@ -1002,7 +1042,7 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
         } else cursor.skipPayload(len)
         f += 1
       }
-      if (keep) { current = rowWriter.getRow; return true }
+      if (keep) { current = rowWriter.getRow; emitted += 1; return true }
       // else: record skipped wholesale; loop to the next one
     }
     false
@@ -1023,8 +1063,11 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange)
   * non-null by format contract. Same diagnostics as the row reader
   * (shared cursor). Measured in [[graft.tools.GlprDecodeBench]]. */
 class GlprColumnarReader(file: String, required: StructType,
-    range: GlprSource.IdRange) extends PartitionReader[ColumnarBatch] {
+    range: GlprSource.IdRange,
+    limit: Option[Int] = None) extends PartitionReader[ColumnarBatch] {
   private val cursor = new GlprChunkCursor(file)
+  private val cap = limit.getOrElse(Int.MaxValue)
+  private var emitted = 0
   private val streamFields = Array("lang", "source", "text")
   private val wantIdx: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
@@ -1040,7 +1083,7 @@ class GlprColumnarReader(file: String, required: StructType,
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
-    while (n < capacity && cursor.atRecordStart()) {
+    while (n < capacity && emitted + n < cap && cursor.atRecordStart()) {
       val id = cursor.readId()
       val keep = range.contains(id)
       if (keep && idOrdinal >= 0) vectors(idOrdinal).putLong(n, id)
@@ -1057,6 +1100,7 @@ class GlprColumnarReader(file: String, required: StructType,
       if (keep) n += 1
     }
     batch.setNumRows(n)
+    emitted += n
     n > 0
   }
 

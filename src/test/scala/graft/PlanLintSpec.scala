@@ -35,6 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;
                                 // parity with q223 via the shared oracle
+    "q297_glpr_limit_pushdown", // GLPR staging write on construction
+                                // (cached, shared with q284); shard-cap
+                                // pin in GlprSpec
     "q296_glpr_agg_pushdown",   // GLPR staging write on construction
                                 // (cached, shared with q284); zero-shard
                                 // plan pin in GlprSpec

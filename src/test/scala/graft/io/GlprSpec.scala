@@ -347,6 +347,27 @@ class GlprSpec extends AnyFunSuite {
     assert(!n.queryExecution.executedPlan.toString.contains("PushedAggregates"))
   }
 
+  test("q297 limit pushdown: LIMIT plans only the shards its sidecar row counts need") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-limit").toString
+    GlprSource.write(
+      (0L until 400L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    val facts = spark.read.format("graft.io.GlprSource").load(root)
+    val got = facts.limit(10).collect()
+    assert(got.length === 10)
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(total === 4 && kept === 1,
+      s"LIMIT 10 over 100-row shards must plan 1/4 shards, got $kept/$total")
+    // a limit larger than one shard takes just enough shards
+    assert(facts.limit(150).collect().length === 150)
+    assert(GlprSource.planEvents.get(root) === ((2, 4)))
+    // under a pushed doc_id filter the shard cap is DISABLED (surviving
+    // rows unknowable from sidecars) but the result stays exact
+    val filtered = facts.filter(col("doc_id") >= 390L).limit(20).collect()
+    assert(filtered.length === 10, "only 10 rows survive the filter — all must appear")
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
