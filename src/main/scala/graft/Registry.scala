@@ -2278,6 +2278,18 @@ object Registry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows
         |FROM (SELECT * FROM documents LIMIT 100)""".stripMargin)),
 
+    // DSv2 TableCatalog SQL front door (graft.io.GlprCatalog): CREATE
+    // TABLE -> INSERT INTO ... SELECT -> SELECT aggregate, all through
+    // catalog identifiers (glpr_cat.corpus.docs) with zero DataFrame-API
+    // reads/writes — the SQL-only-consumer contract. DDL lifecycle
+    // (create/list/drop/rename/alter, identifier hygiene, schema gate)
+    // pinned in GlprCatalogSpec.
+    "q298_glpr_catalog_sql" -> Entry((s, d) =>
+      graft.io.GlprSource.catalogSqlPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Ingest front-door capstone: GLPR shards streamed under
     // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
     // the cross-batch case q268's single-batch file source can't reach)

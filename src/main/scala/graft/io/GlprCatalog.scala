@@ -1,0 +1,129 @@
+package graft.io
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over GLPR corpora — the SQL front door for the
+  * connector: register once
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.glpr", "graft.io.GlprCatalog")
+  *   spark.conf.set("spark.sql.catalog.glpr.root", "/corpora")
+  * }}}
+  * and full DDL + DML works through plain SQL — `CREATE TABLE
+  * glpr.raw.docs (...)`, `INSERT INTO glpr.raw.docs SELECT ...` (the
+  * two-phase-commit [[GlprWriter]] path), `SELECT ... FROM glpr.raw.docs`
+  * (the pruning/pushdown/statistics [[GlprScan]] path), `DROP TABLE`,
+  * `ALTER TABLE ... SET TBLPROPERTIES`, `SHOW TABLES IN glpr.raw` — no
+  * DataFrame-API escape hatch needed. This is how a lakehouse exposes a
+  * custom format to SQL-only consumers (the Iceberg/Delta catalog
+  * pattern, over the public `CatalogPlugin` API).
+  *
+  * Layout: `<root>/<namespace...>/<table>/` holds the shard files; a
+  * `_glpr_table` marker distinguishes catalog-created tables from
+  * arbitrary directories (an external shard dir is attachable by
+  * `CREATE TABLE` on the same path — the marker is written, existing
+  * shards become visible). The schema is the GLPR record schema by
+  * construction; `CREATE TABLE` validates the requested columns against
+  * it rather than silently writing an unreadable layout. Identifier
+  * components are validated against a conservative charset — a catalog
+  * must never let `..`-bearing names escape its root.
+  */
+class GlprCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: java.io.File = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' requires option spark.sql.catalog.$name.root")
+    root = new java.io.File(r)
+    root.mkdirs(): Unit
+  }
+  override def name(): String = catalogName
+
+  private val safePart = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+  private def checkPart(p: String): String = p match {
+    case safePart() if p != "." && p != ".." => p
+    case _ => throw new IllegalArgumentException(
+      s"illegal glpr identifier component '$p'")
+  }
+  private def nsDir(ns: Array[String]): java.io.File =
+    ns.foldLeft(root)((d, p) => new java.io.File(d, checkPart(p)))
+  private def tableDir(ident: Identifier): java.io.File =
+    new java.io.File(nsDir(ident.namespace()), checkPart(ident.name()))
+  private def marker(dir: java.io.File): java.io.File =
+    new java.io.File(dir, "_glpr_table")
+
+  override def tableExists(ident: Identifier): Boolean =
+    marker(tableDir(ident)).isFile
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && marker(f).isFile)
+      .map(f => Identifier.of(namespace, f.getName))
+      .sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GlprTable(tableDir(ident).getAbsolutePath)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "GLPR tables do not support partitioning transforms")
+    // the on-disk layout IS the schema; reject anything else up front
+    val want = GlprSource.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"GLPR tables have the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    java.nio.file.Files.write(marker(dir).toPath, Array.emptyByteArray)
+    new GlprTable(dir.getAbsolutePath)
+  }
+
+  /** Property-only alters succeed as no-ops (GLPR keeps no table-level
+    * properties); structural changes are rejected — the schema is the
+    * format. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val structural = changes.exists {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (structural) throw new UnsupportedOperationException(
+      "GLPR tables have a fixed schema; only table properties can be altered")
+    new GlprTable(tableDir(ident).getAbsolutePath)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!marker(dir).isFile) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+      true
+    }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val dest = tableDir(to)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(tableDir(from).toPath, dest.toPath)
+  }
+}

@@ -121,6 +121,34 @@ object GlprSource {
       root
     })
 
+  /** q298 — the catalog SQL front door end to end ([[GlprCatalog]]):
+    * register the catalog, `CREATE TABLE` through DDL, `INSERT INTO …
+    * SELECT` the documents corpus through the two-phase-commit write
+    * path, then aggregate back with a plain `SELECT` over the catalog
+    * identifier — not one DataFrame-API read or write in the pipeline,
+    * the SQL-only-consumer contract a lakehouse catalog exists for.
+    * Idempotent per (JVM, dir): the INSERT runs once; the SELECT is the
+    * repeatable query. */
+  def catalogSqlPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = catalogRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-catalog").toString)
+    spark.conf.set("spark.sql.catalog.glpr_cat", "graft.io.GlprCatalog")
+    spark.conf.set("spark.sql.catalog.glpr_cat.root", root)
+    val created = new java.io.File(root, "corpus/docs/_glpr_table").isFile
+    if (!created) {
+      spark.sql("CREATE TABLE glpr_cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      spark.sql("INSERT INTO glpr_cat.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+    }
+    spark.sql("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM glpr_cat.corpus.docs GROUP BY lang""".stripMargin)
+  }
+  private val catalogRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q295 — runtime (DPP-style) shard pruning end to end: GLPR facts
     * joined on `doc_id` to a SELECTIVELY-FILTERED broadcast dimension
     * (suppliers of one nation). The dimension filter is opaque to static

@@ -35,6 +35,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;
                                 // parity with q223 via the shared oracle
+    "q298_glpr_catalog_sql",    // catalog CREATE/INSERT on construction
+                                // (cached); DDL pins in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

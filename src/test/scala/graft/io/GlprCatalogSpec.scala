@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[GlprCatalog]] DDL/DML lifecycle over SQL — the contracts q298's
+  * oracle (a single pipeline) cannot see: table listing, drop, rename,
+  * alter gating, identifier hygiene, schema gating, external-shard
+  * attach, and write-read parity through catalog identifiers.
+  */
+class GlprCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = TempDirs.scratch("graft-glpr-catspec").toString
+    spark.conf.set("spark.sql.catalog.glpr_spec", "graft.io.GlprCatalog")
+    spark.conf.set("spark.sql.catalog.glpr_spec.root", r)
+    r
+  }
+  // touching `ddl` registers the catalog confs (root is lazy)
+  private lazy val ddl = { root; "(doc_id BIGINT, lang STRING, source STRING, text STRING)" }
+
+  test("CREATE / INSERT / SELECT round-trips through catalog identifiers only") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns1.t1 $ddl")
+    Seq((1L, "en", "s", "hello"), (2L, "de", "s", "hallo"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("cat_in")
+    spark.sql("INSERT INTO glpr_spec.ns1.t1 SELECT * FROM cat_in")
+    val got = spark.sql("SELECT doc_id, lang, text FROM glpr_spec.ns1.t1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "en", "hello"), (2L, "de", "hallo")))
+    // and the shard files really are GLPR, with sidecars
+    val dir = new java.io.File(root, "ns1/t1")
+    assert(dir.listFiles().exists(_.getName.endsWith(".glpr")))
+    assert(dir.listFiles().exists(_.getName.endsWith(".glpr.meta")))
+    spark.catalog.dropTempView("cat_in")
+  }
+
+  test("SHOW TABLES lists only marker-bearing dirs; DROP removes; rename moves data") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns2.a $ddl")
+    spark.sql(s"CREATE TABLE glpr_spec.ns2.b $ddl")
+    // a bare directory in the namespace is NOT a table
+    new java.io.File(root, "ns2/not_a_table").mkdirs()
+    val listed = spark.sql("SHOW TABLES IN glpr_spec.ns2")
+      .select("tableName").as[String].collect().toSet
+    assert(listed === Set("a", "b"))
+    Seq((7L, "en", "s", "x")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("cat_in2")
+    spark.sql("INSERT INTO glpr_spec.ns2.a SELECT * FROM cat_in2")
+    spark.sql("ALTER TABLE glpr_spec.ns2.a RENAME TO ns2.a2")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns2.a2").head().getLong(0) === 1L)
+    spark.sql("DROP TABLE glpr_spec.ns2.a2")
+    assert(!new java.io.File(root, "ns2/a2").exists())
+    assert(spark.sql("SHOW TABLES IN glpr_spec.ns2")
+      .select("tableName").as[String].collect().toSet === Set("b"))
+    spark.catalog.dropTempView("cat_in2")
+  }
+
+  test("CREATE TABLE rejects a non-GLPR schema and duplicate creation") {
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE glpr_spec.ns3.bad (a INT, b STRING)"))
+    assert(e.getMessage.toLowerCase.contains("fixed schema")
+      || e.getMessage.contains("glpr"), e.getMessage)
+    spark.sql(s"CREATE TABLE glpr_spec.ns3.ok $ddl")
+    intercept[Exception](spark.sql(s"CREATE TABLE glpr_spec.ns3.ok $ddl"))
+  }
+
+  test("identifier components that could escape the root are rejected") {
+    ddl
+    val e = intercept[Exception](
+      new GlprCatalog {
+        initialize("x", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("root", root)))
+      }.tableExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(".."), "evil")))
+    assert(e.getMessage.contains("illegal"), e.getMessage)
+  }
+
+  test("property-only ALTER is a no-op; structural ALTER is rejected") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns4.t $ddl")
+    spark.sql("ALTER TABLE glpr_spec.ns4.t SET TBLPROPERTIES ('k'='v')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN extra STRING"))
+    assert(e.getMessage.toLowerCase.contains("fixed schema"), e.getMessage)
+  }
+
+  test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
+    val dir = new java.io.File(root, "ns5/ext")
+    dir.mkdirs()
+    GlprSource.write(Seq((11L, "en", "s", "pre-existing"))
+      .toDF("doc_id", "lang", "source", "text"), dir.getAbsolutePath)
+    spark.sql(s"CREATE TABLE glpr_spec.ns5.ext $ddl")
+    assert(spark.sql("SELECT text FROM glpr_spec.ns5.ext").head().getString(0)
+      === "pre-existing")
+  }
+}
