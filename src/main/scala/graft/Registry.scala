@@ -269,6 +269,25 @@ object Registry {
         |   OR (p_event IS NULL AND v_ms < cutoff - 3600000)
         |ORDER BY p_event, v_event""".stripMargin)),
 
+    // Multi-stateful streaming pipeline: stream-stream interval join ->
+    // tumbling-window count in ONE query (two chained state stores,
+    // both watermark-evicted). Settled windows strictly below the final
+    // watermark equal the batch join + epoch-aligned hour buckets.
+    "q299_stream_join_then_window" -> Entry((s, d) =>
+      Events.streamingJoinThenWindow(s, d).orderBy("window_start_ms"), Some(
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+        |p AS (SELECT user_id AS p_user, ts_ms AS p_ms FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts_ms AS v_ms FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(p_ms) FROM p), (SELECT max(v_ms) FROM v))
+        |  - 3900000 AS cutoff),
+        |pairs AS (SELECT (p_ms // 3600000) * 3600000 AS window_start_ms
+        |  FROM p JOIN v ON p_user = v_user
+        |   AND v_ms >= p_ms - 3600000 AND v_ms <= p_ms)
+        |SELECT window_start_ms, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs CROSS JOIN wm
+        |WHERE window_start_ms + 3600000 < cutoff
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Batch twin of q64 — same semantics, same oracle, but a plain
     // (explainable) batch plan: the PlanAudit surface for the interval join.
     "q77_interval_join" -> Entry((s, d) => Events.intervalJoin(s, d)

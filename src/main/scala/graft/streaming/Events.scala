@@ -1955,6 +1955,55 @@ object Events {
       .select("p_event", "p_ms", "v_event", "lag_ms")
   }
 
+  /** Multi-stateful streaming pipeline (q299): stream-stream interval
+    * JOIN followed by a tumbling-window AGGREGATION in ONE streaming
+    * query — two stateful operators chained (the capability Spark added
+    * for exactly this attribution shape; before it, the join had to
+    * land in a sink and a second query re-read it). The join emits
+    * matched (purchase, view) pairs eagerly; the downstream 1-hour
+    * window on `p_ts` holds them in ITS OWN state and finalizes a
+    * window only when the watermark passes its end — so this query
+    * needs the no-data batch, like the outer joins, for the trailing
+    * watermark advance to flush finished windows.
+    *
+    * Determinism: windows strictly below the drained-stream watermark
+    * (`min(max p_ts, max v_ts) − wmDelay`) are guaranteed finalized;
+    * the settled frame restricts to `window_end < cutoff` and the batch
+    * twin (same join, epoch-aligned `floor(p_ms / 1h)` buckets, same
+    * restriction) is the oracle.
+    *
+    * Scale: both state stores are watermark-evicted — join state by the
+    * interval bounds (the q64 contract), window state by window end;
+    * chaining adds no unbounded retention. */
+  def streamingJoinThenWindow(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view",
+      windowMs: Long = 3600000L): DataFrame = {
+    val wmMs = windowMs + 300000L
+    val settled = settle(spark, dir, stream => {
+      val p = stream.filter(col("event_type") === leftType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+        .withWatermark("p_ts", s"$wmMs milliseconds")
+      val v = stream.filter(col("event_type") === rightType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event"))
+        .withWatermark("v_ts", s"$wmMs milliseconds")
+      p.join(v, col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("v_ts") <= col("p_ts"))
+        .groupBy(window(col("p_ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          unix_millis(col("w.end")).as("window_end_ms"), col("n_pairs"))
+    }, outputMode = "append")
+    val e = events(spark, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("event_type"))
+    val cut = e.filter(col("event_type") === leftType).agg(max("ms").as("mp"))
+      .crossJoin(e.filter(col("event_type") === rightType).agg(max("ms").as("mv")))
+      .select((least(col("mp"), col("mv")) - lit(wmMs)).as("cutoff"))
+    settled.crossJoin(broadcast(cut))
+      .filter(col("window_end_ms") < col("cutoff"))
+      .select("window_start_ms", "n_pairs")
+  }
+
   /** Stream-stream FULL OUTER interval join (q294) — completes the
     * stream-join matrix (inner q64, left outer q267): purchases with
     * their preceding views, PLUS purchases that never had a view (null

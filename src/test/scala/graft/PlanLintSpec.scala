@@ -28,6 +28,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // settle on construction
     "q267_stream_outer_join",   // stream-stream left-outer settle on
                                 // construction; eviction pin in StreamingSpec
+    "q299_stream_join_then_window", // chained join->window settle on
+                                // construction; window-flush pin in
+                                // StreamingSpec
     "q294_stream_full_outer_join", // stream-stream full-outer settle on
                                 // construction; two-sided eviction pin in
                                 // StreamingSpec

@@ -362,6 +362,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.catalog.dropTempView(name) }
   }
 
+  test("q299 chained join->window: the window flushes only after the watermark passes its END") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val p = pIn.toDF().toDF("p_user", "p_ts", "p_event").withWatermark("p_ts", "10 minutes")
+    val v = vIn.toDF().toDF("v_user", "v_ts", "v_event").withWatermark("v_ts", "10 minutes")
+    val out = p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .groupBy(window(col("p_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(unix_millis(col("w.start")).as("ws"), col("n_pairs"))
+    val name = "graft_join_window_test"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      def rows() = s.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // two matches in the same epoch-hour window
+      pIn.addData((2L, ts(30), 200L), (3L, ts(31), 210L))
+      vIn.addData((2L, ts(20), 201L), (3L, ts(25), 211L))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "the window must NOT flush while the watermark is below its end — even though the join matched")
+      // advance both watermarks far past the window end
+      pIn.addData((9L, ts(200), 900L))
+      vIn.addData((8L, ts(200), 901L))
+      q.processAllAvailable()
+      val expectedStart = (base + 30 * 60000L) / 3600000L * 3600000L
+      assert(rows().toSeq === Seq((expectedStart, 2L)),
+        s"exactly one finalized window with both pairs: ${rows().mkString(",")}")
+    } finally { q.stop(); s.catalog.dropTempView(name) }
+  }
+
   test("q294 full-outer stream-stream join: EACH side's null row emits only at ITS eviction point") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
