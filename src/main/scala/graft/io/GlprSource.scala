@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -452,15 +452,32 @@ class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
   * aborted/speculative task leaves no visible shard (the two-phase
   * commit every exactly-once batch sink runs); the job-level commit is
   * the no-op the rename already made durable. */
-class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")` spell overwrite
+    * as truncate-then-append for an unpartitioned table. */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GlprBatchWrite(path, schema)
+    override def toBatch: BatchWrite = new GlprBatchWrite(path, schema, truncateFirst)
   }
 }
 
-class GlprBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    if (truncateFirst) {
+      // driver-side, before any task writes: clear committed shards +
+      // sidecars (and stale stage wreckage). Like the built-in file
+      // source's overwrite without a metadata log, a crash mid-job can
+      // leave the table partially rewritten — per-shard publication
+      // stays atomic, table-level overwrite is not transactional.
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
+          || f.getName.startsWith("_tmp"))
+        .foreach(f => f.delete(): Unit)
+    }
     new GlprWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()

@@ -85,6 +85,23 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("fixed schema"), e.getMessage)
   }
 
+  test("INSERT OVERWRITE truncates committed shards and sidecars, then writes fresh") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns6.ow $ddl")
+    Seq((1L, "en", "s", "old-a"), (2L, "en", "s", "old-b"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("ow_in1")
+    spark.sql("INSERT INTO glpr_spec.ns6.ow SELECT * FROM ow_in1")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.ow").head().getLong(0) === 2L)
+    Seq((9L, "de", "s", "new-only"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("ow_in2")
+    spark.sql("INSERT OVERWRITE glpr_spec.ns6.ow SELECT * FROM ow_in2")
+    val got = spark.sql("SELECT doc_id, text FROM glpr_spec.ns6.ow")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((9L, "new-only")), s"overwrite must replace, not append: $got")
+    // stale sidecars are gone too — the metadata-only count agrees
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.ow").head().getLong(0) === 1L)
+    spark.catalog.dropTempView("ow_in1"); spark.catalog.dropTempView("ow_in2")
+  }
+
   test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
     val dir = new java.io.File(root, "ns5/ext")
     dir.mkdirs()
