@@ -2309,6 +2309,18 @@ object Registry {
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // GLPR-to-GLPR streaming relay: custom SOURCE (admission-controlled)
+    // -> in-flight filter -> custom streaming SINK (epoch-idempotent
+    // shards) under AvailableNow, read back through the batch scan —
+    // the full connector loop in one streaming query. Epoch naming +
+    // replay-idempotency pinned in GlprSpec.
+    "q300_glpr_stream_relay" -> Entry((s, d) =>
+      graft.io.GlprSource.streamRelayPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE strlen(text) >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ingest front-door capstone: GLPR shards streamed under
     // maxShardsPerTrigger admission control (MULTIPLE micro-batches —
     // the cross-batch case q268's single-batch file source can't reach)

@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -147,6 +148,41 @@ object GlprSource {
       |FROM glpr_cat.corpus.docs GROUP BY lang""".stripMargin)
   }
   private val catalogRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q300 — GLPR-to-GLPR streaming relay: the staged corpus consumed
+    * through the custom SOURCE (admission-controlled micro-batches),
+    * filtered in flight (the schema-preserving gate an ingest relay
+    * applies), and written through the custom streaming SINK
+    * ([[GlprStreamingWrite]], epoch-idempotent shards) under
+    * `Trigger.AvailableNow` — custom source AND custom sink in one
+    * streaming query, the full connector loop closed. The relayed corpus
+    * is then read back through the batch scan and aggregated; the oracle
+    * is the same filter + aggregate over the parquet originals. */
+  def streamRelayPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minTextBytes: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sink = relayCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-relay")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = s2.readStream.format("graft.io.GlprSource")
+        .option("maxShardsPerTrigger", "2").load(stagedPath(spark, dir))
+        .filter(octet_length(col("text")) >= minTextBytes)
+        .writeStream.format("graft.io.GlprSource")
+        .option("path", out.resolve("data").toString)
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      out.resolve("data").toString
+    })
+    spark.read.format("graft.io.GlprSource").load(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val relayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q295 — runtime (DPP-style) shard pruning end to end: GLPR facts
@@ -432,7 +468,8 @@ class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // streaming admission-control knob (the file source's
     // maxFilesPerTrigger analogue); ignored by batch scans
@@ -460,7 +497,38 @@ class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GlprBatchWrite(path, schema, truncateFirst)
+    override def toStreaming: StreamingWrite = new GlprStreamingWrite(path, schema)
   }
+}
+
+/** Streaming GLPR sink (q300): shard names carry the EPOCH —
+  * `part-<epoch>-<partition>.glpr` — so an at-least-once replay of a
+  * micro-batch rewrites the SAME shard names through the same
+  * stage-and-atomic-rename path instead of appending duplicates:
+  * exactly-once output without a metadata log, provided the source
+  * replays epochs deterministically (the checkpointed-offsets contract
+  * every DSv2 micro-batch source honors). Epoch-major names stay
+  * lexically monotonic, so a stream-written corpus is immediately
+  * consumable by [[GlprMicroBatchStream]] downstream — GLPR-to-GLPR
+  * relay pipelines compose. Commit/abort at the query level are no-ops:
+  * per-task renames already made each shard durable, and an aborted
+  * task leaves only invisible `_tmp` stage files. */
+class GlprStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    new GlprStreamingWriterFactory(path, schema)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GlprStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GlprWriter(path, schema, partitionId, taskId,
+      Some(f"part-$epochId%010d-$partitionId%05d.glpr"))
 }
 
 class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false)
@@ -502,12 +570,14 @@ class GlprWriterFactory(path: String, schema: StructType) extends DataWriterFact
   * offset (round-14 ADVICE). One pad width per directory: mixed-width
   * names are not lexically monotonic, so a corpus written by the old
   * writer must not be appended to by this one. */
-class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long,
+    shardNameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   require(GlprSource.schema.fieldNames.forall(idx.contains),
     s"GLPR write needs columns ${GlprSource.schema.fieldNames.mkString(",")}")
-  private val shardName = f"part-$partitionId%010d.glpr"
+  private val shardName =
+    shardNameOverride.getOrElse(f"part-$partitionId%010d.glpr")
   private val tmp = new java.io.File(path, s"_tmp-$taskId-$shardName")
   private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
   private var nRows = 0L

@@ -38,6 +38,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction; carry pin in StreamingSpec
     "q283_streaming_pit",       // stream-static PIT settle on construction;
                                 // parity with q223 via the shared oracle
+    "q300_glpr_stream_relay",   // source->sink streaming relay on
+                                // construction (cached); epoch pins in
+                                // GlprSpec
     "q298_glpr_catalog_sql",    // catalog CREATE/INSERT on construction
                                 // (cached); DDL pins in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction

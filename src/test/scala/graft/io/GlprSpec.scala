@@ -368,6 +368,58 @@ class GlprSpec extends AnyFunSuite {
     assert(filtered.length === 10, "only 10 rows survive the filter — all must appear")
   }
 
+  test("q300 streaming sink: epoch-named shards, multiple epochs under admission control") {
+    val dir2 = TestSpark.sfDir
+    graft.io.GlprSource.streamRelayPipeline(spark, dir2).collect() // ensure relay ran
+    // find the relay sink dir through a fresh run on a scratch copy is
+    // overkill — inspect the epoch naming contract via a direct write
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-sink-epochs").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String)]
+    val q = in.toDF().toDF("doc_id", "lang", "source", "text")
+      .writeStream.format("graft.io.GlprSource")
+      .option("path", root)
+      .option("checkpointLocation", TempDirs.scratch("graft-glpr-sink-ckpt").toString)
+      .start()
+    try {
+      in.addData((1L, "en", "s", "a"))
+      q.processAllAvailable()
+      in.addData((2L, "en", "s", "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val names = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.endsWith(".glpr")).sorted
+    assert(names.forall(_.matches("part-\\d{10}-\\d{5}\\.glpr")),
+      s"epoch-major shard names required: ${names.mkString(",")}")
+    assert(names.map(_.take(15)).distinct.length >= 2,
+      s"two micro-batches must land as two epochs: ${names.mkString(",")}")
+    val got = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("q300 streaming sink: an at-least-once epoch REPLAY rewrites the same shard, no duplicates") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-sink-replay").toString
+    val schema = GlprSource.schema
+    def writeEpoch(epochId: Long, text: String): Unit = {
+      val fac = new GlprStreamingWriterFactory(root, schema)
+      val w = fac.createWriter(0, /*taskId=*/ epochId * 100, epochId)
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        7L, org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      w.write(row); w.commit(); w.close()
+    }
+    writeEpoch(3L, "first-delivery")
+    writeEpoch(3L, "first-delivery") // the replay: same epoch, same content
+    val shards = new java.io.File(root).listFiles().filter(_.getName.endsWith(".glpr"))
+    assert(shards.length === 1, s"replay must not append a second shard: ${shards.mkString(",")}")
+    val rows = spark.read.format("graft.io.GlprSource").load(root).collect()
+    assert(rows.length === 1 && rows.head.getString(3) === "first-delivery")
+  }
+
   test("batch scans never read uncommitted _tmp stage files (crashed-writer wreckage)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tmp-excl").toString
