@@ -132,20 +132,31 @@ object GlprSource {
     * repeatable query. */
   def catalogSqlPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val root = catalogRootCache.computeIfAbsent(dir, _ =>
       TempDirs.scratch("graft-glpr-catalog").toString)
-    spark.conf.set("spark.sql.catalog.glpr_cat", "graft.io.GlprCatalog")
-    spark.conf.set("spark.sql.catalog.glpr_cat.root", root)
+    // fresh session per call: a session's CatalogManager caches the
+    // catalog plugin instance after first use, so re-setting
+    // spark.sql.catalog.glpr_cat.root for a DIFFERENT dir on the same
+    // session would run DDL against the stale root (round-15 ADVICE —
+    // ScaleProbe iterates three SF dirs on one session and hit exactly
+    // this). The other GLPR streaming helpers already use newSession.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.catalog.glpr_cat", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_cat.root", root)
     val created = new java.io.File(root, "corpus/docs/_glpr_table").isFile
     if (!created) {
-      spark.sql("CREATE TABLE glpr_cat.corpus.docs " +
+      s2.sql("CREATE TABLE glpr_cat.corpus.docs " +
         "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
-      spark.sql("INSERT INTO glpr_cat.corpus.docs " +
+      s2.sql("INSERT INTO glpr_cat.corpus.docs " +
         s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
     }
-    spark.sql("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    val res = s2.sql("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       | min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM glpr_cat.corpus.docs GROUP BY lang""".stripMargin)
+    // re-materialize on the caller's session (bounded: one row per lang)
+    spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
   }
   private val catalogRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -382,6 +393,14 @@ object GlprSource {
     * statistics all share this filter, so the two-phase-commit guarantee
     * holds even for uncleaned wreckage (round-14 ADVICE: the batch scan
     * used to accept any `*.glpr`). */
+  /** The two shard-naming schemes ([[GlprWriter]] batch vs
+    * [[GlprStreamingWriterFactory]] epoch names). One scheme per
+    * directory — see the write-time guards. */
+  private[io] def isBatchShardName(n: String): Boolean =
+    n.matches("part-\\d{10}\\.glpr")
+  private[io] def isEpochShardName(n: String): Boolean =
+    n.matches("part-\\d{10}-\\d{5}\\.glpr")
+
   private[io] def committedShards(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -571,6 +590,18 @@ class GlprStreamingWrite(path: String, schema: StructType) extends StreamingWrit
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // one naming scheme per directory: batch names (part-<partition>) and
+    // epoch names (part-<epoch>-<partition>) are not mutually lexically
+    // monotonic, which the GlprOffset name-offset contract depends on — a
+    // mixed directory can sort new shards BELOW a committed offset and
+    // silently skip them downstream (round-15 ADVICE). Refuse at write
+    // time rather than document a footgun; the batch side mirrors this.
+    require(!GlprSource.committedShards(path).exists(
+        f => GlprSource.isBatchShardName(f.getName)),
+      s"GLPR streaming write into '$path' refused: directory holds " +
+        "batch-named shards (part-<partition>.glpr); mixing batch and " +
+        "epoch (part-<epoch>-<partition>.glpr) names breaks the lexical " +
+        "offset contract — stream into a fresh directory")
     new GlprStreamingWriterFactory(path, schema)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -599,6 +630,18 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
         .filter(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
           || f.getName.startsWith("_tmp"))
         .foreach(f => f.delete(): Unit)
+    } else {
+      // mirror of the streaming-side naming guard: a batch append into a
+      // stream-written corpus produces names that are not mutually
+      // lexically monotonic with the epoch shards, so a downstream
+      // name-offset stream could silently skip them (round-15 ADVICE).
+      // Overwrite is fine — the truncate above just cleared everything.
+      require(!GlprSource.committedShards(path).exists(
+          f => GlprSource.isEpochShardName(f.getName)),
+        s"GLPR batch append into '$path' refused: directory holds " +
+          "epoch-named shards (part-<epoch>-<partition>.glpr) from a " +
+          "streaming writer; mixing naming schemes breaks the lexical " +
+          "offset contract — append to a fresh directory or overwrite")
     }
     new GlprWriterFactory(path, schema)
   }
@@ -623,7 +666,10 @@ class GlprWriterFactory(path: String, schema: StructType) extends DataWriterFact
   * `part-99999.glpr` and would be silently skipped past a committed
   * offset (round-14 ADVICE). One pad width per directory: mixed-width
   * names are not lexically monotonic, so a corpus written by the old
-  * writer must not be appended to by this one. */
+  * writer must not be appended to by this one. The same reasoning
+  * forbids mixing batch and epoch-named (streaming-sink) shards in one
+  * directory — both writers REFUSE the foreign scheme at factory
+  * creation (round-15 ADVICE; GlprSpec-pinned). */
 class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long,
     shardNameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {

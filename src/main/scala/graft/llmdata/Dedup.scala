@@ -1042,14 +1042,13 @@ object Dedup {
     try q.processAllAvailable() finally q.stop()
     val settled = s2.table(name)
     val outSchema = settled.schema
-    val rows = settled.collect()
-    // CONTRACT (mirrors Events.settle): memory-sink settles collect on
-    // the driver and exist ONLY for bounded aggregate frames — per-batch
-    // dup verdicts here, never a per-document corpus projection. A
-    // per-event streaming output must take the file-sink egress instead.
-    require(rows.length <= 5000000,
-      s"settleDocs() collected ${rows.length} rows: memory-sink settles " +
-        "are for bounded aggregate frames only")
+    // ONE settle guard engine-wide (Events.guardedSettleRows, one cap
+    // constant): memory-sink settles exist ONLY for bounded aggregate
+    // frames — per-batch dup verdicts here, never a per-document corpus
+    // projection; per-event output takes the file-sink egress instead.
+    // (Round-15 verdict: this path carried its own inline duplicate of
+    // the cap, and parallel settle guards drift.)
+    val rows = graft.streaming.Events.guardedSettleRows(settled)
     s2.catalog.dropTempView(name)
     spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }

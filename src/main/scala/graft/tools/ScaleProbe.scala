@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * a flattening constant term at small SF where fixed per-query overhead
   * dominates); a pair-explosion bug shows α → 2. Emits SCALING_r{N}.md.
   *
-  *   sbt "runMain graft.tools.ScaleProbe"
+  *   sbt "runMain graft.tools.ScaleProbe 16"     # writes SCALING_r16.md
+  *   sbt "runMain graft.tools.ScaleProbe 16 3"   # min of 3 reps
   *
   * Methodology: min of `reps` end-to-end runs (plan + execute + count)
   * per (query, SF), one shared warm JVM, SFs ascending so cache effects
@@ -60,8 +61,13 @@ object ScaleProbe {
     "q300_glpr_stream_relay")  // custom source -> custom sink relay (cached)
 
   def main(args: Array[String]): Unit = {
+    // round number is REQUIRED so the artifact can never overwrite a
+    // prior round's numbers under a stale name (round-15 ADVICE: the
+    // path was hardcoded to SCALING_r14.md)
+    require(args.nonEmpty, "usage: ScaleProbe <round> [reps]")
+    val round = args(0).toInt
     val sfs = Seq("0.001", "0.01", "0.1")
-    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -86,8 +92,8 @@ object ScaleProbe {
     }
 
     val sb = new StringBuilder
-    sb.append("# SCALING — headline operators across a 100× data range\n\n")
-    sb.append("Generated by `graft.tools.ScaleProbe` (min of 2, warm JVM; see\n")
+    sb.append(s"# SCALING — round $round: headline operators across a 100× data range\n\n")
+    sb.append(s"Generated by `graft.tools.ScaleProbe` (min of $reps, warm JVM; see\n")
     sb.append("the scaladoc for methodology — α fitted on the top decade where\n")
     sb.append("data cost dominates the fixed per-query floor).\n\n")
     sb.append("| query | sf0.001 s | sf0.01 s | sf0.1 s | α (top decade) |\n")
@@ -107,7 +113,7 @@ object ScaleProbe {
     sb.append("the scale contract there is bounded STATE (watermark eviction,\n")
     sb.append("one timer per key), pinned in StreamingSpec, not wall-clock.\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALING_r14.md"), sb.toString)
+      java.nio.file.Paths.get(s"SCALING_r$round.md"), sb.toString)
     println(sb.toString)
     spark.stop()
   }

@@ -538,4 +538,60 @@ class GlprSpec extends AnyFunSuite {
         s"without the option everything-available stays one batch, got $dataBatches")
     } finally { un.stop(); spark.catalog.dropTempView(unName) }
   }
+
+  test("batch and streaming writers refuse each other's directories (naming-scheme guard)") {
+    import spark.implicits._
+    // batch-named corpus → streaming write must refuse
+    val batchDir = TempDirs.scratch("graft-glpr-mix-b").toString
+    Seq((1L, "en", "s", "a")).toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(batchDir)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String)]
+    val q = in.toDF().toDF("doc_id", "lang", "source", "text")
+      .writeStream.format("graft.io.GlprSource")
+      .option("path", batchDir)
+      .option("checkpointLocation", TempDirs.scratch("graft-glpr-mix-ckpt").toString)
+      .start()
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in.addData((2L, "en", "s", "b")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(e1).contains("batch-named"), rootMsg(e1))
+    // the refused stream left the batch corpus intact (no epoch shards)
+    assert(GlprSource.committedShards(batchDir).forall(
+      f => GlprSource.isBatchShardName(f.getName)))
+
+    // epoch-named corpus → batch APPEND must refuse; OVERWRITE is allowed
+    val streamDir = TempDirs.scratch("graft-glpr-mix-s").toString
+    val fac = new GlprStreamingWriterFactory(streamDir, GlprSource.schema)
+    val w = fac.createWriter(0, 0L, 5L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      9L, org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("t")))
+    w.commit(); w.close()
+    val df = Seq((3L, "de", "s", "c")).toDF("doc_id", "lang", "source", "text").coalesce(1)
+    val e2 = intercept[Exception] {
+      df.write.format("graft.io.GlprSource").mode("append").save(streamDir)
+    }
+    def anyMsg(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.getMessage != null && c.getMessage.contains("epoch-named")) return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(anyMsg(e2), s"batch append into epoch-named dir must name the guard: ${e2.getMessage}")
+    // overwrite truncates first, so the naming conflict vanishes with the data
+    df.write.format("graft.io.GlprSource").mode("overwrite").save(streamDir)
+    val got = spark.read.format("graft.io.GlprSource").load(streamDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L))
+  }
 }
