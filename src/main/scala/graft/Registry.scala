@@ -2400,6 +2400,46 @@ object Registry {
         |   ORDER BY n DESC, token) AS rn FROM n)
         |SELECT lang, token, n FROM r WHERE rn <= 5 ORDER BY lang, token""".stripMargin)),
 
+    // METADATA-ONLY DELETE through the catalog SQL front door: the
+    // corpus INSERTed slice-clustered (fixed id cuts 100/300, so each
+    // range is one shard with tight sidecar bounds), DELETE WHERE
+    // doc_id < 100 executed as whole-shard unlinks (zero bytes
+    // rewritten), survivors aggregated back. Oracle = the same rollup
+    // over documents WHERE doc_id >= 100; the straddling-decline side
+    // is GlprCatalogSpec-pinned.
+    "q301_glpr_delete" -> Entry((s, d) =>
+      graft.io.GlprSource.deleteSqlPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id >= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INSERT OVERWRITE through the catalog SQL front door
+    // (SupportsTruncate: truncate-then-append): full corpus INSERTed,
+    // then OVERWRITTEN by its de/zh subset, then aggregated. Oracle
+    // aggregates only the subset — a surviving pre-overwrite row (append
+    // masquerading as overwrite) or a lost subset row breaks the hash.
+    "q302_glpr_overwrite" -> Entry((s, d) =>
+      graft.io.GlprSource.overwriteSqlPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('de', 'zh')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // _shard provenance metadata column: the slice-clustered corpus read
+    // back with _shard and rolled up BY SHARD FILE (the quarantine /
+    // re-crawl inventory), shard names dropped after grouping. Because
+    // each fixed id slice is exactly one shard, the oracle is the same
+    // rollup grouped by the slice expression — agreement certifies that
+    // _shard really partitions records by their file.
+    "q303_glpr_shard_provenance" -> Entry((s, d) =>
+      graft.io.GlprSource.shardProvenanceRollup(s, d).orderBy("min_id"), Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |GROUP BY (CASE WHEN doc_id < 100 THEN 0 WHEN doc_id < 300 THEN 1 ELSE 2 END)
+        |ORDER BY min_id""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

@@ -132,19 +132,15 @@ object GlprSource {
     * repeatable query. */
   def catalogSqlPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val root = catalogRootCache.computeIfAbsent(dir, _ =>
       TempDirs.scratch("graft-glpr-catalog").toString)
-    // fresh session per call: a session's CatalogManager caches the
-    // catalog plugin instance after first use, so re-setting
-    // spark.sql.catalog.glpr_cat.root for a DIFFERENT dir on the same
-    // session would run DDL against the stale root (round-15 ADVICE —
-    // ScaleProbe iterates three SF dirs on one session and hit exactly
-    // this). The other GLPR streaming helpers already use newSession.
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
-    s2.conf.set("spark.sql.catalog.glpr_cat", "graft.io.GlprCatalog")
-    s2.conf.set("spark.sql.catalog.glpr_cat.root", root)
+    // fresh session per call ([[freshCatalogSession]]): a session's
+    // CatalogManager caches the catalog plugin instance after first use,
+    // so re-setting spark.sql.catalog.glpr_cat.root for a DIFFERENT dir
+    // on the same session would run DDL against the stale root
+    // (round-15 ADVICE — ScaleProbe iterates three SF dirs on one
+    // session and hit exactly this).
+    val s2 = freshCatalogSession(spark, "glpr_cat", root)
     val created = new java.io.File(root, "corpus/docs/_glpr_table").isFile
     if (!created) {
       s2.sql("CREATE TABLE glpr_cat.corpus.docs " +
@@ -152,13 +148,136 @@ object GlprSource {
       s2.sql("INSERT INTO glpr_cat.corpus.docs " +
         s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
     }
-    val res = s2.sql("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-      | min(doc_id) AS min_id, max(doc_id) AS max_id
-      |FROM glpr_cat.corpus.docs GROUP BY lang""".stripMargin)
-    // re-materialize on the caller's session (bounded: one row per lang)
-    spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    // re-materialized on the caller's session (bounded: one row per lang)
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM glpr_cat.corpus.docs GROUP BY lang""".stripMargin))
   }
   private val catalogRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The fixed doc_id slice expression behind the DML pipelines (q301/
+    * q303): three contiguous id ranges `[min,100) [100,300) [300,max]`,
+    * used as a DISTRIBUTE BY / repartition key so each range lands
+    * wholly in ONE writer partition — hence one shard with TIGHT sidecar
+    * bounds per range. Hash assignment of the three slice values to
+    * partitions is data-independent (Murmur3 of the constant), so the
+    * layout — which shard holds which range — is deterministic across
+    * runs and SFs: the precondition for a FIXED oracle predicate against
+    * a shard-aligned DELETE. This is the miniature of real GLPR ingest
+    * discipline: cluster by the prune key at write time so metadata-only
+    * operations (pruning, DELETE) stay shard-aligned. */
+  private val SliceSql =
+    "(CASE WHEN doc_id < 100 THEN 0 WHEN doc_id < 300 THEN 1 ELSE 2 END)"
+
+  private def freshCatalogSession(spark: org.apache.spark.sql.SparkSession,
+      catalog: String, root: String): org.apache.spark.sql.SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set(s"spark.sql.catalog.$catalog", "graft.io.GlprCatalog")
+    s2.conf.set(s"spark.sql.catalog.$catalog.root", root)
+    s2
+  }
+  private def rematerialize(spark: org.apache.spark.sql.SparkSession,
+      res: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+  }
+
+  /** q301 — METADATA-ONLY DELETE through the SQL front door: the corpus
+    * INSERTed slice-clustered (see [[SliceSql]]), then `DELETE FROM …
+    * WHERE doc_id < 100` — accepted because the predicate is
+    * shard-aligned by construction, executed as whole-shard unlinks
+    * (zero data bytes rewritten; [[GlprTable.canDeleteWhere]]), then the
+    * survivor set aggregated back. The oracle is the same rollup over
+    * `documents WHERE doc_id >= 100` — a hash match certifies no
+    * under- or over-deletion. The straddling-decline side of the
+    * contract is GlprCatalogSpec-pinned. */
+  def deleteSqlPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = deleteRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-delete").toString)
+    val s2 = freshCatalogSession(spark, "glpr_del", root)
+    // AQE's partition coalescing would merge the small slice partitions
+    // of the DISTRIBUTE BY into one task — producing a shard whose
+    // bounds straddle the delete cut, which canDeleteWhere (correctly)
+    // refuses. Shard-aligned ingest means the WRITER's partitioning is
+    // the contract; pin it for this session.
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_del.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_del.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+        s"DISTRIBUTE BY $SliceSql")
+      s2.sql("DELETE FROM glpr_del.corpus.docs WHERE doc_id < 100")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_del.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val deleteRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q302 — INSERT OVERWRITE through the SQL front door
+    * ([[GlprWriteBuilder]] `SupportsTruncate`: truncate-then-append for
+    * the unpartitioned table): the full corpus INSERTed, then
+    * OVERWRITTEN by its de/zh subset, then aggregated back. The oracle
+    * aggregates only the subset — any surviving pre-overwrite row (an
+    * append masquerading as overwrite) or lost subset row breaks the
+    * hash. Shard+sidecar truncation is GlprCatalogSpec-pinned. */
+  def overwriteSqlPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = overwriteRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-overwrite").toString)
+    val s2 = freshCatalogSession(spark, "glpr_ow", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_ow.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_ow.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("INSERT OVERWRITE glpr_ow.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+        "WHERE lang IN ('de', 'zh')")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM glpr_ow.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val overwriteRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q303 — `_shard` provenance rollup: the corpus written
+    * slice-clustered ([[SliceSql]] via `repartition`, same
+    * deterministic three-shard layout as q301), read back with the
+    * [[GlprTable.metadataColumns]] `_shard` column, and rolled up BY
+    * SHARD FILE — the quarantine/re-crawl inventory an ingest pipeline
+    * keys on lineage. The shard names themselves are partition-id
+    * bookkeeping, so the result drops them after grouping and orders by
+    * `min_id`; because each slice is exactly one shard, the oracle is
+    * the same rollup grouped by the slice expression — agreement
+    * certifies that `_shard` really partitions records by their file. */
+  def shardProvenanceRollup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = provenanceRootCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-prov").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(8, expr(SliceSql)), out)
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .select(col("doc_id"), col("_shard"))
+      .groupBy(col("_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .select(col("n_docs"), col("min_id"), col("max_id"))
+  }
+  private val provenanceRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q300 — GLPR-to-GLPR streaming relay: the staged corpus consumed

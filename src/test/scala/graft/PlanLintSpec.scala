@@ -43,6 +43,15 @@ class PlanLintSpec extends AnyFunSuite {
                                 // GlprSpec
     "q298_glpr_catalog_sql",    // catalog CREATE/INSERT on construction
                                 // (cached); DDL pins in GlprCatalogSpec
+    "q301_glpr_delete",         // catalog CREATE/INSERT/DELETE on
+                                // construction (cached); straddle-decline
+                                // pin in GlprCatalogSpec
+    "q302_glpr_overwrite",      // catalog CREATE/INSERT/OVERWRITE on
+                                // construction (cached); truncate pin in
+                                // GlprCatalogSpec
+    "q303_glpr_shard_provenance", // slice-clustered GLPR staging write on
+                                // construction (cached); _shard pin in
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec
