@@ -2440,6 +2440,20 @@ object Registry {
         |GROUP BY (CASE WHEN doc_id < 100 THEN 0 WHEN doc_id < 300 THEN 1 ELSE 2 END)
         |ORDER BY min_id""".stripMargin)),
 
+    // Partitioned catalog tables: CREATE TABLE ... PARTITIONED BY
+    // (lang) through the SQL front door (identity transform), the
+    // INSERT clustered by lang via the write's required distribution,
+    // per-shard partition-value sets committed in the sidecars, and the
+    // WHERE lang='en' read pruning non-en shards from the plan (shard
+    // skip pinned in GlprCatalogSpec). Oracle certifies the residual
+    // row filter above the pruned scan.
+    "q304_glpr_partitioned" -> Entry((s, d) =>
+      graft.io.GlprSource.partitionedCatalogPipeline(s, d).orderBy("source"), Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

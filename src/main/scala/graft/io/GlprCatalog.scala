@@ -72,15 +72,42 @@ class GlprCatalog extends TableCatalog {
       .sortBy(_.name())
   }
 
+  /** The marker file doubles as the table descriptor: empty = flat
+    * table (backward compatible with pre-round-16 markers),
+    * `partitioned_by=<col>` = identity-partitioned. */
+  private def readPartitionCol(dir: java.io.File): Option[String] = {
+    val bytes = java.nio.file.Files.readAllBytes(marker(dir).toPath)
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+    txt.split("\\s+").collectFirst {
+      case kv if kv.startsWith("partitioned_by=") =>
+        kv.stripPrefix("partitioned_by=")
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GlprTable(tableDir(ident).getAbsolutePath)
+    val dir = tableDir(ident)
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "GLPR tables do not support partitioning transforms")
+    // `PARTITIONED BY (col)` — identity transforms only, on a string
+    // column of the fixed schema. The layout stays flat; partition
+    // values ride the commit sidecars and drive shard pruning + the
+    // write-side clustered distribution (see GlprTable.partitioning).
+    val partitionCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(c == "lang" || c == "source",
+          s"GLPR tables can be partitioned only by a string column (lang, source), got '$c'")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"GLPR tables support at most one identity partition transform, got ${other.mkString(", ")}")
+    }
     // the on-disk layout IS the schema; reject anything else up front
     val want = GlprSource.schema.fields.map(f => (f.name, f.dataType)).toSeq
     val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -88,8 +115,10 @@ class GlprCatalog extends TableCatalog {
       s"GLPR tables have the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
     val dir = tableDir(ident)
     dir.mkdirs()
-    java.nio.file.Files.write(marker(dir).toPath, Array.emptyByteArray)
-    new GlprTable(dir.getAbsolutePath)
+    java.nio.file.Files.write(marker(dir).toPath,
+      partitionCol.fold(Array.emptyByteArray)(c =>
+        s"partitioned_by=$c".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    new GlprTable(dir.getAbsolutePath, partitionCol)
   }
 
   /** Property-only alters succeed as no-ops (GLPR keeps no table-level
@@ -103,7 +132,8 @@ class GlprCatalog extends TableCatalog {
     }
     if (structural) throw new UnsupportedOperationException(
       "GLPR tables have a fixed schema; only table properties can be altered")
-    new GlprTable(tableDir(ident).getAbsolutePath)
+    val dir = tableDir(ident)
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir))
   }
 
   override def dropTable(ident: Identifier): Boolean = {

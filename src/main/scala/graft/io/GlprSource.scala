@@ -280,6 +280,38 @@ object GlprSource {
   private val provenanceRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q304 — PARTITIONED catalog tables end to end: `CREATE TABLE …
+    * PARTITIONED BY (lang)` (identity transform through the SQL front
+    * door), an INSERT that Spark CLUSTERS by lang because the write
+    * declares a required distribution ([[GlprWriteBuilder]]), commit
+    * sidecars carrying each shard's partition-value set, and a
+    * `WHERE lang = 'en'` read that PRUNES non-en shards from the plan
+    * ([[GlprScan]] value pruning; shard-skip pinned via [[planEvents]]
+    * in GlprCatalogSpec). This is the first DDL a lakehouse user runs
+    * after CREATE TABLE, composed with the connector's existing sidecar
+    * pruning — the oracle certifies the residual row filter still
+    * applies above the pruned scan. */
+  def partitionedCatalogPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = partitionedRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-partitioned").toString)
+    val s2 = freshCatalogSession(spark, "glpr_part", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_part.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      s2.sql("INSERT INTO glpr_part.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_part.corpus.docs WHERE lang = 'en'
+        |GROUP BY source""".stripMargin))
+  }
+  private val partitionedRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q300 — GLPR-to-GLPR streaming relay: the staged corpus consumed
     * through the custom SOURCE (admission-controlled micro-batches),
     * filtered in flight (the schema-preserving gate an ingest relay
@@ -536,27 +568,44 @@ object GlprSource {
     * without bounds is never pruned). */
   private[io] final case class ShardMeta(rows: Long, lang: Long,
       source: Long, text: Long,
-      idLo: Option[Long] = None, idHi: Option[Long] = None) {
+      idLo: Option[Long] = None, idHi: Option[Long] = None,
+      pcol: Option[String] = None, pvals: Option[Set[String]] = None) {
     def fieldBytes(f: String): Long = f match {
       case "lang" => lang; case "source" => source; case "text" => text
       case _ => 0L
     }
     def bounds: Option[(Long, Long)] =
       for { lo <- idLo; hi <- idHi } yield (lo, hi)
+    /** The shard's value set for `col`, when the writer tracked it
+      * (partitioned tables track their partition column — see
+      * [[GlprWriter]]). None = unknown, never prune. */
+    def valuesOf(col: String): Option[Set[String]] =
+      if (pcol.contains(col)) pvals else None
   }
   private[io] def metaFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".meta")
+  // partition values ride the whitespace-split sidecar URL-encoded, so
+  // arbitrary value bytes can never break the key=value token format
+  private[io] def encodePval(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private[io] def decodePval(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
   private[io] def readMeta(shard: java.io.File): Option[ShardMeta] = {
     val f = metaFile(shard)
     if (!f.isFile) None
     else try {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      val kv = txt.trim.split("\\s+").iterator
-        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }
+      val all = txt.trim.split("\\s+").iterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
         .toMap
+      val stringKeys = Set("pcol", "pvals")
+      val kv = all.collect { case (k, v) if !stringKeys(k) => k -> v.toLong }
       Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text"),
-        kv.get("idlo"), kv.get("idhi")))
+        kv.get("idlo"), kv.get("idhi"),
+        all.get("pcol"),
+        all.get("pvals").map(_.split(",", -1).iterator
+          .filter(_.nonEmpty).map(decodePval).toSet)))
     } catch { case _: Exception => None } // malformed sidecar → size fallback
   }
 
@@ -590,6 +639,31 @@ object GlprSource {
     }
     (pushed, IdRange(lo, hi))
   }
+
+  /** Partition-value shard-pruning sets compiled from the scan's
+    * filters: `lang = 'en'` / `lang IN (...)` (and the same on
+    * `source`) become per-column wanted-value sets. These are NEVER
+    * reported as pushed — Spark keeps the row-level residual — they
+    * only let [[GlprScan.planInputPartitions]] skip shards whose
+    * sidecar value set ([[ShardMeta.valuesOf]]) is provably disjoint:
+    * exactly the semantics of hive-style partition pruning, served from
+    * the sidecar channel instead of directory names. Compound filters
+    * (Or/Not) are ignored wholesale — partial application would prune
+    * live shards. Multiple filters on one column intersect (AND). */
+  private[io] def compileValueFilters(fs: Array[Filter]): Map[String, Set[String]] = {
+    val prunable = Set("lang", "source")
+    val m = scala.collection.mutable.Map.empty[String, Set[String]]
+    def and(c: String, s: Set[String]): Unit =
+      m(c) = m.get(c).map(_ intersect s).getOrElse(s)
+    fs.foreach {
+      case EqualTo(c, v: String) if prunable(c) => and(c, Set(v))
+      case In(c, vs) if prunable(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        and(c, vs.iterator.map(_.asInstanceOf[String]).toSet)
+      case _ => ()
+    }
+    m.toMap
+  }
 }
 
 class GlprSource extends TableProvider {
@@ -600,11 +674,23 @@ class GlprSource extends TableProvider {
     new GlprTable(properties.get("path"))
 }
 
-class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
+class GlprTable(path: String, partitionCol: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"glpr:$path"
   override def schema(): StructType = GlprSource.schema
+
+  /** Identity partitioning for catalog tables created `PARTITIONED BY
+    * (col)`: surfaced to Spark so `DESCRIBE`/catalog metadata show it,
+    * enforced on write via the [[GlprWriteBuilder]] required clustered
+    * distribution, and exploited on read via sidecar partition-value
+    * shard pruning ([[GlprScan]]). The on-disk layout stays FLAT (no
+    * hive-style value directories): partition values live in the commit
+    * sidecars, the same place doc_id bounds do — one metadata channel,
+    * one pruning mechanism. */
+  override def partitioning(): Array[Transform] =
+    partitionCol.map(c => Expressions.identity(c)).toArray
 
   /** Provenance metadata column (parquet's `_metadata.file_path`
     * analogue): `SELECT *, _shard FROM t` exposes the shard file each
@@ -673,7 +759,7 @@ class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
     new GlprScanBuilder(path, maxShards)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GlprWriteBuilder(path, info.schema())
+    new GlprWriteBuilder(path, info.schema(), partitionCol)
 }
 
 /** DSv2 WRITE path: `df.write.format("graft.io.GlprSource").save(path)`.
@@ -681,15 +767,40 @@ class GlprTable(path: String) extends Table with SupportsRead with SupportsWrite
   * aborted/speculative task leaves no visible shard (the two-phase
   * commit every exactly-once batch sink runs); the job-level commit is
   * the no-op the rename already made durable. */
-class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder
+class GlprWriteBuilder(path: String, schema: StructType,
+    partitionCol: Option[String] = None) extends WriteBuilder
     with SupportsTruncate {
   private var truncateFirst = false
   /** `INSERT OVERWRITE` / `df.write.mode("overwrite")` spell overwrite
-    * as truncate-then-append for an unpartitioned table. */
+    * as truncate-then-append — table-wide truncation even for a
+    * partitioned table (dynamic partition overwrite is NOT implemented;
+    * the sidecar model has no per-partition commit log to make it
+    * atomic). */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GlprBatchWrite(path, schema, truncateFirst)
-    override def toStreaming: StreamingWrite = new GlprStreamingWrite(path, schema)
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    override def toBatch: BatchWrite =
+      new GlprBatchWrite(path, schema, truncateFirst, partitionCol)
+    override def toStreaming: StreamingWrite =
+      new GlprStreamingWrite(path, schema, partitionCol)
+    /** Partitioned tables ask Spark to CLUSTER incoming rows by the
+      * partition column before the write — the DSv2 spelling of "shuffle
+      * so each shard holds whole partition-value clusters". That keeps
+      * every shard's sidecar value set small and disjoint, which is what
+      * makes partition-value shard pruning ([[GlprScan]]) effective: the
+      * lakehouse write-side clustering discipline, enforced by the
+      * connector instead of trusted to the caller. Unpartitioned tables
+      * leave the input partitioning alone. */
+    override def requiredDistribution:
+        org.apache.spark.sql.connector.distributions.Distribution =
+      partitionCol match {
+        case Some(c) => org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(Expressions.column(c)))
+        case None => org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      }
+    override def requiredOrdering:
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
   }
 }
 
@@ -705,7 +816,8 @@ class GlprWriteBuilder(path: String, schema: StructType) extends WriteBuilder
   * relay pipelines compose. Commit/abort at the query level are no-ops:
   * per-task renames already made each shard durable, and an aborted
   * task leaves only invisible `_tmp` stage files. */
-class GlprStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+class GlprStreamingWrite(path: String, schema: StructType,
+    partitionCol: Option[String] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -721,21 +833,23 @@ class GlprStreamingWrite(path: String, schema: StructType) extends StreamingWrit
         "batch-named shards (part-<partition>.glpr); mixing batch and " +
         "epoch (part-<epoch>-<partition>.glpr) names breaks the lexical " +
         "offset contract — stream into a fresh directory")
-    new GlprStreamingWriterFactory(path, schema)
+    new GlprStreamingWriterFactory(path, schema, partitionCol)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GlprStreamingWriterFactory(path: String, schema: StructType)
+class GlprStreamingWriterFactory(path: String, schema: StructType,
+    partitionCol: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GlprWriter(path, schema, partitionId, taskId,
-      Some(f"part-$epochId%010d-$partitionId%05d.glpr"))
+      Some(f"part-$epochId%010d-$partitionId%05d.glpr"), partitionCol)
 }
 
-class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false)
+class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false,
+    partitionCol: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -762,15 +876,16 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
           "streaming writer; mixing naming schemes breaks the lexical " +
           "offset contract — append to a fresh directory or overwrite")
     }
-    new GlprWriterFactory(path, schema)
+    new GlprWriterFactory(path, schema, partitionCol)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GlprWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+class GlprWriterFactory(path: String, schema: StructType,
+    partitionCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GlprWriter(path, schema, partitionId, taskId)
+    new GlprWriter(path, schema, partitionId, taskId, None, partitionCol)
 }
 
 /** Per-task shard writer over the logical write schema (fields located
@@ -790,7 +905,8 @@ class GlprWriterFactory(path: String, schema: StructType) extends DataWriterFact
   * directory — both writers REFUSE the foreign scheme at factory
   * creation (round-15 ADVICE; GlprSpec-pinned). */
 class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long,
-    shardNameOverride: Option[String] = None)
+    shardNameOverride: Option[String] = None,
+    partitionCol: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   require(GlprSource.schema.fieldNames.forall(idx.contains),
@@ -804,6 +920,16 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   private var idHi = Long.MinValue
   private val fieldBytes = scala.collection.mutable.Map(
     "lang" -> 0L, "source" -> 0L, "text" -> 0L)
+  // Partition-value tracking for a partitioned table's prune index: the
+  // shard's DISTINCT partition-column values, capped — a cap overflow
+  // means the write wasn't value-clustered (someone bypassed the
+  // required distribution, or the column is high-cardinality), and the
+  // sidecar then omits the set entirely: unknown, never pruned. The
+  // clustered write keeps real sets tiny (usually 1).
+  private val trackOrdinal: Int = partitionCol.map(idx(_)).getOrElse(-1)
+  private val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
+  private var trackOverflow = false
+  private val MaxTrackedVals = 32
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(idx("doc_id"))
     out.writeLong(id)
@@ -814,6 +940,11 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       out.writeInt(b.length); out.write(b)
       fieldBytes(f) += b.length
     }
+    if (trackOrdinal >= 0 && !trackOverflow) {
+      // .toString copies out of the row's reused buffer
+      trackedVals += r.getUTF8String(trackOrdinal).toString
+      if (trackedVals.size > MaxTrackedVals) trackOverflow = true
+    }
     nRows += 1
   }
   override def commit(): WriterCommitMessage = {
@@ -822,9 +953,14 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     // fallback; an orphan sidecar is invisible (readers key off shards)
     val metaTmp = new java.io.File(path, s"_tmp-$taskId-$shardName.meta")
     val boundsKv = if (nRows > 0) s" idlo=$idLo idhi=$idHi" else ""
+    val pvalKv = partitionCol match {
+      case Some(c) if nRows > 0 && !trackOverflow =>
+        s" pcol=$c pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+      case _ => ""
+    }
     java.nio.file.Files.write(metaTmp.toPath,
       (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
-        + boundsKv)
+        + boundsKv + pvalKv)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dest = new java.io.File(path, shardName)
     java.nio.file.Files.move(metaTmp.toPath,
@@ -846,6 +982,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
   private var required: StructType = GlprSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var range: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue)
+  private var valueFilters: Map[String, Set[String]] = Map.empty
   private var aggResult: Option[(StructType, Array[Long], Array[Boolean])] = None
   private var limit: Option[Int] = None
 
@@ -867,6 +1004,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, r) = GlprSource.compileFilters(filters)
     pushed = p; range = r
+    // partition-value sets prune shards only; the filters stay residual
+    valueFilters = GlprSource.compileValueFilters(filters)
     filters.filterNot(p.contains) // residual for Spark
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -930,7 +1069,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
   override def build(): Scan = aggResult match {
     case Some((schema, values, nulls)) => new GlprAggScan(path, schema, values, nulls)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit)
+      limit, valueFilters)
   }
 }
 
@@ -973,7 +1112,8 @@ private[io] final case class GlprAggPartition(values: Array[Long],
 
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    valueFilters: Map[String, Set[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1024,20 +1164,31 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = GlprSource.committedShards(path)
     val kept = shards.filter { f =>
-      GlprSource.readMeta(f).flatMap(_.bounds) match {
+      val meta = GlprSource.readMeta(f)
+      val idKeep = meta.flatMap(_.bounds) match {
         case Some((lo, hi)) =>
           lo <= range.hi && hi >= range.lo &&
             runtimeIds.forall(ids => anyIdIn(ids, lo, hi))
         case None => true
       }
+      // partition-value pruning: drop the shard only when its sidecar
+      // value set for a filtered column is KNOWN and disjoint from the
+      // wanted set (hive-style partition pruning over the sidecar
+      // channel); unknown sets — unpartitioned writers, cap overflow,
+      // pre-round-16 sidecars — are never pruned
+      val valKeep = valueFilters.forall { case (c, wanted) =>
+        meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
+      }
+      idKeep && valKeep
     }
     // pushed LIMIT with no row filtering in play: plan only the first
     // shards whose sidecar row counts cover the limit — LIMIT 10 against
     // a million-shard corpus opens one file. Any shard without stats, or
-    // any pushed/runtime filter, disables the cap (surviving-row counts
-    // unknowable from sidecars); the reader-side row cap still applies.
+    // any pushed/runtime/partition-value filter, disables the cap
+    // (surviving-row counts unknowable from sidecars); the reader-side
+    // row cap still applies.
     val unfiltered = pushed.isEmpty && range.lo == Long.MinValue &&
-      range.hi == Long.MaxValue && runtimeIds.isEmpty
+      range.hi == Long.MaxValue && runtimeIds.isEmpty && valueFilters.isEmpty
     val capped = limit match {
       case Some(n) if unfiltered =>
         val metas = kept.map(GlprSource.readMeta)

@@ -52,6 +52,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q303_glpr_shard_provenance", // slice-clustered GLPR staging write on
                                 // construction (cached); _shard pin in
                                 // GlprCatalogSpec
+    "q304_glpr_partitioned",    // partitioned catalog CREATE/INSERT on
+                                // construction (cached); shard-prune pin
+                                // in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -147,6 +147,73 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("prov_in")
   }
 
+  test("PARTITIONED BY (lang): clustered write, sidecar value sets, shard pruning on read") {
+    // dedicated session: the prune pin needs the writer's partitioning
+    // intact (AQE coalescing would merge the tiny clustered partitions
+    // into multi-lang shards — correct, just unpinnable at this size)
+    val s2 = spark.newSession()
+    val r2 = TempDirs.scratch("graft-glpr-partspec").toString
+    s2.conf.set("spark.sql.catalog.glpr_ps", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_ps.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_ps.ns.t " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    val langs = Seq("en", "de", "fr", "es", "zh", "pt")
+    import s2.implicits._
+    (0L until 120L).map(i => (i, langs((i % 6).toInt), "s", s"text-$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("part_in")
+    s2.sql("INSERT INTO glpr_ps.ns.t SELECT * FROM part_in")
+    val dir = new java.io.File(r2, "ns/t")
+    val shards = GlprSource.committedShards(dir.getAbsolutePath)
+    val nonEmpty = shards.flatMap(GlprSource.readMeta).filter(_.rows > 0)
+    assert(nonEmpty.length >= 2, s"clustered write should spread langs over shards")
+    // every data shard committed its partition-value set
+    assert(nonEmpty.forall(m => m.pcol.contains("lang") && m.pvals.exists(_.nonEmpty)))
+    assert(nonEmpty.flatMap(_.pvals.get).toSet === langs.toSet)
+    // pruned read: shards without 'en' never planned; rows still exact
+    val got = s2.sql("SELECT doc_id FROM glpr_ps.ns.t WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 120L).filter(_ % 6 == 0).toSet)
+    val (kept, total) = GlprSource.planEvents.get(dir.getAbsolutePath)
+    assert(total === shards.length)
+    assert(kept < total, s"lang='en' should prune shards: kept $kept of $total")
+    // IN across two langs: both shards kept, count exact (hint, not filter)
+    val got2 = s2.sql("SELECT count(*) FROM glpr_ps.ns.t WHERE lang IN ('en', 'de')")
+      .head().getLong(0)
+    assert(got2 === 40L)
+    // partitioning is visible through table metadata
+    val ps = s2.sql("DESCRIBE TABLE EXTENDED glpr_ps.ns.t").collect()
+      .map(_.getString(0))
+    assert(ps.exists(_.contains("Part")), ps.mkString("|"))
+    s2.catalog.dropTempView("part_in")
+  }
+
+  test("partitioning transforms: only identity on lang/source is accepted") {
+    ddl
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE glpr_spec.ns9.p1 " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) PARTITIONED BY (doc_id)"))
+    assert(e1.getMessage.contains("string column"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE glpr_spec.ns9.p2 " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (bucket(4, doc_id))"))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    // flat (pre-partitioning) sidecars are never value-pruned: an
+    // unpartitioned table filtered on lang plans every shard
+    spark.sql(s"CREATE TABLE glpr_spec.ns9.flat $ddl")
+    import spark.implicits._
+    Seq((1L, "en", "s", "a"), (2L, "de", "s", "b"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("flat_in")
+    spark.sql("INSERT INTO glpr_spec.ns9.flat SELECT * FROM flat_in")
+    val dir = new java.io.File(root, "ns9/flat")
+    spark.sql("SELECT count(*) FROM glpr_spec.ns9.flat WHERE lang = 'en'").collect()
+    val (kept, total) = GlprSource.planEvents.get(dir.getAbsolutePath)
+    assert(kept === total, s"flat shards must never be value-pruned: $kept of $total")
+    spark.catalog.dropTempView("flat_in")
+  }
+
   test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
     val dir = new java.io.File(root, "ns5/ext")
     dir.mkdirs()
