@@ -1137,10 +1137,24 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("doc_id"))
   @volatile private var runtimeIds: Option[Array[Long]] = None
+  @volatile private var runtimeRange: Option[GlprSource.IdRange] = None
   override def filter(filters: Array[Filter]): Unit = {
-    // a filter whose values aren't all understood is IGNORED, never
-    // partially applied — partial application would prune live shards
-    val sets = filters.collect {
+    // Runtime filters are CONJUNCTS implied by the join, so applying any
+    // understood subset of them is conservative (over-keep, never
+    // under-keep): top-level And trees are flattened and each understood
+    // conjunct applied independently. What is never done is PARTIAL
+    // application WITHIN one predicate — an In whose values aren't all
+    // Longs, or any Or, is ignored wholesale, because dropping a
+    // disjunct/member would prune live shards. Besides the In/EqualTo
+    // key sets the DPP rule plants, range conjuncts (> >= < <=, e.g.
+    // from a min/max subquery) compile to a runtime id range through the
+    // same compiler as the static pushdown (round-15 verdict stretch).
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    val flat = filters.flatMap(flatten)
+    val sets = flat.collect {
       case In("doc_id", vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long]) =>
         vs.map(_.asInstanceOf[java.lang.Long].longValue).sorted
@@ -1149,6 +1163,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     if (sets.nonEmpty)
       runtimeIds = Some(sets.reduce((a, b) => a.filter(x =>
         java.util.Arrays.binarySearch(b, x) >= 0)))
+    val (rangeConjuncts, r) = GlprSource.compileFilters(flat.toArray)
+    if (rangeConjuncts.nonEmpty) runtimeRange = Some(r)
   }
   private def anyIdIn(ids: Array[Long], lo: Long, hi: Long): Boolean = {
     val i = java.util.Arrays.binarySearch(ids, lo)
@@ -1168,7 +1184,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       val idKeep = meta.flatMap(_.bounds) match {
         case Some((lo, hi)) =>
           lo <= range.hi && hi >= range.lo &&
-            runtimeIds.forall(ids => anyIdIn(ids, lo, hi))
+            runtimeIds.forall(ids => anyIdIn(ids, lo, hi)) &&
+            runtimeRange.forall(rr => lo <= rr.hi && hi >= rr.lo)
         case None => true
       }
       // partition-value pruning: drop the shard only when its sidecar
@@ -1188,7 +1205,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // (surviving-row counts unknowable from sidecars); the reader-side
     // row cap still applies.
     val unfiltered = pushed.isEmpty && range.lo == Long.MinValue &&
-      range.hi == Long.MaxValue && runtimeIds.isEmpty && valueFilters.isEmpty
+      range.hi == Long.MaxValue && runtimeIds.isEmpty &&
+      runtimeRange.isEmpty && valueFilters.isEmpty
     val capped = limit match {
       case Some(n) if unfiltered =>
         val metas = kept.map(GlprSource.readMeta)

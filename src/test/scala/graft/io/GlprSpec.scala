@@ -264,6 +264,41 @@ class GlprSpec extends AnyFunSuite {
       s"both key values live in shard [100,200) — expected 1/4 shards planned, got $kept/$total")
   }
 
+  test("runtime RANGE conjuncts prune shards; opaque conjuncts are ignored, Ors never partial") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-rt-range").toString
+    GlprSource.write(
+      (0L until 400L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThanOrEqual => FGte, LessThan => FLt, Or => FOr}
+    def freshScan() = new GlprScan(root, GlprSource.schema,
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue), Array.empty, None)
+    // a min/max-style DPP range conjunct: [120, 180) lives in one shard
+    val s1 = freshScan()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](FAnd(FGte("doc_id", 120L), FLt("doc_id", 180L))))
+    assert(s1.planInputPartitions().length === 1,
+      "range conjuncts from runtime filtering must prune like static bounds")
+    // an opaque conjunct rides along: the understood range still applies
+    // (conjunct subsets are conservative), the opaque part is ignored
+    val s2 = freshScan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](
+      FAnd(FGte("doc_id", 120L), FEq("lang", "en")), FLt("doc_id", 180L)))
+    assert(s2.planInputPartitions().length === 1,
+      "an opaque sibling conjunct must not disable the understood range")
+    // an Or is NEVER partially applied — no pruning at all
+    val s3 = freshScan()
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](FOr(FLt("doc_id", 50L), FGte("doc_id", 350L))))
+    assert(s3.planInputPartitions().length === 4,
+      "disjunctions must be ignored wholesale, never half-applied")
+    // range + key set compose: the intersection decides
+    val s4 = freshScan()
+    s4.filter(Array[org.apache.spark.sql.sources.Filter](FGte("doc_id", 100L),
+      org.apache.spark.sql.sources.In("doc_id",
+        Array[Any](java.lang.Long.valueOf(50L), java.lang.Long.valueOf(150L)))))
+    assert(s4.planInputPartitions().length === 1,
+      "id 50 is below the range floor; only shard [100,200) holds id 150")
+  }
+
   test("static doc_id bounds prune whole shards via sidecar min/max (no data bytes touched)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-static-prune").toString
