@@ -55,7 +55,7 @@ object RecallProbe {
 
       rows += (("q46_ann_lsh", "8 tables, top-5 of 5 queries", sf,
         recallOf(Similarity.lshTopK(emb, nQueries = 5, k = 5, numHashTables = 8))))
-      rows += (("q62_ann_ivf", "16 cells, nProbe=6, top-5 of 5 queries", sf,
+      rows += (("q62_ann_ivf", "16 cells (min-fill capped), nProbe=6, top-5 of 5 queries", sf,
         recallOf(Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 6))))
 
       // q191: truth re-derived in the reduced space (the spec's contract)
@@ -83,7 +83,7 @@ object RecallProbe {
     // "| entry | config | sf | 0.xxx |" rows keyed (entry, config, sf)
     val prevRe = """RECALL_r(\d+)\.md""".r
     val rowRe = """\|\s*(\S+)\s*\|\s*([^|]*?)\s*\|\s*(sf[\d.]+)\s*\|\s*([\d.]+)\s*\|""".r
-    val prev: Map[(String, String, String), Seq[(Int, Double)]] =
+    val prevRows: Seq[((String, String, String), (Int, Double))] =
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap { f => f.getName match {
           case prevRe(n) if n.toInt.toString != round => Some((n.toInt, f)); case _ => None } }
@@ -91,7 +91,22 @@ object RecallProbe {
         .flatMap { case (n, f) =>
           rowRe.findAllMatchIn(Files.readString(f.toPath)).map(m =>
             ((m.group(1), m.group(2), m.group(3)), (n, m.group(4).toDouble)))
-        }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+        }.toSeq
+    val prev: Map[(String, String, String), Seq[(Int, Double)]] =
+      prevRows.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // config strings legitimately evolve (e.g. q62's round-16 min-fill
+    // cap renamed its config); fall back to (entry, sf) history when
+    // THIS round has exactly one row for the pair — so a config rename
+    // never silently drops the trend column
+    val entrySfCount = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.size).toMap
+    val prevByEntrySf: Map[(String, String), Seq[(Int, Double)]] =
+      prevRows.groupBy(r => (r._1._1, r._1._3)).view
+        .mapValues(_.map(_._2).sortBy(_._1)).toMap
+    def historyOf(entry: String, config: String, sf: String): Seq[(Int, Double)] =
+      prev.getOrElse((entry, config, sf),
+        if (entrySfCount((entry, sf)) == 1)
+          prevByEntrySf.getOrElse((entry, sf), Seq.empty)
+        else Seq.empty)
 
     val sb = new StringBuilder
     sb.append(s"# RECALL — round $round ANN recall trend\n\n")
@@ -101,7 +116,7 @@ object RecallProbe {
     sb.append("| entry | config | sf | recall | previous rounds |\n")
     sb.append("|---|---|---|---|---|\n")
     rows.foreach { case (entry, config, sf, recall) =>
-      val hist = prev.getOrElse((entry, config, sf), Seq.empty)
+      val hist = historyOf(entry, config, sf)
         .map { case (n, v) => f"r$n%s=$v%.3f" }.mkString(", ")
       sb.append(f"| $entry | $config | $sf | $recall%.3f | ${if (hist.isEmpty) "—" else hist} |\n")
     }

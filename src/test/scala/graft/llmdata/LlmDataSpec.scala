@@ -256,7 +256,9 @@ class LlmDataSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 6)
       .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // the small-corpus cell-fill correction (Similarity.ivfTopK) lifts
+    // the SF-fixture floor from the round-15 0.64 to >= 0.8
+    assert(recall >= 0.8, s"IVF recall $recall too low")
     // rank lists are well-formed
     val ranks = Similarity.ivfTopK(emb, nQueries = 5, k = 5)
       .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n")).collect()
