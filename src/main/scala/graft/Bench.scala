@@ -199,7 +199,7 @@ object Bench {
       // nReps timed passes; first error aborts the query (later passes would
       // fail identically and re-timing a failure has no signal).
       var err: Option[String] = None
-      val times = (1 to nReps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+      def onePass(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -207,8 +207,27 @@ object Bench {
             err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.toVector
-      (if (err.isDefined) -1.0 else times.min, err)
+      }
+      val times = (1 to nReps).iterator.takeWhile(_ => err.isEmpty).map(_ => onePass()).toVector
+      if (err.isDefined) return (-1.0, err)
+      // Sub-second plans are still C2-tiering after 3 executions (the
+      // round-15/16 q41/q42 investigation: min-of-3 on a fresh path read
+      // 0.50s against a 0.26s warm floor, and round-over-round "drift"
+      // on these queries was warm-state variance, not plan cost): extend
+      // with up to 3 more passes WHILE the min is still dropping >10%
+      // per pass — the same warm-until-stable rule the canary uses. The
+      // >=1s plans are past tiering by pass 3 and are not extended, so
+      // the bench's total cost stays bounded.
+      var best = times.min
+      var extra = 0
+      var improving = true
+      while (err.isEmpty && improving && best < 1.0 && extra < 3) {
+        val t = onePass()
+        improving = t < best * 0.9
+        if (t < best) best = t
+        extra += 1
+      }
+      (if (err.isDefined) -1.0 else best, err)
     }
 
     val threeQuarterIdx = ordered.size * 3 / 4
