@@ -2454,6 +2454,33 @@ object Registry {
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Shard-pruned STREAMING: the range-disjoint staged corpus consumed
+    // as a stream with an OPTION-seeded doc_id bound (maxDocId — the
+    // Kafka startingOffsets idiom; streaming scans never run Catalyst
+    // pushdown), so every micro-batch plans only the shards whose
+    // sidecar bounds intersect the range — the streaming twin of q295's
+    // batch pruning (backfilling one id slice reads the slice, not the
+    // corpus). Shard-skip pinned in GlprSpec; settles to the identical
+    // filtered batch oracle.
+    "q305_glpr_stream_pruned" -> Entry((s, d) =>
+      graft.io.GlprSource.streamedPrunedProfile(s, d).orderBy("lang"), Some(
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GROUPED metadata-only aggregate on the partitioned table:
+    // count(*) GROUP BY lang answered entirely from the sidecars'
+    // (rows, partition-value) pairs — the hive-metastore partition-
+    // count trick, sound because clustered partitioned writes leave
+    // every shard single-valued in lang (certified per shard by its
+    // sidecar value set; multi-valued shards decline to the ordinary
+    // plan). Zero-shards pin in GlprCatalogSpec.
+    "q306_glpr_partitioned_count" -> Entry((s, d) =>
+      graft.io.GlprSource.partitionedMetadataCount(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

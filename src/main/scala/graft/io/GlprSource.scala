@@ -292,10 +292,41 @@ object GlprSource {
     * pruning — the oracle certifies the residual row filter still
     * applies above the pruned scan. */
   def partitionedCatalogPipeline(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    rematerialize(spark, partitionedTableSession(spark, dir).sql(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_part.corpus.docs WHERE lang = 'en'
+        |GROUP BY source""".stripMargin))
+
+  /** q306 — GROUPED metadata-only aggregate over the partitioned table:
+    * `count(*) GROUP BY lang` answered ENTIRELY from the sidecar
+    * (rows, partition-value) pairs — the hive-metastore partition-count
+    * trick ([[GlprScanBuilder]] grouped pushdown): zero shards opened,
+    * no aggregate exec in the plan. Sound because the clustered
+    * partitioned write left every shard single-valued in lang, which
+    * the sidecar value sets certify per shard; any multi-valued shard
+    * declines to the ordinary plan. Zero-shard pin in GlprCatalogSpec. */
+  def partitionedMetadataCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    rematerialize(spark, partitionedTableSession(spark, dir).sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM glpr_part.corpus.docs GROUP BY lang""".stripMargin))
+
+  /** Shared staging for the partitioned-table entries (q304/q306):
+    * CREATE ... PARTITIONED BY (lang) + one clustered INSERT per
+    * (JVM, dir); returns a fresh session with the catalog bound. AQE
+    * partition coalescing is pinned off for the INSERT so the clustered
+    * shards stay SINGLE-lang at test scale (at corpus scale lang
+    * clusters dwarf the advisory size and never coalesce) — the
+    * single-valued-shard invariant q306's metadata-only grouped count
+    * needs. */
+  private def partitionedTableSession(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.SparkSession = {
     val root = partitionedRootCache.computeIfAbsent(dir, _ =>
       TempDirs.scratch("graft-glpr-partitioned").toString)
     val s2 = freshCatalogSession(spark, "glpr_part", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
       s2.sql("CREATE TABLE glpr_part.corpus.docs " +
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
@@ -303,11 +334,7 @@ object GlprSource {
       s2.sql("INSERT INTO glpr_part.corpus.docs " +
         s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
     }
-    rematerialize(spark, s2.sql(
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
-        |FROM glpr_part.corpus.docs WHERE lang = 'en'
-        |GROUP BY source""".stripMargin))
+    s2
   }
   private val partitionedRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -405,6 +432,40 @@ object GlprSource {
         // await IS the termination contract under test
         try q.awaitTermination() finally q.stop()
     }
+
+  /** q305 — SHARD-PRUNED STREAMING: the range-disjoint staged corpus
+    * ([[rangeStagedPath]]) consumed as a stream with an OPTION-seeded
+    * doc_id bound (`maxDocId` — streaming scans never see Catalyst
+    * filter pushdown, so bounds ride reader options, the Kafka
+    * startingOffsets idiom), so each micro-batch plans only the shards
+    * whose sidecar bounds intersect the range ([[GlprMicroBatchStream
+    * .planInputPartitions]]) — the streaming twin of q295's batch
+    * pruning: backfilling one id slice of a 100 TB corpus reads the
+    * slice, not the corpus. The redundant WHERE keeps the row semantics
+    * declared in the query itself. Settles to the identical filtered
+    * batch oracle; the shard-skip itself is GlprSpec-pinned. */
+  def streamedPrunedProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxId: Long = 250L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val path = rangeStagedPath(spark, dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.format("graft.io.GlprSource")
+      .option("maxDocId", (maxId - 1).toString).load(path)
+      .filter(col("doc_id") < maxId)
+    val agg = stream.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+    val name = s"graft_glpr_pruned_stream_${glprStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val settled = s2.table(name)
+    val outSchema = settled.schema
+    val rows = graft.streaming.Events.guardedSettleRows(settled)
+    s2.catalog.dropTempView(name)
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
+  }
 
   private def langProfileVia(spark: org.apache.spark.sql.SparkSession,
       dir: String, readOpts: Map[String, String] = Map.empty)(
@@ -756,7 +817,25 @@ class GlprTable(path: String, partitionCol: Option[String] = None)
       require(n >= 1, s"maxShardsPerTrigger must be >= 1, got $n")
       n
     }
-    new GlprScanBuilder(path, maxShards)
+    // STREAMING scans never see Catalyst filter pushdown (the residual
+    // Filter above the stream does the row work), so shard pruning for
+    // streams takes the reader-option route instead — the Kafka
+    // startingOffsets idiom: `minDocId`/`maxDocId` (inclusive) seed the
+    // scan's id range (rows outside it are reader-filtered too, exactly
+    // like a pushed range), and `langIn`/`sourceIn` (comma-separated)
+    // seed partition-value SHARD pruning — a plan hint only: rows of
+    // kept shards are NOT value-filtered, pair it with a WHERE for
+    // row-exact semantics. Batch scans accept the same options and
+    // intersect them with whatever Catalyst pushes.
+    val optRange = GlprSource.IdRange(
+      Option(options.get("minDocId")).map(_.toLong).getOrElse(Long.MinValue),
+      Option(options.get("maxDocId")).map(_.toLong).getOrElse(Long.MaxValue))
+    val optValues: Map[String, Set[String]] =
+      Seq("lang" -> "langIn", "source" -> "sourceIn").flatMap { case (c, k) =>
+        Option(options.get(k)).map(v =>
+          c -> v.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      }.toMap
+    new GlprScanBuilder(path, maxShards, optRange, optValues)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlprWriteBuilder(path, info.schema(), partitionCol)
@@ -976,14 +1055,16 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   override def close(): Unit = ()
 }
 
-class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends ScanBuilder
+class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
+    baseRange: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue),
+    baseValues: Map[String, Set[String]] = Map.empty) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
   private var pushed: Array[Filter] = Array.empty
-  private var range: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue)
-  private var valueFilters: Map[String, Set[String]] = Map.empty
-  private var aggResult: Option[(StructType, Array[Long], Array[Boolean])] = None
+  private var range: GlprSource.IdRange = baseRange
+  private var valueFilters: Map[String, Set[String]] = baseValues
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
   private var limit: Option[Int] = None
 
   /** Limit pushdown (q297), PARTIAL by contract (Spark keeps the global
@@ -1003,112 +1084,157 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int]) extends Sc
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, r) = GlprSource.compileFilters(filters)
-    pushed = p; range = r
+    pushed = p
+    // pushed bounds intersect any option-seeded base range
+    range = GlprSource.IdRange(math.max(baseRange.lo, r.lo),
+      math.min(baseRange.hi, r.hi))
     // partition-value sets prune shards only; the filters stay residual
-    valueFilters = GlprSource.compileValueFilters(filters)
+    val fromFilters = GlprSource.compileValueFilters(filters)
+    valueFilters = (baseValues.keySet ++ fromFilters.keySet).iterator.map { c =>
+      c -> ((baseValues.get(c), fromFilters.get(c)) match {
+        case (Some(a), Some(b)) => a intersect b
+        case (a, b) => a.orElse(b).get
+      })
+    }.toMap
     filters.filterNot(p.contains) // residual for Spark
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** METADATA-ONLY aggregates (q296): ungrouped, unfiltered COUNT(*) /
-    * MIN(doc_id) / MAX(doc_id) are answered entirely from the commit-time
-    * sidecars — zero data bytes read, zero records decoded, the scan
-    * plans one synthetic partition carrying the finished row. This is
-    * the row-group-statistics trick parquet readers play, available to
-    * GLPR because every shard commit already wrote rows + id bounds.
+  /** METADATA-ONLY aggregates (q296, grouped form q306): unfiltered
+    * COUNT(*) / MIN(doc_id) / MAX(doc_id) — ungrouped, or grouped by a
+    * column every data shard is SINGLE-VALUED in (the partition column
+    * of a clustered-write table, per its sidecar value set) — are
+    * answered entirely from the commit-time sidecars: zero data bytes
+    * read, zero records decoded, the scan plans one synthetic partition
+    * carrying the finished rows. The ungrouped form is the parquet
+    * row-group-statistics trick; the grouped form is the hive-metastore
+    * "count per partition from partition metadata" trick, available
+    * because partitioned GLPR writes commit per-shard value sets.
     * COMPLETE pushdown (no partial/final agg in the plan). Declined —
     * falling back to the ordinary scan-and-aggregate plan — whenever any
     * condition fails: a filter was pushed (sidecars describe whole
-    * shards), grouping present, an unsupported aggregate, or any shard
-    * missing the sidecar stats the answer needs. */
-  private def sidecarAggValues(agg: Aggregation): Option[(StructType, Array[Long], Array[Boolean])] = {
+    * shards), an unsupported aggregate or grouping shape, any shard
+    * missing the sidecar stats the answer needs, or any multi-valued /
+    * untracked shard under grouping. */
+  private def sidecarAggRows(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions().nonEmpty) return None
-    if (pushed.nonEmpty || range.lo != Long.MinValue || range.hi != Long.MaxValue) return None
+    if (pushed.nonEmpty || range.lo != Long.MinValue ||
+      range.hi != Long.MaxValue || valueFilters.nonEmpty) return None
     val shards = GlprSource.committedShards(path)
     val metas = shards.map(GlprSource.readMeta)
     if (metas.exists(_.isEmpty)) return None // a shard without stats
     val ms = metas.map(_.get)
-    lazy val bounds = ms.flatMap(_.bounds)
     def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
         case _ => false
       }
     val exprs = agg.aggregateExpressions()
-    val fields = new Array[StructField](exprs.length)
-    val values = new Array[Long](exprs.length)
-    val nulls = new Array[Boolean](exprs.length)
-    val nonEmpty = ms.exists(_.rows > 0)
-    exprs.zipWithIndex.foreach { case (e, i) =>
-      e match {
-        case _: CountStar =>
-          fields(i) = StructField(s"count_$i", LongType, nullable = false)
-          values(i) = ms.map(_.rows).sum
-        case m: Min if isDocId(m.column()) =>
-          // min needs bounds from every NON-EMPTY shard
-          if (nonEmpty && bounds.length != ms.count(_.rows > 0)) return None
-          fields(i) = StructField(s"min_$i", LongType, nullable = true)
-          if (nonEmpty) values(i) = bounds.map(_._1).min else nulls(i) = true
-        case m: Max if isDocId(m.column()) =>
-          if (nonEmpty && bounds.length != ms.count(_.rows > 0)) return None
-          fields(i) = StructField(s"max_$i", LongType, nullable = true)
-          if (nonEmpty) values(i) = bounds.map(_._2).max else nulls(i) = true
-        case _ => return None
+
+    /** Fold one shard GROUP (ungrouped = all shards) into its aggregate
+      * cells, or None when the sidecars can't answer an expression. */
+    def cells(group: Array[GlprSource.ShardMeta]): Option[Array[(StructField, Any)]] = {
+      lazy val bounds = group.flatMap(_.bounds)
+      val nonEmpty = group.exists(_.rows > 0)
+      val out = new Array[(StructField, Any)](exprs.length)
+      exprs.zipWithIndex.foreach { case (e, i) =>
+        e match {
+          case _: CountStar =>
+            out(i) = (StructField(s"count_$i", LongType, nullable = false),
+              java.lang.Long.valueOf(group.map(_.rows).sum))
+          case m: Min if isDocId(m.column()) =>
+            // min needs bounds from every NON-EMPTY shard of the group
+            if (nonEmpty && bounds.length != group.count(_.rows > 0)) return None
+            out(i) = (StructField(s"min_$i", LongType, nullable = true),
+              if (nonEmpty) java.lang.Long.valueOf(bounds.map(_._1).min) else null)
+          case m: Max if isDocId(m.column()) =>
+            if (nonEmpty && bounds.length != group.count(_.rows > 0)) return None
+            out(i) = (StructField(s"max_$i", LongType, nullable = true),
+              if (nonEmpty) java.lang.Long.valueOf(bounds.map(_._2).max) else null)
+          case _ => return None
+        }
       }
+      Some(out)
     }
-    Some((StructType(fields.toSeq), values, nulls))
+
+    agg.groupByExpressions().toSeq match {
+      case Seq() =>
+        cells(ms).map { cs =>
+          (StructType(cs.map(_._1).toSeq), Array(cs.map(_._2)))
+        }
+      case Seq(g) =>
+        val col = g match {
+          case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+          case _ => return None
+        }
+        // every DATA shard must be single-valued in the group column —
+        // the clustered-write invariant the sidecar value sets certify;
+        // anything else (untracked, multi-valued) declines
+        val data = ms.filter(_.rows > 0)
+        if (data.isEmpty) return None // no groups derivable; empty result
+                                      // is expressible but the ordinary
+                                      // scan is just as cheap here
+        if (!data.forall(_.valuesOf(col).exists(_.size == 1))) return None
+        val groups = data.groupBy(_.valuesOf(col).get.head).toSeq.sortBy(_._1)
+        val folded = groups.map { case (v, shs) => cells(shs).map((v, _)) }
+        if (folded.exists(_.isEmpty)) return None
+        val rows = folded.flatten.map { case (v, cs) =>
+          (UTF8String.fromString(v): Any) +: cs.map(_._2)
+        }.toArray
+        val aggFields = folded.flatten.head._2.map(_._1)
+        Some((StructType(StructField(col, StringType, nullable = false) +:
+          aggFields.toSeq), rows))
+      case _ => None
+    }
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    sidecarAggValues(agg).isDefined
+    sidecarAggRows(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggResult = sidecarAggValues(agg)
+    aggResult = sidecarAggRows(agg)
     aggResult.isDefined
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, values, nulls)) => new GlprAggScan(path, schema, values, nulls)
+    case Some((schema, rows)) => new GlprAggScan(path, schema, rows)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
       limit, valueFilters)
   }
 }
 
-/** The metadata-only scan a completely-pushed aggregate builds: one
-  * synthetic partition, one precomputed row, no data file ever opened. */
+/** The metadata-only scan a completely-pushed aggregate builds: ONE
+  * synthetic partition carrying the precomputed result rows (one for
+  * the ungrouped form, one per partition value for the grouped form —
+  * a single partition is also what makes COMPLETE pushdown of a global
+  * aggregate sound: nothing to merge downstream), no data file ever
+  * opened. Cell values are catalyst-typed (boxed Long / UTF8String /
+  * null). */
 class GlprAggScan(path: String, aggSchema: StructType,
-    values: Array[Long], nulls: Array[Boolean]) extends Scan with Batch {
+    rows: Array[Array[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"PushedAggregates (sidecar-only): ${aggSchema.fieldNames.mkString(", ")}"
   override def planInputPartitions(): Array[InputPartition] = {
     GlprSource.planEvents.put(path, (0, GlprSource.committedShards(path).length))
-    Array(GlprAggPartition(values, nulls))
+    Array(GlprAggPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val ap = p.asInstanceOf[GlprAggPartition]
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow = {
-            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ap.values.length)
-            var i = 0
-            while (i < ap.values.length) {
-              if (ap.nulls(i)) row.setNullAt(i) else row.setLong(i, ap.values(i))
-              i += 1
-            }
-            row
-          }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < ap.rows.length }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ap.rows(i))
           override def close(): Unit = ()
         }
       }
     }
 }
 
-private[io] final case class GlprAggPartition(values: Array[Long],
-    nulls: Array[Boolean]) extends InputPartition
+private[io] final case class GlprAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
 
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int],
@@ -1255,7 +1381,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger)
+    new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
+      valueFilters)
 }
 
 /** Streaming offset: the lexically-largest shard NAME processed so far.
@@ -1273,8 +1400,14 @@ private[io] case class GlprOffset(last: String) extends Offset {
 /** GLPR as a STREAMING source ([[MicroBatchStream]]): each trigger reads
   * the shards that landed since the committed name offset — the "ingest
   * shards as they arrive" front door a corpus pipeline runs against an
-  * object-store prefix. Pruning and doc_id pushdown apply per micro-batch
-  * exactly as in the batch scan (same reader).
+  * object-store prefix. Row-level doc_id bounds and shard pruning apply
+  * per micro-batch exactly as in the batch scan (same reader, same
+  * sidecar keep logic in [[planInputPartitions]]) — but the bounds
+  * arrive via READER OPTIONS (`minDocId`/`maxDocId`/`langIn`/
+  * `sourceIn`), not Catalyst pushdown: streaming plans keep their
+  * filters as residuals above the scan and never call `pushFilters`
+  * (verified round 16 — the r15 claim that pushdown reached the stream
+  * was wrong; the residual Filter had been doing all the row work).
   *
   * ADMISSION CONTROL ([[SupportsTriggerAvailableNow]], which extends
   * `SupportsAdmissionControl`): `latestOffset(start, limit)` advances the
@@ -1290,7 +1423,8 @@ private[io] case class GlprOffset(last: String) extends Offset {
   * next one — then terminates. Certified in GlprSpec (trigger-count
   * contract) and by the q288 oracle (backfill ≡ batch profile). */
 class GlprMicroBatchStream(path: String, required: StructType,
-    range: GlprSource.IdRange, maxShardsPerTrigger: Option[Int])
+    range: GlprSource.IdRange, maxShardsPerTrigger: Option[Int],
+    valueFilters: Map[String, Set[String]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // lexical name ceiling snapshotted by prepareForTriggerAvailableNow;
   // None = live stream (no ceiling)
@@ -1342,11 +1476,33 @@ class GlprMicroBatchStream(path: String, required: StructType,
       case _ => GlprOffset("")
     }
   }
+  /** The micro-batch's name interval, minus every shard the sidecars
+    * prove disjoint from the pushed doc_id range or partition-value
+    * sets — the SAME pruning the batch scan runs, applied per trigger
+    * (round-16: the streaming path used to row-filter only). A pruned
+    * shard still advances the offset — it is processed as empty, which
+    * is what makes "stream only partition lang=X of a 100 TB corpus"
+    * cost proportional to X's shards, not the corpus. Shards without
+    * the needed sidecar info are never pruned (same decline contract as
+    * [[GlprScan.planInputPartitions]]); runtime (DPP) filters do not
+    * exist in the streaming path. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GlprOffset].last
     val hi = end.asInstanceOf[GlprOffset].last
-    committed().filter(n => n > lo && n <= hi)
-      .map(n => GlprSource.GlprPartition(new java.io.File(path, n).getAbsolutePath): InputPartition)
+    val inInterval = committed().filter(n => n > lo && n <= hi)
+    val kept = inInterval.filter { n =>
+      val meta = GlprSource.readMeta(new java.io.File(path, n))
+      val idKeep = meta.flatMap(_.bounds) match {
+        case Some((slo, shi)) => slo <= range.hi && shi >= range.lo
+        case None => true
+      }
+      val valKeep = valueFilters.forall { case (c, wanted) =>
+        meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
+      }
+      idKeep && valKeep
+    }
+    GlprSource.planEvents.put(path, (kept.length, inInterval.length))
+    kept.map(n => GlprSource.GlprPartition(new java.io.File(path, n).getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range)

@@ -55,6 +55,13 @@ class PlanLintSpec extends AnyFunSuite {
     "q304_glpr_partitioned",    // partitioned catalog CREATE/INSERT on
                                 // construction (cached); shard-prune pin
                                 // in GlprCatalogSpec
+    "q305_glpr_stream_pruned",  // pruned-streaming settle on construction
+                                // (range staging cached); shard-skip pin
+                                // in GlprSpec
+    "q306_glpr_partitioned_count", // partitioned catalog staging on
+                                // construction (cached, shared with
+                                // q304); zero-shard grouped-agg pin in
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -186,7 +186,43 @@ class GlprCatalogSpec extends AnyFunSuite {
     val ps = s2.sql("DESCRIBE TABLE EXTENDED glpr_ps.ns.t").collect()
       .map(_.getString(0))
     assert(ps.exists(_.contains("Part")), ps.mkString("|"))
+
+    // q306: grouped count answered from the sidecars alone — ZERO data
+    // shards planned, no aggregate exec in the plan (every shard is
+    // single-valued in lang, certified above)
+    val grouped = s2.sql("SELECT lang, count(*) AS n FROM glpr_ps.ns.t GROUP BY lang")
+    val gotG = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotG === langs.map(_ -> 20L).toMap)
+    val (keptG, totalG) = GlprSource.planEvents.get(dir.getAbsolutePath)
+    assert(keptG === 0 && totalG === shards.length,
+      s"grouped metadata count must plan zero data shards, got $keptG/$totalG")
+    val planG = grouped.queryExecution.executedPlan.toString
+    assert(planG.contains("PushedAggregates"), s"missing pushed-agg scan:\n$planG")
+    assert(!planG.contains("HashAggregate"),
+      s"COMPLETE grouped pushdown must leave no aggregate exec:\n$planG")
+    // grouped min/max ride the same sidecar fold
+    val gmm = s2.sql("SELECT lang, min(doc_id) AS lo, max(doc_id) AS hi " +
+      "FROM glpr_ps.ns.t GROUP BY lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expMm = (0L until 120L).groupBy(i => langs((i % 6).toInt))
+      .view.mapValues(is => (is.min, is.max)).toMap
+    assert(gmm === expMm)
     s2.catalog.dropTempView("part_in")
+  }
+
+  test("grouped aggregate pushdown DECLINES on a flat (untracked) table and stays correct") {
+    ddl
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE glpr_spec.ns10.flatagg $ddl")
+    Seq((1L, "en", "s", "a"), (2L, "de", "s", "b"), (3L, "en", "s", "c"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("fa_in")
+    spark.sql("INSERT INTO glpr_spec.ns10.flatagg SELECT * FROM fa_in")
+    val q = spark.sql("SELECT lang, count(*) AS n FROM glpr_spec.ns10.flatagg GROUP BY lang")
+    // no sidecar value sets on a flat table: ordinary scan-and-aggregate
+    assert(q.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("en" -> 2L, "de" -> 1L))
+    spark.catalog.dropTempView("fa_in")
   }
 
   test("partitioning transforms: only identity on lang/source is accepted") {

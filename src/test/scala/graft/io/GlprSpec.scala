@@ -299,6 +299,50 @@ class GlprSpec extends AnyFunSuite {
       "id 50 is below the range floor; only shard [100,200) holds id 150")
   }
 
+  test("q305 streaming shard pruning: pushed doc_id bounds skip disjoint shards per micro-batch") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-stream-prune").toString
+    GlprSource.write(
+      (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"t$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    assert(GlprSource.committedShards(root).length === 4)
+    val name = "graft_glpr_stream_prune"
+    // bounds via reader option: streaming scans never run Catalyst
+    // pushdown, so options are the pruning vehicle (scaladoc contract)
+    val q = spark.readStream.format("graft.io.GlprSource")
+      .option("maxDocId", "99").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map("en" -> 50L, "de" -> 50L))
+      val (kept, total) = GlprSource.planEvents.get(root)
+      assert(total === 4 && kept === 1,
+        s"doc_id<100 lives in shard [0,100) — expected 1/4 planned, got $kept/$total")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+
+    // langIn is a SHARD hint: these interleaved-lang shards are all
+    // multi-valued... actually untracked (flat write), so nothing can be
+    // pruned and every row still arrives — the decline side of the hint
+    val name2 = "graft_glpr_stream_prune2"
+    val q2 = spark.readStream.format("graft.io.GlprSource")
+      .option("langIn", "en").load(root)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      val counts2 = spark.table(name2).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // hint never row-filters; untracked sidecars never shard-prune
+      assert(counts2 === Map("en" -> 200L, "de" -> 200L))
+      val (kept2, total2) = GlprSource.planEvents.get(root)
+      assert(kept2 === total2, s"untracked shards must not be pruned: $kept2/$total2")
+    } finally { q2.stop(); spark.catalog.dropTempView(name2) }
+  }
+
   test("static doc_id bounds prune whole shards via sidecar min/max (no data bytes touched)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-static-prune").toString
