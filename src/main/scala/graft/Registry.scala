@@ -2481,6 +2481,20 @@ object Registry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BLOOM runtime pruning on an UNCLUSTERED corpus: q295's broadcast
+    // dim join, but over hash-distributed staging where every shard's
+    // id bounds span the corpus — min/max is blind, and any shard skip
+    // is attributable to the commit-time sidecar doc_id blooms alone
+    // (the Delta/parquet bloom-index trick). Bloom-skip + stripped-
+    // bloom decline pinned in GlprSpec; oracle = plain parquet join.
+    "q307_glpr_bloom_prune" -> Entry((s, d) =>
+      graft.io.GlprSource.bloomPrunedDimJoin(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents d JOIN supplier s ON d.doc_id = s.s_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

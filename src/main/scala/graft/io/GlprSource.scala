@@ -374,6 +374,44 @@ object GlprSource {
   private val relayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Hash-distributed staging — the ANTI-clustered layout (q307): every
+    * shard holds a hash-spread slice of the id space, so its sidecar
+    * min/max spans (almost) everything and BOUNDS can prune nothing;
+    * only the sidecar blooms can. The unclustered case is what most
+    * corpora look like before any layout discipline is applied. */
+  private val hashStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[io] def hashStagedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hashStagedCache.computeIfAbsent(dir, _ => {
+      val root = TempDirs.scratch("graft-glpr-hashed").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(8, org.apache.spark.sql.functions.col("doc_id")), root)
+      root
+    })
+
+  /** q307 — BLOOM runtime pruning on an UNCLUSTERED corpus: the same
+    * selectively-filtered broadcast dim join as q295, but over the
+    * hash-distributed staging where every shard's id bounds span the
+    * corpus — so any shard skip is attributable to the sidecar BLOOMS
+    * alone (the Delta/parquet bloom-index trick: membership pruning
+    * where min/max is blind). Bloom-skip + stripped-bloom decline are
+    * GlprSpec-pinned; the oracle is the plain parquet join. */
+  def bloomPrunedDimJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val facts = spark.read.format("graft.io.GlprSource")
+      .load(hashStagedPath(spark, dir))
+    val dim = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey").as("dim_id"))
+    facts.join(broadcast(dim), col("doc_id") === col("dim_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+
   /** q295 — runtime (DPP-style) shard pruning end to end: GLPR facts
     * joined on `doc_id` to a SELECTIVELY-FILTERED broadcast dimension
     * (suppliers of one nation). The dimension filter is opaque to static
@@ -605,6 +643,78 @@ object GlprSource {
     * statistics all share this filter, so the two-phase-commit guarantee
     * holds even for uncleaned wreckage (round-14 ADVICE: the batch scan
     * used to accept any `*.glpr`). */
+  /** Per-shard doc_id BLOOM FILTER, committed in the sidecar — the
+    * parquet/Delta bloom-index analogue, and the pruning channel for
+    * corpora WITHOUT id-clustered layout: min/max bounds on a
+    * hash-distributed corpus span the whole id space and prune nothing,
+    * but a bloom can still prove "none of the probe keys live here"
+    * and skip the shard. Used by the runtime (DPP) In-set path and by
+    * static point lookups (`doc_id = X`); never by true ranges (a
+    * bloom answers membership, not intervals).
+    *
+    * Construction is single-pass without knowing the row count up
+    * front: insert into a fixed 2^20-bit filter, then at commit FOLD
+    * to `nextPow2(10·rows)` bits — for power-of-two sizes the index is
+    * the hash's low bits, so OR-ing the upper half onto the lower
+    * preserves membership exactly (`h mod m` ≡ `(h mod 2m) mod m`).
+    * ~10 bits/key ⇒ ~1% false positives up to ~100k rows/shard;
+    * beyond that the filter saturates toward keep-everything — safe,
+    * just toothless (production knob: expected NDV, as in parquet's
+    * bloom config). Double hashing (Kirsch–Mitzenmacher) with k=7 over
+    * two splitmix64-finalized hashes. */
+  private[io] val BloomMaxBits = 1 << 20
+  private[io] val BloomHashes = 7
+  private[io] def bloomMix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private[io] def bloomSet(words: Array[Long], mBits: Int, id: Long): Unit = {
+    val h1 = bloomMix(id); val h2 = bloomMix(id ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      words(idx >> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+  private[io] def bloomMightContain(words: Array[Long], mBits: Int, id: Long): Boolean = {
+    val h1 = bloomMix(id); val h2 = bloomMix(id ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      if ((words(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  /** Fold a power-of-two bloom down to `targetBits` (also a power of
+    * two): bit p of the larger filter maps to p mod target. */
+  private[io] def bloomFold(words: Array[Long], targetBits: Int): Array[Long] = {
+    var cur = words
+    while (cur.length * 64 > targetBits) {
+      val half = new Array[Long](cur.length / 2)
+      var i = 0
+      while (i < half.length) { half(i) = cur(i) | cur(i + half.length); i += 1 }
+      cur = half
+    }
+    cur
+  }
+  private[io] def bloomTargetBits(rows: Long): Int = {
+    var m = 512
+    while (m < BloomMaxBits && m < 10L * rows) m <<= 1
+    m
+  }
+  private[io] def bloomHex(words: Array[Long]): String = {
+    val sb = new java.lang.StringBuilder(words.length * 16)
+    words.foreach(w => sb.append(f"$w%016x"))
+    sb.toString
+  }
+  private[io] def bloomFromHex(s: String): Array[Long] =
+    Array.tabulate(s.length / 16)(i =>
+      java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16))
+
   /** The two shard-naming schemes ([[GlprWriter]] batch vs
     * [[GlprStreamingWriterFactory]] epoch names). One scheme per
     * directory — see the write-time guards. */
@@ -630,7 +740,8 @@ object GlprSource {
   private[io] final case class ShardMeta(rows: Long, lang: Long,
       source: Long, text: Long,
       idLo: Option[Long] = None, idHi: Option[Long] = None,
-      pcol: Option[String] = None, pvals: Option[Set[String]] = None) {
+      pcol: Option[String] = None, pvals: Option[Set[String]] = None,
+      bloom: Option[Array[Long]] = None) {
     def fieldBytes(f: String): Long = f match {
       case "lang" => lang; case "source" => source; case "text" => text
       case _ => 0L
@@ -660,13 +771,14 @@ object GlprSource {
       val all = txt.trim.split("\\s+").iterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
         .toMap
-      val stringKeys = Set("pcol", "pvals")
+      val stringKeys = Set("pcol", "pvals", "bloom")
       val kv = all.collect { case (k, v) if !stringKeys(k) => k -> v.toLong }
       Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text"),
         kv.get("idlo"), kv.get("idhi"),
         all.get("pcol"),
         all.get("pvals").map(_.split(",", -1).iterator
-          .filter(_.nonEmpty).map(decodePval).toSet)))
+          .filter(_.nonEmpty).map(decodePval).toSet),
+        all.get("bloom").map(bloomFromHex).filter(_.nonEmpty)))
     } catch { case _: Exception => None } // malformed sidecar → size fallback
   }
 
@@ -696,6 +808,10 @@ object GlprSource {
       case LessThan("doc_id", v: Long) if v > Long.MinValue =>
         hi = math.min(hi, v - 1); true
       case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v); true
+      // equality = the singleton range [v,v]: reader row-filters it and
+      // the sidecar BLOOM can shard-prune it even on unclustered layout
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v); true
       case _ => false
     }
     (pushed, IdRange(lo, hi))
@@ -1009,11 +1125,14 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   private val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
   private var trackOverflow = false
   private val MaxTrackedVals = 32
+  // doc_id bloom, built at max size and folded to ~10 bits/key at commit
+  private val bloomWords = new Array[Long](GlprSource.BloomMaxBits / 64)
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(idx("doc_id"))
     out.writeLong(id)
     if (id < idLo) idLo = id
     if (id > idHi) idHi = id
+    GlprSource.bloomSet(bloomWords, GlprSource.BloomMaxBits, id)
     Seq("lang", "source", "text").foreach { f =>
       val b = r.getUTF8String(idx(f)).getBytes
       out.writeInt(b.length); out.write(b)
@@ -1037,9 +1156,13 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
         s" pcol=$c pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
       case _ => ""
     }
+    val bloomKv = if (nRows > 0) {
+      val folded = GlprSource.bloomFold(bloomWords, GlprSource.bloomTargetBits(nRows))
+      s" bloom=${GlprSource.bloomHex(folded)}"
+    } else ""
     java.nio.file.Files.write(metaTmp.toPath,
       (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
-        + boundsKv + pvalKv)
+        + boundsKv + pvalKv + bloomKv)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dest = new java.io.File(path, shardName)
     java.nio.file.Files.move(metaTmp.toPath,
@@ -1314,6 +1437,23 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
             runtimeRange.forall(rr => lo <= rr.hi && hi >= rr.lo)
         case None => true
       }
+      // bloom pruning — the channel that works WITHOUT clustered layout
+      // (bounds on a hash-distributed shard span everything and prune
+      // nothing): the shard is dropped when its sidecar bloom proves no
+      // probe key can be present. Probes are point-shaped predicates
+      // only — the runtime In-set/EqualTo keys, and singleton ranges
+      // (static or runtime `doc_id = X`); true ranges can't be
+      // membership-tested. No bloom in the sidecar = never pruned.
+      val bloomKeep = meta.flatMap(_.bloom) match {
+        case Some(words) =>
+          val mBits = words.length * 64
+          def may(id: Long) = GlprSource.bloomMightContain(words, mBits, id)
+          (range.lo != range.hi || may(range.lo)) &&
+            runtimeRange.forall(rr => rr.lo != rr.hi || may(rr.lo)) &&
+            runtimeIds.forall(_.exists(id =>
+              id >= range.lo && id <= range.hi && may(id)))
+        case None => true
+      }
       // partition-value pruning: drop the shard only when its sidecar
       // value set for a filtered column is KNOWN and disjoint from the
       // wanted set (hive-style partition pruning over the sidecar
@@ -1322,7 +1462,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       val valKeep = valueFilters.forall { case (c, wanted) =>
         meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
       }
-      idKeep && valKeep
+      idKeep && bloomKeep && valKeep
     }
     // pushed LIMIT with no row filtering in play: plan only the first
     // shards whose sidecar row counts cover the limit — LIMIT 10 against
@@ -1496,10 +1636,17 @@ class GlprMicroBatchStream(path: String, required: StructType,
         case Some((slo, shi)) => slo <= range.hi && shi >= range.lo
         case None => true
       }
+      // a point-shaped option range (minDocId == maxDocId) can also be
+      // bloom-pruned, mirroring the batch scan
+      val bloomKeep = meta.flatMap(_.bloom) match {
+        case Some(words) if range.lo == range.hi =>
+          GlprSource.bloomMightContain(words, words.length * 64, range.lo)
+        case _ => true
+      }
       val valKeep = valueFilters.forall { case (c, wanted) =>
         meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
       }
-      idKeep && valKeep
+      idKeep && bloomKeep && valKeep
     }
     GlprSource.planEvents.put(path, (kept.length, inInterval.length))
     kept.map(n => GlprSource.GlprPartition(new java.io.File(path, n).getAbsolutePath): InputPartition)

@@ -62,6 +62,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction (cached, shared with
                                 // q304); zero-shard grouped-agg pin in
                                 // GlprCatalogSpec
+    "q307_glpr_bloom_prune",    // hash-distributed GLPR staging write on
+                                // construction (cached); bloom-skip pin
+                                // in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -343,6 +343,59 @@ class GlprSpec extends AnyFunSuite {
     } finally { q2.stop(); spark.catalog.dropTempView(name2) }
   }
 
+  test("q307 bloom pruning: runtime key sets skip unclustered shards; stripped blooms decline") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-bloom").toString
+    // hash layout: every shard's min/max spans ~the whole id space, so
+    // any skip below is the bloom's doing, not the bounds'
+    GlprSource.write(
+      (0L until 400L).map(i => (i, "en", "s", s"t$i")).toDF("doc_id", "lang", "source", "text")
+        .repartition(4, col("doc_id")), root)
+    val shards = GlprSource.committedShards(root)
+    assert(shards.length === 4)
+    assert(shards.flatMap(GlprSource.readMeta).forall(_.bloom.isDefined))
+    // two probe keys from ONE hash partition (read back which shard id
+    // 7 landed in, take two of that shard's ids) — a bloom-prunable set
+    val byShard = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id", "_shard").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).groupBy(_._2)
+    val (homeShard, pairs) = byShard.find(_._2.exists(_._1 == 7L)).get
+    val keys = pairs.map(_._1).sorted.take(2)
+    def keptWith(ids: Array[Long]): Int = {
+      val scan = new GlprScan(root, GlprSource.schema,
+        GlprSource.IdRange(Long.MinValue, Long.MaxValue), Array.empty, None)
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id",
+          ids.map(java.lang.Long.valueOf(_): Any))))
+      scan.planInputPartitions().length
+    }
+    val kept = keptWith(keys)
+    assert(kept < 4, s"blooms must skip shards that provably lack the keys: kept $kept/4")
+    assert(kept >= 1)
+    // static point lookup: doc_id = 7 plans only shards whose bloom may hold it
+    val scanEq = new GlprScan(root, GlprSource.schema,
+      GlprSource.IdRange(7L, 7L), Array.empty, None)
+    val keptEq = scanEq.planInputPartitions()
+    assert(keptEq.length < 4 &&
+      keptEq.map(_.asInstanceOf[GlprSource.GlprPartition].file)
+        .exists(_.endsWith(homeShard)),
+      s"point lookup must keep id 7's home shard and prune by bloom: ${keptEq.length}/4")
+    // rows stay exact through the pruned plan
+    val got = spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") === 7L).select("text").collect().map(_.getString(0)).toSet
+    assert(got === Set("t7"))
+    // stripped blooms AND bounds (external/pre-round-16 sidecars):
+    // nothing left to prune on — every shard must be kept
+    shards.foreach { f =>
+      val meta = GlprSource.metaFile(f)
+      val txt = new String(java.nio.file.Files.readAllBytes(meta.toPath))
+      java.nio.file.Files.write(meta.toPath,
+        txt.replaceAll(" bloom=[0-9a-f]+", "")
+          .replaceAll(" idlo=\\d+ idhi=\\d+", "").getBytes)
+    }
+    assert(keptWith(keys) === 4, "a sidecar without bloom/bounds must never be pruned")
+  }
+
   test("static doc_id bounds prune whole shards via sidecar min/max (no data bytes touched)") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-static-prune").toString
