@@ -56,9 +56,17 @@ object ScaleProbe {
     "q293_kmv_sketch",         // TypedImperativeAggregate bottom-k sketch
     "q294_stream_full_outer_join", // two-sided eviction stream join settle
     "q295_glpr_runtime_prune", // DPP runtime shard pruning join
+    "q296_glpr_agg_pushdown",  // metadata-only ungrouped aggregate (zero shards)
+    "q297_glpr_limit_pushdown", // limit-capped shard planning
     "q298_glpr_catalog_sql",   // catalog SQL pipeline (cached CREATE/INSERT)
     "q299_stream_join_then_window", // chained join->window multi-stateful settle
-    "q300_glpr_stream_relay")  // custom source -> custom sink relay (cached)
+    "q300_glpr_stream_relay",  // custom source -> custom sink relay (cached)
+    "q301_glpr_delete",        // metadata-only SQL DELETE (cached pipeline)
+    "q303_glpr_shard_provenance", // _shard rollup over slice staging (cached)
+    "q304_glpr_partitioned",   // partitioned catalog + value shard pruning (cached)
+    "q305_glpr_stream_pruned", // option-bounded pruned streaming settle
+    "q306_glpr_partitioned_count", // grouped metadata-only count (zero shards)
+    "q307_glpr_bloom_prune")   // bloom runtime pruning over hash staging (cached)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
