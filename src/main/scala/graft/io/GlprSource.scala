@@ -313,6 +313,19 @@ object GlprSource {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM glpr_part.corpus.docs GROUP BY lang""".stripMargin))
 
+  /** Un-rematerialized plan views of the two partitioned-table reads —
+    * the registry entries collect onto the caller's session (hiding the
+    * scan behind a LocalRelation), so PlanAudit reads these instead. */
+  def partitionedSelectPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    partitionedTableSession(spark, dir).sql(
+      "SELECT source, count(*) AS n_docs FROM glpr_part.corpus.docs " +
+        "WHERE lang = 'en' GROUP BY source")
+  def partitionedCountPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    partitionedTableSession(spark, dir).sql(
+      "SELECT lang, count(*) AS n_docs FROM glpr_part.corpus.docs GROUP BY lang")
+
   /** Shared staging for the partitioned-table entries (q304/q306):
     * CREATE ... PARTITIONED BY (lang) + one clustered INSERT per
     * (JVM, dir); returns a fresh session with the catalog bound. AQE

@@ -144,6 +144,40 @@ object PlanAudit {
     ("q286_rake3_sweep", "3-way IPF raking sweep: per fit one dim hash agg + two equi-joins " +
       "(marginals AQE-broadcast) — three shuffle rounds, never a dense cube",
       reg("q286_rake3_sweep")),
+    ("q290_prefix_filter_join", "ppjoin prefix filter: df-ranked prefix equi-join generates " +
+      "candidates (285x under all-pairs at sf0.01), exact-overlap verify above — lossless by " +
+      "the prefix pigeonhole",
+      reg("q290_prefix_filter_join")),
+    ("q291_topk_tokens", "TopKPerGroupExec on the text path: one clustered exchange, bounded " +
+      "heaps — no Sort, no Window over the exploded vocabulary",
+      reg("q291_topk_tokens")),
+    ("q293_kmv_sketch", "KMV TypedImperativeAggregate: ObjectHashAggregate partial+final, " +
+      "O(k) buffers, k*groups values over the shuffle",
+      reg("q293_kmv_sketch")),
+    ("q295_glpr_runtime_prune", "DSv2 runtime filtering: dynamicpruningexpression subquery on " +
+      "doc_id reuses the broadcast exchange; materialized key set prunes shards by sidecar " +
+      "bounds at execution",
+      reg("q295_glpr_runtime_prune")),
+    ("q296_glpr_agg_pushdown", "COMPLETE aggregate pushdown: PushedAggregates scan, zero data " +
+      "shards, no aggregate exec in the plan",
+      reg("q296_glpr_agg_pushdown")),
+    ("q297_glpr_limit_pushdown", "partial limit pushdown: reader row cap + sidecar shard cap " +
+      "(LIMIT over a million-shard corpus opens one file)",
+      reg("q297_glpr_limit_pushdown")),
+    ("q303_glpr_shard_provenance", "_shard metadata column rollup: provenance served from " +
+      "partition file names, grouped without touching payload bytes beyond doc_id",
+      reg("q303_glpr_shard_provenance")),
+    ("q304_glpr_partitioned (plan view)", "partitioned catalog table: WHERE lang='en' prunes " +
+      "non-en shards via sidecar value sets (hive-style partition pruning, flat layout); " +
+      "residual row filter stays above the scan",
+      graft.io.GlprSource.partitionedSelectPlanFrame),
+    ("q306_glpr_partitioned_count (plan view)", "grouped COMPLETE aggregate pushdown: count per " +
+      "partition value from sidecar (rows, value-set) pairs — zero shards, no HashAggregate",
+      graft.io.GlprSource.partitionedCountPlanFrame),
+    ("q307_glpr_bloom_prune", "bloom runtime pruning on hash-distributed (unclustered) staging: " +
+      "same DPP subquery as q295, shard skip attributable to sidecar doc_id blooms alone " +
+      "(bounds span everything)",
+      reg("q307_glpr_bloom_prune")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",
