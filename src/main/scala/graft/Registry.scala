@@ -2495,6 +2495,20 @@ object Registry {
         |WHERE s.s_nationkey = 3
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PARTITION-VALUE metadata DELETE: on a fresh PARTITIONED BY (lang)
+    // table, DELETE WHERE lang IN ('de','zh') accepted because every
+    // lang-clustered shard's sidecar value set falls entirely inside or
+    // outside the wanted set — dropping partitions is unlinking their
+    // shards (zero bytes rewritten), the first DELETE a partitioned-
+    // table user runs. Mixed-predicate / straddling declines pinned in
+    // GlprCatalogSpec; oracle = the complement rollup.
+    "q308_glpr_partition_delete" -> Entry((s, d) =>
+      graft.io.GlprSource.partitionDeletePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE lang NOT IN ('de', 'zh')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

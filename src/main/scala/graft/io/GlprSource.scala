@@ -313,6 +313,37 @@ object GlprSource {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM glpr_part.corpus.docs GROUP BY lang""".stripMargin))
 
+  /** q308 — PARTITION-VALUE metadata DELETE: a fresh PARTITIONED BY
+    * (lang) table (own root — q304/q306's staging must stay
+    * unmutated), the corpus INSERTed lang-clustered, then `DELETE FROM
+    * … WHERE lang IN ('de','zh')` accepted because every data shard's
+    * sidecar value set is entirely inside or outside the wanted set —
+    * dropping partitions is unlinking their shards, zero bytes
+    * rewritten ([[GlprTable.canDeleteWhere]] value form). Survivors
+    * hash-match `documents WHERE lang NOT IN (…)`; the mixed-predicate
+    * and value-straddling declines are GlprCatalogSpec-pinned. */
+  def partitionDeletePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = partitionDeleteRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-pdelete").toString)
+    val s2 = freshCatalogSession(spark, "glpr_pdel", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_pdel.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      s2.sql("INSERT INTO glpr_pdel.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("DELETE FROM glpr_pdel.corpus.docs WHERE lang IN ('de', 'zh')")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_pdel.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val partitionDeleteRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -895,39 +926,71 @@ class GlprTable(path: String, partitionCol: Option[String] = None)
       override def comment(): String = "GLPR shard file this record was read from"
     })
 
-  /** METADATA-ONLY deletes (the early-lakehouse contract): a `DELETE
-    * WHERE` is accepted iff every predicate compiles to pushed doc_id
-    * bounds AND every shard's sidecar bounds fall entirely inside or
-    * entirely outside them — then deletion is unlinking whole shards +
-    * sidecars, no rewrite. A straddling shard (or one without bounds)
-    * makes [[canDeleteWhere]] false and the DELETE fails loudly rather
-    * than silently rewriting data the format's commit model can't
-    * rewrite atomically. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+  /** METADATA-ONLY deletes (the early-lakehouse contract), two forms:
+    *
+    *  - '''id-range form''': every predicate compiles to pushed doc_id
+    *    bounds AND every shard's sidecar bounds fall entirely inside or
+    *    entirely outside them.
+    *  - '''partition-value form''' (round 16): every predicate compiles
+    *    to value sets on ONE sidecar-tracked column (`DELETE WHERE
+    *    lang = 'de'` / `lang IN (…)` on a PARTITIONED-BY-lang table) and
+    *    every data shard's sidecar value set is entirely inside
+    *    (⊆ wanted) or entirely outside (disjoint) — dropping a
+    *    partition is unlinking its shards, the first DELETE a
+    *    partitioned-table user runs.
+    *
+    * Either way deletion is unlinking whole shards + sidecars, no
+    * rewrite. A straddling shard, an untracked/boundless shard, or a
+    * MIXED predicate (ids AND values — alignment would need per-row
+    * knowledge) makes [[canDeleteWhere]] false and the DELETE fails
+    * loudly rather than silently rewriting data the format's commit
+    * model can't rewrite atomically. */
+  private def deletePlan(filters: Array[Filter]): Option[java.io.File => Boolean] = {
     val (pushedF, range) = GlprSource.compileFilters(filters)
-    if (pushedF.length != filters.length) return false // residual → rewrite needed
-    GlprSource.committedShards(path).forall { f =>
-      GlprSource.readMeta(f).flatMap(_.bounds) match {
-        case Some((lo, hi)) =>
-          val inside = lo >= range.lo && hi <= range.hi
-          val outside = hi < range.lo || lo > range.hi
-          inside || outside
-        case None => GlprSource.readMeta(f).exists(_.rows == 0) // empty shard: either way
+    val values = GlprSource.compileValueFilters(filters)
+    val shards = GlprSource.committedShards(path)
+    if (pushedF.length == filters.length && values.isEmpty) {
+      // id-range form
+      val aligned = shards.forall { f =>
+        GlprSource.readMeta(f).flatMap(_.bounds) match {
+          case Some((lo, hi)) =>
+            (lo >= range.lo && hi <= range.hi) || hi < range.lo || lo > range.hi
+          case None => GlprSource.readMeta(f).exists(_.rows == 0) // empty: either way
+        }
       }
-    }
+      if (!aligned) return None
+      Some { f =>
+        val m = GlprSource.readMeta(f)
+        m.flatMap(_.bounds) match {
+          case Some((lo, hi)) => lo >= range.lo && hi <= range.hi
+          case None => m.exists(_.rows == 0) && range.lo == Long.MinValue &&
+            range.hi == Long.MaxValue
+        }
+      }
+    } else if (pushedF.isEmpty && values.size == 1 &&
+        filters.forall(f => GlprSource.compileValueFilters(Array(f)).nonEmpty)) {
+      // partition-value form: every filter contributed to the one column
+      val (col, wanted) = values.head
+      def setOf(f: java.io.File): Option[Set[String]] =
+        GlprSource.readMeta(f).flatMap(_.valuesOf(col))
+      val aligned = shards.forall { f =>
+        setOf(f) match {
+          case Some(have) => (have subsetOf wanted) || (have & wanted).isEmpty
+          case None => GlprSource.readMeta(f).exists(_.rows == 0)
+        }
+      }
+      if (!aligned) return None
+      Some(f => setOf(f).exists(_ subsetOf wanted))
+    } else None // mixed/uncompiled predicates → rewrite needed
   }
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(canDeleteWhere(filters),
-      "GLPR DELETE requires shard-aligned doc_id bounds (metadata-only delete)")
-    val (_, range) = GlprSource.compileFilters(filters)
+    val doomed = deletePlan(filters).getOrElse(throw new IllegalArgumentException(
+      "GLPR DELETE requires shard-aligned doc_id bounds or partition-value " +
+        "sets (metadata-only delete)"))
     GlprSource.committedShards(path).foreach { f =>
-      val m = GlprSource.readMeta(f)
-      val doomed = m.flatMap(_.bounds) match {
-        case Some((lo, hi)) => lo >= range.lo && hi <= range.hi
-        case None => m.exists(_.rows == 0) && range.lo == Long.MinValue &&
-          range.hi == Long.MaxValue
-      }
-      if (doomed) {
+      if (doomed(f)) {
         GlprSource.metaFile(f).delete()
         f.delete(): Unit
       }

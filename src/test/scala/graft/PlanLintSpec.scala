@@ -65,6 +65,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q307_glpr_bloom_prune",    // hash-distributed GLPR staging write on
                                 // construction (cached); bloom-skip pin
                                 // in GlprSpec
+    "q308_glpr_partition_delete", // partitioned catalog CREATE/INSERT/
+                                // DELETE on construction (cached);
+                                // value-delete pins in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -210,6 +210,44 @@ class GlprCatalogSpec extends AnyFunSuite {
     s2.catalog.dropTempView("part_in")
   }
 
+  test("partition-value DELETE unlinks whole-partition shards; mixed and straddling decline") {
+    val s2 = spark.newSession()
+    val r2 = TempDirs.scratch("graft-glpr-pdelspec").toString
+    s2.conf.set("spark.sql.catalog.glpr_pd", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_pd.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_pd.ns.t " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    import s2.implicits._
+    (0L until 90L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt), "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("pd_in")
+    s2.sql("INSERT INTO glpr_pd.ns.t SELECT * FROM pd_in")
+    val dir = new java.io.File(r2, "ns/t")
+    val dataShardsBefore = GlprSource.committedShards(dir.getAbsolutePath)
+      .flatMap(GlprSource.readMeta).count(_.rows > 0)
+    assert(dataShardsBefore === 3)
+    // mixed id+value predicate: no rewrite path — refuse, data untouched
+    val e = intercept[Exception](
+      s2.sql("DELETE FROM glpr_pd.ns.t WHERE lang = 'de' AND doc_id < 10"))
+    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e.getMessage)
+    assert(s2.sql("SELECT count(*) FROM glpr_pd.ns.t").head().getLong(0) === 90L)
+    // value predicate on an UN-tracked column: source wasn't the
+    // partition column, so its per-shard sets are unknown — refuse
+    val e2 = intercept[Exception](
+      s2.sql("DELETE FROM glpr_pd.ns.t WHERE source = 's'"))
+    assert(e2.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e2.getMessage)
+    // aligned partition drop: whole-shard unlink, sidecars too
+    s2.sql("DELETE FROM glpr_pd.ns.t WHERE lang IN ('de', 'fr')")
+    val got = s2.sql("SELECT lang, count(*) FROM glpr_pd.ns.t GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 30L))
+    val dataShardsAfter = GlprSource.committedShards(dir.getAbsolutePath)
+      .flatMap(GlprSource.readMeta).count(_.rows > 0)
+    assert(dataShardsAfter === 1, "de/fr shards must be unlinked, not rewritten")
+    s2.catalog.dropTempView("pd_in")
+  }
+
   test("grouped aggregate pushdown DECLINES on a flat (untracked) table and stays correct") {
     ddl
     import spark.implicits._
