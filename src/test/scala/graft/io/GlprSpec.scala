@@ -343,6 +343,34 @@ class GlprSpec extends AnyFunSuite {
     } finally { q2.stop(); spark.catalog.dropTempView(name2) }
   }
 
+  test("bloom fold is membership-exact; zero false negatives; FPR within envelope") {
+    val ids = (0L until 1000L).map(i => i * 2654435761L + 17L) // arbitrary spread
+    // build at max size, fold to the commit target
+    val big = new Array[Long](GlprSource.BloomMaxBits / 64)
+    ids.foreach(GlprSource.bloomSet(big, GlprSource.BloomMaxBits, _))
+    val target = GlprSource.bloomTargetBits(ids.length)
+    val folded = GlprSource.bloomFold(big, target)
+    // THE fold claim: for power-of-two sizes, folding equals having
+    // inserted at the target size directly (h mod m is the low bits)
+    val direct = new Array[Long](target / 64)
+    ids.foreach(GlprSource.bloomSet(direct, target, _))
+    assert(folded.toSeq === direct.toSeq,
+      "fold-from-max must be bit-identical to direct insertion at the target size")
+    // no false negatives, ever
+    assert(ids.forall(GlprSource.bloomMightContain(folded, target, _)))
+    // false-positive rate at ~10 bits/key stays ~1% (envelope 5%)
+    val absent = (1L to 20000L).map(i => i * 0x9e3779b97f4a7c15L + 3L)
+      .filterNot(ids.contains)
+    val fp = absent.count(GlprSource.bloomMightContain(folded, target, _))
+    assert(fp.toDouble / absent.size < 0.05,
+      s"bloom FPR ${fp.toDouble / absent.size} above envelope")
+    // round-trip through the sidecar hex encoding
+    assert(GlprSource.bloomFromHex(GlprSource.bloomHex(folded)).toSeq === folded.toSeq)
+    // target sizing: floors at 512 bits, caps at BloomMaxBits
+    assert(GlprSource.bloomTargetBits(1L) === 512)
+    assert(GlprSource.bloomTargetBits(1000000000L) === GlprSource.BloomMaxBits)
+  }
+
   test("q307 bloom pruning: runtime key sets skip unclustered shards; stripped blooms decline") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-bloom").toString
