@@ -2509,6 +2509,22 @@ object Registry {
         |FROM documents WHERE lang NOT IN ('de', 'zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Shard COMPACTION (OPTIMIZE, the small-files maintenance rung):
+    // the corpus written as 16 deliberately-small shards, merged by
+    // byte CONCATENATION (the record stream is self-delimiting — no
+    // decode, no Spark job) with sidecars merged from sidecars (rows/
+    // bytes sum, bounds min/max, pvals union, blooms folded to the
+    // smallest size and OR'd — membership-exact), then read back and
+    // aggregated. Oracle = plain documents rollup: hash equality
+    // certifies every row moved exactly once. File-count collapse +
+    // sidecar preservation + post-compaction pruning pinned in
+    // GlprSpec.
+    "q309_glpr_compact" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.compactionPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

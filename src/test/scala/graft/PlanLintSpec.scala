@@ -68,6 +68,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q308_glpr_partition_delete", // partitioned catalog CREATE/INSERT/
                                 // DELETE on construction (cached);
                                 // value-delete pins in GlprCatalogSpec
+    "q309_glpr_compact",        // small-shard staging write + compaction
+                                // on construction (cached); merge pins
+                                // in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

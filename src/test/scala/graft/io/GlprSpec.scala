@@ -343,6 +343,48 @@ class GlprSpec extends AnyFunSuite {
     } finally { q2.stop(); spark.catalog.dropTempView(name2) }
   }
 
+  test("q309 compaction: byte-concat merge preserves rows, sidecar sums, bounds, pvals and blooms") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-compact-spec").toString
+    // 8 range-disjoint small shards with tight bounds + blooms
+    GlprSource.write(
+      (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"text-$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), root)
+    val before = GlprSource.committedShards(root)
+    assert(before.length === 8)
+    val beforeRows = before.flatMap(GlprSource.readMeta).map(_.rows).sum
+    // target ~half the total: expect a handful of merged groups
+    val total = before.map(_.length).sum
+    val report = GlprMaintenance.compact(root, targetBytes = total / 2 + 1)
+    val after = GlprSource.committedShards(root)
+    assert(after.length < 8 && report.nonEmpty,
+      s"compaction must collapse files: ${after.length} of 8 left")
+    // no stage wreckage; vacuum is a no-op on a clean dir
+    assert(GlprMaintenance.vacuum(root) === 0)
+    // sidecar sums survive the merge exactly
+    val metas = after.flatMap(GlprSource.readMeta)
+    assert(metas.length === after.length, "every merged shard recommits a sidecar")
+    assert(metas.map(_.rows).sum === beforeRows)
+    // merged bounds hold and STILL prune: [0,?] ranges live in the first shard
+    val q = spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") < 40L)
+    assert(q.count() === 40L)
+    val (kept, totalShards) = GlprSource.planEvents.get(root)
+    assert(kept < totalShards, s"merged bounds must still prune: $kept/$totalShards")
+    // merged blooms still answer point lookups (no false negatives)
+    metas.filter(_.rows > 0).foreach { m =>
+      val words = m.bloom.get
+      val (lo, hi) = m.bounds.get
+      assert(GlprSource.bloomMightContain(words, words.length * 64, lo))
+      assert(GlprSource.bloomMightContain(words, words.length * 64, hi))
+    }
+    // every row readable, exactly once
+    val got = spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 200L, "de" -> 200L))
+  }
+
   test("bloom fold is membership-exact; zero false negatives; FPR within envelope") {
     val ids = (0L until 1000L).map(i => i * 2654435761L + 17L) // arbitrary spread
     // build at max size, fold to the commit target
