@@ -178,6 +178,9 @@ object PlanAudit {
       "same DPP subquery as q295, shard skip attributable to sidecar doc_id blooms alone " +
       "(bounds span everything)",
       reg("q307_glpr_bloom_prune")),
+    ("q309_glpr_compact", "post-compaction scan: a handful of merged shards (byte-concat, " +
+      "sidecars folded) replace the small-file swarm; one InputPartition per merged shard",
+      reg("q309_glpr_compact")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",

@@ -66,7 +66,9 @@ object ScaleProbe {
     "q304_glpr_partitioned",   // partitioned catalog + value shard pruning (cached)
     "q305_glpr_stream_pruned", // option-bounded pruned streaming settle
     "q306_glpr_partitioned_count", // grouped metadata-only count (zero shards)
-    "q307_glpr_bloom_prune")   // bloom runtime pruning over hash staging (cached)
+    "q307_glpr_bloom_prune",   // bloom runtime pruning over hash staging (cached)
+    "q308_glpr_partition_delete", // partition-value metadata DELETE (cached pipeline)
+    "q309_glpr_compact")       // post-compaction scan over merged shards (cached)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
