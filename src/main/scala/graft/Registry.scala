@@ -2525,6 +2525,20 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // MANIFEST commit-point visibility: the corpus written through the
+    // job-committed path (the _manifest shard log — job-level atomic
+    // visibility + O(1) listing for million-shard dirs), then a crashed
+    // foreign job simulated: its task renamed a shard in but the job
+    // never reached the manifest commit. The orphan is on disk and
+    // INVISIBLE; the aggregate hash-matches the corpus oracle without
+    // it. rebuildManifest recovery pinned in GlprSpec.
+    "q310_glpr_manifest" -> Entry((s, d) =>
+      graft.io.GlprSource.manifestVisibilityPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

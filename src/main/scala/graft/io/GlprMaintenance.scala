@@ -63,7 +63,15 @@ object GlprMaintenance {
       cur :+= f; curBytes += f.length
     }
     if (cur.nonEmpty) groups += cur
-    groups.toSeq.filter(_.length > 1).map(mergeGroup(path, _))
+    val merged = groups.toSeq.filter(_.length > 1).map(mergeGroup(path, _))
+    // manifest hygiene after the swaps: members out, merged names stay
+    // (each reuses its group's first name, already listed)
+    if (merged.nonEmpty)
+      GlprSource.readManifest(path).foreach { _ =>
+        GlprSource.writeManifest(path,
+          GlprSource.committedShards(path).map(_.getName).toSeq)
+      }
+    merged
   }
 
   private def mergeGroup(path: String, group: Vector[java.io.File]): CompactGroup = {

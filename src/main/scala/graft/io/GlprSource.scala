@@ -344,6 +344,40 @@ object GlprSource {
   private val partitionDeleteRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q310 — MANIFEST commit-point visibility: the corpus written
+    * through the job-committed path (manifest published), then a
+    * CRASHED FOREIGN JOB simulated — a task-level writer renames its
+    * shard in (task commit) but its job never reaches the manifest
+    * commit. The orphan is on disk, invisible: the read lists shards
+    * from the `_manifest` log, so the aggregate hash-matches the plain
+    * corpus oracle WITHOUT the orphan row — exactly-once job
+    * visibility, which the pre-manifest per-task-rename commit point
+    * could not give. [[rebuildManifest]] as the recovery tool (adopt
+    * the orphan) is GlprSpec-pinned. */
+  def manifestVisibilityPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = manifestCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-manifest").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text"), out)
+      val w = new GlprWriter(out, schema, 999999, 999999L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(-1L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("xx"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("orphan"),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "ORPHAN ROW from a crashed job - must stay invisible")))
+      w.commit(); w.close()
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -759,6 +793,65 @@ object GlprSource {
     Array.tabulate(s.length / 16)(i =>
       java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16))
 
+  /** OPTIONAL `_manifest` shard log — the job-level COMMIT POINT and
+    * the million-shard listing accelerator (the `_spark_metadata` /
+    * Delta-log idea at its smallest useful size: one name per line,
+    * atomically replaced).
+    *
+    *  - '''Visibility''': when a directory carries a manifest, readers
+    *    list shards FROM it — a task's renamed-in shard stays invisible
+    *    until the DRIVER-side job/epoch commit folds its name in, so a
+    *    job that dies mid-write publishes NOTHING (job-level atomicity;
+    *    without a manifest the per-task rename was the commit point and
+    *    a half-dead job could publish half its shards). Orphans from a
+    *    crashed job sit on disk unlisted; [[rebuildManifest]] is the
+    *    recovery/attach tool (re-adopt everything on disk).
+    *  - '''Listing cost''': one file read replaces a directory scan —
+    *    at 1M shards the difference between a metadata op and a
+    *    filesystem crawl per plan. (Next step, deliberately not taken:
+    *    inlining sidecar stats per line, which would also collapse the
+    *    per-shard sidecar reads pruning does today.)
+    *  - '''Fallback''': no manifest → plain directory listing, byte-
+    *    compatible with every pre-manifest corpus and with externally
+    *    assembled dirs. Names in the manifest whose file is missing
+    *    resolve to nothing (the delete/compact crash window prefers a
+    *    vanished name over a phantom read).
+    *
+    * Maintained by every mutating path: batch commit (merge or, after
+    * truncate, replace), streaming epoch commit (merge — replays merge
+    * the same names), metadata DELETE (filter), compaction (swap
+    * members for the merged name). */
+  private[io] def manifestFile(path: String): java.io.File =
+    new java.io.File(path, "_manifest")
+  private[io] def readManifest(path: String): Option[Seq[String]] = {
+    val f = manifestFile(path)
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+  private[io] def writeManifest(path: String, names: Seq[String]): Unit = {
+    val tmp = new java.io.File(path, "_manifest.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      names.distinct.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  /** Fold `add` into the manifest. The FIRST commit of a pre-manifest
+    * directory adopts the existing listing too, so an upgrade write
+    * never hides history. */
+  private[io] def mergeIntoManifest(path: String, add: Seq[String]): Unit = {
+    val base = readManifest(path).getOrElse(
+      listShardFiles(path).map(_.getName).toSeq)
+    writeManifest(path, base ++ add)
+  }
+  /** Recovery / external-attach: re-adopt every committed shard on
+    * disk as the manifest content. */
+  def rebuildManifest(path: String): Unit =
+    writeManifest(path, listShardFiles(path).map(_.getName).toSeq)
+
   /** The two shard-naming schemes ([[GlprWriter]] batch vs
     * [[GlprStreamingWriterFactory]] epoch names). One scheme per
     * directory — see the write-time guards. */
@@ -767,11 +860,25 @@ object GlprSource {
   private[io] def isEpochShardName(n: String): Boolean =
     n.matches("part-\\d{10}-\\d{5}\\.glpr")
 
-  private[io] def committedShards(path: String): Array[java.io.File] = {
+  /** Raw directory listing of committed shard FILES (no manifest
+    * consultation) — the fallback path and the [[rebuildManifest]]
+    * source. */
+  private[io] def listShardFiles(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".glpr") && !f.getName.startsWith("_tmp"))
       .sortBy(_.getName)
+  }
+  private[io] def committedShards(path: String): Array[java.io.File] = {
+    val dir = new java.io.File(path)
+    readManifest(path) match {
+      case Some(names) => names.iterator
+        .filter(n => n.endsWith(".glpr") && !n.startsWith("_tmp"))
+        .map(n => new java.io.File(dir, n))
+        .filter(_.isFile) // delete/compact crash window: vanished > phantom
+        .toArray.sortBy(_.getName)
+      case None => listShardFiles(path)
+    }
   }
 
   /** Per-shard sidecar stats written at commit time ([[GlprWriter]]):
@@ -995,6 +1102,12 @@ class GlprTable(path: String, partitionCol: Option[String] = None)
         f.delete(): Unit
       }
     }
+    // manifest hygiene: the isFile filter already hides the unlinked
+    // names; rewrite so the log matches the survivors exactly
+    GlprSource.readManifest(path).foreach { _ =>
+      GlprSource.writeManifest(path,
+        GlprSource.committedShards(path).map(_.getName).toSeq)
+    }
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1087,6 +1200,11 @@ class GlprWriteBuilder(path: String, schema: StructType,
   * relay pipelines compose. Commit/abort at the query level are no-ops:
   * per-task renames already made each shard durable, and an aborted
   * task leaves only invisible `_tmp` stage files. */
+/** Carries the committed shard's name back to the driver — the payload
+  * the job/epoch-level commit folds into the `_manifest` log. */
+private[io] final case class GlprShardCommitted(name: String)
+    extends WriterCommitMessage
+
 class GlprStreamingWrite(path: String, schema: StructType,
     partitionCol: Option[String] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(
@@ -1106,7 +1224,13 @@ class GlprStreamingWrite(path: String, schema: StructType,
         "offset contract — stream into a fresh directory")
     new GlprStreamingWriterFactory(path, schema, partitionCol)
   }
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  /** Epoch commit folds the epoch's shard names into the manifest (a
+    * replayed epoch re-merges the same names — idempotent). Dirs
+    * without a manifest gain one on first commit, adopting the
+    * existing listing. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GlprSource.mergeIntoManifest(path,
+      messages.collect { case GlprShardCommitted(n) => n }.toSeq)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -1149,7 +1273,16 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     }
     new GlprWriterFactory(path, schema, partitionCol)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** The JOB commit point: until this folds the task-committed shard
+    * names into the manifest, a manifest-bearing directory shows none
+    * of them (job-level atomicity — see the manifest scaladoc).
+    * Overwrite replaces the manifest outright: the truncation already
+    * cleared history. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val names = messages.collect { case GlprShardCommitted(n) => n }.toSeq
+    if (truncateFirst) GlprSource.writeManifest(path, names)
+    else GlprSource.mergeIntoManifest(path, names)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -1248,7 +1381,7 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     java.nio.file.Files.move(tmp.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    new WriterCommitMessage {}
+    GlprShardCommitted(shardName)
   }
   override def abort(): Unit = { out.close(); tmp.delete(): Unit }
   override def close(): Unit = ()

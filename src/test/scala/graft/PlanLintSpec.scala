@@ -71,6 +71,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q309_glpr_compact",        // small-shard staging write + compaction
                                 // on construction (cached); merge pins
                                 // in GlprSpec
+    "q310_glpr_manifest",       // manifest staging write + orphan plant
+                                // on construction (cached); visibility
+                                // pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

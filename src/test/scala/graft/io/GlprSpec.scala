@@ -65,9 +65,12 @@ class GlprSpec extends AnyFunSuite {
     val files = new java.io.File(out).listFiles()
     val shards = files.filter(_.getName.endsWith(".glpr"))
     assert(shards.nonEmpty &&
-      files.forall(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")))
+      files.forall(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
+        || f.getName == "_manifest"))
     assert(!files.exists(_.getName.startsWith("_tmp")),
       "staged temp files must not survive a committed write")
+    // the job commit published exactly the task-committed names
+    assert(GlprSource.readManifest(out).get.toSet === shards.map(_.getName).toSet)
     // every committed shard carries its stats sidecar, and the counts add up
     val metas = shards.map(GlprSource.readMeta)
     assert(metas.forall(_.isDefined), "each shard must commit a .meta sidecar")
@@ -383,6 +386,61 @@ class GlprSpec extends AnyFunSuite {
     val got = spark.read.format("graft.io.GlprSource").load(root)
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("en" -> 200L, "de" -> 200L))
+  }
+
+  test("q307 end to end: the registry-form DPP join bloom-prunes the hash-staged corpus") {
+    val joined = GlprSource.bloomPrunedDimJoin(spark, dir)
+    assert(joined.collect().nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"runtime filter missing from the q307 plan:\n${plan.take(1500)}")
+    val (kept, total) = GlprSource.planEvents.get(GlprSource.hashStagedPath(spark, dir))
+    assert(kept < total,
+      s"the broadcast key set must bloom-prune hash shards: kept $kept of $total")
+  }
+
+  test("q310 manifest: job commit is the visibility point; rebuildManifest adopts orphans") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-manifest-spec").toString
+    Seq((1L, "en", "s", "a"), (2L, "de", "s", "b"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    assert(GlprSource.readManifest(root).isDefined)
+    def visibleIds() = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(visibleIds() === Set(1L, 2L))
+    // crashed foreign job: task commit (rename in) without job commit
+    val w = new GlprWriter(root, GlprSource.schema, 7, 77L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(99L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("xx"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("orphan")))
+    w.commit(); w.close()
+    assert(new java.io.File(root, "part-0000000007.glpr").isFile,
+      "the orphan shard is durable on disk")
+    assert(visibleIds() === Set(1L, 2L),
+      "a task-committed shard must stay invisible until its JOB commits")
+    // statistics and streaming listings agree with the manifest view
+    assert(GlprSource.committedShards(root).map(_.getName).toSet
+      === GlprSource.readManifest(root).get.toSet)
+    // recovery/attach: adopt everything on disk
+    GlprSource.rebuildManifest(root)
+    assert(visibleIds() === Set(1L, 2L, 99L))
+    // a later real write folds in WITHOUT losing adopted history
+    Seq((3L, "fr", "s", "c")).toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    // (the new write reuses part-0 and replaces the first shard by name:
+    // the replay-idempotence contract — ids 1,2 were in part-0)
+    assert(visibleIds() === Set(3L, 99L))
+    // manifest-less dirs keep the plain-listing fallback
+    val bare = TempDirs.scratch("graft-glpr-manifest-bare").toString
+    val w2 = new GlprWriter(bare, GlprSource.schema, 0, 1L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(5L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+    w2.commit(); w2.close()
+    assert(spark.read.format("graft.io.GlprSource").load(bare).count() === 1L)
   }
 
   test("bloom fold is membership-exact; zero false negatives; FPR within envelope") {
