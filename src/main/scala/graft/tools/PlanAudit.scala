@@ -181,6 +181,9 @@ object PlanAudit {
     ("q309_glpr_compact", "post-compaction scan: a handful of merged shards (byte-concat, " +
       "sidecars folded) replace the small-file swarm; one InputPartition per merged shard",
       reg("q309_glpr_compact")),
+    ("q310_glpr_manifest", "manifest-listed scan: shards come from the _manifest commit log " +
+      "(job-commit visibility), a crashed job's task-committed orphan never planned",
+      reg("q310_glpr_manifest")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",
