@@ -2539,6 +2539,22 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TIME TRAVEL (VERSION AS OF): every manifest commit snapshots
+    // `_manifest.v<n>`; the corpus staged in three successive appends
+    // (doc_id slices <100, [100,300), >=300 — appends take fresh,
+    // strictly increasing shard names), then read pinned to VERSION 2.
+    // The oracle sees only the first two appends: rows landed later are
+    // invisible to the historical read. SQL `VERSION AS OF`, loud
+    // unknown-version/unlinked-shard/streaming rejections pinned in
+    // GlprSpec/GlprCatalogSpec.
+    "q311_glpr_time_travel" -> Entry((s, d) =>
+      graft.io.GlprSource.timeTravelPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(doc_id) AS BIGINT) AS max_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

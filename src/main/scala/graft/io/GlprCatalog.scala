@@ -90,6 +90,21 @@ class GlprCatalog extends TableCatalog {
     new GlprTable(dir.getAbsolutePath, readPartitionCol(dir))
   }
 
+  /** SQL time travel (q311): `SELECT ... FROM t VERSION AS OF <n>`
+    * resolves here — the returned table is pinned to manifest version
+    * `n` (read-only; see [[GlprTable.newWriteBuilder]]). `TIMESTAMP AS
+    * OF` stays unsupported: manifest versions are the only commit clock
+    * this format keeps. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GLPR VERSION AS OF expects a manifest version number, got '$version'")
+    }
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

@@ -82,8 +82,10 @@ object GlprSource {
 
   /** Distributed writer through the connector's own DSv2 WRITE path —
     * one shard per task, two-phase committed (stage + atomic rename; see
-    * [[GlprWriter]]). Re-running the same write replaces shards by
-    * partition id, so a replayed job is idempotent. */
+    * [[GlprWriter]]). Appends number their shards past the directory's
+    * current maximum, so successive appends accumulate under strictly
+    * increasing names (the streaming offset contract); a retried TASK
+    * within one job renames over its own name and never duplicates. */
   def write(docs: DataFrame, path: String): Unit =
     docs.select("doc_id", "lang", "source", "text")
       .write.format("graft.io.GlprSource").mode("append").save(path)
@@ -376,6 +378,45 @@ object GlprSource {
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
   }
   private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q311 — TIME TRAVEL over the append history: the corpus staged in
+    * THREE successive batch appends (fixed doc_id slices `< 100`,
+    * `[100, 300)`, `>= 300` — nonempty at every test SF), each job
+    * commit snapshotting a manifest version (`_manifest.v<n>`), then
+    * read back pinned to VERSION 2 — the state after the first two
+    * commits. The oracle aggregates `documents WHERE doc_id < 300`:
+    * hash equality certifies the historical read returns exactly the
+    * first two appends, with rows appended LATER invisible — which also
+    * certifies the append-numbering contract (a same-name replace would
+    * bleed slice-3 bytes into version 2's shards). Version enumeration,
+    * the SQL `VERSION AS OF` front door, loud unknown-version /
+    * unlinked-shard / streaming rejections, read-only pinned tables,
+    * and replay-idempotent version minting are GlprSpec /
+    * GlprCatalogSpec-pinned. */
+  def timeTravelPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = timeTravelCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-timetravel").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100), out) // version 1
+      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out) // v2
+      write(docs.filter(col("doc_id") >= 300), out) // version 3
+      out
+    })
+    // version 2 = "after the first two appends"; an all-empty corpus
+    // mints only one (empty) version — appends that change nothing mint
+    // nothing — so clamp to the latest available version there
+    val pin = math.min(2L, listManifestVersions(root).lastOption.getOrElse(1L))
+    spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", pin.toString).load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val timeTravelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Un-rematerialized plan views of the two partitioned-table reads —
@@ -831,13 +872,77 @@ object GlprSource {
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
   }
   private[io] def writeManifest(path: String, names: Seq[String]): Unit = {
+    val content = names.distinct.sorted
+    // replay-idempotence: a commit that changes nothing (a streaming
+    // epoch replay re-merging its own shard names, rebuildManifest on a
+    // clean dir) neither rewrites the pointer nor mints a version
+    if (readManifest(path).contains(content)) return
+    val bytes = content.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = new java.io.File(path, "_manifest.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      names.distinct.sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(tmp.toPath, bytes)
     java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // versioned snapshot AFTER the pointer swap (q311 time travel): a
+    // crash between the two leaves the new current state with no version
+    // number — `versionAsOf` of the would-be version fails loudly
+    // (vanished) — never a version file whose content was never the
+    // current manifest (phantom). One tiny file per mutating commit,
+    // the Delta-log idea at minimum size.
+    val v = listManifestVersions(path).lastOption.getOrElse(0L) + 1
+    val vtmp = new java.io.File(path, f"_tmp-manifest-v$v%010d")
+    java.nio.file.Files.write(vtmp.toPath, bytes)
+    java.nio.file.Files.move(vtmp.toPath, versionFile(path, v).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** TIME-TRAVEL version history (q311): every mutating manifest commit
+    * snapshots its content as `_manifest.v<n>` alongside the `_manifest`
+    * pointer. Versions record the MANIFEST history only — data shards
+    * are not retained for them: an append-only corpus keeps every
+    * version readable forever (appends never unlink), while DELETE /
+    * OVERWRITE / compaction unlink shards and make the versions that
+    * referenced them fail LOUDLY on read (vanished over phantom — time
+    * travel never silently serves partial history; production pairs
+    * this with a retention window before physical unlink, documented
+    * out of scope for the single-FS sandbox). */
+  private[io] def versionFile(path: String, v: Long): java.io.File =
+    new java.io.File(path, f"_manifest.v$v%010d")
+  def listManifestVersions(path: String): Seq[Long] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("_manifest\\.v\\d{10}"))
+      .map(_.stripPrefix("_manifest.v").toLong).sorted.toSeq
+
+  /** [[committedShards]] pinned to a manifest version. Unknown versions
+    * and versions whose shards were since unlinked fail loudly — a
+    * historical read is exact or it is an error. */
+  private[io] def committedShardsAsOf(path: String,
+      version: Option[Long]): Array[java.io.File] = version match {
+    case None => committedShards(path)
+    case Some(v) =>
+      val f = versionFile(path, v)
+      if (!f.isFile) {
+        val have = listManifestVersions(path)
+        throw new IllegalArgumentException(
+          s"GLPR versionAsOf=$v: no such manifest version under '$path'" +
+            (if (have.isEmpty) " (directory has no version history)"
+             else s"; available versions: ${have.mkString(", ")}"))
+      }
+      val dir = new java.io.File(path)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim)
+        .filter(n => n.nonEmpty && n.endsWith(".glpr"))
+        .map { n =>
+          val sf = new java.io.File(dir, n)
+          if (!sf.isFile) throw new IllegalStateException(
+            s"GLPR versionAsOf=$v: shard '$n' referenced by version $v " +
+              "no longer exists (unlinked by a later DELETE/OVERWRITE/" +
+              "compaction) — versions stay readable only while their " +
+              "shards survive; append-only histories always do")
+          sf
+        }.toArray.sortBy(_.getName)
   }
   /** Fold `add` into the manifest. The FIRST commit of a pre-manifest
     * directory adopts the existing listing too, so an upgrade write
@@ -1002,7 +1107,8 @@ class GlprSource extends TableProvider {
     new GlprTable(properties.get("path"))
 }
 
-class GlprTable(path: String, partitionCol: Option[String] = None)
+class GlprTable(path: String, partitionCol: Option[String] = None,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -1140,10 +1246,17 @@ class GlprTable(path: String, partitionCol: Option[String] = None)
         Option(options.get(k)).map(v =>
           c -> v.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
       }.toMap
-    new GlprScanBuilder(path, maxShards, optRange, optValues)
+    // time travel (q311): `versionAsOf` reader option, or the version
+    // the catalog pinned for SQL `VERSION AS OF` (loadTable(ident, v))
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(pinnedVersion)
+    new GlprScanBuilder(path, maxShards, optRange, optValues, version)
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
     new GlprWriteBuilder(path, info.schema(), partitionCol)
+  }
 }
 
 /** DSv2 WRITE path: `df.write.format("graft.io.GlprSource").save(path)`.
@@ -1271,7 +1384,22 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
           "streaming writer; mixing naming schemes breaks the lexical " +
           "offset contract — append to a fresh directory or overwrite")
     }
-    new GlprWriterFactory(path, schema, partitionCol)
+    // APPEND numbers its shards past the directory's current maximum
+    // (raw disk listing, so even an uncommitted orphan's name is never
+    // reused): successive appends accumulate under strictly increasing
+    // names, which the streaming name-offset contract REQUIRES — the
+    // pre-round-16 same-name replace could swap bytes under a committed
+    // offset unseen. Task retries/speculation within one job share this
+    // factory's base, so a retried task still renames over its own
+    // name (task-level idempotence keeps); re-running a whole job is an
+    // append, like the built-in file sources' append mode.
+    val nameBase: Long =
+      if (truncateFirst) 0L
+      else GlprSource.listShardFiles(path).map(_.getName)
+        .filter(GlprSource.isBatchShardName)
+        .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
+        .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
+    new GlprWriterFactory(path, schema, partitionCol, nameBase)
   }
   /** The JOB commit point: until this folds the task-committed shard
     * names into the manifest, a manifest-bearing directory shows none
@@ -1287,9 +1415,11 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
 }
 
 class GlprWriterFactory(path: String, schema: StructType,
-    partitionCol: Option[String] = None) extends DataWriterFactory {
+    partitionCol: Option[String] = None,
+    nameBase: Long = 0L) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GlprWriter(path, schema, partitionId, taskId, None, partitionCol)
+    new GlprWriter(path, schema, partitionId, taskId,
+      Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol)
 }
 
 /** Per-task shard writer over the logical write schema (fields located
@@ -1389,7 +1519,8 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
 
 class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     baseRange: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue),
-    baseValues: Map[String, Set[String]] = Map.empty) extends ScanBuilder
+    baseValues: Map[String, Set[String]] = Map.empty,
+    version: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
@@ -1452,7 +1583,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || range.lo != Long.MinValue ||
       range.hi != Long.MaxValue || valueFilters.nonEmpty) return None
-    val shards = GlprSource.committedShards(path)
+    val shards = GlprSource.committedShardsAsOf(path, version)
     val metas = shards.map(GlprSource.readMeta)
     if (metas.exists(_.isEmpty)) return None // a shard without stats
     val ms = metas.map(_.get)
@@ -1527,9 +1658,9 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, rows)) => new GlprAggScan(path, schema, rows)
+    case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit, valueFilters)
+      limit, valueFilters, version)
   }
 }
 
@@ -1541,13 +1672,14 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   * opened. Cell values are catalyst-typed (boxed Long / UTF8String /
   * null). */
 class GlprAggScan(path: String, aggSchema: StructType,
-    rows: Array[Array[Any]]) extends Scan with Batch {
+    rows: Array[Array[Any]], version: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"PushedAggregates (sidecar-only): ${aggSchema.fieldNames.mkString(", ")}"
   override def planInputPartitions(): Array[InputPartition] = {
-    GlprSource.planEvents.put(path, (0, GlprSource.committedShards(path).length))
+    GlprSource.planEvents.put(path,
+      (0, GlprSource.committedShardsAsOf(path, version).length))
     Array(GlprAggPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1571,7 +1703,8 @@ private[io] final case class GlprAggPartition(rows: Array[Array[Any]])
 class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int],
     limit: Option[Int] = None,
-    valueFilters: Map[String, Set[String]] = Map.empty)
+    valueFilters: Map[String, Set[String]] = Map.empty,
+    version: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1636,7 +1769,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * Shards without bounds (pre-round-15 sidecars, external writers,
     * empty shards) are never pruned. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = GlprSource.committedShards(path)
+    val shards = GlprSource.committedShardsAsOf(path, version)
     val kept = shards.filter { f =>
       val meta = GlprSource.readMeta(f)
       val idKeep = meta.flatMap(_.bounds) match {
@@ -1708,7 +1841,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * level: pushed doc_id filters don't shrink the estimate (matching
     * the built-in file sources, whose stats are also pre-filter). */
   override def estimateStatistics(): Statistics = {
-    val shards = GlprSource.committedShards(path)
+    val shards = GlprSource.committedShardsAsOf(path, version)
     val metas = shards.map(GlprSource.readMeta)
     val (size, rows) =
       if (shards.nonEmpty && metas.forall(_.isDefined)) {
@@ -1729,9 +1862,13 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range, limit)
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(version.isEmpty,
+      "GLPR versionAsOf is a batch-only option — a stream follows the " +
+        "live manifest, not a historical snapshot")
     new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
       valueFilters)
+  }
 }
 
 /** Streaming offset: the lexically-largest shard NAME processed so far.

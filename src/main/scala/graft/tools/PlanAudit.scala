@@ -184,6 +184,10 @@ object PlanAudit {
     ("q310_glpr_manifest", "manifest-listed scan: shards come from the _manifest commit log " +
       "(job-commit visibility), a crashed job's task-committed orphan never planned",
       reg("q310_glpr_manifest")),
+    ("q311_glpr_time_travel", "version-pinned scan: shards come from the _manifest.v2 " +
+      "snapshot (VERSION AS OF) — the third append's shards exist on disk and in the " +
+      "live manifest but are never planned",
+      reg("q311_glpr_time_travel")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",

@@ -69,7 +69,8 @@ object ScaleProbe {
     "q307_glpr_bloom_prune",   // bloom runtime pruning over hash staging (cached)
     "q308_glpr_partition_delete", // partition-value metadata DELETE (cached pipeline)
     "q309_glpr_compact",       // post-compaction scan over merged shards (cached)
-    "q310_glpr_manifest")      // manifest-listed scan with planted orphan (cached)
+    "q310_glpr_manifest",      // manifest-listed scan with planted orphan (cached)
+    "q311_glpr_time_travel")   // version-pinned historical read (cached staging)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -74,6 +74,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q310_glpr_manifest",       // manifest staging write + orphan plant
                                 // on construction (cached); visibility
                                 // pins in GlprSpec
+    "q311_glpr_time_travel",    // three staged appends on construction
+                                // (cached); version pins in GlprSpec/
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -297,4 +297,40 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT text FROM glpr_spec.ns5.ext").head().getString(0)
       === "pre-existing")
   }
+
+  test("q311 SQL time travel: VERSION AS OF resolves manifest versions; pinned tables are read-only") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns6.tt $ddl")
+    Seq((1L, "en", "s", "first")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("tt_in1")
+    spark.sql("INSERT INTO glpr_spec.ns6.tt SELECT * FROM tt_in1") // version 1
+    Seq((2L, "de", "s", "second")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("tt_in2")
+    spark.sql("INSERT INTO glpr_spec.ns6.tt SELECT * FROM tt_in2") // version 2
+    // the SQL front door: VERSION AS OF n → loadTable(ident, "n") → a
+    // table pinned to manifest version n
+    val v1 = spark.sql("SELECT doc_id FROM glpr_spec.ns6.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 === Set(1L), s"VERSION AS OF 1 must see only the first insert: $v1")
+    val v2 = spark.sql("SELECT doc_id FROM glpr_spec.ns6.tt VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSet
+    assert(v2 === Set(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.tt").head().getLong(0) === 2L)
+    // non-numeric version and unknown version both fail loudly
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM glpr_spec.ns6.tt VERSION AS OF 'nope'").collect())
+    assert(e1.getMessage.contains("manifest version number"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM glpr_spec.ns6.tt VERSION AS OF 99").collect())
+    assert(e2.getMessage.contains("versionAsOf=99"), e2.getMessage)
+    // a version-pinned table refuses writes (historical snapshots are
+    // read-only; the guard sits in newWriteBuilder)
+    val pinned = new GlprTable(new java.io.File(root, "ns6/tt").getAbsolutePath,
+      None, Some(1L))
+    val e3 = intercept[Exception] {
+      pinned.newWriteBuilder(null)
+    }
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
+    spark.catalog.dropTempView("tt_in1")
+    spark.catalog.dropTempView("tt_in2")
+  }
 }

@@ -58,7 +58,7 @@ class GlprSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
-  test("DSv2 write path: two-phase commit leaves no temp files, replay is idempotent") {
+  test("DSv2 write path: two-phase commit leaves no temp files, appends take fresh names") {
     val out = TempDirs.scratch("graft-glpr-write").toString
     val small = docs.limit(50)
     small.write.format("graft.io.GlprSource").mode("append").save(out)
@@ -66,7 +66,7 @@ class GlprSpec extends AnyFunSuite {
     val shards = files.filter(_.getName.endsWith(".glpr"))
     assert(shards.nonEmpty &&
       files.forall(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
-        || f.getName == "_manifest"))
+        || f.getName == "_manifest" || f.getName.startsWith("_manifest.v")))
     assert(!files.exists(_.getName.startsWith("_tmp")),
       "staged temp files must not survive a committed write")
     // the job commit published exactly the task-committed names
@@ -79,9 +79,17 @@ class GlprSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
     val once = readBack()
     assert(once === small.collect().map(r => (r.getLong(0), r.getString(3))).toSet)
-    // replayed job: same data, same partitioning — shards replace, never duplicate
+    // a second append lands under FRESH, strictly larger shard names and
+    // accumulates — a same-name replace (the pre-round-16 behavior) could
+    // swap bytes under a committed streaming offset unseen
     small.write.format("graft.io.GlprSource").mode("append").save(out)
-    assert(readBack() === once, "a replayed write must not duplicate records")
+    val after = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".glpr")).map(_.getName).sorted
+    assert(after.length === 2 * shards.length,
+      s"append must add shards, not replace: $after")
+    assert(after.distinct.length === after.length)
+    assert(spark.read.format("graft.io.GlprSource").load(out).count() === 100L,
+      "appended rows accumulate (append semantics, like parquet append)")
   }
 
   test("q285 streaming source: shards arriving between triggers are read exactly once") {
@@ -426,12 +434,14 @@ class GlprSpec extends AnyFunSuite {
     // recovery/attach: adopt everything on disk
     GlprSource.rebuildManifest(root)
     assert(visibleIds() === Set(1L, 2L, 99L))
-    // a later real write folds in WITHOUT losing adopted history
+    // a later real write folds in WITHOUT losing adopted history — and
+    // numbers itself past EVERYTHING on disk (the orphan's part-7
+    // included), so no existing shard's bytes are ever swapped
     Seq((3L, "fr", "s", "c")).toDF("doc_id", "lang", "source", "text")
       .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
-    // (the new write reuses part-0 and replaces the first shard by name:
-    // the replay-idempotence contract — ids 1,2 were in part-0)
-    assert(visibleIds() === Set(3L, 99L))
+    assert(new java.io.File(root, "part-0000000008.glpr").isFile,
+      "append must take the first name past the on-disk maximum")
+    assert(visibleIds() === Set(1L, 2L, 3L, 99L))
     // manifest-less dirs keep the plain-listing fallback
     val bare = TempDirs.scratch("graft-glpr-manifest-bare").toString
     val w2 = new GlprWriter(bare, GlprSource.schema, 0, 1L)
@@ -441,6 +451,54 @@ class GlprSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("x")))
     w2.commit(); w2.close()
     assert(spark.read.format("graft.io.GlprSource").load(bare).count() === 1L)
+  }
+
+  test("q311 time travel: versions snapshot the append history; rejections are loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-tt").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // version 1
+    append(3L -> "c")            // version 2
+    append(4L -> "d")            // version 3
+    assert(GlprSource.listManifestVersions(root) === Seq(1L, 2L, 3L))
+    def idsAsOf(v: Long) = spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", v.toString).load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsAsOf(1) === Set(1L, 2L))
+    assert(idsAsOf(2) === Set(1L, 2L, 3L))
+    assert(idsAsOf(3) === Set(1L, 2L, 3L, 4L))
+    // the un-pinned read follows the live manifest
+    assert(spark.read.format("graft.io.GlprSource").load(root).count() === 4L)
+    // replay-idempotent minting: a commit that changes nothing (rebuild
+    // of a clean dir) mints no version
+    GlprSource.rebuildManifest(root)
+    assert(GlprSource.listManifestVersions(root) === Seq(1L, 2L, 3L))
+    // unknown version: loud, and it names what exists
+    val e1 = intercept[Exception] { idsAsOf(9) }
+    assert(e1.getMessage.contains("versionAsOf=9") &&
+      e1.getMessage.contains("1, 2, 3"), e1.getMessage)
+    // unlinking a shard (what a later DELETE/compaction does) makes the
+    // versions that referenced it fail LOUDLY — never silent partial
+    // history; older versions stay exact
+    val doomed = new java.io.File(root, "part-0000000002.glpr")
+    assert(doomed.isFile)
+    GlprSource.metaFile(doomed).delete(); assert(doomed.delete())
+    assert(idsAsOf(2) === Set(1L, 2L, 3L))
+    val e2 = intercept[Exception] { idsAsOf(3) }
+    assert(e2.getMessage.contains("no longer exists"), e2.getMessage)
+    // a stream never time-travels: versionAsOf is rejected at stream
+    // materialization, before any micro-batch runs
+    val q = spark.readStream.format("graft.io.GlprSource")
+      .option("versionAsOf", "1").load(root)
+      .writeStream.format("memory").queryName("glpr_tt_reject")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e3.getMessage.contains("batch-only"), e3.getMessage)
   }
 
   test("bloom fold is membership-exact; zero false negatives; FPR within envelope") {
