@@ -2555,6 +2555,48 @@ object Registry {
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // INCREMENTAL READ (append-only CDF): changesFromVersion=1 +
+    // versionAsOf=2 over the q311 staging plans ONLY the second
+    // append's shards — "what landed since my last sync" costs the new
+    // shards' bytes, never a corpus rescan. The oracle is the documents
+    // slice [100, 300): a hash match proves no old row leaks in and no
+    // new row is missed. Non-append histories refuse loudly
+    // (GlprSpec-pinned).
+    "q312_glpr_changes" -> Entry((s, d) =>
+      graft.io.GlprSource.changesPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RESTORE TO VERSION (rollback): three appends, then
+    // restoreToVersion(2) re-points the LIVE manifest at the first two —
+    // the third append's rows drop out of the live view (oracle:
+    // doc_id < 300) while staying readable through version 3. The
+    // restore mints a new version; history never rewrites
+    // (GlprSpec-pinned).
+    "q313_glpr_restore" -> Entry((s, d) =>
+      graft.io.GlprSource.restorePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // COPY-ON-WRITE row-level DELETE: the corpus staged HASH-partitioned
+    // (every shard straddles everything — the layout where the
+    // metadata-only SQL DELETE refuses), then deleteIdRange(100, 299)
+    // rewrites survivors under fresh names behind one atomic manifest
+    // commit. Oracle: documents with the range cut out — row-exact
+    // deletion through the rewrite path.
+    "q314_glpr_row_delete" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.rowDeletePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(doc_id) AS BIGINT) AS max_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 100 OR doc_id > 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

@@ -20,18 +20,22 @@ import org.apache.spark.sql.DataFrame
   * (power-of-two folding is membership-exact, so the merged bloom
   * never false-negatives).
   *
-  * '''Naming & visibility contract''': the merged shard REUSES the
-  * group's first (lexically smallest) name, so compaction never mints
-  * names outside the existing order — but it is for QUIESCENT corpora:
-  * a concurrent streaming reader whose offset sits inside a group
-  * could skip or re-read the moved rows (a production system makes
-  * this atomic with a manifest/snapshot layer; this format's
-  * documented scope is name-interval offsets over append-only dirs).
-  * Crash ordering prefers a visibility gap over duplication: the
-  * merged shard is staged invisibly (`_tmp-`), the old shards are
-  * unlinked, and the stage is renamed in LAST — a crash in between
-  * leaves the staged file on disk for manual recovery rather than
-  * serving the same rows twice.
+  * '''Naming & visibility contract''': each merged shard takes a FRESH
+  * name past every name the directory ever used
+  * ([[GlprSource.usedShardNames]]) — name reuse would let a
+  * `_manifest.v<n>` snapshot silently resolve to post-compaction bytes
+  * (q311's phantom history); with fresh names the affected versions
+  * fail LOUDLY instead (vanished-over-phantom). Compaction is for
+  * QUIESCENT corpora: it invalidates in-flight streaming checkpoints —
+  * a name-offset reader would re-deliver the merged rows under their
+  * new name (a production system makes this atomic with a
+  * manifest/snapshot layer; this format's documented scope is
+  * name-interval offsets over append-only dirs). Crash ordering
+  * prefers a visibility gap over duplication: the merged shard is
+  * staged invisibly (`_tmp-`), the old shards are unlinked, the stage
+  * is renamed in, and the manifest commit LAST makes it visible — a
+  * crash in between leaves the staged/renamed file for manual recovery
+  * (rebuildManifest) rather than serving the same rows twice.
   *
   * '''Vacuum''': `_tmp-` stage wreckage from crashed/speculative
   * writers is invisible to readers (the committedShards filter) but
@@ -51,8 +55,8 @@ object GlprMaintenance {
     * sidecars — see the object doc for the exact fold rules. */
   def compact(path: String, targetBytes: Long): Seq[CompactGroup] = {
     val shards = GlprSource.committedShards(path)
-    // greedy consecutive grouping in lexical (= id/epoch) order, so the
-    // merged shard's reused first-name keeps the directory's name order
+    // greedy consecutive grouping in lexical (= id/epoch) order, so each
+    // merged shard covers a contiguous name interval
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
     var cur = Vector.empty[java.io.File]
     var curBytes = 0L
@@ -63,19 +67,45 @@ object GlprMaintenance {
       cur :+= f; curBytes += f.length
     }
     if (cur.nonEmpty) groups += cur
-    val merged = groups.toSeq.filter(_.length > 1).map(mergeGroup(path, _))
-    // manifest hygiene after the swaps: members out, merged names stay
-    // (each reuses its group's first name, already listed)
+    val toMerge = groups.toSeq.filter(_.length > 1)
+    val merged = toMerge.zip(mintNames(path, toMerge.length))
+      .map { case (g, n) => mergeGroup(path, g, n) }
+    // the manifest commit is the visibility flip: members out, fresh
+    // merged names in (and a minted version — compaction is one atomic
+    // history step to time travel)
     if (merged.nonEmpty)
-      GlprSource.readManifest(path).foreach { _ =>
+      GlprSource.readManifest(path).foreach { old =>
+        val dropped = merged.flatMap(_.memberNames).toSet
         GlprSource.writeManifest(path,
-          GlprSource.committedShards(path).map(_.getName).toSeq)
+          old.filterNot(dropped) ++ merged.map(_.mergedName))
       }
     merged
   }
 
-  private def mergeGroup(path: String, group: Vector[java.io.File]): CompactGroup = {
-    val name = group.head.getName
+  /** Fresh never-used names for `n` merged shards, in the directory's
+    * naming scheme. Batch dirs take the next batch numbers; epoch
+    * (streaming-sink) dirs stay INSIDE the maximum epoch with partition
+    * numbers past that epoch's maximum — lexically after every existing
+    * shard, and no future epoch (which starts a higher prefix) can ever
+    * collide with them. */
+  private def mintNames(path: String, n: Int): Seq[String] = {
+    val used = GlprSource.usedShardNames(path)
+    if (used.exists(GlprSource.isEpochShardName)) {
+      val parsed = used.filter(GlprSource.isEpochShardName).map { s =>
+        val core = s.stripPrefix("part-").stripSuffix(".glpr").split("-")
+        (core(0).toLong, core(1).toLong)
+      }
+      val maxEpoch = parsed.map(_._1).max
+      val base = parsed.filter(_._1 == maxEpoch).map(_._2).max + 1
+      (0 until n).map(i => f"part-$maxEpoch%010d-${base + i}%05d.glpr")
+    } else {
+      val base = GlprSource.nextBatchNameBase(path)
+      (0 until n).map(i => f"part-${base + i}%010d.glpr")
+    }
+  }
+
+  private def mergeGroup(path: String, group: Vector[java.io.File],
+      name: String): CompactGroup = {
     val metas = group.map(GlprSource.readMeta)
     // --- merged sidecar from member sidecars (None if any is missing:
     // the merged shard then rides the raw-size fallback, like any
@@ -139,6 +169,131 @@ object GlprMaintenance {
         .getOrElse(-1L),
       dest.length)
   }
+
+  /** One row-level delete's bookkeeping, for reports/tests: shards
+    * unlinked whole (metadata-only), straddlers rewritten (old name →
+    * survivor name, or None when no row survived), rows removed. */
+  final case class RowDeleteReport(unlinked: Seq[String],
+      rewritten: Map[String, Option[String]], rowsDeleted: Long)
+
+  /** COPY-ON-WRITE row-level DELETE (q314) — completes the connector's
+    * delete ladder. SQL `DELETE … WHERE` stays METADATA-ONLY by contract
+    * ([[GlprTable.canDeleteWhere]] refuses anything not shard-aligned:
+    * zero data bytes is the lakehouse fast path, and refusing loudly
+    * beats rewriting by surprise); THIS is the documented fallback for
+    * the refusal. Per shard, by sidecar bounds: fully inside `[lo, hi]`
+    * → unlinked whole (still metadata-only); provably disjoint →
+    * untouched; STRADDLING (or bounds-less with rows) → rewritten by a
+    * distributed job, one task per shard, each decoding through the
+    * chunk-cursor reader and re-writing survivors through the two-phase
+    * [[GlprWriter]] under a FRESH name past the directory maximum (the
+    * append naming contract; a fully-emptied straddler writes nothing).
+    * VISIBILITY is one manifest commit after every survivor is staged:
+    * readers see the old state or the new state, never half — and the
+    * commit mints a version, so time travel observes the delete as one
+    * atomic history step (pre-delete versions then fail loudly, per the
+    * q311 vanished-over-phantom rule). Crash before the commit leaves
+    * invisible fresh-named orphans (vacuum/rebuild territory); crash
+    * after it leaves unlinked old shards on disk — gap/garbage over
+    * duplication, the q309 ordering. At 100 TB the rewrite cost is the
+    * STRADDLING working set, not the corpus: on a range-clustered
+    * layout that is ≤2 shards; only a hash layout (the q314 registry
+    * staging, deliberately) pays a full rewrite. */
+  def deleteIdRange(spark: org.apache.spark.sql.SparkSession, path: String,
+      lo: Long, hi: Long): RowDeleteReport = {
+    require(lo <= hi, s"empty GLPR delete range [$lo, $hi]")
+    // rewrites mint batch-named survivors; refuse epoch-named (stream-
+    // written) straddlers rather than break the one-naming-scheme rule
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val shards = GlprSource.committedShards(path)
+    def classify(f: java.io.File): Int = { // 0 keep, 1 unlink, 2 rewrite
+      val m = GlprSource.readMeta(f)
+      if (m.exists(_.rows == 0)) 0
+      else m.flatMap(_.bounds) match {
+        case Some((slo, shi)) =>
+          if (slo >= lo && shi <= hi) 1
+          else if (shi < lo || slo > hi) 0
+          else 2
+        case None => 2 // no bounds: only the rows themselves can tell
+      }
+    }
+    val doomed = shards.filter(classify(_) == 1)
+    val straddle = shards.filter(classify(_) == 2)
+    require(!straddle.exists(f => GlprSource.isEpochShardName(f.getName)),
+      s"GLPR row delete in '$path' refused: a straddling shard is " +
+        "epoch-named (streaming sink); its batch-named survivor would mix " +
+        "naming schemes and break the lexical offset contract")
+    val nameBase: Long = GlprSource.nextBatchNameBase(path)
+    val jobs = straddle.map(_.getName).zipWithIndex.map { case (n, i) =>
+      (n, f"part-${nameBase + i}%010d.glpr")
+    }
+    val results: Array[(String, Option[String], Long)] =
+      if (jobs.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(jobs.toSeq, jobs.length)
+        .map { case (oldName, newName) =>
+          val reader = new GlprReader(
+            new java.io.File(path, oldName).getAbsolutePath,
+            GlprSource.schema,
+            GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
+          val taskId = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
+            Some(newName))
+          var kept = 0L; var dropped = 0L
+          try {
+            while (reader.next()) {
+              val row = reader.get()
+              val id = row.getLong(0)
+              if (id >= lo && id <= hi) dropped += 1
+              else { writer.write(row); kept += 1 }
+            }
+          } finally reader.close()
+          if (kept > 0) { writer.commit(); (oldName, Some(newName), dropped) }
+          else { writer.abort(); (oldName, None, dropped) }
+        }.collect()
+    // one manifest commit = the visibility flip (and a minted version)
+    val doomedNames = doomed.map(_.getName).toSet
+    val straddleNames = straddle.map(_.getName).toSet
+    val keepNames = shards.map(_.getName)
+      .filterNot(n => doomedNames(n) || straddleNames(n))
+    GlprSource.writeManifest(path,
+      (keepNames ++ results.flatMap(_._2)).toSeq)
+    // sidecar row counts must be read BEFORE the unlink below
+    val doomedRows = doomed.flatMap(f => GlprSource.readMeta(f).map(_.rows)).sum
+    // physical unlink AFTER the flip: gap/garbage over duplication
+    (doomed ++ straddle).foreach { f =>
+      GlprSource.metaFile(f).delete(); f.delete(): Unit
+    }
+    RowDeleteReport(doomedNames.toSeq.sorted,
+      results.map(r => r._1 -> r._2).toMap,
+      doomedRows + results.map(_._3).sum)
+  }
+
+  /** q314 — the row-level delete as a registry entry: the corpus staged
+    * HASH-partitioned (every shard's bounds straddle everything — the
+    * layout where metadata DELETE refuses outright), then
+    * `deleteIdRange(100, 299)`, then read back. The oracle aggregates
+    * `documents WHERE doc_id < 100 OR doc_id > 299`: hash equality
+    * certifies row-exact deletion through the rewrite path. Crash
+    * ordering, survivor naming, fully-emptied shards, and the
+    * metadata/rewrite split are GlprSpec-pinned. */
+  def rowDeletePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = rowDeleteCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-rowdelete").toString
+      GlprSource.write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text").repartition(8), out)
+      deleteIdRange(spark, out, 100L, 299L): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val rowDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`. Returns
     * the number of files removed. */

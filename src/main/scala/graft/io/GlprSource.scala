@@ -397,15 +397,7 @@ object GlprSource {
   def timeTravelPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val root = timeTravelCache.computeIfAbsent(dir, _ => {
-      val out = TempDirs.scratch("graft-glpr-timetravel").toString
-      val docs = Tables(spark, dir, "documents")
-        .select("doc_id", "lang", "source", "text")
-      write(docs.filter(col("doc_id") < 100), out) // version 1
-      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out) // v2
-      write(docs.filter(col("doc_id") >= 300), out) // version 3
-      out
-    })
+    val root = timeTravelStagedRoot(spark, dir)
     // version 2 = "after the first two appends"; an all-empty corpus
     // mints only one (empty) version — appends that change nothing mint
     // nothing — so clamp to the latest available version there
@@ -416,7 +408,78 @@ object GlprSource {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"),
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
   }
+  /** The q311/q312 shared three-append staging: slices `< 100`,
+    * `[100, 300)`, `>= 300` of the documents table, one job commit (=
+    * one manifest version) each. APPEND-ONLY — both consumers only read
+    * it, so one staging serves both. */
+  private[io] def timeTravelStagedRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    timeTravelCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val out = TempDirs.scratch("graft-glpr-timetravel").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100), out) // version 1
+      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out) // v2
+      write(docs.filter(col("doc_id") >= 300), out) // version 3
+      out
+    })
   private val timeTravelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q312 — INCREMENTAL READ between versions (append-only change data
+    * capture): `changesFromVersion=m` (+ optional `versionAsOf=n` upper
+    * pin) plans ONLY the shards added after version m — the incremental
+    * consumer's front door: "give me what landed since my last sync"
+    * costs the NEW shards' bytes, never a corpus rescan, at any corpus
+    * size. Runs over q311's shared three-append staging; changes 1→2
+    * must be exactly the SECOND append, so the oracle is the documents
+    * slice `[100, 300)` — a hash match certifies no old row leaks in
+    * and no new row is missed. Non-append histories fail loudly
+    * ([[changeShards]]); composition with pruning/stats and the loud
+    * rejections are GlprSpec-pinned. Chained with the q292 MERGE this
+    * is exactly-once incremental ingest. */
+  def changesPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = timeTravelStagedRoot(spark, dir)
+    val last = listManifestVersions(root).lastOption.getOrElse(1L)
+    spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", math.min(1L, last).toString)
+      .option("versionAsOf", math.min(2L, last).toString)
+      .load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+
+  /** q313 — RESTORE TO VERSION: its own three-append staging (restore
+    * MUTATES the manifest, so q311's shared staging can't be reused),
+    * rolled back to version 2 — the third append's rows drop out of the
+    * LIVE view while staying on disk, readable through version 3. The
+    * oracle is the live read's twin, `documents WHERE doc_id < 300`.
+    * Version minting (restore = version 4 with version 2's content),
+    * restore-across-unlink refusal, and post-restore appends are
+    * GlprSpec-pinned. */
+  def restorePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = restoreCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-restore").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100), out) // version 1
+      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out) // v2
+      write(docs.filter(col("doc_id") >= 300), out) // version 3
+      restoreToVersion(out,
+        math.min(2L, listManifestVersions(out).lastOption.getOrElse(1L)))
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+  }
+  private val restoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Un-rematerialized plan views of the two partitioned-table reads —
@@ -914,6 +977,24 @@ object GlprSource {
       .map(_.getName).filter(_.matches("_manifest\\.v\\d{10}"))
       .map(_.stripPrefix("_manifest.v").toLong).sorted.toSeq
 
+  /** The shard NAMES a manifest version recorded (no existence checks —
+    * callers decide whether missing files are an error). Unknown
+    * versions fail loudly, naming what does exist. */
+  private[io] def versionShardNames(path: String, v: Long): Seq[String] = {
+    val f = versionFile(path, v)
+    if (!f.isFile) {
+      val have = listManifestVersions(path)
+      throw new IllegalArgumentException(
+        s"GLPR versionAsOf=$v: no such manifest version under '$path'" +
+          (if (have.isEmpty) " (directory has no version history)"
+           else s"; available versions: ${have.mkString(", ")}"))
+    }
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim)
+      .filter(n => n.nonEmpty && n.endsWith(".glpr")).toSeq
+  }
+
   /** [[committedShards]] pinned to a manifest version. Unknown versions
     * and versions whose shards were since unlinked fail loudly — a
     * historical read is exact or it is an error. */
@@ -921,20 +1002,8 @@ object GlprSource {
       version: Option[Long]): Array[java.io.File] = version match {
     case None => committedShards(path)
     case Some(v) =>
-      val f = versionFile(path, v)
-      if (!f.isFile) {
-        val have = listManifestVersions(path)
-        throw new IllegalArgumentException(
-          s"GLPR versionAsOf=$v: no such manifest version under '$path'" +
-            (if (have.isEmpty) " (directory has no version history)"
-             else s"; available versions: ${have.mkString(", ")}"))
-      }
       val dir = new java.io.File(path)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim)
-        .filter(n => n.nonEmpty && n.endsWith(".glpr"))
-        .map { n =>
+      versionShardNames(path, v).map { n =>
           val sf = new java.io.File(dir, n)
           if (!sf.isFile) throw new IllegalStateException(
             s"GLPR versionAsOf=$v: shard '$n' referenced by version $v " +
@@ -943,6 +1012,48 @@ object GlprSource {
               "shards survive; append-only histories always do")
           sf
         }.toArray.sortBy(_.getName)
+  }
+
+  /** CHANGES BETWEEN manifest versions (q312) — the incremental-read
+    * primitive: the shards version `toV` (or the live manifest) holds
+    * that version `fromV` did not. Exact because appends mint strictly
+    * fresh names (never same-name replaces), so new shards ARE the new
+    * rows — change data capture for an append-only corpus at zero extra
+    * storage, the Delta CDF idea collapsed to its append-only special
+    * case. Any intervening unlink (DELETE / OVERWRITE / compaction /
+    * restore) fails LOUDLY instead of under-reporting the change set. */
+  private[io] def changeShards(path: String, fromV: Long,
+      toV: Option[Long]): Array[java.io.File] = {
+    val fromNames = versionShardNames(path, fromV).toSet
+    val to = committedShardsAsOf(path, toV)
+    val gone = fromNames -- to.map(_.getName)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"GLPR changesFromVersion=$fromV: shards ${gone.toSeq.sorted.mkString(", ")} " +
+        s"present at version $fromV are gone at " +
+        toV.map(v => s"version $v").getOrElse("the live manifest") +
+        " — the intervening history is not append-only (a DELETE/" +
+        "OVERWRITE/compaction/restore ran), so the change set cannot be " +
+        "expressed as appended shards")
+    to.filterNot(f => fromNames.contains(f.getName))
+  }
+
+  /** RESTORE TO VERSION (q313): re-point the live manifest at a
+    * historical version's content — Delta's `RESTORE TABLE`, at
+    * manifest size. The restore is itself a mutating commit and MINTS a
+    * new version (history never rewrites: rollback-of-a-rollback and
+    * time travel ACROSS a restore both keep working). Shards appended
+    * after `v` stay on disk — invisible to the live view, still exact
+    * through the versions that own them. Every shard `v` references
+    * must still exist, checked BEFORE the manifest is touched. */
+  def restoreToVersion(path: String, v: Long): Unit = {
+    val names = versionShardNames(path, v)
+    val dir = new java.io.File(path)
+    val missing = names.filterNot(n => new java.io.File(dir, n).isFile)
+    require(missing.isEmpty,
+      s"GLPR restore to version $v: shards ${missing.mkString(", ")} no " +
+        "longer exist (unlinked by DELETE/OVERWRITE/compaction); restore " +
+        "needs every shard of the target version on disk")
+    writeManifest(path, names)
   }
   /** Fold `add` into the manifest. The FIRST commit of a pre-manifest
     * directory adopts the existing listing too, so an upgrade write
@@ -964,6 +1075,26 @@ object GlprSource {
     n.matches("part-\\d{10}\\.glpr")
   private[io] def isEpochShardName(n: String): Boolean =
     n.matches("part-\\d{10}-\\d{5}\\.glpr")
+
+  /** Every shard name this directory has EVER used: on disk now, in the
+    * live manifest, or recorded by any `_manifest.v<n>` snapshot. The
+    * time-travel integrity invariant (q311–q313) is that shard names are
+    * NEVER reused within a directory's lifetime — a reused name would
+    * let a version file silently resolve to different bytes (phantom
+    * history), where a vanished name fails loudly. Writers, OVERWRITE,
+    * compaction, and the row-delete rewrite all mint names past this
+    * set. O(versions) tiny-file reads per commit; a production format
+    * would keep the high-water mark in the manifest header instead. */
+  private[io] def usedShardNames(path: String): Set[String] =
+    (listShardFiles(path).map(_.getName) ++
+      readManifest(path).getOrElse(Seq.empty) ++
+      listManifestVersions(path).flatMap(v => versionShardNames(path, v))).toSet
+
+  /** First free batch-scheme shard number under the never-reuse rule. */
+  private[io] def nextBatchNameBase(path: String): Long =
+    usedShardNames(path).iterator.filter(isBatchShardName)
+      .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
+      .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
 
   /** Raw directory listing of committed shard FILES (no manifest
     * consultation) — the fallback path and the [[rebuildManifest]]
@@ -1250,7 +1381,10 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     // the catalog pinned for SQL `VERSION AS OF` (loadTable(ident, v))
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(pinnedVersion)
-    new GlprScanBuilder(path, maxShards, optRange, optValues, version)
+    // incremental read (q312): shards added AFTER this version only
+    val changesFrom = Option(options.get("changesFromVersion")).map(_.toLong)
+    new GlprScanBuilder(path, maxShards, optRange, optValues, version,
+      changesFrom)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -1384,21 +1518,20 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
           "streaming writer; mixing naming schemes breaks the lexical " +
           "offset contract — append to a fresh directory or overwrite")
     }
-    // APPEND numbers its shards past the directory's current maximum
-    // (raw disk listing, so even an uncommitted orphan's name is never
-    // reused): successive appends accumulate under strictly increasing
-    // names, which the streaming name-offset contract REQUIRES — the
+    // Shards are named past every name the directory EVER used
+    // ([[GlprSource.usedShardNames]]: disk ∪ manifest ∪ version
+    // history): successive appends accumulate under strictly increasing
+    // names, which the streaming name-offset contract REQUIRES (the
     // pre-round-16 same-name replace could swap bytes under a committed
-    // offset unseen. Task retries/speculation within one job share this
-    // factory's base, so a retried task still renames over its own
-    // name (task-level idempotence keeps); re-running a whole job is an
-    // append, like the built-in file sources' append mode.
-    val nameBase: Long =
-      if (truncateFirst) 0L
-      else GlprSource.listShardFiles(path).map(_.getName)
-        .filter(GlprSource.isBatchShardName)
-        .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
-        .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
+    // offset unseen), and names recorded by a manifest VERSION are never
+    // re-minted — even by OVERWRITE, whose truncation just emptied the
+    // disk: a reused name would let `versionAsOf` silently serve
+    // post-overwrite bytes as history (q311's phantom). Task retries/
+    // speculation within one job share this factory's base, so a retried
+    // task still renames over its own name (task-level idempotence);
+    // re-running a whole job is an append, like the built-in file
+    // sources' append mode.
+    val nameBase: Long = GlprSource.nextBatchNameBase(path)
     new GlprWriterFactory(path, schema, partitionCol, nameBase)
   }
   /** The JOB commit point: until this folds the task-committed shard
@@ -1520,7 +1653,8 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
 class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     baseRange: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue),
     baseValues: Map[String, Set[String]] = Map.empty,
-    version: Option[Long] = None) extends ScanBuilder
+    version: Option[Long] = None,
+    changesFrom: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
@@ -1583,6 +1717,10 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || range.lo != Long.MinValue ||
       range.hi != Long.MaxValue || valueFilters.nonEmpty) return None
+    // incremental reads (q312) decline metadata-only aggregates: the
+    // diff's sidecars could answer them, but an under-reported change
+    // set must fail in changeShards, not be silently summarized
+    if (changesFrom.nonEmpty) return None
     val shards = GlprSource.committedShardsAsOf(path, version)
     val metas = shards.map(GlprSource.readMeta)
     if (metas.exists(_.isEmpty)) return None // a shard without stats
@@ -1660,7 +1798,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit, valueFilters, version)
+      limit, valueFilters, version, changesFrom)
   }
 }
 
@@ -1704,7 +1842,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     pushed: Array[Filter], maxShardsPerTrigger: Option[Int],
     limit: Option[Int] = None,
     valueFilters: Map[String, Set[String]] = Map.empty,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    changesFrom: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1713,7 +1852,18 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   // PushedFilters/ReadSchema lines PlanLint-style checks grep for
   override def description(): String =
     s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      version.map(v => s", VersionAsOf: $v").getOrElse("") +
+      changesFrom.map(m => s", ChangesFromVersion: $m").getOrElse("")
+
+  /** The scan's shard universe: the live manifest, a version pin
+    * (q311), or the version DIFF of an incremental read (q312) —
+    * everything downstream (static/runtime/bloom/value pruning, limit
+    * capping, statistics) composes unchanged on top. */
+  private def baseShards(): Array[java.io.File] = changesFrom match {
+    case Some(m) => GlprSource.changeShards(path, m, version)
+    case None => GlprSource.committedShardsAsOf(path, version)
+  }
 
   /** Runtime (DPP-style) shard pruning: Spark's PartitionPruning rule
     * plants a `DynamicPruningExpression` subquery on the join key when
@@ -1769,7 +1919,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * Shards without bounds (pre-round-15 sidecars, external writers,
     * empty shards) are never pruned. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = GlprSource.committedShardsAsOf(path, version)
+    val shards = baseShards()
     val kept = shards.filter { f =>
       val meta = GlprSource.readMeta(f)
       val idKeep = meta.flatMap(_.bounds) match {
@@ -1841,7 +1991,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * level: pushed doc_id filters don't shrink the estimate (matching
     * the built-in file sources, whose stats are also pre-filter). */
   override def estimateStatistics(): Statistics = {
-    val shards = GlprSource.committedShardsAsOf(path, version)
+    val shards = baseShards()
     val metas = shards.map(GlprSource.readMeta)
     val (size, rows) =
       if (shards.nonEmpty && metas.forall(_.isDefined)) {
@@ -1866,6 +2016,10 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     require(version.isEmpty,
       "GLPR versionAsOf is a batch-only option — a stream follows the " +
         "live manifest, not a historical snapshot")
+    require(changesFrom.isEmpty,
+      "GLPR changesFromVersion is a batch-only option — a stream IS the " +
+        "incremental read (its name offset already advances past every " +
+        "processed shard)")
     new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
       valueFilters)
   }

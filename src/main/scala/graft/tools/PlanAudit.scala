@@ -188,6 +188,18 @@ object PlanAudit {
       "snapshot (VERSION AS OF) — the third append's shards exist on disk and in the " +
       "live manifest but are never planned",
       reg("q311_glpr_time_travel")),
+    ("q312_glpr_changes", "incremental read (append-only CDF): changesFromVersion=1 + " +
+      "versionAsOf=2 plans ONLY the second append's shards — the version diff, never " +
+      "a corpus rescan; non-append histories refuse loudly",
+      reg("q312_glpr_changes")),
+    ("q313_glpr_restore", "post-RESTORE live scan: the manifest was rolled back to " +
+      "version 2's content (minting version 4), so the third append's on-disk shards " +
+      "are never planned; history across the restore stays readable",
+      reg("q313_glpr_restore")),
+    ("q314_glpr_row_delete", "post-rewrite scan after a copy-on-write row DELETE on a " +
+      "hash layout: straddling shards were rewritten under fresh names behind one " +
+      "manifest commit, fully-covered shards unlinked metadata-only",
+      reg("q314_glpr_row_delete")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",

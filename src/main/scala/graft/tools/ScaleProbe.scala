@@ -70,7 +70,10 @@ object ScaleProbe {
     "q308_glpr_partition_delete", // partition-value metadata DELETE (cached pipeline)
     "q309_glpr_compact",       // post-compaction scan over merged shards (cached)
     "q310_glpr_manifest",      // manifest-listed scan with planted orphan (cached)
-    "q311_glpr_time_travel")   // version-pinned historical read (cached staging)
+    "q311_glpr_time_travel",   // version-pinned historical read (cached staging)
+    "q312_glpr_changes",       // version-diff incremental read (shares q311 staging)
+    "q313_glpr_restore",       // post-rollback live read (cached staging)
+    "q314_glpr_row_delete")    // post-copy-on-write-delete read (cached staging)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -77,6 +77,13 @@ class PlanLintSpec extends AnyFunSuite {
     "q311_glpr_time_travel",    // three staged appends on construction
                                 // (cached); version pins in GlprSpec/
                                 // GlprCatalogSpec
+    "q312_glpr_changes",        // shares q311's staging (cached);
+                                // version-diff pins in GlprSpec
+    "q313_glpr_restore",        // three appends + restore on
+                                // construction (cached); GlprSpec pins
+    "q314_glpr_row_delete",     // staging write + rewrite job on
+                                // construction (cached);
+                                // GlprSpec pins
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

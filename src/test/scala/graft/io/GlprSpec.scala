@@ -501,6 +501,190 @@ class GlprSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("batch-only"), e3.getMessage)
   }
 
+  test("q312 incremental read: the version diff is exact; non-append histories refuse") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-changes-spec").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // version 1
+    append(3L -> "c")            // version 2
+    append(4L -> "d", 5L -> "e") // version 3
+    def changed(from: Long, to: Option[Long]): Set[Long] = {
+      val r = spark.read.format("graft.io.GlprSource")
+        .option("changesFromVersion", from.toString)
+      to.foreach(v => r.option("versionAsOf", v.toString))
+      r.load(root).select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(changed(1, Some(2)) === Set(3L))
+    assert(changed(1, Some(3)) === Set(3L, 4L, 5L))
+    assert(changed(2, None) === Set(4L, 5L)) // live upper bound
+    assert(changed(3, Some(3)) === Set.empty[Long]) // empty diff
+    // static pushdown composes on top of the diff
+    val filtered = spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", "1").load(root)
+      .filter(col("doc_id") >= 4L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered === Set(4L, 5L))
+    // a stream never takes the option: rejected at materialization
+    val q = spark.readStream.format("graft.io.GlprSource")
+      .option("changesFromVersion", "1").load(root)
+      .writeStream.format("memory").queryName("glpr_changes_reject")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e0 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e0.getMessage.contains("batch-only"), e0.getMessage)
+    // compaction between the versions makes the history non-append:
+    // the change set can no longer be expressed as shards — LOUD
+    GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
+    val e1 = intercept[Exception] { changed(1, None) }
+    assert(e1.getMessage.contains("not append-only"), e1.getMessage)
+  }
+
+  test("q313 restore: the live view rolls back, history stays intact and loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-restore-spec").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // v1: part-0
+    append(3L -> "c")            // v2: + part-1
+    append(4L -> "d")            // v3: + part-2
+    def liveIds() = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    GlprSource.restoreToVersion(root, 2L)
+    // live view = the first two appends; the restore MINTED version 4
+    assert(liveIds() === Set(1L, 2L, 3L))
+    assert(GlprSource.listManifestVersions(root) === Seq(1L, 2L, 3L, 4L))
+    assert(GlprSource.versionShardNames(root, 4L) ===
+      GlprSource.versionShardNames(root, 2L))
+    // time travel ACROSS the restore still works: v3's shards are on disk
+    val v3 = spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", "3").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v3 === Set(1L, 2L, 3L, 4L))
+    // restore to the current content is a no-op: no version minted
+    GlprSource.restoreToVersion(root, 4L)
+    assert(GlprSource.listManifestVersions(root) === Seq(1L, 2L, 3L, 4L))
+    // an append AFTER the restore numbers past EVERY name ever used —
+    // part-2 is out of the live view but its name is burned
+    append(5L -> "e")
+    assert(new java.io.File(root, "part-0000000003.glpr").isFile,
+      "post-restore append must not reuse the rolled-back shard's name")
+    assert(liveIds() === Set(1L, 2L, 3L, 5L))
+    // restore needs every target shard on disk: unlink one, refuse loudly
+    val doomed = new java.io.File(root, "part-0000000002.glpr")
+    GlprSource.metaFile(doomed).delete(); assert(doomed.delete())
+    val e1 = intercept[IllegalArgumentException] {
+      GlprSource.restoreToVersion(root, 3L)
+    }
+    assert(e1.getMessage.contains("no longer exist"), e1.getMessage)
+    // unknown version: loud
+    val e2 = intercept[IllegalArgumentException] {
+      GlprSource.restoreToVersion(root, 99L)
+    }
+    assert(e2.getMessage.contains("versionAsOf=99"), e2.getMessage)
+  }
+
+  test("q314 row delete: metadata unlink / untouched / rewrite split is exact") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-rowdelete-spec").toString
+    // 4 range-clustered shards: [0,99] [100,199] [200,299] [300,399]
+    GlprSource.write(
+      (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"t-$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    val before = GlprSource.committedShards(root).map(_.getName)
+    assert(before.length === 4)
+    val versionsBefore = GlprSource.listManifestVersions(root).length
+    val report = GlprMaintenance.deleteIdRange(spark, root, 150L, 349L)
+    // [200,299] was fully inside: unlinked whole, zero bytes rewritten;
+    // [100,199] and [300,399] straddled: rewritten; [0,99] untouched
+    assert(report.unlinked.length === 1)
+    assert(report.rewritten.size === 2 &&
+      report.rewritten.values.forall(_.isDefined))
+    assert(report.rowsDeleted === 200L)
+    val after = GlprSource.committedShards(root).map(_.getName)
+    assert(after.length === 3)
+    // the untouched shard KEEPS its name; survivors took fresh names
+    assert(after.contains(before.head), "disjoint shard must not be rewritten")
+    report.rewritten.values.flatten.foreach(n =>
+      assert(!before.contains(n), s"survivor $n must take a fresh name"))
+    // row-exact: the range is gone, everything else survives
+    val ids = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ((0L until 150L) ++ (350L until 400L)).toSet)
+    // sidecars of the survivors carry tightened bounds
+    val metas = GlprSource.committedShards(root).flatMap(GlprSource.readMeta)
+    assert(metas.map(_.rows).sum === 200L)
+    // the delete was ONE mutating commit: exactly one version minted
+    assert(GlprSource.listManifestVersions(root).length === versionsBefore + 1)
+    // pre-delete versions fail loudly now (their shards were unlinked)
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("versionAsOf", versionsBefore.toString).load(root).count()
+    }
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    // a bounds-less straddler (external writer) takes the rewrite path;
+    // a fully-emptied one writes NO survivor shard
+    val w = new GlprWriter(root, GlprSource.schema, 0, 77L,
+      Some("part-0000000099.glpr"))
+    w.write(org.apache.spark.sql.catalyst.InternalRow(4242L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("boundless")))
+    w.commit()
+    java.nio.file.Files.write( // strip the bounds from its sidecar
+      GlprSource.metaFile(new java.io.File(root, "part-0000000099.glpr")).toPath,
+      "rows=1 lang=2 source=1 text=9".getBytes("UTF-8"))
+    GlprSource.mergeIntoManifest(root, Seq("part-0000000099.glpr"))
+    val r2 = GlprMaintenance.deleteIdRange(spark, root, 4242L, 4242L)
+    assert(r2.rewritten === Map("part-0000000099.glpr" -> None))
+    assert(r2.rowsDeleted === 1L)
+    assert(!spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).contains(4242L))
+  }
+
+  test("shard names are never reused: OVERWRITE and compaction keep history loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-namereuse-spec").toString
+    def df(rows: (Long, String)*) =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text").coalesce(1)
+    df(1L -> "a").write.format("graft.io.GlprSource").mode("append").save(root)
+    // OVERWRITE truncates the disk but must NOT re-mint part-0: version
+    // 1 recorded that name, and a reused name would let versionAsOf=1
+    // silently serve post-overwrite bytes as history
+    df(2L -> "b").write.format("graft.io.GlprSource").mode("overwrite").save(root)
+    assert(!new java.io.File(root, "part-0000000000.glpr").isFile)
+    assert(new java.io.File(root, "part-0000000001.glpr").isFile,
+      "overwrite must number past the version history, not reset to 0")
+    val e1 = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("versionAsOf", "1").load(root).count()
+    }
+    assert(e1.getMessage.contains("no longer exists"), e1.getMessage)
+    // compaction mints FRESH names for merged shards — the versions that
+    // referenced the members turn loud, never silently re-resolve
+    df(3L -> "c").write.format("graft.io.GlprSource").mode("append").save(root)
+    val merged = GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
+    assert(merged.length === 1)
+    assert(!Set("part-0000000001.glpr", "part-0000000002.glpr")
+      .contains(merged.head.mergedName),
+      s"merged shard must take a fresh name, got ${merged.head.mergedName}")
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("versionAsOf", "2").load(root).count()
+    }
+    assert(e2.getMessage.contains("no longer exists"), e2.getMessage)
+    // the live view is intact throughout
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("bloom fold is membership-exact; zero false negatives; FPR within envelope") {
     val ids = (0L until 1000L).map(i => i * 2654435761L + 17L) // arbitrary spread
     // build at max size, fold to the commit target
