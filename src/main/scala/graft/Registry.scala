@@ -2597,6 +2597,20 @@ object Registry {
         |FROM documents WHERE doc_id < 100 OR doc_id > 299
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DSv2 FunctionCatalog: connector-shipped SQL functions under the
+    // reserved sys namespace — the MAGIC_METHOD scalar nfc_bytes
+    // (codegen'd Invoke) and the V2 aggregate bytes_sum (map-side
+    // partials via V2Aggregator), called by catalog-qualified name from
+    // plain SQL. The oracle recomputes with DuckDB's own nfc_normalize:
+    // cross-engine agreement certifies semantics AND wiring.
+    "q315_glpr_sql_functions" -> Entry((s, d) =>
+      graft.io.GlprSource.functionCatalogPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang,
+        | CAST(sum(strlen(nfc_normalize(text))) AS BIGINT) AS nfc_bytes,
+        | CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

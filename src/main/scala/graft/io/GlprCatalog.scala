@@ -2,8 +2,9 @@ package graft.io
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * components are validated against a conservative charset — a catalog
   * must never let `..`-bearing names escape its root.
   */
-class GlprCatalog extends TableCatalog {
+class GlprCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: java.io.File = _
 
@@ -163,6 +164,20 @@ class GlprCatalog extends TableCatalog {
       true
     }
   }
+
+  /** DSv2 `FunctionCatalog` (q315): connector-shipped SQL functions
+    * under the reserved `sys` namespace — see [[GlprFunctions]]. Table
+    * namespaces list no functions; unknown namespaces and unknown
+    * function names fail loudly with the standard analysis errors. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(GlprFunctions.Namespace)))
+      GlprFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else if (nsDir(namespace).isDirectory) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
+      GlprFunctions.load(ident.name) else None)
+      .getOrElse(throw new NoSuchFunctionException(ident))
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)

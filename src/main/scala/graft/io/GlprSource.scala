@@ -159,6 +159,32 @@ object GlprSource {
   private val catalogRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q315 — the DSv2 FunctionCatalog front door ([[GlprFunctions]]):
+    * `glpr_fn.sys.nfc_bytes` (MAGIC_METHOD scalar — codegen'd Invoke, no
+    * row boxing) and the V2 aggregate `glpr_fn.sys.bytes_sum`
+    * (V2Aggregator: map-side partials + merge), both called from plain
+    * SQL by catalog-qualified name over the documents view — no session
+    * registration, no UDF. The oracle recomputes with DuckDB's OWN
+    * `nfc_normalize`/`strlen`: cross-engine hash agreement certifies the
+    * normalization semantics AND the function-resolution wiring.
+    * Listing, unknown-name/namespace rejections, and arity checks are
+    * GlprCatalogSpec-pinned. */
+  def functionCatalogPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = fnRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-fncat").toString)
+    val s2 = freshCatalogSession(spark, "glpr_fn", root)
+    s2.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("fn_docs")
+    rematerialize(spark, s2.sql(
+      """SELECT lang,
+        | CAST(sum(glpr_fn.sys.nfc_bytes(text)) AS BIGINT) AS nfc_bytes,
+        | glpr_fn.sys.bytes_sum(text) AS raw_bytes,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM fn_docs GROUP BY lang""".stripMargin))
+  }
+  private val fnRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The fixed doc_id slice expression behind the DML pipelines (q301/
     * q303): three contiguous id ranges `[min,100) [100,300) [300,max]`,
     * used as a DISTRIBUTE BY / repartition key so each range lands

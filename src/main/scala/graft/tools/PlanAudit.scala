@@ -200,6 +200,10 @@ object PlanAudit {
       "hash layout: straddling shards were rewritten under fresh names behind one " +
       "manifest commit, fully-covered shards unlinked metadata-only",
       reg("q314_glpr_row_delete")),
+    ("q315_glpr_sql_functions", "FunctionCatalog resolution: the MAGIC_METHOD scalar " +
+      "nfc_bytes plans as a codegen'd Invoke and the V2 aggregate bytes_sum as a " +
+      "V2Aggregator hash aggregate with map-side partials — no UDF, no session " +
+      "registration", reg("q315_glpr_sql_functions")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",

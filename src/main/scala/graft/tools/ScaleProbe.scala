@@ -73,7 +73,8 @@ object ScaleProbe {
     "q311_glpr_time_travel",   // version-pinned historical read (cached staging)
     "q312_glpr_changes",       // version-diff incremental read (shares q311 staging)
     "q313_glpr_restore",       // post-rollback live read (cached staging)
-    "q314_glpr_row_delete")    // post-copy-on-write-delete read (cached staging)
+    "q314_glpr_row_delete",    // post-copy-on-write-delete read (cached staging)
+    "q315_glpr_sql_functions") // catalog V2 scalar+agg functions over documents
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -84,6 +84,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q314_glpr_row_delete",     // staging write + rewrite job on
                                 // construction (cached);
                                 // GlprSpec pins
+    "q315_glpr_sql_functions",  // rematerialized catalog-function SQL
+                                // (collects on construction); pins in
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -298,6 +298,41 @@ class GlprCatalogSpec extends AnyFunSuite {
       === "pre-existing")
   }
 
+  test("q315 FunctionCatalog: sys functions resolve, compute, and reject the unknown loudly") {
+    root: Unit // register the catalog confs (lazy)
+    // catalog-qualified scalar + aggregate over an ordinary temp view
+    Seq(("héllo", "en"), ("wörld", "en"), (null, "de"), ("ok", "de"))
+      .toDF("t", "lang").createOrReplaceTempView("fn_spec_docs")
+    val got = spark.sql(
+      """SELECT lang, sum(glpr_spec.sys.nfc_bytes(t)) AS nfc,
+        | glpr_spec.sys.bytes_sum(t) AS raw, count(*) AS n
+        |FROM fn_spec_docs GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "héllo"/"wörld" are 6 UTF-8 bytes each (already NFC); null
+    // contributes nothing; "ok" is 2
+    assert(got.toSeq === Seq(("de", 2L, 2L, 2L), ("en", 12L, 12L, 2L)))
+    // scalar null-propagation end to end
+    assert(spark.sql("SELECT glpr_spec.sys.nfc_bytes(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    // NFC actually normalizes: decomposed e + COMBINING ACUTE (3 bytes)
+    // composes to é (2 bytes)
+    assert(spark.sql("SELECT glpr_spec.sys.nfc_bytes('é')")
+      .head().getLong(0) === 2L)
+    // SHOW FUNCTIONS lists the sys namespace
+    val listed = spark.sql("SHOW FUNCTIONS IN glpr_spec.sys").collect()
+      .map(_.getString(0)).toSet
+    assert(listed.exists(_.endsWith("nfc_bytes")) &&
+      listed.exists(_.endsWith("bytes_sum")), listed.toString)
+    // unknown function and wrong arity both fail loudly at analysis
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT glpr_spec.sys.no_such_fn(1)").collect())
+    assert(e1.getMessage.toLowerCase.contains("no_such_fn"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT glpr_spec.sys.nfc_bytes('a', 'b')").collect())
+    assert(e2.getMessage.contains("exactly one STRING"), e2.getMessage)
+    spark.catalog.dropTempView("fn_spec_docs")
+  }
+
   test("q311 SQL time travel: VERSION AS OF resolves manifest versions; pinned tables are read-only") {
     spark.sql(s"CREATE TABLE glpr_spec.ns6.tt $ddl")
     Seq((1L, "en", "s", "first")).toDF("doc_id", "lang", "source", "text")
