@@ -2611,6 +2611,32 @@ object Registry {
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ProcedureCatalog, introspection half: CALL sys.history('ns.table')
+    // = DESCRIBE HISTORY. One row per manifest version with the
+    // CUMULATIVE row count a versionAsOf read of it returns; the oracle
+    // recomputes the cumulative slice counts — agreement certifies
+    // exactly-one-version-per-commit and correct snapshots.
+    "q316_glpr_history" -> Entry((s, d) =>
+      graft.io.GlprSource.historyPipeline(s, d).orderBy("version"), Some(
+      """SELECT CAST(v AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows FROM (
+        | SELECT 1 AS v, (SELECT count(*) FROM documents WHERE doc_id < 100) AS n
+        | UNION ALL
+        | SELECT 2, (SELECT count(*) FROM documents WHERE doc_id < 300)
+        | UNION ALL
+        | SELECT 3, (SELECT count(*) FROM documents)
+        |) ORDER BY 1""".stripMargin)),
+
+    // ProcedureCatalog, maintenance half: CALL restore(2) -> compact ->
+    // vacuum through plain SQL, then the live rollup. Oracle = documents
+    // WHERE doc_id < 300: restore dropped exactly the third slice and
+    // compaction moved every surviving row exactly once.
+    "q317_glpr_sql_maintenance" -> Entry((s, d) =>
+      graft.io.GlprSource.maintenanceSqlPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

@@ -3,8 +3,9 @@ package graft.io
 import java.util
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * components are validated against a conservative charset — a catalog
   * must never let `..`-bearing names escape its root.
   */
-class GlprCatalog extends TableCatalog with FunctionCatalog {
+class GlprCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: java.io.File = _
 
@@ -178,6 +180,31 @@ class GlprCatalog extends TableCatalog with FunctionCatalog {
     (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
       GlprFunctions.load(ident.name) else None)
       .getOrElse(throw new NoSuchFunctionException(ident))
+
+  /** DSv2 `ProcedureCatalog` (q316/q317): `CALL <cat>.sys.compact(
+    * 'ns.table', bytes)` and friends — maintenance and history
+    * introspection through plain SQL, the Iceberg system-procedures
+    * pattern. See [[GlprProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(GlprFunctions.Namespace)))
+      GlprProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
+      GlprProcedures.load(ident.name, tableRefDir _) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such GLPR procedure: $ident; available under sys: " +
+          GlprProcedures.names.mkString(", ")))
+  /** Resolve a procedure's 'ns.table' argument against this catalog's
+    * root, with the same path hygiene as identifiers; the table must
+    * exist (marker-bearing). */
+  private def tableRefDir(ref: String): java.io.File = {
+    val dir = ref.split("\\.").foldLeft(root)((d, p) =>
+      new java.io.File(d, checkPart(p)))
+    require(marker(dir).isFile,
+      s"no GLPR table '$ref' under catalog '$catalogName'")
+    dir
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)

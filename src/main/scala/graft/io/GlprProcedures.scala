@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for GLPR maintenance (q316/q317) — the Iceberg
+  * `CALL catalog.system.proc(...)` pattern over Spark 4's public
+  * `ProcedureCatalog` API: table maintenance (compaction, vacuum,
+  * restore, manifest recovery) and introspection (version history)
+  * become one-line SQL for consumers with no DataFrame escape hatch —
+  * DDL, DML, queries, functions AND maintenance all through the same
+  * catalog. Each procedure resolves its `table` argument ('ns.table')
+  * against the owning catalog's root, runs the corresponding
+  * [[GlprSource]]/[[GlprMaintenance]] driver-side operation, and
+  * returns its report as a [[LocalScan]] result set (CALL renders it
+  * like a query). All procedures are non-deterministic by declaration:
+  * they mutate or inspect on-disk state. */
+object GlprProcedures {
+  def names: Seq[String] = Seq(
+    "history", "compact", "vacuum", "restore", "rebuild_manifest")
+  def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
+    names.find(_ == name).map(n => new GlprProcedure(n, resolve))
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One row of a procedure result set. */
+  private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
+
+  private[io] final case class Result(schema: StructType,
+      out: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"GLPR procedure result: ${schema.fieldNames.mkString(", ")}"
+  }
+
+  /** `history('ns.table')` — the DESCRIBE HISTORY analogue: one row per
+    * manifest version with its shard count and total rows (null when a
+    * referenced shard or its sidecar no longer exists — vanished over
+    * phantom, like the reads). Versions are CUMULATIVE snapshots, so
+    * `n_rows` is the row count a `versionAsOf` read of that version
+    * returns. */
+  private[io] def history(dir: java.io.File): Result = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_shards", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = true)))
+    val path = dir.getAbsolutePath
+    val out = GlprSource.listManifestVersions(path).map { v =>
+      val names = GlprSource.versionShardNames(path, v)
+      val metas = names.map(n =>
+        GlprSource.readMeta(new java.io.File(dir, n)))
+      val rows: Any =
+        if (metas.forall(_.isDefined)) java.lang.Long.valueOf(metas.flatMap(_.map(_.rows)).sum)
+        else null
+      row(java.lang.Long.valueOf(v), java.lang.Integer.valueOf(names.length), rows)
+    }.toArray
+    Result(schema, out)
+  }
+
+  private[io] def summary(kv: (String, Long)*): Result =
+    Result(StructType(kv.map(p => StructField(p._1, LongType, nullable = false))),
+      Array(row(kv.map(p => java.lang.Long.valueOf(p._2)): _*)))
+}
+
+/** One named GLPR procedure; `bind` validates the argument shape, `call`
+  * executes driver-side and returns the report as a local result set. */
+final class GlprProcedure(procName: String, resolve: String => java.io.File)
+    extends UnboundProcedure {
+  import GlprProcedures._
+  override def name(): String = procName
+  override def description(): String = procName match {
+    case "history" => "history(table): manifest versions with shard/row counts"
+    case "compact" => "compact(table, target_bytes): merge small shards up to target_bytes"
+    case "vacuum" => "vacuum(table): unlink _tmp stage wreckage"
+    case "restore" => "restore(table, version): re-point the live manifest at a version"
+    case "rebuild_manifest" => "rebuild_manifest(table): re-adopt every committed shard on disk"
+    case _ => procName
+  }
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = GlprProcedure.this.description()
+    // every procedure mutates or inspects on-disk state
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "compact" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType).build())
+      case "restore" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      case _ => Array(ProcedureParameter.in("table", StringType).build())
+    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolve(input.getUTF8String(0).toString)
+      val path = dir.getAbsolutePath
+      val result: Result = procName match {
+        case "history" => history(dir)
+        case "compact" =>
+          val merged = GlprMaintenance.compact(path, input.getLong(1))
+          summary("merged_groups" -> merged.length.toLong,
+            "merged_rows" -> merged.map(_.rows).sum)
+        case "vacuum" =>
+          summary("removed" -> GlprMaintenance.vacuum(path).toLong)
+        case "restore" =>
+          val v = input.getLong(1)
+          GlprSource.restoreToVersion(path, v)
+          summary("restored_to" -> v,
+            "live_version" -> GlprSource.listManifestVersions(path).last)
+        case "rebuild_manifest" =>
+          GlprSource.rebuildManifest(path)
+          summary("shards" ->
+            GlprSource.committedShards(path).length.toLong)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      java.util.Collections.singletonList[Scan](result).iterator()
+    }
+  }
+}

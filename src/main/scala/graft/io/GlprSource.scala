@@ -185,6 +185,77 @@ object GlprSource {
   private val fnRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q316 — version HISTORY through `CALL <cat>.sys.history('ns.table')`
+    * (the DESCRIBE HISTORY analogue, via Spark 4's ProcedureCatalog):
+    * the corpus lands in three slice INSERTs — three manifest versions —
+    * and the procedure reports one row per version with its CUMULATIVE
+    * row count (what a `versionAsOf` read of that version returns). The
+    * oracle recomputes the cumulative slice counts from the documents
+    * table: agreement certifies the versions were minted exactly once
+    * per commit and snapshot the right states. Shard counts are
+    * partitioning-dependent bookkeeping and projected away. */
+  def historyPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = historyRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-history").toString)
+    val s2 = freshCatalogSession(spark, "glpr_hist", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_hist.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      Seq("doc_id < 100", "doc_id >= 100 AND doc_id < 300", "doc_id >= 300")
+        .foreach { p =>
+          s2.sql("INSERT INTO glpr_hist.corpus.docs " +
+            s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+            s"WHERE $p")
+        }
+    }
+    rematerialize(spark,
+      s2.sql("CALL glpr_hist.sys.history('corpus.docs')")
+        .select("version", "n_rows"))
+  }
+  private val historyRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q317 — the MAINTENANCE ladder through SQL `CALL`: three slice
+    * INSERTs, `restore(2)` (roll the live view back to the first two),
+    * `compact` (merge the survivors), `vacuum` (no-op on a clean dir),
+    * then the live rollup. The oracle aggregates `documents WHERE
+    * doc_id < 300`: hash agreement certifies restore dropped exactly the
+    * third slice and compaction moved every surviving row exactly once —
+    * the whole Iceberg-style `CALL catalog.system.proc(...)` surface,
+    * effect-checked cross-engine. Per-procedure result sets and loud
+    * rejections are GlprCatalogSpec-pinned. */
+  def maintenanceSqlPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = maintRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-maint").toString)
+    val s2 = freshCatalogSession(spark, "glpr_maint", root)
+    val tableDir = new java.io.File(root, "corpus/docs")
+    if (!new java.io.File(tableDir, "_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_maint.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      Seq("doc_id < 100", "doc_id >= 100 AND doc_id < 300", "doc_id >= 300")
+        .foreach { p =>
+          s2.sql("INSERT INTO glpr_maint.corpus.docs " +
+            s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+            s"WHERE $p")
+        }
+      // an all-empty corpus mints fewer versions; clamp like q311
+      val pin = math.min(2L,
+        listManifestVersions(tableDir.getAbsolutePath).lastOption.getOrElse(1L))
+      s2.sql(s"CALL glpr_maint.sys.restore('corpus.docs', $pin)").collect()
+      s2.sql(s"CALL glpr_maint.sys.compact('corpus.docs', ${Long.MaxValue / 2})")
+        .collect()
+      s2.sql("CALL glpr_maint.sys.vacuum('corpus.docs')").collect()
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_maint.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val maintRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The fixed doc_id slice expression behind the DML pipelines (q301/
     * q303): three contiguous id ranges `[min,100) [100,300) [300,max]`,
     * used as a DISTRIBUTE BY / repartition key so each range lands

@@ -204,6 +204,12 @@ object PlanAudit {
       "nfc_bytes plans as a codegen'd Invoke and the V2 aggregate bytes_sum as a " +
       "V2Aggregator hash aggregate with map-side partials — no UDF, no session " +
       "registration", reg("q315_glpr_sql_functions")),
+    ("q316_glpr_history", "ProcedureCatalog introspection: CALL sys.history renders " +
+      "the manifest version log as a LocalScan result set — DESCRIBE HISTORY with " +
+      "zero data bytes read", reg("q316_glpr_history")),
+    ("q317_glpr_sql_maintenance", "ProcedureCatalog maintenance: the live scan after " +
+      "CALL restore(2) -> compact -> vacuum plans only the merged survivor shards " +
+      "of the rolled-back view", reg("q317_glpr_sql_maintenance")),
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",

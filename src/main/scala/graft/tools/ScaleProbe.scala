@@ -74,7 +74,9 @@ object ScaleProbe {
     "q312_glpr_changes",       // version-diff incremental read (shares q311 staging)
     "q313_glpr_restore",       // post-rollback live read (cached staging)
     "q314_glpr_row_delete",    // post-copy-on-write-delete read (cached staging)
-    "q315_glpr_sql_functions") // catalog V2 scalar+agg functions over documents
+    "q315_glpr_sql_functions", // catalog V2 scalar+agg functions over documents
+    "q316_glpr_history",       // CALL sys.history version introspection (cached)
+    "q317_glpr_sql_maintenance") // CALL restore/compact/vacuum ladder (cached)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -87,6 +87,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q315_glpr_sql_functions",  // rematerialized catalog-function SQL
                                 // (collects on construction); pins in
                                 // GlprCatalogSpec
+    "q316_glpr_history",        // catalog CREATE/INSERT + CALL history
+                                // on construction (cached); procedure
+                                // pins in GlprCatalogSpec
+    "q317_glpr_sql_maintenance", // CALL restore/compact/vacuum on
+                                // construction (cached); procedure
+                                // pins in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -333,6 +333,45 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("fn_spec_docs")
   }
 
+  test("q316/q317 ProcedureCatalog: CALL history/restore/compact/vacuum through SQL") {
+    root: Unit // register the catalog confs (lazy)
+    spark.sql(s"CREATE TABLE glpr_spec.ns7.pt $ddl")
+    def insert(lo: Long, hi: Long): Unit = {
+      (lo until hi).map(i => (i, "en", "s", s"t$i"))
+        .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("proc_in")
+      spark.sql("INSERT INTO glpr_spec.ns7.pt SELECT * FROM proc_in")
+      spark.catalog.dropTempView("proc_in")
+    }
+    insert(0, 10)  // version 1
+    insert(10, 30) // version 2
+    insert(30, 40) // version 3
+    // history = DESCRIBE HISTORY: cumulative row counts per version
+    val hist = spark.sql("CALL glpr_spec.sys.history('ns7.pt')")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hist.toSeq === Seq((1L, 10L), (2L, 30L), (3L, 40L)))
+    // restore through SQL rolls the live view back and mints version 4
+    val restored = spark.sql("CALL glpr_spec.sys.restore('ns7.pt', 2)").head()
+    assert(restored.getLong(0) === 2L && restored.getLong(1) === 4L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.pt").head().getLong(0) === 30L)
+    // compact everything into one group; rows preserved through the read
+    val merged = spark.sql(
+      s"CALL glpr_spec.sys.compact('ns7.pt', ${Long.MaxValue / 2})").head()
+    assert(merged.getLong(1) === 30L, s"merged_rows: $merged")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.pt").head().getLong(0) === 30L)
+    // vacuum on a clean dir removes nothing
+    assert(spark.sql("CALL glpr_spec.sys.vacuum('ns7.pt')").head().getLong(0) === 0L)
+    // rebuild_manifest re-adopts the compacted state idempotently
+    assert(spark.sql("CALL glpr_spec.sys.rebuild_manifest('ns7.pt')").head().getLong(0) >= 1L)
+    // unknown procedure and unknown table fail loudly
+    // (Spark wraps the catalog's rejection in FAILED_TO_LOAD_ROUTINE)
+    val e1 = intercept[Exception](spark.sql("CALL glpr_spec.sys.nope('x')").collect())
+    assert(e1.getMessage.contains("Failed to load routine") &&
+      e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL glpr_spec.sys.history('ns7.missing')").collect())
+    assert(e2.getMessage.contains("no GLPR table"), e2.getMessage)
+  }
+
   test("q311 SQL time travel: VERSION AS OF resolves manifest versions; pinned tables are read-only") {
     spark.sql(s"CREATE TABLE glpr_spec.ns6.tt $ddl")
     Seq((1L, "en", "s", "first")).toDF("doc_id", "lang", "source", "text")
