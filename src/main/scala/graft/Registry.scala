@@ -2637,6 +2637,36 @@ object Registry {
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // STORAGE-PARTITIONED JOIN: two PARTITIONED BY (lang) GLPR tables
+    // joined on the partition key — both scans report
+    // KeyGroupedPartitioning with HasPartitionKey shard partitions, so
+    // the join AND the following rollup run with ZERO exchanges
+    // (broadcast disabled, v2 bucketing on). Oracle recomputes the
+    // join+rollup; the no-Exchange plan pin lives in GlprCatalogSpec.
+    "q319_glpr_spj" -> Entry((s, d) =>
+      graft.io.GlprSource.storagePartitionedJoinPipeline(s, d).orderBy("lang"), Some(
+      """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(m.doc_id) AS BIGINT) AS dim_min_id
+        |FROM documents d JOIN
+        | (SELECT lang, min(doc_id) AS doc_id FROM documents GROUP BY lang) m
+        |ON d.lang = m.lang GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Observed pipeline metrics: a two-stage quality gate instrumented
+    // with observe/Observation (CollectMetrics accumulators) — per-stage
+    // rows/bytes/selectivity from the SAME pass over the data, zero
+    // extra scans. The oracle recomputes all stages relationally:
+    // agreement certifies the observability channel is value-exact.
+    "q318_observed_metrics" -> Entry((s, d) =>
+      graft.relational.Observe.observedQualityGate(s, d), Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_in,
+        | CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS bytes_in,
+        | CAST(count(*) FILTER (WHERE strlen(text) >= 200) AS BIGINT) AS n_out,
+        | CAST(coalesce(sum(strlen(text)) FILTER (WHERE strlen(text) >= 200), 0) AS BIGINT) AS bytes_out,
+        | CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+        |   (count(*) FILTER (WHERE strlen(text) >= 200)) * 10000 // count(*)
+        | END AS BIGINT) AS survival_bp
+        |FROM documents""".stripMargin)),
+
     // Curation drop-waterfall: per-stage survivor counts + drop
     // attribution (exact dedup -> near-dup reps -> length gate -> token
     // floor); the capstones certify the OUTPUT, this certifies the

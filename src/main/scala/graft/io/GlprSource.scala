@@ -256,6 +256,69 @@ object GlprSource {
   private val maintRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q319 — STORAGE-PARTITIONED JOIN: two `PARTITIONED BY (lang)` GLPR
+    * tables (the corpus and a per-lang dimension), joined on the
+    * partition key with broadcast disabled and
+    * `spark.sql.sources.v2.bucketing.enabled` on — both scans report
+    * `KeyGroupedPartitioning(identity(lang))` with `HasPartitionKey`
+    * shard partitions, so Spark lines the sides up by partition VALUE
+    * and the whole plan (join AND the following per-lang aggregate)
+    * runs with ZERO exchanges. The oracle recomputes the join+rollup
+    * relationally; the no-Exchange plan shape and the
+    * bucketing-disabled control (shuffles reappear) are
+    * GlprCatalogSpec-pinned. This is the payoff of partitioned GLPR
+    * ingest at 100 TB: corpus⋈corpus on the partition key moves zero
+    * bytes between executors. */
+  def storagePartitionedJoinPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = spjRootCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-spj").toString)
+    val s2 = freshCatalogSession(spark, "glpr_spj", root)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the clustered-write contract (see q304): one lang per shard —
+    // coalescing pinned off and enough write partitions that the five
+    // lang constants hash apart (data-independent, verified by the
+    // single-valued sidecars the scan's partitioning report requires)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_spj.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      s2.sql("INSERT INTO glpr_spj.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("CREATE TABLE glpr_spj.corpus.langdim " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      s2.sql("INSERT INTO glpr_spj.corpus.langdim " +
+        "SELECT min(doc_id) AS doc_id, lang, 'dim' AS source, " +
+        "concat('meta-', lang) AS text " +
+        s"FROM parquet.`$dir/documents.parquet` GROUP BY lang")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(m.doc_id) AS BIGINT) AS dim_min_id
+        |FROM glpr_spj.corpus.docs d JOIN glpr_spj.corpus.langdim m
+        |ON d.lang = m.lang GROUP BY d.lang""".stripMargin))
+  }
+  private val spjRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Un-rematerialized plan view of the q319 join for PlanAudit (the
+    * registry entry collects onto the caller's session). */
+  def spjPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    storagePartitionedJoinPipeline(spark, dir): Unit // ensure staged
+    val root = spjRootCache.get(dir)
+    val s2 = freshCatalogSession(spark, "glpr_spj", root)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.sql(
+      """SELECT d.lang, count(*) AS n_docs, min(m.doc_id) AS dim_min_id
+        |FROM glpr_spj.corpus.docs d JOIN glpr_spj.corpus.langdim m
+        |ON d.lang = m.lang GROUP BY d.lang""".stripMargin)
+  }
+
   /** The fixed doc_id slice expression behind the DML pipelines (q301/
     * q303): three contiguous id ranges `[min,100) [100,300) [300,max]`,
     * used as a DISTRIBUTE BY / repartition key so each range lands
@@ -1273,7 +1336,23 @@ object GlprSource {
   private[io] val planEvents =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-  private[io] final case class GlprPartition(file: String) extends InputPartition
+  private[io] sealed trait GlprInputPartition extends InputPartition {
+    def file: String
+  }
+  private[io] final case class GlprPartition(file: String)
+      extends GlprInputPartition
+  /** A shard partition carrying its single partition-column value — the
+    * `HasPartitionKey` half of storage-partitioned joins (q319): Spark
+    * groups these by key and lines both sides of a join up WITHOUT a
+    * shuffle. Emitted only by unfiltered scans of value-clustered
+    * partitioned tables ([[GlprScan.spjKeys]]). */
+  private[io] final case class GlprKeyedPartition(file: String, key: String)
+      extends GlprInputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(key)))
+  }
 
   /** doc_id bounds compiled from the pushed filters (inclusive). */
   private[io] final case class IdRange(lo: Long, hi: Long) {
@@ -1481,7 +1560,7 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     // incremental read (q312): shards added AFTER this version only
     val changesFrom = Option(options.get("changesFromVersion")).map(_.toLong)
     new GlprScanBuilder(path, maxShards, optRange, optValues, version,
-      changesFrom)
+      changesFrom, partitionCol)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -1751,7 +1830,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     baseRange: GlprSource.IdRange = GlprSource.IdRange(Long.MinValue, Long.MaxValue),
     baseValues: Map[String, Set[String]] = Map.empty,
     version: Option[Long] = None,
-    changesFrom: Option[Long] = None) extends ScanBuilder
+    changesFrom: Option[Long] = None,
+    partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
@@ -1895,7 +1975,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit, valueFilters, version, changesFrom)
+      limit, valueFilters, version, changesFrom, partitionCol)
   }
 }
 
@@ -1940,9 +2020,11 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None,
     valueFilters: Map[String, Set[String]] = Map.empty,
     version: Option[Long] = None,
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None,
+    partitionCol: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaces in .explain — the DSv2 analogue of the file-source
@@ -1973,7 +2055,12 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * corpus and scanning the working set. Best-effort by contract: rows
     * in kept shards outside the key set are re-filtered by the join. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    // only when doc_id survives projection: the DSv2 contract resolves
+    // these against the scan OUTPUT, and Spark's PartitionPruning rule
+    // throws on a pruned column (surfaced by q319's lang-only join scan)
+    if (required.fieldNames.contains("doc_id"))
+      Array(Expressions.column("doc_id"))
+    else Array.empty
   @volatile private var runtimeIds: Option[Array[Long]] = None
   @volatile private var runtimeRange: Option[GlprSource.IdRange] = None
   override def filter(filters: Array[Filter]): Unit = {
@@ -2010,12 +2097,65 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     at < ids.length && ids(at) <= hi
   }
 
+  /** STORAGE-PARTITIONED JOINS (q319): when the table is partitioned,
+    * the scan is completely unfiltered/uncapped, the partition column
+    * survives projection, and EVERY committed shard is single-valued in
+    * it (the clustered-write invariant), the scan reports
+    * `KeyGroupedPartitioning(identity(col))` and plans key-carrying
+    * partitions — Spark then groups shards by value and lines up both
+    * sides of an equi-join on the column with NO shuffle (needs
+    * `spark.sql.sources.v2.bucketing.enabled`). At 100 TB this is the
+    * whole point of partitioning the corpus: corpus⋈corpus on the
+    * partition key moves zero bytes between executors. Any filter, cap,
+    * version pin, multi-valued or untracked shard declines to
+    * UnknownPartitioning — correctness never rides on the report (Spark
+    * falls back to shuffling). Declining scans keep the full pruning
+    * machinery; keyed scans need none (nothing is filtered). */
+  private def spjKeys(): Option[Array[(java.io.File, String)]] = {
+    if (partitionCol.isEmpty || pushed.nonEmpty || limit.nonEmpty ||
+      maxShardsPerTrigger.nonEmpty || valueFilters.nonEmpty ||
+      changesFrom.nonEmpty || version.nonEmpty ||
+      range.lo != Long.MinValue || range.hi != Long.MaxValue ||
+      !required.fieldNames.contains(partitionCol.get)) return None
+    // zero-row shards (empty write partitions) carry no value set and
+    // no rows: dropped from the keyed plan rather than vetoing it
+    val shards = GlprSource.committedShards(path)
+      .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0))
+    if (shards.isEmpty) return None
+    val keyed = shards.map { f =>
+      GlprSource.readMeta(f).flatMap(_.valuesOf(partitionCol.get)) match {
+        case Some(vs) if vs.size == 1 => Some(f -> vs.head)
+        case _ => None
+      }
+    }
+    if (keyed.forall(_.isDefined)) Some(keyed.map(_.get)) else None
+  }
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys() match {
+      case Some(ks) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(partitionCol.get)),
+          ks.map(_._2).distinct.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** One InputPartition per COMMITTED shard, minus every shard whose
     * sidecar doc_id bounds are provably disjoint from (a) the statically
     * pushed doc_id range and (b) the runtime key set, when present.
     * Shards without bounds (pre-round-15 sidecars, external writers,
     * empty shards) are never pruned. */
   override def planInputPartitions(): Array[InputPartition] = {
+    spjKeys() match {
+      case Some(ks) =>
+        GlprSource.planEvents.put(path, (ks.length, ks.length))
+        return ks.map { case (f, k) =>
+          GlprSource.GlprKeyedPartition(f.getAbsolutePath, k): InputPartition
+        }
+      case None => ()
+    }
     val shards = baseShards()
     val kept = shards.filter { f =>
       val meta = GlprSource.readMeta(f)
@@ -2266,11 +2406,11 @@ class GlprReaderFactory(required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GlprReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
+    new GlprReader(partition.asInstanceOf[GlprSource.GlprInputPartition].file,
       required, range, limit)
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new GlprColumnarReader(partition.asInstanceOf[GlprSource.GlprPartition].file,
+    new GlprColumnarReader(partition.asInstanceOf[GlprSource.GlprInputPartition].file,
       required, range, limit)
 }
 

@@ -207,6 +207,11 @@ object PlanAudit {
     ("q316_glpr_history", "ProcedureCatalog introspection: CALL sys.history renders " +
       "the manifest version log as a LocalScan result set — DESCRIBE HISTORY with " +
       "zero data bytes read", reg("q316_glpr_history")),
+    ("q319_glpr_spj", "storage-partitioned join: both lang-partitioned GLPR scans " +
+      "report KeyGroupedPartitioning(identity(lang)) with HasPartitionKey shard " +
+      "partitions — the corpus-dimension join AND the following per-lang rollup " +
+      "plan with ZERO Exchange operators (broadcast disabled, v2 bucketing on)",
+      graft.io.GlprSource.spjPlanFrame),
     ("q317_glpr_sql_maintenance", "ProcedureCatalog maintenance: the live scan after " +
       "CALL restore(2) -> compact -> vacuum plans only the merged survivor shards " +
       "of the rolled-back view", reg("q317_glpr_sql_maintenance")),

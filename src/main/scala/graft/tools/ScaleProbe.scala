@@ -76,7 +76,9 @@ object ScaleProbe {
     "q314_glpr_row_delete",    // post-copy-on-write-delete read (cached staging)
     "q315_glpr_sql_functions", // catalog V2 scalar+agg functions over documents
     "q316_glpr_history",       // CALL sys.history version introspection (cached)
-    "q317_glpr_sql_maintenance") // CALL restore/compact/vacuum ladder (cached)
+    "q317_glpr_sql_maintenance", // CALL restore/compact/vacuum ladder (cached)
+    "q318_observed_metrics",   // observe/Observation channel, one shared pass
+    "q319_glpr_spj")           // storage-partitioned join, zero exchanges (cached)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -93,6 +93,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q317_glpr_sql_maintenance", // CALL restore/compact/vacuum on
                                 // construction (cached); procedure
                                 // pins in GlprCatalogSpec
+    "q318_observed_metrics",    // the observed action runs on
+                                // construction (observe/Observation);
+                                // value-exactness via its oracle
+    "q319_glpr_spj",            // partitioned CREATE/INSERT on
+                                // construction (cached); zero-exchange
+                                // pin in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -372,6 +372,62 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no GLPR table"), e2.getMessage)
   }
 
+  test("q319 storage-partitioned join: co-partitioned GLPR tables join with ZERO exchanges") {
+    root: Unit
+    def mk(table: String, rows: Seq[(Long, String, String, String)]): Unit = {
+      spark.sql(s"CREATE TABLE glpr_spec.ns8.$table $ddl PARTITIONED BY (lang)")
+      rows.toDF("doc_id", "lang", "source", "text")
+        .createOrReplaceTempView("spj_in")
+      spark.sql(s"INSERT INTO glpr_spec.ns8.$table SELECT * FROM spj_in")
+      spark.catalog.dropTempView("spj_in")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // single-valued shards need the clustered write to survive AQE
+      // partition coalescing (the q304 contract), and enough write
+      // partitions that the three lang constants hash apart
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      mk("facts", Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"),
+        (3L, "de", "s", "c"), (4L, "de", "s", "d"), (5L, "zh", "s", "e")))
+      mk("dims", Seq((100L, "en", "dim", "EN"), (200L, "de", "dim", "DE"),
+        (300L, "zh", "dim", "ZH")))
+      val q = spark.sql(
+        """SELECT f.lang, count(*) AS n, min(d.text) AS dim
+          |FROM glpr_spec.ns8.facts f JOIN glpr_spec.ns8.dims d
+          |ON f.lang = d.lang GROUP BY f.lang""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned join must plan ZERO exchanges:\n$plan")
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set(("en", 2L, "EN"), ("de", 2L, "DE"), ("zh", 1L, "ZH")))
+      // control: with v2 bucketing OFF the same join shuffles — the
+      // zero-exchange plan above is the connector report, not luck
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = spark.sql(
+        """SELECT f.lang, count(*) AS n FROM glpr_spec.ns8.facts f
+          |JOIN glpr_spec.ns8.dims d ON f.lang = d.lang
+          |GROUP BY f.lang""".stripMargin)
+      assert(shuffled.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(shuffled.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        === Map("en" -> 2L, "de" -> 2L, "zh" -> 1L))
+      // a FILTERED scan of the same table declines the report (and keeps
+      // pruning): correctness never rides on KeyGroupedPartitioning
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val filtered = spark.sql(
+        "SELECT doc_id FROM glpr_spec.ns8.facts WHERE lang = 'en' AND doc_id >= 2")
+      assert(filtered.collect().map(_.getLong(0)).toSet === Set(2L))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q311 SQL time travel: VERSION AS OF resolves manifest versions; pinned tables are read-only") {
     spark.sql(s"CREATE TABLE glpr_spec.ns6.tt $ddl")
     Seq((1L, "en", "s", "first")).toDF("doc_id", "lang", "source", "text")
