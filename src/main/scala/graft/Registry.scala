@@ -2651,6 +2651,21 @@ object Registry {
         | (SELECT lang, min(doc_id) AS doc_id FROM documents GROUP BY lang) m
         |ON d.lang = m.lang GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Blocklist/PII screening: K patterns (tokens AND cross-token
+    // phrases, incl. a self-overlap case) counted per document in ONE
+    // codegen'd Aho-Corasick pass — K-independent, vs K rescans for
+    // contains/regex. Greedy non-overlap = replace-counting semantics,
+    // which is exactly what the DuckDB oracle computes: agreement
+    // certifies the automaton end to end.
+    "q320_blocklist_scan" -> Entry((s, d) =>
+      graft.functions.MultiPatternCounts.blocklistScan(s, d).orderBy("pattern"), Some(
+      """SELECT p.pattern,
+        | CAST(count(*) FILTER (WHERE strlen(d.text) - strlen(replace(d.text, p.pattern, '')) > 0) AS BIGINT) AS n_docs_hit,
+        | CAST(sum((strlen(d.text) - strlen(replace(d.text, p.pattern, ''))) // strlen(p.pattern)) AS BIGINT) AS total_hits
+        |FROM documents d CROSS JOIN (VALUES ('customer query'), ('merge batch'),
+        | ('slow fast'), ('spark'), ('table table')) p(pattern)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Observed pipeline metrics: a two-stage quality gate instrumented
     // with observe/Observation (CollectMetrics accumulators) — per-stage
     // rows/bytes/selectivity from the SAME pass over the data, zero

@@ -200,6 +200,10 @@ object PlanAudit {
       "hash layout: straddling shards were rewritten under fresh names behind one " +
       "manifest commit, fully-covered shards unlinked metadata-only",
       reg("q314_glpr_row_delete")),
+    ("q320_blocklist_scan", "multi-pattern blocklist screen: ONE codegen'd Aho-Corasick " +
+      "pass per document (graft_multi_pattern_counts inside WholeStageCodegen), " +
+      "posexplode against the pinned pattern list, hash agg — no per-pattern rescan, " +
+      "no regex, no cross product", reg("q320_blocklist_scan")),
     ("q315_glpr_sql_functions", "FunctionCatalog resolution: the MAGIC_METHOD scalar " +
       "nfc_bytes plans as a codegen'd Invoke and the V2 aggregate bytes_sum as a " +
       "V2Aggregator hash aggregate with map-side partials — no UDF, no session " +

@@ -78,7 +78,8 @@ object ScaleProbe {
     "q316_glpr_history",       // CALL sys.history version introspection (cached)
     "q317_glpr_sql_maintenance", // CALL restore/compact/vacuum ladder (cached)
     "q318_observed_metrics",   // observe/Observation channel, one shared pass
-    "q319_glpr_spj")           // storage-partitioned join, zero exchanges (cached)
+    "q319_glpr_spj",           // storage-partitioned join, zero exchanges (cached)
+    "q320_blocklist_scan")     // Aho-Corasick multi-pattern pass, K-independent
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
