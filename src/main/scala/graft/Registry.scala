@@ -2385,6 +2385,62 @@ object Registry {
         |FROM s, range(1, 17) u(r) WHERE CAST(r AS INT) <= len(ks)
         |ORDER BY lang, rank""".stripMargin)),
 
+    // KMV SET ALGEBRA over the q293 sketch: mergeable distinct sketches
+    // are the 100 TB way to ask "how much do two corpora overlap" —
+    // bottom-k sketches of the even/odd doc slices OR-merge into the
+    // union sketch (bottom-k of the concatenation), and
+    // inclusion-exclusion turns three O(k) estimates into intersection
+    // and Jaccard, never materializing a join. Every value is a
+    // deterministic function of md5 order statistics, so the DuckDB twin
+    // reproduces the doubles bit-for-bit (same rounding sequence).
+    "q321_kmv_set_algebra" -> Entry((s, d) => {
+      val k = 16
+      def est(ks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(ks) < k, lit(-1.0)).otherwise(round(
+          lit((k - 1).toDouble) /
+            (conv(substring(element_at(ks, k), 1, 13), 16, 10)
+              .cast("long").cast("double") / lit(4503599627370496.0)), 6))
+      val a = docs(s, d).filter(col("doc_id") % 2 === 0)
+        .agg(graft.functions.KmvSketch.kmv(col("text"), k).as("ka"))
+      val b = docs(s, d).filter(col("doc_id") % 2 === 1)
+        .agg(graft.functions.KmvSketch.kmv(col("text"), k).as("kb"))
+      a.crossJoin(broadcast(b)) // two 1-row sketch frames
+        .withColumn("ku", slice(array_sort(array_distinct(
+          concat(col("ka"), col("kb")))), 1, k))
+        .select(est(col("ka")).as("est_a"), est(col("kb")).as("est_b"),
+          est(col("ku")).as("est_union"))
+        .withColumn("est_inter",
+          when(col("est_a") === -1.0 || col("est_b") === -1.0 ||
+            col("est_union") === -1.0, lit(-1.0))
+            .otherwise(round(col("est_a") + col("est_b") - col("est_union"), 6)))
+        .withColumn("jaccard",
+          when(col("est_inter") === -1.0, lit(-1.0))
+            .otherwise(round(col("est_inter") / col("est_union"), 6)))
+    }, Some(
+      """WITH a AS (SELECT list_sort(list(DISTINCT md5(text)))[1:16] AS ks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT list_sort(list(DISTINCT md5(text)))[1:16] AS ks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT list_sort(list_distinct(list_concat(a.ks, b.ks)))[1:16] AS ks
+        |  FROM a, b),
+        |e AS (SELECT
+        |  CASE WHEN len(a.ks) < 16 THEN CAST(-1 AS DOUBLE) ELSE ROUND(CAST(15 AS DOUBLE) /
+        |    (CAST(CONCAT('0x', substr(a.ks[16], 1, 13)) AS UBIGINT) /
+        |     CAST(4503599627370496 AS DOUBLE)), 6) END AS est_a,
+        |  CASE WHEN len(b.ks) < 16 THEN CAST(-1 AS DOUBLE) ELSE ROUND(CAST(15 AS DOUBLE) /
+        |    (CAST(CONCAT('0x', substr(b.ks[16], 1, 13)) AS UBIGINT) /
+        |     CAST(4503599627370496 AS DOUBLE)), 6) END AS est_b,
+        |  CASE WHEN len(u.ks) < 16 THEN CAST(-1 AS DOUBLE) ELSE ROUND(CAST(15 AS DOUBLE) /
+        |    (CAST(CONCAT('0x', substr(u.ks[16], 1, 13)) AS UBIGINT) /
+        |     CAST(4503599627370496 AS DOUBLE)), 6) END AS est_union
+        |  FROM a, b, u)
+        |SELECT est_a, est_b, est_union,
+        |  CASE WHEN est_a = -1 OR est_b = -1 OR est_union = -1 THEN CAST(-1 AS DOUBLE)
+        |    ELSE ROUND(est_a + est_b - est_union, 6) END AS est_inter,
+        |  CASE WHEN est_a = -1 OR est_b = -1 OR est_union = -1 THEN CAST(-1 AS DOUBLE)
+        |    ELSE ROUND(ROUND(est_a + est_b - est_union, 6) / est_union, 6) END AS jaccard
+        |FROM e""".stripMargin)),
+
     // The custom TopKPerGroupExec on the TEXT path: top-5 tokens per
     // language from an exploded token count agg — the operator's
     // required clustered distribution re-keys (lang, token) -> (lang)

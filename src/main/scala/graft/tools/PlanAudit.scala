@@ -200,6 +200,10 @@ object PlanAudit {
       "hash layout: straddling shards were rewritten under fresh names behind one " +
       "manifest commit, fully-covered shards unlinked metadata-only",
       reg("q314_glpr_row_delete")),
+    ("q321_kmv_set_algebra", "mergeable-sketch corpus overlap: two scans reduce to 1-row " +
+      "bottom-k sketch frames, broadcast-crossed; union sketch + inclusion-exclusion " +
+      "derive intersection/Jaccard from O(k) values — no join ever materializes",
+      reg("q321_kmv_set_algebra")),
     ("q320_blocklist_scan", "multi-pattern blocklist screen: ONE codegen'd Aho-Corasick " +
       "pass per document (graft_multi_pattern_counts inside WholeStageCodegen), " +
       "posexplode against the pinned pattern list, hash agg — no per-pattern rescan, " +

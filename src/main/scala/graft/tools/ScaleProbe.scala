@@ -79,7 +79,8 @@ object ScaleProbe {
     "q317_glpr_sql_maintenance", // CALL restore/compact/vacuum ladder (cached)
     "q318_observed_metrics",   // observe/Observation channel, one shared pass
     "q319_glpr_spj",           // storage-partitioned join, zero exchanges (cached)
-    "q320_blocklist_scan")     // Aho-Corasick multi-pattern pass, K-independent
+    "q320_blocklist_scan",     // Aho-Corasick multi-pattern pass, K-independent
+    "q321_kmv_set_algebra")    // mergeable sketch union/intersect, O(k) frames
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

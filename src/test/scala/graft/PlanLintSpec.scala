@@ -152,6 +152,7 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** Deliberate tiny-side broadcast cross products. */
   private val allowedCross = Set(
+    "q321_kmv_set_algebra",   // two 1-row sketch frames, broadcast cross
     "q13_outer_product",      // u × v outer product, v broadcast
     "q24_minmax_normalize",   // 1-row global min/max broadcast back
     "q37_densify",            // part × 12-month key expansion
