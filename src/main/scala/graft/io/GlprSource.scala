@@ -2024,7 +2024,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     partitionCol: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaces in .explain — the DSv2 analogue of the file-source
@@ -2130,6 +2131,20 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     }
     if (keyed.forall(_.isDefined)) Some(keyed.map(_.get)) else None
   }
+  /** Ordering half of the SPJ report: every keyed partition holds ONE
+    * partition-column value, so it is trivially sorted by that column —
+    * reporting it lets EnsureRequirements drop the Sort under a
+    * sort-merge join on the key: the q319 join becomes a pure zipper
+    * (no Exchange from the partitioning report, no Sort from this one). */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spjKeys() match {
+      case Some(_) => Array(org.apache.spark.sql.connector.expressions.Expressions
+        .sort(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(partitionCol.get),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjKeys() match {

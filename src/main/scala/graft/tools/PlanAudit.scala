@@ -218,7 +218,8 @@ object PlanAudit {
     ("q319_glpr_spj", "storage-partitioned join: both lang-partitioned GLPR scans " +
       "report KeyGroupedPartitioning(identity(lang)) with HasPartitionKey shard " +
       "partitions — the corpus-dimension join AND the following per-lang rollup " +
-      "plan with ZERO Exchange operators (broadcast disabled, v2 bucketing on)",
+      "plan with ZERO Exchange operators and ZERO Sorts (the ordering report: " +
+      "single-valued partitions are trivially sorted by the key) — a pure zipper merge",
       graft.io.GlprSource.spjPlanFrame),
     ("q317_glpr_sql_maintenance", "ProcedureCatalog maintenance: the live scan after " +
       "CALL restore(2) -> compact -> vacuum plans only the merged survivor shards " +

@@ -403,6 +403,10 @@ class GlprCatalogSpec extends AnyFunSuite {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"co-partitioned join must plan ZERO exchanges:\n$plan")
+      // the ordering report (single-valued partitions are trivially
+      // sorted by the key) removes the Sorts too: a pure zipper merge
+      assert(!plan.contains("Sort ["),
+        s"ordering report must remove the SMJ Sorts:\n$plan")
       val got = q.collect().map(r =>
         (r.getString(0), r.getLong(1), r.getString(2))).toSet
       assert(got === Set(("en", 2L, "EN"), ("de", 2L, "DE"), ("zh", 1L, "ZH")))
