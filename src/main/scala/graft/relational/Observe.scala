@@ -26,9 +26,18 @@ object Observe {
     * relational plan computes, including the derived selectivity (basis
     * points, integer-exact). */
   def observedQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    // ISOLATED session for the observed action: attaching an Observation
+    // initializes the session's lazy ObservationManager, which is not
+    // serializable — and Spark MLlib model summaries capture their
+    // SparkSession, so any later closure carrying such a model through
+    // the caller's session would hit "Task not serializable". Observing
+    // on a child session keeps the caller's session serialization-clean.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
     val inObs = new Observation()
     val outObs = new Observation()
-    val gated = Tables(spark, dir, "documents")
+    val gated = Tables(s2, dir, "documents")
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
       .observe(inObs,
         count(lit(1)).as("n_in"),
