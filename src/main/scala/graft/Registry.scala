@@ -2693,6 +2693,31 @@ object Registry {
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // MERGE-ON-READ delete vectors: the other half of the delete ladder
+    // (q314 = copy-on-write). DELETE writes one tiny .dv sidecar per
+    // affected shard — zero data bytes moved — and every reader applies
+    // the mask at its id gate; metadata paths that would lie decline.
+    // Oracle = the complement rollup through the masked read.
+    "q322_glpr_dv_delete" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.dvDeletePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id < 150 OR doc_id > 349
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DV materialization: rewrite the masked shards through the standard
+    // reader (mask applied), fresh names behind ONE manifest flip,
+    // vectors unlinked — reads unchanged, metadata paths and time travel
+    // re-armed. Oracle = the same complement through the materialized
+    // corpus.
+    "q323_glpr_dv_materialize" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.dvMaterializePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 150 OR doc_id > 349
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN: two PARTITIONED BY (lang) GLPR tables
     // joined on the partition key — both scans report
     // KeyGroupedPartitioning with HasPartitionKey shard partitions, so

@@ -54,6 +54,10 @@ object GlprMaintenance {
     * not reported). Byte-level concatenation; sidecars merged from
     * sidecars — see the object doc for the exact fold rules. */
   def compact(path: String, targetBytes: Long): Seq[CompactGroup] = {
+    // a delete-vector-carrying shard is NEVER merged: byte concat under
+    // a fresh name would orphan its mask and resurrect the masked rows —
+    // materializeDeletes first, then compact (it also acts as a group
+    // boundary so neighbors still merge among themselves)
     val shards = GlprSource.committedShards(path)
     // greedy consecutive grouping in lexical (= id/epoch) order, so each
     // merged shard covers a contiguous name interval
@@ -61,10 +65,14 @@ object GlprMaintenance {
     var cur = Vector.empty[java.io.File]
     var curBytes = 0L
     shards.foreach { f =>
-      if (cur.nonEmpty && curBytes + f.length > targetBytes) {
-        groups += cur; cur = Vector.empty; curBytes = 0L
+      if (GlprSource.dvFile(f).isFile) {
+        if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0L }
+      } else {
+        if (cur.nonEmpty && curBytes + f.length > targetBytes) {
+          groups += cur; cur = Vector.empty; curBytes = 0L
+        }
+        cur :+= f; curBytes += f.length
       }
-      cur :+= f; curBytes += f.length
     }
     if (cur.nonEmpty) groups += cur
     val toMerge = groups.toSeq.filter(_.length > 1)
@@ -227,30 +235,7 @@ object GlprMaintenance {
     val jobs = straddle.map(_.getName).zipWithIndex.map { case (n, i) =>
       (n, f"part-${nameBase + i}%010d.glpr")
     }
-    val results: Array[(String, Option[String], Long)] =
-      if (jobs.isEmpty) Array.empty
-      else spark.sparkContext.parallelize(jobs.toSeq, jobs.length)
-        .map { case (oldName, newName) =>
-          val reader = new GlprReader(
-            new java.io.File(path, oldName).getAbsolutePath,
-            GlprSource.schema,
-            GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
-          val taskId = Option(org.apache.spark.TaskContext.get())
-            .map(_.taskAttemptId()).getOrElse(0L)
-          val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
-            Some(newName))
-          var kept = 0L; var dropped = 0L
-          try {
-            while (reader.next()) {
-              val row = reader.get()
-              val id = row.getLong(0)
-              if (id >= lo && id <= hi) dropped += 1
-              else { writer.write(row); kept += 1 }
-            }
-          } finally reader.close()
-          if (kept > 0) { writer.commit(); (oldName, Some(newName), dropped) }
-          else { writer.abort(); (oldName, None, dropped) }
-        }.collect()
+    val results = rewriteJob(spark, path, jobs.toSeq, lo, hi)
     // one manifest commit = the visibility flip (and a minted version)
     val doomedNames = doomed.map(_.getName).toSet
     val straddleNames = straddle.map(_.getName).toSet
@@ -261,12 +246,105 @@ object GlprMaintenance {
     // sidecar row counts must be read BEFORE the unlink below
     val doomedRows = doomed.flatMap(f => GlprSource.readMeta(f).map(_.rows)).sum
     // physical unlink AFTER the flip: gap/garbage over duplication
+    // (delete vectors of replaced shards go too — the survivors already
+    // applied them during the rewrite read)
     (doomed ++ straddle).foreach { f =>
-      GlprSource.metaFile(f).delete(); f.delete(): Unit
+      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
+      f.delete(): Unit
     }
     RowDeleteReport(doomedNames.toSeq.sorted,
       results.map(r => r._1 -> r._2).toMap,
       doomedRows + results.map(_._3).sum)
+  }
+
+  /** The shared distributed rewrite: one task per (old, fresh-named)
+    * shard, decoding through the standard reader — so DELETE VECTORS are
+    * applied automatically — dropping ids in `[lo, hi]` (pass an empty
+    * range to drop nothing extra), two-phase-committing survivors.
+    * Returns (oldName, survivorName or None-if-emptied, rowsDropped —
+    * the RANGE drops only; DV-masked rows never reach the counter). */
+  private def rewriteJob(spark: org.apache.spark.sql.SparkSession,
+      path: String, jobs: Seq[(String, String)],
+      lo: Long, hi: Long): Array[(String, Option[String], Long)] =
+    if (jobs.isEmpty) Array.empty
+    else spark.sparkContext.parallelize(jobs, jobs.length)
+      .map { case (oldName, newName) =>
+        val reader = new GlprReader(
+          new java.io.File(path, oldName).getAbsolutePath,
+          GlprSource.schema,
+          GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
+        val taskId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
+          Some(newName))
+        var kept = 0L; var dropped = 0L
+        try {
+          while (reader.next()) {
+            val row = reader.get()
+            val id = row.getLong(0)
+            if (id >= lo && id <= hi) dropped += 1
+            else { writer.write(row); kept += 1 }
+          }
+        } finally reader.close()
+        if (kept > 0) { writer.commit(); (oldName, Some(newName), dropped) }
+        else { writer.abort(); (oldName, None, dropped) }
+      }.collect()
+
+  /** MERGE-ON-READ row delete (q322): zero bytes moved at delete time —
+    * every shard whose sidecar bounds may hold ids in `[lo, hi]` gets
+    * the range unioned into its `<shard>.glpr.dv` delete vector
+    * (per-shard atomic, idempotent; see the [[GlprSource.dvFile]]
+    * contract scaladoc). Readers apply the mask at the id gate; the
+    * metadata paths that would lie under it decline. The complement of
+    * q314: DELETE costs one tiny sidecar per affected shard instead of
+    * a rewrite, reads pay the filter until [[materializeDeletes]].
+    * Returns the masked shard names. */
+  def deleteIdRangeMergeOnRead(path: String, lo: Long, hi: Long): Seq[String] = {
+    require(lo <= hi, s"empty GLPR delete range [$lo, $hi]")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val affected = GlprSource.committedShards(path).filter { f =>
+      val m = GlprSource.readMeta(f)
+      if (m.exists(_.rows == 0)) false
+      else m.flatMap(_.bounds) match {
+        case Some((slo, shi)) => shi >= lo && slo <= hi
+        case None => true // unknown bounds: mask is a predicate, safe
+      }
+    }
+    affected.foreach(f => GlprSource.addToDeleteVector(f, (lo, hi)))
+    affected.map(_.getName).toSeq
+  }
+
+  /** MATERIALIZE delete vectors (q323): rewrite every DV-carrying shard
+    * through the standard reader (which applies the mask), commit the
+    * survivors under fresh names behind ONE manifest flip (mints a
+    * version — history sees the materialization as an atomic step), then
+    * unlink the masked shards and their vectors. After this, time travel
+    * works again and every metadata path (aggregate pushdown, limit
+    * capping) re-arms. Returns oldName → survivor (None if the mask
+    * emptied the shard). */
+  def materializeDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Option[String]] = {
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val shards = GlprSource.committedShards(path)
+    val masked = shards.filter(f => GlprSource.dvFile(f).isFile)
+    if (masked.isEmpty) return Map.empty
+    require(!masked.exists(f => GlprSource.isEpochShardName(f.getName)),
+      s"GLPR materialize in '$path' refused: a masked shard is epoch-named " +
+        "(streaming sink); its batch-named survivor would mix naming schemes")
+    val nameBase = GlprSource.nextBatchNameBase(path)
+    val jobs = masked.map(_.getName).zipWithIndex.map { case (n, i) =>
+      (n, f"part-${nameBase + i}%010d.glpr")
+    }
+    // [0, -1] is empty: the rewrite drops nothing beyond the DV mask
+    val results = rewriteJob(spark, path, jobs.toSeq, 0L, -1L)
+    val maskedNames = masked.map(_.getName).toSet
+    val keepNames = shards.map(_.getName).filterNot(maskedNames)
+    GlprSource.writeManifest(path, (keepNames ++ results.flatMap(_._2)).toSeq)
+    masked.foreach { f =>
+      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
+      f.delete(): Unit
+    }
+    results.map(r => r._1 -> r._2).toMap
   }
 
   /** q314 — the row-level delete as a registry entry: the corpus staged
@@ -293,6 +371,58 @@ object GlprMaintenance {
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
   }
   private val rowDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q322 — the merge-on-read delete as a registry entry: range-
+    * clustered staging, `deleteIdRangeMergeOnRead(150, 349)` (zero data
+    * bytes moved — only `.dv` sidecars written), then read back THROUGH
+    * the mask. Oracle = the complement rollup: hash equality certifies
+    * both readers apply the vector row-exactly. Composition with
+    * pushdown/pruning, metadata-path declines, historical-read refusal,
+    * idempotent re-delete, and compact exclusion are GlprSpec-pinned. */
+  def dvDeletePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = dvDeleteCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-dvdelete").toString
+      GlprSource.write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      deleteIdRangeMergeOnRead(out, 150L, 349L): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+  private val dvDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q323 — DV materialization: the q322 shape, then
+    * [[materializeDeletes]] rewrites the masked shards (fresh names, one
+    * manifest flip, vectors unlinked) — afterwards the corpus reads
+    * identically but metadata paths and time travel re-arm. Oracle = the
+    * same complement rollup; zero-DV state, fresh survivor names, and
+    * the minted version are GlprSpec-pinned. */
+  def dvMaterializePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = dvMatCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-dvmat").toString
+      GlprSource.write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      deleteIdRangeMergeOnRead(out, 150L, 349L)
+      materializeDeletes(spark, out): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val dvMatCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`. Returns

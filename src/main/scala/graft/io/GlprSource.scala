@@ -1303,6 +1303,91 @@ object GlprSource {
   }
   private[io] def metaFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".meta")
+
+  /** MERGE-ON-READ deletion vectors (q322/q323) — the other half of the
+    * delete ladder: where q314's copy-on-write pays a rewrite at DELETE
+    * time, a delete vector pays nothing at delete time (one tiny
+    * `<shard>.glpr.dv` sidecar of masked id ranges per affected shard)
+    * and a filter at EVERY read until [[GlprMaintenance.materializeDeletes]]
+    * rewrites the masked shards — the Iceberg-v2/Delta-DV trade, chosen
+    * per workload (delete-heavy ingest → DV; read-heavy serving →
+    * materialize). Masks are PREDICATES ("ids in [lo,hi] are deleted"),
+    * so applying one to a shard that holds no matching row is harmless —
+    * bounds-less shards can be masked safely. Readers (row AND columnar,
+    * batch AND streaming) apply the mask at the id gate; metadata paths
+    * that would LIE under a mask decline instead (aggregate pushdown,
+    * limit shard-capping), pruning stays sound (masks only remove rows —
+    * over-keep), statistics stay pre-mask like every file source's.
+    * DVs live OUTSIDE the manifest version history, so historical reads
+    * (`versionAsOf`/`changesFromVersion`) REFUSE loudly when a planned
+    * shard carries one — a version pin that silently saw through (or
+    * ignored) a later delete would be phantom history. Ranges in one
+    * file are merged/normalized; re-deleting is idempotent (set union).
+    * Per-shard writes are atomic (stage+rename); a multi-shard DV delete
+    * is per-shard visible, not transactional — re-running it converges
+    * (documented contrast with q314's single manifest flip). */
+  private[io] def dvFile(shard: java.io.File): java.io.File =
+    new java.io.File(shard.getParentFile, shard.getName + ".dv")
+
+  /** Flattened sorted disjoint ranges [lo0,hi0,lo1,hi1,…]; empty = no
+    * mask. */
+  private[io] def readDeleteVector(shardPath: String): Array[Long] = {
+    val f = new java.io.File(shardPath + ".dv")
+    if (!f.isFile) return Array.emptyLongArray
+    val ranges = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val p = line.split("\\s+")
+        require(p.length == 2,
+          s"GLPR delete vector ${f.getName} is corrupt: line '$line'")
+        (p(0).toLong, p(1).toLong)
+      }.toSeq
+    normalizeRanges(ranges)
+  }
+
+  private[io] def normalizeRanges(ranges: Seq[(Long, Long)]): Array[Long] = {
+    val sorted = ranges.filter(r => r._1 <= r._2).sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.foreach { case (lo, hi) =>
+      // merge into the previous range when overlapping or adjacent
+      // (prevHi == MaxValue subsumes everything after it)
+      if (out.nonEmpty &&
+          (out.last == Long.MaxValue || lo <= out.last + 1)) {
+        if (hi > out.last) out(out.length - 1) = hi
+      } else { out += lo; out += hi }
+    }
+    out.toArray
+  }
+
+  /** Binary search over the flattened ranges. */
+  private[io] def dvMasked(dv: Array[Long], id: Long): Boolean = {
+    if (dv.isEmpty) return false
+    var lo = 0
+    var hi = dv.length / 2 - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (id < dv(2 * mid)) hi = mid - 1
+      else if (id > dv(2 * mid + 1)) lo = mid + 1
+      else return true
+    }
+    false
+  }
+
+  /** Union `add` into the shard's delete vector (stage + atomic rename;
+    * idempotent — re-deleting the same range changes nothing). */
+  private[io] def addToDeleteVector(shard: java.io.File, add: (Long, Long)): Unit = {
+    val existing = readDeleteVector(shard.getAbsolutePath)
+    val all = (existing.grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
+    val merged = normalizeRanges(all)
+    val tmp = new java.io.File(shard.getParentFile,
+      s"_tmp-dv-${shard.getName}")
+    java.nio.file.Files.write(tmp.toPath,
+      merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, dvFile(shard).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
   // partition values ride the whitespace-split sidecar URL-encoded, so
   // arbitrary value bytes can never break the key=value token format
   private[io] def encodePval(v: String): String =
@@ -1679,7 +1764,7 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
       // stays atomic, table-level overwrite is not transactional.
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
-          || f.getName.startsWith("_tmp"))
+          || f.getName.endsWith(".glpr.dv") || f.getName.startsWith("_tmp"))
         .foreach(f => f.delete(): Unit)
     } else {
       // mirror of the streaming-side naming guard: a batch append into a
@@ -1899,6 +1984,9 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     // set must fail in changeShards, not be silently summarized
     if (changesFrom.nonEmpty) return None
     val shards = GlprSource.committedShardsAsOf(path, version)
+    // a delete-vector overlay makes sidecar counts lies: decline, the
+    // ordinary scan applies the mask row-exactly
+    if (shards.exists(f => GlprSource.dvFile(f).isFile)) return None
     val metas = shards.map(GlprSource.readMeta)
     if (metas.exists(_.isEmpty)) return None // a shard without stats
     val ms = metas.map(_.get)
@@ -2208,19 +2296,33 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       }
       idKeep && bloomKeep && valKeep
     }
+    // historical reads refuse delete-vector overlays: DVs live OUTSIDE
+    // the version history, so a pinned read that silently applied (or
+    // ignored) a later delete would be phantom history — materialize
+    // first (GlprMaintenance.materializeDeletes), then time travel
+    if (version.isDefined || changesFrom.isDefined) {
+      val dvd = kept.filter(f => GlprSource.dvFile(f).isFile)
+      if (dvd.nonEmpty) throw new IllegalStateException(
+        s"GLPR historical read refused: shard(s) ${dvd.map(_.getName).mkString(", ")} " +
+          "carry delete-vector overlays, which are not part of the manifest " +
+          "version history — materialize deletes first, then time travel")
+    }
     // pushed LIMIT with no row filtering in play: plan only the first
     // shards whose sidecar row counts cover the limit — LIMIT 10 against
     // a million-shard corpus opens one file. Any shard without stats, or
     // any pushed/runtime/partition-value filter, disables the cap
     // (surviving-row counts unknowable from sidecars); the reader-side
-    // row cap still applies.
+    // row cap still applies. A delete-vector overlay also disables it
+    // (sidecar counts overstate the surviving rows — a cap computed from
+    // them could under-open and return fewer than LIMIT rows).
     val unfiltered = pushed.isEmpty && range.lo == Long.MinValue &&
       range.hi == Long.MaxValue && runtimeIds.isEmpty &&
       runtimeRange.isEmpty && valueFilters.isEmpty
     val capped = limit match {
       case Some(n) if unfiltered =>
         val metas = kept.map(GlprSource.readMeta)
-        if (metas.exists(_.isEmpty)) kept
+        if (metas.exists(_.isEmpty) ||
+            kept.exists(f => GlprSource.dvFile(f).isFile)) kept
         else {
           var acc = 0L; var take = 0
           while (take < kept.length && acc < n) { acc += metas(take).get.rows; take += 1 }
@@ -2566,6 +2668,9 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val cursor = new GlprChunkCursor(file)
+  // merge-on-read delete vector: masked ids fail the keep gate exactly
+  // like out-of-range ids (skipped wholesale, fields byte-skipped)
+  private val dv = GlprSource.readDeleteVector(file)
   private val cap = limit.getOrElse(Int.MaxValue)
   private var emitted = 0
   // field order in the byte stream after doc_id
@@ -2587,7 +2692,7 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
     if (emitted >= cap) return false
     while (cursor.atRecordStart()) {
       val id = cursor.readId()
-      val keep = range.contains(id)
+      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id)
       if (keep) rowWriter.reset()
       if (keep && idOrdinal >= 0) rowWriter.write(idOrdinal, id)
       var f = 0
@@ -2628,6 +2733,8 @@ class GlprColumnarReader(file: String, required: StructType,
     range: GlprSource.IdRange,
     limit: Option[Int] = None) extends PartitionReader[ColumnarBatch] {
   private val cursor = new GlprChunkCursor(file)
+  // merge-on-read delete vector, applied at the id gate like the row reader
+  private val dv = GlprSource.readDeleteVector(file)
   private val cap = limit.getOrElse(Int.MaxValue)
   private var emitted = 0
   private val streamFields = Array("lang", "source", "text")
@@ -2650,7 +2757,7 @@ class GlprColumnarReader(file: String, required: StructType,
     var n = 0
     while (n < capacity && emitted + n < cap && cursor.atRecordStart()) {
       val id = cursor.readId()
-      val keep = range.contains(id)
+      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id)
       if (keep && idOrdinal >= 0) vectors(idOrdinal).putLong(n, id)
       var f = 0
       while (f < 3) {

@@ -200,6 +200,14 @@ object PlanAudit {
       "hash layout: straddling shards were rewritten under fresh names behind one " +
       "manifest commit, fully-covered shards unlinked metadata-only",
       reg("q314_glpr_row_delete")),
+    ("q322_glpr_dv_delete", "merge-on-read DELETE: the scan reads THROUGH per-shard " +
+      "delete-vector sidecars (masked ids fail the reader's id gate); aggregate " +
+      "pushdown and limit capping decline under masks instead of lying",
+      reg("q322_glpr_dv_delete")),
+    ("q323_glpr_dv_materialize", "post-materialization scan: masked shards were " +
+      "rewritten under fresh names behind one manifest flip, vectors unlinked — " +
+      "metadata pushdowns and time travel re-armed",
+      reg("q323_glpr_dv_materialize")),
     ("q321_kmv_set_algebra", "mergeable-sketch corpus overlap: two scans reduce to 1-row " +
       "bottom-k sketch frames, broadcast-crossed; union sketch + inclusion-exclusion " +
       "derive intersection/Jaccard from O(k) values — no join ever materializes",

@@ -99,6 +99,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q319_glpr_spj",            // partitioned CREATE/INSERT on
                                 // construction (cached); zero-exchange
                                 // pin in GlprCatalogSpec
+    "q322_glpr_dv_delete",      // staging write + DV sidecars on
+                                // construction (cached); GlprSpec pins
+    "q323_glpr_dv_materialize", // staging + DV + rewrite job on
+                                // construction (cached); GlprSpec pins
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

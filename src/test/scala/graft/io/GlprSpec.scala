@@ -648,6 +648,80 @@ class GlprSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).contains(4242L))
   }
 
+  test("q322/q323 delete vectors: masked reads, metadata declines, materialization") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-dv-spec").toString
+    // 4 range shards: [0,99] [100,199] [200,299] [300,399]
+    GlprSource.write(
+      (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "de", "s", s"t-$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .repartitionByRange(4, col("doc_id")), root)
+    val masked = GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L)
+    assert(masked.length === 3, s"three shards overlap [150,349]: $masked")
+    // zero data bytes moved: same shard files, only .dv sidecars appeared
+    val shards = GlprSource.committedShards(root)
+    assert(shards.length === 4)
+    assert(shards.count(f => GlprSource.dvFile(f).isFile) === 3)
+    def ids() = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids() === ((0L until 150L) ++ (350L until 400L)).toSet)
+    // pushdown composes with the mask: survivors >= 100 are [100,150) and
+    // [350,400)
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") >= 100L).count() === 100L)
+    // metadata aggregate pushdown DECLINES (sidecar counts lie under a
+    // mask) and the ordinary plan stays row-exact
+    val cnt = spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy().count()
+    assert(!cnt.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(cnt.head().getLong(0) === 200L)
+    // LIMIT still returns enough rows (shard capping disabled under masks)
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .limit(180).count() === 180L)
+    // historical reads refuse DV overlays loudly
+    val e1 = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("versionAsOf", "1").load(root).count()
+    }
+    assert(e1.getMessage.contains("materialize"), e1.getMessage)
+    // re-deleting the same range is idempotent
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L).toSet
+      === masked.toSet)
+    assert(ids().size === 200)
+    // compaction never merges a masked shard (its fresh-named twin would
+    // orphan the vector and resurrect rows) — unmasked neighbors merge
+    def append(r: Range): Unit =
+      r.map(i => (i.toLong, "en", "s", s"t-$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(400 until 450); append(450 until 500)
+    val merged = GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
+    assert(merged.nonEmpty &&
+      merged.flatMap(_.memberNames).toSet.intersect(
+        masked.toSet).isEmpty,
+      s"masked shards must never be compaction members: $merged")
+    assert(GlprSource.committedShards(root)
+      .count(f => GlprSource.dvFile(f).isFile) === 3)
+    assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
+    // materialization: masked shards rewritten under fresh names, the
+    // fully-masked one vanishes, vectors unlinked, one version minted
+    val vBefore = GlprSource.listManifestVersions(root).length
+    val mat = GlprMaintenance.materializeDeletes(spark, root)
+    assert(mat.size === 3)
+    assert(mat.values.count(_.isEmpty) === 1, // [200,299] fully masked
+      s"exactly one shard is emptied by its mask: $mat")
+    mat.values.flatten.foreach(n => assert(!masked.contains(n)))
+    assert(GlprSource.committedShards(root)
+      .forall(f => !GlprSource.dvFile(f).isFile))
+    assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
+    assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
+    // metadata paths re-arm: sidecar rows now equal the surviving rows
+    assert(GlprSource.committedShards(root)
+      .flatMap(GlprSource.readMeta).map(_.rows).sum === 300L)
+    // idempotent: nothing left to materialize
+    assert(GlprMaintenance.materializeDeletes(spark, root) === Map.empty)
+  }
+
   test("shard names are never reused: OVERWRITE and compaction keep history loud") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-namereuse-spec").toString
