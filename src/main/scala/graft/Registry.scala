@@ -2718,6 +2718,24 @@ object Registry {
         |FROM documents WHERE doc_id < 150 OR doc_id > 349
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // COPY-ON-WRITE row-level UPDATE (redaction): every shard holding a
+    // blocklist hit is rewritten with the patterns replaced by the mask
+    // token — PII removal FROM STORAGE, not a read-time filter;
+    // untouched shards detected and kept without a write. Oracle runs
+    // the same replace chain over the original documents: byte sums
+    // certify the storage holds exactly the redacted bytes.
+    "q324_glpr_redact" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.redactionPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(
+        |   replace(replace(replace(replace(replace(text,
+        |     'customer query', '[REDACTED]'),
+        |     'merge batch', '[REDACTED]'),
+        |     'slow fast', '[REDACTED]'),
+        |     'spark', '[REDACTED]'),
+        |     'table table', '[REDACTED]'))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN: two PARTITIONED BY (lang) GLPR tables
     // joined on the partition key — both scans report
     // KeyGroupedPartitioning with HasPartitionKey shard partitions, so

@@ -425,6 +425,105 @@ object GlprMaintenance {
   private val dvMatCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** COPY-ON-WRITE row-level UPDATE, redaction form (q324) — completes
+    * the connector's CRUD ladder: every data shard is rewritten by a
+    * distributed per-shard job replacing each blocklist pattern in
+    * `text` with the mask token (literal, left-to-right non-overlapping,
+    * patterns folded IN ORDER — `replace`-chain semantics, which is
+    * exactly what the q324 DuckDB oracle computes). Shards in which
+    * nothing matched are detected by the task (zero replaced rows) and
+    * KEPT — no write, no swap, so the rewrite cost is the matching
+    * working set, not the corpus. Survivors take fresh names; one
+    * manifest flip (a minted version) publishes the redaction
+    * atomically; sidecar stats/bounds/blooms recompute from the
+    * rewritten rows automatically ([[GlprWriter]]). This is the PII
+    * remediation path a corpus pipeline runs when content must be
+    * REMOVED FROM STORAGE, not just filtered at read ("right to be
+    * forgotten" at shard grain). Returns oldName → survivor for the
+    * rewritten shards only. */
+  def redactText(spark: org.apache.spark.sql.SparkSession, path: String,
+      patterns: Seq[String], mask: String): Map[String, String] = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "empty pattern set")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val shards = GlprSource.committedShards(path)
+      .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0))
+    if (shards.isEmpty) return Map.empty
+    require(!shards.exists(f => GlprSource.isEpochShardName(f.getName)),
+      s"GLPR redaction in '$path' refused: epoch-named (streaming sink) " +
+        "shards would take batch-named survivors and mix naming schemes")
+    val nameBase = GlprSource.nextBatchNameBase(path)
+    val jobs = shards.map(_.getName).zipWithIndex.map { case (n, i) =>
+      (n, f"part-${nameBase + i}%010d.glpr")
+    }
+    val pats = patterns.toArray
+    val results: Array[(String, Option[String])] =
+      spark.sparkContext.parallelize(jobs.toSeq, jobs.length)
+        .map { case (oldName, newName) =>
+          val reader = new GlprReader(
+            new java.io.File(path, oldName).getAbsolutePath,
+            GlprSource.schema,
+            GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
+          val taskId = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
+            Some(newName))
+          var changed = 0L
+          try {
+            while (reader.next()) {
+              val row = reader.get()
+              val text = row.getUTF8String(3).toString
+              val red = pats.foldLeft(text)((t, p) => t.replace(p, mask))
+              if (red != text) changed += 1
+              writer.write(new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](row.getLong(0),
+                  row.getUTF8String(1).copy(), row.getUTF8String(2).copy(),
+                  org.apache.spark.unsafe.types.UTF8String.fromString(red))))
+            }
+          } finally reader.close()
+          if (changed > 0) { writer.commit(); (oldName, Some(newName)) }
+          else { writer.abort(); (oldName, None) } // untouched: keep as-is
+        }.collect()
+    val swapped = results.collect { case (o, Some(n)) => o -> n }.toMap
+    if (swapped.nonEmpty) {
+      val all = GlprSource.committedShards(path).map(_.getName)
+      GlprSource.writeManifest(path,
+        all.map(n => swapped.getOrElse(n, n)).toSeq)
+      swapped.keys.foreach { n =>
+        val f = new java.io.File(path, n)
+        GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
+        f.delete(): Unit
+      }
+    }
+    swapped
+  }
+
+  /** q324 — the redaction as a registry entry: staging, redactText with
+    * the q320 blocklist, then the post-redaction rollup. The oracle
+    * computes the SAME replace chain over the original documents —
+    * hash equality certifies the storage really holds the redacted
+    * bytes (byte sums would differ on any missed or extra
+    * replacement). Skip-untouched, fresh names, minted version, and
+    * idempotence are GlprSpec-pinned. */
+  def redactionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = redactCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-redact").toString
+      GlprSource.write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      redactText(spark, out,
+        graft.functions.MultiPatternCounts.BlocklistPatterns, "[REDACTED]"): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val redactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`. Returns
     * the number of files removed. */
   def vacuum(path: String, graceMillis: Long = 0L): Int = {

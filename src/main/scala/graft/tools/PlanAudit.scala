@@ -208,6 +208,10 @@ object PlanAudit {
       "rewritten under fresh names behind one manifest flip, vectors unlinked — " +
       "metadata pushdowns and time travel re-armed",
       reg("q323_glpr_dv_materialize")),
+    ("q324_glpr_redact", "post-redaction scan after a copy-on-write row UPDATE: " +
+      "hit-bearing shards were rewritten with blocklist patterns replaced (PII " +
+      "removed from storage); untouched shards kept their files — the rewrite cost " +
+      "is the matching working set", reg("q324_glpr_redact")),
     ("q321_kmv_set_algebra", "mergeable-sketch corpus overlap: two scans reduce to 1-row " +
       "bottom-k sketch frames, broadcast-crossed; union sketch + inclusion-exclusion " +
       "derive intersection/Jaccard from O(k) values — no join ever materializes",

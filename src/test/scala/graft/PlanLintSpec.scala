@@ -103,6 +103,8 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction (cached); GlprSpec pins
     "q323_glpr_dv_materialize", // staging + DV + rewrite job on
                                 // construction (cached); GlprSpec pins
+    "q324_glpr_redact",         // staging + redaction rewrite job on
+                                // construction (cached); GlprSpec pins
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

@@ -722,6 +722,36 @@ class GlprSpec extends AnyFunSuite {
     assert(GlprMaintenance.materializeDeletes(spark, root) === Map.empty)
   }
 
+  test("q324 redaction: matched shards rewrite in place, untouched shards keep their files") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-redact-spec").toString
+    // two range shards: [0,1] holds hits, [100,101] is clean
+    Seq((0L, "en", "s", "leak spark here"), (1L, "en", "s", "spark and spark"),
+      (100L, "de", "s", "clean text"), (101L, "de", "s", "nothing"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft.io.GlprSource").mode("append").save(root)
+    val before = GlprSource.committedShards(root).map(_.getName).sorted
+    assert(before.length === 2)
+    val vBefore = GlprSource.listManifestVersions(root).length
+    val swapped = GlprMaintenance.redactText(spark, root, Seq("spark"), "[X]")
+    // only the hit-bearing shard was rewritten; the clean one kept its file
+    assert(swapped.size === 1, s"one shard held hits: $swapped")
+    val after = GlprSource.committedShards(root).map(_.getName).sorted
+    assert(after.intersect(before).length === 1,
+      "the untouched shard must keep its exact file")
+    swapped.values.foreach(n => assert(!before.contains(n)))
+    assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
+    // the STORAGE holds the redacted bytes
+    val texts = spark.read.format("graft.io.GlprSource").load(root)
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    assert(texts.toSeq === Seq("leak [X] here", "[X] and [X]",
+      "clean text", "nothing"))
+    // idempotent: nothing left to redact, no version minted
+    assert(GlprMaintenance.redactText(spark, root, Seq("spark"), "[X]") === Map.empty)
+    assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
+  }
+
   test("shard names are never reused: OVERWRITE and compaction keep history loud") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-namereuse-spec").toString
