@@ -2736,6 +2736,19 @@ object Registry {
         |     'table table', '[REDACTED]'))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DYNAMIC PARTITION OVERWRITE: INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic replaces ONLY the partitions
+    // present in the incoming data, behind one atomic manifest flip —
+    // the per-partition commit the round-15 doc said the format lacked.
+    // Oracle applies the same per-partition replacement relationally.
+    "q325_glpr_dynamic_overwrite" -> Entry((s, d) =>
+      graft.io.GlprSource.dynamicOverwritePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |WHERE lang NOT IN ('de', 'zh') OR doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN: two PARTITIONED BY (lang) GLPR tables
     // joined on the partition key — both scans report
     // KeyGroupedPartitioning with HasPartitionKey shard partitions, so

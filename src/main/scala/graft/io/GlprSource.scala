@@ -304,6 +304,43 @@ object GlprSource {
   }
   private val spjRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q325 — DYNAMIC PARTITION OVERWRITE through SQL: the full corpus in
+    * a `PARTITIONED BY (lang)` table, then `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic` with the de/zh `doc_id < 300`
+    * subset — ONLY the de/zh partitions are replaced (one manifest
+    * flip), every other language keeps its full rows. The oracle
+    * applies the same per-partition replacement relationally — a
+    * surviving pre-overwrite de/zh row or a clipped en/es/fr row breaks
+    * the hash. Closes the round-15 documented gap ("no per-partition
+    * commit log"): the `_manifest` IS one now. Straddler/unknown-value
+    * refusals pinned in GlprCatalogSpec. */
+  def dynamicOverwritePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = dynOwCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-dynow").toString)
+    val s2 = freshCatalogSession(spark, "glpr_dyn", root)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // clustered-write contract: single-valued shards (q304/q319 note)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_dyn.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (lang)")
+      s2.sql("INSERT INTO glpr_dyn.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("INSERT OVERWRITE glpr_dyn.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+        "WHERE lang IN ('de', 'zh') AND doc_id < 300")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | max(doc_id) AS max_id
+        |FROM glpr_dyn.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val dynOwCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Un-rematerialized plan view of the q319 join for PlanAudit (the
     * registry entry collects onto the caller's session). */
   def spjPlanFrame(spark: org.apache.spark.sql.SparkSession,
@@ -1611,6 +1648,7 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // streaming admission-control knob (the file source's
@@ -1661,18 +1699,32 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
   * the no-op the rename already made durable. */
 class GlprWriteBuilder(path: String, schema: StructType,
     partitionCol: Option[String] = None) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateFirst = false
-  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")` spell overwrite
-    * as truncate-then-append — table-wide truncation even for a
-    * partitioned table (dynamic partition overwrite is NOT implemented;
-    * the sidecar model has no per-partition commit log to make it
-    * atomic). */
+  private var dynamicOverwrite = false
+  /** STATIC `INSERT OVERWRITE` / `df.write.mode("overwrite")` spell
+    * overwrite as truncate-then-append — table-wide truncation. */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  /** DYNAMIC partition overwrite (q325,
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`): replace ONLY
+    * the partitions present in the incoming data, atomically — possible
+    * since round 16 because the `_manifest` log IS a per-directory
+    * commit point: one manifest flip swaps the replaced partitions'
+    * shards for the incoming ones (see
+    * [[GlprBatchWrite.commitDynamicOverwrite]]). Partitioned tables
+    * only — an unpartitioned table has no partitions to scope the
+    * overwrite to. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partitionCol.isDefined,
+      "GLPR dynamic partition overwrite requires a PARTITIONED BY table")
+    dynamicOverwrite = true; this
+  }
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      new GlprBatchWrite(path, schema, truncateFirst, partitionCol)
+      new GlprBatchWrite(path, schema, truncateFirst, partitionCol,
+        dynamicOverwrite)
     override def toStreaming: StreamingWrite =
       new GlprStreamingWrite(path, schema, partitionCol)
     /** Partitioned tables ask Spark to CLUSTER incoming rows by the
@@ -1752,10 +1804,16 @@ class GlprStreamingWriterFactory(path: String, schema: StructType,
 }
 
 class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    dynamicOverwrite: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // dynamic overwrite needs the manifest as the visibility point: pin
+    // one NOW (adopting any legacy listing) so the incoming task-renamed
+    // shards stay invisible until the commit-time flip
+    if (dynamicOverwrite && GlprSource.readManifest(path).isEmpty)
+      GlprSource.rebuildManifest(path)
     if (truncateFirst) {
       // driver-side, before any task writes: clear committed shards +
       // sidecars (and stale stage wreckage). Like the built-in file
@@ -1803,7 +1861,67 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val names = messages.collect { case GlprShardCommitted(n) => n }.toSeq
     if (truncateFirst) GlprSource.writeManifest(path, names)
+    else if (dynamicOverwrite) commitDynamicOverwrite(names)
     else GlprSource.mergeIntoManifest(path, names)
+  }
+
+  /** DYNAMIC partition overwrite commit (q325): the incoming shards'
+    * sidecar value sets name the partitions being replaced; every OLD
+    * shard entirely inside that set drops, everything else stays, and
+    * ONE manifest flip (a minted version) publishes the swap — readers
+    * see the old partitions or the new ones, never a mix. Refusals are
+    * LOUD, before the flip: an incoming shard without a value set (the
+    * required clustered distribution was bypassed), an old data shard
+    * with unknown values (it might hold a replaced partition), or an
+    * old straddler (values both inside and outside the incoming set —
+    * replacing it would delete other partitions' rows; dynamic
+    * overwrite onto a non-value-clustered layout is exactly the case
+    * the format refuses rather than guesses). A failed commit leaves
+    * the incoming shards as invisible orphans (vacuum/rebuild
+    * territory), the table untouched. */
+  private def commitDynamicOverwrite(add: Seq[String]): Unit = {
+    val col = partitionCol.get
+    val dir = new java.io.File(path)
+    def valsOf(n: String): Option[Set[String]] = {
+      val m = GlprSource.readMeta(new java.io.File(dir, n))
+      if (m.exists(_.rows == 0)) Some(Set.empty)
+      else m.flatMap(_.valuesOf(col))
+    }
+    val incomingPer = add.map(n => n -> valsOf(n))
+    incomingPer.collect { case (n, None) => n } match {
+      case Seq() => ()
+      case bad => throw new IllegalStateException(
+        s"GLPR dynamic overwrite: incoming shard(s) ${bad.mkString(", ")} " +
+          s"carry no '$col' value set (clustered-write distribution " +
+          "bypassed or value-set cap overflowed) — cannot determine the " +
+          "partitions to replace")
+    }
+    val incoming = incomingPer.flatMap(_._2.get).toSet
+    val old = GlprSource.committedShards(path).map(_.getName)
+      .filterNot(add.toSet).toSeq
+    val classified = old.map(n => (n, valsOf(n)))
+    val unknown = classified.collect { case (n, None) => n }
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"GLPR dynamic overwrite: existing shard(s) ${unknown.mkString(", ")} " +
+        s"have no '$col' value set — they might hold replaced " +
+        "partitions; rewrite the table value-clustered first")
+    val straddlers = classified.collect {
+      case (n, Some(vs)) if (vs & incoming).nonEmpty && !(vs subsetOf incoming) => n
+    }
+    if (straddlers.nonEmpty) throw new IllegalStateException(
+      s"GLPR dynamic overwrite: shard(s) ${straddlers.mkString(", ")} mix " +
+        "replaced and surviving partition values — replacing them would " +
+        "delete other partitions' rows; compact/rewrite value-clustered first")
+    val replaced = classified.collect {
+      case (n, Some(vs)) if vs.nonEmpty && (vs subsetOf incoming) => n
+    }
+    val kept = old.filterNot(replaced.toSet)
+    GlprSource.writeManifest(path, (kept ++ add).toSeq) // the atomic flip
+    replaced.foreach { n =>
+      val f = new java.io.File(dir, n)
+      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
+      f.delete(): Unit
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -208,6 +208,10 @@ object PlanAudit {
       "rewritten under fresh names behind one manifest flip, vectors unlinked — " +
       "metadata pushdowns and time travel re-armed",
       reg("q323_glpr_dv_materialize")),
+    ("q325_glpr_dynamic_overwrite", "post-dynamic-overwrite scan: INSERT OVERWRITE " +
+      "under partitionOverwriteMode=dynamic swapped ONLY the incoming partitions' " +
+      "shards behind one manifest flip; other partitions' shards untouched",
+      reg("q325_glpr_dynamic_overwrite")),
     ("q324_glpr_redact", "post-redaction scan after a copy-on-write row UPDATE: " +
       "hit-bearing shards were rewritten with blocklist patterns replaced (PII " +
       "removed from storage); untouched shards kept their files — the rewrite cost " +

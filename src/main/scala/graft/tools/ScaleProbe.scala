@@ -83,7 +83,8 @@ object ScaleProbe {
     "q321_kmv_set_algebra",    // mergeable sketch union/intersect, O(k) frames
     "q322_glpr_dv_delete",     // merge-on-read masked scan (cached staging)
     "q323_glpr_dv_materialize", // post-materialization scan (cached staging)
-    "q324_glpr_redact")        // post-redaction scan (cached staging)
+    "q324_glpr_redact",        // post-redaction scan (cached staging)
+    "q325_glpr_dynamic_overwrite") // post-partition-swap scan (cached staging)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -105,6 +105,9 @@ class PlanLintSpec extends AnyFunSuite {
                                 // construction (cached); GlprSpec pins
     "q324_glpr_redact",         // staging + redaction rewrite job on
                                 // construction (cached); GlprSpec pins
+    "q325_glpr_dynamic_overwrite", // catalog CREATE/INSERT/OVERWRITE on
+                                // construction (cached); swap pins in
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

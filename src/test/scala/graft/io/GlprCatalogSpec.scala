@@ -432,6 +432,62 @@ class GlprCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q325 dynamic partition overwrite: only incoming partitions swap; straddlers refuse") {
+    root: Unit
+    val confs = Seq(
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"CREATE TABLE glpr_spec.ns9.dyn $ddl PARTITIONED BY (lang)")
+      Seq((1L, "en", "s", "e1"), (2L, "en", "s", "e2"),
+        (3L, "de", "s", "d1"), (4L, "de", "s", "d2"), (5L, "zh", "s", "z1"))
+        .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("dyn_in")
+      spark.sql("INSERT INTO glpr_spec.ns9.dyn SELECT * FROM dyn_in")
+      val dir = new java.io.File(root, "ns9/dyn").getAbsolutePath
+      val vBefore = GlprSource.listManifestVersions(dir).length
+      // dynamic overwrite with ONLY a de row: de is replaced wholesale,
+      // en and zh keep every row
+      Seq((30L, "de", "s", "d-new"))
+        .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("dyn_ow")
+      spark.sql("INSERT OVERWRITE glpr_spec.ns9.dyn SELECT * FROM dyn_ow")
+      val got = spark.sql("SELECT doc_id, lang FROM glpr_spec.ns9.dyn")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "en"), (2L, "en"), (5L, "zh"), (30L, "de")))
+      // one atomic manifest flip = exactly one minted version
+      assert(GlprSource.listManifestVersions(dir).length === vBefore + 1)
+      // a straddling shard (values inside AND outside the incoming set)
+      // refuses loudly instead of deleting other partitions' rows
+      val w = new GlprWriter(dir, GlprSource.schema, 0, 99L,
+        Some("part-0000000099.glpr"), Some("lang"))
+      Seq((50L, "en"), (51L, "fr")).foreach { case (id, l) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(id,
+          org.apache.spark.unsafe.types.UTF8String.fromString(l),
+          org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      }
+      w.commit()
+      GlprSource.mergeIntoManifest(dir, Seq("part-0000000099.glpr"))
+      Seq((60L, "en", "s", "e-new"))
+        .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("dyn_ow2")
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE glpr_spec.ns9.dyn SELECT * FROM dyn_ow2")
+      }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("mix replaced and surviving"), msg)
+      // the refused overwrite left the table untouched (orphans invisible)
+      assert(spark.sql("SELECT count(*) FROM glpr_spec.ns9.dyn")
+        .head().getLong(0) === 6L)
+      Seq("dyn_in", "dyn_ow", "dyn_ow2").foreach(spark.catalog.dropTempView)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q311 SQL time travel: VERSION AS OF resolves manifest versions; pinned tables are read-only") {
     spark.sql(s"CREATE TABLE glpr_spec.ns6.tt $ddl")
     Seq((1L, "en", "s", "first")).toDF("doc_id", "lang", "source", "text")
