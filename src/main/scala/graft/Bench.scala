@@ -210,18 +210,22 @@ object Bench {
       }
       val times = (1 to nReps).iterator.takeWhile(_ => err.isEmpty).map(_ => onePass()).toVector
       if (err.isDefined) return (-1.0, err)
-      // Sub-second plans are still C2-tiering after 3 executions (the
+      // Sub-3s plans are still C2-tiering after 3 executions (the
       // round-15/16 q41/q42 investigation: min-of-3 on a fresh path read
       // 0.50s against a 0.26s warm floor, and round-over-round "drift"
       // on these queries was warm-state variance, not plan cost): extend
       // with up to 3 more passes WHILE the min is still dropping >10%
       // per pass — the same warm-until-stable rule the canary uses. The
-      // >=1s plans are past tiering by pass 3 and are not extended, so
-      // the bench's total cost stays bounded.
+      // round-16 cutoff was <1s, which left the 1-2s bracket (q76/q95/
+      // q49) showing the identical artifact one tier up (r16 verdict:
+      // 1.5-1.9x their floors, same mechanism); <3s covers that bracket
+      // while the genuinely heavy >=3s plans — past tiering by pass 3 —
+      // are never extended, so the bench's total cost stays bounded
+      // (worst case +3 passes on ~2s queries).
       var best = times.min
       var extra = 0
       var improving = true
-      while (err.isEmpty && improving && best < 1.0 && extra < 3) {
+      while (err.isEmpty && improving && best < 3.0 && extra < 3) {
         val t = onePass()
         improving = t < best * 0.9
         if (t < best) best = t

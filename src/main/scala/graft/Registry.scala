@@ -2413,8 +2413,13 @@ object Registry {
           when(col("est_a") === -1.0 || col("est_b") === -1.0 ||
             col("est_union") === -1.0, lit(-1.0))
             .otherwise(round(col("est_a") + col("est_b") - col("est_union"), 6)))
+        // gate on the COMPONENT sentinels, exactly like the oracle's
+        // CASE arms: an inclusion-exclusion estimate that legitimately
+        // rounds to -1.000000 must not trip the undersized-sketch path
+        // (round-16 ADVICE)
         .withColumn("jaccard",
-          when(col("est_inter") === -1.0, lit(-1.0))
+          when(col("est_a") === -1.0 || col("est_b") === -1.0 ||
+            col("est_union") === -1.0, lit(-1.0))
             .otherwise(round(col("est_inter") / col("est_union"), 6)))
     }, Some(
       """WITH a AS (SELECT list_sort(list(DISTINCT md5(text)))[1:16] AS ks
@@ -2670,17 +2675,26 @@ object Registry {
     // ProcedureCatalog, introspection half: CALL sys.history('ns.table')
     // = DESCRIBE HISTORY. One row per manifest version with the
     // CUMULATIVE row count a versionAsOf read of it returns; the oracle
-    // recomputes the cumulative slice counts — agreement certifies
-    // exactly-one-version-per-commit and correct snapshots.
+    // derives the version rows from the NONEMPTY slices (empty slices
+    // mint no version — the pipeline skips them; round-16 ADVICE), so
+    // the entry stays oracle-deterministic at degenerate SFs. Agreement
+    // certifies exactly-one-version-per-commit and correct snapshots.
     "q316_glpr_history" -> Entry((s, d) =>
       graft.io.GlprSource.historyPipeline(s, d).orderBy("version"), Some(
-      """SELECT CAST(v AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows FROM (
-        | SELECT 1 AS v, (SELECT count(*) FROM documents WHERE doc_id < 100) AS n
-        | UNION ALL
-        | SELECT 2, (SELECT count(*) FROM documents WHERE doc_id < 300)
-        | UNION ALL
-        | SELECT 3, (SELECT count(*) FROM documents)
-        |) ORDER BY 1""".stripMargin)),
+      """WITH s AS (
+        | SELECT 1 AS slice,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) AS inc,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) AS cum
+        | UNION ALL SELECT 2,
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 300),
+        |  (SELECT count(*) FROM documents WHERE doc_id < 300)
+        | UNION ALL SELECT 3,
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 300),
+        |  (SELECT count(*) FROM documents)
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY slice) AS BIGINT) AS version,
+        |  CAST(cum AS BIGINT) AS n_rows
+        |FROM s WHERE inc > 0 ORDER BY 1""".stripMargin)),
 
     // ProcedureCatalog, maintenance half: CALL restore(2) -> compact ->
     // vacuum through plain SQL, then the live rollup. Oracle = documents

@@ -5,12 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // Optional 3rd arg: only dump queries whose name contains the filter
-    // (local iteration aid; the driver always passes exactly 2 args).
-    val (sfDir, outDir, nameFilter) = args match {
-      case Array(s, o)    => (s, o, "")
-      case Array(s, o, f) => (s, o, f)
-    }
+    // Optional 3rd+ args: only dump queries whose name contains ANY of
+    // the filters (local iteration aid; the driver always passes 2 args).
+    val (sfDir, outDir, nameFilters) = (args(0), args(1), args.drop(2).toSeq)
+    def keep(name: String): Boolean =
+      nameFilters.isEmpty || nameFilters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
+      .filter(p => keep(p._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +40,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter(_._1.contains(nameFilter))
+      .filter(p => keep(p._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

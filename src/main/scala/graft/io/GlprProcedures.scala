@@ -76,7 +76,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
   override def description(): String = procName match {
     case "history" => "history(table): manifest versions with shard/row counts"
     case "compact" => "compact(table, target_bytes): merge small shards up to target_bytes"
-    case "vacuum" => "vacuum(table): unlink _tmp stage wreckage"
+    case "vacuum" => "vacuum(table, grace_ms DEFAULT 0): unlink _tmp stage wreckage older than grace_ms"
     case "restore" => "restore(table, version): re-point the live manifest at a version"
     case "rebuild_manifest" => "rebuild_manifest(table): re-adopt every committed shard on disk"
     case _ => procName
@@ -94,6 +94,13 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", LongType).build())
+      // grace_ms is OPTIONAL (SQL default 0): a vacuum issued while a
+      // write is staging would unlink the live _tmp files of in-flight
+      // tasks and fail them — the grace knob (GlprMaintenance.vacuum)
+      // must be reachable from the SQL front door too (round-16 ADVICE)
+      case "vacuum" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("grace_ms", LongType).defaultValue("0").build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -106,7 +113,8 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           summary("merged_groups" -> merged.length.toLong,
             "merged_rows" -> merged.map(_.rows).sum)
         case "vacuum" =>
-          summary("removed" -> GlprMaintenance.vacuum(path).toLong)
+          summary("removed" ->
+            GlprMaintenance.vacuum(path, input.getLong(1)).toLong)
         case "restore" =>
           val v = input.getLong(1)
           GlprSource.restoreToVersion(path, v)
