@@ -1141,38 +1141,91 @@ object GlprSource {
     * members for the merged name). */
   private[io] def manifestFile(path: String): java.io.File =
     new java.io.File(path, "_manifest")
-  private[io] def readManifest(path: String): Option[Seq[String]] = {
-    val f = manifestFile(path)
-    if (!f.isFile) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+  private def parseManifest(f: java.io.File): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The CURRENT manifest content. Since round 17 the version files ARE
+    * the log: the newest `_manifest.v<n>` is authoritative (its creation
+    * is the commit point — see [[commitManifest]]); the un-versioned
+    * `_manifest` pointer is kept as a best-effort mirror for legacy
+    * tooling and is read only when no version file exists (a
+    * pre-versioning directory). */
+  private[io] def readManifest(path: String): Option[Seq[String]] =
+    listManifestVersions(path).lastOption match {
+      case Some(v) => Some(versionShardNames(path, v))
+      case None =>
+        val f = manifestFile(path)
+        if (f.isFile) Some(parseManifest(f)) else None
+    }
+
+  /** SERIALIZED manifest commit — the Delta-log put-if-absent protocol
+    * at minimum size (round-16 ADVICE: the old read-merge-swap had no
+    * guard, so two concurrent committing writers could silently drop
+    * each other's shard names). `compute` maps the CURRENT content (or
+    * the adopted directory listing for a manifest-less dir) to the new
+    * content; the commit point is an atomic create-new of
+    * `_manifest.v<lastSeen+1>` (via `Files.createLink` — hard-link
+    * creation is put-if-absent where ATOMIC_MOVE on POSIX silently
+    * replaces). A writer that lost the race gets
+    * FileAlreadyExistsException, re-reads, re-computes and retries, so
+    * concurrent merge commits (two batch jobs, a batch job racing a
+    * streaming epoch) serialize with no lost names and strictly
+    * sequential version numbers. Crash between the version link and the
+    * pointer mirror: the version file IS the committed state — readers
+    * resolve newest-version-first ([[readManifest]]), so nothing is
+    * lost and the stale mirror is refreshed by the next commit. */
+  private[io] def commitManifest(path: String)(
+      compute: Seq[String] => Seq[String]): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val lastV = listManifestVersions(path).lastOption.getOrElse(0L)
+      val base = readManifest(path).getOrElse(
+        listShardFiles(path).map(_.getName).toSeq)
+      val content = compute(base).distinct.sorted
+      // replay-idempotence: a commit that changes nothing (a streaming
+      // epoch replay re-merging its own shard names, rebuildManifest on
+      // a clean dir) neither mints a version nor touches the pointer
+      if (readManifest(path).contains(content)) return
+      val bytes = content.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val vtmp = new java.io.File(path,
+        s"_tmp-manifest-${Thread.currentThread().getId}-$attempts")
+      java.nio.file.Files.write(vtmp.toPath, bytes)
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            versionFile(path, lastV + 1).toPath, vtmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally { vtmp.delete(): Unit }
+      if (won) {
+        // best-effort pointer mirror (legacy-compat cache only; a stale
+        // mirror is invisible to readers, which resolve versions first)
+        val tmp = new java.io.File(path,
+          s"_manifest.tmp${Thread.currentThread().getId}")
+        java.nio.file.Files.write(tmp.toPath, bytes)
+        java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        return
+      }
+    }
+    throw new IllegalStateException(
+      s"GLPR manifest commit on '$path': 50 consecutive version " +
+        "reservation collisions — pathological contention or a stuck clock")
   }
-  private[io] def writeManifest(path: String, names: Seq[String]): Unit = {
-    val content = names.distinct.sorted
-    // replay-idempotence: a commit that changes nothing (a streaming
-    // epoch replay re-merging its own shard names, rebuildManifest on a
-    // clean dir) neither rewrites the pointer nor mints a version
-    if (readManifest(path).contains(content)) return
-    val bytes = content.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val tmp = new java.io.File(path, "_manifest.tmp")
-    java.nio.file.Files.write(tmp.toPath, bytes)
-    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // versioned snapshot AFTER the pointer swap (q311 time travel): a
-    // crash between the two leaves the new current state with no version
-    // number — `versionAsOf` of the would-be version fails loudly
-    // (vanished) — never a version file whose content was never the
-    // current manifest (phantom). One tiny file per mutating commit,
-    // the Delta-log idea at minimum size.
-    val v = listManifestVersions(path).lastOption.getOrElse(0L) + 1
-    val vtmp = new java.io.File(path, f"_tmp-manifest-v$v%010d")
-    java.nio.file.Files.write(vtmp.toPath, bytes)
-    java.nio.file.Files.move(vtmp.toPath, versionFile(path, v).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+
+  /** REPLACE the manifest content outright (truncate/restore/rewrite
+    * commits, which computed their content from their own read of the
+    * table state — single-writer per table for replace-form DML is the
+    * documented contract; concurrent APPENDS go through
+    * [[mergeIntoManifest]], which re-merges on collision). */
+  private[io] def writeManifest(path: String, names: Seq[String]): Unit =
+    commitManifest(path)(_ => names)
 
   /** TIME-TRAVEL version history (q311): every mutating manifest commit
     * snapshots its content as `_manifest.v<n>` alongside the `_manifest`
@@ -1269,14 +1322,13 @@ object GlprSource {
         "needs every shard of the target version on disk")
     writeManifest(path, names)
   }
-  /** Fold `add` into the manifest. The FIRST commit of a pre-manifest
+  /** Fold `add` into the manifest under the [[commitManifest]] CAS loop:
+    * a collision re-reads and RE-MERGES, so concurrent appenders never
+    * drop each other's names. The FIRST commit of a pre-manifest
     * directory adopts the existing listing too, so an upgrade write
     * never hides history. */
-  private[io] def mergeIntoManifest(path: String, add: Seq[String]): Unit = {
-    val base = readManifest(path).getOrElse(
-      listShardFiles(path).map(_.getName).toSeq)
-    writeManifest(path, base ++ add)
-  }
+  private[io] def mergeIntoManifest(path: String, add: Seq[String]): Unit =
+    commitManifest(path)(base => base ++ add)
   /** Recovery / external-attach: re-adopt every committed shard on
     * disk as the manifest content. */
   def rebuildManifest(path: String): Unit =

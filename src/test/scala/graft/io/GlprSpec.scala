@@ -453,6 +453,37 @@ class GlprSpec extends AnyFunSuite {
     assert(spark.read.format("graft.io.GlprSource").load(bare).count() === 1L)
   }
 
+  test("manifest commits are CAS-serialized: concurrent merges lose no names") {
+    // round-16 ADVICE: the old read-merge-swap could silently drop a
+    // concurrent committer's shard names. The put-if-absent version
+    // reservation (commitManifest) serializes writers: every name
+    // survives, version numbers are strictly sequential, and each
+    // version's content is a superset of its predecessor's.
+    val root = TempDirs.scratch("graft-glpr-cas").toString
+    new java.io.File(root).mkdirs()
+    val names = (0 until 16).map(i => f"part-$i%010d.glpr")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = names.map { n =>
+        pool.submit(new Runnable {
+          override def run(): Unit = GlprSource.mergeIntoManifest(root, Seq(n))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(GlprSource.readManifest(root).get.toSet === names.toSet,
+      "every concurrently merged name must survive")
+    val vs = GlprSource.listManifestVersions(root)
+    assert(vs === (1L to names.length.toLong), s"sequential versions, got $vs")
+    vs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(GlprSource.versionShardNames(root, a).toSet
+          .subsetOf(GlprSource.versionShardNames(root, b).toSet),
+          s"version $b must extend version $a")
+      case _ => ()
+    }
+  }
+
   test("q311 time travel: versions snapshot the append history; rejections are loud") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-tt").toString
