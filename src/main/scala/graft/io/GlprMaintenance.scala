@@ -24,24 +24,29 @@ import org.apache.spark.sql.DataFrame
   * name past every name the directory ever used
   * ([[GlprSource.usedShardNames]]) — name reuse would let a
   * `_manifest.v<n>` snapshot silently resolve to post-compaction bytes
-  * (q311's phantom history); with fresh names the affected versions
-  * fail LOUDLY instead (vanished-over-phantom). Compaction is for
-  * QUIESCENT corpora: it invalidates in-flight streaming checkpoints —
-  * a name-offset reader would re-deliver the merged rows under their
-  * new name (a production system makes this atomic with a
-  * manifest/snapshot layer; this format's documented scope is
-  * name-interval offsets over append-only dirs). Crash ordering
-  * prefers a visibility gap over duplication: the merged shard is
-  * staged invisibly (`_tmp-`), the old shards are unlinked, the stage
-  * is renamed in, and the manifest commit LAST makes it visible — a
-  * crash in between leaves the staged/renamed file for manual recovery
-  * (rebuildManifest) rather than serving the same rows twice.
+  * (q311's phantom history). Members are RETIRED by the manifest flip,
+  * never unlinked (round-17 retention): the pre-compaction versions
+  * keep reading them until expire+vacuum. Compaction is for QUIESCENT
+  * corpora: it invalidates in-flight streaming checkpoints — a
+  * name-offset reader would re-deliver the merged rows under their new
+  * name (a production system makes this atomic with a manifest/snapshot
+  * layer; this format's documented scope is name-interval offsets over
+  * append-only dirs). Crash ordering: the merged shard is staged
+  * invisibly (`_tmp-`), renamed in (still invisible — not in the
+  * manifest), and the manifest commit LAST swaps members for the merged
+  * name; a crash before the commit leaves the table untouched plus one
+  * orphan for vacuum, never a gap and never duplication.
   *
-  * '''Vacuum''': `_tmp-` stage wreckage from crashed/speculative
-  * writers is invisible to readers (the committedShards filter) but
-  * costs storage forever; `vacuum` unlinks stage files older than a
-  * grace period (default 0 here — the sandbox has no concurrent
-  * writers; production would use hours, like Delta's VACUUM horizon).
+  * '''Vacuum & retention''' (round 17): DELETE / OVERWRITE / rewrites /
+  * compaction all RETIRE shards — drop them from the live manifest,
+  * keep the files for the versions that own them — so storage reclaim
+  * is an explicit two-step maintenance horizon, the Delta/Iceberg
+  * model: [[expireVersions]] drops old `_manifest.v<n>` snapshots, then
+  * [[vacuum]] unlinks `_tmp-` stage wreckage AND any shard (+sidecars)
+  * referenced by neither the live manifest nor a surviving version,
+  * older than a grace period (default 0 here — the sandbox has no
+  * concurrent writers; production would use hours, like Delta's VACUUM
+  * horizon). Historical reads of expired state then fail loudly.
   */
 object GlprMaintenance {
 
@@ -54,6 +59,10 @@ object GlprMaintenance {
     * not reported). Byte-level concatenation; sidecars merged from
     * sidecars — see the object doc for the exact fold rules. */
   def compact(path: String, targetBytes: Long): Seq[CompactGroup] = {
+    // retention needs the manifest as the visibility point (members are
+    // RETIRED by the flip, never unlinked): pin one now, adopting any
+    // legacy listing
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
     // a delete-vector-carrying shard is NEVER merged: byte concat under
     // a fresh name would orphan its mask and resurrect the masked rows —
     // materializeDeletes first, then compact (it also acts as a group
@@ -163,8 +172,12 @@ object GlprMaintenance {
     mergedMeta.foreach(m => java.nio.file.Files.write(stageMeta.toPath,
       m.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
-    // --- unlink old, rename stage in LAST (gap over duplication) ---
-    group.foreach { f => GlprSource.metaFile(f).delete(); f.delete(): Unit }
+    // --- rename the stage in; members stay on disk (RETIRED by the
+    // caller's manifest flip — the versions that recorded them keep
+    // them readable). Until the flip the merged shard is an invisible
+    // orphan, so a crash here leaves the table untouched and vacuum
+    // reclaims the orphan — the round-16 unlink-before-rename crash
+    // window (visibility gap) is gone. ---
     val dest = new java.io.File(path, name)
     if (mergedMeta.isDefined)
       java.nio.file.Files.move(stageMeta.toPath,
@@ -243,15 +256,10 @@ object GlprMaintenance {
       .filterNot(n => doomedNames(n) || straddleNames(n))
     GlprSource.writeManifest(path,
       (keepNames ++ results.flatMap(_._2)).toSeq)
-    // sidecar row counts must be read BEFORE the unlink below
     val doomedRows = doomed.flatMap(f => GlprSource.readMeta(f).map(_.rows)).sum
-    // physical unlink AFTER the flip: gap/garbage over duplication
-    // (delete vectors of replaced shards go too — the survivors already
-    // applied them during the rewrite read)
-    (doomed ++ straddle).foreach { f =>
-      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
-      f.delete(): Unit
-    }
+    // the doomed and straddling shards are RETIRED, not unlinked: their
+    // files stay on disk owned by the pre-delete versions, so time
+    // travel across the delete keeps working until expire+vacuum
     RowDeleteReport(doomedNames.toSeq.sorted,
       results.map(r => r._1 -> r._2).toMap,
       doomedRows + results.map(_._3).sum)
@@ -340,10 +348,8 @@ object GlprMaintenance {
     val maskedNames = masked.map(_.getName).toSet
     val keepNames = shards.map(_.getName).filterNot(maskedNames)
     GlprSource.writeManifest(path, (keepNames ++ results.flatMap(_._2)).toSeq)
-    masked.foreach { f =>
-      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
-      f.delete(): Unit
-    }
+    // masked originals (and their .dv state) are RETIRED with the flip,
+    // not unlinked — history stays readable until expire+vacuum
     results.map(r => r._1 -> r._2).toMap
   }
 
@@ -488,11 +494,11 @@ object GlprMaintenance {
       val all = GlprSource.committedShards(path).map(_.getName)
       GlprSource.writeManifest(path,
         all.map(n => swapped.getOrElse(n, n)).toSeq)
-      swapped.keys.foreach { n =>
-        val f = new java.io.File(path, n)
-        GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
-        f.delete(): Unit
-      }
+      // pre-redaction shards are RETIRED with the flip, not unlinked.
+      // NOTE the remediation contract: "removed from the LIVE corpus"
+      // happens here; "removed from STORAGE" — the right-to-be-forgotten
+      // bar — additionally needs expireVersions + vacuum to reclaim the
+      // retired files, exactly like Delta/Iceberg PII guidance.
     }
     swapped
   }
@@ -524,13 +530,56 @@ object GlprMaintenance {
   private val redactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Unlink `_tmp-` stage wreckage older than `graceMillis`. Returns
-    * the number of files removed. */
+  /** EXPIRE old manifest versions (Iceberg's `expire_snapshots`): keep
+    * the newest `keepLast` `_manifest.v<n>` files, unlink the rest.
+    * Expiry alone frees nothing — it releases the expired versions'
+    * claim on their retired shards so [[vacuum]] can reclaim them; time
+    * travel to an expired version then fails loudly (unknown version).
+    * Returns the expired version numbers. */
+  def expireVersions(path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"expireVersions keepLast must be >= 1 (the newest version IS the " +
+        s"live manifest), got $keepLast")
+    val vs = GlprSource.listManifestVersions(path)
+    val doomed = vs.dropRight(keepLast)
+    doomed.foreach(v => GlprSource.versionFile(path, v).delete(): Unit)
+    doomed
+  }
+
+  /** Unlink `_tmp-` stage wreckage older than `graceMillis`, plus — on
+    * manifest-bearing directories — RETIRED shards no surviving version
+    * references (run [[expireVersions]] first to release them; a shard
+    * named by the live manifest or any `_manifest.v<n>` is never
+    * touched). Manifest-less dirs reclaim stage wreckage only: their
+    * listing IS the table, so every data file is live by definition.
+    * Returns the number of files removed. */
   def vacuum(path: String, graceMillis: Long = 0L): Int = {
     val horizon = System.currentTimeMillis() - graceMillis
-    val doomed = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("_tmp") && f.lastModified() < horizon)
+    val all = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    val stage = all.filter(f =>
+      f.getName.startsWith("_tmp") && f.lastModified() < horizon)
+    val retiredReclaim: Array[java.io.File] =
+      GlprSource.readManifest(path) match {
+        case Some(live) =>
+          val referenced = live.toSet ++ GlprSource.versionReferencedNames(path)
+          val orphanShards = all.filter { f =>
+            f.getName.endsWith(".glpr") && !f.getName.startsWith("_tmp") &&
+              !referenced(f.getName) && f.lastModified() < horizon
+          }
+          // sidecars go with their shard; also sweep sidecars whose
+          // shard is already gone
+          orphanShards.flatMap(f =>
+            Seq(f, GlprSource.metaFile(f), GlprSource.dvFile(f))) ++
+            all.filter { f =>
+              (f.getName.endsWith(".glpr.meta") || f.getName.endsWith(".glpr.dv")) &&
+                !new java.io.File(f.getParentFile,
+                  f.getName.stripSuffix(".meta").stripSuffix(".dv")).isFile &&
+                !referenced(f.getName.stripSuffix(".meta").stripSuffix(".dv")) &&
+                f.lastModified() < horizon
+            }
+        case None => Array.empty
+      }
+    val doomed = (stage ++ retiredReclaim).filter(_.isFile).distinct
     doomed.foreach(_.delete(): Unit)
     doomed.length
   }

@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * they mutate or inspect on-disk state. */
 object GlprProcedures {
   def names: Seq[String] = Seq(
-    "history", "compact", "vacuum", "restore", "rebuild_manifest")
+    "history", "compact", "vacuum", "restore", "rebuild_manifest",
+    "expire_versions")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -78,7 +79,8 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "compact" => "compact(table, target_bytes): merge small shards up to target_bytes"
     case "vacuum" => "vacuum(table, grace_ms DEFAULT 0): unlink _tmp stage wreckage older than grace_ms"
     case "restore" => "restore(table, version): re-point the live manifest at a version"
-    case "rebuild_manifest" => "rebuild_manifest(table): re-adopt every committed shard on disk"
+    case "rebuild_manifest" => "rebuild_manifest(table): re-adopt the live content plus true orphans"
+    case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
     case _ => procName
   }
 
@@ -94,6 +96,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", LongType).build())
+      case "expire_versions" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep", LongType).build())
       // grace_ms is OPTIONAL (SQL default 0): a vacuum issued while a
       // write is staging would unlink the live _tmp files of in-flight
       // tasks and fail them — the grace knob (GlprMaintenance.vacuum)
@@ -120,6 +125,11 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           GlprSource.restoreToVersion(path, v)
           summary("restored_to" -> v,
             "live_version" -> GlprSource.listManifestVersions(path).last)
+        case "expire_versions" =>
+          val expired = GlprMaintenance.expireVersions(path, input.getLong(1).toInt)
+          summary("expired" -> expired.length.toLong,
+            "live_version" ->
+              GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
         case "rebuild_manifest" =>
           GlprSource.rebuildManifest(path)
           summary("shards" ->

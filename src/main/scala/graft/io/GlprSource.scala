@@ -1228,15 +1228,18 @@ object GlprSource {
     commitManifest(path)(_ => names)
 
   /** TIME-TRAVEL version history (q311): every mutating manifest commit
-    * snapshots its content as `_manifest.v<n>` alongside the `_manifest`
-    * pointer. Versions record the MANIFEST history only — data shards
-    * are not retained for them: an append-only corpus keeps every
-    * version readable forever (appends never unlink), while DELETE /
-    * OVERWRITE / compaction unlink shards and make the versions that
-    * referenced them fail LOUDLY on read (vanished over phantom — time
-    * travel never silently serves partial history; production pairs
-    * this with a retention window before physical unlink, documented
-    * out of scope for the single-FS sandbox). */
+    * snapshots its content as `_manifest.v<n>` (since round 17 the
+    * version files ARE the log — see [[commitManifest]]). DELETE /
+    * OVERWRITE / compaction / rewrites RETIRE their old shards: the
+    * names drop out of the live manifest but the files stay on disk,
+    * owned by the versions that recorded them — so EVERY version stays
+    * readable (time travel across non-append history) until
+    * [[GlprMaintenance.expireVersions]] drops old snapshots and
+    * [[GlprMaintenance.vacuum]] reclaims the then-unreferenced files,
+    * after which historical reads of expired state fail LOUDLY
+    * (vanished over phantom — never silent partial history). This is
+    * the Delta/Iceberg retention model: logical deletes now, physical
+    * reclaim on an explicit maintenance horizon. */
   private[io] def versionFile(path: String, v: Long): java.io.File =
     new java.io.File(path, f"_manifest.v$v%010d")
   def listManifestVersions(path: String): Seq[Long] =
@@ -1274,9 +1277,10 @@ object GlprSource {
           val sf = new java.io.File(dir, n)
           if (!sf.isFile) throw new IllegalStateException(
             s"GLPR versionAsOf=$v: shard '$n' referenced by version $v " +
-              "no longer exists (unlinked by a later DELETE/OVERWRITE/" +
-              "compaction) — versions stay readable only while their " +
-              "shards survive; append-only histories always do")
+              "no longer exists on disk — DELETE/OVERWRITE/compaction " +
+              "RETIRE shards (they stay readable through their versions), " +
+              "so a missing file means vacuum reclaimed it after version " +
+              "expiry, or an external unlink")
           sf
         }.toArray.sortBy(_.getName)
   }
@@ -1329,10 +1333,28 @@ object GlprSource {
     * never hides history. */
   private[io] def mergeIntoManifest(path: String, add: Seq[String]): Unit =
     commitManifest(path)(base => base ++ add)
-  /** Recovery / external-attach: re-adopt every committed shard on
-    * disk as the manifest content. */
-  def rebuildManifest(path: String): Unit =
-    writeManifest(path, listShardFiles(path).map(_.getName).toSeq)
+  /** Every shard name any manifest VERSION snapshot records (the
+    * retention root set: a shard on disk but in no version and not live
+    * is a true orphan — crashed-job wreckage or an un-adopted external
+    * file). */
+  private[io] def versionReferencedNames(path: String): Set[String] =
+    listManifestVersions(path)
+      .flatMap(v => versionShardNames(path, v)).toSet
+
+  /** Recovery / external-attach: adopt the live content plus every TRUE
+    * ORPHAN on disk (committed by a crashed job, or dropped in
+    * externally). Shards RETIRED by DELETE/OVERWRITE/compaction — on
+    * disk but recorded by an earlier version — are NOT re-adopted:
+    * resurrection would silently undo the delete (and double rows after
+    * a compaction). A dir with no version history adopts everything
+    * (the legacy pre-versioning behavior). */
+  def rebuildManifest(path: String): Unit = {
+    val onDisk = listShardFiles(path).map(_.getName).toSeq
+    val historic = versionReferencedNames(path)
+    if (historic.isEmpty) writeManifest(path, onDisk)
+    else commitManifest(path)(live =>
+      live ++ onDisk.filterNot(historic))
+  }
 
   /** The two shard-naming schemes ([[GlprWriter]] batch vs
     * [[GlprStreamingWriterFactory]] epoch names). One scheme per
@@ -1700,20 +1722,26 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     val doomed = deletePlan(filters).getOrElse(throw new IllegalArgumentException(
       "GLPR DELETE requires shard-aligned doc_id bounds or partition-value " +
         "sets (metadata-only delete)"))
-    GlprSource.committedShards(path).foreach { f =>
-      if (doomed(f)) {
-        // the .dv sidecar goes with its shard, like every other unlink
-        // path (dynamic overwrite, rewrites) — round-16 ADVICE: orphan
-        // delete vectors otherwise accumulate forever
-        GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
-        f.delete(): Unit
-      }
-    }
-    // manifest hygiene: the isFile filter already hides the unlinked
-    // names; rewrite so the log matches the survivors exactly
-    GlprSource.readManifest(path).foreach { _ =>
-      GlprSource.writeManifest(path,
-        GlprSource.committedShards(path).map(_.getName).toSeq)
+    val shards = GlprSource.committedShards(path)
+    GlprSource.readManifest(path) match {
+      case Some(_) =>
+        // RETENTION (round 17): the DELETE is ONE manifest commit that
+        // drops the doomed names — the data files stay on disk, owned by
+        // the pre-delete versions, so time travel and CDF across the
+        // DELETE keep working (Delta/Iceberg semantics: logical delete
+        // now, physical reclaim by expire+vacuum later).
+        GlprSource.writeManifest(path,
+          shards.filterNot(doomed).map(_.getName).toSeq)
+      case None =>
+        // manifest-less legacy dir: the listing IS the table, so the
+        // unlink must be physical (the .dv sidecar goes with its shard —
+        // round-16 ADVICE: orphan vectors otherwise accumulate forever)
+        shards.foreach { f =>
+          if (doomed(f)) {
+            GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
+            f.delete(): Unit
+          }
+        }
     }
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -1887,15 +1915,26 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     if (dynamicOverwrite && GlprSource.readManifest(path).isEmpty)
       GlprSource.rebuildManifest(path)
     if (truncateFirst) {
-      // driver-side, before any task writes: clear committed shards +
-      // sidecars (and stale stage wreckage). Like the built-in file
-      // source's overwrite without a metadata log, a crash mid-job can
-      // leave the table partially rewritten — per-shard publication
-      // stays atomic, table-level overwrite is not transactional.
-      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
-          || f.getName.endsWith(".glpr.dv") || f.getName.startsWith("_tmp"))
-        .foreach(f => f.delete(): Unit)
+      if (GlprSource.readManifest(path).isDefined) {
+        // RETENTION (round 17): a manifest-bearing table truncates
+        // LOGICALLY — the commit below replaces the manifest with only
+        // the incoming names in ONE atomic flip (readers see the old
+        // table or the new one, never an empty window), and the old
+        // shards stay on disk owned by their versions until
+        // expire+vacuum. Only stale stage wreckage is cleared here.
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("_tmp"))
+          .foreach(f => f.delete(): Unit)
+      } else {
+        // manifest-less legacy dir: the listing IS the table — clear
+        // committed shards + sidecars physically (the pre-manifest
+        // overwrite semantics: per-shard publication stays atomic,
+        // table-level overwrite is not transactional).
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
+            || f.getName.endsWith(".glpr.dv") || f.getName.startsWith("_tmp"))
+          .foreach(f => f.delete(): Unit)
+      }
     } else {
       // mirror of the streaming-side naming guard: a batch append into a
       // stream-written corpus produces names that are not mutually
@@ -1988,12 +2027,10 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
       case (n, Some(vs)) if vs.nonEmpty && (vs subsetOf incoming) => n
     }
     val kept = old.filterNot(replaced.toSet)
-    GlprSource.writeManifest(path, (kept ++ add).toSeq) // the atomic flip
-    replaced.foreach { n =>
-      val f = new java.io.File(dir, n)
-      GlprSource.metaFile(f).delete(); GlprSource.dvFile(f).delete()
-      f.delete(): Unit
-    }
+    // the atomic flip; replaced shards are RETIRED, not unlinked — they
+    // stay on disk owned by the pre-overwrite versions (time travel/CDF
+    // across the overwrite keep working) until expire+vacuum reclaims
+    GlprSource.writeManifest(path, (kept ++ add).toSeq)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -102,7 +102,7 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ow_in1"); spark.catalog.dropTempView("ow_in2")
   }
 
-  test("metadata-only DELETE unlinks shard-aligned ranges; straddling predicates fail loudly") {
+  test("metadata-only DELETE retires shard-aligned ranges; straddling predicates fail loudly") {
     spark.sql(s"CREATE TABLE glpr_spec.ns7.del $ddl")
     (0L until 200L).map(i => (i, "en", "s", s"t$i"))
       .toDF("doc_id", "lang", "source", "text")
@@ -116,12 +116,23 @@ class GlprCatalogSpec extends AnyFunSuite {
       spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 50"))
     assert(e.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e.getMessage)
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 200L)
-    // shard-aligned predicate: whole-shard unlink, sidecar too
+    // shard-aligned predicate: whole-shard RETIRE — dropped from the
+    // live manifest in one commit, file kept for the pre-delete version
     spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 100")
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
-    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 1)
-    assert(dir.listFiles().count(_.getName.endsWith(".glpr.meta")) === 1)
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 2,
+      "retired shard stays on disk for its versions")
     assert(spark.sql("SELECT min(doc_id) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
+    // time travel ACROSS the delete: the pre-delete version reads 200
+    val preDelete = GlprSource.listManifestVersions(dir.getAbsolutePath).length - 1
+    assert(spark.sql(
+      s"SELECT count(*) FROM glpr_spec.ns7.del VERSION AS OF $preDelete")
+      .head().getLong(0) === 200L)
+    // expire + vacuum reclaims the retired file, live view untouched
+    spark.sql("CALL glpr_spec.sys.expire_versions('ns7.del', 1)").collect()
+    assert(spark.sql("CALL glpr_spec.sys.vacuum('ns7.del')").head().getLong(0) >= 1L)
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 1)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
     spark.catalog.dropTempView("del_in")
   }
 

@@ -653,12 +653,22 @@ class GlprSpec extends AnyFunSuite {
     assert(metas.map(_.rows).sum === 200L)
     // the delete was ONE mutating commit: exactly one version minted
     assert(GlprSource.listManifestVersions(root).length === versionsBefore + 1)
-    // pre-delete versions fail loudly now (their shards were unlinked)
-    val e = intercept[IllegalStateException] {
+    // RETENTION: the deleted/rewritten shards were retired, not
+    // unlinked — time travel to the pre-delete version still reads the
+    // FULL table (Delta/Iceberg semantics)
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", versionsBefore.toString).load(root)
+      .count() === 400L)
+    // expire the pre-delete history, vacuum reclaims the retired files,
+    // and only then does the historical read turn loud
+    GlprMaintenance.expireVersions(root, keepLast = 1)
+    assert(GlprMaintenance.vacuum(root) > 0, "retired shards must reclaim")
+    val e = intercept[Exception] {
       spark.read.format("graft.io.GlprSource")
         .option("versionAsOf", versionsBefore.toString).load(root).count()
     }
-    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    assert(e.getMessage.contains("no such manifest version") ||
+      e.getMessage.contains("no longer exists"), e.getMessage)
     // a bounds-less straddler (external writer) takes the rewrite path;
     // a fully-emptied one writes NO survivor shard
     val w = new GlprWriter(root, GlprSource.schema, 0, 77L,
@@ -783,39 +793,47 @@ class GlprSpec extends AnyFunSuite {
     assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
   }
 
-  test("shard names are never reused: OVERWRITE and compaction keep history loud") {
+  test("shard names are never reused; OVERWRITE and compaction RETIRE, history stays readable") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-namereuse-spec").toString
     def df(rows: (Long, String)*) =
       rows.map { case (i, t) => (i, "en", "s", t) }
         .toDF("doc_id", "lang", "source", "text").coalesce(1)
     df(1L -> "a").write.format("graft.io.GlprSource").mode("append").save(root)
-    // OVERWRITE truncates the disk but must NOT re-mint part-0: version
-    // 1 recorded that name, and a reused name would let versionAsOf=1
-    // silently serve post-overwrite bytes as history
+    // OVERWRITE must NOT re-mint part-0: version 1 recorded that name,
+    // and a reused name would let versionAsOf=1 silently serve
+    // post-overwrite bytes as history
     df(2L -> "b").write.format("graft.io.GlprSource").mode("overwrite").save(root)
-    assert(!new java.io.File(root, "part-0000000000.glpr").isFile)
     assert(new java.io.File(root, "part-0000000001.glpr").isFile,
       "overwrite must number past the version history, not reset to 0")
-    val e1 = intercept[IllegalStateException] {
-      spark.read.format("graft.io.GlprSource")
-        .option("versionAsOf", "1").load(root).count()
-    }
-    assert(e1.getMessage.contains("no longer exists"), e1.getMessage)
-    // compaction mints FRESH names for merged shards — the versions that
-    // referenced the members turn loud, never silently re-resolve
+    // RETENTION: the overwritten shard was retired, not unlinked — time
+    // travel ACROSS the overwrite reads the pre-overwrite rows
+    assert(new java.io.File(root, "part-0000000000.glpr").isFile,
+      "overwrite retires the old shard on disk for its versions")
+    def idsAsOf(v: Long) = spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", v.toString).load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsAsOf(1) === Set(1L))
+    assert(idsAsOf(2) === Set(2L))
+    // compaction mints FRESH names for merged shards and retires the
+    // members — pre-compaction versions keep reading them
     df(3L -> "c").write.format("graft.io.GlprSource").mode("append").save(root)
     val merged = GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
     assert(merged.length === 1)
     assert(!Set("part-0000000001.glpr", "part-0000000002.glpr")
       .contains(merged.head.mergedName),
       s"merged shard must take a fresh name, got ${merged.head.mergedName}")
-    val e2 = intercept[IllegalStateException] {
-      spark.read.format("graft.io.GlprSource")
-        .option("versionAsOf", "2").load(root).count()
-    }
-    assert(e2.getMessage.contains("no longer exists"), e2.getMessage)
+    assert(idsAsOf(3) === Set(2L, 3L), "pre-compaction version readable")
     // the live view is intact throughout
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // expire + vacuum is the ONLY path to physical removal, and it turns
+    // exactly the expired history loud — never the live view
+    GlprMaintenance.expireVersions(root, keepLast = 1)
+    assert(GlprMaintenance.vacuum(root) > 0)
+    assert(!new java.io.File(root, "part-0000000000.glpr").isFile,
+      "vacuum reclaims shards no surviving version references")
+    intercept[Exception] { idsAsOf(1) }
     assert(spark.read.format("graft.io.GlprSource").load(root)
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
