@@ -2763,6 +2763,55 @@ object Registry {
         |WHERE lang NOT IN ('de', 'zh') OR doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // FULL CHANGE DATA CAPTURE across a DELETE (round-17 retention):
+    // changeMode=cdf plans BOTH sides of the manifest diff — the
+    // retired slice shards as _change_type='delete' rows (readable
+    // because DELETE retires instead of unlinking) and the re-appended
+    // slice as 'insert' rows. Oracle derives the identical change set
+    // relationally, gated on the same all-slices-nonempty condition the
+    // staging mutates under.
+    "q328_glpr_cdf" -> Entry((s, d) =>
+      graft.io.GlprSource.cdfPipeline(s, d).orderBy("_change_type", "lang"), Some(
+      """WITH f AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 300) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 300) AS ok)
+        |SELECT * FROM (
+        | SELECT 'delete' AS _change_type, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        | FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |  AND (SELECT ok FROM f) > 0 GROUP BY 2
+        | UNION ALL
+        | SELECT 'insert', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT)
+        | FROM documents WHERE doc_id < 100
+        |  AND (SELECT ok FROM f) > 0 GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin)),
+
+    // TIME TRAVEL ACROSS A DELETE (round-17 retention): the pre-delete
+    // version still reads the FULL corpus — the DELETE retired its
+    // shards for the versions that own them instead of unlinking.
+    // Oracle = the plain full rollup.
+    "q329_glpr_tt_across_delete" -> Entry((s, d) =>
+      graft.io.GlprSource.timeTravelAcrossDeletePipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(doc_id) AS BIGINT) AS max_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RETENTION HORIZON end to end: DELETE retires, expire_versions
+    // releases the old snapshots, vacuum physically reclaims — the
+    // staging REQUIRES reclaim happened and the expired version turned
+    // loud; the oracle certifies the live view was untouched.
+    "q330_glpr_expire_vacuum" -> Entry((s, d) =>
+      graft.io.GlprSource.expireVacuumPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 100 OR doc_id >= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN: two PARTITIONED BY (lang) GLPR tables
     // joined on the partition key — both scans report
     // KeyGroupedPartitioning with HasPartitionKey shard partitions, so

@@ -696,6 +696,128 @@ object GlprSource {
   private val restoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The q328/q329 shared staging: three slice appends (versions 1-3),
+    * a shard-aligned CoW DELETE of the middle slice (version 4 — the
+    * slice shards are RETIRED, not unlinked), then a re-append of the
+    * first slice as fresh inserts (version 5). Read-only for both
+    * consumers. */
+  private[io] def cdfStagedRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cdfCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val out = TempDirs.scratch("graft-glpr-cdf").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100), out) // version 1
+      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out) // v2
+      write(docs.filter(col("doc_id") >= 300), out) // version 3
+      // mutate ONLY when all three slices are nonempty (deterministic
+      // from the source table, like q316's guard): the consumers detect
+      // the mutated history by its version count (>= 5) and the oracles
+      // gate on the same slice counts — exact at every SF
+      val slicesOk = Seq(col("doc_id") < 100,
+        col("doc_id") >= 100 && col("doc_id") < 300, col("doc_id") >= 300)
+        .forall(p => docs.filter(p).limit(1).count() > 0)
+      if (slicesOk) {
+        GlprMaintenance.deleteIdRange(spark, out, 100L, 299L) // version 4
+        write(docs.filter(col("doc_id") < 100), out) // version 5 (re-insert)
+      }
+      out
+    })
+  private val cdfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q328 — FULL change data capture ACROSS a DELETE (round-16 verdict
+    * gap #2 closed by retention): `changeMode=cdf` +
+    * `changesFromVersion=3` over the staged history (3 appends, a
+    * retiring DELETE of slice `[100,300)`, a re-append of slice
+    * `< 100`) plans BOTH sides of the manifest diff — the retired
+    * slice-2 shards as `_change_type='delete'` rows (still readable:
+    * retention keeps them on disk for their versions) and the
+    * re-appended slice-1 shards as `'insert'` rows. The oracle derives
+    * the same change set relationally from the documents table; hash
+    * agreement certifies the diff is row-exact on both sides. The loud
+    * refusal now survives only where it must: a vacuumed (physically
+    * reclaimed) removed shard. */
+  def cdfPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cdfStagedRoot(spark, dir)
+    // mutated history (delete v4 + re-append v5) diffs from the
+    // pre-delete version 3; a degenerate (append-only) staging diffs
+    // from its own tip — an exactly-empty change set
+    val last = listManifestVersions(root).lastOption.getOrElse(1L)
+    val fromV = if (last >= 5L) 3L else last
+    spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", fromV.toString)
+      .option("changeMode", "cdf")
+      .load(root)
+      .select(col("_change_type"), col("lang"), col("doc_id"))
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("id_sum"))
+  }
+
+  /** q329 — TIME TRAVEL ACROSS A DELETE (round-16 verdict gap, closed
+    * by retention): the q328 staging's pre-delete version still reads
+    * the FULL corpus — the DELETE retired its shards instead of
+    * unlinking them, so `versionAsOf=3` (all three appends, before the
+    * delete and the re-append) reproduces the complete documents table
+    * byte-for-byte. The oracle is the plain full rollup. */
+  def timeTravelAcrossDeletePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cdfStagedRoot(spark, dir)
+    // pre-delete pin on a mutated history; the tip of a degenerate
+    // (append-only) one — either way the read is the FULL corpus
+    val last = listManifestVersions(root).lastOption.getOrElse(1L)
+    val pin = if (last >= 5L) 3L else last
+    spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", pin.toString).load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+
+  /** q330 — the RETENTION HORIZON end to end: three slice appends, a
+    * retiring DELETE of `[100,300)`, then `expireVersions(keepLast=1)`
+    * + `vacuum` — the only path to physical removal. The staging
+    * REQUIRES that vacuum actually reclaimed the retired slice shards
+    * (when the slice was nonempty) and that the expired pre-delete
+    * version turned loud; the oracle certifies the live view was never
+    * touched by reclamation: the complement rollup. */
+  def expireVacuumPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = expireCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-expire").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100), out)
+      write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300), out)
+      write(docs.filter(col("doc_id") >= 300), out)
+      val deletable = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .limit(1).count() > 0
+      if (deletable) {
+        GlprMaintenance.deleteIdRange(spark, out, 100L, 299L)
+        GlprMaintenance.expireVersions(out, keepLast = 1)
+        require(GlprMaintenance.vacuum(out) > 0,
+          "vacuum must reclaim the retired slice shards once expired")
+        val gone = intercept(spark.read.format("graft.io.GlprSource")
+          .option("versionAsOf", "1").load(out).count())
+        require(gone, "expired version must fail loudly after vacuum")
+      }
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private def intercept(body: => Any): Boolean =
+    try { body; false } catch { case _: Exception => true }
+  private val expireCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -1295,17 +1417,44 @@ object GlprSource {
     * restore) fails LOUDLY instead of under-reporting the change set. */
   private[io] def changeShards(path: String, fromV: Long,
       toV: Option[Long]): Array[java.io.File] = {
-    val fromNames = versionShardNames(path, fromV).toSet
-    val to = committedShardsAsOf(path, toV)
-    val gone = fromNames -- to.map(_.getName)
-    if (gone.nonEmpty) throw new IllegalStateException(
-      s"GLPR changesFromVersion=$fromV: shards ${gone.toSeq.sorted.mkString(", ")} " +
+    val (adds, removes) = changeShardsCdf(path, fromV, toV)
+    if (removes.nonEmpty) throw new IllegalStateException(
+      s"GLPR changesFromVersion=$fromV: shards " +
+        s"${removes.map(_.getName).sorted.mkString(", ")} " +
         s"present at version $fromV are gone at " +
         toV.map(v => s"version $v").getOrElse("the live manifest") +
         " — the intervening history is not append-only (a DELETE/" +
         "OVERWRITE/compaction/restore ran), so the change set cannot be " +
-        "expressed as appended shards")
-    to.filterNot(f => fromNames.contains(f.getName))
+        "expressed as appended shards; read with changeMode=cdf to get " +
+        "(_change_type, row) change records instead")
+    adds
+  }
+
+  /** FULL change-data-capture diff between versions (q328): the shards
+    * version `toV` (or the live manifest) holds that `fromV` did not
+    * (their rows are the INSERTS), and the shards `fromV` held that are
+    * gone (their rows are the DELETES — readable because DELETE/
+    * OVERWRITE/compaction RETIRE shards; a missing file means vacuum
+    * reclaimed it and the diff fails loudly, never under-reports).
+    * Exact at row grain for appends and deletes because shard names are
+    * never reused; a compaction or redaction in the window shows as
+    * remove+insert of the affected shards — physically faithful, the
+    * restart-shaped CDF Delta emits without per-commit change files. */
+  private[io] def changeShardsCdf(path: String, fromV: Long,
+      toV: Option[Long]): (Array[java.io.File], Array[java.io.File]) = {
+    val fromNames = versionShardNames(path, fromV).toSet
+    val to = committedShardsAsOf(path, toV)
+    val toNames = to.map(_.getName).toSet
+    val dir = new java.io.File(path)
+    val removes = (fromNames -- toNames).toSeq.sorted.map { n =>
+      val f = new java.io.File(dir, n)
+      if (!f.isFile) throw new IllegalStateException(
+        s"GLPR CDF from version $fromV: removed shard '$n' is no longer " +
+          "on disk (vacuum reclaimed it after version expiry) — the " +
+          "delete records for it cannot be reconstructed")
+      f
+    }.toArray
+    (to.filterNot(f => fromNames.contains(f.getName)), removes)
   }
 
   /** RESTORE TO VERSION (q313): re-point the live manifest at a
@@ -1551,8 +1700,13 @@ object GlprSource {
 
   private[io] sealed trait GlprInputPartition extends InputPartition {
     def file: String
+    /** `_change_type` every row of this partition carries: "insert" for
+      * ordinary reads and the added side of a CDF diff, "delete" for the
+      * removed side (q328). */
+    def changeType: String = "insert"
   }
-  private[io] final case class GlprPartition(file: String)
+  private[io] final case class GlprPartition(file: String,
+      override val changeType: String = "insert")
       extends GlprInputPartition
   /** A shard partition carrying its single partition-column value — the
     * `HasPartitionKey` half of storage-partitioned joins (q319): Spark
@@ -1657,6 +1811,12 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       override def dataType(): org.apache.spark.sql.types.DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "GLPR shard file this record was read from"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_change_type"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "CDF change type (insert/delete) under changeMode=cdf; 'insert' elsewhere"
     })
 
   /** METADATA-ONLY deletes (the early-lakehouse contract), two forms:
@@ -1782,8 +1942,20 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       .orElse(pinnedVersion)
     // incremental read (q312): shards added AFTER this version only
     val changesFrom = Option(options.get("changesFromVersion")).map(_.toLong)
+    // full CDF (q328): with changeMode=cdf the diff also plans the
+    // REMOVED shards, every row tagged by the _change_type metadata
+    // column — incremental consumption across DELETE/OVERWRITE history
+    val cdfMode = Option(options.get("changeMode")).map(_.toLowerCase) match {
+      case None | Some("append") => false
+      case Some("cdf") =>
+        require(changesFrom.isDefined,
+          "GLPR changeMode=cdf requires changesFromVersion=<m>")
+        true
+      case Some(other) => throw new IllegalArgumentException(
+        s"GLPR changeMode must be 'append' or 'cdf', got '$other'")
+    }
     new GlprScanBuilder(path, maxShards, optRange, optValues, version,
-      changesFrom, partitionCol)
+      changesFrom, partitionCol, cdfMode)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -2143,7 +2315,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     baseValues: Map[String, Set[String]] = Map.empty,
     version: Option[Long] = None,
     changesFrom: Option[Long] = None,
-    partitionCol: Option[String] = None) extends ScanBuilder
+    partitionCol: Option[String] = None,
+    cdfMode: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
@@ -2290,7 +2463,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit, valueFilters, version, changesFrom, partitionCol)
+      limit, valueFilters, version, changesFrom, partitionCol, cdfMode)
   }
 }
 
@@ -2336,7 +2509,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     valueFilters: Map[String, Set[String]] = Map.empty,
     version: Option[Long] = None,
     changesFrom: Option[Long] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    cdfMode: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2349,15 +2523,23 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}" +
       version.map(v => s", VersionAsOf: $v").getOrElse("") +
-      changesFrom.map(m => s", ChangesFromVersion: $m").getOrElse("")
+      changesFrom.map(m => s", ChangesFromVersion: $m" +
+        (if (cdfMode) " (cdf)" else "")).getOrElse("")
 
-  /** The scan's shard universe: the live manifest, a version pin
-    * (q311), or the version DIFF of an incremental read (q312) —
-    * everything downstream (static/runtime/bloom/value pruning, limit
-    * capping, statistics) composes unchanged on top. */
-  private def baseShards(): Array[java.io.File] = changesFrom match {
-    case Some(m) => GlprSource.changeShards(path, m, version)
-    case None => GlprSource.committedShardsAsOf(path, version)
+  /** The scan's shard universe with each shard's `_change_type`: the
+    * live manifest, a version pin (q311), the append-only DIFF of an
+    * incremental read (q312, all "insert"), or the full CDF diff (q328,
+    * adds tagged "insert" and removed-but-retired shards tagged
+    * "delete") — everything downstream (static/runtime/bloom/value
+    * pruning, limit capping, statistics) composes unchanged on top. */
+  private def baseShards(): Array[(java.io.File, String)] = changesFrom match {
+    case Some(m) if cdfMode =>
+      val (adds, removes) = GlprSource.changeShardsCdf(path, m, version)
+      adds.map(f => (f, "insert")) ++ removes.map(f => (f, "delete"))
+    case Some(m) =>
+      GlprSource.changeShards(path, m, version).map(f => (f, "insert"))
+    case None =>
+      GlprSource.committedShardsAsOf(path, version).map(f => (f, "insert"))
   }
 
   /** Runtime (DPP-style) shard pruning: Spark's PartitionPruning rule
@@ -2487,7 +2669,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       case None => ()
     }
     val shards = baseShards()
-    val kept = shards.filter { f =>
+    val kept = shards.filter { case (f, _) =>
       val meta = GlprSource.readMeta(f)
       val idKeep = meta.flatMap(_.bounds) match {
         case Some((lo, hi)) =>
@@ -2528,9 +2710,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // ignored) a later delete would be phantom history — materialize
     // first (GlprMaintenance.materializeDeletes), then time travel
     if (version.isDefined || changesFrom.isDefined) {
-      val dvd = kept.filter(f => GlprSource.dvFile(f).isFile)
+      val dvd = kept.filter { case (f, _) => GlprSource.dvFile(f).isFile }
       if (dvd.nonEmpty) throw new IllegalStateException(
-        s"GLPR historical read refused: shard(s) ${dvd.map(_.getName).mkString(", ")} " +
+        s"GLPR historical read refused: shard(s) ${dvd.map(_._1.getName).mkString(", ")} " +
           "carry delete-vector overlays, which are not part of the manifest " +
           "version history — materialize deletes first, then time travel")
     }
@@ -2547,9 +2729,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       runtimeRange.isEmpty && valueFilters.isEmpty
     val capped = limit match {
       case Some(n) if unfiltered =>
-        val metas = kept.map(GlprSource.readMeta)
+        val metas = kept.map(p => GlprSource.readMeta(p._1))
         if (metas.exists(_.isEmpty) ||
-            kept.exists(f => GlprSource.dvFile(f).isFile)) kept
+            kept.exists(p => GlprSource.dvFile(p._1).isFile)) kept
         else {
           var acc = 0L; var take = 0
           while (take < kept.length && acc < n) { acc += metas(take).get.rows; take += 1 }
@@ -2558,7 +2740,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       case _ => kept
     }
     GlprSource.planEvents.put(path, (capped.length, shards.length))
-    capped.map(f => GlprSource.GlprPartition(f.getAbsolutePath): InputPartition)
+    capped.map { case (f, ct) =>
+      GlprSource.GlprPartition(f.getAbsolutePath, ct): InputPartition
+    }
   }
 
   /** Pruning-aware statistics from the commit-time sidecars: size = the
@@ -2572,7 +2756,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * level: pushed doc_id filters don't shrink the estimate (matching
     * the built-in file sources, whose stats are also pre-filter). */
   override def estimateStatistics(): Statistics = {
-    val shards = baseShards()
+    val shards = baseShards().map(_._1)
     val metas = shards.map(GlprSource.readMeta)
     val (size, rows) =
       if (shards.nonEmpty && metas.forall(_.isDefined)) {
@@ -2749,13 +2933,15 @@ class GlprMicroBatchStream(path: String, required: StructType,
 class GlprReaderFactory(required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GlprReader(partition.asInstanceOf[GlprSource.GlprInputPartition].file,
-      required, range, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GlprSource.GlprInputPartition]
+    new GlprReader(p.file, required, range, limit, p.changeType)
+  }
   override def supportColumnarReads(partition: InputPartition): Boolean = true
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new GlprColumnarReader(partition.asInstanceOf[GlprSource.GlprInputPartition].file,
-      required, range, limit)
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GlprSource.GlprInputPartition]
+    new GlprColumnarReader(p.file, required, range, limit, p.changeType)
+  }
 }
 
 /** Chunk-buffered byte cursor over one GLPR shard — the IO/decode core
@@ -2892,7 +3078,7 @@ private[io] final class GlprChunkCursor(file: String) {
   * reader is the contractual fallback and the parity reference.
   * Measured in [[graft.tools.GlprDecodeBench]] — see numbers there. */
 class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, changeType: String = "insert")
     extends PartitionReader[InternalRow] {
   private val cursor = new GlprChunkCursor(file)
   // merge-on-read delete vector: masked ids fail the keep gate exactly
@@ -2907,9 +3093,12 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
-  // _shard metadata column: constant per partition, served from the name
+  // _shard / _change_type metadata columns: constant per partition,
+  // served from the name / the planned diff side
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
   private val shardNameUtf8 = UTF8String.fromString(new java.io.File(file).getName)
+  private val ctOrdinal: Int = wantIdx.getOrElse("_change_type", -1)
+  private val ctUtf8 = UTF8String.fromString(changeType)
   private val rowWriter = new UnsafeRowWriter(required.length)
   private var current: InternalRow = _
 
@@ -2936,6 +3125,7 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
         f += 1
       }
       if (keep && shardOrdinal >= 0) rowWriter.write(shardOrdinal, shardNameUtf8)
+      if (keep && ctOrdinal >= 0) rowWriter.write(ctOrdinal, ctUtf8)
       if (keep) { current = rowWriter.getRow; emitted += 1; return true }
       // else: record skipped wholesale; loop to the next one
     }
@@ -2958,7 +3148,8 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   * (shared cursor). Measured in [[graft.tools.GlprDecodeBench]]. */
 class GlprColumnarReader(file: String, required: StructType,
     range: GlprSource.IdRange,
-    limit: Option[Int] = None) extends PartitionReader[ColumnarBatch] {
+    limit: Option[Int] = None, changeType: String = "insert")
+    extends PartitionReader[ColumnarBatch] {
   private val cursor = new GlprChunkCursor(file)
   // merge-on-read delete vector, applied at the id gate like the row reader
   private val dv = GlprSource.readDeleteVector(file)
@@ -2973,6 +3164,8 @@ class GlprColumnarReader(file: String, required: StructType,
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
   private val shardNameBytes =
     new java.io.File(file).getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val ctOrdinal: Int = wantIdx.getOrElse("_change_type", -1)
+  private val ctBytes = changeType.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val capacity = 4096
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, required)
@@ -2998,6 +3191,8 @@ class GlprColumnarReader(file: String, required: StructType,
       }
       if (keep && shardOrdinal >= 0)
         vectors(shardOrdinal).putByteArray(n, shardNameBytes, 0, shardNameBytes.length)
+      if (keep && ctOrdinal >= 0)
+        vectors(ctOrdinal).putByteArray(n, ctBytes, 0, ctBytes.length)
       if (keep) n += 1
     }
     batch.setNumRows(n)

@@ -108,6 +108,13 @@ class PlanLintSpec extends AnyFunSuite {
     "q325_glpr_dynamic_overwrite", // catalog CREATE/INSERT/OVERWRITE on
                                 // construction (cached); swap pins in
                                 // GlprCatalogSpec
+    "q328_glpr_cdf",            // three appends + retiring delete +
+                                // re-append on construction (cached);
+                                // CDF pins in GlprSpec
+    "q329_glpr_tt_across_delete", // shares q328's staging (cached)
+    "q330_glpr_expire_vacuum",  // appends + delete + expire + vacuum on
+                                // construction (cached); reclaim pins
+                                // in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

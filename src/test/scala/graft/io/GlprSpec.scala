@@ -620,6 +620,57 @@ class GlprSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("versionAsOf=99"), e2.getMessage)
   }
 
+  test("q328 CDF: the two-sided diff is row-exact; vacuumed removes turn loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-cdf-spec").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // version 1
+    append(3L -> "c", 4L -> "d") // version 2
+    // retire [3,4] (CoW delete, shard-aligned -> whole-shard retire) = v3
+    GlprMaintenance.deleteIdRange(spark, root, 3L, 4L)
+    append(5L -> "e")            // version 4
+    def cdf(from: Long) = spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", from.toString)
+      .option("changeMode", "cdf").load(root)
+      .select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // from v2 to live: [3,4] deleted, [5] inserted
+    assert(cdf(2) === Set(("delete", 3L), ("delete", 4L), ("insert", 5L)))
+    // from v1: the never-seen [3,4] append cancels against its delete
+    // at manifest grain? No — names: v1 lacks the [3,4] shard, live
+    // lacks it too, so it is in NEITHER side: inserts [5] only
+    assert(cdf(1) === Set(("insert", 5L)))
+    // pushdown composes on the CDF plan
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", "2").option("changeMode", "cdf").load(root)
+      .filter(col("doc_id") >= 4L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+    // plain (append-only) incremental read still refuses, naming cdf
+    val e0 = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("changesFromVersion", "2").load(root).count()
+    }
+    assert(e0.getMessage.contains("changeMode=cdf"), e0.getMessage)
+    // cdf without a from-version, and unknown modes, reject loudly
+    intercept[Exception] { spark.read.format("graft.io.GlprSource")
+      .option("changeMode", "cdf").load(root).count() }
+    intercept[Exception] { spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", "1").option("changeMode", "bogus")
+      .load(root).count() }
+    // _change_type on an ORDINARY read is the constant 'insert'
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("insert"))
+    // a physically reclaimed remove (external unlink of the retired
+    // [3,4] shard): the CDF read refuses rather than under-reports
+    assert(new java.io.File(root, "part-0000000001.glpr").delete())
+    val e1 = intercept[IllegalStateException] { cdf(2) }
+    assert(e1.getMessage.contains("vacuum"), e1.getMessage)
+  }
+
   test("q314 row delete: metadata unlink / untouched / rewrite split is exact") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-rowdelete-spec").toString
