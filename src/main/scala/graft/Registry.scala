@@ -2800,6 +2800,22 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
+    // commits since round 17 — each affected shard's immutable .dv.<gen>
+    // file rides its manifest line, so the pre-delete version reads
+    // unmasked and the delete's own version applies exactly the
+    // recorded generation. Oracle computes both rollups relationally.
+    "q331_glpr_dv_time_travel" -> Entry((s, d) =>
+      graft.io.GlprSource.dvTimeTravelPipeline(s, d).orderBy("phase", "lang"), Some(
+      """SELECT 'pre' AS phase, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 2
+        |UNION ALL
+        |SELECT 'post', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id < 150 OR doc_id > 349 GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // RETENTION HORIZON end to end: DELETE retires, expire_versions
     // releases the old snapshots, vacuum physically reclaims — the
     // staging REQUIRES reclaim happened and the expired version turned

@@ -50,6 +50,12 @@ import org.apache.spark.sql.DataFrame
   */
 object GlprMaintenance {
 
+  /** The shard's LIVE delete-vector mask per its manifest line (gen
+    * file, or legacy bare `.dv`); empty = unmasked. */
+  private def liveMaskOf(path: String, line: String): Array[Long] =
+    GlprSource.resolveDv(path, GlprSource.entryName(line),
+      GlprSource.entryDvGen(line), pinned = false)
+
   /** One compacted group's bookkeeping, for reports/tests. */
   final case class CompactGroup(mergedName: String, memberNames: Seq[String],
       rows: Long, bytes: Long)
@@ -67,14 +73,19 @@ object GlprMaintenance {
     // a fresh name would orphan its mask and resurrect the masked rows —
     // materializeDeletes first, then compact (it also acts as a group
     // boundary so neighbors still merge among themselves)
-    val shards = GlprSource.committedShards(path)
+    val dir = new java.io.File(path)
+    val entries = GlprSource.committedEntries(path)
+    val shards = entries.map(l => new java.io.File(dir, GlprSource.entryName(l)))
+      .filter(_.isFile).sortBy(_.getName)
+    val maskedNames = entries.filter(l => liveMaskOf(path, l).nonEmpty)
+      .map(GlprSource.entryName).toSet
     // greedy consecutive grouping in lexical (= id/epoch) order, so each
     // merged shard covers a contiguous name interval
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
     var cur = Vector.empty[java.io.File]
     var curBytes = 0L
     shards.foreach { f =>
-      if (GlprSource.dvFile(f).isFile) {
+      if (maskedNames(f.getName)) {
         if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0L }
       } else {
         if (cur.nonEmpty && curBytes + f.length > targetBytes) {
@@ -90,12 +101,12 @@ object GlprMaintenance {
     // the manifest commit is the visibility flip: members out, fresh
     // merged names in (and a minted version — compaction is one atomic
     // history step to time travel)
-    if (merged.nonEmpty)
-      GlprSource.readManifest(path).foreach { old =>
-        val dropped = merged.flatMap(_.memberNames).toSet
-        GlprSource.writeManifest(path,
-          old.filterNot(dropped) ++ merged.map(_.mergedName))
-      }
+    if (merged.nonEmpty) {
+      val dropped = merged.flatMap(_.memberNames).toSet
+      GlprSource.commitManifest(path)(base =>
+        base.filterNot(l => dropped(GlprSource.entryName(l))) ++
+          merged.map(_.mergedName))
+    }
     merged
   }
 
@@ -226,7 +237,12 @@ object GlprMaintenance {
     // rewrites mint batch-named survivors; refuse epoch-named (stream-
     // written) straddlers rather than break the one-naming-scheme rule
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val shards = GlprSource.committedShards(path)
+    val dir0 = new java.io.File(path)
+    val entries = GlprSource.committedEntries(path)
+    val lineOf: Map[String, String] =
+      entries.map(l => GlprSource.entryName(l) -> l).toMap
+    val shards = entries.map(l => new java.io.File(dir0, GlprSource.entryName(l)))
+      .filter(_.isFile).sortBy(_.getName).toArray
     def classify(f: java.io.File): Int = { // 0 keep, 1 unlink, 2 rewrite
       val m = GlprSource.readMeta(f)
       if (m.exists(_.rows == 0)) 0
@@ -246,16 +262,18 @@ object GlprMaintenance {
         "naming schemes and break the lexical offset contract")
     val nameBase: Long = GlprSource.nextBatchNameBase(path)
     val jobs = straddle.map(_.getName).zipWithIndex.map { case (n, i) =>
-      (n, f"part-${nameBase + i}%010d.glpr")
+      (n, f"part-${nameBase + i}%010d.glpr", liveMaskOf(path, lineOf(n)))
     }
     val results = rewriteJob(spark, path, jobs.toSeq, lo, hi)
-    // one manifest commit = the visibility flip (and a minted version)
+    // one manifest commit = the visibility flip (and a minted version);
+    // kept LINES survive verbatim, so a kept shard keeps its dv state
     val doomedNames = doomed.map(_.getName).toSet
     val straddleNames = straddle.map(_.getName).toSet
-    val keepNames = shards.map(_.getName)
-      .filterNot(n => doomedNames(n) || straddleNames(n))
+    val keepLines = entries
+      .filterNot(l => doomedNames(GlprSource.entryName(l)) ||
+        straddleNames(GlprSource.entryName(l)))
     GlprSource.writeManifest(path,
-      (keepNames ++ results.flatMap(_._2)).toSeq)
+      (keepLines ++ results.flatMap(_._2)).toSeq)
     val doomedRows = doomed.flatMap(f => GlprSource.readMeta(f).map(_.rows)).sum
     // the doomed and straddling shards are RETIRED, not unlinked: their
     // files stay on disk owned by the pre-delete versions, so time
@@ -266,21 +284,23 @@ object GlprMaintenance {
   }
 
   /** The shared distributed rewrite: one task per (old, fresh-named)
-    * shard, decoding through the standard reader — so DELETE VECTORS are
-    * applied automatically — dropping ids in `[lo, hi]` (pass an empty
-    * range to drop nothing extra), two-phase-committing survivors.
-    * Returns (oldName, survivorName or None-if-emptied, rowsDropped —
-    * the RANGE drops only; DV-masked rows never reach the counter). */
+    * shard, decoding through the standard reader with the shard's LIVE
+    * delete-vector mask applied (resolved driver-side, shipped in the
+    * job tuple), dropping ids in `[lo, hi]` (pass an empty range to
+    * drop nothing extra), two-phase-committing survivors. Returns
+    * (oldName, survivorName or None-if-emptied, rowsDropped — the RANGE
+    * drops only; DV-masked rows never reach the counter). */
   private def rewriteJob(spark: org.apache.spark.sql.SparkSession,
-      path: String, jobs: Seq[(String, String)],
+      path: String, jobs: Seq[(String, String, Array[Long])],
       lo: Long, hi: Long): Array[(String, Option[String], Long)] =
     if (jobs.isEmpty) Array.empty
     else spark.sparkContext.parallelize(jobs, jobs.length)
-      .map { case (oldName, newName) =>
+      .map { case (oldName, newName, mask) =>
         val reader = new GlprReader(
           new java.io.File(path, oldName).getAbsolutePath,
           GlprSource.schema,
-          GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
+          GlprSource.IdRange(Long.MinValue, Long.MaxValue), None,
+          "insert", mask)
         val taskId = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
@@ -298,28 +318,47 @@ object GlprMaintenance {
         else { writer.abort(); (oldName, None, dropped) }
       }.collect()
 
-  /** MERGE-ON-READ row delete (q322): zero bytes moved at delete time —
-    * every shard whose sidecar bounds may hold ids in `[lo, hi]` gets
-    * the range unioned into its `<shard>.glpr.dv` delete vector
-    * (per-shard atomic, idempotent; see the [[GlprSource.dvFile]]
-    * contract scaladoc). Readers apply the mask at the id gate; the
-    * metadata paths that would lie under it decline. The complement of
-    * q314: DELETE costs one tiny sidecar per affected shard instead of
-    * a rewrite, reads pay the filter until [[materializeDeletes]].
-    * Returns the masked shard names. */
+  /** MERGE-ON-READ row delete (q322): zero data bytes moved — every
+    * shard whose sidecar bounds may hold ids in `[lo, hi]` gets a fresh
+    * immutable delete-vector GENERATION (current mask ∪ range), all
+    * recorded in ONE manifest commit: the delete is a single versioned
+    * history step (see the [[GlprSource.dvFile]] contract scaladoc).
+    * Readers apply the mask at the id gate; the metadata paths that
+    * would lie under it decline. The complement of q314: DELETE costs
+    * one tiny sidecar per affected shard instead of a rewrite, reads
+    * pay the filter until [[materializeDeletes]]. Returns the names
+    * whose mask CHANGED (empty for an idempotent re-delete). */
   def deleteIdRangeMergeOnRead(path: String, lo: Long, hi: Long): Seq[String] = {
     require(lo <= hi, s"empty GLPR delete range [$lo, $hi]")
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val affected = GlprSource.committedShards(path).filter { f =>
-      val m = GlprSource.readMeta(f)
-      if (m.exists(_.rows == 0)) false
-      else m.flatMap(_.bounds) match {
-        case Some((slo, shi)) => shi >= lo && slo <= hi
-        case None => true // unknown bounds: mask is a predicate, safe
-      }
-    }
-    affected.foreach(f => GlprSource.addToDeleteVector(f, (lo, hi)))
-    affected.map(_.getName).toSeq
+    val dir = new java.io.File(path)
+    // per affected shard: write the next immutable delete-vector
+    // GENERATION (current live mask ∪ the range), then record every new
+    // gen in ONE manifest commit — the whole MoR delete is one atomic,
+    // VERSIONED history step (round 17; pre-gen deletes were per-shard
+    // visible and invisible to time travel). An idempotent re-delete
+    // changes no mask, writes no gen, mints no version.
+    val newGens: Map[String, Long] = GlprSource.committedEntries(path)
+      .flatMap { l =>
+        val n = GlprSource.entryName(l)
+        val f = new java.io.File(dir, n)
+        val m = GlprSource.readMeta(f)
+        val affected =
+          if (m.exists(_.rows == 0)) false
+          else m.flatMap(_.bounds) match {
+            case Some((slo, shi)) => shi >= lo && slo <= hi
+            case None => true // unknown bounds: mask is a predicate, safe
+          }
+        if (!affected) None
+        else GlprSource.writeDvGeneration(path, n,
+          GlprSource.entryDvGen(l), (lo, hi)).map(n -> _)
+      }.toMap
+    if (newGens.nonEmpty)
+      GlprSource.commitManifest(path)(base => base.map { l =>
+        val n = GlprSource.entryName(l)
+        newGens.get(n).map(g => GlprSource.entryLine(n, Some(g))).getOrElse(l)
+      })
+    newGens.keys.toSeq.sorted
   }
 
   /** MATERIALIZE delete vectors (q323): rewrite every DV-carrying shard
@@ -333,23 +372,26 @@ object GlprMaintenance {
   def materializeDeletes(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Option[String]] = {
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val shards = GlprSource.committedShards(path)
-    val masked = shards.filter(f => GlprSource.dvFile(f).isFile)
+    val entries = GlprSource.committedEntries(path)
+    val masked = entries.map(l => l -> liveMaskOf(path, l))
+      .filter(_._2.nonEmpty)
     if (masked.isEmpty) return Map.empty
-    require(!masked.exists(f => GlprSource.isEpochShardName(f.getName)),
+    require(!masked.exists(p =>
+        GlprSource.isEpochShardName(GlprSource.entryName(p._1))),
       s"GLPR materialize in '$path' refused: a masked shard is epoch-named " +
         "(streaming sink); its batch-named survivor would mix naming schemes")
     val nameBase = GlprSource.nextBatchNameBase(path)
-    val jobs = masked.map(_.getName).zipWithIndex.map { case (n, i) =>
-      (n, f"part-${nameBase + i}%010d.glpr")
+    val jobs = masked.zipWithIndex.map { case ((l, mask), i) =>
+      (GlprSource.entryName(l), f"part-${nameBase + i}%010d.glpr", mask)
     }
     // [0, -1] is empty: the rewrite drops nothing beyond the DV mask
     val results = rewriteJob(spark, path, jobs.toSeq, 0L, -1L)
-    val maskedNames = masked.map(_.getName).toSet
-    val keepNames = shards.map(_.getName).filterNot(maskedNames)
-    GlprSource.writeManifest(path, (keepNames ++ results.flatMap(_._2)).toSeq)
-    // masked originals (and their .dv state) are RETIRED with the flip,
-    // not unlinked — history stays readable until expire+vacuum
+    val maskedNames = jobs.map(_._1).toSet
+    val keepLines = entries
+      .filterNot(l => maskedNames(GlprSource.entryName(l)))
+    GlprSource.writeManifest(path, (keepLines ++ results.flatMap(_._2)).toSeq)
+    // masked originals (and their dv generations) are RETIRED with the
+    // flip, not unlinked — history stays readable until expire+vacuum
     results.map(r => r._1 -> r._2).toMap
   }
 
@@ -451,24 +493,32 @@ object GlprMaintenance {
       patterns: Seq[String], mask: String): Map[String, String] = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "empty pattern set")
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val shards = GlprSource.committedShards(path)
-      .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0))
-    if (shards.isEmpty) return Map.empty
-    require(!shards.exists(f => GlprSource.isEpochShardName(f.getName)),
+    val dir0 = new java.io.File(path)
+    val entries = GlprSource.committedEntries(path).filter { l =>
+      val f = new java.io.File(dir0, GlprSource.entryName(l))
+      f.isFile && !GlprSource.readMeta(f).exists(_.rows == 0)
+    }
+    if (entries.isEmpty) return Map.empty
+    require(!entries.exists(l =>
+        GlprSource.isEpochShardName(GlprSource.entryName(l))),
       s"GLPR redaction in '$path' refused: epoch-named (streaming sink) " +
         "shards would take batch-named survivors and mix naming schemes")
     val nameBase = GlprSource.nextBatchNameBase(path)
-    val jobs = shards.map(_.getName).zipWithIndex.map { case (n, i) =>
-      (n, f"part-${nameBase + i}%010d.glpr")
+    // each task reads through the shard's LIVE delete-vector mask, so a
+    // redacted survivor also materializes the mask in passing
+    val jobs = entries.zipWithIndex.map { case (l, i) =>
+      (GlprSource.entryName(l), f"part-${nameBase + i}%010d.glpr",
+        liveMaskOf(path, l))
     }
     val pats = patterns.toArray
     val results: Array[(String, Option[String])] =
       spark.sparkContext.parallelize(jobs.toSeq, jobs.length)
-        .map { case (oldName, newName) =>
+        .map { case (oldName, newName, dvm) =>
           val reader = new GlprReader(
             new java.io.File(path, oldName).getAbsolutePath,
             GlprSource.schema,
-            GlprSource.IdRange(Long.MinValue, Long.MaxValue), None)
+            GlprSource.IdRange(Long.MinValue, Long.MaxValue), None,
+            "insert", dvm)
           val taskId = Option(org.apache.spark.TaskContext.get())
             .map(_.taskAttemptId()).getOrElse(0L)
           val writer = new GlprWriter(path, GlprSource.schema, 0, taskId,
@@ -491,9 +541,11 @@ object GlprMaintenance {
         }.collect()
     val swapped = results.collect { case (o, Some(n)) => o -> n }.toMap
     if (swapped.nonEmpty) {
-      val all = GlprSource.committedShards(path).map(_.getName)
-      GlprSource.writeManifest(path,
-        all.map(n => swapped.getOrElse(n, n)).toSeq)
+      GlprSource.commitManifest(path)(base => base.map { l =>
+        val n = GlprSource.entryName(l)
+        // a swapped survivor already materialized its mask: bare line
+        swapped.getOrElse(n, l)
+      })
       // pre-redaction shards are RETIRED with the flip, not unlinked.
       // NOTE the remediation contract: "removed from the LIVE corpus"
       // happens here; "removed from STORAGE" — the right-to-be-forgotten
@@ -561,22 +613,30 @@ object GlprMaintenance {
     val retiredReclaim: Array[java.io.File] =
       GlprSource.readManifest(path) match {
         case Some(live) =>
-          val referenced = live.toSet ++ GlprSource.versionReferencedNames(path)
+          val referenced = live.map(GlprSource.entryName).toSet ++
+            GlprSource.versionReferencedNames(path)
+          // the owning shard name of any data/sidecar file:
+          // x.glpr | x.glpr.meta | x.glpr.dv | x.glpr.dv.<gen>
+          def baseShard(n: String): Option[String] = {
+            val i = n.indexOf(".glpr")
+            if (i < 0 || n.startsWith("_tmp")) None else Some(n.take(i + 5))
+          }
           val orphanShards = all.filter { f =>
             f.getName.endsWith(".glpr") && !f.getName.startsWith("_tmp") &&
               !referenced(f.getName) && f.lastModified() < horizon
           }
-          // sidecars go with their shard; also sweep sidecars whose
-          // shard is already gone
-          orphanShards.flatMap(f =>
-            Seq(f, GlprSource.metaFile(f), GlprSource.dvFile(f))) ++
-            all.filter { f =>
-              (f.getName.endsWith(".glpr.meta") || f.getName.endsWith(".glpr.dv")) &&
-                !new java.io.File(f.getParentFile,
-                  f.getName.stripSuffix(".meta").stripSuffix(".dv")).isFile &&
-                !referenced(f.getName.stripSuffix(".meta").stripSuffix(".dv")) &&
-                f.lastModified() < horizon
+          val orphanNames = orphanShards.map(_.getName).toSet
+          // every sidecar (meta, bare dv, dv generations) goes with its
+          // reclaimed shard; sidecars whose shard is already gone AND
+          // unreferenced sweep too
+          val sidecars = all.filter { f =>
+            baseShard(f.getName).exists { b =>
+              b != f.getName && f.lastModified() < horizon &&
+                (orphanNames(b) ||
+                  (!referenced(b) && !new java.io.File(f.getParentFile, b).isFile))
             }
+          }
+          orphanShards ++ sidecars
         case None => Array.empty
       }
     val doomed = (stage ++ retiredReclaim).filter(_.isFile).distinct

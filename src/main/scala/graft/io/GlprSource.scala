@@ -818,6 +818,42 @@ object GlprSource {
   private val expireCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q331 — TIME TRAVEL OVER DELETE-VECTOR MASKS (round-16 verdict gap
+    * #3, closed by dv GENERATIONS): the corpus staged range-clustered
+    * (version 1), then a merge-on-read delete of `[150,349]` — one
+    * versioned commit (version 2) recording each affected shard's new
+    * immutable `.dv.<gen>` file in its manifest line. The entry reads
+    * BOTH versions: the pre-delete pin is unmasked (full corpus), the
+    * delete's own version applies exactly the recorded generation
+    * (complement). The oracle computes both rollups relationally; at a
+    * degenerate SF where the range is empty the delete mints nothing
+    * and both sides read the full (= complement) corpus on both
+    * engines. */
+  def dvTimeTravelPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = dvTtCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-dvtt").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      GlprMaintenance.deleteIdRangeMergeOnRead(out, 150L, 349L): Unit
+      out
+    })
+    val last = listManifestVersions(root).lastOption.getOrElse(1L)
+    def rollup(v: Long, phase: String): DataFrame =
+      spark.read.format("graft.io.GlprSource")
+        .option("versionAsOf", v.toString).load(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .withColumn("phase", lit(phase))
+    rollup(math.min(1L, last), "pre").unionByName(rollup(last, "post"))
+      .select("phase", "lang", "n_docs", "id_sum")
+  }
+  private val dvTtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -1268,6 +1304,35 @@ object GlprSource {
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** MANIFEST LINE format (round 17): `<shardName>[ dv=<gen>]` — a shard
+    * name plus optional per-shard STATE tokens, today the shard's
+    * delete-vector GENERATION. Generations make merge-on-read deletes
+    * part of the version history: each MoR delete writes an immutable
+    * `<shard>.glpr.dv.<gen>` file and commits the new gen in the
+    * manifest line (one version per delete), so `versionAsOf` reads
+    * apply exactly the mask recorded AT that version — pre-delete
+    * versions read unmasked, post-delete versions read masked (q331),
+    * and CDF diffs a gen change into row-exact delete/insert records.
+    * Lines are opaque strings everywhere except these helpers, so every
+    * operation that keeps a shard keeps its state tokens. Bare
+    * `<shard>.glpr.dv` files (the pre-round-17 unversioned mask) stay
+    * readable on LIVE scans; pinned reads refuse them (the mask's
+    * history is unknown). */
+  private[io] def entryName(line: String): String =
+    line.trim.split("\\s+").head
+  private[io] def entryDvGen(line: String): Option[Long] =
+    line.trim.split("\\s+").iterator.drop(1).collectFirst {
+      case t if t.startsWith("dv=") => t.stripPrefix("dv=").toLong
+    }
+  private[io] def entryLine(name: String, dvGen: Option[Long]): String =
+    name + dvGen.map(g => s" dv=$g").getOrElse("")
+  private[io] def isShardLine(line: String): Boolean = {
+    val n = entryName(line)
+    n.endsWith(".glpr") && !n.startsWith("_tmp")
+  }
+  private[io] def dvGenFile(path: String, name: String, gen: Long): java.io.File =
+    new java.io.File(path, s"$name.dv.$gen")
+
   /** The CURRENT manifest content. Since round 17 the version files ARE
     * the log: the newest `_manifest.v<n>` is authoritative (its creation
     * is the commit point — see [[commitManifest]]); the un-versioned
@@ -1276,7 +1341,7 @@ object GlprSource {
     * pre-versioning directory). */
   private[io] def readManifest(path: String): Option[Seq[String]] =
     listManifestVersions(path).lastOption match {
-      case Some(v) => Some(versionShardNames(path, v))
+      case Some(v) => Some(versionEntries(path, v))
       case None =>
         val f = manifestFile(path)
         if (f.isFile) Some(parseManifest(f)) else None
@@ -1369,10 +1434,10 @@ object GlprSource {
       .map(_.getName).filter(_.matches("_manifest\\.v\\d{10}"))
       .map(_.stripPrefix("_manifest.v").toLong).sorted.toSeq
 
-  /** The shard NAMES a manifest version recorded (no existence checks —
-    * callers decide whether missing files are an error). Unknown
-    * versions fail loudly, naming what does exist. */
-  private[io] def versionShardNames(path: String, v: Long): Seq[String] = {
+  /** The manifest LINES a version recorded (shard name + state tokens;
+    * no existence checks — callers decide whether missing files are an
+    * error). Unknown versions fail loudly, naming what does exist. */
+  private[io] def versionEntries(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     if (!f.isFile) {
       val have = listManifestVersions(path)
@@ -1384,27 +1449,38 @@ object GlprSource {
     new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").iterator.map(_.trim)
-      .filter(n => n.nonEmpty && n.endsWith(".glpr")).toSeq
+      .filter(l => l.nonEmpty && isShardLine(l)).toSeq
   }
+  private[io] def versionShardNames(path: String, v: Long): Seq[String] =
+    versionEntries(path, v).map(entryName)
 
-  /** [[committedShards]] pinned to a manifest version. Unknown versions
-    * and versions whose shards were since unlinked fail loudly — a
-    * historical read is exact or it is an error. */
+  /** [[committedEntries]] pinned to a manifest version, resolved to
+    * (shard file, dv generation). Unknown versions and versions whose
+    * shards were since physically reclaimed fail loudly — a historical
+    * read is exact or it is an error. */
+  private[io] def committedEntriesAsOf(path: String,
+      version: Option[Long]): Array[(java.io.File, Option[Long])] = {
+    val dir = new java.io.File(path)
+    val lines = version match {
+      case None => committedEntries(path)
+      case Some(v) => versionEntries(path, v)
+    }
+    lines.map { l =>
+      val n = entryName(l)
+      val sf = new java.io.File(dir, n)
+      if (!sf.isFile) throw new IllegalStateException(
+        s"GLPR versionAsOf=${version.getOrElse("live")}: shard '$n' " +
+          "referenced by the manifest no longer exists on disk — DELETE/" +
+          "OVERWRITE/compaction RETIRE shards (they stay readable " +
+          "through their versions), so a missing file means vacuum " +
+          "reclaimed it after version expiry, or an external unlink")
+      (sf, entryDvGen(l))
+    }.toArray.sortBy(_._1.getName)
+  }
   private[io] def committedShardsAsOf(path: String,
       version: Option[Long]): Array[java.io.File] = version match {
     case None => committedShards(path)
-    case Some(v) =>
-      val dir = new java.io.File(path)
-      versionShardNames(path, v).map { n =>
-          val sf = new java.io.File(dir, n)
-          if (!sf.isFile) throw new IllegalStateException(
-            s"GLPR versionAsOf=$v: shard '$n' referenced by version $v " +
-              "no longer exists on disk — DELETE/OVERWRITE/compaction " +
-              "RETIRE shards (they stay readable through their versions), " +
-              "so a missing file means vacuum reclaimed it after version " +
-              "expiry, or an external unlink")
-          sf
-        }.toArray.sortBy(_.getName)
+    case Some(_) => committedEntriesAsOf(path, version).map(_._1)
   }
 
   /** CHANGES BETWEEN manifest versions (q312) — the incremental-read
@@ -1417,18 +1493,31 @@ object GlprSource {
     * restore) fails LOUDLY instead of under-reporting the change set. */
   private[io] def changeShards(path: String, fromV: Long,
       toV: Option[Long]): Array[java.io.File] = {
-    val (adds, removes) = changeShardsCdf(path, fromV, toV)
-    if (removes.nonEmpty) throw new IllegalStateException(
-      s"GLPR changesFromVersion=$fromV: shards " +
-        s"${removes.map(_.getName).sorted.mkString(", ")} " +
-        s"present at version $fromV are gone at " +
-        toV.map(v => s"version $v").getOrElse("the live manifest") +
-        " — the intervening history is not append-only (a DELETE/" +
-        "OVERWRITE/compaction/restore ran), so the change set cannot be " +
-        "expressed as appended shards; read with changeMode=cdf to get " +
-        "(_change_type, row) change records instead")
-    adds
+    val diff = changeShardsCdf(path, fromV, toV)
+    if (diff.removes.nonEmpty || diff.deltas.nonEmpty)
+      throw new IllegalStateException(
+        s"GLPR changesFromVersion=$fromV: the history between version " +
+          s"$fromV and " +
+          toV.map(v => s"version $v").getOrElse("the live manifest") +
+          " is not append-only — shard(s) " +
+          (diff.removes.map(_._1.getName) ++ diff.deltas.map(_._1.getName))
+            .sorted.mkString(", ") +
+          " were removed or re-masked (DELETE/OVERWRITE/compaction/" +
+          "restore/merge-on-read delete), so the change set cannot be " +
+          "expressed as appended shards; read with changeMode=cdf to get " +
+          "(_change_type, row) change records instead")
+    diff.adds.map(_._1).toArray
   }
+
+  /** The three faces of a CDF diff: shards only in `to` (their unmasked
+    * rows are inserts), shards only in `from` (their rows-as-of-from are
+    * deletes), and shards in BOTH whose delete-vector generation changed
+    * (the rows newly masked are deletes; rows unmasked by a restore are
+    * inserts). */
+  private[io] final case class CdfDiff(
+      adds: Seq[(java.io.File, Option[Long])],
+      removes: Seq[(java.io.File, Option[Long])],
+      deltas: Seq[(java.io.File, Option[Long], Option[Long])])
 
   /** FULL change-data-capture diff between versions (q328): the shards
     * version `toV` (or the live manifest) holds that `fromV` did not
@@ -1441,20 +1530,26 @@ object GlprSource {
     * remove+insert of the affected shards — physically faithful, the
     * restart-shaped CDF Delta emits without per-commit change files. */
   private[io] def changeShardsCdf(path: String, fromV: Long,
-      toV: Option[Long]): (Array[java.io.File], Array[java.io.File]) = {
-    val fromNames = versionShardNames(path, fromV).toSet
-    val to = committedShardsAsOf(path, toV)
-    val toNames = to.map(_.getName).toSet
+      toV: Option[Long]): CdfDiff = {
+    val fromGens: Map[String, Option[Long]] = versionEntries(path, fromV)
+      .map(l => entryName(l) -> entryDvGen(l)).toMap
+    val to = committedEntriesAsOf(path, toV)
+    val toNames = to.map(_._1.getName).toSet
     val dir = new java.io.File(path)
-    val removes = (fromNames -- toNames).toSeq.sorted.map { n =>
+    val removes = (fromGens.keySet -- toNames).toSeq.sorted.map { n =>
       val f = new java.io.File(dir, n)
       if (!f.isFile) throw new IllegalStateException(
         s"GLPR CDF from version $fromV: removed shard '$n' is no longer " +
           "on disk (vacuum reclaimed it after version expiry) — the " +
           "delete records for it cannot be reconstructed")
-      f
-    }.toArray
-    (to.filterNot(f => fromNames.contains(f.getName)), removes)
+      (f, fromGens(n))
+    }
+    val adds = to.filterNot(p => fromGens.contains(p._1.getName)).toSeq
+    val deltas = to.toSeq.collect {
+      case (f, gTo) if fromGens.contains(f.getName) &&
+          fromGens(f.getName) != gTo => (f, fromGens(f.getName), gTo)
+    }
+    CdfDiff(adds, removes, deltas)
   }
 
   /** RESTORE TO VERSION (q313): re-point the live manifest at a
@@ -1466,14 +1561,17 @@ object GlprSource {
     * through the versions that own them. Every shard `v` references
     * must still exist, checked BEFORE the manifest is touched. */
   def restoreToVersion(path: String, v: Long): Unit = {
-    val names = versionShardNames(path, v)
+    val entries = versionEntries(path, v)
     val dir = new java.io.File(path)
-    val missing = names.filterNot(n => new java.io.File(dir, n).isFile)
+    val missing = entries.filterNot { l =>
+      new java.io.File(dir, entryName(l)).isFile &&
+        entryDvGen(l).forall(g => dvGenFile(path, entryName(l), g).isFile)
+    }
     require(missing.isEmpty,
-      s"GLPR restore to version $v: shards ${missing.mkString(", ")} no " +
-        "longer exist (unlinked by DELETE/OVERWRITE/compaction); restore " +
-        "needs every shard of the target version on disk")
-    writeManifest(path, names)
+      s"GLPR restore to version $v: ${missing.mkString(", ")} no " +
+        "longer exist on disk (vacuum reclaimed them); restore needs " +
+        "every shard (and delete-vector generation) of the target version")
+    writeManifest(path, entries)
   }
   /** Fold `add` into the manifest under the [[commitManifest]] CAS loop:
     * a collision re-reads and RE-MERGES, so concurrent appenders never
@@ -1524,7 +1622,7 @@ object GlprSource {
     * would keep the high-water mark in the manifest header instead. */
   private[io] def usedShardNames(path: String): Set[String] =
     (listShardFiles(path).map(_.getName) ++
-      readManifest(path).getOrElse(Seq.empty) ++
+      readManifest(path).getOrElse(Seq.empty).map(entryName) ++
       listManifestVersions(path).flatMap(v => versionShardNames(path, v))).toSet
 
   /** First free batch-scheme shard number under the never-reuse rule. */
@@ -1542,16 +1640,19 @@ object GlprSource {
       .filter(f => f.getName.endsWith(".glpr") && !f.getName.startsWith("_tmp"))
       .sortBy(_.getName)
   }
+  /** Live manifest ENTRIES (lines) — or the adopted directory listing
+    * (bare names) for a manifest-less dir. */
+  private[io] def committedEntries(path: String): Seq[String] =
+    readManifest(path) match {
+      case Some(lines) => lines.filter(isShardLine)
+      case None => listShardFiles(path).map(_.getName).toSeq
+    }
   private[io] def committedShards(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
-    readManifest(path) match {
-      case Some(names) => names.iterator
-        .filter(n => n.endsWith(".glpr") && !n.startsWith("_tmp"))
-        .map(n => new java.io.File(dir, n))
-        .filter(_.isFile) // delete/compact crash window: vanished > phantom
-        .toArray.sortBy(_.getName)
-      case None => listShardFiles(path)
-    }
+    committedEntries(path).iterator
+      .map(l => new java.io.File(dir, entryName(l)))
+      .filter(_.isFile) // crash window: vanished > phantom
+      .toArray.sortBy(_.getName)
   }
 
   /** Per-shard sidecar stats written at commit time ([[GlprWriter]]):
@@ -1581,35 +1682,43 @@ object GlprSource {
   private[io] def metaFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".meta")
 
-  /** MERGE-ON-READ deletion vectors (q322/q323) — the other half of the
-    * delete ladder: where q314's copy-on-write pays a rewrite at DELETE
-    * time, a delete vector pays nothing at delete time (one tiny
-    * `<shard>.glpr.dv` sidecar of masked id ranges per affected shard)
-    * and a filter at EVERY read until [[GlprMaintenance.materializeDeletes]]
-    * rewrites the masked shards — the Iceberg-v2/Delta-DV trade, chosen
-    * per workload (delete-heavy ingest → DV; read-heavy serving →
+  /** MERGE-ON-READ deletion vectors (q322/q323/q331) — the other half
+    * of the delete ladder: where q314's copy-on-write pays a rewrite at
+    * DELETE time, a delete vector pays nothing at delete time (one tiny
+    * sidecar of masked id ranges per affected shard) and a filter at
+    * EVERY read until [[GlprMaintenance.materializeDeletes]] rewrites
+    * the masked shards — the Iceberg-v2/Delta-DV trade, chosen per
+    * workload (delete-heavy ingest → DV; read-heavy serving →
     * materialize). Masks are PREDICATES ("ids in [lo,hi] are deleted"),
     * so applying one to a shard that holds no matching row is harmless —
     * bounds-less shards can be masked safely. Readers (row AND columnar,
     * batch AND streaming) apply the mask at the id gate; metadata paths
     * that would LIE under a mask decline instead (aggregate pushdown,
-    * limit shard-capping), pruning stays sound (masks only remove rows —
-    * over-keep), statistics stay pre-mask like every file source's.
-    * DVs live OUTSIDE the manifest version history, so historical reads
-    * (`versionAsOf`/`changesFromVersion`) REFUSE loudly when a planned
-    * shard carries one — a version pin that silently saw through (or
-    * ignored) a later delete would be phantom history. Ranges in one
-    * file are merged/normalized; re-deleting is idempotent (set union).
-    * Per-shard writes are atomic (stage+rename); a multi-shard DV delete
-    * is per-shard visible, not transactional — re-running it converges
-    * (documented contrast with q314's single manifest flip). */
+    * limit shard-capping, SPJ keyed plans), pruning stays sound (masks
+    * only remove rows — over-keep), statistics stay pre-mask like every
+    * file source's.
+    *
+    * Since round 17 the vectors are VERSIONED: each MoR delete writes an
+    * immutable `<shard>.glpr.dv.<gen>` GENERATION file and records the
+    * gen in the shard's manifest line under ONE commit
+    * ([[GlprMaintenance.deleteIdRangeMergeOnRead]]) — the whole delete
+    * is one atomic history step, `versionAsOf` applies exactly the mask
+    * recorded AT the pinned version (pre-delete versions read unmasked —
+    * q331), CDF diffs a gen change into row-exact delete/insert records
+    * (q328's dv-delta arm), and RESTORE rolls mask state back with the
+    * membership. The bare un-suffixed `<shard>.glpr.dv` form remains
+    * readable on LIVE scans as the pre-round-17 legacy; pinned reads
+    * refuse it (its mutation history is unknown). Ranges in one file
+    * are merged/normalized; re-deleting is idempotent (no gen written,
+    * no version minted). */
   private[io] def dvFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".dv")
 
   /** Flattened sorted disjoint ranges [lo0,hi0,lo1,hi1,…]; empty = no
     * mask. */
-  private[io] def readDeleteVector(shardPath: String): Array[Long] = {
-    val f = new java.io.File(shardPath + ".dv")
+  private[io] def readDeleteVector(shardPath: String): Array[Long] =
+    readDeleteVectorFile(new java.io.File(shardPath + ".dv"))
+  private[io] def readDeleteVectorFile(f: java.io.File): Array[Long] = {
     if (!f.isFile) return Array.emptyLongArray
     val ranges = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -1620,6 +1729,78 @@ object GlprSource {
         (p(0).toLong, p(1).toLong)
       }.toSeq
     normalizeRanges(ranges)
+  }
+
+  /** Resolve the EFFECTIVE delete vector of a manifest entry: a
+    * recorded generation reads the immutable `<name>.dv.<gen>` file
+    * (loud if vacuumed); no generation reads the legacy bare
+    * `<name>.dv` on LIVE scans only — a PINNED read refuses the bare
+    * form (its mutation history is unknown: applying or ignoring it
+    * would both be phantom history) — and no mask otherwise. */
+  private[io] def resolveDv(path: String, name: String, gen: Option[Long],
+      pinned: Boolean): Array[Long] = gen match {
+    case Some(g) =>
+      val f = dvGenFile(path, name, g)
+      if (!f.isFile) throw new IllegalStateException(
+        s"GLPR: delete-vector generation $g of shard '$name' no longer " +
+          "exists on disk (vacuum reclaimed it after version expiry)")
+      readDeleteVectorFile(f)
+    case None =>
+      val bare = new java.io.File(path, name + ".dv")
+      if (!bare.isFile) Array.emptyLongArray
+      else if (pinned) throw new IllegalStateException(
+        s"GLPR historical read refused: shard '$name' carries an " +
+          "UNVERSIONED delete-vector overlay (pre-generation bare .dv) " +
+          "whose history is unknown — materialize deletes first, then " +
+          "time travel")
+      else readDeleteVectorFile(bare)
+  }
+
+  /** Manifest entries resolved to (shard file, dv generation): LIVE
+    * reads silently skip vanished files (crash window: vanished >
+    * phantom); PINNED reads fail loudly on them
+    * ([[committedEntriesAsOf]]). */
+  private[io] def entriesResolved(path: String,
+      version: Option[Long]): Seq[(java.io.File, Option[Long])] =
+    version match {
+      case None =>
+        val dir = new java.io.File(path)
+        committedEntries(path).flatMap { l =>
+          val f = new java.io.File(dir, entryName(l))
+          if (f.isFile) Some((f, entryDvGen(l))) else None
+        }
+      case some => committedEntriesAsOf(path, some).toSeq
+    }
+
+  /** First free delete-vector generation number for a shard (gen files
+    * are immutable and survive until the shard itself is reclaimed, so
+    * the on-disk maximum is the high-water mark). */
+  private[io] def nextDvGen(path: String, name: String): Long =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(name + ".dv."))
+      .flatMap(n => n.stripPrefix(name + ".dv.").toLongOption)
+      .maxOption.getOrElse(0L) + 1L
+
+  /** Write the next delete-vector GENERATION for a shard as the union
+    * of its current mask and `add` (immutable file, stage + atomic
+    * rename). Returns the new generation, or None when the union
+    * changes nothing (idempotent re-delete). The manifest commit
+    * recording the gen is the CALLER's job — a gen file alone is
+    * invisible to every reader. */
+  private[io] def writeDvGeneration(path: String, name: String,
+      curGen: Option[Long], add: (Long, Long)): Option[Long] = {
+    val cur = resolveDv(path, name, curGen, pinned = false)
+    val merged = normalizeRanges(
+      cur.grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
+    if (java.util.Arrays.equals(cur, merged)) return None
+    val gen = nextDvGen(path, name)
+    val tmp = new java.io.File(path, s"_tmp-dv-$gen-$name")
+    java.nio.file.Files.write(tmp.toPath,
+      merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, dvGenFile(path, name, gen).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Some(gen)
   }
 
   private[io] def normalizeRanges(ranges: Seq[(Long, Long)]): Array[Long] = {
@@ -1650,21 +1831,6 @@ object GlprSource {
     false
   }
 
-  /** Union `add` into the shard's delete vector (stage + atomic rename;
-    * idempotent — re-deleting the same range changes nothing). */
-  private[io] def addToDeleteVector(shard: java.io.File, add: (Long, Long)): Unit = {
-    val existing = readDeleteVector(shard.getAbsolutePath)
-    val all = (existing.grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
-    val merged = normalizeRanges(all)
-    val tmp = new java.io.File(shard.getParentFile,
-      s"_tmp-dv-${shard.getName}")
-    java.nio.file.Files.write(tmp.toPath,
-      merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, dvFile(shard).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
   // partition values ride the whitespace-split sidecar URL-encoded, so
   // arbitrary value bytes can never break the key=value token format
   private[io] def encodePval(v: String): String =
@@ -1706,7 +1872,9 @@ object GlprSource {
     def changeType: String = "insert"
   }
   private[io] final case class GlprPartition(file: String,
-      override val changeType: String = "insert")
+      override val changeType: String = "insert",
+      dv: Array[Long] = Array.emptyLongArray,
+      requireMaskedBy: Array[Long] = Array.emptyLongArray)
       extends GlprInputPartition
   /** A shard partition carrying its single partition-column value — the
     * `HasPartitionKey` half of storage-partitioned joins (q319): Spark
@@ -2383,10 +2551,12 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     // diff's sidecars could answer them, but an under-reported change
     // set must fail in changeShards, not be silently summarized
     if (changesFrom.nonEmpty) return None
-    val shards = GlprSource.committedShardsAsOf(path, version)
-    // a delete-vector overlay makes sidecar counts lies: decline, the
-    // ordinary scan applies the mask row-exactly
-    if (shards.exists(f => GlprSource.dvFile(f).isFile)) return None
+    // a delete-vector mask (gen-recorded or legacy bare) makes sidecar
+    // counts lies: decline, the ordinary scan applies the mask row-exactly
+    val entries = GlprSource.entriesResolved(path, version)
+    if (entries.exists { case (f, g) =>
+        g.isDefined || GlprSource.dvFile(f).isFile }) return None
+    val shards = entries.map(_._1).toArray
     val metas = shards.map(GlprSource.readMeta)
     if (metas.exists(_.isEmpty)) return None // a shard without stats
     val ms = metas.map(_.get)
@@ -2526,20 +2696,53 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       changesFrom.map(m => s", ChangesFromVersion: $m" +
         (if (cdfMode) " (cdf)" else "")).getOrElse("")
 
-  /** The scan's shard universe with each shard's `_change_type`: the
-    * live manifest, a version pin (q311), the append-only DIFF of an
-    * incremental read (q312, all "insert"), or the full CDF diff (q328,
-    * adds tagged "insert" and removed-but-retired shards tagged
-    * "delete") — everything downstream (static/runtime/bloom/value
-    * pruning, limit capping, statistics) composes unchanged on top. */
-  private def baseShards(): Array[(java.io.File, String)] = changesFrom match {
+  /** One planned shard: file, `_change_type`, the delete-vector mask
+    * its rows are gated by, and (CDF dv-delta sides only) the mask a
+    * row must ADDITIONALLY be inside to count as changed. */
+  private type Planned = (java.io.File, String, Array[Long], Array[Long])
+  private val NoMask = Array.emptyLongArray
+
+  /** The scan's shard universe with each shard's `_change_type` and
+    * RESOLVED delete-vector state: the live manifest (live masks — gen
+    * or legacy bare), a version pin (q311/q331 — exactly the masks
+    * recorded AT that version; unversioned bare overlays refuse), the
+    * append-only DIFF of an incremental read (q312, all "insert"), or
+    * the full CDF diff (q328 — adds "insert", retired shards "delete",
+    * and dv-generation deltas emitting newly-masked rows as "delete" /
+    * restore-unmasked rows as "insert"). Everything downstream
+    * (static/runtime/bloom/value pruning, limit capping, statistics)
+    * composes unchanged on top. */
+  private def baseShards(): Array[Planned] = changesFrom match {
     case Some(m) if cdfMode =>
-      val (adds, removes) = GlprSource.changeShardsCdf(path, m, version)
-      adds.map(f => (f, "insert")) ++ removes.map(f => (f, "delete"))
+      val diff = GlprSource.changeShardsCdf(path, m, version)
+      val pinnedTo = true // both diff ends are exact version states
+      val adds = diff.adds.map { case (f, g) =>
+        (f, "insert", GlprSource.resolveDv(path, f.getName, g, pinnedTo), NoMask)
+      }
+      val removes = diff.removes.map { case (f, g) =>
+        (f, "delete", GlprSource.resolveDv(path, f.getName, g, pinned = true), NoMask)
+      }
+      val deltas = diff.deltas.flatMap { case (f, gFrom, gTo) =>
+        val dvFrom = GlprSource.resolveDv(path, f.getName, gFrom, pinned = true)
+        val dvTo = GlprSource.resolveDv(path, f.getName, gTo, pinnedTo)
+        // newly masked rows are deletes; rows a restore unmasked are inserts
+        (if (dvTo.nonEmpty) Seq((f, "delete", dvFrom, dvTo)) else Nil) ++
+          (if (dvFrom.nonEmpty) Seq((f, "insert", dvTo, dvFrom)) else Nil)
+      }
+      (adds ++ removes ++ deltas).toArray
     case Some(m) =>
-      GlprSource.changeShards(path, m, version).map(f => (f, "insert"))
+      val gens = GlprSource.entriesResolved(path, version)
+        .map { case (f, g) => f.getName -> g }.toMap
+      GlprSource.changeShards(path, m, version).map { f =>
+        (f, "insert",
+          GlprSource.resolveDv(path, f.getName,
+            gens.getOrElse(f.getName, None), version.isDefined), NoMask)
+      }
     case None =>
-      GlprSource.committedShardsAsOf(path, version).map(f => (f, "insert"))
+      GlprSource.entriesResolved(path, version).map { case (f, g) =>
+        (f, "insert",
+          GlprSource.resolveDv(path, f.getName, g, version.isDefined), NoMask)
+      }.toArray
   }
 
   /** Runtime (DPP-style) shard pruning: Spark's PartitionPruning rule
@@ -2617,8 +2820,14 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       !required.fieldNames.contains(partitionCol.get)) return None
     // zero-row shards (empty write partitions) carry no value set and
     // no rows: dropped from the keyed plan rather than vetoing it
-    val shards = GlprSource.committedShards(path)
-      .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0))
+    // (a live delete-vector mask also declines: keyed partitions carry
+    // no mask, so serving them would resurrect masked rows — the
+    // shuffle fallback plan applies masks correctly)
+    val live = GlprSource.entriesResolved(path, None)
+    if (live.exists { case (f, g) =>
+        g.isDefined || GlprSource.dvFile(f).isFile }) return None
+    val shards = live.map(_._1)
+      .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0)).toArray
     if (shards.isEmpty) return None
     val keyed = shards.map { f =>
       GlprSource.readMeta(f).flatMap(_.valuesOf(partitionCol.get)) match {
@@ -2669,7 +2878,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       case None => ()
     }
     val shards = baseShards()
-    val kept = shards.filter { case (f, _) =>
+    val kept = shards.filter { case (f, _, _, _) =>
       val meta = GlprSource.readMeta(f)
       val idKeep = meta.flatMap(_.bounds) match {
         case Some((lo, hi)) =>
@@ -2705,17 +2914,10 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       }
       idKeep && bloomKeep && valKeep
     }
-    // historical reads refuse delete-vector overlays: DVs live OUTSIDE
-    // the version history, so a pinned read that silently applied (or
-    // ignored) a later delete would be phantom history — materialize
-    // first (GlprMaintenance.materializeDeletes), then time travel
-    if (version.isDefined || changesFrom.isDefined) {
-      val dvd = kept.filter { case (f, _) => GlprSource.dvFile(f).isFile }
-      if (dvd.nonEmpty) throw new IllegalStateException(
-        s"GLPR historical read refused: shard(s) ${dvd.map(_._1.getName).mkString(", ")} " +
-          "carry delete-vector overlays, which are not part of the manifest " +
-          "version history — materialize deletes first, then time travel")
-    }
+    // (delete-vector state was already resolved per the planned
+    // version by baseShards — versioned generations time-travel
+    // exactly; only legacy UNVERSIONED bare overlays refuse, inside
+    // GlprSource.resolveDv)
     // pushed LIMIT with no row filtering in play: plan only the first
     // shards whose sidecar row counts cover the limit — LIMIT 10 against
     // a million-shard corpus opens one file. Any shard without stats, or
@@ -2730,8 +2932,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     val capped = limit match {
       case Some(n) if unfiltered =>
         val metas = kept.map(p => GlprSource.readMeta(p._1))
-        if (metas.exists(_.isEmpty) ||
-            kept.exists(p => GlprSource.dvFile(p._1).isFile)) kept
+        if (metas.exists(_.isEmpty) || kept.exists(p => p._3.nonEmpty)) kept
         else {
           var acc = 0L; var take = 0
           while (take < kept.length && acc < n) { acc += metas(take).get.rows; take += 1 }
@@ -2740,8 +2941,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       case _ => kept
     }
     GlprSource.planEvents.put(path, (capped.length, shards.length))
-    capped.map { case (f, ct) =>
-      GlprSource.GlprPartition(f.getAbsolutePath, ct): InputPartition
+    capped.map { case (f, ct, dv, req) =>
+      GlprSource.GlprPartition(f.getAbsolutePath, ct, dv, req): InputPartition
     }
   }
 
@@ -2914,7 +3115,14 @@ class GlprMicroBatchStream(path: String, required: StructType,
       idKeep && bloomKeep && valKeep
     }
     GlprSource.planEvents.put(path, (kept.length, inInterval.length))
-    kept.map(n => GlprSource.GlprPartition(new java.io.File(path, n).getAbsolutePath): InputPartition)
+    // live delete-vector masks (manifest generations or legacy bare)
+    // apply per micro-batch exactly like the batch scan
+    val gens = GlprSource.entriesResolved(path, None)
+      .map { case (f, g) => f.getName -> g }.toMap
+    kept.map(n => GlprSource.GlprPartition(
+      new java.io.File(path, n).getAbsolutePath, "insert",
+      GlprSource.resolveDv(path, n, gens.getOrElse(n, None),
+        pinned = false)): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range)
@@ -2933,15 +3141,23 @@ class GlprMicroBatchStream(path: String, required: StructType,
 class GlprReaderFactory(required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GlprSource.GlprInputPartition]
-    new GlprReader(p.file, required, range, limit, p.changeType)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GlprSource.GlprPartition =>
+        new GlprReader(p.file, required, range, limit, p.changeType,
+          p.dv, p.requireMaskedBy)
+      case p: GlprSource.GlprInputPartition =>
+        new GlprReader(p.file, required, range, limit, p.changeType)
+    }
   override def supportColumnarReads(partition: InputPartition): Boolean = true
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GlprSource.GlprInputPartition]
-    new GlprColumnarReader(p.file, required, range, limit, p.changeType)
-  }
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case p: GlprSource.GlprPartition =>
+        new GlprColumnarReader(p.file, required, range, limit, p.changeType,
+          p.dv, p.requireMaskedBy)
+      case p: GlprSource.GlprInputPartition =>
+        new GlprColumnarReader(p.file, required, range, limit, p.changeType)
+    }
 }
 
 /** Chunk-buffered byte cursor over one GLPR shard — the IO/decode core
@@ -3078,12 +3294,18 @@ private[io] final class GlprChunkCursor(file: String) {
   * reader is the contractual fallback and the parity reference.
   * Measured in [[graft.tools.GlprDecodeBench]] — see numbers there. */
 class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
-    limit: Option[Int] = None, changeType: String = "insert")
+    limit: Option[Int] = None, changeType: String = "insert",
+    dvMask: Array[Long] = null,
+    requireMaskedBy: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
   private val cursor = new GlprChunkCursor(file)
   // merge-on-read delete vector: masked ids fail the keep gate exactly
-  // like out-of-range ids (skipped wholesale, fields byte-skipped)
-  private val dv = GlprSource.readDeleteVector(file)
+  // like out-of-range ids (skipped wholesale, fields byte-skipped).
+  // The scan resolves the mask at planning time (manifest generation or
+  // legacy bare file) and ships it in the partition; a DIRECT reader
+  // construction (null) resolves the legacy bare file itself.
+  private val dv =
+    if (dvMask == null) GlprSource.readDeleteVector(file) else dvMask
   private val cap = limit.getOrElse(Int.MaxValue)
   private var emitted = 0
   // field order in the byte stream after doc_id
@@ -3108,7 +3330,10 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
     if (emitted >= cap) return false
     while (cursor.atRecordStart()) {
       val id = cursor.readId()
-      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id)
+      // requireMaskedBy is the CDF dv-delta gate: emit only rows the
+      // other end's mask covers (see GlprScan.baseShards)
+      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id) &&
+        (requireMaskedBy.isEmpty || GlprSource.dvMasked(requireMaskedBy, id))
       if (keep) rowWriter.reset()
       if (keep && idOrdinal >= 0) rowWriter.write(idOrdinal, id)
       var f = 0
@@ -3148,11 +3373,15 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   * (shared cursor). Measured in [[graft.tools.GlprDecodeBench]]. */
 class GlprColumnarReader(file: String, required: StructType,
     range: GlprSource.IdRange,
-    limit: Option[Int] = None, changeType: String = "insert")
+    limit: Option[Int] = None, changeType: String = "insert",
+    dvMask: Array[Long] = null,
+    requireMaskedBy: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[ColumnarBatch] {
   private val cursor = new GlprChunkCursor(file)
-  // merge-on-read delete vector, applied at the id gate like the row reader
-  private val dv = GlprSource.readDeleteVector(file)
+  // merge-on-read delete vector, applied at the id gate like the row
+  // reader (planning-resolved; null = direct construction, legacy bare)
+  private val dv =
+    if (dvMask == null) GlprSource.readDeleteVector(file) else dvMask
   private val cap = limit.getOrElse(Int.MaxValue)
   private var emitted = 0
   private val streamFields = Array("lang", "source", "text")
@@ -3177,7 +3406,8 @@ class GlprColumnarReader(file: String, required: StructType,
     var n = 0
     while (n < capacity && emitted + n < cap && cursor.atRecordStart()) {
       val id = cursor.readId()
-      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id)
+      val keep = range.contains(id) && !GlprSource.dvMasked(dv, id) &&
+        (requireMaskedBy.isEmpty || GlprSource.dvMasked(requireMaskedBy, id))
       if (keep && idOrdinal >= 0) vectors(idOrdinal).putLong(n, id)
       var f = 0
       while (f < 3) {

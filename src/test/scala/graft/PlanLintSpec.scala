@@ -115,6 +115,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q330_glpr_expire_vacuum",  // appends + delete + expire + vacuum on
                                 // construction (cached); reclaim pins
                                 // in GlprSpec
+    "q331_glpr_dv_time_travel", // staging write + MoR delete on
+                                // construction (cached); gen pins in
+                                // GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

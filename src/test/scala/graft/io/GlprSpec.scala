@@ -750,10 +750,16 @@ class GlprSpec extends AnyFunSuite {
         .repartitionByRange(4, col("doc_id")), root)
     val masked = GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L)
     assert(masked.length === 3, s"three shards overlap [150,349]: $masked")
-    // zero data bytes moved: same shard files, only .dv sidecars appeared
+    // zero data bytes moved: same shard files; the masks are immutable
+    // .dv.<gen> GENERATION files recorded in the manifest lines (one
+    // versioned commit for the whole delete — round 17)
     val shards = GlprSource.committedShards(root)
     assert(shards.length === 4)
-    assert(shards.count(f => GlprSource.dvFile(f).isFile) === 3)
+    def dvGenCount() = GlprSource.readManifest(root).get
+      .count(l => GlprSource.entryDvGen(l).isDefined)
+    assert(dvGenCount() === 3)
+    masked.foreach(n => assert(
+      new java.io.File(root, s"$n.dv.1").isFile, s"gen file for $n"))
     def ids() = spark.read.format("graft.io.GlprSource").load(root)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids() === ((0L until 150L) ++ (350L until 400L)).toSet)
@@ -770,15 +776,18 @@ class GlprSpec extends AnyFunSuite {
     // LIMIT still returns enough rows (shard capping disabled under masks)
     assert(spark.read.format("graft.io.GlprSource").load(root)
       .limit(180).count() === 180L)
-    // historical reads refuse DV overlays loudly
-    val e1 = intercept[IllegalStateException] {
-      spark.read.format("graft.io.GlprSource")
-        .option("versionAsOf", "1").load(root).count()
-    }
-    assert(e1.getMessage.contains("materialize"), e1.getMessage)
-    // re-deleting the same range is idempotent
-    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L).toSet
-      === masked.toSet)
+    // TIME TRAVEL over the masked history (q331): version 1 (pre-
+    // delete) reads UNMASKED; version 2 (the MoR delete's own commit)
+    // applies exactly the recorded generation
+    def countAsOf(v: Long) = spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", v.toString).load(root).count()
+    assert(countAsOf(1) === 400L, "pre-delete version reads unmasked")
+    assert(countAsOf(2) === 200L, "the delete's version reads masked")
+    // re-deleting the same range is idempotent: no mask changes, no gen
+    // files written, NO version minted
+    val vAfterDelete = GlprSource.listManifestVersions(root).length
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L) === Seq.empty)
+    assert(GlprSource.listManifestVersions(root).length === vAfterDelete)
     assert(ids().size === 200)
     // compaction never merges a masked shard (its fresh-named twin would
     // orphan the vector and resurrect rows) — unmasked neighbors merge
@@ -792,8 +801,7 @@ class GlprSpec extends AnyFunSuite {
       merged.flatMap(_.memberNames).toSet.intersect(
         masked.toSet).isEmpty,
       s"masked shards must never be compaction members: $merged")
-    assert(GlprSource.committedShards(root)
-      .count(f => GlprSource.dvFile(f).isFile) === 3)
+    assert(dvGenCount() === 3)
     assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
     // materialization: masked shards rewritten under fresh names, the
     // fully-masked one vanishes, vectors unlinked, one version minted
@@ -803,8 +811,7 @@ class GlprSpec extends AnyFunSuite {
     assert(mat.values.count(_.isEmpty) === 1, // [200,299] fully masked
       s"exactly one shard is emptied by its mask: $mat")
     mat.values.flatten.foreach(n => assert(!masked.contains(n)))
-    assert(GlprSource.committedShards(root)
-      .forall(f => !GlprSource.dvFile(f).isFile))
+    assert(dvGenCount() === 0, "live manifest carries no masks after materialize")
     assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
     assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
     // metadata paths re-arm: sidecar rows now equal the surviving rows
