@@ -2800,6 +2800,40 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL UPDATE through SupportsRowLevelOperations: group-based
+    // copy-on-write ReplaceData — scanned shards rewritten under fresh
+    // names, one manifest flip. Oracle applies the same assignments
+    // relationally; hash equality certifies the copied (non-matching)
+    // rows of replaced shards survive and nothing double-updates.
+    "q326_glpr_sql_update" -> Entry((s, d) =>
+      graft.io.GlprSource.sqlUpdatePipeline(s, d).orderBy("lang", "source"), Some(
+      """SELECT lang,
+        | CASE WHEN doc_id < 100 THEN 'curated' ELSE source END AS source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(CASE WHEN doc_id < 100
+        |   THEN concat(text, ' [ok]') ELSE text END)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SQL MERGE INTO (the lakehouse upsert), one group-based COW
+    // commit: matched rows [100,300) re-sourced + uppercased, rows < 50
+    // re-keyed +1000000 inserted. Oracle recomputes the merged state.
+    "q327_glpr_sql_merge" -> Entry((s, d) =>
+      graft.io.GlprSource.sqlMergePipeline(s, d).orderBy("source", "lang"), Some(
+      """SELECT * FROM (
+        | SELECT CASE WHEN doc_id >= 100 AND doc_id < 300 THEN 'merged'
+        |   ELSE source END AS source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(strlen(CASE WHEN doc_id >= 100 AND doc_id < 300
+        |    THEN upper(text) ELSE text END)) AS BIGINT) AS n_bytes
+        | FROM documents GROUP BY 1, 2
+        | UNION ALL
+        | SELECT 'inserted', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id + 1000000) AS BIGINT),
+        |  CAST(sum(strlen(text)) AS BIGINT)
+        | FROM documents WHERE doc_id < 50 GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

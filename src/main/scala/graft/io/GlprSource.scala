@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -852,6 +852,80 @@ object GlprSource {
       .select("phase", "lang", "n_docs", "id_sum")
   }
   private val dvTtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q326 — SQL `UPDATE` through the row-level-operation front door
+    * (round-16 verdict #2): the corpus in a catalog table, then plain
+    * `UPDATE … SET source = 'curated', text = concat(text, ' [ok]')
+    * WHERE doc_id < 100` — Spark rewrites it into a group-based
+    * copy-on-write ReplaceData over [[GlprRowLevelOperation]]: scanned
+    * shards are rewritten under fresh names and swapped in ONE manifest
+    * flip. The oracle applies the same assignments relationally; hash
+    * equality certifies no row was lost (the classic COW bug: a
+    * replaced shard's NON-matching rows must be copied — pinned by the
+    * group-prune-only scan contract), none double-updated, none
+    * spuriously updated. */
+  def sqlUpdatePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = sqlUpdateCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-sqlupdate").toString)
+    val s2 = freshCatalogSession(spark, "glpr_upd", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_upd.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_upd.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("UPDATE glpr_upd.corpus.docs " +
+        "SET source = 'curated', text = concat(text, ' [ok]') " +
+        "WHERE doc_id < 100")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_upd.corpus.docs GROUP BY lang, source""".stripMargin))
+  }
+  private val sqlUpdateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q327 — SQL `MERGE INTO` (the lakehouse upsert): a deterministic
+    * updates source derived from the documents table — rows
+    * `[100, 300)` as matched updates (re-sourced + uppercased), rows
+    * `< 50` re-keyed to `doc_id + 1000000` as not-matched inserts —
+    * merged into the catalog table by plain SQL. The whole statement is
+    * ONE group-based ReplaceData commit. The oracle recomputes the
+    * merged state relationally: a missed/duplicated match, a lost
+    * unmatched row, or a dropped insert all break the hash. */
+  def sqlMergePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = sqlMergeCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-sqlmerge").toString)
+    val s2 = freshCatalogSession(spark, "glpr_mrg", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_mrg.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_mrg.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql(
+        s"""MERGE INTO glpr_mrg.corpus.docs t
+           |USING (
+           |  SELECT doc_id, lang, 'merged' AS source, upper(text) AS text
+           |  FROM parquet.`$dir/documents.parquet`
+           |  WHERE doc_id >= 100 AND doc_id < 300
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, lang, 'inserted', text
+           |  FROM parquet.`$dir/documents.parquet` WHERE doc_id < 50
+           |) u
+           |ON t.doc_id = u.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.source = u.source, t.text = u.text
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_mrg.corpus.docs GROUP BY source, lang""".stripMargin))
+  }
+  private val sqlMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Un-rematerialized plan views of the two partitioned-table reads —
@@ -1953,7 +2027,32 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-aligned `DELETE` (q326/q327) —
+    * the GROUP-BASED copy-on-write protocol over Spark's row-level-
+    * operation API: the analyzer rewrites the DML into a ReplaceData
+    * plan that reads the table through [[GlprRowLevelOperation]]'s scan
+    * (live delete-vector masks applied, so a rewrite also materializes
+    * them), applies the assignments/merge actions, writes every
+    * surviving row back through the two-phase [[GlprWriter]] path under
+    * fresh names, and the job commit REPLACES exactly the scanned
+    * shards in ONE manifest flip — readers see the old table or the new
+    * one, never a mix, and the replaced shards are RETIRED for their
+    * versions (time travel across the UPDATE works). Shard-aligned
+    * DELETEs still take the metadata-only fast path
+    * ([[canDeleteWhere]]); everything else — the straddling DELETE that
+    * used to refuse, every UPDATE, every MERGE — now routes here. The
+    * rewrite granularity is the scanned shard set (no runtime group
+    * filtering yet — at 100 TB pair this with range-clustered layout so
+    * Catalyst's static pushdown keeps the scan narrow). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
+    () => new GlprRowLevelOperation(path, partitionCol, info.command)
+  }
   override def name(): String = s"glpr:$path"
   override def schema(): StructType = GlprSource.schema
 
@@ -2375,6 +2474,85 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** One SQL row-level DML statement (UPDATE / MERGE / rewriting DELETE):
+  * the scan half captures the shard set it planned; the write half
+  * commits the rewritten shards and retires exactly that set. Scan and
+  * write share this object — the DSv2 group-based COW contract. */
+class GlprRowLevelOperation(path: String, partitionCol: Option[String],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  private val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GLPR group-based copy-on-write $cmd"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlprScanBuilder(path, None, partitionCol = partitionCol,
+      onPlan = files => scanned.set(files.toSeq), groupPruneOnly = true)
+  /** `_shard` rides the rewrite as the operation's metadata attribute.
+    * This is load-bearing beyond provenance: Spark's group-based
+    * ReplaceData only routes rows through the data/metadata PROJECTIONS
+    * (stripping its internal `__row_operation` column) when the
+    * operation declares at least one metadata attribute — with none,
+    * `ReplaceDataExec.writingTask` falls back to the raw
+    * `DataWritingSparkTask` and the writer would receive 5-field rows
+    * led by the operation marker (verified against the 4.1 bytecode;
+    * Iceberg declares `_file` here for the same reason). The writer
+    * itself ignores the metadata row (the 2-arg `DataWriter.write`
+    * default delegates to the data row). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_shard"))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def build(): Write = this.asInstanceOf[Write]
+      override def toBatch: BatchWrite =
+        new GlprReplaceDataWrite(path, info.schema(), partitionCol,
+          () => scanned.get())
+      // partitioned tables keep the clustered-write discipline through
+      // DML rewrites too, so sidecar value sets stay prune-usable
+      override def requiredDistribution:
+          org.apache.spark.sql.connector.distributions.Distribution =
+        partitionCol match {
+          case Some(c) => org.apache.spark.sql.connector.distributions
+            .Distributions.clustered(Array(Expressions.column(c)))
+          case None => org.apache.spark.sql.connector.distributions
+            .Distributions.unspecified()
+        }
+      override def requiredOrdering:
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+    }
+  }
+}
+
+/** The ReplaceData commit: rewritten shards in, scanned shards retired,
+  * one atomic manifest flip. */
+class GlprReplaceDataWrite(path: String, schema: StructType,
+    partitionCol: Option[String], replacedNames: () => Seq[String])
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    require(!GlprSource.committedShards(path).exists(
+        f => GlprSource.isEpochShardName(f.getName)),
+      s"GLPR row-level DML in '$path' refused: directory holds epoch-named " +
+        "(streaming sink) shards; batch-named survivors would mix naming " +
+        "schemes and break the lexical offset contract")
+    new GlprWriterFactory(path, schema, partitionCol,
+      GlprSource.nextBatchNameBase(path))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.collect { case GlprShardCommitted(n) => n }.toSeq
+    val replaced = replacedNames().toSet
+    // retention needs the manifest as the visibility point
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    GlprSource.commitManifest(path) { base =>
+      // survivors take bare lines (the scan applied live masks, so the
+      // rewrite materialized them); untouched lines survive verbatim
+      base.filterNot(l => replaced(GlprSource.entryName(l))) ++ added
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 class GlprWriterFactory(path: String, schema: StructType,
     partitionCol: Option[String] = None,
     nameBase: Long = 0L) extends DataWriterFactory {
@@ -2484,7 +2662,9 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     version: Option[Long] = None,
     changesFrom: Option[Long] = None,
     partitionCol: Option[String] = None,
-    cdfMode: Boolean = false) extends ScanBuilder
+    cdfMode: Boolean = false,
+    onPlan: Array[String] => Unit = null,
+    groupPruneOnly: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GlprSource.schema
@@ -2633,7 +2813,16 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
-      limit, valueFilters, version, changesFrom, partitionCol, cdfMode)
+      limit, valueFilters, version, changesFrom, partitionCol, cdfMode, onPlan,
+      // GROUP-based row-level operations (UPDATE/MERGE/DELETE rewrites):
+      // Spark pushes the command condition for GROUP selection only —
+      // the scan must return EVERY row of a matched shard (non-matching
+      // rows are the copied side of the copy-on-write), so the readers
+      // get the unbounded range while shard pruning keeps the compiled
+      // one. Row-filtering here is the classic COW data-loss bug: a
+      // replaced shard's non-matching rows would silently vanish.
+      readerRange = if (groupPruneOnly)
+        GlprSource.IdRange(Long.MinValue, Long.MaxValue) else null)
   }
 }
 
@@ -2680,7 +2869,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     version: Option[Long] = None,
     changesFrom: Option[Long] = None,
     partitionCol: Option[String] = None,
-    cdfMode: Boolean = false)
+    cdfMode: Boolean = false,
+    onPlan: Array[String] => Unit = null,
+    readerRange: GlprSource.IdRange = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2872,6 +3063,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     spjKeys() match {
       case Some(ks) =>
         GlprSource.planEvents.put(path, (ks.length, ks.length))
+        if (onPlan != null) onPlan(ks.map(_._1.getName).toArray)
         return ks.map { case (f, k) =>
           GlprSource.GlprKeyedPartition(f.getAbsolutePath, k): InputPartition
         }
@@ -2941,6 +3133,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       case _ => kept
     }
     GlprSource.planEvents.put(path, (capped.length, shards.length))
+    // row-level operations (UPDATE/MERGE/DELETE rewrites) capture the
+    // planned shard set here — their commit replaces exactly these
+    if (onPlan != null) onPlan(capped.map(_._1.getName))
     capped.map { case (f, ct, dv, req) =>
       GlprSource.GlprPartition(f.getAbsolutePath, ct, dv, req): InputPartition
     }
@@ -2977,7 +3172,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlprReaderFactory(required, range, limit)
+    new GlprReaderFactory(required,
+      if (readerRange == null) range else readerRange, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(version.isEmpty,
       "GLPR versionAsOf is a batch-only option — a stream follows the " +

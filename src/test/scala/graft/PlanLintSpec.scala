@@ -118,6 +118,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q331_glpr_dv_time_travel", // staging write + MoR delete on
                                 // construction (cached); gen pins in
                                 // GlprSpec
+    "q326_glpr_sql_update",     // catalog CREATE/INSERT/UPDATE (COW
+                                // ReplaceData) on construction (cached);
+                                // DML pins in GlprCatalogSpec
+    "q327_glpr_sql_merge",      // catalog CREATE/INSERT/MERGE INTO on
+                                // construction (cached); DML pins in
+                                // GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

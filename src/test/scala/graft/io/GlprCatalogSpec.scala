@@ -111,29 +111,74 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO glpr_spec.ns7.del SELECT * FROM del_in")
     val dir = new java.io.File(root, "ns7/del")
     assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 2)
-    // straddling predicate: no rewrite path — must fail, data untouched
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 50"))
-    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e.getMessage)
-    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 200L)
+    // straddling predicate (refused until round 17): routes to the
+    // group-based copy-on-write rewrite — non-matching rows of the
+    // rewritten shard are COPIED, nothing else is touched
+    spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 50")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 150L)
+    assert(spark.sql("SELECT min(doc_id) FROM glpr_spec.ns7.del").head().getLong(0) === 50L)
     // shard-aligned predicate: whole-shard RETIRE — dropped from the
-    // live manifest in one commit, file kept for the pre-delete version
+    // live manifest in one commit, files kept for the older versions
     spark.sql("DELETE FROM glpr_spec.ns7.del WHERE doc_id < 100")
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
-    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 2,
-      "retired shard stays on disk for its versions")
+    assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 3,
+      "retired shards (2 originals + the COW survivor) stay on disk")
     assert(spark.sql("SELECT min(doc_id) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
-    // time travel ACROSS the delete: the pre-delete version reads 200
-    val preDelete = GlprSource.listManifestVersions(dir.getAbsolutePath).length - 1
+    // time travel ACROSS both deletes: version 1 = the original insert
     assert(spark.sql(
-      s"SELECT count(*) FROM glpr_spec.ns7.del VERSION AS OF $preDelete")
+      "SELECT count(*) FROM glpr_spec.ns7.del VERSION AS OF 1")
       .head().getLong(0) === 200L)
-    // expire + vacuum reclaims the retired file, live view untouched
+    // expire + vacuum reclaims every retired file, live view untouched
     spark.sql("CALL glpr_spec.sys.expire_versions('ns7.del', 1)").collect()
     assert(spark.sql("CALL glpr_spec.sys.vacuum('ns7.del')").head().getLong(0) >= 1L)
     assert(dir.listFiles().count(_.getName.endsWith(".glpr")) === 1)
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns7.del").head().getLong(0) === 100L)
     spark.catalog.dropTempView("del_in")
+  }
+
+  test("SQL UPDATE and MERGE INTO: group-based copy-on-write, row-exact, one flip each") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns10.dml $ddl")
+    (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartitionByRange(2, col("doc_id"))
+      .createOrReplaceTempView("dml_in")
+    spark.sql("INSERT INTO glpr_spec.ns10.dml SELECT * FROM dml_in")
+    val dir = new java.io.File(root, "ns10/dml")
+    // UPDATE: only the matching rows change; the replaced shard's
+    // non-matching rows are copied (the COW data-loss pin)
+    spark.sql("UPDATE glpr_spec.ns10.dml SET source = 'u', " +
+      "text = concat(text, '!') WHERE doc_id < 30")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml")
+      .head().getLong(0) === 200L, "non-matching rows of replaced shards survive")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml WHERE source = 'u'")
+      .head().getLong(0) === 30L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml " +
+      "WHERE doc_id < 30 AND text NOT LIKE '%!'").head().getLong(0) === 0L)
+    // the UPDATE was ONE commit; time travel reads the pre-update state
+    val vs = GlprSource.listManifestVersions(dir.getAbsolutePath)
+    assert(spark.sql(s"SELECT count(*) FROM glpr_spec.ns10.dml " +
+      s"VERSION AS OF ${vs.length - 1} WHERE source = 'u'")
+      .head().getLong(0) === 0L)
+    // MERGE: matched update + not-matched insert, one commit
+    (190L until 210L).map(i => (i, "fr", "m", s"m-$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("dml_up")
+    spark.sql("""MERGE INTO glpr_spec.ns10.dml t USING dml_up u
+      ON t.doc_id = u.doc_id
+      WHEN MATCHED THEN UPDATE SET t.source = 'merged', t.text = u.text
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml")
+      .head().getLong(0) === 210L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml WHERE source = 'merged'")
+      .head().getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns10.dml WHERE source = 'm'")
+      .head().getLong(0) === 10L)
+    // a version-pinned table stays read-only for row-level DML too
+    val e = intercept[Exception](spark.sql(
+      "UPDATE glpr_spec.ns10.dml VERSION AS OF 1 SET source = 'x'"))
+    assert(e.getMessage.toLowerCase.contains("read-only") ||
+      e.getMessage.toLowerCase.contains("syntax") ||
+      e.getMessage.toLowerCase.contains("error"), e.getMessage)
+    spark.catalog.dropTempView("dml_in"); spark.catalog.dropTempView("dml_up")
   }
 
   test("_shard metadata column exposes per-record provenance through both readers") {
@@ -238,24 +283,27 @@ class GlprCatalogSpec extends AnyFunSuite {
     val dataShardsBefore = GlprSource.committedShards(dir.getAbsolutePath)
       .flatMap(GlprSource.readMeta).count(_.rows > 0)
     assert(dataShardsBefore === 3)
-    // mixed id+value predicate: no rewrite path — refuse, data untouched
-    val e = intercept[Exception](
-      s2.sql("DELETE FROM glpr_pd.ns.t WHERE lang = 'de' AND doc_id < 10"))
-    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e.getMessage)
-    assert(s2.sql("SELECT count(*) FROM glpr_pd.ns.t").head().getLong(0) === 90L)
-    // value predicate on an UN-tracked column: source wasn't the
-    // partition column, so its per-shard sets are unknown — refuse
-    val e2 = intercept[Exception](
-      s2.sql("DELETE FROM glpr_pd.ns.t WHERE source = 's'"))
-    assert(e2.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"), e2.getMessage)
-    // aligned partition drop: whole-shard unlink, sidecars too
+    // mixed id+value predicate (refused before round 17): routes to the
+    // copy-on-write rewrite — value pruning keeps the rewrite scoped to
+    // the de shard, and its non-matching rows are copied
+    s2.sql("DELETE FROM glpr_pd.ns.t WHERE lang = 'de' AND doc_id < 10")
+    assert(s2.sql("SELECT count(*) FROM glpr_pd.ns.t").head().getLong(0) === 87L)
+    assert(s2.sql("SELECT count(*) FROM glpr_pd.ns.t WHERE lang = 'de'")
+      .head().getLong(0) === 27L, "non-matching de rows are copied")
+    // the COW survivor is still single-valued in lang (the rewrite keeps
+    // the clustered-write distribution), so an aligned partition drop
+    // below stays METADATA-ONLY: it mints no new shard names
+    val namesBefore = GlprSource.committedShards(dir.getAbsolutePath)
+      .map(_.getName).toSet
     s2.sql("DELETE FROM glpr_pd.ns.t WHERE lang IN ('de', 'fr')")
     val got = s2.sql("SELECT lang, count(*) FROM glpr_pd.ns.t GROUP BY lang")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("en" -> 30L))
+    val after = GlprSource.committedShards(dir.getAbsolutePath).map(_.getName).toSet
+    assert(after.subsetOf(namesBefore), "partition drop is metadata-only: no rewrite")
     val dataShardsAfter = GlprSource.committedShards(dir.getAbsolutePath)
       .flatMap(GlprSource.readMeta).count(_.rows > 0)
-    assert(dataShardsAfter === 1, "de/fr shards must be unlinked, not rewritten")
+    assert(dataShardsAfter === 1, "de/fr shards retired, en untouched")
     s2.catalog.dropTempView("pd_in")
   }
 
