@@ -2800,6 +2800,47 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SCHEMA EVOLUTION: ALTER TABLE ADD COLUMN note STRING, then an
+    // aggregate across MIXED shards — pre-evolution shards surface the
+    // column as NULL (default-null read compat via the sidecar cols=
+    // channel), post-evolution shards carry values. Oracle rebuilds the
+    // mixed table relationally.
+    "q332_glpr_add_column" -> Entry((s, d) =>
+      graft.io.GlprSource.addColumnPipeline(s, d).orderBy("lang"), Some(
+      """WITH t AS (
+        | SELECT lang, CAST(NULL AS VARCHAR) AS note, text FROM documents
+        | UNION ALL
+        | SELECT lang, concat('tag-', source), text FROM documents
+        | WHERE doc_id < 100)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(note) AS BIGINT) AS n_notes,
+        | CAST(sum(strlen(coalesce(note, ''))) AS BIGINT) AS note_bytes,
+        | CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DATE PARTITIONING: days(ts) over an ISO string column — a
+    // two-day window read prunes to the window's shards via sidecar
+    // day sets (plan pin in GlprCatalogSpec). Oracle derives the same
+    // deterministic days.
+    "q333_glpr_days_partition" -> Entry((s, d) =>
+      graft.io.GlprSource.daysPartitionPipeline(s, d).orderBy("day", "lang"), Some(
+      """WITH t AS (SELECT lang, doc_id,
+        |  strftime(DATE '2024-01-01' + to_days(CAST(doc_id % 7 AS INT)),
+        |    '%Y-%m-%d') AS day
+        | FROM documents)
+        |SELECT day, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t WHERE day IN ('2024-01-03', '2024-01-04')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // HASH-BUCKET PARTITIONING: bucket(8, doc_id) point lookups prune
+    // to the probed buckets' shards on an arbitrary id layout (pin in
+    // GlprCatalogSpec). Oracle is the plain point lookup.
+    "q334_glpr_bucket_partition" -> Entry((s, d) =>
+      graft.io.GlprSource.bucketPartitionPipeline(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (0, 8, 17, 42, 97) ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE through SupportsRowLevelOperations: group-based
     // copy-on-write ReplaceData — scanned shards rewritten under fresh
     // names, one manifest flip. Oracle applies the same assignments

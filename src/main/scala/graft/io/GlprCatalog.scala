@@ -76,21 +76,38 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
   }
 
   /** The marker file doubles as the table descriptor: empty = flat
-    * table (backward compatible with pre-round-16 markers),
-    * `partitioned_by=<col>` = identity-partitioned. */
-  private def readPartitionCol(dir: java.io.File): Option[String] = {
+    * base-schema table (backward compatible with pre-round-16 markers);
+    * whitespace-separated tokens otherwise — `partitioned_by=<spec>`
+    * (an identity column, `bucket(N,doc_id)`, or `days(col)`) and
+    * `extra_columns=a,b` (append-only schema evolution, q332). */
+  private def readPartitionCol(dir: java.io.File): Option[String] =
+    readMarkerToken(dir, "partitioned_by")
+  private def readExtraCols(dir: java.io.File): Seq[String] =
+    readMarkerToken(dir, "extra_columns")
+      .map(_.split(",", -1).iterator.filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  private def readMarkerToken(dir: java.io.File, key: String): Option[String] = {
     val bytes = java.nio.file.Files.readAllBytes(marker(dir).toPath)
     val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
     txt.split("\\s+").collectFirst {
-      case kv if kv.startsWith("partitioned_by=") =>
-        kv.stripPrefix("partitioned_by=")
+      case kv if kv.startsWith(key + "=") => kv.stripPrefix(key + "=")
     }
+  }
+  private def writeMarker(dir: java.io.File, partitionSpec: Option[String],
+      extraCols: Seq[String]): Unit = {
+    val tokens = partitionSpec.map(p => s"partitioned_by=$p").toSeq ++
+      (if (extraCols.nonEmpty) Seq(s"extra_columns=${extraCols.mkString(",")}")
+       else Nil)
+    java.nio.file.Files.write(marker(dir).toPath,
+      tokens.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir))
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),
+      extraCols = readExtraCols(dir))
   }
 
   /** SQL time travel (q311): `SELECT ... FROM t VERSION AS OF <n>`
@@ -105,53 +122,102 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"GLPR VERSION AS OF expects a manifest version number, got '$version'")
     }
-    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v))
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v),
+      readExtraCols(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // `PARTITIONED BY (col)` — identity transforms only, on a string
-    // column of the fixed schema. The layout stays flat; partition
-    // values ride the commit sidecars and drive shard pruning + the
-    // write-side clustered distribution (see GlprTable.partitioning).
-    val partitionCol: Option[String] = partitions.toSeq match {
+    // the first four columns are the fixed record layout; any FURTHER
+    // columns must be nullable-representable STRING extras (q332 —
+    // the same appended-field encoding ALTER TABLE ADD COLUMN uses)
+    val want = GlprSource.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = schema.fields.take(4).map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"GLPR tables start with the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
+    val extraCols: Seq[String] = schema.fields.drop(4).toSeq.map { f =>
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"GLPR extra columns must be STRING, got ${f.name}: ${f.dataType.simpleString}")
+      f.name
+    }
+    require(extraCols.distinct == extraCols, "duplicate extra column names")
+    val stringCols = (Seq("lang", "source") ++ extraCols).toSet
+    // `PARTITIONED BY` — one transform: identity on a string column,
+    // bucket(N, doc_id), or days(col) over an ISO-8601 string column.
+    // The layout stays flat; TRANSFORMED partition values ride the
+    // commit sidecars and drive shard pruning (see GlprTable).
+    val partitionSpec: Option[String] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
         val c = t.references()(0).fieldNames()(0)
-        require(c == "lang" || c == "source",
-          s"GLPR tables can be partitioned only by a string column (lang, source), got '$c'")
+        require(stringCols(c),
+          s"GLPR identity partitioning needs a string column, got '$c'")
         Some(c)
+      case Seq(t) if t.name == "bucket" =>
+        require(t.references.length == 1 &&
+            t.references()(0).fieldNames.sameElements(Array("doc_id")),
+          s"GLPR bucket partitioning supports bucket(N, doc_id) only, got $t")
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => l.toInt
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: $t"))
+        require(n > 0 && n <= 4096, s"bucket count out of range: $n")
+        Some(s"bucket($n,doc_id)")
+      case Seq(t) if t.name == "days" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(stringCols(c),
+          s"GLPR days() partitioning reads an ISO-8601 STRING column, got '$c'")
+        Some(s"days($c)")
       case other => throw new UnsupportedOperationException(
-        s"GLPR tables support at most one identity partition transform, got ${other.mkString(", ")}")
+        "GLPR tables support one partition transform: identity(col), " +
+          s"bucket(N, doc_id) or days(col); got ${other.mkString(", ")}")
     }
-    // the on-disk layout IS the schema; reject anything else up front
-    val want = GlprSource.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(got == want,
-      s"GLPR tables have the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
     val dir = tableDir(ident)
     dir.mkdirs()
-    java.nio.file.Files.write(marker(dir).toPath,
-      partitionCol.fold(Array.emptyByteArray)(c =>
-        s"partitioned_by=$c".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    new GlprTable(dir.getAbsolutePath, partitionCol)
+    writeMarker(dir, partitionSpec, extraCols)
+    new GlprTable(dir.getAbsolutePath, partitionSpec, extraCols = extraCols)
   }
 
-  /** Property-only alters succeed as no-ops (GLPR keeps no table-level
-    * properties); structural changes are rejected — the schema is the
-    * format. */
+  /** SCHEMA EVOLUTION (q332): `ALTER TABLE … ADD COLUMN c STRING`
+    * appends a nullable STRING extra — old shards read null for it
+    * (default-null read compat; the sidecar `cols=` channel tells the
+    * readers which extras each shard carries). Property alters stay
+    * no-ops; every OTHER structural change (drops, renames, type
+    * changes, positioned adds) is still rejected — the base layout is
+    * the format. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val structural = changes.exists {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
-      case _ => true
-    }
-    if (structural) throw new UnsupportedOperationException(
-      "GLPR tables have a fixed schema; only table properties can be altered")
     val dir = tableDir(ident)
-    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir))
+    var extras = readExtraCols(dir)
+    changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "GLPR ADD COLUMN supports top-level columns only")
+        val name = add.fieldNames()(0)
+        require(add.dataType() == org.apache.spark.sql.types.StringType,
+          s"GLPR ADD COLUMN supports STRING columns only, got ${add.dataType().simpleString}")
+        require(add.isNullable,
+          "GLPR added columns must be nullable (old shards read null)")
+        require(add.position() == null,
+          "GLPR added columns are APPENDED; positioned adds are not supported")
+        require(!GlprSource.fullSchema(extras).fieldNames.contains(name),
+          s"column '$name' already exists")
+        extras = extras :+ name
+      case other => throw new UnsupportedOperationException(
+        "GLPR tables support ADD COLUMN (appended nullable STRING) and " +
+          s"property changes only; got $other")
+    }
+    writeMarker(dir, readPartitionCol(dir), extras)
+    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),
+      extraCols = extras)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

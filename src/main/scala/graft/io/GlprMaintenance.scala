@@ -84,14 +84,18 @@ object GlprMaintenance {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
     var cur = Vector.empty[java.io.File]
     var curBytes = 0L
+    var curCols: Seq[String] = Seq.empty
     shards.foreach { f =>
+      // a schema-evolution boundary also breaks the group: byte concat
+      // needs ONE field layout per merged shard (q332)
+      val cols = GlprSource.readMeta(f).map(_.cols).getOrElse(Seq.empty)
       if (maskedNames(f.getName)) {
         if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0L }
       } else {
-        if (cur.nonEmpty && curBytes + f.length > targetBytes) {
+        if (cur.nonEmpty && (curBytes + f.length > targetBytes || cols != curCols)) {
           groups += cur; cur = Vector.empty; curBytes = 0L
         }
-        cur :+= f; curBytes += f.length
+        cur :+= f; curBytes += f.length; curCols = cols
       }
     }
     if (cur.nonEmpty) groups += cur
@@ -171,7 +175,13 @@ object GlprMaintenance {
           }
           s" bloom=${GlprSource.bloomHex(merged)}"
         } else ""
-      Some(base + bounds + pvals + bloom)
+      // the group shares one field layout by construction (cols is a
+      // compaction group boundary); carry it forward
+      val colsKv = ms.head.cols match {
+        case Seq() => ""
+        case cs => s" cols=${cs.map(GlprSource.encodePval).mkString(",")}"
+      }
+      Some(base + bounds + pvals + bloom + colsKv)
     } else None
 
     // --- stage the concatenated payload invisibly ---
@@ -256,6 +266,12 @@ object GlprMaintenance {
     }
     val doomed = shards.filter(classify(_) == 1)
     val straddle = shards.filter(classify(_) == 2)
+    require(!straddle.exists(f =>
+        GlprSource.readMeta(f).exists(_.cols.nonEmpty)),
+      s"GLPR row delete in '$path' refused: a straddling shard carries " +
+        "schema-evolution extra columns; the path-level rewrite reads the " +
+        "base schema only — use the SQL row-level DML (which carries the " +
+        "full table schema) instead")
     require(!straddle.exists(f => GlprSource.isEpochShardName(f.getName)),
       s"GLPR row delete in '$path' refused: a straddling shard is " +
         "epoch-named (streaming sink); its batch-named survivor would mix " +
@@ -376,6 +392,11 @@ object GlprMaintenance {
     val masked = entries.map(l => l -> liveMaskOf(path, l))
       .filter(_._2.nonEmpty)
     if (masked.isEmpty) return Map.empty
+    require(!masked.exists(p => GlprSource.readMeta(new java.io.File(path,
+        GlprSource.entryName(p._1))).exists(_.cols.nonEmpty)),
+      s"GLPR materialize in '$path' refused: a masked shard carries " +
+        "schema-evolution extra columns; the path-level rewrite reads the " +
+        "base schema only")
     require(!masked.exists(p =>
         GlprSource.isEpochShardName(GlprSource.entryName(p._1))),
       s"GLPR materialize in '$path' refused: a masked shard is epoch-named " +
@@ -499,6 +520,11 @@ object GlprMaintenance {
       f.isFile && !GlprSource.readMeta(f).exists(_.rows == 0)
     }
     if (entries.isEmpty) return Map.empty
+    require(!entries.exists(l => GlprSource.readMeta(new java.io.File(path,
+        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
+      s"GLPR redaction in '$path' refused: a shard carries schema-evolution " +
+        "extra columns; the path-level rewrite reads the base schema only — " +
+        "use SQL UPDATE (full table schema) instead")
     require(!entries.exists(l =>
         GlprSource.isEpochShardName(GlprSource.entryName(l))),
       s"GLPR redaction in '$path' refused: epoch-named (streaming sink) " +

@@ -80,6 +80,57 @@ object GlprSource {
     StructField("source", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  /** SCHEMA EVOLUTION (q332): a catalog table's schema is the fixed
+    * base plus APPEND-ONLY extra STRING columns added by `ALTER TABLE
+    * ADD COLUMN` — nullable by construction (old shards read null for
+    * them, the default-null read-compat contract). The extras ride the
+    * record stream as additional length-prefixed fields (length -1 =
+    * NULL); each shard's sidecar records WHICH extras it carries
+    * (`cols=`), so mixed-schema directories read exactly. */
+  def fullSchema(extraCols: Seq[String]): StructType =
+    StructType(schema.fields.toSeq ++
+      extraCols.map(c => StructField(c, StringType, nullable = true)))
+
+  /** PARTITION TRANSFORMS (q333/q334), encoded as the partition-spec
+    * string a table carries: `lang` (identity on a base string column),
+    * `bucket(N,doc_id)` (hash buckets = floorMod(doc_id, N) — point
+    * lookups prune to one bucket even on unclustered id layout), or
+    * `days(col)` (the first 10 chars of an ISO-8601 string column — the
+    * date partitioning a real corpus leads with). The shard sidecar
+    * stores the spec as `pcol` and the TRANSFORMED values as `pvals`,
+    * so one metadata channel serves all three. */
+  private[io] sealed trait PartSpec {
+    /** the column the transform reads */ def column: String
+    /** the transformed partition value of a raw column value */
+    def valueOf(raw: String): String
+    def spec: String
+  }
+  private[io] final case class IdentityPart(column: String) extends PartSpec {
+    def valueOf(raw: String): String = raw
+    def spec: String = column
+  }
+  private[io] final case class BucketPart(n: Int) extends PartSpec {
+    def column: String = "doc_id"
+    def valueOf(raw: String): String =
+      java.lang.Math.floorMod(raw.toLong, n.toLong).toString
+    def bucketOf(id: Long): String =
+      java.lang.Math.floorMod(id, n.toLong).toString
+    def spec: String = s"bucket($n,doc_id)"
+  }
+  private[io] final case class DaysPart(column: String) extends PartSpec {
+    def valueOf(raw: String): String = raw.take(10)
+    def spec: String = s"days($column)"
+  }
+  private[io] def parsePartSpec(s: String): PartSpec = {
+    val bucketRe = """bucket\((\d+),doc_id\)""".r
+    val daysRe = """days\(([A-Za-z0-9_]+)\)""".r
+    s match {
+      case bucketRe(n) => BucketPart(n.toInt)
+      case daysRe(c) => DaysPart(c)
+      case c => IdentityPart(c)
+    }
+  }
+
   /** Distributed writer through the connector's own DSv2 WRITE path —
     * one shard per task, two-phase committed (stage + atomic rename; see
     * [[GlprWriter]]). Appends number their shards past the directory's
@@ -928,6 +979,120 @@ object GlprSource {
   private val sqlMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q332 — SCHEMA EVOLUTION end to end: the corpus INSERTed under the
+    * base schema, `ALTER TABLE ADD COLUMN note STRING`, then a second
+    * slice INSERTed WITH the new column — the directory now mixes
+    * pre-evolution shards (no `note` field in their byte streams) and
+    * post-evolution shards (appended nullable field). The aggregate
+    * reads across both: old rows surface `note` as NULL (default-null
+    * read compat via the sidecar `cols=` channel), new rows carry their
+    * values. The oracle rebuilds the mixed table relationally — a
+    * misread field boundary or a non-null default breaks the hash. */
+  def addColumnPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = addColCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-addcol").toString)
+    val s2 = freshCatalogSession(spark, "glpr_evo", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_evo.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_evo.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("ALTER TABLE glpr_evo.corpus.docs ADD COLUMN note STRING")
+      s2.sql("INSERT INTO glpr_evo.corpus.docs " +
+        "SELECT doc_id + 1000000, lang, source, text, " +
+        "concat('tag-', source) AS note " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(note) AS BIGINT) AS n_notes,
+        | CAST(sum(octet_length(coalesce(note, ''))) AS BIGINT) AS note_bytes,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS text_bytes
+        |FROM glpr_evo.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val addColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q333 — DATE PARTITIONING, `PARTITIONED BY (days(ts))` over an
+    * ISO-8601 string column (the extra-column machinery supplies `ts`):
+    * each document gets a deterministic day (`2024-01-0(1 + doc_id%7)`),
+    * the INSERT clusters by day (`DISTRIBUTE BY` the day expression —
+    * the documented ingest discipline for transformed partitions), and
+    * the query reads a two-day window — the scan prunes to the window's
+    * shards via the sidecar day sets (plan-pinned in GlprCatalogSpec).
+    * The oracle derives the same days relationally. */
+  def daysPartitionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = daysCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-days").toString)
+    val s2 = freshCatalogSession(spark, "glpr_days", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_days.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+        "PARTITIONED BY (days(ts))")
+      s2.sql("INSERT INTO glpr_days.corpus.docs " +
+        "SELECT doc_id, lang, source, text, " +
+        "concat(date_format(date_add(to_date('2024-01-01'), " +
+        "  CAST(doc_id % 7 AS INT)), 'yyyy-MM-dd'), 'T12:00:00') AS ts " +
+        s"FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY CAST(doc_id % 7 AS INT)")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT substr(ts, 1, 10) AS day, lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_days.corpus.docs
+        |WHERE ts >= '2024-01-03' AND ts < '2024-01-05'
+        |GROUP BY 1, 2""".stripMargin))
+  }
+  private val daysCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Un-rematerialized plan view of the q333 window read (PlanAudit +
+    * the GlprCatalogSpec prune pin read this). */
+  def daysPartitionPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    daysPartitionPipeline(spark, dir): Unit // ensure staged
+    val root = daysCache.get(dir)
+    val s2 = freshCatalogSession(spark, "glpr_days", root)
+    s2.sql("""SELECT substr(ts, 1, 10) AS day, count(*) AS n_docs
+      |FROM glpr_days.corpus.docs
+      |WHERE ts >= '2024-01-03' AND ts < '2024-01-05' GROUP BY 1""".stripMargin)
+  }
+  private[io] def daysStagedRoot(dir: String): String = daysCache.get(dir)
+
+  /** q334 — HASH-BUCKET PARTITIONING, `PARTITIONED BY (bucket(8,
+    * doc_id))`: bucket id = floorMod(doc_id, 8), tracked per shard at
+    * write time; a point-probe predicate (`doc_id IN (…)`) prunes to
+    * the probed buckets' shards even though the id LAYOUT is
+    * arbitrary — the lookup path hash layouts exist for. The oracle is
+    * the same point lookup relationally; the shard-skip pin lives in
+    * GlprCatalogSpec. */
+  def bucketPartitionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = bucketCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-bucket").toString)
+    val s2 = freshCatalogSession(spark, "glpr_bkt", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_bkt.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id))")
+      s2.sql("INSERT INTO glpr_bkt.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY CAST(doc_id % 8 AS INT)")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT doc_id, lang, source
+        |FROM glpr_bkt.corpus.docs
+        |WHERE doc_id IN (0, 8, 17, 42, 97)""".stripMargin))
+  }
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[io] def bucketStagedRoot(dir: String): String = bucketCache.get(dir)
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -1740,7 +1905,8 @@ object GlprSource {
       source: Long, text: Long,
       idLo: Option[Long] = None, idHi: Option[Long] = None,
       pcol: Option[String] = None, pvals: Option[Set[String]] = None,
-      bloom: Option[Array[Long]] = None) {
+      bloom: Option[Array[Long]] = None,
+      cols: Seq[String] = Seq.empty) {
     def fieldBytes(f: String): Long = f match {
       case "lang" => lang; case "source" => source; case "text" => text
       case _ => 0L
@@ -1920,14 +2086,16 @@ object GlprSource {
       val all = txt.trim.split("\\s+").iterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
         .toMap
-      val stringKeys = Set("pcol", "pvals", "bloom")
+      val stringKeys = Set("pcol", "pvals", "bloom", "cols")
       val kv = all.collect { case (k, v) if !stringKeys(k) => k -> v.toLong }
       Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text"),
         kv.get("idlo"), kv.get("idhi"),
-        all.get("pcol"),
+        all.get("pcol").map(decodePval),
         all.get("pvals").map(_.split(",", -1).iterator
           .filter(_.nonEmpty).map(decodePval).toSet),
-        all.get("bloom").map(bloomFromHex).filter(_.nonEmpty)))
+        all.get("bloom").map(bloomFromHex).filter(_.nonEmpty),
+        all.get("cols").map(_.split(",", -1).iterator
+          .filter(_.nonEmpty).map(decodePval).toSeq).getOrElse(Seq.empty)))
     } catch { case _: Exception => None } // malformed sidecar → size fallback
   }
 
@@ -2024,7 +2192,8 @@ class GlprSource extends TableProvider {
 }
 
 class GlprTable(path: String, partitionCol: Option[String] = None,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None,
+    extraCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -2051,10 +2220,11 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
-    () => new GlprRowLevelOperation(path, partitionCol, info.command)
+    () => new GlprRowLevelOperation(path, partitionCol, info.command,
+      extraCols)
   }
   override def name(): String = s"glpr:$path"
-  override def schema(): StructType = GlprSource.schema
+  override def schema(): StructType = GlprSource.fullSchema(extraCols)
 
   /** Identity partitioning for catalog tables created `PARTITIONED BY
     * (col)`: surfaced to Spark so `DESCRIBE`/catalog metadata show it,
@@ -2065,7 +2235,11 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     * sidecars, the same place doc_id bounds do — one metadata channel,
     * one pruning mechanism. */
   override def partitioning(): Array[Transform] =
-    partitionCol.map(c => Expressions.identity(c)).toArray
+    partitionCol.map(GlprSource.parsePartSpec).map {
+      case GlprSource.IdentityPart(c) => Expressions.identity(c)
+      case b: GlprSource.BucketPart => Expressions.bucket(b.n, "doc_id")
+      case d: GlprSource.DaysPart => Expressions.days(d.column)
+    }.toArray
 
   /** Provenance metadata column (parquet's `_metadata.file_path`
     * analogue): `SELECT *, _shard FROM t` exposes the shard file each
@@ -2227,7 +2401,7 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
-    new GlprWriteBuilder(path, info.schema(), partitionCol)
+    new GlprWriteBuilder(path, info.schema(), partitionCol, extraCols)
   }
 }
 
@@ -2237,7 +2411,8 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
   * commit every exactly-once batch sink runs); the job-level commit is
   * the no-op the rename already made durable. */
 class GlprWriteBuilder(path: String, schema: StructType,
-    partitionCol: Option[String] = None) extends WriteBuilder
+    partitionCol: Option[String] = None,
+    extraCols: Seq[String] = Seq.empty) extends WriteBuilder
     with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateFirst = false
@@ -2263,9 +2438,9 @@ class GlprWriteBuilder(path: String, schema: StructType,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new GlprBatchWrite(path, schema, truncateFirst, partitionCol,
-        dynamicOverwrite)
+        dynamicOverwrite, extraCols)
     override def toStreaming: StreamingWrite =
-      new GlprStreamingWrite(path, schema, partitionCol)
+      new GlprStreamingWrite(path, schema, partitionCol, extraCols)
     /** Partitioned tables ask Spark to CLUSTER incoming rows by the
       * partition column before the write — the DSv2 spelling of "shuffle
       * so each shard holds whole partition-value clusters". That keeps
@@ -2276,10 +2451,17 @@ class GlprWriteBuilder(path: String, schema: StructType,
       * leave the input partitioning alone. */
     override def requiredDistribution:
         org.apache.spark.sql.connector.distributions.Distribution =
-      partitionCol match {
-        case Some(c) => org.apache.spark.sql.connector.distributions.Distributions
-          .clustered(Array(Expressions.column(c)))
-        case None => org.apache.spark.sql.connector.distributions.Distributions
+      partitionCol.map(GlprSource.parsePartSpec) match {
+        // identity: ask Spark to cluster by the raw column. The
+        // TRANSFORMED specs (bucket/days) keep the input partitioning —
+        // resolving a transform distribution needs a V2 function catalog
+        // lookup; GLPR documents DISTRIBUTE BY the transform expression
+        // as the ingest discipline instead (the sidecar value sets stay
+        // exact either way; only prune selectivity varies).
+        case Some(GlprSource.IdentityPart(c)) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.column(c)))
+        case _ => org.apache.spark.sql.connector.distributions.Distributions
           .unspecified()
       }
     override def requiredOrdering:
@@ -2305,7 +2487,8 @@ private[io] final case class GlprShardCommitted(name: String)
     extends WriterCommitMessage
 
 class GlprStreamingWrite(path: String, schema: StructType,
-    partitionCol: Option[String] = None) extends StreamingWrite {
+    partitionCol: Option[String] = None,
+    extraCols: Seq[String] = Seq.empty) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -2321,7 +2504,7 @@ class GlprStreamingWrite(path: String, schema: StructType,
         "batch-named shards (part-<partition>.glpr); mixing batch and " +
         "epoch (part-<epoch>-<partition>.glpr) names breaks the lexical " +
         "offset contract — stream into a fresh directory")
-    new GlprStreamingWriterFactory(path, schema, partitionCol)
+    new GlprStreamingWriterFactory(path, schema, partitionCol, extraCols)
   }
   /** Epoch commit folds the epoch's shard names into the manifest (a
     * replayed epoch re-merges the same names — idempotent). Dirs
@@ -2334,17 +2517,20 @@ class GlprStreamingWrite(path: String, schema: StructType,
 }
 
 class GlprStreamingWriterFactory(path: String, schema: StructType,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    extraCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GlprWriter(path, schema, partitionId, taskId,
-      Some(f"part-$epochId%010d-$partitionId%05d.glpr"), partitionCol)
+      Some(f"part-$epochId%010d-$partitionId%05d.glpr"), partitionCol,
+      extraCols)
 }
 
 class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false,
     partitionCol: Option[String] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    extraCols: Seq[String] = Seq.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -2401,7 +2587,7 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     // re-running a whole job is an append, like the built-in file
     // sources' append mode.
     val nameBase: Long = GlprSource.nextBatchNameBase(path)
-    new GlprWriterFactory(path, schema, partitionCol, nameBase)
+    new GlprWriterFactory(path, schema, partitionCol, nameBase, extraCols)
   }
   /** The JOB commit point: until this folds the task-committed shard
     * names into the manifest, a manifest-bearing directory shows none
@@ -2479,7 +2665,8 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
   * commits the rewritten shards and retires exactly that set. Scan and
   * write share this object — the DSv2 group-based COW contract. */
 class GlprRowLevelOperation(path: String, partitionCol: Option[String],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    extraCols: Seq[String] = Seq.empty) extends RowLevelOperation {
   private val scanned =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
   override def command(): RowLevelOperation.Command = cmd
@@ -2487,6 +2674,8 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlprScanBuilder(path, None, partitionCol = partitionCol,
       onPlan = files => scanned.set(files.toSeq), groupPruneOnly = true)
+  // (the COW scan serves extras like any scan: readers resolve each
+  // shard's own column set from its sidecar)
   /** `_shard` rides the rewrite as the operation's metadata attribute.
     * This is load-bearing beyond provenance: Spark's group-based
     * ReplaceData only routes rows through the data/metadata PROJECTIONS
@@ -2506,15 +2695,16 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
       override def build(): Write = this.asInstanceOf[Write]
       override def toBatch: BatchWrite =
         new GlprReplaceDataWrite(path, info.schema(), partitionCol,
-          () => scanned.get())
+          () => scanned.get(), extraCols)
       // partitioned tables keep the clustered-write discipline through
       // DML rewrites too, so sidecar value sets stay prune-usable
       override def requiredDistribution:
           org.apache.spark.sql.connector.distributions.Distribution =
-        partitionCol match {
-          case Some(c) => org.apache.spark.sql.connector.distributions
-            .Distributions.clustered(Array(Expressions.column(c)))
-          case None => org.apache.spark.sql.connector.distributions
+        partitionCol.map(GlprSource.parsePartSpec) match {
+          case Some(GlprSource.IdentityPart(c)) =>
+            org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(Array(Expressions.column(c)))
+          case _ => org.apache.spark.sql.connector.distributions
             .Distributions.unspecified()
         }
       override def requiredOrdering:
@@ -2527,7 +2717,8 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
 /** The ReplaceData commit: rewritten shards in, scanned shards retired,
   * one atomic manifest flip. */
 class GlprReplaceDataWrite(path: String, schema: StructType,
-    partitionCol: Option[String], replacedNames: () => Seq[String])
+    partitionCol: Option[String], replacedNames: () => Seq[String],
+    extraCols: Seq[String] = Seq.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -2537,7 +2728,7 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
         "(streaming sink) shards; batch-named survivors would mix naming " +
         "schemes and break the lexical offset contract")
     new GlprWriterFactory(path, schema, partitionCol,
-      GlprSource.nextBatchNameBase(path))
+      GlprSource.nextBatchNameBase(path), extraCols)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case GlprShardCommitted(n) => n }.toSeq
@@ -2555,10 +2746,12 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
 
 class GlprWriterFactory(path: String, schema: StructType,
     partitionCol: Option[String] = None,
-    nameBase: Long = 0L) extends DataWriterFactory {
+    nameBase: Long = 0L,
+    extraCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GlprWriter(path, schema, partitionId, taskId,
-      Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol)
+      Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol,
+      extraCols)
 }
 
 /** Per-task shard writer over the logical write schema (fields located
@@ -2579,11 +2772,16 @@ class GlprWriterFactory(path: String, schema: StructType,
   * creation (round-15 ADVICE; GlprSpec-pinned). */
 class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long,
     shardNameOverride: Option[String] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    extraCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   require(GlprSource.schema.fieldNames.forall(idx.contains),
     s"GLPR write needs columns ${GlprSource.schema.fieldNames.mkString(",")}")
+  // schema-evolution extras (q332): appended nullable STRING fields, in
+  // TABLE order; the sidecar records which ones this shard carries
+  private val extraOrdinals: Array[Int] = extraCols.toArray.map(idx(_))
+  private val extraBytes = new Array[Long](extraCols.length)
   private val shardName =
     shardNameOverride.getOrElse(f"part-$partitionId%010d.glpr")
   private val tmp = new java.io.File(path, s"_tmp-$taskId-$shardName")
@@ -2599,7 +2797,10 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   // required distribution, or the column is high-cardinality), and the
   // sidecar then omits the set entirely: unknown, never pruned. The
   // clustered write keeps real sets tiny (usually 1).
-  private val trackOrdinal: Int = partitionCol.map(idx(_)).getOrElse(-1)
+  private val partSpec: Option[GlprSource.PartSpec] =
+    partitionCol.map(GlprSource.parsePartSpec)
+  private val trackOrdinal: Int =
+    partSpec.map(p => idx(p.column)).getOrElse(-1)
   private val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
   private var trackOverflow = false
   private val MaxTrackedVals = 32
@@ -2616,9 +2817,27 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       out.writeInt(b.length); out.write(b)
       fieldBytes(f) += b.length
     }
+    // schema-evolution extras, appended in table order; NULL = length -1
+    var e = 0
+    while (e < extraOrdinals.length) {
+      val ord = extraOrdinals(e)
+      if (r.isNullAt(ord)) out.writeInt(-1)
+      else {
+        val b = r.getUTF8String(ord).getBytes
+        out.writeInt(b.length); out.write(b)
+        extraBytes(e) += b.length
+      }
+      e += 1
+    }
     if (trackOrdinal >= 0 && !trackOverflow) {
-      // .toString copies out of the row's reused buffer
-      trackedVals += r.getUTF8String(trackOrdinal).toString
+      val spec = partSpec.get
+      // null partition values track as the literal "null" day/value
+      val tracked =
+        if (spec.column == "doc_id") spec.valueOf(id.toString)
+        else if (r.isNullAt(trackOrdinal)) "null"
+        // .toString copies out of the row's reused buffer
+        else spec.valueOf(r.getUTF8String(trackOrdinal).toString)
+      trackedVals += tracked
       if (trackedVals.size > MaxTrackedVals) trackOverflow = true
     }
     nRows += 1
@@ -2629,18 +2848,24 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     // fallback; an orphan sidecar is invisible (readers key off shards)
     val metaTmp = new java.io.File(path, s"_tmp-$taskId-$shardName.meta")
     val boundsKv = if (nRows > 0) s" idlo=$idLo idhi=$idHi" else ""
-    val pvalKv = partitionCol match {
-      case Some(c) if nRows > 0 && !trackOverflow =>
-        s" pcol=$c pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+    val pvalKv = partSpec match {
+      case Some(sp) if nRows > 0 && !trackOverflow =>
+        s" pcol=${GlprSource.encodePval(sp.spec)} " +
+          s"pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
       case _ => ""
     }
+    val colsKv = if (extraCols.nonEmpty)
+      s" cols=${extraCols.map(GlprSource.encodePval).mkString(",")}" +
+        extraCols.indices.map(i =>
+          s" x${GlprSource.encodePval(extraCols(i))}=${extraBytes(i)}").mkString
+      else ""
     val bloomKv = if (nRows > 0) {
       val folded = GlprSource.bloomFold(bloomWords, GlprSource.bloomTargetBits(nRows))
       s" bloom=${GlprSource.bloomHex(folded)}"
     } else ""
     java.nio.file.Files.write(metaTmp.toPath,
       (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
-        + boundsKv + pvalKv + bloomKv)
+        + boundsKv + pvalKv + bloomKv + colsKv)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dest = new java.io.File(path, shardName)
     java.nio.file.Files.move(metaTmp.toPath,
@@ -2689,7 +2914,46 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // days-partition prune hints (q334): compiled from the residual
+  // filters on the days column, NEVER pushed (the row residual stays);
+  // a day covers a half-open timestamp interval, so range bounds relax
+  // to their containing days (sound over-keep)
+  private var dayEq: Option[Set[String]] = None
+  private var dayLo: Option[String] = None
+  private var dayHi: Option[String] = None
+  // static point probes: IN (doc_id...) with all-Long values — never
+  // pushed (the row residual stays), used for bucket + bloom shard
+  // pruning exactly like the runtime DPP key sets
+  private var pointIds: Option[Array[Long]] = None
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case In("doc_id", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        val ids = vs.map(_.asInstanceOf[java.lang.Long].longValue).sorted
+        pointIds = Some(pointIds.fold(ids)(prev =>
+          prev.filter(x => java.util.Arrays.binarySearch(ids, x) >= 0)))
+      case _ => ()
+    }
+    partitionCol.map(GlprSource.parsePartSpec).collect {
+      case d: GlprSource.DaysPart =>
+        def andEq(vals: Set[String]): Unit =
+          dayEq = Some(dayEq.map(_ intersect vals).getOrElse(vals))
+        filters.foreach {
+          case EqualTo(c, v: String) if c == d.column => andEq(Set(v.take(10)))
+          case In(c, vs) if c == d.column && vs.nonEmpty &&
+              vs.forall(_.isInstanceOf[String]) =>
+            andEq(vs.iterator.map(_.asInstanceOf[String].take(10)).toSet)
+          case GreaterThan(c, v: String) if c == d.column =>
+            dayLo = Some(dayLo.fold(v.take(10))(l => Seq(l, v.take(10)).max))
+          case GreaterThanOrEqual(c, v: String) if c == d.column =>
+            dayLo = Some(dayLo.fold(v.take(10))(l => Seq(l, v.take(10)).max))
+          case LessThan(c, v: String) if c == d.column =>
+            dayHi = Some(dayHi.fold(v.take(10))(h => Seq(h, v.take(10)).min))
+          case LessThanOrEqual(c, v: String) if c == d.column =>
+            dayHi = Some(dayHi.fold(v.take(10))(h => Seq(h, v.take(10)).min))
+          case _ => ()
+        }
+    }
     val (p, r) = GlprSource.compileFilters(filters)
     pushed = p
     // pushed bounds intersect any option-seeded base range
@@ -2814,6 +3078,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     case Some((schema, rows)) => new GlprAggScan(path, schema, rows, version)
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
       limit, valueFilters, version, changesFrom, partitionCol, cdfMode, onPlan,
+      dayEq = dayEq, dayLo = dayLo, dayHi = dayHi, pointIds = pointIds,
       // GROUP-based row-level operations (UPDATE/MERGE/DELETE rewrites):
       // Spark pushes the command condition for GROUP selection only —
       // the scan must return EVERY row of a matched shard (non-matching
@@ -2871,7 +3136,11 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     partitionCol: Option[String] = None,
     cdfMode: Boolean = false,
     onPlan: Array[String] => Unit = null,
-    readerRange: GlprSource.IdRange = null)
+    readerRange: GlprSource.IdRange = null,
+    dayEq: Option[Set[String]] = None,
+    dayLo: Option[String] = None,
+    dayHi: Option[String] = None,
+    pointIds: Option[Array[Long]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3004,6 +3273,11 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * falls back to shuffling). Declining scans keep the full pruning
     * machinery; keyed scans need none (nothing is filtered). */
   private def spjKeys(): Option[Array[(java.io.File, String)]] = {
+    // transformed partitioning (bucket/days) never reports key-grouped
+    // partitions: Spark would need the transform as a V2 function to
+    // line sides up; identity is the SPJ surface (q319)
+    if (!partitionCol.map(GlprSource.parsePartSpec)
+        .forall(_.isInstanceOf[GlprSource.IdentityPart])) return None
     if (partitionCol.isEmpty || pushed.nonEmpty || limit.nonEmpty ||
       maxShardsPerTrigger.nonEmpty || valueFilters.nonEmpty ||
       changesFrom.nonEmpty || version.nonEmpty ||
@@ -3076,6 +3350,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
         case Some((lo, hi)) =>
           lo <= range.hi && hi >= range.lo &&
             runtimeIds.forall(ids => anyIdIn(ids, lo, hi)) &&
+            pointIds.forall(ids => anyIdIn(ids, lo, hi)) &&
             runtimeRange.forall(rr => lo <= rr.hi && hi >= rr.lo)
         case None => true
       }
@@ -3093,6 +3368,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
           (range.lo != range.hi || may(range.lo)) &&
             runtimeRange.forall(rr => rr.lo != rr.hi || may(rr.lo)) &&
             runtimeIds.forall(_.exists(id =>
+              id >= range.lo && id <= range.hi && may(id))) &&
+            pointIds.forall(_.exists(id =>
               id >= range.lo && id <= range.hi && may(id)))
         case None => true
       }
@@ -3104,7 +3381,26 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       val valKeep = valueFilters.forall { case (c, wanted) =>
         meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
       }
-      idKeep && bloomKeep && valKeep
+      // transformed-partition pruning (q333/q334): test the shard's
+      // TRANSFORMED value set against the filters' image under the
+      // transform — bucket sets against point probes, day sets against
+      // the day window; unknown sets are never pruned
+      val specKeep = partitionCol.map(GlprSource.parsePartSpec) match {
+        case Some(b: GlprSource.BucketPart) =>
+          val wanted: Option[Set[String]] =
+            if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
+            else runtimeIds.orElse(pointIds).map(_.iterator.map(b.bucketOf).toSet)
+          wanted.forall(w => meta.flatMap(_.valuesOf(b.spec))
+            .forall(have => (have & w).nonEmpty))
+        case Some(d: GlprSource.DaysPart)
+            if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
+          meta.flatMap(_.valuesOf(d.spec)).forall(_.exists { day =>
+            dayEq.forall(_.contains(day)) &&
+              dayLo.forall(day >= _) && dayHi.forall(day <= _)
+          })
+        case _ => true
+      }
+      idKeep && bloomKeep && valKeep && specKeep
     }
     // (delete-vector state was already resolved per the planned
     // version by baseShards — versioned generations time-travel
@@ -3120,7 +3416,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // them could under-open and return fewer than LIMIT rows).
     val unfiltered = pushed.isEmpty && range.lo == Long.MinValue &&
       range.hi == Long.MaxValue && runtimeIds.isEmpty &&
-      runtimeRange.isEmpty && valueFilters.isEmpty
+      runtimeRange.isEmpty && valueFilters.isEmpty && pointIds.isEmpty &&
+      dayEq.isEmpty && dayLo.isEmpty && dayHi.isEmpty
     val capped = limit match {
       case Some(n) if unfiltered =>
         val metas = kept.map(p => GlprSource.readMeta(p._1))
@@ -3424,11 +3721,21 @@ private[io] final class GlprChunkCursor(file: String) {
 
   /** Big-endian i32 field length; negative = corrupt shard (throws). */
   def readFieldLen(fieldName: String): Int = {
+    val v = readFieldLenNullable(fieldName)
+    if (v < 0)
+      throw new java.io.IOException(
+        s"GLPR shard $file is corrupt: negative field length $v")
+    v
+  }
+
+  /** Like [[readFieldLen]] but -1 is legal: the NULL encoding of a
+    * schema-evolution extra field (q332). Any other negative throws. */
+  def readFieldLenNullable(fieldName: String): Int = {
     if (ensure(4) < 4) truncated(s"mid-record (at a $fieldName length prefix)")
     val v = ((buf(pos) & 0xff) << 24) | ((buf(pos + 1) & 0xff) << 16) |
       ((buf(pos + 2) & 0xff) << 8) | (buf(pos + 3) & 0xff)
     pos += 4
-    if (v < 0)
+    if (v < -1)
       throw new java.io.IOException(
         s"GLPR shard $file is corrupt: negative field length $v")
     v
@@ -3511,6 +3818,19 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
+  // schema-evolution extras (q332): THIS shard's appended fields per
+  // its sidecar, in write order; required extras the shard never
+  // carried read as null (default-null read compat)
+  private val shardExtras: Array[String] =
+    GlprSource.readMeta(new java.io.File(file)).map(_.cols.toArray)
+      .getOrElse(Array.empty)
+  private val extraOrdinals: Array[Int] =
+    shardExtras.map(c => wantIdx.getOrElse(c, -1))
+  private val baseNames = Set("doc_id", "lang", "source", "text",
+    "_shard", "_change_type")
+  private val missingExtraOrdinals: Array[Int] = required.fieldNames
+    .filter(n => !baseNames(n) && !shardExtras.contains(n))
+    .map(wantIdx(_))
   // _shard / _change_type metadata columns: constant per partition,
   // served from the name / the planned diff side
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
@@ -3544,6 +3864,24 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
             UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
         } else cursor.skipPayload(len)
         f += 1
+      }
+      var x = 0
+      while (x < extraOrdinals.length) {
+        val ord = extraOrdinals(x)
+        val len = cursor.readFieldLenNullable(shardExtras(x))
+        if (len < 0) { if (keep && ord >= 0) rowWriter.setNullAt(ord) }
+        else if (keep && ord >= 0) {
+          cursor.loadField(len)
+          rowWriter.write(ord,
+            UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
+        } else cursor.skipPayload(len)
+        x += 1
+      }
+      if (keep) {
+        var m = 0
+        while (m < missingExtraOrdinals.length) {
+          rowWriter.setNullAt(missingExtraOrdinals(m)); m += 1
+        }
       }
       if (keep && shardOrdinal >= 0) rowWriter.write(shardOrdinal, shardNameUtf8)
       if (keep && ctOrdinal >= 0) rowWriter.write(ctOrdinal, ctUtf8)
@@ -3586,6 +3924,16 @@ class GlprColumnarReader(file: String, required: StructType,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
+  private val shardExtras: Array[String] =
+    GlprSource.readMeta(new java.io.File(file)).map(_.cols.toArray)
+      .getOrElse(Array.empty)
+  private val extraOrdinals: Array[Int] =
+    shardExtras.map(c => wantIdx.getOrElse(c, -1))
+  private val baseNames = Set("doc_id", "lang", "source", "text",
+    "_shard", "_change_type")
+  private val missingExtraOrdinals: Array[Int] = required.fieldNames
+    .filter(n => !baseNames(n) && !shardExtras.contains(n))
+    .map(wantIdx(_))
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
   private val shardNameBytes =
     new java.io.File(file).getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -3614,6 +3962,23 @@ class GlprColumnarReader(file: String, required: StructType,
           vectors(ord).putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
         } else cursor.skipPayload(len)
         f += 1
+      }
+      var x = 0
+      while (x < extraOrdinals.length) {
+        val ord = extraOrdinals(x)
+        val len = cursor.readFieldLenNullable(shardExtras(x))
+        if (len < 0) { if (keep && ord >= 0) vectors(ord).putNull(n) }
+        else if (keep && ord >= 0) {
+          cursor.loadField(len)
+          vectors(ord).putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
+        } else cursor.skipPayload(len)
+        x += 1
+      }
+      if (keep) {
+        var m = 0
+        while (m < missingExtraOrdinals.length) {
+          vectors(missingExtraOrdinals(m)).putNull(n); m += 1
+        }
       }
       if (keep && shardOrdinal >= 0)
         vectors(shardOrdinal).putByteArray(n, shardNameBytes, 0, shardNameBytes.length)

@@ -124,6 +124,15 @@ class PlanLintSpec extends AnyFunSuite {
     "q327_glpr_sql_merge",      // catalog CREATE/INSERT/MERGE INTO on
                                 // construction (cached); DML pins in
                                 // GlprCatalogSpec
+    "q332_glpr_add_column",     // catalog CREATE/INSERT/ALTER/INSERT on
+                                // construction (cached); evolution pins
+                                // in GlprCatalogSpec
+    "q333_glpr_days_partition", // days-partitioned CREATE/INSERT on
+                                // construction (cached); day-prune pin
+                                // in GlprCatalogSpec
+    "q334_glpr_bucket_partition", // bucket-partitioned CREATE/INSERT on
+                                // construction (cached); bucket-prune
+                                // pin in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

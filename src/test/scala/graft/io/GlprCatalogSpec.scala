@@ -77,12 +77,25 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("illegal"), e.getMessage)
   }
 
-  test("property-only ALTER is a no-op; structural ALTER is rejected") {
+  test("ALTER: ADD COLUMN appends a nullable STRING extra; drops/renames reject") {
     spark.sql(s"CREATE TABLE glpr_spec.ns4.t $ddl")
     spark.sql("ALTER TABLE glpr_spec.ns4.t SET TBLPROPERTIES ('k'='v')")
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN extra STRING"))
-    assert(e.getMessage.toLowerCase.contains("fixed schema"), e.getMessage)
+    // round-17 schema evolution: appended nullable STRING is accepted
+    spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN extra STRING")
+    assert(spark.table("glpr_spec.ns4.t").columns.toSeq ===
+      Seq("doc_id", "lang", "source", "text", "extra"))
+    // everything else still rejects loudly
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN n BIGINT"))
+    assert(e1.getMessage.contains("STRING"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE glpr_spec.ns4.t DROP COLUMN text"))
+    assert(e2.getMessage.toLowerCase.matches("(?s).*(add column|property|support).*"),
+      e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE glpr_spec.ns4.t RENAME COLUMN text TO body"))
+    assert(e3.getMessage.toLowerCase.matches("(?s).*(add column|property|support).*"),
+      e3.getMessage)
   }
 
   test("INSERT OVERWRITE truncates committed shards and sidecars, then writes fresh") {
@@ -328,11 +341,12 @@ class GlprCatalogSpec extends AnyFunSuite {
       "CREATE TABLE glpr_spec.ns9.p1 " +
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) PARTITIONED BY (doc_id)"))
     assert(e1.getMessage.contains("string column"), e1.getMessage)
+    // bucket is accepted since round 17 — but only over doc_id
     val e2 = intercept[Exception](spark.sql(
       "CREATE TABLE glpr_spec.ns9.p2 " +
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
-        "PARTITIONED BY (bucket(4, doc_id))"))
-    assert(e2.getMessage.contains("identity"), e2.getMessage)
+        "PARTITIONED BY (bucket(4, lang))"))
+    assert(e2.getMessage.contains("doc_id"), e2.getMessage)
     // flat (pre-partitioning) sidecars are never value-pruned: an
     // unpartitioned table filtered on lang plans every shard
     spark.sql(s"CREATE TABLE glpr_spec.ns9.flat $ddl")
@@ -345,6 +359,79 @@ class GlprCatalogSpec extends AnyFunSuite {
     val (kept, total) = GlprSource.planEvents.get(dir.getAbsolutePath)
     assert(kept === total, s"flat shards must never be value-pruned: $kept of $total")
     spark.catalog.dropTempView("flat_in")
+  }
+
+  test("q332 schema evolution: mixed shards read exactly; UPDATE carries extras") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns11.evo $ddl")
+    Seq((1L, "en", "s", "old-a"), (2L, "de", "s", "old-b"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("evo1")
+    spark.sql("INSERT INTO glpr_spec.ns11.evo SELECT * FROM evo1")
+    spark.sql("ALTER TABLE glpr_spec.ns11.evo ADD COLUMN note STRING")
+    // post-evolution insert, including an explicit NULL note
+    Seq((3L, "fr", "s", "new-a", "n3"), (4L, "en", "s", "new-b", null))
+      .toDF("doc_id", "lang", "source", "text", "note")
+      .createOrReplaceTempView("evo2")
+    spark.sql("INSERT INTO glpr_spec.ns11.evo SELECT * FROM evo2")
+    val got = spark.sql(
+      "SELECT doc_id, note FROM glpr_spec.ns11.evo ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq((1L, None), (2L, None), (3L, Some("n3")), (4L, None)),
+      "old shards read null, new shards carry values and explicit nulls")
+    // projections that SKIP the extra still byte-skip correctly
+    assert(spark.sql("SELECT sum(octet_length(text)) FROM glpr_spec.ns11.evo")
+      .head().getLong(0) === 20L)
+    // row-level DML carries the full evolved schema through the rewrite
+    spark.sql("UPDATE glpr_spec.ns11.evo SET note = 'filled' WHERE doc_id = 1")
+    val got2 = spark.sql(
+      "SELECT doc_id, note FROM glpr_spec.ns11.evo ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got2 === Seq((1L, Some("filled")), (2L, None),
+      (3L, Some("n3")), (4L, None)))
+    spark.catalog.dropTempView("evo1"); spark.catalog.dropTempView("evo2")
+  }
+
+  test("q333/q334 transformed partitions prune: day windows and bucket probes skip shards") {
+    // days(ts): one shard per day via DISTRIBUTE BY, window reads skip
+    val s2 = spark.newSession()
+    val r2 = TempDirs.scratch("graft-glpr-trspec").toString
+    s2.conf.set("spark.sql.catalog.glpr_tr", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_tr.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_tr.ns.byday " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+      "PARTITIONED BY (days(ts))")
+    s2.sql("INSERT INTO glpr_tr.ns.byday " +
+      "SELECT id, 'en', 's', concat('t', id), " +
+      "concat('2024-01-0', CAST(1 + id % 4 AS STRING), 'T08:00:00') " +
+      "FROM range(0, 80) DISTRIBUTE BY CAST(id % 4 AS INT)")
+    val dayDir = new java.io.File(r2, "ns/byday").getAbsolutePath
+    assert(s2.sql("SELECT count(*) FROM glpr_tr.ns.byday " +
+      "WHERE ts >= '2024-01-02' AND ts < '2024-01-04'").head().getLong(0) === 40L)
+    val (dayKept, dayTotal) = GlprSource.planEvents.get(dayDir)
+    assert(dayKept < dayTotal, s"day window must prune: $dayKept/$dayTotal")
+    // equality on the ts column prunes to one day's shards
+    assert(s2.sql("SELECT count(*) FROM glpr_tr.ns.byday " +
+      "WHERE ts = '2024-01-03T08:00:00'").head().getLong(0) === 20L)
+    val (eqKept, eqTotal) = GlprSource.planEvents.get(dayDir)
+    assert(eqKept < eqTotal, s"day equality must prune: $eqKept/$eqTotal")
+    // bucket(8, doc_id): a point probe prunes to the probed buckets
+    s2.sql("CREATE TABLE glpr_tr.ns.bybkt " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(8, doc_id))")
+    s2.sql("INSERT INTO glpr_tr.ns.bybkt " +
+      "SELECT id, 'en', 's', concat('t', id) FROM range(0, 160) " +
+      "DISTRIBUTE BY CAST(id % 8 AS INT)")
+    val bktDir = new java.io.File(r2, "ns/bybkt").getAbsolutePath
+    assert(s2.sql("SELECT count(*) FROM glpr_tr.ns.bybkt " +
+      "WHERE doc_id IN (3, 11, 42)").head().getLong(0) === 3L)
+    val (bKept, bTotal) = GlprSource.planEvents.get(bktDir)
+    assert(bKept < bTotal, s"bucket probe must prune: $bKept/$bTotal")
+    // a single-id equality prunes too
+    assert(s2.sql("SELECT count(*) FROM glpr_tr.ns.bybkt WHERE doc_id = 42")
+      .head().getLong(0) === 1L)
+    val (b1Kept, b1Total) = GlprSource.planEvents.get(bktDir)
+    assert(b1Kept < b1Total, s"bucket equality must prune: $b1Kept/$b1Total")
   }
 
   test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
