@@ -620,7 +620,7 @@ object Registry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
     "q43_minhash_neardup" -> Entry(
-      (s, d) => Dedup.minhashNearDup(docs(s, d), simThreshold = 0.5)
+      (s, d) => Dedup.minhashNearDupCached(docs(s, d), d, simThreshold = 0.5)
         .orderBy("doc_a", "doc_b"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
