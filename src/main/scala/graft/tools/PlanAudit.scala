@@ -243,7 +243,24 @@ object PlanAudit {
     ("q289_glpr_stats_join", "statistics-driven planning: the GLPR scan reports sidecar " +
       "sizeInBytes/numRows (SupportsReportStatistics), so the ~500-row dimension plans " +
       "BroadcastHashJoin against the lineitem facts with NO hint",
-      reg("q289_glpr_stats_join")))
+      reg("q289_glpr_stats_join")),
+    ("q328_glpr_cdf", "full CDF scan: changeMode=cdf plans BOTH diff sides — added " +
+      "shards as _change_type=insert partitions, retired shards (kept on disk by " +
+      "retention) as delete partitions, dv-gen deltas via a two-mask reader gate; " +
+      "the diff is a manifest computation, never a corpus rescan",
+      reg("q328_glpr_cdf")),
+    ("q329_glpr_tt_across_delete", "time travel ACROSS a DELETE: the pinned scan " +
+      "plans the pre-delete version's shards — retired by the delete, still owned " +
+      "by their version files until expire+vacuum",
+      reg("q329_glpr_tt_across_delete")),
+    ("q331_glpr_dv_time_travel", "versioned delete vectors: each pinned scan ships " +
+      "the EXACT .dv.<gen> mask its manifest version recorded into the input " +
+      "partitions — pre-delete pin unmasked, post-delete pin masked, one staging",
+      reg("q331_glpr_dv_time_travel")),
+    ("q333_glpr_days_partition", "date partitioning: the two-day window read prunes " +
+      "non-window shards at plan time via sidecar day sets (days(ts) transform " +
+      "values — hive-style date pruning over the sidecar channel)",
+      graft.io.GlprSource.daysPartitionPlanFrame))
 
   private val streamingStateNote: String =
     """

@@ -84,7 +84,16 @@ object ScaleProbe {
     "q322_glpr_dv_delete",     // merge-on-read masked scan (cached staging)
     "q323_glpr_dv_materialize", // post-materialization scan (cached staging)
     "q324_glpr_redact",        // post-redaction scan (cached staging)
-    "q325_glpr_dynamic_overwrite") // post-partition-swap scan (cached staging)
+    "q325_glpr_dynamic_overwrite", // post-partition-swap scan (cached staging)
+    "q326_glpr_sql_update",    // post-SQL-UPDATE rollup (cached COW rewrite)
+    "q327_glpr_sql_merge",     // post-MERGE-INTO rollup (cached COW rewrite)
+    "q328_glpr_cdf",           // two-sided CDF diff read (cached staging)
+    "q329_glpr_tt_across_delete", // pre-delete pinned read (shares q328 staging)
+    "q330_glpr_expire_vacuum", // live read after reclaim (cached staging)
+    "q331_glpr_dv_time_travel", // pre/post dv-gen pinned reads (cached staging)
+    "q332_glpr_add_column",    // mixed-schema aggregate (cached evolution)
+    "q333_glpr_days_partition", // day-window pruned read (cached staging)
+    "q334_glpr_bucket_partition") // bucket point probe (cached staging)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
