@@ -2841,6 +2841,36 @@ object Registry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (0, 8, 17, 42, 97) ORDER BY 1""".stripMargin)),
 
+    // TIMESTAMP AS OF through the SQL front door: the version files'
+    // mtimes are the commit clock (immutable once CAS-linked), pinned
+    // to a fixed schedule so the wall-time-addressed read is
+    // deterministic — the pin lands between the 2nd and 3rd commits.
+    // Oracle gates like q328: the first-two-slices state when all three
+    // slices are nonempty, the full state otherwise (fewer commits =
+    // the pin resolves to the newest).
+    "q335_glpr_timestamp_as_of" -> Entry((s, d) =>
+      graft.io.GlprSource.timestampAsOfPipeline(s, d).orderBy("lang"), Some(
+      """WITH f AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 300) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 300) AS ok)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |WHERE doc_id < 300 OR (SELECT ok FROM f) = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RECLUSTER (OPTIMIZE): a hash-ingested corpus rewritten
+    // range-clustered by one shuffle job behind one manifest flip —
+    // bounds pruning re-arms (plan pin in GlprCatalogSpec). Oracle =
+    // the range rollup: every row moved exactly once.
+    "q336_glpr_recluster" -> Entry((s, d) =>
+      graft.io.GlprSource.reclusterPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE through SupportsRowLevelOperations: group-based
     // copy-on-write ReplaceData — scanned shards rewritten under fresh
     // names, one manifest flip. Oracle applies the same assignments

@@ -112,9 +112,7 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
 
   /** SQL time travel (q311): `SELECT ... FROM t VERSION AS OF <n>`
     * resolves here — the returned table is pinned to manifest version
-    * `n` (read-only; see [[GlprTable.newWriteBuilder]]). `TIMESTAMP AS
-    * OF` stays unsupported: manifest versions are the only commit clock
-    * this format keeps. */
+    * `n` (read-only; see [[GlprTable.newWriteBuilder]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -124,6 +122,30 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     }
     new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v),
       readExtraCols(dir))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (Spark hands MICROseconds since the epoch):
+    * resolves to the NEWEST manifest version whose `_manifest.v<n>` file
+    * was committed at or before `ts` — the version files are immutable
+    * once linked in (the CAS commit point), so their mtime IS the commit
+    * clock, the same clock Delta reads from its log-file timestamps. A
+    * timestamp before the first commit fails loudly, naming the earliest
+    * one. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val path = dir.getAbsolutePath
+    val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+    val stamped = GlprSource.listManifestVersions(path)
+      .map(v => v -> GlprSource.versionFile(path, v).lastModified())
+    require(stamped.nonEmpty,
+      s"GLPR TIMESTAMP AS OF: table '${ident}' has no version history")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"GLPR TIMESTAMP AS OF $tsMillis ms: before the first commit " +
+        s"(${stamped.head._2} ms, version ${stamped.head._1})")
+    new GlprTable(path, readPartitionCol(dir),
+      Some(eligible.map(_._1).max), readExtraCols(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -624,6 +624,68 @@ object GlprMaintenance {
     doomed
   }
 
+  /** RECLUSTER (the OPTIMIZE / `CLUSTER BY` maintenance op, q336):
+    * rewrite the LIVE table range-clustered by doc_id into `nShards`
+    * tight-bounds shards — the layout discipline that makes bounds
+    * pruning, shard-aligned metadata DELETE and streaming range options
+    * effective on a corpus that was ingested hash- or
+    * arrival-ordered. The rewrite is a real Spark shuffle job
+    * (`repartitionByRange`) writing through the two-phase
+    * [[GlprWriter]] into an invisible staging SUBDIR; the staged shards
+    * are renamed in under fresh batch names (still invisible — the
+    * manifest is the visibility point) and ONE commit swaps the entire
+    * live membership for them. Live delete-vector masks are applied by
+    * the read and therefore MATERIALIZED in passing; old shards are
+    * retired for their versions (expire+vacuum reclaims). Refuses
+    * epoch-named (streaming) dirs and schema-evolved shards like the
+    * other path-level rewrites. Returns (oldLiveCount, newShardCount). */
+  def recluster(spark: org.apache.spark.sql.SparkSession, path: String,
+      nShards: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(nShards >= 1, s"recluster needs >= 1 target shards, got $nShards")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val entries = GlprSource.committedEntries(path)
+    require(!entries.exists(l =>
+        GlprSource.isEpochShardName(GlprSource.entryName(l))),
+      s"GLPR recluster in '$path' refused: epoch-named (streaming sink) " +
+        "shards would take batch-named survivors and mix naming schemes")
+    require(!entries.exists(l => GlprSource.readMeta(new java.io.File(path,
+        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
+      s"GLPR recluster in '$path' refused: a shard carries schema-evolution " +
+        "extra columns; the path-level rewrite reads the base schema only")
+    val staging = new java.io.File(path, "_tmp-recluster")
+    if (staging.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(staging) // wreckage of a crashed prior attempt
+    }
+    // the connector read applies live dv masks (manifest generations or
+    // legacy bare) — the reclustered shards are mask-free by construction
+    GlprSource.write(
+      spark.read.format("graft.io.GlprSource").load(path)
+        .repartitionByRange(nShards, col("doc_id")),
+      staging.getAbsolutePath)
+    val staged = GlprSource.committedShards(staging.getAbsolutePath)
+    val base = GlprSource.nextBatchNameBase(path)
+    val fresh = staged.zipWithIndex.map { case (f, i) =>
+      val name = f"part-${base + i}%010d.glpr"
+      // meta first (same stage discipline as GlprWriter.commit)
+      java.nio.file.Files.move(GlprSource.metaFile(f).toPath,
+        GlprSource.metaFile(new java.io.File(path, name)).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(path, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    staging.listFiles().foreach(_.delete()); staging.delete()
+    // the atomic flip: the whole old membership retires at once
+    GlprSource.commitManifest(path)(_ => fresh.toSeq)
+    (entries.length, fresh.length)
+  }
+
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`, plus — on
     * manifest-bearing directories — RETIRED shards no surviving version
     * references (run [[expireVersions]] first to release them; a shard

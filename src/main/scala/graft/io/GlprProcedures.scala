@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GlprProcedures {
   def names: Seq[String] = Seq(
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
-    "expire_versions")
+    "expire_versions", "recluster")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -81,6 +81,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "restore" => "restore(table, version): re-point the live manifest at a version"
     case "rebuild_manifest" => "rebuild_manifest(table): re-adopt the live content plus true orphans"
     case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
+    case "recluster" => "recluster(table, shards): rewrite the live table range-clustered by doc_id into shards tight-bounds files (OPTIMIZE)"
     case _ => procName
   }
 
@@ -99,6 +100,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "expire_versions" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep", LongType).build())
+      case "recluster" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("shards", LongType).build())
       // grace_ms is OPTIONAL (SQL default 0): a vacuum issued while a
       // write is staging would unlink the live _tmp files of in-flight
       // tasks and fail them — the grace knob (GlprMaintenance.vacuum)
@@ -130,6 +134,10 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           summary("expired" -> expired.length.toLong,
             "live_version" ->
               GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
+        case "recluster" =>
+          val (oldN, newN) = GlprMaintenance.recluster(
+            org.apache.spark.sql.SparkSession.active, path, input.getLong(1).toInt)
+          summary("retired" -> oldN.toLong, "clustered" -> newN.toLong)
         case "rebuild_manifest" =>
           GlprSource.rebuildManifest(path)
           summary("shards" ->

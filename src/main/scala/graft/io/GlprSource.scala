@@ -1093,6 +1093,84 @@ object GlprSource {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[io] def bucketStagedRoot(dir: String): String = bucketCache.get(dir)
 
+  /** q335 — `TIMESTAMP AS OF` through the SQL front door: three slice
+    * INSERTs, the version files' mtimes (the commit clock — immutable
+    * once CAS-linked) pinned to a FIXED schedule (t0, t0+10s, t0+20s),
+    * then a read pinned between the second and third commits — exactly
+    * the first two slices. Pinning the clock is what makes a
+    * wall-time-addressed read oracle-DETERMINISTIC; production Delta
+    * reads the same clock off its log files. Degenerate SFs clamp like
+    * q311 (empty slices mint nothing; the pin then resolves to the
+    * newest committed state, and the oracle's slice gating matches). */
+  def timestampAsOfPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val t0 = 1700000000000L
+    val root = tsAsOfCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-tsasof").toString
+      val s2 = freshCatalogSession(spark, "glpr_ts", out)
+      s2.sql("CREATE TABLE glpr_ts.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      // degenerate-SF determinism: skip empty slices (q316's guard),
+      // so versions = nonempty slices and the oracle's gate matches
+      Seq("doc_id < 100", "doc_id >= 100 AND doc_id < 300", "doc_id >= 300")
+        .foreach { p =>
+          val n = s2.sql("SELECT count(*) AS n FROM " +
+            s"parquet.`$dir/documents.parquet` WHERE $p").head().getLong(0)
+          if (n > 0)
+            s2.sql("INSERT INTO glpr_ts.corpus.docs " +
+              s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+              s"WHERE $p")
+        }
+      val tdir = new java.io.File(out, "corpus/docs").getAbsolutePath
+      listManifestVersions(tdir).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          versionFile(tdir, v).toPath,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + (v - 1) * 10000L))
+      }
+      out
+    })
+    val s2 = freshCatalogSession(spark, "glpr_ts", root)
+    // an all-empty corpus mints no versions: read the (empty) live view
+    val tdir = new java.io.File(root, "corpus/docs").getAbsolutePath
+    val pin = if (listManifestVersions(tdir).isEmpty) ""
+      else s" TIMESTAMP AS OF timestamp_millis(${t0 + 15000L}L)"
+    rematerialize(spark, s2.sql(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM glpr_ts.corpus.docs$pin
+         |GROUP BY lang""".stripMargin))
+  }
+  private val tsAsOfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q336 — RECLUSTER (OPTIMIZE): the corpus staged HASH-distributed
+    * (every shard's bounds straddle the whole id space — the layout
+    * where bounds pruning is toothless), then `CALL sys.recluster` —
+    * one shuffle job rewrites it range-clustered behind one manifest
+    * flip — and a doc_id range read afterwards PRUNES (plan-pinned in
+    * GlprCatalogSpec). The oracle is the range rollup: hash equality
+    * certifies the rewrite moved every row exactly once. */
+  def reclusterPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = reclusterCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-recluster").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text").repartition(8), out)
+      GlprMaintenance.recluster(spark, out, nShards = 8): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+  }
+  private val reclusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[io] def reclusterStagedRoot(dir: String): String =
+    reclusterCache.get(dir)
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */

@@ -260,7 +260,11 @@ object PlanAudit {
     ("q333_glpr_days_partition", "date partitioning: the two-day window read prunes " +
       "non-window shards at plan time via sidecar day sets (days(ts) transform " +
       "values — hive-style date pruning over the sidecar channel)",
-      graft.io.GlprSource.daysPartitionPlanFrame))
+      graft.io.GlprSource.daysPartitionPlanFrame),
+    ("q336_glpr_recluster", "post-OPTIMIZE scan: the recluster shuffle job rewrote the " +
+      "hash-ingested corpus range-clustered behind one manifest flip, so the doc_id " +
+      "range read prunes to the window's shards via tight sidecar bounds",
+      reg("q336_glpr_recluster")))
 
   private val streamingStateNote: String =
     """

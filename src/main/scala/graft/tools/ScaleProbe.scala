@@ -93,7 +93,9 @@ object ScaleProbe {
     "q331_glpr_dv_time_travel", // pre/post dv-gen pinned reads (cached staging)
     "q332_glpr_add_column",    // mixed-schema aggregate (cached evolution)
     "q333_glpr_days_partition", // day-window pruned read (cached staging)
-    "q334_glpr_bucket_partition") // bucket point probe (cached staging)
+    "q334_glpr_bucket_partition", // bucket point probe (cached staging)
+    "q335_glpr_timestamp_as_of", // commit-clock pinned read (cached staging)
+    "q336_glpr_recluster")     // range read after OPTIMIZE (cached staging)
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

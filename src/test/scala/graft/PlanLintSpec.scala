@@ -133,6 +133,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q334_glpr_bucket_partition", // bucket-partitioned CREATE/INSERT on
                                 // construction (cached); bucket-prune
                                 // pin in GlprCatalogSpec
+    "q335_glpr_timestamp_as_of", // catalog CREATE/INSERT + commit-clock
+                                // pinning on construction (cached);
+                                // TIMESTAMP AS OF pin in GlprCatalogSpec
+    "q336_glpr_recluster",      // staging write + recluster shuffle job
+                                // on construction (cached); prune pin
+                                // in GlprCatalogSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

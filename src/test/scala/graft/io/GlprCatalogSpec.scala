@@ -434,6 +434,66 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(b1Kept < b1Total, s"bucket equality must prune: $b1Kept/$b1Total")
   }
 
+  test("TIMESTAMP AS OF resolves to the newest version committed at or before the pin") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns12.tt $ddl")
+    def insert(lo: Long, hi: Long): Unit = {
+      (lo until hi).map(i => (i, "en", "s", s"t$i"))
+        .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("tt_in")
+      spark.sql("INSERT INTO glpr_spec.ns12.tt SELECT * FROM tt_in")
+    }
+    insert(0, 10); insert(10, 30); insert(30, 60) // versions 1-3
+    val dir = new java.io.File(root, "ns12/tt").getAbsolutePath
+    // pin deterministic commit times on the version files (the commit
+    // clock): v1=t0, v2=t0+10s, v3=t0+20s
+    val t0 = 1700000000000L
+    GlprSource.listManifestVersions(dir).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        GlprSource.versionFile(dir, v).toPath,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + (v - 1) * 10000L))
+    }
+    def countAsOf(millis: Long): Long = spark.sql(
+      "SELECT count(*) FROM glpr_spec.ns12.tt TIMESTAMP AS OF " +
+        s"timestamp_millis(${millis}L)").head().getLong(0)
+    assert(countAsOf(t0) === 10L, "exactly at the first commit")
+    assert(countAsOf(t0 + 15000L) === 30L, "between v2 and v3")
+    assert(countAsOf(t0 + 60000L) === 60L, "after the last commit = live")
+    val e = intercept[Exception](countAsOf(t0 - 1L))
+    assert(e.getMessage.contains("before the first commit"), e.getMessage)
+  }
+
+  test("q336 recluster: bounds pruning re-arms after the OPTIMIZE rewrite; history survives") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns13.opt $ddl")
+    (0L until 400L).map(i => (i, "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartition(8) // hash layout: every shard straddles the id space
+      .createOrReplaceTempView("opt_in")
+    spark.sql("INSERT INTO glpr_spec.ns13.opt SELECT * FROM opt_in")
+    val dir = new java.io.File(root, "ns13/opt").getAbsolutePath
+    // pre-recluster: a range read plans EVERY shard (no prunable bounds)
+    assert(spark.sql(
+      "SELECT count(*) FROM glpr_spec.ns13.opt WHERE doc_id < 50")
+      .head().getLong(0) === 50L)
+    val (preKept, preTotal) = GlprSource.planEvents.get(dir)
+    assert(preKept === preTotal, s"hash layout must not prune: $preKept/$preTotal")
+    // OPTIMIZE through SQL
+    val rep = spark.sql("CALL glpr_spec.sys.recluster('ns13.opt', 4)").head()
+    assert(rep.getLong(0) === 8L && rep.getLong(1) === 4L, rep.toString)
+    // row-exact, and the range read now prunes
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns13.opt")
+      .head().getLong(0) === 400L)
+    assert(spark.sql(
+      "SELECT count(*) FROM glpr_spec.ns13.opt WHERE doc_id < 50")
+      .head().getLong(0) === 50L)
+    val (postKept, postTotal) = GlprSource.planEvents.get(dir)
+    assert(postKept < postTotal, s"reclustered bounds must prune: $postKept/$postTotal")
+    // the rewrite was ONE commit; the pre-recluster version stays readable
+    val vs = GlprSource.listManifestVersions(dir)
+    assert(spark.sql(
+      s"SELECT count(*) FROM glpr_spec.ns13.opt VERSION AS OF ${vs.length - 1}")
+      .head().getLong(0) === 400L)
+    spark.catalog.dropTempView("opt_in")
+  }
+
   test("CREATE TABLE over an existing external shard dir ATTACHES the shards") {
     val dir = new java.io.File(root, "ns5/ext")
     dir.mkdirs()

@@ -671,6 +671,41 @@ class GlprSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("vacuum"), e1.getMessage)
   }
 
+  test("CDF over delete-vector generations: masked deltas emit row-exact delete/insert records") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-cdf-dv-spec").toString
+    (0L until 100L).map(i => (i, "en", "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    // v1 = the append; v2 = MoR delete [10,19] (one gen commit)
+    GlprMaintenance.deleteIdRangeMergeOnRead(root, 10L, 19L)
+    // v3 = a second MoR delete [40,44] (gen 2 on the same shard)
+    GlprMaintenance.deleteIdRangeMergeOnRead(root, 40L, 44L)
+    def cdf(from: Long, to: Option[Long] = None) = {
+      val r = spark.read.format("graft.io.GlprSource")
+        .option("changesFromVersion", from.toString)
+        .option("changeMode", "cdf")
+      to.foreach(v => r.option("versionAsOf", v.toString))
+      r.load(root).select("_change_type", "doc_id").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+    }
+    // delta v1 -> v2: exactly the first range, as deletes
+    assert(cdf(1, Some(2)) === (10L to 19L).map(("delete", _)).toSet)
+    // delta v2 -> live: only the SECOND range (rows masked at v2 are
+    // not re-reported — the two-mask gate is the difference of masks)
+    assert(cdf(2) === (40L to 44L).map(("delete", _)).toSet)
+    // delta v1 -> live: both ranges
+    assert(cdf(1) === ((10L to 19L) ++ (40L to 44L)).map(("delete", _)).toSet)
+    // RESTORE to v1 rolls the mask state back: the diff from v2 to the
+    // restored live view emits the v2-masked rows as INSERTS
+    GlprSource.restoreToVersion(root, 1L)
+    assert(cdf(2) === (10L to 19L).map(("insert", _)).toSet)
+    // and the full pre/post states agree with the masks
+    assert(spark.read.format("graft.io.GlprSource").load(root).count() === 100L)
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", "3").load(root).count() === 85L)
+  }
+
   test("q314 row delete: metadata unlink / untouched / rewrite split is exact") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-rowdelete-spec").toString
