@@ -706,6 +706,55 @@ class GlprSpec extends AnyFunSuite {
       .option("versionAsOf", "3").load(root).count() === 85L)
   }
 
+  test("CDF across a compaction is physically faithful and row-multiset preserving") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-cdf-compact-spec").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // version 1
+    append(3L -> "c")            // version 2
+    GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2) // v3
+    val cdf = spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", "2").option("changeMode", "cdf")
+      .load(root).select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a compaction reads as remove+insert of the SAME rows: physically
+    // faithful, and the delete/insert multisets cancel exactly
+    val dels = cdf.collect { case ("delete", id) => id }.sorted.toSeq
+    val ins = cdf.collect { case ("insert", id) => id }.sorted.toSeq
+    assert(dels === Seq(1L, 2L, 3L) && ins === Seq(1L, 2L, 3L), cdf.toSeq)
+    // the live view and every version stay row-exact throughout
+    assert(spark.read.format("graft.io.GlprSource").load(root).count() === 3L)
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", "2").load(root).count() === 3L)
+  }
+
+  test("recluster over a masked corpus materializes the live delete vectors") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-recluster-dv-spec").toString
+    GlprSource.write(
+      (0L until 200L).map(i => (i, "en", "s", s"t-$i"))
+        .toDF("doc_id", "lang", "source", "text").repartition(4), root)
+    GlprMaintenance.deleteIdRangeMergeOnRead(root, 50L, 99L)
+    def ids() = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids() === ((0L until 50L) ++ (100L until 200L)).toSet)
+    val (oldN, newN) = GlprMaintenance.recluster(spark, root, nShards = 4)
+    assert(oldN === 4 && newN === 4)
+    // masked rows stayed deleted (the rewrite read applied the gens) and
+    // the live manifest carries no masks afterwards
+    assert(ids() === ((0L until 50L) ++ (100L until 200L)).toSet)
+    assert(GlprSource.readManifest(root).get
+      .forall(l => GlprSource.entryDvGen(l).isEmpty))
+    // the reclustered shards prune by bounds now
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") < 40L).count() === 40L)
+    val (kept, total) = GlprSource.planEvents.get(root)
+    assert(kept < total, s"reclustered bounds must prune: $kept/$total")
+  }
+
   test("q314 row delete: metadata unlink / untouched / rewrite split is exact") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-rowdelete-spec").toString
