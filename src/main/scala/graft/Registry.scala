@@ -2841,6 +2841,34 @@ object Registry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (0, 8, 17, 42, 97) ORDER BY 1""".stripMargin)),
 
+    // STREAMING CDF: the whole manifest history consumed as a change
+    // stream — one micro-batch per version, in commit order (offsets
+    // ARE the version numbers), appends/retires/dv-deltas as
+    // insert/delete records, settled under Trigger.AvailableNow.
+    // Oracle derives the same change totals relationally (q328's gate).
+    "q337_glpr_cdf_stream" -> Entry((s, d) =>
+      graft.io.GlprSource.cdfStreamPipeline(s, d).orderBy("_change_type", "lang"), Some(
+      """WITH f AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 300) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 300) AS ok)
+        |SELECT * FROM (
+        | SELECT 'insert' AS _change_type, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        | FROM (SELECT lang, doc_id FROM documents
+        |       UNION ALL
+        |       SELECT lang, doc_id FROM documents
+        |       WHERE doc_id < 100 AND (SELECT ok FROM f) > 0)
+        | GROUP BY 2
+        | UNION ALL
+        | SELECT 'delete', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT)
+        | FROM documents
+        | WHERE doc_id >= 100 AND doc_id < 300 AND (SELECT ok FROM f) > 0
+        | GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin)),
+
     // TIMESTAMP AS OF through the SQL front door: the version files'
     // mtimes are the commit clock (immutable once CAS-linked), pinned
     // to a fixed schedule so the wall-time-addressed read is

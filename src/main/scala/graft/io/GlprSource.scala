@@ -1171,6 +1171,42 @@ object GlprSource {
   private[io] def reclusterStagedRoot(dir: String): String =
     reclusterCache.get(dir)
 
+  /** q337 — STREAMING CHANGE DATA CAPTURE ([[GlprCdfMicroBatchStream]]):
+    * the q328 staging's WHOLE history consumed as a CDF stream under
+    * `Trigger.AvailableNow` — one micro-batch per manifest version, in
+    * commit order (appends as inserts, the retiring DELETE's shards as
+    * deletes, the re-append as inserts), aggregated in complete mode
+    * and settled. The oracle derives the same change totals
+    * relationally, gated on the q328 all-slices-nonempty condition; an
+    * append-only (degenerate) history streams pure inserts. Per-version
+    * batch boundaries, offset restarts and the CoW remove+re-add shape
+    * are GlprSpec-pinned. */
+  def cdfStreamPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cdfStagedRoot(spark, dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val agg = s2.readStream.format("graft.io.GlprSource")
+      .option("changeMode", "cdf").load(root)
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+    val name = s"glpr_cdf_stream_${cdfStreamCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val settled = s2.table(name)
+    val outSchema = settled.schema
+    val rows = graft.streaming.Events.guardedSettleRows(settled)
+    s2.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
+  }
+  private val cdfStreamCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -1869,6 +1905,35 @@ object GlprSource {
     CdfDiff(adds, removes, deltas)
   }
 
+  /** The CDF diff of one version window resolved to PLANNED partitions
+    * (shard, change type, mask, delta-require-mask): the shared engine
+    * of the batch cdf scan ([[GlprScan]]) and the CDF STREAM (q337).
+    * `fromV = 0` is GENESIS: everything at `toV` is an insert. */
+  private[io] def cdfPlanned(path: String, fromV: Long, toV: Option[Long])
+      : Seq[(java.io.File, String, Array[Long], Array[Long])] = {
+    val none = Array.emptyLongArray
+    if (fromV == 0L)
+      committedEntriesAsOf(path, toV).toSeq.map { case (f, g) =>
+        (f, "insert", resolveDv(path, f.getName, g, pinned = toV.isDefined), none)
+      }
+    else {
+      val diff = changeShardsCdf(path, fromV, toV)
+      val adds = diff.adds.map { case (f, g) =>
+        (f, "insert", resolveDv(path, f.getName, g, pinned = true), none)
+      }
+      val removes = diff.removes.map { case (f, g) =>
+        (f, "delete", resolveDv(path, f.getName, g, pinned = true), none)
+      }
+      val deltas = diff.deltas.flatMap { case (f, gFrom, gTo) =>
+        val dvFrom = resolveDv(path, f.getName, gFrom, pinned = true)
+        val dvTo = resolveDv(path, f.getName, gTo, pinned = true)
+        (if (dvTo.nonEmpty) Seq((f, "delete", dvFrom, dvTo)) else Nil) ++
+          (if (dvFrom.nonEmpty) Seq((f, "insert", dvTo, dvFrom)) else Nil)
+      }
+      adds ++ removes ++ deltas
+    }
+  }
+
   /** RESTORE TO VERSION (q313): re-point the live manifest at a
     * historical version's content — Delta's `RESTORE TABLE`, at
     * manifest size. The restore is itself a mutating commit and MINTS a
@@ -2262,16 +2327,29 @@ object GlprSource {
 }
 
 class GlprSource extends TableProvider {
+  // under changeMode=cdf, `_change_type` is part of the TABLE schema
+  // itself rather than a metadata column: streaming DSv2 relations
+  // resolve metadata columns at analysis but never inform the scan
+  // (the plan then expects one more column than the reader emits), so
+  // the CDF stream (q337) — and, for symmetry, batch cdf loads through
+  // this provider — carry the column as a real field. The readers
+  // already serve it by name either way.
+  private def isCdf(m: java.util.Map[String, String]): Boolean =
+    Option(m.get("changeMode")).exists(_.equalsIgnoreCase("cdf"))
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GlprSource.schema
+    if (isCdf(options)) GlprSource.schema
+      .add(StructField("_change_type", StringType, nullable = false))
+    else GlprSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GlprTable(properties.get("path"))
+    new GlprTable(properties.get("path"),
+      changeTypeColumn = isCdf(properties))
 }
 
 class GlprTable(path: String, partitionCol: Option[String] = None,
     pinnedVersion: Option[Long] = None,
-    extraCols: Seq[String] = Seq.empty)
+    extraCols: Seq[String] = Seq.empty,
+    changeTypeColumn: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -2302,7 +2380,13 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       extraCols)
   }
   override def name(): String = s"glpr:$path"
-  override def schema(): StructType = GlprSource.fullSchema(extraCols)
+  override def schema(): StructType = {
+    val base = GlprSource.fullSchema(extraCols)
+    if (changeTypeColumn)
+      StructType(base.fields.toSeq :+
+        StructField("_change_type", StringType, nullable = false))
+    else base
+  }
 
   /** Identity partitioning for catalog tables created `PARTITIONED BY
     * (col)`: surfaced to Spark so `DESCRIBE`/catalog metadata show it,
@@ -2330,13 +2414,15 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       override def dataType(): org.apache.spark.sql.types.DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "GLPR shard file this record was read from"
-    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_change_type"
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "CDF change type (insert/delete) under changeMode=cdf; 'insert' elsewhere"
-    })
+    }) ++ (if (changeTypeColumn) Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+      else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = "_change_type"
+          override def dataType(): org.apache.spark.sql.types.DataType = StringType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "CDF change type (insert/delete) under changeMode=cdf; 'insert' elsewhere"
+        }))
 
   /** METADATA-ONLY deletes (the early-lakehouse contract), two forms:
     *
@@ -2466,15 +2552,17 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     // column — incremental consumption across DELETE/OVERWRITE history
     val cdfMode = Option(options.get("changeMode")).map(_.toLowerCase) match {
       case None | Some("append") => false
-      case Some("cdf") =>
-        require(changesFrom.isDefined,
-          "GLPR changeMode=cdf requires changesFromVersion=<m>")
-        true
+      case Some("cdf") => true // batch needs changesFromVersion (checked
+                               // at plan time); a STREAM is its own
+                               // incremental cursor (q337)
       case Some(other) => throw new IllegalArgumentException(
         s"GLPR changeMode must be 'append' or 'cdf', got '$other'")
     }
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     new GlprScanBuilder(path, maxShards, optRange, optValues, version,
-      changesFrom, partitionCol, cdfMode)
+      changesFrom, partitionCol, cdfMode, startingVersion = startingVersion,
+      baseSchema = schema())
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -2967,10 +3055,15 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     partitionCol: Option[String] = None,
     cdfMode: Boolean = false,
     onPlan: Array[String] => Unit = null,
-    groupPruneOnly: Boolean = false) extends ScanBuilder
+    groupPruneOnly: Boolean = false,
+    startingVersion: Long = 0L,
+    baseSchema: StructType = GlprSource.schema) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
-  private var required: StructType = GlprSource.schema
+  // starts at the TABLE's full schema (extras + the cdf-mode
+  // _change_type column): STREAMING plans never call pruneColumns, so
+  // the default must already match the relation output
+  private var required: StructType = baseSchema
   private var pushed: Array[Filter] = Array.empty
   private var range: GlprSource.IdRange = baseRange
   private var valueFilters: Map[String, Set[String]] = baseValues
@@ -3071,8 +3164,10 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
       range.hi != Long.MaxValue || valueFilters.nonEmpty) return None
     // incremental reads (q312) decline metadata-only aggregates: the
     // diff's sidecars could answer them, but an under-reported change
-    // set must fail in changeShards, not be silently summarized
-    if (changesFrom.nonEmpty) return None
+    // set must fail in changeShards, not be silently summarized — and a
+    // batch cdf read without a from-version must reach its loud plan
+    // failure, never a silent full-table summary
+    if (changesFrom.nonEmpty || cdfMode) return None
     // a delete-vector mask (gen-recorded or legacy bare) makes sidecar
     // counts lies: decline, the ordinary scan applies the mask row-exactly
     val entries = GlprSource.entriesResolved(path, version)
@@ -3157,6 +3252,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
       limit, valueFilters, version, changesFrom, partitionCol, cdfMode, onPlan,
       dayEq = dayEq, dayLo = dayLo, dayHi = dayHi, pointIds = pointIds,
+      startingVersion = startingVersion,
       // GROUP-based row-level operations (UPDATE/MERGE/DELETE rewrites):
       // Spark pushes the command condition for GROUP selection only —
       // the scan must return EVERY row of a matched shard (non-matching
@@ -3218,7 +3314,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     dayEq: Option[Set[String]] = None,
     dayLo: Option[String] = None,
     dayHi: Option[String] = None,
-    pointIds: Option[Array[Long]] = None)
+    pointIds: Option[Array[Long]] = None,
+    startingVersion: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3251,23 +3348,11 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * (static/runtime/bloom/value pruning, limit capping, statistics)
     * composes unchanged on top. */
   private def baseShards(): Array[Planned] = changesFrom match {
+    case None if cdfMode => throw new IllegalArgumentException(
+      "GLPR batch changeMode=cdf requires changesFromVersion=<m> " +
+        "(a STREAM read is its own incremental cursor)")
     case Some(m) if cdfMode =>
-      val diff = GlprSource.changeShardsCdf(path, m, version)
-      val pinnedTo = true // both diff ends are exact version states
-      val adds = diff.adds.map { case (f, g) =>
-        (f, "insert", GlprSource.resolveDv(path, f.getName, g, pinnedTo), NoMask)
-      }
-      val removes = diff.removes.map { case (f, g) =>
-        (f, "delete", GlprSource.resolveDv(path, f.getName, g, pinned = true), NoMask)
-      }
-      val deltas = diff.deltas.flatMap { case (f, gFrom, gTo) =>
-        val dvFrom = GlprSource.resolveDv(path, f.getName, gFrom, pinned = true)
-        val dvTo = GlprSource.resolveDv(path, f.getName, gTo, pinnedTo)
-        // newly masked rows are deletes; rows a restore unmasked are inserts
-        (if (dvTo.nonEmpty) Seq((f, "delete", dvFrom, dvTo)) else Nil) ++
-          (if (dvFrom.nonEmpty) Seq((f, "insert", dvTo, dvFrom)) else Nil)
-      }
-      (adds ++ removes ++ deltas).toArray
+      GlprSource.cdfPlanned(path, m, version).toArray
     case Some(m) =>
       val gens = GlprSource.entriesResolved(path, version)
         .map { case (f, g) => f.getName -> g }.toMap
@@ -3356,6 +3441,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // line sides up; identity is the SPJ surface (q319)
     if (!partitionCol.map(GlprSource.parsePartSpec)
         .forall(_.isInstanceOf[GlprSource.IdentityPart])) return None
+    if (cdfMode) return None
     if (partitionCol.isEmpty || pushed.nonEmpty || limit.nonEmpty ||
       maxShardsPerTrigger.nonEmpty || valueFilters.nonEmpty ||
       changesFrom.nonEmpty || version.nonEmpty ||
@@ -3557,8 +3643,11 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       "GLPR changesFromVersion is a batch-only option — a stream IS the " +
         "incremental read (its name offset already advances past every " +
         "processed shard)")
-    new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
-      valueFilters)
+    if (cdfMode)
+      new GlprCdfMicroBatchStream(path, required, startingVersion)
+    else
+      new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
+        valueFilters)
   }
 }
 
@@ -3697,6 +3786,77 @@ class GlprMicroBatchStream(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required, range)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** CDF STREAMING offset: the last manifest VERSION whose change records
+  * were emitted. */
+private[io] case class GlprCdfOffset(v: Long) extends Offset {
+  override def json(): String = s"""{"v":$v}"""
+}
+
+/** CHANGE-DATA-CAPTURE as a STREAM (q337 — Delta's `readChangeFeed`
+  * streaming analogue): each micro-batch replays exactly ONE manifest
+  * version's diff — appended shards as `_change_type='insert'` rows,
+  * retired shards as `'delete'` rows, delete-vector generation deltas
+  * as row-exact delete/insert records — so a subscriber sees every
+  * commit's change set in commit order, never a collapsed window
+  * (add+retire inside a wider window would cancel invisibly). Offsets
+  * are the version NUMBERS themselves: restart-exact with no extra
+  * log, the checkpoint advances one commit per trigger (bounded
+  * batches by construction — a commit's diff is the working set, not
+  * the corpus). `startingVersion` seeds the cursor (0 = genesis: the
+  * first batch replays version 1). Vacuumed history inside the window
+  * fails LOUDLY ([[GlprSource.cdfPlanned]]) — a CDC subscriber must
+  * re-seed, never silently under-receive; pair retention horizons with
+  * subscriber lag exactly as Delta documents. `Trigger.AvailableNow`
+  * snapshots the newest version and drains up to it, one commit per
+  * trigger, then terminates. */
+class GlprCdfMicroBatchStream(path: String, required: StructType,
+    startingVersion: Long = 0L)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  @volatile private var availableNowCap: Option[Long] = None
+  private def latestVersion(): Long =
+    GlprSource.listManifestVersions(path).lastOption.getOrElse(0L)
+  private def visibleLatest(): Long = availableNowCap match {
+    case Some(cap) => math.min(cap, latestVersion())
+    case None => latestVersion()
+  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestVersion())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def initialOffset(): Offset = GlprCdfOffset(startingVersion)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "GlprCdfMicroBatchStream supports admission control: " +
+        "latestOffset(start, ReadLimit) must be called instead")
+  // ONE version per trigger regardless of the limit: per-commit replay
+  // is the semantic contract, not an admission-control choice
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[GlprCdfOffset].v
+    GlprCdfOffset(if (cur < visibleLatest()) cur + 1 else cur)
+  }
+  override def reportLatestOffset(): Offset = GlprCdfOffset(visibleLatest())
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"v":(\d+)\}""".r
+    json match {
+      case m(v) => GlprCdfOffset(v.toLong)
+      case _ => GlprCdfOffset(startingVersion)
+    }
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromV = start.asInstanceOf[GlprCdfOffset].v
+    val toV = end.asInstanceOf[GlprCdfOffset].v
+    if (toV <= fromV) Array.empty
+    else GlprSource.cdfPlanned(path, fromV, Some(toV)).map {
+      case (f, ct, dv, req) =>
+        GlprSource.GlprPartition(f.getAbsolutePath, ct, dv, req): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlprReaderFactory(required,
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

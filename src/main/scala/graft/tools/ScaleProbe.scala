@@ -95,7 +95,8 @@ object ScaleProbe {
     "q333_glpr_days_partition", // day-window pruned read (cached staging)
     "q334_glpr_bucket_partition", // bucket point probe (cached staging)
     "q335_glpr_timestamp_as_of", // commit-clock pinned read (cached staging)
-    "q336_glpr_recluster")     // range read after OPTIMIZE (cached staging)
+    "q336_glpr_recluster",     // range read after OPTIMIZE (cached staging)
+    "q337_glpr_cdf_stream")    // per-version CDF stream settle
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

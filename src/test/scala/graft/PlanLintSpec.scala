@@ -139,6 +139,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q336_glpr_recluster",      // staging write + recluster shuffle job
                                 // on construction (cached); prune pin
                                 // in GlprCatalogSpec
+    "q337_glpr_cdf_stream",     // CDF stream settle on construction
+                                // (shares q328's staging); per-version
+                                // replay pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction
                                 // (cached, shared with q284); shard-cap
                                 // pin in GlprSpec

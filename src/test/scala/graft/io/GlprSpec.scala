@@ -755,6 +755,61 @@ class GlprSpec extends AnyFunSuite {
     assert(kept < total, s"reclustered bounds must prune: $kept/$total")
   }
 
+  test("q337 CDF stream: one version per micro-batch, commit order, restart-exact offsets") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-cdfstream-spec").toString
+    def append(rows: (Long, String)*): Unit =
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(1L -> "a", 2L -> "b") // v1
+    append(3L -> "c")            // v2
+    GlprMaintenance.deleteIdRange(spark, root, 2L, 2L)      // v3: CoW rewrite
+    GlprMaintenance.deleteIdRangeMergeOnRead(root, 3L, 3L)  // v4: dv gen
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // the stream's change multiset, plus how many micro-batches carried
+    // rows (the per-version replay contract: one nonempty batch per
+    // row-bearing version)
+    def drain(startingVersion: Long): (Seq[(String, Long)], Int) = {
+      val name = s"cdfspec_${startingVersion}_${System.nanoTime()}"
+      val q = s2.readStream.format("graft.io.GlprSource")
+        .option("changeMode", "cdf")
+        .option("startingVersion", startingVersion.toString).load(root)
+        .select(col("_change_type"), col("doc_id"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+      val out = s2.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      s2.catalog.dropTempView(name)
+      (out, q.recentProgress.count(_.numInputRows > 0))
+    }
+    // full replay from genesis: v1 inserts {1,2}, v2 insert {3},
+    // v3 remove{1,2}+re-add{1} (the CoW rewrite's physical shape),
+    // v4 dv-delta delete {3} — four row-bearing micro-batches
+    val (full, fullBatches) = drain(0L)
+    assert(full.sorted === Seq(
+      ("delete", 1L), ("delete", 2L), ("delete", 3L),
+      ("insert", 1L), ("insert", 1L), ("insert", 2L), ("insert", 3L)).sorted)
+    assert(fullBatches === 4, s"one micro-batch per version, got $fullBatches")
+    // and the stream multiset equals the sum of single-version batch
+    // diffs (the windows never collapse)
+    val perVersion = (0L until 4L).flatMap { v =>
+      spark.read.format("graft.io.GlprSource")
+        .option("changeMode", "cdf").option("changesFromVersion", v.toString)
+        .option("versionAsOf", (v + 1).toString).load(root)
+        .select(col("_change_type"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    }
+    assert(perVersion.sorted === full.sorted)
+    // restart mid-history: startingVersion=2 replays only v3 and v4
+    val (tail, tailBatches) = drain(2L)
+    assert(tail.sorted ===
+      Seq(("delete", 1L), ("delete", 2L), ("delete", 3L), ("insert", 1L)).sorted)
+    assert(tailBatches === 2)
+  }
+
   test("q314 row delete: metadata unlink / untouched / rewrite split is exact") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-rowdelete-spec").toString
