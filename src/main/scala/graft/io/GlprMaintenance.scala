@@ -372,7 +372,17 @@ object GlprMaintenance {
     if (newGens.nonEmpty)
       GlprSource.commitManifest(path)(base => base.map { l =>
         val n = GlprSource.entryName(l)
-        newGens.get(n).map(g => GlprSource.entryLine(n, Some(g))).getOrElse(l)
+        newGens.get(n) match {
+          // a racing MoR delete may have committed a NEWER gen for the
+          // same shard between our gen write and this commit (the CAS
+          // closure re-runs on a fresh base after a version collision);
+          // published generations are supersets of all lower ones
+          // ([[GlprSource.writeDvGeneration]]), so the higher number is
+          // always the complete mask — never step a line's gen back
+          case Some(g) => GlprSource.entryLine(n,
+            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
+          case None => l
+        }
       })
     newGens.keys.toSeq.sorted
   }

@@ -1846,7 +1846,12 @@ object GlprSource {
     * restore) fails LOUDLY instead of under-reporting the change set. */
   private[io] def changeShards(path: String, fromV: Long,
       toV: Option[Long]): Array[java.io.File] = {
-    val diff = changeShardsCdf(path, fromV, toV)
+    // round-17 ADVICE: the append-mode diff never needs the removed
+    // files' BYTES (names suffice to raise the not-append-only
+    // refusal), so don't require them on disk — a vacuumed remove must
+    // produce the actionable "read with changeMode=cdf" message below,
+    // not the CDF planner's "delete records cannot be reconstructed"
+    val diff = changeShardsCdf(path, fromV, toV, removedMustExist = false)
     if (diff.removes.nonEmpty || diff.deltas.nonEmpty)
       throw new IllegalStateException(
         s"GLPR changesFromVersion=$fromV: the history between version " +
@@ -1883,7 +1888,7 @@ object GlprSource {
     * remove+insert of the affected shards — physically faithful, the
     * restart-shaped CDF Delta emits without per-commit change files. */
   private[io] def changeShardsCdf(path: String, fromV: Long,
-      toV: Option[Long]): CdfDiff = {
+      toV: Option[Long], removedMustExist: Boolean = true): CdfDiff = {
     val fromGens: Map[String, Option[Long]] = versionEntries(path, fromV)
       .map(l => entryName(l) -> entryDvGen(l)).toMap
     val to = committedEntriesAsOf(path, toV)
@@ -1891,7 +1896,10 @@ object GlprSource {
     val dir = new java.io.File(path)
     val removes = (fromGens.keySet -- toNames).toSeq.sorted.map { n =>
       val f = new java.io.File(dir, n)
-      if (!f.isFile) throw new IllegalStateException(
+      // `removedMustExist = false` is the append-mode caller
+      // ([[changeShards]]): it only names removes in its refusal, never
+      // reads their bytes, so a vacuumed remove must not trip this
+      if (removedMustExist && !f.isFile) throw new IllegalStateException(
         s"GLPR CDF from version $fromV: removed shard '$n' is no longer " +
           "on disk (vacuum reclaimed it after version expiry) — the " +
           "delete records for it cannot be reconstructed")
@@ -2165,25 +2173,59 @@ object GlprSource {
       .maxOption.getOrElse(0L) + 1L
 
   /** Write the next delete-vector GENERATION for a shard as the union
-    * of its current mask and `add` (immutable file, stage + atomic
-    * rename). Returns the new generation, or None when the union
-    * changes nothing (idempotent re-delete). The manifest commit
-    * recording the gen is the CALLER's job — a gen file alone is
-    * invisible to every reader. */
+    * of its current mask and `add` (immutable file). Returns the new
+    * generation, or None when the union changes nothing (idempotent
+    * re-delete). The manifest commit recording the gen is the CALLER's
+    * job — a gen file alone is invisible to every reader.
+    *
+    * PUBLICATION is put-if-absent via `Files.createLink` (round-17
+    * ADVICE: `ATOMIC_MOVE` on POSIX silently REPLACES an existing
+    * target, so two concurrent MoR deletes computing the same next gen
+    * could overwrite each other — the loser's manifest commit would then
+    * record a generation whose content lacks its own range, silently
+    * dropping a delete). A collision re-reads the newest on-disk mask —
+    * which now contains the winner's ranges — re-unions, and publishes
+    * the FOLLOWING generation, so every published generation is a
+    * superset of all lower generations of the same shard (the invariant
+    * [[GlprMaintenance.deleteIdRangeMergeOnRead]]'s commit closure
+    * relies on when racing commits pick the higher gen number). */
   private[io] def writeDvGeneration(path: String, name: String,
       curGen: Option[Long], add: (Long, Long)): Option[Long] = {
-    val cur = resolveDv(path, name, curGen, pinned = false)
-    val merged = normalizeRanges(
-      cur.grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
-    if (java.util.Arrays.equals(cur, merged)) return None
-    val gen = nextDvGen(path, name)
-    val tmp = new java.io.File(path, s"_tmp-dv-$gen-$name")
-    java.nio.file.Files.write(tmp.toPath,
-      merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, dvGenFile(path, name, gen).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Some(gen)
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      // the committed view (manifest-recorded gen / legacy bare mask) …
+      val committed = resolveDv(path, name, curGen, pinned = false)
+      // … plus the newest on-disk generation, which may be AHEAD of the
+      // manifest (a racing writer between its gen write and its commit);
+      // gens only grow, so the union absorbs it rather than losing it
+      val diskHigh = nextDvGen(path, name) - 1L
+      val newest =
+        if (diskHigh >= 1L && !curGen.contains(diskHigh))
+          readDeleteVectorFile(dvGenFile(path, name, diskHigh))
+        else Array.emptyLongArray
+      val merged = normalizeRanges(
+        (committed ++ newest).grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
+      if (java.util.Arrays.equals(committed, merged)) return None
+      val gen = diskHigh + 1L
+      val tmp = new java.io.File(path, s"_tmp-dv-$gen-$name")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            dvGenFile(path, name, gen).toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally { tmp.delete(): Unit }
+      if (won) return Some(gen)
+    }
+    throw new IllegalStateException(
+      s"GLPR delete-vector generation write for shard '$name' in " +
+        s"'$path': 50 consecutive generation collisions — pathological " +
+        "contention")
   }
 
   private[io] def normalizeRanges(ranges: Seq[(Long, Long)]): Array[Long] = {
@@ -2494,9 +2536,14 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
         // drops the doomed names — the data files stay on disk, owned by
         // the pre-delete versions, so time travel and CDF across the
         // DELETE keep working (Delta/Iceberg semantics: logical delete
-        // now, physical reclaim by expire+vacuum later).
-        GlprSource.writeManifest(path,
-          shards.filterNot(doomed).map(_.getName).toSeq)
+        // now, physical reclaim by expire+vacuum later). The commit
+        // filters manifest LINES, not names (round-17 ADVICE): a
+        // surviving shard keeps its state tokens verbatim — rebuilding
+        // lines from bare names would drop `dv=<gen>` and silently
+        // resurrect merge-on-read-deleted rows.
+        val dir = new java.io.File(path)
+        GlprSource.commitManifest(path)(base => base.filterNot(l =>
+          doomed(new java.io.File(dir, GlprSource.entryName(l)))))
       case None =>
         // manifest-less legacy dir: the listing IS the table, so the
         // unlink must be physical (the .dv sidecar goes with its shard —
@@ -2799,23 +2846,32 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
           "partitions to replace")
     }
     val incoming = incomingPer.flatMap(_._2.get).toSet
-    val old = GlprSource.committedShards(path).map(_.getName)
-      .filterNot(add.toSet).toSeq
-    val classified = old.map(n => (n, valsOf(n)))
-    val unknown = classified.collect { case (n, None) => n }
+    // classify by shard NAME but keep whole manifest LINES (round-17
+    // ADVICE): a kept shard keeps its state tokens (dv=<gen>) verbatim —
+    // writing bare names would drop the MoR masks of surviving shards
+    // and silently resurrect their deleted rows
+    val addSet = add.toSet
+    val old = GlprSource.committedEntries(path)
+      .filterNot(l => addSet(GlprSource.entryName(l)))
+      .filter(l => new java.io.File(dir, GlprSource.entryName(l)).isFile)
+    val classified = old.map(l => (l, valsOf(GlprSource.entryName(l))))
+    val unknown = classified.collect {
+      case (l, None) => GlprSource.entryName(l)
+    }
     if (unknown.nonEmpty) throw new IllegalStateException(
       s"GLPR dynamic overwrite: existing shard(s) ${unknown.mkString(", ")} " +
         s"have no '$col' value set — they might hold replaced " +
         "partitions; rewrite the table value-clustered first")
     val straddlers = classified.collect {
-      case (n, Some(vs)) if (vs & incoming).nonEmpty && !(vs subsetOf incoming) => n
+      case (l, Some(vs)) if (vs & incoming).nonEmpty &&
+        !(vs subsetOf incoming) => GlprSource.entryName(l)
     }
     if (straddlers.nonEmpty) throw new IllegalStateException(
       s"GLPR dynamic overwrite: shard(s) ${straddlers.mkString(", ")} mix " +
         "replaced and surviving partition values — replacing them would " +
         "delete other partitions' rows; compact/rewrite value-clustered first")
     val replaced = classified.collect {
-      case (n, Some(vs)) if vs.nonEmpty && (vs subsetOf incoming) => n
+      case (l, Some(vs)) if vs.nonEmpty && (vs subsetOf incoming) => l
     }
     val kept = old.filterNot(replaced.toSet)
     // the atomic flip; replaced shards are RETIRED, not unlinked — they
@@ -3842,7 +3898,14 @@ class GlprCdfMicroBatchStream(path: String, required: StructType,
     val m = """\{"v":(\d+)\}""".r
     json match {
       case m(v) => GlprCdfOffset(v.toLong)
-      case _ => GlprCdfOffset(startingVersion)
+      // round-17 ADVICE: fail LOUDLY — silently defaulting to
+      // startingVersion would rewind a corrupted/foreign checkpoint to
+      // the beginning and re-deliver the entire change history as
+      // duplicates (the connector's vanished-over-phantom posture)
+      case _ => throw new IllegalArgumentException(
+        s"GLPR CDF stream: unparseable checkpoint offset '$json' " +
+          """(expected {"v":<version>}) — the checkpoint is corrupted """ +
+          "or belongs to a different source; refusing to rewind")
     }
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

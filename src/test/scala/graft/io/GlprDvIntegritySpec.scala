@@ -1,0 +1,146 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.GreaterThanOrEqual
+import graft.TestSpark
+
+/** Round-18 regression pins for the round-17 ADVICE items: every
+  * manifest-rewriting operation must keep surviving shards' STATE
+  * tokens (`dv=<gen>`) — dropping them silently resurrects
+  * merge-on-read-deleted rows — plus the delete-vector generation CAS,
+  * the loud CDF checkpoint refusal, and the append-mode incremental
+  * read's actionable refusal when a removed shard was vacuumed. */
+class GlprDvIntegritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def append(root: String, rows: Seq[(Long, String, String, String)]): Unit =
+    rows.toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+  private def liveIds(root: String): Set[Long] =
+    spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("metadata-only deleteWhere keeps survivors' dv tokens (no row resurrection)") {
+    val root = TempDirs.scratch("graft-glpr-dvkeep-delete").toString
+    append(root, (0L until 100L).map(i => (i, "en", "s", s"a-$i")))   // shard A
+    append(root, (100L until 200L).map(i => (i, "en", "s", s"b-$i"))) // shard B
+    // MoR-mask [10,19] — bounds intersect shard A only
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 10L, 19L).size === 1)
+    val maskedLine = GlprSource.readManifest(root).get
+      .find(l => GlprSource.entryDvGen(l).nonEmpty).get
+    // shard-aligned metadata DELETE of shard B (doc_id >= 100)
+    val t = new GlprTable(root)
+    val fs = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("doc_id", 100L))
+    assert(t.canDeleteWhere(fs))
+    t.deleteWhere(fs)
+    // the survivor's manifest LINE is verbatim — state token intact —
+    // and the MoR-deleted rows stay deleted
+    val after = GlprSource.readManifest(root).get
+    assert(after === Seq(maskedLine),
+      s"deleteWhere must keep surviving lines verbatim, got $after")
+    assert(liveIds(root) === ((0L until 10L) ++ (20L until 100L)).toSet,
+      "MoR-deleted rows resurrected: the DELETE commit dropped the dv token")
+  }
+
+  test("dynamic partition overwrite keeps kept shards' dv tokens") {
+    val root = TempDirs.scratch("graft-glpr-dvkeep-dynow").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_dvk", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_dvk.root", root)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("CREATE TABLE glpr_dvk.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING) PARTITIONED BY (lang)")
+    s2.createDataFrame((0L until 50L).map(i => (i, "en", "s", s"en-$i"))
+        ++ (50L until 100L).map(i => (i, "de", "s", s"de-$i")))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("dvk_in")
+    s2.sql("INSERT INTO glpr_dvk.ns.t SELECT * FROM dvk_in")
+    val path = new java.io.File(root, "ns/t").getAbsolutePath
+    // MoR-mask [0,9] — intersects the en shard's bounds only
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(path, 0L, 9L).nonEmpty)
+    val maskedLines = GlprSource.readManifest(path).get
+      .filter(l => GlprSource.entryDvGen(l).nonEmpty)
+    assert(maskedLines.nonEmpty)
+    // dynamic overwrite of ONLY the de partition; en shards are KEPT
+    s2.createDataFrame((200L until 220L).map(i => (i, "de", "s", s"de2-$i")))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("dvk_ow")
+    s2.sql("INSERT OVERWRITE glpr_dvk.ns.t SELECT * FROM dvk_ow")
+    val after = GlprSource.readManifest(path).get
+    assert(maskedLines.forall(after.contains),
+      s"dynamic overwrite must keep kept shards' lines verbatim, got $after")
+    val ids = s2.sql("SELECT doc_id FROM glpr_dvk.ns.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === ((10L until 50L) ++ (200L until 220L)).toSet,
+      "kept-partition MoR deletes resurrected or overwrite leaked rows")
+  }
+
+  test("delete-vector generations publish put-if-absent and union the newest on-disk mask") {
+    val root = TempDirs.scratch("graft-glpr-dv-cas").toString
+    append(root, (0L until 100L).map(i => (i, "en", "s", s"t-$i")))
+    val name = GlprSource.readManifest(root).get.map(GlprSource.entryName).head
+    // gen 1
+    assert(GlprSource.writeDvGeneration(root, name, None, (10L, 19L)) === Some(1L))
+    // idempotent re-delete against the committed gen: no new generation
+    assert(GlprSource.writeDvGeneration(root, name, Some(1L), (12L, 15L)).isEmpty)
+    // a RACING writer's uncommitted gen is ahead of the manifest
+    // (curGen=None simulates a stale committed view): the next write
+    // must land on gen 2 and its content must be a SUPERSET — union of
+    // the newest on-disk mask and the new range, never a replace
+    assert(GlprSource.writeDvGeneration(root, name, None, (30L, 39L)) === Some(2L))
+    val g2 = GlprSource.resolveDv(root, name, Some(2L), pinned = true)
+    assert(g2.toSeq === Seq(10L, 19L, 30L, 39L),
+      s"gen 2 must union gen 1's ranges, got ${g2.toSeq}")
+    // pre-existing target generation file (the createLink collision
+    // path): the writer may not overwrite it — it retries onto the
+    // NEXT gen, again as a superset of the colliding content
+    val g3 = GlprSource.dvGenFile(root, name, 3L)
+    java.nio.file.Files.write(g3.toPath, "70 79".getBytes("UTF-8"))
+    assert(GlprSource.writeDvGeneration(root, name, Some(2L), (50L, 59L)) === Some(4L))
+    assert(new String(java.nio.file.Files.readAllBytes(g3.toPath), "UTF-8")
+      .trim === "70 79", "collision must never overwrite an existing generation")
+    val g4 = GlprSource.resolveDv(root, name, Some(4L), pinned = true)
+    assert(g4.toSeq === Seq(10L, 19L, 30L, 39L, 50L, 59L, 70L, 79L),
+      s"gen 4 must union the colliding gen 3 and the committed mask, got ${g4.toSeq}")
+  }
+
+  test("a corrupted CDF checkpoint offset refuses loudly instead of rewinding") {
+    val root = TempDirs.scratch("graft-glpr-cdf-offset").toString
+    append(root, Seq((1L, "en", "s", "a")))
+    val stream = new GlprCdfMicroBatchStream(root, GlprSource.schema, 0L)
+    // well-formed offsets round-trip
+    assert(stream.deserializeOffset("""{"v":7}""")
+      .asInstanceOf[GlprCdfOffset].v === 7L)
+    // corrupted / foreign checkpoint content must not silently rewind
+    // the cursor to startingVersion (duplicate re-delivery of history)
+    val e = intercept[IllegalArgumentException] {
+      stream.deserializeOffset("""{"logOffset":3}""")
+    }
+    assert(e.getMessage.contains("refusing to rewind"), e.getMessage)
+    intercept[IllegalArgumentException] { stream.deserializeOffset("garbage") }
+  }
+
+  test("append-mode incremental read names vacuumed removes in the cdf-refusal, not a CDF read error") {
+    val root = TempDirs.scratch("graft-glpr-append-vacuumed").toString
+    append(root, Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"))) // v1
+    append(root, Seq((3L, "en", "s", "c")))                       // v2
+    GlprMaintenance.deleteIdRange(spark, root, 1L, 2L)            // v3 retires shard 1
+    // simulate vacuum: the retired shard's bytes are gone
+    val retired = GlprSource.versionShardNames(root, 1L).head
+    assert(new java.io.File(root, retired).delete())
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft.io.GlprSource")
+        .option("changesFromVersion", "1").load(root).count()
+    }
+    // the actionable append-only refusal — NOT the CDF planner's
+    // "delete records cannot be reconstructed" (this read never needed
+    // the removed file's bytes)
+    assert(e.getMessage.contains("changeMode=cdf"), e.getMessage)
+    assert(!e.getMessage.contains("cannot be reconstructed"), e.getMessage)
+  }
+}
