@@ -2933,6 +2933,20 @@ object Registry {
         | FROM documents WHERE doc_id < 50 GROUP BY 2
         |) ORDER BY 1, 2""".stripMargin)),
 
+    // CDC-APPLY as ONE SQL MERGE (round-17 verdict #1): the changelog
+    // split at its temporal midpoint — the first half compacted as the
+    // seeded table state (plus sentinel rows the changelog never
+    // references), the second half applied by a single MERGE that
+    // exercises every clause class: WHEN MATCHED + tombstone DELETE,
+    // WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY
+    // SOURCE DELETE (sentinel purge). Latest-wins makes split-apply
+    // equal whole-changelog compaction, so the SAME q207 window-rank
+    // oracle certifies the statement end to end. Clause-routing pins in
+    // GlprCatalogSpec.
+    "q338_glpr_cdc_merge" -> Entry((s, d) =>
+      graft.io.GlprSource.cdcMergeSqlPipeline(s, d).orderBy("user_id"),
+      Some(cdcCompactSql)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

@@ -979,6 +979,81 @@ object GlprSource {
   private val sqlMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q338 — CDC-APPLY through ONE SQL MERGE, every clause class in one
+    * statement (the first real MERGE a lakehouse user writes after
+    * q327's upsert): the events changelog is split at its temporal
+    * midpoint; the FIRST half is compacted relationally (latest change
+    * per key) and INSERTed as the table's seed state — plus sentinel
+    * rows the changelog never references — and the SECOND half,
+    * compacted to one latest change per key, is applied as a single
+    * `MERGE` with `WHEN MATCHED AND tombstone THEN DELETE`, `WHEN
+    * MATCHED THEN UPDATE`, `WHEN NOT MATCHED AND non-tombstone THEN
+    * INSERT`, and `WHEN NOT MATCHED BY SOURCE THEN DELETE` (purging the
+    * sentinels — the snapshot-reconciliation idiom). Latest-wins makes
+    * split-compact-apply equal to compacting the WHOLE changelog, so
+    * the read-back hash-matches the q207 window-rank oracle exactly.
+    * The CDC state is ENCODED into the fixed GLPR record layout
+    * (user_id→doc_id, last_type→lang, last_event_id→source,
+    * last_value→text; double→string→double round-trips exactly by
+    * Double.toString's shortest-unique-decimal contract) and decoded on
+    * read-back. The whole apply is ONE group-based ReplaceData commit. */
+  def cdcMergeSqlPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cdcMergeCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-cdcmerge").toString)
+    val s2 = freshCatalogSession(spark, "glpr_cdc", root)
+    if (!new java.io.File(root, "state/compacted/_glpr_table").isFile) {
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val chg = graft.streaming.Events.convertTs(
+          s2.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"), col("value"))
+      chg.createOrReplaceTempView("glpr_cdc_changelog")
+      val mm = chg.agg(min("ts_ms"), max("ts_ms")).head()
+      val mid = if (mm.isNullAt(0)) 0L else (mm.getLong(0) + mm.getLong(1)) / 2
+      s2.sql("CREATE TABLE glpr_cdc.state.compacted " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql(
+        s"""INSERT INTO glpr_cdc.state.compacted
+           |SELECT user_id AS doc_id, last.event_type AS lang,
+           |       CAST(last.event_id AS STRING) AS source,
+           |       CAST(last.value AS STRING) AS text
+           |FROM (SELECT user_id,
+           |        max(struct(ts_ms, event_id, event_type, value)) AS last
+           |      FROM glpr_cdc_changelog WHERE ts_ms <= $mid GROUP BY user_id)
+           |WHERE last.event_type <> 'error'
+           |UNION ALL
+           |SELECT 9000000 + id, 'sentinel', '0', '0.0' FROM range(5)
+           |""".stripMargin)
+      s2.sql(
+        s"""MERGE INTO glpr_cdc.state.compacted t
+           |USING (
+           |  SELECT user_id, last.event_id AS ev_id,
+           |         last.event_type AS ev_type, last.value AS ev_value
+           |  FROM (SELECT user_id,
+           |          max(struct(ts_ms, event_id, event_type, value)) AS last
+           |        FROM glpr_cdc_changelog WHERE ts_ms > $mid GROUP BY user_id)
+           |) u
+           |ON t.doc_id = u.user_id
+           |WHEN MATCHED AND u.ev_type = 'error' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.lang = u.ev_type,
+           |  t.source = CAST(u.ev_id AS STRING), t.text = CAST(u.ev_value AS STRING)
+           |WHEN NOT MATCHED AND u.ev_type <> 'error' THEN
+           |  INSERT (doc_id, lang, source, text)
+           |  VALUES (u.user_id, u.ev_type, CAST(u.ev_id AS STRING),
+           |          CAST(u.ev_value AS STRING))
+           |WHEN NOT MATCHED BY SOURCE AND t.lang = 'sentinel' THEN DELETE
+           |""".stripMargin)
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT doc_id AS user_id, CAST(source AS BIGINT) AS last_event_id,
+        |       lang AS last_type, CAST(text AS DOUBLE) AS last_value
+        |FROM glpr_cdc.state.compacted""".stripMargin))
+  }
+  private val cdcMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q332 — SCHEMA EVOLUTION end to end: the corpus INSERTed under the
     * base schema, `ALTER TABLE ADD COLUMN note STRING`, then a second
     * slice INSERTed WITH the new column — the directory now mixes

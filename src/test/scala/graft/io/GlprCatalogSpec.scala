@@ -729,4 +729,38 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("tt_in1")
     spark.catalog.dropTempView("tt_in2")
   }
+
+  test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
+    Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
+        (4L, "stale", "s", "d"), (5L, "en", "s", "e"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("m_target")
+    spark.sql("INSERT INTO glpr_spec.ns14.m SELECT * FROM m_target")
+    // changelog: update 2, tombstone 3, insert 6 — the CDC-apply shape
+    Seq((2L, "U", "B2"), (3L, "D", ""), (6L, "U", "f"))
+      .toDF("doc_id", "op", "text").createOrReplaceTempView("m_changes")
+    spark.sql(
+      """MERGE INTO glpr_spec.ns14.m t USING m_changes u ON t.doc_id = u.doc_id
+        |WHEN MATCHED AND u.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.text = u.text
+        |WHEN NOT MATCHED AND u.op <> 'D' THEN
+        |  INSERT (doc_id, lang, source, text) VALUES (u.doc_id, 'en', 'ins', u.text)
+        |WHEN NOT MATCHED BY SOURCE AND t.lang = 'stale' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.doc_id = 5 THEN UPDATE SET t.source = 'kept'
+        |""".stripMargin)
+    val got = spark.sql("SELECT doc_id, source, text FROM glpr_spec.ns14.m")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, "s", "a"),      // untouched (no clause matched)
+      (2L, "s", "B2"),     // MATCHED UPDATE
+      (5L, "kept", "e"),   // NOT MATCHED BY SOURCE UPDATE
+      (6L, "ins", "f")),   // NOT MATCHED INSERT; 3 tombstoned, 4 purged
+      s"MERGE clause routing broke: $got")
+    // the whole statement was ONE manifest commit (atomicity): initial
+    // write = v1, merge = v2
+    val path = new java.io.File(root, "ns14/m").getAbsolutePath
+    assert(GlprSource.listManifestVersions(path).size === 2)
+    spark.catalog.dropTempView("m_target")
+    spark.catalog.dropTempView("m_changes")
+  }
 }
