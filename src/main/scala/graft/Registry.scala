@@ -2818,6 +2818,29 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TYPED SCHEMA EVOLUTION + METADATA-ONLY RENAME (round-17 verdict
+    // #2): ADD COLUMN n_tokens BIGINT / score DOUBLE, a typed slice
+    // INSERTed, then RENAME COLUMN n_tokens TO tok_count — zero shard
+    // touches (the marker re-labels; sidecars keep the immutable
+    // physical name). Aggregates read the mixed layout under the
+    // renamed name: typed NULLs from pre-evolution shards, parsed
+    // BIGINT/DOUBLE from evolved ones (string byte layout, toString
+    // round-trip). Oracle rebuilds the mixed typed table relationally.
+    "q339_glpr_typed_evolution" -> Entry((s, d) =>
+      graft.io.GlprSource.typedEvolutionPipeline(s, d).orderBy("lang"), Some(
+      """WITH t AS (
+        | SELECT lang, CAST(NULL AS BIGINT) AS tok_count,
+        |   CAST(NULL AS DOUBLE) AS score FROM documents
+        | UNION ALL
+        | SELECT lang, CAST(strlen(text) AS BIGINT),
+        |   CAST(doc_id + 1000000 AS DOUBLE) / 4.0 FROM documents
+        | WHERE doc_id < 100)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(tok_count) AS BIGINT) AS n_typed,
+        | coalesce(CAST(sum(tok_count) AS BIGINT), 0) AS tok_sum,
+        | coalesce(round(sum(score), 6), CAST(0.0 AS DOUBLE)) AS score_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // DATE PARTITIONING: days(ts) over an ISO string column — a
     // two-day window read prunes to the window's shards via sidecar
     // day sets (plan pin in GlprCatalogSpec). Oracle derives the same

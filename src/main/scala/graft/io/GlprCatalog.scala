@@ -159,12 +159,15 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     require(got == want,
       s"GLPR tables start with the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
     val extraCols: Seq[String] = schema.fields.drop(4).toSeq.map { f =>
-      require(f.dataType == org.apache.spark.sql.types.StringType,
-        s"GLPR extra columns must be STRING, got ${f.name}: ${f.dataType.simpleString}")
-      f.name
+      GlprSource.extraToken(f.name, extraTypeNameOf(f.dataType, f.name), f.name)
     }
-    require(extraCols.distinct == extraCols, "duplicate extra column names")
-    val stringCols = (Seq("lang", "source") ++ extraCols).toSet
+    require(extraCols.map(GlprSource.extraLogical).distinct.size ==
+      extraCols.size, "duplicate extra column names")
+    // partition transforms read STRING columns (identity/days); typed
+    // extras are not partitionable
+    val stringCols = (Seq("lang", "source") ++ extraCols
+      .filter(t => GlprSource.extraTypeName(t) == "string")
+      .map(GlprSource.extraLogical)).toSet
     // `PARTITIONED BY` — one transform: identity on a string column,
     // bucket(N, doc_id), or days(col) over an ISO-8601 string column.
     // The layout stays flat; TRANSFORMED partition values ride the
@@ -207,13 +210,33 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     new GlprTable(dir.getAbsolutePath, partitionSpec, extraCols = extraCols)
   }
 
-  /** SCHEMA EVOLUTION (q332): `ALTER TABLE … ADD COLUMN c STRING`
-    * appends a nullable STRING extra — old shards read null for it
-    * (default-null read compat; the sidecar `cols=` channel tells the
-    * readers which extras each shard carries). Property alters stay
-    * no-ops; every OTHER structural change (drops, renames, type
-    * changes, positioned adds) is still rejected — the base layout is
-    * the format. */
+  /** The extra-column type classes a GLPR table accepts (typed schema
+    * evolution, round 18): STRING, BIGINT, DOUBLE — the three that
+    * cover most real evolutions. Values of every class ride the byte
+    * stream as length-prefixed strings (`Long.toString` /
+    * `Double.toString` round-trip exactly); readers parse back. */
+  private def extraTypeNameOf(dt: org.apache.spark.sql.types.DataType,
+      name: String): String = dt match {
+    case org.apache.spark.sql.types.StringType => "string"
+    case org.apache.spark.sql.types.LongType => "bigint"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case other => throw new IllegalArgumentException(
+      s"GLPR extra columns must be STRING, BIGINT or DOUBLE, got " +
+        s"$name: ${other.simpleString}")
+  }
+
+  /** SCHEMA EVOLUTION (q332; typed + rename since round 18):
+    * `ALTER TABLE … ADD COLUMN c STRING|BIGINT|DOUBLE` appends a
+    * nullable extra — old shards read null for it (default-null read
+    * compat; the sidecar `cols=` channel tells the readers which extras
+    * each shard carries). `RENAME COLUMN` on an extra is METADATA-ONLY:
+    * the marker token re-labels the logical name while the immutable
+    * PHYSICAL name keeps binding the existing sidecars and byte layouts
+    * (the Iceberg field-id indirection at minimum size) — zero shard
+    * touches, atomic, old and new shards read alike. Property alters
+    * stay no-ops; every OTHER structural change (drops of any column,
+    * renames of base columns, type changes, positioned adds) is still
+    * rejected — the base layout is the format. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -224,17 +247,35 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         require(add.fieldNames.length == 1,
           "GLPR ADD COLUMN supports top-level columns only")
         val name = add.fieldNames()(0)
-        require(add.dataType() == org.apache.spark.sql.types.StringType,
-          s"GLPR ADD COLUMN supports STRING columns only, got ${add.dataType().simpleString}")
+        val tpe = extraTypeNameOf(add.dataType(), name)
         require(add.isNullable,
           "GLPR added columns must be nullable (old shards read null)")
         require(add.position() == null,
           "GLPR added columns are APPENDED; positioned adds are not supported")
         require(!GlprSource.fullSchema(extras).fieldNames.contains(name),
           s"column '$name' already exists")
-        extras = extras :+ name
+        extras = extras :+ GlprSource.extraToken(name, tpe, name)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "GLPR RENAME COLUMN supports top-level columns only")
+        val from = ren.fieldNames()(0)
+        require(!GlprSource.schema.fieldNames.contains(from),
+          s"GLPR base column '$from' is the format; RENAME COLUMN " +
+            "applies to added extra columns only")
+        val i = extras.indexWhere(t => GlprSource.extraLogical(t) == from)
+        require(i >= 0, s"no such column '$from'")
+        require(!readPartitionCol(dir).exists(_.contains(from)),
+          s"column '$from' drives the table's partition transform; " +
+            "renaming it would orphan the prune index")
+        require(!GlprSource.fullSchema(extras).fieldNames
+            .contains(ren.newName) && ren.newName != from,
+          s"column '${ren.newName}' already exists")
+        val (_, tpe, phys) = GlprSource.parseExtraToken(extras(i))
+        extras = extras.updated(i,
+          GlprSource.extraToken(ren.newName, tpe, phys))
       case other => throw new UnsupportedOperationException(
-        "GLPR tables support ADD COLUMN (appended nullable STRING) and " +
+        "GLPR tables support ADD COLUMN (appended nullable " +
+          "STRING/BIGINT/DOUBLE), RENAME COLUMN on extras, and " +
           s"property changes only; got $other")
     }
     writeMarker(dir, readPartitionCol(dir), extras)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroB
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -80,16 +80,105 @@ object GlprSource {
     StructField("source", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
-  /** SCHEMA EVOLUTION (q332): a catalog table's schema is the fixed
-    * base plus APPEND-ONLY extra STRING columns added by `ALTER TABLE
-    * ADD COLUMN` — nullable by construction (old shards read null for
-    * them, the default-null read-compat contract). The extras ride the
-    * record stream as additional length-prefixed fields (length -1 =
-    * NULL); each shard's sidecar records WHICH extras it carries
-    * (`cols=`), so mixed-schema directories read exactly. */
+  /** SCHEMA EVOLUTION (q332, typed + rename since round 18): a catalog
+    * table's schema is the fixed base plus APPEND-ONLY extra columns
+    * added by `ALTER TABLE ADD COLUMN` — nullable by construction (old
+    * shards read null for them, the default-null read-compat contract).
+    * The extras ride the record stream as additional length-prefixed
+    * UTF-8 fields (length -1 = NULL) REGARDLESS of declared type:
+    * BIGINT/DOUBLE values serialize via `Long.toString` /
+    * `Double.toString` (shortest-unique-decimal — the round trip is
+    * bit-exact) and readers parse back to the declared type. Each
+    * shard's sidecar records WHICH extras it carries (`cols=`), so
+    * mixed-schema directories read exactly.
+    *
+    * TOKEN grammar (the `extraCols` strings a table carries):
+    * `logical[:type][@physical]` — type ∈ string|bigint|double (string
+    * elided); `physical` is the immutable name recorded in shard
+    * sidecars and byte layouts (elided while equal to logical; the two
+    * diverge after `RENAME COLUMN`, which rewrites ONLY the marker
+    * token's logical part — the Iceberg field-id indirection at
+    * minimum size, making renames metadata-only and atomic with zero
+    * sidecar touches). Sidecar `cols=` tokens are `physical[:type]`. */
   def fullSchema(extraCols: Seq[String]): StructType =
     StructType(schema.fields.toSeq ++
-      extraCols.map(c => StructField(c, StringType, nullable = true)))
+      extraCols.map(c =>
+        StructField(extraLogical(c), extraDataType(c), nullable = true)))
+
+  /** Parse an extra-column token into (logical, typeName, physical). */
+  private[io] def parseExtraToken(tok: String): (String, String, String) = {
+    val (namePart, phys) = tok.indexOf('@') match {
+      case -1 => (tok, null)
+      case i => (tok.substring(0, i), tok.substring(i + 1))
+    }
+    val (logical, tpe) = namePart.indexOf(':') match {
+      case -1 => (namePart, "string")
+      case i => (namePart.substring(0, i), namePart.substring(i + 1))
+    }
+    require(tpe == "string" || tpe == "bigint" || tpe == "double",
+      s"unknown GLPR extra-column type '$tpe' in token '$tok'")
+    (logical, tpe, if (phys == null) logical else phys)
+  }
+  private[io] def extraLogical(tok: String): String = parseExtraToken(tok)._1
+  private[io] def extraTypeName(tok: String): String = parseExtraToken(tok)._2
+  private[io] def extraPhysical(tok: String): String = parseExtraToken(tok)._3
+  private[io] def extraDataType(tok: String): DataType =
+    extraTypeName(tok) match {
+      case "bigint" => LongType
+      case "double" => DoubleType
+      case _ => StringType
+    }
+  /** 0 = string, 1 = bigint, 2 = double — the readers'/writer's decode
+    * dispatch, from either a table token or a sidecar token. */
+  private[io] def extraKind(tok: String): Int = extraTypeName(tok) match {
+    case "bigint" => 1
+    case "double" => 2
+    case _ => 0
+  }
+  /** The token a shard SIDECAR records for a table extra: the physical
+    * name plus the type tag — logical-free, so renames never touch
+    * shard metadata. */
+  private[io] def extraSidecarToken(tok: String): String = {
+    val (_, tpe, phys) = parseExtraToken(tok)
+    if (tpe == "string") phys else s"$phys:$tpe"
+  }
+  /** Build a marker token. */
+  private[io] def extraToken(logical: String, tpe: String,
+      physical: String): String =
+    logical + (if (tpe == "string") "" else s":$tpe") +
+      (if (physical == logical) "" else s"@$physical")
+
+  /** Resolve ONE shard's sidecar extra tokens against a read schema and
+    * the table's extra tokens (the readers' per-shard layout binding):
+    * (sidecar tokens in write order, ordinal-in-`required` per token
+    * (-1 = pruned), decode kind per token, and the ordinals of required
+    * extras the shard never carried — read as null, the default-null
+    * compat contract). The physical→logical mapping comes from the
+    * TABLE tokens, so a renamed column reads old and new shards alike;
+    * a shard extra absent from the table tokens binds by its physical
+    * name (path reads of pre-rename directories, where logical ==
+    * physical). */
+  private[io] def extraSlots(file: String, required: StructType,
+      extraTokens: Seq[String])
+      : (Array[String], Array[Int], Array[Int], Array[Int]) = {
+    val wantIdx = required.fieldNames.zipWithIndex.toMap
+    val physToLogical = extraTokens.iterator
+      .map(t => extraPhysical(t) -> extraLogical(t)).toMap
+    val shardExtras: Array[String] =
+      readMeta(new java.io.File(file)).map(_.cols.toArray)
+        .getOrElse(Array.empty)
+    val logicals = shardExtras.map(t =>
+      physToLogical.getOrElse(extraPhysical(t), extraPhysical(t)))
+    val ordinals = logicals.map(l => wantIdx.getOrElse(l, -1))
+    val kinds = shardExtras.map(extraKind)
+    val baseNames = Set("doc_id", "lang", "source", "text",
+      "_shard", "_change_type")
+    val logicalSet = logicals.toSet
+    val missing = required.fieldNames
+      .filter(n => !baseNames(n) && !logicalSet.contains(n))
+      .map(wantIdx(_))
+    (shardExtras, ordinals, kinds, missing)
+  }
 
   /** PARTITION TRANSFORMS (q333/q334), encoded as the partition-spec
     * string a table carries: `lang` (identity on a base string column),
@@ -1052,6 +1141,48 @@ object GlprSource {
         |FROM glpr_cdc.state.compacted""".stripMargin))
   }
   private val cdcMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q339 — TYPED SCHEMA EVOLUTION + METADATA-ONLY RENAME end to end
+    * (round-17 verdict #2): the corpus INSERTed under the base schema,
+    * `ALTER TABLE ADD COLUMN n_tokens BIGINT` + `ADD COLUMN score
+    * DOUBLE`, a second slice INSERTed WITH typed values (BIGINT/DOUBLE
+    * ride the byte stream as strings — `Long.toString`/`Double.toString`
+    * round-trip bit-exactly — and readers parse to the declared type),
+    * then `RENAME COLUMN n_tokens TO tok_count` — metadata-only: the
+    * marker token re-labels, shard sidecars keep the immutable physical
+    * name. The aggregate reads the MIXED layout under the renamed
+    * logical name: pre-evolution shards surface typed NULLs, evolved
+    * shards surface parsed values. Score values are exact binary
+    * fractions (quarters), so the double sum is order-independent. The
+    * oracle rebuilds the mixed typed table relationally. */
+  def typedEvolutionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = typedEvoCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-typedevo").toString)
+    val s2 = freshCatalogSession(spark, "glpr_tev", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_tev.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_tev.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("ALTER TABLE glpr_tev.corpus.docs ADD COLUMN n_tokens BIGINT")
+      s2.sql("ALTER TABLE glpr_tev.corpus.docs ADD COLUMN score DOUBLE")
+      s2.sql("INSERT INTO glpr_tev.corpus.docs " +
+        "SELECT doc_id + 1000000, lang, source, text, " +
+        "CAST(octet_length(text) AS BIGINT) AS n_tokens, " +
+        "CAST(doc_id + 1000000 AS DOUBLE) / 4.0 AS score " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+      s2.sql("ALTER TABLE glpr_tev.corpus.docs RENAME COLUMN n_tokens TO tok_count")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(tok_count) AS BIGINT) AS n_typed,
+        | coalesce(CAST(sum(tok_count) AS BIGINT), 0) AS tok_sum,
+        | coalesce(round(sum(score), 6), CAST(0.0 AS DOUBLE)) AS score_sum
+        |FROM glpr_tev.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val typedEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q332 — SCHEMA EVOLUTION end to end: the corpus INSERTed under the
@@ -2684,7 +2815,7 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     new GlprScanBuilder(path, maxShards, optRange, optValues, version,
       changesFrom, partitionCol, cdfMode, startingVersion = startingVersion,
-      baseSchema = schema())
+      baseSchema = schema(), extraTokens = extraCols)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -2970,7 +3101,8 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
   override def description(): String = s"GLPR group-based copy-on-write $cmd"
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlprScanBuilder(path, None, partitionCol = partitionCol,
-      onPlan = files => scanned.set(files.toSeq), groupPruneOnly = true)
+      onPlan = files => scanned.set(files.toSeq), groupPruneOnly = true,
+      extraTokens = extraCols)
   // (the COW scan serves extras like any scan: readers resolve each
   // shard's own column set from its sidecar)
   /** `_shard` rides the rewrite as the operation's metadata attribute.
@@ -3075,9 +3207,17 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   require(GlprSource.schema.fieldNames.forall(idx.contains),
     s"GLPR write needs columns ${GlprSource.schema.fieldNames.mkString(",")}")
-  // schema-evolution extras (q332): appended nullable STRING fields, in
-  // TABLE order; the sidecar records which ones this shard carries
-  private val extraOrdinals: Array[Int] = extraCols.toArray.map(idx(_))
+  // schema-evolution extras (q332): appended nullable fields, in TABLE
+  // order; ordinals resolve by LOGICAL name (the write schema), while
+  // the sidecar records the immutable PHYSICAL token per field. Typed
+  // extras (bigint/double, round 18) serialize via toString — the byte
+  // layout is length-prefixed UTF-8 for every extra type.
+  private val extraOrdinals: Array[Int] =
+    extraCols.toArray.map(t => idx(GlprSource.extraLogical(t)))
+  private val extraKinds: Array[Int] =
+    extraCols.toArray.map(GlprSource.extraKind)
+  private val extraSidecarTokens: Array[String] =
+    extraCols.toArray.map(GlprSource.extraSidecarToken)
   private val extraBytes = new Array[Long](extraCols.length)
   private val shardName =
     shardNameOverride.getOrElse(f"part-$partitionId%010d.glpr")
@@ -3120,7 +3260,13 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       val ord = extraOrdinals(e)
       if (r.isNullAt(ord)) out.writeInt(-1)
       else {
-        val b = r.getUTF8String(ord).getBytes
+        val b = extraKinds(e) match {
+          case 1 => java.lang.Long.toString(r.getLong(ord))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 2 => java.lang.Double.toString(r.getDouble(ord))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ => r.getUTF8String(ord).getBytes
+        }
         out.writeInt(b.length); out.write(b)
         extraBytes(e) += b.length
       }
@@ -3152,9 +3298,9 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       case _ => ""
     }
     val colsKv = if (extraCols.nonEmpty)
-      s" cols=${extraCols.map(GlprSource.encodePval).mkString(",")}" +
-        extraCols.indices.map(i =>
-          s" x${GlprSource.encodePval(extraCols(i))}=${extraBytes(i)}").mkString
+      s" cols=${extraSidecarTokens.map(GlprSource.encodePval).mkString(",")}" +
+        extraSidecarTokens.indices.map(i =>
+          s" x${GlprSource.encodePval(extraSidecarTokens(i))}=${extraBytes(i)}").mkString
       else ""
     val bloomKv = if (nRows > 0) {
       val folded = GlprSource.bloomFold(bloomWords, GlprSource.bloomTargetBits(nRows))
@@ -3188,7 +3334,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     onPlan: Array[String] => Unit = null,
     groupPruneOnly: Boolean = false,
     startingVersion: Long = 0L,
-    baseSchema: StructType = GlprSource.schema) extends ScanBuilder
+    baseSchema: StructType = GlprSource.schema,
+    extraTokens: Seq[String] = Seq.empty) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   // starts at the TABLE's full schema (extras + the cdf-mode
@@ -3383,7 +3530,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     case None => new GlprScan(path, required, range, pushed, maxShardsPerTrigger,
       limit, valueFilters, version, changesFrom, partitionCol, cdfMode, onPlan,
       dayEq = dayEq, dayLo = dayLo, dayHi = dayHi, pointIds = pointIds,
-      startingVersion = startingVersion,
+      startingVersion = startingVersion, extraTokens = extraTokens,
       // GROUP-based row-level operations (UPDATE/MERGE/DELETE rewrites):
       // Spark pushes the command condition for GROUP selection only —
       // the scan must return EVERY row of a matched shard (non-matching
@@ -3446,7 +3593,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     dayLo: Option[String] = None,
     dayHi: Option[String] = None,
     pointIds: Option[Array[Long]] = None,
-    startingVersion: Long = 0L)
+    startingVersion: Long = 0L,
+    extraTokens: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3765,7 +3913,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required,
-      if (readerRange == null) range else readerRange, limit)
+      if (readerRange == null) range else readerRange, limit, extraTokens)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(version.isEmpty,
       "GLPR versionAsOf is a batch-only option — a stream follows the " +
@@ -3775,10 +3923,10 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
         "incremental read (its name offset already advances past every " +
         "processed shard)")
     if (cdfMode)
-      new GlprCdfMicroBatchStream(path, required, startingVersion)
+      new GlprCdfMicroBatchStream(path, required, startingVersion, extraTokens)
     else
       new GlprMicroBatchStream(path, required, range, maxShardsPerTrigger,
-        valueFilters)
+        valueFilters, extraTokens)
   }
 }
 
@@ -3821,7 +3969,8 @@ private[io] case class GlprOffset(last: String) extends Offset {
   * contract) and by the q288 oracle (backfill ≡ batch profile). */
 class GlprMicroBatchStream(path: String, required: StructType,
     range: GlprSource.IdRange, maxShardsPerTrigger: Option[Int],
-    valueFilters: Map[String, Set[String]] = Map.empty)
+    valueFilters: Map[String, Set[String]] = Map.empty,
+    extraTokens: Seq[String] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // lexical name ceiling snapshotted by prepareForTriggerAvailableNow;
   // None = live stream (no ceiling)
@@ -3916,7 +4065,7 @@ class GlprMicroBatchStream(path: String, required: StructType,
         pinned = false)): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlprReaderFactory(required, range)
+    new GlprReaderFactory(required, range, extraTokens = extraTokens)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -3945,7 +4094,7 @@ private[io] case class GlprCdfOffset(v: Long) extends Offset {
   * snapshots the newest version and drains up to it, one commit per
   * trigger, then terminates. */
 class GlprCdfMicroBatchStream(path: String, required: StructType,
-    startingVersion: Long = 0L)
+    startingVersion: Long = 0L, extraTokens: Seq[String] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   @volatile private var availableNowCap: Option[Long] = None
   private def latestVersion(): Long =
@@ -3994,7 +4143,8 @@ class GlprCdfMicroBatchStream(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GlprReaderFactory(required,
-      GlprSource.IdRange(Long.MinValue, Long.MaxValue))
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue),
+      extraTokens = extraTokens)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -4008,24 +4158,26 @@ class GlprCdfMicroBatchStream(path: String, required: StructType,
   * `createReader`; also the reference path the columnar reader is
   * spec'd equal against). */
 class GlprReaderFactory(required: StructType, range: GlprSource.IdRange,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, extraTokens: Seq[String] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GlprSource.GlprPartition =>
         new GlprReader(p.file, required, range, limit, p.changeType,
-          p.dv, p.requireMaskedBy)
+          p.dv, p.requireMaskedBy, extraTokens)
       case p: GlprSource.GlprInputPartition =>
-        new GlprReader(p.file, required, range, limit, p.changeType)
+        new GlprReader(p.file, required, range, limit, p.changeType,
+          extraTokens = extraTokens)
     }
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case p: GlprSource.GlprPartition =>
         new GlprColumnarReader(p.file, required, range, limit, p.changeType,
-          p.dv, p.requireMaskedBy)
+          p.dv, p.requireMaskedBy, extraTokens)
       case p: GlprSource.GlprInputPartition =>
-        new GlprColumnarReader(p.file, required, range, limit, p.changeType)
+        new GlprColumnarReader(p.file, required, range, limit, p.changeType,
+          extraTokens = extraTokens)
     }
 }
 
@@ -4175,7 +4327,8 @@ private[io] final class GlprChunkCursor(file: String) {
 class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
     limit: Option[Int] = None, changeType: String = "insert",
     dvMask: Array[Long] = null,
-    requireMaskedBy: Array[Long] = Array.emptyLongArray)
+    requireMaskedBy: Array[Long] = Array.emptyLongArray,
+    extraTokens: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val cursor = new GlprChunkCursor(file)
   // merge-on-read delete vector: masked ids fail the keep gate exactly
@@ -4194,19 +4347,12 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
-  // schema-evolution extras (q332): THIS shard's appended fields per
-  // its sidecar, in write order; required extras the shard never
-  // carried read as null (default-null read compat)
-  private val shardExtras: Array[String] =
-    GlprSource.readMeta(new java.io.File(file)).map(_.cols.toArray)
-      .getOrElse(Array.empty)
-  private val extraOrdinals: Array[Int] =
-    shardExtras.map(c => wantIdx.getOrElse(c, -1))
-  private val baseNames = Set("doc_id", "lang", "source", "text",
-    "_shard", "_change_type")
-  private val missingExtraOrdinals: Array[Int] = required.fieldNames
-    .filter(n => !baseNames(n) && !shardExtras.contains(n))
-    .map(wantIdx(_))
+  // schema-evolution extras (q332, typed/renamed since round 18): THIS
+  // shard's appended fields per its sidecar, bound to the read schema
+  // through the table tokens' physical→logical mapping; required extras
+  // the shard never carried read as null (default-null read compat)
+  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals) =
+    GlprSource.extraSlots(file, required, extraTokens)
   // _shard / _change_type metadata columns: constant per partition,
   // served from the name / the planned diff side
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
@@ -4248,8 +4394,16 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
         if (len < 0) { if (keep && ord >= 0) rowWriter.setNullAt(ord) }
         else if (keep && ord >= 0) {
           cursor.loadField(len)
-          rowWriter.write(ord,
-            UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
+          extraKinds(x) match {
+            case 1 => rowWriter.write(ord, java.lang.Long.parseLong(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case 2 => rowWriter.write(ord, java.lang.Double.parseDouble(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => rowWriter.write(ord,
+              UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
+          }
         } else cursor.skipPayload(len)
         x += 1
       }
@@ -4285,7 +4439,8 @@ class GlprColumnarReader(file: String, required: StructType,
     range: GlprSource.IdRange,
     limit: Option[Int] = None, changeType: String = "insert",
     dvMask: Array[Long] = null,
-    requireMaskedBy: Array[Long] = Array.emptyLongArray)
+    requireMaskedBy: Array[Long] = Array.emptyLongArray,
+    extraTokens: Seq[String] = Seq.empty)
     extends PartitionReader[ColumnarBatch] {
   private val cursor = new GlprChunkCursor(file)
   // merge-on-read delete vector, applied at the id gate like the row
@@ -4300,16 +4455,8 @@ class GlprColumnarReader(file: String, required: StructType,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
-  private val shardExtras: Array[String] =
-    GlprSource.readMeta(new java.io.File(file)).map(_.cols.toArray)
-      .getOrElse(Array.empty)
-  private val extraOrdinals: Array[Int] =
-    shardExtras.map(c => wantIdx.getOrElse(c, -1))
-  private val baseNames = Set("doc_id", "lang", "source", "text",
-    "_shard", "_change_type")
-  private val missingExtraOrdinals: Array[Int] = required.fieldNames
-    .filter(n => !baseNames(n) && !shardExtras.contains(n))
-    .map(wantIdx(_))
+  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals) =
+    GlprSource.extraSlots(file, required, extraTokens)
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
   private val shardNameBytes =
     new java.io.File(file).getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -4346,7 +4493,16 @@ class GlprColumnarReader(file: String, required: StructType,
         if (len < 0) { if (keep && ord >= 0) vectors(ord).putNull(n) }
         else if (keep && ord >= 0) {
           cursor.loadField(len)
-          vectors(ord).putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
+          extraKinds(x) match {
+            case 1 => vectors(ord).putLong(n, java.lang.Long.parseLong(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case 2 => vectors(ord).putDouble(n, java.lang.Double.parseDouble(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => vectors(ord)
+              .putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
+          }
         } else cursor.skipPayload(len)
         x += 1
       }

@@ -141,6 +141,7 @@ class PlanLintSpec extends AnyFunSuite {
                                 // in GlprCatalogSpec
     "q337_glpr_cdf_stream",     // CDF stream settle on construction
     "q338_glpr_cdc_merge",      // seeds + MERGE-applies the changelog table
+    "q339_glpr_typed_evolution", // staged DDL+INSERTs on construction
                                 // (shares q328's staging); per-version
                                 // replay pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction

@@ -77,25 +77,55 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("illegal"), e.getMessage)
   }
 
-  test("ALTER: ADD COLUMN appends a nullable STRING extra; drops/renames reject") {
+  test("ALTER: typed ADD COLUMN + RENAME on extras; drops/base-renames/type-changes reject") {
     spark.sql(s"CREATE TABLE glpr_spec.ns4.t $ddl")
     spark.sql("ALTER TABLE glpr_spec.ns4.t SET TBLPROPERTIES ('k'='v')")
-    // round-17 schema evolution: appended nullable STRING is accepted
+    // round-17 schema evolution: appended nullable STRING is accepted;
+    // round 18 adds the typed classes
     spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN extra STRING")
-    assert(spark.table("glpr_spec.ns4.t").columns.toSeq ===
-      Seq("doc_id", "lang", "source", "text", "extra"))
-    // everything else still rejects loudly
+    spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN n BIGINT")
+    spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN score DOUBLE")
+    assert(spark.table("glpr_spec.ns4.t").schema.map(f =>
+      (f.name, f.dataType.simpleString)) === Seq(
+      ("doc_id", "bigint"), ("lang", "string"), ("source", "string"),
+      ("text", "string"), ("extra", "string"), ("n", "bigint"),
+      ("score", "double")))
+    // typed values round-trip through the string byte layout bit-exactly
+    Seq((1L, "en", "s", "a", "x", 42L, 2.5),
+        (2L, "en", "s", "b", null.asInstanceOf[String], 7L, 1.0E-7))
+      .toDF("doc_id", "lang", "source", "text", "extra", "n", "score")
+      .createOrReplaceTempView("alter_in")
+    spark.sql("INSERT INTO glpr_spec.ns4.t SELECT * FROM alter_in")
+    // RENAME COLUMN on an extra is metadata-only: the sidecar keeps the
+    // physical name, reads under the new logical name stay exact
+    spark.sql("ALTER TABLE glpr_spec.ns4.t RENAME COLUMN n TO n_tokens")
+    val got = spark.sql(
+      "SELECT doc_id, extra, n_tokens, score FROM glpr_spec.ns4.t")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, "x", 42L, 2.5), (2L, null, 7L, 1.0E-7)))
+    // writes AFTER the rename land under the immutable physical name
+    // (the sidecar token never changes) and read back with the rest
+    Seq((3L, "de", "s", "c", "y", 9L, 0.5))
+      .toDF("doc_id", "lang", "source", "text", "extra", "n_tokens", "score")
+      .createOrReplaceTempView("alter_in2")
+    spark.sql("INSERT INTO glpr_spec.ns4.t SELECT * FROM alter_in2")
+    assert(spark.sql("SELECT sum(n_tokens) FROM glpr_spec.ns4.t")
+      .head().getLong(0) === 58L)
+    // drops, base-column renames, unsupported types still reject loudly
     val e1 = intercept[Exception](
-      spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN n BIGINT"))
-    assert(e1.getMessage.contains("STRING"), e1.getMessage)
+      spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN d DECIMAL(10,2)"))
+    assert(e1.getMessage.contains("STRING, BIGINT or DOUBLE"), e1.getMessage)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE glpr_spec.ns4.t DROP COLUMN text"))
     assert(e2.getMessage.toLowerCase.matches("(?s).*(add column|property|support).*"),
       e2.getMessage)
     val e3 = intercept[Exception](
       spark.sql("ALTER TABLE glpr_spec.ns4.t RENAME COLUMN text TO body"))
-    assert(e3.getMessage.toLowerCase.matches("(?s).*(add column|property|support).*"),
-      e3.getMessage)
+    assert(e3.getMessage.contains("base column"), e3.getMessage)
+    spark.catalog.dropTempView("alter_in")
+    spark.catalog.dropTempView("alter_in2")
   }
 
   test("INSERT OVERWRITE truncates committed shards and sidecars, then writes fresh") {
