@@ -2841,6 +2841,20 @@ object Registry {
         | coalesce(round(sum(score), 6), CAST(0.0 AS DOUBLE)) AS score_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // COLUMN-LEVEL STATS → CBO (round-17 verdict #3): sidecar doc_id
+    // min/max/NDV + byte-counter avg lengths surface as Catalyst
+    // attributeStats; under CBO the selective range filter's estimate
+    // drops below the broadcast threshold and the corpus⋈events join
+    // plans as BHJ (asserted in-pipeline; exact stats values + cbo-off
+    // control pinned in GlprSpec). Oracle certifies the join result.
+    "q340_glpr_cbo_stats_join" -> Entry((s, d) =>
+      graft.io.GlprSource.cboStatsJoinPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents d JOIN events e ON d.doc_id = e.user_id
+        |WHERE d.doc_id < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // DATE PARTITIONING: days(ts) over an ISO string column — a
     // two-day window read prunes to the window's shards via sidecar
     // day sets (plan pin in GlprCatalogSpec). Oracle derives the same

@@ -1185,6 +1185,51 @@ object GlprSource {
   private val typedEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q340 — COLUMN-LEVEL STATISTICS driving CBO (round-17 verdict #3):
+    * the corpus staged as a GLPR table whose commit sidecars surface
+    * per-column stats (doc_id min/max/NDV, byte-counter avg lengths)
+    * through the DSv2 `columnStats` channel into Catalyst
+    * `attributeStats`. Under `spark.sql.cbo.enabled`, the selective
+    * `doc_id < 50` range filter gets a REAL selectivity from the
+    * min/max — the filtered corpus estimate (~50 rows × avg row width)
+    * drops below the broadcast threshold while the unfiltered corpus
+    * (~hundreds of KB) and the events fact side stay above it, so the
+    * join plans as BroadcastHashJoin instead of shuffle — asserted
+    * in-pipeline (the plan IS the deliverable; the cbo-off control and
+    * exact attributeStats values are GlprSpec-pinned). The oracle
+    * certifies the join result itself. */
+  def cboStatsJoinPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cboStatsCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-cbostats").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(4), out)
+      out
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    val corpus = s2.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") < 50L).select(col("doc_id"), col("lang"), col("text"))
+    val ev = s2.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("doc_id"))
+    val res = ev.join(corpus, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin"),
+      "q340 contract: CBO + sidecar column stats must broadcast the " +
+        s"range-filtered corpus side\n$plan")
+    rematerialize(spark, res)
+  }
+  private val cboStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q332 — SCHEMA EVOLUTION end to end: the corpus INSERTed under the
     * base schema, `ALTER TABLE ADD COLUMN note STRING`, then a second
     * slice INSERTed WITH the new column — the directory now mixes
@@ -3894,8 +3939,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
   override def estimateStatistics(): Statistics = {
     val shards = baseShards().map(_._1)
     val metas = shards.map(GlprSource.readMeta)
+    val haveMetas = shards.nonEmpty && metas.forall(_.isDefined)
     val (size, rows) =
-      if (shards.nonEmpty && metas.forall(_.isDefined)) {
+      if (haveMetas) {
         val ms = metas.map(_.get)
         val n = ms.map(_.rows).sum
         val wanted = required.fieldNames.toSet
@@ -3905,9 +3951,78 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
         (n * perRow + strBytes, java.util.OptionalLong.of(n))
       } else (shards.map(_.length).sum, java.util.OptionalLong.empty())
     val sz = size
+    // COLUMN-LEVEL statistics → Catalyst (round-17 verdict #3): the
+    // same commit-time sidecars that drive shard pruning surface
+    // per-column stats through the DSv2 `columnStats` channel, which
+    // `DataSourceV2Relation.transformV2Stats` converts into
+    // `attributeStats` — the inputs CBO's filter-selectivity and
+    // join-reorder estimation read. Reported only on the plain scan
+    // path (diffs/CDF windows describe changes, not the table):
+    //  - doc_id: exact min/max from the sidecar bounds union, 0 nulls
+    //    (format non-null), NDV = row count (the id-column contract —
+    //    ingest mints unique ids; an upper bound for CBO either way),
+    //    fixed 8-byte length;
+    //  - lang/source/text: average length from the committed byte
+    //    counters (ceil(bytes/rows)), 0 nulls; lang/source NDV = the
+    //    sidecar value-set union when EVERY data shard tracks the
+    //    column (clustered partitioned writes), else omitted.
+    val colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!haveMetas || changesFrom.nonEmpty || cdfMode)
+        java.util.Collections.emptyMap()
+      else {
+        val ms = metas.map(_.get)
+        val n = ms.map(_.rows).sum
+        val out = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        def put(col: String, ndv: Option[Long], mn: Option[Any],
+            mx: Option[Any], avg: Option[Long], maxL: Option[Long]): Unit =
+          if (required.fieldNames.contains(col)) {
+            out.put(Expressions.column(col),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(0L)
+                override def avgLen(): java.util.OptionalLong =
+                  avg.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def maxLen(): java.util.OptionalLong =
+                  maxL.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+            ()
+          }
+        val data = ms.filter(_.rows > 0)
+        val bounds = data.flatMap(_.bounds)
+        if (n > 0 && bounds.length == data.length)
+          put("doc_id", Some(n), Some(java.lang.Long.valueOf(bounds.map(_._1).min)),
+            Some(java.lang.Long.valueOf(bounds.map(_._2).max)), Some(8L), Some(8L))
+        Seq("lang", "source", "text").foreach { f =>
+          if (n > 0) {
+            val avg = Some(math.max(1L,
+              (ms.map(_.fieldBytes(f)).sum + n - 1) / n))
+            val ndv =
+              if (f != "text" && data.forall(_.valuesOf(f).isDefined))
+                Some(data.flatMap(_.valuesOf(f).get).distinct.length.toLong)
+              else None
+            put(f, ndv, None, None, avg, None)
+          }
+        }
+        out
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(sz)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

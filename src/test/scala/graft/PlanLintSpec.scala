@@ -142,6 +142,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q337_glpr_cdf_stream",     // CDF stream settle on construction
     "q338_glpr_cdc_merge",      // seeds + MERGE-applies the changelog table
     "q339_glpr_typed_evolution", // staged DDL+INSERTs on construction
+    "q340_glpr_cbo_stats_join", // staging write + collected join result
                                 // (shares q328's staging); per-version
                                 // replay pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction

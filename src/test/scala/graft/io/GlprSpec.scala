@@ -1318,6 +1318,55 @@ class GlprSpec extends AnyFunSuite {
       s"sidecar-less shards must fall back to file-length stats, got $fb")
   }
 
+  test("column-level sidecar stats reach Catalyst attributeStats and flip a CBO plan") {
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-colstats").toString
+    (0L until 2000L).map(i => (i, "en", "src", "x" * 60))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(4).write.format("graft.io.GlprSource").mode("append").save(root)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val corpus = s2.read.format("graft.io.GlprSource").load(root)
+    // the sidecar column stats arrive as catalyst attributeStats
+    val attr = corpus.queryExecution.optimizedPlan.stats.attributeStats
+    val byName = attr.toSeq.map { case (a, st) => a.name -> st }.toMap
+    val id = byName.getOrElse("doc_id",
+      fail(s"doc_id column stats missing; have ${byName.keySet}"))
+    assert(id.min.contains(0L) && id.max.contains(1999L) &&
+      id.distinctCount.contains(BigInt(2000)) && id.nullCount.contains(BigInt(0)),
+      s"doc_id stats wrong: $id")
+    assert(byName.get("text").exists(_.avgLen.contains(60L)),
+      s"text avgLen should come from the byte counters: ${byName.get("text")}")
+    // ...and CHANGE a plan: under CBO, the doc_id min/max give the range
+    // filter a real selectivity, the filtered estimate drops under the
+    // broadcast threshold, and the join flips SMJ -> BHJ. The threshold
+    // sits between the full size (~150 KB) and the filtered estimate.
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    val facts = s2.range(0, 2000).select(col("id").as("doc_id"),
+      (col("id") % 7).as("grp"))
+    // text rides through the join, so column pruning alone cannot
+    // shrink the corpus side below the threshold (~150 KB unfiltered) —
+    // only the range filter's CBO selectivity can
+    def joined = facts.join(
+      corpus.filter(col("doc_id") < 20L).select(col("doc_id"), col("text")),
+      Seq("doc_id"))
+      .groupBy("grp").agg(sum(octet_length(col("text"))).as("bytes"))
+    assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "CBO + doc_id min/max must shrink the filtered side below the " +
+        s"broadcast threshold:\n${joined.queryExecution.executedPlan}")
+    // correctness unchanged
+    assert(joined.collect().map(_.getLong(1)).sum === 20L * 60L)
+    // without CBO the same query keeps the full-size estimate above the
+    // threshold — no broadcast — pinning the flip TO the column stats
+    s2.conf.set("spark.sql.cbo.enabled", "false")
+    assert(!joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "control: without CBO the filtered side must not broadcast")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+  }
+
   test("a small GLPR dimension auto-broadcasts against parquet facts — NO hint (q289's plan)") {
     val dim = glpr.select(col("doc_id"), col("lang"))
     val facts = spark.read.parquet(s"$dir/lineitem.parquet")
