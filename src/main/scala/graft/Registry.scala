@@ -2870,6 +2870,32 @@ object Registry {
         |FROM t WHERE day IN ('2024-01-03', '2024-01-04')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // MONTH PARTITIONING: months(ts) — the same prefix-transform
+    // sidecar channel as q333's days (first 7 ISO chars); a one-month
+    // window read prunes to the month's shards (pin in
+    // GlprCatalogSpec). Oracle derives the same deterministic months.
+    "q341_glpr_months_partition" -> Entry((s, d) =>
+      graft.io.GlprSource.monthsPartitionPipeline(s, d).orderBy("month", "lang"), Some(
+      """WITH t AS (SELECT lang, doc_id,
+        |  substr(strftime(DATE '2024-01-15' +
+        |    to_days(CAST((doc_id % 4) * 20 AS INT)), '%Y-%m-%d'), 1, 7) AS month
+        | FROM documents)
+        |SELECT month, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t WHERE month = '2024-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TRUNCATE PARTITIONING: truncate(4, source) — a raw-column IN
+    // probe relaxes to its prefix image for shard pruning ('src1'
+    // covers src1/src10..19), the residual row filter keeps it exact
+    // (pin in GlprCatalogSpec). Oracle is the plain probe rollup.
+    "q342_glpr_truncate_partition" -> Entry((s, d) =>
+      graft.io.GlprSource.truncatePartitionPipeline(s, d).orderBy("source", "lang"), Some(
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE source IN ('src7', 'src12')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // HASH-BUCKET PARTITIONING: bucket(8, doc_id) point lookups prune
     // to the probed buckets' shards on an arbitrary id layout (pin in
     // GlprCatalogSpec). Oracle is the plain point lookup.

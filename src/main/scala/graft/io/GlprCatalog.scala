@@ -194,15 +194,34 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
           s"bucket transform without a bucket count: $t"))
         require(n > 0 && n <= 4096, s"bucket count out of range: $n")
         Some(s"bucket($n,doc_id)")
-      case Seq(t) if t.name == "days" && t.references.length == 1 &&
+      case Seq(t) if (t.name == "days" || t.name == "months") &&
+          t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
         val c = t.references()(0).fieldNames()(0)
         require(stringCols(c),
-          s"GLPR days() partitioning reads an ISO-8601 STRING column, got '$c'")
-        Some(s"days($c)")
+          s"GLPR ${t.name}() partitioning reads an ISO-8601 STRING column, got '$c'")
+        Some(s"${t.name}($c)")
+      case Seq(t) if t.name == "truncate" =>
+        require(t.references.length == 1 &&
+            t.references()(0).fieldNames.length == 1,
+          s"GLPR truncate partitioning needs one column reference, got $t")
+        val c = t.references()(0).fieldNames()(0)
+        require(stringCols(c),
+          s"GLPR truncate() partitioning reads a STRING column, got '$c'")
+        val w = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => l.toInt
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform without a width: $t"))
+        require(w > 0 && w <= 1024, s"truncate width out of range: $w")
+        Some(s"truncate($w,$c)")
       case other => throw new UnsupportedOperationException(
         "GLPR tables support one partition transform: identity(col), " +
-          s"bucket(N, doc_id) or days(col); got ${other.mkString(", ")}")
+          "bucket(N, doc_id), days(col), months(col) or truncate(w, col); " +
+          s"got ${other.mkString(", ")}")
     }
     val dir = tableDir(ident)
     dir.mkdirs()

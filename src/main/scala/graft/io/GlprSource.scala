@@ -206,16 +206,39 @@ object GlprSource {
       java.lang.Math.floorMod(id, n.toLong).toString
     def spec: String = s"bucket($n,doc_id)"
   }
-  private[io] final case class DaysPart(column: String) extends PartSpec {
-    def valueOf(raw: String): String = raw.take(10)
+  /** PREFIX transforms — `days(col)` (first 10 ISO chars), `months(col)`
+    * (first 7), `truncate(w, col)` (first `w`): one algebra serves all
+    * three because a leading-prefix image preserves STRING ORDER, so
+    * equality filters relax to their prefix and range bounds relax to
+    * their containing prefix interval — the same sound over-keep, one
+    * prune path (round 18; days was the round-17 special case). */
+  private[io] sealed trait PrefixPart extends PartSpec {
+    def prefixLen: Int
+    final def valueOf(raw: String): String = raw.take(prefixLen)
+  }
+  private[io] final case class DaysPart(column: String) extends PrefixPart {
+    def prefixLen: Int = 10
     def spec: String = s"days($column)"
+  }
+  private[io] final case class MonthsPart(column: String) extends PrefixPart {
+    def prefixLen: Int = 7
+    def spec: String = s"months($column)"
+  }
+  private[io] final case class TruncatePart(w: Int, column: String)
+      extends PrefixPart {
+    def prefixLen: Int = w
+    def spec: String = s"truncate($w,$column)"
   }
   private[io] def parsePartSpec(s: String): PartSpec = {
     val bucketRe = """bucket\((\d+),doc_id\)""".r
     val daysRe = """days\(([A-Za-z0-9_]+)\)""".r
+    val monthsRe = """months\(([A-Za-z0-9_]+)\)""".r
+    val truncRe = """truncate\((\d+),([A-Za-z0-9_]+)\)""".r
     s match {
       case bucketRe(n) => BucketPart(n.toInt)
       case daysRe(c) => DaysPart(c)
+      case monthsRe(c) => MonthsPart(c)
+      case truncRe(w, c) => TruncatePart(w.toInt, c)
       case c => IdentityPart(c)
     }
   }
@@ -1313,6 +1336,93 @@ object GlprSource {
       |WHERE ts >= '2024-01-03' AND ts < '2024-01-05' GROUP BY 1""".stripMargin)
   }
   private[io] def daysStagedRoot(dir: String): String = daysCache.get(dir)
+
+  /** q341 — MONTH PARTITIONING, `PARTITIONED BY (months(ts))` (round-17
+    * verdict #4): the same prefix-transform channel as q333's days —
+    * month = the first 7 ISO chars, tracked per shard at write time —
+    * with a one-month window read pruning to the month's shards via the
+    * sidecar month sets (prune pin in GlprCatalogSpec). Oracle derives
+    * the same deterministic months. */
+  def monthsPartitionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = monthsCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-months").toString)
+    val s2 = freshCatalogSession(spark, "glpr_mon", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_mon.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+        "PARTITIONED BY (months(ts))")
+      s2.sql("INSERT INTO glpr_mon.corpus.docs " +
+        "SELECT doc_id, lang, source, text, " +
+        "concat(date_format(date_add(to_date('2024-01-15'), " +
+        "  CAST((doc_id % 4) * 20 AS INT)), 'yyyy-MM-dd'), 'T08:00:00') AS ts " +
+        s"FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY CAST(doc_id % 4 AS INT)")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT substr(ts, 1, 7) AS month, lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_mon.corpus.docs
+        |WHERE ts >= '2024-02' AND ts <= '2024-02-29T23:59:59'
+        |GROUP BY 1, 2""".stripMargin))
+  }
+  private val monthsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Un-rematerialized plan view of the q341 window read (PlanAudit +
+    * the GlprCatalogSpec prune pin read this). */
+  def monthsPartitionPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    monthsPartitionPipeline(spark, dir): Unit
+    val s2 = freshCatalogSession(spark, "glpr_mon", monthsCache.get(dir))
+    s2.sql("""SELECT substr(ts, 1, 7) AS month, count(*) AS n_docs
+      |FROM glpr_mon.corpus.docs
+      |WHERE ts >= '2024-02' AND ts <= '2024-02-29T23:59:59'
+      |GROUP BY 1""".stripMargin)
+  }
+  private[io] def monthsStagedRoot(dir: String): String = monthsCache.get(dir)
+
+  /** q342 — TRUNCATE PARTITIONING, `PARTITIONED BY (truncate(4,
+    * source))` (round-17 verdict #4): prefix width 4 over the src
+    * labels, tracked per shard; an IN probe on the raw column relaxes
+    * to its prefix image and prunes to the matching shards (residual
+    * keeps rows exact — 'src1' covers src1 and src10-19). The last of
+    * the Iceberg transform family on the same sidecar channel. */
+  def truncatePartitionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = truncCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-trunc").toString)
+    val s2 = freshCatalogSession(spark, "glpr_trn", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_trn.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (truncate(4, source))")
+      s2.sql("INSERT INTO glpr_trn.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY substr(source, 1, 4)")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_trn.corpus.docs
+        |WHERE source IN ('src7', 'src12')
+        |GROUP BY 1, 2""".stripMargin))
+  }
+  private val truncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Un-rematerialized plan view of the q342 probe (PlanAudit + the
+    * GlprCatalogSpec prune pin read this). */
+  def truncatePartitionPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    truncatePartitionPipeline(spark, dir): Unit
+    val s2 = freshCatalogSession(spark, "glpr_trn", truncCache.get(dir))
+    s2.sql("""SELECT source, count(*) AS n_docs
+      |FROM glpr_trn.corpus.docs
+      |WHERE source IN ('src7', 'src12') GROUP BY 1""".stripMargin)
+  }
+  private[io] def truncateStagedRoot(dir: String): String = truncCache.get(dir)
 
   /** q334 — HASH-BUCKET PARTITIONING, `PARTITIONED BY (bucket(8,
     * doc_id))`: bucket id = floorMod(doc_id, 8), tracked per shard at
@@ -2694,6 +2804,10 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       case GlprSource.IdentityPart(c) => Expressions.identity(c)
       case b: GlprSource.BucketPart => Expressions.bucket(b.n, "doc_id")
       case d: GlprSource.DaysPart => Expressions.days(d.column)
+      case m: GlprSource.MonthsPart => Expressions.months(m.column)
+      case t: GlprSource.TruncatePart =>
+        Expressions.apply("truncate",
+          Expressions.literal(t.w), Expressions.column(t.column))
     }.toArray
 
   /** Provenance metadata column (parquet's `_metadata.file_path`
@@ -3429,22 +3543,23 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
       case _ => ()
     }
     partitionCol.map(GlprSource.parsePartSpec).collect {
-      case d: GlprSource.DaysPart =>
+      case d: GlprSource.PrefixPart =>
+        val w = d.prefixLen
         def andEq(vals: Set[String]): Unit =
           dayEq = Some(dayEq.map(_ intersect vals).getOrElse(vals))
         filters.foreach {
-          case EqualTo(c, v: String) if c == d.column => andEq(Set(v.take(10)))
+          case EqualTo(c, v: String) if c == d.column => andEq(Set(v.take(w)))
           case In(c, vs) if c == d.column && vs.nonEmpty &&
               vs.forall(_.isInstanceOf[String]) =>
-            andEq(vs.iterator.map(_.asInstanceOf[String].take(10)).toSet)
+            andEq(vs.iterator.map(_.asInstanceOf[String].take(w)).toSet)
           case GreaterThan(c, v: String) if c == d.column =>
-            dayLo = Some(dayLo.fold(v.take(10))(l => Seq(l, v.take(10)).max))
+            dayLo = Some(dayLo.fold(v.take(w))(l => Seq(l, v.take(w)).max))
           case GreaterThanOrEqual(c, v: String) if c == d.column =>
-            dayLo = Some(dayLo.fold(v.take(10))(l => Seq(l, v.take(10)).max))
+            dayLo = Some(dayLo.fold(v.take(w))(l => Seq(l, v.take(w)).max))
           case LessThan(c, v: String) if c == d.column =>
-            dayHi = Some(dayHi.fold(v.take(10))(h => Seq(h, v.take(10)).min))
+            dayHi = Some(dayHi.fold(v.take(w))(h => Seq(h, v.take(w)).min))
           case LessThanOrEqual(c, v: String) if c == d.column =>
-            dayHi = Some(dayHi.fold(v.take(10))(h => Seq(h, v.take(10)).min))
+            dayHi = Some(dayHi.fold(v.take(w))(h => Seq(h, v.take(w)).min))
           case _ => ()
         }
     }
@@ -3880,7 +3995,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
             else runtimeIds.orElse(pointIds).map(_.iterator.map(b.bucketOf).toSet)
           wanted.forall(w => meta.flatMap(_.valuesOf(b.spec))
             .forall(have => (have & w).nonEmpty))
-        case Some(d: GlprSource.DaysPart)
+        case Some(d: GlprSource.PrefixPart)
             if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
           meta.flatMap(_.valuesOf(d.spec)).forall(_.exists { day =>
             dayEq.forall(_.contains(day)) &&

@@ -143,6 +143,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q338_glpr_cdc_merge",      // seeds + MERGE-applies the changelog table
     "q339_glpr_typed_evolution", // staged DDL+INSERTs on construction
     "q340_glpr_cbo_stats_join", // staging write + collected join result
+    "q341_glpr_months_partition", // staged DDL+clustered INSERT
+    "q342_glpr_truncate_partition", // staged DDL+clustered INSERT
                                 // (shares q328's staging); per-version
                                 // replay pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction

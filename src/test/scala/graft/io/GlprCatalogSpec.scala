@@ -760,6 +760,47 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("tt_in2")
   }
 
+  test("q341/q342 months/truncate partitions prune: month windows and prefix probes skip shards") {
+    val s2 = spark.newSession()
+    val r2 = TempDirs.scratch("graft-glpr-pfxspec").toString
+    s2.conf.set("spark.sql.catalog.glpr_pfx", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_pfx.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // months(ts): one shard per month via DISTRIBUTE BY, window reads skip
+    s2.sql("CREATE TABLE glpr_pfx.ns.bymonth " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+      "PARTITIONED BY (months(ts))")
+    s2.sql("INSERT INTO glpr_pfx.ns.bymonth " +
+      "SELECT id, 'en', 's', concat('t', id), " +
+      "concat('2024-0', CAST(1 + id % 3 AS STRING), '-10T08:00:00') " +
+      "FROM range(0, 60) DISTRIBUTE BY CAST(id % 3 AS INT)")
+    val monDir = new java.io.File(r2, "ns/bymonth").getAbsolutePath
+    assert(s2.sql("SELECT count(*) FROM glpr_pfx.ns.bymonth " +
+      "WHERE ts >= '2024-02' AND ts <= '2024-02-28'").head().getLong(0) === 20L)
+    val (mKept, mTotal) = GlprSource.planEvents.get(monDir)
+    assert(mKept < mTotal, s"month window must prune: $mKept/$mTotal")
+    // truncate(4, source): raw-column probes relax to their prefix image
+    s2.sql("CREATE TABLE glpr_pfx.ns.bypfx " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (truncate(4, source))")
+    s2.sql("INSERT INTO glpr_pfx.ns.bypfx " +
+      "SELECT id, 'en', concat('src', CAST(id % 12 AS STRING)), " +
+      "concat('t', id) FROM range(0, 120) DISTRIBUTE BY substr(" +
+      "concat('src', CAST(id % 12 AS STRING)), 1, 4)")
+    val pfxDir = new java.io.File(r2, "ns/bypfx").getAbsolutePath
+    assert(s2.sql("SELECT count(*) FROM glpr_pfx.ns.bypfx " +
+      "WHERE source = 'src7'").head().getLong(0) === 10L)
+    val (pKept, pTotal) = GlprSource.planEvents.get(pfxDir)
+    assert(pKept < pTotal, s"prefix equality must prune: $pKept/$pTotal")
+    // the prefix is an OVER-KEEP, never an under-read: 'src1' covers
+    // src1, src10 and src11 — the residual row filter keeps it exact
+    assert(s2.sql("SELECT count(*) FROM glpr_pfx.ns.bypfx " +
+      "WHERE source IN ('src3', 'src11')").head().getLong(0) === 20L)
+    val (iKept, iTotal) = GlprSource.planEvents.get(pfxDir)
+    assert(iKept < iTotal, s"prefix IN probe must prune: $iKept/$iTotal")
+  }
+
   test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
     spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
     Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
