@@ -1483,10 +1483,10 @@ object GlprSource {
               s"WHERE $p")
         }
       val tdir = new java.io.File(out, "corpus/docs").getAbsolutePath
+      // pin the DURABLE commit clock (header + mtime mirror) to the
+      // fixed schedule the oracle's pin arithmetic assumes
       listManifestVersions(tdir).foreach { v =>
-        java.nio.file.Files.setLastModifiedTime(
-          versionFile(tdir, v).toPath,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + (v - 1) * 10000L))
+        pinVersionCommitMs(tdir, v, t0 + (v - 1) * 10000L)
       }
       out
     })
@@ -2090,7 +2090,15 @@ object GlprSource {
       // epoch replay re-merging its own shard names, rebuildManifest on
       // a clean dir) neither mints a version nor touches the pointer
       if (readManifest(path).contains(content)) return
-      val bytes = content.mkString("\n")
+      // DURABLE COMMIT CLOCK (round-17 verdict #5): the commit wall
+      // time is written INTO the version file as a header line, so
+      // `TIMESTAMP AS OF` resolution survives copies/restores and
+      // filesystems with coarse mtime granularity ([[versionCommitMs]];
+      // mtime stays the fallback for pre-round-18 version files).
+      // Header lines are not shard lines, so every reader filters them
+      // ([[versionEntries]]/[[committedEntries]] via [[isShardLine]]).
+      val bytes = (s"# committedAtMs=${System.currentTimeMillis()}\n" +
+        content.mkString("\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val vtmp = new java.io.File(path,
         s"_tmp-manifest-${Thread.currentThread().getId}-$attempts")
@@ -2167,6 +2175,44 @@ object GlprSource {
   }
   private[io] def versionShardNames(path: String, v: Long): Seq[String] =
     versionEntries(path, v).map(entryName)
+
+  /** The COMMIT WALL TIME of a manifest version (round-17 verdict #5):
+    * the `# committedAtMs=` header [[commitManifest]] writes into the
+    * version file — durable across file copies/restores and immune to
+    * mtime granularity — with the file mtime as the fallback for
+    * pre-round-18 version files that carry no header. This is the
+    * clock `TIMESTAMP AS OF` resolves against
+    * ([[GlprCatalog.loadTable]]). */
+  def versionCommitMs(path: String, v: Long): Long = {
+    val f = versionFile(path, v)
+    val hdr = """#\s*committedAtMs=(\d+)""".r
+    scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.take(1).collectFirst {
+          case hdr(ms) => ms.toLong
+        }
+    }.toOption.flatten.getOrElse(f.lastModified())
+  }
+
+  /** PIN a version's commit clock to a fixed instant — a STAGING
+    * fixture tool (deterministic oracles need a deterministic clock;
+    * q335 pins its three commits to a fixed schedule): rewrites the
+    * header line in place and mirrors the instant into the mtime for
+    * the legacy fallback. Never called by any production path — version
+    * files are immutable once linked. */
+  private[io] def pinVersionCommitMs(path: String, v: Long, ms: Long): Unit = {
+    val f = versionFile(path, v)
+    val body = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filterNot(_.trim.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(f.toPath,
+      (s"# committedAtMs=$ms\n" + body)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.setLastModifiedTime(f.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+    ()
+  }
 
   /** [[committedEntries]] pinned to a manifest version, resolved to
     * (shard file, dv generation). Unknown versions and versions whose

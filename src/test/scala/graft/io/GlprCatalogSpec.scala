@@ -473,13 +473,11 @@ class GlprCatalogSpec extends AnyFunSuite {
     }
     insert(0, 10); insert(10, 30); insert(30, 60) // versions 1-3
     val dir = new java.io.File(root, "ns12/tt").getAbsolutePath
-    // pin deterministic commit times on the version files (the commit
-    // clock): v1=t0, v2=t0+10s, v3=t0+20s
+    // pin deterministic commit times on the DURABLE clock (the in-file
+    // committedAtMs header): v1=t0, v2=t0+10s, v3=t0+20s
     val t0 = 1700000000000L
     GlprSource.listManifestVersions(dir).foreach { v =>
-      java.nio.file.Files.setLastModifiedTime(
-        GlprSource.versionFile(dir, v).toPath,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + (v - 1) * 10000L))
+      GlprSource.pinVersionCommitMs(dir, v, t0 + (v - 1) * 10000L)
     }
     def countAsOf(millis: Long): Long = spark.sql(
       "SELECT count(*) FROM glpr_spec.ns12.tt TIMESTAMP AS OF " +
@@ -758,6 +756,45 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
     spark.catalog.dropTempView("tt_in1")
     spark.catalog.dropTempView("tt_in2")
+  }
+
+  test("TIMESTAMP AS OF resolves on the durable in-file commit clock, not mtimes") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns15.clk $ddl")
+    Seq((1L, "en", "s", "a")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("clk_in1")
+    Seq((2L, "en", "s", "b")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("clk_in2")
+    spark.sql("INSERT INTO glpr_spec.ns15.clk SELECT * FROM clk_in1") // v1
+    spark.sql("INSERT INTO glpr_spec.ns15.clk SELECT * FROM clk_in2") // v2
+    val path = new java.io.File(root, "ns15/clk").getAbsolutePath
+    val t0 = 1700000000000L
+    GlprSource.pinVersionCommitMs(path, 1L, t0)
+    GlprSource.pinVersionCommitMs(path, 2L, t0 + 10000L)
+    def countAt(ms: Long): Long = spark.sql(
+      s"SELECT count(*) FROM glpr_spec.ns15.clk " +
+        s"TIMESTAMP AS OF timestamp_millis(${ms}L)").head().getLong(0)
+    assert(countAt(t0 + 5000L) === 1L)
+    assert(countAt(t0 + 15000L) === 2L)
+    // TOUCH the version files' mtimes (a copy/restore would): the
+    // in-file header is the clock, resolution must not move
+    Seq(1L, 2L).foreach(v => java.nio.file.Files.setLastModifiedTime(
+      GlprSource.versionFile(path, v).toPath,
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 999999L)))
+    assert(countAt(t0 + 5000L) === 1L,
+      "TIMESTAMP AS OF must read the in-file commit clock, not mtimes")
+    assert(GlprSource.versionCommitMs(path, 1L) === t0)
+    // legacy fallback: a version file WITHOUT a header (pre-round-18)
+    // resolves by its mtime
+    val v2 = GlprSource.versionFile(path, 2L)
+    val stripped = new String(java.nio.file.Files.readAllBytes(v2.toPath), "UTF-8")
+      .linesIterator.filterNot(_.trim.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(v2.toPath, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(v2.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 20000L))
+    assert(GlprSource.versionCommitMs(path, 2L) === t0 + 20000L)
+    assert(countAt(t0 + 15000L) === 1L) // v2 now stamps t0+20s: excluded
+    spark.catalog.dropTempView("clk_in1")
+    spark.catalog.dropTempView("clk_in2")
   }
 
   test("q341/q342 months/truncate partitions prune: month windows and prefix probes skip shards") {
