@@ -3010,6 +3010,26 @@ object Registry {
       graft.io.GlprSource.cdcMergeSqlPipeline(s, d).orderBy("user_id"),
       Some(cdcCompactSql)),
 
+    // STREAMING MERGE through the SQL front door (round-17 verdict #8):
+    // the q337 CDF stream (one version per micro-batch — inserts, CoW
+    // remove+re-add, MoR dv-deltas) applied to a catalog target by ONE
+    // SQL MERGE per batch (netted to one row per key first), the Delta
+    // readChangeFeed→MERGE idiom. The drained target must equal the
+    // source's live view — the batch oracle, under the q335/q337
+    // empty-slice determinism gate.
+    "q343_glpr_stream_merge" -> Entry((s, d) =>
+      graft.io.GlprSource.streamCdfMergePipeline(s, d).orderBy("lang"), Some(
+      """WITH f AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 300) *
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 300) AS ok)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE ((doc_id >= 50 AND doc_id < 100) OR doc_id >= 300)
+        |   OR (SELECT ok FROM f) = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

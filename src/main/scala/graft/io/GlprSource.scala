@@ -1568,6 +1568,86 @@ object GlprSource {
   private val cdfStreamCounter =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q343 — STREAMING MERGE through the SQL front door (round-17
+    * verdict #8; the Delta `readChangeFeed → foreachBatch MERGE`
+    * idiom): a SOURCE catalog table builds a five-step history — three
+    * slice INSERTs, a CoW DELETE of the middle slice (remove+re-add
+    * physics), a MoR delete-vector delete (dv-delta physics) — and a
+    * CDF STREAM replays it one version per micro-batch into a TARGET
+    * catalog table, each batch applied by ONE SQL MERGE: the batch is
+    * first netted to one row per key (a CoW rewrite emits remove+re-add
+    * of the same id in one version — the insert side wins), then
+    * `WHEN MATCHED AND delete THEN DELETE / WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED AND insert THEN INSERT`. After the stream drains
+    * (AvailableNow), the target must equal the source's LIVE view —
+    * incremental ingest end-to-end SQL, certified by the batch oracle.
+    * Empty slices skip their INSERT and gate off the deletes (the
+    * q335/q337 determinism guard), mirrored by the oracle's `ok`
+    * gate. */
+  def streamCdfMergePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = streamMergeCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-streammerge").toString
+      val s2 = freshCatalogSession(spark, "glpr_scm", out)
+      s2.sql("CREATE TABLE glpr_scm.state.source " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("CREATE TABLE glpr_scm.state.target " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      val slices = Seq("doc_id < 100", "doc_id >= 100 AND doc_id < 300",
+        "doc_id >= 300")
+      val counts = slices.map(p => s2.sql("SELECT count(*) AS n FROM " +
+        s"parquet.`$dir/documents.parquet` WHERE $p").head().getLong(0))
+      slices.zip(counts).foreach { case (p, n) =>
+        if (n > 0)
+          s2.sql("INSERT INTO glpr_scm.state.source " +
+            "SELECT doc_id, lang, source, text FROM " +
+            s"parquet.`$dir/documents.parquet` WHERE $p")
+      }
+      val srcPath = new java.io.File(out, "state/source").getAbsolutePath
+      if (counts.forall(_ > 0)) {
+        GlprMaintenance.deleteIdRange(s2, srcPath, 100L, 299L)       // CoW
+        GlprMaintenance.deleteIdRangeMergeOnRead(srcPath, 0L, 49L): Unit // MoR
+      }
+      val stream = s2.readStream.format("graft.io.GlprSource")
+        .option("changeMode", "cdf").load(srcPath)
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          new java.io.File(out, "ckpt").getAbsolutePath)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val s = b.sparkSession
+          b.createOrReplaceTempView("glpr_scm_batch")
+          s.sql(
+            """MERGE INTO glpr_scm.state.target t
+              |USING (
+              |  SELECT doc_id, last.lang AS lang, last.source AS source,
+              |         last.text AS text, last.ct AS ct
+              |  FROM (SELECT doc_id, max(struct(
+              |          CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END AS r,
+              |          lang, source, text, _change_type AS ct)) AS last
+              |        FROM glpr_scm_batch GROUP BY doc_id)
+              |) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u.ct = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET t.lang = u.lang,
+              |  t.source = u.source, t.text = u.text
+              |WHEN NOT MATCHED AND u.ct <> 'delete' THEN
+              |  INSERT (doc_id, lang, source, text)
+              |  VALUES (u.doc_id, u.lang, u.source, u.text)
+              |""".stripMargin): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      out
+    })
+    val s2 = freshCatalogSession(spark, "glpr_scm", root)
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_scm.state.target GROUP BY lang""".stripMargin))
+  }
+  private val streamMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Un-rematerialized plan views of the two partitioned-table reads —
     * the registry entries collect onto the caller's session (hiding the
     * scan behind a LocalRelation), so PlanAudit reads these instead. */
@@ -4098,7 +4178,20 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * level: pushed doc_id filters don't shrink the estimate (matching
     * the built-in file sources, whose stats are also pre-filter). */
   override def estimateStatistics(): Statistics = {
-    val shards = baseShards().map(_._1)
+    // a statistics call must never fail a plan: the batch incarnation
+    // of a CDF STREAM scan (no from-version — q343's foreachBatch MERGE
+    // reaches it through the micro-batch's computeStats) and a
+    // vanished-history diff both refuse in baseShards, which is correct
+    // for READS but means "unknown" here
+    val shards = try baseShards().map(_._1) catch {
+      case _: IllegalArgumentException | _: IllegalStateException =>
+        return new Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
+    }
     val metas = shards.map(GlprSource.readMeta)
     val haveMetas = shards.nonEmpty && metas.forall(_.isDefined)
     val (size, rows) =
