@@ -328,7 +328,13 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     else throw new NoSuchNamespaceException(namespace)
   override def loadFunction(ident: Identifier): UnboundFunction =
     (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
-      GlprFunctions.load(ident.name) else None)
+      GlprFunctions.load(ident.name)
+    // EMPTY namespace: the partition-transform functions
+    // V2ExpressionUtils resolves when a write requires a
+    // transform-clustered distribution (round 18; the Iceberg layout)
+    else if (ident.namespace.isEmpty)
+      GlprFunctions.loadTransform(ident.name)
+    else None)
       .getOrElse(throw new NoSuchFunctionException(ident))
 
   /** DSv2 `ProcedureCatalog` (q316/q317): `CALL <cat>.sys.compact(

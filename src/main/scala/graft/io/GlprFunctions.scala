@@ -25,6 +25,110 @@ object GlprFunctions {
     case "bytes_sum" => Some(BytesSumFn)
     case _ => None
   }
+
+  /** PARTITION-TRANSFORM functions served at the EMPTY namespace
+    * (round 18) — the lookups `V2ExpressionUtils` makes when resolving
+    * a transform inside a write's required distribution (Iceberg serves
+    * the same names the same way): with these bound, a `PARTITIONED BY
+    * (bucket(8, doc_id))` / `days(ts)` / `months(ts)` / `truncate(w,
+    * col)` table can REQUIRE `Distributions.clustered(<transform>)` and
+    * Spark inserts the clustering shuffle itself — ingest discipline
+    * enforced by the connector instead of trusted to the caller's
+    * DISTRIBUTE BY. Each function computes EXACTLY the sidecar
+    * transform ([[GlprSource.PartSpec.valueOf]]), so write clustering
+    * and read pruning can never disagree. */
+  def loadTransform(name: String): Option[UnboundFunction] = name match {
+    case "bucket" => Some(BucketTransformFn)
+    case "days" => Some(PrefixTransformFn("days", 10))
+    case "months" => Some(PrefixTransformFn("months", 7))
+    case "truncate" => Some(TruncateTransformFn)
+    case _ => None
+  }
+}
+
+/** `bucket(n INT, id BIGINT): INT` = floorMod(id, n) — the GLPR bucket
+  * transform ([[GlprSource.BucketPart]]). */
+object BucketTransformFn extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, id BIGINT): INT — floorMod(id, n), the GLPR bucket transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      (inputType.fields(0).dataType == IntegerType ||
+        inputType.fields(0).dataType == LongType) &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket takes (INT, BIGINT), got ${inputType.simpleString}")
+    new ScalarFunction[java.lang.Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(inputType.fields(0).dataType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "glpr.bucket"
+      override def produceResult(input: InternalRow): java.lang.Integer = {
+        val n = inputType.fields(0).dataType match {
+          case IntegerType => input.getInt(0).toLong
+          case _ => input.getLong(0)
+        }
+        java.lang.Integer.valueOf(
+          java.lang.Math.floorMod(input.getLong(1), n).toInt)
+      }
+    }
+  }
+}
+
+/** `days/months(s STRING): STRING` — the leading ISO prefix (10 / 7
+  * chars), the GLPR prefix transforms ([[GlprSource.PrefixPart]]). */
+final case class PrefixTransformFn(fnName: String, len: Int)
+    extends UnboundFunction {
+  override def name(): String = fnName
+  override def description(): String =
+    s"$fnName(s STRING): STRING — first $len chars (GLPR prefix transform)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == StringType,
+      s"$fnName takes one STRING argument, got ${inputType.simpleString}")
+    new ScalarFunction[UTF8String] {
+      override def inputTypes(): Array[DataType] = Array(StringType)
+      override def resultType(): DataType = StringType
+      override def name(): String = fnName
+      override def canonicalName(): String = s"glpr.$fnName"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): UTF8String =
+        if (input.isNullAt(0)) null
+        else input.getUTF8String(0).substring(0, len)
+    }
+  }
+}
+
+/** `truncate(w INT, s STRING): STRING` — first `w` chars, the GLPR
+  * truncate transform ([[GlprSource.TruncatePart]]). */
+object TruncateTransformFn extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w INT, s STRING): STRING — first w chars (GLPR transform)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      (inputType.fields(0).dataType == IntegerType ||
+        inputType.fields(0).dataType == LongType) &&
+      inputType.fields(1).dataType == StringType,
+      s"truncate takes (INT, STRING), got ${inputType.simpleString}")
+    new ScalarFunction[UTF8String] {
+      override def inputTypes(): Array[DataType] =
+        Array(inputType.fields(0).dataType, StringType)
+      override def resultType(): DataType = StringType
+      override def name(): String = "truncate"
+      override def canonicalName(): String = "glpr.truncate"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): UTF8String = {
+        if (input.isNullAt(1)) return null
+        val w = inputType.fields(0).dataType match {
+          case IntegerType => input.getInt(0)
+          case _ => input.getLong(0).toInt
+        }
+        input.getUTF8String(1).substring(0, w)
+      }
+    }
+  }
 }
 
 /** `nfc_bytes(s STRING): BIGINT` — UTF-8 byte length of the NFC

@@ -1291,8 +1291,9 @@ object GlprSource {
   /** q333 — DATE PARTITIONING, `PARTITIONED BY (days(ts))` over an
     * ISO-8601 string column (the extra-column machinery supplies `ts`):
     * each document gets a deterministic day (`2024-01-0(1 + doc_id%7)`),
-    * the INSERT clusters by day (`DISTRIBUTE BY` the day expression —
-    * the documented ingest discipline for transformed partitions), and
+    * the INSERT self-clusters by day (the write's REQUIRED transform
+    * distribution, resolved through the catalog's empty-namespace
+    * transform functions — round 18; no manual DISTRIBUTE BY), and
     * the query reads a two-day window — the scan prunes to the window's
     * shards via the sidecar day sets (plan-pinned in GlprCatalogSpec).
     * The oracle derives the same days relationally. */
@@ -1310,8 +1311,7 @@ object GlprSource {
         "SELECT doc_id, lang, source, text, " +
         "concat(date_format(date_add(to_date('2024-01-01'), " +
         "  CAST(doc_id % 7 AS INT)), 'yyyy-MM-dd'), 'T12:00:00') AS ts " +
-        s"FROM parquet.`$dir/documents.parquet` " +
-        "DISTRIBUTE BY CAST(doc_id % 7 AS INT)")
+        s"FROM parquet.`$dir/documents.parquet`")
     }
     rematerialize(spark, s2.sql(
       """SELECT substr(ts, 1, 10) AS day, lang,
@@ -1357,8 +1357,7 @@ object GlprSource {
         "SELECT doc_id, lang, source, text, " +
         "concat(date_format(date_add(to_date('2024-01-15'), " +
         "  CAST((doc_id % 4) * 20 AS INT)), 'yyyy-MM-dd'), 'T08:00:00') AS ts " +
-        s"FROM parquet.`$dir/documents.parquet` " +
-        "DISTRIBUTE BY CAST(doc_id % 4 AS INT)")
+        s"FROM parquet.`$dir/documents.parquet`")
     }
     rematerialize(spark, s2.sql(
       """SELECT substr(ts, 1, 7) AS month, lang,
@@ -1400,8 +1399,7 @@ object GlprSource {
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
         "PARTITIONED BY (truncate(4, source))")
       s2.sql("INSERT INTO glpr_trn.corpus.docs " +
-        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
-        "DISTRIBUTE BY substr(source, 1, 4)")
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
     }
     rematerialize(spark, s2.sql(
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1442,8 +1440,7 @@ object GlprSource {
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
         "PARTITIONED BY (bucket(8, doc_id))")
       s2.sql("INSERT INTO glpr_bkt.corpus.docs " +
-        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet` " +
-        "DISTRIBUTE BY CAST(doc_id % 8 AS INT)")
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
     }
     rematerialize(spark, s2.sql(
       """SELECT doc_id, lang, source
@@ -3156,17 +3153,34 @@ class GlprWriteBuilder(path: String, schema: StructType,
     override def requiredDistribution:
         org.apache.spark.sql.connector.distributions.Distribution =
       partitionCol.map(GlprSource.parsePartSpec) match {
-        // identity: ask Spark to cluster by the raw column. The
-        // TRANSFORMED specs (bucket/days) keep the input partitioning —
-        // resolving a transform distribution needs a V2 function catalog
-        // lookup; GLPR documents DISTRIBUTE BY the transform expression
-        // as the ingest discipline instead (the sidecar value sets stay
-        // exact either way; only prune selectivity varies).
+        // identity: cluster by the raw column. TRANSFORMED specs
+        // (round 18): cluster by the transform itself — Spark resolves
+        // the expression against the catalog's empty-namespace
+        // transform functions ([[GlprFunctions.loadTransform]], the
+        // Iceberg layout) and inserts the shuffle, so the
+        // single-valued-shard discipline the sidecar prune index needs
+        // is ENFORCED by the connector, not trusted to the caller's
+        // DISTRIBUTE BY. (Provider-path tables never carry a partition
+        // spec, so this never asks for a transform without a function
+        // catalog in scope.)
         case Some(GlprSource.IdentityPart(c)) =>
           org.apache.spark.sql.connector.distributions.Distributions
             .clustered(Array(Expressions.column(c)))
-        case _ => org.apache.spark.sql.connector.distributions.Distributions
-          .unspecified()
+        case Some(b: GlprSource.BucketPart) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.bucket(b.n, "doc_id")))
+        case Some(d: GlprSource.DaysPart) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.days(d.column)))
+        case Some(m: GlprSource.MonthsPart) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.months(m.column)))
+        case Some(t: GlprSource.TruncatePart) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.apply("truncate",
+              Expressions.literal(t.w), Expressions.column(t.column))))
+        case None => org.apache.spark.sql.connector.distributions
+          .Distributions.unspecified()
       }
     override def requiredOrdering:
         Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty

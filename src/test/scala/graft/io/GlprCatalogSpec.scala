@@ -838,6 +838,67 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(iKept < iTotal, s"prefix IN probe must prune: $iKept/$iTotal")
   }
 
+  test("transform-clustered writes need NO manual DISTRIBUTE BY (required distribution)") {
+    val s2 = spark.newSession()
+    val r2 = TempDirs.scratch("graft-glpr-reqdist").toString
+    s2.conf.set("spark.sql.catalog.glpr_rd", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_rd.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    def pvalsTracked(dir: String): Boolean = {
+      val shards = GlprSource.committedShards(dir)
+      shards.nonEmpty && shards.filter(f =>
+        GlprSource.readMeta(f).exists(_.rows > 0)).forall(f =>
+        GlprSource.readMeta(f).exists(_.pvals.isDefined))
+    }
+    // bucket(4, doc_id): plain INSERT, the connector's required
+    // distribution inserts the clustering shuffle itself
+    s2.sql("CREATE TABLE glpr_rd.ns.bkt " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (bucket(4, doc_id))")
+    s2.sql("INSERT INTO glpr_rd.ns.bkt " +
+      "SELECT id, 'en', 's', concat('t', id) FROM range(0, 100)")
+    val bktDir = new java.io.File(r2, "ns/bkt").getAbsolutePath
+    assert(pvalsTracked(bktDir),
+      "bucket write must self-cluster: every shard tracks its value set")
+    assert(s2.sql("SELECT count(*) FROM glpr_rd.ns.bkt WHERE doc_id IN (3, 7)")
+      .head().getLong(0) === 2L)
+    val (bKept, bTotal) = GlprSource.planEvents.get(bktDir)
+    assert(bKept < bTotal, s"bucket probe must prune a self-clustered " +
+      s"write: $bKept/$bTotal")
+    // months(ts): same, via the prefix-transform function
+    s2.sql("CREATE TABLE glpr_rd.ns.mon " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+      "PARTITIONED BY (months(ts))")
+    s2.sql("INSERT INTO glpr_rd.ns.mon " +
+      "SELECT id, 'en', 's', concat('t', id), " +
+      "concat('2024-0', CAST(1 + id % 3 AS STRING), '-10T08:00:00') " +
+      "FROM range(0, 60)")
+    val monDir = new java.io.File(r2, "ns/mon").getAbsolutePath
+    assert(pvalsTracked(monDir),
+      "months write must self-cluster: every shard tracks its value set")
+    assert(s2.sql("SELECT count(*) FROM glpr_rd.ns.mon " +
+      "WHERE ts >= '2024-02' AND ts <= '2024-02-28'").head().getLong(0) === 20L)
+    val (mKept, mTotal) = GlprSource.planEvents.get(monDir)
+    assert(mKept < mTotal, s"month window must prune a self-clustered " +
+      s"write: $mKept/$mTotal")
+    // truncate(4, source): same
+    s2.sql("CREATE TABLE glpr_rd.ns.trn " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+      "PARTITIONED BY (truncate(4, source))")
+    s2.sql("INSERT INTO glpr_rd.ns.trn " +
+      "SELECT id, 'en', concat('src', CAST(id % 12 AS STRING)), " +
+      "concat('t', id) FROM range(0, 120)")
+    val trnDir = new java.io.File(r2, "ns/trn").getAbsolutePath
+    assert(pvalsTracked(trnDir),
+      "truncate write must self-cluster: every shard tracks its value set")
+    assert(s2.sql("SELECT count(*) FROM glpr_rd.ns.trn WHERE source = 'src7'")
+      .head().getLong(0) === 10L)
+    val (tKept, tTotal) = GlprSource.planEvents.get(trnDir)
+    assert(tKept < tTotal, s"prefix probe must prune a self-clustered " +
+      s"write: $tKept/$tTotal")
+  }
+
   test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
     spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
     Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
