@@ -2841,12 +2841,14 @@ object Registry {
         | coalesce(round(sum(score), 6), CAST(0.0 AS DOUBLE)) AS score_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // COLUMN-LEVEL STATS → CBO (round-17 verdict #3): sidecar doc_id
-    // min/max/NDV + byte-counter avg lengths surface as Catalyst
-    // attributeStats; under CBO the selective range filter's estimate
-    // drops below the broadcast threshold and the corpus⋈events join
-    // plans as BHJ (asserted in-pipeline; exact stats values + cbo-off
-    // control pinned in GlprSpec). Oracle certifies the join result.
+    // SIDECAR STATS → broadcast decision (round-17 verdict #3):
+    // column stats (doc_id min/max/NDV, avg lengths) surface as
+    // Catalyst attributeStats AND the scan's sizeInBytes/numRows are
+    // PUSHDOWN-AWARE (per-shard bounds-overlap scaling + static-prune
+    // drops), so the selective range probe estimates ~50 rows and the
+    // corpus⋈events join plans as BHJ at every SF (asserted
+    // in-pipeline; estimates + no-broadcast control pinned in
+    // GlprSpec). Oracle certifies the join result.
     "q340_glpr_cbo_stats_join" -> Entry((s, d) =>
       graft.io.GlprSource.cboStatsJoinPipeline(s, d).orderBy("lang"), Some(
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_events,

@@ -1208,19 +1208,21 @@ object GlprSource {
   private val typedEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q340 — COLUMN-LEVEL STATISTICS driving CBO (round-17 verdict #3):
-    * the corpus staged as a GLPR table whose commit sidecars surface
-    * per-column stats (doc_id min/max/NDV, byte-counter avg lengths)
-    * through the DSv2 `columnStats` channel into Catalyst
-    * `attributeStats`. Under `spark.sql.cbo.enabled`, the selective
-    * `doc_id < 50` range filter gets a REAL selectivity from the
-    * min/max — the filtered corpus estimate (~50 rows × avg row width)
-    * drops below the broadcast threshold while the unfiltered corpus
-    * (~hundreds of KB) and the events fact side stay above it, so the
-    * join plans as BroadcastHashJoin instead of shuffle — asserted
-    * in-pipeline (the plan IS the deliverable; the cbo-off control and
-    * exact attributeStats values are GlprSpec-pinned). The oracle
-    * certifies the join result itself. */
+  /** q340 — SIDECAR STATISTICS driving the broadcast decision
+    * (round-17 verdict #3): the corpus staged as a GLPR table whose
+    * commit sidecars surface (a) per-column stats — doc_id min/max/NDV,
+    * byte-counter avg lengths — through the DSv2 `columnStats` channel
+    * into Catalyst `attributeStats` (exact values GlprSpec-pinned), and
+    * (b) a PUSHDOWN-AWARE `sizeInBytes`/`numRows`: the scan scales each
+    * shard by its bounds overlap with the pushed doc_id range and drops
+    * statically-pruned shards, so the estimate is the scan OUTPUT, not
+    * the corpus total. The selective `doc_id < 50` probe estimates ~50
+    * rows (~16 KB) — under the 32 KB broadcast threshold — while the
+    * unfiltered corpus (~MBs at sf0.1) and the events fact side sit
+    * above it, so the join plans as BroadcastHashJoin at EVERY SF —
+    * asserted in-pipeline (the plan is the deliverable; the
+    * filtered-vs-full estimate and the no-broadcast control are
+    * GlprSpec-pinned). The oracle certifies the join result itself. */
   def cboStatsJoinPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -4208,15 +4210,72 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     }
     val metas = shards.map(GlprSource.readMeta)
     val haveMetas = shards.nonEmpty && metas.forall(_.isDefined)
+    // PRUNING- AND SELECTIVITY-AWARE estimate (round 18): the scan
+    // already knows its pushed doc_id range, partition-value sets and
+    // prefix/bucket probe images, so the estimate is the POST-pushdown
+    // scan output — per shard: dropped entirely when the static prune
+    // would skip it, fractionally scaled by the pushed range's overlap
+    // with the shard's id bounds otherwise (uniform-id assumption, the
+    // same one every min/max-based optimizer makes). This is what lets
+    // Catalyst broadcast a selectively-filtered corpus side whose
+    // UNFILTERED size is far over the threshold — the broadcast
+    // decision sees the sidecar metadata, not just a corpus total
+    // (q340's plan; filtered-vs-full pinned in GlprSpec).
+    val bucketSpec = partitionCol.map(GlprSource.parsePartSpec)
+    def staticKeep(m: GlprSource.ShardMeta): Boolean = {
+      val idKeep = m.bounds match {
+        case Some((lo, hi)) => hi >= range.lo && lo <= range.hi
+        case None => true
+      }
+      val valKeep = valueFilters.forall { case (c, wanted) =>
+        m.valuesOf(c).forall(have => (have & wanted).nonEmpty)
+      }
+      val specKeep = bucketSpec match {
+        case Some(b: GlprSource.BucketPart) =>
+          val wanted: Option[Set[String]] =
+            if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
+            else pointIds.map(_.iterator.map(b.bucketOf).toSet)
+          wanted.forall(w => m.valuesOf(b.spec)
+            .forall(have => (have & w).nonEmpty))
+        case Some(d: GlprSource.PrefixPart)
+            if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
+          m.valuesOf(d.spec).forall(_.exists { day =>
+            dayEq.forall(_.contains(day)) &&
+              dayLo.forall(day >= _) && dayHi.forall(day <= _)
+          })
+        case _ => true
+      }
+      idKeep && valKeep && specKeep
+    }
+    /** surviving-row fraction of one kept shard under the pushed range
+      * (1.0 when the range does not narrow the shard's bounds). */
+    def fraction(m: GlprSource.ShardMeta): Double = m.bounds match {
+      case Some((lo, hi))
+          if range.lo > Long.MinValue || range.hi < Long.MaxValue =>
+        val oLo = math.max(lo, range.lo)
+        val oHi = math.min(hi, range.hi)
+        if (oHi < oLo) 0.0
+        else if (hi == lo) 1.0
+        else math.min(1.0,
+          (oHi.toDouble - oLo.toDouble + 1.0) / (hi.toDouble - lo.toDouble + 1.0))
+      case _ => 1.0
+    }
     val (size, rows) =
       if (haveMetas) {
-        val ms = metas.map(_.get)
-        val n = ms.map(_.rows).sum
+        val kept = metas.map(_.get).filter(staticKeep)
         val wanted = required.fieldNames.toSet
         val strFields = Seq("lang", "source", "text").filter(wanted)
-        val strBytes = strFields.map(f => ms.map(_.fieldBytes(f)).sum).sum
         val perRow = (if (wanted("doc_id")) 8L else 0L) + 8L * strFields.size
-        (n * perRow + strBytes, java.util.OptionalLong.of(n))
+        var n = 0L
+        var bytes = 0L
+        kept.foreach { m =>
+          val f = fraction(m)
+          val mRows = math.ceil(m.rows * f).toLong
+          n += mRows
+          bytes += mRows * perRow +
+            math.ceil(strFields.map(m.fieldBytes).sum * f).toLong
+        }
+        (bytes, java.util.OptionalLong.of(n))
       } else (shards.map(_.length).sum, java.util.OptionalLong.empty())
     val sz = size
     // COLUMN-LEVEL statistics → Catalyst (round-17 verdict #3): the
@@ -4270,9 +4329,16 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
           }
         val data = ms.filter(_.rows > 0)
         val bounds = data.flatMap(_.bounds)
-        if (n > 0 && bounds.length == data.length)
-          put("doc_id", Some(n), Some(java.lang.Long.valueOf(bounds.map(_._1).min)),
-            Some(java.lang.Long.valueOf(bounds.map(_._2).max)), Some(8L), Some(8L))
+        if (n > 0 && bounds.length == data.length) {
+          // clamp to the pushed range and cap NDV by the post-filter
+          // row estimate: the stats describe the scan OUTPUT
+          val mn = math.max(bounds.map(_._1).min, range.lo)
+          val mx = math.min(bounds.map(_._2).max, range.hi)
+          val ndv = math.min(n, if (rows.isPresent) rows.getAsLong else n)
+          put("doc_id", Some(math.max(ndv, 1L)),
+            Some(java.lang.Long.valueOf(math.min(mn, mx))),
+            Some(java.lang.Long.valueOf(math.max(mn, mx))), Some(8L), Some(8L))
+        }
         Seq("lang", "source", "text").foreach { f =>
           if (n > 0) {
             val avg = Some(math.max(1L,

@@ -1318,7 +1318,7 @@ class GlprSpec extends AnyFunSuite {
       s"sidecar-less shards must fall back to file-length stats, got $fb")
   }
 
-  test("column-level sidecar stats reach Catalyst attributeStats and flip a CBO plan") {
+  test("sidecar stats reach Catalyst: attributeStats values + pushdown-aware size flips a join to broadcast") {
     import spark.implicits._
     val root = TempDirs.scratch("graft-glpr-colstats").toString
     (0L until 2000L).map(i => (i, "en", "src", "x" * 60))
@@ -1338,32 +1338,40 @@ class GlprSpec extends AnyFunSuite {
       s"doc_id stats wrong: $id")
     assert(byName.get("text").exists(_.avgLen.contains(60L)),
       s"text avgLen should come from the byte counters: ${byName.get("text")}")
-    // ...and CHANGE a plan: under CBO, the doc_id min/max give the range
-    // filter a real selectivity, the filtered estimate drops under the
-    // broadcast threshold, and the join flips SMJ -> BHJ. The threshold
-    // sits between the full size (~150 KB) and the filtered estimate.
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
-    val facts = s2.range(0, 2000).select(col("id").as("doc_id"),
-      (col("id") % 7).as("grp"))
-    // text rides through the join, so column pruning alone cannot
-    // shrink the corpus side below the threshold (~150 KB unfiltered) —
-    // only the range filter's CBO selectivity can
-    def joined = facts.join(
-      corpus.filter(col("doc_id") < 20L).select(col("doc_id"), col("text")),
-      Seq("doc_id"))
-      .groupBy("grp").agg(sum(octet_length(col("text"))).as("bytes"))
-    assert(joined.queryExecution.executedPlan.toString
-        .contains("BroadcastHashJoin"),
-      "CBO + doc_id min/max must shrink the filtered side below the " +
-        s"broadcast threshold:\n${joined.queryExecution.executedPlan}")
-    // correctness unchanged
-    assert(joined.collect().map(_.getLong(1)).sum === 20L * 60L)
-    // without CBO the same query keeps the full-size estimate above the
-    // threshold — no broadcast — pinning the flip TO the column stats
+    // ...and CHANGE a plan: the scan's estimate is PUSHDOWN-AWARE (the
+    // pushed doc_id range scales each shard by its bounds overlap), so
+    // a selectively-filtered corpus estimates ~20 rows (~2 KB) while
+    // the unfiltered corpus (~150 KB) and the 20k-row facts side
+    // (~160 KB) both sit above the 16 KB threshold: the FILTERED join
+    // broadcasts the corpus, the UNFILTERED control stays a shuffle
+    // join — the flip is attributable to the sidecar-driven estimate
+    // alone (cbo off: nothing else can shrink either side).
     s2.conf.set("spark.sql.cbo.enabled", "false")
-    assert(!joined.queryExecution.executedPlan.toString
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    val stFiltered = corpus.filter(col("doc_id") < 20L)
+      .select(col("doc_id"), col("text"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val stFull = corpus.select(col("doc_id"), col("text"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stFiltered < stFull / 20,
+      s"pushed-range estimate must scale by bounds overlap: " +
+        s"filtered=$stFiltered full=$stFull")
+    val facts = s2.range(0, 20000).select(col("id").as("doc_id"),
+      (col("id") % 7).as("grp"))
+    def joined(c: org.apache.spark.sql.DataFrame) = facts.join(
+      c.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy("grp").agg(sum(octet_length(col("text"))).as("bytes"))
+    val filteredPlan = joined(corpus.filter(col("doc_id") < 20L))
+    assert(filteredPlan.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
-      "control: without CBO the filtered side must not broadcast")
+      "the pushdown-aware estimate must broadcast the filtered corpus " +
+        s"side:\n${filteredPlan.queryExecution.executedPlan}")
+    // correctness unchanged
+    assert(filteredPlan.collect().map(_.getLong(1)).sum === 20L * 60L)
+    val controlPlan = joined(corpus)
+    assert(!controlPlan.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "control: the unfiltered corpus must not broadcast at this threshold")
     s2.conf.set("spark.sql.cbo.enabled", "true")
   }
 
