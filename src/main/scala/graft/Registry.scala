@@ -3032,6 +3032,19 @@ object Registry {
         |   OR (SELECT ok FROM f) = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // MERGE-ON-READ PREDICATE DELETE: DELETE WHERE lang IN (...) at
+    // zero data movement — one matching job, dv generations of the
+    // matched ids, ONE versioned commit (the Iceberg equality-delete
+    // trade as position masks; capped toward COW past 1M rows). Oracle
+    // is the complement rollup — the mask must be row-exact at read.
+    "q344_glpr_value_mor_delete" -> Entry((s, d) =>
+      graft.io.GlprSource.valueDeleteMorPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE lang NOT IN ('de', 'zh')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

@@ -387,6 +387,67 @@ object GlprMaintenance {
     newGens.keys.toSeq.sorted
   }
 
+  /** MERGE-ON-READ PREDICATE delete (q344): `DELETE WHERE col IN
+    * (values)` at zero data movement — the Iceberg equality-delete
+    * trade, materialized to POSITION masks at delete time: one
+    * distributed job reads the corpus (existing dv masks applied, so
+    * re-deletes are naturally idempotent) and returns the matching
+    * doc_ids per shard, each affected shard gets a fresh immutable
+    * delete-vector generation (current mask ∪ matched ids), and ONE
+    * manifest commit publishes the whole delete as a single versioned
+    * history step — reads, time travel, CDF dv-deltas and
+    * materialization compose exactly like the id-range MoR delete.
+    * Scattered ids normalize to singleton ranges (~16 B of mask per
+    * row), so the delete is CAPPED: matching more than `cap` rows
+    * refuses loudly toward the COW path (SQL `DELETE`, which moves data
+    * once instead of carrying megabytes of mask on every subsequent
+    * read) — the honest cost boundary between the two delete families.
+    * Returns the shard names whose mask changed. */
+  def deleteWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String, values: Set[String],
+      cap: Long = MoRDeleteCap): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, collect_list}
+    require(Set("lang", "source")(column),
+      s"GLPR merge-on-read predicate delete reads a base value column " +
+        s"(lang/source), got '$column'")
+    require(values.nonEmpty, "empty GLPR delete value set")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val matched = spark.read.format("graft.io.GlprSource").load(path)
+      .filter(col(column).isin(values.toSeq: _*))
+      .groupBy(col("_shard"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    val total = matched.iterator.map(_._2.size.toLong).sum
+    require(total <= cap,
+      s"GLPR merge-on-read predicate delete in '$path' matches $total " +
+        s"rows (> $cap): a mask that large costs more at every read than " +
+        "one copy-on-write rewrite — use the SQL DELETE (COW) path instead")
+    if (matched.isEmpty) return Seq.empty
+    val byName = matched.toMap
+    val gens: Map[String, Option[Long]] = GlprSource.committedEntries(path)
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
+    val newGens: Map[String, Long] = byName.flatMap { case (n, ids) =>
+      GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
+        ids.sorted.map(id => (id, id))).map(n -> _)
+    }
+    if (newGens.nonEmpty)
+      GlprSource.commitManifest(path)(base => base.map { l =>
+        val n = GlprSource.entryName(l)
+        newGens.get(n) match {
+          // same higher-gen-wins closure as [[deleteIdRangeMergeOnRead]]
+          case Some(g) => GlprSource.entryLine(n,
+            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
+          case None => l
+        }
+      })
+    newGens.keys.toSeq.sorted
+  }
+  /** Row ceiling for [[deleteWhereMergeOnRead]] — past this, the
+    * accumulated mask bytes (≈16 B/row, re-read by every scan) cost
+    * more than one COW rewrite. */
+  val MoRDeleteCap: Long = 1000000L
+
   /** MATERIALIZE delete vectors (q323): rewrite every DV-carrying shard
     * through the standard reader (which applies the mask), commit the
     * survivors under fresh names behind ONE manifest flip (mints a

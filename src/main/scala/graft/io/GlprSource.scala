@@ -1017,6 +1017,36 @@ object GlprSource {
   private val dvTtCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q344 — MERGE-ON-READ PREDICATE DELETE (`DELETE WHERE lang IN
+    * (…)` at zero data movement): the staged corpus value-deleted
+    * through [[GlprMaintenance.deleteWhereMergeOnRead]] — one
+    * distributed matching job, fresh immutable dv generations of the
+    * matched ids, ONE versioned manifest commit — then the live view
+    * rolled up: every read pays the mask at the id gate, so the oracle
+    * (the complement rollup) certifies the mask is row-exact. The
+    * capped-mask refusal toward COW and the time-travel/idempotence
+    * contracts are GlprDvIntegritySpec-pinned. */
+  def valueDeleteMorPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = valueDelCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-valuedel").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      GlprMaintenance.deleteWhereMergeOnRead(
+        spark, out, "lang", Set("de", "zh")): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val valueDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q326 — SQL `UPDATE` through the row-level-operation front door
     * (round-16 verdict #2): the corpus in a catalog table, then plain
     * `UPDATE … SET source = 'curated', text = concat(text, ' [ok]')
@@ -2676,7 +2706,10 @@ object GlprSource {
     * [[GlprMaintenance.deleteIdRangeMergeOnRead]]'s commit closure
     * relies on when racing commits pick the higher gen number). */
   private[io] def writeDvGeneration(path: String, name: String,
-      curGen: Option[Long], add: (Long, Long)): Option[Long] = {
+      curGen: Option[Long], add: (Long, Long)): Option[Long] =
+    writeDvGenerationRanges(path, name, curGen, Seq(add))
+  private[io] def writeDvGenerationRanges(path: String, name: String,
+      curGen: Option[Long], adds: Seq[(Long, Long)]): Option[Long] = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -2691,7 +2724,7 @@ object GlprSource {
           readDeleteVectorFile(dvGenFile(path, name, diskHigh))
         else Array.emptyLongArray
       val merged = normalizeRanges(
-        (committed ++ newest).grouped(2).map(a => (a(0), a(1))).toSeq :+ add)
+        (committed ++ newest).grouped(2).map(a => (a(0), a(1))).toSeq ++ adds)
       if (java.util.Arrays.equals(committed, merged)) return None
       val gen = diskHigh + 1L
       val tmp = new java.io.File(path, s"_tmp-dv-$gen-$name")

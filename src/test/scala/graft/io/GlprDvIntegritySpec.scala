@@ -109,6 +109,47 @@ class GlprDvIntegritySpec extends AnyFunSuite {
       s"gen 4 must union the colliding gen 3 and the committed mask, got ${g4.toSeq}")
   }
 
+  test("q344 predicate MoR delete: row-exact masks, one version, idempotent, capped toward COW") {
+    val root = TempDirs.scratch("graft-glpr-valuemor").toString
+    append(root, (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en", "s", s"t-$i")))   // shard A
+    append(root, (60L until 120L).map(i =>
+      (i, "en", "s", s"t-$i")))                             // shard B: no de
+    val v0 = GlprSource.listManifestVersions(root).last
+    val changed = GlprMaintenance.deleteWhereMergeOnRead(
+      spark, root, "lang", Set("de"))
+    // only the shard that held matching rows gets a generation, the
+    // whole delete is ONE minted version, and reads are row-exact
+    assert(changed.size === 1)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    assert(liveIds(root) === (0L until 120L).filter(_ % 3 != 0).toSet
+      ++ (60L until 120L).filter(_ % 3 == 0))
+    // time travel: the pre-delete version still reads unmasked
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", v0.toString).load(root).count() === 120L)
+    // idempotence: the masked rows no longer match (the matching job
+    // reads THROUGH the mask), so a re-delete mints nothing
+    assert(GlprMaintenance.deleteWhereMergeOnRead(
+      spark, root, "lang", Set("de")) === Seq.empty)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    // CDF emits exactly the value-deleted rows as deletes (dv-delta)
+    val cdf = spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", v0.toString)
+      .option("changeMode", "cdf").load(root)
+      .select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cdf === (0L until 60L).filter(_ % 3 == 0)
+      .map(("delete", _)).toSet)
+    // the cap refuses loudly toward the COW path
+    val e = intercept[IllegalArgumentException] {
+      GlprMaintenance.deleteWhereMergeOnRead(
+        spark, root, "lang", Set("en"), cap = 10L)
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    // …and a refused delete left no trace (no gens, no version)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+  }
+
   test("a corrupted CDF checkpoint offset refuses loudly instead of rewinding") {
     val root = TempDirs.scratch("graft-glpr-cdf-offset").toString
     append(root, Seq((1L, "en", "s", "a")))
