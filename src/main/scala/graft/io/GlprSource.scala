@@ -1284,6 +1284,27 @@ object GlprSource {
   }
   private val cboStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Un-rematerialized plan view of the q340 join (PlanAudit reads
+    * this; the registry entry collects onto the caller's session). */
+  def cboStatsJoinPlanFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cboStatsJoinPipeline(spark, dir): Unit // ensure staged
+    val root = cboStatsCache.get(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+    val corpus = s2.read.format("graft.io.GlprSource").load(root)
+      .filter(col("doc_id") < 50L).select(col("doc_id"), col("lang"), col("text"))
+    s2.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("doc_id"))
+      .join(corpus, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
 
   /** q332 — SCHEMA EVOLUTION end to end: the corpus INSERTed under the
     * base schema, `ALTER TABLE ADD COLUMN note STRING`, then a second

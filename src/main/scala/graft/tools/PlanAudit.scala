@@ -264,7 +264,26 @@ object PlanAudit {
     ("q336_glpr_recluster", "post-OPTIMIZE scan: the recluster shuffle job rewrote the " +
       "hash-ingested corpus range-clustered behind one manifest flip, so the doc_id " +
       "range read prunes to the window's shards via tight sidecar bounds",
-      reg("q336_glpr_recluster")))
+      reg("q336_glpr_recluster")),
+    ("q340_glpr_cbo_stats_join", "pushdown-aware statistics drive the broadcast: the " +
+      "scan's estimate scales each shard by its bounds overlap with the pushed " +
+      "doc_id range, so the selectively-filtered corpus side (~50 rows) plans " +
+      "BroadcastHashJoin against the events facts at EVERY SF — a decision a " +
+      "corpus-total estimate could never make",
+      graft.io.GlprSource.cboStatsJoinPlanFrame),
+    ("q341_glpr_months_partition", "month partitioning: the one-month window read " +
+      "prunes non-month shards at plan time via sidecar month sets (months(ts) " +
+      "prefix-transform values; the write self-clustered via the required " +
+      "transform distribution — no manual DISTRIBUTE BY)",
+      graft.io.GlprSource.monthsPartitionPlanFrame),
+    ("q342_glpr_truncate_partition", "truncate partitioning: raw-column IN probes " +
+      "relax to their prefix image ('src1' covers src1/src10..19 — sound " +
+      "over-keep) and prune non-matching shards; the residual row filter keeps " +
+      "the result exact", graft.io.GlprSource.truncatePartitionPlanFrame),
+    ("q344_glpr_value_mor_delete", "post-predicate-MoR-delete scan: every shard " +
+      "reads THROUGH the delete-vector generation minted from the matching job's " +
+      "ids — zero data moved at delete time, the mask applied at the readers' id " +
+      "gate", reg("q344_glpr_value_mor_delete")))
 
   private val streamingStateNote: String =
     """

@@ -96,7 +96,14 @@ object ScaleProbe {
     "q334_glpr_bucket_partition", // bucket point probe (cached staging)
     "q335_glpr_timestamp_as_of", // commit-clock pinned read (cached staging)
     "q336_glpr_recluster",     // range read after OPTIMIZE (cached staging)
-    "q337_glpr_cdf_stream")    // per-version CDF stream settle
+    "q337_glpr_cdf_stream",    // per-version CDF stream settle
+    "q338_glpr_cdc_merge",     // CDC-apply MERGE target read (cached staging)
+    "q339_glpr_typed_evolution", // typed mixed-schema aggregate (cached staging)
+    "q340_glpr_cbo_stats_join", // stats-broadcast join (cached staging)
+    "q341_glpr_months_partition", // month-window pruned read (cached staging)
+    "q342_glpr_truncate_partition", // prefix-probe pruned read (cached staging)
+    "q343_glpr_stream_merge",  // CDF-fed MERGE target read (cached staging)
+    "q344_glpr_value_mor_delete") // masked read after predicate MoR delete
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
