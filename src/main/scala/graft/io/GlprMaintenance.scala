@@ -412,18 +412,21 @@ object GlprMaintenance {
         s"(lang/source), got '$column'")
     require(values.nonEmpty, "empty GLPR delete value set")
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val matched = spark.read.format("graft.io.GlprSource").load(path)
+    def matching = spark.read.format("graft.io.GlprSource").load(path)
       .filter(col(column).isin(values.toSeq: _*))
-      .groupBy(col("_shard"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1))
-    val total = matched.iterator.map(_._2.size.toLong).sum
+    // enforce the cap BEFORE anything lands on the driver: the count is
+    // a distributed aggregate; only an under-cap match set is collected
+    val total = matching.count()
     require(total <= cap,
       s"GLPR merge-on-read predicate delete in '$path' matches $total " +
         s"rows (> $cap): a mask that large costs more at every read than " +
         "one copy-on-write rewrite — use the SQL DELETE (COW) path instead")
-    if (matched.isEmpty) return Seq.empty
+    if (total == 0L) return Seq.empty
+    val matched = matching
+      .groupBy(col("_shard"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
     val byName = matched.toMap
     val gens: Map[String, Option[Long]] = GlprSource.committedEntries(path)
       .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap

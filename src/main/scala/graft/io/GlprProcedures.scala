@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GlprProcedures {
   def names: Seq[String] = Seq(
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
-    "expire_versions", "recluster")
+    "expire_versions", "recluster", "delete_where_mor")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -82,6 +82,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "rebuild_manifest" => "rebuild_manifest(table): re-adopt the live content plus true orphans"
     case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
     case "recluster" => "recluster(table, shards): rewrite the live table range-clustered by doc_id into shards tight-bounds files (OPTIMIZE)"
+    case "delete_where_mor" => "delete_where_mor(table, column, values): merge-on-read predicate DELETE — mask rows where column IN (comma-separated values) via delete-vector generations, zero data moved (capped toward the COW SQL DELETE past 1M matched rows)"
     case _ => procName
   }
 
@@ -110,6 +111,10 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("grace_ms", LongType).defaultValue("0").build())
+      case "delete_where_mor" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("values", StringType).build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -142,6 +147,15 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           GlprSource.rebuildManifest(path)
           summary("shards" ->
             GlprSource.committedShards(path).length.toLong)
+        case "delete_where_mor" =>
+          val vals = input.getUTF8String(2).toString
+            .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet
+          val changed = GlprMaintenance.deleteWhereMergeOnRead(
+            org.apache.spark.sql.SparkSession.active, path,
+            input.getUTF8String(1).toString, vals)
+          summary("masked_shards" -> changed.length.toLong,
+            "live_version" ->
+              GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

@@ -899,6 +899,25 @@ class GlprCatalogSpec extends AnyFunSuite {
       s"write: $tKept/$tTotal")
   }
 
+  test("CALL sys.delete_where_mor masks rows through the SQL front door") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns16.md $ddl")
+    (0L until 30L).map(i => (i, if (i % 3 == 0) "de" else "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("md_in")
+    spark.sql("INSERT INTO glpr_spec.ns16.md SELECT * FROM md_in")
+    val rep = spark.sql(
+      "CALL glpr_spec.sys.delete_where_mor('ns16.md', 'lang', 'de')").head()
+    assert(rep.getLong(0) >= 1L, s"masked_shards: $rep")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns16.md")
+      .head().getLong(0) === 20L)
+    // idempotent re-call: nothing new masked, count stable
+    assert(spark.sql(
+      "CALL glpr_spec.sys.delete_where_mor('ns16.md', 'lang', 'de')")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns16.md")
+      .head().getLong(0) === 20L)
+    spark.catalog.dropTempView("md_in")
+  }
+
   test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
     spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
     Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
