@@ -161,7 +161,8 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     require(got == want,
       s"GLPR tables start with the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
     val extraCols: Seq[String] = schema.fields.drop(4).toSeq.map { f =>
-      GlprSource.extraToken(f.name, extraTypeNameOf(f.dataType, f.name), f.name)
+      GlprSource.extraToken(checkExtraName(f.name),
+        extraTypeNameOf(f.dataType, f.name), f.name)
     }
     require(extraCols.map(GlprSource.extraLogical).distinct.size ==
       extraCols.size, "duplicate extra column names")
@@ -236,6 +237,18 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     * cover most real evolutions. Values of every class ride the byte
     * stream as length-prefixed strings (`Long.toString` /
     * `Double.toString` round-trip exactly); readers parse back. */
+  /** Extra-column NAME hygiene: names become `logical[:type][@physical]`
+    * marker/sidecar tokens, so the token metacharacters (':', '@',
+    * whitespace, ',') and emptiness refuse loudly instead of silently
+    * mis-parsing (a backquoted `a@b` would otherwise read as logical
+    * 'a' bound to physical 'b'). */
+  private def checkExtraName(name: String): String = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_.-]+"),
+      s"illegal GLPR extra-column name '$name' (token-safe charset: " +
+        "letters, digits, '_', '.', '-')")
+    name
+  }
+
   private def extraTypeNameOf(dt: org.apache.spark.sql.types.DataType,
       name: String): String = dt match {
     case org.apache.spark.sql.types.StringType => "string"
@@ -267,7 +280,7 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "GLPR ADD COLUMN supports top-level columns only")
-        val name = add.fieldNames()(0)
+        val name = checkExtraName(add.fieldNames()(0))
         val tpe = extraTypeNameOf(add.dataType(), name)
         require(add.isNullable,
           "GLPR added columns must be nullable (old shards read null)")
@@ -275,6 +288,13 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
           "GLPR added columns are APPENDED; positioned adds are not supported")
         require(!GlprSource.fullSchema(extras).fieldNames.contains(name),
           s"column '$name' already exists")
+        // ...nor may it shadow a renamed-away PHYSICAL name: the
+        // physical namespace is immutable (sidecars/byte layouts), so a
+        // new 'a' after RENAME a TO b would bind b's shard data to the
+        // new column and leave b reading null
+        require(!extras.map(GlprSource.extraPhysical).contains(name),
+          s"column name '$name' is the immutable physical name of a " +
+            "renamed column; pick another name")
         extras = extras :+ GlprSource.extraToken(name, tpe, name)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
@@ -285,9 +305,11 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
             "applies to added extra columns only")
         val i = extras.indexWhere(t => GlprSource.extraLogical(t) == from)
         require(i >= 0, s"no such column '$from'")
-        require(!readPartitionCol(dir).exists(_.contains(from)),
+        require(!readPartitionCol(dir)
+            .exists(GlprSource.parsePartSpec(_).column == from),
           s"column '$from' drives the table's partition transform; " +
             "renaming it would orphan the prune index")
+        checkExtraName(ren.newName): Unit
         require(!GlprSource.fullSchema(extras).fieldNames
             .contains(ren.newName) && ren.newName != from,
           s"column '${ren.newName}' already exists")

@@ -1152,8 +1152,13 @@ object GlprSource {
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_id"), col("event_type"), col("value"))
       chg.createOrReplaceTempView("glpr_cdc_changelog")
-      val mm = chg.agg(min("ts_ms"), max("ts_ms")).head()
+      val mm = chg.agg(min("ts_ms"), max("ts_ms"), max("user_id")).head()
       val mid = if (mm.isNullAt(0)) 0L else (mm.getLong(0) + mm.getLong(1)) / 2
+      // sentinel keys land strictly past every real user_id at ANY
+      // scale (a fixed base could collide with a larger fixture and
+      // turn a sentinel into a duplicate real row)
+      val sentinelBase =
+        (if (mm.isNullAt(2)) 0L else math.max(mm.getLong(2), 0L)) + 1000L
       s2.sql("CREATE TABLE glpr_cdc.state.compacted " +
         "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
       s2.sql(
@@ -1166,7 +1171,7 @@ object GlprSource {
            |      FROM glpr_cdc_changelog WHERE ts_ms <= $mid GROUP BY user_id)
            |WHERE last.event_type <> 'error'
            |UNION ALL
-           |SELECT 9000000 + id, 'sentinel', '0', '0.0' FROM range(5)
+           |SELECT $sentinelBase + id, 'sentinel', '0', '0.0' FROM range(5)
            |""".stripMargin)
       s2.sql(
         s"""MERGE INTO glpr_cdc.state.compacted t
@@ -2316,12 +2321,14 @@ object GlprSource {
   def versionCommitMs(path: String, v: Long): Long = {
     val f = versionFile(path, v)
     val hdr = """#\s*committedAtMs=(\d+)""".r
+    // FIRST LINE ONLY: a timestamp lookup over a long history must stay
+    // O(versions), not O(total manifest bytes) — the header is line 1
+    // by the commitManifest write layout
     scala.util.Try {
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
+      val r = java.nio.file.Files.newBufferedReader(f.toPath,
         java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.take(1).collectFirst {
-          case hdr(ms) => ms.toLong
-        }
+      try Option(r.readLine()).collect { case hdr(ms) => ms.toLong }
+      finally r.close()
     }.toOption.flatten.getOrElse(f.lastModified())
   }
 
@@ -2748,7 +2755,12 @@ object GlprSource {
         (committed ++ newest).grouped(2).map(a => (a(0), a(1))).toSeq ++ adds)
       if (java.util.Arrays.equals(committed, merged)) return None
       val gen = diskHigh + 1L
-      val tmp = new java.io.File(path, s"_tmp-dv-$gen-$name")
+      // per-writer stage name (thread + attempt discriminators): two
+      // racers computing the same gen must never share a temp path, or
+      // the createLink would publish the OTHER writer's content — the
+      // same discipline as commitManifest's stage files
+      val tmp = new java.io.File(path,
+        s"_tmp-dv-$gen-${Thread.currentThread().getId}-$attempts-$name")
       java.nio.file.Files.write(tmp.toPath,
         merged.grouped(2).map(a => s"${a(0)} ${a(1)}").mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4132,6 +4144,71 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * pushed doc_id range and (b) the runtime key set, when present.
     * Shards without bounds (pre-round-15 sidecars, external writers,
     * empty shards) are never pruned. */
+  /** The shard-keep predicate — ONE implementation shared by
+    * [[planInputPartitions]] and [[estimateStatistics]], so the
+    * estimate can never drop or keep different shards than the scan
+    * reads. Runtime inputs (DPP key sets / runtime ranges) exist only
+    * at planning time; the statistics caller passes None and gets the
+    * static subset (pushed bounds, static point probes, partition
+    * values, prefix windows, bucket images, sidecar blooms against the
+    * static probes).
+    *
+    *  - id bounds: drop when the sidecar bounds miss the pushed range,
+    *    every static/runtime point probe, or the runtime range.
+    *  - bloom — the channel that works WITHOUT clustered layout
+    *    (bounds on a hash-distributed shard span everything and prune
+    *    nothing): drop when the sidecar bloom proves no probe key can
+    *    be present. Probes are point-shaped predicates only; true
+    *    ranges can't be membership-tested. No bloom = never pruned.
+    *  - partition values: drop only when the sidecar value set for a
+    *    filtered column is KNOWN and disjoint from the wanted set;
+    *    unknown sets (unpartitioned writers, cap overflow) never prune.
+    *  - transforms (q333/q334/q341/q342): test the shard's TRANSFORMED
+    *    value set against the filters' image under the transform. */
+  private def shardKeep(meta: Option[GlprSource.ShardMeta],
+      rtIds: Option[Array[Long]],
+      rtRange: Option[GlprSource.IdRange]): Boolean = {
+    val idKeep = meta.flatMap(_.bounds) match {
+      case Some((lo, hi)) =>
+        lo <= range.hi && hi >= range.lo &&
+          rtIds.forall(ids => anyIdIn(ids, lo, hi)) &&
+          pointIds.forall(ids => anyIdIn(ids, lo, hi)) &&
+          rtRange.forall(rr => lo <= rr.hi && hi >= rr.lo)
+      case None => true
+    }
+    val bloomKeep = meta.flatMap(_.bloom) match {
+      case Some(words) =>
+        val mBits = words.length * 64
+        def may(id: Long) = GlprSource.bloomMightContain(words, mBits, id)
+        (range.lo != range.hi || may(range.lo)) &&
+          rtRange.forall(rr => rr.lo != rr.hi || may(rr.lo)) &&
+          rtIds.forall(_.exists(id =>
+            id >= range.lo && id <= range.hi && may(id))) &&
+          pointIds.forall(_.exists(id =>
+            id >= range.lo && id <= range.hi && may(id)))
+      case None => true
+    }
+    val valKeep = valueFilters.forall { case (c, wanted) =>
+      meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
+    }
+    val specKeep = partitionCol.map(GlprSource.parsePartSpec) match {
+      case Some(b: GlprSource.BucketPart) =>
+        val wanted: Option[Set[String]] =
+          if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
+          else rtIds.orElse(pointIds).map(_.iterator.map(b.bucketOf).toSet)
+        wanted.forall(w => meta.flatMap(_.valuesOf(b.spec))
+          .forall(have => (have & w).nonEmpty))
+      case Some(d: GlprSource.PrefixPart)
+          if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
+        meta.flatMap(_.valuesOf(d.spec)).forall(_.exists { day =>
+          dayEq.forall(_.contains(day)) &&
+            dayLo.forall(day >= _) && dayHi.forall(day <= _)
+        })
+      case _ => true
+    }
+    idKeep && bloomKeep && valKeep && specKeep
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     spjKeys() match {
       case Some(ks) =>
@@ -4144,62 +4221,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     }
     val shards = baseShards()
     val kept = shards.filter { case (f, _, _, _) =>
-      val meta = GlprSource.readMeta(f)
-      val idKeep = meta.flatMap(_.bounds) match {
-        case Some((lo, hi)) =>
-          lo <= range.hi && hi >= range.lo &&
-            runtimeIds.forall(ids => anyIdIn(ids, lo, hi)) &&
-            pointIds.forall(ids => anyIdIn(ids, lo, hi)) &&
-            runtimeRange.forall(rr => lo <= rr.hi && hi >= rr.lo)
-        case None => true
-      }
-      // bloom pruning — the channel that works WITHOUT clustered layout
-      // (bounds on a hash-distributed shard span everything and prune
-      // nothing): the shard is dropped when its sidecar bloom proves no
-      // probe key can be present. Probes are point-shaped predicates
-      // only — the runtime In-set/EqualTo keys, and singleton ranges
-      // (static or runtime `doc_id = X`); true ranges can't be
-      // membership-tested. No bloom in the sidecar = never pruned.
-      val bloomKeep = meta.flatMap(_.bloom) match {
-        case Some(words) =>
-          val mBits = words.length * 64
-          def may(id: Long) = GlprSource.bloomMightContain(words, mBits, id)
-          (range.lo != range.hi || may(range.lo)) &&
-            runtimeRange.forall(rr => rr.lo != rr.hi || may(rr.lo)) &&
-            runtimeIds.forall(_.exists(id =>
-              id >= range.lo && id <= range.hi && may(id))) &&
-            pointIds.forall(_.exists(id =>
-              id >= range.lo && id <= range.hi && may(id)))
-        case None => true
-      }
-      // partition-value pruning: drop the shard only when its sidecar
-      // value set for a filtered column is KNOWN and disjoint from the
-      // wanted set (hive-style partition pruning over the sidecar
-      // channel); unknown sets — unpartitioned writers, cap overflow,
-      // pre-round-16 sidecars — are never pruned
-      val valKeep = valueFilters.forall { case (c, wanted) =>
-        meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
-      }
-      // transformed-partition pruning (q333/q334): test the shard's
-      // TRANSFORMED value set against the filters' image under the
-      // transform — bucket sets against point probes, day sets against
-      // the day window; unknown sets are never pruned
-      val specKeep = partitionCol.map(GlprSource.parsePartSpec) match {
-        case Some(b: GlprSource.BucketPart) =>
-          val wanted: Option[Set[String]] =
-            if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
-            else runtimeIds.orElse(pointIds).map(_.iterator.map(b.bucketOf).toSet)
-          wanted.forall(w => meta.flatMap(_.valuesOf(b.spec))
-            .forall(have => (have & w).nonEmpty))
-        case Some(d: GlprSource.PrefixPart)
-            if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
-          meta.flatMap(_.valuesOf(d.spec)).forall(_.exists { day =>
-            dayEq.forall(_.contains(day)) &&
-              dayLo.forall(day >= _) && dayHi.forall(day <= _)
-          })
-        case _ => true
-      }
-      idKeep && bloomKeep && valKeep && specKeep
+      shardKeep(GlprSource.readMeta(f), runtimeIds, runtimeRange)
     }
     // (delete-vector state was already resolved per the planned
     // version by baseShards — versioned generations time-travel
@@ -4244,9 +4266,12 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * against `autoBroadcastJoinThreshold`), rows = Σ sidecar counts.
     * Missing/malformed sidecars (external writers) fall back to raw
     * shard lengths with unknown rows — conservative for a format whose
-    * on-disk bytes ≈ decoded bytes (uncompressed). Bounds are corpus-
-    * level: pushed doc_id filters don't shrink the estimate (matching
-    * the built-in file sources, whose stats are also pre-filter). */
+    * on-disk bytes ≈ decoded bytes (uncompressed). Since round 18 the
+    * estimate is POST-pushdown: statically-prunable shards drop out
+    * (the shared [[shardKeep]] predicate) and kept shards scale by the
+    * pushed range's overlap with their id bounds — BETTER than the
+    * built-in file sources' pre-filter stats, because the sidecar
+    * metadata makes selectivity knowable at the source. */
   override def estimateStatistics(): Statistics = {
     // a statistics call must never fail a plan: the batch incarnation
     // of a CDF STREAM scan (no from-version — q343's foreachBatch MERGE
@@ -4267,40 +4292,18 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // PRUNING- AND SELECTIVITY-AWARE estimate (round 18): the scan
     // already knows its pushed doc_id range, partition-value sets and
     // prefix/bucket probe images, so the estimate is the POST-pushdown
-    // scan output — per shard: dropped entirely when the static prune
-    // would skip it, fractionally scaled by the pushed range's overlap
-    // with the shard's id bounds otherwise (uniform-id assumption, the
-    // same one every min/max-based optimizer makes). This is what lets
-    // Catalyst broadcast a selectively-filtered corpus side whose
-    // UNFILTERED size is far over the threshold — the broadcast
-    // decision sees the sidecar metadata, not just a corpus total
-    // (q340's plan; filtered-vs-full pinned in GlprSpec).
-    val bucketSpec = partitionCol.map(GlprSource.parsePartSpec)
-    def staticKeep(m: GlprSource.ShardMeta): Boolean = {
-      val idKeep = m.bounds match {
-        case Some((lo, hi)) => hi >= range.lo && lo <= range.hi
-        case None => true
-      }
-      val valKeep = valueFilters.forall { case (c, wanted) =>
-        m.valuesOf(c).forall(have => (have & wanted).nonEmpty)
-      }
-      val specKeep = bucketSpec match {
-        case Some(b: GlprSource.BucketPart) =>
-          val wanted: Option[Set[String]] =
-            if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
-            else pointIds.map(_.iterator.map(b.bucketOf).toSet)
-          wanted.forall(w => m.valuesOf(b.spec)
-            .forall(have => (have & w).nonEmpty))
-        case Some(d: GlprSource.PrefixPart)
-            if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
-          m.valuesOf(d.spec).forall(_.exists { day =>
-            dayEq.forall(_.contains(day)) &&
-              dayLo.forall(day >= _) && dayHi.forall(day <= _)
-          })
-        case _ => true
-      }
-      idKeep && valKeep && specKeep
-    }
+    // scan output — per shard: dropped entirely when the shared
+    // [[shardKeep]] predicate (the SAME one planInputPartitions runs,
+    // minus the planning-time-only runtime filters) would skip it,
+    // fractionally scaled by the pushed range's overlap with the
+    // shard's id bounds otherwise (uniform-id assumption, the same one
+    // every min/max-based optimizer makes). This is what lets Catalyst
+    // broadcast a selectively-filtered corpus side whose UNFILTERED
+    // size is far over the threshold — the broadcast decision sees the
+    // sidecar metadata, not just a corpus total (q340's plan;
+    // filtered-vs-full pinned in GlprSpec).
+    def staticKeep(m: GlprSource.ShardMeta): Boolean =
+      shardKeep(Some(m), None, None)
     /** surviving-row fraction of one kept shard under the pushed range
       * (1.0 when the range does not narrow the shard's bounds). */
     def fraction(m: GlprSource.ShardMeta): Double = m.bounds match {
