@@ -150,6 +150,48 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     assert(GlprSource.listManifestVersions(root).last === v0 + 1)
   }
 
+  test("concurrent MoR deletes serialize: no lost masks, generations are supersets") {
+    // the round-18 CAS protocol under real contention: 8 threads race
+    // disjoint merge-on-read deletes against ONE shard — put-if-absent
+    // generation files (losers re-union the newest on-disk mask) plus
+    // the higher-gen-wins commit closure must lose NOTHING
+    val root = TempDirs.scratch("graft-glpr-dv-race").toString
+    append(root, (0L until 1000L).map(i => (i, "en", "s", s"t-$i")))
+    val ranges = (0 until 8).map(i => (i * 100L, i * 100L + 9L))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val fs = ranges.map { case (lo, hi) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            GlprMaintenance.deleteIdRangeMergeOnRead(root, lo, hi): Unit
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    // every delete landed — the resurrection the ADVICE pair warned of
+    val doomed = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(liveIds(root) === (0L until 1000L).toSet -- doomed,
+      "a concurrent MoR delete was lost")
+    // the committed generation's mask covers every range, and every
+    // generation is a superset of its predecessor (the CAS invariant
+    // the commit closure's max() relies on)
+    val line = GlprSource.readManifest(root).get.head
+    val name = GlprSource.entryName(line)
+    val gen = GlprSource.entryDvGen(line).get
+    val finalMask = GlprSource.resolveDv(root, name, Some(gen), pinned = true)
+    assert(doomed.forall(id => GlprSource.dvMasked(finalMask, id)))
+    (1L until gen).foreach { g =>
+      val a = GlprSource.resolveDv(root, name, Some(g), pinned = true)
+      val b = GlprSource.resolveDv(root, name, Some(g + 1), pinned = true)
+      val idsA = a.grouped(2).flatMap(r => r(0) to r(1)).toSet
+      val idsB = b.grouped(2).flatMap(r => r(0) to r(1)).toSet
+      assert(idsA.subsetOf(idsB), s"generation ${g + 1} must extend $g")
+    }
+    // the pre-delete version reads unmasked through the churn
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", "1").load(root).count() === 1000L)
+  }
+
   test("a corrupted CDF checkpoint offset refuses loudly instead of rewinding") {
     val root = TempDirs.scratch("graft-glpr-cdf-offset").toString
     append(root, Seq((1L, "en", "s", "a")))
