@@ -3045,6 +3045,20 @@ object Registry {
         |FROM documents WHERE lang NOT IN ('de', 'zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH: a branch forked from main, a slice STAGED
+    // onto it (branch writer option — invisible to main), AUDITED
+    // (branch reader option), PUBLISHED in one main commit; a garbage
+    // branch fails its audit, drops, and vacuums away. Oracle = the two
+    // published slices exactly. Isolation/vacuum-safety pins in
+    // GlprDvIntegritySpec.
+    "q345_glpr_wap" -> Entry((s, d) =>
+      graft.io.GlprSource.wapPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

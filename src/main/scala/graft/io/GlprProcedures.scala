@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GlprProcedures {
   def names: Seq[String] = Seq(
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
-    "expire_versions", "recluster", "delete_where_mor")
+    "expire_versions", "recluster", "delete_where_mor",
+    "create_branch", "publish_branch", "drop_branch")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -83,6 +84,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
     case "recluster" => "recluster(table, shards): rewrite the live table range-clustered by doc_id into shards tight-bounds files (OPTIMIZE)"
     case "delete_where_mor" => "delete_where_mor(table, column, values): merge-on-read predicate DELETE — mask rows where column IN (comma-separated values) via delete-vector generations, zero data moved (capped toward the COW SQL DELETE past 1M matched rows)"
+    case "create_branch" => "create_branch(table, name): fork a write-audit-publish branch from the live manifest (stage writes with the 'branch' writer option; audit with the 'branch' reader option)"
+    case "publish_branch" => "publish_branch(table, name): adopt the branch head into the live manifest in ONE commit (the audit passed)"
+    case "drop_branch" => "drop_branch(table, name): unlink the branch chain (the audit failed); branch-only shards become vacuum-reclaimable orphans"
     case _ => procName
   }
 
@@ -115,6 +119,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("column", StringType).build(),
         ProcedureParameter.in("values", StringType).build())
+      case "create_branch" | "publish_branch" | "drop_branch" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -156,6 +163,20 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           summary("masked_shards" -> changed.length.toLong,
             "live_version" ->
               GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
+        case "create_branch" =>
+          val b = input.getUTF8String(1).toString
+          GlprSource.createBranch(path, b)
+          summary("forked_shards" ->
+            GlprSource.branchEntries(path, b).length.toLong)
+        case "publish_branch" =>
+          val b = input.getUTF8String(1).toString
+          val n = GlprSource.publishBranch(path, b)
+          summary("published_shards" -> n.toLong,
+            "live_version" -> GlprSource.listManifestVersions(path).last)
+        case "drop_branch" =>
+          summary("dropped_versions" ->
+            GlprSource.dropBranch(path, input.getUTF8String(1).toString)
+              .toLong)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

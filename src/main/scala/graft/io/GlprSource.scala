@@ -1047,6 +1047,53 @@ object GlprSource {
   private val valueDelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q345 — WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern at manifest
+    * size): slice 1 INSERTed to main; a branch forked and slice 2
+    * STAGED onto it (`branch` writer option — on disk, owned by the
+    * branch chain, invisible to main readers); the AUDIT reads the
+    * branch head (`branch` reader option) and finds zero out-of-domain
+    * rows, so the branch PUBLISHES — one main commit adopting its
+    * lines. A second branch staged with garbage (lang='xx') FAILS its
+    * audit, is DROPPED, and vacuum reclaims its shards — main never saw
+    * them. The oracle is the two published slices exactly: a staging
+    * leak into main, a lost published row, or surviving garbage all
+    * break the hash. Isolation/vacuum-safety/append-only pins live in
+    * GlprDvIntegritySpec. */
+  def wapPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = wapCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-wap").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 100L).coalesce(2), out) // main
+      createBranch(out, "staging")
+      docs.filter(col("doc_id") >= 100L && col("doc_id") < 300L)
+        .coalesce(2).write.format("graft.io.GlprSource")
+        .option("branch", "staging").mode("append").save(out)
+      def audit(b: String): Long = spark.read.format("graft.io.GlprSource")
+        .option("branch", b).load(out)
+        .filter(col("lang") === "xx").count()
+      if (audit("staging") == 0L) publishBranch(out, "staging"): Unit
+      createBranch(out, "reject")
+      docs.filter(col("doc_id") < 50L)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          lit("xx").as("lang"), col("source"), col("text"))
+        .coalesce(1).write.format("graft.io.GlprSource")
+        .option("branch", "reject").mode("append").save(out)
+      if (audit("reject") == 0L) publishBranch(out, "reject"): Unit
+      else { dropBranch(out, "reject"); GlprMaintenance.vacuum(out): Unit }
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val wapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q326 — SQL `UPDATE` through the row-level-operation front door
     * (round-16 verdict #2): the corpus in a catalog table, then plain
     * `UPDATE … SET source = 'curated', text = concat(text, ' [ok]')
@@ -2520,7 +2567,145 @@ object GlprSource {
     * file). */
   private[io] def versionReferencedNames(path: String): Set[String] =
     listManifestVersions(path)
-      .flatMap(v => versionShardNames(path, v)).toSet
+      .flatMap(v => versionShardNames(path, v)).toSet ++
+      // BRANCH chains own their shards too (round 18, write-audit-
+      // publish): a branch-committed shard is on disk but in no MAIN
+      // version — without this, vacuum would reclaim it as an orphan
+      // and rebuildManifest would ADOPT it into main (publishing
+      // unaudited data)
+      listBranches(path).flatMap(b => listBranchVersions(path, b)
+        .flatMap(v => entryLinesOf(branchVersionFile(path, b, v))
+          .map(entryName)))
+
+  // ---- WRITE-AUDIT-PUBLISH branches (round 18) -----------------------
+  // A branch is a NAMED version chain (`_manifest.b-<name>.v<n>`) forked
+  // from the live manifest: stage writes commit to the branch head
+  // (invisible to main readers — the shards are on disk but in no main
+  // version), AUDIT queries read the branch head through the `branch`
+  // reader option, and PUBLISH is ONE main commit adopting the branch
+  // head's lines — the Iceberg WAP pattern at manifest size. A failed
+  // audit drops the chain; the staged shards become vacuum-reclaimable
+  // orphans and main never saw them.
+  private[io] def requireBranchName(b: String): String = {
+    require(b.matches("[A-Za-z0-9_-]{1,64}"),
+      s"illegal GLPR branch name '$b' ([A-Za-z0-9_-]{1,64})")
+    b
+  }
+  private[io] def branchVersionFile(path: String, b: String,
+      v: Long): java.io.File =
+    new java.io.File(path, f"_manifest.b-$b.v$v%010d")
+  def listBranchVersions(path: String, b: String): Seq[Long] = {
+    val prefix = s"_manifest.b-$b.v"
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(prefix) &&
+        n.stripPrefix(prefix).matches("\\d{10}"))
+      .map(_.stripPrefix(prefix).toLong).sorted.toSeq
+  }
+  def listBranches(path: String): Set[String] = {
+    val re = """_manifest\.b-([A-Za-z0-9_-]+)\.v\d{10}""".r
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case re(b) => b }.toSet
+  }
+  /** The manifest LINES of one version FILE (main or branch chain) —
+    * header lines filtered like [[versionEntries]]. */
+  private[io] def entryLinesOf(f: java.io.File): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && isShardLine(l)).toSeq
+  /** The branch HEAD's manifest lines; unknown branches fail loudly. */
+  def branchEntries(path: String, b: String): Seq[String] =
+    listBranchVersions(path, b).lastOption match {
+      case Some(v) => entryLinesOf(branchVersionFile(path, b, v))
+      case None => throw new IllegalArgumentException(
+        s"GLPR: no branch '$b' under '$path'" +
+          (if (listBranches(path).isEmpty) " (table has no branches)"
+           else s"; branches: ${listBranches(path).toSeq.sorted.mkString(", ")}"))
+    }
+  /** CREATE a branch forked from the live manifest content (lines kept
+    * verbatim — dv tokens included). Put-if-absent v1 creation; an
+    * existing branch refuses. */
+  def createBranch(path: String, b: String): Unit = {
+    requireBranchName(b): Unit
+    require(listBranchVersions(path, b).isEmpty,
+      s"GLPR branch '$b' already exists under '$path'")
+    if (readManifest(path).isEmpty) rebuildManifest(path)
+    val content = committedEntries(path).distinct.sorted
+    val tmp = new java.io.File(path,
+      s"_tmp-branch-$b-${Thread.currentThread().getId}")
+    java.nio.file.Files.write(tmp.toPath,
+      (s"# committedAtMs=${System.currentTimeMillis()}\n" +
+        content.mkString("\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try
+      java.nio.file.Files.createLink(
+        branchVersionFile(path, b, 1L).toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"GLPR branch '$b' was concurrently created under '$path'")
+    } finally { tmp.delete(): Unit }
+  }
+  /** Fold `add` into the BRANCH head under the same CAS protocol as
+    * main commits ([[commitManifest]]): collisions re-read the head and
+    * re-merge, so concurrent branch appenders lose nothing. */
+  private[io] def mergeIntoBranch(path: String, b: String,
+      add: Seq[String]): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val lastV = listBranchVersions(path, b).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"GLPR: no branch '$b' under '$path' — create_branch first"))
+      val content = (entryLinesOf(branchVersionFile(path, b, lastV)) ++ add)
+        .distinct.sorted
+      val tmp = new java.io.File(path,
+        s"_tmp-branch-$b-${Thread.currentThread().getId}-$attempts")
+      java.nio.file.Files.write(tmp.toPath,
+        (s"# committedAtMs=${System.currentTimeMillis()}\n" +
+          content.mkString("\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            branchVersionFile(path, b, lastV + 1).toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally { tmp.delete(): Unit }
+      if (won) return
+    }
+    throw new IllegalStateException(
+      s"GLPR branch '$b' commit on '$path': 50 consecutive version " +
+        "reservation collisions")
+  }
+  /** PUBLISH: one MAIN commit adopting the branch head's lines — main
+    * readers see none of the branch or all of it. Every referenced
+    * shard (and dv generation) must still exist, checked BEFORE the
+    * flip. The branch chain stays (re-publish is idempotent through
+    * commitManifest's no-change check); drop it explicitly. */
+  def publishBranch(path: String, b: String): Int = {
+    val entries = branchEntries(path, b)
+    val dir = new java.io.File(path)
+    val missing = entries.filterNot { l =>
+      new java.io.File(dir, entryName(l)).isFile &&
+        entryDvGen(l).forall(g => dvGenFile(path, entryName(l), g).isFile)
+    }
+    require(missing.isEmpty,
+      s"GLPR publish of branch '$b': ${missing.mkString(", ")} no longer " +
+        "exist on disk; the branch is stale (vacuumed or externally " +
+        "unlinked) — drop it")
+    writeManifest(path, entries)
+    entries.length
+  }
+  /** DROP a branch: unlink its chain. Branch-only shards become true
+    * orphans (vacuum-reclaimable) — exactly the failed-audit exit. */
+  def dropBranch(path: String, b: String): Int = {
+    val vs = listBranchVersions(path, b)
+    vs.foreach(v => branchVersionFile(path, b, v).delete(): Unit)
+    vs.length
+  }
 
   /** Recovery / external-attach: adopt the live content plus every TRUE
     * ORPHAN on disk (committed by a crashed job, or dropped in
@@ -3163,14 +3348,29 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     }
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    // write-audit-publish AUDIT reads (round 18): `branch=<name>` pins
+    // the scan to the branch HEAD — main readers never see unpublished
+    // staging. Orthogonal history features refuse rather than guess.
+    val branch = Option(options.get("branch"))
+      .map(GlprSource.requireBranchName)
+    require(branch.isEmpty || (version.isEmpty && changesFrom.isEmpty &&
+        !cdfMode),
+      "GLPR branch reads pin the branch HEAD: combine with versionAsOf/" +
+        "changesFromVersion/changeMode=cdf is not supported")
     new GlprScanBuilder(path, maxShards, optRange, optValues, version,
       changesFrom, partitionCol, cdfMode, startingVersion = startingVersion,
-      baseSchema = schema(), extraTokens = extraCols)
+      baseSchema = schema(), extraTokens = extraCols, branch = branch)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
-    new GlprWriteBuilder(path, info.schema(), partitionCol, extraCols)
+    // write-audit-publish STAGING writes (round 18): `branch=<name>`
+    // commits the appended shards to the branch chain instead of the
+    // live manifest — invisible to main until publish
+    val branch = Option(info.options().get("branch"))
+      .map(GlprSource.requireBranchName)
+    new GlprWriteBuilder(path, info.schema(), partitionCol, extraCols,
+      branch)
   }
 }
 
@@ -3181,7 +3381,8 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
   * the no-op the rename already made durable. */
 class GlprWriteBuilder(path: String, schema: StructType,
     partitionCol: Option[String] = None,
-    extraCols: Seq[String] = Seq.empty) extends WriteBuilder
+    extraCols: Seq[String] = Seq.empty,
+    branch: Option[String] = None) extends WriteBuilder
     with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateFirst = false
@@ -3205,11 +3406,23 @@ class GlprWriteBuilder(path: String, schema: StructType,
   }
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      // branch staging is APPEND-only by design: overwrite semantics on
+      // a fork would need branch-level retire bookkeeping main cannot
+      // see — refuse loudly (the WAP flow stages appends, audits, and
+      // publishes or drops)
+      require(branch.isEmpty || (!truncateFirst && !dynamicOverwrite),
+        s"GLPR branch '${branch.getOrElse("")}' writes are APPEND-only; " +
+          "overwrite/truncate must run on main")
       new GlprBatchWrite(path, schema, truncateFirst, partitionCol,
-        dynamicOverwrite, extraCols)
-    override def toStreaming: StreamingWrite =
+        dynamicOverwrite, extraCols, branch)
+    }
+    override def toStreaming: StreamingWrite = {
+      require(branch.isEmpty,
+        "GLPR streaming writes target the live manifest; branch staging " +
+          "is a batch (write-audit-publish) flow")
       new GlprStreamingWrite(path, schema, partitionCol, extraCols)
+    }
     /** Partitioned tables ask Spark to CLUSTER incoming rows by the
       * partition column before the write — the DSv2 spelling of "shuffle
       * so each shard holds whole partition-value clusters". That keeps
@@ -3316,7 +3529,8 @@ class GlprStreamingWriterFactory(path: String, schema: StructType,
 class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false,
     partitionCol: Option[String] = None,
     dynamicOverwrite: Boolean = false,
-    extraCols: Seq[String] = Seq.empty)
+    extraCols: Seq[String] = Seq.empty,
+    branch: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -3382,9 +3596,16 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     * cleared history. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val names = messages.collect { case GlprShardCommitted(n) => n }.toSeq
-    if (truncateFirst) GlprSource.writeManifest(path, names)
-    else if (dynamicOverwrite) commitDynamicOverwrite(names)
-    else GlprSource.mergeIntoManifest(path, names)
+    branch match {
+      // write-audit-publish staging (round 18): the job's shards fold
+      // into the BRANCH head — on disk, owned by the branch chain
+      // (vacuum-safe), invisible to main until publish
+      case Some(b) => GlprSource.mergeIntoBranch(path, b, names)
+      case None =>
+        if (truncateFirst) GlprSource.writeManifest(path, names)
+        else if (dynamicOverwrite) commitDynamicOverwrite(names)
+        else GlprSource.mergeIntoManifest(path, names)
+    }
   }
 
   /** DYNAMIC partition overwrite commit (q325): the incoming shards'
@@ -3702,7 +3923,8 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     groupPruneOnly: Boolean = false,
     startingVersion: Long = 0L,
     baseSchema: StructType = GlprSource.schema,
-    extraTokens: Seq[String] = Seq.empty) extends ScanBuilder
+    extraTokens: Seq[String] = Seq.empty,
+    branch: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   // starts at the TABLE's full schema (extras + the cdf-mode
@@ -3814,6 +4036,10 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     // batch cdf read without a from-version must reach its loud plan
     // failure, never a silent full-table summary
     if (changesFrom.nonEmpty || cdfMode) return None
+    // a BRANCH read must never be summarized from MAIN's sidecars: the
+    // branch head is a different shard set — decline to the ordinary
+    // (branch-resolved) scan
+    if (branch.isDefined) return None
     // a delete-vector mask (gen-recorded or legacy bare) makes sidecar
     // counts lies: decline, the ordinary scan applies the mask row-exactly
     val entries = GlprSource.entriesResolved(path, version)
@@ -3899,6 +4125,7 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
       limit, valueFilters, version, changesFrom, partitionCol, cdfMode, onPlan,
       dayEq = dayEq, dayLo = dayLo, dayHi = dayHi, pointIds = pointIds,
       startingVersion = startingVersion, extraTokens = extraTokens,
+      branch = branch,
       // GROUP-based row-level operations (UPDATE/MERGE/DELETE rewrites):
       // Spark pushes the command condition for GROUP selection only —
       // the scan must return EVERY row of a matched shard (non-matching
@@ -3962,7 +4189,8 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     dayHi: Option[String] = None,
     pointIds: Option[Array[Long]] = None,
     startingVersion: Long = 0L,
-    extraTokens: Seq[String] = Seq.empty)
+    extraTokens: Seq[String] = Seq.empty,
+    branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3995,6 +4223,22 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * (static/runtime/bloom/value pruning, limit capping, statistics)
     * composes unchanged on top. */
   private def baseShards(): Array[Planned] = changesFrom match {
+    // write-audit-publish AUDIT read (round 18): the branch HEAD's
+    // lines, resolved pinned (missing files/gens fail loudly — an audit
+    // is exact or it is an error; masks apply per the recorded gens)
+    case None if branch.isDefined =>
+      val dir = new java.io.File(path)
+      GlprSource.branchEntries(path, branch.get).map { l =>
+        val n = GlprSource.entryName(l)
+        val f = new java.io.File(dir, n)
+        if (!f.isFile) throw new IllegalStateException(
+          s"GLPR branch '${branch.get}': shard '$n' referenced by the " +
+            "branch head no longer exists on disk (vacuumed or " +
+            "externally unlinked) — the branch is stale; drop it")
+        (f, "insert",
+          GlprSource.resolveDv(path, n, GlprSource.entryDvGen(l),
+            pinned = true), NoMask)
+      }.toArray
     case None if cdfMode => throw new IllegalArgumentException(
       "GLPR batch changeMode=cdf requires changesFromVersion=<m> " +
         "(a STREAM read is its own incremental cursor)")
@@ -4088,7 +4332,7 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     // line sides up; identity is the SPJ surface (q319)
     if (!partitionCol.map(GlprSource.parsePartSpec)
         .forall(_.isInstanceOf[GlprSource.IdentityPart])) return None
-    if (cdfMode) return None
+    if (cdfMode || branch.isDefined) return None
     if (partitionCol.isEmpty || pushed.nonEmpty || limit.nonEmpty ||
       maxShardsPerTrigger.nonEmpty || valueFilters.nonEmpty ||
       changesFrom.nonEmpty || version.nonEmpty ||
@@ -4421,6 +4665,9 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     new GlprReaderFactory(required,
       if (readerRange == null) range else readerRange, limit, extraTokens)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(branch.isEmpty,
+      "GLPR branch reads are batch-only (the write-audit-publish audit " +
+        "step); streams follow the live manifest")
     require(version.isEmpty,
       "GLPR versionAsOf is a batch-only option — a stream follows the " +
         "live manifest, not a historical snapshot")

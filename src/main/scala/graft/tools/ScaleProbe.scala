@@ -103,7 +103,8 @@ object ScaleProbe {
     "q341_glpr_months_partition", // month-window pruned read (cached staging)
     "q342_glpr_truncate_partition", // prefix-probe pruned read (cached staging)
     "q343_glpr_stream_merge",  // CDF-fed MERGE target read (cached staging)
-    "q344_glpr_value_mor_delete") // masked read after predicate MoR delete
+    "q344_glpr_value_mor_delete", // masked read after predicate MoR delete
+    "q345_glpr_wap")           // live read after write-audit-publish
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -192,6 +192,64 @@ class GlprDvIntegritySpec extends AnyFunSuite {
       .option("versionAsOf", "1").load(root).count() === 1000L)
   }
 
+  test("q345 write-audit-publish: branch staging is invisible, publish is one commit, drop reclaims") {
+    val root = TempDirs.scratch("graft-glpr-wap").toString
+    append(root, (0L until 50L).map(i => (i, "en", "s", s"base-$i"))) // main v1
+    GlprSource.createBranch(root, "audit")
+    intercept[IllegalArgumentException](GlprSource.createBranch(root, "audit"))
+    // stage a good batch and a bad batch onto the branch
+    def stage(rows: Seq[(Long, String, String, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "lang", "source", "text").coalesce(1)
+        .write.format("graft.io.GlprSource").option("branch", "audit")
+        .mode("append").save(root)
+    }
+    stage((100L until 150L).map(i => (i, "en", "s", s"good-$i")))
+    // MAIN is untouched: live readers see none of the staging
+    assert(liveIds(root) === (0L until 50L).toSet,
+      "branch staging leaked into the live view")
+    assert(GlprSource.listManifestVersions(root).size === 1)
+    // the AUDIT read sees fork + staging
+    def branchIds(): Set[Long] = spark.read.format("graft.io.GlprSource")
+      .option("branch", "audit").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(branchIds() === ((0L until 50L) ++ (100L until 150L)).toSet)
+    // vacuum must NOT reclaim branch-owned staging; rebuild must not
+    // adopt it into main
+    GlprMaintenance.vacuum(root): Unit
+    GlprSource.rebuildManifest(root)
+    assert(liveIds(root) === (0L until 50L).toSet,
+      "rebuild adopted unpublished branch staging into main")
+    assert(branchIds() === ((0L until 50L) ++ (100L until 150L)).toSet,
+      "vacuum reclaimed branch-owned staging")
+    // PUBLISH: one main commit adopts the branch head
+    assert(GlprSource.publishBranch(root, "audit") === 2)
+    assert(liveIds(root) === ((0L until 50L) ++ (100L until 150L)).toSet)
+    // a FAILED audit: stage garbage on a second branch, drop it, vacuum
+    GlprSource.createBranch(root, "bad")
+    stage((900L until 950L).map(i => (i, "xx", "s", s"junk-$i")))
+    // (the second stage targeted 'audit'; garbage goes to 'bad')
+    import spark.implicits._
+    (900L until 950L).map(i => (i, "xx", "s", s"junk-$i"))
+      .toDF("doc_id", "lang", "source", "text").coalesce(1)
+      .write.format("graft.io.GlprSource").option("branch", "bad")
+      .mode("append").save(root)
+    GlprSource.dropBranch(root, "bad"): Unit
+    val reclaimed = GlprMaintenance.vacuum(root)
+    assert(reclaimed >= 1, "dropped-branch staging must vacuum away")
+    // main never saw the garbage; the published view is intact —
+    // but the first 'stage' call above put junk on 'audit' AFTER its
+    // publish: unpublished, so still invisible to main
+    assert(liveIds(root) === ((0L until 50L) ++ (100L until 150L)).toSet)
+    // overwrite semantics on a branch refuse loudly
+    val e = intercept[Exception] {
+      Seq((1L, "en", "s", "x")).toDF("doc_id", "lang", "source", "text")
+        .write.format("graft.io.GlprSource").option("branch", "audit")
+        .mode("overwrite").save(root)
+    }
+    assert(e.getMessage.contains("APPEND-only"), e.getMessage)
+  }
+
   test("a corrupted CDF checkpoint offset refuses loudly instead of rewinding") {
     val root = TempDirs.scratch("graft-glpr-cdf-offset").toString
     append(root, Seq((1L, "en", "s", "a")))
