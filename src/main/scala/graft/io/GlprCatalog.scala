@@ -112,16 +112,31 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
 
   /** SQL time travel (q311): `SELECT ... FROM t VERSION AS OF <n>`
     * resolves here — the returned table is pinned to manifest version
-    * `n` (read-only; see [[GlprTable.newWriteBuilder]]). */
+    * `n` (read-only; see [[GlprTable.newWriteBuilder]]). A
+    * NON-NUMERIC pin names a write-audit-publish BRANCH (round 18,
+    * the Iceberg idiom): `VERSION AS OF 'audit'` reads the branch
+    * HEAD — the SQL-only audit surface; unknown names fail loudly with
+    * the available branches. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"GLPR VERSION AS OF expects a manifest version number, got '$version'")
+    version.toLongOption match {
+      case Some(v) =>
+        new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v),
+          readExtraCols(dir))
+      case None =>
+        val b = version
+        require(GlprSource.listBranchVersions(dir.getAbsolutePath,
+            GlprSource.requireBranchName(b)).nonEmpty,
+          s"GLPR VERSION AS OF '$b': no such manifest version or branch " +
+            s"under '$ident'" + {
+              val bs = GlprSource.listBranches(dir.getAbsolutePath)
+              if (bs.isEmpty) " (table has no branches)"
+              else s"; branches: ${bs.toSeq.sorted.mkString(", ")}"
+            })
+        new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), None,
+          readExtraCols(dir), branchPin = Some(b))
     }
-    new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v),
-      readExtraCols(dir))
   }
 
   /** `TIMESTAMP AS OF <ts>` (Spark hands MICROseconds since the epoch):

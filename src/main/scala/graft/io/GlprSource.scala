@@ -3128,7 +3128,8 @@ class GlprSource extends TableProvider {
 class GlprTable(path: String, partitionCol: Option[String] = None,
     pinnedVersion: Option[Long] = None,
     extraCols: Seq[String] = Seq.empty,
-    changeTypeColumn: Boolean = false)
+    changeTypeColumn: Boolean = false,
+    branchPin: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -3155,6 +3156,9 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
+    require(branchPin.isEmpty,
+      s"GLPR table pinned to branch '${branchPin.getOrElse("")}' is an " +
+        "AUDIT handle (read-only)")
     () => new GlprRowLevelOperation(path, partitionCol, info.command,
       extraCols)
   }
@@ -3348,11 +3352,12 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
     }
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
-    // write-audit-publish AUDIT reads (round 18): `branch=<name>` pins
-    // the scan to the branch HEAD — main readers never see unpublished
-    // staging. Orthogonal history features refuse rather than guess.
+    // write-audit-publish AUDIT reads (round 18): `branch=<name>` (or
+    // the catalog's SQL pin, `VERSION AS OF '<name>'`) pins the scan to
+    // the branch HEAD — main readers never see unpublished staging.
+    // Orthogonal history features refuse rather than guess.
     val branch = Option(options.get("branch"))
-      .map(GlprSource.requireBranchName)
+      .map(GlprSource.requireBranchName).orElse(branchPin)
     require(branch.isEmpty || (version.isEmpty && changesFrom.isEmpty &&
         !cdfMode),
       "GLPR branch reads pin the branch HEAD: combine with versionAsOf/" +
@@ -3364,6 +3369,10 @@ class GlprTable(path: String, partitionCol: Option[String] = None,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"GLPR table pinned to VERSION AS OF ${pinnedVersion.get} is read-only")
+    require(branchPin.isEmpty,
+      s"GLPR table pinned to branch '${branchPin.getOrElse("")}' is an " +
+        "AUDIT handle (read-only); stage writes with the 'branch' " +
+        "writer option")
     // write-audit-publish STAGING writes (round 18): `branch=<name>`
     // commits the appended shards to the branch chain instead of the
     // live manifest — invisible to main until publish

@@ -739,10 +739,25 @@ class GlprCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(v2 === Set(1L, 2L))
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.tt").head().getLong(0) === 2L)
-    // non-numeric version and unknown version both fail loudly
+    // a non-numeric pin resolves as a BRANCH name (round 18); unknown
+    // names and unknown versions both fail loudly
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM glpr_spec.ns6.tt VERSION AS OF 'nope'").collect())
-    assert(e1.getMessage.contains("manifest version number"), e1.getMessage)
+    assert(e1.getMessage.contains("no such manifest version or branch"),
+      e1.getMessage)
+    // ...and a real branch IS addressable as the SQL audit surface:
+    // staged rows are visible through the pin, invisible to main, and
+    // the pinned handle is read-only
+    val ttDir = new java.io.File(root, "ns6/tt").getAbsolutePath
+    GlprSource.createBranch(ttDir, "audit")
+    Seq((99L, "en", "s", "staged")).toDF("doc_id", "lang", "source", "text")
+      .write.format("graft.io.GlprSource").option("branch", "audit")
+      .mode("append").save(ttDir)
+    assert(spark.sql(
+      "SELECT count(*) FROM glpr_spec.ns6.tt VERSION AS OF 'audit'")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.tt")
+      .head().getLong(0) === 2L, "staging leaked into the live view")
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM glpr_spec.ns6.tt VERSION AS OF 99").collect())
     assert(e2.getMessage.contains("versionAsOf=99"), e2.getMessage)
