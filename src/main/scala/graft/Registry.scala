@@ -3059,6 +3059,21 @@ object Registry {
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // WAP AUDIT-FIX-PUBLISH (round-18 verdict #1): garbage staged onto
+    // a branch is FIXED IN PLACE by branch-scoped MoR deletes — dv
+    // masks in the branch's own namespace via sys.delete_where_mor's
+    // branch arg + the id-range variant — re-audited through
+    // `VERSION AS OF 'fixup'`, then published (masks translated to
+    // shared dv generations in the same flip). Oracle = slice 1 + the
+    // fixed slice 2 exactly.
+    "q346_glpr_branch_fix" -> Entry((s, d) =>
+      graft.io.GlprSource.branchFixPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TIME TRAVEL OVER DELETE-VECTOR MASKS: MoR deletes are versioned
     // commits since round 17 — each affected shard's immutable .dv.<gen>
     // file rides its manifest line, so the pre-delete version reads

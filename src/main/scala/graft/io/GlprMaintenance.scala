@@ -343,9 +343,23 @@ object GlprMaintenance {
     * would lie under it decline. The complement of q314: DELETE costs
     * one tiny sidecar per affected shard instead of a rewrite, reads
     * pay the filter until [[materializeDeletes]]. Returns the names
-    * whose mask CHANGED (empty for an idempotent re-delete). */
-  def deleteIdRangeMergeOnRead(path: String, lo: Long, hi: Long): Seq[String] = {
+    * whose mask CHANGED (empty for an idempotent re-delete).
+    *
+    * BRANCH-scoped (round 19, q346): with `branch` set, the delete
+    * applies to the BRANCH head instead of main — masks go to the
+    * branch's own delete-vector namespace (`dvb=` tokens, translated to
+    * shared generations at publish), recorded by one branch-chain
+    * commit, invisible to main readers, and discarded whole with
+    * [[GlprSource.dropBranch]]. This completes the write-audit-publish
+    * loop: an audit that FINDS bad rows can now fix the branch in place
+    * and re-audit instead of dropping everything and restarting. */
+  def deleteIdRangeMergeOnRead(path: String, lo: Long, hi: Long,
+      branch: Option[String] = None): Seq[String] = {
     require(lo <= hi, s"empty GLPR delete range [$lo, $hi]")
+    branch match {
+      case Some(b) => return deleteRangeMergeOnReadBranch(path, b, lo, hi)
+      case None =>
+    }
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
     val dir = new java.io.File(path)
     // per affected shard: write the next immutable delete-vector
@@ -384,7 +398,79 @@ object GlprMaintenance {
           case None => l
         }
       })
+    requireGensCommitted(path, newGens)
     newGens.keys.toSeq.sorted
+  }
+
+  /** Post-commit guard for the MoR deletes (round-18 ADVICE TOCTOU):
+    * between the matching job / gen writes and the manifest commit, a
+    * concurrent COW rewrite or compaction may RETIRE a matched shard —
+    * its line vanishes from the base, the commit closure has nothing to
+    * update, and the freshly-written generation is silently dropped
+    * while the matched rows live on in the replacement shards. Verify
+    * every written gen landed (its shard still committed with gen >=
+    * ours) and fail LOUDLY otherwise — the delete must be retried
+    * against the rewritten layout, never reported as success. */
+  private[io] def requireGensCommitted(path: String,
+      newGens: Map[String, Long]): Unit = {
+    if (newGens.isEmpty) return
+    val committed = GlprSource.committedEntries(path)
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
+    val lost = newGens.filter { case (n, g) =>
+      !committed.get(n).flatten.exists(_ >= g) }
+    require(lost.isEmpty,
+      s"GLPR merge-on-read delete in '$path' lost shard(s) " +
+        s"${lost.keys.toSeq.sorted.mkString(", ")} to a concurrent " +
+        "rewrite/compaction between matching and commit — the written " +
+        "delete-vector generation(s) were dropped with the retired " +
+        "line(s); retry the delete against the current layout")
+  }
+
+  /** [[deleteIdRangeMergeOnRead]]'s branch path: masks written to the
+    * branch's own dv namespace, recorded by ONE branch-chain commit. */
+  private def deleteRangeMergeOnReadBranch(path: String, b: String,
+      lo: Long, hi: Long): Seq[String] = {
+    val dir = new java.io.File(path)
+    val newGens: Map[String, Long] = GlprSource.branchEntries(path, b)
+      .flatMap { l =>
+        val n = GlprSource.entryName(l)
+        val m = GlprSource.readMeta(new java.io.File(dir, n))
+        val affected =
+          if (m.exists(_.rows == 0)) false
+          else m.flatMap(_.bounds) match {
+            case Some((slo, shi)) => shi >= lo && slo <= hi
+            case None => true
+          }
+        if (!affected) None
+        else GlprSource.writeDvbGenerationRanges(path, b, n, l,
+          Seq((lo, hi))).map(n -> _)
+      }.toMap
+    commitBranchGens(path, b, newGens)
+    newGens.keys.toSeq.sorted
+  }
+
+  /** Record freshly-written branch dv generations in ONE branch-chain
+    * commit (max-gen rule, like main's closure), then run the branch
+    * edition of the post-commit TOCTOU guard. */
+  private def commitBranchGens(path: String, b: String,
+      newGens: Map[String, Long]): Unit = {
+    if (newGens.isEmpty) return
+    GlprSource.commitBranch(path, b)(base => base.map { l =>
+      val n = GlprSource.entryName(l)
+      newGens.get(n) match {
+        case Some(g) => GlprSource.withDvbToken(l,
+          math.max(g, GlprSource.entryDvbGen(l).getOrElse(0L)))
+        case None => l
+      }
+    })
+    val committed = GlprSource.branchEntries(path, b)
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvbGen(l)).toMap
+    val lost = newGens.filter { case (n, g) =>
+      !committed.get(n).flatten.exists(_ >= g) }
+    require(lost.isEmpty,
+      s"GLPR branch '$b' merge-on-read delete in '$path' lost shard(s) " +
+        s"${lost.keys.toSeq.sorted.mkString(", ")} between matching and " +
+        "commit — retry the delete against the current branch head")
   }
 
   /** MERGE-ON-READ PREDICATE delete (q344): `DELETE WHERE col IN
@@ -405,14 +491,21 @@ object GlprMaintenance {
     * Returns the shard names whose mask changed. */
   def deleteWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
       path: String, column: String, values: Set[String],
-      cap: Long = MoRDeleteCap): Seq[String] = {
+      cap: Long = MoRDeleteCap,
+      branch: Option[String] = None): Seq[String] = {
     import org.apache.spark.sql.functions.{col, collect_list}
     require(Set("lang", "source")(column),
       s"GLPR merge-on-read predicate delete reads a base value column " +
         s"(lang/source), got '$column'")
     require(values.nonEmpty, "empty GLPR delete value set")
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    def matching = spark.read.format("graft.io.GlprSource").load(path)
+    // branch-scoped (q346): match against the BRANCH head (its own dv
+    // masks applied, so re-deletes stay idempotent), mask in the
+    // branch's dv namespace, record in one branch-chain commit
+    def matching = branch
+      .foldLeft(spark.read.format("graft.io.GlprSource"))(
+        (r, b) => r.option("branch", b))
+      .load(path)
       .filter(col(column).isin(values.toSeq: _*))
     // enforce the cap BEFORE anything lands on the driver: the count is
     // a distributed aggregate; only an under-cap match set is collected
@@ -428,23 +521,36 @@ object GlprMaintenance {
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1))
     val byName = matched.toMap
-    val gens: Map[String, Option[Long]] = GlprSource.committedEntries(path)
-      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
-    val newGens: Map[String, Long] = byName.flatMap { case (n, ids) =>
-      GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
-        ids.sorted.map(id => (id, id))).map(n -> _)
-    }
-    if (newGens.nonEmpty)
-      GlprSource.commitManifest(path)(base => base.map { l =>
-        val n = GlprSource.entryName(l)
-        newGens.get(n) match {
-          // same higher-gen-wins closure as [[deleteIdRangeMergeOnRead]]
-          case Some(g) => GlprSource.entryLine(n,
-            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
-          case None => l
+    branch match {
+      case Some(b) =>
+        val lineOf: Map[String, String] = GlprSource.branchEntries(path, b)
+          .map(l => GlprSource.entryName(l) -> l).toMap
+        val newGens: Map[String, Long] = byName.flatMap { case (n, ids) =>
+          GlprSource.writeDvbGenerationRanges(path, b, n,
+            lineOf.getOrElse(n, n), ids.sorted.map(id => (id, id))).map(n -> _)
         }
-      })
-    newGens.keys.toSeq.sorted
+        commitBranchGens(path, b, newGens)
+        newGens.keys.toSeq.sorted
+      case None =>
+        val gens: Map[String, Option[Long]] = GlprSource.committedEntries(path)
+          .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
+        val newGens: Map[String, Long] = byName.flatMap { case (n, ids) =>
+          GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
+            ids.sorted.map(id => (id, id))).map(n -> _)
+        }
+        if (newGens.nonEmpty)
+          GlprSource.commitManifest(path)(base => base.map { l =>
+            val n = GlprSource.entryName(l)
+            newGens.get(n) match {
+              // same higher-gen-wins closure as [[deleteIdRangeMergeOnRead]]
+              case Some(g) => GlprSource.entryLine(n,
+                Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
+              case None => l
+            }
+          })
+        requireGensCommitted(path, newGens)
+        newGens.keys.toSeq.sorted
+    }
   }
   /** Row ceiling for [[deleteWhereMergeOnRead]] — past this, the
     * accumulated mask bytes (≈16 B/row, re-read by every scan) cost

@@ -115,10 +115,14 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("grace_ms", LongType).defaultValue("0").build())
+      // branch is OPTIONAL (q346): '' = main; a name scopes the delete
+      // to that write-audit-publish branch head (masks in the branch's
+      // dv namespace, one branch-chain commit, invisible to main)
       case "delete_where_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("column", StringType).build(),
-        ProcedureParameter.in("values", StringType).build())
+        ProcedureParameter.in("values", StringType).build(),
+        ProcedureParameter.in("branch", StringType).defaultValue("''").build())
       case "create_branch" | "publish_branch" | "drop_branch" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build())
@@ -157,9 +161,11 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
         case "delete_where_mor" =>
           val vals = input.getUTF8String(2).toString
             .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet
+          val b = Option(input.getUTF8String(3)).map(_.toString.trim)
+            .filter(_.nonEmpty)
           val changed = GlprMaintenance.deleteWhereMergeOnRead(
             org.apache.spark.sql.SparkSession.active, path,
-            input.getUTF8String(1).toString, vals)
+            input.getUTF8String(1).toString, vals, branch = b)
           summary("masked_shards" -> changed.length.toLong,
             "live_version" ->
               GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))

@@ -148,6 +148,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q343_glpr_stream_merge",   // CDF stream drained into MERGEs on construction
     "q344_glpr_value_mor_delete", // staging write + matching job on construction
     "q345_glpr_wap",            // branch staging + audit + publish on construction
+    "q346_glpr_branch_fix",     // branch staging + MoR fix + publish on construction
                                 // (shares q328's staging); per-version
                                 // replay pins in GlprSpec
     "q297_glpr_limit_pushdown", // GLPR staging write on construction

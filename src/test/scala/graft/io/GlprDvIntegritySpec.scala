@@ -192,19 +192,42 @@ class GlprDvIntegritySpec extends AnyFunSuite {
       .option("versionAsOf", "1").load(root).count() === 1000L)
   }
 
+  test("MoR delete post-commit guard: a gen lost to a concurrent rewrite fails loudly (round-18 ADVICE)") {
+    val root = TempDirs.scratch("graft-glpr-toctou").toString
+    append(root, (0L until 100L).map(i => (i, "en", "s", s"a-$i")))
+    // the normal path runs the guard and passes
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 0L, 5L).size === 1)
+    val name = GlprSource.committedEntries(root).map(GlprSource.entryName).head
+    // a shard retired between matching and commit: its line vanished,
+    // so the written gen was silently dropped — the guard must refuse
+    val e = intercept[IllegalArgumentException] {
+      GlprMaintenance.requireGensCommitted(root,
+        Map("part-0000009999.glpr" -> 1L))
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    // a committed gen BELOW the written one (line replaced by a stale
+    // rewrite) is the same data-loss shape
+    val e2 = intercept[IllegalArgumentException] {
+      GlprMaintenance.requireGensCommitted(root, Map(name -> 99L))
+    }
+    assert(e2.getMessage.contains(name), e2.getMessage)
+  }
+
   test("q345 write-audit-publish: branch staging is invisible, publish is one commit, drop reclaims") {
     val root = TempDirs.scratch("graft-glpr-wap").toString
     append(root, (0L until 50L).map(i => (i, "en", "s", s"base-$i"))) // main v1
     GlprSource.createBranch(root, "audit")
     intercept[IllegalArgumentException](GlprSource.createBranch(root, "audit"))
-    // stage a good batch and a bad batch onto the branch
-    def stage(rows: Seq[(Long, String, String, String)]): Unit = {
+    // stage a good batch onto the audit branch, later a bad batch onto
+    // a second branch — the helper takes the branch explicitly so the
+    // published 'audit' chain stays clean (round-18 ADVICE)
+    def stage(branch: String, rows: Seq[(Long, String, String, String)]): Unit = {
       import spark.implicits._
       rows.toDF("doc_id", "lang", "source", "text").coalesce(1)
-        .write.format("graft.io.GlprSource").option("branch", "audit")
+        .write.format("graft.io.GlprSource").option("branch", branch)
         .mode("append").save(root)
     }
-    stage((100L until 150L).map(i => (i, "en", "s", s"good-$i")))
+    stage("audit", (100L until 150L).map(i => (i, "en", "s", s"good-$i")))
     // MAIN is untouched: live readers see none of the staging
     assert(liveIds(root) === (0L until 50L).toSet,
       "branch staging leaked into the live view")
@@ -225,29 +248,106 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     // PUBLISH: one main commit adopts the branch head
     assert(GlprSource.publishBranch(root, "audit") === 2)
     assert(liveIds(root) === ((0L until 50L) ++ (100L until 150L)).toSet)
+    // idempotent re-publish of the untouched branch: main already
+    // equals the branch head, so the no-op flip is allowed and mints
+    // nothing
+    val versionsAfterPublish = GlprSource.listManifestVersions(root).size
+    assert(GlprSource.publishBranch(root, "audit") === 2)
+    assert(GlprSource.listManifestVersions(root).size === versionsAfterPublish)
     // a FAILED audit: stage garbage on a second branch, drop it, vacuum
     GlprSource.createBranch(root, "bad")
-    stage((900L until 950L).map(i => (i, "xx", "s", s"junk-$i")))
-    // (the second stage targeted 'audit'; garbage goes to 'bad')
-    import spark.implicits._
-    (900L until 950L).map(i => (i, "xx", "s", s"junk-$i"))
-      .toDF("doc_id", "lang", "source", "text").coalesce(1)
-      .write.format("graft.io.GlprSource").option("branch", "bad")
-      .mode("append").save(root)
+    stage("bad", (900L until 950L).map(i => (i, "xx", "s", s"junk-$i")))
     GlprSource.dropBranch(root, "bad"): Unit
     val reclaimed = GlprMaintenance.vacuum(root)
     assert(reclaimed >= 1, "dropped-branch staging must vacuum away")
-    // main never saw the garbage; the published view is intact —
-    // but the first 'stage' call above put junk on 'audit' AFTER its
-    // publish: unpublished, so still invisible to main
+    // main never saw the garbage; the published view is intact
     assert(liveIds(root) === ((0L until 50L) ++ (100L until 150L)).toSet)
+    // FAST-FORWARD guard: 'audit' forked at main v1, main is now at v2
+    // (the publish) — staging more onto the stale branch and
+    // re-publishing must REFUSE, not adopt (a verbatim adopt would also
+    // be how junk staged post-publish could leak into main)
+    stage("audit", (500L until 510L).map(i => (i, "en", "s", s"late-$i")))
+    val ff = intercept[IllegalArgumentException] {
+      GlprSource.publishBranch(root, "audit")
+    }
+    assert(ff.getMessage.contains("main advanced"), ff.getMessage)
+    assert(liveIds(root) === ((0L until 50L) ++ (100L until 150L)).toSet,
+      "refused publish must leave main untouched")
     // overwrite semantics on a branch refuse loudly
+    import spark.implicits._
     val e = intercept[Exception] {
       Seq((1L, "en", "s", "x")).toDF("doc_id", "lang", "source", "text")
         .write.format("graft.io.GlprSource").option("branch", "audit")
         .mode("overwrite").save(root)
     }
     assert(e.getMessage.contains("APPEND-only"), e.getMessage)
+    // all-digit branch names are unreachable from SQL VERSION AS OF —
+    // refused at creation (round-18 ADVICE)
+    val digits = intercept[IllegalArgumentException] {
+      GlprSource.createBranch(root, "2024")
+    }
+    assert(digits.getMessage.contains("all-digit"), digits.getMessage)
+  }
+
+  test("q346 branch-scoped MoR delete: invisible to main, publish translates masks, drop discards them") {
+    val root = TempDirs.scratch("graft-glpr-branchmor").toString
+    append(root, (0L until 50L).map(i => (i, "en", "s", s"base-$i")))   // main v1
+    // a pre-existing MAIN mask, so fork lines carry dv= tokens too
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 0L, 4L).nonEmpty) // v2
+    GlprSource.createBranch(root, "fix")
+    (100L until 150L).map(i => (i, if (i < 140) "en" else "xx", "s", s"staged-$i"))
+      .toDF("doc_id", "lang", "source", "text").coalesce(1)
+      .write.format("graft.io.GlprSource").option("branch", "fix")
+      .mode("append").save(root)
+    def branchIds(): Set[Long] = spark.read.format("graft.io.GlprSource")
+      .option("branch", "fix").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // BRANCH range delete hits staged rows AND fork rows; main untouched
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 120L, 129L,
+      Some("fix")).nonEmpty)
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 40L, 44L,
+      Some("fix")).nonEmpty)
+    // idempotent branch re-delete: nothing changes, no new chain version
+    val chainLen = GlprSource.listBranchVersions(root, "fix").size
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 120L, 129L,
+      Some("fix")) === Seq.empty)
+    assert(GlprSource.listBranchVersions(root, "fix").size === chainLen)
+    // BRANCH predicate delete (the q344 shape, branch-scoped)
+    assert(GlprMaintenance.deleteWhereMergeOnRead(spark, root, "lang",
+      Set("xx"), branch = Some("fix")).nonEmpty)
+    val expectBranch = ((5L until 40L) ++ (45L until 50L) ++
+      (100L until 120L) ++ (130L until 140L)).toSet
+    assert(branchIds() === expectBranch)
+    // MAIN saw none of it — live view AND its mask state are untouched
+    assert(liveIds(root) === (5L until 50L).toSet,
+      "branch-scoped MoR delete leaked into the live view")
+    assert(GlprSource.readManifest(root).get
+      .forall(l => GlprSource.entryDvbGen(l).isEmpty))
+    // PUBLISH translates dvb masks into shared dv generations
+    GlprSource.publishBranch(root, "fix"): Unit
+    assert(liveIds(root) === expectBranch)
+    assert(GlprSource.readManifest(root).get
+      .forall(l => GlprSource.entryDvbGen(l).isEmpty),
+      "no dvb token may leak into main")
+    // time travel: the pre-publish main version still reads its own mask
+    val v2 = spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", "2").load(root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v2 === (5L until 50L).toSet)
+    GlprSource.dropBranch(root, "fix"): Unit
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.contains(".dv.b-fix.")),
+      "dropBranch must reclaim the branch dv namespace")
+    // an ABANDONED branch's masks must never phantom-apply to main:
+    // branch-delete rows, drop the branch, then a main MoR delete —
+    // the branch-deleted rows stay live
+    GlprSource.createBranch(root, "aband")
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 10L, 14L,
+      Some("aband")).nonEmpty)
+    GlprSource.dropBranch(root, "aband"): Unit
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 30L, 31L).nonEmpty)
+    assert((10L until 15L).toSet.subsetOf(liveIds(root)),
+      "dropped-branch masks phantom-applied to a later main delete")
   }
 
   test("a corrupted CDF checkpoint offset refuses loudly instead of rewinding") {

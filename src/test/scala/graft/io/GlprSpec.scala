@@ -1375,6 +1375,43 @@ class GlprSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.cbo.enabled", "true")
   }
 
+  test("column stats are POST-pushdown: statically pruned shards don't inflate NDV (round-18 ADVICE)") {
+    val r2 = TempDirs.scratch("graft-glpr-ppstats").toString
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.catalog.glpr_pp", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_pp.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.sql("CREATE TABLE glpr_pp.ns.t " +
+      "(doc_id BIGINT, lang STRING, source STRING, text STRING) PARTITIONED BY (lang)")
+    (0L until 120L).map(i => (i, if (i % 2 == 0) "en" else "de", "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("pp_in")
+    s2.sql("INSERT INTO glpr_pp.ns.t SELECT * FROM pp_in")
+    // precondition: the clustered write produced single-lang shards
+    val tdir = new java.io.File(r2, "ns/t").getAbsolutePath
+    val metas = GlprSource.committedShards(tdir)
+      .flatMap(GlprSource.readMeta).filter(_.rows > 0)
+    assert(metas.forall(_.pvals.exists(_.size == 1)),
+      s"expected single-lang shards, got ${metas.map(_.pvals)}")
+    def langNdv(df: org.apache.spark.sql.DataFrame): Option[BigInt] = {
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no v2 scan relation in the plan"))
+      rel.stats.attributeStats.toSeq
+        .collectFirst { case (a, st) if a.name == "lang" => st }
+        .flatMap(_.distinctCount)
+    }
+    // unfiltered: both langs' shards planned → NDV 2
+    assert(langNdv(s2.sql("SELECT * FROM glpr_pp.ns.t")).contains(BigInt(2)))
+    // lang='en' prunes the de shards statically — the scan's column
+    // stats must describe the POST-pushdown output (NDV 1), not the
+    // whole table: CBO reads these for selectivity
+    assert(langNdv(s2.sql("SELECT * FROM glpr_pp.ns.t WHERE lang = 'en'"))
+      .contains(BigInt(1)))
+  }
+
   test("a small GLPR dimension auto-broadcasts against parquet facts — NO hint (q289's plan)") {
     val dim = glpr.select(col("doc_id"), col("lang"))
     val facts = spark.read.parquet(s"$dir/lineitem.parquet")
