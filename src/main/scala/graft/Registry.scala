@@ -2841,6 +2841,27 @@ object Registry {
         | coalesce(round(sum(score), 6), CAST(0.0 AS DOUBLE)) AS score_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DROP COLUMN as a metadata tombstone (round-18 verdict #2): the
+    // extra's marker token leaves, its physical name burns (re-add
+    // rejected — asserted in-pipeline), scans exclude it on MIXED
+    // shards (carrying shards byte-skip via their sidecar layout), the
+    // surviving extra keeps reading, post-drop inserts carry the
+    // narrowed schema. Oracle rebuilds the three-era table.
+    "q347_glpr_drop_column" -> Entry((s, d) =>
+      graft.io.GlprSource.dropColumnPipeline(s, d).orderBy("lang"), Some(
+      """WITH t AS (
+        | SELECT lang, CAST(NULL AS BIGINT) AS keep FROM documents
+        | UNION ALL
+        | SELECT lang, CAST(strlen(text) AS BIGINT) FROM documents
+        | WHERE doc_id < 100
+        | UNION ALL
+        | SELECT lang, CAST(doc_id AS BIGINT) FROM documents
+        | WHERE doc_id >= 100 AND doc_id < 200)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(keep) AS BIGINT) AS n_keep,
+        | coalesce(CAST(sum(keep) AS BIGINT), 0) AS keep_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SIDECAR STATS → broadcast decision (round-17 verdict #3):
     // column stats (doc_id min/max/NDV, avg lengths) surface as
     // Catalyst attributeStats AND the scan's sizeInBytes/numRows are

@@ -86,6 +86,15 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     readMarkerToken(dir, "extra_columns")
       .map(_.split(",", -1).iterator.filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+  /** DROP COLUMN tombstones (q347): the logical AND physical names of
+    * every dropped extra, kept forever — the physical namespace is
+    * immutable (old shards still carry the bytes under it), so a later
+    * ADD COLUMN reusing either name would silently re-bind the dropped
+    * column's shard data. */
+  private def readDroppedCols(dir: java.io.File): Seq[String] =
+    readMarkerToken(dir, "dropped_columns")
+      .map(_.split(",", -1).iterator.filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
   private def readMarkerToken(dir: java.io.File, key: String): Option[String] = {
     val bytes = java.nio.file.Files.readAllBytes(marker(dir).toPath)
     val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
@@ -94,9 +103,12 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     }
   }
   private def writeMarker(dir: java.io.File, partitionSpec: Option[String],
-      extraCols: Seq[String]): Unit = {
+      extraCols: Seq[String], droppedCols: Seq[String] = Seq.empty): Unit = {
     val tokens = partitionSpec.map(p => s"partitioned_by=$p").toSeq ++
       (if (extraCols.nonEmpty) Seq(s"extra_columns=${extraCols.mkString(",")}")
+       else Nil) ++
+      (if (droppedCols.nonEmpty)
+        Seq(s"dropped_columns=${droppedCols.mkString(",")}")
        else Nil)
     java.nio.file.Files.write(marker(dir).toPath,
       tokens.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -290,6 +302,7 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     var extras = readExtraCols(dir)
+    var dropped = readDroppedCols(dir)
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case add: TableChange.AddColumn =>
@@ -310,6 +323,12 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         require(!extras.map(GlprSource.extraPhysical).contains(name),
           s"column name '$name' is the immutable physical name of a " +
             "renamed column; pick another name")
+        // ...nor a DROPPED column's name (logical or physical): the
+        // tombstone burns both forever — re-binding would resurrect the
+        // dropped column's shard bytes under the new column (q347)
+        require(!dropped.contains(name),
+          s"column name '$name' belongs to a dropped column (burned " +
+            "with its physical name); pick another name")
         extras = extras :+ GlprSource.extraToken(name, tpe, name)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
@@ -331,12 +350,39 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         val (_, tpe, phys) = GlprSource.parseExtraToken(extras(i))
         extras = extras.updated(i,
           GlprSource.extraToken(ren.newName, tpe, phys))
+      // DROP COLUMN as a METADATA TOMBSTONE (round-18 verdict #2): the
+      // extra's token leaves the marker — every scan stops projecting
+      // it, on mixed shards alike (shards that carry the bytes skip
+      // them via their sidecar `cols=` layout) — and BOTH its names
+      // are burned in `dropped_columns=`, so the immutable physical
+      // namespace can never be re-bound. Zero shard touches, atomic
+      // (one marker write). Base columns keep rejecting: the fixed
+      // 4-column layout IS the format.
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "GLPR DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames()(0)
+        require(!GlprSource.schema.fieldNames.contains(name),
+          s"GLPR base column '$name' is the format; DROP COLUMN " +
+            "applies to added extra columns only")
+        val i = extras.indexWhere(t => GlprSource.extraLogical(t) == name)
+        if (i < 0) {
+          require(del.ifExists, s"no such column '$name'")
+        } else {
+          require(!readPartitionCol(dir)
+              .exists(GlprSource.parsePartSpec(_).column == name),
+            s"column '$name' drives the table's partition transform; " +
+              "dropping it would orphan the prune index")
+          val (_, _, phys) = GlprSource.parseExtraToken(extras(i))
+          dropped = (dropped ++ Seq(name, phys)).distinct
+          extras = extras.patch(i, Nil, 1)
+        }
       case other => throw new UnsupportedOperationException(
         "GLPR tables support ADD COLUMN (appended nullable " +
-          "STRING/BIGINT/DOUBLE), RENAME COLUMN on extras, and " +
-          s"property changes only; got $other")
+          "STRING/BIGINT/DOUBLE), RENAME COLUMN on extras, DROP COLUMN " +
+          s"on extras, and property changes only; got $other")
     }
-    writeMarker(dir, readPartitionCol(dir), extras)
+    writeMarker(dir, readPartitionCol(dir), extras, dropped)
     new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),
       extraCols = extras)
   }

@@ -1363,6 +1363,67 @@ object GlprSource {
   private val typedEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q347 — `ALTER TABLE DROP COLUMN` as a METADATA TOMBSTONE
+    * (round-18 verdict #2): two extras added (`note` STRING, `keep`
+    * BIGINT) and a slice INSERTed with values for both; `DROP COLUMN
+    * note` then removes the extra's marker token — one atomic metadata
+    * write, zero shard touches — and BURNS its physical name in the
+    * tombstone list. Scans exclude the column on MIXED shards (shards
+    * that still carry the bytes skip them via their sidecar layout;
+    * the q339 physical-name indirection is what makes the skip exact),
+    * a re-add of the same name REJECTS (re-binding would resurrect the
+    * dead bytes), the surviving extra keeps reading, and a post-drop
+    * slice INSERTs under the narrowed schema. Base columns keep
+    * rejecting. The oracle rebuilds the three-era table relationally;
+    * catalog pins (ifExists, partition-column guard, rename-then-drop)
+    * live in GlprCatalogSpec. */
+  def dropColumnPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = dropColCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-dropcol").toString)
+    val s2 = freshCatalogSession(spark, "glpr_drop", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_drop.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_drop.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("ALTER TABLE glpr_drop.corpus.docs ADD COLUMN note STRING")
+      s2.sql("ALTER TABLE glpr_drop.corpus.docs ADD COLUMN keep BIGINT")
+      s2.sql("INSERT INTO glpr_drop.corpus.docs " +
+        "SELECT doc_id + 1000000, lang, source, text, " +
+        "concat('n-', lang) AS note, " +
+        "CAST(octet_length(text) AS BIGINT) AS keep " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+      s2.sql("ALTER TABLE glpr_drop.corpus.docs DROP COLUMN note")
+      // the dropped name is BURNED: re-adding must refuse, or the old
+      // shards' note bytes would re-bind under the new column
+      val readd =
+        try { s2.sql("ALTER TABLE glpr_drop.corpus.docs " +
+          "ADD COLUMN note STRING"); None }
+        catch { case e: Throwable => Some(e) }
+      require(readd.exists { e =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => Option(t.getMessage).exists(_.contains("dropped")))
+      }, s"q347 contract: re-adding a dropped column must refuse, got $readd")
+      // post-drop inserts carry the NARROWED schema (base + keep)
+      s2.sql("INSERT INTO glpr_drop.corpus.docs " +
+        "SELECT doc_id + 2000000, lang, source, text, " +
+        "CAST(doc_id AS BIGINT) AS keep " +
+        s"FROM parquet.`$dir/documents.parquet` " +
+        "WHERE doc_id >= 100 AND doc_id < 200")
+    }
+    val res = s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(keep) AS BIGINT) AS n_keep,
+        | coalesce(CAST(sum(keep) AS BIGINT), 0) AS keep_sum
+        |FROM glpr_drop.corpus.docs GROUP BY lang""".stripMargin)
+    require(!s2.table("glpr_drop.corpus.docs").columns.contains("note"),
+      "q347 contract: the dropped column must leave the table schema")
+    rematerialize(spark, res)
+  }
+  private val dropColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q340 — SIDECAR STATISTICS driving the broadcast decision
     * (round-17 verdict #3): the corpus staged as a GLPR table whose
     * commit sidecars surface (a) per-column stats — doc_id min/max/NDV,

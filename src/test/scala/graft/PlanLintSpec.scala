@@ -142,6 +142,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q337_glpr_cdf_stream",     // CDF stream settle on construction
     "q338_glpr_cdc_merge",      // seeds + MERGE-applies the changelog table
     "q339_glpr_typed_evolution", // staged DDL+INSERTs on construction
+    "q347_glpr_drop_column",    // staged DDL+INSERTs+DROP on construction
     "q340_glpr_cbo_stats_join", // staging write + collected join result
     "q341_glpr_months_partition", // staged DDL+clustered INSERT
     "q342_glpr_truncate_partition", // staged DDL+clustered INSERT
