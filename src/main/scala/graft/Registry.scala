@@ -2586,6 +2586,21 @@ object Registry {
         | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // COMPACTION OVER LIVE MASKS (round-18 verdict #3): id-range + value
+    // MoR deletes layered onto 16 range-clustered shards, then ONE
+    // compact() — masked members rewritten with their mask folded
+    // in-flight, byte-concat for the rest, members retired WITH their
+    // dv tokens in the same flip: the live view ends mask-free. Oracle
+    // = the double-complement rollup (fold exactness + move-once).
+    "q348_glpr_masked_compact" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.maskedCompactionPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |WHERE NOT (doc_id BETWEEN 100 AND 219) AND lang <> 'de'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // MANIFEST commit-point visibility: the corpus written through the
     // job-committed path (the _manifest shard log — job-level atomic
     // visibility + O(1) listing for million-shard dirs), then a crashed

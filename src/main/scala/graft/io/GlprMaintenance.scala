@@ -63,18 +63,27 @@ object GlprMaintenance {
   /** Merge groups of small committed shards up to `targetBytes` each.
     * Returns the groups actually merged (singletons are untouched and
     * not reported). Byte-level concatenation; sidecars merged from
-    * sidecars — see the object doc for the exact fold rules. */
+    * sidecars — see the object doc for the exact fold rules.
+    *
+    * MASKED members fold their mask IN-FLIGHT (round-18 verdict #3): a
+    * delete-vector-carrying shard is rewritten through the standard
+    * reader (mask applied) into an invisible stage file, the STAGE
+    * bytes join the byte concat, and the member's line — dv token and
+    * all — retires in the same manifest flip, so the merged shard is
+    * mask-free and the old generations drop out of the live view
+    * (vacuum reclaims them with the retired member after expiry). No
+    * separate materializeDeletes pass needed. Masked shards carrying
+    * schema-evolution extras still act as group boundaries (the fold
+    * reads the base schema only, like every path-level rewrite). */
   def compact(path: String, targetBytes: Long): Seq[CompactGroup] = {
     // retention needs the manifest as the visibility point (members are
     // RETIRED by the flip, never unlinked): pin one now, adopting any
     // legacy listing
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    // a delete-vector-carrying shard is NEVER merged: byte concat under
-    // a fresh name would orphan its mask and resurrect the masked rows —
-    // materializeDeletes first, then compact (it also acts as a group
-    // boundary so neighbors still merge among themselves)
     val dir = new java.io.File(path)
     val entries = GlprSource.committedEntries(path)
+    val lineOf: Map[String, String] =
+      entries.map(l => GlprSource.entryName(l) -> l).toMap
     val shards = entries.map(l => new java.io.File(dir, GlprSource.entryName(l)))
       .filter(_.isFile).sortBy(_.getName)
     val maskedNames = entries.filter(l => liveMaskOf(path, l).nonEmpty)
@@ -89,7 +98,8 @@ object GlprMaintenance {
       // a schema-evolution boundary also breaks the group: byte concat
       // needs ONE field layout per merged shard (q332)
       val cols = GlprSource.readMeta(f).map(_.cols).getOrElse(Seq.empty)
-      if (maskedNames(f.getName)) {
+      if (maskedNames(f.getName) && cols.nonEmpty) {
+        // masked + extras: unfoldable here — boundary, like round 17
         if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0L }
       } else {
         if (cur.nonEmpty && (curBytes + f.length > targetBytes || cols != curCols)) {
@@ -100,18 +110,71 @@ object GlprMaintenance {
     }
     if (cur.nonEmpty) groups += cur
     val toMerge = groups.toSeq.filter(_.length > 1)
-    val merged = toMerge.zip(mintNames(path, toMerge.length))
+    // fold masked members' masks into stage rewrites (only for groups
+    // that actually merge — untouched singletons keep their masks)
+    val foldedGens = scala.collection.mutable.Map.empty[String, Long]
+    val prepared: Seq[Vector[(java.io.File, java.io.File)]] = toMerge.map(
+      _.map { f =>
+        if (maskedNames(f.getName)) {
+          val line = lineOf(f.getName)
+          GlprSource.entryDvGen(line).foreach(g =>
+            foldedGens(f.getName) = g)
+          (f, foldMask(path, f, liveMaskOf(path, line)))
+        } else (f, f)
+      })
+    val merged = prepared.zip(mintNames(path, prepared.length))
       .map { case (g, n) => mergeGroup(path, g, n) }
-    // the manifest commit is the visibility flip: members out, fresh
-    // merged names in (and a minted version — compaction is one atomic
-    // history step to time travel)
+    // the manifest commit is the visibility flip: members out (their dv
+    // tokens with them), fresh merged names in (and a minted version —
+    // compaction is one atomic history step to time travel)
     if (merged.nonEmpty) {
       val dropped = merged.flatMap(_.memberNames).toSet
-      GlprSource.commitManifest(path)(base =>
+      GlprSource.commitManifest(path)(base => {
+        // a racing MoR delete may have advanced a folded member's mask
+        // past the generation we folded — dropping the line would lose
+        // that delete; refuse loudly (the same posture as the MoR
+        // deletes' post-commit guard)
+        base.foreach { l =>
+          val n = GlprSource.entryName(l)
+          foldedGens.get(n).foreach { g =>
+            if (GlprSource.entryDvGen(l).exists(_ > g))
+              throw new IllegalStateException(
+                s"GLPR compact in '$path': shard '$n' grew a newer " +
+                  s"delete-vector generation than the one folded ($g) — " +
+                  "a concurrent MoR delete raced the compaction; re-run")
+          }
+        }
         base.filterNot(l => dropped(GlprSource.entryName(l))) ++
-          merged.map(_.mergedName))
+          merged.map(_.mergedName)
+      })
+      // stage rewrites served the concat only; drop them
+      prepared.flatten.foreach { case (orig, data) =>
+        if (data ne orig) { GlprSource.metaFile(data).delete(); data.delete() }
+        (): Unit
+      }
     }
     merged
+  }
+
+  private val foldCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** Rewrite one masked shard into an invisible `_tmp-` stage file with
+    * its delete-vector mask APPLIED (standard reader → standard writer,
+    * so the stage carries an exact sidecar: post-mask rows/bounds/bytes/
+    * bloom). The stage is named inside the `_tmp` namespace: never
+    * adopted by rebuild, reclaimed by vacuum if a crash strands it. */
+  private def foldMask(path: String, shard: java.io.File,
+      mask: Array[Long]): java.io.File = {
+    val stageName = s"_tmp-compactfold-${foldCounter.incrementAndGet()}-" +
+      shard.getName
+    val reader = new GlprReader(shard.getAbsolutePath, GlprSource.schema,
+      GlprSource.IdRange(Long.MinValue, Long.MaxValue), None, "insert", mask)
+    val writer = new GlprWriter(path, GlprSource.schema, 0,
+      Thread.currentThread().getId, Some(stageName))
+    try {
+      while (reader.next()) writer.write(reader.get())
+    } finally reader.close()
+    writer.commit(): Unit
+    new java.io.File(path, stageName)
   }
 
   /** Fresh never-used names for `n` merged shards, in the directory's
@@ -136,9 +199,12 @@ object GlprMaintenance {
     }
   }
 
-  private def mergeGroup(path: String, group: Vector[java.io.File],
+  /** One group merge: `group` pairs each ORIGINAL member (the manifest
+    * name to retire) with the DATA file to concatenate (the member
+    * itself, or its mask-folded stage rewrite). */
+  private def mergeGroup(path: String, group: Vector[(java.io.File, java.io.File)],
       name: String): CompactGroup = {
-    val metas = group.map(GlprSource.readMeta)
+    val metas = group.map(p => GlprSource.readMeta(p._2))
     // --- merged sidecar from member sidecars (None if any is missing:
     // the merged shard then rides the raw-size fallback, like any
     // externally-written shard) ---
@@ -187,7 +253,7 @@ object GlprMaintenance {
     // --- stage the concatenated payload invisibly ---
     val stage = new java.io.File(path, s"_tmp-compact-$name")
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(stage))
-    try group.foreach(f => java.nio.file.Files.copy(f.toPath, out))
+    try group.foreach(p => java.nio.file.Files.copy(p._2.toPath, out))
     finally out.close()
     val stageMeta = new java.io.File(path, s"_tmp-compact-$name.meta")
     mergedMeta.foreach(m => java.nio.file.Files.write(stageMeta.toPath,
@@ -206,7 +272,7 @@ object GlprMaintenance {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    CompactGroup(name, group.map(_.getName),
+    CompactGroup(name, group.map(_._1.getName),
       mergedMeta.flatMap(_ => metas.flatMap(_.map(_.rows)).reduceOption(_ + _))
         .getOrElse(-1L),
       dest.length)
@@ -936,5 +1002,48 @@ object GlprMaintenance {
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
   }
   private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q348 — compaction OVER LIVE DELETE-VECTOR MASKS (round-18 verdict
+    * #3): the corpus staged as 16 range-clustered shards, an id-range
+    * MoR delete AND a value MoR delete layered on (straddling,
+    * emptying, and value-scattered masks across several shards), then
+    * ONE `compact()` — masked members are rewritten with their mask
+    * folded in-flight, everything concatenates under fresh names, and
+    * the same manifest flip retires members WITH their dv tokens: the
+    * live view ends mask-free with zero live generation references.
+    * The oracle is the double-complement rollup — hash equality
+    * certifies the fold dropped exactly the masked rows and moved every
+    * survivor exactly once. Mask-free/retirement/race pins live in
+    * GlprDvIntegritySpec. */
+  def maskedCompactionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = maskedCompactCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-maskcompact").toString
+      GlprSource.write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(16, col("doc_id")), out)
+      deleteIdRangeMergeOnRead(out, 100L, 219L): Unit
+      deleteWhereMergeOnRead(spark, out, "lang", Set("de")): Unit
+      val entries = GlprSource.committedEntries(out)
+      compact(out, targetBytes = Long.MaxValue / 2): Unit
+      if (entries.length > 1) {
+        val live = GlprSource.committedEntries(out)
+        require(live.length < entries.length,
+          "q348 contract: compaction must shrink the live shard count")
+        require(live.forall(l => GlprSource.entryDvGen(l).isEmpty),
+          "q348 contract: the compacted live view must be mask-free " +
+            s"(got ${live.mkString(", ")})")
+      }
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val maskedCompactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -69,6 +69,7 @@ class PlanLintSpec extends AnyFunSuite {
                                 // DELETE on construction (cached);
                                 // value-delete pins in GlprCatalogSpec
     "q309_glpr_compact",        // small-shard staging write + compaction
+    "q348_glpr_masked_compact", // staging write + MoR deletes + compaction
                                 // on construction (cached); merge pins
                                 // in GlprSpec
     "q310_glpr_manifest",       // manifest staging write + orphan plant
