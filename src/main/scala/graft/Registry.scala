@@ -2923,6 +2923,28 @@ object Registry {
         |FROM t WHERE month = '2024-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // PARTITION-SPEC EVOLUTION (round-18 verdict #4): days(ts) era 1,
+    // CALL sys.set_partition_spec -> months(ts), era 2 — one straddling
+    // window prunes BOTH eras (each shard prunes under its own recorded
+    // spec; raw bounds truncate to each shard's prefix width). Pruning
+    // required in-pipeline; per-era skip pins in GlprCatalogSpec.
+    "q349_glpr_spec_evolution" -> Entry((s, d) =>
+      graft.io.GlprSource.specEvolutionPipeline(s, d).orderBy("month"), Some(
+      """WITH t AS (
+        | SELECT doc_id,
+        |  strftime(DATE '2024-01-01' + to_days(CAST(doc_id % 7 AS INT)),
+        |    '%Y-%m-%d') || 'T12:00:00' AS ts
+        | FROM documents WHERE doc_id < 250
+        | UNION ALL
+        | SELECT doc_id,
+        |  strftime(DATE '2024-03-15' + to_days(CAST((doc_id % 4) * 20 AS INT)),
+        |    '%Y-%m-%d') || 'T08:00:00' AS ts
+        | FROM documents WHERE doc_id >= 250)
+        |SELECT substr(ts, 1, 7) AS month, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t WHERE ts >= '2024-01-03' AND ts < '2024-04-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TRUNCATE PARTITIONING: truncate(4, source) — a raw-column IN
     // probe relaxes to its prefix image for shard pruning ('src1'
     // covers src1/src10..19), the residual row filter keeps it exact

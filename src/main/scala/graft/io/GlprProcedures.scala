@@ -23,7 +23,8 @@ object GlprProcedures {
   def names: Seq[String] = Seq(
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
     "expire_versions", "recluster", "delete_where_mor",
-    "create_branch", "publish_branch", "drop_branch")
+    "create_branch", "publish_branch", "drop_branch",
+    "set_partition_spec")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -67,6 +68,55 @@ object GlprProcedures {
   private[io] def summary(kv: (String, Long)*): Result =
     Result(StructType(kv.map(p => StructField(p._1, LongType, nullable = false))),
       Array(row(kv.map(p => java.lang.Long.valueOf(p._2)): _*)))
+
+  /** PARTITION-SPEC EVOLUTION (q349, round-18 verdict #4): re-point the
+    * table's `partitioned_by` marker token at a new transform — one
+    * atomic metadata write that MINTS A NEW SPEC ERA. New writes
+    * cluster and track sidecar values under the new transform; every
+    * existing shard keeps its OWN recorded spec in its sidecar (`pcol`)
+    * and keeps pruning under it (the per-shard width resolution in the
+    * scan's keep test), so a days-era and a months-era both prune
+    * exactly under one predicate — the Iceberg spec-evolution model at
+    * marker size. The transform is validated like CREATE TABLE's
+    * PARTITIONED BY: identity/days/months/truncate read a STRING
+    * column (base or extra), bucket reads doc_id. */
+  private[io] def setPartitionSpec(dir: java.io.File, spec: String): Unit = {
+    require(spec.nonEmpty && !spec.exists(_.isWhitespace),
+      s"illegal GLPR partition spec '$spec'")
+    val marker = new java.io.File(dir, "_glpr_table")
+    val txt = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val tokens = txt.split("\\s+").filter(_.nonEmpty)
+    val extras = tokens.collectFirst {
+      case t if t.startsWith("extra_columns=") =>
+        t.stripPrefix("extra_columns=").split(",", -1)
+          .iterator.filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
+    val stringCols = (Seq("lang", "source") ++ extras
+      .filter(t => GlprSource.extraTypeName(t) == "string")
+      .map(GlprSource.extraLogical)).toSet
+    GlprSource.parsePartSpec(spec) match {
+      case GlprSource.BucketPart(n) =>
+        require(n > 0 && n <= 4096, s"bucket count out of range: $n")
+      case p: GlprSource.TruncatePart =>
+        require(p.prefixLen > 0 && p.prefixLen <= 1024,
+          s"truncate width out of range: ${p.prefixLen}")
+        require(stringCols(p.column),
+          s"GLPR truncate() partitioning reads a STRING column, got '${p.column}'")
+      case p: GlprSource.PrefixPart =>
+        require(stringCols(p.column),
+          s"GLPR ${spec.takeWhile(_ != '(')}() partitioning reads an " +
+            s"ISO-8601 STRING column, got '${p.column}'")
+      case GlprSource.IdentityPart(c) =>
+        require(stringCols(c),
+          s"GLPR identity partitioning needs a string column, got '$c'")
+    }
+    val kept = tokens.filterNot(_.startsWith("partitioned_by="))
+    java.nio.file.Files.write(marker.toPath,
+      (s"partitioned_by=$spec" +: kept).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 }
 
 /** One named GLPR procedure; `bind` validates the argument shape, `call`
@@ -87,6 +137,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "create_branch" => "create_branch(table, name): fork a write-audit-publish branch from the live manifest (stage writes with the 'branch' writer option; audit with the 'branch' reader option)"
     case "publish_branch" => "publish_branch(table, name): adopt the branch head into the live manifest in ONE commit (the audit passed)"
     case "drop_branch" => "drop_branch(table, name): unlink the branch chain (the audit failed); branch-only shards become vacuum-reclaimable orphans"
+    case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
     case _ => procName
   }
 
@@ -126,6 +177,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "create_branch" | "publish_branch" | "drop_branch" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build())
+      case "set_partition_spec" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("spec", StringType).build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -183,6 +237,10 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           summary("dropped_versions" ->
             GlprSource.dropBranch(path, input.getUTF8String(1).toString)
               .toLong)
+        case "set_partition_spec" =>
+          setPartitionSpec(dir, input.getUTF8String(1).toString.trim)
+          summary("live_shards" ->
+            GlprSource.committedShards(path).length.toLong)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

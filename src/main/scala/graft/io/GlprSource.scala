@@ -1608,6 +1608,62 @@ object GlprSource {
   }
   private val monthsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q349 — PARTITION-SPEC EVOLUTION (round-18 verdict #4): era 1
+    * INSERTed under `days(ts)`; `CALL sys.set_partition_spec('…',
+    * 'months(ts)')` mints the new spec era — one atomic marker write;
+    * era 2 INSERTs then cluster and track sidecar values under
+    * months(). ONE predicate window straddling both eras prunes BOTH:
+    * shards keep their own recorded spec (`pcol`) and the scan
+    * truncates the raw bounds to each shard's width (days-era shards
+    * compare 10-char days, months-era shards 7-char months — prefix
+    * images preserve string order at every width, so each era's prune
+    * stays exact). Pruning is required in-pipeline via the plan events;
+    * per-era skip counts and the straddling-boundary exactness are
+    * GlprCatalogSpec-pinned. The oracle derives both eras relationally. */
+  def specEvolutionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = specEvoCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-specevo").toString)
+    val s2 = freshCatalogSession(spark, "glpr_sev", root)
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_sev.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING, ts STRING) " +
+        "PARTITIONED BY (days(ts))")
+      s2.sql("INSERT INTO glpr_sev.corpus.docs " +
+        "SELECT doc_id, lang, source, text, " +
+        "concat(date_format(date_add(to_date('2024-01-01'), " +
+        "  CAST(doc_id % 7 AS INT)), 'yyyy-MM-dd'), 'T12:00:00') AS ts " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 250")
+      s2.sql("CALL glpr_sev.sys.set_partition_spec('corpus.docs', " +
+        "'months(ts)')").collect(): Unit
+      s2.sql("INSERT INTO glpr_sev.corpus.docs " +
+        "SELECT doc_id, lang, source, text, " +
+        "concat(date_format(date_add(to_date('2024-03-15'), " +
+        "  CAST((doc_id % 4) * 20 AS INT)), 'yyyy-MM-dd'), 'T08:00:00') AS ts " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id >= 250")
+    }
+    val res = s2.sql(
+      """SELECT substr(ts, 1, 7) AS month,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_sev.corpus.docs
+        |WHERE ts >= '2024-01-03' AND ts < '2024-04-20'
+        |GROUP BY 1""".stripMargin)
+    val out = rematerialize(spark, res)
+    val tablePath = new java.io.File(root, "corpus/docs").getAbsolutePath
+    Option(planEvents.get(tablePath)).foreach { case (kept, total) =>
+      // both eras contribute out-of-window shards (Jan 01/02 days,
+      // the May month) — the straddling window must prune
+      require(total < 2 || kept < total,
+        s"q349 contract: the window must prune mixed-era shards " +
+          s"(kept $kept of $total)")
+    }
+    out
+  }
+  private val specEvoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Un-rematerialized plan view of the q341 window read (PlanAudit +
     * the GlprCatalogSpec prune pin read this). */
   def monthsPartitionPlanFrame(spark: org.apache.spark.sql.SparkSession,
@@ -4265,10 +4321,13 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // days-partition prune hints (q334): compiled from the residual
-  // filters on the days column, NEVER pushed (the row residual stays);
-  // a day covers a half-open timestamp interval, so range bounds relax
-  // to their containing days (sound over-keep)
+  // prefix-partition prune hints (q334): compiled from the residual
+  // filters on the transform's source column, NEVER pushed (the row
+  // residual stays). Kept RAW since round 19 (partition-spec evolution,
+  // q349): mixed-era shards carry DIFFERENT prefix widths, so each
+  // shard truncates the bounds to ITS recorded spec's width at keep
+  // time — a prefix image preserves string order, so the relaxation
+  // stays a sound over-keep at every width
   private var dayEq: Option[Set[String]] = None
   private var dayLo: Option[String] = None
   private var dayHi: Option[String] = None
@@ -4287,22 +4346,22 @@ class GlprScanBuilder(path: String, maxShardsPerTrigger: Option[Int],
     }
     partitionCol.map(GlprSource.parsePartSpec).collect {
       case d: GlprSource.PrefixPart =>
-        val w = d.prefixLen
+        // RAW values; per-shard width truncation happens in shardKeep
         def andEq(vals: Set[String]): Unit =
           dayEq = Some(dayEq.map(_ intersect vals).getOrElse(vals))
         filters.foreach {
-          case EqualTo(c, v: String) if c == d.column => andEq(Set(v.take(w)))
+          case EqualTo(c, v: String) if c == d.column => andEq(Set(v))
           case In(c, vs) if c == d.column && vs.nonEmpty &&
               vs.forall(_.isInstanceOf[String]) =>
-            andEq(vs.iterator.map(_.asInstanceOf[String].take(w)).toSet)
+            andEq(vs.iterator.map(_.asInstanceOf[String]).toSet)
           case GreaterThan(c, v: String) if c == d.column =>
-            dayLo = Some(dayLo.fold(v.take(w))(l => Seq(l, v.take(w)).max))
+            dayLo = Some(dayLo.fold(v)(l => Seq(l, v).max))
           case GreaterThanOrEqual(c, v: String) if c == d.column =>
-            dayLo = Some(dayLo.fold(v.take(w))(l => Seq(l, v.take(w)).max))
+            dayLo = Some(dayLo.fold(v)(l => Seq(l, v).max))
           case LessThan(c, v: String) if c == d.column =>
-            dayHi = Some(dayHi.fold(v.take(w))(h => Seq(h, v.take(w)).min))
+            dayHi = Some(dayHi.fold(v)(h => Seq(h, v).min))
           case LessThanOrEqual(c, v: String) if c == d.column =>
-            dayHi = Some(dayHi.fold(v.take(w))(h => Seq(h, v.take(w)).min))
+            dayHi = Some(dayHi.fold(v)(h => Seq(h, v).min))
           case _ => ()
         }
     }
@@ -4756,10 +4815,23 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
           .forall(have => (have & w).nonEmpty))
       case Some(d: GlprSource.PrefixPart)
           if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
-        meta.flatMap(_.valuesOf(d.spec)).forall(_.exists { day =>
-          dayEq.forall(_.contains(day)) &&
-            dayLo.forall(day >= _) && dayHi.forall(day <= _)
-        })
+        // PARTITION-SPEC EVOLUTION (q349): the table's CURRENT spec only
+        // names the source column the hints were compiled from; each
+        // shard prunes under the prefix transform IT was written with
+        // (its recorded `pcol`), truncating the raw bounds to that
+        // spec's width — days-era and months-era shards both prune
+        // exactly under one predicate. A shard whose recorded spec
+        // reads a different column (or none) never prunes.
+        meta.flatMap(m => m.pcol.map(GlprSource.parsePartSpec)) match {
+          case Some(sd: GlprSource.PrefixPart) if sd.column == d.column =>
+            val w = sd.prefixLen
+            meta.flatMap(_.valuesOf(sd.spec)).forall(_.exists { day =>
+              dayEq.forall(_.exists(_.take(w) == day)) &&
+                dayLo.forall(lo => day >= lo.take(w)) &&
+                dayHi.forall(hi => day <= hi.take(w))
+            })
+          case _ => true
+        }
       case _ => true
     }
     idKeep && bloomKeep && valKeep && specKeep

@@ -146,6 +146,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q347_glpr_drop_column",    // staged DDL+INSERTs+DROP on construction
     "q340_glpr_cbo_stats_join", // staging write + collected join result
     "q341_glpr_months_partition", // staged DDL+clustered INSERT
+    "q349_glpr_spec_evolution", // staged DDL+INSERT+spec evolution+INSERT
     "q342_glpr_truncate_partition", // staged DDL+clustered INSERT
     "q343_glpr_stream_merge",   // CDF stream drained into MERGEs on construction
     "q344_glpr_value_mor_delete", // staging write + matching job on construction

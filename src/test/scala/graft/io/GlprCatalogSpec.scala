@@ -900,6 +900,71 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(iKept < iTotal, s"prefix IN probe must prune: $iKept/$iTotal")
   }
 
+  test("q349 spec evolution: days-era and months-era shards both prune under their own recorded spec") {
+    val r2 = TempDirs.scratch("graft-glpr-specevo-pin").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_pse", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_pse.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_pse.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING, ts STRING) PARTITIONED BY (days(ts))")
+    import s2.implicits._
+    // era 1: 4 distinct DAYS (clustered write → single-day shards)
+    (0L until 40L).map(i => (i, "en", "s", s"t-$i",
+        s"2024-01-0${1 + i % 4}T12:00:00"))
+      .toDF("doc_id", "lang", "source", "text", "ts")
+      .createOrReplaceTempView("pse_era1")
+    s2.sql("INSERT INTO glpr_pse.ns.t SELECT * FROM pse_era1")
+    // EVOLVE: one marker write mints the months() era
+    s2.sql("CALL glpr_pse.sys.set_partition_spec('ns.t', 'months(ts)')")
+      .collect(): Unit
+    // era 2: 3 distinct MONTHS
+    (100L until 130L).map(i => (i, "en", "s", s"t-$i",
+        s"2024-0${3 + i % 3}-10T08:00:00"))
+      .toDF("doc_id", "lang", "source", "text", "ts")
+      .createOrReplaceTempView("pse_era2")
+    s2.sql("INSERT INTO glpr_pse.ns.t SELECT * FROM pse_era2")
+    val tdir = new java.io.File(r2, "ns/t").getAbsolutePath
+    val metas = GlprSource.committedShards(tdir)
+      .flatMap(GlprSource.readMeta).filter(_.rows > 0)
+    // preconditions: each shard is single-valued under ITS OWN spec,
+    // and the two eras recorded different specs
+    assert(metas.forall(_.pvals.exists(_.size == 1)),
+      s"expected single-value shards, got ${metas.toSeq.map(_.pvals)}")
+    assert(metas.flatMap(_.pcol).toSet ===
+      Set("days(ts)", "months(ts)"))
+    val total = metas.length
+    assert(total === 7, s"expected 4 day + 3 month shards, got $total: " +
+      metas.toSeq.map(m => (m.rows, m.pcol, m.pvals)).mkString("; "))
+    // ONE window straddling both eras: era 1 keeps days 02-04 (prunes
+    // day 01), era 2 keeps month 03 (prunes months 04 and 05 — the raw
+    // upper bound truncates to '2024-03' at the months width)
+    val got = s2.sql("SELECT doc_id FROM glpr_pse.ns.t " +
+      "WHERE ts >= '2024-01-02' AND ts <= '2024-03-31T23:59:59'")
+      .collect().map(_.getLong(0)).toSet
+    val exp = (0L until 40L).filter(i => i % 4 != 0).toSet ++
+      (100L until 130L).filter(i => i % 3 == 0).toSet
+    assert(got === exp)
+    // planEvents counts every committed shard (empty clustered-write
+    // shards always keep); the straddling window prunes 1 day shard +
+    // 2 month shards — one from EACH era's own spec
+    val (kept, totalPlanned) = GlprSource.planEvents.get(tdir)
+    assert(totalPlanned === GlprSource.committedShards(tdir).length)
+    assert(kept === totalPlanned - 3,
+      s"both eras must prune under their own spec: kept $kept of $totalPlanned")
+    // the reverse window: all 4 day shards AND month 03 prune (the raw
+    // lower bound truncates to '2024-04' at the months width)
+    val gotHi = s2.sql("SELECT count(*) FROM glpr_pse.ns.t " +
+      "WHERE ts >= '2024-04-01' AND ts < '2024-05-01'").head().getLong(0)
+    assert(gotHi === (100L until 130L).count(_ % 3 == 1))
+    val (kept2, _) = GlprSource.planEvents.get(tdir)
+    assert(kept2 === totalPlanned - 5,
+      s"the April window must prune every day shard + month 03, got kept $kept2")
+    s2.catalog.dropTempView("pse_era1"): Unit
+    s2.catalog.dropTempView("pse_era2"): Unit
+  }
+
   test("transform-clustered writes need NO manual DISTRIBUTE BY (required distribution)") {
     val s2 = spark.newSession()
     val r2 = TempDirs.scratch("graft-glpr-reqdist").toString
