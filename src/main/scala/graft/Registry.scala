@@ -2601,6 +2601,20 @@ object Registry {
         |WHERE NOT (doc_id BETWEEN 100 AND 219) AND lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Z-ORDER RECLUSTER through the catalog (round-18 verdict #5):
+    // CALL sys.recluster(t, 8, 'lang') rewrites a hash-scattered corpus
+    // Morton-interleaved over (doc_id, lang) — each shard a compact
+    // rectangle, so id bounds AND sidecar lang sets both prune (probe
+    // required in-pipeline; pre/post boxes pinned in GlprCatalogSpec).
+    // Oracle = the full-table rollup: the rewrite moved every row once.
+    "q350_glpr_zorder_recluster" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.zorderReclusterPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // MANIFEST commit-point visibility: the corpus written through the
     // job-committed path (the _manifest shard log — job-level atomic
     // visibility + O(1) listing for million-shard dirs), then a crashed

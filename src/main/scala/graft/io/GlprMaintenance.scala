@@ -932,6 +932,93 @@ object GlprMaintenance {
     (entries.length, fresh.length)
   }
 
+  /** Z-ORDER RECLUSTER (q350, round-18 verdict #5) — `CALL
+    * sys.recluster(t, shards, 'lang')`: rewrite the LIVE table clustered
+    * by the MORTON INTERLEAVE of (doc_id, dim2) instead of doc_id alone
+    * ([[graft.io.ZOrder]]'s codegen'd bit-spread — the Delta OPTIMIZE
+    * ZORDER / Iceberg sort-order layout move). Each output shard then
+    * covers a compact z-range = a small rectangle in (id, dim2) space,
+    * so BOTH prune channels come out tight at once: sidecar id bounds
+    * (~1/√shards of the global span) AND the dim2 value set (tracked
+    * per shard through the pcol/pvals channel — the writer runs with an
+    * identity spec on dim2), where a doc_id sort leaves dim2 sets at
+    * full cardinality and a dim2 sort leaves id bounds at full span.
+    * doc_id quantizes onto a 16-bit grid scaled by the live extent
+    * (driver-side 2-value action); dim2 codes through a 16-bit hash
+    * (locality in code space = same-value grouping, which is all a
+    * VALUE-SET prune needs). Same refusals, staging discipline and
+    * atomic flip as [[recluster]]. Returns (oldLiveCount, newCount). */
+  def zorderRecluster(spark: org.apache.spark.sql.SparkSession,
+      path: String, nShards: Int, dim2: String): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(nShards >= 1, s"zorder recluster needs >= 1 target shards, got $nShards")
+    require(Set("lang", "source")(dim2),
+      s"GLPR zorder recluster interleaves doc_id with a base value " +
+        s"column (lang/source), got '$dim2'")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val entries = GlprSource.committedEntries(path)
+    require(!entries.exists(l =>
+        GlprSource.isEpochShardName(GlprSource.entryName(l))),
+      s"GLPR zorder recluster in '$path' refused: epoch-named (streaming " +
+        "sink) shards would take batch-named survivors and mix naming schemes")
+    require(!entries.exists(l => GlprSource.readMeta(new java.io.File(path,
+        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
+      s"GLPR zorder recluster in '$path' refused: a shard carries schema-" +
+        "evolution extra columns; the path-level rewrite reads the base " +
+        "schema only")
+    val staging = new java.io.File(path, "_tmp-zorder")
+    if (staging.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(staging)
+    }
+    staging.mkdirs(): Unit
+    val df = spark.read.format("graft.io.GlprSource").load(path)
+      .select("doc_id", "lang", "source", "text")
+    val extent = df.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (extent.isNullAt(1)) return (entries.length, entries.length) // empty
+    val (lo, hi) = (extent.getLong(0), extent.getLong(1))
+    val span = math.max(1L, hi - lo)
+    // 16-bit grid coordinates: id scaled by the live extent, dim2 hashed
+    val xq = ((col("doc_id") - lit(lo)) * lit(65535L) / lit(span)).cast("long")
+    val yq = pmod(xxhash64(col(dim2)), lit(65536L))
+    val zdf = df.withColumn("__z", graft.io.ZOrder.zValue(xq, yq))
+      .repartitionByRange(nShards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    // distributed write through the two-phase GlprWriter, with dim2 as
+    // the writer's identity value-tracking spec → per-shard pvals
+    val stagingPath = staging.getAbsolutePath
+    val schema = GlprSource.schema
+    zdf.queryExecution.toRdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val writer = new GlprWriter(stagingPath, schema, tc.partitionId(),
+        tc.taskAttemptId(), None, Some(dim2))
+      var any = false
+      try {
+        while (it.hasNext) { writer.write(it.next()); any = true }
+      } catch { case t: Throwable => writer.abort(); throw t }
+      if (any) writer.commit(): Unit else writer.abort()
+    }
+    val staged = GlprSource.listShardFiles(stagingPath).sortBy(_.getName)
+    val base = GlprSource.nextBatchNameBase(path)
+    val fresh = staged.zipWithIndex.map { case (f, i) =>
+      val name = f"part-${base + i}%010d.glpr"
+      java.nio.file.Files.move(GlprSource.metaFile(f).toPath,
+        GlprSource.metaFile(new java.io.File(path, name)).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(path, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    staging.listFiles().foreach(_.delete()); staging.delete(): Unit
+    GlprSource.commitManifest(path)(_ => fresh.toSeq)
+    (entries.length, fresh.length)
+  }
+
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`, plus — on
     * manifest-bearing directories — RETIRED shards no surviving version
     * references (run [[expireVersions]] first to release them; a shard
@@ -1045,5 +1132,63 @@ object GlprMaintenance {
         sum(octet_length(col("text"))).cast("long").as("n_bytes"))
   }
   private val maskedCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q350 — Z-ORDER RECLUSTER through the catalog (round-18 verdict
+    * #5): the corpus INSERTed hash-scattered (every shard spans the
+    * full id range AND every lang — nothing prunes), then `CALL
+    * sys.recluster('ns.t', 8, 'lang')` rewrites it Morton-interleaved:
+    * each shard a compact rectangle in (doc_id, lang) space, so a
+    * rectangular probe prunes on BOTH channels at once (id bounds +
+    * sidecar lang sets) — required in-pipeline via the plan events; the
+    * pre/post box comparison is GlprCatalogSpec-pinned. The oracle is
+    * the FULL-table rollup: hash equality certifies the rewrite moved
+    * every row exactly once. */
+  def zorderReclusterPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = zorderCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-zorder").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_zo", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_zo.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // AQE coalescing would merge the clustered shuffles (both the
+      // hash staging and the z-range rewrite) into one fat shard —
+      // the layout IS the deliverable here (round-16 gotcha)
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.sql("CREATE TABLE glpr_zo.ns.t " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_zo.ns.t " +
+        "SELECT doc_id, lang, source, text " +
+        s"FROM parquet.`$dir/documents.parquet` DISTRIBUTE BY xxhash64(doc_id)")
+      s2.sql("CALL glpr_zo.sys.recluster('ns.t', 8, 'lang')").collect(): Unit
+      val tpath = new java.io.File(croot, "ns/t").getAbsolutePath
+      // the rectangle probe must prune post-recluster (it could not
+      // pre-recluster: every hash shard intersected every box)
+      val probe = s2.sql("SELECT count(*) FROM glpr_zo.ns.t " +
+        "WHERE doc_id >= 100 AND doc_id < 200 AND lang = 'en'")
+        .head().getLong(0)
+      Option(GlprSource.planEvents.get(tpath)).foreach { case (kept, total) =>
+        require(total < 2 || kept < total,
+          s"q350 contract: the z-order layout must prune the rectangle " +
+            s"probe (kept $kept of $total, matched $probe rows)")
+      }
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_zo", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_zo.root", root)
+    import scala.jdk.CollectionConverters._
+    val res = s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM glpr_zo.ns.t GROUP BY lang""".stripMargin)
+    val rows = graft.streaming.Events.guardedSettleRows(res)
+    spark.createDataFrame(rows.toSeq.asJava, res.schema)
+  }
+  private val zorderCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

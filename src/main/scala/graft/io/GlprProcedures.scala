@@ -132,7 +132,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "restore" => "restore(table, version): re-point the live manifest at a version"
     case "rebuild_manifest" => "rebuild_manifest(table): re-adopt the live content plus true orphans"
     case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
-    case "recluster" => "recluster(table, shards): rewrite the live table range-clustered by doc_id into shards tight-bounds files (OPTIMIZE)"
+    case "recluster" => "recluster(table, shards, zorder_by DEFAULT ''): rewrite the live table into shards tight-bounds files (OPTIMIZE) — range-clustered by doc_id, or Morton-interleaved with zorder_by (lang/source) so id bounds AND value sets both prune"
     case "delete_where_mor" => "delete_where_mor(table, column, values): merge-on-read predicate DELETE — mask rows where column IN (comma-separated values) via delete-vector generations, zero data moved (capped toward the COW SQL DELETE past 1M matched rows)"
     case "create_branch" => "create_branch(table, name): fork a write-audit-publish branch from the live manifest (stage writes with the 'branch' writer option; audit with the 'branch' reader option)"
     case "publish_branch" => "publish_branch(table, name): adopt the branch head into the live manifest in ONE commit (the audit passed)"
@@ -156,9 +156,13 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "expire_versions" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep", LongType).build())
+      // zorder_by is OPTIONAL (q350): '' = the q336 doc_id range
+      // recluster; 'lang'/'source' = the Morton-interleaved layout
+      // (tight sidecar bounds AND value sets at once)
       case "recluster" => Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("shards", LongType).build())
+        ProcedureParameter.in("shards", LongType).build(),
+        ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build())
       // grace_ms is OPTIONAL (SQL default 0): a vacuum issued while a
       // write is staging would unlink the live _tmp files of in-flight
       // tasks and fail them — the grace knob (GlprMaintenance.vacuum)
@@ -205,8 +209,16 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
             "live_version" ->
               GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
         case "recluster" =>
-          val (oldN, newN) = GlprMaintenance.recluster(
-            org.apache.spark.sql.SparkSession.active, path, input.getLong(1).toInt)
+          val dim2 = Option(input.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          val (oldN, newN) = dim2 match {
+            case Some(d) => GlprMaintenance.zorderRecluster(
+              org.apache.spark.sql.SparkSession.active, path,
+              input.getLong(1).toInt, d)
+            case None => GlprMaintenance.recluster(
+              org.apache.spark.sql.SparkSession.active, path,
+              input.getLong(1).toInt)
+          }
           summary("retired" -> oldN.toLong, "clustered" -> newN.toLong)
         case "rebuild_manifest" =>
           GlprSource.rebuildManifest(path)

@@ -70,6 +70,7 @@ class PlanLintSpec extends AnyFunSuite {
                                 // value-delete pins in GlprCatalogSpec
     "q309_glpr_compact",        // small-shard staging write + compaction
     "q348_glpr_masked_compact", // staging write + MoR deletes + compaction
+    "q350_glpr_zorder_recluster", // staging INSERT + recluster + collected rollup
                                 // on construction (cached); merge pins
                                 // in GlprSpec
     "q310_glpr_manifest",       // manifest staging write + orphan plant

@@ -965,6 +965,60 @@ class GlprCatalogSpec extends AnyFunSuite {
     s2.catalog.dropTempView("pse_era2"): Unit
   }
 
+  test("q350 z-order recluster: the hash layout prunes nothing, the z layout prunes BOTH dimensions") {
+    val r2 = TempDirs.scratch("graft-glpr-zorder-pin").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_zop", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_zop.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_zop.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING)")
+    import s2.implicits._
+    val langs = Seq("en", "de", "fr", "es")
+    (0L until 800L).map(i => (i, langs((i % 4).toInt), "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("zo_in")
+    s2.sql("INSERT INTO glpr_zop.ns.t SELECT * FROM zo_in " +
+      "DISTRIBUTE BY xxhash64(doc_id)")
+    val tdir = new java.io.File(r2, "ns/t").getAbsolutePath
+    def rect(): Set[Long] = s2.sql("SELECT doc_id FROM glpr_zop.ns.t " +
+      "WHERE doc_id >= 200 AND doc_id < 400 AND lang = 'en'")
+      .collect().map(_.getLong(0)).toSet
+    val exp = (200L until 400L).filter(_ % 4 == 0).toSet
+    // PRE: every hash shard spans the full id range and all langs —
+    // the rectangle keeps everything
+    assert(rect() === exp)
+    val (preKept, preTotal) = GlprSource.planEvents.get(tdir)
+    assert(preKept === preTotal, "hash layout should have nothing to prune")
+    assert(preTotal >= 4)
+    // Z-ORDER rewrite through the SQL front door
+    s2.sql("CALL glpr_zop.sys.recluster('ns.t', 8, 'lang')").collect(): Unit
+    // post: shards carry tight id bounds AND small tracked lang sets
+    val metas = GlprSource.committedShards(tdir)
+      .flatMap(GlprSource.readMeta).filter(_.rows > 0)
+    assert(metas.forall(m => m.pcol.contains("lang") && m.pvals.isDefined))
+    assert(metas.map(_.pvals.get.size).max <= 2,
+      s"z shards should hold few langs, got ${metas.toSeq.map(_.pvals)}")
+    val spans = metas.flatMap(_.bounds).map { case (lo, hi) => hi - lo }
+    assert(spans.min < 400L,
+      s"z shards should hold compact id ranges, got spans ${spans.toSeq}")
+    // the same rectangle now prunes, and stays row-exact
+    assert(rect() === exp)
+    val (kept, total) = GlprSource.planEvents.get(tdir)
+    assert(kept < total, s"z layout must prune the rectangle: $kept of $total")
+    // each single-dimension probe prunes too
+    assert(s2.sql("SELECT count(*) FROM glpr_zop.ns.t WHERE doc_id < 100")
+      .head().getLong(0) === 100L)
+    val (keptId, totalId) = GlprSource.planEvents.get(tdir)
+    assert(keptId < totalId, s"id probe must prune: $keptId of $totalId")
+    assert(s2.sql("SELECT count(*) FROM glpr_zop.ns.t WHERE lang = 'de'")
+      .head().getLong(0) === 200L)
+    val (keptL, totalL) = GlprSource.planEvents.get(tdir)
+    assert(keptL < totalL, s"lang probe must prune: $keptL of $totalL")
+    s2.catalog.dropTempView("zo_in"): Unit
+  }
+
   test("transform-clustered writes need NO manual DISTRIBUTE BY (required distribution)") {
     val s2 = spark.newSession()
     val r2 = TempDirs.scratch("graft-glpr-reqdist").toString
