@@ -341,8 +341,16 @@ object Queries {
       .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
     val y = li.groupBy(month(col("l_shipdate")).cast("long").as(CooMatrix.Idx))
       .agg(dsum(col("l_quantity")).as(CooMatrix.Value))
-    val sweep1 = m.fitRows(x).mapValues(round(_, 6))
-    val sweep2 = sweep1.transpose.fitRowsExact(y).transpose
+    // one-pass fits (round 19): the window/broadcast shape consumes the
+    // matrix ONCE per fit instead of twice (agg subtree + join probe) —
+    // the q94/q121 recipe applied back to the two-sweep certifier.
+    // Sweep 1 keeps the reference's double row-sum semantics
+    // (fitRowsOnePass; hash-vs-window ulps are absorbed by the 6dp
+    // round exactly like the hash-vs-DuckDB ulps always were), sweep 2
+    // keeps the decimal-exact column denominator (fitRowsExactOnePass,
+    // bit-identical to fitRowsExact by decimal order-independence).
+    val sweep1 = m.fitRowsOnePass(x).mapValues(round(_, 6))
+    val sweep2 = sweep1.transpose.fitRowsExactOnePass(y).transpose
     named(sweep2, roundTo = 6)
   }
 

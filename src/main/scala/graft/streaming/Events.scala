@@ -39,7 +39,14 @@ object Events {
     // the fact tables, so 8 partitions bounds that setup cost without
     // losing parallelism. Cluster deployments size this to the stream's
     // real key cardinality. Result-invariant: partition count never
-    // changes query output.
+    // changes query output. Re-measured round 19 (tools/PartProbe, the
+    // q267 outer-join settle at sf0.1, min-of-3 warm): 8 → 3.05s,
+    // 16 → 3.81s, 32 → 6.48s — per-partition store setup/commit
+    // dominates at this volume, so 8 stands; the remaining ~3s on the
+    // stream-join settles is the stateful machinery itself (null-drain
+    // floor ~0.44s + state writes + watermark batches), with no sleeps
+    // or removable no-data batches left (outer joins NEED the trailing
+    // watermark advance to emit their null sides).
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2
   }

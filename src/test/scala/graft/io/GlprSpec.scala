@@ -122,6 +122,34 @@ class GlprSpec extends AnyFunSuite {
     } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 
+  test("branch reads are batch-only: a streaming read of a branch refuses loudly (deliberate surface)") {
+    // round-18 verdict #8, decided REFUSE: a branch is the write-audit-
+    // publish AUDIT handle — a bounded, re-runnable batch inspection of
+    // the staged state. A stream against a branch chain would need its
+    // own offset log and would keep consuming a head that is expected
+    // to be published-or-dropped imminently; if continuous consumption
+    // is wanted, publish first and stream MAIN (where offsets, CDF and
+    // retention are all defined). The refusal is the contract.
+    import spark.implicits._
+    val root = TempDirs.scratch("graft-glpr-branch-stream").toString
+    Seq((1L, "en", "s", "a")).toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    GlprSource.createBranch(root, "audit-b")
+    // the refusal fires on the stream thread at first trigger; it
+    // surfaces as the query's terminating exception
+    val q = spark.readStream.format("graft.io.GlprSource")
+      .option("branch", "audit-b").load(root)
+      .writeStream.format("memory").queryName("graft_branch_stream_refuse")
+      .start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Iterator[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage))
+    assert(messages(e).exists(_.contains("batch-only")), e.toString)
+  }
+
   test("streaming offsets round-trip their JSON, including quote-bearing names") {
     val o = GlprOffset("""part-"odd"\name.glpr""")
     val back = new GlprMicroBatchStream("/nonexistent", GlprSource.schema,
@@ -928,20 +956,6 @@ class GlprSpec extends AnyFunSuite {
     assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 150L, 349L) === Seq.empty)
     assert(GlprSource.listManifestVersions(root).length === vAfterDelete)
     assert(ids().size === 200)
-    // compaction never merges a masked shard (its fresh-named twin would
-    // orphan the vector and resurrect rows) — unmasked neighbors merge
-    def append(r: Range): Unit =
-      r.map(i => (i.toLong, "en", "s", s"t-$i"))
-        .toDF("doc_id", "lang", "source", "text")
-        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
-    append(400 until 450); append(450 until 500)
-    val merged = GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
-    assert(merged.nonEmpty &&
-      merged.flatMap(_.memberNames).toSet.intersect(
-        masked.toSet).isEmpty,
-      s"masked shards must never be compaction members: $merged")
-    assert(dvGenCount() === 3)
-    assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
     // materialization: masked shards rewritten under fresh names, the
     // fully-masked one vanishes, vectors unlinked, one version minted
     val vBefore = GlprSource.listManifestVersions(root).length
@@ -951,13 +965,29 @@ class GlprSpec extends AnyFunSuite {
       s"exactly one shard is emptied by its mask: $mat")
     mat.values.flatten.foreach(n => assert(!masked.contains(n)))
     assert(dvGenCount() === 0, "live manifest carries no masks after materialize")
-    assert(ids() === ((0L until 150L) ++ (350L until 500L)).toSet)
+    assert(ids() === ((0L until 150L) ++ (350L until 400L)).toSet)
     assert(GlprSource.listManifestVersions(root).length === vBefore + 1)
     // metadata paths re-arm: sidecar rows now equal the surviving rows
     assert(GlprSource.committedShards(root)
-      .flatMap(GlprSource.readMeta).map(_.rows).sum === 300L)
+      .flatMap(GlprSource.readMeta).map(_.rows).sum === 200L)
     // idempotent: nothing left to materialize
     assert(GlprMaintenance.materializeDeletes(spark, root) === Map.empty)
+    // compaction over fresh masks now FOLDS them in-flight (q348; the
+    // round-17 never-merge rule is gone) — masked members merge, the
+    // merged shard is mask-free, nothing resurrects
+    def append(r: Range): Unit =
+      r.map(i => (i.toLong, "en", "s", s"t-$i"))
+        .toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.format("graft.io.GlprSource").mode("append").save(root)
+    append(500 until 550); append(550 until 600)
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(root, 520L, 529L).nonEmpty)
+    val merged = GlprMaintenance.compact(root, targetBytes = Long.MaxValue / 2)
+    assert(merged.nonEmpty)
+    assert(GlprSource.readManifest(root).get
+      .forall(l => GlprSource.entryDvGen(l).isEmpty),
+      "compaction must retire folded masks with their members")
+    assert(ids() === ((0L until 150L) ++ (350L until 400L) ++
+      (500L until 520L) ++ (530L until 600L)).toSet)
   }
 
   test("q324 redaction: matched shards rewrite in place, untouched shards keep their files") {
