@@ -1653,13 +1653,16 @@ object GlprSource {
         |GROUP BY 1""".stripMargin)
     val out = rematerialize(spark, res)
     val tablePath = new java.io.File(root, "corpus/docs").getAbsolutePath
-    Option(planEvents.get(tablePath)).foreach { case (kept, total) =>
-      // both eras contribute out-of-window shards (Jan 01/02 days,
-      // the May month) — the straddling window must prune
-      require(total < 2 || kept < total,
-        s"q349 contract: the window must prune mixed-era shards " +
-          s"(kept $kept of $total)")
-    }
+    // an all-empty corpus (RegistryEmptySpec) has only empty shards,
+    // which always keep — the prune contract only binds on data
+    if (out.count() > 0)
+      Option(planEvents.get(tablePath)).foreach { case (kept, total) =>
+        // both eras contribute out-of-window shards (Jan 01/02 days,
+        // the May month) — the straddling window must prune
+        require(total < 2 || kept < total,
+          s"q349 contract: the window must prune mixed-era shards " +
+            s"(kept $kept of $total)")
+      }
     out
   }
   private val specEvoCache =
