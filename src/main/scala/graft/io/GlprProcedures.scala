@@ -24,7 +24,7 @@ object GlprProcedures {
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
     "expire_versions", "recluster", "delete_where_mor",
     "create_branch", "publish_branch", "drop_branch",
-    "set_partition_spec")
+    "set_partition_spec", "delete_range_mor", "branches")
   def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve))
 
@@ -68,6 +68,27 @@ object GlprProcedures {
   private[io] def summary(kv: (String, Long)*): Result =
     Result(StructType(kv.map(p => StructField(p._1, LongType, nullable = false))),
       Array(row(kv.map(p => java.lang.Long.valueOf(p._2)): _*)))
+
+  /** `branches('ns.table')` — the refs introspection (the Iceberg
+    * `refs` metadata-table analogue): one row per write-audit-publish
+    * branch with its chain length, head shard count, and the recorded
+    * fork-point main version (null for pre-round-19 chains). */
+  private[io] def branches(dir: java.io.File): Result = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("n_versions", IntegerType, nullable = false),
+      StructField("n_shards", IntegerType, nullable = false),
+      StructField("fork_main_version", LongType, nullable = true)))
+    val path = dir.getAbsolutePath
+    val out = GlprSource.listBranches(path).toSeq.sorted.map { b =>
+      row(utf8(b),
+        java.lang.Integer.valueOf(GlprSource.listBranchVersions(path, b).size),
+        java.lang.Integer.valueOf(GlprSource.branchEntries(path, b).size),
+        GlprSource.branchForkVersion(path, b)
+          .map(java.lang.Long.valueOf).orNull)
+    }.toArray
+    Result(schema, out)
+  }
 
   /** PARTITION-SPEC EVOLUTION (q349, round-18 verdict #4): re-point the
     * table's `partitioned_by` marker token at a new transform — one
@@ -138,6 +159,8 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "publish_branch" => "publish_branch(table, name): adopt the branch head into the live manifest in ONE commit (the audit passed)"
     case "drop_branch" => "drop_branch(table, name): unlink the branch chain (the audit failed); branch-only shards become vacuum-reclaimable orphans"
     case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
+    case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
+    case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
     case _ => procName
   }
 
@@ -184,6 +207,11 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "set_partition_spec" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("spec", StringType).build())
+      case "delete_range_mor" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("lo", LongType).build(),
+        ProcedureParameter.in("hi", LongType).build(),
+        ProcedureParameter.in("branch", StringType).defaultValue("''").build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -253,6 +281,13 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
           setPartitionSpec(dir, input.getUTF8String(1).toString.trim)
           summary("live_shards" ->
             GlprSource.committedShards(path).length.toLong)
+        case "delete_range_mor" =>
+          val b = Option(input.getUTF8String(3)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          val changed = GlprMaintenance.deleteIdRangeMergeOnRead(
+            path, input.getLong(1), input.getLong(2), b)
+          summary("masked_shards" -> changed.length.toLong)
+        case "branches" => branches(dir)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

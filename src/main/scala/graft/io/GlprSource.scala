@@ -4810,12 +4810,20 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
       meta.flatMap(_.valuesOf(c)).forall(have => (have & wanted).nonEmpty)
     }
     val specKeep = partitionCol.map(GlprSource.parsePartSpec) match {
-      case Some(b: GlprSource.BucketPart) =>
-        val wanted: Option[Set[String]] =
-          if (range.lo == range.hi) Some(Set(b.bucketOf(range.lo)))
-          else rtIds.orElse(pointIds).map(_.iterator.map(b.bucketOf).toSet)
-        wanted.forall(w => meta.flatMap(_.valuesOf(b.spec))
-          .forall(have => (have & w).nonEmpty))
+      case Some(_: GlprSource.BucketPart) =>
+        // per-shard bucket resolution (q349's rule applied to the bucket
+        // family): a bucket-count evolution (bucket(4) → bucket(16))
+        // leaves mixed-era shards — each prunes a point probe under the
+        // modulus IT was written with
+        meta.flatMap(m => m.pcol.map(GlprSource.parsePartSpec)) match {
+          case Some(sb: GlprSource.BucketPart) =>
+            val wanted: Option[Set[String]] =
+              if (range.lo == range.hi) Some(Set(sb.bucketOf(range.lo)))
+              else rtIds.orElse(pointIds).map(_.iterator.map(sb.bucketOf).toSet)
+            wanted.forall(w => meta.flatMap(_.valuesOf(sb.spec))
+              .forall(have => (have & w).nonEmpty))
+          case _ => true
+        }
       case Some(d: GlprSource.PrefixPart)
           if dayEq.isDefined || dayLo.isDefined || dayHi.isDefined =>
         // PARTITION-SPEC EVOLUTION (q349): the table's CURRENT spec only

@@ -1099,6 +1099,81 @@ class GlprCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("md_in")
   }
 
+  test("CALL sys.delete_range_mor + sys.branches: the branch fix loop through SQL only") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns17.rd $ddl")
+    (0L until 30L).map(i => (i, "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("rd_in")
+    spark.sql("INSERT INTO glpr_spec.ns17.rd SELECT * FROM rd_in")
+    // main-scoped range MoR delete through the procedure
+    assert(spark.sql(
+      "CALL glpr_spec.sys.delete_range_mor('ns17.rd', 5, 9)")
+      .head().getLong(0) >= 1L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns17.rd")
+      .head().getLong(0) === 25L)
+    // branch-scoped: mask on the branch, main untouched, refs visible
+    spark.sql("CALL glpr_spec.sys.create_branch('ns17.rd', 'fix-a')").collect()
+    assert(spark.sql(
+      "CALL glpr_spec.sys.delete_range_mor('ns17.rd', 20, 24, 'fix-a')")
+      .head().getLong(0) >= 1L)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns17.rd")
+      .head().getLong(0) === 25L, "branch delete leaked into main")
+    assert(spark.sql(
+      "SELECT count(*) FROM glpr_spec.ns17.rd VERSION AS OF 'fix-a'")
+      .head().getLong(0) === 20L)
+    val refs = spark.sql("CALL glpr_spec.sys.branches('ns17.rd')").collect()
+    assert(refs.length === 1)
+    assert(refs.head.getString(0) === "fix-a")
+    assert(refs.head.getInt(1) === 2, s"chain length: ${refs.head}") // fork + delete
+    assert(!refs.head.isNullAt(3), "fork_main_version must be recorded")
+    spark.sql("CALL glpr_spec.sys.publish_branch('ns17.rd', 'fix-a')").collect()
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns17.rd")
+      .head().getLong(0) === 20L)
+    spark.sql("CALL glpr_spec.sys.drop_branch('ns17.rd', 'fix-a')").collect()
+    assert(spark.sql("CALL glpr_spec.sys.branches('ns17.rd')").collect().isEmpty)
+    spark.catalog.dropTempView("rd_in")
+  }
+
+  test("bucket-count evolution: mixed bucket eras each prune a point probe under their own modulus") {
+    val r2 = TempDirs.scratch("graft-glpr-bucketevo").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_bev", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_bev.root", r2)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.sql("CREATE TABLE glpr_bev.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING) PARTITIONED BY (bucket(4, doc_id))")
+    import s2.implicits._
+    (0L until 80L).map(i => (i, "en", "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("bev1")
+    s2.sql("INSERT INTO glpr_bev.ns.t SELECT * FROM bev1")
+    s2.sql("CALL glpr_bev.sys.set_partition_spec('ns.t', 'bucket(8,doc_id)')")
+      .collect(): Unit
+    (100L until 180L).map(i => (i, "en", "s", s"t-$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("bev2")
+    s2.sql("INSERT INTO glpr_bev.ns.t SELECT * FROM bev2")
+    val tdir = new java.io.File(r2, "ns/t").getAbsolutePath
+    val metas = GlprSource.committedShards(tdir)
+      .flatMap(GlprSource.readMeta).filter(_.rows > 0)
+    assert(metas.flatMap(_.pcol).toSet ===
+      Set("bucket(4,doc_id)", "bucket(8,doc_id)"))
+    // a point probe keeps ONE bucket per era: id 13 -> bucket 1 (mod 4)
+    // and bucket 5 (mod 8)
+    val got = s2.sql("SELECT text FROM glpr_bev.ns.t WHERE doc_id = 13")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("t-13"))
+    val (kept, total) = GlprSource.planEvents.get(tdir)
+    // empty clustered-write shards always keep; among DATA shards the
+    // probe keeps at most one per era (era 1: the shard whose bucket set
+    // holds 13 mod 4; era 2: bounds prune everything — ids start at 100)
+    val nEmpty = GlprSource.committedShards(tdir)
+      .flatMap(GlprSource.readMeta).count(_.rows == 0)
+    assert(kept <= nEmpty + 2,
+      s"point probe must keep <= one data shard per era: kept $kept of " +
+        s"$total with $nEmpty empty shards")
+    s2.catalog.dropTempView("bev1"): Unit
+    s2.catalog.dropTempView("bev2"): Unit
+  }
+
   test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
     spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
     Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
