@@ -347,6 +347,12 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         require(!GlprSource.fullSchema(extras).fieldNames
             .contains(ren.newName) && ren.newName != from,
           s"column '${ren.newName}' already exists")
+        // a burned (dropped) name may not re-enter the logical namespace
+        // through RENAME either — the tombstone guard must be symmetric
+        // with ADD COLUMN or 'burned forever' quietly stops being true
+        require(!dropped.contains(ren.newName),
+          s"column name '${ren.newName}' belongs to a dropped column " +
+            "(burned with its physical name); pick another name")
         val (_, tpe, phys) = GlprSource.parseExtraToken(extras(i))
         extras = extras.updated(i,
           GlprSource.extraToken(ren.newName, tpe, phys))

@@ -129,28 +129,43 @@ object GlprMaintenance {
     // compaction is one atomic history step to time travel)
     if (merged.nonEmpty) {
       val dropped = merged.flatMap(_.memberNames).toSet
-      GlprSource.commitManifest(path)(base => {
-        // a racing MoR delete may have advanced a folded member's mask
-        // past the generation we folded — dropping the line would lose
-        // that delete; refuse loudly (the same posture as the MoR
-        // deletes' post-commit guard)
-        base.foreach { l =>
-          val n = GlprSource.entryName(l)
-          foldedGens.get(n).foreach { g =>
-            if (GlprSource.entryDvGen(l).exists(_ > g))
+      var committed = false
+      try {
+        GlprSource.commitManifest(path)(base => {
+          // a racing MoR delete may have advanced ANY member's mask past
+          // the generation we folded — including landing the FIRST
+          // generation on a member that was unmasked at scan time
+          // (folded gen 0). Dropping such a line would lose that delete
+          // into the already-concatenated raw bytes; refuse loudly (the
+          // same posture as the MoR deletes' post-commit guard).
+          base.foreach { l =>
+            val n = GlprSource.entryName(l)
+            if (dropped(n) &&
+                GlprSource.entryDvGen(l).exists(_ > foldedGens.getOrElse(n, 0L)))
               throw new IllegalStateException(
                 s"GLPR compact in '$path': shard '$n' grew a newer " +
-                  s"delete-vector generation than the one folded ($g) — " +
-                  "a concurrent MoR delete raced the compaction; re-run")
+                  s"delete-vector generation than the one folded " +
+                  s"(${foldedGens.getOrElse(n, 0L)}) — a concurrent MoR " +
+                  "delete raced the compaction; re-run")
           }
+          base.filterNot(l => dropped(GlprSource.entryName(l))) ++
+            merged.map(_.mergedName)
+        })
+        committed = true
+      } finally {
+        // stage rewrites served the concat only; drop them always. On a
+        // REFUSED commit also unlink the merged payloads: they carry
+        // real batch names, so leaving them would let a later
+        // rebuild_manifest adopt them as 'true orphans' and double-count
+        // every member row.
+        prepared.flatten.foreach { case (orig, data) =>
+          if (data ne orig) { GlprSource.metaFile(data).delete(); data.delete() }
+          (): Unit
         }
-        base.filterNot(l => dropped(GlprSource.entryName(l))) ++
-          merged.map(_.mergedName)
-      })
-      // stage rewrites served the concat only; drop them
-      prepared.flatten.foreach { case (orig, data) =>
-        if (data ne orig) { GlprSource.metaFile(data).delete(); data.delete() }
-        (): Unit
+        if (!committed) merged.foreach { g =>
+          val f = new java.io.File(path, g.mergedName)
+          GlprSource.metaFile(f).delete(); f.delete(): Unit
+        }
       }
     }
     merged
@@ -168,8 +183,16 @@ object GlprMaintenance {
       shard.getName
     val reader = new GlprReader(shard.getAbsolutePath, GlprSource.schema,
       GlprSource.IdRange(Long.MinValue, Long.MaxValue), None, "insert", mask)
+    // carry the member's recorded partition spec through the rewrite:
+    // without it the stage sidecar has no pcol/pvals, mergeGroup's
+    // value-set fold (all-members-or-nothing) then drops the MERGED
+    // shard's set and partition-value pruning dies for the group. The
+    // spec reads base columns only here — masked shards carrying extras
+    // never fold (group boundary), and extra-column partition specs
+    // imply extras.
+    val pcol = GlprSource.readMeta(shard).flatMap(_.pcol)
     val writer = new GlprWriter(path, GlprSource.schema, 0,
-      Thread.currentThread().getId, Some(stageName))
+      Thread.currentThread().getId, Some(stageName), pcol)
     try {
       while (reader.next()) writer.write(reader.get())
     } finally reader.close()
@@ -981,8 +1004,12 @@ object GlprMaintenance {
     if (extent.isNullAt(1)) return (entries.length, entries.length) // empty
     val (lo, hi) = (extent.getLong(0), extent.getLong(1))
     val span = math.max(1L, hi - lo)
-    // 16-bit grid coordinates: id scaled by the live extent, dim2 hashed
-    val xq = ((col("doc_id") - lit(lo)) * lit(65535L) / lit(span)).cast("long")
+    // 16-bit grid coordinates: id scaled by the live extent (DIVIDE by a
+    // precomputed cell width, never multiply first — (id-lo)*65535
+    // overflows Long past a ~2^47 extent and would scramble the layout
+    // silently), dim2 hashed
+    val cell = math.max(1L, span / 65535L + (if (span % 65535L == 0) 0L else 1L))
+    val xq = expr(s"(doc_id - ${lo}L) div ${cell}L") // integer div: exact at any extent
     val yq = pmod(xxhash64(col(dim2)), lit(65536L))
     val zdf = df.withColumn("__z", graft.io.ZOrder.zValue(xq, yq))
       .repartitionByRange(nShards, col("__z"))
@@ -1182,15 +1209,12 @@ object GlprMaintenance {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.glpr_zo", "graft.io.GlprCatalog")
     s2.conf.set("spark.sql.catalog.glpr_zo.root", root)
-    import scala.jdk.CollectionConverters._
-    val res = s2.sql(
+    GlprSource.rematerialize(spark, s2.sql(
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
         | CAST(min(doc_id) AS BIGINT) AS min_id,
         | CAST(max(doc_id) AS BIGINT) AS max_id
-        |FROM glpr_zo.ns.t GROUP BY lang""".stripMargin)
-    val rows = graft.streaming.Events.guardedSettleRows(res)
-    spark.createDataFrame(rows.toSeq.asJava, res.schema)
+        |FROM glpr_zo.ns.t GROUP BY lang""".stripMargin))
   }
   private val zorderCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -557,7 +557,7 @@ object GlprSource {
     * settles in r14/r15). Every caller returns a keyed rollup, never a
     * per-row corpus projection; the cap trips long before driver memory
     * does. */
-  private def rematerialize(spark: org.apache.spark.sql.SparkSession,
+  private[io] def rematerialize(spark: org.apache.spark.sql.SparkSession,
       res: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = graft.streaming.Events.guardedSettleRows(res)
@@ -2994,8 +2994,12 @@ object GlprSource {
   /** PUBLISH: one MAIN commit adopting the branch head's lines — main
     * readers see none of the branch or all of it. Every referenced
     * shard (and dv generation) must still exist, checked BEFORE the
-    * flip. The branch chain stays (re-publish is idempotent through
-    * commitManifest's no-change check); drop it explicitly.
+    * flip. The branch chain stays; re-publish of an untouched branch is
+    * an explicit no-op (same names, every branch mask — dvb or
+    * fork-time dv — content-equal to the live one), which also covers
+    * mask-carrying branches whose first publish TRANSLATED dvb
+    * generations and advanced main past the fork point. Drop the chain
+    * explicitly when done.
     *
     * FAST-FORWARD ONLY (round-18 ADVICE, the Iceberg WAP rule): the
     * adopt-verbatim flip is correct only when main has NOT moved since
@@ -3011,8 +3015,22 @@ object GlprSource {
   def publishBranch(path: String, b: String): Int = {
     val entries = branchEntries(path, b)
     val dir = new java.io.File(path)
+    // ALREADY PUBLISHED? A no-op re-publish (the retried-job replay) is
+    // allowed even after the flip advanced main past the fork point:
+    // same names, and each branch mask — dvb or fork-time dv — equal to
+    // the live mask. Mask-less branches reduce to plain line equality.
     val current = committedEntries(path).distinct.sorted
-    if (current != entries.distinct.sorted)
+    def alreadyPublished: Boolean = {
+      val live = current.map(l => entryName(l) -> l).toMap
+      entries.size == live.size && entries.forall { l =>
+        live.get(entryName(l)).exists { cl =>
+          java.util.Arrays.equals(
+            resolveBranchDv(path, b, l),
+            resolveDv(path, entryName(cl), entryDvGen(cl), pinned = false))
+        }
+      }
+    }
+    def requireFastForward(): Unit =
       branchForkVersion(path, b).foreach { forkV =>
         val head = listManifestVersions(path).lastOption.getOrElse(0L)
         require(head == forkV,
@@ -3022,6 +3040,8 @@ object GlprSource {
             "those commits (and could resurrect deleted rows). Re-fork " +
             "from the current head and re-stage, or drop the branch")
       }
+    if (alreadyPublished) return entries.length
+    requireFastForward()
     val missing = entries.filterNot { l =>
       new java.io.File(dir, entryName(l)).isFile &&
         entryDvGen(l).forall(g => dvGenFile(path, entryName(l), g).isFile) &&
@@ -3037,19 +3057,41 @@ object GlprSource {
     // branch mask, which unioned the fork-time `dv=` mask at write time;
     // under the fast-forward guard main's mask cannot have advanced, so
     // the union is exact). No dvb token leaks into main.
+    val translated = scala.collection.mutable.Map.empty[String, Long]
     val published = entries.map { l =>
       entryDvbGen(l) match {
         case Some(bg) =>
           val n = entryName(l)
           val mask = readDeleteVectorFile(dvbGenFile(path, b, n, bg))
-          val g = writeDvGenerationRanges(path, n, entryDvGen(l),
+          val written = writeDvGenerationRanges(path, n, entryDvGen(l),
             mask.grouped(2).map(a => (a(0), a(1))).toSeq)
-            .orElse(entryDvGen(l))
-          entryLine(n, g)
+          written.foreach(g => translated(n) = g)
+          entryLine(n, written.orElse(entryDvGen(l)))
         case None => l
       }
     }
-    writeManifest(path, published)
+    // the flip, with the fast-forward guard RE-CHECKED inside the CAS
+    // closure: a main commit landing between the entry check and the
+    // flip must refuse here, not be silently reverted (the same TOCTOU
+    // class the MoR deletes' post-commit guard closes)
+    var committed = false
+    try {
+      commitManifest(path) { base =>
+        if (base.distinct.sorted != published.distinct.sorted)
+          requireFastForward()
+        published
+      }
+      committed = true
+    } finally {
+      // a refused publish must not PARK its freshly-translated masks in
+      // the shared namespace: an unreferenced newest-on-disk generation
+      // would be absorbed by the next main MoR delete (phantom-applying
+      // the branch's deletions). Our own gens are unreferenced by any
+      // manifest line when the flip refused — unlink them.
+      if (!committed) translated.foreach { case (n, g) =>
+        dvGenFile(path, n, g).delete(): Unit
+      }
+    }
     published.length
   }
   /** DROP a branch: unlink its chain AND its branch-namespace delete-

@@ -154,6 +154,10 @@ class GlprCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE glpr_spec.nsd.t ADD COLUMN note STRING"))
     assert(r2.getMessage.contains("dropped"), r2.getMessage)
     spark.sql("ALTER TABLE glpr_spec.nsd.t ADD COLUMN note2 STRING")
+    // ...and a burned name may not re-enter through RENAME either
+    val r2b = intercept[Exception](
+      spark.sql("ALTER TABLE glpr_spec.nsd.t RENAME COLUMN note2 TO memo"))
+    assert(r2b.getMessage.contains("dropped"), r2b.getMessage)
     // post-drop inserts carry the narrowed (then re-widened) schema
     Seq((3L, "fr", "s", "c", 30L, "z"))
       .toDF("doc_id", "lang", "source", "text", "keep", "note2")

@@ -334,6 +334,12 @@ class GlprDvIntegritySpec extends AnyFunSuite {
       .option("versionAsOf", "2").load(root)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(v2 === (5L until 50L).toSet)
+    // re-publish of the untouched (already-translated) branch is an
+    // explicit no-op — not a fast-forward refusal, not a new version
+    val nVersions = GlprSource.listManifestVersions(root).size
+    GlprSource.publishBranch(root, "fix"): Unit
+    assert(GlprSource.listManifestVersions(root).size === nVersions)
+    assert(liveIds(root) === expectBranch)
     GlprSource.dropBranch(root, "fix"): Unit
     assert(!new java.io.File(root).listFiles()
       .exists(_.getName.contains(".dv.b-fix.")),
