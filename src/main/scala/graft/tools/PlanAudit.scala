@@ -283,7 +283,20 @@ object PlanAudit {
     ("q344_glpr_value_mor_delete", "post-predicate-MoR-delete scan: every shard " +
       "reads THROUGH the delete-vector generation minted from the matching job's " +
       "ids — zero data moved at delete time, the mask applied at the readers' id " +
-      "gate", reg("q344_glpr_value_mor_delete")))
+      "gate", reg("q344_glpr_value_mor_delete")),
+    ("q348_glpr_masked_compact", "rollup after a mask-FOLDING compaction: masked " +
+      "members were rewritten (masks applied) into the byte concat and retired " +
+      "WITH their dv tokens in one flip — the scan plans mask-free merged shards, " +
+      "no residual dv resolution anywhere", reg("q348_glpr_masked_compact")),
+    ("q349_glpr_spec_evolution", "partition-spec evolution: ONE straddling window " +
+      "prunes BOTH transform eras at plan time — days-era shards compare 10-char " +
+      "prefixes, months-era shards 7-char, each under the spec its own sidecar " +
+      "recorded", reg("q349_glpr_spec_evolution")),
+    ("q350_glpr_zorder_recluster", "full rollup after the z-order recluster: the " +
+      "Morton rewrite left every shard a compact (doc_id, lang) rectangle, so " +
+      "id-range AND lang probes both prune (the rollup itself scans all shards " +
+      "once — the layout win shows in the probe pins)",
+      reg("q350_glpr_zorder_recluster")))
 
   private val streamingStateNote: String =
     """

@@ -104,7 +104,12 @@ object ScaleProbe {
     "q342_glpr_truncate_partition", // prefix-probe pruned read (cached staging)
     "q343_glpr_stream_merge",  // CDF-fed MERGE target read (cached staging)
     "q344_glpr_value_mor_delete", // masked read after predicate MoR delete
-    "q345_glpr_wap")           // live read after write-audit-publish
+    "q345_glpr_wap",           // live read after write-audit-publish
+    "q346_glpr_branch_fix",    // live read after branch-scoped MoR fix + publish
+    "q347_glpr_drop_column",   // three-era aggregate after DROP COLUMN tombstone
+    "q348_glpr_masked_compact", // rollup after mask-folding compaction
+    "q349_glpr_spec_evolution", // two-era pruned window after spec evolution
+    "q350_glpr_zorder_recluster") // full rollup after z-order recluster
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a
