@@ -2615,6 +2615,25 @@ object Registry {
         | CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ZERO-COPY CLONE (the Delta shallow-clone move): live shards +
+    // sidecars + dv masks HARD-LINKED into the destination, fresh
+    // manifest v1 from the live lines — O(shards) metadata, zero data
+    // I/O; the tables then diverge independently over shared immutable
+    // bytes (a MoR delete in the clone only). Oracle = both sides'
+    // rollups; inode sharing/vacuum independence in GlprCatalogSpec.
+    "q351_glpr_clone" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.clonePipeline(s, d).orderBy("side", "lang"), Some(
+      """WITH src AS (SELECT lang, doc_id FROM documents
+        | WHERE NOT (doc_id BETWEEN 40 AND 49))
+        |SELECT 'src' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM src GROUP BY 2
+        |UNION ALL
+        |SELECT 'clone', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM src WHERE lang <> 'de' GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // MANIFEST commit-point visibility: the corpus written through the
     // job-committed path (the _manifest shard log — job-level atomic
     // visibility + O(1) listing for million-shard dirs), then a crashed

@@ -436,7 +436,8 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     else Array.empty
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
-      GlprProcedures.load(ident.name, tableRefDir _) else None)
+      GlprProcedures.load(ident.name, tableRefDir _, tableRefDirFresh _)
+    else None)
       .getOrElse(throw new IllegalArgumentException(
         s"no such GLPR procedure: $ident; available under sys: " +
           GlprProcedures.names.mkString(", ")))
@@ -444,12 +445,17 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     * root, with the same path hygiene as identifiers; the table must
     * exist (marker-bearing). */
   private def tableRefDir(ref: String): java.io.File = {
-    val dir = ref.split("\\.").foldLeft(root)((d, p) =>
-      new java.io.File(d, checkPart(p)))
+    val dir = tableRefDirFresh(ref)
     require(marker(dir).isFile,
       s"no GLPR table '$ref' under catalog '$catalogName'")
     dir
   }
+  /** [[tableRefDir]] without the existence requirement — for procedure
+    * arguments that NAME a table to create (`sys.clone`'s dest). Same
+    * path hygiene. */
+  private def tableRefDirFresh(ref: String): java.io.File =
+    ref.split("\\.").foldLeft(root)((d, p) =>
+      new java.io.File(d, checkPart(p)))
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)

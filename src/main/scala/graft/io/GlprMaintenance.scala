@@ -1046,6 +1046,56 @@ object GlprMaintenance {
     (entries.length, fresh.length)
   }
 
+  /** ZERO-COPY CLONE (q351) — the Delta "shallow clone" / Iceberg
+    * snapshot-table move: materialize an independent table from the
+    * source's LIVE state without copying a data byte. Shards (and their
+    * sidecars: meta, live dv masks/generations) are immutable by the
+    * format's never-reuse contract, so the clone HARD-LINKS them into
+    * the destination directory and writes a fresh manifest v1 carrying
+    * the source's live lines verbatim (dv tokens included). From that
+    * point the tables are fully independent: each side's
+    * DML/compaction/retention writes only its own directory, and
+    * because links are per-directory names onto shared immutable
+    * inodes, one side's vacuum can never pull bytes out from under the
+    * other. The clone starts with NO history (its v1 IS the snapshot —
+    * time travel into pre-clone states belongs to the source) and no
+    * branches (chains are working state, not table content). The
+    * source's marker (schema extras, partition spec, tombstones) copies
+    * verbatim so the clone reads/writes under identical rules.
+    * At 100 TB this is the dev-on-production-data move: O(shards)
+    * metadata, zero data I/O. Returns the number of linked shards. */
+  def cloneTable(srcDir: java.io.File, dstDir: java.io.File): Int = {
+    val src = srcDir.getAbsolutePath
+    require(!dstDir.exists() ||
+        Option(dstDir.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"GLPR clone destination '${dstDir.getAbsolutePath}' already exists")
+    if (GlprSource.readManifest(src).isEmpty) GlprSource.rebuildManifest(src)
+    dstDir.mkdirs(): Unit
+    val entries = GlprSource.committedEntries(src)
+    val liveNames = entries.map(GlprSource.entryName).toSet
+    // every file OWNED by a live shard: the payload, its meta sidecar,
+    // its bare legacy mask and every dv GENERATION (pinned/live reads of
+    // the clone resolve the same gen files) — but never a branch-
+    // namespace mask (".dv.b-<branch>." — branches are not cloned)
+    def owner(n: String): Option[String] = {
+      val i = n.indexOf(".glpr")
+      if (i < 0 || n.startsWith("_tmp")) None else Some(n.take(i + 5))
+    }
+    Option(srcDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (owner(n).exists(liveNames) && !n.contains(".dv.b-"))
+        java.nio.file.Files.createLink(
+          new java.io.File(dstDir, n).toPath, f.toPath): Unit
+    }
+    // marker copy: identical schema/partition/tombstone rules
+    val srcMarker = new java.io.File(srcDir, "_glpr_table")
+    if (srcMarker.isFile)
+      java.nio.file.Files.copy(srcMarker.toPath,
+        new java.io.File(dstDir, "_glpr_table").toPath): Unit
+    GlprSource.writeManifest(dstDir.getAbsolutePath, entries)
+    liveNames.size
+  }
+
   /** Unlink `_tmp-` stage wreckage older than `graceMillis`, plus — on
     * manifest-bearing directories — RETIRED shards no surviving version
     * references (run [[expireVersions]] first to release them; a shard
@@ -1217,5 +1267,52 @@ object GlprMaintenance {
         |FROM glpr_zo.ns.t GROUP BY lang""".stripMargin))
   }
   private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q351 — ZERO-COPY CLONE end to end: the corpus staged as a catalog
+    * table, a MoR delete layered on (so the snapshot carries live dv
+    * tokens — the clone must share MASKS, not just payloads), `CALL
+    * sys.clone('ns.src', 'ns.dst')`, then a second MoR delete applied
+    * to the CLONE ONLY. The result is both tables' rollups side by
+    * side: the source must show exactly the pre-clone state (the
+    * clone's delete touched shared bytes through its OWN manifest — a
+    * leak breaks the hash) and the clone must show the further-deleted
+    * state. Zero-copy itself (shared inodes, hard-link counts),
+    * vacuum independence, and the dst-exists refusal are
+    * GlprCatalogSpec-pinned. */
+  def clonePipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = cloneCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-clone").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_cl", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_cl.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_cl.ns.src " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_cl.ns.src SELECT doc_id, lang, source, text " +
+        s"FROM parquet.`$dir/documents.parquet` DISTRIBUTE BY doc_id div 100")
+      val srcPath = new java.io.File(croot, "ns/src").getAbsolutePath
+      deleteIdRangeMergeOnRead(srcPath, 40L, 49L): Unit // pre-clone mask
+      s2.sql("CALL glpr_cl.sys.clone('ns.src', 'ns.dst')").collect(): Unit
+      // diverge the CLONE only
+      s2.sql("CALL glpr_cl.sys.delete_where_mor('ns.dst', 'lang', 'de')")
+        .collect(): Unit
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_cl", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_cl.root", root)
+    GlprSource.rematerialize(spark, s2.sql(
+      """SELECT 'src' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_cl.ns.src GROUP BY 2
+        |UNION ALL
+        |SELECT 'clone', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM glpr_cl.ns.dst GROUP BY 2""".stripMargin))
+  }
+  private val cloneCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

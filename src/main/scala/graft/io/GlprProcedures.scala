@@ -24,9 +24,11 @@ object GlprProcedures {
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
     "expire_versions", "recluster", "delete_where_mor",
     "create_branch", "publish_branch", "drop_branch",
-    "set_partition_spec", "delete_range_mor", "branches")
-  def load(name: String, resolve: String => java.io.File): Option[UnboundProcedure] =
-    names.find(_ == name).map(n => new GlprProcedure(n, resolve))
+    "set_partition_spec", "delete_range_mor", "branches", "clone")
+  def load(name: String, resolve: String => java.io.File,
+      resolveFresh: String => java.io.File = null): Option[UnboundProcedure] =
+    names.find(_ == name).map(n => new GlprProcedure(n, resolve,
+      Option(resolveFresh).getOrElse(resolve)))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -142,7 +144,8 @@ object GlprProcedures {
 
 /** One named GLPR procedure; `bind` validates the argument shape, `call`
   * executes driver-side and returns the report as a local result set. */
-final class GlprProcedure(procName: String, resolve: String => java.io.File)
+final class GlprProcedure(procName: String, resolve: String => java.io.File,
+    resolveFresh: String => java.io.File)
     extends UnboundProcedure {
   import GlprProcedures._
   override def name(): String = procName
@@ -161,6 +164,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
     case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
     case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
     case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
+    case "clone" => "clone(table, dest): ZERO-COPY snapshot clone - hard-link the live shards (+ sidecars/masks) into dest and mint its manifest v1 from the live lines; fully independent tables over shared immutable bytes (the Delta shallow-clone move)"
     case _ => procName
   }
 
@@ -207,6 +211,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
       case "set_partition_spec" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("spec", StringType).build())
+      case "clone" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("dest", StringType).build())
       case "delete_range_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("lo", LongType).build(),
@@ -288,6 +295,10 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File)
             path, input.getLong(1), input.getLong(2), b)
           summary("masked_shards" -> changed.length.toLong)
         case "branches" => branches(dir)
+        case "clone" =>
+          val dst = resolveFresh(input.getUTF8String(1).toString)
+          val linked = GlprMaintenance.cloneTable(dir, dst)
+          summary("linked_shards" -> linked.toLong)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

@@ -109,7 +109,8 @@ object ScaleProbe {
     "q347_glpr_drop_column",   // three-era aggregate after DROP COLUMN tombstone
     "q348_glpr_masked_compact", // rollup after mask-folding compaction
     "q349_glpr_spec_evolution", // two-era pruned window after spec evolution
-    "q350_glpr_zorder_recluster") // full rollup after z-order recluster
+    "q350_glpr_zorder_recluster", // full rollup after z-order recluster
+    "q351_glpr_clone")         // both sides' rollups after zero-copy clone + diverge
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

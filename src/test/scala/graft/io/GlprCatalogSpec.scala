@@ -1178,6 +1178,53 @@ class GlprCatalogSpec extends AnyFunSuite {
     s2.catalog.dropTempView("bev2"): Unit
   }
 
+  test("q351 zero-copy clone: shared inodes, independent divergence, vacuum isolation") {
+    spark.sql(s"CREATE TABLE glpr_spec.ns18.src $ddl")
+    (0L until 60L).map(i => (i, "en", "s", s"t$i"))
+      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("cl_in")
+    // three appends = three shard groups (AQE coalescing folds a single
+    // clustered INSERT of this size into one shard)
+    spark.sql("INSERT INTO glpr_spec.ns18.src SELECT * FROM cl_in WHERE doc_id < 20")
+    spark.sql("INSERT INTO glpr_spec.ns18.src " +
+      "SELECT * FROM cl_in WHERE doc_id >= 20 AND doc_id < 40")
+    spark.sql("INSERT INTO glpr_spec.ns18.src SELECT * FROM cl_in WHERE doc_id >= 40")
+    val srcPath = new java.io.File(root, "ns18/src").getAbsolutePath
+    val dstPath = new java.io.File(root, "ns18/dst").getAbsolutePath
+    // a live mask BEFORE the clone: the snapshot must share it
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(srcPath, 5L, 9L).nonEmpty)
+    val rep = spark.sql("CALL glpr_spec.sys.clone('ns18.src', 'ns18.dst')").head()
+    assert(rep.getLong(0) >= 1L)
+    // ZERO-COPY: the payload files are the same inodes (hard links)
+    val shared = GlprSource.committedShards(srcPath).head
+    val nlink = java.nio.file.Files.getAttribute(
+      shared.toPath, "unix:nlink").asInstanceOf[Number].intValue
+    assert(nlink >= 2, s"clone must hard-link, not copy (nlink=$nlink)")
+    def count(t: String): Long =
+      spark.sql(s"SELECT count(*) FROM glpr_spec.ns18.$t").head().getLong(0)
+    assert(count("src") === 55L && count("dst") === 55L)
+    // diverge each side independently over the shared bytes
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(dstPath, 20L, 29L).nonEmpty)
+    assert(GlprMaintenance.deleteIdRangeMergeOnRead(srcPath, 50L, 54L).nonEmpty)
+    assert(count("src") === 50L, "clone DML leaked into the source")
+    assert(count("dst") === 45L, "source DML leaked into the clone")
+    // retention isolation: fold + retire + physically reclaim the
+    // CLONE's members — the source keeps reading every byte (links are
+    // per-directory names onto shared inodes)
+    GlprMaintenance.compact(dstPath, Long.MaxValue / 2): Unit
+    GlprMaintenance.expireVersions(dstPath, keepLast = 1): Unit
+    assert(GlprMaintenance.vacuum(dstPath) >= 1)
+    assert(count("src") === 50L, "clone-side vacuum pulled source bytes")
+    assert(count("dst") === 45L)
+    // an existing destination refuses
+    val e = intercept[Exception](
+      spark.sql("CALL glpr_spec.sys.clone('ns18.src', 'ns18.dst')").collect())
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // the clone is a real catalog table (marker copied)
+    assert(spark.sql("SHOW TABLES IN glpr_spec.ns18").collect()
+      .map(_.getString(1)).toSet === Set("src", "dst"))
+    spark.catalog.dropTempView("cl_in")
+  }
+
   test("MERGE clause completeness: MATCHED DELETE, NOT MATCHED BY SOURCE UPDATE/DELETE") {
     spark.sql(s"CREATE TABLE glpr_spec.ns14.m $ddl")
     Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (3L, "en", "s", "c"),
