@@ -2615,6 +2615,20 @@ object Registry {
         | CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // AUTOMATIC PER-SHARD VALUE STATISTICS: every writer records its
+    // shard's distinct lang/source sets (vlang/vsource sidecar tokens —
+    // per-file column stats for categorical columns), so a two-source
+    // probe prunes 3/4 of an UNPARTITIONED per-feed ingest (required
+    // in-pipeline; legacy no-token fallback pinned in GlprCatalogSpec).
+    // Oracle = the probe rollup (residual filter keeps rows exact).
+    "q352_glpr_value_stats" -> Entry((s, d) =>
+      graft.io.GlprSource.valueStatsPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE source IN ('src2', 'src6')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ZERO-COPY CLONE (the Delta shallow-clone move): live shards +
     // sidecars + dv masks HARD-LINKED into the destination, fresh
     // manifest v1 from the live lines — O(shards) metadata, zero data

@@ -270,7 +270,19 @@ object GlprMaintenance {
         case Seq() => ""
         case cs => s" cols=${cs.map(GlprSource.encodePval).mkString(",")}"
       }
-      Some(base + bounds + pvals + bloom + colsKv)
+      // base-column value sets (vlang/vsource): union when every
+      // non-empty member tracked the column and the union stays capped
+      def valsKv(c: String): String = {
+        val sets = nonEmpty.map(_.vals.get(c))
+        if (nonEmpty.nonEmpty && sets.forall(_.isDefined)) {
+          val union = sets.flatMap(_.get).toSet
+          if (union.size <= 32)
+            s" v$c=${union.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+          else ""
+        } else ""
+      }
+      Some(base + bounds + pvals + bloom + colsKv +
+        valsKv("lang") + valsKv("source"))
     } else None
 
     // --- stage the concatenated payload invisibly ---

@@ -1667,6 +1667,50 @@ object GlprSource {
   }
   private val specEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q352 — AUTOMATIC per-shard value statistics (round 19): the corpus
+    * ingested as four per-feed slices (each append holds a quarter of
+    * the sources) with NO partition spec — the natural shape of
+    * multi-feed ingestion — and a two-source probe still prunes ¾ of
+    * the shards: every writer records its shard's distinct lang/source
+    * sets in the sidecar (`vlang=`/`vsource=`, capped at 32 like the
+    * partition channel), the per-file column statistics that make value
+    * predicates prune on ANY layout that happened to cluster. The
+    * residual row filter keeps the result exact either way (a mixed
+    * shard keeps), so the oracle certifies rows; the prune is required
+    * in-pipeline and pinned (with the legacy no-token fallback) in
+    * GlprCatalogSpec. */
+  def valueStatsPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = valueStatsCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-valstats").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      (0 until 4).foreach { g =>
+        val srcs = (0 until 20).filter(_ % 4 == g).map(i => s"src$i")
+        write(docs.filter(col("source").isin(srcs: _*)).coalesce(2), out)
+      }
+      out
+    })
+    val res = spark.read.format("graft.io.GlprSource").load(root)
+      .filter(col("source").isin("src2", "src6"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+    val out = res.collect()
+    if (out.nonEmpty)
+      Option(planEvents.get(root)).foreach { case (kept, total) =>
+        require(total < 2 || kept < total,
+          s"q352 contract: the source probe must prune un-partitioned " +
+            s"per-feed shards via the automatic value sets ($kept of $total)")
+      }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toSeq.asJava, res.schema)
+  }
+  private val valueStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Un-rematerialized plan view of the q341 window read (PlanAudit +
     * the GlprCatalogSpec prune pin read this). */
   def monthsPartitionPlanFrame(spark: org.apache.spark.sql.SparkSession,
@@ -3191,18 +3235,24 @@ object GlprSource {
       idLo: Option[Long] = None, idHi: Option[Long] = None,
       pcol: Option[String] = None, pvals: Option[Set[String]] = None,
       bloom: Option[Array[Long]] = None,
-      cols: Seq[String] = Seq.empty) {
+      cols: Seq[String] = Seq.empty,
+      vals: Map[String, Set[String]] = Map.empty) {
     def fieldBytes(f: String): Long = f match {
       case "lang" => lang; case "source" => source; case "text" => text
       case _ => 0L
     }
     def bounds: Option[(Long, Long)] =
       for { lo <- idLo; hi <- idHi } yield (lo, hi)
-    /** The shard's value set for `col`, when the writer tracked it
-      * (partitioned tables track their partition column — see
-      * [[GlprWriter]]). None = unknown, never prune. */
+    /** The shard's value set for `col`, when the writer tracked it.
+      * Two channels: the partition-spec channel (TRANSFORMED values of
+      * the spec `pcol` names — see [[GlprWriter]]) and, since round 19,
+      * AUTOMATIC per-shard value sets for the low-cardinality base
+      * columns (`vlang=`/`vsource=` — per-file column statistics, the
+      * parquet min/max idea for categorical columns: value pruning and
+      * metadata paths work on ANY layout whose ingest happened to
+      * cluster, partition spec or not). None = unknown, never prune. */
     def valuesOf(col: String): Option[Set[String]] =
-      if (pcol.contains(col)) pvals else None
+      if (pcol.contains(col)) pvals else vals.get(col)
   }
   private[io] def metaFile(shard: java.io.File): java.io.File =
     new java.io.File(shard.getParentFile, shard.getName + ".meta")
@@ -3413,16 +3463,21 @@ object GlprSource {
       val all = txt.trim.split("\\s+").iterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
         .toMap
-      val stringKeys = Set("pcol", "pvals", "bloom", "cols")
+      val stringKeys = Set("pcol", "pvals", "bloom", "cols",
+        "vlang", "vsource")
       val kv = all.collect { case (k, v) if !stringKeys(k) => k -> v.toLong }
+      def valSet(key: String): Option[Set[String]] =
+        all.get(key).map(_.split(",", -1).iterator
+          .filter(_.nonEmpty).map(decodePval).toSet)
       Some(ShardMeta(kv("rows"), kv("lang"), kv("source"), kv("text"),
         kv.get("idlo"), kv.get("idhi"),
         all.get("pcol").map(decodePval),
-        all.get("pvals").map(_.split(",", -1).iterator
-          .filter(_.nonEmpty).map(decodePval).toSet),
+        valSet("pvals"),
         all.get("bloom").map(bloomFromHex).filter(_.nonEmpty),
         all.get("cols").map(_.split(",", -1).iterator
-          .filter(_.nonEmpty).map(decodePval).toSeq).getOrElse(Seq.empty)))
+          .filter(_.nonEmpty).map(decodePval).toSeq).getOrElse(Seq.empty),
+        Seq("lang" -> valSet("vlang"), "source" -> valSet("vsource"))
+          .collect { case (c, Some(s)) => c -> s }.toMap))
     } catch { case _: Exception => None } // malformed sidecar → size fallback
   }
 
@@ -4243,6 +4298,17 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
   private val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
   private var trackOverflow = false
   private val MaxTrackedVals = 32
+  // AUTOMATIC per-shard value sets for the low-cardinality base columns
+  // (round 19): every shard's sidecar records its distinct lang/source
+  // values (same cap/overflow rule as the partition channel) — per-file
+  // column statistics, so value pruning and the metadata paths work on
+  // any ingest that happened to cluster, partition spec or not
+  private val langOrdinal: Int = idx("lang")
+  private val sourceOrdinal: Int = idx("source")
+  private val langVals = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val sourceVals = scala.collection.mutable.LinkedHashSet.empty[String]
+  private var langOverflow = false
+  private var sourceOverflow = false
   // doc_id bloom, built at max size and folded to ~10 bits/key at commit
   private val bloomWords = new Array[Long](GlprSource.BloomMaxBits / 64)
   override def write(r: InternalRow): Unit = {
@@ -4285,6 +4351,14 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       trackedVals += tracked
       if (trackedVals.size > MaxTrackedVals) trackOverflow = true
     }
+    if (!langOverflow) {
+      langVals += r.getUTF8String(langOrdinal).toString
+      if (langVals.size > MaxTrackedVals) langOverflow = true
+    }
+    if (!sourceOverflow) {
+      sourceVals += r.getUTF8String(sourceOrdinal).toString
+      if (sourceVals.size > MaxTrackedVals) sourceOverflow = true
+    }
     nRows += 1
   }
   override def commit(): WriterCommitMessage = {
@@ -4308,9 +4382,16 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
       val folded = GlprSource.bloomFold(bloomWords, GlprSource.bloomTargetBits(nRows))
       s" bloom=${GlprSource.bloomHex(folded)}"
     } else ""
+    def valsKv(key: String, vals: scala.collection.mutable.LinkedHashSet[String],
+        overflow: Boolean): String =
+      if (nRows > 0 && !overflow)
+        s" $key=${vals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+      else ""
     java.nio.file.Files.write(metaTmp.toPath,
       (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
-        + boundsKv + pvalKv + bloomKv + colsKv)
+        + boundsKv + pvalKv + bloomKv + colsKv
+        + valsKv("vlang", langVals, langOverflow)
+        + valsKv("vsource", sourceVals, sourceOverflow))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dest = new java.io.File(path, shardName)
     java.nio.file.Files.move(metaTmp.toPath,

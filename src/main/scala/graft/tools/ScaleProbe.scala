@@ -110,7 +110,8 @@ object ScaleProbe {
     "q348_glpr_masked_compact", // rollup after mask-folding compaction
     "q349_glpr_spec_evolution", // two-era pruned window after spec evolution
     "q350_glpr_zorder_recluster", // full rollup after z-order recluster
-    "q351_glpr_clone")         // both sides' rollups after zero-copy clone + diverge
+    "q351_glpr_clone",         // both sides' rollups after zero-copy clone + diverge
+    "q352_glpr_value_stats")   // source probe pruned via automatic value sets
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

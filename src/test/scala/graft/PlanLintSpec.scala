@@ -72,6 +72,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q348_glpr_masked_compact", // staging write + MoR deletes + compaction
     "q350_glpr_zorder_recluster", // staging INSERT + recluster + collected rollup
     "q351_glpr_clone",          // staging INSERT + clone + MoR delete + collected union
+    "q352_glpr_value_stats",    // staged per-feed writes + collected probe rollup
                                 // on construction (cached); merge pins
                                 // in GlprSpec
     "q310_glpr_manifest",       // manifest staging write + orphan plant

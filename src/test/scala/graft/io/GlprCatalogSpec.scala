@@ -401,15 +401,19 @@ class GlprCatalogSpec extends AnyFunSuite {
     s2.catalog.dropTempView("pd_in")
   }
 
-  test("grouped aggregate pushdown DECLINES on a flat (untracked) table and stays correct") {
+  test("grouped aggregate pushdown DECLINES on mixed-value shards and stays correct") {
     ddl
     import spark.implicits._
     spark.sql(s"CREATE TABLE glpr_spec.ns10.flatagg $ddl")
+    // ONE shard holding both langs: the automatic vlang set is
+    // multi-valued, so the single-value-per-shard invariant grouped
+    // pushdown needs does not hold — ordinary scan-and-aggregate
     Seq((1L, "en", "s", "a"), (2L, "de", "s", "b"), (3L, "en", "s", "c"))
-      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("fa_in")
-    spark.sql("INSERT INTO glpr_spec.ns10.flatagg SELECT * FROM fa_in")
+      .toDF("doc_id", "lang", "source", "text").coalesce(1)
+      .createOrReplaceTempView("fa_in")
+    spark.sql("INSERT INTO glpr_spec.ns10.flatagg " +
+      "SELECT /*+ COALESCE(1) */ * FROM fa_in")
     val q = spark.sql("SELECT lang, count(*) AS n FROM glpr_spec.ns10.flatagg GROUP BY lang")
-    // no sidecar value sets on a flat table: ordinary scan-and-aggregate
     assert(q.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       === Map("en" -> 2L, "de" -> 1L))
@@ -428,18 +432,41 @@ class GlprCatalogSpec extends AnyFunSuite {
         "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
         "PARTITIONED BY (bucket(4, lang))"))
     assert(e2.getMessage.contains("doc_id"), e2.getMessage)
-    // flat (pre-partitioning) sidecars are never value-pruned: an
-    // unpartitioned table filtered on lang plans every shard
+    // AUTOMATIC value statistics (round 19): even WITHOUT a partition
+    // spec every shard records its lang/source value sets (vlang/
+    // vsource sidecar tokens — per-file column stats), so an ingest
+    // that happened to cluster prunes on value predicates; a
+    // mixed-value shard keeps (its set intersects), and rows stay exact
+    // either way. Pre-round-19 sidecars have no sets → never pruned.
     spark.sql(s"CREATE TABLE glpr_spec.ns9.flat $ddl")
     import spark.implicits._
-    Seq((1L, "en", "s", "a"), (2L, "de", "s", "b"))
-      .toDF("doc_id", "lang", "source", "text").createOrReplaceTempView("flat_in")
-    spark.sql("INSERT INTO glpr_spec.ns9.flat SELECT * FROM flat_in")
+    Seq((1L, "en", "s", "a")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("flat_en")
+    Seq((2L, "de", "s", "b")).toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("flat_de")
+    spark.sql("INSERT INTO glpr_spec.ns9.flat SELECT * FROM flat_en")
+    spark.sql("INSERT INTO glpr_spec.ns9.flat SELECT * FROM flat_de")
     val dir = new java.io.File(root, "ns9/flat")
-    spark.sql("SELECT count(*) FROM glpr_spec.ns9.flat WHERE lang = 'en'").collect()
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns9.flat WHERE lang = 'en'")
+      .head().getLong(0) === 1L)
     val (kept, total) = GlprSource.planEvents.get(dir.getAbsolutePath)
-    assert(kept === total, s"flat shards must never be value-pruned: $kept of $total")
-    spark.catalog.dropTempView("flat_in")
+    assert(kept < total,
+      s"incidentally-clustered flat shards must value-prune: $kept of $total")
+    // legacy sidecars (no vlang token) never prune
+    new java.io.File(dir, "_x").getParentFile.listFiles()
+      .filter(_.getName.endsWith(".meta")).foreach { m =>
+        val txt = new String(java.nio.file.Files.readAllBytes(m.toPath))
+        java.nio.file.Files.write(m.toPath,
+          txt.split("\\s+").filterNot(t => t.startsWith("vlang=") ||
+            t.startsWith("vsource=")).mkString(" ").getBytes)
+      }
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns9.flat WHERE lang = 'en'")
+      .head().getLong(0) === 1L)
+    val (kept2, total2) = GlprSource.planEvents.get(dir.getAbsolutePath)
+    assert(kept2 === total2,
+      s"legacy sidecars without value sets must never prune: $kept2 of $total2")
+    spark.catalog.dropTempView("flat_en")
+    spark.catalog.dropTempView("flat_de")
   }
 
   test("q332 schema evolution: mixed shards read exactly; UPDATE carries extras") {
