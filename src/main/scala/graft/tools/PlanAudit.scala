@@ -296,7 +296,16 @@ object PlanAudit {
       "Morton rewrite left every shard a compact (doc_id, lang) rectangle, so " +
       "id-range AND lang probes both prune (the rollup itself scans all shards " +
       "once — the layout win shows in the probe pins)",
-      reg("q350_glpr_zorder_recluster")))
+      reg("q350_glpr_zorder_recluster")),
+    ("q351_glpr_clone", "both sides of a zero-copy clone after divergence: two " +
+      "independent manifests over hard-linked immutable bytes — each scan plans " +
+      "only its own live lines and masks; no cross-table residue anywhere",
+      reg("q351_glpr_clone")),
+    ("q352_glpr_value_stats", "automatic per-shard value statistics: the " +
+      "two-source probe prunes 3/4 of an UNPARTITIONED per-feed ingest at plan " +
+      "time via the writers' vlang/vsource sidecar sets (per-file categorical " +
+      "column stats); the residual filter keeps rows exact",
+      reg("q352_glpr_value_stats")))
 
   private val streamingStateNote: String =
     """
