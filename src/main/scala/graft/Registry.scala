@@ -2629,6 +2629,39 @@ object Registry {
         |FROM documents WHERE source IN ('src2', 'src6')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN: both tables
+    // PARTITIONED BY (bucket(8, doc_id)) — writer-side clustering +
+    // per-value shard rolling keep every shard single-bucket — so the
+    // doc_id equi-join plans ZERO join exchanges (KeyGroupedPartitioning
+    // over the catalog's V2 bucket function; required in-pipeline,
+    // broadcast disabled). The corpus⋈corpus join that moves no bytes
+    // at 100 TB. Oracle = the relational join rollup.
+    "q353_glpr_bucket_spj" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.bucketSpjPipeline(s, d).orderBy("lang"), Some(
+      """SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(f.doc_id) AS BIGINT) AS id_sum
+        |FROM documents f JOIN documents d ON f.doc_id = d.doc_id
+        |WHERE d.doc_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // IMMUTABLE TAGS as retention overrides (the Iceberg tag idiom):
+    // tag the ingest snapshot, copy-on-write DELETE a slice, then the
+    // FULL retention cycle (expire_versions(1) + vacuum) — the tagged
+    // snapshot survives (expire skips tagged versions; vacuum keeps
+    // their shards) and VERSION AS OF 'shipped' reads the exact
+    // pre-delete corpus while main reads the post-delete one. Oracle =
+    // both sides relationally; lifecycle pins in GlprCatalogSpec.
+    "q354_glpr_tags" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.tagsPipeline(s, d).orderBy("side", "lang"), Some(
+      """SELECT 'live' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE NOT (doc_id BETWEEN 100 AND 199) GROUP BY 2
+        |UNION ALL
+        |SELECT 'tagged', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM documents GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // ZERO-COPY CLONE (the Delta shallow-clone move): live shards +
     // sidecars + dv masks HARD-LINKED into the destination, fresh
     // manifest v1 from the live lines — O(shards) metadata, zero data

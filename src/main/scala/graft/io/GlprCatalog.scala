@@ -125,10 +125,13 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
   /** SQL time travel (q311): `SELECT ... FROM t VERSION AS OF <n>`
     * resolves here — the returned table is pinned to manifest version
     * `n` (read-only; see [[GlprTable.newWriteBuilder]]). A
-    * NON-NUMERIC pin names a write-audit-publish BRANCH (round 18,
-    * the Iceberg idiom): `VERSION AS OF 'audit'` reads the branch
-    * HEAD — the SQL-only audit surface; unknown names fail loudly with
-    * the available branches. */
+    * NON-NUMERIC pin names a TAG (q354 — resolves to its pinned
+    * manifest version, read-only and retention-protected) or a
+    * write-audit-publish BRANCH (round 18, the Iceberg idiom):
+    * `VERSION AS OF 'audit'` reads the branch HEAD — the SQL-only
+    * audit surface. Tags and branches share one name space (creation
+    * refuses collisions), so resolution order cannot matter; unknown
+    * names fail loudly with the available tags and branches. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -137,17 +140,26 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), Some(v),
           readExtraCols(dir))
       case None =>
-        val b = version
-        require(GlprSource.listBranchVersions(dir.getAbsolutePath,
-            GlprSource.requireBranchName(b)).nonEmpty,
-          s"GLPR VERSION AS OF '$b': no such manifest version or branch " +
-            s"under '$ident'" + {
-              val bs = GlprSource.listBranches(dir.getAbsolutePath)
-              if (bs.isEmpty) " (table has no branches)"
-              else s"; branches: ${bs.toSeq.sorted.mkString(", ")}"
-            })
-        new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), None,
-          readExtraCols(dir), branchPin = Some(b))
+        val b = GlprSource.requireBranchName(version)
+        GlprSource.resolveTag(dir.getAbsolutePath, b) match {
+          case Some(v) =>
+            new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),
+              Some(v), readExtraCols(dir))
+          case None =>
+            require(GlprSource.listBranchVersions(dir.getAbsolutePath,
+                b).nonEmpty,
+              s"GLPR VERSION AS OF '$b': no such manifest version, tag " +
+                s"or branch under '$ident'" + {
+                  val bs = GlprSource.listBranches(dir.getAbsolutePath)
+                  val ts = GlprSource.listTags(dir.getAbsolutePath)
+                  s"; tags: ${if (ts.isEmpty) "none"
+                    else ts.keys.toSeq.sorted.mkString(", ")}" +
+                    s"; branches: ${if (bs.isEmpty) "none"
+                      else bs.toSeq.sorted.mkString(", ")}"
+                })
+            new GlprTable(dir.getAbsolutePath, readPartitionCol(dir), None,
+              readExtraCols(dir), branchPin = Some(b))
+        }
     }
   }
 

@@ -900,7 +900,13 @@ object GlprMaintenance {
       s"expireVersions keepLast must be >= 1 (the newest version IS the " +
         s"live manifest), got $keepLast")
     val vs = GlprSource.listManifestVersions(path)
-    val doomed = vs.dropRight(keepLast)
+    // TAGGED versions are retention-PROTECTED (q354): a tag is an
+    // explicit "keep this snapshot" marker, so expire skips it — and
+    // because the version FILE survives, vacuum keeps every shard it
+    // references (reachability is computed from the remaining version
+    // files). Dropping the tag re-exposes the version to expiry.
+    val tagged = GlprSource.listTags(path).values.toSet
+    val doomed = vs.dropRight(keepLast).filterNot(tagged)
     doomed.foreach(v => GlprSource.versionFile(path, v).delete(): Unit)
     doomed
   }
@@ -1326,5 +1332,104 @@ object GlprMaintenance {
         |FROM glpr_cl.ns.dst GROUP BY 2""".stripMargin))
   }
   private val cloneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q353 — BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN, end to end: two
+    * tables `PARTITIONED BY (bucket(8, doc_id))` (the writer's required
+    * clustering + q353 shard rolling keeps every shard single-bucket),
+    * then a `doc_id` equi-join planned with ZERO join exchanges — both
+    * scans report `KeyGroupedPartitioning(bucket(8, doc_id))`, resolved
+    * through the catalog's V2 bucket function, and Spark zips the bucket
+    * classes. The corpus⋈corpus join that moves no bytes at 100 TB.
+    * Shuffle-freeness is REQUIRED in-pipeline (broadcast disabled so
+    * the exchange-free plan is the report, not a broadcast); the final
+    * rollup's lang exchange is expected and untouched. Oracle = the
+    * relational join rollup over the raw parquet. */
+  def bucketSpjPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = bucketSpjCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-bspj").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_bj", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_bj.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      Seq("facts", "dims").foreach(t => s2.sql(s"CREATE TABLE glpr_bj.ns.$t " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id))"))
+      s2.sql("INSERT INTO glpr_bj.ns.facts SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("INSERT INTO glpr_bj.ns.dims SELECT doc_id, lang, 'dim', " +
+        s"text FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 <> 0")
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_bj", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_bj.root", root)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q = s2.sql(
+      """SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(f.doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_bj.ns.facts f JOIN glpr_bj.ns.dims d
+        |ON f.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin)
+    val out = GlprSource.rematerialize(spark, q)
+    // the shuffle-freeness contract holds whenever there is data to
+    // join; an ALL-EMPTY corpus commits only rows=0 shards, which carry
+    // no bucket value — the report declines by design and the fallback
+    // plan (over zero rows) is fine
+    if (!out.isEmpty) {
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(doc_id"),
+        s"q353 contract: the co-bucketed doc_id join must plan ZERO join " +
+          s"exchanges (storage-partitioned join):\n$plan")
+    }
+    out
+  }
+  private val bucketSpjCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q354 — IMMUTABLE TAGS as retention overrides, end to end: tag the
+    * ingest snapshot, DELETE a slice (copy-on-write — a new version),
+    * then run the FULL retention cycle (`expire_versions(keep=1)` +
+    * `vacuum`). The tagged snapshot SURVIVES — expire skips tagged
+    * versions, so vacuum keeps every shard the snapshot references —
+    * and `VERSION AS OF 'shipped'` still reads the exact pre-delete
+    * corpus while main reads the post-delete one. Oracle = both sides
+    * derived relationally; immutability/name-space/drop-then-reclaim
+    * pins in GlprCatalogSpec. */
+  def tagsPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = tagsCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-tags").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_tg", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_tg.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_tg.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_tg.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY doc_id div 100")
+      s2.sql("CALL glpr_tg.sys.tag('ns.docs', 'shipped')").collect(): Unit
+      s2.sql("DELETE FROM glpr_tg.ns.docs WHERE doc_id BETWEEN 100 AND 199")
+      // the retention cycle that would have reclaimed the snapshot
+      s2.sql("CALL glpr_tg.sys.expire_versions('ns.docs', 1)").collect(): Unit
+      s2.sql("CALL glpr_tg.sys.vacuum('ns.docs')").collect(): Unit
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_tg", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_tg.root", root)
+    GlprSource.rematerialize(spark, s2.sql(
+      """SELECT 'live' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_tg.ns.docs GROUP BY 2
+        |UNION ALL
+        |SELECT 'tagged', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM glpr_tg.ns.docs VERSION AS OF 'shipped' GROUP BY 2""".stripMargin))
+  }
+  private val tagsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -24,7 +24,8 @@ object GlprProcedures {
     "history", "compact", "vacuum", "restore", "rebuild_manifest",
     "expire_versions", "recluster", "delete_where_mor",
     "create_branch", "publish_branch", "drop_branch",
-    "set_partition_spec", "delete_range_mor", "branches", "clone")
+    "set_partition_spec", "delete_range_mor", "branches", "clone",
+    "tag", "drop_tag", "tags")
   def load(name: String, resolve: String => java.io.File,
       resolveFresh: String => java.io.File = null): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve,
@@ -63,6 +64,28 @@ object GlprProcedures {
         if (metas.forall(_.isDefined)) java.lang.Long.valueOf(metas.flatMap(_.map(_.rows)).sum)
         else null
       row(java.lang.Long.valueOf(v), java.lang.Integer.valueOf(names.length), rows)
+    }.toArray
+    Result(schema, out)
+  }
+
+  /** `tags('ns.table')` — tag introspection (q354): one row per tag
+    * with its pinned version and that snapshot's shard count (null when
+    * the version file vanished — shouldn't happen while the tag lives,
+    * since expire skips tagged versions; an externally deleted file
+    * still reads as null rather than erroring the listing). */
+  private[io] def tags(dir: java.io.File): Result = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("n_shards", IntegerType, nullable = true)))
+    val path = dir.getAbsolutePath
+    val out = GlprSource.listTags(path).toSeq.sortBy(_._1).map {
+      case (t, v) =>
+        val n: Any =
+          try java.lang.Integer.valueOf(
+            GlprSource.versionShardNames(path, v).length)
+          catch { case _: IllegalArgumentException => null }
+        row(utf8(t), java.lang.Long.valueOf(v), n)
     }.toArray
     Result(schema, out)
   }
@@ -165,6 +188,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
     case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
     case "clone" => "clone(table, dest): ZERO-COPY snapshot clone - hard-link the live shards (+ sidecars/masks) into dest and mint its manifest v1 from the live lines; fully independent tables over shared immutable bytes (the Delta shallow-clone move)"
+    case "tag" => "tag(table, name, version DEFAULT -1): pin an IMMUTABLE named tag at a manifest version (-1 = the live head); VERSION AS OF '<name>' reads it forever and expire_versions keeps it (retention override)"
+    case "drop_tag" => "drop_tag(table, name): remove a tag; its version rejoins ordinary retention"
+    case "tags" => "tags(table): one row per tag - pinned version, shard count"
     case _ => procName
   }
 
@@ -214,6 +240,14 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
       case "clone" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("dest", StringType).build())
+      // version is OPTIONAL (q354): -1 = the live head at call time
+      case "tag" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+      case "drop_tag" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
       case "delete_range_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("lo", LongType).build(),
@@ -295,6 +329,16 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
             path, input.getLong(1), input.getLong(2), b)
           summary("masked_shards" -> changed.length.toLong)
         case "branches" => branches(dir)
+        case "tag" =>
+          val v0 = input.getLong(2)
+          val v = GlprSource.createTag(path,
+            input.getUTF8String(1).toString,
+            if (v0 < 0) None else Some(v0))
+          summary("tagged_version" -> v)
+        case "drop_tag" =>
+          summary("untagged_version" ->
+            GlprSource.dropTag(path, input.getUTF8String(1).toString))
+        case "tags" => tags(dir)
         case "clone" =>
           val dst = resolveFresh(input.getUTF8String(1).toString)
           val linked = GlprMaintenance.cloneTable(dir, dst)

@@ -229,6 +229,27 @@ object GlprSource {
     def prefixLen: Int = w
     def spec: String = s"truncate($w,$column)"
   }
+  /** The write-side SORT matching a partition spec's clustering
+    * expression (q353): within-partition, ascending, over the SAME V2
+    * transform the distribution clusters by — Spark resolves it through
+    * the catalog's empty-namespace transform functions exactly like the
+    * distribution, so sort order and clustering can never disagree. */
+  private[io] def clusteringSort(partitionCol: Option[String]):
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    def asc(e: org.apache.spark.sql.connector.expressions.Expression) =
+      Array(Expressions.sort(e, SortDirection.ASCENDING))
+    partitionCol.map(parsePartSpec) match {
+      case Some(IdentityPart(c)) => asc(Expressions.column(c))
+      case Some(b: BucketPart) => asc(Expressions.bucket(b.n, "doc_id"))
+      case Some(d: DaysPart) => asc(Expressions.days(d.column))
+      case Some(m: MonthsPart) => asc(Expressions.months(m.column))
+      case Some(t: TruncatePart) => asc(Expressions.apply("truncate",
+        Expressions.literal(t.w), Expressions.column(t.column)))
+      case None => Array.empty
+    }
+  }
+
   private[io] def parsePartSpec(s: String): PartSpec = {
     val bucketRe = """bucket\((\d+),doc_id\)""".r
     val daysRe = """days\(([A-Za-z0-9_]+)\)""".r
@@ -2922,6 +2943,84 @@ object GlprSource {
         "numeric `VERSION AS OF` manifest pins — include a non-digit")
     b
   }
+  // ---- IMMUTABLE TAGS (q354) ------------------------------------------
+  // A tag is a NAMED, WRITE-PROTECTED pointer to one manifest version
+  // (the Iceberg tag / git-tag idiom): `CALL sys.tag(t, name)` pins the
+  // live head (or an explicit version), `VERSION AS OF '<name>'` reads
+  // that snapshot forever, and RETENTION KEEPS IT — expire_versions
+  // skips tagged versions, so the shards a tag's snapshot references
+  // stay vacuum-protected. That retention override is the operational
+  // point: "the snapshot we trained the model on" survives every
+  // expire/vacuum cycle until someone DROPS the tag explicitly. Tags
+  // are immutable by contract — creation is put-if-absent (hard-link
+  // CAS, same protocol as branch v1), re-pointing means drop+recreate —
+  // and share the `VERSION AS OF` name space with branches, so either
+  // kind refuses a name the other holds.
+  private[io] def tagFile(path: String, t: String): java.io.File =
+    new java.io.File(path, s"_tag.$t")
+  def listTags(path: String): Map[String, Long] = {
+    val re = """_tag\.([A-Za-z0-9_-]+)""".r
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case re(t) => t }
+      .flatMap(t => resolveTag(path, t).map(t -> _)).toMap
+  }
+  def resolveTag(path: String, t: String): Option[Long] = {
+    val f = tagFile(path, t)
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+").collectFirst {
+        case kv if kv.startsWith("version=") =>
+          kv.stripPrefix("version=").toLong
+      }
+  }
+  /** CREATE a tag at `version` (default: the live head). Put-if-absent;
+    * an existing tag or same-named branch refuses; the version must be
+    * a real, still-present manifest version (tagging expired history
+    * would mint a pointer into the void). */
+  def createTag(path: String, t: String, version: Option[Long] = None): Long = {
+    requireBranchName(t): Unit
+    require(!tagFile(path, t).isFile,
+      s"GLPR tag '$t' already exists under '$path' — tags are " +
+        "immutable; drop_tag first to re-point")
+    require(listBranchVersions(path, t).isEmpty,
+      s"GLPR tag '$t' refused: a branch of that name exists under " +
+        s"'$path' — tags and branches share the VERSION AS OF name space")
+    if (readManifest(path).isEmpty) rebuildManifest(path)
+    val vs = listManifestVersions(path)
+    val v = version.getOrElse(vs.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"GLPR tag '$t': no manifest versions under '$path' to tag")))
+    require(vs.contains(v),
+      s"GLPR tag '$t': no manifest version $v under '$path'; " +
+        s"available: ${vs.mkString(", ")}")
+    val tmp = new java.io.File(path,
+      s"_tmp-tag-$t-${Thread.currentThread().getId}")
+    java.nio.file.Files.write(tmp.toPath,
+      s"version=$v committedAtMs=${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try java.nio.file.Files.createLink(tagFile(path, t).toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"GLPR tag '$t' was concurrently created under '$path'")
+    } finally { tmp.delete(): Unit }
+    v
+  }
+  /** DROP a tag — the version it pointed at rejoins ordinary retention
+    * (the next expire_versions may reclaim it). Unknown tags fail
+    * loudly with the available names. */
+  def dropTag(path: String, t: String): Long = {
+    val v = resolveTag(path, t).getOrElse(throw new IllegalArgumentException(
+      s"GLPR: no tag '$t' under '$path'" + {
+        val ts = listTags(path)
+        if (ts.isEmpty) " (table has no tags)"
+        else s"; tags: ${ts.keys.toSeq.sorted.mkString(", ")}"
+      }))
+    tagFile(path, t).delete()
+    v
+  }
+
   private[io] def branchVersionFile(path: String, b: String,
       v: Long): java.io.File =
     new java.io.File(path, f"_manifest.b-$b.v$v%010d")
@@ -2963,6 +3062,9 @@ object GlprSource {
     requireBranchName(b): Unit
     require(listBranchVersions(path, b).isEmpty,
       s"GLPR branch '$b' already exists under '$path'")
+    require(!tagFile(path, b).isFile,
+      s"GLPR branch '$b' refused: a tag of that name exists under " +
+        s"'$path' — tags and branches share the VERSION AS OF name space")
     if (readManifest(path).isEmpty) rebuildManifest(path)
     val forkV = listManifestVersions(path).lastOption.getOrElse(0L)
     val content = committedEntries(path).distinct.sorted
@@ -3192,6 +3294,14 @@ object GlprSource {
     (listShardFiles(path).map(_.getName) ++
       readManifest(path).getOrElse(Seq.empty).map(entryName) ++
       listManifestVersions(path).flatMap(v => versionShardNames(path, v))).toSet
+
+  /** Per-task shard-ROLL budget (q353): a partitioned write task may
+    * split its output at partition-value boundaries into at most this
+    * many shards, so the factory reserves a name stride of this width
+    * per task. Past the budget the task appends to its last shard
+    * (mixed values — sound, never better). 10-digit names keep ~10^10
+    * numbers, so a 32-task append burns 2048 of them: plenty. */
+  private[io] val MaxRollsPerTask = 64
 
   /** First free batch-scheme shard number under the never-reuse rule. */
   private[io] def nextBatchNameBase(path: String): Long =
@@ -3511,6 +3621,24 @@ object GlprSource {
     override def partitionKey(): InternalRow =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](UTF8String.fromString(key)))
+  }
+  /** A shard partition carrying its single BUCKET id — the
+    * `HasPartitionKey` half of bucket-transform storage-partitioned
+    * joins (q353): where [[GlprKeyedPartition]] keys by a raw identity
+    * value, this keys by `bucket(n, doc_id)`'s image, so two tables
+    * bucket-clustered with the same modulus join on `doc_id` with NO
+    * shuffle even though each shard spans the whole id range — the
+    * layout a 100 TB corpus actually uses (identity partitioning on a
+    * high-cardinality key is not a layout). The key's type (INT) matches
+    * [[BucketTransformFn]]'s result type, which is what Spark resolves
+    * the reported transform against. */
+  private[io] final case class GlprBucketKeyedPartition(file: String,
+      bucket: Int)
+      extends GlprInputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](java.lang.Integer.valueOf(bucket)))
   }
 
   /** doc_id bounds compiled from the pushed filters (inclusive). */
@@ -3932,8 +4060,19 @@ class GlprWriteBuilder(path: String, schema: StructType,
         case None => org.apache.spark.sql.connector.distributions
           .Distributions.unspecified()
       }
+    /** Partitioned tables ALSO ask for a within-partition sort by the
+      * same clustering expression (q353): the clustering shuffle alone
+      * cannot keep hash-colliding partition values apart (two bucket
+      * ids landing in one task used to produce a mixed shard), but
+      * sorted input makes each value CONTIGUOUS, and the writer rolls
+      * to a fresh shard at every value boundary — one single-valued
+      * shard per value per task, unconditionally. This is the same
+      * local sort the built-in file sources pay for dynamic-partition
+      * writes, and it is what makes the key-grouped join report
+      * ([[GlprScan.spjBucketKeys]]) hold on real layouts. */
     override def requiredOrdering:
-        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      GlprSource.clusteringSort(partitionCol)
   }
 }
 
@@ -3951,7 +4090,7 @@ class GlprWriteBuilder(path: String, schema: StructType,
   * task leaves only invisible `_tmp` stage files. */
 /** Carries the committed shard's name back to the driver — the payload
   * the job/epoch-level commit folds into the `_manifest` log. */
-private[io] final case class GlprShardCommitted(name: String)
+private[io] final case class GlprShardCommitted(names: Seq[String])
     extends WriterCommitMessage
 
 class GlprStreamingWrite(path: String, schema: StructType,
@@ -3980,7 +4119,7 @@ class GlprStreamingWrite(path: String, schema: StructType,
     * existing listing. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GlprSource.mergeIntoManifest(path,
-      messages.collect { case GlprShardCommitted(n) => n }.toSeq)
+      messages.collect { case GlprShardCommitted(ns) => ns }.flatten.toSeq)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -4064,7 +4203,7 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     * Overwrite replaces the manifest outright: the truncation already
     * cleared history. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val names = messages.collect { case GlprShardCommitted(n) => n }.toSeq
+    val names = messages.collect { case GlprShardCommitted(ns) => ns }.flatten.toSeq
     branch match {
       // write-audit-publish staging (round 18): the job's shards fold
       // into the BRANCH head — on disk, owned by the branch chain
@@ -4193,9 +4332,18 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
           case _ => org.apache.spark.sql.connector.distributions
             .Distributions.unspecified()
         }
+      // the q353 roll discipline holds through DML rewrites too: sorted
+      // input → one single-valued shard per value per task
       override def requiredOrdering:
           Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        partitionCol.map(GlprSource.parsePartSpec) match {
+          case Some(GlprSource.IdentityPart(c)) =>
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .sort(Expressions.column(c),
+                org.apache.spark.sql.connector.expressions
+                  .SortDirection.ASCENDING))
+          case _ => Array.empty
+        }
     }
   }
 }
@@ -4217,7 +4365,7 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
       GlprSource.nextBatchNameBase(path), extraCols)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.collect { case GlprShardCommitted(n) => n }.toSeq
+    val added = messages.collect { case GlprShardCommitted(ns) => ns }.flatten.toSeq
     val replaced = replacedNames().toSet
     // retention needs the manifest as the visibility point
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
@@ -4235,9 +4383,19 @@ class GlprWriterFactory(path: String, schema: StructType,
     nameBase: Long = 0L,
     extraCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GlprWriter(path, schema, partitionId, taskId,
-      Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol,
-      extraCols)
+    if (partitionCol.isDefined)
+      // partitioned tables get a per-task name STRIDE so the writer can
+      // ROLL to a new shard at every partition-value boundary (q353) —
+      // the names stay plain batch names (same pad, strictly above every
+      // prior append's base), so every existing parser/offset contract
+      // holds verbatim
+      new GlprWriter(path, schema, partitionId, taskId, None, partitionCol,
+        extraCols, rollNames = Some((roll: Int) =>
+          f"part-${nameBase + partitionId.toLong * GlprSource.MaxRollsPerTask + roll}%010d.glpr"))
+    else
+      new GlprWriter(path, schema, partitionId, taskId,
+        Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol,
+        extraCols)
 }
 
 /** Per-task shard writer over the logical write schema (fields located
@@ -4259,7 +4417,8 @@ class GlprWriterFactory(path: String, schema: StructType,
 class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Long,
     shardNameOverride: Option[String] = None,
     partitionCol: Option[String] = None,
-    extraCols: Seq[String] = Seq.empty)
+    extraCols: Seq[String] = Seq.empty,
+    rollNames: Option[Int => String] = None)
     extends DataWriter[InternalRow] {
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   require(GlprSource.schema.fieldNames.forall(idx.contains),
@@ -4275,16 +4434,6 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     extraCols.toArray.map(GlprSource.extraKind)
   private val extraSidecarTokens: Array[String] =
     extraCols.toArray.map(GlprSource.extraSidecarToken)
-  private val extraBytes = new Array[Long](extraCols.length)
-  private val shardName =
-    shardNameOverride.getOrElse(f"part-$partitionId%010d.glpr")
-  private val tmp = new java.io.File(path, s"_tmp-$taskId-$shardName")
-  private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
-  private var nRows = 0L
-  private var idLo = Long.MaxValue
-  private var idHi = Long.MinValue
-  private val fieldBytes = scala.collection.mutable.Map(
-    "lang" -> 0L, "source" -> 0L, "text" -> 0L)
   // Partition-value tracking for a partitioned table's prune index: the
   // shard's DISTINCT partition-column values, capped — a cap overflow
   // means the write wasn't value-clustered (someone bypassed the
@@ -4295,32 +4444,128 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     partitionCol.map(GlprSource.parsePartSpec)
   private val trackOrdinal: Int =
     partSpec.map(p => idx(p.column)).getOrElse(-1)
-  private val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
-  private var trackOverflow = false
   private val MaxTrackedVals = 32
-  // AUTOMATIC per-shard value sets for the low-cardinality base columns
-  // (round 19): every shard's sidecar records its distinct lang/source
-  // values (same cap/overflow rule as the partition channel) — per-file
-  // column statistics, so value pruning and the metadata paths work on
-  // any ingest that happened to cluster, partition spec or not
   private val langOrdinal: Int = idx("lang")
   private val sourceOrdinal: Int = idx("source")
-  private val langVals = scala.collection.mutable.LinkedHashSet.empty[String]
-  private val sourceVals = scala.collection.mutable.LinkedHashSet.empty[String]
-  private var langOverflow = false
-  private var sourceOverflow = false
-  // doc_id bloom, built at max size and folded to ~10 bits/key at commit
-  private val bloomWords = new Array[Long](GlprSource.BloomMaxBits / 64)
+
+  /** All per-shard accumulation state, so a task can ROLL to a new
+    * shard at a partition-value boundary (q353). One instance per
+    * output shard; everything the commit-time sidecar needs lives
+    * here. */
+  private final class ShardAcc(val shardName: String) {
+    val tmp = new java.io.File(path, s"_tmp-$taskId-$shardName")
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp)))
+    var nRows = 0L
+    var idLo = Long.MaxValue
+    var idHi = Long.MinValue
+    val fieldBytes = scala.collection.mutable.Map(
+      "lang" -> 0L, "source" -> 0L, "text" -> 0L)
+    val trackedVals = scala.collection.mutable.LinkedHashSet.empty[String]
+    var trackOverflow = false
+    // AUTOMATIC per-shard value sets for the low-cardinality base
+    // columns (round 19): every shard's sidecar records its distinct
+    // lang/source values (same cap/overflow rule as the partition
+    // channel) — per-file column statistics, so value pruning and the
+    // metadata paths work on any ingest that happened to cluster,
+    // partition spec or not
+    val langVals = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sourceVals = scala.collection.mutable.LinkedHashSet.empty[String]
+    var langOverflow = false
+    var sourceOverflow = false
+    // doc_id bloom, built at max size and folded to ~10 bits/key at close
+    val bloomWords = new Array[Long](GlprSource.BloomMaxBits / 64)
+    val extraBytes = new Array[Long](extraCols.length)
+    /** The sidecar line, computed when the shard CLOSES (at a roll or
+      * at task commit) so rolled-away shards free their bloom/value
+      * state immediately. */
+    def sidecar: String = {
+      val boundsKv = if (nRows > 0) s" idlo=$idLo idhi=$idHi" else ""
+      val pvalKv = partSpec match {
+        case Some(sp) if nRows > 0 && !trackOverflow =>
+          s" pcol=${GlprSource.encodePval(sp.spec)} " +
+            s"pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+        case _ => ""
+      }
+      val colsKv = if (extraCols.nonEmpty)
+        s" cols=${extraSidecarTokens.map(GlprSource.encodePval).mkString(",")}" +
+          extraSidecarTokens.indices.map(i =>
+            s" x${GlprSource.encodePval(extraSidecarTokens(i))}=${extraBytes(i)}").mkString
+        else ""
+      val bloomKv = if (nRows > 0) {
+        val folded = GlprSource.bloomFold(bloomWords,
+          GlprSource.bloomTargetBits(nRows))
+        s" bloom=${GlprSource.bloomHex(folded)}"
+      } else ""
+      def valsKv(key: String,
+          vals: scala.collection.mutable.LinkedHashSet[String],
+          overflow: Boolean): String =
+        if (nRows > 0 && !overflow)
+          s" $key=${vals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
+        else ""
+      s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}" +
+        boundsKv + pvalKv + bloomKv + colsKv +
+        valsKv("vlang", langVals, langOverflow) +
+        valsKv("vsource", sourceVals, sourceOverflow)
+    }
+  }
+
+  private def nameOf(roll: Int): String = rollNames match {
+    case Some(f) => f(roll)
+    case None =>
+      shardNameOverride.getOrElse(f"part-$partitionId%010d.glpr")
+  }
+  private var rollsUsed = 1
+  private var cur = new ShardAcc(nameOf(0))
+  /** Closed-but-uncommitted shards: (name, tmp payload, sidecar line).
+    * Everything renames at task [[commit]] — a rolled shard is never
+    * visible before the task succeeds (abort unlinks all stages). */
+  private val finished =
+    scala.collection.mutable.ListBuffer.empty[(String, java.io.File, String)]
+  private def closeCur(): Unit = {
+    cur.out.close()
+    finished += ((cur.shardName, cur.tmp, cur.sidecar))
+  }
+
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(idx("doc_id"))
+    // SHARD ROLLING (q353): with the write's required ordering sorting
+    // rows by the partition transform, each task sees its partition
+    // values CONTIGUOUSLY — closing the current shard at every value
+    // boundary yields exactly one single-valued shard per value per
+    // task, whatever partition values hash-collided into the task. That
+    // invariant is what the key-grouped SPJ reports, dynamic partition
+    // overwrite, and value pruning all key off. The roll budget bounds
+    // the name space a task can consume ([[GlprSource.MaxRollsPerTask]]);
+    // an unsorted writer alternating values burns it and degrades to
+    // one mixed tail shard — sound everywhere (the sidecar records the
+    // mixed set or overflows to unknown), just never better.
+    val tracked: String =
+      if (trackOrdinal < 0) null
+      else {
+        val spec = partSpec.get
+        // null partition values track as the literal "null" day/value
+        if (spec.column == "doc_id") spec.valueOf(id.toString)
+        else if (r.isNullAt(trackOrdinal)) "null"
+        // .toString copies out of the row's reused buffer
+        else spec.valueOf(r.getUTF8String(trackOrdinal).toString)
+      }
+    if (tracked != null && rollNames.isDefined && cur.nRows > 0 &&
+        rollsUsed < GlprSource.MaxRollsPerTask &&
+        !cur.trackOverflow && !cur.trackedVals.contains(tracked)) {
+      closeCur()
+      cur = new ShardAcc(nameOf(rollsUsed))
+      rollsUsed += 1
+    }
+    val out = cur.out
     out.writeLong(id)
-    if (id < idLo) idLo = id
-    if (id > idHi) idHi = id
-    GlprSource.bloomSet(bloomWords, GlprSource.BloomMaxBits, id)
+    if (id < cur.idLo) cur.idLo = id
+    if (id > cur.idHi) cur.idHi = id
+    GlprSource.bloomSet(cur.bloomWords, GlprSource.BloomMaxBits, id)
     Seq("lang", "source", "text").foreach { f =>
       val b = r.getUTF8String(idx(f)).getBytes
       out.writeInt(b.length); out.write(b)
-      fieldBytes(f) += b.length
+      cur.fieldBytes(f) += b.length
     }
     // schema-evolution extras, appended in table order; NULL = length -1
     var e = 0
@@ -4336,74 +4581,48 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
           case _ => r.getUTF8String(ord).getBytes
         }
         out.writeInt(b.length); out.write(b)
-        extraBytes(e) += b.length
+        cur.extraBytes(e) += b.length
       }
       e += 1
     }
-    if (trackOrdinal >= 0 && !trackOverflow) {
-      val spec = partSpec.get
-      // null partition values track as the literal "null" day/value
-      val tracked =
-        if (spec.column == "doc_id") spec.valueOf(id.toString)
-        else if (r.isNullAt(trackOrdinal)) "null"
-        // .toString copies out of the row's reused buffer
-        else spec.valueOf(r.getUTF8String(trackOrdinal).toString)
-      trackedVals += tracked
-      if (trackedVals.size > MaxTrackedVals) trackOverflow = true
+    if (tracked != null && !cur.trackOverflow) {
+      cur.trackedVals += tracked
+      if (cur.trackedVals.size > MaxTrackedVals) cur.trackOverflow = true
     }
-    if (!langOverflow) {
-      langVals += r.getUTF8String(langOrdinal).toString
-      if (langVals.size > MaxTrackedVals) langOverflow = true
+    if (!cur.langOverflow) {
+      cur.langVals += r.getUTF8String(langOrdinal).toString
+      if (cur.langVals.size > MaxTrackedVals) cur.langOverflow = true
     }
-    if (!sourceOverflow) {
-      sourceVals += r.getUTF8String(sourceOrdinal).toString
-      if (sourceVals.size > MaxTrackedVals) sourceOverflow = true
+    if (!cur.sourceOverflow) {
+      cur.sourceVals += r.getUTF8String(sourceOrdinal).toString
+      if (cur.sourceVals.size > MaxTrackedVals) cur.sourceOverflow = true
     }
-    nRows += 1
+    cur.nRows += 1
   }
   override def commit(): WriterCommitMessage = {
-    out.close()
-    // meta first: a shard without a sidecar degrades to the size
-    // fallback; an orphan sidecar is invisible (readers key off shards)
-    val metaTmp = new java.io.File(path, s"_tmp-$taskId-$shardName.meta")
-    val boundsKv = if (nRows > 0) s" idlo=$idLo idhi=$idHi" else ""
-    val pvalKv = partSpec match {
-      case Some(sp) if nRows > 0 && !trackOverflow =>
-        s" pcol=${GlprSource.encodePval(sp.spec)} " +
-          s"pvals=${trackedVals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
-      case _ => ""
+    closeCur()
+    finished.foreach { case (shardName, tmp, sidecar) =>
+      // meta first: a shard without a sidecar degrades to the size
+      // fallback; an orphan sidecar is invisible (readers key off shards)
+      val metaTmp = new java.io.File(path, s"_tmp-$taskId-$shardName.meta")
+      java.nio.file.Files.write(metaTmp.toPath,
+        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dest = new java.io.File(path, shardName)
+      java.nio.file.Files.move(metaTmp.toPath,
+        GlprSource.metaFile(dest).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val colsKv = if (extraCols.nonEmpty)
-      s" cols=${extraSidecarTokens.map(GlprSource.encodePval).mkString(",")}" +
-        extraSidecarTokens.indices.map(i =>
-          s" x${GlprSource.encodePval(extraSidecarTokens(i))}=${extraBytes(i)}").mkString
-      else ""
-    val bloomKv = if (nRows > 0) {
-      val folded = GlprSource.bloomFold(bloomWords, GlprSource.bloomTargetBits(nRows))
-      s" bloom=${GlprSource.bloomHex(folded)}"
-    } else ""
-    def valsKv(key: String, vals: scala.collection.mutable.LinkedHashSet[String],
-        overflow: Boolean): String =
-      if (nRows > 0 && !overflow)
-        s" $key=${vals.toSeq.sorted.map(GlprSource.encodePval).mkString(",")}"
-      else ""
-    java.nio.file.Files.write(metaTmp.toPath,
-      (s"rows=$nRows lang=${fieldBytes("lang")} source=${fieldBytes("source")} text=${fieldBytes("text")}"
-        + boundsKv + pvalKv + bloomKv + colsKv
-        + valsKv("vlang", langVals, langOverflow)
-        + valsKv("vsource", sourceVals, sourceOverflow))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val dest = new java.io.File(path, shardName)
-    java.nio.file.Files.move(metaTmp.toPath,
-      GlprSource.metaFile(dest).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.move(tmp.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    GlprShardCommitted(shardName)
+    GlprShardCommitted(finished.map(_._1).toSeq)
   }
-  override def abort(): Unit = { out.close(); tmp.delete(): Unit }
+  override def abort(): Unit = {
+    cur.out.close()
+    cur.tmp.delete(): Unit
+    finished.foreach { case (_, tmp, _) => tmp.delete(): Unit }
+  }
   override def close(): Unit = ()
 }
 
@@ -4823,37 +5042,87 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
     * UnknownPartitioning — correctness never rides on the report (Spark
     * falls back to shuffling). Declining scans keep the full pruning
     * machinery; keyed scans need none (nothing is filtered). */
-  private def spjKeys(): Option[Array[(java.io.File, String)]] = {
-    // transformed partitioning (bucket/days) never reports key-grouped
-    // partitions: Spark would need the transform as a V2 function to
-    // line sides up; identity is the SPJ surface (q319)
-    if (!partitionCol.map(GlprSource.parsePartSpec)
-        .forall(_.isInstanceOf[GlprSource.IdentityPart])) return None
+  /** The guards EVERY key-grouped report shares (identity q319 and
+    * bucket q353): an unfiltered, uncapped, unpinned live read whose
+    * shards carry no delete-vector state. Returns the live non-empty
+    * shards when eligible. Zero-row shards (empty write partitions)
+    * carry no value set and no rows: dropped from the keyed plan rather
+    * than vetoing it. A live delete-vector mask declines wholesale:
+    * keyed partitions carry no mask, so serving them would resurrect
+    * masked rows — the shuffle fallback plan applies masks correctly. */
+  private def spjLiveShards(): Option[Array[java.io.File]] = {
     if (cdfMode || branch.isDefined) return None
     if (partitionCol.isEmpty || pushed.nonEmpty || limit.nonEmpty ||
       maxShardsPerTrigger.nonEmpty || valueFilters.nonEmpty ||
       changesFrom.nonEmpty || version.nonEmpty ||
       range.lo != Long.MinValue || range.hi != Long.MaxValue ||
-      !required.fieldNames.contains(partitionCol.get)) return None
-    // zero-row shards (empty write partitions) carry no value set and
-    // no rows: dropped from the keyed plan rather than vetoing it
-    // (a live delete-vector mask also declines: keyed partitions carry
-    // no mask, so serving them would resurrect masked rows — the
-    // shuffle fallback plan applies masks correctly)
+      // point probes and prefix-window hints don't land in `pushed`
+      // (they're prune SIGNALS, their filters stay residual) but they
+      // mean the scan is filtered: shardKeep's pruning is worth more
+      // than a key-grouped report nothing downstream would use
+      pointIds.nonEmpty || dayEq.isDefined ||
+      dayLo.isDefined || dayHi.isDefined) return None
     val live = GlprSource.entriesResolved(path, None)
     if (live.exists { case (f, g) =>
         g.isDefined || GlprSource.dvFile(f).isFile }) return None
     val shards = live.map(_._1)
       .filter(f => !GlprSource.readMeta(f).exists(_.rows == 0)).toArray
-    if (shards.isEmpty) return None
-    val keyed = shards.map { f =>
-      GlprSource.readMeta(f).flatMap(_.valuesOf(partitionCol.get)) match {
-        case Some(vs) if vs.size == 1 => Some(f -> vs.head)
-        case _ => None
-      }
-    }
-    if (keyed.forall(_.isDefined)) Some(keyed.map(_.get)) else None
+    if (shards.isEmpty) None else Some(shards)
   }
+  private def spjKeys(): Option[Array[(java.io.File, String)]] = {
+    // identity SPJ (q319): the raw partition-column value IS the key,
+    // so the column must survive projection for Spark to line join keys
+    // up against the report
+    if (partitionCol.isEmpty || !partitionCol.map(GlprSource.parsePartSpec)
+        .forall(_.isInstanceOf[GlprSource.IdentityPart])) return None
+    if (!required.fieldNames.contains(partitionCol.get)) return None
+    spjLiveShards().flatMap { shards =>
+      val keyed = shards.map { f =>
+        GlprSource.readMeta(f).flatMap(_.valuesOf(partitionCol.get)) match {
+          case Some(vs) if vs.size == 1 => Some(f -> vs.head)
+          case _ => None
+        }
+      }
+      if (keyed.forall(_.isDefined)) Some(keyed.map(_.get)) else None
+    }
+  }
+  /** BUCKET-TRANSFORM storage-partitioned join (q353) — the report the
+    * q319 identity path could not make: when the table is
+    * `PARTITIONED BY (bucket(n, doc_id))` and every live shard is
+    * single-bucket UNDER THE CURRENT MODULUS, the scan reports
+    * `KeyGroupedPartitioning(bucket(n, doc_id))` with `HasPartitionKey`
+    * partitions keyed by the bucket id. Spark resolves the transform
+    * through the catalog's V2 `bucket` function ([[BucketTransformFn]] —
+    * the SAME function the write-side clustered distribution uses, so
+    * the key a reader reports is by construction the key the writer
+    * clustered by) and lines up both sides of a `doc_id` equi-join with
+    * NO shuffle. This is the SPJ that matters at 100 TB: identity
+    * partitioning needs a low-cardinality column, but every corpus can
+    * be bucket-clustered on its id — corpus⋈corpus moves zero bytes.
+    * Mixed-era shards (q349 bucket-count evolution left an old-modulus
+    * shard) decline: their recorded single value is a key under the
+    * WRONG modulus, so the report would lie. Correctness never rides on
+    * the report — any decline falls back to the shuffling plan. */
+  private def spjBucketKeys(): Option[(Int, Array[(java.io.File, Int)])] =
+    partitionCol.map(GlprSource.parsePartSpec) match {
+      case Some(b: GlprSource.BucketPart)
+          if required.fieldNames.contains("doc_id") =>
+        spjLiveShards().flatMap { shards =>
+          val keyed = shards.map { f =>
+            GlprSource.readMeta(f)
+              .filter(_.pcol.contains(b.spec))
+              .flatMap(_.valuesOf(b.spec)) match {
+              case Some(vs) if vs.size == 1 &&
+                  vs.head.nonEmpty && vs.head.forall(_.isDigit) =>
+                Some(f -> vs.head.toInt)
+              case _ => None
+            }
+          }
+          if (keyed.forall(_.isDefined)) Some((b.n, keyed.map(_.get)))
+          else None
+        }
+      case _ => None
+    }
   /** Ordering half of the SPJ report: every keyed partition holds ONE
     * partition-column value, so it is trivially sorted by that column —
     * reporting it lets EnsureRequirements drop the Sort under a
@@ -4876,8 +5145,18 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .identity(partitionCol.get)),
           ks.map(_._2).distinct.length)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case None => spjBucketKeys() match {
+        case Some((n, ks)) =>
+          // bucket partitions are NOT sorted by doc_id (a bucket holds
+          // the modulus' whole id class), so no ordering is reported —
+          // the SMJ keeps its Sorts but drops both Exchanges
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, "doc_id")),
+            ks.map(_._2).distinct.length)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
     }
 
   /** One InputPartition per COMMITTED shard, minus every shard whose
@@ -4978,6 +5257,15 @@ class GlprScan(path: String, required: StructType, range: GlprSource.IdRange,
         if (onPlan != null) onPlan(ks.map(_._1.getName).toArray)
         return ks.map { case (f, k) =>
           GlprSource.GlprKeyedPartition(f.getAbsolutePath, k): InputPartition
+        }
+      case None => ()
+    }
+    spjBucketKeys() match {
+      case Some((_, ks)) =>
+        GlprSource.planEvents.put(path, (ks.length, ks.length))
+        if (onPlan != null) onPlan(ks.map(_._1.getName).toArray)
+        return ks.map { case (f, k) =>
+          GlprSource.GlprBucketKeyedPartition(f.getAbsolutePath, k): InputPartition
         }
       case None => ()
     }

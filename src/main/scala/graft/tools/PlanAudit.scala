@@ -305,7 +305,17 @@ object PlanAudit {
       "two-source probe prunes 3/4 of an UNPARTITIONED per-feed ingest at plan " +
       "time via the writers' vlang/vsource sidecar sets (per-file categorical " +
       "column stats); the residual filter keeps rows exact",
-      reg("q352_glpr_value_stats")))
+      reg("q352_glpr_value_stats")),
+    ("q353_glpr_bucket_spj", "bucket-transform storage-partitioned join: both " +
+      "scans report KeyGroupedPartitioning(bucket(8, doc_id)) resolved through " +
+      "the catalog's V2 bucket function, so the doc_id equi-join plans ZERO " +
+      "join exchanges (required in-pipeline); only the final lang rollup " +
+      "shuffles", reg("q353_glpr_bucket_spj")),
+    ("q354_glpr_tags", "tagged + live rollups after a COW DELETE and a full " +
+      "expire+vacuum cycle: the tag pins its version file, so the snapshot " +
+      "scan plans the PRE-delete lines while the live scan plans the " +
+      "post-delete ones — two exact plans over one directory",
+      reg("q354_glpr_tags")))
 
   private val streamingStateNote: String =
     """

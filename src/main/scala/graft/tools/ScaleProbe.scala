@@ -111,7 +111,9 @@ object ScaleProbe {
     "q349_glpr_spec_evolution", // two-era pruned window after spec evolution
     "q350_glpr_zorder_recluster", // full rollup after z-order recluster
     "q351_glpr_clone",         // both sides' rollups after zero-copy clone + diverge
-    "q352_glpr_value_stats")   // source probe pruned via automatic value sets
+    "q352_glpr_value_stats",   // source probe pruned via automatic value sets
+    "q353_glpr_bucket_spj",    // shuffle-free co-bucketed doc_id join (SPJ)
+    "q354_glpr_tags")          // tagged vs live reads across expire+vacuum
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -744,6 +744,139 @@ class GlprCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q353 bucket SPJ: co-bucketed GLPR tables join on doc_id with ZERO exchanges") {
+    root: Unit
+    def mk(table: String, rows: Seq[(Long, String, String, String)]): Unit = {
+      spark.sql(
+        s"CREATE TABLE glpr_spec.ns19.$table $ddl PARTITIONED BY (bucket(4, doc_id))")
+      rows.toDF("doc_id", "lang", "source", "text")
+        .createOrReplaceTempView("bspj_in")
+      spark.sql(s"INSERT INTO glpr_spec.ns19.$table SELECT * FROM bspj_in")
+      spark.catalog.dropTempView("bspj_in")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ids cover all 4 buckets on both sides; shard values differ so
+      // the join is doing real work, not echoing a co-located copy
+      mk("bfacts", (1L to 12L).map(i => (i, s"l$i", "f", s"fact-$i")))
+      mk("bdims", (1L to 12L).filter(_ % 3 != 0)
+        .map(i => (i, s"l$i", "d", s"dim-$i")))
+      val q = spark.sql(
+        """SELECT count(*) AS n, sum(f.doc_id) AS ids, min(d.text) AS lo
+          |FROM glpr_spec.ns19.bfacts f JOIN glpr_spec.ns19.bdims d
+          |ON f.doc_id = d.doc_id""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      // the global rollup still needs its SinglePartition gather; the
+      // JOIN must plan no shuffle
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must plan ZERO join exchanges:\n$plan")
+      val r = q.head()
+      assert((r.getLong(0), r.getLong(1), r.getString(2)) ===
+        (8L, (1L to 12L).filter(_ % 3 != 0).sum, "dim-1"))
+      // control: with v2 bucketing OFF the same join shuffles — the
+      // zero-exchange plan is the connector report, not luck
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val ctl = spark.sql(
+        """SELECT count(*) AS n FROM glpr_spec.ns19.bfacts f
+          |JOIN glpr_spec.ns19.bdims d ON f.doc_id = d.doc_id""".stripMargin)
+      assert(ctl.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(ctl.head().getLong(0) === 8L)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // a live delete-vector mask declines the report (keyed partitions
+      // carry no mask) — the fallback shuffling plan applies the mask,
+      // so the join stays row-exact with one fewer dim row
+      GlprMaintenance.deleteIdRangeMergeOnRead(
+        new java.io.File(root, "ns19/bdims").toString, 2L, 2L)
+      val masked = spark.sql(
+        """SELECT count(*) AS n FROM glpr_spec.ns19.bfacts f
+          |JOIN glpr_spec.ns19.bdims d ON f.doc_id = d.doc_id""".stripMargin)
+      assert(masked.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "a masked table must decline the key-grouped report")
+      assert(masked.head().getLong(0) === 7L)
+      // a FILTERED scan declines too, and still prunes/filters exactly
+      val filtered = spark.sql(
+        "SELECT doc_id FROM glpr_spec.ns19.bfacts WHERE doc_id IN (4, 5)")
+      assert(filtered.collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q354 tags: immutable named snapshots, retention-protected, one name space with branches") {
+    root: Unit
+    spark.sql(s"CREATE TABLE glpr_spec.ns20.tg $ddl")
+    def ins(rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (i, t) => (i, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+        .createOrReplaceTempView("tg_in")
+      spark.sql("INSERT INTO glpr_spec.ns20.tg SELECT * FROM tg_in")
+      spark.catalog.dropTempView("tg_in")
+    }
+    ins(Seq((1L, "a"), (2L, "b")))
+    // tag the live head (v1), then diverge
+    assert(spark.sql("CALL glpr_spec.sys.tag('ns20.tg', 'shipped')")
+      .head().getLong(0) === 1L)
+    ins(Seq((3L, "c")))
+    spark.sql("DELETE FROM glpr_spec.ns20.tg WHERE doc_id = 1")
+    // the tag still reads the EXACT snapshot it pinned
+    assert(spark.sql(
+      "SELECT doc_id FROM glpr_spec.ns20.tg VERSION AS OF 'shipped'")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns20.tg")
+      .head().getLong(0) === 2L)
+    // a tagged pin is read-only, like any version pin
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO glpr_spec.ns20.tg VERSION AS OF 'shipped' " +
+        "VALUES (9, 'en', 's', 'x')")
+    }
+    assert(e.getMessage != null)
+    // tags() lists it; a second tag at an explicit version works
+    spark.sql("CALL glpr_spec.sys.tag('ns20.tg', 'v2-audit', 2)")
+    val listed = spark.sql("CALL glpr_spec.sys.tags('ns20.tg')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(listed === Map("shipped" -> 1L, "v2-audit" -> 2L))
+    // immutable: re-tagging refuses; branch/tag name space is shared
+    assertThrows[Exception] {
+      spark.sql("CALL glpr_spec.sys.tag('ns20.tg', 'shipped')") }
+    assertThrows[Exception] {
+      spark.sql("CALL glpr_spec.sys.create_branch('ns20.tg', 'shipped')") }
+    spark.sql("CALL glpr_spec.sys.create_branch('ns20.tg', 'wap')")
+    assertThrows[Exception] {
+      spark.sql("CALL glpr_spec.sys.tag('ns20.tg', 'wap')") }
+    // RETENTION OVERRIDE: expire_versions keeps tagged versions, and
+    // vacuum keeps the shards their snapshots reference
+    spark.sql("CALL glpr_spec.sys.expire_versions('ns20.tg', 1)")
+    spark.sql("CALL glpr_spec.sys.vacuum('ns20.tg')")
+    assert(spark.sql(
+      "SELECT doc_id FROM glpr_spec.ns20.tg VERSION AS OF 'shipped'")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "expire+vacuum must not touch a tagged snapshot")
+    // UNTAGGED intermediate versions DID expire (v2 was tagged; the
+    // delete's v3 .. whatever isn't the head or tagged is gone);
+    // drop_tag releases the snapshot and the next expire reclaims it
+    spark.sql("CALL glpr_spec.sys.drop_tag('ns20.tg', 'shipped')")
+    spark.sql("CALL glpr_spec.sys.expire_versions('ns20.tg', 1)")
+    spark.sql("CALL glpr_spec.sys.vacuum('ns20.tg')")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM glpr_spec.ns20.tg " +
+        "VERSION AS OF 'shipped'").head()
+    }
+    assert(e2.getMessage.contains("no such manifest version, tag or branch"),
+      s"dropped tag must fail loudly, got: ${e2.getMessage}")
+    // the dropped tag's version file went with it; live stays exact
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns20.tg")
+      .head().getLong(0) === 2L)
+  }
+
   test("q325 dynamic partition overwrite: only incoming partitions swap; straddlers refuse") {
     root: Unit
     val confs = Seq(
@@ -817,11 +950,11 @@ class GlprCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(v2 === Set(1L, 2L))
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns6.tt").head().getLong(0) === 2L)
-    // a non-numeric pin resolves as a BRANCH name (round 18); unknown
-    // names and unknown versions both fail loudly
+    // a non-numeric pin resolves as a TAG (q354) or BRANCH name
+    // (round 18); unknown names and unknown versions both fail loudly
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM glpr_spec.ns6.tt VERSION AS OF 'nope'").collect())
-    assert(e1.getMessage.contains("no such manifest version or branch"),
+    assert(e1.getMessage.contains("no such manifest version, tag or branch"),
       e1.getMessage)
     // ...and a real branch IS addressable as the SQL audit surface:
     // staged rows are visible through the pin, invisible to main, and
