@@ -2662,6 +2662,20 @@ object Registry {
         |FROM documents GROUP BY 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // CHECK CONSTRAINTS (the Delta ALTER TABLE ADD CONSTRAINT idea):
+    // a SQL boolean stored in the table marker, compiled once per write
+    // job and evaluated per row in the writer — a violating row fails
+    // its task before any bytes land, so a refused write lands NOTHING
+    // (required in-pipeline). add_constraint audits existing data first.
+    // Oracle = the plain corpus rollup: a gate admitting clean data is
+    // invisible in the result.
+    "q355_glpr_constraints" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.constraintsPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ZERO-COPY CLONE (the Delta shallow-clone move): live shards +
     // sidecars + dv masks HARD-LINKED into the destination, fresh
     // manifest v1 from the live lines — O(shards) metadata, zero data

@@ -104,15 +104,43 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
   }
   private def writeMarker(dir: java.io.File, partitionSpec: Option[String],
       extraCols: Seq[String], droppedCols: Seq[String] = Seq.empty): Unit = {
+    // tokens this writer does not own (check_constraints, q355 — and
+    // anything a future round adds) survive a schema ALTER verbatim:
+    // rebuild only the tokens being written, keep the rest
+    val owned = Set("partitioned_by", "extra_columns", "dropped_columns")
+    val foreign: Seq[String] =
+      if (!marker(dir).isFile) Seq.empty
+      else new String(
+        java.nio.file.Files.readAllBytes(marker(dir).toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+        .split("\\s+").iterator.filter(_.nonEmpty)
+        .filterNot(t => owned.exists(k => t.startsWith(k + "="))).toSeq
     val tokens = partitionSpec.map(p => s"partitioned_by=$p").toSeq ++
       (if (extraCols.nonEmpty) Seq(s"extra_columns=${extraCols.mkString(",")}")
        else Nil) ++
       (if (droppedCols.nonEmpty)
         Seq(s"dropped_columns=${droppedCols.mkString(",")}")
-       else Nil)
+       else Nil) ++ foreign
     java.nio.file.Files.write(marker(dir).toPath,
       tokens.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
+  }
+
+  /** Columns referenced by the table's CHECK constraints (q355), lower-
+    * cased, each with the constraint names that read it — the RENAME /
+    * DROP COLUMN guard: mutating a referenced column would silently
+    * break the stored expression. */
+  private def constraintRefs(dir: java.io.File): Map[String, Seq[String]] = {
+    val checks = GlprSource.checkConstraintsOf(dir.getAbsolutePath)
+    if (checks.isEmpty) return Map.empty
+    val parser =
+      org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+    checks.flatMap { case (n, sql) =>
+      parser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name.toLowerCase(java.util.Locale.ROOT) -> n
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -355,6 +383,11 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
             .exists(GlprSource.parsePartSpec(_).column == from),
           s"column '$from' drives the table's partition transform; " +
             "renaming it would orphan the prune index")
+        constraintRefs(dir).get(from.toLowerCase(java.util.Locale.ROOT))
+          .foreach(ns => throw new IllegalArgumentException(
+            s"column '$from' is referenced by CHECK constraint(s) " +
+              s"${ns.mkString(", ")}; drop them first (the stored " +
+              "expression reads the old name)"))
         checkExtraName(ren.newName): Unit
         require(!GlprSource.fullSchema(extras).fieldNames
             .contains(ren.newName) && ren.newName != from,
@@ -391,6 +424,10 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
               .exists(GlprSource.parsePartSpec(_).column == name),
             s"column '$name' drives the table's partition transform; " +
               "dropping it would orphan the prune index")
+          constraintRefs(dir).get(name.toLowerCase(java.util.Locale.ROOT))
+            .foreach(ns => throw new IllegalArgumentException(
+              s"column '$name' is referenced by CHECK constraint(s) " +
+                s"${ns.mkString(", ")}; drop them first"))
           val (_, _, phys) = GlprSource.parseExtraToken(extras(i))
           dropped = (dropped ++ Seq(name, phys)).distinct
           extras = extras.patch(i, Nil, 1)
@@ -448,7 +485,8 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     else Array.empty
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     (if (ident.namespace.sameElements(Array(GlprFunctions.Namespace)))
-      GlprProcedures.load(ident.name, tableRefDir _, tableRefDirFresh _)
+      GlprProcedures.load(ident.name, tableRefDir _, tableRefDirFresh _,
+        catalogName)
     else None)
       .getOrElse(throw new IllegalArgumentException(
         s"no such GLPR procedure: $ident; available under sys: " +

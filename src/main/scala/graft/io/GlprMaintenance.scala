@@ -1432,4 +1432,55 @@ object GlprMaintenance {
   }
   private val tagsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q355 — CHECK CONSTRAINTS end to end: admit `doc_id >= 0 AND text
+    * IS NOT NULL` over the empty table, ingest the corpus under it
+    * (every row evaluated in the writer), then REQUIRE in-pipeline that
+    * a violating append refuses WHOLE (no partial commit — the count is
+    * unchanged afterward). Oracle = the plain corpus rollup: a gate
+    * that admits clean data must be invisible in the result. Lifecycle
+    * pins (dirty-admit refusal, NULL-passes, DML enforcement, rename/
+    * drop guards, token survival across ALTER) in GlprCatalogSpec. */
+  def constraintsPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = constraintsCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-ck").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_ck", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_ck.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_ck.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("CALL glpr_ck.sys.add_constraint('ns.docs', 'sane-doc', " +
+        "'doc_id >= 0 AND text IS NOT NULL')").collect(): Unit
+      s2.sql("INSERT INTO glpr_ck.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet`")
+      val before = s2.sql("SELECT count(*) FROM glpr_ck.ns.docs")
+        .head().getLong(0)
+      val refused =
+        try {
+          s2.sql("INSERT INTO glpr_ck.ns.docs " +
+            "VALUES (-1, 'xx', 'bad', 'row')")
+          false
+        } catch { case _: Throwable => true }
+      require(refused,
+        "q355 contract: the violating append must refuse")
+      val after = s2.sql("SELECT count(*) FROM glpr_ck.ns.docs")
+        .head().getLong(0)
+      require(after == before,
+        s"q355 contract: a refused write must land NOTHING " +
+          s"($before -> $after)")
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_ck", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_ck.root", root)
+    GlprSource.rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(octet_length(text)) AS BIGINT) AS n_bytes
+        |FROM glpr_ck.ns.docs GROUP BY 1""".stripMargin))
+  }
+  private val constraintsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -25,11 +25,13 @@ object GlprProcedures {
     "expire_versions", "recluster", "delete_where_mor",
     "create_branch", "publish_branch", "drop_branch",
     "set_partition_spec", "delete_range_mor", "branches", "clone",
-    "tag", "drop_tag", "tags")
+    "tag", "drop_tag", "tags",
+    "add_constraint", "drop_constraint", "constraints")
   def load(name: String, resolve: String => java.io.File,
-      resolveFresh: String => java.io.File = null): Option[UnboundProcedure] =
+      resolveFresh: String => java.io.File = null,
+      catalog: String = ""): Option[UnboundProcedure] =
     names.find(_ == name).map(n => new GlprProcedure(n, resolve,
-      Option(resolveFresh).getOrElse(resolve)))
+      Option(resolveFresh).getOrElse(resolve), catalog))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -88,6 +90,65 @@ object GlprProcedures {
         row(utf8(t), java.lang.Long.valueOf(v), n)
     }.toArray
     Result(schema, out)
+  }
+
+  /** `add_constraint('ns.t', name, expr)` (q355) — admit a CHECK
+    * constraint: validate the name, COMPILE the expression against the
+    * table's full schema (parse / resolve / boolean / deterministic /
+    * no-subquery — the same compiler every write job runs), then AUDIT
+    * the EXISTING data through the catalog read path (masks, extras and
+    * pruning all apply): a single violating row refuses the constraint,
+    * the Delta posture — a constraint you could not have written under
+    * never enters the marker. One atomic marker-token update. */
+  private[io] def addConstraint(dir: java.io.File, catalog: String,
+      ref: String, name: String, sql: String): Result = {
+    val path = dir.getAbsolutePath
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"illegal GLPR constraint name '$name' ([A-Za-z0-9_-]{1,64})")
+    val existing = GlprSource.checkConstraintsOf(path)
+    require(!existing.exists(_._1 == name),
+      s"GLPR CHECK constraint '$name' already exists on '$ref'")
+    val extras = GlprSource.markerTokenOf(path, "extra_columns")
+      .map(_.split(",", -1).iterator.filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    GlprSource.compileChecks(GlprSource.fullSchema(extras),
+      Seq(name -> sql)): Unit
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(catalog.nonEmpty, "GLPR add_constraint needs its owning catalog")
+    val bad = spark.sql(
+      s"SELECT count(*) FROM $catalog.$ref " +
+        s"WHERE NOT ((($sql)) OR ((($sql)) IS NULL))").head().getLong(0)
+    require(bad == 0L,
+      s"GLPR CHECK constraint '$name' refused: $bad existing row(s) of " +
+        s"'$ref' violate ($sql) — constraints only admit over clean data")
+    GlprSource.updateMarkerToken(path, "check_constraints",
+      Some((existing :+ (name -> sql))
+        .map { case (n, e) => GlprSource.encodeCheckToken(n, e) }
+        .mkString(",")))
+    summary("constraints" -> (existing.length + 1).toLong)
+  }
+  private[io] def dropConstraint(dir: java.io.File, name: String): Result = {
+    val path = dir.getAbsolutePath
+    val existing = GlprSource.checkConstraintsOf(path)
+    require(existing.exists(_._1 == name),
+      s"GLPR: no CHECK constraint '$name'" + {
+        if (existing.isEmpty) " (table has no constraints)"
+        else s"; constraints: ${existing.map(_._1).sorted.mkString(", ")}"
+      })
+    val kept = existing.filterNot(_._1 == name)
+    GlprSource.updateMarkerToken(path, "check_constraints",
+      if (kept.isEmpty) None
+      else Some(kept.map { case (n, e) =>
+        GlprSource.encodeCheckToken(n, e) }.mkString(",")))
+    summary("constraints" -> kept.length.toLong)
+  }
+  /** `constraints('ns.table')` — one row per CHECK constraint. */
+  private[io] def constraints(dir: java.io.File): Result = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expression", StringType, nullable = false)))
+    Result(schema, GlprSource.checkConstraintsOf(dir.getAbsolutePath)
+      .sortBy(_._1).map { case (n, e) => row(utf8(n), utf8(e)) }.toArray)
   }
 
   private[io] def summary(kv: (String, Long)*): Result =
@@ -168,7 +229,7 @@ object GlprProcedures {
 /** One named GLPR procedure; `bind` validates the argument shape, `call`
   * executes driver-side and returns the report as a local result set. */
 final class GlprProcedure(procName: String, resolve: String => java.io.File,
-    resolveFresh: String => java.io.File)
+    resolveFresh: String => java.io.File, catalog: String = "")
     extends UnboundProcedure {
   import GlprProcedures._
   override def name(): String = procName
@@ -191,6 +252,9 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "tag" => "tag(table, name, version DEFAULT -1): pin an IMMUTABLE named tag at a manifest version (-1 = the live head); VERSION AS OF '<name>' reads it forever and expire_versions keeps it (retention override)"
     case "drop_tag" => "drop_tag(table, name): remove a tag; its version rejoins ordinary retention"
     case "tags" => "tags(table): one row per tag - pinned version, shard count"
+    case "add_constraint" => "add_constraint(table, name, expr): add a CHECK constraint (a SQL boolean over the table columns) enforced on EVERY write path - refused unless all existing rows already satisfy it (TRUE or NULL passes, the SQL standard)"
+    case "drop_constraint" => "drop_constraint(table, name): remove a CHECK constraint"
+    case "constraints" => "constraints(table): one row per CHECK constraint - name, expression"
     case _ => procName
   }
 
@@ -246,6 +310,13 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         ProcedureParameter.in("name", StringType).build(),
         ProcedureParameter.in("version", LongType).defaultValue("-1").build())
       case "drop_tag" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      case "add_constraint" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("expr", StringType).build())
+      case "drop_constraint" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build())
       case "delete_range_mor" => Array(
@@ -339,6 +410,12 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
           summary("untagged_version" ->
             GlprSource.dropTag(path, input.getUTF8String(1).toString))
         case "tags" => tags(dir)
+        case "add_constraint" =>
+          addConstraint(dir, catalog, input.getUTF8String(0).toString,
+            input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        case "drop_constraint" =>
+          dropConstraint(dir, input.getUTF8String(1).toString)
+        case "constraints" => constraints(dir)
         case "clone" =>
           val dst = resolveFresh(input.getUTF8String(1).toString)
           val linked = GlprMaintenance.cloneTable(dir, dst)

@@ -3021,6 +3021,86 @@ object GlprSource {
     v
   }
 
+  // ---- CHECK CONSTRAINTS (q355) ---------------------------------------
+  // Table-level row invariants, enforced by the CONNECTOR on every write
+  // path (append, overwrite, dynamic overwrite, branch staging, DML
+  // rewrites, streaming) — the Delta `ALTER TABLE ADD CONSTRAINT CHECK`
+  // idea: a constraint is a SQL boolean expression stored in the table
+  // marker (`check_constraints=<name>:<urlenc expr>,...`), compiled ONCE
+  // per write job against the write schema, and evaluated per row inside
+  // the writer. A violating row fails its task BEFORE any bytes land for
+  // it, the job aborts, and the manifest never flips — atomic refusal,
+  // no partial state (stage wreckage is vacuum territory as ever).
+  // SQL-standard semantics: a row passes when the expression is TRUE or
+  // NULL. `sys.add_constraint` audits EXISTING data first (Delta's
+  // posture: a constraint you could not have written under never
+  // enters); `sys.drop_constraint` lifts it; `sys.constraints` lists.
+  private[io] def markerFileOf(path: String): java.io.File =
+    new java.io.File(path, "_glpr_table")
+  private[io] def markerTokenOf(path: String, key: String): Option[String] = {
+    val f = markerFileOf(path)
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+      .split("\\s+").collectFirst {
+        case kv if kv.startsWith(key + "=") => kv.stripPrefix(key + "=")
+      }
+  }
+  /** Replace (or remove, value=None) ONE marker token, preserving every
+    * other token verbatim — the procedures' marker-update primitive. */
+  private[io] def updateMarkerToken(path: String, key: String,
+      value: Option[String]): Unit = {
+    val f = markerFileOf(path)
+    require(f.isFile, s"no GLPR table marker under '$path'")
+    val toks = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+      .split("\\s+").iterator.filter(_.nonEmpty)
+      .filterNot(_.startsWith(key + "=")).toSeq
+    java.nio.file.Files.write(f.toPath,
+      (toks ++ value.map(v => s"$key=$v")).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+  /** The table's CHECK constraints as (name, SQL text), marker-decoded. */
+  def checkConstraintsOf(path: String): Seq[(String, String)] =
+    markerTokenOf(path, "check_constraints").map(
+      _.split(",", -1).iterator.filter(_.nonEmpty).map { tok =>
+        val i = tok.indexOf(':')
+        require(i > 0, s"malformed GLPR check token '$tok'")
+        (tok.take(i), decodePval(tok.drop(i + 1)))
+      }.toSeq).getOrElse(Seq.empty)
+  private[io] def encodeCheckToken(name: String, sql: String): String =
+    s"$name:${encodePval(sql)}"
+  /** Compile CHECK expressions against a write schema into BOUND,
+    * null-tolerant (TRUE-or-NULL passes) catalyst predicates — driver
+    * side, once per write job; the writer evaluates them per row.
+    * Guards: no subqueries (a row predicate cannot run one), must be
+    * deterministic, must resolve against exactly the write columns. */
+  private[io] def compileChecks(schema: StructType,
+      checks: Seq[(String, String)]):
+      Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    if (checks.isEmpty) return Seq.empty
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, IsNull, Or, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    checks.map { case (n, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      require(!parsed.exists(_.isInstanceOf[SubqueryExpression]),
+        s"GLPR CHECK constraint '$n' may not contain a subquery")
+      val analyzed = spark.sessionState.analyzer.executeAndCheck(
+        Filter(parsed, LocalRelation(attrs)),
+        new org.apache.spark.sql.catalyst.QueryPlanningTracker())
+      val cond = analyzed.collectFirst { case Filter(c, _) => c }
+        .getOrElse(throw new IllegalStateException(
+          s"GLPR CHECK constraint '$n': analysis dropped the predicate"))
+      require(cond.deterministic,
+        s"GLPR CHECK constraint '$n' must be deterministic")
+      (n, BindReferences.bindReference(Or(IsNull(cond), cond), attrs))
+    }
+  }
+
   private[io] def branchVersionFile(path: String, b: String,
       v: Long): java.io.File =
     new java.io.File(path, f"_manifest.b-$b.v$v%010d")
@@ -4111,7 +4191,8 @@ class GlprStreamingWrite(path: String, schema: StructType,
         "batch-named shards (part-<partition>.glpr); mixing batch and " +
         "epoch (part-<epoch>-<partition>.glpr) names breaks the lexical " +
         "offset contract — stream into a fresh directory")
-    new GlprStreamingWriterFactory(path, schema, partitionCol, extraCols)
+    new GlprStreamingWriterFactory(path, schema, partitionCol, extraCols,
+      GlprSource.compileChecks(schema, GlprSource.checkConstraintsOf(path)))
   }
   /** Epoch commit folds the epoch's shard names into the manifest (a
     * replayed epoch re-merges the same names — idempotent). Dirs
@@ -4125,13 +4206,15 @@ class GlprStreamingWrite(path: String, schema: StructType,
 
 class GlprStreamingWriterFactory(path: String, schema: StructType,
     partitionCol: Option[String] = None,
-    extraCols: Seq[String] = Seq.empty)
+    extraCols: Seq[String] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GlprWriter(path, schema, partitionId, taskId,
       Some(f"part-$epochId%010d-$partitionId%05d.glpr"), partitionCol,
-      extraCols)
+      extraCols, checks = checks)
 }
 
 class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = false,
@@ -4195,7 +4278,8 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     // re-running a whole job is an append, like the built-in file
     // sources' append mode.
     val nameBase: Long = GlprSource.nextBatchNameBase(path)
-    new GlprWriterFactory(path, schema, partitionCol, nameBase, extraCols)
+    new GlprWriterFactory(path, schema, partitionCol, nameBase, extraCols,
+      GlprSource.compileChecks(schema, GlprSource.checkConstraintsOf(path)))
   }
   /** The JOB commit point: until this folds the task-committed shard
     * names into the manifest, a manifest-bearing directory shows none
@@ -4362,7 +4446,10 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
         "(streaming sink) shards; batch-named survivors would mix naming " +
         "schemes and break the lexical offset contract")
     new GlprWriterFactory(path, schema, partitionCol,
-      GlprSource.nextBatchNameBase(path), extraCols)
+      GlprSource.nextBatchNameBase(path), extraCols,
+      // DML rewrites (UPDATE/MERGE) can mint NEW cell values, so the
+      // CHECK constraints gate them exactly like appends (q355)
+      GlprSource.compileChecks(schema, GlprSource.checkConstraintsOf(path)))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case GlprShardCommitted(ns) => ns }.flatten.toSeq
@@ -4381,7 +4468,9 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
 class GlprWriterFactory(path: String, schema: StructType,
     partitionCol: Option[String] = None,
     nameBase: Long = 0L,
-    extraCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    extraCols: Seq[String] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitionCol.isDefined)
       // partitioned tables get a per-task name STRIDE so the writer can
@@ -4391,11 +4480,12 @@ class GlprWriterFactory(path: String, schema: StructType,
       // holds verbatim
       new GlprWriter(path, schema, partitionId, taskId, None, partitionCol,
         extraCols, rollNames = Some((roll: Int) =>
-          f"part-${nameBase + partitionId.toLong * GlprSource.MaxRollsPerTask + roll}%010d.glpr"))
+          f"part-${nameBase + partitionId.toLong * GlprSource.MaxRollsPerTask + roll}%010d.glpr"),
+        checks = checks)
     else
       new GlprWriter(path, schema, partitionId, taskId,
         Some(f"part-${nameBase + partitionId}%010d.glpr"), partitionCol,
-        extraCols)
+        extraCols, checks = checks)
 }
 
 /** Per-task shard writer over the logical write schema (fields located
@@ -4418,9 +4508,22 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
     shardNameOverride: Option[String] = None,
     partitionCol: Option[String] = None,
     extraCols: Seq[String] = Seq.empty,
-    rollNames: Option[Int => String] = None)
+    rollNames: Option[Int => String] = None,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends DataWriter[InternalRow] {
   private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  // CHECK constraints (q355): compiled driver-side against the write
+  // schema (bound references), instantiated per task; a violating row
+  // throws BEFORE its bytes land — the task fails, the job aborts, the
+  // manifest never flips
+  private val checkPreds: Array[(String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    checks.iterator.map { case (n, e) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+      p.initialize(partitionId)
+      (n, p)
+    }.toArray
   require(GlprSource.schema.fieldNames.forall(idx.contains),
     s"GLPR write needs columns ${GlprSource.schema.fieldNames.mkString(",")}")
   // schema-evolution extras (q332): appended nullable fields, in TABLE
@@ -4529,6 +4632,14 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
 
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(idx("doc_id"))
+    var ci = 0
+    while (ci < checkPreds.length) {
+      if (!checkPreds(ci)._2.eval(r)) throw new IllegalArgumentException(
+        s"GLPR CHECK constraint '${checkPreds(ci)._1}' violated by a row " +
+          s"with doc_id=$id — the write is refused whole (the task fails " +
+          "before the row lands; no partial commit)")
+      ci += 1
+    }
     // SHARD ROLLING (q353): with the write's required ordering sorting
     // rows by the partition transform, each task sees its partition
     // values CONTIGUOUSLY — closing the current shard at every value

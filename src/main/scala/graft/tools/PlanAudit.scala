@@ -315,7 +315,12 @@ object PlanAudit {
       "expire+vacuum cycle: the tag pins its version file, so the snapshot " +
       "scan plans the PRE-delete lines while the live scan plans the " +
       "post-delete ones — two exact plans over one directory",
-      reg("q354_glpr_tags")))
+      reg("q354_glpr_tags")),
+    ("q355_glpr_constraints", "corpus rollup under a CHECK constraint: the " +
+      "gate is writer-side (compiled once per job, evaluated per row), so " +
+      "the READ plan is the plain pruned scan — constraints cost nothing " +
+      "at query time; the refused-append contract is pinned in-pipeline",
+      reg("q355_glpr_constraints")))
 
   private val streamingStateNote: String =
     """

@@ -113,7 +113,8 @@ object ScaleProbe {
     "q351_glpr_clone",         // both sides' rollups after zero-copy clone + diverge
     "q352_glpr_value_stats",   // source probe pruned via automatic value sets
     "q353_glpr_bucket_spj",    // shuffle-free co-bucketed doc_id join (SPJ)
-    "q354_glpr_tags")          // tagged vs live reads across expire+vacuum
+    "q354_glpr_tags",          // tagged vs live reads across expire+vacuum
+    "q355_glpr_constraints")   // corpus rollup under a writer-side CHECK gate
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -877,6 +877,75 @@ class GlprCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 2L)
   }
 
+  test("q355 CHECK constraints: admitted over clean data, enforced on every write, atomic refusal") {
+    root: Unit
+    spark.sql(s"CREATE TABLE glpr_spec.ns21.ck $ddl")
+    def ins(rows: Seq[(Long, String, String, String)]): Unit = {
+      rows.toDF("doc_id", "lang", "source", "text")
+        .createOrReplaceTempView("ck_in")
+      spark.sql("INSERT INTO glpr_spec.ns21.ck SELECT * FROM ck_in")
+      spark.catalog.dropTempView("ck_in")
+    }
+    ins(Seq((1L, "en", "s", "hello"), (2L, "de", "s", "welt")))
+    // admit: all existing rows satisfy it
+    spark.sql("CALL glpr_spec.sys.add_constraint('ns21.ck', 'pos-id', " +
+      "'doc_id > 0 AND length(text) >= 2')")
+    assert(spark.sql("CALL glpr_spec.sys.constraints('ns21.ck')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("pos-id", "doc_id > 0 AND length(text) >= 2")))
+    // a constraint the data violates refuses, and leaves no trace
+    val e0 = intercept[Exception] {
+      spark.sql("CALL glpr_spec.sys.add_constraint('ns21.ck', 'en-only', " +
+        "\"lang = 'en'\")") }
+    assert(e0.getMessage.contains("1 existing row"), e0.getMessage)
+    assert(spark.sql("CALL glpr_spec.sys.constraints('ns21.ck')").count() === 1L)
+    // enforcement: a violating append fails WHOLE — the good row in the
+    // same batch does not land either (the manifest never flips)
+    val before = spark.sql("SELECT count(*) FROM glpr_spec.ns21.ck")
+      .head().getLong(0)
+    val e1 = intercept[Exception] { ins(Seq(
+      (3L, "fr", "s", "bon"), (-4L, "fr", "s", "mal"))) }
+    assert(e1.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns21.ck")
+      .head().getLong(0) === before, "a refused write must land NOTHING")
+    // NULL passes (SQL standard): length(NULL) is NULL -> row admitted —
+    // exercised through the extras path, which also pins that DML
+    // rewrites carry enforcement
+    spark.sql("ALTER TABLE glpr_spec.ns21.ck ADD COLUMN note STRING")
+    spark.sql("CALL glpr_spec.sys.add_constraint('ns21.ck', 'note-len', " +
+      "'length(note) >= 3')")
+    spark.sql("INSERT INTO glpr_spec.ns21.ck VALUES (5, 'en', 's', 'ok', NULL)")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO glpr_spec.ns21.ck VALUES (6, 'en', 's', 'ok', 'xy')") }
+    assert(e2.getMessage != null)
+    // UPDATE minting a violating value refuses too (RLO rewrite path)
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE glpr_spec.ns21.ck SET note = 'no' WHERE doc_id = 5") }
+    assert(e3.getMessage != null)
+    // ...and a PASSING update works, carrying the constraint forward
+    spark.sql("UPDATE glpr_spec.ns21.ck SET note = 'fine' WHERE doc_id = 5")
+    assert(spark.sql(
+      "SELECT note FROM glpr_spec.ns21.ck WHERE doc_id = 5")
+      .head().getString(0) === "fine")
+    // RENAME/DROP of a constrained column refuse; drop_constraint lifts
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE glpr_spec.ns21.ck RENAME COLUMN note TO memo") }
+    assert(e4.getMessage.contains("referenced by CHECK constraint"),
+      e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE glpr_spec.ns21.ck DROP COLUMN note") }
+    assert(e5.getMessage.contains("referenced by CHECK constraint"),
+      e5.getMessage)
+    spark.sql("CALL glpr_spec.sys.drop_constraint('ns21.ck', 'note-len')")
+    spark.sql("ALTER TABLE glpr_spec.ns21.ck RENAME COLUMN note TO memo")
+    // the surviving constraint still lives (ALTER preserved the token)
+    assert(spark.sql("CALL glpr_spec.sys.constraints('ns21.ck')")
+      .collect().map(_.getString(0)).toSeq === Seq("pos-id"))
+    val e6 = intercept[Exception] {
+      spark.sql("INSERT INTO glpr_spec.ns21.ck VALUES (0, 'en', 's', 'zz', NULL)") }
+    assert(e6.getMessage != null)
+  }
+
   test("q325 dynamic partition overwrite: only incoming partitions swap; straddlers refuse") {
     root: Unit
     val confs = Seq(
