@@ -2662,6 +2662,46 @@ object Registry {
         |FROM documents GROUP BY 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // GREEDY SEQUENCE PACKING (the T5/LLM-pipeline batching step): fill
+    // fixed-budget training sequences with documents, first-fit in
+    // doc_id order per language, new bin on overflow — one shuffle, one
+    // local sort, one O(n) pass per group; groups pack in parallel.
+    // Oracle = the SAME greedy recurrence as a DuckDB recursive CTE, so
+    // hash equality certifies every bin boundary, not just totals.
+    "q357_seq_packing" -> Entry((s, d) =>
+      graft.llmdata.Packing.packingReport(docs(s, d), 4096L)
+        .orderBy("lang", "bin"), Some(
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id, CAST(strlen(text) AS BIGINT) AS cost,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, cost, rn, CAST(0 AS BIGINT) AS bin, cost AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.cost, d.rn,
+        |         CASE WHEN p.acc + d.cost > 4096 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.acc + d.cost > 4096 THEN d.cost ELSE p.acc + d.cost END
+        |  FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(cost) AS BIGINT) AS bin_bytes,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SHARD INTROSPECTION (the Iceberg `files` metadata table / Delta
+    // DESCRIBE DETAIL move): CALL sys.files lists every live shard's
+    // sidecar statistics — zero data bytes opened; the pipeline returns
+    // the METADATA-derived corpus invariants and the oracle recomputes
+    // them FROM THE DATA, so hash equality certifies the statistics the
+    // planner prunes/estimates with are exactly right.
+    "q356_glpr_files" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.filesPipeline(s, d).orderBy("metric"), Some(
+      """SELECT 'max_id' AS metric, CAST(max(doc_id) AS BIGINT) AS value
+        |FROM documents
+        |UNION ALL SELECT 'min_id', CAST(min(doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_rows', CAST(count(*) AS BIGINT) FROM documents
+        |ORDER BY 1""".stripMargin)),
+
     // CHECK CONSTRAINTS (the Delta ALTER TABLE ADD CONSTRAINT idea):
     // a SQL boolean stored in the table marker, compiled once per write
     // job and evaluated per row in the writer — a violating row fails

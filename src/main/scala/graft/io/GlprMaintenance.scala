@@ -1483,4 +1483,55 @@ object GlprMaintenance {
   }
   private val constraintsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q356 — `sys.files` shard introspection, certified against the
+    * data: the pipeline ingests the corpus, reads the table's
+    * SIDECAR-ONLY statistics through `CALL sys.files` (one row per live
+    * shard: rows, bytes, doc_id bounds, spec, mask state — zero data
+    * bytes opened), and returns the metadata-derived corpus invariants
+    * (row count, id bounds). The oracle computes the same numbers FROM
+    * THE DATA — hash equality certifies that the sidecar statistics the
+    * planner prunes and estimates with are exactly right. */
+  def filesPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = filesCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-files").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_fl", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_fl.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_fl.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_fl.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY doc_id div 100")
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_fl", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_fl.root", root)
+    val files = s2.sql("CALL glpr_fl.sys.files('ns.docs')").collect()
+    require(files.forall(r => !r.isNullAt(1)),
+      "q356 contract: every connector-written shard carries a sidecar")
+    require(files.forall(r => !r.getBoolean(7)),
+      "q356 contract: a plain ingest is mask-free")
+    val nRows = files.map(_.getLong(1)).sum
+    val los = files.filter(!_.isNullAt(3)).map(_.getLong(3))
+    val his = files.filter(!_.isNullAt(4)).map(_.getLong(4))
+    val rows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row("max_id",
+        if (his.isEmpty) null else java.lang.Long.valueOf(his.max)),
+      org.apache.spark.sql.Row("min_id",
+        if (los.isEmpty) null else java.lang.Long.valueOf(los.min)),
+      org.apache.spark.sql.Row("n_rows", java.lang.Long.valueOf(nRows)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+  private val filesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

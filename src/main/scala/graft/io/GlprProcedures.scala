@@ -26,7 +26,7 @@ object GlprProcedures {
     "create_branch", "publish_branch", "drop_branch",
     "set_partition_spec", "delete_range_mor", "branches", "clone",
     "tag", "drop_tag", "tags",
-    "add_constraint", "drop_constraint", "constraints")
+    "add_constraint", "drop_constraint", "constraints", "files")
   def load(name: String, resolve: String => java.io.File,
       resolveFresh: String => java.io.File = null,
       catalog: String = ""): Option[UnboundProcedure] =
@@ -151,6 +151,42 @@ object GlprProcedures {
       .sortBy(_._1).map { case (n, e) => row(utf8(n), utf8(e)) }.toArray)
   }
 
+  /** `files('ns.table')` (q356) — shard-level introspection, the
+    * Iceberg `files` metadata table / Delta `DESCRIBE DETAIL` move: one
+    * row per LIVE shard with its sidecar statistics (rows, doc_id
+    * bounds — PRE-mask, the planner's view), on-disk bytes, the
+    * partition spec/values the shard was WRITTEN under (its own era,
+    * q349), and whether a delete-vector mask currently gates it. Nulls
+    * where a sidecar is missing or carries no bounds (external writers,
+    * empty shards) — vanished stats read as unknown, never invented. */
+  private[io] def files(dir: java.io.File): Result = {
+    val schema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = false),
+      StructField("id_lo", LongType, nullable = true),
+      StructField("id_hi", LongType, nullable = true),
+      StructField("part_spec", StringType, nullable = true),
+      StructField("part_values", StringType, nullable = true),
+      StructField("masked", BooleanType, nullable = false)))
+    val path = dir.getAbsolutePath
+    val out = GlprSource.entriesResolved(path, None).sortBy(_._1.getName)
+      .map { case (f, gen) =>
+        val m = GlprSource.readMeta(f)
+        val masked = gen.isDefined || GlprSource.dvFile(f).isFile
+        row(utf8(f.getName),
+          m.map(x => java.lang.Long.valueOf(x.rows)).orNull,
+          java.lang.Long.valueOf(f.length()),
+          m.flatMap(_.idLo).map(java.lang.Long.valueOf).orNull,
+          m.flatMap(_.idHi).map(java.lang.Long.valueOf).orNull,
+          m.flatMap(_.pcol).map(utf8).orNull,
+          m.flatMap(_.pvals)
+            .map(vs => utf8(vs.toSeq.sorted.mkString(","))).orNull,
+          java.lang.Boolean.valueOf(masked))
+      }.toArray
+    Result(schema, out)
+  }
+
   private[io] def summary(kv: (String, Long)*): Result =
     Result(StructType(kv.map(p => StructField(p._1, LongType, nullable = false))),
       Array(row(kv.map(p => java.lang.Long.valueOf(p._2)): _*)))
@@ -255,6 +291,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "add_constraint" => "add_constraint(table, name, expr): add a CHECK constraint (a SQL boolean over the table columns) enforced on EVERY write path - refused unless all existing rows already satisfy it (TRUE or NULL passes, the SQL standard)"
     case "drop_constraint" => "drop_constraint(table, name): remove a CHECK constraint"
     case "constraints" => "constraints(table): one row per CHECK constraint - name, expression"
+    case "files" => "files(table): one row per LIVE shard - name, sidecar rows, bytes, doc_id bounds, partition spec/values, mask state (the Iceberg files / Delta DESCRIBE DETAIL introspection)"
     case _ => procName
   }
 
@@ -416,6 +453,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         case "drop_constraint" =>
           dropConstraint(dir, input.getUTF8String(1).toString)
         case "constraints" => constraints(dir)
+        case "files" => files(dir)
         case "clone" =>
           val dst = resolveFresh(input.getUTF8String(1).toString)
           val linked = GlprMaintenance.cloneTable(dir, dst)

@@ -320,7 +320,16 @@ object PlanAudit {
       "gate is writer-side (compiled once per job, evaluated per row), so " +
       "the READ plan is the plain pruned scan — constraints cost nothing " +
       "at query time; the refused-append contract is pinned in-pipeline",
-      reg("q355_glpr_constraints")))
+      reg("q355_glpr_constraints")),
+    ("q356_glpr_files", "metadata-derived corpus invariants from sys.files: " +
+      "row count and id bounds computed from SIDECARS ONLY (zero data bytes " +
+      "opened) — the oracle recomputes them from the data, certifying the " +
+      "statistics the planner prunes and estimates with",
+      reg("q356_glpr_files")),
+    ("q357_seq_packing", "greedy sequence packing: one shuffle clusters each " +
+      "lang, a local sort fixes the greedy order, one O(n) pass per group " +
+      "assigns bins with O(1) state — groups pack sequentially (inherent), " +
+      "distinct groups in parallel", reg("q357_seq_packing")))
 
   private val streamingStateNote: String =
     """

@@ -114,7 +114,9 @@ object ScaleProbe {
     "q352_glpr_value_stats",   // source probe pruned via automatic value sets
     "q353_glpr_bucket_spj",    // shuffle-free co-bucketed doc_id join (SPJ)
     "q354_glpr_tags",          // tagged vs live reads across expire+vacuum
-    "q355_glpr_constraints")   // corpus rollup under a writer-side CHECK gate
+    "q355_glpr_constraints",   // corpus rollup under a writer-side CHECK gate
+    "q356_glpr_files",         // sidecar-only invariants via sys.files
+    "q357_seq_packing")        // greedy per-lang sequence packing report
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

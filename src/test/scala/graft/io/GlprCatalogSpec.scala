@@ -946,6 +946,33 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(e6.getMessage != null)
   }
 
+  test("q356 sys.files: per-shard sidecar stats, spec/values era, mask flag") {
+    root: Unit
+    spark.sql(s"CREATE TABLE glpr_spec.ns22.fl $ddl PARTITIONED BY (lang)")
+    Seq((1L, "en", "s", "a"), (2L, "en", "s", "b"), (10L, "de", "s", "c"))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("fl_in")
+    spark.sql("INSERT INTO glpr_spec.ns22.fl SELECT * FROM fl_in")
+    spark.catalog.dropTempView("fl_in")
+    def files() = spark.sql("CALL glpr_spec.sys.files('ns22.fl')").collect()
+      .filter(r => !r.isNullAt(1) && r.getLong(1) > 0)
+    val f0 = files()
+    // one single-valued shard per lang (the q353 roll discipline), each
+    // carrying its own spec era and exact bounds
+    assert(f0.map(r => (r.getString(5), r.getString(6))).toSet ===
+      Set(("lang", "de"), ("lang", "en")))
+    assert(f0.map(_.getLong(1)).sum === 3L)
+    val en = f0.find(_.getString(6) == "en").get
+    assert((en.getLong(3), en.getLong(4)) === (1L, 2L))
+    assert(f0.forall(!_.getBoolean(7)), "plain ingest is mask-free")
+    assert(f0.forall(_.getLong(2) > 0L), "bytes are real file lengths")
+    // a MoR delete flips the masked flag on exactly the gated shard
+    GlprMaintenance.deleteIdRangeMergeOnRead(
+      new java.io.File(root, "ns22/fl").toString, 10L, 10L)
+    val masked = files().filter(_.getBoolean(7))
+    assert(masked.map(_.getString(6)).toSeq === Seq("de"))
+  }
+
   test("q325 dynamic partition overwrite: only incoming partitions swap; straddlers refuse") {
     root: Unit
     val confs = Seq(
