@@ -2688,6 +2688,17 @@ object Registry {
         |       CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ZERO-SHUFFLE EXACT-DEDUP AUDIT — the other half of the bucket-SPJ
+    // dividend (q353): GROUP BY doc_id over a bucket-clustered corpus
+    // plans NO exchange at all (the key-grouped report satisfies the
+    // aggregate's clustered distribution), so the cross-ingest "which
+    // ids appear twice?" audit moves zero bytes at 100 TB. Required
+    // in-pipeline. Oracle = the duplicated slice relationally.
+    "q358_glpr_dedup_audit" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.dedupAuditPipeline(s, d).orderBy("doc_id"), Some(
+      """SELECT doc_id, CAST(2 AS BIGINT) AS copies FROM documents
+        |WHERE doc_id % 5 = 0 ORDER BY 1""".stripMargin)),
+
     // SHARD INTROSPECTION (the Iceberg `files` metadata table / Delta
     // DESCRIBE DETAIL move): CALL sys.files lists every live shard's
     // sidecar statistics — zero data bytes opened; the pipeline returns

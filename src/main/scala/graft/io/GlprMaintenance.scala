@@ -217,7 +217,7 @@ object GlprMaintenance {
       val base = parsed.filter(_._1 == maxEpoch).map(_._2).max + 1
       (0 until n).map(i => f"part-$maxEpoch%010d-${base + i}%05d.glpr")
     } else {
-      val base = GlprSource.nextBatchNameBase(path)
+      val base = GlprSource.reserveNameBase(path, n.toLong.max(1L))
       (0 until n).map(i => f"part-${base + i}%010d.glpr")
     }
   }
@@ -377,7 +377,8 @@ object GlprMaintenance {
       s"GLPR row delete in '$path' refused: a straddling shard is " +
         "epoch-named (streaming sink); its batch-named survivor would mix " +
         "naming schemes and break the lexical offset contract")
-    val nameBase: Long = GlprSource.nextBatchNameBase(path)
+    val nameBase: Long =
+      GlprSource.reserveNameBase(path, straddle.length.toLong.max(1L))
     val jobs = straddle.map(_.getName).zipWithIndex.map { case (n, i) =>
       (n, f"part-${nameBase + i}%010d.glpr", liveMaskOf(path, lineOf(n)))
     }
@@ -682,7 +683,7 @@ object GlprMaintenance {
         GlprSource.isEpochShardName(GlprSource.entryName(p._1))),
       s"GLPR materialize in '$path' refused: a masked shard is epoch-named " +
         "(streaming sink); its batch-named survivor would mix naming schemes")
-    val nameBase = GlprSource.nextBatchNameBase(path)
+    val nameBase = GlprSource.reserveNameBase(path, masked.length.toLong.max(1L))
     val jobs = masked.zipWithIndex.map { case ((l, mask), i) =>
       (GlprSource.entryName(l), f"part-${nameBase + i}%010d.glpr", mask)
     }
@@ -810,7 +811,7 @@ object GlprMaintenance {
         GlprSource.isEpochShardName(GlprSource.entryName(l))),
       s"GLPR redaction in '$path' refused: epoch-named (streaming sink) " +
         "shards would take batch-named survivors and mix naming schemes")
-    val nameBase = GlprSource.nextBatchNameBase(path)
+    val nameBase = GlprSource.reserveNameBase(path, entries.length.toLong.max(1L))
     // each task reads through the shard's LIVE delete-vector mask, so a
     // redacted survivor also materializes the mask in passing
     val jobs = entries.zipWithIndex.map { case (l, i) =>
@@ -955,7 +956,7 @@ object GlprMaintenance {
         .repartitionByRange(nShards, col("doc_id")),
       staging.getAbsolutePath)
     val staged = GlprSource.committedShards(staging.getAbsolutePath)
-    val base = GlprSource.nextBatchNameBase(path)
+    val base = GlprSource.reserveNameBase(path, staged.length.toLong.max(1L))
     val fresh = staged.zipWithIndex.map { case (f, i) =>
       val name = f"part-${base + i}%010d.glpr"
       // meta first (same stage discipline as GlprWriter.commit)
@@ -1048,7 +1049,7 @@ object GlprMaintenance {
       if (any) writer.commit(): Unit else writer.abort()
     }
     val staged = GlprSource.listShardFiles(stagingPath).sortBy(_.getName)
-    val base = GlprSource.nextBatchNameBase(path)
+    val base = GlprSource.reserveNameBase(path, staged.length.toLong.max(1L))
     val fresh = staged.zipWithIndex.map { case (f, i) =>
       val name = f"part-${base + i}%010d.glpr"
       java.nio.file.Files.move(GlprSource.metaFile(f).toPath,
@@ -1533,5 +1534,55 @@ object GlprMaintenance {
           org.apache.spark.sql.types.LongType, nullable = true))))
   }
   private val filesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q358 — ZERO-SHUFFLE EXACT-DEDUP AUDIT: `GROUP BY doc_id` over a
+    * bucket-clustered table plans NO exchange at all — the scan's
+    * `KeyGroupedPartitioning(bucket(n, doc_id))` (q353) already
+    * satisfies the aggregate's clustered distribution, so both the
+    * partial and final aggregates run in place over the bucket classes.
+    * This is the other half of the SPJ dividend: the canonical
+    * dedup-audit ("which ids appear more than once, across ingests?")
+    * on a 100 TB bucketed corpus moves ZERO bytes between executors —
+    * where the same audit on a hash-scattered layout shuffles the whole
+    * key space. Shuffle-freeness required in-pipeline; the duplicate
+    * slice is a second ingest, so the audit spans shards (a real
+    * cross-file dedup, not a within-file one). */
+  def dedupAuditPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = dedupAuditCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-dedup").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_da", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_da.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_da.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id))")
+      s2.sql("INSERT INTO glpr_da.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet`")
+      // the duplicate ingest: every fifth document lands again
+      s2.sql("INSERT INTO glpr_da.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` WHERE doc_id % 5 = 0")
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_da", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_da.root", root)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val q = s2.sql(
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM glpr_da.ns.docs
+        |GROUP BY doc_id HAVING count(*) > 1""".stripMargin)
+    val out = GlprSource.rematerialize(spark, q)
+    if (!out.isEmpty) {
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"q358 contract: the dedup audit over a bucket-clustered table " +
+          s"must plan ZERO exchanges:\n$plan")
+    }
+    out
+  }
+  private val dedupAuditCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

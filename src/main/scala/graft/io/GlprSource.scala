@@ -3383,11 +3383,61 @@ object GlprSource {
     * numbers, so a 32-task append burns 2048 of them: plenty. */
   private[io] val MaxRollsPerTask = 64
 
-  /** First free batch-scheme shard number under the never-reuse rule. */
-  private[io] def nextBatchNameBase(path: String): Long =
-    usedShardNames(path).iterator.filter(isBatchShardName)
+  /** First free batch-scheme shard number under the never-reuse rule —
+    * counting both COMMITTED names and outstanding RESERVATIONS (q359:
+    * two concurrent append jobs must never mint the same name; see
+    * [[reserveNameBase]]). */
+  private[io] def nextBatchNameBase(path: String): Long = {
+    val used = usedShardNames(path).iterator.filter(isBatchShardName)
       .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
       .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
+    math.max(used, nextReservedBase(path))
+  }
+  // name-range reservations: `_reserved-<lo>-<hi>`, put-if-absent files
+  // (hard-link CAS like the version chain). The range is a claim made
+  // BEFORE any task writes, which is the only point early enough to keep
+  // two CONCURRENT append jobs apart: both compute a base from the same
+  // committed state, but only one wins the link at that base — the loser
+  // re-reads and claims past it. Without this, the second job's task
+  // renames REPLACE the first job's just-committed shard bytes under the
+  // same names (silent row loss at job granularity). Reservation files
+  // are tiny permanent metadata like version files — a dead job's claim
+  // just leaves a hole in the number line, which the never-reuse rule
+  // wanted anyway.
+  private val reservedRe = """_reserved-(\d{10})-(\d{10})""".r
+  private[io] def nextReservedBase(path: String): Long =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .iterator.map(_.getName).collect {
+        case reservedRe(_, hi) => hi.toLong + 1L
+      }.foldLeft(0L)(math.max)
+  /** Atomically claim `[base, base+span)` in the batch-name number line
+    * and return `base`. Loops on collision (another writer claimed the
+    * same base first). */
+  private[io] def reserveNameBase(path: String, span: Long): Long = {
+    require(span >= 1, s"reservation span must be >= 1: $span")
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val base = nextBatchNameBase(path)
+      val f = new java.io.File(path, f"_reserved-$base%010d-${base + span - 1}%010d")
+      val tmp = new java.io.File(path,
+        s"_tmp-reserve-${Thread.currentThread().getId}-$attempts")
+      java.nio.file.Files.write(tmp.toPath,
+        s"claimedAtMs=${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won =
+        try {
+          java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally { tmp.delete(): Unit }
+      if (won) return base
+    }
+    throw new IllegalStateException(
+      s"GLPR name reservation on '$path': 50 consecutive collisions — " +
+        "pathological write contention")
+  }
 
   /** Raw directory listing of committed shard FILES (no manifest
     * consultation) — the fallback path and the [[rebuildManifest]]
@@ -4277,7 +4327,14 @@ class GlprBatchWrite(path: String, schema: StructType, truncateFirst: Boolean = 
     // task still renames over its own name (task-level idempotence);
     // re-running a whole job is an append, like the built-in file
     // sources' append mode.
-    val nameBase: Long = GlprSource.nextBatchNameBase(path)
+    // q359: RESERVE the job's whole name range up front — concurrent
+    // append jobs both read the same committed state, and without a
+    // claim the second job's task renames would replace the first's
+    // just-committed bytes under identical names
+    val stride: Long =
+      if (partitionCol.isDefined) GlprSource.MaxRollsPerTask.toLong else 1L
+    val nameBase: Long = GlprSource.reserveNameBase(path,
+      math.max(1L, info.numPartitions().toLong * stride))
     new GlprWriterFactory(path, schema, partitionCol, nameBase, extraCols,
       GlprSource.compileChecks(schema, GlprSource.checkConstraintsOf(path)))
   }
@@ -4446,7 +4503,10 @@ class GlprReplaceDataWrite(path: String, schema: StructType,
         "(streaming sink) shards; batch-named survivors would mix naming " +
         "schemes and break the lexical offset contract")
     new GlprWriterFactory(path, schema, partitionCol,
-      GlprSource.nextBatchNameBase(path), extraCols,
+      GlprSource.reserveNameBase(path, math.max(1L,
+        info.numPartitions().toLong *
+          (if (partitionCol.isDefined) GlprSource.MaxRollsPerTask.toLong
+           else 1L))), extraCols,
       // DML rewrites (UPDATE/MERGE) can mint NEW cell values, so the
       // CHECK constraints gate them exactly like appends (q355)
       GlprSource.compileChecks(schema, GlprSource.checkConstraintsOf(path)))

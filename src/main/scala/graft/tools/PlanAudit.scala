@@ -329,7 +329,12 @@ object PlanAudit {
     ("q357_seq_packing", "greedy sequence packing: one shuffle clusters each " +
       "lang, a local sort fixes the greedy order, one O(n) pass per group " +
       "assigns bins with O(1) state — groups pack sequentially (inherent), " +
-      "distinct groups in parallel", reg("q357_seq_packing")))
+      "distinct groups in parallel", reg("q357_seq_packing")),
+    ("q358_glpr_dedup_audit", "zero-shuffle dedup audit: GROUP BY doc_id over " +
+      "a bucket-clustered table — the key-grouped report satisfies the " +
+      "aggregate's clustered distribution, so partial AND final aggregates " +
+      "run in place; no Exchange anywhere (required in-pipeline)",
+      reg("q358_glpr_dedup_audit")))
 
   private val streamingStateNote: String =
     """

@@ -116,7 +116,8 @@ object ScaleProbe {
     "q354_glpr_tags",          // tagged vs live reads across expire+vacuum
     "q355_glpr_constraints",   // corpus rollup under a writer-side CHECK gate
     "q356_glpr_files",         // sidecar-only invariants via sys.files
-    "q357_seq_packing")        // greedy per-lang sequence packing report
+    "q357_seq_packing",        // greedy per-lang sequence packing report
+    "q358_glpr_dedup_audit")   // zero-shuffle GROUP BY doc_id dedup audit
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

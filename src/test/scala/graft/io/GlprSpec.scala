@@ -58,6 +58,57 @@ class GlprSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("q359 concurrent appends: name-range reservations keep two jobs' shards apart") {
+    val out = TempDirs.scratch("graft-glpr-reserve").toString
+    new java.io.File(out).mkdirs()
+    // the primitive: claims are disjoint and strictly increasing, even
+    // when both claimants computed from the same committed state
+    val b1 = GlprSource.reserveNameBase(out, 64L)
+    val b2 = GlprSource.reserveNameBase(out, 64L)
+    assert(b2 >= b1 + 64L, s"overlapping claims: $b1 / $b2")
+    // racing claims from many threads never overlap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val claims = (1 to 16).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long = GlprSource.reserveNameBase(out, 10L)
+        })).map(_.get())
+      val sorted = claims.sorted
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a + 10L, s"overlap: $a / $b")
+        case _ => ()
+      }
+    } finally pool.shutdown()
+    // end to end: two INTERLEAVED write jobs (factory created — names
+    // chosen — before the other commits) land every row of both
+    val outE = TempDirs.scratch("graft-glpr-reserve2").toString
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def mkWrite() = new GlprBatchWrite(outE, GlprSource.schema)
+    val w1 = mkWrite(); val w2 = mkWrite()
+    val pinfo = new PhysicalWriteInfo { override def numPartitions(): Int = 2 }
+    val f1 = w1.createBatchWriterFactory(pinfo)
+    val f2 = w2.createBatchWriterFactory(pinfo) // before w1 commits
+    def run(f: org.apache.spark.sql.connector.write.DataWriterFactory,
+        idBase: Long) = (0 until 2).map { p =>
+      val wr = f.createWriter(p, 1000L + p)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](idBase + p,
+          org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("s"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"t${idBase + p}")))
+      wr.write(row)
+      wr.commit()
+    }.toArray
+    val m1 = run(f1, 100L); val m2 = run(f2, 200L)
+    w1.commit(m1.map(m => m: org.apache.spark.sql.connector.write.WriterCommitMessage))
+    w2.commit(m2.map(m => m: org.apache.spark.sql.connector.write.WriterCommitMessage))
+    val got = spark.read.format("graft.io.GlprSource").load(outE)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(100L, 101L, 200L, 201L),
+      "both jobs' rows must survive — no same-name clobber")
+  }
+
   test("DSv2 write path: two-phase commit leaves no temp files, appends take fresh names") {
     val out = TempDirs.scratch("graft-glpr-write").toString
     val small = docs.limit(50)
@@ -66,7 +117,8 @@ class GlprSpec extends AnyFunSuite {
     val shards = files.filter(_.getName.endsWith(".glpr"))
     assert(shards.nonEmpty &&
       files.forall(f => f.getName.endsWith(".glpr") || f.getName.endsWith(".glpr.meta")
-        || f.getName == "_manifest" || f.getName.startsWith("_manifest.v")))
+        || f.getName == "_manifest" || f.getName.startsWith("_manifest.v")
+        || f.getName.startsWith("_reserved-")))
     assert(!files.exists(_.getName.startsWith("_tmp")),
       "staged temp files must not survive a committed write")
     // the job commit published exactly the task-committed names
