@@ -2688,6 +2688,20 @@ object Registry {
         |       CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // METADATA TABLES from plain SQL (the Iceberg db.table.history
+    // idiom): SELECT version, n_rows FROM cat.ns.t.history — the sys
+    // procedures' introspection served as real read-only TABLES, so it
+    // composes with the rest of SQL. Oracle recomputes both snapshots'
+    // cumulative counts from the data.
+    "q360_glpr_metadata_tables" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.metadataTablesPipeline(s, d), Some(
+      """SELECT CAST(1 AS BIGINT) AS version,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM documents
+        |ORDER BY 1""".stripMargin)),
+
     // ZERO-SHUFFLE EXACT-DEDUP AUDIT — the other half of the bucket-SPJ
     // dividend (q353): GROUP BY doc_id over a bucket-clustered corpus
     // plans NO exchange at all (the key-grouped report satisfies the

@@ -144,7 +144,22 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // METADATA TABLES (q360, the Iceberg `db.table.history` idiom):
+      // `SELECT … FROM cat.ns.t.files` serves the same introspection
+      // the sys procedures expose, as PLAIN SQL TABLES — joinable,
+      // aggregatable, WHERE-able. Resolved only when `ns.t.<kind>`
+      // names no real table, so a genuine table named 'files' shadows
+      // its parent's metadata (the documented Iceberg caveat).
+      if (ident.namespace.nonEmpty &&
+          GlprMetadataTable.Kinds(ident.name)) {
+        val parent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        if (tableExists(parent))
+          return new GlprMetadataTable(tableDir(parent), ident.name)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val dir = tableDir(ident)
     new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),
       extraCols = readExtraCols(dir))

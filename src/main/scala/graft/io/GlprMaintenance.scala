@@ -1585,4 +1585,37 @@ object GlprMaintenance {
   }
   private val dedupAuditCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q360 — METADATA TABLES from plain SQL: two ingests mint versions
+    * 1 and 2, then `SELECT version, n_rows FROM cat.ns.docs.history`
+    * reads the cumulative per-version row counts — sidecar-derived,
+    * zero data bytes — as an ordinary table (the Iceberg
+    * `db.table.history` idiom; filterable, joinable, aggregatable).
+    * Oracle recomputes both snapshots' counts from the data, so hash
+    * equality certifies the SQL-served history numbers exactly. */
+  def metadataTablesPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = metaTablesCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-mdt").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_md", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_md.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_md.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_md.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0")
+      s2.sql("INSERT INTO glpr_md.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 <> 0")
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_md", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_md.root", root)
+    GlprSource.rematerialize(spark, s2.sql(
+      """SELECT version, n_rows FROM glpr_md.ns.docs.history
+        |WHERE version <= 2 ORDER BY version""".stripMargin))
+  }
+  private val metaTablesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -262,6 +262,45 @@ object GlprProcedures {
   }
 }
 
+/** SQL-ADDRESSABLE METADATA TABLES (q360) — `SELECT … FROM
+  * cat.ns.t.<kind>` for kind ∈ history/files/tags/branches/constraints:
+  * the same driver-side introspection the `sys` procedures return, but
+  * as a real read-only TABLE (the Iceberg `db.table.history` idiom), so
+  * the results compose with the rest of SQL — join `t.files` against a
+  * rollup, filter `t.history` by version, aggregate `t.tags`. Backed by
+  * the procedures' own [[GlprProcedures.Result]] (a DSv2 `LocalScan`),
+  * built fresh at every scan: metadata reads only, no data bytes. */
+private[io] object GlprMetadataTable {
+  val Kinds: Set[String] =
+    Set("history", "files", "tags", "branches", "constraints")
+  private[io] def result(dir: java.io.File,
+      kind: String): GlprProcedures.Result = kind match {
+    case "history" => GlprProcedures.history(dir)
+    case "files" => GlprProcedures.files(dir)
+    case "tags" => GlprProcedures.tags(dir)
+    case "branches" => GlprProcedures.branches(dir)
+    case "constraints" => GlprProcedures.constraints(dir)
+    case other => throw new IllegalArgumentException(
+      s"no GLPR metadata table '$other'; available: ${Kinds.mkString(", ")}")
+  }
+}
+private[io] final class GlprMetadataTable(dir: java.io.File, kind: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = s"${dir.getName}.$kind"
+  override def schema(): StructType = GlprMetadataTable.result(dir, kind).schema
+  override def capabilities():
+      java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.singleton(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
+      org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): Scan = GlprMetadataTable.result(dir, kind)
+    }
+}
+
 /** One named GLPR procedure; `bind` validates the argument shape, `call`
   * executes driver-side and returns the report as a local result set. */
 final class GlprProcedure(procName: String, resolve: String => java.io.File,

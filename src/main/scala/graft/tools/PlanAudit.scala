@@ -334,7 +334,11 @@ object PlanAudit {
       "a bucket-clustered table — the key-grouped report satisfies the " +
       "aggregate's clustered distribution, so partial AND final aggregates " +
       "run in place; no Exchange anywhere (required in-pipeline)",
-      reg("q358_glpr_dedup_audit")))
+      reg("q358_glpr_dedup_audit")),
+    ("q360_glpr_metadata_tables", "history metadata TABLE from plain SQL: the " +
+      "scan is a driver-side LocalScan over sidecar-derived version stats — " +
+      "zero data bytes, zero tasks; filters/joins/aggregates compose on top " +
+      "like any table", reg("q360_glpr_metadata_tables")))
 
   private val streamingStateNote: String =
     """

@@ -117,7 +117,8 @@ object ScaleProbe {
     "q355_glpr_constraints",   // corpus rollup under a writer-side CHECK gate
     "q356_glpr_files",         // sidecar-only invariants via sys.files
     "q357_seq_packing",        // greedy per-lang sequence packing report
-    "q358_glpr_dedup_audit")   // zero-shuffle GROUP BY doc_id dedup audit
+    "q358_glpr_dedup_audit",   // zero-shuffle GROUP BY doc_id dedup audit
+    "q360_glpr_metadata_tables") // version history as a SQL table
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -973,6 +973,38 @@ class GlprCatalogSpec extends AnyFunSuite {
     assert(masked.map(_.getString(6)).toSeq === Seq("de"))
   }
 
+  test("q360 metadata tables: ns.t.files/history/tags compose with SQL; real tables shadow") {
+    root: Unit
+    spark.sql(s"CREATE TABLE glpr_spec.ns23.md $ddl")
+    Seq((1L, "en", "s", "aa"), (2L, "de", "s", "bb"))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("md_in")
+    spark.sql("INSERT INTO glpr_spec.ns23.md SELECT * FROM md_in")
+    spark.catalog.dropTempView("md_in")
+    spark.sql("CALL glpr_spec.sys.tag('ns23.md', 'first')")
+    // files: WHERE/aggregate work like any table; sums match the data
+    val fr = spark.sql(
+      """SELECT sum(rows) AS r, min(id_lo) AS lo, max(id_hi) AS hi
+        |FROM glpr_spec.ns23.md.files WHERE rows > 0""".stripMargin).head()
+    assert((fr.getLong(0), fr.getLong(1), fr.getLong(2)) === (2L, 1L, 2L))
+    // history and tags serve through SQL, and JOIN each other
+    val j = spark.sql(
+      """SELECT t.name, h.n_rows FROM glpr_spec.ns23.md.tags t
+        |JOIN glpr_spec.ns23.md.history h ON t.version = h.version""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(j === Seq(("first", 2L)))
+    // a REAL table named 'files' under ns23.md-as-namespace shadows the
+    // metadata resolution — metadata only fills the gap
+    spark.sql(s"CREATE TABLE glpr_spec.ns23.md2 $ddl")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM glpr_spec.ns23.md2.nope").collect())
+    assert(e.getMessage != null) // unknown kind on a real parent fails
+    // constraints table lists what sys.constraints lists
+    spark.sql("CALL glpr_spec.sys.add_constraint('ns23.md', 'pos', 'doc_id > 0')")
+    assert(spark.sql("SELECT name FROM glpr_spec.ns23.md.constraints")
+      .collect().map(_.getString(0)).toSeq === Seq("pos"))
+  }
+
   test("q325 dynamic partition overwrite: only incoming partitions swap; straddlers refuse") {
     root: Unit
     val confs = Seq(
