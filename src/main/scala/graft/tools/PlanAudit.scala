@@ -310,7 +310,7 @@ object PlanAudit {
       "scans report KeyGroupedPartitioning(bucket(8, doc_id)) resolved through " +
       "the catalog's V2 bucket function, so the doc_id equi-join plans ZERO " +
       "join exchanges (required in-pipeline); only the final lang rollup " +
-      "shuffles", reg("q353_glpr_bucket_spj")),
+      "shuffles", graft.io.GlprMaintenance.bucketSpjPlanFrame),
     ("q354_glpr_tags", "tagged + live rollups after a COW DELETE and a full " +
       "expire+vacuum cycle: the tag pins its version file, so the snapshot " +
       "scan plans the PRE-delete lines while the live scan plans the " +
@@ -334,7 +334,7 @@ object PlanAudit {
       "a bucket-clustered table — the key-grouped report satisfies the " +
       "aggregate's clustered distribution, so partial AND final aggregates " +
       "run in place; no Exchange anywhere (required in-pipeline)",
-      reg("q358_glpr_dedup_audit")),
+      graft.io.GlprMaintenance.dedupAuditPlanFrame),
     ("q360_glpr_metadata_tables", "history metadata TABLE from plain SQL: the " +
       "scan is a driver-side LocalScan over sidecar-derived version stats — " +
       "zero data bytes, zero tasks; filters/joins/aggregates compose on top " +
