@@ -106,7 +106,11 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
       extraCols: Seq[String], droppedCols: Seq[String] = Seq.empty): Unit = {
     // tokens this writer does not own (check_constraints, q355 — and
     // anything a future round adds) survive a schema ALTER verbatim:
-    // rebuild only the tokens being written, keep the rest
+    // rebuild only the tokens being written, keep the rest. CONTRACT:
+    // marker updates are read-modify-write without a CAS, so DDL and
+    // the constraint procedures must not run CONCURRENTLY on one table
+    // — a racing pair is last-writer-wins on the file (single-DDL-writer
+    // per table, the same documented posture as replace-form DML)
     val owned = Set("partitioned_by", "extra_columns", "dropped_columns")
     val foreign: Seq[String] =
       if (!marker(dir).isFile) Seq.empty

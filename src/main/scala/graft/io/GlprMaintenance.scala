@@ -1475,14 +1475,24 @@ object GlprMaintenance {
         s"text FROM parquet.`$dir/documents.parquet`")
       val before = s2.sql("SELECT count(*) FROM glpr_ck.ns.docs")
         .head().getLong(0)
+      // the refusal must be THE CHECK GATE's (walk the cause chain for
+      // the constraint diagnostic) — a blanket catch would let any
+      // unrelated failure satisfy the contract vacuously
       val refused =
         try {
           s2.sql("INSERT INTO glpr_ck.ns.docs " +
             "VALUES (-1, 'xx', 'bad', 'row')")
           false
-        } catch { case _: Throwable => true }
+        } catch {
+          case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(10)
+              .exists(t => Option(t.getMessage)
+                .exists(_.contains("GLPR CHECK constraint 'sane-doc'")))
+        }
       require(refused,
-        "q355 contract: the violating append must refuse")
+        "q355 contract: the violating append must refuse WITH the " +
+          "constraint diagnostic")
       val after = s2.sql("SELECT count(*) FROM glpr_ck.ns.docs")
         .head().getLong(0)
       require(after == before,

@@ -38,6 +38,34 @@ object GlprProcedures {
   /** One row of a procedure result set. */
   private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
 
+  // static result schemas — shared by the procedures and the metadata
+  // TABLES (q360), whose schema() must not pay the full metadata read
+  private[io] val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_shards", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+  private[io] val tagsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("n_shards", IntegerType, nullable = true)))
+  private[io] val branchesSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("n_versions", IntegerType, nullable = false),
+    StructField("n_shards", IntegerType, nullable = false),
+    StructField("fork_main_version", LongType, nullable = true)))
+  private[io] val constraintsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expression", StringType, nullable = false)))
+  private[io] val filesSchema = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false),
+    StructField("id_lo", LongType, nullable = true),
+    StructField("id_hi", LongType, nullable = true),
+    StructField("part_spec", StringType, nullable = true),
+    StructField("part_values", StringType, nullable = true),
+    StructField("masked", BooleanType, nullable = false)))
+
   private[io] final case class Result(schema: StructType,
       out: Array[InternalRow]) extends LocalScan {
     override def rows(): Array[InternalRow] = out
@@ -53,10 +81,7 @@ object GlprProcedures {
     * `n_rows` is the row count a `versionAsOf` read of that version
     * returns. */
   private[io] def history(dir: java.io.File): Result = {
-    val schema = StructType(Seq(
-      StructField("version", LongType, nullable = false),
-      StructField("n_shards", IntegerType, nullable = false),
-      StructField("n_rows", LongType, nullable = true)))
+    val schema = historySchema
     val path = dir.getAbsolutePath
     val out = GlprSource.listManifestVersions(path).map { v =>
       val names = GlprSource.versionShardNames(path, v)
@@ -76,10 +101,7 @@ object GlprProcedures {
     * since expire skips tagged versions; an externally deleted file
     * still reads as null rather than erroring the listing). */
   private[io] def tags(dir: java.io.File): Result = {
-    val schema = StructType(Seq(
-      StructField("name", StringType, nullable = false),
-      StructField("version", LongType, nullable = false),
-      StructField("n_shards", IntegerType, nullable = true)))
+    val schema = tagsSchema
     val path = dir.getAbsolutePath
     val out = GlprSource.listTags(path).toSeq.sortBy(_._1).map {
       case (t, v) =>
@@ -115,9 +137,10 @@ object GlprProcedures {
       Seq(name -> sql)): Unit
     val spark = org.apache.spark.sql.SparkSession.active
     require(catalog.nonEmpty, "GLPR add_constraint needs its owning catalog")
-    val bad = spark.sql(
+    def audit(): Long = spark.sql(
       s"SELECT count(*) FROM $catalog.$ref " +
         s"WHERE NOT ((($sql)) OR ((($sql)) IS NULL))").head().getLong(0)
+    val bad = audit()
     require(bad == 0L,
       s"GLPR CHECK constraint '$name' refused: $bad existing row(s) of " +
         s"'$ref' violate ($sql) — constraints only admit over clean data")
@@ -125,6 +148,27 @@ object GlprProcedures {
       Some((existing :+ (name -> sql))
         .map { case (n, e) => GlprSource.encodeCheckToken(n, e) }
         .mkString(",")))
+    // DOUBLE AUDIT (review finding): a write job whose factory compiled
+    // its checks BEFORE the token landed enforces nothing for this
+    // constraint — if such a job committed violating rows between the
+    // first audit and the token write, re-auditing now (token visible,
+    // so every NEW job enforces) catches it: back the token out and
+    // refuse. A job that commits after this second audit remains a
+    // documented race (a file-based format has no global write lock to
+    // serialize admission against in-flight jobs) — the window is the
+    // seconds between two audits, not the job's whole runtime.
+    val bad2 = audit()
+    if (bad2 > 0L) {
+      GlprSource.updateMarkerToken(path, "check_constraints",
+        if (existing.isEmpty) None
+        else Some(existing
+          .map { case (n, e) => GlprSource.encodeCheckToken(n, e) }
+          .mkString(",")))
+      throw new IllegalStateException(
+        s"GLPR CHECK constraint '$name' backed out: a concurrent write " +
+          s"committed $bad2 violating row(s) between the admission audit " +
+          "and the token write — re-run add_constraint once ingest settles")
+    }
     summary("constraints" -> (existing.length + 1).toLong)
   }
   private[io] def dropConstraint(dir: java.io.File, name: String): Result = {
@@ -144,10 +188,7 @@ object GlprProcedures {
   }
   /** `constraints('ns.table')` — one row per CHECK constraint. */
   private[io] def constraints(dir: java.io.File): Result = {
-    val schema = StructType(Seq(
-      StructField("name", StringType, nullable = false),
-      StructField("expression", StringType, nullable = false)))
-    Result(schema, GlprSource.checkConstraintsOf(dir.getAbsolutePath)
+    Result(constraintsSchema, GlprSource.checkConstraintsOf(dir.getAbsolutePath)
       .sortBy(_._1).map { case (n, e) => row(utf8(n), utf8(e)) }.toArray)
   }
 
@@ -160,15 +201,7 @@ object GlprProcedures {
     * where a sidecar is missing or carries no bounds (external writers,
     * empty shards) — vanished stats read as unknown, never invented. */
   private[io] def files(dir: java.io.File): Result = {
-    val schema = StructType(Seq(
-      StructField("shard", StringType, nullable = false),
-      StructField("rows", LongType, nullable = true),
-      StructField("bytes", LongType, nullable = false),
-      StructField("id_lo", LongType, nullable = true),
-      StructField("id_hi", LongType, nullable = true),
-      StructField("part_spec", StringType, nullable = true),
-      StructField("part_values", StringType, nullable = true),
-      StructField("masked", BooleanType, nullable = false)))
+    val schema = filesSchema
     val path = dir.getAbsolutePath
     val out = GlprSource.entriesResolved(path, None).sortBy(_._1.getName)
       .map { case (f, gen) =>
@@ -196,11 +229,7 @@ object GlprProcedures {
     * branch with its chain length, head shard count, and the recorded
     * fork-point main version (null for pre-round-19 chains). */
   private[io] def branches(dir: java.io.File): Result = {
-    val schema = StructType(Seq(
-      StructField("name", StringType, nullable = false),
-      StructField("n_versions", IntegerType, nullable = false),
-      StructField("n_shards", IntegerType, nullable = false),
-      StructField("fork_main_version", LongType, nullable = true)))
+    val schema = branchesSchema
     val path = dir.getAbsolutePath
     val out = GlprSource.listBranches(path).toSeq.sorted.map { b =>
       row(utf8(b),
@@ -273,6 +302,15 @@ object GlprProcedures {
 private[io] object GlprMetadataTable {
   val Kinds: Set[String] =
     Set("history", "files", "tags", "branches", "constraints")
+  private[io] def schemaOf(kind: String): StructType = kind match {
+    case "history" => GlprProcedures.historySchema
+    case "files" => GlprProcedures.filesSchema
+    case "tags" => GlprProcedures.tagsSchema
+    case "branches" => GlprProcedures.branchesSchema
+    case "constraints" => GlprProcedures.constraintsSchema
+    case other => throw new IllegalArgumentException(
+      s"no GLPR metadata table '$other'")
+  }
   private[io] def result(dir: java.io.File,
       kind: String): GlprProcedures.Result = kind match {
     case "history" => GlprProcedures.history(dir)
@@ -288,7 +326,10 @@ private[io] final class GlprMetadataTable(dir: java.io.File, kind: String)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"${dir.getName}.$kind"
-  override def schema(): StructType = GlprMetadataTable.result(dir, kind).schema
+  // STATIC per-kind schema: resolution may call schema() repeatedly and
+  // must not pay the full metadata read each time (review finding); the
+  // procedure executes once, in build()
+  override def schema(): StructType = GlprMetadataTable.schemaOf(kind)
   override def capabilities():
       java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.Collections.singleton(

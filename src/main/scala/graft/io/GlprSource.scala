@@ -2994,8 +2994,9 @@ object GlprSource {
     require(vs.contains(v),
       s"GLPR tag '$t': no manifest version $v under '$path'; " +
         s"available: ${vs.mkString(", ")}")
+    // process-unique stage name (not thread id): see [[reserveNameBase]]
     val tmp = new java.io.File(path,
-      s"_tmp-tag-$t-${Thread.currentThread().getId}")
+      s"_tmp-tag-$t-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath,
       s"version=$v committedAtMs=${System.currentTimeMillis()}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -3420,8 +3421,13 @@ object GlprSource {
       attempts += 1
       val base = nextBatchNameBase(path)
       val f = new java.io.File(path, f"_reserved-$base%010d-${base + span - 1}%010d")
+      // the stage name must be unique ACROSS PROCESSES, not just
+      // threads: two drivers share thread ids, and a same-named stage
+      // lets the winner's cleanup unlink the loser's freshly-written
+      // stage — whose createLink then dies on NoSuchFile instead of
+      // losing the race cleanly (review finding on the first cut)
       val tmp = new java.io.File(path,
-        s"_tmp-reserve-${Thread.currentThread().getId}-$attempts")
+        s"_tmp-reserve-${java.util.UUID.randomUUID()}")
       java.nio.file.Files.write(tmp.toPath,
         s"claimedAtMs=${System.currentTimeMillis()}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

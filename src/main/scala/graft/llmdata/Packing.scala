@@ -39,12 +39,17 @@ object Packing {
       .mapPartitions { it =>
         // a partition may hold several whole groups (hash collisions);
         // state resets at every group boundary — the sort guarantees
-        // each group is contiguous and id-ordered
+        // each group is contiguous and id-ordered. An explicit
+        // first-row flag marks the boundary: a null sentinel would
+        // confuse "no group yet" with a leading NULL-key group (whose
+        // oversized first doc would then skip the reset and start at
+        // bin 1, diverging from the oracle's rn=1-seeds-bin-0 rule).
+        var started = false
         var lang: String = null
         var bin = 0L
         var acc = 0L
         it.map { case (l, id, cost) =>
-          if (l != lang) { lang = l; bin = 0L; acc = cost }
+          if (!started || l != lang) { started = true; lang = l; bin = 0L; acc = cost }
           else if (acc + cost > capacity) { bin += 1; acc = cost }
           else acc += cost
           (l, id, cost, bin)

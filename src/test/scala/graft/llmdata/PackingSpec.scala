@@ -36,6 +36,22 @@ class PackingSpec extends AnyFunSuite {
     assert(fills.forall(b => b.map(_._3).sum <= 100L || b.length == 1))
   }
 
+  test("a NULL-key group packs from bin 0, even when its first doc is oversized") {
+    // regression: a null initial sentinel conflated "no group yet" with
+    // a leading NULL-lang group — its oversized first doc skipped the
+    // reset and started at bin 1
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "s", "z" * 150),
+      (2L, null.asInstanceOf[String], "s", "z" * 30),
+      (3L, "en", "s", "a" * 40))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = Packing.packGreedy(docs, 100L).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1.getOrElse(""), t._2))
+    assert(got === Array(
+      (None, 1L, 0L), (None, 2L, 1L), (Some("en"), 3L, 0L)))
+  }
+
   test("packing is deterministic under any input partitioning") {
     val rows = (0L until 500L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
