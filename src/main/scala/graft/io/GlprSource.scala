@@ -4469,28 +4469,39 @@ class GlprRowLevelOperation(path: String, partitionCol: Option[String],
         new GlprReplaceDataWrite(path, info.schema(), partitionCol,
           () => scanned.get(), extraCols)
       // partitioned tables keep the clustered-write discipline through
-      // DML rewrites too, so sidecar value sets stay prune-usable
+      // DML rewrites too — for EVERY transform family, exactly like the
+      // append path: before round 19 only identity clustered here, so
+      // an UPDATE/MERGE on a bucket(n, doc_id) table rewrote its
+      // touched groups into MIXED-bucket shards, silently killing the
+      // q353/q358 key-grouped reports (and value pruning) from then on
       override def requiredDistribution:
           org.apache.spark.sql.connector.distributions.Distribution =
         partitionCol.map(GlprSource.parsePartSpec) match {
           case Some(GlprSource.IdentityPart(c)) =>
             org.apache.spark.sql.connector.distributions
               .Distributions.clustered(Array(Expressions.column(c)))
-          case _ => org.apache.spark.sql.connector.distributions
+          case Some(b: GlprSource.BucketPart) =>
+            org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(
+                Array(Expressions.bucket(b.n, "doc_id")))
+          case Some(d: GlprSource.DaysPart) =>
+            org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(Array(Expressions.days(d.column)))
+          case Some(m: GlprSource.MonthsPart) =>
+            org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(Array(Expressions.months(m.column)))
+          case Some(t: GlprSource.TruncatePart) =>
+            org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(Array(Expressions.apply("truncate",
+                Expressions.literal(t.w), Expressions.column(t.column))))
+          case None => org.apache.spark.sql.connector.distributions
             .Distributions.unspecified()
         }
       // the q353 roll discipline holds through DML rewrites too: sorted
       // input → one single-valued shard per value per task
       override def requiredOrdering:
           Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        partitionCol.map(GlprSource.parsePartSpec) match {
-          case Some(GlprSource.IdentityPart(c)) =>
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .sort(Expressions.column(c),
-                org.apache.spark.sql.connector.expressions
-                  .SortDirection.ASCENDING))
-          case _ => Array.empty
-        }
+        GlprSource.clusteringSort(partitionCol)
     }
   }
 }

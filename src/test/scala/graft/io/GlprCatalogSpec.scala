@@ -805,6 +805,22 @@ class GlprCatalogSpec extends AnyFunSuite {
       val filtered = spark.sql(
         "SELECT doc_id FROM glpr_spec.ns19.bfacts WHERE doc_id IN (4, 5)")
       assert(filtered.collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+      // DML rewrites keep the bucket discipline (round-19 review): the
+      // UPDATE's group rewrite re-clusters + rolls by the transform, so
+      // every surviving shard stays single-bucket and the key-grouped
+      // report SURVIVES the update — pinned with a zero-exchange
+      // self-join over the updated table
+      spark.sql("UPDATE glpr_spec.ns19.bfacts SET text = 'u7' WHERE doc_id = 7")
+      val post = spark.sql(
+        """SELECT count(*) AS n FROM glpr_spec.ns19.bfacts a
+          |JOIN glpr_spec.ns19.bfacts b ON a.doc_id = b.doc_id""".stripMargin)
+      assert(!post.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "the SPJ report must survive a row-level UPDATE")
+      assert(post.head().getLong(0) === 12L)
+      assert(spark.sql(
+        "SELECT text FROM glpr_spec.ns19.bfacts WHERE doc_id = 7")
+        .head().getString(0) === "u7")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
