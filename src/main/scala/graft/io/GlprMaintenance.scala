@@ -214,7 +214,12 @@ object GlprMaintenance {
         (core(0).toLong, core(1).toLong)
       }
       val maxEpoch = parsed.map(_._1).max
-      val base = parsed.filter(_._1 == maxEpoch).map(_._2).max + 1
+      // claimed via the epoch-scoped reservation CAS (round-19 review:
+      // a bare max+1 here left concurrent compactions on a streaming
+      // dir the same same-name clobber window reserveNameBase closes
+      // for batch dirs); racing a LIVE stream stays single-writer-only
+      val base = GlprSource.reserveEpochBase(path, maxEpoch,
+        parsed.filter(_._1 == maxEpoch).map(_._2).max, n.toLong.max(1L))
       (0 until n).map(i => f"part-$maxEpoch%010d-${base + i}%05d.glpr")
     } else {
       val base = GlprSource.reserveNameBase(path, n.toLong.max(1L))
@@ -1156,7 +1161,39 @@ object GlprMaintenance {
           orphanShards ++ sidecars
         case None => Array.empty
       }
-    val doomed = (stage ++ retiredReclaim).filter(_.isFile).distinct
+    // fold RETIRED name reservations (round-19 review: one file per
+    // write job forever grows every directory listing): a claim whose
+    // hi sits at or below the committed batch high-water mark no longer
+    // moves nextBatchNameBase — new claims start past the max EVER-used
+    // name regardless — so the file is dead weight. Claims still ahead
+    // of the high-water mark (in-flight or dead-job holes) are kept.
+    val retiredReservations: Array[java.io.File] = {
+      val used = GlprSource.usedShardNames(path)
+      val maxUsed = used.iterator.filter(GlprSource.isBatchShardName)
+        .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
+        .foldLeft(-1L)(math.max)
+      val batch = GlprSource.reservations(path).iterator.collect {
+        case (_, hi, f) if hi <= maxUsed && f.lastModified() < horizon => f
+      }.toArray
+      // epoch claims retire once a LATER epoch commits (epochs only
+      // grow) or the claimed pnums fall at/below their epoch's
+      // committed max
+      val epochUsed = used.iterator.filter(GlprSource.isEpochShardName)
+        .map { s =>
+          val core = s.stripPrefix("part-").stripSuffix(".glpr").split("-")
+          (core(0).toLong, core(1).toLong)
+        }.toSeq
+      val maxEpoch = epochUsed.iterator.map(_._1).foldLeft(-1L)(math.max)
+      val epoch = GlprSource.epochReservations(path).iterator.collect {
+        case (ep, _, hi, f) if f.lastModified() < horizon &&
+            (ep < maxEpoch || (ep == maxEpoch && hi <= epochUsed.iterator
+              .collect { case (e, p) if e == ep => p }
+              .foldLeft(-1L)(math.max))) => f
+      }.toArray
+      batch ++ epoch
+    }
+    val doomed = (stage ++ retiredReclaim ++ retiredReservations)
+      .filter(_.isFile).distinct
     doomed.foreach(_.delete(): Unit)
     doomed.length
   }

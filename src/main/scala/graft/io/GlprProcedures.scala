@@ -159,9 +159,16 @@ object GlprProcedures {
     // seconds between two audits, not the job's whole runtime.
     val bad2 = audit()
     if (bad2 > 0L) {
+      // back out by RE-READING the current token and removing only this
+      // constraint's entry — restoring the pre-write `existing` snapshot
+      // would silently revert any other DDL writer's concurrent
+      // add/drop, and this path only runs when concurrency already
+      // happened (round-19 review)
+      val current = GlprSource.checkConstraintsOf(path)
+        .filterNot(_._1 == name)
       GlprSource.updateMarkerToken(path, "check_constraints",
-        if (existing.isEmpty) None
-        else Some(existing
+        if (current.isEmpty) None
+        else Some(current
           .map { case (n, e) => GlprSource.encodeCheckToken(n, e) }
           .mkString(",")))
       throw new IllegalStateException(

@@ -3357,10 +3357,14 @@ object GlprSource {
   /** The two shard-naming schemes ([[GlprWriter]] batch vs
     * [[GlprStreamingWriterFactory]] epoch names). One scheme per
     * directory — see the write-time guards. */
+  // 10/5-digit padding is a MINIMUM: past 10^10 names grow a digit
+  // (`%010d` keeps printing them), and a fixed-width match here would
+  // make such shards invisible to [[nextBatchNameBase]] — the silent
+  // name-reuse the reservations exist to prevent
   private[io] def isBatchShardName(n: String): Boolean =
-    n.matches("part-\\d{10}\\.glpr")
+    n.matches("part-\\d{10,}\\.glpr")
   private[io] def isEpochShardName(n: String): Boolean =
-    n.matches("part-\\d{10}-\\d{5}\\.glpr")
+    n.matches("part-\\d{10,}-\\d{5,}\\.glpr")
 
   /** Every shard name this directory has EVER used: on disk now, in the
     * live manifest, or recorded by any `_manifest.v<n>` snapshot. The
@@ -3394,33 +3398,75 @@ object GlprSource {
       .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
     math.max(used, nextReservedBase(path))
   }
-  // name-range reservations: `_reserved-<lo>-<hi>`, put-if-absent files
-  // (hard-link CAS like the version chain). The range is a claim made
-  // BEFORE any task writes, which is the only point early enough to keep
-  // two CONCURRENT append jobs apart: both compute a base from the same
-  // committed state, but only one wins the link at that base — the loser
-  // re-reads and claims past it. Without this, the second job's task
-  // renames REPLACE the first job's just-committed shard bytes under the
-  // same names (silent row loss at job granularity). Reservation files
-  // are tiny permanent metadata like version files — a dead job's claim
-  // just leaves a hole in the number line, which the never-reuse rule
-  // wanted anyway.
-  private val reservedRe = """_reserved-(\d{10})-(\d{10})""".r
-  private[io] def nextReservedBase(path: String): Long =
+  // name-range reservations: `_reserved-<base>` put-if-absent files
+  // (hard-link CAS like the version chain) whose CONTENTS carry the
+  // range top (`hi=<n>`). The range is a claim made BEFORE any task
+  // writes, which is the only point early enough to keep two CONCURRENT
+  // append jobs apart: both compute a base from the same committed
+  // state, but only one wins the link at that base — the loser re-reads
+  // and claims past it. Without this, the second job's task renames
+  // REPLACE the first job's just-committed shard bytes under the same
+  // names (silent row loss at job granularity). The CAS is keyed on the
+  // BASE ALONE (round-19 review: the original `_reserved-<lo>-<hi>`
+  // filename keyed the CAS on (base, span), so two claimants that read
+  // the same committed state but computed DIFFERENT spans — different
+  // numPartitions, or an append racing a maintenance rewrite — linked
+  // different filenames, both "won", and their ranges overlapped); with
+  // the span in the contents, any two claims at one base collide on the
+  // same filename. Legacy two-number files from earlier rounds still
+  // parse. 10-digit padding is a MINIMUM (`\d{10,}`): once the number
+  // line crosses 10^10 names simply grow a digit — the old fixed-width
+  // regex would have made such a claim invisible and let overlaps
+  // return silently. Reservation files are tiny metadata like version
+  // files — a dead job's claim just leaves a hole in the number line,
+  // which the never-reuse rule wanted anyway; [[GlprMaintenance.vacuum]]
+  // folds reservations the committed high-water mark has passed.
+  private val reservedRe = """_reserved-(\d{10,})""".r
+  private val reservedLegacyRe = """_reserved-(\d{10,})-(\d{10,})""".r
+  /** Every live reservation in `path` as `(lo, hi, file)`. A
+    * base-keyed file whose contents fail to parse is CORRUPT metadata
+    * (contents are fully written before the link lands) — refuse
+    * loudly rather than risk a silent overlap. */
+  private[io] def reservations(path: String)
+      : Seq[(Long, Long, java.io.File)] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .iterator.map(_.getName).collect {
-        case reservedRe(_, hi) => hi.toLong + 1L
-      }.foldLeft(0L)(math.max)
+      .iterator.flatMap { f =>
+        f.getName match {
+          case reservedLegacyRe(lo, hi) => Some((lo.toLong, hi.toLong, f))
+          case reservedRe(lo) =>
+            val hi = try {
+              new String(java.nio.file.Files.readAllBytes(f.toPath),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .linesIterator.collectFirst {
+                  case l if l.startsWith("hi=") => l.stripPrefix("hi=").toLong
+                }
+            } catch { case _: java.io.IOException => None }
+            Some((lo.toLong, hi.getOrElse(throw new IllegalStateException(
+              s"GLPR reservation '${f.getName}' in '$path' is unreadable " +
+                "or carries no hi= line — corrupt name-reservation " +
+                "metadata; refusing to mint names over it")), f))
+          case _ => None
+        }
+      }.toSeq
+  private[io] def nextReservedBase(path: String): Long =
+    reservations(path).iterator.map(_._2 + 1L).foldLeft(0L)(math.max)
   /** Atomically claim `[base, base+span)` in the batch-name number line
     * and return `base`. Loops on collision (another writer claimed the
-    * same base first). */
+    * same base first) and on OVERLAP from below: if after winning the
+    * link a re-list shows a lower-based claim covering our base (that
+    * claimant committed a shard name between our listing and theirs, so
+    * the two listings disagreed on the high-water mark), the LOWER base
+    * deterministically wins — we release our not-yet-used claim and
+    * retry past theirs. A higher-based overlapper runs the same rule
+    * and retreats on its side, so exactly one of any overlapping pair
+    * survives. */
   private[io] def reserveNameBase(path: String, span: Long): Long = {
     require(span >= 1, s"reservation span must be >= 1: $span")
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val base = nextBatchNameBase(path)
-      val f = new java.io.File(path, f"_reserved-$base%010d-${base + span - 1}%010d")
+      val f = new java.io.File(path, f"_reserved-$base%010d")
       // the stage name must be unique ACROSS PROCESSES, not just
       // threads: two drivers share thread ids, and a same-named stage
       // lets the winner's cleanup unlink the loser's freshly-written
@@ -3429,7 +3475,7 @@ object GlprSource {
       val tmp = new java.io.File(path,
         s"_tmp-reserve-${java.util.UUID.randomUUID()}")
       java.nio.file.Files.write(tmp.toPath,
-        s"claimedAtMs=${System.currentTimeMillis()}"
+        s"hi=${base + span - 1}\nclaimedAtMs=${System.currentTimeMillis()}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val won =
         try {
@@ -3438,11 +3484,91 @@ object GlprSource {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         } finally { tmp.delete(): Unit }
-      if (won) return base
+      if (won) {
+        val under = reservations(path)
+          .exists(r => r._3.getName != f.getName && r._1 < base && r._2 >= base)
+        if (!under) return base
+        // no task has written under this claim yet — releasing it is
+        // safe, and the retry's base computation now sees the winner
+        f.delete(): Unit
+      }
     }
     throw new IllegalStateException(
       s"GLPR name reservation on '$path': 50 consecutive collisions — " +
         "pathological write contention")
+  }
+
+  // epoch-scheme reservations: `_reserved-e<epoch>-<base>` (hi in
+  // contents like the batch files) claim PARTITION numbers inside one
+  // epoch, closing the same same-name clobber window for maintenance
+  // ops that mint epoch names (two concurrent compactions on a
+  // streaming-sink dir both computed max-pnum+1 from the same committed
+  // state — round-19 review). The `e` keeps these out of the batch
+  // parsers (`reservedRe` wants a digit there). Maintenance racing a
+  // LIVE streaming query remains single-writer-only, like DDL: an
+  // in-flight epoch's tasks take pre-assigned pnums that no listing can
+  // see, so no reservation protocol on the maintenance side can avoid
+  // them.
+  private val eReservedRe = """_reserved-e(\d{10,})-(\d{5,})""".r
+  private[io] def epochReservations(path: String)
+      : Seq[(Long, Long, Long, java.io.File)] = // (epoch, lo, hi, file)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .iterator.flatMap { f =>
+        f.getName match {
+          case eReservedRe(ep, lo) =>
+            val hi = try {
+              new String(java.nio.file.Files.readAllBytes(f.toPath),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .linesIterator.collectFirst {
+                  case l if l.startsWith("hi=") => l.stripPrefix("hi=").toLong
+                }
+            } catch { case _: java.io.IOException => None }
+            Some((ep.toLong, lo.toLong, hi.getOrElse(
+              throw new IllegalStateException(
+                s"GLPR epoch reservation '${f.getName}' in '$path' is " +
+                  "unreadable or carries no hi= line — corrupt " +
+                  "name-reservation metadata")), f))
+          case _ => None
+        }
+      }.toSeq
+  /** Atomically claim partition numbers `[base, base+span)` inside
+    * `epoch`, where `usedMax` is the caller's committed max pnum for
+    * that epoch (-1 if none). Same CAS + lower-base-wins overlap rule
+    * as [[reserveNameBase]]. */
+  private[io] def reserveEpochBase(path: String, epoch: Long,
+      usedMax: Long, span: Long): Long = {
+    require(span >= 1, s"reservation span must be >= 1: $span")
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val reservedHi = epochReservations(path).iterator
+        .collect { case (ep, _, hi, _) if ep == epoch => hi }
+        .foldLeft(-1L)(math.max)
+      val base = math.max(usedMax, reservedHi) + 1L
+      val f = new java.io.File(path, f"_reserved-e$epoch%010d-$base%05d")
+      val tmp = new java.io.File(path,
+        s"_tmp-reserve-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        s"hi=${base + span - 1}\nclaimedAtMs=${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won =
+        try {
+          java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally { tmp.delete(): Unit }
+      if (won) {
+        val under = epochReservations(path).exists(r =>
+          r._1 == epoch && r._4.getName != f.getName &&
+            r._2 < base && r._3 >= base)
+        if (!under) return base
+        f.delete(): Unit
+      }
+    }
+    throw new IllegalStateException(
+      s"GLPR epoch name reservation on '$path' (epoch $epoch): 50 " +
+        "consecutive collisions — pathological maintenance contention")
   }
 
   /** Raw directory listing of committed shard FILES (no manifest

@@ -66,19 +66,50 @@ class GlprSpec extends AnyFunSuite {
     val b1 = GlprSource.reserveNameBase(out, 64L)
     val b2 = GlprSource.reserveNameBase(out, 64L)
     assert(b2 >= b1 + 64L, s"overlapping claims: $b1 / $b2")
-    // racing claims from many threads never overlap
+    // racing claims from many threads never overlap — with UNEQUAL
+    // spans (round-19 review: the (base, span)-keyed filename let two
+    // same-base claims with different spans both win; keying the CAS on
+    // the base alone makes them collide on one filename)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
-      val claims = (1 to 16).map(_ => pool.submit(
-        new java.util.concurrent.Callable[Long] {
-          override def call(): Long = GlprSource.reserveNameBase(out, 10L)
+      val spans = (1 to 16).map(i => 3L + (i % 5) * 7L)
+      val claims = spans.map(sp => pool.submit(
+        new java.util.concurrent.Callable[(Long, Long)] {
+          override def call(): (Long, Long) =
+            (GlprSource.reserveNameBase(out, sp), sp)
         })).map(_.get())
-      val sorted = claims.sorted
+      val sorted = claims.sortBy(_._1)
       sorted.sliding(2).foreach {
-        case Seq(a, b) => assert(b >= a + 10L, s"overlap: $a / $b")
+        case Seq((a, sa), (b, _)) =>
+          assert(b >= a + sa, s"overlap: [$a +$sa) / $b")
         case _ => ()
       }
     } finally pool.shutdown()
+    // legacy `_reserved-<lo>-<hi>` files from earlier rounds still
+    // gate the number line, and an 11-digit claim stays visible (the
+    // old fixed-width regex would silently hide it)
+    val outL = TempDirs.scratch("graft-glpr-reserve-legacy").toString
+    new java.io.File(outL).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(outL, "_reserved-0000000200-0000000299").toPath,
+      "claimedAtMs=0".getBytes("UTF-8"))
+    assert(GlprSource.reserveNameBase(outL, 4L) === 300L)
+    val outW = TempDirs.scratch("graft-glpr-reserve-wide").toString
+    new java.io.File(outW).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(outW, "_reserved-10000000000").toPath,
+      "hi=10000000063\nclaimedAtMs=0".getBytes("UTF-8"))
+    assert(GlprSource.reserveNameBase(outW, 2L) === 10000000064L,
+      "an 11-digit reservation must stay visible to the number line")
+    // epoch-scheme claims (maintenance on streaming dirs) are disjoint
+    // too, unequal spans included
+    val outEp = TempDirs.scratch("graft-glpr-reserve-epoch").toString
+    new java.io.File(outEp).mkdirs()
+    val e1 = GlprSource.reserveEpochBase(outEp, 7L, 4L, 3L)
+    val e2 = GlprSource.reserveEpochBase(outEp, 7L, 4L, 11L)
+    assert(e1 === 5L && e2 >= e1 + 3L, s"epoch claims overlap: $e1/$e2")
+    assert(GlprSource.reserveEpochBase(outEp, 8L, -1L, 2L) === 0L,
+      "a new epoch starts its own partition number line")
     // end to end: two INTERLEAVED write jobs (factory created — names
     // chosen — before the other commits) land every row of both
     val outE = TempDirs.scratch("graft-glpr-reserve2").toString
@@ -107,6 +138,28 @@ class GlprSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(100L, 101L, 200L, 201L),
       "both jobs' rows must survive — no same-name clobber")
+  }
+
+  test("vacuum folds retired name reservations, keeps claims ahead of the high-water mark") {
+    val out = TempDirs.scratch("graft-glpr-reserve-vac").toString
+    GlprSource.write(docs.limit(20), out)
+    val maxUsed = GlprSource.usedShardNames(out)
+      .filter(GlprSource.isBatchShardName)
+      .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong).max
+    // a claim the committed high-water mark has passed (the write
+    // job's own claim, if still present, qualifies too) vs one ahead
+    java.nio.file.Files.write(
+      new java.io.File(out, f"_reserved-${maxUsed + 100L}%010d").toPath,
+      s"hi=${maxUsed + 163L}\nclaimedAtMs=0".getBytes("UTF-8"))
+    Thread.sleep(20L)
+    GlprMaintenance.vacuum(out): Unit
+    val left = GlprSource.reservations(out)
+    assert(left.forall(_._2 > maxUsed),
+      s"retired reservations must fold: ${left.map(_._3.getName)}")
+    assert(left.exists(_._1 == maxUsed + 100L),
+      "a claim ahead of the high-water mark must survive vacuum")
+    // and the surviving claim still gates the number line
+    assert(GlprSource.reserveNameBase(out, 1L) === maxUsed + 164L)
   }
 
   test("DSv2 write path: two-phase commit leaves no temp files, appends take fresh names") {
@@ -451,7 +504,9 @@ class GlprSpec extends AnyFunSuite {
     val after = GlprSource.committedShards(root)
     assert(after.length < 8 && report.nonEmpty,
       s"compaction must collapse files: ${after.length} of 8 left")
-    // no stage wreckage; vacuum is a no-op on a clean dir
+    // no stage wreckage; the first vacuum may fold the write/compact
+    // jobs' retired name reservations, after which it is a no-op
+    GlprMaintenance.vacuum(root): Unit
     assert(GlprMaintenance.vacuum(root) === 0)
     // sidecar sums survive the merge exactly
     val metas = after.flatMap(GlprSource.readMeta)
