@@ -2702,6 +2702,99 @@ object Registry {
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM documents
         |ORDER BY 1""".stripMargin)),
 
+    // MERGE-ON-READ UPDATE (round-19 verdict #1): UPDATE priced by the
+    // MATCHED rows — victims masked by fresh dv generations,
+    // replacements (assignment applied) appended distributed, ONE
+    // versioned commit for both (the Iceberg/Delta MoR-update shape;
+    // the COW q326 rewrites every touched shard whole). Rolled up BY
+    // the updated column so rows MOVE groups: a lost replacement, an
+    // unmasked victim or a double-appear breaks the hash. COW-equality
+    // and bytes-bounded pins in GlprDvIntegritySpec.
+    "q361_glpr_mor_update" -> Entry((s, d) =>
+      graft.io.GlprSource.updateMorPipeline(s, d).orderBy("lang"), Some(
+      """SELECT CASE WHEN lang IN ('de', 'zh') THEN 'und' ELSE lang END
+        |  AS lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TYPE-WIDENING ALTER COLUMN (round-19 verdict #3): narrow era
+    // (INT/FLOAT extras) → widen (metadata-only: the marker token's
+    // type changes, shards keep their write-time type) → wide era with
+    // values only the wide types hold → ONE aggregate spanning both.
+    // Readers parse each shard's decimal text to the DECLARED (widest)
+    // type; the text serialization makes the promotion value-exact.
+    "q362_glpr_type_widening" -> Entry((s, d) =>
+      graft.io.GlprSource.typeWideningPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(score) AS BIGINT) AS score_sum,
+        | CAST(sum(conf) AS DOUBLE) AS conf_sum
+        |FROM (
+        | SELECT lang, CAST(doc_id % 100 AS BIGINT) AS score,
+        |  CAST(doc_id % 8 AS DOUBLE) / 4 AS conf FROM documents
+        | UNION ALL
+        | SELECT lang, doc_id + 4000000000 AS score,
+        |  CAST(doc_id % 16 AS DOUBLE) / 8 AS conf
+        | FROM documents WHERE doc_id < 100
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ADD COLUMN ... DEFAULT (round-19 verdict #6, the Iceberg
+    // INITIAL-default): a marker-stored literal served at read to every
+    // shard that PREDATES the column — zero shard touches — while
+    // post-evolution rows carry their own bytes and a no-default column
+    // keeps the q332 null compat. Three eras, one aggregate.
+    "q363_glpr_add_default" -> Entry((s, d) =>
+      graft.io.GlprSource.addDefaultPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(tier) AS BIGINT) AS n_tier,
+        | CAST(sum(rank) AS BIGINT) AS rank_sum
+        |FROM (
+        | SELECT lang, NULL AS tier, 7 AS rank FROM documents
+        | UNION ALL
+        | SELECT lang, 't' || CAST(doc_id % 3 AS VARCHAR), 7
+        | FROM documents WHERE doc_id < 200
+        | UNION ALL
+        | SELECT lang, 't' || CAST(doc_id % 3 AS VARCHAR), doc_id % 5
+        | FROM documents WHERE doc_id < 100
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // AGE-BASED RETENTION (round-19 verdict #7): expire_versions by
+    // the q335 durable commit clock ("retain 7 days"), pinned to a
+    // deterministic day-apart schedule — the middle version expires,
+    // the TAGGED snapshot is exempt (q354), the young head survives,
+    // vacuum reclaims. Live + tagged reads certify both outcomes.
+    "q364_glpr_age_retention" -> Entry((s, d) =>
+      graft.io.GlprMaintenance.ageRetentionPipeline(s, d)
+        .orderBy("side", "lang"), Some(
+      """SELECT 'live' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (
+        | SELECT lang, doc_id FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 199
+        | UNION ALL
+        | SELECT lang, doc_id + 1000000 FROM documents WHERE doc_id < 50
+        |) GROUP BY 2
+        |UNION ALL
+        |SELECT 'tagged', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM documents GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // MERGE-ON-READ MERGE (CDC-apply priced by the changeset): source
+    // [100,500) upserted into target [0,300) — matched rows masked +
+    // replaced (re-cased text), new keys inserted, one versioned
+    // commit. Oracle recomputes the merged state: matched rows appear
+    // exactly once with NEW text, kept rows once with old, inserts once.
+    "q365_glpr_mor_merge" -> Entry((s, d) =>
+      graft.io.GlprSource.mergeMorPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(CASE WHEN doc_id >= 100 THEN upper(text)
+        |   ELSE text END)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ZERO-SHUFFLE EXACT-DEDUP AUDIT — the other half of the bucket-SPJ
     // dividend (q353): GROUP BY doc_id over a bucket-clustered corpus
     // plans NO exchange at all (the key-grouped report satisfies the

@@ -247,6 +247,13 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     require(got == want,
       s"GLPR tables start with the fixed schema ${GlprSource.schema.simpleString}, got ${schema.simpleString}")
     val extraCols: Seq[String] = schema.fields.drop(4).toSeq.map { f =>
+      require(!f.metadata.contains("CURRENT_DEFAULT") &&
+          !f.metadata.contains("EXISTS_DEFAULT"),
+        s"GLPR CREATE TABLE does not take column DEFAULTs ('${f.name}'): " +
+          "a brand-new column has no pre-evolution shards for an initial " +
+          "default to serve, and INSERTs never auto-fill — add the " +
+          "column with ALTER TABLE ... ADD COLUMN ... DEFAULT after " +
+          "data exists if the initial-default read is wanted")
       GlprSource.extraToken(checkExtraName(f.name),
         extraTypeNameOf(f.dataType, f.name), f.name)
     }
@@ -340,9 +347,11 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     case org.apache.spark.sql.types.StringType => "string"
     case org.apache.spark.sql.types.LongType => "bigint"
     case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.FloatType => "float"
     case other => throw new IllegalArgumentException(
-      s"GLPR extra columns must be STRING, BIGINT or DOUBLE, got " +
-        s"$name: ${other.simpleString}")
+      s"GLPR extra columns must be STRING, BIGINT, DOUBLE, INT or " +
+        s"FLOAT, got $name: ${other.simpleString}")
   }
 
   /** SCHEMA EVOLUTION (q332; typed + rename since round 18):
@@ -357,6 +366,15 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
     * stay no-ops; every OTHER structural change (drops of any column,
     * renames of base columns, type changes, positioned adds) is still
     * rejected — the base layout is the format. */
+  /** Declares column-DEFAULT support so `ADD COLUMN ... DEFAULT <lit>`
+    * reaches [[alterTable]] (q363). GLPR stores the literal as an
+    * INITIAL default only (applied at read to pre-evolution shards);
+    * INSERTs never auto-fill — writes carry every column. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -388,7 +406,53 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
         require(!dropped.contains(name),
           s"column name '$name' belongs to a dropped column (burned " +
             "with its physical name); pick another name")
-        extras = extras :+ GlprSource.extraToken(name, tpe, name)
+        // ADD COLUMN ... DEFAULT <literal> (q363): store the FOLDED
+        // literal as the column's INITIAL default — applied at read to
+        // shards that predate the column (the Iceberg initial-default
+        // move); post-evolution rows carry their own bytes, and an
+        // explicit NULL stays NULL. Non-literal defaults have no
+        // stable fold point in a file-based format — refuse.
+        val dflt: Option[String] = Option(add.defaultValue()).flatMap { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            s"GLPR DEFAULT for '$name' must be a constant literal " +
+              s"(got non-foldable ${dv.toString}); compute " +
+              "row-dependent values in the INSERT instead")
+          Option(lit.value()).map { v =>
+            tpe match {
+              case "bigint" => v match {
+                case l: java.lang.Long => l.toString
+                case i: java.lang.Integer => i.toString
+                case other => throw new IllegalArgumentException(
+                  s"GLPR DEFAULT for BIGINT column '$name' must be an " +
+                    s"integral literal, got $other")
+              }
+              case "double" => v match {
+                case d: java.lang.Double => java.lang.Double.toString(d)
+                case f: java.lang.Float => java.lang.Double.toString(f.toDouble)
+                case i: java.lang.Integer => java.lang.Double.toString(i.toDouble)
+                case l: java.lang.Long => java.lang.Double.toString(l.toDouble)
+                case other => throw new IllegalArgumentException(
+                  s"GLPR DEFAULT for DOUBLE column '$name' must be a " +
+                    s"numeric literal, got $other")
+              }
+              case "int" => v match {
+                case i: java.lang.Integer => i.toString
+                case other => throw new IllegalArgumentException(
+                  s"GLPR DEFAULT for INT column '$name' must be an INT " +
+                    s"literal, got $other")
+              }
+              case "float" => v match {
+                case f: java.lang.Float => java.lang.Float.toString(f)
+                case other => throw new IllegalArgumentException(
+                  s"GLPR DEFAULT for FLOAT column '$name' must be a " +
+                    s"FLOAT literal, got $other")
+              }
+              case _ => v.toString // string: UTF8String's toString
+            }
+          } // DEFAULT NULL = the ordinary q332 null-compat: no token
+        }
+        extras = extras :+ GlprSource.extraToken(name, tpe, name, dflt)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "GLPR RENAME COLUMN supports top-level columns only")
@@ -418,8 +482,8 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
           s"column name '${ren.newName}' belongs to a dropped column " +
             "(burned with its physical name); pick another name")
         val (_, tpe, phys) = GlprSource.parseExtraToken(extras(i))
-        extras = extras.updated(i,
-          GlprSource.extraToken(ren.newName, tpe, phys))
+        extras = extras.updated(i, GlprSource.extraToken(ren.newName, tpe,
+          phys, GlprSource.extraDefault(extras(i))))
       // DROP COLUMN as a METADATA TOMBSTONE (round-18 verdict #2): the
       // extra's token leaves the marker — every scan stops projecting
       // it, on mixed shards alike (shards that carry the bytes skip
@@ -451,10 +515,38 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
           dropped = (dropped ++ Seq(name, phys)).distinct
           extras = extras.patch(i, Nil, 1)
         }
+      // TYPE WIDENING (q362, round-19 verdict #3): the Iceberg-safe
+      // promotions INT→BIGINT and FLOAT→DOUBLE, metadata-only — the
+      // marker token's type changes, shard sidecars keep the type each
+      // shard was WRITTEN under, and readers parse every shard's
+      // decimal text straight to the declared (widest) type
+      // (extraSlots binds decode kinds from the TABLE tokens). The
+      // text serialization makes this exact: "123" parses identically
+      // as int or bigint. Everything else still rejects — a narrowing
+      // or cross-family change would reinterpret committed shard
+      // bytes.
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "GLPR ALTER COLUMN TYPE supports top-level columns only")
+        val name = upd.fieldNames()(0)
+        require(!GlprSource.schema.fieldNames.contains(name),
+          s"GLPR base column '$name' is the format; ALTER COLUMN TYPE " +
+            "applies to added extra columns only")
+        val i = extras.indexWhere(t => GlprSource.extraLogical(t) == name)
+        require(i >= 0, s"no such column '$name'")
+        val (_, from, phys) = GlprSource.parseExtraToken(extras(i))
+        val to = extraTypeNameOf(upd.newDataType(), name)
+        require(to == from || (from, to) == (("int", "bigint")) ||
+            (from, to) == (("float", "double")),
+          s"GLPR ALTER COLUMN supports WIDENING only (INT -> BIGINT, " +
+            s"FLOAT -> DOUBLE); cannot change '$name' $from -> $to")
+        extras = extras.updated(i, GlprSource.extraToken(name, to, phys,
+          GlprSource.extraDefault(extras(i))))
       case other => throw new UnsupportedOperationException(
         "GLPR tables support ADD COLUMN (appended nullable " +
-          "STRING/BIGINT/DOUBLE), RENAME COLUMN on extras, DROP COLUMN " +
-          s"on extras, and property changes only; got $other")
+          "STRING/BIGINT/DOUBLE/INT/FLOAT), RENAME COLUMN on extras, " +
+          "DROP COLUMN on extras, widening ALTER COLUMN TYPE on extras, " +
+          s"and property changes only; got $other")
     }
     writeMarker(dir, readPartitionCol(dir), extras, dropped)
     new GlprTable(dir.getAbsolutePath, readPartitionCol(dir),

@@ -84,28 +84,50 @@ object GlprMaintenance {
     val entries = GlprSource.committedEntries(path)
     val lineOf: Map[String, String] =
       entries.map(l => GlprSource.entryName(l) -> l).toMap
-    val shards = entries.map(l => new java.io.File(dir, GlprSource.entryName(l)))
-      .filter(_.isFile).sortBy(_.getName)
+    val shards0 = entries.map(l => new java.io.File(dir, GlprSource.entryName(l)))
+      .filter(_.isFile)
+    val metaOf: Map[String, Option[GlprSource.ShardMeta]] =
+      shards0.map(f => f.getName -> GlprSource.readMeta(f)).toMap
+    // PARTITION-CLASS key (round-19 verdict #2): on a partitioned/
+    // bucketed table, merging shards with different recorded
+    // (pcol, pvals) would turn single-valued shards into multi-valued
+    // ones — sound for pruning (the sidecar unions the sets) but it
+    // silently voids the zero-exchange contracts built on
+    // every-shard-single-valued layouts (q306 grouped metadata
+    // aggregates, q319/q353 storage-partitioned joins, the q358 dedup
+    // audit) until a recluster. OPTIMIZE must never cost the SPJ
+    // dividend: groups stay inside one (pcol, pvals) class. Sorting by
+    // (class, name) makes same-class shards from DIFFERENT ingest
+    // waves adjacent so they still fold; unpartitioned shards all key
+    // to "" and keep the original lexical (= id/epoch) order exactly.
+    def classKey(f: java.io.File): String = metaOf(f.getName)
+      .map(m => m.pcol.getOrElse("") + "|" +
+        m.pvals.map(_.toSeq.sorted.mkString(",")).getOrElse(""))
+      .getOrElse("")
+    val shards = shards0.sortBy(f => (classKey(f), f.getName))
     val maskedNames = entries.filter(l => liveMaskOf(path, l).nonEmpty)
       .map(GlprSource.entryName).toSet
-    // greedy consecutive grouping in lexical (= id/epoch) order, so each
-    // merged shard covers a contiguous name interval
+    // greedy consecutive grouping within each class, so each merged
+    // shard covers a contiguous name interval of its class
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
     var cur = Vector.empty[java.io.File]
     var curBytes = 0L
     var curCols: Seq[String] = Seq.empty
+    var curPart = ""
     shards.foreach { f =>
       // a schema-evolution boundary also breaks the group: byte concat
       // needs ONE field layout per merged shard (q332)
-      val cols = GlprSource.readMeta(f).map(_.cols).getOrElse(Seq.empty)
+      val cols = metaOf(f.getName).map(_.cols).getOrElse(Seq.empty)
+      val part = classKey(f)
       if (maskedNames(f.getName) && cols.nonEmpty) {
         // masked + extras: unfoldable here — boundary, like round 17
         if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0L }
       } else {
-        if (cur.nonEmpty && (curBytes + f.length > targetBytes || cols != curCols)) {
+        if (cur.nonEmpty && (curBytes + f.length > targetBytes ||
+            cols != curCols || part != curPart)) {
           groups += cur; cur = Vector.empty; curBytes = 0L
         }
-        cur :+= f; curBytes += f.length; curCols = cols
+        cur :+= f; curBytes += f.length; curCols = cols; curPart = part
       }
     }
     if (cur.nonEmpty) groups += cur
@@ -664,6 +686,204 @@ object GlprMaintenance {
     * more than one COW rewrite. */
   val MoRDeleteCap: Long = 1000000L
 
+  /** Stage-write `rows` into `path` DISTRIBUTED (the connector's own
+    * DSv2 write into a `_tmp-` subdirectory of the table — same
+    * filesystem, invisible to every listing), then adopt the staged
+    * shards under freshly-reserved batch names. Returns the adopted
+    * names; the caller publishes them in its own manifest commit. The
+    * adopted files are invisible until that commit ([[listShardFiles]]
+    * ignores nothing here — the names are on disk but not in the
+    * manifest, and manifest-bearing dirs read the manifest), and a
+    * crash before it leaves only orphans for [[vacuum]]. */
+  private def adoptStagedRows(path: String,
+      rows: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val stage = new java.io.File(path,
+      s"_tmp-upd-${java.util.UUID.randomUUID()}")
+    GlprSource.write(rows, stage.getAbsolutePath)
+    val staged = GlprSource.listShardFiles(stage.getAbsolutePath)
+      .filter(f => GlprSource.readMeta(f).forall(_.rows > 0L))
+    val base = GlprSource.reserveNameBase(path, staged.length.toLong.max(1L))
+    val names = staged.zipWithIndex.map { case (f, i) =>
+      val nn = f"part-${base + i}%010d.glpr"
+      val meta = new java.io.File(stage, f.getName + ".meta")
+      if (meta.isFile)
+        java.nio.file.Files.move(meta.toPath,
+          new java.io.File(path, nn + ".meta").toPath): Unit
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(path, nn).toPath): Unit
+      nn
+    }.toSeq
+    // the stage dir now holds only its own manifest/reservation files
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete(): Unit)
+    stage.delete(): Unit
+    names
+  }
+
+  /** MERGE-ON-READ UPDATE (q361, round-19 verdict #1): `UPDATE SET
+    * setColumn = setValue WHERE column IN (values)` priced by the
+    * MATCHED rows, not the touched-shard bytes — the COW path (q326
+    * `SupportsRowLevelOperations`) rewrites every scanned shard whole,
+    * which on a 100 TB corpus makes a selective update cost the table.
+    * This is the Iceberg/Delta MoR-update shape: one distributed
+    * matching job (existing masks applied) finds the victims; each
+    * affected shard gets a fresh immutable delete-vector GENERATION
+    * masking them; the REPLACEMENT rows (victims with the assignment
+    * applied) are written distributed through the connector and adopted
+    * under reserved batch names; and ONE manifest commit publishes
+    * masks + replacements together — a single atomic versioned history
+    * step that time travel, CDF (dv-deltas + inserts) and
+    * [[materializeDeletes]] compose with like any other. Bytes written
+    * are bounded by the matched rows; the same 1M cap as the MoR
+    * deletes refuses loudly toward COW. Schema-evolved (extra-column)
+    * and epoch-named dirs refuse like [[materializeDeletes]]; DML is
+    * single-writer like the rest of the maintenance surface. Returns
+    * (maskedShards, replacementShards). */
+  def updateWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String, values: Set[String],
+      setColumn: String, setValue: String,
+      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    require(Set("lang", "source")(column),
+      s"GLPR merge-on-read update matches on a base value column " +
+        s"(lang/source), got '$column'")
+    require(Set("lang", "source", "text")(setColumn),
+      s"GLPR merge-on-read update assigns a base string column " +
+        s"(lang/source/text), got '$setColumn'")
+    require(values.nonEmpty, "empty GLPR update value set")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val dir = new java.io.File(path)
+    val entries0 = GlprSource.committedEntries(path)
+    require(!entries0.exists(l =>
+        GlprSource.isEpochShardName(GlprSource.entryName(l))),
+      s"GLPR merge-on-read update in '$path' refused: epoch-named " +
+        "(streaming sink) shards; use the COW SQL UPDATE")
+    require(!entries0.exists(l => GlprSource.readMeta(new java.io.File(dir,
+        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
+      s"GLPR merge-on-read update in '$path' refused: schema-evolution " +
+        "extra columns present; the replacement write carries the base " +
+        "schema only — use the COW SQL UPDATE")
+    def matching = spark.read.format("graft.io.GlprSource").load(path)
+      .filter(col(column).isin(values.toSeq: _*))
+    // cap BEFORE anything lands on the driver, like the MoR deletes
+    val total = matching.count()
+    require(total <= cap,
+      s"GLPR merge-on-read update in '$path' matches $total rows " +
+        s"(> $cap): the mask costs more at every read than one " +
+        "copy-on-write rewrite — use the SQL UPDATE (COW) path instead")
+    if (total == 0L) return (Seq.empty, Seq.empty)
+    // replacements first (distributed; invisible until the flip) …
+    val newNames = adoptStagedRows(path, matching
+      .withColumn(setColumn, lit(setValue))
+      .select("doc_id", "lang", "source", "text"))
+    // … then the per-shard victim ids (only (shard, id) pairs ever
+    // reach the driver, never row payloads)
+    val matched = matching
+      .groupBy(col("_shard"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    val gens: Map[String, Option[Long]] = entries0
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
+    val newGens: Map[String, Long] = matched.flatMap { case (n, ids) =>
+      GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
+        ids.sorted.map(id => (id, id))).map(n -> _)
+    }.toMap
+    // ONE commit: gen bumps + replacement lines together (CAS retries
+    // re-run the closure on a fresh base — never double-append)
+    GlprSource.commitManifest(path) { base =>
+      val present = base.map(GlprSource.entryName).toSet
+      base.map { l =>
+        val n = GlprSource.entryName(l)
+        newGens.get(n) match {
+          case Some(g) => GlprSource.entryLine(n,
+            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
+          case None => l
+        }
+      } ++ newNames.filterNot(present).map(n => GlprSource.entryLine(n, None))
+    }
+    requireGensCommitted(path, newGens)
+    val live = GlprSource.committedEntries(path)
+      .map(GlprSource.entryName).toSet
+    require(newNames.forall(live),
+      s"GLPR merge-on-read update in '$path' lost replacement shard(s) " +
+        s"${newNames.filterNot(live).mkString(", ")} to a concurrent " +
+        "commit — retry against the current layout")
+    (newGens.keys.toSeq.sorted, newNames)
+  }
+
+  /** MERGE-ON-READ MERGE/upsert (q365): apply `source` (base-schema
+    * rows keyed by doc_id) to the table as `WHEN MATCHED THEN UPDATE
+    * SET * / WHEN NOT MATCHED THEN INSERT *` at merge-on-read cost —
+    * matched target rows are MASKED (fresh dv generations), every
+    * source row appends, ONE manifest commit publishes both. This is
+    * the CDC-apply primitive priced by the changeset, not the
+    * touched-shard bytes (the COW q327/q338 MERGE rewrites every shard
+    * a match lands in). Same cap/refusal posture as
+    * [[updateWhereMergeOnRead]]. Returns (maskedShards, newShards). */
+  def mergeMergeOnRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: org.apache.spark.sql.DataFrame,
+      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, collect_list}
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val dir = new java.io.File(path)
+    val entries0 = GlprSource.committedEntries(path)
+    require(!entries0.exists(l =>
+        GlprSource.isEpochShardName(GlprSource.entryName(l))),
+      s"GLPR merge-on-read merge in '$path' refused: epoch-named " +
+        "(streaming sink) shards; use the COW SQL MERGE")
+    require(!entries0.exists(l => GlprSource.readMeta(new java.io.File(dir,
+        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
+      s"GLPR merge-on-read merge in '$path' refused: schema-evolution " +
+        "extra columns present — use the COW SQL MERGE")
+    val src = source.select("doc_id", "lang", "source", "text")
+    // distributed match: target ⋈ source keys (the key set is ≤ cap so
+    // Spark broadcasts it; only (shard, id) pairs reach the driver)
+    val srcIds = src.select(col("doc_id")).distinct()
+    require(srcIds.count() == src.count(),
+      s"GLPR merge-on-read merge in '$path' refused: duplicate doc_id " +
+        "in the merge source — upsert-by-key needs one row per key " +
+        "(the SQL MERGE cardinality rule)")
+    def matching = spark.read.format("graft.io.GlprSource").load(path)
+      .select(col("_shard"), col("doc_id"))
+      .join(org.apache.spark.sql.functions.broadcast(srcIds), "doc_id")
+    val total = matching.count()
+    require(total <= cap,
+      s"GLPR merge-on-read merge in '$path' matches $total target rows " +
+        s"(> $cap): use the SQL MERGE (COW) path instead")
+    val newNames = adoptStagedRows(path, src)
+    val matched = matching
+      .groupBy(col("_shard"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    val gens: Map[String, Option[Long]] = entries0
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
+    val newGens: Map[String, Long] = matched.flatMap { case (n, ids) =>
+      GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
+        ids.sorted.map(id => (id, id))).map(n -> _)
+    }.toMap
+    GlprSource.commitManifest(path) { base =>
+      val present = base.map(GlprSource.entryName).toSet
+      base.map { l =>
+        val n = GlprSource.entryName(l)
+        newGens.get(n) match {
+          case Some(g) => GlprSource.entryLine(n,
+            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
+          case None => l
+        }
+      } ++ newNames.filterNot(present).map(n => GlprSource.entryLine(n, None))
+    }
+    requireGensCommitted(path, newGens)
+    val live = GlprSource.committedEntries(path)
+      .map(GlprSource.entryName).toSet
+    require(newNames.forall(live),
+      s"GLPR merge-on-read merge in '$path' lost source shard(s) " +
+        s"${newNames.filterNot(live).mkString(", ")} to a concurrent " +
+        "commit — retry against the current layout")
+    (newGens.keys.toSeq.sorted, newNames)
+  }
+
   /** MATERIALIZE delete vectors (q323): rewrite every DV-carrying shard
     * through the standard reader (which applies the mask), commit the
     * survivors under fresh names behind ONE manifest flip (mints a
@@ -913,6 +1133,30 @@ object GlprMaintenance {
     // files). Dropping the tag re-exposes the version to expiry.
     val tagged = GlprSource.listTags(path).values.toSet
     val doomed = vs.dropRight(keepLast).filterNot(tagged)
+    doomed.foreach(v => GlprSource.versionFile(path, v).delete(): Unit)
+    doomed
+  }
+
+  /** AGE-BASED retention (q364, round-19 verdict #7): expire every
+    * version whose DURABLE COMMIT TIME (the q335 clock — written into
+    * the version header, so it survives copies/restores; mtime
+    * fallback for legacy files) is strictly older than `cutoffMs` —
+    * the "retain 7 days" operators actually think in, vs
+    * [[expireVersions]]'s count rule. The LIVE HEAD never expires
+    * regardless of age (the newest version IS the table); TAGGED
+    * versions are exempt like the count path (q354); branch chains own
+    * their versions in a separate file namespace and are untouched —
+    * publish/drop governs their lifecycle. Physical reclaim stays the
+    * explicit [[vacuum]], exactly like the count path. Returns the
+    * versions dropped. */
+  def expireVersionsOlderThan(path: String, cutoffMs: Long): Seq[Long] = {
+    require(cutoffMs >= 0L,
+      s"expireVersionsOlderThan cutoff must be an epoch-ms instant, got $cutoffMs")
+    val vs = GlprSource.listManifestVersions(path)
+    if (vs.isEmpty) return Seq.empty
+    val tagged = GlprSource.listTags(path).values.toSet
+    val doomed = vs.dropRight(1).filterNot(tagged)
+      .filter(v => GlprSource.versionCommitMs(path, v) < cutoffMs)
     doomed.foreach(v => GlprSource.versionFile(path, v).delete(): Unit)
     doomed
   }
@@ -1486,6 +1730,67 @@ object GlprMaintenance {
         |FROM glpr_tg.ns.docs VERSION AS OF 'shipped' GROUP BY 2""".stripMargin))
   }
   private val tagsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q364 — AGE-BASED RETENTION end to end (round-19 verdict #7):
+    * three commits pinned to a fixed day-apart clock schedule (the
+    * q335 durable-clock staging tool — deterministic oracles need a
+    * deterministic clock), the oldest TAGGED; then
+    * `expire_versions(older_than_ms = T0 + 1.5 days)` + `vacuum`.
+    * Exactly the middle version expires — the tagged snapshot is
+    * exempt (q354), the young head survives on age — and the live
+    * read, the tagged read, and the history length certify it. Oracle
+    * = both sides derived relationally. Head-never-expires and
+    * mode-exclusivity pins in GlprCatalogSpec. */
+  def ageRetentionPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val T0 = 1700000000000L // fixed epoch instant; commits a day apart
+    val day = 86400000L
+    val root = ageRetCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-ageret").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.glpr_age", "graft.io.GlprCatalog")
+      s2.conf.set("spark.sql.catalog.glpr_age.root", croot)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.sql("CREATE TABLE glpr_age.ns.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_age.ns.docs SELECT doc_id, lang, source, " +
+        s"text FROM parquet.`$dir/documents.parquet` " +
+        "DISTRIBUTE BY doc_id div 100")
+      s2.sql("CALL glpr_age.sys.tag('ns.docs', 'shipped')").collect(): Unit
+      s2.sql("DELETE FROM glpr_age.ns.docs WHERE doc_id BETWEEN 100 AND 199")
+      s2.sql("INSERT INTO glpr_age.ns.docs SELECT doc_id + 1000000, lang, " +
+        s"source, text FROM parquet.`$dir/documents.parquet` " +
+        "WHERE doc_id < 50")
+      val path = new java.io.File(croot, "ns/docs").getAbsolutePath
+      val vs = GlprSource.listManifestVersions(path)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        GlprSource.pinVersionCommitMs(path, v, T0 + i * day) }
+      // cutoff between the 2nd and 3rd commit: the tagged v1 is exempt,
+      // the middle version expires, the head survives on age. An
+      // ALL-EMPTY corpus may collapse the schedule (no-op commits mint
+      // no versions), so the staging sanity check only binds when the
+      // three-commit history actually exists.
+      val dropped = s2.sql("CALL glpr_age.sys.expire_versions('ns.docs', " +
+        s"older_than_ms => ${T0 + day + day / 2})").head().getLong(0)
+      require(vs.length < 3 || dropped >= 1L,
+        s"q364 staging: expected the middle version to expire, dropped $dropped")
+      s2.sql("CALL glpr_age.sys.vacuum('ns.docs')").collect(): Unit
+      croot
+    })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.glpr_age", "graft.io.GlprCatalog")
+    s2.conf.set("spark.sql.catalog.glpr_age.root", root)
+    GlprSource.rematerialize(spark, s2.sql(
+      """SELECT 'live' AS side, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM glpr_age.ns.docs GROUP BY 2
+        |UNION ALL
+        |SELECT 'tagged', lang, CAST(count(*) AS BIGINT),
+        | CAST(sum(doc_id) AS BIGINT)
+        |FROM glpr_age.ns.docs VERSION AS OF 'shipped' GROUP BY 2""".stripMargin))
+  }
+  private val ageRetCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q355 — CHECK CONSTRAINTS end to end: admit `doc_id >= 0 AND text

@@ -26,7 +26,8 @@ object GlprProcedures {
     "create_branch", "publish_branch", "drop_branch",
     "set_partition_spec", "delete_range_mor", "branches", "clone",
     "tag", "drop_tag", "tags",
-    "add_constraint", "drop_constraint", "constraints", "files")
+    "add_constraint", "drop_constraint", "constraints", "files",
+    "update_where_mor", "merge_mor")
   def load(name: String, resolve: String => java.io.File,
       resolveFresh: String => java.io.File = null,
       catalog: String = ""): Option[UnboundProcedure] =
@@ -362,7 +363,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "vacuum" => "vacuum(table, grace_ms DEFAULT 0): unlink _tmp stage wreckage older than grace_ms"
     case "restore" => "restore(table, version): re-point the live manifest at a version"
     case "rebuild_manifest" => "rebuild_manifest(table): re-adopt the live content plus true orphans"
-    case "expire_versions" => "expire_versions(table, keep): drop all but the newest keep manifest versions (then vacuum reclaims their retired shards)"
+    case "expire_versions" => "expire_versions(table, keep DEFAULT -1, older_than_ms DEFAULT -1): drop manifest versions by COUNT (all but the newest keep) or by AGE (durable commit clock older than the instant; the live head never expires) - exactly one mode per call; tags exempt either way, then vacuum reclaims the retired shards"
     case "recluster" => "recluster(table, shards, zorder_by DEFAULT ''): rewrite the live table into shards tight-bounds files (OPTIMIZE) — range-clustered by doc_id, or Morton-interleaved with zorder_by (lang/source) so id bounds AND value sets both prune"
     case "delete_where_mor" => "delete_where_mor(table, column, values): merge-on-read predicate DELETE — mask rows where column IN (comma-separated values) via delete-vector generations, zero data moved (capped toward the COW SQL DELETE past 1M matched rows)"
     case "create_branch" => "create_branch(table, name): fork a write-audit-publish branch from the live manifest (stage writes with the 'branch' writer option; audit with the 'branch' reader option)"
@@ -370,6 +371,8 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "drop_branch" => "drop_branch(table, name): unlink the branch chain (the audit failed); branch-only shards become vacuum-reclaimable orphans"
     case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
     case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
+    case "update_where_mor" => "update_where_mor(table, column, values, set_column, set_value): merge-on-read UPDATE - mask rows where column IN (comma-separated values) via delete-vector generations AND append their replacements with set_column := set_value, ONE versioned commit; priced by matched rows, not touched-shard bytes (capped toward the COW SQL UPDATE past 1M matches)"
+    case "merge_mor" => "merge_mor(table, source): merge-on-read MERGE/upsert - apply the source GLPR table keyed by doc_id (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *): matched target rows masked, all source rows appended, ONE versioned commit; priced by the changeset (capped toward the COW SQL MERGE past 1M matches)"
     case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
     case "clone" => "clone(table, dest): ZERO-COPY snapshot clone - hard-link the live shards (+ sidecars/masks) into dest and mint its manifest v1 from the live lines; fully independent tables over shared immutable bytes (the Delta shallow-clone move)"
     case "tag" => "tag(table, name, version DEFAULT -1): pin an IMMUTABLE named tag at a manifest version (-1 = the live head); VERSION AS OF '<name>' reads it forever and expire_versions keeps it (retention override)"
@@ -394,9 +397,14 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", LongType).build())
+      // exactly ONE retention mode per call (q364): keep = count rule
+      // (newest N survive), older_than_ms = age rule over the q335
+      // durable commit clock (tags exempt, the head never expires)
       case "expire_versions" => Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("keep", LongType).build())
+        ProcedureParameter.in("keep", LongType).defaultValue("-1").build(),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue("-1").build())
       // zorder_by is OPTIONAL (q350): '' = the q336 doc_id range
       // recluster; 'lang'/'source' = the Morton-interleaved layout
       // (tight sidecar bounds AND value sets at once)
@@ -448,6 +456,15 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         ProcedureParameter.in("lo", LongType).build(),
         ProcedureParameter.in("hi", LongType).build(),
         ProcedureParameter.in("branch", StringType).defaultValue("''").build())
+      case "update_where_mor" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("values", StringType).build(),
+        ProcedureParameter.in("set_column", StringType).build(),
+        ProcedureParameter.in("set_value", StringType).build())
+      case "merge_mor" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("source", StringType).build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -468,7 +485,15 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
           summary("restored_to" -> v,
             "live_version" -> GlprSource.listManifestVersions(path).last)
         case "expire_versions" =>
-          val expired = GlprMaintenance.expireVersions(path, input.getLong(1).toInt)
+          val keep = input.getLong(1)
+          val olderThan = input.getLong(2)
+          require((keep >= 0L) != (olderThan >= 0L),
+            "GLPR expire_versions takes exactly ONE retention mode: " +
+              "keep => N (count rule) or older_than_ms => T (age rule " +
+              "over the durable commit clock)")
+          val expired =
+            if (keep >= 0L) GlprMaintenance.expireVersions(path, keep.toInt)
+            else GlprMaintenance.expireVersionsOlderThan(path, olderThan)
           summary("expired" -> expired.length.toLong,
             "live_version" ->
               GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
@@ -545,6 +570,29 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
           val dst = resolveFresh(input.getUTF8String(1).toString)
           val linked = GlprMaintenance.cloneTable(dir, dst)
           summary("linked_shards" -> linked.toLong)
+        case "update_where_mor" =>
+          val vals = input.getUTF8String(2).toString
+            .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet
+          val (masked, appended) = GlprMaintenance.updateWhereMergeOnRead(
+            org.apache.spark.sql.SparkSession.active, path,
+            input.getUTF8String(1).toString, vals,
+            input.getUTF8String(3).toString,
+            input.getUTF8String(4).toString)
+          summary("masked_shards" -> masked.length.toLong,
+            "replacement_shards" -> appended.length.toLong,
+            "live_version" ->
+              GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
+        case "merge_mor" =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val srcDir = resolve(input.getUTF8String(1).toString)
+          val src = spark.read.format("graft.io.GlprSource")
+            .load(srcDir.getAbsolutePath)
+          val (masked, appended) =
+            GlprMaintenance.mergeMergeOnRead(spark, path, src)
+          summary("masked_shards" -> masked.length.toLong,
+            "appended_shards" -> appended.length.toLong,
+            "live_version" ->
+              GlprSource.listManifestVersions(path).lastOption.getOrElse(0L))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       java.util.Collections.singletonList[Scan](result).iterator()

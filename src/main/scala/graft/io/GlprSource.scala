@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroB
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -105,8 +105,16 @@ object GlprSource {
       extraCols.map(c =>
         StructField(extraLogical(c), extraDataType(c), nullable = true)))
 
-  /** Parse an extra-column token into (logical, typeName, physical). */
-  private[io] def parseExtraToken(tok: String): (String, String, String) = {
+  /** Parse an extra-column token into (logical, typeName, physical).
+    * A trailing `=<url-encoded literal>` (the q363 ADD COLUMN DEFAULT
+    * channel — see [[extraDefault]]) is stripped first; '=' cannot
+    * appear in names (token-safe charset) or in the encoded literal
+    * (URL encoding), so the split is unambiguous. */
+  private[io] def parseExtraToken(tok0: String): (String, String, String) = {
+    val tok = tok0.indexOf('=') match {
+      case -1 => tok0
+      case i => tok0.substring(0, i)
+    }
     val (namePart, phys) = tok.indexOf('@') match {
       case -1 => (tok, null)
       case i => (tok.substring(0, i), tok.substring(i + 1))
@@ -115,7 +123,8 @@ object GlprSource {
       case -1 => (namePart, "string")
       case i => (namePart.substring(0, i), namePart.substring(i + 1))
     }
-    require(tpe == "string" || tpe == "bigint" || tpe == "double",
+    require(tpe == "string" || tpe == "bigint" || tpe == "double" ||
+        tpe == "int" || tpe == "float",
       s"unknown GLPR extra-column type '$tpe' in token '$tok'")
     (logical, tpe, if (phys == null) logical else phys)
   }
@@ -126,13 +135,18 @@ object GlprSource {
     extraTypeName(tok) match {
       case "bigint" => LongType
       case "double" => DoubleType
+      case "int" => IntegerType
+      case "float" => FloatType
       case _ => StringType
     }
-  /** 0 = string, 1 = bigint, 2 = double — the readers'/writer's decode
-    * dispatch, from either a table token or a sidecar token. */
+  /** 0 = string, 1 = bigint, 2 = double, 3 = int, 4 = float — the
+    * readers'/writer's decode dispatch, from either a table token or a
+    * sidecar token. */
   private[io] def extraKind(tok: String): Int = extraTypeName(tok) match {
     case "bigint" => 1
     case "double" => 2
+    case "int" => 3
+    case "float" => 4
     case _ => 0
   }
   /** The token a shard SIDECAR records for a table extra: the physical
@@ -142,11 +156,21 @@ object GlprSource {
     val (_, tpe, phys) = parseExtraToken(tok)
     if (tpe == "string") phys else s"$phys:$tpe"
   }
+  /** The column's stored DEFAULT literal text (q363), if any: applied
+    * at read to shards that PREDATE the column — the Iceberg
+    * initial-default idea. Rows that carry an explicit NULL stay NULL;
+    * only a missing field surfaces the default. */
+  private[io] def extraDefault(tok: String): Option[String] =
+    tok.indexOf('=') match {
+      case -1 => None
+      case i => Some(decodePval(tok.substring(i + 1)))
+    }
   /** Build a marker token. */
   private[io] def extraToken(logical: String, tpe: String,
-      physical: String): String =
+      physical: String, default: Option[String] = None): String =
     logical + (if (tpe == "string") "" else s":$tpe") +
-      (if (physical == logical) "" else s"@$physical")
+      (if (physical == logical) "" else s"@$physical") +
+      default.map(d => s"=${encodePval(d)}").getOrElse("")
 
   /** Resolve ONE shard's sidecar extra tokens against a read schema and
     * the table's extra tokens (the readers' per-shard layout binding):
@@ -160,7 +184,7 @@ object GlprSource {
     * physical). */
   private[io] def extraSlots(file: String, required: StructType,
       extraTokens: Seq[String])
-      : (Array[String], Array[Int], Array[Int], Array[Int]) = {
+      : (Array[String], Array[Int], Array[Int], Array[Int], Array[AnyRef]) = {
     val wantIdx = required.fieldNames.zipWithIndex.toMap
     val physToLogical = extraTokens.iterator
       .map(t => extraPhysical(t) -> extraLogical(t)).toMap
@@ -170,14 +194,39 @@ object GlprSource {
     val logicals = shardExtras.map(t =>
       physToLogical.getOrElse(extraPhysical(t), extraPhysical(t)))
     val ordinals = logicals.map(l => wantIdx.getOrElse(l, -1))
-    val kinds = shardExtras.map(extraKind)
+    // decode to the TABLE's declared type when the physical name binds
+    // to a table token (q362 type widening: an `e:int` shard under an
+    // `e:bigint` table parses its decimal text straight to the wide
+    // type — the text serialization makes widening a pure parse-target
+    // change, zero shard touches); shard-recorded types apply only for
+    // extras the table no longer declares (path reads)
+    val physToTableKind = extraTokens.iterator
+      .map(t => extraPhysical(t) -> extraKind(t)).toMap
+    val kinds = shardExtras.map(t =>
+      physToTableKind.getOrElse(extraPhysical(t), extraKind(t)))
     val baseNames = Set("doc_id", "lang", "source", "text",
       "_shard", "_change_type")
     val logicalSet = logicals.toSet
     val missing = required.fieldNames
       .filter(n => !baseNames(n) && !logicalSet.contains(n))
       .map(wantIdx(_))
-    (shardExtras, ordinals, kinds, missing)
+    // per-missing-ordinal DEFAULT (q363), pre-parsed ONCE to its typed
+    // boxed value (null = plain SQL NULL, the q332 compat default):
+    // pre-evolution shards surface the stored literal with zero
+    // per-row parse cost
+    val tokenOfLogical: Map[String, String] =
+      extraTokens.iterator.map(t => extraLogical(t) -> t).toMap
+    val defaults: Array[AnyRef] = missing.map { ord =>
+      tokenOfLogical.get(required.fieldNames(ord))
+        .flatMap(t => extraDefault(t).map(d => extraKind(t) match {
+          case 1 => java.lang.Long.valueOf(d): AnyRef
+          case 2 => java.lang.Double.valueOf(d): AnyRef
+          case 3 => java.lang.Integer.valueOf(d): AnyRef
+          case 4 => java.lang.Float.valueOf(d): AnyRef
+          case _ => UTF8String.fromString(d): AnyRef
+        })).orNull
+    }
+    (shardExtras, ordinals, kinds, missing, defaults)
   }
 
   /** PARTITION TRANSFORMS (q333/q334), encoded as the partition-spec
@@ -562,7 +611,7 @@ object GlprSource {
   private val SliceSql =
     "(CASE WHEN doc_id < 100 THEN 0 WHEN doc_id < 300 THEN 1 ELSE 2 END)"
 
-  private def freshCatalogSession(spark: org.apache.spark.sql.SparkSession,
+  private[io] def freshCatalogSession(spark: org.apache.spark.sql.SparkSession,
       catalog: String, root: String): org.apache.spark.sql.SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1068,6 +1117,69 @@ object GlprSource {
   private val valueDelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q361 — MERGE-ON-READ UPDATE (round-19 verdict #1): the staged
+    * corpus normalized (`UPDATE SET lang = 'und' WHERE lang IN ('de',
+    * 'zh')`) through [[GlprMaintenance.updateWhereMergeOnRead]] — the
+    * matched rows MASKED by fresh dv generations, their replacements
+    * (assignment applied) appended distributed, ONE versioned manifest
+    * commit for both — then the live view rolled up BY the updated
+    * column. Rows move between groups, so a replacement lost, a victim
+    * unmasked, or a double-appear all break the hash against the
+    * relational oracle. COW-equality, bytes-bounded-by-matches,
+    * time-travel/CDF compose and idempotent re-run are
+    * GlprDvIntegritySpec-pinned. */
+  def updateMorPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = updateMorCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-morupd").toString
+      write(Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartitionByRange(8, col("doc_id")), out)
+      GlprMaintenance.updateWhereMergeOnRead(
+        spark, out, "lang", Set("de", "zh"), "lang", "und"): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val updateMorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q365 — MERGE-ON-READ MERGE (CDC-apply priced by the changeset):
+    * the corpus `doc_id < 300` staged, then a source slice `[100, 500)`
+    * with re-cased text upserted through
+    * [[GlprMaintenance.mergeMergeOnRead]] — `[100, 300)` are MATCHED
+    * (masked + replaced), `[300, 500)` INSERT — in one versioned
+    * commit. The oracle recomputes the merged state relationally; the
+    * hash certifies matched rows appear exactly once (new text), kept
+    * rows exactly once (old text), inserts exactly once. */
+  def mergeMorPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = mergeMorCache.computeIfAbsent(dir, _ => {
+      val out = TempDirs.scratch("graft-glpr-mormerge").toString
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      write(docs.filter(col("doc_id") < 300L)
+        .repartitionByRange(6, col("doc_id")), out)
+      GlprMaintenance.mergeMergeOnRead(spark, out,
+        docs.filter(col("doc_id") >= 100L && col("doc_id") < 500L)
+          .withColumn("text", upper(col("text")))): Unit
+      out
+    })
+    spark.read.format("graft.io.GlprSource").load(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val mergeMorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q345 — WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern at manifest
     * size): slice 1 INSERTed to main; a branch forked and slice 2
     * STAGED onto it (`branch` writer option — on disk, owned by the
@@ -1382,6 +1494,95 @@ object GlprSource {
         |FROM glpr_tev.corpus.docs GROUP BY lang""".stripMargin))
   }
   private val typedEvoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q362 — TYPE-WIDENING `ALTER COLUMN` end to end (round-19 verdict
+    * #3, the Iceberg-safe promotions): a table created with NARROW
+    * typed extras (`score INT`, `conf FLOAT`), a narrow era INSERTed,
+    * `ALTER COLUMN score TYPE BIGINT` + `ALTER COLUMN conf TYPE
+    * DOUBLE` — metadata-only: the marker token's type changes, shard
+    * sidecars keep each shard's write-time type — then a WIDE era
+    * INSERTed with values only the wide types hold (score past 2³¹).
+    * The aggregate spans both eras: readers bind decode kinds from the
+    * TABLE tokens ([[extraSlots]]), so narrow shards parse their
+    * decimal text straight to the wide type. Conf values are exact
+    * binary fractions (quarters/eighths), so the double sum is
+    * order-independent and the float→double re-parse is value-exact.
+    * The oracle rebuilds both eras relationally; unsafe-change
+    * rejections are GlprCatalogSpec-pinned. */
+  def typeWideningPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = typeWideCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-typewide").toString)
+    val s2 = freshCatalogSession(spark, "glpr_tw", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_tw.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING, " +
+        "score INT, conf FLOAT)")
+      s2.sql("INSERT INTO glpr_tw.corpus.docs " +
+        "SELECT doc_id, lang, source, text, " +
+        "CAST(doc_id % 100 AS INT) AS score, " +
+        "CAST(doc_id % 8 AS FLOAT) / 4 AS conf " +
+        s"FROM parquet.`$dir/documents.parquet`")
+      s2.sql("ALTER TABLE glpr_tw.corpus.docs ALTER COLUMN score TYPE BIGINT")
+      s2.sql("ALTER TABLE glpr_tw.corpus.docs ALTER COLUMN conf TYPE DOUBLE")
+      s2.sql("INSERT INTO glpr_tw.corpus.docs " +
+        "SELECT doc_id + 1000000, lang, source, text, " +
+        "doc_id + 4000000000 AS score, " +
+        "CAST(doc_id % 16 AS DOUBLE) / 8 AS conf " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(score) AS BIGINT) AS score_sum,
+        | CAST(sum(conf) AS DOUBLE) AS conf_sum
+        |FROM glpr_tw.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val typeWideCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q363 — `ADD COLUMN ... DEFAULT <literal>` end to end (round-19
+    * verdict #6, the Iceberg INITIAL-default): a three-era table —
+    * era 1 under the base schema; `ADD COLUMN tier STRING` (default
+    * null, the q332 compat) then era 2 WITH tier values; `ADD COLUMN
+    * rank BIGINT DEFAULT 7` then era 3 WITH rank values. At read the
+    * marker-stored literal serves every shard that PREDATES the
+    * column — era-1 and era-2 shards surface rank 7 with zero shard
+    * touches, era-1 surfaces tier NULL (no default stored) — while
+    * post-evolution rows carry their own bytes. The aggregate spans
+    * all three eras; the oracle rebuilds them relationally. Explicit
+    * NULL-stays-NULL and non-literal refusals are
+    * GlprCatalogSpec-pinned. */
+  def addDefaultPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = addDefaultCache.computeIfAbsent(dir, _ =>
+      TempDirs.scratch("graft-glpr-adddefault").toString)
+    val s2 = freshCatalogSession(spark, "glpr_dflt", root)
+    if (!new java.io.File(root, "corpus/docs/_glpr_table").isFile) {
+      s2.sql("CREATE TABLE glpr_dflt.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_dflt.corpus.docs " +
+        s"SELECT doc_id, lang, source, text FROM parquet.`$dir/documents.parquet`")
+      s2.sql("ALTER TABLE glpr_dflt.corpus.docs ADD COLUMN tier STRING")
+      s2.sql("INSERT INTO glpr_dflt.corpus.docs " +
+        "SELECT doc_id + 1000000, lang, source, text, " +
+        "concat('t', CAST(doc_id % 3 AS STRING)) AS tier " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 200")
+      s2.sql("ALTER TABLE glpr_dflt.corpus.docs " +
+        "ADD COLUMN rank BIGINT DEFAULT 7")
+      s2.sql("INSERT INTO glpr_dflt.corpus.docs " +
+        "SELECT doc_id + 2000000, lang, source, text, " +
+        "concat('t', CAST(doc_id % 3 AS STRING)) AS tier, " +
+        "doc_id % 5 AS rank " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+    }
+    rematerialize(spark, s2.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(tier) AS BIGINT) AS n_tier,
+        | CAST(sum(rank) AS BIGINT) AS rank_sum
+        |FROM glpr_dflt.corpus.docs GROUP BY lang""".stripMargin))
+  }
+  private val addDefaultCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q347 — `ALTER TABLE DROP COLUMN` as a METADATA TOMBSTONE
@@ -4892,6 +5093,10 @@ class GlprWriter(path: String, schema: StructType, partitionId: Int, taskId: Lon
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case 2 => java.lang.Double.toString(r.getDouble(ord))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 3 => java.lang.Integer.toString(r.getInt(ord))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 4 => java.lang.Float.toString(r.getFloat(ord))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case _ => r.getUTF8String(ord).getBytes
         }
         out.writeInt(b.length); out.write(b)
@@ -6228,7 +6433,8 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
   // shard's appended fields per its sidecar, bound to the read schema
   // through the table tokens' physical→logical mapping; required extras
   // the shard never carried read as null (default-null read compat)
-  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals) =
+  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals,
+      missingExtraDefaults) =
     GlprSource.extraSlots(file, required, extraTokens)
   // _shard / _change_type metadata columns: constant per partition,
   // served from the name / the planned diff side
@@ -6278,6 +6484,12 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
             case 2 => rowWriter.write(ord, java.lang.Double.parseDouble(
               new String(cursor.fieldArray, cursor.fieldOffset, len,
                 java.nio.charset.StandardCharsets.UTF_8)))
+            case 3 => rowWriter.write(ord, java.lang.Integer.parseInt(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case 4 => rowWriter.write(ord, java.lang.Float.parseFloat(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
             case _ => rowWriter.write(ord,
               UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
           }
@@ -6287,7 +6499,18 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
       if (keep) {
         var m = 0
         while (m < missingExtraOrdinals.length) {
-          rowWriter.setNullAt(missingExtraOrdinals(m)); m += 1
+          val ord = missingExtraOrdinals(m)
+          missingExtraDefaults(m) match {
+            case null => rowWriter.setNullAt(ord)
+            case v: UTF8String => rowWriter.write(ord, v)
+            case v: java.lang.Long => rowWriter.write(ord, v.longValue)
+            case v: java.lang.Double => rowWriter.write(ord, v.doubleValue)
+            case v: java.lang.Integer => rowWriter.write(ord, v.intValue)
+            case v: java.lang.Float => rowWriter.write(ord, v.floatValue)
+            case other => throw new IllegalStateException(
+              s"unreachable default box: $other")
+          }
+          m += 1
         }
       }
       if (keep && shardOrdinal >= 0) rowWriter.write(shardOrdinal, shardNameUtf8)
@@ -6332,7 +6555,8 @@ class GlprColumnarReader(file: String, required: StructType,
   private val idOrdinal: Int = wantIdx.getOrElse("doc_id", -1)
   private val fieldOrdinals: Array[Int] =
     streamFields.map(f => wantIdx.getOrElse(f, -1))
-  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals) =
+  private val (shardExtras, extraOrdinals, extraKinds, missingExtraOrdinals,
+      missingExtraDefaults) =
     GlprSource.extraSlots(file, required, extraTokens)
   private val shardOrdinal: Int = wantIdx.getOrElse("_shard", -1)
   private val shardNameBytes =
@@ -6377,6 +6601,12 @@ class GlprColumnarReader(file: String, required: StructType,
             case 2 => vectors(ord).putDouble(n, java.lang.Double.parseDouble(
               new String(cursor.fieldArray, cursor.fieldOffset, len,
                 java.nio.charset.StandardCharsets.UTF_8)))
+            case 3 => vectors(ord).putInt(n, java.lang.Integer.parseInt(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+            case 4 => vectors(ord).putFloat(n, java.lang.Float.parseFloat(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
             case _ => vectors(ord)
               .putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
           }
@@ -6386,7 +6616,20 @@ class GlprColumnarReader(file: String, required: StructType,
       if (keep) {
         var m = 0
         while (m < missingExtraOrdinals.length) {
-          vectors(missingExtraOrdinals(m)).putNull(n); m += 1
+          val ord = missingExtraOrdinals(m)
+          missingExtraDefaults(m) match {
+            case null => vectors(ord).putNull(n)
+            case v: UTF8String =>
+              val b = v.getBytes
+              vectors(ord).putByteArray(n, b, 0, b.length)
+            case v: java.lang.Long => vectors(ord).putLong(n, v.longValue)
+            case v: java.lang.Double => vectors(ord).putDouble(n, v.doubleValue)
+            case v: java.lang.Integer => vectors(ord).putInt(n, v.intValue)
+            case v: java.lang.Float => vectors(ord).putFloat(n, v.floatValue)
+            case other => throw new IllegalStateException(
+              s"unreachable default box: $other")
+          }
+          m += 1
         }
       }
       if (keep && shardOrdinal >= 0)

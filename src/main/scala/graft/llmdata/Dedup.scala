@@ -1038,6 +1038,14 @@ object Dedup {
   }
 
   private val docStreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Driver-side ceilings for the q162 history-index fixture (round-19
+    * verdict #5) — the [[graft.streaming.Events]] `SettleRowCap` idea
+    * applied to the ONE other corpus-linear collect: row caps on both
+    * collected frames, plus a total-shingle cap because the set frame's
+    * rows are fat arrays (rows alone understate bytes). Generous vs
+    * sf0.1 (~6k docs, ~1.1M shingles) yet far below driver harm. */
+  private[graft] val HistoryIndexRowCap: Long = 2000000L
+  private[graft] val HistoryIndexShingleCap: Long = 50000000L
   private val historyIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType,
              Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
@@ -1129,7 +1137,9 @@ object Dedup {
     * attribute by phase — only the residual is this operator's plan. */
   def streamingHistoryNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchSize: Long = 100L, numHashes: Int = 8, bandRows: Int = 2,
-      k: Int = 3, simThreshold: Double = 0.5): DataFrame = {
+      k: Int = 3, simThreshold: Double = 0.5,
+      historyRowCap: Long = HistoryIndexRowCap,
+      historyShingleCap: Long = HistoryIndexShingleCap): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val all = spark.read.parquet(s"$dir/documents.parquet")
     val maxRow = all.agg(max(expr(s"doc_id div $batchSize"))).head()
@@ -1144,7 +1154,7 @@ object Dedup {
     // TABLE (pre-partitioned by band_key); here the materialized rows
     // re-enter each settle session as local frames.
     val (bRows, bSchema, sRows, sSchema) = historyIndexCache.computeIfAbsent(
-      s"$dir|$batchSize|$numHashes|$bandRows|$k", _ => {
+      s"$dir|$batchSize|$numHashes|$bandRows|$k|$historyRowCap|$historyShingleCap", _ => {
         val history = spark.read.parquet(s"$dir/documents.parquet")
           .filter(expr(s"doc_id div $batchSize") < maxB)
         val hb = md5BandKeys(minhashMd5Signatures(history, numHashes, k), bandRows)
@@ -1154,7 +1164,33 @@ object Dedup {
           .select(col("doc_id").as("doc_a"),
             array_distinct(TextAnalysis.shingles(col("toks"), k)).as("ss_a"))
           .withColumn("n_a", size(col("ss_a")).cast("long"))
-        (hb.collect(), hb.schema, hs.collect(), hs.schema)
+        // CAP BEFORE COLLECT (round-19 verdict #5): this fixture is the
+        // one collect in graft that is linear in corpus size with FAT
+        // array rows, and it had no guard while every settle path did
+        // (the exact parallel-path drift the settle cap exists for).
+        // Both dimensions are checked DISTRIBUTED — row counts for both
+        // frames, total shingle volume (the bytes driver) for the set
+        // frame — before a single row lands on the driver. Past the
+        // cap, the refusal points at the documented contract: at
+        // production scale the history index is a maintained TABLE
+        // pre-partitioned by band_key, joined distributed, never a
+        // driver-staged local frame.
+        val hbP = hb.persist(); val hsP = hs.persist()
+        try {
+          val bandRowsN = hbP.count()
+          val setStats = hsP.agg(count(lit(1)), sum(col("n_a"))).head()
+          val setRowsN = setStats.getLong(0)
+          val shingleN = if (setStats.isNullAt(1)) 0L else setStats.getLong(1)
+          require(bandRowsN <= historyRowCap && setRowsN <= historyRowCap &&
+              shingleN <= historyShingleCap,
+            s"history index for '$dir' is $bandRowsN band rows / " +
+              s"$setRowsN set rows / $shingleN shingles (caps " +
+              s"$historyRowCap rows, $historyShingleCap shingles): the " +
+              "driver-staged fixture is for test-scale corpora — maintain " +
+              "the index as a TABLE pre-partitioned by band_key and join " +
+              "the incoming batch against it distributed")
+          (hbP.collect(), hb.schema, hsP.collect(), hs.schema)
+        } finally { hbP.unpersist(): Unit; hsP.unpersist(): Unit }
       })
     settleDocs(spark, incoming, stream => {
       import scala.jdk.CollectionConverters._

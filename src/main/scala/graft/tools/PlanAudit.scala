@@ -338,7 +338,29 @@ object PlanAudit {
     ("q360_glpr_metadata_tables", "history metadata TABLE from plain SQL: the " +
       "scan is a driver-side LocalScan over sidecar-derived version stats — " +
       "zero data bytes, zero tasks; filters/joins/aggregates compose on top " +
-      "like any table", reg("q360_glpr_metadata_tables")))
+      "like any table", reg("q360_glpr_metadata_tables")),
+    ("q361_glpr_mor_update", "merge-on-read UPDATE read-back: the scan unions " +
+      "untouched shards, dv-masked shards (victims gated per id) and the " +
+      "appended replacement shards — one connector scan, the mask applied " +
+      "at the id gate; the update itself moved only the matched rows",
+      reg("q361_glpr_mor_update")),
+    ("q362_glpr_type_widening", "type-widening read: narrow-era shards parse " +
+      "their decimal text straight to the declared BIGINT/DOUBLE inside the " +
+      "same connector scan as the wide era — no cast node, no shard rewrite; " +
+      "one hash aggregate over the union", reg("q362_glpr_type_widening")),
+    ("q363_glpr_add_default", "initial-DEFAULT read: pre-evolution shards " +
+      "surface the marker-stored literal as a constant column inside the " +
+      "scan (zero per-row parse — the default is pre-boxed per partition); " +
+      "three eras, one aggregate, no per-era plan branches",
+      reg("q363_glpr_add_default")),
+    ("q364_glpr_age_retention", "live + tagged reads after age-based " +
+      "expire+vacuum: two connector scans (head manifest, tagged version " +
+      "file) unioned — retention changed WHICH versions resolve, never the " +
+      "plan shape", reg("q364_glpr_age_retention")),
+    ("q365_glpr_mor_merge", "merge-on-read MERGE read-back: matched keys " +
+      "masked in place, the whole changeset appended — the scan is the " +
+      "same mask-gated union as q361; upsert cost tracked the changeset, " +
+      "not the touched shards", reg("q365_glpr_mor_merge")))
 
   private val streamingStateNote: String =
     """

@@ -118,7 +118,12 @@ object ScaleProbe {
     "q356_glpr_files",         // sidecar-only invariants via sys.files
     "q357_seq_packing",        // greedy per-lang sequence packing report
     "q358_glpr_dedup_audit",   // zero-shuffle GROUP BY doc_id dedup audit
-    "q360_glpr_metadata_tables") // version history as a SQL table
+    "q360_glpr_metadata_tables", // version history as a SQL table
+    "q361_glpr_mor_update",    // live rollup after merge-on-read UPDATE
+    "q362_glpr_type_widening", // two-era aggregate across INT→BIGINT/FLOAT→DOUBLE
+    "q363_glpr_add_default",   // three-era aggregate under an initial DEFAULT
+    "q364_glpr_age_retention", // live+tagged reads after age-based expiry
+    "q365_glpr_mor_merge")     // live rollup after merge-on-read MERGE/upsert
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

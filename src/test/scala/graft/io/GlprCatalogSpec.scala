@@ -116,7 +116,7 @@ class GlprCatalogSpec extends AnyFunSuite {
     // drops, base-column renames, unsupported types still reject loudly
     val e1 = intercept[Exception](
       spark.sql("ALTER TABLE glpr_spec.ns4.t ADD COLUMN d DECIMAL(10,2)"))
-    assert(e1.getMessage.contains("STRING, BIGINT or DOUBLE"), e1.getMessage)
+    assert(e1.getMessage.contains("STRING, BIGINT, DOUBLE"), e1.getMessage)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE glpr_spec.ns4.t DROP COLUMN text"))
     assert(e2.getMessage.contains("base column"), e2.getMessage)
@@ -744,6 +744,164 @@ class GlprCatalogSpec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("partition-aware compaction: OPTIMIZE never merges across bucket values, SPJ stays zero-exchange") {
+    root: Unit
+    // two ingest waves per table → several small shards per bucket
+    // class; compaction must fold WITHIN classes (across waves), never
+    // across values (round-19 verdict #2: a multi-valued merged shard
+    // would silently void the q353/q358 zero-exchange contracts)
+    def mk(table: String, waves: Seq[Seq[(Long, String, String, String)]]): Unit = {
+      spark.sql(s"CREATE TABLE glpr_spec.ns20.$table $ddl " +
+        "PARTITIONED BY (bucket(4, doc_id))")
+      waves.foreach { rows =>
+        rows.toDF("doc_id", "lang", "source", "text")
+          .createOrReplaceTempView("pcomp_in")
+        spark.sql(s"INSERT INTO glpr_spec.ns20.$table SELECT * FROM pcomp_in")
+        spark.catalog.dropTempView("pcomp_in")
+      }
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def rows(lo: Long, hi: Long, src: String) =
+        (lo until hi).map(i => (i, s"l${i % 5}", src, s"$src-$i"))
+      mk("cfacts", Seq(rows(0L, 40L, "f"), rows(40L, 80L, "f")))
+      mk("cdims", Seq(rows(0L, 40L, "d"), rows(40L, 80L, "d")))
+      def nonEmpty(t: String) = GlprSource.committedShards(
+        new java.io.File(root, s"ns20/$t").toString)
+        .flatMap(GlprSource.readMeta).filter(_.rows > 0L)
+      val beforeF = nonEmpty("cfacts").length
+      assert(beforeF > 4, s"need several shards per class, got $beforeF")
+      Seq("cfacts", "cdims").foreach { t =>
+        spark.sql(s"CALL glpr_spec.sys.compact('ns20.$t', ${Long.MaxValue / 2})")
+          .collect(): Unit
+      }
+      // compaction folded the waves — but every surviving data shard is
+      // STILL single-valued on its bucket class
+      val afterF = nonEmpty("cfacts")
+      assert(afterF.length < beforeF && afterF.length >= 4,
+        s"expected per-class folding, got ${afterF.length} of $beforeF")
+      Seq("cfacts", "cdims").foreach { t =>
+        nonEmpty(t).foreach(m => assert(m.pvals.exists(_.size == 1),
+          s"a compacted shard of $t went multi-valued: ${m.pvals}"))
+      }
+      // the zero-exchange SPJ contract survives OPTIMIZE
+      val q = spark.sql(
+        """SELECT count(*) AS n, sum(f.doc_id) AS ids
+          |FROM glpr_spec.ns20.cfacts f JOIN glpr_spec.ns20.cdims d
+          |ON f.doc_id = d.doc_id""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"post-OPTIMIZE co-bucketed join must still plan ZERO join exchanges:\n$plan")
+      val r = q.head()
+      assert((r.getLong(0), r.getLong(1)) === (80L, (0L until 80L).sum))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q362 widening ALTER COLUMN: INT->BIGINT / FLOAT->DOUBLE only, mixed eras read wide") {
+    root: Unit
+    spark.sql("CREATE TABLE glpr_spec.ns21.w (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING, score INT, conf FLOAT)")
+    spark.sql("INSERT INTO glpr_spec.ns21.w VALUES " +
+      "(1, 'en', 's', 'a', 7, CAST(0.5 AS FLOAT)), " +
+      "(2, 'en', 's', 'b', -3, CAST(1.25 AS FLOAT))")
+    // narrow era reads narrow
+    assert(spark.table("glpr_spec.ns21.w").schema("score").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    spark.sql("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN score TYPE BIGINT")
+    spark.sql("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN conf TYPE DOUBLE")
+    assert(spark.table("glpr_spec.ns21.w").schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // wide era takes values only the wide type holds
+    spark.sql("INSERT INTO glpr_spec.ns21.w VALUES " +
+      "(3, 'en', 's', 'c', 5000000000, CAST(2.75 AS DOUBLE))")
+    val r = spark.sql("SELECT sum(score), sum(conf), count(*) " +
+      "FROM glpr_spec.ns21.w").head()
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2)) ===
+      ((5000000004L, 4.5, 3L)),
+      "mixed narrow/wide shards must aggregate under the widened type")
+    // filters over the widened column stay row-exact on narrow shards
+    assert(spark.sql("SELECT doc_id FROM glpr_spec.ns21.w WHERE score = -3")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // narrowing, cross-family, and base-column changes all reject
+    def rejects(sqlText: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sqlText).collect())
+      assert(e.getMessage.contains(frag), s"$sqlText => ${e.getMessage}")
+    }
+    // narrowing / cross-family: Spark's analyzer up-cast gate rejects
+    // these before the catalog ever sees them (NOT_SUPPORTED_CHANGE_COLUMN)
+    rejects("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN score TYPE INT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    rejects("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN conf TYPE BIGINT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    rejects("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN text TYPE BIGINT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    // an analyzer-LEGAL up-cast that is not Iceberg-safe reaches the
+    // catalog guard: INT -> DOUBLE rejects there (only INT -> BIGINT
+    // and FLOAT -> DOUBLE are sanctioned promotions)
+    spark.sql("ALTER TABLE glpr_spec.ns21.w ADD COLUMN score2 INT")
+    rejects("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN score2 TYPE DOUBLE",
+      "WIDENING only")
+    // idempotent re-widening is a no-op, not an error
+    spark.sql("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN score TYPE BIGINT")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns21.w").head().getLong(0) === 3L)
+  }
+
+  test("q363/q364: initial defaults serve pre-evolution shards only; age expiry guards") {
+    root: Unit
+    spark.sql(s"CREATE TABLE glpr_spec.ns22.d $ddl")
+    spark.sql("INSERT INTO glpr_spec.ns22.d VALUES (1, 'en', 's', 'a')")
+    spark.sql("ALTER TABLE glpr_spec.ns22.d ADD COLUMN rank BIGINT DEFAULT 7")
+    // explicit NULL stays NULL (initial defaults are read-time for
+    // PRE-evolution shards, never write-time fill)
+    spark.sql("INSERT INTO glpr_spec.ns22.d VALUES " +
+      "(2, 'en', 's', 'b', CAST(NULL AS BIGINT))")
+    spark.sql("INSERT INTO glpr_spec.ns22.d VALUES (3, 'en', 's', 'c', 9)")
+    val got = spark.sql("SELECT doc_id, rank FROM glpr_spec.ns22.d")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(got === Map(1L -> java.lang.Long.valueOf(7L), 2L -> null,
+      3L -> java.lang.Long.valueOf(9L)),
+      s"pre-evolution row must read the default, explicit NULL stays: $got")
+    // ...and the default survives a RENAME (metadata carries it)
+    spark.sql("ALTER TABLE glpr_spec.ns22.d RENAME COLUMN rank TO grade")
+    assert(spark.sql(
+      "SELECT grade FROM glpr_spec.ns22.d WHERE doc_id = 1")
+      .head().getLong(0) === 7L)
+    // CREATE TABLE with a DEFAULT refuses toward the ALTER path
+    val ec = intercept[Exception](spark.sql(
+      s"CREATE TABLE glpr_spec.ns22.bad (doc_id BIGINT, lang STRING, " +
+        "source STRING, text STRING, r BIGINT DEFAULT 5)"))
+    assert(ec.getMessage.contains("ALTER TABLE"), ec.getMessage)
+    // age-based expiry: exactly one retention mode per call
+    val e0 = intercept[Exception](spark.sql(
+      "CALL glpr_spec.sys.expire_versions('ns22.d')").collect())
+    assert(e0.getMessage.contains("exactly ONE"), e0.getMessage)
+    val e1 = intercept[Exception](spark.sql(
+      "CALL glpr_spec.sys.expire_versions('ns22.d', keep => 1, " +
+        "older_than_ms => 5)").collect())
+    assert(e1.getMessage.contains("exactly ONE"), e1.getMessage)
+    // the live head NEVER expires on age, no matter how old
+    val path = new java.io.File(root, "ns22/d").getAbsolutePath
+    GlprSource.listManifestVersions(path).foreach(v =>
+      GlprSource.pinVersionCommitMs(path, v, 1000L))
+    val dropped = spark.sql("CALL glpr_spec.sys.expire_versions('ns22.d', " +
+      s"older_than_ms => ${System.currentTimeMillis()})").head().getLong(0)
+    assert(dropped >= 1L)
+    assert(GlprSource.listManifestVersions(path).length === 1,
+      "age expiry must keep exactly the live head here")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns22.d")
+      .head().getLong(0) === 3L, "the head must stay fully readable")
   }
 
   test("q353 bucket SPJ: co-bucketed GLPR tables join on doc_id with ZERO exchanges") {

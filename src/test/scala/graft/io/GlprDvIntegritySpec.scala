@@ -150,6 +150,123 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     assert(GlprSource.listManifestVersions(root).last === v0 + 1)
   }
 
+  test("q361 MoR update: equals COW, bytes bounded by matches, one version, TT/CDF compose, idempotent, capped") {
+    val root = TempDirs.scratch("graft-glpr-morupdate").toString
+    append(root, (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en", "s", s"t-$i")))   // shard A
+    append(root, (60L until 120L).map(i =>
+      (i, "en", "s", s"t-$i")))                             // shard B: no de
+    val v0 = GlprSource.listManifestVersions(root).last
+    val dataBefore = GlprSource.listShardFiles(root)
+      .map(f => f.getName -> f.length()).toMap
+    val (masked, appended) = GlprMaintenance.updateWhereMergeOnRead(
+      spark, root, "lang", Set("de"), "lang", "und")
+    // only the shard holding matches is masked; replacements appended;
+    // the WHOLE update is ONE minted version
+    assert(masked.size === 1 && appended.nonEmpty)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    // bytes-rewritten bounded by the matches: every pre-update data
+    // file is still on disk, byte-identical in length — nothing was
+    // copy-on-write rewritten
+    val dataAfter = GlprSource.listShardFiles(root)
+      .map(f => f.getName -> f.length()).toMap
+    assert(dataBefore.forall { case (n, len) => dataAfter.get(n).contains(len) },
+      "MoR update must not rewrite existing shards")
+    assert((dataAfter.keySet -- dataBefore.keySet) === appended.toSet)
+    // the live view equals the COW result: same rows through the SQL
+    // UPDATE (SupportsRowLevelOperations group-based rewrite)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val cowRoot = TempDirs.scratch("graft-glpr-morupdate-cow").toString
+    val s2 = GlprSource.freshCatalogSession(spark, "glpr_muc", cowRoot)
+    s2.sql("CREATE TABLE glpr_muc.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING)")
+    append(s"$cowRoot/ns/t", (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en", "s", s"t-$i")))
+    append(s"$cowRoot/ns/t", (60L until 120L).map(i => (i, "en", "s", s"t-$i")))
+    s2.sql("UPDATE glpr_muc.ns.t SET lang = 'und' WHERE lang IN ('de')")
+    assert(rows(spark.read.format("graft.io.GlprSource").load(root))
+      === rows(s2.table("glpr_muc.ns.t")),
+      "merge-on-read UPDATE must hash-match the copy-on-write result")
+    // time travel: the pre-update version still reads the old values
+    assert(spark.read.format("graft.io.GlprSource")
+      .option("versionAsOf", v0.toString).load(root)
+      .filter($"lang" === "de").count() === 20L)
+    // CDF across the flip: the victims as deletes, replacements as
+    // inserts, in the SAME version step
+    val cdf = spark.read.format("graft.io.GlprSource")
+      .option("changesFromVersion", v0.toString)
+      .option("changeMode", "cdf").load(root)
+      .select("_change_type", "doc_id", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val victims = (0L until 60L).filter(_ % 3 == 0)
+    assert(cdf === (victims.map(i => ("delete", i, "de"))
+      ++ victims.map(i => ("insert", i, "und"))).toSet)
+    // idempotence: nothing matches any more (the predicate column was
+    // the assigned column), so a re-run mints nothing
+    assert(GlprMaintenance.updateWhereMergeOnRead(
+      spark, root, "lang", Set("de"), "lang", "und") === ((Seq.empty, Seq.empty)))
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    // the cap refuses loudly toward COW and leaves no trace
+    val e = intercept[IllegalArgumentException] {
+      GlprMaintenance.updateWhereMergeOnRead(
+        spark, root, "lang", Set("en"), "source", "x", cap = 10L)
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    // materialize composes: masks fold, the live view is unchanged
+    val before = rows(spark.read.format("graft.io.GlprSource").load(root))
+    GlprMaintenance.materializeDeletes(spark, root): Unit
+    assert(rows(spark.read.format("graft.io.GlprSource").load(root)) === before)
+  }
+
+  test("q365 MoR merge: upsert-by-key, duplicate source keys refuse, procedures reachable") {
+    val root = TempDirs.scratch("graft-glpr-mormerge-spec").toString
+    append(root, (0L until 100L).map(i => (i, "en", "s", s"old-$i")))
+    val v0 = GlprSource.listManifestVersions(root).last
+    val src = (50L until 150L).map(i => (i, "en", "cdc", s"new-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val (masked, appended) = GlprMaintenance.mergeMergeOnRead(spark, root, src)
+    assert(masked.nonEmpty && appended.nonEmpty)
+    assert(GlprSource.listManifestVersions(root).last === v0 + 1)
+    val got = spark.read.format("graft.io.GlprSource").load(root)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === ((0L until 50L).map(i => (i, s"old-$i"))
+      ++ (50L until 150L).map(i => (i, s"new-$i"))).toSet,
+      "matched keys must carry the NEW row exactly once, inserts once")
+    // SQL MERGE's cardinality rule: duplicate source keys refuse
+    val dup = intercept[IllegalArgumentException] {
+      GlprMaintenance.mergeMergeOnRead(spark, root,
+        Seq((1L, "en", "x", "a"), (1L, "en", "x", "b"))
+          .toDF("doc_id", "lang", "source", "text"))
+    }
+    assert(dup.getMessage.contains("duplicate doc_id"), dup.getMessage)
+    // the SQL front door: CALL sys.update_where_mor / sys.merge_mor
+    val pRoot = TempDirs.scratch("graft-glpr-morproc").toString
+    val s3 = GlprSource.freshCatalogSession(spark, "glpr_mor", pRoot)
+    s3.sql("CREATE TABLE glpr_mor.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING)")
+    s3.sql("CREATE TABLE glpr_mor.ns.src (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING)")
+    append(s"$pRoot/ns/t", (0L until 40L).map(i =>
+      (i, if (i < 10L) "de" else "en", "s", s"t-$i")))
+    append(s"$pRoot/ns/src", (30L until 60L).map(i => (i, "en", "c", s"n-$i")))
+    val upd = s3.sql(
+      "CALL glpr_mor.sys.update_where_mor('ns.t', 'lang', 'de', 'lang', 'und')")
+      .head()
+    assert(upd.getLong(0) >= 1L && upd.getLong(1) >= 1L, upd.toString)
+    assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t WHERE lang = 'und'")
+      .head().getLong(0) === 10L)
+    val mrg = s3.sql("CALL glpr_mor.sys.merge_mor('ns.t', 'ns.src')").head()
+    assert(mrg.getLong(0) >= 1L && mrg.getLong(1) >= 1L, mrg.toString)
+    assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t").head().getLong(0) === 60L)
+    assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t WHERE source = 'c'")
+      .head().getLong(0) === 30L, "matched rows must carry the source version")
+  }
+
   test("concurrent MoR deletes serialize: no lost masks, generations are supersets") {
     // the round-18 CAS protocol under real contention: 8 threads race
     // disjoint merge-on-read deletes against ONE shard — put-if-absent

@@ -302,6 +302,22 @@ class Round10OpsSpec extends AnyFunSuite {
     val twin = Dedup.minhashMd5Pairs(all).filter("doc_a div 4 < 1 and doc_b div 4 = 1")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got.toSet === twin)
+    // the history-index driver cache is CAPPED (round-19 verdict #5):
+    // past the cap it refuses BEFORE collecting, pointing at the
+    // maintained-table contract — and the refusal is checked
+    // distributed, so nothing lands on the driver first. A fresh
+    // batchSize forces a rebuild (the cache key carries the caps too).
+    val e = intercept[IllegalArgumentException] {
+      Dedup.streamingHistoryNearDup(spark, dir, batchSize = 2L,
+        historyRowCap = 1L)
+    }
+    assert(e.getMessage.contains("maintained") ||
+      e.getMessage.contains("pre-partitioned"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.streamingHistoryNearDup(spark, dir, batchSize = 2L,
+        historyShingleCap = 1L)
+    }
+    assert(e2.getMessage.contains("band_key"), e2.getMessage)
   }
 
   test("weightedStratified: per-source A-ES top-n, JVM-recomputed; no Window in the plan") {
