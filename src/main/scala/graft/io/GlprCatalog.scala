@@ -518,13 +518,15 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
       // TYPE WIDENING (q362, round-19 verdict #3): the Iceberg-safe
       // promotions INT→BIGINT and FLOAT→DOUBLE, metadata-only — the
       // marker token's type changes, shard sidecars keep the type each
-      // shard was WRITTEN under, and readers parse every shard's
-      // decimal text straight to the declared (widest) type
-      // (extraSlots binds decode kinds from the TABLE tokens). The
-      // text serialization makes this exact: "123" parses identically
-      // as int or bigint. Everything else still rejects — a narrowing
-      // or cross-family change would reinterpret committed shard
-      // bytes.
+      // shard was WRITTEN under, and readers bind decode kinds from
+      // the TABLE tokens (extraSlots). Both promotions are
+      // VALUE-preserving: a decimal integer parses identically at
+      // either width, and float text is parsed as the write-time
+      // float THEN widened (shortest-decimal text is unique per
+      // float, not per double — re-parsing it as double would change
+      // the stored value). Everything else still rejects — a
+      // narrowing or cross-family change would reinterpret committed
+      // shard bytes.
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames.length == 1,
           "GLPR ALTER COLUMN TYPE supports top-level columns only")

@@ -689,16 +689,23 @@ object GlprMaintenance {
   /** Stage-write `rows` into `path` DISTRIBUTED (the connector's own
     * DSv2 write into a `_tmp-` subdirectory of the table — same
     * filesystem, invisible to every listing), then adopt the staged
-    * shards under freshly-reserved batch names. Returns the adopted
-    * names; the caller publishes them in its own manifest commit. The
-    * adopted files are invisible until that commit ([[listShardFiles]]
-    * ignores nothing here — the names are on disk but not in the
-    * manifest, and manifest-bearing dirs read the manifest), and a
-    * crash before it leaves only orphans for [[vacuum]]. */
+    * shards under freshly-reserved batch names. The table MARKER is
+    * copied into the stage first, so the staged write compiles and
+    * enforces the table's CHECK constraints exactly like every other
+    * write path (q355 — round-20 review: without it, MoR DML rows
+    * would land unchecked). Returns the adopted names; the caller
+    * publishes them in its own manifest commit. The adopted files are
+    * invisible until that commit, and a crash before it leaves only
+    * orphans for [[vacuum]]. */
   private def adoptStagedRows(path: String,
       rows: org.apache.spark.sql.DataFrame): Seq[String] = {
     val stage = new java.io.File(path,
       s"_tmp-upd-${java.util.UUID.randomUUID()}")
+    stage.mkdirs(): Unit
+    val marker = new java.io.File(path, "_glpr_table")
+    if (marker.isFile)
+      java.nio.file.Files.copy(marker.toPath,
+        new java.io.File(stage, "_glpr_table").toPath): Unit
     GlprSource.write(rows, stage.getAbsolutePath)
     val staged = GlprSource.listShardFiles(stage.getAbsolutePath)
       .filter(f => GlprSource.readMeta(f).forall(_.rows > 0L))
@@ -713,76 +720,52 @@ object GlprMaintenance {
         new java.io.File(path, nn).toPath): Unit
       nn
     }.toSeq
-    // the stage dir now holds only its own manifest/reservation files
+    // the stage dir now holds only its own manifest/reservation/marker
     Option(stage.listFiles()).getOrElse(Array.empty)
       .foreach(_.delete(): Unit)
     stage.delete(): Unit
     names
   }
 
-  /** MERGE-ON-READ UPDATE (q361, round-19 verdict #1): `UPDATE SET
-    * setColumn = setValue WHERE column IN (values)` priced by the
-    * MATCHED rows, not the touched-shard bytes — the COW path (q326
-    * `SupportsRowLevelOperations`) rewrites every scanned shard whole,
-    * which on a 100 TB corpus makes a selective update cost the table.
-    * This is the Iceberg/Delta MoR-update shape: one distributed
-    * matching job (existing masks applied) finds the victims; each
-    * affected shard gets a fresh immutable delete-vector GENERATION
-    * masking them; the REPLACEMENT rows (victims with the assignment
-    * applied) are written distributed through the connector and adopted
-    * under reserved batch names; and ONE manifest commit publishes
-    * masks + replacements together — a single atomic versioned history
-    * step that time travel, CDF (dv-deltas + inserts) and
-    * [[materializeDeletes]] compose with like any other. Bytes written
-    * are bounded by the matched rows; the same 1M cap as the MoR
-    * deletes refuses loudly toward COW. Schema-evolved (extra-column)
-    * and epoch-named dirs refuse like [[materializeDeletes]]; DML is
-    * single-writer like the rest of the maintenance surface. Returns
-    * (maskedShards, replacementShards). */
-  def updateWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
-      path: String, column: String, values: Set[String],
-      setColumn: String, setValue: String,
-      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
-    import org.apache.spark.sql.functions.{col, collect_list, lit}
-    require(Set("lang", "source")(column),
-      s"GLPR merge-on-read update matches on a base value column " +
-        s"(lang/source), got '$column'")
-    require(Set("lang", "source", "text")(setColumn),
-      s"GLPR merge-on-read update assigns a base string column " +
-        s"(lang/source/text), got '$setColumn'")
-    require(values.nonEmpty, "empty GLPR update value set")
-    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+  /** Shared refusal gate for the MoR DML ops: epoch-named (streaming)
+    * dirs, schema-evolved (extra-column) dirs, and PARTITIONED tables —
+    * the staged replacement shards would carry no pcol/pvals, silently
+    * voiding the single-valued layout the q306/q319/q353/q358
+    * zero-exchange contracts ride on (round-20 review: the exact
+    * silent contract void the partition-aware compaction fix closes
+    * for OPTIMIZE) — all refuse toward the COW SQL path, which keeps
+    * the table's clustering through the catalog's required write
+    * distribution. */
+  private def requireMorDmlEligible(path: String, what: String,
+      entries: Seq[String]): Unit = {
     val dir = new java.io.File(path)
-    val entries0 = GlprSource.committedEntries(path)
-    require(!entries0.exists(l =>
+    require(!entries.exists(l =>
         GlprSource.isEpochShardName(GlprSource.entryName(l))),
-      s"GLPR merge-on-read update in '$path' refused: epoch-named " +
-        "(streaming sink) shards; use the COW SQL UPDATE")
-    require(!entries0.exists(l => GlprSource.readMeta(new java.io.File(dir,
+      s"GLPR merge-on-read $what in '$path' refused: epoch-named " +
+        s"(streaming sink) shards; use the COW SQL ${what.toUpperCase}")
+    require(!entries.exists(l => GlprSource.readMeta(new java.io.File(dir,
         GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
-      s"GLPR merge-on-read update in '$path' refused: schema-evolution " +
+      s"GLPR merge-on-read $what in '$path' refused: schema-evolution " +
         "extra columns present; the replacement write carries the base " +
-        "schema only — use the COW SQL UPDATE")
-    def matching = spark.read.format("graft.io.GlprSource").load(path)
-      .filter(col(column).isin(values.toSeq: _*))
-    // cap BEFORE anything lands on the driver, like the MoR deletes
-    val total = matching.count()
-    require(total <= cap,
-      s"GLPR merge-on-read update in '$path' matches $total rows " +
-        s"(> $cap): the mask costs more at every read than one " +
-        "copy-on-write rewrite — use the SQL UPDATE (COW) path instead")
-    if (total == 0L) return (Seq.empty, Seq.empty)
-    // replacements first (distributed; invisible until the flip) …
-    val newNames = adoptStagedRows(path, matching
-      .withColumn(setColumn, lit(setValue))
-      .select("doc_id", "lang", "source", "text"))
-    // … then the per-shard victim ids (only (shard, id) pairs ever
-    // reach the driver, never row payloads)
-    val matched = matching
-      .groupBy(col("_shard"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1))
+        s"schema only — use the COW SQL ${what.toUpperCase}")
+    require(GlprSource.markerTokenOf(path, "partitioned_by").isEmpty,
+      s"GLPR merge-on-read $what in '$path' refused: the table is " +
+        "partitioned, and staged replacement shards would carry no " +
+        "partition values — voiding the storage-partitioned-join / " +
+        "zero-shuffle contracts until a recluster; use the COW SQL " +
+        s"${what.toUpperCase}, which keeps the clustering")
+  }
+
+  /** The ONE commit both MoR DML ops share (round-20 review: the two
+    * tails must stay identical for the one-commit atomicity and
+    * CAS-retry idempotence invariants to hold in both): write a fresh
+    * dv generation per victim shard, publish gen bumps (max-gen rule)
+    * AND the adopted replacement lines in a single manifest commit,
+    * then run both post-commit guards. Returns (maskedShards,
+    * newShards). */
+  private def commitMaskAndAppend(path: String, what: String,
+      entries0: Seq[String], matched: Seq[(String, Seq[Long])],
+      newNames: Seq[String]): (Seq[String], Seq[String]) = {
     val gens: Map[String, Option[Long]] = entries0
       .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
     val newGens: Map[String, Long] = matched.flatMap { case (n, ids) =>
@@ -806,82 +789,124 @@ object GlprMaintenance {
     val live = GlprSource.committedEntries(path)
       .map(GlprSource.entryName).toSet
     require(newNames.forall(live),
-      s"GLPR merge-on-read update in '$path' lost replacement shard(s) " +
+      s"GLPR merge-on-read $what in '$path' lost appended shard(s) " +
         s"${newNames.filterNot(live).mkString(", ")} to a concurrent " +
         "commit — retry against the current layout")
     (newGens.keys.toSeq.sorted, newNames)
+  }
+
+  /** MERGE-ON-READ UPDATE (q361, round-19 verdict #1): `UPDATE SET
+    * setColumn = setValue WHERE column IN (values)` priced by the
+    * MATCHED rows, not the touched-shard bytes — the COW path (q326
+    * `SupportsRowLevelOperations`) rewrites every scanned shard whole,
+    * which on a 100 TB corpus makes a selective update cost the table.
+    * This is the Iceberg/Delta MoR-update shape: one distributed
+    * matching job (existing masks applied, persisted so the cap count,
+    * the replacement write and the victim collect share ONE table
+    * scan) finds the victims; each affected shard gets a fresh
+    * immutable delete-vector GENERATION masking them; the REPLACEMENT
+    * rows (victims with the assignment applied) are written distributed
+    * through the connector — CHECK constraints enforced like any write
+    * — and adopted under reserved batch names; and ONE manifest commit
+    * publishes masks + replacements together, an atomic versioned step
+    * that time travel, CDF (dv-deltas + inserts) and
+    * [[materializeDeletes]] compose with. Bytes written are bounded by
+    * the matched rows; the same 1M cap as the MoR deletes refuses
+    * loudly toward COW. Epoch-named, schema-evolved and PARTITIONED
+    * dirs refuse ([[requireMorDmlEligible]]); DML is single-writer
+    * like the rest of the maintenance surface. Returns (maskedShards,
+    * replacementShards). */
+  def updateWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String, values: Set[String],
+      setColumn: String, setValue: String,
+      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    require(Set("lang", "source")(column),
+      s"GLPR merge-on-read update matches on a base value column " +
+        s"(lang/source), got '$column'")
+    require(Set("lang", "source", "text")(setColumn),
+      s"GLPR merge-on-read update assigns a base string column " +
+        s"(lang/source/text), got '$setColumn'")
+    require(values.nonEmpty, "empty GLPR update value set")
+    if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
+    val entries0 = GlprSource.committedEntries(path)
+    requireMorDmlEligible(path, "update", entries0)
+    val matching = spark.read.format("graft.io.GlprSource").load(path)
+      .filter(col(column).isin(values.toSeq: _*))
+      .persist()
+    try {
+      // cap BEFORE anything lands on the driver, like the MoR deletes
+      val total = matching.count()
+      require(total <= cap,
+        s"GLPR merge-on-read update in '$path' matches $total rows " +
+          s"(> $cap): a mask that large costs more at every read than " +
+          "one copy-on-write rewrite — use the SQL UPDATE (COW) path instead")
+      if (total == 0L) return (Seq.empty, Seq.empty)
+      // replacements first (distributed; invisible until the flip) …
+      val newNames = adoptStagedRows(path, matching
+        .withColumn(setColumn, lit(setValue))
+        .select("doc_id", "lang", "source", "text"))
+      // … then the per-shard victim ids (only (shard, id) pairs ever
+      // reach the driver, never row payloads)
+      val matched = matching
+        .groupBy(col("_shard"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
+      commitMaskAndAppend(path, "update", entries0, matched, newNames)
+    } finally matching.unpersist(): Unit
   }
 
   /** MERGE-ON-READ MERGE/upsert (q365): apply `source` (base-schema
     * rows keyed by doc_id) to the table as `WHEN MATCHED THEN UPDATE
     * SET * / WHEN NOT MATCHED THEN INSERT *` at merge-on-read cost —
     * matched target rows are MASKED (fresh dv generations), every
-    * source row appends, ONE manifest commit publishes both. This is
-    * the CDC-apply primitive priced by the changeset, not the
-    * touched-shard bytes (the COW q327/q338 MERGE rewrites every shard
-    * a match lands in). Same cap/refusal posture as
+    * source row appends (constraints enforced), ONE manifest commit
+    * publishes both. This is the CDC-apply primitive priced by the
+    * changeset, not the touched-shard bytes (the COW q327/q338 MERGE
+    * rewrites every shard a match lands in). The CHANGESET itself is
+    * capped BEFORE the key set is broadcast (round-20 review: the
+    * match cap alone fired only after an unbounded source had already
+    * shipped to every executor); same refusal posture as
     * [[updateWhereMergeOnRead]]. Returns (maskedShards, newShards). */
   def mergeMergeOnRead(spark: org.apache.spark.sql.SparkSession,
       path: String, source: org.apache.spark.sql.DataFrame,
       cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, collect_list}
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val dir = new java.io.File(path)
     val entries0 = GlprSource.committedEntries(path)
-    require(!entries0.exists(l =>
-        GlprSource.isEpochShardName(GlprSource.entryName(l))),
-      s"GLPR merge-on-read merge in '$path' refused: epoch-named " +
-        "(streaming sink) shards; use the COW SQL MERGE")
-    require(!entries0.exists(l => GlprSource.readMeta(new java.io.File(dir,
-        GlprSource.entryName(l))).exists(_.cols.nonEmpty)),
-      s"GLPR merge-on-read merge in '$path' refused: schema-evolution " +
-        "extra columns present — use the COW SQL MERGE")
-    val src = source.select("doc_id", "lang", "source", "text")
-    // distributed match: target ⋈ source keys (the key set is ≤ cap so
-    // Spark broadcasts it; only (shard, id) pairs reach the driver)
-    val srcIds = src.select(col("doc_id")).distinct()
-    require(srcIds.count() == src.count(),
-      s"GLPR merge-on-read merge in '$path' refused: duplicate doc_id " +
-        "in the merge source — upsert-by-key needs one row per key " +
-        "(the SQL MERGE cardinality rule)")
-    def matching = spark.read.format("graft.io.GlprSource").load(path)
-      .select(col("_shard"), col("doc_id"))
-      .join(org.apache.spark.sql.functions.broadcast(srcIds), "doc_id")
-    val total = matching.count()
-    require(total <= cap,
-      s"GLPR merge-on-read merge in '$path' matches $total target rows " +
-        s"(> $cap): use the SQL MERGE (COW) path instead")
-    val newNames = adoptStagedRows(path, src)
-    val matched = matching
-      .groupBy(col("_shard"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1))
-    val gens: Map[String, Option[Long]] = entries0
-      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvGen(l)).toMap
-    val newGens: Map[String, Long] = matched.flatMap { case (n, ids) =>
-      GlprSource.writeDvGenerationRanges(path, n, gens.getOrElse(n, None),
-        ids.sorted.map(id => (id, id))).map(n -> _)
-    }.toMap
-    GlprSource.commitManifest(path) { base =>
-      val present = base.map(GlprSource.entryName).toSet
-      base.map { l =>
-        val n = GlprSource.entryName(l)
-        newGens.get(n) match {
-          case Some(g) => GlprSource.entryLine(n,
-            Some(math.max(g, GlprSource.entryDvGen(l).getOrElse(0L))))
-          case None => l
-        }
-      } ++ newNames.filterNot(present).map(n => GlprSource.entryLine(n, None))
-    }
-    requireGensCommitted(path, newGens)
-    val live = GlprSource.committedEntries(path)
-      .map(GlprSource.entryName).toSet
-    require(newNames.forall(live),
-      s"GLPR merge-on-read merge in '$path' lost source shard(s) " +
-        s"${newNames.filterNot(live).mkString(", ")} to a concurrent " +
-        "commit — retry against the current layout")
-    (newGens.keys.toSeq.sorted, newNames)
+    requireMorDmlEligible(path, "merge", entries0)
+    val src = source.select("doc_id", "lang", "source", "text").persist()
+    try {
+      // changeset cap FIRST — it bounds the appended bytes, the key-set
+      // broadcast, and (transitively) the match mask
+      val srcN = src.count()
+      require(srcN <= cap,
+        s"GLPR merge-on-read merge in '$path' takes a $srcN-row source " +
+          s"(> $cap): past the cap the changeset should move through the " +
+          "SQL MERGE (COW) path instead")
+      val srcIds = src.select(col("doc_id")).distinct()
+      require(srcIds.count() == srcN,
+        s"GLPR merge-on-read merge in '$path' refused: duplicate doc_id " +
+          "in the merge source — upsert-by-key needs one row per key " +
+          "(the SQL MERGE cardinality rule)")
+      // distributed match: target ⋈ source keys (the key set is now
+      // PROVEN ≤ cap, so the broadcast is bounded; only (shard, id)
+      // pairs reach the driver)
+      val matching = spark.read.format("graft.io.GlprSource").load(path)
+        .select(col("_shard"), col("doc_id"))
+        .join(org.apache.spark.sql.functions.broadcast(srcIds), "doc_id")
+        .persist()
+      try {
+        val newNames = adoptStagedRows(path, src)
+        val matched = matching
+          .groupBy(col("_shard"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
+        commitMaskAndAppend(path, "merge", entries0, matched, newNames)
+      } finally matching.unpersist(): Unit
+    } finally src.unpersist(): Unit
   }
 
   /** MATERIALIZE delete vectors (q323): rewrite every DV-carrying shard

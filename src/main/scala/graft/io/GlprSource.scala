@@ -195,15 +195,27 @@ object GlprSource {
       physToLogical.getOrElse(extraPhysical(t), extraPhysical(t)))
     val ordinals = logicals.map(l => wantIdx.getOrElse(l, -1))
     // decode to the TABLE's declared type when the physical name binds
-    // to a table token (q362 type widening: an `e:int` shard under an
-    // `e:bigint` table parses its decimal text straight to the wide
-    // type — the text serialization makes widening a pure parse-target
-    // change, zero shard touches); shard-recorded types apply only for
-    // extras the table no longer declares (path reads)
+    // to a table token (q362 type widening — zero shard touches):
+    // INT→BIGINT is a pure parse-target change (a decimal integer
+    // parses identically at either width), but FLOAT→DOUBLE must parse
+    // the text as the WRITE-TIME float and widen the value (kind 5) —
+    // shortest-decimal text is unique per float, not per double, so
+    // re-parsing "0.3" as double would silently CHANGE the stored
+    // value (0.3d ≠ (double) 0.3f) and flip filters across a
+    // metadata-only DDL. Iceberg's promotion semantics: widening is
+    // value-preserving, pre- and post-ALTER reads are bit-identical.
+    // Shard-recorded types apply only for extras the table no longer
+    // declares (path reads).
     val physToTableKind = extraTokens.iterator
       .map(t => extraPhysical(t) -> extraKind(t)).toMap
-    val kinds = shardExtras.map(t =>
-      physToTableKind.getOrElse(extraPhysical(t), extraKind(t)))
+    val kinds = shardExtras.map { t =>
+      val sk = extraKind(t)
+      physToTableKind.get(extraPhysical(t)) match {
+        case Some(tk) if sk == 4 && tk == 2 => 5
+        case Some(tk) => tk
+        case None => sk
+      }
+    }
     val baseNames = Set("doc_id", "lang", "source", "text",
       "_shard", "_change_type")
     val logicalSet = logicals.toSet
@@ -3593,12 +3605,12 @@ object GlprSource {
     * counting both COMMITTED names and outstanding RESERVATIONS (q359:
     * two concurrent append jobs must never mint the same name; see
     * [[reserveNameBase]]). */
-  private[io] def nextBatchNameBase(path: String): Long = {
-    val used = usedShardNames(path).iterator.filter(isBatchShardName)
+  private[io] def maxCommittedBatchName(path: String): Long =
+    usedShardNames(path).iterator.filter(isBatchShardName)
       .map(_.stripPrefix("part-").stripSuffix(".glpr").toLong)
-      .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
-    math.max(used, nextReservedBase(path))
-  }
+      .foldLeft(-1L)(math.max)
+  private[io] def nextBatchNameBase(path: String): Long =
+    math.max(maxCommittedBatchName(path) + 1L, nextReservedBase(path))
   // name-range reservations: `_reserved-<base>` put-if-absent files
   // (hard-link CAS like the version chain) whose CONTENTS carry the
   // range top (`hi=<n>`). The range is a claim made BEFORE any task
@@ -3688,7 +3700,28 @@ object GlprSource {
       if (won) {
         val under = reservations(path)
           .exists(r => r._3.getName != f.getName && r._1 < base && r._2 >= base)
-        if (!under) return base
+        // …and against COMMITTED names (round-20 review): vacuum may
+        // fold a finished job's reservation after its shards commit,
+        // so a claimant that listed BEFORE that job's commit could win
+        // this base with no reservation file left to collide with —
+        // re-checking the committed high-water mark post-win closes
+        // the stale-listing window the file check alone cannot see
+        val stale = maxCommittedBatchName(path) >= base
+        if (!under && !stale) {
+          // the lexical name-offset contract (streaming reads commit
+          // progress as the last shard NAME; round-15 guards): names
+          // are numeric-ordered only while the zero-padded width
+          // holds, so minting past the 10-digit line would make new
+          // shards sort BELOW the committed offset and silently skip.
+          // Refuse loudly at the boundary — visibility of foreign
+          // over-width claims is kept (\d{10,}), creation is not.
+          require(base + span - 1L <= 9999999999L,
+            s"GLPR name reservation on '$path' would cross the 10-digit " +
+              "batch-name line: lexical name order (the streaming offset " +
+              "contract) breaks past part-9999999999 — re-home the table " +
+              "(clone) before the number line exhausts")
+          return base
+        }
         // no task has written under this claim yet — releasing it is
         // safe, and the retry's base computation now sees the winner
         f.delete(): Unit
@@ -3739,13 +3772,22 @@ object GlprSource {
   private[io] def reserveEpochBase(path: String, epoch: Long,
       usedMax: Long, span: Long): Long = {
     require(span >= 1, s"reservation span must be >= 1: $span")
+    def committedEpochMax(): Long = usedShardNames(path).iterator
+      .filter(isEpochShardName).map { n =>
+        val core = n.stripPrefix("part-").stripSuffix(".glpr").split("-")
+        (core(0).toLong, core(1).toLong)
+      }.collect { case (ep, pn) if ep == epoch => pn }
+      .foldLeft(-1L)(math.max)
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val reservedHi = epochReservations(path).iterator
         .collect { case (ep, _, hi, _) if ep == epoch => hi }
         .foldLeft(-1L)(math.max)
-      val base = math.max(usedMax, reservedHi) + 1L
+      // the caller's usedMax is its own listing; re-taking the
+      // committed max each attempt keeps retries from re-computing a
+      // stale base forever after a post-win retreat
+      val base = math.max(math.max(usedMax, committedEpochMax()), reservedHi) + 1L
       val f = new java.io.File(path, f"_reserved-e$epoch%010d-$base%05d")
       val tmp = new java.io.File(path,
         s"_tmp-reserve-${java.util.UUID.randomUUID()}")
@@ -3763,7 +3805,14 @@ object GlprSource {
         val under = epochReservations(path).exists(r =>
           r._1 == epoch && r._4.getName != f.getName &&
             r._2 < base && r._3 >= base)
-        if (!under) return base
+        if (!under && committedEpochMax() < base) {
+          require(base + span - 1L <= 99999L,
+            s"GLPR epoch reservation on '$path' (epoch $epoch) would " +
+              "cross the 5-digit partition-number line: lexical name " +
+              "order breaks past -99999 — compact less aggressively or " +
+              "re-home the table")
+          return base
+        }
         f.delete(): Unit
       }
     }
@@ -6490,6 +6539,9 @@ class GlprReader(file: String, required: StructType, range: GlprSource.IdRange,
             case 4 => rowWriter.write(ord, java.lang.Float.parseFloat(
               new String(cursor.fieldArray, cursor.fieldOffset, len,
                 java.nio.charset.StandardCharsets.UTF_8)))
+            case 5 => rowWriter.write(ord, java.lang.Float.parseFloat(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)).toDouble)
             case _ => rowWriter.write(ord,
               UTF8String.fromBytes(cursor.fieldArray, cursor.fieldOffset, len))
           }
@@ -6607,6 +6659,9 @@ class GlprColumnarReader(file: String, required: StructType,
             case 4 => vectors(ord).putFloat(n, java.lang.Float.parseFloat(
               new String(cursor.fieldArray, cursor.fieldOffset, len,
                 java.nio.charset.StandardCharsets.UTF_8)))
+            case 5 => vectors(ord).putDouble(n, java.lang.Float.parseFloat(
+              new String(cursor.fieldArray, cursor.fieldOffset, len,
+                java.nio.charset.StandardCharsets.UTF_8)).toDouble)
             case _ => vectors(ord)
               .putByteArray(n, cursor.fieldArray, cursor.fieldOffset, len)
           }

@@ -833,6 +833,25 @@ class GlprCatalogSpec extends AnyFunSuite {
     // filters over the widened column stay row-exact on narrow shards
     assert(spark.sql("SELECT doc_id FROM glpr_spec.ns21.w WHERE score = -3")
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // FLOAT->DOUBLE widening is VALUE-preserving (round-20 review):
+    // the narrow shard's "0.3" text parses as the write-time float and
+    // widens — (double) 0.3f = 0.30000001192092896 — NOT as the double
+    // 0.3 would, so pre- and post-ALTER reads are bit-identical and a
+    // metadata-only DDL can never flip a filter
+    spark.sql("CREATE TABLE glpr_spec.ns21.f (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING, c FLOAT)")
+    spark.sql("INSERT INTO glpr_spec.ns21.f VALUES " +
+      "(1, 'en', 's', 'a', CAST(0.3 AS FLOAT))")
+    val preWiden = spark.sql("SELECT CAST(c AS DOUBLE) FROM glpr_spec.ns21.f")
+      .head().getDouble(0)
+    spark.sql("ALTER TABLE glpr_spec.ns21.f ALTER COLUMN c TYPE DOUBLE")
+    val postWiden = spark.sql("SELECT c FROM glpr_spec.ns21.f")
+      .head().getDouble(0)
+    assert(postWiden === preWiden && postWiden === 0.3f.toDouble,
+      s"widened float must keep the write-time value: $postWiden vs $preWiden")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns21.f WHERE c > 0.3")
+      .head().getLong(0) === 1L,
+      "the widened read must not flip the float's filter outcome")
     // narrowing, cross-family, and base-column changes all reject
     def rejects(sqlText: String, frag: String): Unit = {
       val e = intercept[Exception](spark.sql(sqlText).collect())

@@ -265,6 +265,41 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t").head().getLong(0) === 60L)
     assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t WHERE source = 'c'")
       .head().getLong(0) === 30L, "matched rows must carry the source version")
+    // CHECK constraints gate the MoR DML write path like every other
+    // (round-20 review: the staged replacement write compiles the
+    // table marker's constraints; a violating assignment refuses WHOLE)
+    s3.sql("CALL glpr_mor.sys.add_constraint('ns.t', 'langs', " +
+      "'lang IN (''en'', ''und'')')").collect(): Unit
+    val ck = intercept[Exception](s3.sql(
+      "CALL glpr_mor.sys.update_where_mor('ns.t', 'lang', 'en', 'lang', 'xx')")
+      .collect())
+    assert(ck.getMessage.contains("langs") || ck.getMessage.contains("CHECK"),
+      ck.getMessage)
+    assert(s3.sql("SELECT count(*) FROM glpr_mor.ns.t WHERE lang = 'xx'")
+      .head().getLong(0) === 0L, "a refused MoR update must land NOTHING")
+    // the changeset cap fires BEFORE the key-set broadcast (round-20
+    // review), bounding appended bytes and executor memory alike
+    val big = (0L until 50L).map(i => (i, "en", "x", s"b-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val capE = intercept[IllegalArgumentException] {
+      GlprMaintenance.mergeMergeOnRead(spark, root, big, cap = 10L)
+    }
+    assert(capE.getMessage.contains("source"), capE.getMessage)
+    // PARTITIONED tables refuse toward COW: staged replacements would
+    // carry no partition values and silently void the q353/q358
+    // zero-exchange contracts (the compaction-fix posture)
+    s3.sql("CREATE TABLE glpr_mor.ns.pt (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING) PARTITIONED BY (bucket(4, doc_id))")
+    s3.sql("INSERT INTO glpr_mor.ns.pt SELECT doc_id, lang, source, text " +
+      "FROM glpr_mor.ns.t")
+    val pe = intercept[Exception](s3.sql(
+      "CALL glpr_mor.sys.update_where_mor('ns.pt', 'lang', 'en', 'lang', 'de')")
+      .collect())
+    assert(pe.getMessage.contains("partitioned"), pe.getMessage)
+    val pm = intercept[Exception](
+      GlprMaintenance.mergeMergeOnRead(spark,
+        new java.io.File(pRoot, "ns/pt").getAbsolutePath, big))
+    assert(pm.getMessage.contains("partitioned"), pm.getMessage)
   }
 
   test("concurrent MoR deletes serialize: no lost masks, generations are supersets") {

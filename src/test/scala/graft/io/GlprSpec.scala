@@ -94,13 +94,21 @@ class GlprSpec extends AnyFunSuite {
       new java.io.File(outL, "_reserved-0000000200-0000000299").toPath,
       "claimedAtMs=0".getBytes("UTF-8"))
     assert(GlprSource.reserveNameBase(outL, 4L) === 300L)
+    // an 11-digit claim (a foreign writer's) stays VISIBLE to the
+    // number line — the old fixed-width regex hid it — but minting
+    // past the 10-digit boundary refuses LOUDLY: lexical name order
+    // (the streaming offset contract) breaks past part-9999999999,
+    // so crossing it would silently skip shards downstream
     val outW = TempDirs.scratch("graft-glpr-reserve-wide").toString
     new java.io.File(outW).mkdirs()
     java.nio.file.Files.write(
       new java.io.File(outW, "_reserved-10000000000").toPath,
       "hi=10000000063\nclaimedAtMs=0".getBytes("UTF-8"))
-    assert(GlprSource.reserveNameBase(outW, 2L) === 10000000064L,
+    assert(GlprSource.nextReservedBase(outW) === 10000000064L,
       "an 11-digit reservation must stay visible to the number line")
+    val eW = intercept[IllegalArgumentException](
+      GlprSource.reserveNameBase(outW, 2L))
+    assert(eW.getMessage.contains("10-digit"), eW.getMessage)
     // epoch-scheme claims (maintenance on streaming dirs) are disjoint
     // too, unequal spans included
     val outEp = TempDirs.scratch("graft-glpr-reserve-epoch").toString
