@@ -2781,6 +2781,25 @@ object Registry {
         |FROM documents GROUP BY 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // WAP AUDIT-FIX-PUBLISH with a branch-scoped MoR UPDATE: the
+    // staged slice's planted mislabels are fixed IN PLACE on the
+    // branch (masks in the branch dv namespace + relabeled
+    // replacements on the branch chain, one commit), re-audited, then
+    // published — q346's loop for the far more common "fix the label,
+    // keep the row". Oracle = slice 1 + the relabeled slice 2 exactly.
+    "q366_glpr_branch_mor_update" -> Entry((s, d) =>
+      graft.io.GlprSource.branchUpdateFixPipeline(s, d).orderBy("lang"), Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM (
+        | SELECT lang, doc_id, text FROM documents WHERE doc_id < 100
+        | UNION ALL
+        | SELECT CASE WHEN doc_id % 10 = 0 THEN 'und' ELSE lang END,
+        |  doc_id, text
+        | FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // MERGE-ON-READ MERGE (CDC-apply priced by the changeset): source
     // [100,500) upserted into target [0,300) — matched rows masked +
     // replaced (re-cased text), new keys inserted, one versioned

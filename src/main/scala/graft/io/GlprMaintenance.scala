@@ -819,7 +819,8 @@ object GlprMaintenance {
   def updateWhereMergeOnRead(spark: org.apache.spark.sql.SparkSession,
       path: String, column: String, values: Set[String],
       setColumn: String, setValue: String,
-      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
+      cap: Long = MoRDeleteCap,
+      branch: Option[String] = None): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, collect_list, lit}
     require(Set("lang", "source")(column),
       s"GLPR merge-on-read update matches on a base value column " +
@@ -829,9 +830,22 @@ object GlprMaintenance {
         s"(lang/source/text), got '$setColumn'")
     require(values.nonEmpty, "empty GLPR update value set")
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val entries0 = GlprSource.committedEntries(path)
+    // BRANCH-scoped (q366, completing the WAP audit-FIX-publish loop
+    // for updates like q346 did for deletes): matching reads the
+    // branch head (its own masks applied), victims mask in the
+    // branch's dv namespace (dvb tokens), replacements adopt onto the
+    // BRANCH chain, all in ONE branch-chain commit — invisible to main
+    // until publish (which translates the masks and adopts the lines),
+    // discarded whole with the chain on drop.
+    val entries0 = branch match {
+      case Some(b) => GlprSource.branchEntries(path, b)
+      case None => GlprSource.committedEntries(path)
+    }
     requireMorDmlEligible(path, "update", entries0)
-    val matching = spark.read.format("graft.io.GlprSource").load(path)
+    val matching = branch
+      .foldLeft(spark.read.format("graft.io.GlprSource"))(
+        (r, b) => r.option("branch", b))
+      .load(path)
       .filter(col(column).isin(values.toSeq: _*))
       .persist()
     try {
@@ -853,8 +867,52 @@ object GlprMaintenance {
         .agg(collect_list(col("doc_id")).as("ids"))
         .collect()
         .map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
-      commitMaskAndAppend(path, "update", entries0, matched, newNames)
+      branch match {
+        case Some(b) =>
+          commitMaskAndAppendBranch(path, b, matched, newNames)
+        case None =>
+          commitMaskAndAppend(path, "update", entries0, matched, newNames)
+      }
     } finally matching.unpersist(): Unit
+  }
+
+  /** [[commitMaskAndAppend]]'s branch edition: victims mask in the
+    * branch's own dv namespace, replacement lines join the branch
+    * head, ONE branch-chain commit, then the branch TOCTOU guard. */
+  private def commitMaskAndAppendBranch(path: String, b: String,
+      matched: Seq[(String, Seq[Long])],
+      newNames: Seq[String]): (Seq[String], Seq[String]) = {
+    val lineOf: Map[String, String] = GlprSource.branchEntries(path, b)
+      .map(l => GlprSource.entryName(l) -> l).toMap
+    val newGens: Map[String, Long] = matched.flatMap { case (n, ids) =>
+      GlprSource.writeDvbGenerationRanges(path, b, n,
+        lineOf.getOrElse(n, n), ids.sorted.map(id => (id, id))).map(n -> _)
+    }.toMap
+    GlprSource.commitBranch(path, b) { base =>
+      val present = base.map(GlprSource.entryName).toSet
+      base.map { l =>
+        val n = GlprSource.entryName(l)
+        newGens.get(n) match {
+          case Some(g) => GlprSource.withDvbToken(l,
+            math.max(g, GlprSource.entryDvbGen(l).getOrElse(0L)))
+          case None => l
+        }
+      } ++ newNames.filterNot(present)
+    }
+    val committed = GlprSource.branchEntries(path, b)
+    val gensNow = committed
+      .map(l => GlprSource.entryName(l) -> GlprSource.entryDvbGen(l)).toMap
+    val lost = newGens.filter { case (n, g) =>
+      !gensNow.get(n).flatten.exists(_ >= g) }
+    require(lost.isEmpty,
+      s"GLPR branch '$b' merge-on-read update in '$path' lost shard(s) " +
+        s"${lost.keys.toSeq.sorted.mkString(", ")} between matching and " +
+        "commit — retry against the current branch head")
+    val names = committed.map(GlprSource.entryName).toSet
+    require(newNames.forall(names),
+      s"GLPR branch '$b' merge-on-read update in '$path' lost " +
+        s"replacement shard(s) ${newNames.filterNot(names).mkString(", ")}")
+    (newGens.keys.toSeq.sorted, newNames)
   }
 
   /** MERGE-ON-READ MERGE/upsert (q365): apply `source` (base-schema

@@ -371,7 +371,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "drop_branch" => "drop_branch(table, name): unlink the branch chain (the audit failed); branch-only shards become vacuum-reclaimable orphans"
     case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
     case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
-    case "update_where_mor" => "update_where_mor(table, column, values, set_column, set_value): merge-on-read UPDATE - mask rows where column IN (comma-separated values) via delete-vector generations AND append their replacements with set_column := set_value, ONE versioned commit; priced by matched rows, not touched-shard bytes (capped toward the COW SQL UPDATE past 1M matches)"
+    case "update_where_mor" => "update_where_mor(table, column, values, set_column, set_value, branch DEFAULT ''): merge-on-read UPDATE - mask rows where column IN (comma-separated values) via delete-vector generations AND append their replacements with set_column := set_value, ONE versioned commit; priced by matched rows, not touched-shard bytes (capped toward the COW SQL UPDATE past 1M matches); branch scopes the fix to a write-audit-publish branch head"
     case "merge_mor" => "merge_mor(table, source): merge-on-read MERGE/upsert - apply the source GLPR table keyed by doc_id (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *): matched target rows masked, all source rows appended, ONE versioned commit; priced by the changeset (capped toward the COW SQL MERGE past 1M matches)"
     case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
     case "clone" => "clone(table, dest): ZERO-COPY snapshot clone - hard-link the live shards (+ sidecars/masks) into dest and mint its manifest v1 from the live lines; fully independent tables over shared immutable bytes (the Delta shallow-clone move)"
@@ -456,12 +456,17 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         ProcedureParameter.in("lo", LongType).build(),
         ProcedureParameter.in("hi", LongType).build(),
         ProcedureParameter.in("branch", StringType).defaultValue("''").build())
+      // branch is OPTIONAL (q366): '' = main; a name scopes the
+      // update to that write-audit-publish branch head (masks in the
+      // branch dv namespace, replacements on the branch chain, one
+      // branch commit, invisible to main until publish)
       case "update_where_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("column", StringType).build(),
         ProcedureParameter.in("values", StringType).build(),
         ProcedureParameter.in("set_column", StringType).build(),
-        ProcedureParameter.in("set_value", StringType).build())
+        ProcedureParameter.in("set_value", StringType).build(),
+        ProcedureParameter.in("branch", StringType).defaultValue("''").build())
       case "merge_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("source", StringType).build())
@@ -573,11 +578,13 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         case "update_where_mor" =>
           val vals = input.getUTF8String(2).toString
             .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet
+          val b = Option(input.getUTF8String(5)).map(_.toString.trim)
+            .filter(_.nonEmpty)
           val (masked, appended) = GlprMaintenance.updateWhereMergeOnRead(
             org.apache.spark.sql.SparkSession.active, path,
             input.getUTF8String(1).toString, vals,
             input.getUTF8String(3).toString,
-            input.getUTF8String(4).toString)
+            input.getUTF8String(4).toString, branch = b)
           summary("masked_shards" -> masked.length.toLong,
             "replacement_shards" -> appended.length.toLong,
             "live_version" ->

@@ -1254,6 +1254,67 @@ object GlprSource {
     * main, a mask lost at publish, or surviving garbage all break the
     * hash. Isolation / translation / phantom-apply pins live in
     * GlprDvIntegritySpec. */
+  /** q366 — WAP audit-FIX-publish with a branch-scoped MoR UPDATE:
+    * slice 2 staged onto a branch with a planted mislabel (every 10th
+    * doc lang='xx'), the AUDIT finds them, and the fix is an IN-PLACE
+    * `update_where_mor(..., branch)` — victims masked in the branch's
+    * dv namespace, relabeled replacements adopted onto the branch
+    * chain, ONE branch commit — then the re-audit passes and the
+    * branch PUBLISHES (masks translate to shared generations, the
+    * replacement lines adopt, one main commit). q346 closed the loop
+    * for deletes; this closes it for the far more common "fix the
+    * label, keep the row". Oracle = slice 1 + the relabeled slice 2
+    * exactly: a leaked mislabel, a lost replacement, or a double-appear
+    * all break the hash. */
+  def branchUpdateFixPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = branchUpdFixCache.computeIfAbsent(dir, _ => {
+      val croot = TempDirs.scratch("graft-glpr-branchupd").toString
+      val s2 = freshCatalogSession(spark, "glpr_bu", croot)
+      s2.sql("CREATE TABLE glpr_bu.ns.t " +
+        "(doc_id BIGINT, lang STRING, source STRING, text STRING)")
+      s2.sql("INSERT INTO glpr_bu.ns.t SELECT doc_id, lang, source, text " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+      val path = new java.io.File(croot, "ns/t").getAbsolutePath
+      createBranch(path, "relabel")
+      val docs = Tables(s2, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      docs.filter(col("doc_id") >= 100L && col("doc_id") < 300L)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0L, lit("xx"))
+            .otherwise(col("lang")).as("lang"),
+          col("source"), col("text"))
+        .coalesce(2).write.format("graft.io.GlprSource")
+        .option("branch", "relabel").mode("append").save(path)
+      def badCount(): Long = s2.sql(
+        "SELECT count(*) FROM glpr_bu.ns.t VERSION AS OF 'relabel' " +
+          "WHERE lang = 'xx'").collect()(0).getLong(0)
+      // an all-empty corpus (RegistryEmptySpec) stages no mislabels —
+      // the fix is then a no-op and publish adopts the slice as-is
+      if (badCount() > 0L) {
+        GlprMaintenance.updateWhereMergeOnRead(s2, path,
+          "lang", Set("xx"), "lang", "und",
+          branch = Some("relabel")): Unit
+        require(badCount() == 0L, "q366 branch update left mislabels behind")
+      }
+      // the fix is invisible to main until publish
+      require(spark.read.format("graft.io.GlprSource").load(path)
+        .count() == s2.sql("SELECT count(*) FROM glpr_bu.ns.t " +
+          "WHERE doc_id < 100").collect()(0).getLong(0),
+        "q366 branch staging leaked into main before publish")
+      publishBranch(path, "relabel"): Unit
+      croot
+    })
+    spark.read.format("graft.io.GlprSource").load(s"$root/ns/t")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+  }
+  private val branchUpdFixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def branchFixPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -360,7 +360,12 @@ object PlanAudit {
     ("q365_glpr_mor_merge", "merge-on-read MERGE read-back: matched keys " +
       "masked in place, the whole changeset appended — the scan is the " +
       "same mask-gated union as q361; upsert cost tracked the changeset, " +
-      "not the touched shards", reg("q365_glpr_mor_merge")))
+      "not the touched shards", reg("q365_glpr_mor_merge")),
+    ("q366_glpr_branch_mor_update", "published WAP fix read-back: the " +
+      "branch-scoped MoR update's masks were translated to shared dv " +
+      "generations at publish and its replacement shards adopted — the " +
+      "main scan is the ordinary mask-gated union, with no trace of the " +
+      "branch machinery in the plan", reg("q366_glpr_branch_mor_update")))
 
   private val streamingStateNote: String =
     """

@@ -123,7 +123,8 @@ object ScaleProbe {
     "q362_glpr_type_widening", // two-era aggregate across INT→BIGINT/FLOAT→DOUBLE
     "q363_glpr_add_default",   // three-era aggregate under an initial DEFAULT
     "q364_glpr_age_retention", // live+tagged reads after age-based expiry
-    "q365_glpr_mor_merge")     // live rollup after merge-on-read MERGE/upsert
+    "q365_glpr_mor_merge",     // live rollup after merge-on-read MERGE/upsert
+    "q366_glpr_branch_mor_update") // published rollup after branch-scoped MoR fix
 
   def main(args: Array[String]): Unit = {
     // round number is REQUIRED so the artifact can never overwrite a

@@ -302,6 +302,58 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     assert(pm.getMessage.contains("partitioned"), pm.getMessage)
   }
 
+  test("q366 branch-scoped MoR update: invisible to main, publish adopts the fix, drop discards it") {
+    val root = TempDirs.scratch("graft-glpr-branchmorupd").toString
+    append(root, (0L until 40L).map(i => (i, "en", "s", s"m-$i")))
+    val mainRows = spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet
+    // branch A: staged mislabels fixed in place, then PUBLISHED
+    GlprSource.createBranch(root, "fx")
+    (100L until 120L).map(i =>
+      (i, if (i % 2 == 0) "xx" else "de", "s", s"b-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource")
+      .option("branch", "fx").mode("append").save(root)
+    val (masked, appended) = GlprMaintenance.updateWhereMergeOnRead(
+      spark, root, "lang", Set("xx"), "lang", "und", branch = Some("fx"))
+    assert(masked.nonEmpty && appended.nonEmpty)
+    // the fix is a branch-chain commit: main sees NOTHING of it
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet === mainRows,
+      "branch-scoped update leaked into main before publish")
+    // the branch head reads the fix (masks + replacements)
+    val branchLangs = spark.read.format("graft.io.GlprSource")
+      .option("branch", "fx").load(root)
+      .filter($"doc_id" >= 100L).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(branchLangs === (100L until 120L)
+      .map(i => (i, if (i % 2 == 0) "und" else "de")).toSet)
+    GlprSource.publishBranch(root, "fx"): Unit
+    val pubLangs = spark.read.format("graft.io.GlprSource").load(root)
+      .filter($"doc_id" >= 100L).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pubLangs === branchLangs,
+      "publish must adopt the branch fix exactly (masks translated)")
+    // branch B: same shape, DROPPED — the fix (masks + replacement
+    // shards) discards whole, and vacuum reclaims the orphans
+    GlprSource.createBranch(root, "junk")
+    (200L until 210L).map(i => (i, "xx", "s", s"j-$i"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.format("graft.io.GlprSource")
+      .option("branch", "junk").mode("append").save(root)
+    GlprMaintenance.updateWhereMergeOnRead(
+      spark, root, "lang", Set("xx"), "lang", "und",
+      branch = Some("junk")): Unit
+    val afterPublish = spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet
+    GlprSource.dropBranch(root, "junk"): Unit
+    assert(GlprMaintenance.vacuum(root) >= 1,
+      "dropped-branch staging + replacements must vacuum away")
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet === afterPublish,
+      "dropping the branch must leave main byte-identical")
+  }
+
   test("concurrent MoR deletes serialize: no lost masks, generations are supersets") {
     // the round-18 CAS protocol under real contention: 8 threads race
     // disjoint merge-on-read deletes against ONE shard — put-if-absent
