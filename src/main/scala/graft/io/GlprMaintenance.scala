@@ -929,10 +929,18 @@ object GlprMaintenance {
     * [[updateWhereMergeOnRead]]. Returns (maskedShards, newShards). */
   def mergeMergeOnRead(spark: org.apache.spark.sql.SparkSession,
       path: String, source: org.apache.spark.sql.DataFrame,
-      cap: Long = MoRDeleteCap): (Seq[String], Seq[String]) = {
+      cap: Long = MoRDeleteCap,
+      branch: Option[String] = None): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, collect_list}
     if (GlprSource.readManifest(path).isEmpty) GlprSource.rebuildManifest(path)
-    val entries0 = GlprSource.committedEntries(path)
+    // BRANCH-scoped like the update (q366) and the deletes (q346):
+    // match against the branch head, mask in the branch dv namespace,
+    // append the changeset onto the branch chain, one branch commit —
+    // the WAP upsert ("re-ingest the corrected slice") primitive.
+    val entries0 = branch match {
+      case Some(b) => GlprSource.branchEntries(path, b)
+      case None => GlprSource.committedEntries(path)
+    }
     requireMorDmlEligible(path, "merge", entries0)
     val src = source.select("doc_id", "lang", "source", "text").persist()
     try {
@@ -951,7 +959,10 @@ object GlprMaintenance {
       // distributed match: target ⋈ source keys (the key set is now
       // PROVEN ≤ cap, so the broadcast is bounded; only (shard, id)
       // pairs reach the driver)
-      val matching = spark.read.format("graft.io.GlprSource").load(path)
+      val matching = branch
+        .foldLeft(spark.read.format("graft.io.GlprSource"))(
+          (r, b) => r.option("branch", b))
+        .load(path)
         .select(col("_shard"), col("doc_id"))
         .join(org.apache.spark.sql.functions.broadcast(srcIds), "doc_id")
         .persist()
@@ -962,7 +973,12 @@ object GlprMaintenance {
           .agg(collect_list(col("doc_id")).as("ids"))
           .collect()
           .map(r => r.getString(0) -> r.getSeq[Long](1)).toSeq
-        commitMaskAndAppend(path, "merge", entries0, matched, newNames)
+        branch match {
+          case Some(b) =>
+            commitMaskAndAppendBranch(path, b, matched, newNames)
+          case None =>
+            commitMaskAndAppend(path, "merge", entries0, matched, newNames)
+        }
       } finally matching.unpersist(): Unit
     } finally src.unpersist(): Unit
   }

@@ -372,7 +372,7 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
     case "set_partition_spec" => "set_partition_spec(table, spec): evolve the table's partition transform (e.g. 'days(ts)' -> 'months(ts)'); new writes cluster under the new spec, existing shards keep pruning under the spec they were written with"
     case "delete_range_mor" => "delete_range_mor(table, lo, hi, branch DEFAULT ''): merge-on-read id-range DELETE - mask doc_id in [lo, hi] via delete-vector generations, zero data moved; branch scopes the masks to a write-audit-publish branch head"
     case "update_where_mor" => "update_where_mor(table, column, values, set_column, set_value, branch DEFAULT ''): merge-on-read UPDATE - mask rows where column IN (comma-separated values) via delete-vector generations AND append their replacements with set_column := set_value, ONE versioned commit; priced by matched rows, not touched-shard bytes (capped toward the COW SQL UPDATE past 1M matches); branch scopes the fix to a write-audit-publish branch head"
-    case "merge_mor" => "merge_mor(table, source): merge-on-read MERGE/upsert - apply the source GLPR table keyed by doc_id (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *): matched target rows masked, all source rows appended, ONE versioned commit; priced by the changeset (capped toward the COW SQL MERGE past 1M matches)"
+    case "merge_mor" => "merge_mor(table, source, branch DEFAULT ''): merge-on-read MERGE/upsert - apply the source GLPR table keyed by doc_id (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *): matched target rows masked, all source rows appended, ONE versioned commit; priced by the changeset (capped toward the COW SQL MERGE past 1M source rows); branch scopes the upsert to a write-audit-publish branch head"
     case "branches" => "branches(table): one row per write-audit-publish branch - chain length, head shard count, fork-point main version"
     case "clone" => "clone(table, dest): ZERO-COPY snapshot clone - hard-link the live shards (+ sidecars/masks) into dest and mint its manifest v1 from the live lines; fully independent tables over shared immutable bytes (the Delta shallow-clone move)"
     case "tag" => "tag(table, name, version DEFAULT -1): pin an IMMUTABLE named tag at a manifest version (-1 = the live head); VERSION AS OF '<name>' reads it forever and expire_versions keeps it (retention override)"
@@ -469,7 +469,8 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
         ProcedureParameter.in("branch", StringType).defaultValue("''").build())
       case "merge_mor" => Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("source", StringType).build())
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("branch", StringType).defaultValue("''").build())
       case _ => Array(ProcedureParameter.in("table", StringType).build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -594,8 +595,10 @@ final class GlprProcedure(procName: String, resolve: String => java.io.File,
           val srcDir = resolve(input.getUTF8String(1).toString)
           val src = spark.read.format("graft.io.GlprSource")
             .load(srcDir.getAbsolutePath)
+          val b = Option(input.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
           val (masked, appended) =
-            GlprMaintenance.mergeMergeOnRead(spark, path, src)
+            GlprMaintenance.mergeMergeOnRead(spark, path, src, branch = b)
           summary("masked_shards" -> masked.length.toLong,
             "appended_shards" -> appended.length.toLong,
             "live_version" ->

@@ -352,6 +352,29 @@ class GlprDvIntegritySpec extends AnyFunSuite {
     assert(spark.read.format("graft.io.GlprSource").load(root)
       .collect().map(_.toSeq).toSet === afterPublish,
       "dropping the branch must leave main byte-identical")
+    // merge completes the branch DML trio: a branch-scoped UPSERT
+    // (matched keys re-rowed, new keys inserted) stays invisible to
+    // main until publish, exactly like the update and the deletes
+    GlprSource.createBranch(root, "ups")
+    val beforeUps = spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet
+    val (m2, a2) = GlprMaintenance.mergeMergeOnRead(spark, root,
+      ((30L until 35L).map(i => (i, "en", "cdc", s"upd-$i"))
+        ++ (300L until 305L).map(i => (i, "de", "cdc", s"ins-$i")))
+        .toDF("doc_id", "lang", "source", "text"),
+      branch = Some("ups"))
+    assert(m2.nonEmpty && a2.nonEmpty)
+    assert(spark.read.format("graft.io.GlprSource").load(root)
+      .collect().map(_.toSeq).toSet === beforeUps,
+      "branch-scoped merge leaked into main before publish")
+    GlprSource.publishBranch(root, "ups"): Unit
+    val upsRows = spark.read.format("graft.io.GlprSource").load(root)
+      .filter($"doc_id".isin((30L until 35L) ++ (300L until 305L): _*))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(upsRows === ((30L until 35L).map(i => (i, s"upd-$i"))
+      ++ (300L until 305L).map(i => (i, s"ins-$i"))).toSet,
+      "published upsert: matched keys re-rowed once, inserts once")
   }
 
   test("concurrent MoR deletes serialize: no lost masks, generations are supersets") {
