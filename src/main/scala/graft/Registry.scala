@@ -23,6 +23,21 @@ object Registry {
       oracle: Option[String])
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  /** [[docs]] spread across the session's shuffle parallelism
+    * (Tables.spread — gated, a no-op once the scan carries enough
+    * splits). Used ONLY by the registry entries whose scan stage carries
+    * heavy per-row CPU (shingle/k-gram explodes, rolling hashes, LSH
+    * signatures): there the single-file testdata scan serialized 0.5-4.4s
+    * of work on one task (r21, guide §2.5). Measured per query before
+    * switching each entry — a BLANKET spread at docs() cost +0.2-0.4s on
+    * every light docs query (one extra exchange + AQE stage against no
+    * CPU win) for +19.6s aggregate across the suite, so the raw accessor
+    * stays the default. embeddings never spreads: its heavy consumers
+    * are MLlib iterative loops (q62 IVF k-means) whose per-stage work is
+    * tiny — 32 near-empty tasks per iteration measured q62 at 3.3s vs
+    * 1.9s on the single small partition (stage-latency-bound). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir), "doc_id")
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
   // DuckDB CTE for the exact-cell lineitem COO (mirrors Queries.cooExact).
@@ -465,7 +480,7 @@ object Registry {
     // marginal next to q250's sequential waterfall. Cross-multiplied
     // integer thresholds — no float boundary between engines.
     "q260_gopher_rules" -> Entry(
-      (s, d) => TextAnalysis.gopherRuleReport(docs(s, d)).orderBy("rule"), Some(
+      (s, d) => TextAnalysis.gopherRuleReport(docsSpread(s, d)).orderBy("rule"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |   length(replace(text, ' ', '')) AS chars FROM documents),
         |d AS (SELECT doc_id, len(toks) AS words, chars,
@@ -642,7 +657,7 @@ object Registry {
     // ~(0.5)^8 per-pair miss odds — see Dedup.fuzzyContamination's scaladoc
     // for the numHashTables dial if the corpus ever gains such pairs).
     "q95_fuzzy_contamination" -> Entry((s, d) => {
-      val dd = docs(s, d)
+      val dd = docsSpread(s, d)
       val pr = substring(md5(concat(col("doc_id").cast("string"), lit(":probe"))), 1, 2)
       Dedup.fuzzyContamination(dd.filter(pr >= "15"), dd.filter(pr < "15"))
         .orderBy("doc_id", "probe_doc_id")
@@ -2345,7 +2360,7 @@ object Registry {
     // pruning lossless. Third candidate-generation family beside
     // MinHash-LSH (probabilistic) and inverted-index df-prune.
     "q290_prefix_filter_join" -> Entry((s, d) =>
-      Dedup.prefixFilterOverlapJoin(docs(s, d)).orderBy("da", "db"), Some(
+      Dedup.prefixFilterOverlapJoin(docsSpread(s, d)).orderBy("da", "db"), Some(
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents)
         |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS overlap
@@ -3519,7 +3534,7 @@ object Registry {
     // = one hash agg on the digest; oracle re-derives identical rolling
     // hashes (the q198 double-modulus Horner) and chunk assembly.
     "q251_content_chunks" -> Entry((s, d) =>
-      Dedup.contentChunkReport(docs(s, d)).orderBy("doc_id"), Some(
+      Dedup.contentChunkReport(docsSpread(s, d)).orderBy("doc_id"), Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tv AS (SELECT doc_id, t,
         |   list_transform(t, tok ->
@@ -3850,7 +3865,7 @@ object Registry {
       (s, d) => Curation.approxLengthQuantiles(docs(s, d)).orderBy("lang", "q_pos"), None),
 
     "q83_tfidf_topk" -> Entry(
-      (s, d) => TextAnalysis.tfIdfTopK(docs(s, d)).orderBy("doc_id", "rank"), Some(
+      (s, d) => TextAnalysis.tfIdfTopK(docsSpread(s, d)).orderBy("doc_id", "rank"), Some(
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -3888,7 +3903,7 @@ object Registry {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q85_contamination" -> Entry(
-      (s, d) => TextAnalysis.contaminationCheck(docs(s, d)).orderBy("doc_id"), Some(
+      (s, d) => TextAnalysis.contaminationCheck(docsSpread(s, d)).orderBy("doc_id"), Some(
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
@@ -4041,7 +4056,7 @@ object Registry {
     // both engines); the SUM rides DECIMAL(30,18) so addition is exact and
     // partitioning/order-independent (the q01 decimal-sum rule).
     "q100_source_divergence" -> Entry(
-      (s, d) => TextAnalysis.sourceDivergence(docs(s, d)).orderBy("source"), Some(
+      (s, d) => TextAnalysis.sourceDivergence(docsSpread(s, d)).orderBy("source"), Some(
       """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT source, term, count(*) AS tf FROM tc GROUP BY 1, 2),
         |st AS (SELECT source, sum(tf) AS n_src FROM tf GROUP BY 1),
@@ -4274,7 +4289,7 @@ object Registry {
         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q118_source_overlap" -> Entry(
-      (s, d) => Dedup.sourceOverlap(docs(s, d)).orderBy("src_a", "src_b"), Some(
+      (s, d) => Dedup.sourceOverlap(docsSpread(s, d)).orderBy("src_a", "src_b"), Some(
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT source, x.s AS sh FROM (
         |   SELECT source, unnest(list_distinct(list_transform(
@@ -4349,7 +4364,7 @@ object Registry {
     // q117 hex-prefix trick), certifying the min-over-shingle-set algebra
     // that MinHashLSH's private coefficients keep rows-only in q43.
     "q123_minhash_md5" -> Entry(
-      (s, d) => Dedup.minhashMd5Signatures(docs(s, d)).orderBy("doc_id", "seed"), Some(
+      (s, d) => Dedup.minhashMd5Signatures(docsSpread(s, d)).orderBy("doc_id", "seed"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, x.s FROM (
         |   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4909,7 +4924,7 @@ object Registry {
     // Incremental novelty under ingestion order: a near-dup of an earlier
     // doc scores ~0 (its bigrams' first_doc precede it).
     "q145_doc_novelty" -> Entry(
-      (s, d) => TextAnalysis.docNovelty(docs(s, d)).orderBy("doc_id"), Some(
+      (s, d) => TextAnalysis.docNovelty(docsSpread(s, d)).orderBy("doc_id"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bg AS (SELECT DISTINCT doc_id, x.b FROM (
         |   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
@@ -5648,7 +5663,7 @@ object Registry {
     // Inverted-index probe: only the query terms' postings leave the scan;
     // per-doc score sum rides decimal x integer (the q119 rule).
     "q158_tfidf_search" -> Entry(
-      (s, d) => TextAnalysis.tfidfSearch(docs(s, d)), Some(
+      (s, d) => TextAnalysis.tfidfSearch(docsSpread(s, d)), Some(
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -5731,7 +5746,7 @@ object Registry {
     // gaps-and-islands span merge. The chained-CTE oracle replays every
     // stage; span_tokens is exact (see Dedup.duplicatedSpans scaladoc).
     "q184_dup_spans" -> Entry(
-      (s, d) => Dedup.duplicatedSpans(docs(s, d)).orderBy("doc_id", "span_start"), Some(
+      (s, d) => Dedup.duplicatedSpans(docsSpread(s, d)).orderBy("doc_id", "span_start"), Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
         |    md5(array_to_string(t[i:i+7], ' ')) AS h
@@ -5752,7 +5767,7 @@ object Registry {
     // double-modulus packed hashes per window (non-rolling Horner — same
     // values, O(n*w) is fine at oracle scale), then runs q184's islands.
     "q198_dup_spans_rolling" -> Entry(
-      (s, d) => Dedup.duplicatedSpansRolling(docs(s, d)).orderBy("doc_id", "span_start"), Some(
+      (s, d) => Dedup.duplicatedSpansRolling(docsSpread(s, d)).orderBy("doc_id", "span_start"), Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tv AS (SELECT doc_id, t,
         |   list_transform(t, tok ->

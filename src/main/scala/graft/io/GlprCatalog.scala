@@ -542,8 +542,18 @@ class GlprCatalog extends TableCatalog with FunctionCatalog
             (from, to) == (("float", "double")),
           s"GLPR ALTER COLUMN supports WIDENING only (INT -> BIGINT, " +
             s"FLOAT -> DOUBLE); cannot change '$name' $from -> $to")
-        extras = extras.updated(i, GlprSource.extraToken(name, to, phys,
-          GlprSource.extraDefault(extras(i))))
+        // The stored initial-default literal must be re-boxed through
+        // the WRITE-TIME type: it was written via Float.toString, and
+        // shortest-decimal float text re-parsed as double changes the
+        // value (0.3d != 0.3f.toDouble) — the same value-preservation
+        // rule the kind-5 shard decode enforces for stored bytes. An
+        // INT->BIGINT default text parses identically at either width.
+        val dflt = GlprSource.extraDefault(extras(i)).map { d =>
+          if ((from, to) == (("float", "double")))
+            java.lang.Double.toString(java.lang.Float.parseFloat(d).toDouble)
+          else d
+        }
+        extras = extras.updated(i, GlprSource.extraToken(name, to, phys, dflt))
       case other => throw new UnsupportedOperationException(
         "GLPR tables support ADD COLUMN (appended nullable " +
           "STRING/BIGINT/DOUBLE/INT/FLOAT), RENAME COLUMN on extras, " +

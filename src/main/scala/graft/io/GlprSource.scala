@@ -3697,10 +3697,37 @@ object GlprSource {
   // folds reservations the committed high-water mark has passed.
   private val reservedRe = """_reserved-(\d{10,})""".r
   private val reservedLegacyRe = """_reserved-(\d{10,})-(\d{10,})""".r
-  /** Every live reservation in `path` as `(lo, hi, file)`. A
-    * base-keyed file whose contents fail to parse is CORRUPT metadata
-    * (contents are fully written before the link lands) — refuse
-    * loudly rather than risk a silent overlap. */
+  /** Read a reservation file's `hi=` line. None = the file VANISHED
+    * between the caller's listing and this read — a RELEASED claim, not
+    * corruption: reserveNameBase's post-win retreat and vacuum's
+    * retired-reservation folding both legitimately delete reservation
+    * files concurrently with a racing append's nextBatchNameBase
+    * listing, so a vanished entry must be skipped, never escalated.
+    * A file that still EXISTS but is unreadable or carries no parsable
+    * hi= line is corrupt metadata (contents are fully written before
+    * the link lands) — refuse loudly rather than risk a silent
+    * overlap. */
+  private def readReservationHi(f: java.io.File, path: String,
+      what: String): Option[Long] = {
+    def corrupt(cause: Throwable): Nothing = throw new IllegalStateException(
+      s"GLPR $what '${f.getName}' in '$path' is unreadable " +
+        "or carries no hi= line — corrupt name-reservation " +
+        "metadata; refusing to mint names over it", cause)
+    val txt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        case _: java.nio.file.NoSuchFileException => None
+        case _: java.io.FileNotFoundException => None
+        case e: java.io.IOException => if (f.isFile) corrupt(e) else None
+      }
+    txt.map(_.linesIterator.collectFirst {
+      case l if l.startsWith("hi=") => l.stripPrefix("hi=").toLong
+    }.getOrElse(corrupt(null)))
+  }
+  /** Every live reservation in `path` as `(lo, hi, file)`. Vanished
+    * files (concurrent release) are skipped; a live file with
+    * unparsable contents throws — see [[readReservationHi]]. */
   private[io] def reservations(path: String)
       : Seq[(Long, Long, java.io.File)] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -3708,17 +3735,8 @@ object GlprSource {
         f.getName match {
           case reservedLegacyRe(lo, hi) => Some((lo.toLong, hi.toLong, f))
           case reservedRe(lo) =>
-            val hi = try {
-              new String(java.nio.file.Files.readAllBytes(f.toPath),
-                java.nio.charset.StandardCharsets.UTF_8)
-                .linesIterator.collectFirst {
-                  case l if l.startsWith("hi=") => l.stripPrefix("hi=").toLong
-                }
-            } catch { case _: java.io.IOException => None }
-            Some((lo.toLong, hi.getOrElse(throw new IllegalStateException(
-              s"GLPR reservation '${f.getName}' in '$path' is unreadable " +
-                "or carries no hi= line — corrupt name-reservation " +
-                "metadata; refusing to mint names over it")), f))
+            readReservationHi(f, path, "reservation")
+              .map(hi => (lo.toLong, hi, f))
           case _ => None
         }
       }.toSeq
@@ -3811,18 +3829,8 @@ object GlprSource {
       .iterator.flatMap { f =>
         f.getName match {
           case eReservedRe(ep, lo) =>
-            val hi = try {
-              new String(java.nio.file.Files.readAllBytes(f.toPath),
-                java.nio.charset.StandardCharsets.UTF_8)
-                .linesIterator.collectFirst {
-                  case l if l.startsWith("hi=") => l.stripPrefix("hi=").toLong
-                }
-            } catch { case _: java.io.IOException => None }
-            Some((ep.toLong, lo.toLong, hi.getOrElse(
-              throw new IllegalStateException(
-                s"GLPR epoch reservation '${f.getName}' in '$path' is " +
-                  "unreadable or carries no hi= line — corrupt " +
-                  "name-reservation metadata")), f))
+            readReservationHi(f, path, "epoch reservation")
+              .map(hi => (ep.toLong, lo.toLong, hi, f))
           case _ => None
         }
       }.toSeq

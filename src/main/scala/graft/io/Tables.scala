@@ -20,6 +20,29 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a low-parallelism scan across the session's shuffle
+    * parallelism before CPU-dense per-row work (r21, guide §2.5 "input
+    * skew"): the testdata corpus tables arrive as ONE small parquet file
+    * (documents.parquet is ~600 KB compressed, a single row group), so
+    * every tokenize/shingle/decode stage downstream of the scan ran as
+    * ONE task while the other cores idled (measured: a 4.4 s single-task
+    * explode stage inside q126; 1.1 s in q49; 0.73 s in q225). The gate
+    * makes this scale-adaptive, not a local[32] constant: it fires only
+    * when the scan has FEWER partitions than the configured shuffle
+    * parallelism — at cluster scale a real corpus scan already carries
+    * thousands of splits and the frame passes through untouched, so no
+    * text-payload shuffle is ever introduced where it would hurt.
+    * Hash-partitioned on a stable key (deterministic under task retries
+    * — never round-robin on nondeterministic input, SPARK-38388); the
+    * hash exchange itself moves only the small compressed rows once. */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    val target = try { n.toInt } catch { case _: NumberFormatException => 0 }
+    if (target > 0 && df.rdd.getNumPartitions < target)
+      df.repartition(target, col(key))
+    else df
+  }
+
   /** The lineitem-derived COO matrix used to exercise IPF at every scale
     * factor (FIXTURES.md §2): row = l_partkey, col = month(l_shipdate),
     * value = Σ l_extendedprice. */

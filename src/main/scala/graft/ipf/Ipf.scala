@@ -64,6 +64,18 @@ object Ipf {
       verbose: Boolean = false, checkpointEvery: Int = 1,
       lossEvery: Int = 1): Result = {
     require(maxIter >= 0 && checkpointEvery >= 1 && lossEvery >= 1)
+    // The marginals are loop constants but each sweep's TWO broadcast
+    // builds (and every loss check's join) re-executed their whole
+    // source subtree — for the q26 inputs that is a lineitem scan+agg
+    // per consumption, ~2 extra stages x 16 broadcasts per run
+    // (measured r21: the per-sweep stage trace showed the 20 MB
+    // lineitem input re-read 8+ times inside one converge). Marginals
+    // are one row per fitted index — tiny by the fitRowsOnePass
+    // broadcast contract — so materialize each ONCE and let every
+    // sweep broadcast from the cached blocks. Values are identical;
+    // only the number of times the source is computed changes.
+    val xc = x.localCheckpoint()
+    val yc = y.localCheckpoint()
     var matrix = seed.checkpointed()
     var prev = matrix          // matrix before the most recent step
     var lastLoss = Int.MaxValue.toDouble
@@ -71,11 +83,11 @@ object Ipf {
     var lossIsFinal = false    // lastLoss was computed for the last executed step
     var iteration = maxIter
     while (!(lastLoss < threshold || lossDiff < threshold || iteration == 0)) {
-      var next = step(x, y, matrix)
+      var next = step(xc, yc, matrix)
       val k = maxIter - iteration
       if (k % checkpointEvery == 0) next = next.checkpointed()
       if (k % lossEvery == 0) {
-        val loss = Marginals.rmse(x, matrix.sumRows)
+        val loss = Marginals.rmse(xc, matrix.sumRows)
         lossDiff = math.abs(lastLoss - loss)
         lastLoss = loss
         lossIsFinal = true
@@ -93,7 +105,7 @@ object Ipf {
     // up to lossEvery-1 steps stale.
     val finalLoss =
       if (iteration == maxIter || lossIsFinal) lastLoss
-      else Marginals.rmse(x, prev.sumRows)
+      else Marginals.rmse(xc, prev.sumRows)
     Result(matrix, finalLoss, maxIter - iteration)
   }
 }

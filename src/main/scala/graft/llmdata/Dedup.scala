@@ -17,6 +17,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** [[graft.io.Tables.spread]] keyed on doc_id — parallelism insurance
+    * for the CPU-dense tokenize/shingle explodes below when a caller
+    * hands in a raw single-file scan (the registry's docs() accessor
+    * already spreads, and the gate makes re-spreading a no-op). */
+  private[llmdata] def spreadScan(df: DataFrame): DataFrame =
+    graft.io.Tables.spread(df, "doc_id")
+
   /** Exact duplicate groups keyed by sha2-256 of the raw text. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(sha2(col("text"), 256).as("content_hash"))
@@ -665,7 +672,7 @@ object Dedup {
     * (xxhash64), so this is rows-only at the driver; the vote/signature
     * logic itself is hash-checked cross-engine via [[simhashMd5]]. */
   def simhash(docs: DataFrame): DataFrame =
-    simhashOf(docs.select(col("doc_id"),
+    simhashOf(spreadScan(docs).select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h")))
 
@@ -679,7 +686,7 @@ object Dedup {
     * aggregator too (bits 60-63 are constant-zero votes on both
     * engines). */
   def simhashMd5(docs: DataFrame): DataFrame =
-    simhashOf(docs.select(col("doc_id"),
+    simhashOf(spreadScan(docs).select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h")))
@@ -981,10 +988,21 @@ object Dedup {
     * (distinct-shingle intersection and set sizes) plus one divide. */
   def containmentPairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
       containThreshold: Double = 0.8, minSharedRare: Int = 2): DataFrame = {
-    val sets = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+    // Materialize the distinct-shingle frame ONCE (r21, guide §1/§5):
+    // `sets` feeds the df prune, both posting sides, both verify sides
+    // and the size frame — six consumers whose tokenize+explode subtrees
+    // Spark plans independently (the final adaptive plan showed 8 scans
+    // of documents.parquet on the q126 sibling, zero ReusedExchange —
+    // alias-dependent IsNotNull pushdowns break exchange canonical
+    // equality). One localCheckpoint turns six corpus scans into one;
+    // at 100 TB this is the guide's "fingerprints only once" move — the
+    // shingle frame is the lightweight proxy, the text never re-reads.
+    val sets = spreadScan(docs)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("s"))
+      .localCheckpoint()
     val rare = sets.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     val posting = sets.join(rare.select("s"), "s")
@@ -1009,10 +1027,20 @@ object Dedup {
 
   def invertedCosinePairs(docs: DataFrame, k: Int = 3, maxDf: Int = 20,
       simThreshold: Double = 0.3, minSharedRare: Int = 2): DataFrame = {
-    val tf = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+    // Materialize the TF frame ONCE (r21, guide §1/§5): it feeds the df
+    // prune, both posting sides, the norms, and both exact-dot verify
+    // sides — the unmaterialized form re-planned the scan+explode+agg
+    // subtree 8 times (measured: 8 FileScans of documents.parquet in the
+    // FINAL adaptive plan, zero ReusedExchange). One localCheckpoint
+    // makes every consumer read the 3-column integer TF proxy instead of
+    // re-reading and re-shingling the corpus — at 100 TB the difference
+    // between one text pass and eight.
+    val tf = spreadScan(docs)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), k)).as("s"))
       .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val rare = tf.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     val posting = tf.join(rare.select("s"), "s").select("doc_id", "s")

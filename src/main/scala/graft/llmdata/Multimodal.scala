@@ -328,7 +328,11 @@ object Multimodal {
     * construction in SQL (a channel-phase slip, band-rounding error, or
     * threshold-tie mishandling flips bits and fails the hash compare). */
   def aHashTable(docs: DataFrame): DataFrame = {
-    val src = withPpmPayload(docs).select(col("doc_id"), col("payload"))
+    // spread BEFORE the payload construction + codec pass (single-task
+    // otherwise — r21 guide §2.5; the payload bytes still never shuffle,
+    // only the source text rows move once)
+    val src = withPpmPayload(Dedup.spreadScan(docs))
+      .select(col("doc_id"), col("payload"))
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("doc_id", LongType), StructField("ahash", StringType))))
     src.mapPartitions { rows =>

@@ -234,10 +234,18 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
     naiveNearbyOrderCounts(spark, dir, toleranceMs)
   }
 
-  /** The same query with NO rule installation — the spec's control arm. */
+  /** The same query with NO rule installation — the spec's control arm.
+    *
+    * The probe side is spread across the session's shuffle parallelism
+    * (Tables.spread, gated — r21): the single-file orders scan otherwise
+    * pipelines the ENTIRE bucketed join + residual + count into ONE task
+    * (the broadcast join adds no exchange of its own; measured 2.4s
+    * single-task CPU doing ~22M residual evaluations while 31 cores
+    * idled). At scale the gate is a no-op. */
   private[graft] def naiveNearbyOrderCounts(spark: SparkSession, dir: String,
       toleranceMs: Long): DataFrame = {
-    val o = graft.io.Tables(spark, dir, "orders")
+    val o = graft.io.Tables.spread(
+        graft.io.Tables(spark, dir, "orders"), "o_orderkey")
       .select(col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
         col("o_orderpriority"))
@@ -259,7 +267,9 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
     * every registry plan) and pinned in RangeJoinRuleSpec. */
   def nearbyOrderCountsBetween(spark: SparkSession, dir: String): DataFrame = {
     installedIn(spark)
-    val o = graft.io.Tables(spark, dir, "orders")
+    // spread for the same single-task reason as naiveNearbyOrderCounts
+    val o = graft.io.Tables.spread(
+        graft.io.Tables(spark, dir, "orders"), "o_orderkey")
       .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"),
         col("o_orderpriority"))
     val urgent = o.filter(col("o_orderpriority") === "1-URGENT")

@@ -444,12 +444,15 @@ object Queries {
     // Batched loss checks + 2-step checkpoints: this run is iteration-capped
     // (loss never reaches 1e-9 within 8 sweeps), so the final matrix is
     // identical to per-iteration checking with a fraction of the driver
-    // barriers. lossEvery=5 (a non-divisor of maxIter) keeps the in-loop
-    // boundary check REACHED mid-run (k=0,5) — the shipped path exercises
-    // the batched stopping rule, not only the post-loop recompute — while
-    // the final loss is still recomputed for the last step (7 is not a
-    // boundary). (checkpointEvery=4 measured *slower* — the 8-deep
-    // join/agg lineage costs more in planning than the saved
+    // barriers. lossEvery=maxIter leaves exactly TWO loss barriers: the
+    // k=0 in-loop boundary (the batched stopping rule stays exercised on
+    // the shipped path) and the post-loop recompute for the final step
+    // (maxIter−1 is never a boundary) — r21 dropped the old mid-run k=5
+    // check, which could not influence this iteration-capped run's
+    // stopping decision (its lossDiff is astronomically above 1e-9) and
+    // cost one full driver barrier (~0.6s, the round-12 envelope's
+    // per-barrier figure). (checkpointEvery=4 measured *slower* — the
+    // 8-deep join/agg lineage costs more in planning than the saved
     // materialization barriers.)
     //
     // COST ENVELOPE (round-12 IpfSweepProbe, warm JVM, sf0.1, local[32],
@@ -460,14 +463,17 @@ object Queries {
     // loss barriers (lossEvery 1 vs 100) → +4.43s (0.63 each); checkpoint
     // cadence 1 vs 2 within noise (5.25 vs 5.10). Round-10's agg+join
     // sweeps measured 0.71s/sweep, 6.40s total — the one-pass step
-    // (Ipf.step scaladoc) is where the saving came from. Shipped config
-    // (ck=2, loss=5, 8 sweeps, 2 in-loop + 1 final loss) lands at ~5-6s
-    // warm. A future q26 outside ~5-8s at sf0.1 with these knobs means a
-    // phase regressed — re-run IpfSweepProbe and attribute by slope
-    // (sweep cost) vs intercept shift (loss/checkpoint cost) before
-    // tuning anything.
+    // (Ipf.step scaladoc) is where the saving came from. r21 re-tuned the
+    // intercept, not the slope: loop-constant marginals are checkpointed
+    // once inside converge (each sweep's two broadcast builds re-ran the
+    // lineitem scan+agg before) and one loss barrier was dropped; shipped
+    // config (ck=2, loss=maxIter, 8 sweeps, 1 in-loop + 1 final loss)
+    // lands at ~3.2-3.5s warm (BENCH_FULL_r21 vs the 4.37s r21 baseline).
+    // A future q26 outside ~3-6s at sf0.1 with these knobs means a phase
+    // regressed — re-run tools/UnrollProbe and attribute by slope (sweep
+    // cost) vs intercept shift (loss/checkpoint cost) before tuning.
     val r = Ipf.converge(x, y, seed, threshold = 1e-9, maxIter = maxIter,
-      checkpointEvery = 2, lossEvery = 5)
+      checkpointEvery = 2, lossEvery = maxIter)
     named(r.matrix, roundTo = 4)
   }
 

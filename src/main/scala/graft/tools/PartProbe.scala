@@ -14,7 +14,7 @@ object PartProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (parts <- Seq("8", "16", "32"); rep <- 1 to 3) {
+    for (parts <- Seq("2", "4", "8"); rep <- 1 to 3) {
       val t0 = System.nanoTime()
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", parts)

@@ -874,6 +874,26 @@ class GlprCatalogSpec extends AnyFunSuite {
     // idempotent re-widening is a no-op, not an error
     spark.sql("ALTER TABLE glpr_spec.ns21.w ALTER COLUMN score TYPE BIGINT")
     assert(spark.sql("SELECT count(*) FROM glpr_spec.ns21.w").head().getLong(0) === 3L)
+    // the stored initial-DEFAULT literal widens value-preservingly too
+    // (r20 ADVICE): a FLOAT column's default text was written via
+    // Float.toString, so after ALTER it must serve (double) 0.3f =
+    // 0.30000001192092896 to pre-evolution shards, never the re-parsed
+    // double 0.3 — same invariant the kind-5 shard decode enforces
+    spark.sql("CREATE TABLE glpr_spec.ns21.fd (doc_id BIGINT, lang STRING, " +
+      "source STRING, text STRING)")
+    spark.sql("INSERT INTO glpr_spec.ns21.fd VALUES (1, 'en', 's', 'a')")
+    spark.sql("ALTER TABLE glpr_spec.ns21.fd ADD COLUMN c FLOAT " +
+      "DEFAULT CAST(0.3 AS FLOAT)")
+    val preDflt = spark.sql("SELECT CAST(c AS DOUBLE) FROM glpr_spec.ns21.fd")
+      .head().getDouble(0)
+    spark.sql("ALTER TABLE glpr_spec.ns21.fd ALTER COLUMN c TYPE DOUBLE")
+    val postDflt = spark.sql("SELECT c FROM glpr_spec.ns21.fd")
+      .head().getDouble(0)
+    assert(postDflt === preDflt && postDflt === 0.3f.toDouble,
+      s"widened FLOAT default must keep the write-time value: $postDflt vs $preDflt")
+    assert(spark.sql("SELECT count(*) FROM glpr_spec.ns21.fd WHERE c > 0.3")
+      .head().getLong(0) === 1L,
+      "a metadata-only widen must not flip the default's filter outcome")
   }
 
   test("q363/q364: initial defaults serve pre-evolution shards only; age expiry guards") {

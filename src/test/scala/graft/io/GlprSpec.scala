@@ -148,6 +148,37 @@ class GlprSpec extends AnyFunSuite {
       "both jobs' rows must survive — no same-name clobber")
   }
 
+  test("a reservation vanishing mid-listing is a released claim, not corruption (r20 advice)") {
+    val out = TempDirs.scratch("graft-glpr-reserve-vanish").toString
+    new java.io.File(out).mkdirs()
+    // A broken symlink stands in for the race window: listFiles() still
+    // returns the name, but the read finds the file gone
+    // (NoSuchFileException) — exactly what a concurrent post-win retreat
+    // (reserveNameBase) or vacuum's retired-reservation fold produces
+    // under supported write concurrency. Both parsers must SKIP it.
+    java.nio.file.Files.createSymbolicLink(
+      new java.io.File(out, "_reserved-0000000500").toPath,
+      new java.io.File(out, "_gone").toPath)
+    java.nio.file.Files.createSymbolicLink(
+      new java.io.File(out, "_reserved-e0000000007-00005").toPath,
+      new java.io.File(out, "_gone2").toPath)
+    assert(GlprSource.reservations(out).isEmpty,
+      "a vanished reservation is a released claim — skip, don't throw")
+    assert(GlprSource.epochReservations(out).isEmpty,
+      "a vanished epoch reservation is a released claim — skip, don't throw")
+    assert(GlprSource.nextReservedBase(out) === 0L)
+    // ...and a racing claimant minting through the same window succeeds
+    assert(GlprSource.reserveNameBase(out, 4L) === 0L)
+    // a file that still EXISTS but carries no parsable hi= line stays
+    // the loud corrupt-metadata refusal — the vanished case must not
+    // have widened into silently skipping real corruption
+    java.nio.file.Files.write(
+      new java.io.File(out, "_reserved-0000000600").toPath,
+      "claimedAtMs=0".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](GlprSource.reservations(out))
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
   test("vacuum folds retired name reservations, keeps claims ahead of the high-water mark") {
     val out = TempDirs.scratch("graft-glpr-reserve-vac").toString
     GlprSource.write(docs.limit(20), out)
