@@ -6071,7 +6071,7 @@ object Registry {
     // mined-out signal. Real window(ingest_ts) grouping; the oracle's
     // doc_id // batchSize arithmetic is exact (Ingest convention).
     "q272_shingle_novelty" -> Entry((s, d) =>
-      TextAnalysis.shingleNovelty(docs(s, d)).orderBy("batch"), Some(
+      TextAnalysis.shingleNovelty(docsSpread(s, d)).orderBy("batch"), Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id // 100 AS batch, x.s FROM (
         |   SELECT doc_id, unnest(list_distinct(list_transform(

@@ -17,8 +17,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path schema cache (r21, guide §1/§6): a schema-less
+    * `spark.read.parquet` runs a one-task footer-inference JOB on every
+    * DataFrame construction — a query touching several tables paid up to
+    * 14 such driver round-trips per execution (measured: q213_fk_audit
+    * spent 1.0s wall on 0.05s of executor time, most of it these jobs).
+    * The testdata fixtures are immutable per path (TESTDATA.md:
+    * "Read-only — do NOT regenerate"), so the first inference per
+    * (JVM, path) is authoritative and every later read passes the
+    * explicit schema — the plan is bit-identical (the cache stores
+    * exactly what inference would return), the inference job just stops
+    * repeating. This caches METADATA only, never rows or results. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Spread a low-parallelism scan across the session's shuffle
     * parallelism before CPU-dense per-row work (r21, guide §2.5 "input

@@ -1169,7 +1169,7 @@ object Dedup {
       historyRowCap: Long = HistoryIndexRowCap,
       historyShingleCap: Long = HistoryIndexShingleCap): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
-    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val all = graft.io.Tables(spark, dir, "documents")
     val maxRow = all.agg(max(expr(s"doc_id div $batchSize"))).head()
     val maxB = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val incoming = all.filter(expr(s"doc_id div $batchSize") === maxB)

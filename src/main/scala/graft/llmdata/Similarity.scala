@@ -700,7 +700,7 @@ object Similarity {
       dir: String): DataFrame =
     bitextAnnCache.computeIfAbsent(dir, _ =>
       bitextMarginMiningAnn(
-        spark.read.parquet(s"$dir/embeddings.parquet")).localCheckpoint(true))
+        graft.io.Tables(spark, dir, "embeddings")).localCheckpoint(true))
 
   def bitextMarginMiningAnn(emb: DataFrame, srcLabel: Int = 0, tgtLabel: Int = 1,
       k: Int = 4, marginThreshold: Double = 1.0, nCells: Int = 16,

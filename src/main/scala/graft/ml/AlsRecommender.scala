@@ -16,9 +16,9 @@ object AlsRecommender {
   /** Ratings from the testdata: user = customer, item = part, rating =
     * total quantity ordered (orders ⋈ lineitem, two-key aggregation). */
   def ratingsFromLineitem(spark: SparkSession, dir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val orders = graft.io.Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.io.Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("o_custkey").cast("int").as("user"),

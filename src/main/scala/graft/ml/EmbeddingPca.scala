@@ -33,7 +33,7 @@ object EmbeddingPca {
     * space. Degenerate corpora (no rows — PCA.fit throws) project to an
     * empty well-typed frame, the RegistryEmptySpec contract. */
   def project(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.io.Tables(spark, dir, "embeddings")
     if (emb.isEmpty) {
       return emb.select(col("vec_id"), col("label"),
         array().cast("array<double>").as("pc"))

@@ -107,7 +107,7 @@ object QualityClassifier {
 
   private def computeScoreDocs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.io.Tables(spark, dir, "documents")
     val trainSet = weakLabeled(docs).filter(!isHeldOut)
     if (trainSet.isEmpty) {
       return docs.select(col("doc_id"), lit(Double.NaN).as("quality_prob"),

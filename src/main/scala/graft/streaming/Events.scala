@@ -51,8 +51,23 @@ object Events {
     s2
   }
 
-  private def rawEvents(spark: SparkSession, dir: String): DataFrame =
-    eventsSession(spark).read.parquet(s"$dir/events.parquet")
+  /** Per-dir schema cache (r21 — the Tables.schemaCache rule applied to
+    * the events read): every schema-less read.parquet re-ran a footer-
+    * inference job, one per batch-event query execution. The schema is
+    * deterministic per dir because EVERY events read goes through
+    * [[eventsSession]] (nanosAsLong pinned true), and the fixture is
+    * immutable. Metadata only — never rows. */
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = eventsSession(spark)
+    val path = s"$dir/events.parquet"
+    val schema = eventsSchemaCache.computeIfAbsent(path,
+      _ => s2.read.parquet(path).schema)
+    s2.read.schema(schema).parquet(path)
+  }
 
   /** Normalize `ts` to an engine-native TimestampType instant regardless of
     * the fixture's parquet encoding:
@@ -716,7 +731,7 @@ object Events {
     * executor). Settled result is checked against the batch-join oracle. */
   def streamingEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
     settle(spark, dir, stream => {
-      val dim = broadcast(stream.sparkSession.read.parquet(s"$dir/customer.parquet")
+      val dim = broadcast(graft.io.Tables(stream.sparkSession, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment")))
       stream.withWatermark("ts", "1 hour")
         .join(dim, "user_id")
